@@ -1,0 +1,543 @@
+package graft.expr
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.json.Js
+
+/** Resolves document field paths to Columns.
+  *
+  * The reference engine evaluates MongoDB aggregation expressions over
+  * schemaless JSON documents (/root/reference/docs/aggregation_operators.md,
+  * implemented in the pincette-mongo library per SURVEY §2.7). We compile the
+  * same expression language to Catalyst Columns instead, so Spark codegen /
+  * pushdown / pruning apply. Two document models exist: relational (top-level
+  * typed columns, used for parquet tables) and — for streaming JSON messages —
+  * a variant/JSON-string model (see graft.streaming).
+  */
+trait DocModel {
+  def path(p: String): Column
+  def root: Column
+}
+
+final class RelationalDoc(columns: Seq[String]) extends DocModel {
+  def path(p: String): Column = {
+    val parts = p.split("\\.")
+    parts.tail.foldLeft(col(parts.head))((c, f) => c.getField(f))
+  }
+  def root: Column = struct(columns.map(col): _*)
+}
+
+/** Compilation context: document model, `$$var` scope, and an on-demand type
+  * resolver (the analyzer is consulted once per compile — types are needed to
+  * pick semantics for dynamically-typed operators like `$toEpochMillis` which
+  * accept ISO strings or native timestamps).
+  */
+final case class Ctx(
+    doc: DocModel,
+    vars: Map[String, Column] = Map.empty,
+    typeOf: Column => DataType = _ => NullType) {
+  def withVar(name: String, c: Column): Ctx = copy(vars = vars + (name -> c))
+}
+
+object ExprCompiler {
+
+  def compile(n: JsonNode, ctx: Ctx): Column = {
+    if (n.isTextual) compileString(n.asText(), ctx)
+    else if (n.isInt || n.isLong) lit(n.asLong())
+    else if (n.isNumber) lit(n.asDouble())
+    else if (n.isBoolean) lit(n.asBoolean())
+    else if (n.isNull) lit(null)
+    else if (n.isArray) array(Js.elems(n).map(compile(_, ctx)): _*)
+    else
+      Js.asOp(n) match {
+        case Some((op, args)) => compileOp(op, args, ctx)
+        case None             => // document literal: {field: expr, ...}
+          struct(Js.fields(n).map { case (k, v) => compile(v, ctx).as(k) }: _*)
+      }
+  }
+
+  private def compileString(s: String, ctx: Ctx): Column =
+    if (s.startsWith("$$")) {
+      val path = s.drop(2)
+      val (name, rest) = path.span(_ != '.')
+      val base = name match {
+        case "ROOT"  => ctx.doc.root
+        case "NOW"   => current_timestamp()
+        case "TODAY" => current_date()
+        // $redact verdict markers (docs/system_variables.md:3)
+        case "DESCEND" | "KEEP" | "PRUNE" => lit("$$" + name)
+        case v =>
+          ctx.vars.getOrElse(
+            v,
+            throw new IllegalArgumentException(s"unbound variable $$$$$v"))
+      }
+      if (rest.isEmpty) base
+      else rest.drop(1).split("\\.").foldLeft(base)((c, f) => c.getField(f))
+    } else if (s.startsWith("$")) ctx.doc.path(s.drop(1))
+    else lit(s)
+
+  /** Arguments that may be a bare expression or an array of expressions. */
+  private def argList(n: JsonNode, ctx: Ctx): Seq[Column] =
+    if (n.isArray) Js.elems(n).map(compile(_, ctx)) else Seq(compile(n, ctx))
+
+  private def numericTrunc(x: Column, place: Column): Column = {
+    val f = pow(lit(10.0), place)
+    (x * f).cast(LongType) / f
+  }
+
+  // Mongo regex options ("i", "m", "s", "x") → Java embedded flags.
+  private[graft] def regexWithOptions(re: String, opts: String): String =
+    if (opts.isEmpty) re else s"(?$opts)$re"
+
+  /** `/pattern/opts` literal syntax (docs/query.md:190-194) or plain string. */
+  private[graft] def regexLiteral(n: JsonNode): String = {
+    val s = n.asText()
+    if (s.length >= 2 && s.startsWith("/") && s.lastIndexOf('/') > 0) {
+      val i = s.lastIndexOf('/')
+      regexWithOptions(s.substring(1, i), s.substring(i + 1))
+    } else s
+  }
+
+  private def isTimestampLike(c: Column, ctx: Ctx): Boolean =
+    ctx.typeOf(c) match {
+      case TimestampType | DateType | TimestampNTZType => true
+      case _                                           => false
+    }
+
+  /** ISO-8601 string or native timestamp → TimestampType. */
+  private def asTimestamp(c: Column, ctx: Ctx): Column =
+    if (isTimestampLike(c, ctx)) c.cast(TimestampType)
+    else to_timestamp(c)
+
+  private def compileOp(op: String, n: JsonNode, ctx: Ctx): Column = {
+    lazy val as = argList(n, ctx)
+    lazy val a0 = as.head
+    lazy val a1 = as(1)
+
+    op match {
+      // ---- arithmetic (docs/aggregation_operators.md:5-153) ----
+      case "$abs"      => abs(a0)
+      case "$add"      => as.reduce(_ + _)
+      case "$ceil"     => ceil(a0)
+      case "$divide"   => a0 / a1
+      case "$exp"      => exp(a0)
+      case "$floor"    => floor(a0)
+      case "$ln"       => log(a0)
+      case "$log"      => log(a0) / log(a1) // Mongo [x, base]
+      case "$log10"    => log10(a0)
+      case "$mod"      => a0 % a1
+      case "$multiply" => as.reduce(_ * _)
+      case "$pow"      => pow(a0, a1)
+      case "$round" => // Mongo rounds half-to-even
+        if (as.size > 1) bround(a0, a1) else bround(a0)
+      case "$sqrt"     => sqrt(a0)
+      case "$subtract" => a0 - a1
+      case "$trunc" =>
+        if (as.size > 1) numericTrunc(a0, a1) else a0.cast(LongType)
+
+      // ---- array (docs/aggregation_operators.md:155-352) ----
+      // get() (not element_at) → out-of-bounds is null, Mongo-style, even
+      // under ANSI mode
+      case "$arrayElemAt" =>
+        when(a1 >= 0, get(a0, a1.cast(IntegerType)))
+          .otherwise(get(a0, size(a0) + a1.cast(IntegerType)))
+      case "$arrayToObject" => // [[k,v]...] or [{k:..,v:..}...] → map
+        ctx.typeOf(a0) match {
+          case ArrayType(ArrayType(_, _), _) =>
+            map_from_entries(
+              transform(a0, e => struct(element_at(e, 1).cast(StringType),
+                element_at(e, 2))))
+          case _ =>
+            map_from_entries(
+              transform(a0, e => struct(e.getField("k"), e.getField("v"))))
+        }
+      case "$concatArrays" => concat(as: _*)
+      case "$elemMatch" => // first element matching the query (custom op)
+        get(
+          filter(compile(n.get(0), ctx),
+            x => QueryCompiler.compileValuePredicate(n.get(1), x, ctx)),
+          lit(0))
+      case "$filter" =>
+        val input = compile(n.get("input"), ctx)
+        val v = if (n.has("as")) n.get("as").asText() else "this"
+        filter(input, x => compile(n.get("cond"), ctx.withVar(v, x)))
+      case "$first" => get(a0, lit(0))
+      case "$last"  => get(a0, size(a0) - 1)
+      case "$in"    => array_contains(a1, a0)
+      case "$indexOfArray" =>
+        val base = array_position(a0, a1).cast(LongType) - 1
+        if (as.size <= 2) base
+        else {
+          // search restricted to [start, end): index within slice, re-offset
+          val start = as(2)
+          val len =
+            if (as.size > 3) as(3) - start else size(a0).cast(LongType) - start
+          val sub = slice(a0, (start + 1).cast(IntegerType), len.cast(IntegerType))
+          val pos = array_position(sub, a1).cast(LongType)
+          when(pos > 0, pos - 1 + start).otherwise(lit(-1L))
+        }
+      case "$isArray" =>
+        lit(ctx.typeOf(a0) match {
+          case _: ArrayType => true
+          case _            => false
+        })
+      case "$map" =>
+        val input = compile(n.get("input"), ctx)
+        val v = if (n.has("as")) n.get("as").asText() else "this"
+        transform(input, x => compile(n.get("in"), ctx.withVar(v, x)))
+      case "$objectToArray" => // object → [{k, v}...]
+        val target = if (n.isObject && Js.asOp(n).isEmpty) compile(n, ctx) else a0
+        ctx.typeOf(target) match {
+          case st: StructType =>
+            array(st.fields.map(f =>
+              struct(lit(f.name).as("k"), target.getField(f.name).as("v"))): _*)
+          case _: MapType =>
+            transform(map_entries(target),
+              e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
+          case t => throw new IllegalArgumentException(s"$$objectToArray on $t")
+        }
+      case "$range" =>
+        val step = if (as.size > 2) as(2) else lit(1L)
+        val l0 = a0.cast(LongType); val l1 = a1.cast(LongType)
+        val sl = step.cast(LongType)
+        when((l1 > l0) === (sl > 0),
+          sequence(l0, l1 - signum(sl).cast(LongType), sl))
+          .otherwise(array().cast(ArrayType(LongType)))
+      case "$reduce" =>
+        val input = compile(n.get("input"), ctx)
+        val init = compile(n.get("initialValue"), ctx)
+        aggregate(input, init, (acc, x) =>
+          compile(n.get("in"), ctx.withVar("value", acc).withVar("this", x)))
+      case "$reverseArray" => reverse(a0)
+      case "$size"         => size(a0)
+      case "$slice" =>
+        if (as.size == 2) {
+          // [arr, n]: first n (n>0) or last n (n<0)
+          val cnt = a1.cast(IntegerType)
+          when(cnt >= 0, slice(a0, lit(1), cnt)).otherwise(slice(a0, cnt, -cnt))
+        } else {
+          // [arr, pos, n]: pos may be negative (from end), n > 0
+          val pos = a1.cast(IntegerType); val cnt = as(2).cast(IntegerType)
+          when(pos >= 0, slice(a0, pos + 1, cnt)).otherwise(slice(a0, pos, cnt))
+        }
+      case "$zip" => // two-input form; arrays of arrays out
+        val inputs =
+          if (n.isArray) Js.elems(n) else Js.elems(n.get("inputs"))
+        val cols = inputs.map(compile(_, ctx))
+        require(cols.size == 2, "$zip: two inputs supported")
+        zip_with(cols(0), cols(1), (x, y) => array(x, y))
+
+      // ---- boolean (:354-393) ----
+      case "$and" => as.reduce(_ && _)
+      case "$or"  => as.reduce(_ || _)
+      case "$not" => !a0
+
+      // ---- comparison (:395-465) ----
+      case "$cmp" =>
+        when(a0 < a1, -1).when(a0 > a1, 1).otherwise(0)
+      case "$eq"  => a0 === a1
+      case "$gt"  => a0 > a1
+      case "$gte" => a0 >= a1
+      case "$lt"  => a0 < a1
+      case "$lte" => a0 <= a1
+      case "$ne"  => a0 =!= a1
+
+      // ---- conditional (:467-512) ----
+      case "$cond" =>
+        val (i, t, e) =
+          if (n.isArray) (as(0), as(1), as(2))
+          else (compile(n.get("if"), ctx), compile(n.get("then"), ctx),
+            compile(n.get("else"), ctx))
+        when(i, t).otherwise(e)
+      case "$ifNull" => coalesce(as: _*)
+      case "$switch" =>
+        val branches = Js.elems(n.get("branches")).map(b =>
+          (compile(b.get("case"), ctx), compile(b.get("then"), ctx)))
+        val base = when(branches.head._1, branches.head._2)
+        val chained = branches.tail.foldLeft(base) { case (c, (cond, v)) =>
+          c.when(cond, v)
+        }
+        if (n.has("default")) chained.otherwise(compile(n.get("default"), ctx))
+        else chained
+
+      // ---- ISO-8601 (custom family, :514-614) ----
+      case "$fromEpochMillis" =>
+        date_format(timestamp_millis(a0.cast(LongType)),
+          "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      case "$fromEpochNanos" =>
+        date_format(timestamp_micros((a0.cast(LongType) / 1000).cast(LongType)),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      case "$fromEpochSeconds" =>
+        date_format(timestamp_seconds(a0.cast(LongType)),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      case "$toDate" =>
+        if (isTimestampLike(a0, ctx)) date_format(a0, "yyyy-MM-dd")
+        else substring(a0, 1, 10)
+      case "$toDay"   => dayofmonth(asTimestamp(a0, ctx))
+      case "$toMonth" => month(asTimestamp(a0, ctx))
+      case "$toYear"  => year(asTimestamp(a0, ctx))
+      case "$toEpochMillis" => unix_millis(asTimestamp(a0, ctx))
+      case "$toEpochNanos"  => unix_micros(asTimestamp(a0, ctx)) * 1000L
+      case "$toEpochSeconds" => unix_seconds(asTimestamp(a0, ctx))
+
+      // ---- literal (:616-627) ----
+      case "$literal" => literal(n)
+
+      // ---- object (:629-644) ----
+      case "$mergeObjects" => mergeObjects(as, ctx)
+
+      // ---- set, over arrays (:646-722) ----
+      case "$allElementsTrue" => forall(a0, x => x)
+      case "$anyElementTrue"  => exists(a0, x => x)
+      case "$setDifference"   => array_sort(array_distinct(array_except(a0, a1)))
+      case "$setEquals" =>
+        size(array_except(a0, a1)) === 0 && size(array_except(a1, a0)) === 0
+      case "$setIntersection" =>
+        array_sort(array_distinct(array_intersect(a0, a1)))
+      case "$setIsSubset" => size(array_except(a0, a1)) === 0
+      case "$setUnion" =>
+        array_sort(array_distinct(concat(as: _*)))
+
+      // ---- string (:724-949) ----
+      case "$base64Decode" => unbase64(a0).cast(StringType)
+      case "$base64Encode" => base64(a0.cast(BinaryType))
+      case "$concat"       => concat(as: _*)
+      case "$indexOfCP" =>
+        if (as.size <= 2) locate_col(a1, a0) - 1
+        else {
+          val start = as(2).cast(IntegerType)
+          val found = locate_col(a1, a0, start + 1) - 1
+          if (as.size > 3) when(found >= 0 && found + length(a1) <= as(3), found)
+            .otherwise(-1)
+          else found
+        }
+      case "$jsonToString" => to_json(a0)
+      case "$ltrim" => ltrimOp(n, ctx)
+      case "$rtrim" => rtrimOp(n, ctx)
+      case "$trim"  => trimOp(n, ctx)
+      case "$regexFind"    => regexFind(n, ctx, all = false)
+      case "$regexFindAll" => regexFind(n, ctx, all = true)
+      case "$regexMatch" =>
+        val (input, re) = regexArgs(n, ctx)
+        input.rlike(re)
+      case "$replaceAll" =>
+        replace(compile(n.get("input"), ctx), compile(n.get("find"), ctx),
+          compile(n.get("replacement"), ctx))
+      case "$replaceOne" =>
+        val input = compile(n.get("input"), ctx)
+        val find = compile(n.get("find"), ctx)
+        val repl = compile(n.get("replacement"), ctx)
+        val pos = locate_col(find, input)
+        when(pos === 0, input).otherwise(
+          concat(substring_col(input, lit(1), pos - 1), repl,
+            substring_col(input, pos + length(find),
+              length(input) - pos - length(find) + 1)))
+      case "$split"      => split(a0, litQuote(n.get(1).asText()))
+      case "$strcasecmp" =>
+        val l = lower(a0); val r = lower(a1)
+        when(l < r, -1).when(l > r, 1).otherwise(0)
+      case "$stringToJson" => from_json_dynamic(a0)
+      case "$strLenCP"     => length(a0)
+      case "$substrCP" => substring_col(a0, a1.cast(IntegerType) + 1,
+        as(2).cast(IntegerType))
+      case "$toLower" => lower(a0)
+      case "$toUpper" => upper(a0)
+      case "$uriDecode" => url_decode(a0)
+      case "$uriEncode" => url_encode(a0)
+
+      // ---- trigonometry (:951-1090) ----
+      case "$acos"  => acos(a0)
+      case "$acosh" => acosh(a0)
+      case "$asin"  => asin(a0)
+      case "$asinh" => asinh(a0)
+      case "$atan"  => atan(a0)
+      case "$atan2" => atan2(a0, a1)
+      case "$atanh" => atanh(a0)
+      case "$cos"   => cos(a0)
+      case "$cosh"  => cosh(a0)
+      case "$degreesToRadians" => radians(a0)
+      case "$radiansToDegrees" => degrees(a0)
+      case "$sin"  => sin(a0)
+      case "$sinh" => sinh(a0)
+      case "$tan"  => tan(a0)
+      case "$tanh" => tanh(a0)
+
+      // ---- type (:1092-1159) ----
+      case "$convert" =>
+        val input = compile(n.get("input"), ctx)
+        val to = n.get("to").asText()
+        val converted = convertTo(input, to, ctx)
+        val withNull =
+          if (n.has("onNull")) coalesce(converted, compile(n.get("onNull"), ctx))
+          else converted
+        withNull
+      case "$toBool"    => toBool(a0, ctx)
+      case "$toDecimal" => a0.cast(DecimalType(38, 18))
+      case "$toDouble"  => a0.cast(DoubleType)
+      case "$toInt"     => a0.cast(IntegerType)
+      case "$toLong"    => a0.cast(LongType)
+      case "$toString"  => a0.cast(StringType)
+      case "$type"      => lit(mongoTypeName(ctx.typeOf(a0)))
+
+      // ---- misc (:1161-1337) ----
+      case "$let" =>
+        val inner = Js.fields(n.get("vars")).foldLeft(ctx) {
+          case (c, (name, v)) => c.withVar(name, compile(v, c))
+        }
+        compile(n.get("in"), inner)
+      case "$sort" => sortOp(n, ctx)
+      case "$trace" => compile(n, ctx) // identity; logging handled at stage level
+      case "$jes-uuid" => expr("uuid()")
+      case "$jes-href" => // href: /<type without dash>/<id>
+        val typ = compile(n.get(0), ctx); val id = compile(n.get(1), ctx)
+        concat(lit("/"), regexp_replace(typ, lit("-"), lit("/")), lit("/"), id)
+
+      case other =>
+        throw new IllegalArgumentException(s"unsupported operator $other")
+    }
+  }
+
+  // -- helpers ---------------------------------------------------------------
+
+  private def locate_col(substr: Column, str: Column, pos: Column = lit(1)) =
+    call_function("locate", substr, str, pos)
+
+  private def substring_col(str: Column, pos: Column, len: Column) =
+    call_function("substring", str, pos, len)
+
+  private def litQuote(s: String): String = s // $split uses a literal separator
+
+  /** Dynamic from_json is not possible without a schema; messages parse into
+    * a map<string,string>-ish variant in the streaming model. Here: variant.
+    */
+  private def from_json_dynamic(c: Column): Column = parse_json(c)
+
+  /** `$literal` returns the operand unevaluated. */
+  private def literal(n: JsonNode): Column =
+    if (n.isTextual) lit(n.asText())
+    else if (n.isInt || n.isLong) lit(n.asLong())
+    else if (n.isNumber) lit(n.asDouble())
+    else if (n.isBoolean) lit(n.asBoolean())
+    else if (n.isNull) lit(null)
+    else if (n.isArray) array(Js.elems(n).map(literal): _*)
+    else struct(Js.fields(n).map { case (k, v) => literal(v).as(k) }: _*)
+
+  /** Struct-merge with last-wins field semantics (schema known at compile). */
+  private def mergeObjects(cols: Seq[Column], ctx: Ctx): Column = {
+    val fieldLists = cols.map(c =>
+      ctx.typeOf(c) match {
+        case st: StructType => st.fieldNames.toSeq
+        case t => throw new IllegalArgumentException(s"$$mergeObjects on $t")
+      })
+    val ordered = fieldLists.flatten.distinct
+    val picks = ordered.map { f =>
+      // last object having the field wins; missing → earlier object's value
+      val owners = cols.zip(fieldLists).filter(_._2.contains(f)).map(_._1)
+      coalesce(owners.reverse.map(_.getField(f)): _*).as(f)
+    }
+    struct(picks: _*)
+  }
+
+  private def regexArgs(n: JsonNode, ctx: Ctx): (Column, String) = {
+    val input = compile(n.get("input"), ctx)
+    val opts = if (n.has("options")) n.get("options").asText() else ""
+    val re = regexWithOptions(regexLiteral(n.get("regex")), opts)
+    (input, re)
+  }
+
+  /** $regexFind → {match, idx, captures}; $regexFindAll → array of those.
+    * Capture groups require java.util.regex — a rare non-hot-path UDF.
+    */
+  private def regexFind(n: JsonNode, ctx: Ctx, all: Boolean): Column = {
+    val (input, re) = regexArgs(n, ctx)
+    val schema = ArrayType(StructType(Seq(
+      StructField("match", StringType),
+      StructField("idx", IntegerType),
+      StructField("captures", ArrayType(StringType)))))
+    val finder = udf((s: String) =>
+      if (s == null) null
+      else {
+        val m = java.util.regex.Pattern.compile(re).matcher(s)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Int, Seq[String])]
+        while (m.find()) out += ((m.group(), m.start(),
+          (1 to m.groupCount()).map(m.group)))
+        out.toSeq
+      })
+    val found = finder(input).cast(schema)
+    if (all) found else element_at(found, 1)
+  }
+
+  private def trimChars(n: JsonNode): String =
+    if (n.has("chars")) n.get("chars").asText() else " \t\n\r"
+
+  private def ltrimOp(n: JsonNode, ctx: Ctx): Column =
+    ltrim(compile(n.get("input"), ctx), trimChars(n))
+  private def rtrimOp(n: JsonNode, ctx: Ctx): Column =
+    rtrim(compile(n.get("input"), ctx), trimChars(n))
+  private def trimOp(n: JsonNode, ctx: Ctx): Column = {
+    val c = compile(n.get("input"), ctx)
+    ltrim(rtrim(c, trimChars(n)), trimChars(n))
+  }
+
+  /** Array `$sort` (docs/aggregation_operators.md:1204-1218): sorts an array
+    * of scalars (direction) or of objects (by `paths`).
+    */
+  private def sortOp(n: JsonNode, ctx: Ctx): Column = {
+    val input = compile(n.get("input"), ctx)
+    val dir = if (n.has("direction")) n.get("direction").asText() else "asc"
+    val sorted = array_sort(input)
+    if (n.has("paths")) {
+      // sort objects by field paths: build comparator on first path only when
+      // single path; multi-path via tuple comparison
+      val paths = Js.elems(n.get("paths")).map(_.asText())
+      val cmp = (l: Column, r: Column) => {
+        def fieldOf(c: Column, p: String) =
+          p.split("\\.").foldLeft(c)((x, f) => x.getField(f))
+        paths.foldRight(lit(0)) { (p, tail) =>
+          val lf = fieldOf(l, p); val rf = fieldOf(r, p)
+          when(lf < rf, -1).when(lf > rf, 1).otherwise(tail)
+        }
+      }
+      val base = array_sort(input, (l, r) => cmp(l, r))
+      if (dir == "desc") reverse(base) else base
+    } else if (dir == "desc") reverse(sorted)
+    else sorted
+  }
+
+  private def convertTo(c: Column, to: String, ctx: Ctx): Column = to match {
+    case "double" | "1"  => c.cast(DoubleType)
+    case "string" | "2"  => c.cast(StringType)
+    case "bool" | "8"    => toBool(c, ctx)
+    case "date" | "9"    => asTimestamp(c, ctx)
+    case "int" | "16"    => c.cast(IntegerType)
+    case "long" | "18"   => c.cast(LongType)
+    case "decimal" | "19" => c.cast(DecimalType(38, 18))
+    case other => throw new IllegalArgumentException(s"$$convert to $other")
+  }
+
+  /** Mongo $toBool: numbers → x != 0, strings → always true, bool → identity. */
+  private def toBool(c: Column, ctx: Ctx): Column = ctx.typeOf(c) match {
+    case BooleanType => c
+    case StringType  => when(c.isNull, lit(null)).otherwise(lit(true))
+    case _: NumericType => c =!= 0
+    case _ => c.cast(BooleanType)
+  }
+
+  private[graft] def mongoTypeName(t: DataType): String = t match {
+    case StringType                    => "string"
+    case BooleanType                   => "bool"
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType                      => "long"
+    case FloatType | DoubleType        => "double"
+    case _: DecimalType                => "decimal"
+    case TimestampType | DateType | TimestampNTZType => "date"
+    case _: ArrayType                  => "array"
+    case _: StructType | _: MapType    => "object"
+    case NullType                      => "null"
+    case BinaryType                    => "binData"
+    case _                             => "object"
+  }
+}

@@ -1,0 +1,141 @@
+package graft.expr
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.json.Js
+
+/** Compiles the MongoDB query language used by `$match` and `$deduplicate`
+  * etc. (/root/reference/docs/query.md) to a Catalyst predicate Column.
+  *
+  * Semantics notes vs the reference:
+  *  - field "presence" ($exists) maps to SQL NULL-ness: the relational model
+  *    represents an absent JSON field as NULL (docs/query.md:134-143).
+  *  - $ne / $not / $nin match documents where the field is missing
+  *    (docs/query.md:64-84); compiled as `NOT coalesce(cond, false)` so NULLs
+  *    pass, like Mongo.
+  */
+object QueryCompiler {
+
+  private val operatorKeys = Set(
+    "$eq", "$gt", "$gte", "$lt", "$lte", "$ne", "$in", "$nin", "$exists",
+    "$type", "$expr", "$mod", "$regex", "$options", "$all", "$elemMatch",
+    "$size", "$bitsAllClear", "$bitsAllSet", "$bitsAnyClear", "$bitsAnySet",
+    "$not", "$comment")
+
+  /** Whole `$match` document → predicate. */
+  def compile(n: JsonNode, ctx: Ctx): Column = {
+    val conds = Js.fields(n).flatMap {
+      case ("$comment", _) => None
+      case ("$and", v) => Some(Js.elems(v).map(compile(_, ctx)).reduce(_ && _))
+      case ("$or", v)  => Some(Js.elems(v).map(compile(_, ctx)).reduce(_ || _))
+      case ("$nor", v) =>
+        Some(!Js.elems(v).map(c => coalesce(compile(c, ctx), lit(false)))
+          .reduce(_ || _))
+      case ("$expr", v) => Some(ExprCompiler.compile(v, ctx))
+      case (field, cond) => Some(fieldMatch(ctx.doc.path(field), cond, ctx))
+    }
+    if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
+  }
+
+  /** Condition for one field: operator object or implicit equality. */
+  private def fieldMatch(target: Column, cond: JsonNode, ctx: Ctx): Column =
+    if (isOperatorObject(cond)) operatorConds(target, cond, ctx)
+    else eqMatch(target, cond, ctx)
+
+  private def isOperatorObject(n: JsonNode): Boolean =
+    n.isObject && n.size() > 0 &&
+      Js.fields(n).forall { case (k, _) => operatorKeys.contains(k) }
+
+  /** Mongo equality on a field: direct equality, or — if the field holds an
+    * array — any-element equality (docs/query.md:5-28).
+    */
+  private def eqMatch(target: Column, v: JsonNode, ctx: Ctx): Column = {
+    val value = litNode(v)
+    ctx.typeOf(target) match {
+      case ArrayType(et, _) if !v.isArray =>
+        array_contains(target, value.cast(et))
+      case _ => target === value
+    }
+  }
+
+  private def operatorConds(target: Column, n: JsonNode, ctx: Ctx): Column = {
+    val opts =
+      if (n.has("$options")) n.get("$options").asText() else ""
+    val conds = Js.fields(n).flatMap {
+      case ("$comment", _) | ("$options", _) => None
+      case ("$eq", v)  => Some(eqMatch(target, v, ctx))
+      case ("$gt", v)  => Some(target > litNode(v))
+      case ("$gte", v) => Some(target >= litNode(v))
+      case ("$lt", v)  => Some(target < litNode(v))
+      case ("$lte", v) => Some(target <= litNode(v))
+      case ("$ne", v)  => Some(!coalesce(eqMatch(target, v, ctx), lit(false)))
+      case ("$in", v)  => Some(target.isin(Js.elems(v).map(scalaValue): _*))
+      case ("$nin", v) =>
+        Some(!coalesce(target.isin(Js.elems(v).map(scalaValue): _*), lit(false)))
+      case ("$exists", v) =>
+        Some(if (v.asBoolean()) target.isNotNull else target.isNull)
+      case ("$type", v) =>
+        Some(lit(ExprCompiler.mongoTypeName(ctx.typeOf(target)) ==
+          v.asText()))
+      case ("$expr", v) => Some(ExprCompiler.compile(v, ctx))
+      case ("$mod", v) =>
+        Some(target % litNode(v.get(0)) === litNode(v.get(1)))
+      case ("$regex", v) =>
+        Some(target.rlike(ExprCompiler.regexWithOptions(
+          ExprCompiler.regexLiteral(v), opts)))
+      case ("$all", v) =>
+        Some(Js.elems(v).map(e => array_contains(target, litNode(e)))
+          .reduce(_ && _))
+      case ("$elemMatch", v) =>
+        Some(exists(target, x => compileValuePredicate(v, x, ctx)))
+      case ("$size", v) => Some(size(target) === litNode(v))
+      case ("$bitsAllSet", v) =>
+        val m = mask(v); Some(target.bitwiseAND(m) === m)
+      case ("$bitsAllClear", v) => Some(target.bitwiseAND(mask(v)) === 0)
+      case ("$bitsAnySet", v)   => Some(target.bitwiseAND(mask(v)) =!= 0)
+      case ("$bitsAnyClear", v) =>
+        val m = mask(v); Some(target.bitwiseAND(m) =!= m)
+      case ("$not", v) =>
+        Some(!coalesce(operatorConds(target, v, ctx), lit(false)))
+      case (other, _) =>
+        throw new IllegalArgumentException(s"unsupported query operator $other")
+    }
+    conds.reduce(_ && _)
+  }
+
+  /** Predicate over a bare value (array `$elemMatch`, expression-operator
+    * `$elemMatch`): the condition is either an operator object applied to the
+    * value itself or a query over the value's fields.
+    */
+  private[graft] def compileValuePredicate(
+      cond: JsonNode, x: Column, ctx: Ctx): Column =
+    if (isOperatorObject(cond)) operatorConds(x, cond, ctx)
+    else
+      Js.fields(cond).map { case (field, c) =>
+        fieldMatch(field.split("\\.").foldLeft(x)(_.getField(_)), c, ctx)
+      }.reduce(_ && _)
+
+  /** Bit mask: literal number or array of bit positions (docs/query.md:231+). */
+  private def mask(n: JsonNode): Long =
+    if (n.isArray) Js.elems(n).map(p => 1L << p.asLong()).foldLeft(0L)(_ | _)
+    else n.asLong()
+
+  /** Query-language values are literals, never `$path` expressions. */
+  private[graft] def litNode(n: JsonNode): Column =
+    if (n.isTextual) lit(n.asText())
+    else if (n.isInt || n.isLong) lit(n.asLong())
+    else if (n.isNumber) lit(n.asDouble())
+    else if (n.isBoolean) lit(n.asBoolean())
+    else if (n.isNull) lit(null)
+    else if (n.isArray) array(Js.elems(n).map(litNode): _*)
+    else struct(Js.fields(n).map { case (k, v) => litNode(v).as(k) }: _*)
+
+  private def scalaValue(n: JsonNode): Any =
+    if (n.isTextual) n.asText()
+    else if (n.isInt || n.isLong) n.asLong()
+    else if (n.isNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else null
+}

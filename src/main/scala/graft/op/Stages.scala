@@ -1,0 +1,290 @@
+package graft.op
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.json.Js
+import graft.expr.{Ctx, ExprCompiler, QueryCompiler, RelationalDoc}
+
+/** Environment a pipeline compiles against: how to resolve `$lookup` /
+  * `$merge` collections, and where side-effect stages route.
+  */
+final case class Env(
+    spark: SparkSession,
+    collection: String => DataFrame = n =>
+      throw new IllegalArgumentException(s"no collection $n"),
+    sink: (String, DataFrame) => Unit = (_, _) => ())
+
+/** Compiles MongoDB aggregation pipeline stages
+  * (/root/reference/docs/aggregation_stages.md, SURVEY §2) to DataFrame
+  * transforms. Streaming-specific semantics (state stores, timers) live in
+  * graft.streaming; this compiler produces the relational/batch plan that
+  * both paths share.
+  */
+object Stages {
+  type Stage = DataFrame => DataFrame
+
+  def ctxOf(df: DataFrame): Ctx =
+    Ctx(
+      new RelationalDoc(df.columns.toSeq),
+      typeOf = c =>
+        try df.select(c).schema.head.dataType
+        catch { case _: Exception => NullType })
+
+  def expr(df: DataFrame, n: JsonNode): Column =
+    ExprCompiler.compile(n, ctxOf(df))
+
+  def compile(name: String, spec: JsonNode, env: Env): Stage = name match {
+    case "$match"       => df => df.filter(QueryCompiler.compile(spec, ctxOf(df)))
+    case "$addFields" | "$set" => df => addFields(df, spec)
+    case "$unset"       => df => unset(df, spec)
+    case "$project"     => df => project(df, spec)
+    case "$replaceRoot" => df => replaceRoot(df, spec.get("newRoot"))
+    case "$replaceWith" => df => replaceRoot(df, spec)
+    case "$unwind"      => df => unwind(df, spec)
+    case "$group"       => df => group(df, spec)
+    case "$bucket"      => df => bucket(df, spec)
+    case "$count" =>
+      df => df.agg(count(lit(1)).as(spec.asText()))
+    case "$lookup"      => df => lookup(df, spec, env)
+    case "$deduplicate" => df => deduplicate(df, spec)
+    case "$per"         => df => per(df, spec)
+    case "$setKey" =>
+      df => df.withColumn("_key", expr(df, spec).cast(StringType))
+    case "$send" => // dynamic topic routing: sink honors per-row `_topic`
+      df => df.withColumn("_topic", expr(df, spec.get("topic")).cast(StringType))
+    case "$redact"   => df => Redact(df, spec)
+    case "$validate" => df => Validate(df, spec)
+    case "$merge"    => df => merge(df, spec, env)
+    case "$out" =>
+      df => { env.sink(spec.asText(), df); df }
+    case "$trace" | "$log" => df => df // observability: no data transform
+    case "$delete" =>
+      df => { env.sink("__delete__" + spec.get("from").asText(), df); df }
+    case other =>
+      throw new IllegalArgumentException(s"unsupported stage $other")
+  }
+
+  // -- field update stages ---------------------------------------------------
+
+  /** Dotted paths update nested struct fields via Column.withField. */
+  private def addFields(df: DataFrame, spec: JsonNode): DataFrame =
+    Js.fields(spec).foldLeft(df) { case (d, (path, v)) =>
+      val c = expr(d, v)
+      if (!path.contains('.')) d.withColumn(path, c)
+      else {
+        val parts = path.split("\\.")
+        d.withColumn(parts.head,
+          col(parts.head).withField(parts.tail.mkString("."), c))
+      }
+    }
+
+  private def unset(df: DataFrame, spec: JsonNode): DataFrame = {
+    val paths =
+      if (spec.isArray) Js.elems(spec).map(_.asText()) else Seq(spec.asText())
+    paths.foldLeft(df) { (d, p) =>
+      if (!p.contains('.')) d.drop(p)
+      else {
+        val parts = p.split("\\.")
+        d.withColumn(parts.head,
+          col(parts.head).dropFields(parts.tail.mkString(".")))
+      }
+    }
+  }
+
+  /** Mongo $project: inclusion mode (1/true or computed expressions; `_id`
+    * kept by default when present) or exclusion mode (all 0/false).
+    */
+  private def project(df: DataFrame, spec: JsonNode): DataFrame = {
+    val entries = Js.fields(spec)
+    def flag(n: JsonNode, v: Boolean) =
+      (n.isBoolean && n.asBoolean() == v) ||
+        (n.isNumber && (n.asDouble() != 0) == v)
+    val exclusion = entries.forall { case (k, v) =>
+      flag(v, false) || (k == "_id" && flag(v, true))
+    }
+    if (exclusion && entries.exists { case (_, v) => flag(v, false) }) {
+      val dropped = entries.collect { case (k, v) if flag(v, false) => k }
+      dropped.foldLeft(df)((d, p) => unset(d, Js.parse("\"" + p + "\"")))
+    } else {
+      val cols = entries.flatMap {
+        case (k, v) if flag(v, false) => None
+        case (k, v) if flag(v, true) =>
+          if (k.contains('.')) {
+            val parts = k.split("\\.")
+            Some(nestedKeep(parts).as(parts.head))
+          } else Some(col(k))
+        case (k, v) => Some(expr(df, v).as(k))
+      }
+      val withId =
+        if (df.columns.contains("_id") && !entries.exists(_._1 == "_id"))
+          col("_id") +: cols
+        else cols
+      df.select(withId: _*)
+    }
+  }
+
+  /** Inclusion of "a.b.c" keeps the nesting: struct(a: struct(b: c)). */
+  private def nestedKeep(parts: Array[String]): Column =
+    parts.tail.foldRight(col(parts.mkString(".")))((f, inner) =>
+      struct(inner.as(f))) match {
+      case c => c
+    }
+
+  private def replaceRoot(df: DataFrame, newRoot: JsonNode): DataFrame =
+    df.select(expr(df, newRoot).as("__root")).select("__root.*")
+
+  /** One message per array element; element replaces the field. Reference
+    * drops messages whose array is absent or empty (explode, not
+    * explode_outer) — docs/aggregation_stages.md:840-855.
+    */
+  private def unwind(df: DataFrame, spec: JsonNode): DataFrame = {
+    val (path, newIds) =
+      if (spec.isTextual) (spec.asText().stripPrefix("$"), false)
+      else (spec.get("path").asText().stripPrefix("$"),
+        spec.has("newIds") && spec.get("newIds").asBoolean())
+    val exploded = df.withColumn(path, explode(col(path)))
+    if (newIds) exploded.withColumn("_id", org.apache.spark.sql.functions.expr("uuid()"))
+    else exploded
+  }
+
+  // -- grouping --------------------------------------------------------------
+
+  /** Accumulator set per docs/aggregation_stages.md:35. `$addToSet` is
+    * sorted for determinism (Mongo set order is unspecified).
+    */
+  private def accumulator(df: DataFrame, op: String, arg: JsonNode): Column = {
+    lazy val c = expr(df, arg)
+    op match {
+      case "$sum"       => sum(c)
+      case "$avg"       => avg(c)
+      case "$min"       => min(c)
+      case "$max"       => max(c)
+      case "$count"     => count(lit(1))
+      case "$last"      => last(c)
+      case "$first"     => first(c)
+      case "$push"      => collect_list(c)
+      case "$addToSet"  => array_sort(collect_set(c))
+      case "$stdDevPop" => stddev_pop(c)
+      case "$mergeObjects" => last(c) // approximation: last-wins whole object
+      case other =>
+        throw new IllegalArgumentException(s"unsupported accumulator $other")
+    }
+  }
+
+  private def aggColumns(df: DataFrame, spec: JsonNode): Seq[Column] =
+    Js.fields(spec).collect {
+      case (field, v) if field != "_id" =>
+        val (op, arg) = Js.asOp(v).getOrElse(
+          throw new IllegalArgumentException(s"accumulator expected for $field"))
+        accumulator(df, op, arg).as(field)
+    }
+
+  private def group(df: DataFrame, spec: JsonNode): DataFrame = {
+    val idNode = spec.get("_id")
+    val id =
+      if (idNode == null || idNode.isNull) lit(null) else expr(df, idNode)
+    val aggs = aggColumns(df, spec)
+    if (aggs.isEmpty) df.select(id.as("_id")).distinct()
+    else df.groupBy(id.as("_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def bucket(df: DataFrame, spec: JsonNode): DataFrame = {
+    val groupBy = expr(df, spec.get("groupBy"))
+    val bounds = Js.elems(spec.get("boundaries")).map(QueryCompiler.litNode)
+    val default =
+      if (spec.has("default")) QueryCompiler.litNode(spec.get("default"))
+      else lit(null)
+    // _id = inclusive lower bound of the matching bucket, else `default`
+    val inRange = groupBy >= bounds.head && groupBy < bounds.last
+    val bucketId = bounds.init.zip(bounds.tail).foldLeft(when(!inRange, default)) {
+      case (c, (lo, hi)) => c.when(groupBy >= lo && groupBy < hi, lo)
+    }
+    val out = spec.get("output")
+    val aggs =
+      if (out == null) Seq(count(lit(1)).as("count")) else aggColumns(df, out)
+    df.groupBy(bucketId.as("_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // -- joins -----------------------------------------------------------------
+
+  /** Stream/batch-to-table join. The foreign side is pre-aggregated per key
+    * and broadcast when small — the scalable plan for a 100 TB probe side:
+    * no row explosion, no regrouping of the big side.
+    */
+  private def lookup(df: DataFrame, spec: JsonNode, env: Env): DataFrame = {
+    val from = env.collection(spec.get("from").asText())
+    val as = spec.get("as").asText()
+    val inner = spec.has("inner") && spec.get("inner").asBoolean()
+    val unwindAs = spec.has("unwind") && spec.get("unwind").asBoolean()
+
+    val (probeKey, buildKey): (Column, Column) =
+      if (spec.has("localField"))
+        (col(spec.get("localField").asText()),
+          from.col(spec.get("foreignField").asText()))
+      else {
+        // correlated form: let + pipeline with one $match of equality pairs
+        val let = Js.fields(spec.get("let"))
+        val matchSpec = Js.elems(spec.get("pipeline")).head.get("$match")
+        val pairs = Js.fields(matchSpec).collect {
+          case (foreignField, v)
+              if v.isTextual && v.asText().startsWith("$$") =>
+            val varName = v.asText().drop(2)
+            val local = let.collectFirst {
+              case (n, e) if n == varName => e.asText().stripPrefix("$")
+            }.getOrElse(throw new IllegalArgumentException(s"let $varName"))
+            (col(local), from.col(foreignField))
+        }
+        (struct(pairs.map(_._1): _*), struct(pairs.map(_._2): _*))
+      }
+
+    if (unwindAs) {
+      val matched = from.select(buildKey.as("__k"), struct(from.columns.map(from.col): _*).as(as))
+      df.join(broadcast(matched), probeKey === col("__k"), "inner").drop("__k")
+    } else {
+      val grouped = from
+        .groupBy(buildKey.as("__k"))
+        .agg(collect_list(struct(from.columns.map(from.col): _*)).as(as))
+      val joined =
+        df.join(broadcast(grouped), probeKey === col("__k"),
+          if (inner) "inner" else "left_outer").drop("__k")
+      if (inner) joined
+      else {
+        val elemType = grouped.schema(as).dataType
+        joined.withColumn(as,
+          coalesce(col(as), lit(null).cast(elemType), array().cast(elemType)))
+      }
+    }
+  }
+
+  // -- stateful-ish stages in batch form ------------------------------------
+
+  private def deduplicate(df: DataFrame, spec: JsonNode): DataFrame = {
+    val e = expr(df, spec.get("expression"))
+    df.withColumn("__dedup", e).dropDuplicates("__dedup").drop("__dedup")
+  }
+
+  /** Batch analog of the $per batching stage: deterministic batches of
+    * `amount` in `_id` order (streaming impl batches arrival order).
+    */
+  private def per(df: DataFrame, spec: JsonNode): DataFrame = {
+    val amount = spec.get("amount").asInt()
+    val as = spec.get("as").asText()
+    val orderKey = df.columns.headOption.map(col).getOrElse(lit(1))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderKey)
+    df.withColumn("__rn", row_number().over(w) - 1)
+      .groupBy((col("__rn") / amount).cast(LongType).as("__batch"))
+      .agg(collect_list(struct(df.columns.map(col): _*)).as(as))
+      .drop("__batch")
+  }
+
+  private def merge(df: DataFrame, spec: JsonNode, env: Env): DataFrame = {
+    val into = spec.get("into").asText()
+    val keyed =
+      if (spec.has("key")) df.withColumn("_id", expr(df, spec.get("key")))
+      else df
+    env.sink(into, keyed)
+    keyed
+  }
+}

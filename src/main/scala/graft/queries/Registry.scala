@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.op.Pipeline
+
+/** One driver-checked query: a pipeline (or arbitrary function) over the
+  * TESTDATA tables plus an optional DuckDB oracle (see Verify.scala and the
+  * builder contract). Oracle-less entries get a rows-only check.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  /** Lenient Mongo semantics need non-ANSI evaluation (invalid cast → null,
+    * division by zero → null) — matches the reference's JSON-land behavior.
+    */
+  def session(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  def pipe(name: String, table: String, pipelineJson: String,
+      oracle: String): Q =
+    Q(name,
+      (spark, sfDir) => {
+        session(spark)
+        Pipeline.run(Tables.load(spark, sfDir, table), pipelineJson,
+          Tables.env(spark, sfDir))
+      },
+      Option(oracle).filter(_.nonEmpty))
+
+  def fn(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): Q =
+    Q(name, (spark, sfDir) => { session(spark); f(spark, sfDir) },
+      Option(oracle).filter(_.nonEmpty))
+}

@@ -1,0 +1,94 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Fns._
+
+/** Text-analysis operators for corpus curation: token counting, quality
+  * scoring, language identification, fingerprinting. All pure columnar
+  * expressions (codegen'd, partition-local — embarrassingly parallel at
+  * any scale).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens + a BPE-ish regex tokenization (letter runs, digit
+    * runs, single punctuation marks).
+    */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_ws_tokens", size(split(col(textCol), "\\s+")))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(col(textCol), lit(BpePattern), lit(0))))
+
+  /** Quality heuristics: length, chars-per-token, punctuation ratio,
+    * stopword ratio, and a composite score.
+    */
+  /** Truncate to 6 decimals — unlike rounding, identical across engines
+    * when a value lands exactly on a half.
+    */
+  private def trunc6(c: Column): Column =
+    (c * 1000000.0).cast(LongType) / 1000000.0
+
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nToks = size(toks)
+    val stop = typedLit(Seq("the", "a", "of", "and", "to", "in", "is"))
+    val stopHits = size(filter(toks, t => array_contains(stop, t)))
+    val punct = length(text) -
+      length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    df.withColumn("n_tokens", nToks)
+      .withColumn("chars_per_token", trunc6(length(text) / nToks))
+      .withColumn("punct_ratio", trunc6(punct / length(text)))
+      .withColumn("stopword_ratio", trunc6(stopHits / nToks))
+      .withColumn("quality",
+        trunc6(
+          lit(1.0)
+            - abs(trunc6(length(text) / nToks) - 5.0) / 10.0
+            - trunc6(punct / length(text))
+            + trunc6(stopHits / nToks)))
+  }
+
+  /** Stopword lists per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with ties broken by list order.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    LangStopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => array_contains(typedLit(words), t)))
+    }
+  }
+
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val scores = langScores(col(textCol))
+    val best = scores.tail.foldLeft(
+      (scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (greatest(bestScore, score),
+          when(score > bestScore, lang).otherwise(bestLang))
+    }
+    val withScores = scores.foldLeft(df) { case (d, (lang, s)) =>
+      d.withColumn(s"score_$lang", s)
+    }
+    withScores.withColumn("lang_pred",
+      when(best._1 === 0, "unknown").otherwise(best._2))
+  }
+
+  /** Content-defined fingerprints: md5 of normalized text + an
+    * order-sensitive polynomial rolling hash of the token stream.
+    */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame = {
+    val normalized =
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")
+    df.withColumn("fp_md5", md5(normalized))
+      .withColumn("fp_roll", rollingFingerprint(tokens(col(textCol))))
+  }
+}

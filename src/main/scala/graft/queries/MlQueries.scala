@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators (deduplication, similarity search,
+  * text analysis, multimodal plumbing) with DuckDB oracles that replay the
+  * exact same deterministic formulas (md5-derived 32-bit hashes, rounded
+  * f64 cosines).
+  */
+object MlQueries {
+
+  // SQL fragments shared by the oracles (DuckDB dialect)
+  private val toksSql = "string_split(lower(text),' ')"
+  private def h32(s: String) = s"('0x'||substr(md5($s),1,8))::BIGINT"
+  private val shinglesSql =
+    s"list_distinct(list_transform(range(0, len(t)-2), i -> t[i+1]||' '||t[i+2]||' '||t[i+3]))"
+  private val minhashSql =
+    s"""list_transform(range(0,12), i ->
+          list_min(list_transform(sh, s -> ((1+2*i)*${h32("s")} + 7919*i) % 4294967311)))"""
+  private val bandsSql =
+    """list_transform(range(0,4), b ->
+         b::VARCHAR || ':' || sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR)"""
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1,65), i -> $a[i]*$b[i]), (x,y)->x+y)"
+  private def cosSql(a: String, b: String) =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  val all: Seq[Q] = Seq(
+    // -- exact deduplication: hash-groupBy, deterministic winner
+    Q.fn("q_dedup_exact",
+      """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id,
+                count(*) AS n_copies
+         FROM documents GROUP BY 1""") { (spark, sf) =>
+      Dedup.exact(Tables.load(spark, sf, "documents"), "text", "doc_id")
+    },
+
+    // -- MinHash signatures (12 perms over 3-word shingles)
+    Q.fn("q_dedup_minhash",
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id<100),
+               s AS (SELECT doc_id, $shinglesSql AS sh FROM tok)
+          SELECT doc_id, $minhashSql AS sig FROM s""") { (spark, sf) =>
+      Dedup.minhash(
+        Tables.load(spark, sf, "documents").where(col("doc_id") < 100),
+        "text", "doc_id")
+    },
+
+    // -- MinHash-LSH candidate pairs (4 bands x 3 rows, band-key equi-join)
+    Q.fn("q_dedup_lsh",
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+               s AS (SELECT doc_id, $shinglesSql AS sh FROM tok),
+               sigs AS (SELECT doc_id, $minhashSql AS sig FROM s),
+               bands AS (SELECT doc_id, unnest($bandsSql) AS band FROM sigs)
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b USING(band)
+          WHERE a.doc_id < b.doc_id""") { (spark, sf) =>
+      Dedup.lshCandidates(Tables.load(spark, sf, "documents"), "text", "doc_id")
+    },
+
+    // -- 32-bit SimHash signatures
+    Q.fn("q_dedup_simhash",
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id<200)
+          SELECT doc_id,
+            CAST(list_sum(list_transform(range(0,32), j ->
+              CASE WHEN 2*len(list_filter(t, x -> ((${h32("x")} >> j) & 1) = 1)) > len(t)
+                   THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM tok""") { (spark, sf) =>
+      Dedup.simhash(
+        Tables.load(spark, sf, "documents").where(col("doc_id") < 200),
+        "text", "doc_id")
+    },
+
+    // -- exact n-gram Jaccard near-dup pairs (shingle inverted index)
+    Q.fn("q_dedup_ngram",
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id<200),
+               s AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM tok),
+               sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY 1),
+               shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                          FROM s a JOIN s b USING(sh)
+                          WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+          SELECT id_a, id_b, shared,
+                 round(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+          FROM shared JOIN sizes sa ON sa.doc_id=id_a
+                      JOIN sizes sb ON sb.doc_id=id_b
+          WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.05""") {
+      (spark, sf) =>
+        Dedup.ngramJaccardPairs(
+          Tables.load(spark, sf, "documents").where(col("doc_id") < 200),
+          "text", "doc_id", k = 3, threshold = 0.05)
+    },
+
+    // -- embedding-cosine near-dup pairs
+    Q.fn("q_dedup_embedding",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) AS e
+                     FROM embeddings WHERE vec_id<300)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${cosSql("a.e", "b.e")} AS cos
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE ${cosSql("a.e", "b.e")} >= 0.35""") { (spark, sf) =>
+      Dedup.embeddingPairs(
+        Tables.load(spark, sf, "embeddings").where(col("vec_id") < 300),
+        "embedding", "vec_id", threshold = 0.35)
+    },
+
+    // -- brute-force cosine top-k (exact ANN baseline)
+    Q.fn("q_knn_brute",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) AS e
+                     FROM embeddings),
+               q AS (SELECT vec_id AS query_id, e AS vq FROM v WHERE vec_id<10),
+               scored AS (SELECT query_id, v.vec_id AS nb_id,
+                                 ${cosSql("vq", "v.e")} AS cos
+                          FROM q JOIN v ON query_id <> v.vec_id),
+               ranked AS (SELECT *, row_number() OVER
+                            (PARTITION BY query_id ORDER BY cos DESC, nb_id) AS rank
+                          FROM scored)
+          SELECT query_id, CAST(rank AS INT) AS rank, nb_id, cos
+          FROM ranked WHERE rank <= 5""") { (spark, sf) =>
+      val emb = Tables.load(spark, sf, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5)
+    },
+
+    // -- IVF ANN: 8 deterministic centroids, probe 2 cells, top-3 within
+    Q.fn("q_knn_ivf",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) AS e
+                     FROM embeddings),
+               cent AS (SELECT vec_id AS cell, e AS vcent FROM v WHERE vec_id<8),
+               asg AS (SELECT vec_id, cell, e, row_number() OVER
+                         (PARTITION BY vec_id
+                          ORDER BY ${cosSql("e", "vcent")} DESC, cell) AS r
+                       FROM v CROSS JOIN cent),
+               cells AS (SELECT vec_id AS nb_id, cell, e FROM asg WHERE r=1),
+               q AS (SELECT vec_id AS query_id, e AS vq FROM v WHERE vec_id<5),
+               probed AS (SELECT query_id, vq, cell, row_number() OVER
+                            (PARTITION BY query_id
+                             ORDER BY ${cosSql("vq", "vcent")} DESC, cell) AS pr
+                          FROM q CROSS JOIN cent),
+               cand AS (SELECT query_id, vq, nb_id, cells.e
+                        FROM (SELECT * FROM probed WHERE pr<=2) p
+                        JOIN cells USING(cell) WHERE query_id <> nb_id),
+               ranked AS (SELECT query_id, nb_id, ${cosSql("vq", "e")} AS cos,
+                                 row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ${cosSql("vq", "e")} DESC, nb_id) AS rank
+                          FROM cand)
+          SELECT query_id, CAST(rank AS INT) AS rank, nb_id, cos
+          FROM ranked WHERE rank <= 3""") { (spark, sf) =>
+      val emb = Tables.load(spark, sf, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nlist = 8, nprobe = 2)
+    },
+
+    // -- token counting (whitespace + BPE-ish regex)
+    Q.fn("q_text_tokens",
+      """SELECT doc_id, text, lang, source, n_chars,
+                CAST(len(regexp_split_to_array(text,'\s+')) AS INT) AS n_ws_tokens,
+                CAST(len(regexp_extract_all(text,'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens
+         FROM documents""") { (spark, sf) =>
+      TextAnalysis.tokenCounts(Tables.load(spark, sf, "documents"), "text")
+    },
+
+    // -- quality scoring (length/punct/stopword heuristics)
+    Q.fn("q_text_quality",
+      """WITH t AS (SELECT *, string_split(lower(text),' ') AS toks FROM documents),
+              m AS (SELECT *,
+                trunc((length(text) / len(toks))*1000000.0)/1000000.0 AS cpt,
+                trunc(((length(text) - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g'))) / length(text))*1000000.0)/1000000.0 AS pr,
+                trunc((len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) / len(toks))*1000000.0)/1000000.0 AS sr
+              FROM t)
+         SELECT doc_id, text, lang, source, n_chars,
+            CAST(len(toks) AS INT) AS n_tokens,
+            cpt AS chars_per_token,
+            pr AS punct_ratio,
+            sr AS stopword_ratio,
+            trunc((1.0 - abs(cpt - 5.0)/10.0 - pr + sr)*1000000.0)/1000000.0 AS quality
+         FROM m""") { (spark, sf) =>
+      TextAnalysis.qualityScore(Tables.load(spark, sf, "documents"), "text")
+    },
+
+    // -- language-ID stopword heuristic (argmax, ties in list order)
+    Q.fn("q_text_langid",
+      """WITH t AS (SELECT *, string_split(lower(text),' ') AS toks FROM documents),
+              s AS (SELECT *,
+                CAST(len(list_filter(toks, x -> list_contains(['the','of','and','to','in','is','that','it'], x))) AS INT) AS score_en,
+                CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS INT) AS score_de,
+                CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS INT) AS score_fr,
+                CAST(len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un','una','en'], x))) AS INT) AS score_es
+              FROM t)
+         SELECT doc_id, text, lang, source, n_chars,
+                score_en, score_de, score_fr, score_es,
+                CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'unknown'
+                     WHEN score_en >= greatest(score_de, score_fr, score_es) THEN 'en'
+                     WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+                     WHEN score_fr >= score_es THEN 'fr'
+                     ELSE 'es' END AS lang_pred
+         FROM s""") { (spark, sf) =>
+      TextAnalysis.langId(Tables.load(spark, sf, "documents"), "text")
+    },
+
+    // -- document fingerprinting (md5 of normalized text + rolling hash)
+    Q.fn("q_text_fingerprint",
+      s"""SELECT doc_id, text, lang, source, n_chars,
+                 md5(regexp_replace(lower(text),'[^a-z0-9 ]','','g')) AS fp_md5,
+                 list_reduce(list_prepend(0::BIGINT,
+                   list_transform($toksSql, s -> ${h32("s")})),
+                   (acc, h) -> (acc*31 + h) % 1000000000000007) AS fp_roll
+          FROM documents""") { (spark, sf) =>
+      TextAnalysis.fingerprint(Tables.load(spark, sf, "documents"), "text")
+    },
+
+    // -- multimodal plumbing: binary payload + metadata + per-partition decode
+    Q.fn("q_multimodal",
+      """SELECT doc_id, source AS format,
+                CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+                ascii(substr(text,1,1)) AS width,
+                ascii(substr(text,2,1)) AS height,
+                CAST(ascii(substr(text,1,1)) * ascii(substr(text,2,1)) AS BIGINT) AS n_pixels,
+                [ascii(substr(text,1,1)), ascii(substr(text,2,1)),
+                 ascii(substr(text,3,1)), ascii(substr(text,4,1))] AS frame_sample
+         FROM documents""") { (spark, sf) =>
+      Multimodal.decode(
+        Multimodal.pack(Tables.load(spark, sf, "documents"), "text", "source"),
+        "doc_id")
+    }
+  )
+}

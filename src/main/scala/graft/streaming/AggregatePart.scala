@@ -1,0 +1,70 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.json.Js
+
+/** The aggregate part as a Spark operator: commands keyed by `_id`,
+  * per-key sequential reduction in flatMapGroupsWithState (snapshot kept in
+  * the state store — the reference keeps it in a MongoDB collection,
+  * docs/state.md:129-131), five output streams fanned out of one stateful
+  * pass via the `dest` tag (SURVEY §2.1).
+  *
+  * Partitioning: the groupByKey shuffle is by aggregate id — identical to
+  * the reference's Kafka-partition-by-key parallelism ceiling; scales with
+  * shuffle partitions, state store shards per partition.
+  */
+object AggregatePart {
+
+  final case class Out(dest: String, key: String, value: String)
+
+  def apply(commands: DataFrame, conf: AggregateLogic.Config): Dataset[Out] = {
+    val spark = commands.sparkSession
+    import spark.implicits._
+    // Arrival order is the reduction order (Kafka offset order per key in
+    // the reference). Within a micro-batch, an optional `__ord` column
+    // pins the order explicitly (iterator order otherwise).
+    val hasOrd = commands.columns.contains("__ord")
+    val ordCol =
+      if (hasOrd) col("__ord").cast("long") else monotonically_increasing_id()
+    val payload = struct(
+      commands.columns.filter(_ != "__ord").map(col): _*)
+    val asJson = commands
+      .select(col("_id").cast("string").as("key"),
+        to_json(payload).as("json"), ordCol.as("ord"))
+      .as[(String, String, Long)]
+
+    asJson
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, String, Long)],
+            state: GroupState[String]) =>
+          var cur: Option[ObjectNode] =
+            state.getOption.map(s => Js.parse(s).asInstanceOf[ObjectNode])
+          val outs = Seq.newBuilder[Out]
+          it.toSeq.sortBy(_._3).foreach { case (_, json, _) =>
+            val cmd = Js.parse(json).asInstanceOf[ObjectNode]
+            val (next, emitted) =
+              AggregateLogic.step(cur, cmd, conf, System.currentTimeMillis())
+            cur = next
+            emitted.foreach { case (dest, doc) =>
+              outs += Out(dest.name, key, Js.render(doc))
+            }
+          }
+          cur.foreach(s => state.update(Js.render(s)))
+          outs.result().iterator
+      }
+  }
+
+  /** The `<app>-<type>-<purpose>` streams (docs/state.md:66): filter the
+    * tagged output per purpose.
+    */
+  def streams(out: Dataset[Out], aggType: String): Map[String, DataFrame] =
+    Seq("aggregate", "event", "event-full", "reply").map { purpose =>
+      s"$aggType-$purpose" ->
+        out.where(col("dest") === purpose).select(col("key"), col("value"))
+    }.toMap
+}

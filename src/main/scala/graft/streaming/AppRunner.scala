@@ -1,0 +1,177 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.json.Js
+import graft.op.{Env, Pipeline, Stages}
+
+/** How an application's edges bind to the world. Production: Kafka topics
+  * (`fromTopic` → readStream.format("kafka"), docs/streams.md:47) and
+  * collection CDC. Tests: file-stream sources + memory sinks — the same
+  * golden-file convention as the reference's harness (docs/testing.md).
+  */
+trait Io {
+  /** Resolve a source by kind ("topic" | "collection") and name. */
+  def source(spark: SparkSession, kind: String, name: String): DataFrame
+  /** Bind a part output to a sink; returns a handle name. */
+  def sink(kind: String, name: String, df: DataFrame,
+      asString: Boolean): Unit
+}
+
+/** Compiles a declarative application (YAML/JSON, docs/application.md) —
+  * parts of type stream / merge / join / aggregate — into a DAG of
+  * DataFrames, one per named part, mirroring Common.build + App.createParts
+  * (reference App.java:758-777) but emitting Spark plans instead of
+  * reactive processor chains. Named streams are shared DataFrames (no
+  * re-serialization between parts).
+  */
+final class AppRunner(spark: SparkSession, io: Io, env: Env) {
+
+  def run(yamlOrJson: String): Map[String, DataFrame] = {
+    val spec =
+      if (yamlOrJson.trim.startsWith("{")) Js.parse(yamlOrJson)
+      else Js.parseYaml(yamlOrJson)
+    val parts = Js.elems(spec.get("parts"))
+    var streams = Map.empty[String, DataFrame]
+
+    def resolveFrom(part: JsonNode): DataFrame =
+      if (part.has("fromTopic"))
+        io.source(spark, "topic", part.get("fromTopic").asText())
+      else if (part.has("fromCollection"))
+        io.source(spark, "collection", part.get("fromCollection").asText())
+      else if (part.has("fromStream")) {
+        val name = part.get("fromStream").asText()
+        streams.getOrElse(name,
+          throw new IllegalArgumentException(s"unresolved stream $name"))
+      } else
+        throw new IllegalArgumentException(
+          s"part needs fromTopic/fromStream/fromCollection")
+
+    def sinks(part: JsonNode, df: DataFrame): Unit = {
+      val asString =
+        part.has("toString") && part.get("toString").asBoolean()
+      if (part.has("toTopic"))
+        io.sink("topic", part.get("toTopic").asText(), df, asString)
+      if (part.has("toCollection"))
+        io.sink("collection", part.get("toCollection").asText(), df, asString)
+    }
+
+    // parts can reference later parts' streams; resolve iteratively
+    var pending = parts
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      progress = false
+      val (ready, rest) = pending.partition { p =>
+        val needs = Seq("fromStream").flatMap(f =>
+          Option(p.get(f)).map(_.asText())) ++
+          Seq("left", "right").flatMap(s =>
+            Option(p.get(s)).flatMap(side =>
+              Option(side.get("fromStream")).map(_.asText()))) ++
+          (if (p.get("type").asText() == "merge" && p.has("fromStreams"))
+            Js.elems(p.get("fromStreams")).map(_.asText())
+          else Nil)
+        needs.forall(streams.contains)
+      }
+      ready.foreach { part =>
+        val produced = compilePart(part, resolveFrom, streams)
+        produced.foreach { case (n, df) => streams += n -> df }
+        part.get("type").asText() match {
+          case "aggregate" => // aggregate sinks are its purpose topics
+          case _ =>
+            sinks(part, streams(part.get("name").asText()))
+        }
+        progress = true
+      }
+      pending = rest
+    }
+    if (pending.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unresolvable parts: ${pending.map(p => p.get("name")).mkString(",")}")
+    streams
+  }
+
+  private def compilePart(part: JsonNode, resolveFrom: JsonNode => DataFrame,
+      streams: Map[String, DataFrame]): Seq[(String, DataFrame)] = {
+    val name =
+      Option(part.get("name")).map(_.asText())
+        .orElse(Option(part.get("aggregateType")).map(_.asText()))
+        .getOrElse("")
+    part.get("type").asText() match {
+      case "stream" =>
+        val src = resolveFrom(part)
+        val out =
+          if (part.has("pipeline"))
+            Pipeline.compile(part.get("pipeline"), env)(src)
+          else src
+        Seq(name -> out)
+
+      case "merge" => // docs/merge.md: n-ary union
+        val srcs: Seq[DataFrame] =
+          if (part.has("fromTopics"))
+            Js.elems(part.get("fromTopics"))
+              .map(t => io.source(spark, "topic", t.asText()))
+          else if (part.has("fromCollections"))
+            Js.elems(part.get("fromCollections"))
+              .map(t => io.source(spark, "collection", t.asText()))
+          else Js.elems(part.get("fromStreams")).map(s => streams(s.asText()))
+        Seq(name -> srcs.reduce(_.unionByName(_, allowMissingColumns = true)))
+
+      case "join" => Seq(name -> joinPart(part, resolveFrom))
+
+      case "aggregate" =>
+        val aggType = part.get("aggregateType").asText()
+        val commands = io.source(spark, "topic", s"$aggType-command")
+        val pre =
+          if (part.has("preprocessor"))
+            Pipeline.compile(part.get("preprocessor"), env)(commands)
+          else commands
+        val out = AggregatePart(pre, AggregateLogic.Config(
+          appName = "", aggType = aggType,
+          validators = readValidators(part)))
+        AggregatePart.streams(out, aggType).toSeq
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown part type $other")
+    }
+  }
+
+  /** Windowed two-sided join (docs/join.md): `on` expressions as keys,
+    * ingestion-time window, output {_id, left, right}. Streaming inputs get
+    * a watermark so the state store evicts rows outside the window.
+    */
+  private def joinPart(part: JsonNode, resolveFrom: JsonNode => DataFrame)
+      : DataFrame = {
+    val window = Option(part.get("window")).map(_.asLong())
+    def side(n: JsonNode, tag: String): (DataFrame, Column) = {
+      val df0 = resolveFrom(n)
+      val onCol = Stages.expr(df0, n.get("on")).cast("string")
+      val packed = df0.select(
+        onCol.as(s"__key_$tag"),
+        struct(df0.columns.map(col): _*).as(tag),
+        current_timestamp().as(s"__jts_$tag"))
+      val withWm =
+        if (packed.isStreaming && window.isDefined)
+          packed.withWatermark(s"__jts_$tag", s"${window.get} milliseconds")
+        else packed
+      (withWm, col(s"__key_$tag"))
+    }
+    val (l, lk) = side(part.get("left"), "left")
+    val (r, rk) = side(part.get("right"), "right")
+    val timeCond = window match {
+      case Some(w) =>
+        abs(unix_millis(col("__jts_left")) -
+          unix_millis(col("__jts_right"))) <= w
+      case None => lit(true)
+    }
+    l.join(r, lk === rk && timeCond, "inner")
+      .select(col("__key_left").as("_id"), col("left"), col("right"))
+  }
+
+  private def readValidators(part: JsonNode): Map[String, JsonNode] =
+    Option(part.get("commands")).map { cmds =>
+      Js.fields(cmds).flatMap { case (cmdName, cmdSpec) =>
+        Option(cmdSpec.get("validator")).map(v => cmdName -> v)
+      }.toMap
+    }.getOrElse(Map.empty)
+}

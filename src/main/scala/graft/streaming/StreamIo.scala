@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Kafka-backed Io (docs/streams.md:47-52): messages are (key, value)
+  * pairs; `parse` optionally turns the JSON value into typed columns when
+  * the application declares a schema for the topic. Mirrors the
+  * reference's JsonDeserializer transport (KafkaProvider.java:74-77).
+  */
+final class KafkaIo(bootstrap: String,
+    schemas: Map[String, StructType] = Map.empty,
+    checkpointRoot: String = "/tmp/graft-checkpoints") extends Io {
+
+  def source(spark: SparkSession, kind: String, name: String): DataFrame = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", name)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("key").cast("string"),
+        col("value").cast("string").as("__raw"))
+    schemas.get(name) match {
+      case Some(schema) =>
+        raw.select(col("key"), from_json(col("__raw"), schema).as("v"))
+          .select(col("key"), col("v.*"))
+      case None => raw.withColumnRenamed("__raw", "value")
+    }
+  }
+
+  def sink(kind: String, name: String, df: DataFrame,
+      asString: Boolean): Unit = {
+    val out = toKafkaShape(df, asString)
+    out.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", name)
+      .option("checkpointLocation", s"$checkpointRoot/$name")
+      .start()
+  }
+
+  /** Kafka sink shape: key from `_key`/`_id`, value = JSON of the rest;
+    * `$send`'s per-row `_topic` column is honored natively by the sink.
+    */
+  private def toKafkaShape(df: DataFrame, asString: Boolean): DataFrame = {
+    val keyCol =
+      if (df.columns.contains("_key")) col("_key")
+      else if (df.columns.contains("_id")) col("_id").cast("string")
+      else lit(null).cast("string")
+    val payloadCols = df.columns.filter(c => c != "_key" && c != "_topic")
+    val value = to_json(struct(payloadCols.map(col): _*))
+    val cols = Seq(keyCol.as("key"), value.as("value")) ++
+      (if (df.columns.contains("_topic")) Seq(col("_topic").as("topic"))
+      else Nil)
+    df.select(cols: _*)
+  }
+}
+
+/** Test Io over file streams + memory sinks: the golden-folder convention
+  * (docs/testing.md:12) — feed messages as JSON files per topic dir,
+  * observe outputs in named in-memory tables.
+  */
+final class FileStreamIo(root: String, schemas: Map[String, StructType])
+    extends Io {
+  var queries = Map.empty[String, StreamingQuery]
+
+  def source(spark: SparkSession, kind: String, name: String): DataFrame =
+    spark.readStream
+      .schema(schemas(name))
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
+      .json(s"$root/$name")
+
+  def sink(kind: String, name: String, df: DataFrame,
+      asString: Boolean): Unit =
+    start(name, df)
+
+  def start(name: String, df: DataFrame): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name.replaceAll("[^A-Za-z0-9_]", "_"))
+      .outputMode("append")
+      .start()
+    queries += name -> q
+    q
+  }
+
+  def processAll(): Unit = queries.values.foreach(_.processAllAvailable())
+  def stopAll(): Unit = queries.values.foreach(_.stop())
+}

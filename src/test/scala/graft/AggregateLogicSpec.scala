@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.json.Js
+import graft.streaming.AggregateLogic
+import graft.streaming.AggregateLogic._
+
+/** Pure unit tests of the event-sourcing reducer semantics
+  * (docs/state.md:44-127): put/patch/delete built-ins, _seq discipline,
+  * RFC-6902 event diffs, validator annotation, ACL.
+  */
+class AggregateLogicSpec extends AnyFunSuite {
+
+  private val conf = Config(appName = "app", aggType = "app-counter")
+
+  private def obj(json: String): ObjectNode =
+    Js.parse(json).asInstanceOf[ObjectNode]
+
+  test("put creates state with _seq 0 and emits 4 outputs") {
+    val (state, out) = AggregateLogic.step(None,
+      obj("""{"_id":"a","_type":"app-counter","_command":"put","_corr":"c1","value":1}"""),
+      conf, 1000L)
+    assert(state.isDefined)
+    val s = state.get
+    assert(s.get("_seq").asLong() == 0)
+    assert(s.get("value").asInt() == 1)
+    assert(s.get("_corr").asText() == "c1")
+    assert(out.map(_._1.name).sorted ==
+      Seq("aggregate", "event", "event-full", "reply"))
+    val event = out.collectFirst { case (Event, e) => e }.get
+    assert(event.get("_seq").asLong() == 0)
+    assert(event.get("_command").asText() == "put")
+    assert(event.get("_ops").isArray && event.get("_ops").size() > 0)
+    val full = out.collectFirst { case (EventFull, e) => e }.get
+    assert(full.has("_before") && full.has("_after"))
+    assert(full.get("_after").get("value").asInt() == 1)
+  }
+
+  test("identical put produces no outputs and no state change") {
+    val (s1, _) = AggregateLogic.step(None,
+      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1}"""), conf, 0L)
+    val (s2, out) = AggregateLogic.step(s1,
+      obj("""{"_id":"a","_command":"put","_corr":"c2","value":1}"""), conf, 0L)
+    assert(out.isEmpty)
+    assert(s2.get.get("_seq").asLong() == 0)
+  }
+
+  test("patch applies RFC-6902 ops and increments _seq") {
+    val (s1, _) = AggregateLogic.step(None,
+      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1}"""), conf, 0L)
+    val (s2, out) = AggregateLogic.step(s1,
+      obj("""{"_id":"a","_command":"patch","_corr":"c2",
+             "_ops":[{"op":"replace","path":"/value","value":5}]}"""),
+      conf, 0L)
+    assert(s2.get.get("value").asInt() == 5)
+    assert(s2.get.get("_seq").asLong() == 1)
+    val event = out.collectFirst { case (Event, e) => e }.get
+    assert(event.get("_seq").asLong() == 1)
+  }
+
+  test("delete marks _deleted") {
+    val (s1, _) = AggregateLogic.step(None,
+      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1}"""), conf, 0L)
+    val (s2, _) = AggregateLogic.step(s1,
+      obj("""{"_id":"a","_command":"delete","_corr":"c2"}"""), conf, 0L)
+    assert(s2.get.get("_deleted").asBoolean())
+  }
+
+  test("stale _seq command is ignored") {
+    val (s1, _) = AggregateLogic.step(None,
+      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1}"""), conf, 0L)
+    val (s2, out) = AggregateLogic.step(s1,
+      obj("""{"_id":"a","_command":"put","_corr":"c2","_seq":99,"value":2}"""),
+      conf, 0L)
+    assert(out.isEmpty)
+    assert(s2.get.get("value").asInt() == 1)
+    // matching _seq is accepted
+    val (s3, _) = AggregateLogic.step(s2,
+      obj("""{"_id":"a","_command":"put","_corr":"c3","_seq":0,"value":2}"""),
+      conf, 0L)
+    assert(s3.get.get("value").asInt() == 2)
+  }
+
+  test("validator failure annotates command onto reply only") {
+    val v = Js.parse(
+      """{"conditions":[{"value":{"$exists":true},"$code":"REQUIRED"}]}""")
+    val c = conf.copy(validators = Map("put" -> v))
+    val (state, out) = AggregateLogic.step(None,
+      obj("""{"_id":"a","_command":"put","_corr":"c1","other":2}"""), c, 0L)
+    assert(state.isEmpty)
+    assert(out.map(_._1) == Seq(Reply))
+    val reply = out.head._2
+    assert(reply.get("_error").asBoolean())
+    assert(reply.get("errors").get(0).get("code").asText() == "REQUIRED")
+  }
+
+  test("ACL denies without matching role, allows system sub") {
+    val (s1, _) = AggregateLogic.step(None,
+      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1,
+             "_acl":{"put":["admin"]}}"""), conf, 0L)
+    assert(s1.get.get("_acl") != null)
+    val (s2, out2) = AggregateLogic.step(s1,
+      obj("""{"_id":"a","_command":"put","_corr":"c2","value":2,
+             "_jwt":{"sub":"u1","roles":["user"]}}"""), conf, 0L)
+    assert(out2.isEmpty && s2.get.get("value").asInt() == 1)
+    val (s3, out3) = AggregateLogic.step(s2,
+      obj("""{"_id":"a","_command":"put","_corr":"c3","value":3,
+             "_jwt":{"sub":"u2","roles":["admin"]}}"""), conf, 0L)
+    assert(s3.get.get("value").asInt() == 3 && out3.nonEmpty)
+    val (s4, out4) = AggregateLogic.step(s3,
+      obj("""{"_id":"a","_command":"put","_corr":"c4","value":4,
+             "_jwt":{"sub":"system"}}"""), conf, 0L)
+    assert(s4.get.get("value").asInt() == 4 && out4.nonEmpty)
+  }
+}

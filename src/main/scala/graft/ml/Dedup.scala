@@ -24,11 +24,26 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** MinHash signatures per document. */
+  /** MinHash signatures per document, as explode + p min-aggregates: the
+    * md5 hash runs exactly once per (doc, shingle) row, the permutations
+    * are cheap arithmetic, and map-side partial aggregation keeps the
+    * shuffle at one row per document. (A HOF formulation recomputes the
+    * hash per permutation — Catalyst inlines sub-expressions into each
+    * lambda, 12x the md5 work.)
+    */
   def minhash(df: DataFrame, textCol: String, idCol: String, k: Int = 3,
-      p: Int = 12): DataFrame =
-    df.select(col(idCol),
-      minhashSignature(shingles(tokens(col(textCol)), k), p).as("sig"))
+      p: Int = 12): DataFrame = {
+    val hashed = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(shingles(col("__t"), k)).as("s"))
+      .select(col(idCol), h32(col("s")).as("h"))
+    val perms = (0 until p).map(i =>
+      min((lit(1L + 2 * i) * col("h") + lit(7919L * i)) % MinhashPrime)
+        .as(s"mh$i"))
+    hashed.groupBy(idCol).agg(perms.head, perms.tail: _*)
+      .select(col(idCol),
+        array((0 until p).map(i => col(s"mh$i")): _*).as("sig"))
+  }
 
   /** LSH candidate pairs: documents sharing at least one band bucket.
     * Equi-join on the band key — the scalable plan (shuffle by band key;
@@ -37,8 +52,11 @@ object Dedup {
   def lshCandidates(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, p: Int = 12, bands: Int = 4): DataFrame = {
     val r = p / bands
+    // materialize the (id, band) table once: the self-join would otherwise
+    // recompute every signature for both sides
     val withBands = minhash(df, textCol, idCol, k, p)
       .select(col(idCol), explode(bandKeys(col("sig"), bands, r)).as("band"))
+      .persist()
     val a = withBands.as("a")
     val b = withBands.as("b")
     a.join(b, "band")
@@ -47,9 +65,22 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash per document. */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), simhash32(tokens(col(textCol))).as("simhash"))
+  /** 32-bit SimHash per document: explode tokens, hash once per row, 32
+    * bit-count sums per doc, then recombine — same
+    * explode-and-partially-aggregate shape as minhash.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .select(col(idCol), h32(col("t")).as("h"))
+    val aggs = count(lit(1)).as("n") +: (0 until 32).map(j =>
+      sum(call_function("shiftright", col("h"), lit(j)) % 2).as(s"b$j"))
+    hashed.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(j =>
+          when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs within Hamming distance `maxDist`, for a
     * bounded candidate set (callers restrict or pre-bucket; full-scale
@@ -73,8 +104,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(shingles(tokens(col(textCol)), k)).as("sh"))
+    val sh = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(shingles(col("__t"), k)).as("sh"))
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val shared = sh.as("a").join(sh.as("b"), "sh")
       .where(col(s"a.$idCol") < col(s"b.$idCol"))

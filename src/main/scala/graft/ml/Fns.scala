@@ -21,23 +21,22 @@ object Fns {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Distinct k-word shingles of the token array. */
-  def shingles(toks: Column, k: Int): Column =
-    array_distinct(
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-
-  private val MinhashPrime = 4294967311L // smallest prime > 2^32
-
-  /** MinHash signature: p permutations h_i(x) = ((1+2i)*h32(x) + 7919*i)
-    * mod prime, min over shingles. (1+2i) keeps the multiplier odd;
-    * products stay < 2^38 so 64-bit arithmetic never overflows.
+  /** Distinct k-word shingles of the token array. O(1) `get` accesses per
+    * shingle. IMPORTANT: pass a *materialized column* (projected in a prior
+    * select), not an inline `split(...)` expression — Catalyst inlines
+    * sub-expressions into each lambda access, re-splitting the text per
+    * shingle (measured 3-7x slower).
     */
-  def minhashSignature(shingleArr: Column, p: Int): Column =
-    transform(sequence(lit(0), lit(p - 1)),
-      i =>
-        array_min(transform(shingleArr,
-          s => ((lit(1) + i * 2) * h32(s) + lit(7919L) * i) % MinhashPrime)))
+  def shingles(toks: Column, k: Int): Column =
+    // guard: sequence(0, negative) counts DOWN in Spark — docs shorter
+    // than k words have no shingles
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (0 until k).map(j => get(toks, i + j)): _*))))
+
+  /** Smallest prime > 2^32: modulus for the MinHash permutations. */
+  val MinhashPrime = 4294967311L
 
   /** LSH band keys: `b:mh[3b],mh[3b+1],mh[3b+2]` per band of r rows. */
   def bandKeys(sig: Column, bands: Int, r: Int): Column =
@@ -45,20 +44,6 @@ object Fns {
       b =>
         concat_ws(":", b.cast(StringType),
           concat_ws(",", (0 until r).map(j => get(sig, b * r + j)): _*)))
-
-  /** 32-bit SimHash over the token multiset: bit j set iff more than half
-    * the tokens have bit j set in their h32.
-    */
-  def simhash32(toks: Column): Column =
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, j) => {
-        val ones = size(filter(toks,
-          t => call_function("shiftright", h32(t), j) % 2 === 1))
-        acc + when(ones * 2 > size(toks),
-          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
-      })
 
   /** Polynomial rolling fingerprint of the token sequence (order-sensitive,
     * unlike SimHash): acc = (acc*31 + h32(tok)) mod 1e15+7.

@@ -14,7 +14,17 @@ final case class Env(
     spark: SparkSession,
     collection: String => DataFrame = n =>
       throw new IllegalArgumentException(s"no collection $n"),
-    sink: (String, DataFrame) => Unit = (_, _) => ())
+    sink: (String, DataFrame) => Unit = (_, _) => (),
+    http: HttpTransport = (_, _, _, _) =>
+      throw new IllegalArgumentException("no HTTP transport configured"),
+    scripts: String => String = name =>
+      throw new IllegalArgumentException(s"no script loader for $name"),
+    store: ObjectStore = new ObjectStore {
+      def get(bucket: String, key: String): String =
+        throw new IllegalArgumentException("no object store configured")
+      def put(bucket: String, key: String, content: String): Unit =
+        throw new IllegalArgumentException("no object store configured")
+    })
 
 /** Compiles MongoDB aggregation pipeline stages
   * (/root/reference/docs/aggregation_stages.md, SURVEY §2) to DataFrame
@@ -62,6 +72,64 @@ object Stages {
     case "$trace" | "$log" => df => df // observability: no data transform
     case "$delete" =>
       df => { env.sink("__delete__" + spec.get("from").asText(), df); df }
+    case "$http"    => df => Http(df, spec, env)
+    // $jq (docs/aggregation_stages.md:245-260): whole-message transform.
+    // Schemaless output → (key, value-as-JSON-string); an extension object
+    // form {script, schema} keeps the result typed for downstream stages.
+    case "$jq" => df => {
+      val (script, schema) =
+        if (spec.isTextual) {
+          val s = spec.asText()
+          (if (s.contains("\n") || s.trim.startsWith(".") ||
+            s.trim.startsWith("{")) s
+          else env.scripts(s), None)
+        } else
+          (spec.get("script").asText(),
+            Option(spec.get("schema")).map(_.asText()))
+      val loader = env.scripts
+      val program = graft.jq.MiniJq.compile(script, loader)
+      val apply = udf((json: String) =>
+        graft.json.Js.render(program(graft.json.Js.parse(json))))
+      val keyCol =
+        if (df.columns.contains("_id")) col("_id").cast(StringType)
+        else lit(null).cast(StringType)
+      val transformed = df.select(keyCol.as("__oldkey"),
+        apply(to_json(struct(df.columns.map(col): _*))).as("value"))
+      schema match {
+        case Some(ddl) =>
+          transformed
+            .select(from_json(col("value"), StructType.fromDDL(ddl)).as("v"))
+            .select("v.*")
+        case None => // changed _id re-keys the message (docs:248)
+          transformed.select(
+            coalesce(get_json_object(col("value"), "$._id"),
+              col("__oldkey")).as("_key"),
+            col("value"))
+      }
+    }
+    case "$signJwt" => df => SignJwt(df, spec)
+    case "$s3Csv"   => df => S3Csv(df, spec, env)
+    case "$s3Out"   => df => S3Out(df, spec, env)
+    // $delay re-delivers to a topic after `duration` ms
+    // (docs/aggregation_stages.md:118-159). Micro-batch engines delay at
+    // trigger granularity: route to the topic; the sink applies the delay.
+    case "$delay" =>
+      df => df.withColumn("_topic", lit(spec.get("topic").asText()))
+        .withColumn("_delay_ms", lit(spec.get("duration").asLong()))
+    // $throttle (docs/aggregation_stages.md:787-802): rate control maps to
+    // source admission (maxOffsetsPerTrigger/trigger sizing), not a row
+    // transform — identity here.
+    case "$throttle" => df => df
+    // $probe (docs/aggregation_stages.md:413-466): per-minute counts to a
+    // topic; passthrough output.
+    case "$probe" => df => {
+      val minute = (unix_millis(current_timestamp()) / 60000L).cast(LongType)
+      env.sink(spec.get("topic").asText(),
+        df.groupBy(minute.as("minute"))
+          .agg(count(lit(1)).as("count"))
+          .withColumn("name", lit(spec.get("name").asText())))
+      df
+    }
     case other =>
       throw new IllegalArgumentException(s"unsupported stage $other")
   }

@@ -128,7 +128,8 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env) {
           else commands
         val out = AggregatePart(pre, AggregateLogic.Config(
           appName = "", aggType = aggType,
-          validators = readValidators(part)))
+          validators = readValidators(part),
+          reducers = readReducers(part)))
         AggregatePart.streams(out, aggType).toSeq
 
       case other =>
@@ -167,6 +168,38 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env) {
     l.join(r, lk === rk && timeCond, "inner")
       .select(col("__key_left").as("_id"), col("left"), col("right"))
   }
+
+  /** Command reducers: JQ scripts (preferred by the reference,
+    * docs/state.md:62) — inline text or a file resolved via Env.scripts.
+    * The script receives {command, state} and returns the new state.
+    */
+  private def readReducers(part: JsonNode)
+      : Map[String, (com.fasterxml.jackson.databind.node.ObjectNode,
+        com.fasterxml.jackson.databind.node.ObjectNode) =>
+        com.fasterxml.jackson.databind.node.ObjectNode] =
+    Option(part.get("commands")).map { cmds =>
+      Js.fields(cmds).flatMap { case (cmdName, cmdSpec) =>
+        Option(cmdSpec.get("reducer")).map { r =>
+          val text = r.asText()
+          val script =
+            if (text.contains("\n") || text.trim.startsWith(".") ||
+              text.trim.startsWith("{")) text
+            else env.scripts(text)
+          val program = graft.jq.MiniJq.compile(script, env.scripts)
+          cmdName -> { (command: com.fasterxml.jackson.databind.node.ObjectNode,
+              state: com.fasterxml.jackson.databind.node.ObjectNode) =>
+            val input = Js.obj()
+            input.set[JsonNode]("command", command)
+            input.set[JsonNode]("state", state)
+            program(input) match {
+              case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+              case other => throw new IllegalStateException(
+                s"reducer for $cmdName returned non-object: $other")
+            }
+          }
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
 
   private def readValidators(part: JsonNode): Map[String, JsonNode] =
     Option(part.get("commands")).map { cmds =>

@@ -213,14 +213,18 @@ object ExprCompiler {
       case "$reverseArray" => reverse(a0)
       case "$size"         => size(a0)
       case "$slice" =>
+        // negative positions clamp at the array start (Mongo semantics;
+        // Spark's slice returns empty when |start| exceeds the length)
         if (as.size == 2) {
           // [arr, n]: first n (n>0) or last n (n<0)
           val cnt = a1.cast(IntegerType)
-          when(cnt >= 0, slice(a0, lit(1), cnt)).otherwise(slice(a0, cnt, -cnt))
+          when(cnt >= 0, slice(a0, lit(1), cnt))
+            .otherwise(slice(a0, greatest(cnt, -size(a0)), -cnt))
         } else {
           // [arr, pos, n]: pos may be negative (from end), n > 0
           val pos = a1.cast(IntegerType); val cnt = as(2).cast(IntegerType)
-          when(pos >= 0, slice(a0, pos + 1, cnt)).otherwise(slice(a0, pos, cnt))
+          when(pos >= 0, slice(a0, pos + 1, cnt))
+            .otherwise(slice(a0, greatest(pos, -size(a0)), cnt))
         }
       case "$zip" => // two-input form; arrays of arrays out
         val inputs =

@@ -20,7 +20,13 @@ object AggregatePart {
 
   final case class Out(dest: String, key: String, value: String)
 
-  def apply(commands: DataFrame, conf: AggregateLogic.Config): Dataset[Out] = {
+  /** `keyCol` defaults to `_id`; an aggregate with a `uniqueExpression`
+    * (docs/state.md:176-197) re-keys commands by that expression so all
+    * commands agreeing on the criterion hit the same instance.
+    */
+  def apply(commands: DataFrame, conf: AggregateLogic.Config,
+      keyOverride: Option[org.apache.spark.sql.Column] = None)
+      : Dataset[Out] = {
     val spark = commands.sparkSession
     import spark.implicits._
     // Arrival order is the reduction order (Kafka offset order per key in
@@ -31,8 +37,9 @@ object AggregatePart {
       if (hasOrd) col("__ord").cast("long") else monotonically_increasing_id()
     val payload = struct(
       commands.columns.filter(_ != "__ord").map(col): _*)
+    val keyCol = keyOverride.getOrElse(col("_id")).cast("string")
     val asJson = commands
-      .select(col("_id").cast("string").as("key"),
+      .select(keyCol.as("key"),
         to_json(payload).as("json"), ordCol.as("ord"))
       .as[(String, String, Long)]
 

@@ -126,10 +126,12 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env) {
           if (part.has("preprocessor"))
             Pipeline.compile(part.get("preprocessor"), env)(commands)
           else commands
+        val keyOverride = Option(part.get("uniqueExpression"))
+          .map(e => Stages.expr(pre, e))
         val out = AggregatePart(pre, AggregateLogic.Config(
           appName = "", aggType = aggType,
           validators = readValidators(part),
-          reducers = readReducers(part)))
+          reducers = readReducers(part)), keyOverride)
         AggregatePart.streams(out, aggType).toSeq
 
       case other =>

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.op.Env
+import graft.streaming.{AppRunner, FileStreamIo}
+
+/** Stream-stream join part under Structured Streaming: both sides
+  * watermarked on ingestion time, equi-join on the `on` expressions,
+  * {_id, left, right} output (docs/join.md).
+  */
+class StreamJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("streaming join joins within the window") {
+    val dir = Files.createTempDirectory("graft-sjoin").toString
+    def write(topic: String, name: String, json: String): Unit = {
+      Files.createDirectories(Paths.get(s"$dir/$topic"))
+      Files.writeString(Paths.get(s"$dir/$topic/$name.json"), json)
+    }
+    write("lt", "l1", """{"_id":"l1","corr":"c1","lv":10}""")
+    write("lt", "l2", """{"_id":"l2","corr":"c2","lv":20}""")
+    write("rt", "r1", """{"_id":"r1","corr":"c1","rv":99}""")
+    val s1 = DataType.fromDDL("_id string, corr string, lv int")
+      .asInstanceOf[StructType]
+    val s2 = DataType.fromDDL("_id string, corr string, rv int")
+      .asInstanceOf[StructType]
+    val io = new FileStreamIo(dir, Map("lt" -> s1, "rt" -> s2))
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"sj","version":"1.0","parts":[
+           {"type":"join","name":"j","window":60000,
+            "left":{"fromTopic":"lt","on":"$corr"},
+            "right":{"fromTopic":"rt","on":"$corr"},
+            "toTopic":"out_sj"}]}""")
+    io.processAll()
+    val rows = spark.table("out_sj").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("_id") == "c1")
+    assert(r.getAs[org.apache.spark.sql.Row]("left").getAs[Int]("lv") == 10)
+    assert(r.getAs[org.apache.spark.sql.Row]("right").getAs[Int]("rv") == 99)
+    io.stopAll()
+  }
+}

@@ -19,6 +19,11 @@ import graft.json.Js
 trait DocModel {
   def path(p: String): Column
   def root: Column
+  /** Resolve a path with a type hint taken from the literal it will be
+    * compared against — lets dynamically-typed models (variant) extract a
+    * typed value. Typed models ignore the hint.
+    */
+  def pathAs(p: String, hint: JsonNode): Column = path(p)
 }
 
 final class RelationalDoc(columns: Seq[String]) extends DocModel {
@@ -27,6 +32,28 @@ final class RelationalDoc(columns: Seq[String]) extends DocModel {
     parts.tail.foldLeft(col(parts.head))((c, f) => c.getField(f))
   }
   def root: Column = struct(columns.map(col): _*)
+}
+
+/** Schemaless message model: the document is one VariantType column
+  * (Spark 4 parse_json), field paths extract typed values directed by the
+  * comparison literal (SURVEY §1.4 — the reference is fully dynamic; this
+  * is the Spark-native equivalent of its JsonObject model).
+  */
+final class VariantDoc(v: Column) extends DocModel {
+  def path(p: String): Column =
+    call_function("variant_get", v, lit("$." + p))
+  override def pathAs(p: String, hint: JsonNode): Column = {
+    val t =
+      if (hint == null) null
+      else if (hint.isTextual) "string"
+      else if (hint.isIntegralNumber) "bigint"
+      else if (hint.isNumber) "double"
+      else if (hint.isBoolean) "boolean"
+      else null
+    if (t == null) path(p)
+    else call_function("variant_get", v, lit("$." + p), lit(t))
+  }
+  def root: Column = v
 }
 
 /** Compilation context: document model, `$$var` scope, and an on-demand type
@@ -393,10 +420,26 @@ object ExprCompiler {
         compile(n.get("in"), inner)
       case "$sort" => sortOp(n, ctx)
       case "$trace" => compile(n, ctx) // identity; logging handled at stage level
+      // state-management extensions (docs/aggregation_operators.md:1231-1337)
       case "$jes-uuid" => expr("uuid()")
-      case "$jes-href" => // href: /<type without dash>/<id>
-        val typ = compile(n.get(0), ctx); val id = compile(n.get(1), ctx)
-        concat(lit("/"), regexp_replace(typ, lit("-"), lit("/")), lit("/"), id)
+      case "$jes-href" => // {app, type, id?} → /app/type[/id]
+        val app = compile(n.get("app"), ctx)
+        val typ = compile(n.get("type"), ctx)
+        val base = concat(lit("/"), app, lit("/"), typ)
+        if (n.has("id")) concat(base, lit("/"), compile(n.get("id"), ctx))
+        else base
+      case "$jes-added" => // pointer added by the event's JSON-Patch _ops
+        jesOps(n, ctx, Seq("add"))
+      case "$jes-removed" =>
+        jesOps(n, ctx, Seq("remove"))
+      case "$jes-changed" => jesChanged(n, ctx)
+      case "$jes-name-uuid" => // RFC-4122 name-based UUID from {scope, key}
+        val scope = compile(n.get("scope"), ctx).cast(StringType)
+        val key = compile(n.get("key"), ctx).cast(StringType)
+        val nameUuid = udf((s: String, k: String) =>
+          java.util.UUID
+            .nameUUIDFromBytes(s"$s:$k".getBytes("UTF-8")).toString)
+        nameUuid(scope, key)
 
       case other =>
         throw new IllegalArgumentException(s"unsupported operator $other")
@@ -404,6 +447,37 @@ object ExprCompiler {
   }
 
   // -- helpers ---------------------------------------------------------------
+
+  /** True when the event's `_ops` JSON-Patch array contains one of `ops`
+    * at the given pointer (docs/aggregation_operators.md:1240-1254).
+    */
+  private def jesOps(n: JsonNode, ctx: Ctx, ops: Seq[String]): Column = {
+    val pointer =
+      compile(if (n.isObject && n.has("pointer")) n.get("pointer") else n, ctx)
+        .cast(StringType)
+    exists(ctx.doc.path("_ops"), o =>
+      o.getField("path") === pointer &&
+        ops.map(op => o.getField("op") === op).reduce(_ || _))
+  }
+
+  /** `$jes-changed {pointer, from?, to?}`: pointed field changed in the
+    * event; with from/to, the transition is checked against the full
+    * event's `_before`/`_after` (docs/aggregation_operators.md:1256-1262).
+    */
+  private def jesChanged(n: JsonNode, ctx: Ctx): Column = {
+    val pointerNode = n.get("pointer")
+    val changed = jesOps(
+      Js.obj().set[JsonNode]("pointer", pointerNode),
+      ctx, Seq("add", "replace", "remove"))
+    if (n.has("from") && n.has("to")) {
+      val path = pointerNode.asText().stripPrefix("/").replace("/", ".")
+      def field(root: String): Column =
+        path.split("\\.").foldLeft(ctx.doc.path(root))(_.getField(_))
+      changed &&
+        field("_before") === compile(n.get("from"), ctx) &&
+        field("_after") === compile(n.get("to"), ctx)
+    } else changed
+  }
 
   private def locate_col(substr: Column, str: Column, pos: Column = lit(1)) =
     call_function("locate", substr, str, pos)

@@ -34,15 +34,20 @@ object QueryCompiler {
         Some(!Js.elems(v).map(c => coalesce(compile(c, ctx), lit(false)))
           .reduce(_ || _))
       case ("$expr", v) => Some(ExprCompiler.compile(v, ctx))
-      case (field, cond) => Some(fieldMatch(ctx.doc.path(field), cond, ctx))
+      case (field, cond) =>
+        Some(fieldMatch(hint => ctx.doc.pathAs(field, hint), cond, ctx))
     }
     if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
   }
 
-  /** Condition for one field: operator object or implicit equality. */
-  private def fieldMatch(target: Column, cond: JsonNode, ctx: Ctx): Column =
+  /** Condition for one field: operator object or implicit equality. The
+    * target is resolved per comparison with the literal as a type hint
+    * (needed by the variant model; no-op for typed models).
+    */
+  private def fieldMatch(target: JsonNode => Column, cond: JsonNode,
+      ctx: Ctx): Column =
     if (isOperatorObject(cond)) operatorConds(target, cond, ctx)
-    else eqMatch(target, cond, ctx)
+    else eqMatch(target(cond), cond, ctx)
 
   private def isOperatorObject(n: JsonNode): Boolean =
     n.isObject && n.size() > 0 &&
@@ -60,43 +65,51 @@ object QueryCompiler {
     }
   }
 
-  private def operatorConds(target: Column, n: JsonNode, ctx: Ctx): Column = {
+  private def operatorConds(target: JsonNode => Column, n: JsonNode,
+      ctx: Ctx): Column = {
     val opts =
       if (n.has("$options")) n.get("$options").asText() else ""
     val conds = Js.fields(n).flatMap {
       case ("$comment", _) | ("$options", _) => None
-      case ("$eq", v)  => Some(eqMatch(target, v, ctx))
-      case ("$gt", v)  => Some(target > litNode(v))
-      case ("$gte", v) => Some(target >= litNode(v))
-      case ("$lt", v)  => Some(target < litNode(v))
-      case ("$lte", v) => Some(target <= litNode(v))
-      case ("$ne", v)  => Some(!coalesce(eqMatch(target, v, ctx), lit(false)))
-      case ("$in", v)  => Some(target.isin(Js.elems(v).map(scalaValue): _*))
+      case ("$eq", v)  => Some(eqMatch(target(v), v, ctx))
+      case ("$gt", v)  => Some(target(v) > litNode(v))
+      case ("$gte", v) => Some(target(v) >= litNode(v))
+      case ("$lt", v)  => Some(target(v) < litNode(v))
+      case ("$lte", v) => Some(target(v) <= litNode(v))
+      case ("$ne", v) =>
+        Some(!coalesce(eqMatch(target(v), v, ctx), lit(false)))
+      case ("$in", v) =>
+        val hint = Js.elems(v).headOption.orNull
+        Some(target(hint).isin(Js.elems(v).map(scalaValue): _*))
       case ("$nin", v) =>
-        Some(!coalesce(target.isin(Js.elems(v).map(scalaValue): _*), lit(false)))
+        val hint = Js.elems(v).headOption.orNull
+        Some(!coalesce(target(hint).isin(Js.elems(v).map(scalaValue): _*),
+          lit(false)))
       case ("$exists", v) =>
-        Some(if (v.asBoolean()) target.isNotNull else target.isNull)
+        Some(if (v.asBoolean()) target(null).isNotNull
+        else target(null).isNull)
       case ("$type", v) =>
-        Some(lit(ExprCompiler.mongoTypeName(ctx.typeOf(target)) ==
+        Some(lit(ExprCompiler.mongoTypeName(ctx.typeOf(target(null))) ==
           v.asText()))
       case ("$expr", v) => Some(ExprCompiler.compile(v, ctx))
       case ("$mod", v) =>
-        Some(target % litNode(v.get(0)) === litNode(v.get(1)))
+        Some(target(v.get(0)) % litNode(v.get(0)) === litNode(v.get(1)))
       case ("$regex", v) =>
-        Some(target.rlike(ExprCompiler.regexWithOptions(
+        val hint = Js.parse("\"s\"") // force string extraction
+        Some(target(hint).rlike(ExprCompiler.regexWithOptions(
           ExprCompiler.regexLiteral(v), opts)))
       case ("$all", v) =>
-        Some(Js.elems(v).map(e => array_contains(target, litNode(e)))
+        Some(Js.elems(v).map(e => array_contains(target(null), litNode(e)))
           .reduce(_ && _))
       case ("$elemMatch", v) =>
-        Some(exists(target, x => compileValuePredicate(v, x, ctx)))
-      case ("$size", v) => Some(size(target) === litNode(v))
+        Some(exists(target(null), x => compileValuePredicate(v, x, ctx)))
+      case ("$size", v) => Some(size(target(null)) === litNode(v))
       case ("$bitsAllSet", v) =>
-        val m = mask(v); Some(target.bitwiseAND(m) === m)
-      case ("$bitsAllClear", v) => Some(target.bitwiseAND(mask(v)) === 0)
-      case ("$bitsAnySet", v)   => Some(target.bitwiseAND(mask(v)) =!= 0)
+        val m = mask(v); Some(target(v).bitwiseAND(m) === m)
+      case ("$bitsAllClear", v) => Some(target(v).bitwiseAND(mask(v)) === 0)
+      case ("$bitsAnySet", v)   => Some(target(v).bitwiseAND(mask(v)) =!= 0)
       case ("$bitsAnyClear", v) =>
-        val m = mask(v); Some(target.bitwiseAND(m) =!= m)
+        val m = mask(v); Some(target(v).bitwiseAND(m) =!= m)
       case ("$not", v) =>
         Some(!coalesce(operatorConds(target, v, ctx), lit(false)))
       case (other, _) =>
@@ -111,10 +124,10 @@ object QueryCompiler {
     */
   private[graft] def compileValuePredicate(
       cond: JsonNode, x: Column, ctx: Ctx): Column =
-    if (isOperatorObject(cond)) operatorConds(x, cond, ctx)
+    if (isOperatorObject(cond)) operatorConds(_ => x, cond, ctx)
     else
       Js.fields(cond).map { case (field, c) =>
-        fieldMatch(field.split("\\.").foldLeft(x)(_.getField(_)), c, ctx)
+        fieldMatch(_ => field.split("\\.").foldLeft(x)(_.getField(_)), c, ctx)
       }.reduce(_ && _)
 
   /** Bit mask: literal number or array of bit positions (docs/query.md:231+). */

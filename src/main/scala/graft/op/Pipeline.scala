@@ -13,7 +13,15 @@ import graft.json.Js
 object Pipeline {
 
   def compile(pipeline: JsonNode, env: Env): DataFrame => DataFrame = {
-    val stages = Js.elems(pipeline).map { stageObj =>
+    // a textual entry is a filename holding one stage or a stage array
+    // (Common.build inlining, docs/streams.md:20-37)
+    val inlined = Js.elems(pipeline).flatMap { entry =>
+      if (entry.isTextual) {
+        val loaded = Js.parseYaml(env.scripts(entry.asText()))
+        if (loaded.isArray) Js.elems(loaded) else Seq(loaded)
+      } else Seq(entry)
+    }
+    val stages = inlined.map { stageObj =>
       val (name, spec) = Js.asOp(stageObj).getOrElse(
         throw new IllegalArgumentException(
           s"stage must be a single-key object: ${Js.render(stageObj)}"))

@@ -26,12 +26,14 @@ trait Io {
   * reactive processor chains. Named streams are shared DataFrames (no
   * re-serialization between parts).
   */
-final class AppRunner(spark: SparkSession, io: Io, env: Env) {
+final class AppRunner(spark: SparkSession, io: Io, env: Env,
+    config: Map[String, String] = Map.empty) {
 
   def run(yamlOrJson: String): Map[String, DataFrame] = {
-    val spec =
+    val spec = Parameters.resolve(
       if (yamlOrJson.trim.startsWith("{")) Js.parse(yamlOrJson)
-      else Js.parseYaml(yamlOrJson)
+      else Js.parseYaml(yamlOrJson),
+      config)
     val parts = Js.elems(spec.get("parts"))
     var streams = Map.empty[String, DataFrame]
 
@@ -101,9 +103,10 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env) {
       case "stream" =>
         val src = resolveFrom(part)
         val out =
-          if (part.has("pipeline"))
-            Pipeline.compile(part.get("pipeline"), env)(src)
-          else src
+          if (!part.has("pipeline")) src
+          else if (MessagePipeline.isMessageShaped(src))
+            MessagePipeline.compile(part.get("pipeline"), env)(src)
+          else Pipeline.compile(part.get("pipeline"), env)(src)
         Seq(name -> out)
 
       case "merge" => // docs/merge.md: n-ary union

@@ -66,10 +66,20 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType])
   var queries = Map.empty[String, StreamingQuery]
 
   def source(spark: SparkSession, kind: String, name: String): DataFrame =
-    spark.readStream
-      .schema(schemas(name))
-      .option("maxFilesPerTrigger", "1") // one file per micro-batch
-      .json(s"$root/$name")
+    schemas.get(name) match {
+      case Some(schema) =>
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1") // one file per micro-batch
+          .json(s"$root/$name")
+      case None => // schemaless: (key, value) JSON-string messages
+        spark.readStream
+          .option("maxFilesPerTrigger", "1")
+          .text(s"$root/$name")
+          .select(
+            get_json_object(col("value"), "$._id").as("key"),
+            col("value"))
+    }
 
   def sink(kind: String, name: String, df: DataFrame,
       asString: Boolean): Unit =

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.json.Js
+import graft.op.Env
+import graft.streaming.{AppRunner, FileStreamIo}
+
+/** Schemaless streaming: raw JSON messages flow as (key, value) with
+  * variant-typed `$match` predicates and `$jq` transforms — no declared
+  * schema anywhere (the reference's native mode, app1-style).
+  */
+class MessagePipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def write(dir: String, topic: String, name: String,
+      json: String): Unit = {
+    Files.createDirectories(Paths.get(s"$dir/$topic"))
+    Files.writeString(Paths.get(s"$dir/$topic/$name.json"), json)
+  }
+
+  test("schemaless $match + $jq + $setKey end to end") {
+    val dir = Files.createTempDirectory("graft-msg").toString
+    write(dir, "raw", "m1", """{"_id":"a","value":5,"deep":{"x":"keep"}}""")
+    write(dir, "raw", "m2", """{"_id":"b","value":50,"deep":{"x":"keep"}}""")
+    write(dir, "raw", "m3", """{"_id":"c","other":true}""")
+    val io = new FileStreamIo(dir, Map.empty) // no schemas at all
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"m1","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"raw","toTopic":"out_msg",
+            "pipeline":[
+              {"$match":{"value":{"$gt":10},"deep.x":"keep"}},
+              {"$jq":"{ \"_id\": ._id, \"v10\": .value * 10 }"},
+              {"$setKey":{"$concat":["k-","$_id"]}}]}]}""")
+    io.processAll()
+    val rows = spark.table("out_msg").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("key") == "k-b")
+    val v = Js.parse(rows.head.getAs[String]("value"))
+    assert(v.get("v10").asLong() == 500)
+    io.stopAll()
+  }
+
+  test("schemaless merge + dedup by expression") {
+    val dir = Files.createTempDirectory("graft-msg2").toString
+    write(dir, "t1", "m1", """{"_id":"a","corr":"c1"}""")
+    write(dir, "t2", "m2", """{"_id":"b","corr":"c1"}""")
+    write(dir, "t2", "m3", """{"_id":"c","corr":"c2"}""")
+    val io = new FileStreamIo(dir, Map.empty)
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"m2","version":"1.0","parts":[
+           {"type":"merge","name":"m","fromTopics":["t1","t2"]},
+           {"type":"stream","name":"d","fromStream":"m","toTopic":"out_msg2",
+            "pipeline":[{"$deduplicate":{"expression":"$corr"}}]}]}""")
+    io.processAll()
+    val rows = spark.table("out_msg2").collect()
+    assert(rows.length == 2)
+    io.stopAll()
+  }
+}

@@ -64,7 +64,9 @@ final class VariantDoc(v: Column) extends DocModel {
 final case class Ctx(
     doc: DocModel,
     vars: Map[String, Column] = Map.empty,
-    typeOf: Column => DataType = _ => NullType) {
+    typeOf: Column => DataType = _ => NullType,
+    scripts: String => String = name =>
+      throw new IllegalArgumentException(s"no script loader for $name")) {
   def withVar(name: String, c: Column): Ctx = copy(vars = vars + (name -> c))
 }
 
@@ -420,6 +422,23 @@ object ExprCompiler {
         compile(n.get("in"), inner)
       case "$sort" => sortOp(n, ctx)
       case "$trace" => compile(n, ctx) // identity; logging handled at stage level
+      // embedded script operators (docs/aggregation_operators.md:1163-1187):
+      // {input?, script} → JSON-string result ($$ROOT input by default)
+      case "$jq" | "$jslt" =>
+        val input =
+          if (n.has("input")) compile(n.get("input"), ctx) else ctx.doc.root
+        val text = n.get("script").asText()
+        val script =
+          if (text.contains("\n") || text.trim.startsWith(".") ||
+            text.trim.startsWith("{")) text
+          else ctx.scripts(text)
+        val program =
+          if (op == "$jq") graft.jq.MiniJq.compile(script, ctx.scripts)
+          else graft.jq.MiniJslt.compile(script, ctx.scripts)
+        val run = udf((json: String) =>
+          Js.render(program(Js.parse(json))))
+        run(to_json(input))
+
       // state-management extensions (docs/aggregation_operators.md:1231-1337)
       case "$jes-uuid" => expr("uuid()")
       case "$jes-href" => // {app, type, id?} → /app/type[/id]

@@ -1,0 +1,249 @@
+package graft.jq
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{BooleanNode, DoubleNode, LongNode, NullNode, ObjectNode, TextNode}
+import graft.json.Js
+import scala.collection.mutable
+
+/** A small JSLT interpreter covering the subset the reference's
+  * applications use (docs/aggregation_operators.md:1176-1187, fixture
+  * scripts under src/test/resources/app8): paths, object construction with
+  * the `* : .` rest-spread matcher, parameterized `def` functions,
+  * `import ... as ns`, `$var` references and arithmetic.
+  *
+  * Independent implementation of the public JSLT language subset.
+  */
+object MiniJslt {
+
+  sealed trait Ast
+  case object Dot extends Ast
+  final case class Path(parts: List[String]) extends Ast
+  final case class Var(name: String) extends Ast
+  final case class Lit(v: JsonNode) extends Ast
+  final case class BinOp(op: String, l: Ast, r: Ast) extends Ast
+  final case class ObjCons(fields: List[(String, Ast)], spread: Option[Ast])
+      extends Ast
+  final case class CallFn(ns: Option[String], name: String, args: List[Ast])
+      extends Ast
+  final case class PathOf(base: Ast, parts: List[String]) extends Ast
+
+  final case class FnDef(params: List[String], body: Ast)
+  final case class Program(defs: Map[String, FnDef], body: Ast)
+
+  def compile(script: String,
+      load: String => String = f =>
+        throw new IllegalArgumentException(s"no script loader for $f"))
+      : JsonNode => JsonNode = {
+    val prog = parse(script, load)
+    input => eval(prog.body, input, Map.empty, prog.defs)
+  }
+
+  private def parse(script: String, load: String => String): Program = {
+    val t = new Tok(script)
+    val defs = mutable.Map[String, FnDef]()
+    var more = true
+    while (more) {
+      if (t.peekIs("import")) {
+        t.next(); val file = t.string(); t.expectWord("as"); val ns = t.word()
+        parse(load(file), load).defs.foreach { case (k, v) =>
+          defs(s"$ns:$k") = v
+        }
+      } else if (t.peekIs("def")) {
+        t.next(); val name = t.word(); t.expect("(")
+        val params = mutable.ListBuffer[String]()
+        while (!t.peekIs(")")) {
+          params += t.word(); if (t.peekIs(",")) t.next()
+        }
+        t.expect(")")
+        defs(name) = FnDef(params.toList, parseExpr(t))
+      } else more = false
+    }
+    Program(defs.toMap, if (t.peek == null) Dot else parseExpr(t))
+  }
+
+  private def parseExpr(t: Tok): Ast = {
+    var l = parseMul(t)
+    while (t.peekIs("+") || t.peekIs("-")) {
+      val op = t.next(); l = BinOp(op, l, parseMul(t))
+    }
+    l
+  }
+
+  private def parseMul(t: Tok): Ast = {
+    var l = parsePrim(t)
+    while (t.peekIs("*") || t.peekIs("/")) {
+      val op = t.next(); l = BinOp(op, l, parsePrim(t))
+    }
+    l
+  }
+
+  private def parsePrim(t: Tok): Ast = t.peek match {
+    case "." =>
+      t.next()
+      if (t.peekWord) {
+        val parts = mutable.ListBuffer(t.word())
+        while (t.peekIs(".") && t.peekWordAfterDot) { t.next(); parts += t.word() }
+        Path(parts.toList)
+      } else Dot
+    case "$" => t.next(); Var(t.word())
+    case "{" =>
+      t.next()
+      val fields = mutable.ListBuffer[(String, Ast)]()
+      var spread: Option[Ast] = None
+      while (!t.peekIs("}")) {
+        if (t.peekIs("*")) { t.next(); t.expect(":"); spread = Some(parseExpr(t)) }
+        else {
+          val key = if (t.peekString) t.string() else t.word()
+          t.expect(":")
+          fields += key -> parseExpr(t)
+        }
+        if (t.peekIs(",")) t.next()
+      }
+      t.expect("}")
+      ObjCons(fields.toList, spread)
+    case "(" => t.next(); val e = parseExpr(t); t.expect(")"); e
+    case s if t.peekString => Lit(TextNode.valueOf(t.string()))
+    case s if s != null && (s.head.isDigit ||
+        (s.head == '-' && s.length > 1 && s(1).isDigit)) =>
+      val n = t.next()
+      Lit(if (n.contains('.')) DoubleNode.valueOf(n.toDouble)
+      else LongNode.valueOf(n.toLong))
+    case "true"  => t.next(); Lit(BooleanNode.TRUE)
+    case "false" => t.next(); Lit(BooleanNode.FALSE)
+    case "null"  => t.next(); Lit(NullNode.getInstance)
+    case _ =>
+      val name = t.word()
+      if (t.peekIs(":")) { // ns:fn(...)
+        t.next(); val fn = t.word(); parseCall(t, Some(name), fn)
+      } else parseCall(t, None, name)
+  }
+
+  private def parseCall(t: Tok, ns: Option[String], name: String): Ast = {
+    t.expect("(")
+    val args = mutable.ListBuffer[Ast]()
+    while (!t.peekIs(")")) {
+      args += parseExpr(t); if (t.peekIs(",")) t.next()
+    }
+    t.expect(")")
+    val call = CallFn(ns, name, args.toList)
+    // postfix path on a call result: op:decr(.value).x
+    if (t.peekIs(".") && t.peekWordAfterDot) {
+      t.next()
+      val parts = mutable.ListBuffer(t.word())
+      while (t.peekIs(".") && t.peekWordAfterDot) { t.next(); parts += t.word() }
+      PathOf(call, parts.toList)
+    } else call
+  }
+
+  private def eval(ast: Ast, in: JsonNode, vars: Map[String, JsonNode],
+      defs: Map[String, FnDef]): JsonNode = ast match {
+    case Dot => in
+    case Path(parts) =>
+      parts.foldLeft(in)((n, p) =>
+        if (n == null || n.isNull) NullNode.getInstance
+        else Option(n.get(p)).getOrElse(NullNode.getInstance))
+    case PathOf(base, parts) =>
+      eval(Path(parts), eval(base, in, vars, defs), vars, defs)
+    case Var(name) =>
+      vars.getOrElse(name,
+        throw new IllegalArgumentException(s"unbound variable $$$name"))
+    case Lit(v) => v
+    case ObjCons(fields, spread) =>
+      val o = Js.obj()
+      fields.foreach { case (k, e) =>
+        o.set[JsonNode](k, eval(e, in, vars, defs))
+      }
+      spread.foreach { s =>
+        eval(s, in, vars, defs) match {
+          case src: ObjectNode =>
+            Js.fields(src).foreach { case (k, v) =>
+              if (!o.has(k)) o.set[JsonNode](k, v)
+            }
+          case _ =>
+        }
+      }
+      o
+    case CallFn(ns, name, args) =>
+      val key = ns.map(n => s"$n:$name").getOrElse(name)
+      val fn = defs.getOrElse(key,
+        throw new IllegalArgumentException(s"undefined function $key"))
+      val bound = fn.params.zip(args.map(eval(_, in, vars, defs))).toMap
+      eval(fn.body, in, bound, defs)
+    case BinOp(op, l, r) =>
+      numericOp(op, eval(l, in, vars, defs), eval(r, in, vars, defs))
+  }
+
+  private def numericOp(op: String, a: JsonNode, b: JsonNode): JsonNode =
+    if (a.isTextual || b.isTextual) {
+      require(op == "+", s"cannot $op strings")
+      TextNode.valueOf(a.asText() + b.asText())
+    } else if (a.isObject && b.isObject && op == "+") {
+      val merged = a.deepCopy[ObjectNode]()
+      Js.fields(b).foreach { case (k, v) => merged.set[JsonNode](k, v) }
+      merged
+    } else {
+      val exact = a.isIntegralNumber && b.isIntegralNumber && op != "/"
+      op match {
+        case "+" => if (exact) LongNode.valueOf(a.asLong() + b.asLong())
+        else DoubleNode.valueOf(a.asDouble() + b.asDouble())
+        case "-" => if (exact) LongNode.valueOf(a.asLong() - b.asLong())
+        else DoubleNode.valueOf(a.asDouble() - b.asDouble())
+        case "*" => if (exact) LongNode.valueOf(a.asLong() * b.asLong())
+        else DoubleNode.valueOf(a.asDouble() * b.asDouble())
+        case "/" => DoubleNode.valueOf(a.asDouble() / b.asDouble())
+      }
+    }
+
+  private final class Tok(script: String) {
+    private val tokens: Vector[String] = {
+      val out = mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < script.length) {
+        val c = script(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '/' && i + 1 < script.length && script(i + 1) == '/') {
+          while (i < script.length && script(i) != '\n') i += 1
+        } else if (c == '"') {
+          val end = script.indexOf('"', i + 1)
+          require(end > 0, "unterminated string")
+          out += script.substring(i, end + 1); i = end + 1
+        } else if (c.isLetter || c == '_') {
+          val start = i
+          while (i < script.length &&
+            (script(i).isLetterOrDigit || script(i) == '_')) i += 1
+          out += script.substring(start, i)
+        } else if (c.isDigit) {
+          val start = i
+          while (i < script.length &&
+            (script(i).isDigit || script(i) == '.')) i += 1
+          out += script.substring(start, i)
+        } else { out += c.toString; i += 1 }
+      }
+      out.toVector
+    }
+    private var pos = 0
+    def peek: String = if (pos < tokens.length) tokens(pos) else null
+    def peekIs(s: String): Boolean = peek == s
+    def peekWord: Boolean =
+      peek != null && (peek.head.isLetter || peek.head == '_')
+    def peekWordAfterDot: Boolean =
+      pos + 1 < tokens.length &&
+        (tokens(pos + 1).head.isLetter || tokens(pos + 1).head == '_')
+    def peekString: Boolean = peek != null && peek.head == '"'
+    def next(): String = { val t = peek; pos += 1; t }
+    def expect(s: String): Unit =
+      require(next() == s, s"expected '$s'")
+    def expectWord(s: String): Unit = expect(s)
+    def word(): String = {
+      val t = next()
+      require(t != null && (t.head.isLetter || t.head == '_'),
+        s"expected identifier, found '$t'")
+      t
+    }
+    def string(): String = {
+      val t = next()
+      require(t.head == '"', s"expected string, found '$t'")
+      t.substring(1, t.length - 1)
+    }
+  }
+}

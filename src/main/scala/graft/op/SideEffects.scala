@@ -166,6 +166,64 @@ object S3Csv {
     }
 }
 
+/** `$s3Transfer` (docs/aggregation_stages.md:748-785): GET the url, PUT
+  * the body to the object store; `as` receives the object URL, HTTP errors
+  * land in httpError.
+  */
+object S3Transfer {
+  def apply(df: DataFrame, spec: JsonNode, env: Env): DataFrame = {
+    val url = Stages.expr(df, spec.get("url")).cast(StringType)
+    val bucket = Stages.expr(df, spec.get("bucket")).cast(StringType)
+    val key = Stages.expr(df, spec.get("key")).cast(StringType)
+    val transport = env.http
+    val store = env.store
+    val transfer = udf((u: String, b: String, k: String) => {
+      val r = transport("GET", u, null, null)
+      if (r.status >= 200 && r.status < 300) {
+        store.put(b, k, r.body)
+        Http.CallRow(Some(s"s3://$b/$k"), None)
+      } else Http.CallRow(None, Some(Http.ErrorRow(r.status, r.body)))
+    })
+    df.withColumn("__t", transfer(url, bucket, key))
+      .withColumn(spec.get("as").asText(), col("__t.response"))
+      .withColumn("httpError", col("__t.httpError"))
+      .drop("__t")
+  }
+}
+
+/** `$s3Attachments` (docs/aggregation_stages.md:641-694): POST objects as
+  * multipart/mixed; extra attachment fields become MIME part headers.
+  */
+object S3Attachments {
+  def apply(df: DataFrame, spec: JsonNode, env: Env): DataFrame = {
+    val url = Stages.expr(df, spec.get("url")).cast(StringType)
+    val attachments = to_json(Stages.expr(df, spec.get("attachments")))
+    val transport = env.http
+    val store = env.store
+    val post = udf((u: String, attJson: String) => {
+      val boundary = "graft-boundary"
+      val parts = Js.elems(Js.parse(attJson)).map { a =>
+        val bucket = a.get("bucket").asText()
+        val key = a.get("key").asText()
+        val extraHeaders = Js.fields(a).collect {
+          case (k, v) if k != "bucket" && k != "key" =>
+            s"$k: ${v.asText()}\r\n"
+        }.mkString
+        val content = store.get(bucket, key)
+        s"--$boundary\r\n${extraHeaders}Content-Length: ${content.length}\r\n\r\n$content\r\n"
+      }.mkString
+      val body = s"$parts--$boundary--\r\n"
+      val r = transport("POST", u,
+        s"""{"Content-Type":"multipart/mixed; boundary=$boundary"}""", body)
+      if (r.status >= 200 && r.status < 300) Http.CallRow(Some(r.body), None)
+      else Http.CallRow(None, Some(Http.ErrorRow(r.status, r.body)))
+    })
+    df.withColumn("__t", post(url, attachments))
+      .withColumn("httpError", col("__t.httpError"))
+      .drop("__t")
+  }
+}
+
 /** `$s3Out` (docs/aggregation_stages.md:727-746): write each message as an
   * object; passthrough output.
   */

@@ -19,6 +19,7 @@ final case class Env(
       throw new IllegalArgumentException("no HTTP transport configured"),
     scripts: String => String = name =>
       throw new IllegalArgumentException(s"no script loader for $name"),
+    lag: () => String = () => "{}",
     store: ObjectStore = new ObjectStore {
       def get(bucket: String, key: String): String =
         throw new IllegalArgumentException("no object store configured")
@@ -35,21 +36,28 @@ final case class Env(
 object Stages {
   type Stage = DataFrame => DataFrame
 
-  def ctxOf(df: DataFrame): Ctx =
+  def ctxOf(df: DataFrame, env: Env = null): Ctx =
     Ctx(
       new RelationalDoc(df.columns.toSeq),
       typeOf = c =>
         try df.select(c).schema.head.dataType
-        catch { case _: Exception => NullType })
+        catch { case _: Exception => NullType },
+      scripts =
+        if (env == null)
+          name => throw new IllegalArgumentException(s"no script loader for $name")
+        else env.scripts)
 
   def expr(df: DataFrame, n: JsonNode): Column =
     ExprCompiler.compile(n, ctxOf(df))
 
+  def expr(df: DataFrame, n: JsonNode, env: Env): Column =
+    ExprCompiler.compile(n, ctxOf(df, env))
+
   def compile(name: String, spec: JsonNode, env: Env): Stage = name match {
-    case "$match"       => df => df.filter(QueryCompiler.compile(spec, ctxOf(df)))
-    case "$addFields" | "$set" => df => addFields(df, spec)
+    case "$match"       => df => df.filter(QueryCompiler.compile(spec, ctxOf(df, env)))
+    case "$addFields" | "$set" => df => addFields(df, spec, env)
     case "$unset"       => df => unset(df, spec)
-    case "$project"     => df => project(df, spec)
+    case "$project"     => df => project(df, spec, env)
     case "$replaceRoot" => df => replaceRoot(df, spec.get("newRoot"))
     case "$replaceWith" => df => replaceRoot(df, spec)
     case "$unwind"      => df => unwind(df, spec)
@@ -107,6 +115,44 @@ object Stages {
             col("value"))
       }
     }
+    // $jslt stage (docs/aggregation_stages.md:262-277): same shape as $jq
+    // with the JSLT language
+    case "$jslt" => df => {
+      val (script, schema) =
+        if (spec.isTextual) {
+          val s = spec.asText()
+          (if (s.contains("\n") || s.trim.startsWith(".") ||
+            s.trim.startsWith("{")) s
+          else env.scripts(s), None)
+        } else
+          (spec.get("script").asText(),
+            Option(spec.get("schema")).map(_.asText()))
+      val program = graft.jq.MiniJslt.compile(script, env.scripts)
+      val apply = udf((json: String) =>
+        graft.json.Js.render(program(graft.json.Js.parse(json))))
+      val keyCol =
+        if (df.columns.contains("_id")) col("_id").cast(StringType)
+        else lit(null).cast(StringType)
+      val transformed = df.select(keyCol.as("__oldkey"),
+        apply(to_json(struct(df.columns.map(col): _*))).as("value"))
+      schema match {
+        case Some(ddl) =>
+          transformed
+            .select(from_json(col("value"), StructType.fromDDL(ddl)).as("v"))
+            .select("v.*")
+        case None =>
+          transformed.select(
+            coalesce(get_json_object(col("value"), "$._id"),
+              col("__oldkey")).as("_key"),
+            col("value"))
+      }
+    }
+    // $lag (docs/aggregation_stages.md:279-318): attach the Kafka
+    // consumer-lag snapshot (pluggable provider; AdminClient in production)
+    case "$lag" =>
+      df => df.withColumn(spec.get("as").asText(), lit(env.lag()))
+    case "$s3Transfer"    => df => S3Transfer(df, spec, env)
+    case "$s3Attachments" => df => S3Attachments(df, spec, env)
     case "$signJwt" => df => SignJwt(df, spec)
     case "$s3Csv"   => df => S3Csv(df, spec, env)
     case "$s3Out"   => df => S3Out(df, spec, env)
@@ -137,9 +183,9 @@ object Stages {
   // -- field update stages ---------------------------------------------------
 
   /** Dotted paths update nested struct fields via Column.withField. */
-  private def addFields(df: DataFrame, spec: JsonNode): DataFrame =
+  private def addFields(df: DataFrame, spec: JsonNode, env: Env): DataFrame =
     Js.fields(spec).foldLeft(df) { case (d, (path, v)) =>
-      val c = expr(d, v)
+      val c = expr(d, v, env)
       if (!path.contains('.')) d.withColumn(path, c)
       else {
         val parts = path.split("\\.")
@@ -164,7 +210,7 @@ object Stages {
   /** Mongo $project: inclusion mode (1/true or computed expressions; `_id`
     * kept by default when present) or exclusion mode (all 0/false).
     */
-  private def project(df: DataFrame, spec: JsonNode): DataFrame = {
+  private def project(df: DataFrame, spec: JsonNode, env: Env): DataFrame = {
     val entries = Js.fields(spec)
     def flag(n: JsonNode, v: Boolean) =
       (n.isBoolean && n.asBoolean() == v) ||
@@ -183,7 +229,7 @@ object Stages {
             val parts = k.split("\\.")
             Some(nestedKeep(parts).as(parts.head))
           } else Some(col(k))
-        case (k, v) => Some(expr(df, v).as(k))
+        case (k, v) => Some(expr(df, v, env).as(k))
       }
       val withId =
         if (df.columns.contains("_id") && !entries.exists(_._1 == "_id"))

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.json.Js
+import graft.op.Env
+import scala.jdk.CollectionConverters._
+
+/** The reference's golden-file test harness rebuilt on Spark
+  * (docs/testing.md, Test.java:429-512): an application directory holds
+  * `application.yaml` plus a `test/` tree —
+  *
+  * {{{
+  * test/topics/from/<topic>/        input messages (filename order)
+  * test/topics/to/<topic>/          expected output messages
+  * test/collections/from/<coll>/    CDC-source collection inserts
+  * test/collections/to/<coll>/      expected sink-collection docs
+  * test/preload/<coll>/             $lookup target seeds
+  * }}}
+  *
+  * Comparison strips `_timestamp` (Test.java:264-276), sorts both sides by
+  * (_id, zero-padded _seq, _corr, hash) (Test.java:212-217) and asserts
+  * lenient (expected subset-of actual, TestAsserters.java:20-40) or strict
+  * list equality.
+  */
+object GoldenTest {
+
+  final case class Result(topic: String, ok: Boolean, detail: String)
+
+  def run(spark: SparkSession, appDir: String, strict: Boolean = false,
+      config: Map[String, String] = Map.empty): Seq[Result] = {
+    val dir = Paths.get(appDir)
+    val appFile = Seq("application.yaml", "application.yml",
+      "application.json")
+      .map(dir.resolve).find(Files.exists(_))
+      .getOrElse(throw new IllegalArgumentException(s"no application in $appDir"))
+
+    val scripts: String => String = name => {
+      val p = dir.resolve(name).normalize()
+      Files.readString(p)
+    }
+
+    // sources: topic + collection feeds as schemaless (key, value) frames
+    def readDir(p: Path): Seq[String] =
+      if (!Files.exists(p)) Nil
+      else Files.list(p).iterator().asScala.toSeq
+        .sortBy(_.getFileName.toString)
+        .map(f => Js.render(Js.parse(Files.readString(f))))
+
+    // typed inference over the fixture docs: the full relational stage set
+    // applies; the schemaless (key, value) mode is exercised separately
+    def messageDf(docs: Seq[String]): DataFrame = {
+      import spark.implicits._
+      spark.read.json(docs.toDS)
+    }
+
+    val topicSources = subdirs(dir.resolve("test/topics/from"))
+      .map(t => t -> readDir(dir.resolve(s"test/topics/from/$t"))).toMap
+    val collSources = subdirs(dir.resolve("test/collections/from"))
+      .map(t => t -> readDir(dir.resolve(s"test/collections/from/$t"))).toMap
+    val preloads = subdirs(dir.resolve("test/preload"))
+      .map(t => t -> readDir(dir.resolve(s"test/preload/$t"))).toMap
+
+    var sinks = Map.empty[String, DataFrame]
+    val io = new Io {
+      def source(spark: SparkSession, kind: String, name: String): DataFrame =
+        kind match {
+          case "topic" => messageDf(topicSources.getOrElse(name, Nil))
+          case _       => messageDf(collSources.getOrElse(name, Nil))
+        }
+      def sink(kind: String, name: String, df: DataFrame,
+          asString: Boolean): Unit = sinks += name -> df
+    }
+    val env = Env(spark,
+      collection = name => {
+        // preloaded $lookup targets get a typed frame inferred from the docs
+        import spark.implicits._
+        spark.read.json(preloads(name).toDS)
+      },
+      scripts = scripts)
+
+    val streams =
+      new AppRunner(spark, io, env, config).run(Files.readString(appFile))
+
+    def collectOut(name: String): Seq[JsonNode] =
+      sinks.get(name).orElse(streams.get(name)).map { df =>
+        if (df.columns.toSet == Set("key", "value"))
+          df.select("value").collect().map(r => Js.parse(r.getString(0))).toSeq
+        else
+          df.toJSON.collect().map(Js.parse).toSeq
+      }.getOrElse(Nil)
+
+    val expectations =
+      subdirs(dir.resolve("test/topics/to")).map(t =>
+        t -> readDir(dir.resolve(s"test/topics/to/$t"))) ++
+        subdirs(dir.resolve("test/collections/to")).map(t =>
+          t -> readDir(dir.resolve(s"test/collections/to/$t")))
+
+    expectations.map { case (topic, expectedRaw) =>
+      val expected = expectedRaw.map(s => normalize(Js.parse(s)))
+      val actual = collectOut(topic).map(normalize)
+      val sortedE = expected.sortBy(sortKey)
+      val sortedA = actual.sortBy(sortKey)
+      val ok =
+        if (strict) sortedE == sortedA
+        else sortedE.forall(e => sortedA.contains(e))
+      Result(topic, ok,
+        if (ok) s"${actual.size} messages"
+        else s"expected ${Js.render(toArr(sortedE))} got ${Js.render(toArr(sortedA))}")
+    }
+  }
+
+  private def subdirs(p: Path): Seq[String] =
+    if (!Files.exists(p)) Nil
+    else Files.list(p).iterator().asScala.toSeq
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+
+  /** Strip volatile fields recursively (Test.java:264-276). */
+  private def normalize(n: JsonNode): JsonNode = n match {
+    case o: ObjectNode =>
+      val c = o.deepCopy[ObjectNode]()
+      c.remove("_timestamp")
+      Js.fields(c).foreach { case (k, v) => c.set[JsonNode](k, normalize(v)) }
+      c
+    case other => other
+  }
+
+  private def sortKey(n: JsonNode): String = {
+    def f(name: String) =
+      Option(n.get(name)).map(_.asText()).getOrElse("")
+    val seq = Option(n.get("_seq")).map(s => f"${s.asLong()}%020d").getOrElse("")
+    s"${f("_id")}|$seq|${f("_corr")}|${n.hashCode()}"
+  }
+
+  private def toArr(ns: Seq[JsonNode]) = {
+    val a = Js.arr(); ns.foreach(a.add); a
+  }
+}

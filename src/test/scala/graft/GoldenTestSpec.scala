@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.GoldenTest
+
+/** Run the golden-folder applications under src/test/resources/goldapps —
+  * the same fixture convention as the reference's `test` command
+  * (docs/testing.md): stream+$match, aggregate with a JQ reducer, join
+  * part, and $lookup with a preloaded collection.
+  */
+class GoldenTestSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val root = "src/test/resources/goldapps"
+
+  private def check(app: String, strict: Boolean = false): Unit = {
+    val results = GoldenTest.run(spark, s"$root/$app", strict)
+    assert(results.nonEmpty, s"no expectations found for $app")
+    results.foreach(r => assert(r.ok, s"$app/${r.topic}: ${r.detail}"))
+  }
+
+  test("filter app matches golden outputs (strict)") {
+    check("filter", strict = true)
+  }
+
+  test("counter aggregate app matches golden outputs (lenient)") {
+    check("counter")
+  }
+
+  test("join app matches golden outputs (strict)") {
+    check("joined", strict = true)
+  }
+
+  test("lookup app with preloaded collection matches (strict)") {
+    check("lookup", strict = true)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.op.Env
+import graft.streaming.{AppRunner, GoldenTest, KafkaIo}
+
+/** CLI in the shape of the reference's commands (docs/cli.md):
+  *
+  *   run  -f app.yaml --kafka host:9092 [--config k=v ...]   run against Kafka
+  *   test -f appDir [--strict]                               golden-folder test
+  */
+object Run {
+
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse("help")
+    val opts = parseOpts(args.drop(1))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cmd match {
+      case "test" =>
+        val dir = opts("f")
+        val results =
+          GoldenTest.run(spark, dir, strict = opts.contains("strict"),
+            config = configOf(opts))
+        results.foreach(r =>
+          println(s"${if (r.ok) "PASS" else "FAIL"} ${r.topic}: ${r.detail}"))
+        if (results.exists(!_.ok)) sys.exit(1)
+
+      case "run" =>
+        val appFile = opts("f")
+        val appDir = Paths.get(appFile).toAbsolutePath.getParent
+        val io = new KafkaIo(opts.getOrElse("kafka", "localhost:9092"))
+        val env = Env(spark,
+          scripts = name => Files.readString(appDir.resolve(name)))
+        new AppRunner(spark, io, env, configOf(opts))
+          .run(Files.readString(Paths.get(appFile)))
+        spark.streams.awaitAnyTermination()
+
+      case other =>
+        System.err.println(
+          s"""usage: run -f app.yaml [--kafka host:port] [--config k=v ...]
+             |       test -f appDir [--strict]""".stripMargin)
+        sys.exit(if (other == "help") 0 else 2)
+    }
+    spark.stop()
+  }
+
+  private def parseOpts(args: Array[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i).stripPrefix("--").stripPrefix("-")
+      if (a == "strict") { out(a) = "true"; i += 1 }
+      else if (a == "config") {
+        val kv = args(i + 1).split("=", 2)
+        out(s"config:${kv(0)}") = kv(1); i += 2
+      } else { out(a) = args(i + 1); i += 2 }
+    }
+    out.toMap
+  }
+
+  private def configOf(opts: Map[String, String]): Map[String, String] =
+    opts.collect { case (k, v) if k.startsWith("config:") =>
+      k.stripPrefix("config:") -> v
+    }
+}

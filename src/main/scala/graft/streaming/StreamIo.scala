@@ -86,11 +86,22 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType])
     start(name, df)
 
   def start(name: String, df: DataFrame): StreamingQuery = {
-    val q = df.writeStream
+    // aggregating parts ($group/$bucket/$count) need update mode — the
+    // reference emits INCREMENTAL aggregation results per message
+    // (docs/aggregation_stages.md:37); update-per-micro-batch is the Spark
+    // equivalent (golden asserts are lenient-subset for this reason)
+    def startWith(mode: String) = df.writeStream
       .format("memory")
       .queryName(name.replaceAll("[^A-Za-z0-9_]", "_"))
-      .outputMode("append")
+      .outputMode(mode)
       .start()
+    val q =
+      try startWith("append")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("streaming aggregations") =>
+          startWith("update")
+      }
     queries += name -> q
     q
   }

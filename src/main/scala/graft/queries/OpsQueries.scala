@@ -123,6 +123,41 @@ object OpsQueries {
                 round_even(count(*)/60, 1) AS perSecond
          FROM events WHERE event_id<600 GROUP BY 1"""),
 
+    // -- date family over epoch-nanos events (parquet TIMESTAMP_NS read as
+    // long): daily rollup through $fromEpochNanos/$toDate
+    Q.pipe("q_events_daily", "events",
+      """[{"$addFields":{"day":{"$toDate":{"$fromEpochNanos":"$ts"}}}},
+          {"$group":{"_id":"$day","n":{"$count":{}},
+            "val_cents":{"$sum":{"$toLong":{"$round":{"$multiply":["$value",100]}}}}}}]""",
+      """SELECT strftime(ts, '%Y-%m-%d') AS _id, count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents
+         FROM events GROUP BY 1"""),
+
+    // -- the join part's relational shape: event-time interval join
+    // (login → purchase by the same user within an hour)
+    Q.fn("q_interval_join",
+      """SELECT a.event_id AS login_id, b.event_id AS purchase_id,
+                a.user_id
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_type = 'login' AND b.event_type = 'purchase'
+          AND epoch_ns(b.ts) >= epoch_ns(a.ts)
+          AND epoch_ns(b.ts) - epoch_ns(a.ts) <= 3600000000000""") {
+      (spark, sf) =>
+        import org.apache.spark.sql.functions._
+        val ev = graft.Tables.load(spark, sf, "events")
+        val logins = ev.where(col("event_type") === "login")
+          .select(col("event_id").as("login_id"),
+            col("user_id"), col("ts").as("lts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id"), col("ts").as("pts"))
+        logins.join(purchases, Seq("user_id"))
+          .where(col("pts") >= col("lts") &&
+            col("pts") - col("lts") <= 3600L * 1000 * 1000 * 1000)
+          .select(col("login_id"), col("purchase_id"), col("user_id"))
+    },
+
     // -- $signJwt: token embeds iat/exp → rows-only check; validity is
     // asserted in SideEffectsSpec with signature verification
     Q.fn("q_signjwt", null) { (spark, sf) =>

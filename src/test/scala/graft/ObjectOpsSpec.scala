@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.op.{Env, Pipeline}
+
+/** Object-family operators whose outputs (MapType) don't round-trip
+  * through the parquet-based oracle: $arrayToObject, nested $project
+  * inclusion, dotted $addFields/$unset.
+  */
+class ObjectOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val env = Env(spark)
+
+  test("$arrayToObject from [[k,v]...] and from [{k,v}...]") {
+    val df = Seq(Tuple1(1)).toDF("x")
+    val out = Pipeline.run(df,
+      """[{"$project":{
+           "m1":{"$arrayToObject":{"$literal":[["a",1],["b",2]]}},
+           "m2":{"$arrayToObject":[[{"k":"c","v":3}]]}}}]""", env)
+      .collect().head
+    // [["a",1]] has no common Spark element type → values coerce to string
+    // (use the {k,v} struct form to keep value types)
+    assert(out.getAs[Map[String, String]]("m1") ==
+      Map("a" -> "1", "b" -> "2"))
+    assert(out.getAs[Map[String, Long]]("m2") == Map("c" -> 3L))
+  }
+
+  test("$objectToArray/$arrayToObject round-trip") {
+    val df = Seq((7L, 9L)).toDF("a", "b")
+    val out = Pipeline.run(df,
+      """[{"$project":{"m":{"$arrayToObject":[{"$objectToArray":{"x":"$a","y":"$b"}}]}}}]""",
+      env).collect().head
+    assert(out.getAs[Map[String, Long]]("m") == Map("x" -> 7L, "y" -> 9L))
+  }
+
+  test("nested $project inclusion keeps structure") {
+    val df = Seq(("i1", "deep", 5)).toDF("_id", "tag", "n")
+    val out = Pipeline.run(df,
+      """[{"$addFields":{"sub":{"tag":"$tag","n":"$n"}}},
+          {"$project":{"sub.tag":1}}]""", env).collect().head
+    val sub = out.getAs[org.apache.spark.sql.Row]("sub")
+    assert(sub.schema.fieldNames.toSeq == Seq("tag"))
+    assert(sub.getString(0) == "deep")
+    assert(out.getAs[String]("_id") == "i1") // _id kept by default
+  }
+
+  test("dotted $addFields and $unset update nested fields") {
+    val df = Seq(("i1", 1, 2)).toDF("_id", "a", "b")
+    val out = Pipeline.run(df,
+      """[{"$addFields":{"sub":{"a":"$a","b":"$b"}}},
+          {"$addFields":{"sub.c":{"$add":["$sub.a","$sub.b"]}}},
+          {"$unset":"sub.a"}]""", env).collect().head
+    val sub = out.getAs[org.apache.spark.sql.Row]("sub")
+    assert(sub.schema.fieldNames.toSeq == Seq("b", "c"))
+    assert(sub.getInt(1) == 3)
+  }
+}

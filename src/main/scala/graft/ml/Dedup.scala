@@ -127,11 +127,11 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, embCol: String, idCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol), f64(col(embCol)).as("v"))
+    val v = normalized(df, embCol, idCol, "v")
     val a = v.select(col(idCol).as("id_a"), col("v").as("va"))
     val b = v.select(col(idCol).as("id_b"), col("v").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine6(col("va"), col("vb")))
+      .withColumn("cos", ndot6(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

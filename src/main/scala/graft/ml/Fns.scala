@@ -66,4 +66,19 @@ object Fns {
 
   /** Cosine rounded to 6 decimals: rank-stable across engines. */
   def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** Project (id, nv) where nv is the L2-normalized f64 embedding. Norms
+    * are computed ONCE per row (materialized column between selects), so
+    * pairwise similarity downstream is a plain dot product — at 100 TB the
+    * normalize pass is linear and the quadratic pair stage does 1/3 of the
+    * flops of cosine-per-pair.
+    */
+  def normalized(df: org.apache.spark.sql.DataFrame, embCol: String,
+      idCol: String, as: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), f64(col(embCol)).as("__e"))
+      .select(col(idCol), col("__e"), sqrt(dot(col("__e"), col("__e"))).as("__n"))
+      .select(col(idCol), transform(col("__e"), x => x / col("__n")).as(as))
+
+  /** Rounded dot product of pre-normalized vectors. */
+  def ndot6(a: Column, b: Column): Column = round(dot(a, b), 6)
 }

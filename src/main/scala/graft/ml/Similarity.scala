@@ -24,10 +24,12 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
       idCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nb_id"), f64(col(embCol)).as("vc"))
-    val q = queries.select(col(idCol).as("query_id"), f64(col(embCol)).as("vq"))
+    val c = normalized(corpus, embCol, idCol, "vc")
+      .withColumnRenamed(idCol, "nb_id")
+    val q = normalized(queries, embCol, idCol, "vq")
+      .withColumnRenamed(idCol, "query_id")
     val scored = q.join(c, col("query_id") =!= col("nb_id"))
-      .withColumn("cos", cosine6(col("vq"), col("vc")))
+      .withColumn("cos", ndot6(col("vq"), col("vc")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nb_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -40,12 +42,13 @@ object Similarity {
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame, embCol: String,
       idCol: String): DataFrame = {
-    val c = centroids.select(col(idCol).as("cell"), f64(col(embCol)).as("vcent"))
-    val v = corpus.select(col(idCol), f64(col(embCol)).as("v"))
+    val c = normalized(centroids, embCol, idCol, "vcent")
+      .withColumnRenamed(idCol, "cell")
+    val v = normalized(corpus, embCol, idCol, "v")
     val w = Window.partitionBy(idCol)
       .orderBy(col("ccos").desc, col("cell").asc)
     v.crossJoin(broadcast(c))
-      .withColumn("ccos", cosine6(col("v"), col("vcent")))
+      .withColumn("ccos", ndot6(col("v"), col("vcent")))
       .withColumn("r", row_number().over(w))
       .where(col("r") === 1)
       .select(col(idCol), col("cell"), col("v"))
@@ -60,12 +63,14 @@ object Similarity {
     val centroids = corpus.orderBy(col(idCol)).limit(nlist)
     val cells = assignCells(corpus, centroids, embCol, idCol)
       .withColumnRenamed(idCol, "nb_id")
-    val q = queries.select(col(idCol).as("query_id"), f64(col(embCol)).as("vq"))
-    val cent = centroids.select(col(idCol).as("cell"), f64(col(embCol)).as("vcent"))
+    val q = normalized(queries, embCol, idCol, "vq")
+      .withColumnRenamed(idCol, "query_id")
+    val cent = normalized(centroids, embCol, idCol, "vcent")
+      .withColumnRenamed(idCol, "cell")
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("cell").asc)
     val probed = q.crossJoin(broadcast(cent))
-      .withColumn("ccos", cosine6(col("vq"), col("vcent")))
+      .withColumn("ccos", ndot6(col("vq"), col("vcent")))
       .withColumn("pr", row_number().over(wProbe))
       .where(col("pr") <= nprobe)
       .select(col("query_id"), col("vq"), col("cell"))
@@ -73,7 +78,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("nb_id").asc)
     probed.join(cells, "cell")
       .where(col("query_id") =!= col("nb_id"))
-      .withColumn("cos", cosine6(col("vq"), col("v")))
+      .withColumn("cos", ndot6(col("vq"), col("v")))
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nb_id"), col("cos"))

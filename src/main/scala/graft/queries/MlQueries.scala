@@ -25,7 +25,16 @@ object MlQueries {
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(range(1,65), i -> $a[i]*$b[i]), (x,y)->x+y)"
   private def cosSql(a: String, b: String) =
-    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+    s"round(${dotSql(a, b)}, 6)" // over pre-normalized vectors
+  /** L2-normalized f64 embedding CTE column (mirrors Fns.normalized:
+    * norm materialized once per row, then element-wise divide).
+    */
+  private val normSql =
+    s"""list_transform(
+          list_transform(embedding, x -> x::DOUBLE),
+          x -> x / sqrt(${dotSql(
+      "list_transform(embedding, x -> x::DOUBLE)",
+      "list_transform(embedding, x -> x::DOUBLE)")}))"""
 
   val all: Seq[Q] = Seq(
     // -- exact deduplication: hash-groupBy, deterministic winner
@@ -92,7 +101,7 @@ object MlQueries {
 
     // -- embedding-cosine near-dup pairs
     Q.fn("q_dedup_embedding",
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) AS e
+      s"""WITH v AS (SELECT vec_id, $normSql AS e
                      FROM embeddings WHERE vec_id<300)
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  ${cosSql("a.e", "b.e")} AS cos
@@ -105,7 +114,7 @@ object MlQueries {
 
     // -- brute-force cosine top-k (exact ANN baseline)
     Q.fn("q_knn_brute",
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) AS e
+      s"""WITH v AS (SELECT vec_id, $normSql AS e
                      FROM embeddings),
                q AS (SELECT vec_id AS query_id, e AS vq FROM v WHERE vec_id<10),
                scored AS (SELECT query_id, v.vec_id AS nb_id,
@@ -123,7 +132,7 @@ object MlQueries {
 
     // -- IVF ANN: 8 deterministic centroids, probe 2 cells, top-3 within
     Q.fn("q_knn_ivf",
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x->x::DOUBLE) AS e
+      s"""WITH v AS (SELECT vec_id, $normSql AS e
                      FROM embeddings),
                cent AS (SELECT vec_id AS cell, e AS vcent FROM v WHERE vec_id<8),
                asg AS (SELECT vec_id, cell, e, row_number() OVER

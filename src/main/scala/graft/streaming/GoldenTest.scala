@@ -64,7 +64,7 @@ object GoldenTest {
     val preloads = subdirs(dir.resolve("test/preload"))
       .map(t => t -> readDir(dir.resolve(s"test/preload/$t"))).toMap
 
-    var sinks = Map.empty[String, DataFrame]
+    var sinks = Map.empty[String, (String, DataFrame)]
     val io = new Io {
       def source(spark: SparkSession, kind: String, name: String): DataFrame =
         kind match {
@@ -72,7 +72,7 @@ object GoldenTest {
           case _       => messageDf(collSources.getOrElse(name, Nil))
         }
       def sink(kind: String, name: String, df: DataFrame,
-          asString: Boolean): Unit = sinks += name -> df
+          asString: Boolean): Unit = sinks += name -> (kind, df)
     }
     val env = Env(spark,
       collection = name => {
@@ -85,13 +85,26 @@ object GoldenTest {
     val streams =
       new AppRunner(spark, io, env, config).run(Files.readString(appFile))
 
-    def collectOut(name: String): Seq[JsonNode] =
-      sinks.get(name).orElse(streams.get(name)).map { df =>
+    def collectOut(name: String): Seq[JsonNode] = {
+      val (kind, df) = sinks.get(name)
+        .orElse(streams.get(name).map("topic" -> _))
+        .getOrElse(return Nil)
+      val docs =
         if (df.columns.toSet == Set("key", "value"))
           df.select("value").collect().map(r => Js.parse(r.getString(0))).toSeq
-        else
-          df.toJSON.collect().map(Js.parse).toSeq
-      }.getOrElse(Nil)
+        else df.toJSON.collect().map(Js.parse).toSeq
+      if (kind != "collection") docs
+      else {
+        // toCollection is an upsert by _id (docs/streams.md:50,
+        // Common.java:912-924): last write per key wins
+        val byId = scala.collection.mutable.LinkedHashMap[String, JsonNode]()
+        docs.foreach { d =>
+          val id = Option(d.get("_id")).map(_.asText()).getOrElse(d.toString)
+          byId(id) = d
+        }
+        byId.values.toSeq
+      }
+    }
 
     val expectations =
       subdirs(dir.resolve("test/topics/to")).map(t =>

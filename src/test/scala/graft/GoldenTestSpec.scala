@@ -34,4 +34,8 @@ class GoldenTestSpec extends AnyFunSuite {
   test("lookup app with preloaded collection matches (strict)") {
     check("lookup", strict = true)
   }
+
+  test("toCollection upserts by _id, last write wins (strict)") {
+    check("upsert", strict = true)
+  }
 }

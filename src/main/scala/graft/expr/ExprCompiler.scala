@@ -399,13 +399,17 @@ object ExprCompiler {
 
       // ---- type (:1092-1159) ----
       case "$convert" =>
+        // onNull fires for null input; onError for a failed conversion
+        // (non-ANSI cast → null) — distinct fallbacks in Mongo
         val input = compile(n.get("input"), ctx)
         val to = n.get("to").asText()
         val converted = convertTo(input, to, ctx)
-        val withNull =
-          if (n.has("onNull")) coalesce(converted, compile(n.get("onNull"), ctx))
+        val onError =
+          if (n.has("onError")) coalesce(converted, compile(n.get("onError"), ctx))
           else converted
-        withNull
+        if (n.has("onNull"))
+          when(input.isNull, compile(n.get("onNull"), ctx)).otherwise(onError)
+        else onError
       case "$toBool"    => toBool(a0, ctx)
       case "$toDecimal" => a0.cast(DecimalType(38, 18))
       case "$toDouble"  => a0.cast(DoubleType)

@@ -73,7 +73,7 @@ object Stages {
     case "$send" => // dynamic topic routing: sink honors per-row `_topic`
       df => df.withColumn("_topic", expr(df, spec.get("topic")).cast(StringType))
     case "$redact"   => df => Redact(df, spec)
-    case "$validate" => df => Validate(df, spec)
+    case "$validate" => df => Validate(df, Validate.resolve(spec, env.scripts))
     case "$merge"    => df => merge(df, spec, env)
     case "$out" =>
       df => { env.sink(spec.asText(), df); df }

@@ -18,6 +18,29 @@ import graft.expr.QueryCompiler
   */
 object Validate {
 
+  /** Resolve a validator spec: filename → load; `include` files merge
+    * their conditions into the including validator (docs/validator.md:76+).
+    */
+  def resolve(spec: JsonNode, scripts: String => String): JsonNode = {
+    val node =
+      if (spec.isTextual) graft.json.Js.parseYaml(scripts(spec.asText()))
+      else spec
+    if (!node.has("include")) node
+    else {
+      val out = graft.json.Js.obj()
+      val conds = graft.json.Js.arr()
+      graft.json.Js.elems(node.get("include")).foreach { inc =>
+        val sub = resolve(inc, scripts)
+        Option(sub.get("conditions"))
+          .foreach(cs => graft.json.Js.elems(cs).foreach(conds.add))
+      }
+      Option(node.get("conditions"))
+        .foreach(cs => graft.json.Js.elems(cs).foreach(conds.add))
+      out.set[JsonNode]("conditions", conds)
+      out
+    }
+  }
+
   def apply(df: DataFrame, spec: JsonNode): DataFrame = {
     val ctx = Stages.ctxOf(df)
     val conds = Js.elems(spec.get("conditions"))

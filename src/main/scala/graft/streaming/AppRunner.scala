@@ -125,10 +125,23 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
       case "aggregate" =>
         val aggType = part.get("aggregateType").asText()
         val commands = io.source(spark, "topic", s"$aggType-command")
-        val pre =
+        val aggPre =
           if (part.has("preprocessor"))
             Pipeline.compile(part.get("preprocessor"), env)(commands)
           else commands
+        // command-level preprocessors (docs/state.md:61): the pipeline
+        // applies only to commands with that name; others pass through
+        val pre = Option(part.get("commands")).map { cmds =>
+          Js.fields(cmds).foldLeft(aggPre) {
+            case (df, (cmdName, cmdSpec)) if cmdSpec.has("preprocessor") =>
+              val matching = df.where(col("_command") === cmdName)
+              val others = df.where(col("_command") =!= cmdName ||
+                col("_command").isNull)
+              Pipeline.compile(cmdSpec.get("preprocessor"), env)(matching)
+                .unionByName(others, allowMissingColumns = true)
+            case (df, _) => df
+          }
+        }.getOrElse(aggPre)
         val keyOverride = Option(part.get("uniqueExpression"))
           .map(e => Stages.expr(pre, e))
         val out = AggregatePart(pre, AggregateLogic.Config(
@@ -209,7 +222,8 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
   private def readValidators(part: JsonNode): Map[String, JsonNode] =
     Option(part.get("commands")).map { cmds =>
       Js.fields(cmds).flatMap { case (cmdName, cmdSpec) =>
-        Option(cmdSpec.get("validator")).map(v => cmdName -> v)
+        Option(cmdSpec.get("validator"))
+          .map(v => cmdName -> graft.op.Validate.resolve(v, env.scripts))
       }.toMap
     }.getOrElse(Map.empty)
 }

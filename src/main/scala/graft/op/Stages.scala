@@ -67,7 +67,9 @@ object Stages {
       df => df.agg(count(lit(1)).as(spec.asText()))
     case "$lookup"      => df => lookup(df, spec, env)
     case "$deduplicate" => df => deduplicate(df, spec)
-    case "$per"         => df => per(df, spec)
+    case "$per" => df =>
+      if (df.isStreaming) graft.streaming.PerStage(df, spec)
+      else per(df, spec)
     case "$setKey" =>
       df => df.withColumn("_key", expr(df, spec).cast(StringType))
     case "$send" => // dynamic topic routing: sink honors per-row `_topic`

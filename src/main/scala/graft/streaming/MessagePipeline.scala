@@ -67,6 +67,7 @@ object MessagePipeline {
             coalesce(get_json_object(col("value"), "$._id"), col("key")))
       }
     case "$trace" | "$log" | "$throttle" => df => df
+    case "$per" => df => PerStage(df, spec)
     case "$deduplicate" =>
       df => {
         val e = ExprCompiler.compile(spec.get("expression"), ctxOf(df))

@@ -46,6 +46,20 @@ class ObjectOpsSpec extends AnyFunSuite {
     assert(out.getAs[String]("_id") == "i1") // _id kept by default
   }
 
+  test("$group with an object _id groups by multiple keys") {
+    val df = Seq(("F", "O", 1), ("F", "O", 2), ("F", "N", 5), ("R", "O", 7))
+      .toDF("f", "s", "q")
+    val out = Pipeline.run(df,
+      """[{"$group":{"_id":{"flag":"$f","status":"$s"},
+                     "total":{"$sum":"$q"}}}]""", env)
+      .collect()
+      .map { r =>
+        val id = r.getAs[org.apache.spark.sql.Row]("_id")
+        ((id.getString(0), id.getString(1)), r.getAs[Long]("total"))
+      }.toMap
+    assert(out == Map(("F", "O") -> 3L, ("F", "N") -> 5L, ("R", "O") -> 7L))
+  }
+
   test("dotted $addFields and $unset update nested fields") {
     val df = Seq(("i1", 1, 2)).toDF("_id", "a", "b")
     val out = Pipeline.run(df,

@@ -355,15 +355,19 @@ object Stages {
         (struct(pairs.map(_._1): _*), struct(pairs.map(_._2): _*))
       }
 
+    // No forced broadcast hint: Catalyst broadcasts automatically when the
+    // foreign side fits under autoBroadcastJoinThreshold (parquet size
+    // stats), and falls back to a shuffled join for big dimensions — the
+    // probe side is never regrouped either way.
     if (unwindAs) {
       val matched = from.select(buildKey.as("__k"), struct(from.columns.map(from.col): _*).as(as))
-      df.join(broadcast(matched), probeKey === col("__k"), "inner").drop("__k")
+      df.join(matched, probeKey === col("__k"), "inner").drop("__k")
     } else {
       val grouped = from
         .groupBy(buildKey.as("__k"))
         .agg(collect_list(struct(from.columns.map(from.col): _*)).as(as))
       val joined =
-        df.join(broadcast(grouped), probeKey === col("__k"),
+        df.join(grouped, probeKey === col("__k"),
           if (inner) "inner" else "left_outer").drop("__k")
       if (inner) joined
       else {

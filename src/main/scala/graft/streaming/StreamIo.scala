@@ -43,7 +43,8 @@ final class KafkaIo(bootstrap: String,
   /** Kafka sink shape: key from `_key`/`_id`, value = JSON of the rest;
     * `$send`'s per-row `_topic` column is honored natively by the sink.
     */
-  private def toKafkaShape(df: DataFrame, asString: Boolean): DataFrame = {
+  private[graft] def toKafkaShape(df: DataFrame,
+      asString: Boolean): DataFrame = {
     val keyCol =
       if (df.columns.contains("_key")) col("_key")
       else if (df.columns.contains("_id")) col("_id").cast("string")

@@ -46,12 +46,15 @@ final class VariantDoc(v: Column) extends DocModel {
     val t =
       if (hint == null) null
       else if (hint.isTextual) "string"
-      else if (hint.isIntegralNumber) "bigint"
+      // all numerics extract as double: Mongo compares int/double within
+      // one numeric bracket (exact for |n| <= 2^53)
       else if (hint.isNumber) "double"
       else if (hint.isBoolean) "boolean"
       else null
     if (t == null) path(p)
-    else call_function("variant_get", v, lit("$." + p), lit(t))
+    // try_variant_get: a type mismatch is "no match" (null), Mongo-style,
+    // not an error
+    else call_function("try_variant_get", v, lit("$." + p), lit(t))
   }
   def root: Column = v
 }

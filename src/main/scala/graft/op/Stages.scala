@@ -170,14 +170,19 @@ object Stages {
     case "$throttle" => df => df
     // $probe (docs/aggregation_stages.md:413-466): per-minute counts to a
     // topic; passthrough output.
-    case "$probe" => df => {
-      val minute = (unix_millis(current_timestamp()) / 60000L).cast(LongType)
-      env.sink(spec.get("topic").asText(),
-        df.groupBy(minute.as("minute"))
-          .agg(count(lit(1)).as("count"))
-          .withColumn("name", lit(spec.get("name").asText())))
-      df
-    }
+    case "$probe" => df =>
+      if (df.isStreaming)
+        // observed metrics surface per micro-batch through
+        // StreamingQueryListener, which forwards them to the probe topic
+        df.observe(spec.get("name").asText(), count(lit(1)).as("count"))
+      else {
+        val minute = (unix_millis(current_timestamp()) / 60000L).cast(LongType)
+        env.sink(spec.get("topic").asText(),
+          df.groupBy(minute.as("minute"))
+            .agg(count(lit(1)).as("count"))
+            .withColumn("name", lit(spec.get("name").asText())))
+        df
+      }
     case other =>
       throw new IllegalArgumentException(s"unsupported stage $other")
   }

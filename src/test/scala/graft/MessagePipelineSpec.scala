@@ -41,6 +41,23 @@ class MessagePipelineSpec extends AnyFunSuite {
     io.stopAll()
   }
 
+  test("variant numeric match crosses int/double representations") {
+    val dir = Files.createTempDirectory("graft-msg3").toString
+    write(dir, "n", "m1", """{"_id":"a","v":10.5}""")
+    write(dir, "n", "m2", """{"_id":"b","v":3}""")
+    write(dir, "n", "m3", """{"_id":"c","v":"not-a-number"}""")
+    val io = new FileStreamIo(dir, Map.empty)
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"m3","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"n","toTopic":"out_msg3",
+            "pipeline":[{"$match":{"v":{"$gt":5}}}]}]}""")
+    io.processAll()
+    // 10.5 (double) matches the int literal 5; the string is excluded
+    val rows = spark.table("out_msg3").collect()
+    assert(rows.map(_.getAs[String]("key")).toSeq == Seq("a"))
+    io.stopAll()
+  }
+
   test("schemaless merge + dedup by expression") {
     val dir = Files.createTempDirectory("graft-msg2").toString
     write(dir, "t1", "m1", """{"_id":"a","corr":"c1"}""")

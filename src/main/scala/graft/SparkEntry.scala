@@ -11,7 +11,7 @@ object SparkEntry {
     CoreQueries.all ++ ExprQueries.all ++ MlQueries.all ++ OpsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * revenue by order priority for high-discount FR-supplied lineitems —
+    * revenue by order priority for high-discount lineitems —
     * $match → $lookup(unwind) → $group through the pipeline compiler.
     */
   def entry(spark: SparkSession): DataFrame = {

@@ -57,9 +57,14 @@ object Fns {
     */
   def f64(emb: Column): Column = transform(emb, x => x.cast(DoubleType))
 
-  /** Sequential-order dot product (zip_with + left fold). */
+  /** Sequential-order dot product: a native codegen'd Expression
+    * (graft.expr.catalyst.DotProduct, registered per session by
+    * Q.session/GraftFunctions) — Spark's HOF chain (zip_with+aggregate)
+    * is CodegenFallback and interprets per element. Same summation order,
+    * bit-identical results.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    call_function("dot_product", a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

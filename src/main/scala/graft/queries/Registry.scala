@@ -22,6 +22,7 @@ object Q {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.expr.catalyst.GraftFunctions.register(spark)
   }
 
   def pipe(name: String, table: String, pipelineJson: String,

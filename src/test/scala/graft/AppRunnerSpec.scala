@@ -16,6 +16,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.expr.catalyst.GraftFunctions.register(s)
     s
   }
 }

@@ -38,4 +38,8 @@ class GoldenTestSpec extends AnyFunSuite {
   test("toCollection upserts by _id, last write wins (strict)") {
     check("upsert", strict = true)
   }
+
+  test("merge + validate + dynamic $send routing (lenient)") {
+    check("mergesend")
+  }
 }

@@ -46,6 +46,21 @@ class ObjectOpsSpec extends AnyFunSuite {
     assert(out.getAs[String]("_id") == "i1") // _id kept by default
   }
 
+  test("query $elemMatch with a sub-query over array-of-struct fields") {
+    val df = Seq(
+      ("d1", Seq(("a", 1), ("b", 9))),
+      ("d2", Seq(("a", 3))),
+      ("d3", Seq[(String, Int)]()))
+      .toDF("_id", "raw")
+      .withColumn("items", org.apache.spark.sql.functions.expr(
+        "transform(raw, x -> named_struct('name', x._1, 'qty', x._2))"))
+      .drop("raw")
+    val out = Pipeline.run(df,
+      """[{"$match":{"items":{"$elemMatch":{"name":"a","qty":{"$gte":2}}}}}]""",
+      env)
+    assert(out.select("_id").collect().map(_.getString(0)).toSeq == Seq("d2"))
+  }
+
   test("$group with an object _id groups by multiple keys") {
     val df = Seq(("F", "O", 1), ("F", "O", 2), ("F", "N", 5), ("R", "O", 7))
       .toDF("f", "s", "q")

@@ -288,7 +288,16 @@ object Stages {
       case "$push"      => collect_list(c)
       case "$addToSet"  => array_sort(collect_set(c))
       case "$stdDevPop" => stddev_pop(c)
-      case "$mergeObjects" => last(c) // approximation: last-wins whole object
+      case "$mergeObjects" =>
+        // Mongo merges documents field-wise, ignoring null/missing fields
+        // — for a struct, that is last-non-null per field
+        ctxOf(df).typeOf(c) match {
+          case st: StructType =>
+            struct(st.fields.map(f =>
+              last(c.getField(f.name), ignoreNulls = true).as(f.name))
+              .toIndexedSeq: _*)
+          case _ => last(c)
+        }
       case other =>
         throw new IllegalArgumentException(s"unsupported accumulator $other")
     }

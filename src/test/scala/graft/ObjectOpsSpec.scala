@@ -75,6 +75,21 @@ class ObjectOpsSpec extends AnyFunSuite {
     assert(out == Map(("F", "O") -> 3L, ("F", "N") -> 5L, ("R", "O") -> 7L))
   }
 
+  test("$mergeObjects accumulator merges field-wise, ignoring nulls") {
+    // each field is non-null in exactly one row → result is order-independent
+    val df = Seq(
+      ("g", Some(1), None: Option[String]),
+      ("g", None: Option[Int], Some("x")))
+      .toDF("k", "a", "b")
+    val out = Pipeline.run(df,
+      """[{"$addFields":{"o":{"a":"$a","b":"$b"}}},
+          {"$group":{"_id":"$k","merged":{"$mergeObjects":"$o"}}}]""", env)
+      .collect().head
+    val merged = out.getAs[org.apache.spark.sql.Row]("merged")
+    assert(merged.getAs[Int]("a") == 1)
+    assert(merged.getAs[String]("b") == "x")
+  }
+
   test("dotted $addFields and $unset update nested fields") {
     val df = Seq(("i1", 1, 2)).toDF("_id", "a", "b")
     val out = Pipeline.run(df,

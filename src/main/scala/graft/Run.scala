@@ -38,8 +38,15 @@ object Run {
       case "run" =>
         val appFile = opts("f")
         val appDir = Paths.get(appFile).toAbsolutePath.getParent
-        val io = new KafkaIo(opts.getOrElse("kafka", "localhost:9092"))
+        val kafka = new KafkaIo(opts.getOrElse("kafka", "localhost:9092"))
+        // --collections <dir>: file-backed collections (upsert parquet);
+        // without it, collection edges fail fast
+        val io = opts.get("collections")
+          .map(root => new graft.streaming.ParquetCollectionIo(
+            spark, root, kafka): graft.streaming.Io)
+          .getOrElse(kafka)
         val env = Env(spark,
+          collection = name => io.source(spark, "collection", name),
           scripts = name => Files.readString(appDir.resolve(name)))
         new AppRunner(spark, io, env, configOf(opts))
           .run(Files.readString(Paths.get(appFile)))

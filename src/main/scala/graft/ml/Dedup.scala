@@ -102,11 +102,25 @@ object Dedup {
     * explode distinct shingles, self-join on shingle, count shared, then
     * |A∩B| / (|A|+|B|-|A∩B|). No all-pairs product; shuffle on shingle.
     */
+  /** `maxDocFreq` (optional) drops shingles present in more than that
+    * many documents before the pair join — the standard guard against
+    * stopword-shingle skew: one hot shingle otherwise contributes
+    * O(docFreq^2) join rows. Changes candidate recall, so it is off by
+    * default (the oracle checks the exact variant).
+    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val sh = df
+      k: Int = 3, threshold: Double = 0.2,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val shAll = df
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), explode(shingles(col("__t"), k)).as("sh"))
+    val sh = maxDocFreq match {
+      case None => shAll
+      case Some(cap) =>
+        val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("sh")
+        shAll.join(hot, Seq("sh"), "left_anti")
+    }
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val shared = sh.as("a").join(sh.as("b"), "sh")
       .where(col(s"a.$idCol") < col(s"b.$idCol"))

@@ -75,6 +75,24 @@ class ObjectOpsSpec extends AnyFunSuite {
     assert(out == Map(("F", "O") -> 3L, ("F", "N") -> 5L, ("R", "O") -> 7L))
   }
 
+  test("$redact $$KEEP stops recursion and keeps the subtree") {
+    val df = Seq(
+      ("d1", "open", "secret-inner"),
+      ("d2", "locked", "secret-inner"))
+      .toDF("_id", "mode", "inner")
+    val out = Pipeline.run(df,
+      """[{"$addFields":{"sub":{"mode":"$mode","inner":"$inner"}}},
+          {"$redact":{"$switch":{"branches":[
+             {"case":{"$eq":["$mode","open"]},"then":"$$KEEP"},
+             {"case":{"$eq":["$mode","locked"]},"then":"$$PRUNE"}],
+             "default":"$$DESCEND"}}}]""", env).collect()
+    // d2 pruned entirely; d1 kept whole including the nested subtree
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("_id") == "d1")
+    assert(out.head.getAs[org.apache.spark.sql.Row]("sub")
+      .getAs[String]("inner") == "secret-inner")
+  }
+
   test("$mergeObjects accumulator merges field-wise, ignoring nulls") {
     // each field is non-null in exactly one row → result is order-independent
     val df = Seq(

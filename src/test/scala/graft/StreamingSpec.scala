@@ -71,6 +71,30 @@ class StreamingSpec extends AnyFunSuite {
     io.stopAll()
   }
 
+  test("streaming $lookup joins a static collection") {
+    val dir = Files.createTempDirectory("graft-slookup").toString
+    write(dir, "lin", "m1", """{"_id":"m1","dim":"d1"}""")
+    write(dir, "lin", "m2", """{"_id":"m2","dim":"d9"}""")
+    val io = new FileStreamIo(dir,
+      Map("lin" -> ddl("_id string, dim string")))
+    import spark.implicits._
+    val dims = Seq(("d1", "first")).toDF("k", "label")
+    val env = Env(spark, collection = { case "dims" => dims })
+    new AppRunner(spark, io, env).run(
+      """{"application":"sl","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"lin","toTopic":"out_sl",
+            "pipeline":[
+              {"$lookup":{"from":"dims","localField":"dim","foreignField":"k",
+                          "as":"d","unwind":true}},
+              {"$project":{"_id":1,"label":"$d.label"}}]}]}""")
+    io.processAll()
+    val rows = spark.table("out_sl").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // inner join: the unmatched message drops
+    assert(rows.toSeq == Seq(("m1", "first")))
+    io.stopAll()
+  }
+
   test("streaming merge + chained stream parts") {
     val dir = Files.createTempDirectory("graft-merge").toString
     write(dir, "t1", "m1", """{"_id":"a","v":1}""")

@@ -143,8 +143,38 @@ object ExprCompiler {
     if (isTimestampLike(c, ctx)) c.cast(TimestampType)
     else to_timestamp(c)
 
+  private val numericOps = Set(
+    "$abs", "$add", "$ceil", "$divide", "$exp", "$floor", "$ln", "$log",
+    "$log10", "$mod", "$multiply", "$pow", "$round", "$sqrt", "$subtract",
+    "$trunc", "$acos", "$acosh", "$asin", "$asinh", "$atan", "$atan2",
+    "$atanh", "$cos", "$cosh", "$degreesToRadians", "$radiansToDegrees",
+    "$sin", "$sinh", "$tan", "$tanh", "$toDouble")
+  private val stringOps = Set(
+    "$concat", "$toLower", "$toUpper", "$strLenCP", "$substrCP",
+    "$indexOfCP", "$split", "$strcasecmp", "$base64Encode", "$toString",
+    "$uriDecode", "$uriEncode")
+  private val comparisonOps =
+    Set("$cmp", "$eq", "$gt", "$gte", "$lt", "$lte", "$ne")
+
+  /** Variant (schemaless) operands coerce to the type the operator
+    * family expects; for comparisons, to the other operand's type.
+    */
   private def compileOp(op: String, n: JsonNode, ctx: Ctx): Column = {
-    lazy val as = argList(n, ctx)
+    def isVariant(c: Column): Boolean =
+      ctx.typeOf(c).typeName == "variant"
+    lazy val as = {
+      val raw = argList(n, ctx)
+      if (numericOps(op))
+        raw.map(c => if (isVariant(c)) c.cast(DoubleType) else c)
+      else if (stringOps(op))
+        raw.map(c => if (isVariant(c)) c.cast(StringType) else c)
+      else if (comparisonOps(op) && raw.size == 2) {
+        val Seq(l, r) = raw
+        if (isVariant(l) && !isVariant(r)) Seq(l.cast(ctx.typeOf(r)), r)
+        else if (!isVariant(l) && isVariant(r)) Seq(l, r.cast(ctx.typeOf(l)))
+        else raw
+      } else raw
+    }
     lazy val a0 = as.head
     lazy val a1 = as(1)
 

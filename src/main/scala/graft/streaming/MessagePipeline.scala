@@ -68,6 +68,61 @@ object MessagePipeline {
       }
     case "$trace" | "$log" | "$throttle" => df => df
     case "$per" => df => PerStage(df, spec)
+    // structural edits on schemaless messages: the new value is computed
+    // columnar (variant expressions), then spliced into the JSON text
+    case "$addFields" | "$set" => df =>
+      Js.fields(spec).foldLeft(df) { case (d, (path, v)) =>
+        val computed = ExprCompiler.compile(v, ctxOf(d))
+        d.withColumn("value",
+          setField(col("value"), lit(path), wrapJson(computed)))
+      }
+    case "$unset" => df => {
+      val paths =
+        if (spec.isArray) Js.elems(spec).map(_.asText())
+        else Seq(spec.asText())
+      val rm = udf((json: String, path: String) => {
+        val root = Js.parse(json)
+        removeAt(root, path.split("\\.").toList)
+        Js.render(root)
+      })
+      paths.foldLeft(df)((d, p) =>
+        d.withColumn("value", rm(col("value"), lit(p))))
+    }
+    case "$replaceRoot" | "$replaceWith" => df => {
+      val target = if (name == "$replaceRoot") spec.get("newRoot") else spec
+      val c = ExprCompiler.compile(target, ctxOf(df))
+      // a variant subtree serializes straight back to JSON text
+      df.withColumn("value", to_json(c))
+    }
+    case "$project" => df => {
+      val entries = Js.fields(spec)
+      def flag(n: JsonNode, v: Boolean) =
+        (n.isBoolean && n.asBoolean() == v) ||
+          (n.isNumber && (n.asDouble() != 0) == v)
+      if (entries.forall { case (k, v) =>
+        flag(v, false) || (k == "_id" && flag(v, true))
+      }) // exclusion mode → repeated $unset
+        entries.filter(e => flag(e._2, false)).map(_._1).foldLeft(df) {
+          (d, p) => compileStage("$unset", Js.parse("\"" + p + "\""), env)(d)
+        }
+      else {
+        val keep = entries.filter { case (k, v) => !flag(v, false) }
+        val build = keep.foldLeft(
+          lit("""{}""").as("value"): org.apache.spark.sql.Column) {
+          case (acc, (path, v)) =>
+            val computed =
+              if (flag(v, true)) ExprCompiler.compile(
+                Js.parse("\"$" + path + "\""), ctxOf(df))
+              else ExprCompiler.compile(v, ctxOf(df))
+            setField(acc, lit(path), wrapJson(computed))
+        }
+        val withId =
+          if (entries.exists(_._1 == "_id")) build
+          else setField(build, lit("_id"),
+            wrapJson(ExprCompiler.compile(Js.parse("\"$_id\""), ctxOf(df))))
+        df.withColumn("value", withId)
+      }
+    }
     case "$deduplicate" =>
       df => {
         val e = ExprCompiler.compile(spec.get("expression"), ctxOf(df))
@@ -78,5 +133,49 @@ object MessagePipeline {
       throw new IllegalArgumentException(
         s"stage $other needs a typed schema: declare one for the topic " +
           "or transform with $jq")
+  }
+
+  /** JSON text of a computed column, whatever its type: to_json needs a
+    * container, so wrap in a single-field struct and unwrap in the splice.
+    */
+  private def wrapJson(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    to_json(struct(c.as("v")))
+
+  /** Splice `{"v": <json>}`-wrapped values into the message at a dotted
+    * path (missing intermediate objects are created).
+    */
+  private val setField =
+    udf((json: String, path: String, wrapped: String) => {
+      val root = Js.parse(json) match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+        case _ => Js.obj()
+      }
+      val value = Js.parse(wrapped).get("v")
+      val parts = path.split("\\.")
+      var cur = root
+      parts.init.foreach { p =>
+        cur = Option(cur.get(p)) match {
+          case Some(o: com.fasterxml.jackson.databind.node.ObjectNode) => o
+          case _ =>
+            val o = Js.obj()
+            cur.set[com.fasterxml.jackson.databind.JsonNode](p, o)
+            o
+        }
+      }
+      if (value == null) cur.remove(parts.last)
+      else cur.set[com.fasterxml.jackson.databind.JsonNode](parts.last, value)
+      Js.render(root)
+    })
+
+  private def removeAt(n: JsonNode, path: List[String]): Unit = n match {
+    case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+      path match {
+        case last :: Nil => o.remove(last)
+        case head :: tail =>
+          Option(o.get(head)).foreach(removeAt(_, tail))
+        case Nil =>
+      }
+    case _ =>
   }
 }

@@ -58,6 +58,44 @@ class MessagePipelineSpec extends AnyFunSuite {
     io.stopAll()
   }
 
+  test("schemaless $addFields/$unset/$project/$replaceRoot") {
+    val dir = Files.createTempDirectory("graft-msg4").toString
+    write(dir, "e", "m1",
+      """{"_id":"a","v":4,"drop":true,"sub":{"x":1,"keep":"yes"}}""")
+    val io = new FileStreamIo(dir, Map.empty)
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"m4","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"e","toTopic":"out_m4",
+            "pipeline":[
+              {"$addFields":{"v10":{"$multiply":["$v",10]},
+                             "sub.y":2}},
+              {"$unset":["drop","sub.x"]},
+              {"$project":{"v10":1,"sub":1,
+                           "tag":{"$concat":["t-","$_id"]}}}]}]}""")
+    io.processAll()
+    val v = Js.parse(spark.table("out_m4").collect().head.getAs[String]("value"))
+    assert(v.get("v10").asLong() == 40)
+    assert(v.get("tag").asText() == "t-a")
+    assert(v.get("_id").asText() == "a") // kept by default
+    assert(!v.has("v") && !v.has("drop"))
+    assert(v.get("sub").get("y").asInt() == 2)
+    assert(!v.get("sub").has("x"))
+    assert(v.get("sub").get("keep").asText() == "yes")
+    io.stopAll()
+
+    val dir2 = Files.createTempDirectory("graft-msg5").toString
+    write(dir2, "r", "m1", """{"_id":"b","sub":{"p":7}}""")
+    val io2 = new FileStreamIo(dir2, Map.empty)
+    new AppRunner(spark, io2, Env(spark)).run(
+      """{"application":"m5","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"r","toTopic":"out_m5",
+            "pipeline":[{"$replaceWith":"$sub"}]}]}""")
+    io2.processAll()
+    val v2 = Js.parse(spark.table("out_m5").collect().head.getAs[String]("value"))
+    assert(v2.get("p").asInt() == 7 && !v2.has("_id"))
+    io2.stopAll()
+  }
+
   test("schemaless merge + dedup by expression") {
     val dir = Files.createTempDirectory("graft-msg2").toString
     write(dir, "t1", "m1", """{"_id":"a","corr":"c1"}""")

@@ -129,6 +129,39 @@ object MessagePipeline {
         df.withColumn("__dedup", e.cast(StringType))
           .dropDuplicates("__dedup").drop("__dedup")
       }
+    // schemaless $group: group key and accumulator inputs extract from
+    // the variant; output messages are {_id, <accumulators>} JSON
+    case "$group" => df => {
+      val ctx = ctxOf(df)
+      val idNode = spec.get("_id")
+      val id =
+        if (idNode == null || idNode.isNull) lit(null).cast(StringType)
+        else ExprCompiler.compile(idNode, ctx).cast(StringType)
+      val aggs = Js.fields(spec).collect {
+        case (field, v) if field != "_id" =>
+          val (op, arg) = Js.asOp(v).getOrElse(
+            throw new IllegalArgumentException(s"accumulator for $field"))
+          val c = ExprCompiler.compile(arg, ctx)
+          val typed =
+            if (ctx.typeOf(c).typeName == "variant") c.cast("double") else c
+          (op match {
+            case "$sum"   => sum(typed)
+            case "$avg"   => avg(typed)
+            case "$min"   => min(typed)
+            case "$max"   => max(typed)
+            case "$count" => count(lit(1))
+            case "$push"  => collect_list(typed.cast(StringType))
+            case "$addToSet" =>
+              array_sort(collect_set(typed.cast(StringType)))
+            case other =>
+              throw new IllegalArgumentException(
+                s"accumulator $other in schemaless mode")
+          }).as(field)
+      }
+      val grouped = df.groupBy(id.as("_id")).agg(aggs.head, aggs.tail: _*)
+      grouped.select(col("_id").as("key"),
+        to_json(struct(grouped.columns.map(col): _*)).as("value"))
+    }
     case other =>
       throw new IllegalArgumentException(
         s"stage $other needs a typed schema: declare one for the topic " +

@@ -96,6 +96,29 @@ class MessagePipelineSpec extends AnyFunSuite {
     io2.stopAll()
   }
 
+  test("schemaless $group emits incremental aggregates") {
+    val dir = Files.createTempDirectory("graft-msg6").toString
+    write(dir, "g", "m1", """{"_id":"a","item":"x","qty":2}""")
+    write(dir, "g", "m2", """{"_id":"b","item":"x","qty":3}""")
+    write(dir, "g", "m3", """{"_id":"c","item":"y","qty":5}""")
+    val io = new FileStreamIo(dir, Map.empty)
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"m6","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"g","toTopic":"out_m6",
+            "pipeline":[{"$group":{"_id":"$item",
+                                   "total":{"$sum":"$qty"},
+                                   "n":{"$count":{}}}}]}]}""")
+    io.processAll()
+    val finals = spark.table("out_m6").collect()
+      .map(r => Js.parse(r.getAs[String]("value")))
+      .groupBy(_.get("_id").asText())
+      .map { case (k, vs) => k -> vs.maxBy(_.get("n").asLong()) }
+    assert(finals("x").get("total").asDouble() == 5.0)
+    assert(finals("x").get("n").asLong() == 2)
+    assert(finals("y").get("total").asDouble() == 5.0)
+    io.stopAll()
+  }
+
   test("schemaless merge + dedup by expression") {
     val dir = Files.createTempDirectory("graft-msg2").toString
     write(dir, "t1", "m1", """{"_id":"a","corr":"c1"}""")

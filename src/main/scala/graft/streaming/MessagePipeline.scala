@@ -126,9 +126,65 @@ object MessagePipeline {
     case "$deduplicate" =>
       df => {
         val e = ExprCompiler.compile(spec.get("expression"), ctxOf(df))
-        df.withColumn("__dedup", e.cast(StringType))
-          .dropDuplicates("__dedup").drop("__dedup")
+        val keyed = df.withColumn("__dedup", e.cast(StringType))
+        val deduped =
+          if (df.isStreaming && spec.has("cacheWindow")) {
+            // cacheWindow bounds dedup state: ingestion-time watermark +
+            // dropDuplicatesWithinWatermark (docs/aggregation_stages.md:97)
+            val ms = spec.get("cacheWindow").asLong()
+            keyed
+              .withColumn("__ingest", current_timestamp())
+              .withWatermark("__ingest", s"$ms milliseconds")
+              .dropDuplicatesWithinWatermark("__dedup")
+              .drop("__ingest")
+          } else keyed.dropDuplicates("__dedup")
+        deduped.drop("__dedup")
       }
+    // schemaless $lookup: probe key extracts from the variant typed to the
+    // foreign key's column type; matches splice into the message as a
+    // JSON array (left outer) or replace per match (unwind → inner)
+    case "$lookup" => df => {
+      val from = env.collection(spec.get("from").asText())
+      val as = spec.get("as").asText()
+      val unwindAs = spec.has("unwind") && spec.get("unwind").asBoolean()
+      val inner =
+        unwindAs || (spec.has("inner") && spec.get("inner").asBoolean())
+      val foreignField = spec.get("foreignField").asText()
+      val localPath = spec.get("localField").asText()
+      val keyType = from.schema(foreignField).dataType.typeName
+      val probeKey = call_function("try_variant_get",
+        call_function("parse_json", col("value")),
+        lit("$." + localPath), lit(keyType))
+      val matches = from
+        .groupBy(from.col(foreignField).as("__k"))
+        .agg(collect_list(to_json(struct(from.columns.map(from.col): _*)))
+          .as("__docs"))
+      val joined = df.withColumn("__k", probeKey)
+        .join(matches, Seq("__k"), if (inner) "inner" else "left_outer")
+      val spliceArr = udf((json: String, docs: Seq[String]) => {
+        val root = Js.parse(json)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val arr = Js.arr()
+        Option(docs).getOrElse(Seq.empty).foreach(d => arr.add(Js.parse(d)))
+        root.set[JsonNode](as, arr)
+        Js.render(root)
+      })
+      val spliceOne = udf((json: String, doc: String) => {
+        val root = Js.parse(json)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        root.set[JsonNode](as, Js.parse(doc))
+        Js.render(root)
+      })
+      val out =
+        if (unwindAs)
+          joined.withColumn("__doc", explode(col("__docs")))
+            .select(col("key"), spliceOne(col("value"), col("__doc")).as("value"))
+        else
+          joined.select(col("key"),
+            spliceArr(col("value"), col("__docs")).as("value"))
+      out
+    }
+
     // schemaless $group: group key and accumulator inputs extract from
     // the variant; output messages are {_id, <accumulators>} JSON
     case "$group" => df => {

@@ -119,6 +119,45 @@ class MessagePipelineSpec extends AnyFunSuite {
     io.stopAll()
   }
 
+  test("schemaless $lookup splices typed-collection matches into the message") {
+    val dir = Files.createTempDirectory("graft-msg7").toString
+    write(dir, "lk", "m1", """{"_id":"a","dim":"d1"}""")
+    write(dir, "lk", "m2", """{"_id":"b","dim":"d9"}""")
+    val io = new FileStreamIo(dir, Map.empty)
+    import spark.implicits._
+    val dims = Seq(("d1", 42)).toDF("k", "score")
+    val env = Env(spark, collection = { case "dims" => dims })
+    new AppRunner(spark, io, env).run(
+      """{"application":"m7","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"lk","toTopic":"out_m7",
+            "pipeline":[
+              {"$lookup":{"from":"dims","localField":"dim",
+                          "foreignField":"k","as":"d"}}]}]}""")
+    io.processAll()
+    val byId = spark.table("out_m7").collect()
+      .map(r => Js.parse(r.getAs[String]("value")))
+      .map(v => v.get("_id").asText() -> v).toMap
+    assert(byId("a").get("d").get(0).get("score").asInt() == 42)
+    assert(byId("b").get("d").size() == 0) // left outer: empty array
+    io.stopAll()
+  }
+
+  test("schemaless $deduplicate with cacheWindow bounds state by watermark") {
+    val dir = Files.createTempDirectory("graft-msg8").toString
+    write(dir, "dd", "m1", """{"_id":"a","corr":"c1"}""")
+    write(dir, "dd", "m2", """{"_id":"b","corr":"c1"}""")
+    write(dir, "dd", "m3", """{"_id":"c","corr":"c2"}""")
+    val io = new FileStreamIo(dir, Map.empty)
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"m8","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"dd","toTopic":"out_m8",
+            "pipeline":[{"$deduplicate":{"expression":"$corr",
+                                         "cacheWindow":60000}}]}]}""")
+    io.processAll()
+    assert(spark.table("out_m8").count() == 2)
+    io.stopAll()
+  }
+
   test("schemaless merge + dedup by expression") {
     val dir = Files.createTempDirectory("graft-msg2").toString
     write(dir, "t1", "m1", """{"_id":"a","corr":"c1"}""")

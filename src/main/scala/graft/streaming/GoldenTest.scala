@@ -90,7 +90,8 @@ object GoldenTest {
         .orElse(streams.get(name).map("topic" -> _))
         .getOrElse(return Nil)
       val docs =
-        if (df.columns.toSet == Set("key", "value"))
+        if (df.columns.toSet == Set("key", "value") ||
+          df.columns.toSet == Set("_key", "value"))
           df.select("value").collect().map(r => Js.parse(r.getString(0))).toSeq
         else df.toJSON.collect().map(Js.parse).toSeq
       if (kind != "collection") docs

@@ -42,4 +42,16 @@ class GoldenTestSpec extends AnyFunSuite {
   test("merge + validate + dynamic $send routing (lenient)") {
     check("mergesend")
   }
+
+  test("$group rollup app matches golden outputs (strict)") {
+    check("grouped", strict = true)
+  }
+
+  test("$redact app matches golden outputs (strict)") {
+    check("redacted", strict = true)
+  }
+
+  test("$jq file-script transform app matches golden outputs (strict)") {
+    check("transformed", strict = true)
+  }
 }

@@ -26,6 +26,7 @@ object MiniJq {
   final case class ArrCons(items: List[Ast]) extends Ast
   final case class Del(path: Path) extends Ast
   final case class Call(ns: Option[String], name: String) extends Ast
+  final case class IfElse(cond: Ast, thn: Ast, els: Ast) extends Ast
 
   final case class Program(defs: Map[String, Ast], body: Ast)
 
@@ -64,9 +65,19 @@ object MiniJq {
   }
 
   private def parseExpr(t: Tokens): Ast = {
-    val stages = mutable.ListBuffer(parseAdd(t))
-    while (t.peekIs("|")) { t.expect("|"); stages += parseAdd(t) }
+    val stages = mutable.ListBuffer(parseCmp(t))
+    while (t.peekIs("|")) { t.expect("|"); stages += parseCmp(t) }
     if (stages.size == 1) stages.head else Pipe(stages.toList)
+  }
+
+  private val cmpOps = Set("==", "!=", "<", ">", "<=", ">=")
+
+  private def parseCmp(t: Tokens): Ast = {
+    val l = parseAdd(t)
+    if (t.peek != null && cmpOps(t.peek)) {
+      val op = t.next()
+      BinOp(op, l, parseAdd(t))
+    } else l
   }
 
   private def parseAdd(t: Tokens): Ast = {
@@ -119,6 +130,16 @@ object MiniJq {
       ArrCons(items.toList)
     case "(" =>
       t.next(); val e = parseExpr(t); t.expect(")"); e
+    case "if" =>
+      t.next()
+      val cond = parseExpr(t)
+      t.expect("then")
+      val thn = parseExpr(t)
+      val els =
+        if (t.peekIs("else")) { t.next(); parseExpr(t) }
+        else Identity // JQ: missing else passes the input through
+      t.expect("end")
+      IfElse(cond, thn, els)
     case "del" =>
       t.next(); t.expect("(")
       t.expect(".")
@@ -173,6 +194,11 @@ object MiniJq {
         val body = defs.getOrElse(key,
           throw new IllegalArgumentException(s"undefined filter $key"))
         eval(body, in, defs)
+      case IfElse(cond, thn, els) =>
+        val c = eval(cond, in, defs)
+        // JQ truthiness: false and null are falsy, everything else truthy
+        if (c.isNull || (c.isBoolean && !c.asBoolean())) eval(els, in, defs)
+        else eval(thn, in, defs)
       case BinOp(op, l, r) =>
         binop(op, eval(l, in, defs), eval(r, in, defs))
     }
@@ -182,6 +208,25 @@ object MiniJq {
     */
   private def binop(op: String, l: JsonNode, r: JsonNode): JsonNode =
     (op, l, r) match {
+      // numeric nodes compare by value (IntNode(0) != LongNode(0) in
+      // Jackson object equality)
+      case ("==", a, b) if a.isNumber && b.isNumber =>
+        BooleanNode.valueOf(a.asDouble() == b.asDouble())
+      case ("!=", a, b) if a.isNumber && b.isNumber =>
+        BooleanNode.valueOf(a.asDouble() != b.asDouble())
+      case ("==", a, b) => BooleanNode.valueOf(a == b)
+      case ("!=", a, b) => BooleanNode.valueOf(a != b)
+      case ("<" | ">" | "<=" | ">=", a, b) =>
+        val c =
+          if (a.isNumber && b.isNumber)
+            java.lang.Double.compare(a.asDouble(), b.asDouble())
+          else a.asText().compareTo(b.asText())
+        BooleanNode.valueOf(op match {
+          case "<"  => c < 0
+          case ">"  => c > 0
+          case "<=" => c <= 0
+          case ">=" => c >= 0
+        })
       case ("+", a, b) if a.isNull => b
       case ("+", a, b) if b.isNull => a
       case ("+", a: ObjectNode, b: ObjectNode) =>
@@ -223,7 +268,8 @@ object MiniJq {
     def peekIs(s: String): Boolean = peek == s
     def peekIdent: Boolean =
       peek != null && (peek.head.isLetter || peek.head == '_') &&
-        !Set("def", "import", "as", "del", "true", "false", "null")(peek)
+        !Set("def", "import", "as", "del", "true", "false", "null",
+          "if", "then", "else", "end", "elif")(peek)
     def peekString: Boolean = peek != null && peek.head == '"'
     def next(): String = { val t = peek; pos += 1; t }
     def mark(): Unit = marked = pos
@@ -265,6 +311,9 @@ object MiniJq {
           out += s.substring(start, i)
         } else if (c == ':' && i + 1 < s.length && s(i + 1) == ':') {
           out += "::"; i += 2
+        } else if ("=!<>".contains(c) && i + 1 < s.length &&
+          s(i + 1) == '=') {
+          out += s.substring(i, i + 2); i += 2
         } else { out += c.toString; i += 1 }
       }
       out.toVector

@@ -123,8 +123,14 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
       case "join" => Seq(name -> joinPart(part, resolveFrom))
 
       case "aggregate" =>
-        val aggType = part.get("aggregateType").asText()
-        val commands = io.source(spark, "topic", s"$aggType-command")
+        // environment suffixes topic names: <type>-<purpose>[-<env>]
+        // (docs/state.md:118)
+        val baseType = part.get("aggregateType").asText()
+        val envSuffix = Option(part.get("environment"))
+          .map(e => "-" + e.asText()).getOrElse("")
+        val aggType = baseType
+        val commands =
+          io.source(spark, "topic", s"$aggType-command$envSuffix")
         val aggPre =
           if (part.has("preprocessor"))
             Pipeline.compile(part.get("preprocessor"), env)(commands)
@@ -148,7 +154,9 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
           appName = "", aggType = aggType,
           validators = readValidators(part),
           reducers = readReducers(part)), keyOverride)
-        AggregatePart.streams(out, aggType).toSeq
+        AggregatePart.streams(out, aggType).toSeq.map {
+          case (n, sdf) => (n + envSuffix) -> sdf
+        }
 
       case other =>
         throw new IllegalArgumentException(s"unknown part type $other")

@@ -79,6 +79,17 @@ class AggregateAppSpec extends AnyFunSuite {
     assert(streams("vapp-item-event").count() == 0)
   }
 
+  test("environment suffixes the aggregate topics and streams") {
+    val cmds = Seq(("e1", "put", 1L, 5)).toDF("_id", "_command", "__ord", "v")
+    val io = new TestIo(Map("eapp-doc-command-tst" -> cmds))
+    val streams = new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"eapp","version":"1.0","parts":[
+           {"type":"aggregate","aggregateType":"eapp-doc",
+            "environment":"tst"}]}""")
+    assert(streams.contains("eapp-doc-aggregate-tst"))
+    assert(streams("eapp-doc-aggregate-tst").count() == 1)
+  }
+
   test("uniqueExpression re-keys commands to one instance") {
     val cmds = Seq(
       ("a1", "put", "k-7", 1L),

@@ -46,6 +46,27 @@ class MiniJqSpec extends AnyFunSuite {
     assert(out.get("c").asLong() == 9)
   }
 
+  test("if/then/else with comparison operators") {
+    val f = MiniJq.compile(
+      """{ "grade": if .score >= 60 then "pass" else "fail" end,
+           "max": if .score > .cap then .cap else .score end,
+           "same": .a == .b }""")
+    val out = f(Js.parse("""{"score":75,"cap":70,"a":1,"b":1}"""))
+    assert(out.get("grade").asText() == "pass")
+    assert(out.get("max").asLong() == 70)
+    assert(out.get("same").asBoolean())
+    val out2 = f(Js.parse("""{"score":30,"cap":70,"a":1,"b":2}"""))
+    assert(out2.get("grade").asText() == "fail")
+    assert(!out2.get("same").asBoolean())
+  }
+
+  test("if without else passes the input through") {
+    val f = MiniJq.compile(
+      """.state | if .n == 0 then { "n": 1 } end""")
+    assert(f(Js.parse("""{"state":{"n":0}}""")).get("n").asInt() == 1)
+    assert(f(Js.parse("""{"state":{"n":5}}""")).get("n").asInt() == 5)
+  }
+
   test("string concat and array construction") {
     val f = MiniJq.compile("""{ "s": .a + "-" + .b, "l": [.a, .b, 3] }""")
     val out = f(Js.parse("""{"a":"x","b":"y"}"""))

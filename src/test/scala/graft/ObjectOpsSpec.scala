@@ -46,6 +46,21 @@ class ObjectOpsSpec extends AnyFunSuite {
     assert(out.getAs[String]("_id") == "i1") // _id kept by default
   }
 
+  test("array $sort with paths orders objects by nested fields") {
+    val df = Seq(Tuple1("x")).toDF("k")
+      .withColumn("items", org.apache.spark.sql.functions.expr(
+        """array(named_struct('p', 3, 'q', 'c'),
+                 named_struct('p', 1, 'q', 'b'),
+                 named_struct('p', 1, 'q', 'a'))"""))
+    val out = Pipeline.run(df,
+      """[{"$addFields":{"sorted":{"$sort":{"input":"$items",
+                                            "paths":["p","q"]}}}}]""", env)
+      .collect().head
+    val sorted = out.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(sorted.toList == List((1, "a"), (1, "b"), (3, "c")))
+  }
+
   test("query $elemMatch with a sub-query over array-of-struct fields") {
     val df = Seq(
       ("d1", Seq(("a", 1), ("b", 9))),

@@ -67,6 +67,9 @@ object MessagePipeline {
             coalesce(get_json_object(col("value"), "$._id"), col("key")))
       }
     case "$trace" | "$log" | "$throttle" => df => df
+    case "$probe" => // observe() metrics → ProbeListener → probe topic
+      df => df.observe(spec.get("name").asText(),
+        count(lit(1)).as("count"))
     case "$per" => df => PerStage(df, spec)
     // structural edits on schemaless messages: the new value is computed
     // columnar (variant expressions), then spliced into the JSON text

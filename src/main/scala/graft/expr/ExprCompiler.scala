@@ -541,7 +541,10 @@ object ExprCompiler {
   private def substring_col(str: Column, pos: Column, len: Column) =
     call_function("substring", str, pos, len)
 
-  private def litQuote(s: String): String = s // $split uses a literal separator
+  /** Mongo's $split delimiter is a literal string, but Spark's split() takes
+    * a regex — quote it so "." or "|" split on the character, not on any.
+    */
+  private def litQuote(s: String): String = java.util.regex.Pattern.quote(s)
 
   /** Dynamic from_json is not possible without a schema; messages parse into
     * a map<string,string>-ish variant in the streaming model. Here: variant.

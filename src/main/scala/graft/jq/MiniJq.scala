@@ -148,7 +148,14 @@ object MiniJq {
       t.expect(")")
       Del(Path(parts.toList))
     case s if t.peekString => Lit(TextNode.valueOf(t.string()))
-    case s if s != null && (s.head.isDigit || (s.head == '-' && s.length > 1)) =>
+    case "-" => // unary minus: the tokenizer emits '-' standalone
+      t.next()
+      val n = t.next()
+      require(n != null && n.nonEmpty && n.head.isDigit,
+        s"expected number after '-', found '$n'")
+      Lit(if (n.contains('.')) DoubleNode.valueOf(-n.toDouble)
+      else LongNode.valueOf(-n.toLong))
+    case s if s != null && s.head.isDigit =>
       val n = t.next()
       Lit(if (n.contains('.')) DoubleNode.valueOf(n.toDouble)
       else LongNode.valueOf(n.toLong))
@@ -287,7 +294,7 @@ object MiniJq {
     def string(): String = {
       val t = next()
       require(t.head == '"', s"expected string, found '$t'")
-      t.substring(1, t.length - 1)
+      t.substring(1) // token = leading quote + already-unescaped content
     }
 
     private def tokenize(s: String): Vector[String] = {
@@ -298,9 +305,8 @@ object MiniJq {
         if (c.isWhitespace) i += 1
         else if (c == '#') { while (i < s.length && s(i) != '\n') i += 1 }
         else if (c == '"') {
-          val end = s.indexOf('"', i + 1)
-          require(end > 0, "unterminated string")
-          out += s.substring(i, end + 1); i = end + 1
+          val (tok, after) = Tokens.stringToken(s, i)
+          out += tok; i = after
         } else if (c.isLetter || c == '_') {
           val start = i
           while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
@@ -317,6 +323,35 @@ object MiniJq {
         } else { out += c.toString; i += 1 }
       }
       out.toVector
+    }
+  }
+
+  private[jq] object Tokens {
+    /** Scan a double-quoted string literal starting at `i`, processing
+      * backslash escapes (\" \\ \n \t \r \b \f \/ \uXXXX). Returns the token
+      * (a leading quote + the unescaped content, no trailing quote) and the
+      * index just past the closing quote.
+      */
+    def stringToken(s: String, i0: Int): (String, Int) = {
+      val sb = new StringBuilder("\"")
+      var i = i0 + 1
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case 'u' if i + 5 < s.length =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case e =>
+              sb += (e match {
+                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                case 'b' => '\b'; case 'f' => '\f'; case other => other
+              })
+              i += 2
+          }
+        } else { sb += s(i); i += 1 }
+      }
+      require(i < s.length, "unterminated string")
+      (sb.toString, i + 1)
     }
   }
 }

@@ -103,8 +103,14 @@ object MiniJslt {
       ObjCons(fields.toList, spread)
     case "(" => t.next(); val e = parseExpr(t); t.expect(")"); e
     case s if t.peekString => Lit(TextNode.valueOf(t.string()))
-    case s if s != null && (s.head.isDigit ||
-        (s.head == '-' && s.length > 1 && s(1).isDigit)) =>
+    case "-" => // unary minus: the tokenizer emits '-' standalone
+      t.next()
+      val n = t.next()
+      require(n != null && n.nonEmpty && n.head.isDigit,
+        s"expected number after '-', found '$n'")
+      Lit(if (n.contains('.')) DoubleNode.valueOf(-n.toDouble)
+      else LongNode.valueOf(-n.toLong))
+    case s if s != null && s.head.isDigit =>
       val n = t.next()
       Lit(if (n.contains('.')) DoubleNode.valueOf(n.toDouble)
       else LongNode.valueOf(n.toLong))
@@ -204,9 +210,8 @@ object MiniJslt {
         else if (c == '/' && i + 1 < script.length && script(i + 1) == '/') {
           while (i < script.length && script(i) != '\n') i += 1
         } else if (c == '"') {
-          val end = script.indexOf('"', i + 1)
-          require(end > 0, "unterminated string")
-          out += script.substring(i, end + 1); i = end + 1
+          val (tok, after) = MiniJq.Tokens.stringToken(script, i)
+          out += tok; i = after
         } else if (c.isLetter || c == '_') {
           val start = i
           while (i < script.length &&
@@ -243,7 +248,7 @@ object MiniJslt {
     def string(): String = {
       val t = next()
       require(t.head == '"', s"expected string, found '$t'")
-      t.substring(1, t.length - 1)
+      t.substring(1) // token = leading quote + already-unescaped content
     }
   }
 }

@@ -399,16 +399,22 @@ object Stages {
     df.withColumn("__dedup", e).dropDuplicates("__dedup").drop("__dedup")
   }
 
-  /** Batch analog of the $per batching stage: deterministic batches of
-    * `amount` in `_id` order (streaming impl batches arrival order).
+  /** Batch analog of the $per batching stage (streaming impl batches arrival
+    * order). Batch ids are partition-local: monotonically_increasing_id
+    * encodes (partitionId << 33 | rowInPartition), so the id is a pure
+    * projection — no global sort, no single-task Window, and batches never
+    * span input partitions (the reference likewise batches per consumer).
+    * The only shuffle is the groupBy that assembles each batch array.
     */
   private def per(df: DataFrame, spec: JsonNode): DataFrame = {
     val amount = spec.get("amount").asInt()
     val as = spec.get("as").asText()
-    val orderKey = df.columns.headOption.map(col).getOrElse(lit(1))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(orderKey)
-    df.withColumn("__rn", row_number().over(w) - 1)
-      .groupBy((col("__rn") / amount).cast(LongType).as("__batch"))
+    val mid = monotonically_increasing_id()
+    val rowInPart = mid.bitwiseAND(lit((1L << 33) - 1))
+    val batch = shiftright(mid, 33) * lit(1L << 30) +
+      (rowInPart / amount).cast(LongType)
+    df.withColumn("__batch", batch)
+      .groupBy("__batch")
       .agg(collect_list(struct(df.columns.map(col): _*)).as(as))
       .drop("__batch")
   }

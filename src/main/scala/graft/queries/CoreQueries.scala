@@ -111,9 +111,10 @@ object CoreQueries {
     // -- $group: $addToSet (sorted for determinism)
     Q.pipe("q_group_collect", "orders",
       """[{"$group":{"_id":"$o_orderstatus",
-           "prios":{"$addToSet":"$o_orderpriority"},"n":{"$count":{}}}}]""",
+           "prios":{"$addToSet":"$o_orderpriority"},"n":{"$count":{}}}},
+          {"$addFields":{"prios":{"$jsonToString":{"$sort":{"input":"$prios"}}}}}]""",
       """SELECT o_orderstatus AS _id,
-                list_sort(list(DISTINCT o_orderpriority)) AS prios,
+                to_json(list_sort(list(DISTINCT o_orderpriority)))::VARCHAR AS prios,
                 count(*) AS n
          FROM orders GROUP BY 1"""),
 
@@ -121,8 +122,8 @@ object CoreQueries {
     Q.pipe("q_group_push", "lineitem",
       """[{"$match":{"l_orderkey":{"$lt":100}}},
           {"$group":{"_id":"$l_orderkey","lines":{"$push":"$l_linenumber"}}},
-          {"$addFields":{"lines":{"$sort":{"input":"$lines"}}}}]""",
-      """SELECT l_orderkey AS _id, list_sort(list(l_linenumber)) AS lines
+          {"$addFields":{"lines":{"$jsonToString":{"$sort":{"input":"$lines"}}}}}]""",
+      """SELECT l_orderkey AS _id, to_json(list_sort(list(l_linenumber)))::VARCHAR AS lines
          FROM lineitem WHERE l_orderkey<100 GROUP BY 1"""),
 
     // -- $group: $stdDevPop (rounded: Welford merge order differs)
@@ -214,10 +215,10 @@ object CoreQueries {
             {"o_totalprice":{"$lt":100000},"$code":"MAXP"},
             {"o_orderstatus":{"$in":["F","O","P"]},"$code":"STAT"}]}},
           {"$project":{"o_orderkey":1,"_error":1,
-                       "codes":{"$map":{"input":"$errors","as":"e","in":"$$e.code"}}}}]""",
+                       "codes":{"$jsonToString":{"$map":{"input":"$errors","as":"e","in":"$$e.code"}}}}}]""",
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice>=100000 THEN true END AS _error,
-                CASE WHEN o_totalprice>=100000 THEN ['MAXP'] END AS codes
+                CASE WHEN o_totalprice>=100000 THEN to_json(['MAXP'])::VARCHAR END AS codes
          FROM orders"""),
 
     // -- $deduplicate (docs/aggregation_stages.md:93-116), batch form
@@ -229,12 +230,12 @@ object CoreQueries {
     Q.pipe("q_per", "region",
       """[{"$per":{"amount":2,"as":"batch"}},
           {"$project":{"n":{"$size":"$batch"},
-                       "keys":{"$map":{"input":"$batch","as":"b","in":"$$b.r_regionkey"}}}}]""",
+                       "keys":{"$jsonToString":{"$sort":{"input":{"$map":{"input":"$batch","as":"b","in":"$$b.r_regionkey"}}}}}}}]""",
       """WITH b AS (SELECT r_regionkey,
                     CAST(floor((row_number() OVER (ORDER BY r_regionkey)-1)/2) AS BIGINT) AS g
                     FROM region)
          SELECT CAST(count(*) AS INT) AS n,
-                list(r_regionkey ORDER BY r_regionkey) AS keys
+                to_json(list(r_regionkey ORDER BY r_regionkey))::VARCHAR AS keys
          FROM b GROUP BY g"""),
 
     // -- $setKey (docs/aggregation_stages.md:571-589): `_key` column = Kafka key

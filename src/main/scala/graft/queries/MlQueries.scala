@@ -49,10 +49,11 @@ object MlQueries {
     Q.fn("q_dedup_minhash",
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id<100),
                s AS (SELECT doc_id, $shinglesSql AS sh FROM tok)
-          SELECT doc_id, $minhashSql AS sig FROM s""") { (spark, sf) =>
+          SELECT doc_id, to_json($minhashSql)::VARCHAR AS sig FROM s""") { (spark, sf) =>
       Dedup.minhash(
         Tables.load(spark, sf, "documents").where(col("doc_id") < 100),
         "text", "doc_id")
+        .select(col("doc_id"), to_json(col("sig")).as("sig"))
     },
 
     // -- MinHash-LSH candidate pairs (4 bands x 3 rows, band-key equi-join)
@@ -224,12 +225,13 @@ object MlQueries {
                 ascii(substr(text,1,1)) AS width,
                 ascii(substr(text,2,1)) AS height,
                 CAST(ascii(substr(text,1,1)) * ascii(substr(text,2,1)) AS BIGINT) AS n_pixels,
-                [ascii(substr(text,1,1)), ascii(substr(text,2,1)),
-                 ascii(substr(text,3,1)), ascii(substr(text,4,1))] AS frame_sample
+                to_json([ascii(substr(text,1,1)), ascii(substr(text,2,1)),
+                         ascii(substr(text,3,1)), ascii(substr(text,4,1))])::VARCHAR AS frame_sample
          FROM documents""") { (spark, sf) =>
       Multimodal.decode(
         Multimodal.pack(Tables.load(spark, sf, "documents"), "text", "source"),
         "doc_id")
+        .withColumn("frame_sample", to_json(col("frame_sample")))
     }
   )
 }

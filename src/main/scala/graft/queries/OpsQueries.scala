@@ -134,28 +134,29 @@ object OpsQueries {
          FROM events GROUP BY 1"""),
 
     // -- the join part's relational shape: event-time interval join
-    // (login → purchase by the same user within an hour)
+    // (signup → purchase by the same user within an hour; the events table
+    // has event_type ∈ {signup, click, purchase, error, view})
     Q.fn("q_interval_join",
-      """SELECT a.event_id AS login_id, b.event_id AS purchase_id,
+      """SELECT a.event_id AS signup_id, b.event_id AS purchase_id,
                 a.user_id
          FROM events a JOIN events b
            ON a.user_id = b.user_id
-          AND a.event_type = 'login' AND b.event_type = 'purchase'
+          AND a.event_type = 'signup' AND b.event_type = 'purchase'
           AND epoch_ns(b.ts) >= epoch_ns(a.ts)
           AND epoch_ns(b.ts) - epoch_ns(a.ts) <= 3600000000000""") {
       (spark, sf) =>
         import org.apache.spark.sql.functions._
         val ev = graft.Tables.load(spark, sf, "events")
-        val logins = ev.where(col("event_type") === "login")
-          .select(col("event_id").as("login_id"),
-            col("user_id"), col("ts").as("lts"))
+        val signups = ev.where(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"),
+            col("user_id"), col("ts").as("sts"))
         val purchases = ev.where(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"),
             col("user_id"), col("ts").as("pts"))
-        logins.join(purchases, Seq("user_id"))
-          .where(col("pts") >= col("lts") &&
-            col("pts") - col("lts") <= 3600L * 1000 * 1000 * 1000)
-          .select(col("login_id"), col("purchase_id"), col("user_id"))
+        signups.join(purchases, Seq("user_id"))
+          .where(col("pts") >= col("sts") &&
+            col("pts") - col("sts") <= 3600L * 1000 * 1000 * 1000)
+          .select(col("signup_id"), col("purchase_id"), col("user_id"))
     },
 
     // -- $signJwt: token embeds iat/exp → rows-only check; validity is

@@ -129,8 +129,16 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
         val envSuffix = Option(part.get("environment"))
           .map(e => "-" + e.asText()).getOrElse("")
         val aggType = baseType
-        val commands =
+        // Stamp arrival order on the SOURCE: per-command preprocessors below
+        // split the stream and union it back, and a union re-numbers
+        // monotonically_increasing_id leg by leg, destroying interleaved
+        // order. A pre-split __ord survives the round trip so the stateful
+        // reduce still sees commands in arrival order.
+        val commands0 =
           io.source(spark, "topic", s"$aggType-command$envSuffix")
+        val commands =
+          if (commands0.columns.contains("__ord")) commands0
+          else commands0.withColumn("__ord", monotonically_increasing_id())
         val aggPre =
           if (part.has("preprocessor"))
             Pipeline.compile(part.get("preprocessor"), env)(commands)

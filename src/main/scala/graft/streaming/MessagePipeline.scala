@@ -102,9 +102,10 @@ object MessagePipeline {
       def flag(n: JsonNode, v: Boolean) =
         (n.isBoolean && n.asBoolean() == v) ||
           (n.isNumber && (n.asDouble() != 0) == v)
-      if (entries.forall { case (k, v) =>
-        flag(v, false) || (k == "_id" && flag(v, true))
-      }) // exclusion mode → repeated $unset
+      if (entries.exists(e => flag(e._2, false)) &&
+        entries.forall { case (k, v) =>
+          flag(v, false) || (k == "_id" && flag(v, true))
+        }) // exclusion mode → repeated $unset (a lone {_id:1} is inclusion)
         entries.filter(e => flag(e._2, false)).map(_._1).foldLeft(df) {
           (d, p) => compileStage("$unset", Js.parse("\"" + p + "\""), env)(d)
         }
@@ -201,17 +202,25 @@ object MessagePipeline {
           val (op, arg) = Js.asOp(v).getOrElse(
             throw new IllegalArgumentException(s"accumulator for $field"))
           val c = ExprCompiler.compile(arg, ctx)
-          val typed =
-            if (ctx.typeOf(c).typeName == "variant") c.cast("double") else c
+          val isVariant = ctx.typeOf(c).typeName == "variant"
+          // The double hop is only right for numeric accumulators: casting a
+          // string-valued variant to double nulls it out. $min/$max order
+          // variants Mongo-style (numbers < strings) via a min_by/max_by
+          // key; $push/$addToSet keep the value's own string rendering.
+          def variantOrd(v: Column): Column = {
+            val num = call_function("try_variant_get", v, lit("$"), lit("double"))
+            struct(when(num.isNotNull, lit(0)).otherwise(lit(1)).as("rank"),
+              num.as("num"), v.cast(StringType).as("str"))
+          }
           (op match {
-            case "$sum"   => sum(typed)
-            case "$avg"   => avg(typed)
-            case "$min"   => min(typed)
-            case "$max"   => max(typed)
+            case "$sum"   => sum(if (isVariant) c.cast("double") else c)
+            case "$avg"   => avg(if (isVariant) c.cast("double") else c)
+            case "$min"   => if (isVariant) min_by(c, variantOrd(c)) else min(c)
+            case "$max"   => if (isVariant) max_by(c, variantOrd(c)) else max(c)
             case "$count" => count(lit(1))
-            case "$push"  => collect_list(typed.cast(StringType))
+            case "$push"  => collect_list(c.cast(StringType))
             case "$addToSet" =>
-              array_sort(collect_set(typed.cast(StringType)))
+              array_sort(collect_set(c.cast(StringType)))
             case other =>
               throw new IllegalArgumentException(
                 s"accumulator $other in schemaless mode")

@@ -48,15 +48,31 @@ object Dedup {
   /** LSH candidate pairs: documents sharing at least one band bucket.
     * Equi-join on the band key — the scalable plan (shuffle by band key;
     * bucket sizes bound the quadratic blow-up).
+    *
+    * `maxBandFreq` (optional) drops band buckets holding more than that
+    * many documents before the self-join — the guard against hot-band
+    * skew: a cluster of exact duplicates puts its whole size into ONE
+    * bucket, contributing O(size^2) join rows on a single shuffle key.
+    * Dropping a hot bucket only loses candidate pairs whose every OTHER
+    * band also disagrees, so recall loss is confined to borderline pairs
+    * (see SCALING.md). Off by default — the oracle checks the exact
+    * variant.
     */
   def lshCandidates(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, p: Int = 12, bands: Int = 4): DataFrame = {
+      k: Int = 3, p: Int = 12, bands: Int = 4,
+      maxBandFreq: Option[Int] = None): DataFrame = {
     val r = p / bands
     // materialize the (id, band) table once: the self-join would otherwise
     // recompute every signature for both sides
-    val withBands = minhash(df, textCol, idCol, k, p)
+    val withBands0 = minhash(df, textCol, idCol, k, p)
       .select(col(idCol), explode(bandKeys(col("sig"), bands, r)).as("band"))
-      .persist()
+    val withBands = (maxBandFreq match {
+      case None => withBands0
+      case Some(cap) =>
+        val hot = withBands0.groupBy("band")
+          .agg(count(lit(1)).as("bf")).where(col("bf") > cap).select("band")
+        withBands0.join(hot, Seq("band"), "left_anti")
+    }).persist()
     val a = withBands.as("a")
     val b = withBands.as("b")
     a.join(b, "band")
@@ -82,20 +98,40 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs within Hamming distance `maxDist`, for a
-    * bounded candidate set (callers restrict or pre-bucket; full-scale
-    * variant joins on 16-bit signature halves first — any pair within
-    * distance d shares an exact half when d < 2 halves).
+  /** SimHash near-dup pairs within Hamming distance `maxDist`, banded:
+    * split the 32-bit signature into `maxDist + 1` bit bands — by
+    * pigeonhole, any pair within distance `maxDist` agrees EXACTLY on at
+    * least one band — equi-join on (band index, band value), then verify
+    * the full Hamming distance. Exact same result set as the quadratic
+    * all-pairs scan, but the plan is a shuffle-hash join on the band key,
+    * never a nested-loop product.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int): DataFrame = {
-    val sigs = simhash(df, textCol, idCol)
-    val a = sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val b = sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    val nBands = maxDist + 1
+    val bounds = (0 to nBands).map(i => i * 32 / nBands)
+    val bandCols = (0 until nBands).map { i =>
+      val off = bounds(i)
+      val width = bounds(i + 1) - bounds(i)
+      struct(lit(i).as("bi"),
+        call_function("shiftright", col("simhash"), lit(off))
+          .bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }
+    // materialize (id, sig, band) once: both join legs reuse it
+    val banded = simhash(df, textCol, idCol)
+      .select(col(idCol), col("simhash"),
+        explode(array(bandCols: _*)).as("band"))
+      .persist()
+    val a = banded.select(col("band"), col(idCol).as("id_a"),
+      col("simhash").as("sig_a"))
+    val b = banded.select(col("band"), col(idCol).as("id_b"),
+      col("simhash").as("sig_b"))
+    a.join(b, "band")
+      .where(col("id_a") < col("id_b"))
       .withColumn("dist", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity over a shingle inverted index:
@@ -135,9 +171,9 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
   }
 
-  /** Embedding-cosine near-duplicate pairs over a bounded candidate set
-    * (the scale path buckets candidates with IVF/LSH first — see
-    * Similarity.ivfTopK).
+  /** Embedding-cosine near-duplicate pairs, exact: all-pairs product.
+    * ONLY for small bounded candidate sets (a few thousand vectors) — the
+    * plan is a nested-loop join. The scale path is `embeddingPairsCelled`.
     */
   def embeddingPairs(df: DataFrame, embCol: String, idCol: String,
       threshold: Double): DataFrame = {
@@ -145,6 +181,27 @@ object Dedup {
     val a = v.select(col(idCol).as("id_a"), col("v").as("va"))
     val b = v.select(col(idCol).as("id_b"), col("v").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", ndot6(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs at scale: assign every vector to its
+    * nearest IVF cell (broadcast centroids — see Similarity.assignCells),
+    * then pair only WITHIN a cell via an equi-join on the cell id. Search
+    * cost drops from O(n^2) to O(sum cell^2); pairs straddling a cell
+    * boundary are the recall trade-off, standard for IVF near-dup.
+    */
+  def embeddingPairsCelled(df: DataFrame, embCol: String, idCol: String,
+      threshold: Double, nlist: Int): DataFrame = {
+    val centroids = df.orderBy(col(idCol)).limit(nlist)
+    val cells = Similarity.assignCells(df, centroids, embCol, idCol)
+    val a = cells.select(col("cell"), col(idCol).as("id_a"),
+      col("v").as("va"))
+    val b = cells.select(col("cell"), col(idCol).as("id_b"),
+      col("v").as("vb"))
+    a.join(b, "cell")
+      .where(col("id_a") < col("id_b"))
       .withColumn("cos", ndot6(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

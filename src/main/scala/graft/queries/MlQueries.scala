@@ -81,6 +81,43 @@ object MlQueries {
         "text", "doc_id")
     },
 
+    // -- banded SimHash near-dup pairs (pigeonhole band equi-join; the
+    // oracle replays the quadratic definition — the band join is exact)
+    Q.fn("q_dedup_simhash_pairs",
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id<200),
+               sh AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0,32), j ->
+                   CASE WHEN 2*len(list_filter(t, x -> ((${h32("x")} >> j) & 1) = 1)) > len(t)
+                        THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+                 FROM tok)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""") { (spark, sf) =>
+      Dedup.simhashPairs(
+        Tables.load(spark, sf, "documents").where(col("doc_id") < 200),
+        "text", "doc_id", maxDist = 8)
+    },
+
+    // -- celled embedding near-dup pairs (IVF cells, within-cell equi-join)
+    Q.fn("q_dedup_embedding_celled",
+      s"""WITH v AS (SELECT vec_id, $normSql AS e
+                     FROM embeddings WHERE vec_id<300),
+               cent AS (SELECT vec_id AS cell, e AS vcent FROM v WHERE vec_id<8),
+               asg AS (SELECT vec_id, cell, e, row_number() OVER
+                         (PARTITION BY vec_id
+                          ORDER BY ${cosSql("e", "vcent")} DESC, cell) AS r
+                       FROM v CROSS JOIN cent),
+               cells AS (SELECT vec_id, cell, e FROM asg WHERE r=1)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${cosSql("a.e", "b.e")} AS cos
+          FROM cells a JOIN cells b ON a.cell=b.cell AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a.e", "b.e")} >= 0.35""") { (spark, sf) =>
+      Dedup.embeddingPairsCelled(
+        Tables.load(spark, sf, "embeddings").where(col("vec_id") < 300),
+        "embedding", "vec_id", threshold = 0.35, nlist = 8)
+    },
+
     // -- exact n-gram Jaccard near-dup pairs (shingle inverted index)
     Q.fn("q_dedup_ngram",
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id<200),

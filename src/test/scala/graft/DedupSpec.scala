@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ml.Dedup
+
+/** Dedup operators' scale guards: the LSH hot-band cap (a cluster of exact
+  * duplicates puts its whole size into one band bucket) and the banded
+  * simhashPairs join (must equal the quadratic definition).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("lshCandidates maxBandFreq drops hot-band pairs, keeps cool pairs") {
+    // 10 identical docs (one hot bucket per band) + 2 identical docs
+    val docs =
+      (1 to 10).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog again and again")) ++
+        Seq((21L, "an entirely different second document about spark plans and shuffles"),
+          (22L, "an entirely different second document about spark plans and shuffles"))
+    val df = docs.toDF("doc_id", "text")
+
+    val uncapped = Dedup.lshCandidates(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 45 + 1) // C(10,2) hot-cluster pairs + the cool pair
+
+    val capped = Dedup.lshCandidates(df, "text", "doc_id",
+      maxBandFreq = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((21L, 22L))) // hot buckets dropped, cool pair kept
+  }
+
+  test("banded simhashPairs equals the quadratic definition") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "completely unrelated words nothing shared here at all"))
+    val df = docs.toDF("doc_id", "text")
+    val maxDist = 10
+
+    val banded = Dedup.simhashPairs(df, "text", "doc_id", maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // quadratic reference: all-pairs over the same signatures
+    val sigs = Dedup.simhash(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val quad = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= maxDist
+    } yield (ia, ib, d)).toSet
+
+    assert(banded == quad)
+    assert(banded.exists { case (a, b, d) => a == 1L && b == 3L && d == 0 })
+  }
+}

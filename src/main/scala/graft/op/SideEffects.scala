@@ -8,18 +8,99 @@ import graft.json.Js
 
 /** Pluggable transports for the side-effecting stages. Tests inject
   * deterministic fakes; production wires real HTTP/S3 clients. Both must be
-  * Serializable — they execute on executors inside codegen'd projections.
+  * Serializable — they execute on executors. `open()` runs once per
+  * partition before the first call and `close()` at task completion, so an
+  * implementation can hold one pooled client per partition instead of one
+  * connection per row.
   */
 final case class HttpResult(status: Int, body: String)
 
 trait HttpTransport extends Serializable {
+  def open(): Unit = ()
+  def close(): Unit = ()
   def apply(method: String, url: String, headersJson: String,
       body: String): HttpResult
 }
 
 trait ObjectStore extends Serializable {
+  def open(): Unit = ()
+  def close(): Unit = ()
   def get(bucket: String, key: String): String
   def put(bucket: String, key: String, content: String): Unit
+}
+
+/** Shared execution shape for the side-effecting stages: one client per
+  * partition (open/close lifecycle) and a bounded window of async calls in
+  * flight, order-preserving — the Spark analog of the reference's batched
+  * async I/O (docs/aggregation_stages.md:207-244). A per-row synchronous
+  * UDF would serialize every call on the task thread and re-handshake per
+  * row; here the task thread only blocks when `maxInFlight` calls are
+  * already outstanding.
+  */
+private[op] object PartitionCalls {
+
+  val callRowType: StructType = StructType(Seq(
+    StructField("response", StringType),
+    StructField("httpError", StructType(Seq(
+      StructField("statusCode", IntegerType),
+      StructField("body", StringType))))))
+
+  def rowOf(r: HttpResult): Row =
+    if (r.status >= 200 && r.status < 300) Row(r.body, null)
+    else Row(null, Row(r.status, r.body))
+
+  /** Up to `maxInFlight` invocations of `f` run concurrently; results come
+    * back in input order (head-of-line await, standard bounded pipeline).
+    */
+  def boundedOrdered[A, B](it: Iterator[A], maxInFlight: Int)(f: A => B)
+      : Iterator[(A, B)] = {
+    import scala.concurrent._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val q = scala.collection.mutable.Queue.empty[(A, Future[B])]
+    new Iterator[(A, B)] {
+      private def fill(): Unit =
+        while (it.hasNext && q.size < maxInFlight) {
+          val a = it.next()
+          q.enqueue((a, Future(f(a))))
+        }
+      def hasNext: Boolean = { fill(); q.nonEmpty }
+      def next(): (A, B) = {
+        fill()
+        val (a, fut) = q.dequeue()
+        val b = Await.result(fut, duration.Duration.Inf)
+        fill()
+        (a, b)
+      }
+    }
+  }
+
+  /** Append a `__call` column of `resultType` computed by `call` over the
+    * values of `argCols`, with the per-partition lifecycle above. The
+    * result keeps the input columns (argCols are projected away).
+    */
+  def appendCall(df: DataFrame, argCols: Seq[Column], resultType: DataType,
+      open: () => Unit, close: () => Unit, maxInFlight: Int)
+      (call: IndexedSeq[Any] => Any): DataFrame = {
+    val tagged = argCols.zipWithIndex.map { case (c, i) => c.as(s"__arg$i") }
+    val in = df.select(df.columns.map(col) ++ tagged: _*)
+    val base = df.columns.length
+    val n = argCols.size
+    val outSchema = StructType(in.schema.fields :+
+      StructField("__call", resultType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val mapped = in.mapPartitions { rows =>
+      open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+      boundedOrdered(rows, maxInFlight) { row =>
+        call((0 until n).map(i => row.get(base + i)))
+      }.map { case (row, out) => Row.fromSeq(row.toSeq :+ out) }
+    }(enc)
+    mapped.select(df.columns.map(col) :+ col("__call"): _*)
+  }
+
+  def maxInFlight(spec: JsonNode): Int =
+    if (spec.has("parallelism")) spec.get("parallelism").asInt() else 16
 }
 
 /** `$http` (docs/aggregation_stages.md:207-244): per-message HTTP call;
@@ -29,9 +110,6 @@ trait ObjectStore extends Serializable {
   * is schemaless; downstream stages can `$stringToJson` it).
   */
 object Http {
-
-  final case class ErrorRow(statusCode: Int, body: String)
-  final case class CallRow(response: Option[String], httpError: Option[ErrorRow])
 
   def apply(df: DataFrame, spec: JsonNode, env: Env): DataFrame = {
     val ctx = Stages.ctxOf(df)
@@ -45,22 +123,23 @@ object Http {
       } else lit(null).cast(StringType)
 
     val transport = env.http
-    val call = udf((m: String, u: String, h: String, b: String) => {
-      val r = transport(m, u, h, b)
-      if (r.status >= 200 && r.status < 300) CallRow(Some(r.body), None)
-      else CallRow(None, Some(ErrorRow(r.status, r.body)))
-    })
-
-    val withCall = df.withColumn("__http",
-      call(exprStr("method"), exprStr("url"), exprStr("headers"),
-        exprStr("body")))
+    val withCall = PartitionCalls.appendCall(df,
+      Seq(exprStr("method"), exprStr("url"), exprStr("headers"),
+        exprStr("body")),
+      PartitionCalls.callRowType,
+      () => transport.open(), () => transport.close(),
+      PartitionCalls.maxInFlight(spec)) { args =>
+      PartitionCalls.rowOf(transport(
+        args(0).asInstanceOf[String], args(1).asInstanceOf[String],
+        args(2).asInstanceOf[String], args(3).asInstanceOf[String]))
+    }
     val withErr =
-      withCall.withColumn("httpError", col("__http.httpError"))
+      withCall.withColumn("httpError", col("__call.httpError"))
     val unwindFlag = spec.has("unwind") && spec.get("unwind").asBoolean()
     val out = Option(spec.get("as")).map(_.asText()) match {
       case None => withErr
       case Some(as) if !unwindFlag =>
-        withErr.withColumn(as, col("__http.response"))
+        withErr.withColumn(as, col("__call.response"))
       case Some(as) =>
         // split a JSON-array response into one message per element
         val split = udf((s: String) =>
@@ -69,9 +148,9 @@ object Http {
             val n = Js.parse(s)
             if (n.isArray) Js.elems(n).map(Js.render) else Seq(Js.render(n))
           })
-        withErr.withColumn(as, explode(split(col("__http.response"))))
+        withErr.withColumn(as, explode(split(col("__call.response"))))
     }
-    out.drop("__http")
+    out.drop("__call")
   }
 }
 
@@ -134,8 +213,12 @@ object S3Csv {
     val bucket = Stages.expr(df, spec.get("bucket")).cast(StringType)
     val key = Stages.expr(df, spec.get("key")).cast(StringType)
     val store = env.store
-    val fetch = udf((b: String, k: String) => {
-      val content = store.get(b, k)
+    val fetched = PartitionCalls.appendCall(df, Seq(bucket, key),
+      ArrayType(StringType),
+      () => store.open(), () => store.close(),
+      PartitionCalls.maxInFlight(spec)) { args =>
+      val content = store.get(args(0).asInstanceOf[String],
+        args(1).asInstanceOf[String])
       val lines = content.split("\n").filter(_.nonEmpty)
       if (lines.length < 2) Seq.empty[String]
       else {
@@ -152,8 +235,8 @@ object S3Csv {
           Js.render(o)
         }
       }
-    })
-    df.withColumn("value", explode(fetch(bucket, key)))
+    }
+    fetched.withColumn("value", explode(col("__call"))).drop("__call")
   }
 
   /** The reference's CSV typing rule: long, else double, else string. */
@@ -177,17 +260,22 @@ object S3Transfer {
     val key = Stages.expr(df, spec.get("key")).cast(StringType)
     val transport = env.http
     val store = env.store
-    val transfer = udf((u: String, b: String, k: String) => {
+    val out = PartitionCalls.appendCall(df, Seq(url, bucket, key),
+      PartitionCalls.callRowType,
+      () => { transport.open(); store.open() },
+      () => { transport.close(); store.close() },
+      PartitionCalls.maxInFlight(spec)) { args =>
+      val (u, b, k) = (args(0).asInstanceOf[String],
+        args(1).asInstanceOf[String], args(2).asInstanceOf[String])
       val r = transport("GET", u, null, null)
       if (r.status >= 200 && r.status < 300) {
         store.put(b, k, r.body)
-        Http.CallRow(Some(s"s3://$b/$k"), None)
-      } else Http.CallRow(None, Some(Http.ErrorRow(r.status, r.body)))
-    })
-    df.withColumn("__t", transfer(url, bucket, key))
-      .withColumn(spec.get("as").asText(), col("__t.response"))
-      .withColumn("httpError", col("__t.httpError"))
-      .drop("__t")
+        Row(s"s3://$b/$k", null)
+      } else Row(null, Row(r.status, r.body))
+    }
+    out.withColumn(spec.get("as").asText(), col("__call.response"))
+      .withColumn("httpError", col("__call.httpError"))
+      .drop("__call")
   }
 }
 
@@ -200,7 +288,13 @@ object S3Attachments {
     val attachments = to_json(Stages.expr(df, spec.get("attachments")))
     val transport = env.http
     val store = env.store
-    val post = udf((u: String, attJson: String) => {
+    val out = PartitionCalls.appendCall(df, Seq(url, attachments),
+      PartitionCalls.callRowType,
+      () => { transport.open(); store.open() },
+      () => { transport.close(); store.close() },
+      PartitionCalls.maxInFlight(spec)) { args =>
+      val (u, attJson) =
+        (args(0).asInstanceOf[String], args(1).asInstanceOf[String])
       val boundary = "graft-boundary"
       val parts = Js.elems(Js.parse(attJson)).map { a =>
         val bucket = a.get("bucket").asText()
@@ -213,14 +307,11 @@ object S3Attachments {
         s"--$boundary\r\n${extraHeaders}Content-Length: ${content.length}\r\n\r\n$content\r\n"
       }.mkString
       val body = s"$parts--$boundary--\r\n"
-      val r = transport("POST", u,
-        s"""{"Content-Type":"multipart/mixed; boundary=$boundary"}""", body)
-      if (r.status >= 200 && r.status < 300) Http.CallRow(Some(r.body), None)
-      else Http.CallRow(None, Some(Http.ErrorRow(r.status, r.body)))
-    })
-    df.withColumn("__t", post(url, attachments))
-      .withColumn("httpError", col("__t.httpError"))
-      .drop("__t")
+      PartitionCalls.rowOf(transport("POST", u,
+        s"""{"Content-Type":"multipart/mixed; boundary=$boundary"}""", body))
+    }
+    out.withColumn("httpError", col("__call.httpError"))
+      .drop("__call")
   }
 }
 
@@ -232,12 +323,15 @@ object S3Out {
     val bucket = Stages.expr(df, spec.get("bucket")).cast(StringType)
     val key = Stages.expr(df, spec.get("key")).cast(StringType)
     val store = env.store
-    val put = udf((b: String, k: String, content: String) => {
-      store.put(b, k, content); true
-    })
     val payload = to_json(struct(df.columns.map(col): _*))
-    // the put must execute per row: force it through a filter on the result
-    df.withColumn("__s3ok", put(bucket, key, payload))
-      .filter(col("__s3ok")).drop("__s3ok")
+    val out = PartitionCalls.appendCall(df, Seq(bucket, key, payload),
+      BooleanType,
+      () => store.open(), () => store.close(),
+      PartitionCalls.maxInFlight(spec)) { args =>
+      store.put(args(0).asInstanceOf[String], args(1).asInstanceOf[String],
+        args(2).asInstanceOf[String])
+      true
+    }
+    out.filter(col("__call")).drop("__call")
   }
 }

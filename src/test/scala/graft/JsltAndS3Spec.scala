@@ -5,6 +5,25 @@ import graft.jq.MiniJslt
 import graft.json.Js
 import graft.op.{Env, HttpResult, HttpTransport, ObjectStore, Pipeline}
 
+/** Top-level so task-deserialized copies readResolve to this singleton and
+  * writes stay visible to the test.
+  */
+object JsltFakes {
+  object store extends ObjectStore {
+    val data = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def get(bucket: String, key: String): String = data.get(s"$bucket/$key")
+    def put(bucket: String, key: String, content: String): Unit =
+      data.put(s"$bucket/$key", content)
+  }
+  object http extends HttpTransport {
+    @volatile var lastBody: String = _
+    def apply(m: String, u: String, h: String, b: String): HttpResult = {
+      if (m == "POST") { lastBody = b; HttpResult(200, """{"ok":true}""") }
+      else HttpResult(200, s"content-of-$u")
+    }
+  }
+}
+
 class JsltAndS3Spec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   import spark.implicits._
@@ -35,35 +54,20 @@ class JsltAndS3Spec extends AnyFunSuite {
     assert(r.getAs[Long]("v") == 3L)
   }
 
-  private object Fakes {
-    val store = new ObjectStore {
-      val data = new java.util.concurrent.ConcurrentHashMap[String, String]()
-      def get(bucket: String, key: String): String = data.get(s"$bucket/$key")
-      def put(bucket: String, key: String, content: String): Unit =
-        data.put(s"$bucket/$key", content)
-    }
-    val http = new HttpTransport {
-      var lastBody: String = _
-      def apply(m: String, u: String, h: String, b: String): HttpResult = {
-        if (m == "POST") { lastBody = b; HttpResult(200, """{"ok":true}""") }
-        else HttpResult(200, s"content-of-$u")
-      }
-    }
-  }
 
   test("$s3Transfer fetches the url into the store") {
-    val env = Env(spark, http = Fakes.http, store = Fakes.store)
+    val env = Env(spark, http = JsltFakes.http, store = JsltFakes.store)
     val df = Seq(("m1", "f1")).toDF("_id", "file")
     val out = Pipeline.run(df,
       """[{"$s3Transfer":{"url":{"$concat":["http://src/","$file"]},
            "bucket":"tb","key":"$file","as":"s3url"}}]""", env).collect()
     assert(out.head.getAs[String]("s3url") == "s3://tb/f1")
-    assert(Fakes.store.get("tb", "f1") == "content-of-http://src/f1")
+    assert(JsltFakes.store.get("tb", "f1") == "content-of-http://src/f1")
   }
 
   test("$s3Attachments posts multipart bodies from the store") {
-    Fakes.store.put("ab", "doc1", "HELLO")
-    val env = Env(spark, http = Fakes.http, store = Fakes.store)
+    JsltFakes.store.put("ab", "doc1", "HELLO")
+    val env = Env(spark, http = JsltFakes.http, store = JsltFakes.store)
     val df = Seq(Tuple1("m1")).toDF("_id")
       .withColumn("attachments", org.apache.spark.sql.functions.expr(
         """array(named_struct('bucket','ab','key','doc1','x-h','v1'))"""))
@@ -71,8 +75,8 @@ class JsltAndS3Spec extends AnyFunSuite {
       """[{"$s3Attachments":{"url":"http://dst","attachments":"$attachments"}}]""",
       env).collect()
     assert(out.head.getAs[org.apache.spark.sql.Row]("httpError") == null)
-    assert(Fakes.http.lastBody.contains("HELLO"))
-    assert(Fakes.http.lastBody.contains("x-h: v1"))
+    assert(JsltFakes.http.lastBody.contains("HELLO"))
+    assert(JsltFakes.http.lastBody.contains("x-h: v1"))
   }
 
   test("$lag attaches the provider snapshot") {

@@ -8,25 +8,42 @@ import graft.op.{Env, HttpResult, HttpTransport, ObjectStore, Pipeline}
 /** Side-effecting stages with deterministic fake transports: $http,
   * $signJwt, $s3Csv, $s3Out, $jq, $delay, $probe.
   */
-class SideEffectsSpec extends AnyFunSuite {
-  private lazy val spark = SparkSpec.spark
-  import spark.implicits._
-
-  private object EchoHttp extends HttpTransport {
-    def apply(method: String, url: String, headers: String,
-        body: String): HttpResult =
+/** Top-level fakes: task closures deserialize per partition, and only
+  * top-level objects readResolve back to the JVM singleton, keeping their
+  * state visible to the test (open/close counts double as the
+  * one-client-per-partition assertion).
+  */
+object EchoHttp extends HttpTransport {
+  val opens = new java.util.concurrent.atomic.AtomicInteger
+  val closes = new java.util.concurrent.atomic.AtomicInteger
+  val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger
+  private val inFlight = new java.util.concurrent.atomic.AtomicInteger
+  override def open(): Unit = opens.incrementAndGet()
+  override def close(): Unit = closes.incrementAndGet()
+  def apply(method: String, url: String, headers: String,
+      body: String): HttpResult = {
+    val n = inFlight.incrementAndGet()
+    maxConcurrent.updateAndGet(m => math.max(m, n))
+    try {
+      Thread.sleep(2) // widen the concurrency window
       if (url.endsWith("/fail")) HttpResult(503, """{"err":"down"}""")
       else if (url.endsWith("/list"))
         HttpResult(200, """[{"n":1},{"n":2}]""")
       else HttpResult(200, s"""{"echo":"$url"}""")
+    } finally inFlight.decrementAndGet()
   }
+}
 
-  private object MemStore extends ObjectStore {
-    val data = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    def get(bucket: String, key: String): String = data.get(s"$bucket/$key")
-    def put(bucket: String, key: String, content: String): Unit =
-      data.put(s"$bucket/$key", content)
-  }
+object MemStore extends ObjectStore {
+  val data = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def get(bucket: String, key: String): String = data.get(s"$bucket/$key")
+  def put(bucket: String, key: String, content: String): Unit =
+    data.put(s"$bucket/$key", content)
+}
+
+class SideEffectsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
 
   private def env = Env(spark, http = EchoHttp, store = MemStore)
 
@@ -49,6 +66,20 @@ class SideEffectsSpec extends AnyFunSuite {
           {"$delay":{"duration":5000,"topic":"retry-topic"}}]""", env)
     val f = failed.collect()
     assert(f.length == 1 && f.head.getAs[String]("_topic") == "retry-topic")
+  }
+
+  test("$http opens one client per partition, overlaps bounded async calls") {
+    EchoHttp.opens.set(0); EchoHttp.closes.set(0)
+    EchoHttp.maxConcurrent.set(0)
+    val df = spark.range(200)
+      .select(concat(lit("m"), col("id")).as("_id")).repartition(4)
+    val out = Pipeline.run(df,
+      """[{"$http":{"url":{"$concat":["http://x/","$_id"]},
+                    "method":"GET","as":"r","parallelism":8}}]""", env)
+    assert(out.where(col("r").isNotNull).count() == 200)
+    assert(EchoHttp.opens.get() == 4) // one shared client per partition
+    assert(EchoHttp.closes.get() == 4) // released at task completion
+    assert(EchoHttp.maxConcurrent.get() > 1) // calls actually overlapped
   }
 
   test("$http unwind explodes array responses") {

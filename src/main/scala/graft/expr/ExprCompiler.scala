@@ -24,6 +24,12 @@ trait DocModel {
     * typed value. Typed models ignore the hint.
     */
   def pathAs(p: String, hint: JsonNode): Column = path(p)
+  /** Whether the path can resolve at all. Typed models answer from the
+    * schema so `$match` on a field no document has (reference app3) can
+    * compile to the Mongo missing-field semantics instead of failing
+    * analysis; dynamic models always say yes (absent → null at runtime).
+    */
+  def has(p: String): Boolean = true
 }
 
 final class RelationalDoc(columns: Seq[String]) extends DocModel {
@@ -32,6 +38,7 @@ final class RelationalDoc(columns: Seq[String]) extends DocModel {
     parts.tail.foldLeft(col(parts.head))((c, f) => c.getField(f))
   }
   def root: Column = struct(columns.map(col): _*)
+  override def has(p: String): Boolean = columns.contains(p.split("\\.").head)
 }
 
 /** Schemaless message model: the document is one VariantType column

@@ -34,11 +34,28 @@ object QueryCompiler {
         Some(!Js.elems(v).map(c => coalesce(compile(c, ctx), lit(false)))
           .reduce(_ || _))
       case ("$expr", v) => Some(ExprCompiler.compile(v, ctx))
+      case (field, cond) if !ctx.doc.has(field) =>
+        Some(missingFieldMatch(cond))
       case (field, cond) =>
         Some(fieldMatch(hint => ctx.doc.pathAs(field, hint), cond, ctx))
     }
     if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
   }
+
+  /** Mongo semantics when NO document has the field (the typed schema
+    * lacks the column, reference app3): the field "doesn't exist", so
+    * `$exists:false`, `$ne`, `$nin` and `$not` match every document and
+    * everything else matches none.
+    */
+  private def missingFieldMatch(cond: JsonNode): Column =
+    if (isOperatorObject(cond))
+      Js.fields(cond).flatMap {
+        case ("$comment", _) | ("$options", _)      => None
+        case ("$exists", v)                         => Some(lit(!v.asBoolean()))
+        case ("$ne", _) | ("$nin", _) | ("$not", _) => Some(lit(true))
+        case _                                      => Some(lit(false))
+      }.reduceOption(_ && _).getOrElse(lit(true))
+    else lit(false)
 
   /** Condition for one field: operator object or implicit equality. The
     * target is resolved per comparison with the literal as a type hint

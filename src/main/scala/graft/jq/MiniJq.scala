@@ -30,18 +30,22 @@ object MiniJq {
 
   final case class Program(defs: Map[String, Ast], body: Ast)
 
-  /** Compile a script; `load` resolves import paths to script text. */
+  /** Compile a script; `load` resolves import paths to script text.
+    * `base` is the app-root-relative path of this script, so nested
+    * imports resolve against its directory.
+    */
   def compile(script: String,
       load: String => String = f =>
-        throw new IllegalArgumentException(s"no script loader for $f"))
-      : JsonNode => JsonNode = {
-    val prog = parse(script, load)
+        throw new IllegalArgumentException(s"no script loader for $f"),
+      base: String = ""): JsonNode => JsonNode = {
+    val prog = parse(script, load, base)
     input => eval(prog.body, input, prog.defs)
   }
 
   // -- parser ---------------------------------------------------------------
 
-  private def parse(script: String, load: String => String): Program = {
+  private def parse(script: String, load: String => String,
+      base: String = ""): Program = {
     val t = new Tokens(script)
     val defs = mutable.Map[String, Ast]()
     var more = true
@@ -50,7 +54,8 @@ object MiniJq {
         t.expect("import")
         val file = t.string()
         t.expect("as"); val ns = t.ident(); t.expect(";")
-        val imported = parse(load(file), load)
+        val full = graft.json.Js.relativeTo(base, file)
+        val imported = parse(load(full), load, full)
         imported.defs.foreach { case (k, v) => defs(s"$ns::$k") = v }
       } else if (t.peekIs("def")) {
         t.expect("def")

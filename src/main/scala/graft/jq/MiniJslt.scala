@@ -7,45 +7,59 @@ import scala.collection.mutable
 
 /** A small JSLT interpreter covering the subset the reference's
   * applications use (docs/aggregation_operators.md:1176-1187, fixture
-  * scripts under src/test/resources/app8): paths, object construction with
-  * the `* : .` rest-spread matcher, parameterized `def` functions,
-  * `import ... as ns`, `$var` references and arithmetic.
+  * scripts under src/test/resources/app8/app35/app36): paths (with array
+  * indexes and hyphenated segments), the pipe `expr | expr` (rebinds `.`),
+  * object construction with the `* : .` rest-spread matcher (explicitly
+  * listed keys are excluded; null-valued pairs are omitted, which is how a
+  * script deletes a field), parameterized `def` functions,
+  * `import ... as ns` (resolved relative to the importing file), `$var`
+  * references and arithmetic.
   *
   * Independent implementation of the public JSLT language subset.
   */
 object MiniJslt {
 
+  sealed trait Step
+  final case class Field(name: String) extends Step
+  final case class Index(i: Int) extends Step
+
   sealed trait Ast
   case object Dot extends Ast
-  final case class Path(parts: List[String]) extends Ast
+  final case class Path(parts: List[Step]) extends Ast
   final case class Var(name: String) extends Ast
   final case class Lit(v: JsonNode) extends Ast
   final case class BinOp(op: String, l: Ast, r: Ast) extends Ast
+  final case class PipeOp(l: Ast, r: Ast) extends Ast
   final case class ObjCons(fields: List[(String, Ast)], spread: Option[Ast])
       extends Ast
   final case class CallFn(ns: Option[String], name: String, args: List[Ast])
       extends Ast
-  final case class PathOf(base: Ast, parts: List[String]) extends Ast
+  final case class PathOf(base: Ast, parts: List[Step]) extends Ast
 
   final case class FnDef(params: List[String], body: Ast)
   final case class Program(defs: Map[String, FnDef], body: Ast)
 
+  /** `base` is the app-root-relative path of the script being compiled;
+    * nested imports resolve against its directory.
+    */
   def compile(script: String,
       load: String => String = f =>
-        throw new IllegalArgumentException(s"no script loader for $f"))
-      : JsonNode => JsonNode = {
-    val prog = parse(script, load)
+        throw new IllegalArgumentException(s"no script loader for $f"),
+      base: String = ""): JsonNode => JsonNode = {
+    val prog = parse(script, load, base)
     input => eval(prog.body, input, Map.empty, prog.defs)
   }
 
-  private def parse(script: String, load: String => String): Program = {
+  private def parse(script: String, load: String => String, base: String)
+      : Program = {
     val t = new Tok(script)
     val defs = mutable.Map[String, FnDef]()
     var more = true
     while (more) {
       if (t.peekIs("import")) {
         t.next(); val file = t.string(); t.expectWord("as"); val ns = t.word()
-        parse(load(file), load).defs.foreach { case (k, v) =>
+        val full = Js.relativeTo(base, file)
+        parse(load(full), load, full).defs.foreach { case (k, v) =>
           defs(s"$ns:$k") = v
         }
       } else if (t.peekIs("def")) {
@@ -62,6 +76,12 @@ object MiniJslt {
   }
 
   private def parseExpr(t: Tok): Ast = {
+    var l = parseAdd(t)
+    while (t.peekIs("|")) { t.next(); l = PipeOp(l, parseAdd(t)) }
+    l
+  }
+
+  private def parseAdd(t: Tok): Ast = {
     var l = parseMul(t)
     while (t.peekIs("+") || t.peekIs("-")) {
       val op = t.next(); l = BinOp(op, l, parseMul(t))
@@ -77,14 +97,25 @@ object MiniJslt {
     l
   }
 
+  /** `.a`, `.a.b`, `.a[0].b` ... after the leading dot was consumed. */
+  private def parseSteps(t: Tok): List[Step] = {
+    val parts = mutable.ListBuffer[Step](Field(t.word()))
+    var more = true
+    while (more) {
+      if (t.peekIs("[")) {
+        t.next(); val i = t.next(); t.expect("]")
+        parts += Index(i.toInt)
+      } else if (t.peekIs(".") && t.peekWordAfterDot) {
+        t.next(); parts += Field(t.word())
+      } else more = false
+    }
+    parts.toList
+  }
+
   private def parsePrim(t: Tok): Ast = t.peek match {
     case "." =>
       t.next()
-      if (t.peekWord) {
-        val parts = mutable.ListBuffer(t.word())
-        while (t.peekIs(".") && t.peekWordAfterDot) { t.next(); parts += t.word() }
-        Path(parts.toList)
-      } else Dot
+      if (t.peekWord) Path(parseSteps(t)) else Dot
     case "$" => t.next(); Var(t.word())
     case "{" =>
       t.next()
@@ -135,35 +166,42 @@ object MiniJslt {
     // postfix path on a call result: op:decr(.value).x
     if (t.peekIs(".") && t.peekWordAfterDot) {
       t.next()
-      val parts = mutable.ListBuffer(t.word())
-      while (t.peekIs(".") && t.peekWordAfterDot) { t.next(); parts += t.word() }
-      PathOf(call, parts.toList)
+      PathOf(call, parseSteps(t))
     } else call
   }
+
+  private def walk(in: JsonNode, parts: List[Step]): JsonNode =
+    parts.foldLeft(in) { (n, p) =>
+      if (n == null || n.isNull) NullNode.getInstance
+      else p match {
+        case Field(f) => Option(n.get(f)).getOrElse(NullNode.getInstance)
+        case Index(i) => Option(n.get(i)).getOrElse(NullNode.getInstance)
+      }
+    }
 
   private def eval(ast: Ast, in: JsonNode, vars: Map[String, JsonNode],
       defs: Map[String, FnDef]): JsonNode = ast match {
     case Dot => in
-    case Path(parts) =>
-      parts.foldLeft(in)((n, p) =>
-        if (n == null || n.isNull) NullNode.getInstance
-        else Option(n.get(p)).getOrElse(NullNode.getInstance))
-    case PathOf(base, parts) =>
-      eval(Path(parts), eval(base, in, vars, defs), vars, defs)
+    case Path(parts) => walk(in, parts)
+    case PathOf(base, parts) => walk(eval(base, in, vars, defs), parts)
     case Var(name) =>
       vars.getOrElse(name,
         throw new IllegalArgumentException(s"unbound variable $$$name"))
     case Lit(v) => v
+    case PipeOp(l, r) => eval(r, eval(l, in, vars, defs), vars, defs)
     case ObjCons(fields, spread) =>
       val o = Js.obj()
+      val listed = fields.map(_._1).toSet
       fields.foreach { case (k, e) =>
-        o.set[JsonNode](k, eval(e, in, vars, defs))
+        val v = eval(e, in, vars, defs)
+        // JSLT omits null-valued pairs: `"k": null` + `* : .` deletes k
+        if (v != null && !v.isNull) o.set[JsonNode](k, v)
       }
       spread.foreach { s =>
         eval(s, in, vars, defs) match {
           case src: ObjectNode =>
             Js.fields(src).foreach { case (k, v) =>
-              if (!o.has(k)) o.set[JsonNode](k, v)
+              if (!listed.contains(k) && !o.has(k)) o.set[JsonNode](k, v)
             }
           case _ =>
         }
@@ -214,8 +252,12 @@ object MiniJslt {
           out += tok; i = after
         } else if (c.isLetter || c == '_') {
           val start = i
+          // hyphenated identifiers (.other-nested, reference app36): a '-'
+          // glues only when directly between identifier characters
           while (i < script.length &&
-            (script(i).isLetterOrDigit || script(i) == '_')) i += 1
+            (script(i).isLetterOrDigit || script(i) == '_' ||
+              (script(i) == '-' && i + 1 < script.length &&
+                script(i + 1).isLetterOrDigit))) i += 1
           out += script.substring(start, i)
         } else if (c.isDigit) {
           val start = i

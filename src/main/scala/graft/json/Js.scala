@@ -24,12 +24,26 @@ object Js {
 
   def elems(n: JsonNode): Seq[JsonNode] = n.elements().asScala.toSeq
 
-  /** Single-key object whose key starts with `$` → (op, args). */
+  /** Single-key object whose key starts with `$` → (op, args). Keys
+    * starting with `_` are metadata siblings (the reference allows e.g.
+    * `_trace: true` next to the stage op, app1/application.yaml) and are
+    * ignored for operator detection.
+    */
   def asOp(n: JsonNode): Option[(String, JsonNode)] =
-    if (n.isObject && n.size() == 1) {
-      val k = n.fieldNames().next()
-      if (k.startsWith("$")) Some(k -> n.get(k)) else None
-    } else None
+    if (!n.isObject) None
+    else fields(n).filterNot(_._1.startsWith("_")) match {
+      case Seq((k, v)) if k.startsWith("$") => Some(k -> v)
+      case _                                => None
+    }
+
+  /** Resolve `ref` relative to the directory of the file `cur` (both are
+    * app-root-relative paths; `cur` empty = app root).
+    */
+  def relativeTo(cur: String, ref: String): String = {
+    val parent = Option(java.nio.file.Paths.get(cur).getParent)
+    parent.map(_.resolve(ref)).getOrElse(java.nio.file.Paths.get(ref))
+      .normalize().toString
+  }
 
   def render(n: JsonNode): String = json.writeValueAsString(n)
 }

@@ -349,6 +349,17 @@ object Stages {
     val inner = spec.has("inner") && spec.get("inner").asBoolean()
     val unwindAs = spec.has("unwind") && spec.get("unwind").asBoolean()
 
+    // uncorrelated pipeline form (no localField, no let — reference
+    // app40): run the pipeline over the foreign collection once and
+    // attach the result array to every message; the one-row build side
+    // broadcasts.
+    if (!spec.has("localField") && !spec.has("let")) {
+      val sub = Pipeline.compile(spec.get("pipeline"), env)(from)
+      val arr = sub.agg(
+        collect_list(struct(sub.columns.map(sub.col): _*)).as(as))
+      return df.crossJoin(broadcast(arr))
+    }
+
     val (probeKey, buildKey): (Column, Column) =
       if (spec.has("localField"))
         (col(spec.get("localField").asText()),

@@ -18,19 +18,23 @@ import graft.expr.QueryCompiler
   */
 object Validate {
 
-  /** Resolve a validator spec: filename → load; `include` files merge
-    * their conditions into the including validator (docs/validator.md:76+).
+  /** Resolve a validator spec: filename → load (relative to the including
+    * file, `cur`); `include` files merge their conditions into the
+    * including validator (docs/validator.md:76+).
     */
-  def resolve(spec: JsonNode, scripts: String => String): JsonNode = {
-    val node =
-      if (spec.isTextual) graft.json.Js.parseYaml(scripts(spec.asText()))
-      else spec
+  def resolve(spec: JsonNode, scripts: String => String,
+      cur: String = ""): JsonNode = {
+    val (node, base) =
+      if (spec.isTextual) {
+        val full = Js.relativeTo(cur, spec.asText())
+        (graft.json.Js.parseYaml(scripts(full)), full)
+      } else (spec, cur)
     if (!node.has("include")) node
     else {
       val out = graft.json.Js.obj()
       val conds = graft.json.Js.arr()
       graft.json.Js.elems(node.get("include")).foreach { inc =>
-        val sub = resolve(inc, scripts)
+        val sub = resolve(inc, scripts, base)
         Option(sub.get("conditions"))
           .foreach(cs => graft.json.Js.elems(cs).foreach(conds.add))
       }

@@ -49,9 +49,17 @@ object AggregateLogic {
       o
     }
 
-    // 1. ACL (docs/state.md:199-232): state._acl.<command> roles vs
-    //    _jwt.roles; sub == "system" bypasses.
-    if (!aclAllows(cur, command, cmdName)) return (state, Nil)
+    // 1. authentication + ACL (docs/state.md "Access Control"): a command
+    //    without _jwt, or whose _jwt.roles don't intersect the state's
+    //    _acl entry, is refused with a 403 reply (reference fixture
+    //    app35/test/topics/to/plusminus2-counter-reply/3_error.json).
+    if (!command.has("_jwt") || !aclAllows(cur, command, cmdName)) {
+      val refused = command.deepCopy[ObjectNode]()
+      refused.put("_error", true)
+      refused.put("_statusCode", 403)
+      refused.put("message", "Forbidden")
+      return (state, Seq(Reply -> refused))
+    }
 
     // 2. optimistic _seq check (docs/state.md:92): stale commands ignored
     val curSeq = long(cur, "_seq").getOrElse(-1L)

@@ -30,10 +30,10 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
     config: Map[String, String] = Map.empty) {
 
   def run(yamlOrJson: String): Map[String, DataFrame] = {
-    val spec = Parameters.resolve(
+    val spec = Parameters.build(
       if (yamlOrJson.trim.startsWith("{")) Js.parse(yamlOrJson)
       else Js.parseYaml(yamlOrJson),
-      config)
+      config, env.scripts)
     val parts = Js.elems(spec.get("parts"))
     var streams = Map.empty[String, DataFrame]
 
@@ -139,9 +139,15 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
         val commands =
           if (commands0.columns.contains("__ord")) commands0
           else commands0.withColumn("__ord", monotonically_increasing_id())
+        // preprocessors may be inline pipelines or file references
+        // (reference app8/app35: `preprocessor: "duplicates.yaml"`)
+        def preprocessor(node: JsonNode): DataFrame => DataFrame =
+          Pipeline.compile(
+            if (node.isTextual) Js.parseYaml(env.scripts(node.asText()))
+            else node, env)
         val aggPre =
           if (part.has("preprocessor"))
-            Pipeline.compile(part.get("preprocessor"), env)(commands)
+            preprocessor(part.get("preprocessor"))(commands)
           else commands
         // command-level preprocessors (docs/state.md:61): the pipeline
         // applies only to commands with that name; others pass through
@@ -151,7 +157,7 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
               val matching = df.where(col("_command") === cmdName)
               val others = df.where(col("_command") =!= cmdName ||
                 col("_command").isNull)
-              Pipeline.compile(cmdSpec.get("preprocessor"), env)(matching)
+              preprocessor(cmdSpec.get("preprocessor"))(matching)
                 .unionByName(others, allowMissingColumns = true)
             case (df, _) => df
           }
@@ -203,9 +209,10 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
       .select(col("__key_left").as("_id"), col("left"), col("right"))
   }
 
-  /** Command reducers: JQ scripts (preferred by the reference,
-    * docs/state.md:62) — inline text or a file resolved via Env.scripts.
-    * The script receives {command, state} and returns the new state.
+  /** Command reducers (docs/state.md:62): a JQ script (inline or file), a
+    * JSLT script (`.jslt` file, reference app8/app35), or an aggregation
+    * pipeline interpreted in JSON land (reference app35/app37 `put`). All
+    * receive {command, state} and return the new state.
     */
   private def readReducers(part: JsonNode)
       : Map[String, (com.fasterxml.jackson.databind.node.ObjectNode,
@@ -214,12 +221,20 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
     Option(part.get("commands")).map { cmds =>
       Js.fields(cmds).flatMap { case (cmdName, cmdSpec) =>
         Option(cmdSpec.get("reducer")).map { r =>
-          val text = r.asText()
-          val script =
-            if (text.contains("\n") || text.trim.startsWith(".") ||
-              text.trim.startsWith("{")) text
-            else env.scripts(text)
-          val program = graft.jq.MiniJq.compile(script, env.scripts)
+          val program: JsonNode => JsonNode =
+            if (r.isArray) {
+              val p = JsonPipeline.compile(r, env.scripts)
+              in => p(in.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+            } else {
+              val text = r.asText()
+              val inline = text.contains("\n") || text.trim.startsWith(".") ||
+                text.trim.startsWith("{")
+              val script = if (inline) text else env.scripts(text)
+              val base = if (inline) "" else text
+              if (!inline && text.endsWith(".jslt"))
+                graft.jq.MiniJslt.compile(script, env.scripts, base)
+              else graft.jq.MiniJq.compile(script, env.scripts, base)
+            }
           cmdName -> { (command: com.fasterxml.jackson.databind.node.ObjectNode,
               state: com.fasterxml.jackson.databind.node.ObjectNode) =>
             val input = Js.obj()

@@ -17,8 +17,71 @@ object Parameters {
 
   private val Ref = """\$\{([^}]*)\}""".r
 
-  def resolve(spec: JsonNode, config: Map[String, String] = Map.empty)
-      : JsonNode = {
+  /** Full build pass (reference Build.java, docs/application.md): resolve
+    * the parameters, then expand file includes — array elements that are
+    * `"<file>.yml"` strings, or `{include: {file, parameters}}` objects
+    * anywhere — relative to the including file's directory. An included
+    * array splices into the surrounding array; include-level parameters
+    * (themselves substituted in the outer scope) override the outer scope
+    * inside the included file.
+    */
+  def build(spec: JsonNode, config: Map[String, String],
+      load: String => String): JsonNode = {
+    val params = paramsOf(spec, config)
+    val out = expand(spec, params, "", load)
+    out match {
+      case o: ObjectNode => o.remove("parameters"); o
+      case other         => other
+    }
+  }
+
+  private def isFileRef(s: String): Boolean =
+    s.endsWith(".yml") || s.endsWith(".yaml") || s.endsWith(".json")
+
+  private def included(e: JsonNode, params: Map[String, JsonNode],
+      base: String, load: String => String, inArray: Boolean)
+      : Option[JsonNode] =
+    if (inArray && e.isTextual && isFileRef(e.asText())) {
+      val path = substituteString(e.asText(), params).asText()
+      val full = Js.relativeTo(base, path)
+      Some(expand(Js.parseYaml(load(full)), params, full, load))
+    } else if (e.isObject && e.size() == 1 && e.has("include")) {
+      val inc = e.get("include")
+      val extra = Option(inc.get("parameters")).map(p =>
+        Js.fields(p).map { case (k, v) => k -> substitute(v, params) }.toMap)
+        .getOrElse(Map.empty[String, JsonNode])
+      val merged = params ++ extra
+      val path = substituteString(inc.get("file").asText(), merged).asText()
+      val full = Js.relativeTo(base, path)
+      Some(expand(Js.parseYaml(load(full)), merged, full, load))
+    } else None
+
+  private def expand(n: JsonNode, params: Map[String, JsonNode],
+      base: String, load: String => String): JsonNode = n match {
+    case t if t.isTextual => substituteString(t.asText(), params)
+    case a: ArrayNode =>
+      val out = Js.arr()
+      Js.elems(a).foreach { e =>
+        included(e, params, base, load, inArray = true) match {
+          case Some(arr: ArrayNode) => Js.elems(arr).foreach(out.add)
+          case Some(x)              => out.add(x)
+          case None                 => out.add(expand(e, params, base, load))
+        }
+      }
+      out
+    case o: ObjectNode =>
+      included(o, params, base, load, inArray = false).getOrElse {
+        val out = Js.obj()
+        Js.fields(o).foreach { case (k, v) =>
+          out.set[JsonNode](k, expand(v, params, base, load))
+        }
+        out
+      }
+    case other => other
+  }
+
+  private def paramsOf(spec: JsonNode, config: Map[String, String])
+      : Map[String, JsonNode] = {
     val raw = Option(spec.get("parameters"))
       .map(p => Js.fields(p).toMap).getOrElse(Map.empty)
     val withEnv = config.get("environment") match {
@@ -39,7 +102,13 @@ object Parameters {
     (0 until 5).foreach { _ =>
       params = params.map { case (k, v) => k -> substitute(v, params) }
     }
-    val out = substitute(spec, params)
+    params
+  }
+
+  /** Substitution-only pass (no file includes — use `build` for those). */
+  def resolve(spec: JsonNode, config: Map[String, String] = Map.empty)
+      : JsonNode = {
+    val out = substitute(spec, paramsOf(spec, config))
     out match {
       case o: ObjectNode => o.remove("parameters"); o
       case other         => other

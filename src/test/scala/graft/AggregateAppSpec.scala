@@ -23,6 +23,7 @@ class AggregateAppSpec extends AnyFunSuite {
       ("c1", "minus", 4L, 0),
       ("c2", "plus", 5L, 0)) // plus on fresh state: value null + 1
       .toDF("_id", "_command", "__ord", "value")
+      .withColumn("_jwt", struct(lit("system").as("sub")))
       .withColumn("value",
         when(col("_command") === "put", lit(0)).otherwise(lit(null)))
       .withColumn("_corr", concat(lit("corr"), col("__ord")))
@@ -63,6 +64,7 @@ class AggregateAppSpec extends AnyFunSuite {
 
   test("validator failure goes to reply with _error") {
     val cmds = Seq(("c9", "put", 1L)).toDF("_id", "_command", "__ord")
+      .withColumn("_jwt", struct(lit("system").as("sub")))
     val io = new TestIo(Map("vapp-item-command" -> cmds))
     val streams = new AppRunner(spark, io, Env(spark)).run(
       """{"application":"vapp","version":"1.0","parts":[
@@ -81,6 +83,7 @@ class AggregateAppSpec extends AnyFunSuite {
 
   test("environment suffixes the aggregate topics and streams") {
     val cmds = Seq(("e1", "put", 1L, 5)).toDF("_id", "_command", "__ord", "v")
+      .withColumn("_jwt", struct(lit("system").as("sub")))
     val io = new TestIo(Map("eapp-doc-command-tst" -> cmds))
     val streams = new AppRunner(spark, io, Env(spark)).run(
       """{"application":"eapp","version":"1.0","parts":[
@@ -96,6 +99,7 @@ class AggregateAppSpec extends AnyFunSuite {
       ("a2", "put", "k-7", 2L), // same unique key → same instance
       ("a3", "put", "k-8", 3L))
       .toDF("_id", "_command", "ukey", "__ord")
+      .withColumn("_jwt", struct(lit("system").as("sub")))
     val io = new TestIo(Map("uapp-thing-command" -> cmds))
     val streams = new AppRunner(spark, io, Env(spark)).run(
       """{"application":"uapp","version":"1.0","parts":[

@@ -19,7 +19,7 @@ class AggregateLogicSpec extends AnyFunSuite {
 
   test("put creates state with _seq 0 and emits 4 outputs") {
     val (state, out) = AggregateLogic.step(None,
-      obj("""{"_id":"a","_type":"app-counter","_command":"put","_corr":"c1","value":1}"""),
+      obj("""{"_id":"a","_type":"app-counter","_command":"put","_corr":"c1","value":1,"_jwt":{"sub":"system"}}"""),
       conf, 1000L)
     assert(state.isDefined)
     val s = state.get
@@ -39,19 +39,19 @@ class AggregateLogicSpec extends AnyFunSuite {
 
   test("identical put produces no outputs and no state change") {
     val (s1, _) = AggregateLogic.step(None,
-      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1}"""), conf, 0L)
+      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1,"_jwt":{"sub":"system"}}"""), conf, 0L)
     val (s2, out) = AggregateLogic.step(s1,
-      obj("""{"_id":"a","_command":"put","_corr":"c2","value":1}"""), conf, 0L)
+      obj("""{"_id":"a","_command":"put","_corr":"c2","value":1,"_jwt":{"sub":"system"}}"""), conf, 0L)
     assert(out.isEmpty)
     assert(s2.get.get("_seq").asLong() == 0)
   }
 
   test("patch applies RFC-6902 ops and increments _seq") {
     val (s1, _) = AggregateLogic.step(None,
-      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1}"""), conf, 0L)
+      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1,"_jwt":{"sub":"system"}}"""), conf, 0L)
     val (s2, out) = AggregateLogic.step(s1,
       obj("""{"_id":"a","_command":"patch","_corr":"c2",
-             "_ops":[{"op":"replace","path":"/value","value":5}]}"""),
+             "_ops":[{"op":"replace","path":"/value","value":5}],"_jwt":{"sub":"system"}}"""),
       conf, 0L)
     assert(s2.get.get("value").asInt() == 5)
     assert(s2.get.get("_seq").asLong() == 1)
@@ -61,23 +61,23 @@ class AggregateLogicSpec extends AnyFunSuite {
 
   test("delete marks _deleted") {
     val (s1, _) = AggregateLogic.step(None,
-      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1}"""), conf, 0L)
+      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1,"_jwt":{"sub":"system"}}"""), conf, 0L)
     val (s2, _) = AggregateLogic.step(s1,
-      obj("""{"_id":"a","_command":"delete","_corr":"c2"}"""), conf, 0L)
+      obj("""{"_id":"a","_command":"delete","_corr":"c2","_jwt":{"sub":"system"}}"""), conf, 0L)
     assert(s2.get.get("_deleted").asBoolean())
   }
 
   test("stale _seq command is ignored") {
     val (s1, _) = AggregateLogic.step(None,
-      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1}"""), conf, 0L)
+      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1,"_jwt":{"sub":"system"}}"""), conf, 0L)
     val (s2, out) = AggregateLogic.step(s1,
-      obj("""{"_id":"a","_command":"put","_corr":"c2","_seq":99,"value":2}"""),
+      obj("""{"_id":"a","_command":"put","_corr":"c2","_seq":99,"value":2,"_jwt":{"sub":"system"}}"""),
       conf, 0L)
     assert(out.isEmpty)
     assert(s2.get.get("value").asInt() == 1)
     // matching _seq is accepted
     val (s3, _) = AggregateLogic.step(s2,
-      obj("""{"_id":"a","_command":"put","_corr":"c3","_seq":0,"value":2}"""),
+      obj("""{"_id":"a","_command":"put","_corr":"c3","_seq":0,"value":2,"_jwt":{"sub":"system"}}"""),
       conf, 0L)
     assert(s3.get.get("value").asInt() == 2)
   }
@@ -87,7 +87,7 @@ class AggregateLogicSpec extends AnyFunSuite {
       """{"conditions":[{"value":{"$exists":true},"$code":"REQUIRED"}]}""")
     val c = conf.copy(validators = Map("put" -> v))
     val (state, out) = AggregateLogic.step(None,
-      obj("""{"_id":"a","_command":"put","_corr":"c1","other":2}"""), c, 0L)
+      obj("""{"_id":"a","_command":"put","_corr":"c1","other":2,"_jwt":{"sub":"system"}}"""), c, 0L)
     assert(state.isEmpty)
     assert(out.map(_._1) == Seq(Reply))
     val reply = out.head._2
@@ -98,12 +98,15 @@ class AggregateLogicSpec extends AnyFunSuite {
   test("ACL denies without matching role, allows system sub") {
     val (s1, _) = AggregateLogic.step(None,
       obj("""{"_id":"a","_command":"put","_corr":"c1","value":1,
-             "_acl":{"put":["admin"]}}"""), conf, 0L)
+             "_acl":{"put":["admin"]},"_jwt":{"sub":"system"}}"""), conf, 0L)
     assert(s1.get.get("_acl") != null)
     val (s2, out2) = AggregateLogic.step(s1,
       obj("""{"_id":"a","_command":"put","_corr":"c2","value":2,
              "_jwt":{"sub":"u1","roles":["user"]}}"""), conf, 0L)
-    assert(out2.isEmpty && s2.get.get("value").asInt() == 1)
+    // denied → 403 Forbidden reply, state unchanged (reference app35)
+    assert(s2.get.get("value").asInt() == 1)
+    assert(out2.map(_._1) == Seq(AggregateLogic.Reply))
+    assert(out2.head._2.get("_statusCode").asInt() == 403)
     val (s3, out3) = AggregateLogic.step(s2,
       obj("""{"_id":"a","_command":"put","_corr":"c3","value":3,
              "_jwt":{"sub":"u2","roles":["admin"]}}"""), conf, 0L)

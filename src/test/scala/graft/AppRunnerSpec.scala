@@ -100,6 +100,7 @@ class AppRunnerSpec extends AnyFunSuite {
       ("y", "put", null, 3L, 5),
       ("x", "delete", null, 4L, 0))
       .toDF("_id", "_command", "_opsJson", "__ord", "v")
+      .withColumn("_jwt", struct(lit("system").as("sub")))
       .withColumn("_ops", from_json(col("_opsJson"),
         org.apache.spark.sql.types.DataType.fromDDL(
           "array<struct<op:string,path:string,value:int>>")))

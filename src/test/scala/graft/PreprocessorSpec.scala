@@ -19,6 +19,7 @@ class PreprocessorSpec extends AnyFunSuite {
       ("p1", "put", 1L, 10),
       ("p1", "bump", 2L, 0))
       .toDF("_id", "_command", "__ord", "v")
+      .withColumn("_jwt", struct(lit("system").as("sub")))
     val io = new TestIo(Map("pp-item-command" -> cmds))
     // the bump preprocessor rewrites it into a patch; put is untouched
     val streams = new AppRunner(spark, io, Env(spark)).run(

@@ -44,10 +44,10 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-agg").toString
     val topic = "sapp-counter-command"
     val schema = ddl(
-      "_id string, _command string, _corr string, __ord long, v int, " +
+      "_id string, _command string, _corr string, __ord long, v int, _jwt struct<sub string>, " +
         "_ops array<struct<op:string,path:string,value:int>>")
     write(dir, topic, "b1",
-      """{"_id":"x","_command":"put","_corr":"c1","__ord":1,"v":7}""")
+      """{"_id":"x","_command":"put","_corr":"c1","__ord":1,"v":7,"_jwt":{"sub":"system"}}""")
     val io = new FileStreamIo(dir, Map(topic -> schema))
     val streams = new AppRunner(spark, io, Env(spark)).run(
       """{"application":"sapp","version":"1.0","parts":[
@@ -57,7 +57,7 @@ class StreamingSpec extends AnyFunSuite {
     io.processAll()
     // second micro-batch: patch arrives later, state must carry _seq=0
     write(dir, topic, "b2",
-      """{"_id":"x","_command":"patch","_corr":"c2","__ord":2,"_ops":[{"op":"replace","path":"/v","value":9}]}""")
+      """{"_id":"x","_command":"patch","_corr":"c2","__ord":2,"_ops":[{"op":"replace","path":"/v","value":9}],"_jwt":{"sub":"system"}}""")
     io.processAll()
     val aggs = spark.table("agg_out").collect()
       .map(r => Js.parse(r.getString(1)))

@@ -205,8 +205,25 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
           unix_millis(col("__jts_right"))) <= w
       case None => lit(true)
     }
-    l.join(r, lk === rk && timeCond, "inner")
-      .select(col("__key_left").as("_id"), col("left"), col("right"))
+    val joined = l.join(r, lk === rk && timeCond, "inner")
+    // duplicate-emission suppression (reference App.java:706-708: identical
+    // join outputs within 1 s are dropped — replay and simultaneous-arrival
+    // both produce them). Streaming: value-keyed dedup riding the join's
+    // own ingestion-time watermark (a fresh watermark downstream of a
+    // stream-stream join is disallowed); batch: distinct on the output.
+    if (joined.isStreaming && window.isDefined)
+      joined
+        .withColumn("__jv",
+          sha2(to_json(struct(col("__key_left"), col("left"), col("right"))), 256))
+        // keep exactly one event-time column for the dedup state eviction
+        .drop("__jts_right")
+        .dropDuplicatesWithinWatermark("__jv")
+        .select(col("__key_left").as("_id"), col("left"), col("right"))
+    else if (joined.isStreaming)
+      joined.select(col("__key_left").as("_id"), col("left"), col("right"))
+    else
+      joined.select(col("__key_left").as("_id"), col("left"), col("right"))
+        .dropDuplicates()
   }
 
   /** Command reducers (docs/state.md:62): a JQ script (inline or file), a

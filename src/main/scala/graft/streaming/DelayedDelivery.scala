@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+import org.apache.spark.sql.functions._
+
+/** `$delay` redelivery (docs/aggregation_stages.md:118-159): the stage
+  * stamps `_topic` and `_delay_ms`; the SINK hands such rows to a timer
+  * that re-produces them onto the target topic after the duration — the
+  * reference's scheduled re-produce. Message order is not guaranteed and
+  * loss is possible on a crash mid-delay, exactly the reference's caveat.
+  */
+object DelayedDelivery {
+
+  /** One daemon timer pool per executor JVM. */
+  lazy val pool: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newScheduledThreadPool(2, r => {
+      val t = new Thread(r, "graft-delay")
+      t.setDaemon(true)
+      t
+    })
+
+  def schedule(delayMs: Long)(deliver: => Unit): Unit =
+    pool.schedule(new Runnable { def run(): Unit = deliver },
+      delayMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  /** Does this part output carry `$delay` routing columns? */
+  def hasDelay(df: DataFrame): Boolean = df.columns.contains("_delay_ms")
+
+  /** Rows without a delay, routing columns dropped. */
+  def immediate(df: DataFrame): DataFrame =
+    df.filter(col("_delay_ms").isNull).drop("_delay_ms", "_topic")
+
+  /** The delayed rows packed to (topic, delayMs, key, json). */
+  def packedDelayed(df: DataFrame): DataFrame = {
+    val payloadCols =
+      df.columns.filterNot(Set("_delay_ms", "_topic")).map(col)
+    val key =
+      if (df.columns.contains("_id")) col("_id").cast("string")
+      else lit(null).cast("string")
+    df.filter(col("_delay_ms").isNotNull)
+      .select(col("_topic").cast("string").as("topic"),
+        col("_delay_ms").cast("long").as("delayMs"),
+        key.as("key"), to_json(struct(payloadCols: _*)).as("json"))
+  }
+
+  /** ForeachWriter over `packedDelayed` rows: schedules `deliver` per row.
+    * The transport must be serializable (executors run it).
+    */
+  final class Writer(deliver: (String, String, String) => Unit)
+      extends ForeachWriter[Row] with Serializable {
+    def open(partitionId: Long, epochId: Long): Boolean = true
+    def process(r: Row): Unit = {
+      val (topic, d, key, json) =
+        (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))
+      schedule(d)(deliver(topic, key, json))
+    }
+    def close(errorOrNull: Throwable): Unit = ()
+  }
+
+  /** File-loopback transport: the redelivered message becomes a new file
+    * in the topic's source directory, so the topic's file stream picks it
+    * up like any other message (the test-Io analog of a Kafka produce).
+    */
+  final class FileTransport(root: String)
+      extends ((String, String, String) => Unit) with Serializable {
+    def apply(topic: String, key: String, json: String): Unit = {
+      val dir = Paths.get(root, topic)
+      Files.createDirectories(dir)
+      Files.writeString(
+        dir.resolve(s"delay-${java.util.UUID.randomUUID()}.json"),
+        json, StandardOpenOption.CREATE)
+    }
+  }
+
+  /** Kafka transport via reflection: kafka-clients is a runtime-only
+    * dependency (exactly like the `format("kafka")` data source the
+    * normal sink path uses); one producer per JVM per bootstrap.
+    */
+  final class KafkaTransport(bootstrap: String)
+      extends ((String, String, String) => Unit) with Serializable {
+    @transient private lazy val producer: AnyRef = {
+      val props = new java.util.Properties()
+      props.put("bootstrap.servers", bootstrap)
+      props.put("key.serializer",
+        "org.apache.kafka.common.serialization.StringSerializer")
+      props.put("value.serializer",
+        "org.apache.kafka.common.serialization.StringSerializer")
+      Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
+        .getConstructor(classOf[java.util.Properties])
+        .newInstance(props).asInstanceOf[AnyRef]
+    }
+    def apply(topic: String, key: String, json: String): Unit = {
+      val recordCls =
+        Class.forName("org.apache.kafka.clients.producer.ProducerRecord")
+      val record = recordCls
+        .getConstructor(classOf[String], classOf[Object], classOf[Object])
+        .newInstance(topic, key, json)
+      producer.getClass.getMethod("send", recordCls)
+        .invoke(producer, record)
+    }
+  }
+}

@@ -32,12 +32,23 @@ final class KafkaIo(bootstrap: String,
 
   def sink(kind: String, name: String, df: DataFrame,
       asString: Boolean): Unit = {
-    val out = toKafkaShape(df, asString)
+    // rows stamped by $delay redeliver onto their _topic after the
+    // duration instead of going to the part's sink topic
+    val (now, delayed) =
+      if (DelayedDelivery.hasDelay(df))
+        (DelayedDelivery.immediate(df), Some(DelayedDelivery.packedDelayed(df)))
+      else (df, None)
+    val out = toKafkaShape(now, asString)
     out.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", name)
       .option("checkpointLocation", s"$checkpointRoot/$name")
       .start()
+    delayed.foreach(_.writeStream
+      .foreach(new DelayedDelivery.Writer(
+        new DelayedDelivery.KafkaTransport(bootstrap)))
+      .option("checkpointLocation", s"$checkpointRoot/$name-delay")
+      .start())
   }
 
   /** Kafka sink shape: key from `_key`/`_id`, value = JSON of the rest;
@@ -84,7 +95,16 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType])
 
   def sink(kind: String, name: String, df: DataFrame,
       asString: Boolean): Unit =
-    start(name, df)
+    if (df.isStreaming && DelayedDelivery.hasDelay(df)) {
+      start(name, DelayedDelivery.immediate(df))
+      // redelivery loops through the topic's source directory: the
+      // delayed message becomes a new input file after its duration
+      val q = DelayedDelivery.packedDelayed(df).writeStream
+        .foreach(new DelayedDelivery.Writer(
+          new DelayedDelivery.FileTransport(root)))
+        .start()
+      queries += s"$name#delay" -> q
+    } else start(name, df)
 
   def start(name: String, df: DataFrame): StreamingQuery = {
     // aggregating parts ($group/$bucket/$count) need update mode — the

@@ -40,6 +40,42 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(r.getAs[String]("_id") == "c1")
     assert(r.getAs[org.apache.spark.sql.Row]("left").getAs[Int]("lv") == 10)
     assert(r.getAs[org.apache.spark.sql.Row]("right").getAs[Int]("rv") == 99)
+
+    // at-least-once replay: the same left message arrives again (new file,
+    // same content) — the duplicate join emission must be suppressed
+    // (reference App.java:706-708)
+    write("lt", "l1b", """{"_id":"l1","corr":"c1","lv":10}""")
+    io.processAll()
+    assert(spark.table("out_sj").collect().length == 1)
+    io.stopAll()
+  }
+
+  test("$delay redelivers onto the target topic after the duration") {
+    val dir = Files.createTempDirectory("graft-delay").toString
+    Files.createDirectories(Paths.get(s"$dir/din"))
+    Files.createDirectories(Paths.get(s"$dir/retryt"))
+    Files.writeString(Paths.get(s"$dir/din/m1.json"),
+      """{"_id":"d1","v":5}""")
+    val s = DataType.fromDDL("_id string, v int").asInstanceOf[StructType]
+    val io = new FileStreamIo(dir, Map("din" -> s, "retryt" -> s))
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"dl","version":"1.0","parts":[
+           {"type":"stream","name":"delayer","fromTopic":"din",
+            "toTopic":"out_dl","pipeline":[
+              {"$delay":{"duration":300,"topic":"retryt"}}]},
+           {"type":"stream","name":"receiver","fromTopic":"retryt",
+            "toTopic":"out_retry"}]}""")
+    io.processAll()
+    // nothing goes to the part's own sink; the delayed copy is pending
+    assert(spark.table("out_dl").collect().isEmpty)
+    assert(spark.table("out_retry").collect().isEmpty)
+    // after the duration the message surfaces on the retry topic
+    Thread.sleep(700)
+    io.processAll()
+    val redelivered = spark.table("out_retry").collect()
+    assert(redelivered.length == 1)
+    assert(redelivered.head.getAs[String]("_id") == "d1")
+    assert(redelivered.head.getAs[Int]("v") == 5)
     io.stopAll()
   }
 }

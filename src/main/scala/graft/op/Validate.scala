@@ -18,31 +18,72 @@ import graft.expr.QueryCompiler
   */
 object Validate {
 
-  /** Resolve a validator spec: filename → load (relative to the including
-    * file, `cur`); `include` files merge their conditions into the
-    * including validator (docs/validator.md:76+).
+  /** Resolve a validator spec (docs/validator.md): filename → load
+    * (relative to the including file, `cur`); `include` files merge their
+    * conditions AND macros into the including validator (the includer's
+    * macros win on name clashes); `_name_` strings expand to the macro's
+    * expression; `{ref: "file"}` objects are replaced by the referred
+    * validator's resolved contents (which do NOT see the referring
+    * macros). Returns `{conditions: [...]}` fully expanded.
     */
   def resolve(spec: JsonNode, scripts: String => String,
       cur: String = ""): JsonNode = {
+    val (conds, _) = resolveFull(spec, scripts, cur)
+    val out = graft.json.Js.obj()
+    val arr = graft.json.Js.arr()
+    conds.foreach(arr.add)
+    out.set[JsonNode]("conditions", arr)
+    out
+  }
+
+  private def resolveFull(spec: JsonNode, scripts: String => String,
+      cur: String): (Seq[JsonNode], Map[String, JsonNode]) = {
     val (node, base) =
       if (spec.isTextual) {
         val full = Js.relativeTo(cur, spec.asText())
         (graft.json.Js.parseYaml(scripts(full)), full)
       } else (spec, cur)
-    if (!node.has("include")) node
-    else {
-      val out = graft.json.Js.obj()
-      val conds = graft.json.Js.arr()
-      graft.json.Js.elems(node.get("include")).foreach { inc =>
-        val sub = resolve(inc, scripts, base)
-        Option(sub.get("conditions"))
-          .foreach(cs => graft.json.Js.elems(cs).foreach(conds.add))
+    val (incConds, incMacros) =
+      Option(node.get("include")).map(Js.elems).getOrElse(Nil)
+        .foldLeft((Seq.empty[JsonNode], Map.empty[String, JsonNode])) {
+          case ((cs, ms), inc) =>
+            val (c, m) = resolveFull(inc, scripts, base)
+            (cs ++ c, ms ++ m)
+        }
+    val ownMacros = Option(node.get("macros"))
+      .map(m => Js.fields(m).toMap).getOrElse(Map.empty)
+    val macros = incMacros ++ ownMacros // the includer wins
+    val ownConds =
+      Option(node.get("conditions")).map(Js.elems).getOrElse(Nil)
+    val conds =
+      (incConds ++ ownConds).map(expand(_, macros, scripts, base))
+    (conds, macros)
+  }
+
+  private val MacroRef = "^_(.+)_$".r
+
+  private def expand(n: JsonNode, macros: Map[String, JsonNode],
+      scripts: String => String, base: String): JsonNode = n match {
+    case t if t.isTextual =>
+      t.asText() match {
+        case MacroRef(name) if macros.contains(name) =>
+          expand(macros(name), macros, scripts, base)
+        case _ => t
       }
-      Option(node.get("conditions"))
-        .foreach(cs => graft.json.Js.elems(cs).foreach(conds.add))
-      out.set[JsonNode]("conditions", conds)
+    case o if o.isObject && o.size() == 1 && o.has("ref") =>
+      // referred validators resolve with their OWN macros only
+      resolve(o.get("ref"), scripts, base)
+    case o if o.isObject =>
+      val out = graft.json.Js.obj()
+      Js.fields(o).foreach { case (k, v) =>
+        out.set[JsonNode](k, expand(v, macros, scripts, base))
+      }
       out
-    }
+    case a if a.isArray =>
+      val out = graft.json.Js.arr()
+      Js.elems(a).foreach(e => out.add(expand(e, macros, scripts, base)))
+      out
+    case other => other
   }
 
   def apply(df: DataFrame, spec: JsonNode): DataFrame = {

@@ -29,20 +29,37 @@ object JsonValidator {
         fields.foreach { case (field, fieldCond) =>
           if (!field.startsWith("$")) {
             val target = path(doc, field)
-            val hasExists = fieldCond.isObject && fieldCond.has("$exists")
-            // field conditions apply only when the field exists
-            // (docs/validator.md:3), except $exists itself
-            val applies = hasExists || target.isDefined
-            if (applies && !matches(target, fieldCond)) {
-              val err = Js.obj()
-              val parts = field.split("\\.")
-              val loc =
-                if (hasExists)
-                  "/" + parts.init.mkString("/")
-                else "/" + parts.mkString("/")
-              err.put("location", if (loc == "//") "/" else loc)
-              code.foreach(err.put("code", _))
-              errors.add(err)
+            if (fieldCond.isObject && fieldCond.has("conditions")) {
+              // nested validator (docs/validator.md "Nesting"): the
+              // subobject is the context; error locations are prefixed
+              target.foreach {
+                case sub: ObjectNode =>
+                  Js.elems(validate(fieldCond, sub, None)).foreach { e =>
+                    val nested = e.deepCopy[ObjectNode]()
+                    val loc = nested.get("location").asText()
+                    nested.put("location",
+                      "/" + field.split("\\.").mkString("/") +
+                        (if (loc == "/") "" else loc))
+                    errors.add(nested)
+                  }
+                case _ =>
+              }
+            } else {
+              val hasExists = fieldCond.isObject && fieldCond.has("$exists")
+              // field conditions apply only when the field exists
+              // (docs/validator.md:3), except $exists itself
+              val applies = hasExists || target.isDefined
+              if (applies && !matches(target, fieldCond)) {
+                val err = Js.obj()
+                val parts = field.split("\\.")
+                val loc =
+                  if (hasExists)
+                    "/" + parts.init.mkString("/")
+                  else "/" + parts.mkString("/")
+                err.put("location", if (loc == "//") "/" else loc)
+                code.foreach(err.put("code", _))
+                errors.add(err)
+              }
             }
           }
         }

@@ -57,6 +57,10 @@ class GoldenTestSpec extends AnyFunSuite {
     check("transformed", strict = true)
   }
 
+  test("validator macros + ref through an aggregate app (lenient)") {
+    check("validmacro")
+  }
+
   // The reference's own fixture applications, ported verbatim
   // (reference src/test/resources/appN; Test.java runs them lenient).
   // app36 is omitted: its `add` reducer needs cross-aggregate href

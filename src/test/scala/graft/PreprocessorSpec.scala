@@ -57,6 +57,51 @@ class PreprocessorSpec extends AnyFunSuite {
     assert(out.getSeq[String](1).sorted == Seq("A_REQ", "B_MIN"))
   }
 
+  test("validator macros expand, includer wins, refs see only their own") {
+    val scripts = Map(
+      "macros.yml" ->
+        """macros:
+          |  pos:
+          |    $gte: 0
+          |    $code: "NEG"
+          |""".stripMargin,
+      "jwt.yml" ->
+        """conditions:
+          |  - sub:
+          |      $exists: true
+          |      $code: "NOSUB"
+          |""".stripMargin,
+      "v.yml" ->
+        """include:
+          |  - "macros.yml"
+          |conditions:
+          |  - value: "_pos_"
+          |  - _jwt:
+          |      ref: "jwt.yml"
+          |""".stripMargin)
+    val resolved = graft.op.Validate.resolve(
+      graft.json.Js.parse("\"v.yml\""), scripts)
+    val conds = graft.json.Js.elems(resolved.get("conditions"))
+    // _pos_ expanded to the macro body
+    assert(conds.exists(c => c.has("value") &&
+      c.get("value").has("$gte") &&
+      c.get("value").get("$code").asText() == "NEG"))
+    // ref replaced by the referred validator's resolved contents
+    assert(conds.exists(c => c.has("_jwt") &&
+      c.get("_jwt").has("conditions")))
+
+    // evaluation: nested validator errors carry the prefixed location
+    val bad = graft.json.Js.parse(
+      """{"_id":"x","value":-3,"_jwt":{"role":"admin"}}""")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val errors = graft.json.Js.elems(
+      graft.streaming.JsonValidator.validate(resolved, bad, None))
+    assert(errors.exists(e => e.get("code").asText() == "NEG" &&
+      e.get("location").asText() == "/value"))
+    assert(errors.exists(e => e.get("code").asText() == "NOSUB" &&
+      e.get("location").asText() == "/_jwt"))
+  }
+
   test("$convert distinguishes onNull from onError") {
     val df = Seq(("ok", "12"), ("bad", "xyz"), ("nul", null))
       .toDF("_id", "s")

@@ -70,9 +70,14 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(spark.table("out_dl").collect().isEmpty)
     assert(spark.table("out_retry").collect().isEmpty)
     // after the duration the message surfaces on the retry topic
-    Thread.sleep(700)
-    io.processAll()
-    val redelivered = spark.table("out_retry").collect()
+    // (poll: timer fire + file pickup are asynchronous under load)
+    val deadline = System.currentTimeMillis() + 20000
+    var redelivered = Array.empty[org.apache.spark.sql.Row]
+    while (redelivered.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(300)
+      io.processAll()
+      redelivered = spark.table("out_retry").collect()
+    }
     assert(redelivered.length == 1)
     assert(redelivered.head.getAs[String]("_id") == "d1")
     assert(redelivered.head.getAs[Int]("v") == 5)

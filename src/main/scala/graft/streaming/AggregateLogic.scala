@@ -27,7 +27,13 @@ object AggregateLogic {
       appName: String,
       aggType: String,
       validators: Map[String, JsonNode] = Map.empty,
-      reducers: Map[String, (ObjectNode, ObjectNode) => ObjectNode] = Map.empty)
+      reducers: Map[String, (ObjectNode, ObjectNode) => ObjectNode] = Map.empty,
+      /** href → referenced aggregate state (JSON), for `{href: "/app/type/
+        * id"}` subobject resolution (reference app36; pincette-jes resolves
+        * against the aggregate collection). The id is the href's last path
+        * segment.
+        */
+      resolver: String => Option[String] = _ => None)
 
   private val Technical =
     Set("_id", "_type", "_seq", "_corr", "_jwt", "_command", "_languages",
@@ -79,9 +85,16 @@ object AggregateLogic {
       }
     }
 
-    // 4. reduce
+    // 4. reduce — the reducer sees the state with `{href}` subobjects
+    //    resolved to the referenced aggregate's fields; the STORED state
+    //    keeps the bare refs (unresolve below), so events diff clean
+    //    (reference app36: _ops shows only /value, hrefs stay hrefs)
     val reducer = conf.reducers.getOrElse(cmdName, builtin(cmdName))
-    val reduced = reducer(command, cur)
+    val reduced0 = reducer(command, resolveHrefs(cur, conf.resolver))
+    val reduced = unresolve(cur, reduced0) match {
+      case o: ObjectNode => o
+      case _             => reduced0
+    }
 
     // 5. restore technical discipline on the new state
     val newState = reduced.deepCopy[ObjectNode]()
@@ -97,8 +110,10 @@ object AggregateLogic {
     newState.put("_seq", newSeq)
 
     // 6. event = RFC-6902 diff of business fields (zjsonpatch, the same
-    //    diff family the reference uses via javax.json Json.createDiff)
-    val ops = JsonDiff.asJson(stripVolatile(cur), stripVolatile(newState))
+    //    diff family the reference uses via javax.json Json.createDiff;
+    //    ops reordered to document field order — zjsonpatch sorts keys,
+    //    the reference differ follows the target's order)
+    val ops = orderedDiff(stripVolatile(cur), stripVolatile(newState))
     val event = Js.obj()
     event.put("_id", id)
     event.put("_type", fullType(conf))
@@ -140,6 +155,78 @@ object AggregateLogic {
         next
       }
       case other => (_, state) => state // unknown command: no-op
+    }
+
+  /** RFC-6902 ops sorted by the top-level field's position in the target
+    * (falling back to the source for removals), stable within a field.
+    */
+  private def orderedDiff(src: ObjectNode, tgt: ObjectNode): JsonNode = {
+    val ops = JsonDiff.asJson(src, tgt)
+    val tgtOrder = Js.fields(tgt).map(_._1).zipWithIndex.toMap
+    val srcOrder = Js.fields(src).map(_._1).zipWithIndex.toMap
+    val sorted = Js.elems(ops).sortBy { op =>
+      val seg = op.get("path").asText().split("/")
+        .drop(1).headOption.getOrElse("")
+      tgtOrder.get(seg)
+        .orElse(srcOrder.get(seg).map(_ + tgtOrder.size))
+        .getOrElse(Int.MaxValue)
+    }
+    val out = Js.arr()
+    sorted.foreach(out.add)
+    out
+  }
+
+  /** Single-hop href resolution: an object carrying `href` gains the
+    * referenced aggregate's fields (href kept) so reducers can navigate
+    * `.ref.value` paths. Arrays recurse; unresolvable refs stay bare.
+    */
+  private def resolveHrefs(state: ObjectNode,
+      resolver: String => Option[String]): ObjectNode = {
+    def walk(n: JsonNode): JsonNode = n match {
+      case o: ObjectNode =>
+        val out = Js.obj()
+        Js.fields(o).foreach { case (k, v) => out.set[JsonNode](k, walk(v)) }
+        Option(o.get("href")).filter(_.isTextual)
+          .map(h => h.asText().split("/").last)
+          .flatMap(resolver)
+          .foreach { refJson =>
+            Js.fields(Js.parse(refJson)).foreach { case (k, v) =>
+              if (k != "href" && !out.has(k)) out.set[JsonNode](k, v)
+            }
+          }
+        out
+      case a: ArrayNode =>
+        val out = Js.arr()
+        Js.elems(a).foreach(e => out.add(walk(e)))
+        out
+      case other => other
+    }
+    walk(state).asInstanceOf[ObjectNode]
+  }
+
+  /** Collapse resolved refs back: wherever the ORIGINAL state had an
+    * href-only object and the reduced value still carries the same href,
+    * restore the bare ref (the reducer didn't change it — resolution must
+    * not leak into the stored state).
+    */
+  private def unresolve(orig: JsonNode, red: JsonNode): JsonNode =
+    (orig, red) match {
+      case (o: ObjectNode, r: ObjectNode)
+          if o.size() == 1 && o.has("href") &&
+            Option(r.get("href")) == Option(o.get("href")) =>
+        o
+      case (o: ObjectNode, r: ObjectNode) =>
+        val out = r.deepCopy[ObjectNode]()
+        Js.fields(r).foreach { case (k, v) =>
+          Option(o.get(k)).foreach(ov =>
+            out.set[JsonNode](k, unresolve(ov, v)))
+        }
+        out
+      case (o: ArrayNode, r: ArrayNode) if o.size() == r.size() =>
+        val out = Js.arr()
+        (0 until r.size()).foreach(i => out.add(unresolve(o.get(i), r.get(i))))
+        out
+      case _ => red
     }
 
   /** Comparison/diff ignore the envelope that changes on every command. */

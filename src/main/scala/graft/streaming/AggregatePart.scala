@@ -35,12 +35,16 @@ object AggregatePart {
     val hasOrd = commands.columns.contains("__ord")
     val ordCol =
       if (hasOrd) col("__ord").cast("long") else monotonically_increasing_id()
-    val payload = struct(
-      commands.columns.filter(_ != "__ord").map(col): _*)
+    // a __raw column (the message's original JSON text) wins over
+    // re-serializing the typed row: schema inference alphabetizes fields,
+    // but reducers and the event diff follow document field order
+    val json =
+      if (commands.columns.contains("__raw")) col("__raw")
+      else to_json(struct(
+        commands.columns.filterNot(Set("__ord", "__raw")).map(col): _*))
     val keyCol = keyOverride.getOrElse(col("_id")).cast("string")
     val asJson = commands
-      .select(keyCol.as("key"),
-        to_json(payload).as("json"), ordCol.as("ord"))
+      .select(keyCol.as("key"), json.as("json"), ordCol.as("ord"))
       .as[(String, String, Long)]
 
     asJson
@@ -54,6 +58,8 @@ object AggregatePart {
           val outs = Seq.newBuilder[Out]
           it.toSeq.sortBy(_._3).foreach { case (_, json, _) =>
             val cmd = Js.parse(json).asInstanceOf[ObjectNode]
+            cmd.remove("__ord") // harness plumbing, never part of the command
+            cmd.remove("__raw")
             val (next, emitted) =
               AggregateLogic.step(cur, cmd, conf, System.currentTimeMillis())
             cur = next

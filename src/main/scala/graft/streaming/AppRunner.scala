@@ -164,10 +164,30 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
         }.getOrElse(aggPre)
         val keyOverride = Option(part.get("uniqueExpression"))
           .map(e => Stages.expr(pre, e))
-        val out = AggregatePart(pre, AggregateLogic.Config(
+        val conf = AggregateLogic.Config(
           appName = "", aggType = aggType,
           validators = readValidators(part),
-          reducers = readReducers(part)), keyOverride)
+          reducers = readReducers(part))
+        val out0 = AggregatePart(pre, conf, keyOverride)
+        // batch href resolution (reference app36): pass 1 materializes the
+        // final state per instance, pass 2 reduces with those states
+        // available to `{href}` refs. Streaming would plug a collection-
+        // backed resolver instead (state isn't collectable mid-stream).
+        val out =
+          if (pre.isStreaming) out0
+          else {
+            val finalStates = out0
+              .filter(o => o.dest == "aggregate")
+              .collect()
+              .groupBy(_.key)
+              .map { case (k, outs) =>
+                k -> outs.maxBy(o =>
+                  Option(graft.json.Js.parse(o.value).get("_seq"))
+                    .map(_.asLong()).getOrElse(-1L)).value
+              }
+            AggregatePart(pre,
+              conf.copy(resolver = finalStates.get _), keyOverride)
+          }
         AggregatePart.streams(out, aggType).toSeq.map {
           case (n, sdf) => (n + envSuffix) -> sdf
         }

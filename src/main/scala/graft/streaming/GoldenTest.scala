@@ -51,10 +51,16 @@ object GoldenTest {
         .map(f => Js.render(Js.parse(Files.readString(f))))
 
     // typed inference over the fixture docs: the full relational stage set
-    // applies; the schemaless (key, value) mode is exercised separately
+    // applies; the schemaless (key, value) mode is exercised separately.
+    // The original text rides along as __raw: schema inference sorts
+    // fields alphabetically, but aggregate reducers/diffs must see the
+    // document's own field order (AggregatePart prefers __raw).
     def messageDf(docs: Seq[String]): DataFrame = {
       import spark.implicits._
-      spark.read.json(docs.toDS)
+      val schema = spark.read.json(docs.toDS).schema
+      docs.toDF("__raw")
+        .select(from_json(col("__raw"), schema).as("__v"), col("__raw"))
+        .select(col("__v.*"), col("__raw"))
     }
 
     val topicSources = subdirs(dir.resolve("test/topics/from"))
@@ -128,11 +134,14 @@ object GoldenTest {
     else Files.list(p).iterator().asScala.toSeq
       .filter(Files.isDirectory(_)).map(_.getFileName.toString)
 
-  /** Strip volatile fields recursively (Test.java:264-276). */
+  /** Strip volatile fields recursively (Test.java:264-276); `__raw` is
+    * this harness's order-preserving carrier, never part of the payload.
+    */
   private def normalize(n: JsonNode): JsonNode = n match {
     case o: ObjectNode =>
       val c = o.deepCopy[ObjectNode]()
       c.remove("_timestamp")
+      c.remove("__raw")
       Js.fields(c).foreach { case (k, v) => c.set[JsonNode](k, normalize(v)) }
       c
     case other => other

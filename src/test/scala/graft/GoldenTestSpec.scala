@@ -63,10 +63,7 @@ class GoldenTestSpec extends AnyFunSuite {
 
   // The reference's own fixture applications, ported verbatim
   // (reference src/test/resources/appN; Test.java runs them lenient).
-  // app36 is omitted: its `add` reducer needs cross-aggregate href
-  // resolution against the aggregate store, which is not implemented.
-  private val ported =
-    (1 to 35) ++ Seq(37, 38, 39, 40)
+  private val ported = (1 to 40)
 
   ported.foreach { n =>
     test(s"reference app$n matches its golden outputs") {

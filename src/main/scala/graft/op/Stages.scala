@@ -149,10 +149,27 @@ object Stages {
             col("value"))
       }
     }
-    // $lag (docs/aggregation_stages.md:279-318): attach the Kafka
-    // consumer-lag snapshot (pluggable provider; AdminClient in production)
+    // $lag (docs/aggregation_stages.md:279-318): forward at most one
+    // message per `interval` (default 30 s, reference
+    // LagStage.filterMessages) with the consumer-lag snapshot attached
+    // under `as`. Provider: Env.lag — graft.streaming.KafkaLag.provider
+    // wires the AdminClient in production; tests inject a fake.
     case "$lag" =>
-      df => df.withColumn(spec.get("as").asText(), lit(env.lag()))
+      val intervalMs =
+        if (spec.has("interval")) spec.get("interval").asLong() else 30000L
+      val stageId = java.util.UUID.randomUUID().toString
+      val lagFn = env.lag
+      df => {
+        val sampled =
+          if (intervalMs <= 0) df
+          else {
+            val pass = udf(() => graft.streaming.KafkaLag.sample(
+              stageId, intervalMs, System.currentTimeMillis()))
+            df.filter(pass())
+          }
+        val fetch = udf(() => lagFn())
+        sampled.withColumn(spec.get("as").asText(), fetch())
+      }
     case "$s3Transfer"    => df => S3Transfer(df, spec, env)
     case "$s3Attachments" => df => S3Attachments(df, spec, env)
     case "$signJwt" => df => SignJwt(df, spec)

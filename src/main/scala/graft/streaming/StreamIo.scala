@@ -12,21 +12,32 @@ import org.apache.spark.sql.types.StructType
   */
 final class KafkaIo(bootstrap: String,
     schemas: Map[String, StructType] = Map.empty,
-    checkpointRoot: String = "/tmp/graft-checkpoints") extends Io {
+    checkpointRoot: String = "/tmp/graft-checkpoints",
+    /** `fromCollection` sources read `<prefix><collection>` CDC topics
+      * (Debezium envelopes) and unwrap them — see Cdc.unwrap. Kafka
+      * offsets + the checkpoint replace Mongo resume tokens.
+      */
+    cdcTopicPrefix: String = "cdc.") extends Io {
 
   def source(spark: SparkSession, kind: String, name: String): DataFrame = {
+    val topic = if (kind == "collection") s"$cdcTopicPrefix$name" else name
     val raw = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", name)
+      .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .load()
       .select(col("key").cast("string"),
         col("value").cast("string").as("__raw"))
+    val messages =
+      if (kind == "collection")
+        Cdc.unwrap(raw.withColumnRenamed("__raw", "value"))
+          .withColumnRenamed("value", "__raw")
+      else raw
     schemas.get(name) match {
       case Some(schema) =>
-        raw.select(col("key"), from_json(col("__raw"), schema).as("v"))
+        messages.select(col("key"), from_json(col("__raw"), schema).as("v"))
           .select(col("key"), col("v.*"))
-      case None => raw.withColumnRenamed("__raw", "value")
+      case None => messages.withColumnRenamed("__raw", "value")
     }
   }
 

@@ -40,3 +40,56 @@ class KafkaShapeSpec extends AnyFunSuite {
     assert(rows == Map("a" -> "t-orders", "b" -> "t-alerts"))
   }
 }
+
+/** Lag snapshot computation over a fake admin (the reflective
+  * kafka-clients path needs a broker; the shape and math are here).
+  */
+class KafkaLagSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.streaming.KafkaLag
+
+  test("snapshot renders {group: {topic: {partition: lag}}}") {
+    val admin = new KafkaLag.Admin {
+      def groups(): Seq[String] = Seq("g1")
+      def committed(group: String): Map[(String, Int), Long] =
+        Map(("t1", 0) -> 5L, ("t1", 1) -> 7L, ("t2", 0) -> 2L)
+      def endOffsets(tps: Seq[(String, Int)]): Map[(String, Int), Long] =
+        Map(("t1", 0) -> 9L, ("t1", 1) -> 7L, ("t2", 0) -> 1L)
+    }
+    val json = graft.json.Js.parse(KafkaLag.snapshot(admin))
+    assert(json.get("g1").get("t1").get("0").asLong() == 4L)
+    assert(json.get("g1").get("t1").get("1").asLong() == 0L)
+    assert(json.get("g1").get("t2").get("0").asLong() == 0L) // never negative
+  }
+
+  test("sample passes at most once per interval") {
+    assert(KafkaLag.sample("s1", 1000L, 10000L))
+    assert(!KafkaLag.sample("s1", 1000L, 10500L))
+    assert(KafkaLag.sample("s1", 1000L, 11000L))
+  }
+}
+
+/** CDC envelope unwrapping for the production fromCollection bridge. */
+class CdcSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("unwrap handles payload-wrapped, flat, and delete envelopes") {
+    val envelopes = Seq(
+      // Debezium payload wrapper, create with embedded after
+      ("k1", """{"payload":{"op":"c","after":{"_id":"a1","v":1}}}"""),
+      // flat update
+      ("k2", """{"op":"u","before":{"_id":"a2","v":1},"after":{"_id":"a2","v":2}}"""),
+      // delete: only before
+      ("k3", """{"payload":{"op":"d","before":{"_id":"a3","v":9}}}"""),
+      // mongo-connector string-valued after
+      ("k4", """{"op":"r","after":"{\"_id\":\"a4\",\"v\":4}"}"""))
+      .toDF("key", "value")
+    val out = graft.streaming.Cdc.unwrap(envelopes)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(graft.json.Js.parse(out("a1")).get("v").asInt() == 1)
+    assert(graft.json.Js.parse(out("a2")).get("v").asInt() == 2)
+    val del = graft.json.Js.parse(out("a3"))
+    assert(del.get("_id").asText() == "a3" && del.get("_deleted").asBoolean())
+    assert(graft.json.Js.parse(out("a4")).get("v").asInt() == 4)
+  }
+}

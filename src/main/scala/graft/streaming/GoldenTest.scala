@@ -116,17 +116,76 @@ object GoldenTest {
           t -> readDir(dir.resolve(s"test/collections/to/$t")))
 
     expectations.map { case (topic, expectedRaw) =>
-      val expected = expectedRaw.map(s => normalize(Js.parse(s)))
-      val actual = collectOut(topic).map(normalize)
-      val sortedE = expected.sortBy(sortKey)
-      val sortedA = actual.sortBy(sortKey)
-      val ok =
-        if (strict) sortedE == sortedA
-        else sortedE.forall(e => sortedA.exists(a => matches(e, a)))
-      Result(topic, ok,
-        if (ok) s"${actual.size} messages"
-        else s"expected ${Js.render(toArr(sortedE))} got ${Js.render(toArr(sortedA))}")
+      compare(topic, expectedRaw, collectOut(topic), strict)
     }
+  }
+
+  /** Run an application under REAL Structured Streaming: inputs feed
+    * through file-stream sources one file per micro-batch (arrival order),
+    * sinks are memory tables — the engine path a Kafka deployment
+    * exercises, minus the broker. Topic-shaped apps only (collection
+    * sources are file-backed CDC stand-ins tested in batch mode).
+    */
+  def runStreaming(spark: SparkSession, appDir: String,
+      config: Map[String, String] = Map.empty): Seq[Result] = {
+    val dir = Paths.get(appDir)
+    val appFile = Seq("application.yaml", "application.yml",
+      "application.json")
+      .map(dir.resolve).find(Files.exists(_))
+      .getOrElse(throw new IllegalArgumentException(s"no application in $appDir"))
+    val scripts: String => String = name =>
+      Files.readString(dir.resolve(name).normalize())
+
+    def readDir(p: Path): Seq[String] =
+      if (!Files.exists(p)) Nil
+      else Files.list(p).iterator().asScala.toSeq
+        .sortBy(_.getFileName.toString)
+        .map(f => Js.render(Js.parse(Files.readString(f))))
+
+    val topics = subdirs(dir.resolve("test/topics/from"))
+    val root = Files.createTempDirectory("graft-golden-stream").toString
+    import spark.implicits._
+    val schemas = topics.map { t =>
+      val docs = readDir(dir.resolve(s"test/topics/from/$t"))
+      docs.zipWithIndex.foreach { case (d, i) =>
+        Files.createDirectories(Paths.get(s"$root/$t"))
+        Files.writeString(Paths.get(f"$root/$t/m$i%04d.json"), d)
+      }
+      t -> spark.read.json(docs.toDS).schema
+    }.toMap
+    val preloads = subdirs(dir.resolve("test/preload"))
+      .map(t => t -> readDir(dir.resolve(s"test/preload/$t"))).toMap
+
+    val io = new FileStreamIo(root, schemas,
+      tableSuffix = "_g" + java.util.UUID.randomUUID().toString.take(8))
+    try {
+      val env = graft.op.Env(spark,
+        collection = name => spark.read.json(preloads(name).toDS),
+        scripts = scripts)
+      new AppRunner(spark, io, env, config).run(Files.readString(appFile))
+      io.processAll()
+      subdirs(dir.resolve("test/topics/to")).map { t =>
+        val actual = io.tables.getOrElse(t, Nil)
+          .flatMap(tbl => spark.table(tbl).toJSON.collect())
+          .map(Js.parse)
+        compare(t, readDir(dir.resolve(s"test/topics/to/$t")), actual,
+          strict = false)
+      }
+    } finally io.stopAll()
+  }
+
+  private def compare(topic: String, expectedRaw: Seq[String],
+      actualRaw: Seq[JsonNode], strict: Boolean): Result = {
+    val expected = expectedRaw.map(s => normalize(Js.parse(s)))
+    val actual = actualRaw.map(normalize)
+    val sortedE = expected.sortBy(sortKey)
+    val sortedA = actual.sortBy(sortKey)
+    val ok =
+      if (strict) sortedE == sortedA
+      else sortedE.forall(e => sortedA.exists(a => matches(e, a)))
+    Result(topic, ok,
+      if (ok) s"${actual.size} messages"
+      else s"expected ${Js.render(toArr(sortedE))} got ${Js.render(toArr(sortedA))}")
   }
 
   private def subdirs(p: Path): Seq[String] =

@@ -84,9 +84,14 @@ final class KafkaIo(bootstrap: String,
   * (docs/testing.md:12) — feed messages as JSON files per topic dir,
   * observe outputs in named in-memory tables.
   */
-final class FileStreamIo(root: String, schemas: Map[String, StructType])
-    extends Io {
+final class FileStreamIo(root: String, schemas: Map[String, StructType],
+    /** appended to memory-table names: lets several harness runs (and
+      * several parts writing one topic) coexist in one SparkSession
+      */
+    tableSuffix: String = "") extends Io {
   var queries = Map.empty[String, StreamingQuery]
+  /** memory tables per sink name, in start order */
+  var tables = Map.empty[String, Seq[String]]
 
   def source(spark: SparkSession, kind: String, name: String): DataFrame =
     schemas.get(name) match {
@@ -118,13 +123,16 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType])
     } else start(name, df)
 
   def start(name: String, df: DataFrame): StreamingQuery = {
+    val prior = tables.getOrElse(name, Nil)
+    val table = name.replaceAll("[^A-Za-z0-9_]", "_") + tableSuffix +
+      (if (prior.isEmpty) "" else s"_${prior.size + 1}")
     // aggregating parts ($group/$bucket/$count) need update mode — the
     // reference emits INCREMENTAL aggregation results per message
     // (docs/aggregation_stages.md:37); update-per-micro-batch is the Spark
     // equivalent (golden asserts are lenient-subset for this reason)
     def startWith(mode: String) = df.writeStream
       .format("memory")
-      .queryName(name.replaceAll("[^A-Za-z0-9_]", "_"))
+      .queryName(table)
       .outputMode(mode)
       .start()
     val q =
@@ -134,7 +142,8 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType])
             if e.getMessage.contains("streaming aggregations") =>
           startWith("update")
       }
-    queries += name -> q
+    queries += table -> q
+    tables += name -> (prior :+ table)
     q
   }
 

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.GoldenTest
+
+/** The topic-shaped reference fixture apps again, but under REAL
+  * Structured Streaming (file-stream sources, one file per micro-batch,
+  * memory sinks) — the engine path a Kafka deployment exercises. The
+  * batch harness (GoldenTestSpec) proves the semantics; this proves the
+  * streaming plans: stream parts, merges, stream-stream joins with
+  * watermarks + duplicate suppression, and the $lookup broadcast.
+  */
+class GoldenStreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val root = "src/test/resources/goldapps"
+
+  // every ported app whose sources/sinks are all topics
+  private val topicApps =
+    Seq(1, 2, 3, 4, 5, 6, 7, 28, 32, 33, 40)
+
+  topicApps.foreach { n =>
+    test(s"reference app$n matches under Structured Streaming") {
+      val results = GoldenTest.runStreaming(spark, s"$root/app$n")
+      assert(results.nonEmpty, s"no expectations for app$n")
+      results.foreach(r => assert(r.ok, s"app$n/${r.topic}: ${r.detail}"))
+    }
+  }
+}

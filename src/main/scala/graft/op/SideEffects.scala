@@ -37,7 +37,7 @@ trait ObjectStore extends Serializable {
   * row; here the task thread only blocks when `maxInFlight` calls are
   * already outstanding.
   */
-private[op] object PartitionCalls {
+private[graft] object PartitionCalls {
 
   val callRowType: StructType = StructType(Seq(
     StructField("response", StringType),

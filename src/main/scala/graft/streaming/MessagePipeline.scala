@@ -66,6 +66,116 @@ object MessagePipeline {
           .withColumn("key",
             coalesce(get_json_object(col("value"), "$._id"), col("key")))
       }
+    case "$jslt" => // schema-free whole-message transform (JSLT dialect)
+      df => {
+        val text =
+          if (spec.isTextual) spec.asText() else spec.get("script").asText()
+        val inline = text.contains("\n") || text.trim.startsWith(".") ||
+          text.trim.startsWith("{")
+        val script = if (inline) text else env.scripts(text)
+        val base = if (inline) "" else text
+        val program = graft.jq.MiniJslt.compile(script, env.scripts, base)
+        val apply = udf((json: String) => Js.render(program(Js.parse(json))))
+        df.withColumn("value", apply(col("value")))
+          .withColumn("key",
+            coalesce(get_json_object(col("value"), "$._id"), col("key")))
+      }
+    case "$unwind" => df => {
+      // array path → one message per element, the element replacing the
+      // array (docs/aggregation_stages.md:840-855); missing/empty drops
+      val (path, newIds) =
+        if (spec.isTextual) (spec.asText().stripPrefix("$"), false)
+        else (spec.get("path").asText().stripPrefix("$"),
+          spec.has("newIds") && spec.get("newIds").asBoolean())
+      val split = udf((json: String) => {
+        val root = Js.parse(json)
+        val parts = path.split("\\.").toList
+        val arr = parts.foldLeft(Option(root)) {
+          (cur, p) => cur.flatMap(n => Option(n.get(p)))
+        }
+        arr match {
+          case Some(a) if a.isArray =>
+            Js.elems(a).map { e =>
+              val copy = Js.parse(Js.render(root))
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              var cur = copy
+              parts.init.foreach(p =>
+                cur = cur.get(p)
+                  .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+              cur.set[JsonNode](parts.last, e)
+              if (newIds)
+                copy.put("_id", java.util.UUID.randomUUID().toString)
+              Js.render(copy)
+            }
+          case _ => Seq.empty[String]
+        }
+      })
+      df.withColumn("value", explode(split(col("value"))))
+        .withColumn("key",
+          coalesce(get_json_object(col("value"), "$._id"), col("key")))
+    }
+    case "$count" => df => {
+      val as = spec.asText()
+      df.agg(count(lit(1)).as("__n"))
+        .select(lit(null).cast(StringType).as("key"),
+          to_json(struct(col("__n").as(as))).as("value"))
+    }
+    case "$validate" => df => {
+      // JSON-land validation (docs/aggregation_stages.md:857-879): failing
+      // messages annotated _error:true + errors[]
+      val resolved = graft.op.Validate.resolve(spec, env.scripts)
+      val check = udf((json: String) => {
+        val root = Js.parse(json)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val errors = JsonValidator.validate(resolved, root, None)
+        if (errors.isEmpty) json
+        else {
+          root.put("_error", true)
+          root.set[JsonNode]("errors", errors)
+          Js.render(root)
+        }
+      })
+      df.withColumn("value", check(col("value")))
+    }
+    case "$delay" => df =>
+      df.withColumn("_topic", lit(spec.get("topic").asText()))
+        .withColumn("_delay_ms", lit(spec.get("duration").asLong()))
+    case "$http" => df => {
+      // variant expressions compute the call args; the response splices
+      // INTO the message (`as` / httpError paths) — schemaless messages
+      // carry everything in the value
+      val ctx = ctxOf(df)
+      def exprStr(name: String): Column =
+        if (spec.has(name))
+          ExprCompiler.compile(spec.get(name), ctx).cast(StringType)
+        else lit(null).cast(StringType)
+      val transport = env.http
+      val out = graft.op.PartitionCalls.appendCall(df,
+        Seq(exprStr("method"), exprStr("url"), exprStr("headers"),
+          exprStr("body")),
+        graft.op.PartitionCalls.callRowType,
+        () => transport.open(), () => transport.close(),
+        graft.op.PartitionCalls.maxInFlight(spec)) { args =>
+        graft.op.PartitionCalls.rowOf(transport(
+          args(0).asInstanceOf[String], args(1).asInstanceOf[String],
+          args(2).asInstanceOf[String], args(3).asInstanceOf[String]))
+      }
+      val as = Option(spec.get("as")).map(_.asText())
+      out
+        .withColumn("value",
+          when(col("__call.httpError").isNotNull,
+            setField(col("value"), lit("httpError"),
+              to_json(struct(col("__call.httpError").as("v")))))
+            .otherwise(as.map(a =>
+              when(col("__call.response").isNotNull,
+                setField(col("value"), lit(a),
+                  to_json(struct(
+                    call_function("parse_json", col("__call.response"))
+                      .as("v")))))
+                .otherwise(col("value")))
+              .getOrElse(col("value"))))
+        .drop("__call")
+    }
     case "$trace" | "$log" | "$throttle" => df => df
     case "$probe" => // observe() metrics → ProbeListener → probe topic
       df => df.observe(spec.get("name").asText(),

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.json.Js
+import graft.op.{Env, HttpResult, HttpTransport}
+import graft.streaming.MessagePipeline
+
+/** The message-mode stages added in round 2: $jslt, $unwind, $count,
+  * $validate, $delay, $http — all over schemaless (key, value) frames.
+  */
+object MsgEchoHttp extends HttpTransport {
+  def apply(m: String, u: String, h: String, b: String): HttpResult =
+    if (u.endsWith("/boom")) HttpResult(500, """{"err":1}""")
+    else HttpResult(200, s"""{"echo":"$u"}""")
+}
+
+class MessagePipelineSpec2 extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def msgs(docs: String*) =
+    docs.toSeq.toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+
+  private def run(pipeline: String, df: org.apache.spark.sql.DataFrame,
+      env: Env = Env(spark)) =
+    MessagePipeline.compile(Js.parse(pipeline), env)(df)
+
+  test("$jslt transforms the whole message") {
+    val out = run(
+      """[{"$jslt":{"script":"{ \"_id\": ._id, \"v2\": .v * 3, * : . }"}}]""",
+      msgs("""{"_id":"a","v":7,"w":1}""")).collect().head
+    val v = Js.parse(out.getAs[String]("value"))
+    assert(v.get("v2").asLong() == 21 && v.get("w").asInt() == 1)
+  }
+
+  test("$unwind explodes an array path; empty/missing drops") {
+    val out = run("""[{"$unwind":"$items"}]""",
+      msgs("""{"_id":"a","items":[1,2],"t":"x"}""",
+        """{"_id":"b","items":[]}""", """{"_id":"c"}"""))
+      .select("value").as[String].collect().map(Js.parse)
+    assert(out.length == 2)
+    assert(out.map(_.get("items").asInt()).sorted.toSeq == Seq(1, 2))
+    assert(out.forall(_.get("t").asText() == "x"))
+  }
+
+  test("$count emits one counting message") {
+    val out = run("""[{"$count":"n"}]""",
+      msgs("""{"_id":"a"}""", """{"_id":"b"}""")).collect()
+    assert(out.length == 1)
+    assert(Js.parse(out.head.getAs[String]("value")).get("n").asLong() == 2)
+  }
+
+  test("$validate annotates failing messages in place") {
+    val out = run(
+      """[{"$validate":{"conditions":[{"v":{"$gte":0},"$code":"NEG"}]}}]""",
+      msgs("""{"_id":"a","v":1}""", """{"_id":"b","v":-4}"""))
+      .select("value").as[String].collect().map(Js.parse)
+    val bad = out.find(_.get("_id").asText() == "b").get
+    assert(bad.get("_error").asBoolean())
+    assert(bad.get("errors").get(0).get("code").asText() == "NEG")
+    assert(!out.find(_.get("_id").asText() == "a").get.has("_error"))
+  }
+
+  test("$delay stamps routing columns on message frames") {
+    val out = run("""[{"$delay":{"duration":250,"topic":"later"}}]""",
+      msgs("""{"_id":"a"}""")).collect().head
+    assert(out.getAs[String]("_topic") == "later")
+    assert(out.getAs[Long]("_delay_ms") == 250L)
+  }
+
+  test("$http splices the response (or httpError) into the message") {
+    val env = Env(spark, http = MsgEchoHttp)
+    val out = run(
+      """[{"$http":{"url":{"$concat":["http://h/","$p"]},
+                    "method":"GET","as":"resp"}}]""",
+      msgs("""{"_id":"a","p":"ok"}""", """{"_id":"b","p":"boom"}"""), env)
+      .select("value").as[String].collect().map(Js.parse)
+    val good = out.find(_.get("_id").asText() == "a").get
+    assert(good.get("resp").get("echo").asText() == "http://h/ok")
+    val bad = out.find(_.get("_id").asText() == "b").get
+    assert(bad.get("httpError").get("statusCode").asInt() == 500)
+    assert(!bad.has("resp"))
+  }
+}

@@ -54,13 +54,53 @@ object Similarity {
       .select(col(idCol), col("cell"), col("v"))
   }
 
+  /** Trained IVF codebook: Lloyd iterations as DataFrame aggregations.
+    * Init = the `nlist` lowest-id vectors; each round assigns every vector
+    * to its nearest centroid (broadcast), then element-wise-averages per
+    * cell (posexplode → partial-agg mean per (cell, pos) → re-assemble)
+    * and re-normalizes. Every step is a narrow pass or a partial
+    * aggregation — no all-pairs anything, 100 TB-shaped. Returns a
+    * (idCol = cell id, embCol = centroid) frame for `ivfTopKWith`.
+    */
+  def kmeansCentroids(corpus: DataFrame, embCol: String, idCol: String,
+      nlist: Int, iters: Int = 2): DataFrame = {
+    var centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol), col(embCol))
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(corpus, centroids, embCol, idCol)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+      centroids = means.select(col("cell").as(idCol),
+        col("c").cast("array<float>").as(embCol))
+    }
+    centroids.persist()
+  }
+
+  /** IVF ANN with an explicit codebook (e.g. from `kmeansCentroids`). */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, embCol: String, idCol: String, k: Int,
+      nprobe: Int): DataFrame =
+    ivfSearch(corpus, queries, centroids, embCol, idCol, k, nprobe)
+
   /** IVF ANN: probe the best `nprobe` cells per query, exact search within.
-    * Centroids = the `nlist` lowest-id vectors (deterministic stand-in for
-    * a trained codebook).
+    * Centroids = the `nlist` lowest-id vectors (deterministic codebook —
+    * the oracle replays it; `kmeansCentroids` is the trained variant).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
-      idCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      idCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame =
+    ivfSearch(corpus, queries, corpus.orderBy(col(idCol)).limit(nlist),
+      embCol, idCol, k, nprobe)
+
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame,
+      centroidsDf: DataFrame, embCol: String, idCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val centroids = centroidsDf
     val cells = assignCells(corpus, centroids, embCol, idCol)
       .withColumnRenamed(idCol, "nb_id")
     val q = normalized(queries, embCol, idCol, "vq")

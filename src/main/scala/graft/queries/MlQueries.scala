@@ -255,6 +255,28 @@ object MlQueries {
       TextAnalysis.fingerprint(Tables.load(spark, sf, "documents"), "text")
     },
 
+    // -- real image decode (pure-JVM PPM codec): constant-color P3 images
+    // synthesized from n_chars; luma of (c,c,c) is exactly c, so the
+    // oracle derives every feature in SQL
+    Q.fn("q_multimodal_image",
+      """SELECT doc_id, 'ppm' AS format, 2 AS width, 1 AS height,
+                CAST(2 AS BIGINT) AS n_pixels,
+                CAST(n_chars % 256 AS DOUBLE) AS mean_luma,
+                to_json([n_chars % 256, n_chars % 256])::VARCHAR AS thumb_luma,
+                true AS decoded
+         FROM documents""") { (spark, sf) =>
+      val c = (col("n_chars") % 256).cast("string")
+      val ppm = concat(lit("P3\n2 1\n255\n"),
+        c, lit(" "), c, lit(" "), c, lit(" "),
+        c, lit(" "), c, lit(" "), c)
+      val packed = Multimodal.pack(
+        Tables.load(spark, sf, "documents").withColumn("img", ppm)
+          .withColumn("fmt", lit("ppm")),
+        "img", "fmt")
+      Multimodal.decodeImages(packed, "doc_id", thumbW = 2, thumbH = 1)
+        .withColumn("thumb_luma", to_json(col("thumb_luma")))
+    },
+
     // -- multimodal plumbing: binary payload + metadata + per-partition decode
     Q.fn("q_multimodal",
       """SELECT doc_id, source AS format,

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ml.{Multimodal, Similarity}
+
+/** Real PPM decode through the multimodal seam, and the trained k-means
+  * IVF codebook.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def ppmP6(w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n# test\n$w $h\n255\n".getBytes("US-ASCII")
+    val body = Array.fill(w * h)(
+      Array(rgb._1.toByte, rgb._2.toByte, rgb._3.toByte)).flatten
+    header ++ body
+  }
+
+  test("Ppm decodes P6 and P3, features and resize work") {
+    val img = Multimodal.Ppm.decode(ppmP6(4, 2, (255, 0, 0))).get
+    assert(img.width == 4 && img.height == 2)
+    assert(img.rgb.forall(_ == 0xff0000))
+    assert(math.abs(Multimodal.Ppm.meanLuma(img) - 76.0) < 1.0) // .299*255
+    val small = Multimodal.Ppm.resizeNearest(img, 2, 1)
+    assert(small.width == 2 && small.height == 1 && small.rgb.forall(_ == 0xff0000))
+
+    val p3 = "P3\n2 1\n255\n0 255 0  0 0 255\n".getBytes("US-ASCII")
+    val g = Multimodal.Ppm.decode(p3).get
+    assert(g.rgb.toSeq == Seq(0x00ff00, 0x0000ff))
+
+    assert(Multimodal.Ppm.decode("not an image".getBytes).isEmpty)
+  }
+
+  test("decodeImages: real decode, features, and quarantine predicate") {
+    val rows = Seq(
+      (1L, ppmP6(3, 3, (10, 20, 30)), "ppm"),
+      (2L, "P3\n1 1\n255\n255 255 255\n".getBytes("US-ASCII"), "ppm"),
+      (3L, "corrupted-bytes".getBytes, "jpeg"))
+    val packed = rows.toDF("doc_id", "payload", "fmt")
+      .withColumn("media_meta", struct(col("fmt").as("format"),
+        octet_length(col("payload")).as("n_bytes")))
+    val out = Multimodal.decodeImages(packed, "doc_id", thumbW = 2, thumbH = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("width") == 3 && out(1L).getAs[Boolean]("decoded"))
+    assert(out(1L).getAs[scala.collection.Seq[Int]]("thumb_luma").length == 4)
+    assert(out(2L).getAs[Double]("mean_luma") == 255.0)
+    assert(!out(3L).getAs[Boolean]("decoded")) // quarantined, job survives
+  }
+
+  test("k-means codebook: nlist centroids, search beats garbage") {
+    graft.queries.Q.session(spark)
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+      nlist = 8, iters = 2)
+    assert(centroids.count() == 8)
+    val queries = emb.where(col("vec_id") < 5)
+    val got = Similarity.ivfTopKWith(emb, queries, centroids,
+      "embedding", "vec_id", k = 3, nprobe = 2)
+      .collect()
+    assert(got.length == 15) // 5 queries x top-3
+    // sanity: every reported cosine is within [-1, 1] and ranks are 1..3
+    assert(got.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.000001))
+    assert(got.map(_.getAs[Int]("rank")).toSet == Set(1, 2, 3))
+  }
+}

@@ -15,6 +15,10 @@ final case class Env(
     collection: String => DataFrame = n =>
       throw new IllegalArgumentException(s"no collection $n"),
     sink: (String, DataFrame) => Unit = (_, _) => (),
+    /** `$delete`: remove docs from a collection whose `on` fields equal
+      * the incoming messages' values (docs/aggregation_stages.md:161-178).
+      */
+    delete: (String, DataFrame, Seq[String]) => Unit = (_, _, _) => (),
     http: HttpTransport = (_, _, _, _) =>
       throw new IllegalArgumentException("no HTTP transport configured"),
     scripts: String => String = name =>
@@ -81,7 +85,13 @@ object Stages {
       df => { env.sink(spec.asText(), df); df }
     case "$trace" | "$log" => df => df // observability: no data transform
     case "$delete" =>
-      df => { env.sink("__delete__" + spec.get("from").asText(), df); df }
+      val on =
+        if (spec.get("on").isArray) Js.elems(spec.get("on")).map(_.asText())
+        else Seq(spec.get("on").asText())
+      df => {
+        env.delete(spec.get("from").asText(), df, on)
+        df
+      }
     case "$http"    => df => Http(df, spec, env)
     // $jq (docs/aggregation_stages.md:245-260): whole-message transform.
     // Schemaless output → (key, value-as-JSON-string); an extension object

@@ -188,9 +188,18 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
             AggregatePart(pre,
               conf.copy(resolver = finalStates.get _), keyOverride)
           }
+        // uniqueExpression re-keys commands THROUGH the `unique` purpose
+        // topic (docs/state.md:125,176-197): expose the re-keyed command
+        // stream under <type>-unique
+        val uniqueStream = keyOverride.map { k =>
+          val payload = pre.columns.filterNot(Set("__ord", "__raw")).map(col)
+          s"$aggType-unique$envSuffix" -> pre.select(
+            k.cast("string").as("key"),
+            to_json(struct(payload: _*)).as("value"))
+        }
         AggregatePart.streams(out, aggType).toSeq.map {
           case (n, sdf) => (n + envSuffix) -> sdf
-        }
+        } ++ uniqueStream
 
       case other =>
         throw new IllegalArgumentException(s"unknown part type $other")

@@ -55,8 +55,26 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__gen", "__ord", "__rn")
+    writeSwap(name, latest)
+  }
+
+  /** `$delete` support (docs/aggregation_stages.md:161-178): drop stored
+    * docs whose `on` fields equal any incoming message's values
+    * (left-anti join on the key columns), then rewrite. A Delta DELETE
+    * replaces the read-anti-join-rewrite at real scale.
+    */
+  def delete(name: String, matches: DataFrame, on: Seq[String]): Unit =
+    synchronized {
+      if (Files.exists(Paths.get(dir(name)))) {
+        val existing = spark.read.parquet(dir(name))
+        val keys = matches.select(on.map(col): _*).distinct()
+        writeSwap(name, existing.join(keys, on, "left_anti"))
+      }
+    }
+
+  private def writeSwap(name: String, df: DataFrame): Unit = {
     val tmp = dir(name) + ".__tmp"
-    latest.write.mode(SaveMode.Overwrite).parquet(tmp)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
     // swap: the rewrite must not read and overwrite the same files
     val target = Paths.get(dir(name))
     if (Files.exists(target)) {

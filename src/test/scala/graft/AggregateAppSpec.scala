@@ -112,5 +112,10 @@ class AggregateAppSpec extends AnyFunSuite {
     // both k-7 commands hit the same instance: _seq reaches 1
     val k7 = byKey("k-7").map(v => Js.parse(v._2))
     assert(k7.map(_.get("_seq").asLong()).max == 1)
+    // the re-keyed command stream flows through the `unique` purpose topic
+    val unique = streams("uapp-thing-unique")
+      .select("key", "value").as[(String, String)].collect()
+    assert(unique.length == 3)
+    assert(unique.map(_._1).toSet == Set("k-7", "k-8"))
   }
 }

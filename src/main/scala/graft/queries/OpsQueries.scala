@@ -159,6 +159,73 @@ object OpsQueries {
           .select(col("signup_id"), col("purchase_id"), col("user_id"))
     },
 
+    // -- the merge part's relational shape: n-ary unionByName with
+    // missing columns padded NULL (docs/merge.md)
+    Q.fn("q_merge_part",
+      """SELECT n_nationkey AS k, n_name AS name, n_regionkey AS extra
+         FROM nation
+         UNION ALL
+         SELECT r_regionkey AS k, r_name AS name, NULL AS extra
+         FROM region""") { (spark, sf) =>
+      val a = Tables.load(spark, sf, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"),
+          col("n_regionkey").as("extra"))
+      val b = Tables.load(spark, sf, "region")
+        .select(col("r_regionkey").as("k"), col("r_name").as("name"))
+      a.unionByName(b, allowMissingColumns = true)
+    },
+
+    // -- $s3Out: every message written as an object; passthrough output
+    Q.fn("q_s3out",
+      """SELECT r_regionkey, r_name FROM region""") { (spark, sf) =>
+      Pipeline.run(Tables.load(spark, sf, "region"),
+        """[{"$s3Out":{"bucket":"outb","key":{"$concat":["o-",{"$toString":"$r_regionkey"}]}}},
+            {"$project":{"r_regionkey":1,"r_name":1}}]""", env(spark, sf))
+    },
+
+    // -- $s3Transfer: GET the url, PUT to the store, `as` = object url
+    Q.fn("q_s3transfer",
+      """SELECT n_nationkey, 's3://tb/' || n_name AS s3url,
+                CAST(NULL AS STRUCT(statusCode INT, body VARCHAR)) AS httpError
+         FROM nation""") { (spark, sf) =>
+      Pipeline.run(Tables.load(spark, sf, "nation"),
+        """[{"$s3Transfer":{"url":{"$concat":["http://src/","$n_name"]},
+             "bucket":"tb","key":"$n_name","as":"s3url"}},
+            {"$project":{"n_nationkey":1,"s3url":1,"httpError":1}}]""",
+        env(spark, sf))
+    },
+
+    // -- $s3Attachments: multipart POST from the store; 2xx → no error
+    Q.fn("q_s3attachments",
+      """SELECT r_regionkey,
+                CAST(NULL AS STRUCT(statusCode INT, body VARCHAR)) AS httpError
+         FROM region""") { (spark, sf) =>
+      Pipeline.run(Tables.load(spark, sf, "region")
+        .withColumn("attachments", expr(
+          """array(named_struct('bucket','b','key','k.csv'))""")),
+        """[{"$s3Attachments":{"url":"http://dst","attachments":"$attachments"}},
+            {"$project":{"r_regionkey":1,"httpError":1}}]""", env(spark, sf))
+    },
+
+    // -- $jq stage with a declared schema: typed whole-message transform
+    Q.pipe("q_jq_stage", "region",
+      """[{"$jq":{"script":"{ \"rid\": .r_regionkey, \"tag\": (.r_name + \"!\") }",
+                  "schema":"rid long, tag string"}}]""",
+      """SELECT r_regionkey AS rid, r_name || '!' AS tag FROM region"""),
+
+    // -- $jslt stage with a declared schema
+    Q.pipe("q_jslt_stage", "nation",
+      """[{"$jslt":{"script":"{ \"nid\": .n_nationkey, \"label\": .n_name + \"-\" }",
+                    "schema":"nid long, label string"}}]""",
+      """SELECT n_nationkey AS nid, n_name || '-' AS label FROM nation"""),
+
+    // -- $log / $trace stages: logging side effects, identity dataflow
+    Q.pipe("q_log_stage", "region",
+      """[{"$log":{"level":"INFO","message":"test","application":"q"}},
+          {"$trace":true},
+          {"$project":{"r_regionkey":1,"r_name":1}}]""",
+      """SELECT r_regionkey, r_name FROM region"""),
+
     // -- $signJwt: token embeds iat/exp → rows-only check; validity is
     // asserted in SideEffectsSpec with signature verification
     Q.fn("q_signjwt", null) { (spark, sf) =>

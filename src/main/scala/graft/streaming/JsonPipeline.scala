@@ -90,6 +90,36 @@ object JsonPipeline {
             .find(v => !v.isNull).getOrElse(NullNode.getInstance)
         case Some((op @ ("$add" | "$subtract" | "$multiply" | "$divide"), args)) =>
           arith(op, Js.elems(args).map(eval(_, doc)))
+        case Some(("$cond", spec)) =>
+          val (c, t, f) =
+            if (spec.isArray)
+              (spec.get(0), spec.get(1), spec.get(2))
+            else (spec.get("if"), spec.get("then"), spec.get("else"))
+          if (truthy(eval(c, doc))) eval(t, doc) else eval(f, doc)
+        case Some(("$switch", spec)) =>
+          Js.elems(spec.get("branches"))
+            .find(b => truthy(eval(b.get("case"), doc)))
+            .map(b => eval(b.get("then"), doc))
+            .getOrElse(Option(spec.get("default"))
+              .map(eval(_, doc)).getOrElse(NullNode.getInstance))
+        case Some(("$and", args)) =>
+          bool(Js.elems(args).forall(a => truthy(eval(a, doc))))
+        case Some(("$or", args)) =>
+          bool(Js.elems(args).exists(a => truthy(eval(a, doc))))
+        case Some(("$not", arg)) =>
+          val v = if (arg.isArray) arg.get(0) else arg
+          bool(!truthy(eval(v, doc)))
+        case Some((op @ ("$eq" | "$ne" | "$gt" | "$gte" | "$lt" | "$lte"), args)) =>
+          val (a, b) = (eval(args.get(0), doc), eval(args.get(1), doc))
+          val c = cmp(a, b)
+          bool(op match {
+            case "$eq"  => c == 0
+            case "$ne"  => c != 0
+            case "$gt"  => c > 0
+            case "$gte" => c >= 0
+            case "$lt"  => c < 0
+            case "$lte" => c <= 0
+          })
         case Some((other, _)) =>
           throw new IllegalArgumentException(s"reducer expression $other")
         case None =>
@@ -105,6 +135,20 @@ object JsonPipeline {
       out
     case lit => lit
   }
+
+  private def bool(b: Boolean): JsonNode =
+    com.fasterxml.jackson.databind.node.BooleanNode.valueOf(b)
+
+  private def truthy(n: JsonNode): Boolean =
+    !(n == null || n.isNull || (n.isBoolean && !n.asBoolean()) ||
+      (n.isNumber && n.asDouble() == 0))
+
+  private def cmp(a: JsonNode, b: JsonNode): Int =
+    if (a.isNumber && b.isNumber)
+      java.lang.Double.compare(a.asDouble(), b.asDouble())
+    else if (a.isTextual && b.isTextual) a.asText().compareTo(b.asText())
+    else if (a == b) 0
+    else a.toString.compareTo(b.toString)
 
   private def arith(op: String, vs: Seq[JsonNode]): JsonNode = {
     if (vs.exists(v => v == null || v.isNull)) return NullNode.getInstance

@@ -299,6 +299,71 @@ object MessagePipeline {
       out
     }
 
+    // schemaless $redact: the document prunes ITSELF level by level in
+    // JSON land (docs/aggregation_stages.md:491-513) — the condition
+    // evaluates per subdocument via JsonPipeline's expression subset;
+    // $$DESCEND recurses, $$PRUNE drops the subtree, $$KEEP keeps it
+    case "$redact" => df => {
+      val redact = udf((json: String) => {
+        def walk(node: JsonNode): Option[JsonNode] = node match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+            JsonPipeline.eval(spec, o).asText() match {
+              case "$PRUNE" => None
+              case "$KEEP"  => Some(o)
+              case _ => // $$DESCEND: children decide for themselves
+                val out = Js.obj()
+                Js.fields(o).foreach { case (k, v) =>
+                  v match {
+                    case child: com.fasterxml.jackson.databind.node.ObjectNode =>
+                      walk(child).foreach(out.set[JsonNode](k, _))
+                    case a if a.isArray =>
+                      val arr = Js.arr()
+                      Js.elems(a).foreach {
+                        case e: com.fasterxml.jackson.databind.node.ObjectNode =>
+                          walk(e).foreach(arr.add)
+                        case e => arr.add(e)
+                      }
+                      out.set[JsonNode](k, arr)
+                    case other => out.set[JsonNode](k, other)
+                  }
+                }
+                Some(out)
+            }
+          case other => Some(other)
+        }
+        walk(Js.parse(json)).map(Js.render).orNull
+      })
+      df.withColumn("value", redact(col("value")))
+        .where(col("value").isNotNull)
+    }
+
+    // schemaless $bucket: the boundary when-chain computes the bucket id,
+    // then the same accumulator machinery as $group aggregates per bucket
+    // (docs/aggregation_stages.md:29-71; default output = count)
+    case "$bucket" => df => {
+      val ctx = ctxOf(df)
+      val groupBy =
+        ExprCompiler.compile(spec.get("groupBy"), ctx).cast("double")
+      val bounds = Js.elems(spec.get("boundaries")).map(_.asDouble())
+      val defaultId: Column =
+        if (spec.has("default")) lit(spec.get("default").asText())
+        else lit(null).cast(StringType)
+      val id = bounds.sliding(2).toSeq.foldLeft(defaultId) {
+        case (acc, Seq(lo, hi)) =>
+          when(groupBy >= lo && groupBy < hi,
+            lit(lo).cast(StringType)).otherwise(acc)
+        case (acc, _) => acc
+      }
+      val output = Option(spec.get("output"))
+        .map(o => Js.fields(o)).getOrElse {
+          Seq("count" -> Js.parse("""{"$count":{}}"""))
+        }
+      val aggs = accumulators(output, ctx)
+      val grouped = df.groupBy(id.as("_id")).agg(aggs.head, aggs.tail: _*)
+      grouped.select(col("_id").as("key"),
+        to_json(struct(grouped.columns.map(col): _*)).as("value"))
+    }
+
     // schemaless $group: group key and accumulator inputs extract from
     // the variant; output messages are {_id, <accumulators>} JSON
     case "$group" => df => {
@@ -307,35 +372,8 @@ object MessagePipeline {
       val id =
         if (idNode == null || idNode.isNull) lit(null).cast(StringType)
         else ExprCompiler.compile(idNode, ctx).cast(StringType)
-      val aggs = Js.fields(spec).collect {
-        case (field, v) if field != "_id" =>
-          val (op, arg) = Js.asOp(v).getOrElse(
-            throw new IllegalArgumentException(s"accumulator for $field"))
-          val c = ExprCompiler.compile(arg, ctx)
-          val isVariant = ctx.typeOf(c).typeName == "variant"
-          // The double hop is only right for numeric accumulators: casting a
-          // string-valued variant to double nulls it out. $min/$max order
-          // variants Mongo-style (numbers < strings) via a min_by/max_by
-          // key; $push/$addToSet keep the value's own string rendering.
-          def variantOrd(v: Column): Column = {
-            val num = call_function("try_variant_get", v, lit("$"), lit("double"))
-            struct(when(num.isNotNull, lit(0)).otherwise(lit(1)).as("rank"),
-              num.as("num"), v.cast(StringType).as("str"))
-          }
-          (op match {
-            case "$sum"   => sum(if (isVariant) c.cast("double") else c)
-            case "$avg"   => avg(if (isVariant) c.cast("double") else c)
-            case "$min"   => if (isVariant) min_by(c, variantOrd(c)) else min(c)
-            case "$max"   => if (isVariant) max_by(c, variantOrd(c)) else max(c)
-            case "$count" => count(lit(1))
-            case "$push"  => collect_list(c.cast(StringType))
-            case "$addToSet" =>
-              array_sort(collect_set(c.cast(StringType)))
-            case other =>
-              throw new IllegalArgumentException(
-                s"accumulator $other in schemaless mode")
-          }).as(field)
-      }
+      val aggs = accumulators(
+        Js.fields(spec).filter(_._1 != "_id"), ctx)
       val grouped = df.groupBy(id.as("_id")).agg(aggs.head, aggs.tail: _*)
       grouped.select(col("_id").as("key"),
         to_json(struct(grouped.columns.map(col): _*)).as("value"))
@@ -345,6 +383,39 @@ object MessagePipeline {
         s"stage $other needs a typed schema: declare one for the topic " +
           "or transform with $jq")
   }
+
+  /** Accumulators over variant inputs ($group and $bucket). The double
+    * hop is only right for numeric accumulators: casting a string-valued
+    * variant to double nulls it out. $min/$max order variants Mongo-style
+    * (numbers < strings) via a min_by/max_by key; $push/$addToSet keep
+    * the value's own string rendering.
+    */
+  private def accumulators(fields: Seq[(String, JsonNode)], ctx: Ctx)
+      : Seq[Column] =
+    fields.map { case (field, v) =>
+      val (op, arg) = Js.asOp(v).getOrElse(
+        throw new IllegalArgumentException(s"accumulator for $field"))
+      val c = ExprCompiler.compile(arg, ctx)
+      val isVariant = ctx.typeOf(c).typeName == "variant"
+      def variantOrd(v: Column): Column = {
+        val num = call_function("try_variant_get", v, lit("$"), lit("double"))
+        struct(when(num.isNotNull, lit(0)).otherwise(lit(1)).as("rank"),
+          num.as("num"), v.cast(StringType).as("str"))
+      }
+      (op match {
+        case "$sum"   => sum(if (isVariant) c.cast("double") else c)
+        case "$avg"   => avg(if (isVariant) c.cast("double") else c)
+        case "$min"   => if (isVariant) min_by(c, variantOrd(c)) else min(c)
+        case "$max"   => if (isVariant) max_by(c, variantOrd(c)) else max(c)
+        case "$count" => count(lit(1))
+        case "$push"  => collect_list(c.cast(StringType))
+        case "$addToSet" =>
+          array_sort(collect_set(c.cast(StringType)))
+        case other =>
+          throw new IllegalArgumentException(
+            s"accumulator $other in schemaless mode")
+      }).as(field)
+    }
 
   /** JSON text of a computed column, whatever its type: to_json needs a
     * container, so wrap in a single-field struct and unwrap in the splice.

@@ -84,3 +84,48 @@ class MessagePipelineSpec2 extends AnyFunSuite {
     assert(!bad.has("resp"))
   }
 }
+
+/** Message-mode $redact and $bucket (round-2 additions). */
+class MessagePipelineSpec3 extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def msgs(docs: String*) =
+    docs.toSeq.toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+
+  private def run(pipeline: String, df: org.apache.spark.sql.DataFrame) =
+    MessagePipeline.compile(Js.parse(pipeline), Env(spark))(df)
+
+  test("$redact prunes subtrees by per-level condition") {
+    val out = run(
+      """[{"$redact":{"$cond":{"if":{"$eq":["$level","public"]},
+                               "then":"$$DESCEND","else":"$$PRUNE"}}}]""",
+      msgs(
+        """{"_id":"a","level":"public","x":1,
+            "sub":{"level":"secret","y":2},
+            "open":{"level":"public","z":3}}""",
+        """{"_id":"b","level":"secret","x":9}"""))
+      .select("value").as[String].collect().map(Js.parse)
+    assert(out.length == 1) // doc b pruned at the root
+    val a = out.head
+    assert(a.get("x").asInt() == 1)
+    assert(!a.has("sub")) // secret subtree pruned
+    assert(a.get("open").get("z").asInt() == 3)
+  }
+
+  test("$bucket groups by boundaries with accumulators") {
+    val out = run(
+      """[{"$bucket":{"groupBy":"$v","boundaries":[0,10,100],
+                      "default":"other",
+                      "output":{"n":{"$count":{}},"s":{"$sum":"$v"}}}}]""",
+      msgs("""{"_id":"a","v":3}""", """{"_id":"b","v":7}""",
+        """{"_id":"c","v":55}""", """{"_id":"d","v":-1}"""))
+      .select("value").as[String].collect().map(Js.parse)
+      .map(n => n.get("_id").asText() -> n).toMap
+    assert(out("0.0").get("n").asLong() == 2)
+    assert(out("0.0").get("s").asDouble() == 10.0)
+    assert(out("10.0").get("n").asLong() == 1)
+    assert(out("other").get("n").asLong() == 1)
+  }
+}

@@ -16,11 +16,17 @@ import scala.collection.mutable
   */
 object MiniJq {
 
+  sealed trait Step
+  final case class Field(name: String) extends Step
+  final case class Index(i: Int) extends Step
+  case object IterateStep extends Step // `[]`: stream the elements/values
+
   sealed trait Ast
   case object Identity extends Ast
-  final case class Path(parts: List[String]) extends Ast
+  final case class Path(parts: List[Step]) extends Ast
   final case class Lit(value: JsonNode) extends Ast
   final case class Pipe(stages: List[Ast]) extends Ast
+  final case class Comma(items: List[Ast]) extends Ast
   final case class BinOp(op: String, l: Ast, r: Ast) extends Ast
   final case class ObjCons(fields: List[(String, Ast)]) extends Ast
   final case class ArrCons(items: List[Ast]) extends Ast
@@ -38,6 +44,16 @@ object MiniJq {
       load: String => String = f =>
         throw new IllegalArgumentException(s"no script loader for $f"),
       base: String = ""): JsonNode => JsonNode = {
+    val all = compileAll(script, load, base)
+    input => all(input).headOption.getOrElse(NullNode.getInstance)
+  }
+
+  /** JQ filters are streams: every expression may yield 0..n outputs
+    * (`.[]` iterates, `,` concatenates, `[...]` collects). */
+  def compileAll(script: String,
+      load: String => String = f =>
+        throw new IllegalArgumentException(s"no script loader for $f"),
+      base: String = ""): JsonNode => Seq[JsonNode] = {
     val prog = parse(script, load, base)
     input => eval(prog.body, input, prog.defs)
   }
@@ -70,9 +86,16 @@ object MiniJq {
   }
 
   private def parseExpr(t: Tokens): Ast = {
-    val stages = mutable.ListBuffer(parseCmp(t))
-    while (t.peekIs("|")) { t.expect("|"); stages += parseCmp(t) }
+    val stages = mutable.ListBuffer(parseComma(t))
+    while (t.peekIs("|")) { t.expect("|"); stages += parseComma(t) }
     if (stages.size == 1) stages.head else Pipe(stages.toList)
+  }
+
+  /** `,` concatenates output streams; binds tighter than `|`. */
+  private def parseComma(t: Tokens): Ast = {
+    val items = mutable.ListBuffer(parseCmp(t))
+    while (t.peekIs(",")) { t.expect(","); items += parseCmp(t) }
+    if (items.size == 1) items.head else Comma(items.toList)
   }
 
   private val cmpOps = Set("==", "!=", "<", ">", "<=", ">=")
@@ -103,15 +126,38 @@ object MiniJq {
     l
   }
 
+  /** `.a.b[0][].c` after the leading dot: fields, indexes, iterations. */
+  private def parseSteps(t: Tokens, leadIdent: Boolean): List[Step] = {
+    val parts = mutable.ListBuffer.empty[Step]
+    if (leadIdent) parts += Field(t.ident())
+    var more = true
+    while (more) {
+      if (t.peekIs("[")) {
+        t.next()
+        if (t.peekIs("]")) { t.next(); parts += IterateStep }
+        else { parts += Index(t.next().toInt); t.expect("]") }
+      } else if (t.peekIs(".") && { t.mark(); t.next(); val ok = t.peekIdent; t.reset(); ok }) {
+        t.next(); parts += Field(t.ident())
+      } else more = false
+    }
+    parts.toList
+  }
+
+  /** Object values parse below the comma level (JQ: `{a: 1, b: 2}` — the
+    * comma separates pairs; parenthesize to stream inside a value).
+    */
+  private def parseObjVal(t: Tokens): Ast = {
+    val stages = mutable.ListBuffer(parseCmp(t))
+    while (t.peekIs("|")) { t.expect("|"); stages += parseCmp(t) }
+    if (stages.size == 1) stages.head else Pipe(stages.toList)
+  }
+
   private def parsePrimary(t: Tokens): Ast = t.peek match {
     case "." =>
       t.next()
-      if (t.peekIdent) {
-        val parts = mutable.ListBuffer(t.ident())
-        while (t.peekIs(".") && { t.mark(); t.next(); val ok = t.peekIdent; t.reset(); ok }) {
-          t.next(); parts += t.ident()
-        }
-        Path(parts.toList)
+      if (t.peekIdent || t.peekIs("[")) {
+        val steps = parseSteps(t, leadIdent = t.peekIdent)
+        if (steps.isEmpty) Identity else Path(steps)
       } else Identity
     case "{" =>
       t.next()
@@ -119,12 +165,12 @@ object MiniJq {
       while (!t.peekIs("}")) {
         val key = if (t.peekString) t.string() else t.ident()
         t.expect(":")
-        fields += key -> parseExpr(t)
+        fields += key -> parseObjVal(t)
         if (t.peekIs(",")) t.next()
       }
       t.expect("}")
       ObjCons(fields.toList)
-    case "[" =>
+    case "[" => // [expr] COLLECTS every output of expr (JQ semantics)
       t.next()
       val items = mutable.ListBuffer[Ast]()
       while (!t.peekIs("]")) {
@@ -148,8 +194,8 @@ object MiniJq {
     case "del" =>
       t.next(); t.expect("(")
       t.expect(".")
-      val parts = mutable.ListBuffer(t.ident())
-      while (t.peekIs(".")) { t.next(); parts += t.ident() }
+      val parts = mutable.ListBuffer[Step](Field(t.ident()))
+      while (t.peekIs(".")) { t.next(); parts += Field(t.ident()) }
       t.expect(")")
       Del(Path(parts.toList))
     case s if t.peekString => Lit(TextNode.valueOf(t.string()))
@@ -174,45 +220,74 @@ object MiniJq {
   }
 
   // -- evaluator ------------------------------------------------------------
+  // JQ filters are streams: each expression maps one input to 0..n
+  // outputs. Pipe flat-maps, comma concatenates, binary operators and
+  // object fields take the cartesian product of their operand streams,
+  // and [expr] collects the whole stream into one array.
 
-  private def eval(ast: Ast, in: JsonNode, defs: Map[String, Ast]): JsonNode =
+  private def step(n: JsonNode, p: Step): Seq[JsonNode] = p match {
+    case Field(f) =>
+      if (n == null || n.isNull) Seq(NullNode.getInstance)
+      else Seq(Option(n.get(f)).getOrElse(NullNode.getInstance))
+    case Index(i) =>
+      if (n == null || n.isNull) Seq(NullNode.getInstance)
+      else Seq(Option(n.get(i)).getOrElse(NullNode.getInstance))
+    case IterateStep =>
+      if (n == null || n.isNull) Seq.empty
+      else if (n.isArray) Js.elems(n)
+      else if (n.isObject) Js.fields(n).map(_._2)
+      else Seq.empty
+  }
+
+  private def eval(ast: Ast, in: JsonNode, defs: Map[String, Ast])
+      : Seq[JsonNode] =
     ast match {
-      case Identity => in
+      case Identity => Seq(in)
       case Path(parts) =>
-        parts.foldLeft(in)((n, p) =>
-          if (n == null || n.isNull) NullNode.getInstance
-          else Option(n.get(p)).getOrElse(NullNode.getInstance))
-      case Lit(v)       => v
-      case Pipe(stages) => stages.foldLeft(in)((n, s) => eval(s, n, defs))
+        parts.foldLeft(Seq(in))((ns, p) => ns.flatMap(step(_, p)))
+      case Lit(v)       => Seq(v)
+      case Pipe(stages) =>
+        stages.foldLeft(Seq(in))((ns, s) => ns.flatMap(eval(s, _, defs)))
+      case Comma(items) => items.flatMap(eval(_, in, defs))
       case ObjCons(fields) =>
-        val o = Js.obj()
-        fields.foreach { case (k, e) => o.set[JsonNode](k, eval(e, in, defs)) }
-        o
+        fields.foldLeft(Seq(Js.obj())) { case (objs, (k, e)) =>
+          for { o <- objs; v <- eval(e, in, defs) } yield {
+            val c = o.deepCopy[ObjectNode]()
+            c.set[JsonNode](k, v)
+            c
+          }
+        }
       case ArrCons(items) =>
         val a = Js.arr()
-        items.foreach(e => a.add(eval(e, in, defs)))
-        a
+        items.foreach(e => eval(e, in, defs).foreach(a.add))
+        Seq(a)
       case Del(Path(parts)) =>
         val out = in.deepCopy[JsonNode]()
-        val parent = parts.init.foldLeft(out)((n, p) =>
+        val fieldNames = parts.collect { case Field(f) => f }
+        val parent = fieldNames.init.foldLeft(out)((n, p) =>
           Option(n.get(p)).getOrElse(NullNode.getInstance))
         parent match {
-          case o: ObjectNode => o.remove(parts.last)
+          case o: ObjectNode => o.remove(fieldNames.last)
           case _             =>
         }
-        out
+        Seq(out)
       case Call(ns, name) =>
         val key = ns.map(n => s"$n::$name").getOrElse(name)
         val body = defs.getOrElse(key,
           throw new IllegalArgumentException(s"undefined filter $key"))
         eval(body, in, defs)
       case IfElse(cond, thn, els) =>
-        val c = eval(cond, in, defs)
-        // JQ truthiness: false and null are falsy, everything else truthy
-        if (c.isNull || (c.isBoolean && !c.asBoolean())) eval(els, in, defs)
-        else eval(thn, in, defs)
+        eval(cond, in, defs).flatMap { c =>
+          // JQ truthiness: false and null are falsy, everything else truthy
+          if (c.isNull || (c.isBoolean && !c.asBoolean()))
+            eval(els, in, defs)
+          else eval(thn, in, defs)
+        }
       case BinOp(op, l, r) =>
-        binop(op, eval(l, in, defs), eval(r, in, defs))
+        for {
+          a <- eval(l, in, defs)
+          b <- eval(r, in, defs)
+        } yield binop(op, a, b)
     }
 
   /** JQ `+`: numbers add, strings concat, arrays concat, objects merge

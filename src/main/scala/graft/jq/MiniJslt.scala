@@ -36,8 +36,11 @@ object MiniJslt {
       extends Ast
   final case class PathOf(base: Ast, parts: List[Step]) extends Ast
 
+  final case class IfE(cond: Ast, thn: Ast, els: Ast) extends Ast
+
   final case class FnDef(params: List[String], body: Ast)
-  final case class Program(defs: Map[String, FnDef], body: Ast)
+  final case class Program(defs: Map[String, FnDef],
+      lets: List[(String, Ast)], body: Ast)
 
   /** `base` is the app-root-relative path of the script being compiled;
     * nested imports resolve against its directory.
@@ -47,13 +50,19 @@ object MiniJslt {
         throw new IllegalArgumentException(s"no script loader for $f"),
       base: String = ""): JsonNode => JsonNode = {
     val prog = parse(script, load, base)
-    input => eval(prog.body, input, Map.empty, prog.defs)
+    input => {
+      val vars = prog.lets.foldLeft(Map.empty[String, JsonNode]) {
+        case (vs, (n, e)) => vs + (n -> eval(e, input, vs, prog.defs))
+      }
+      eval(prog.body, input, vars, prog.defs)
+    }
   }
 
   private def parse(script: String, load: String => String, base: String)
       : Program = {
     val t = new Tok(script)
     val defs = mutable.Map[String, FnDef]()
+    val lets = mutable.ListBuffer[(String, Ast)]()
     var more = true
     while (more) {
       if (t.peekIs("import")) {
@@ -62,6 +71,9 @@ object MiniJslt {
         parse(load(full), load, full).defs.foreach { case (k, v) =>
           defs(s"$ns:$k") = v
         }
+      } else if (t.peekIs("let")) { // let name = expr
+        t.next(); val name = t.word(); t.expect("=")
+        lets += name -> parseExpr(t)
       } else if (t.peekIs("def")) {
         t.next(); val name = t.word(); t.expect("(")
         val params = mutable.ListBuffer[String]()
@@ -72,13 +84,24 @@ object MiniJslt {
         defs(name) = FnDef(params.toList, parseExpr(t))
       } else more = false
     }
-    Program(defs.toMap, if (t.peek == null) Dot else parseExpr(t))
+    Program(defs.toMap, lets.toList,
+      if (t.peek == null) Dot else parseExpr(t))
   }
 
   private def parseExpr(t: Tok): Ast = {
-    var l = parseAdd(t)
-    while (t.peekIs("|")) { t.next(); l = PipeOp(l, parseAdd(t)) }
+    var l = parseCmp(t)
+    while (t.peekIs("|")) { t.next(); l = PipeOp(l, parseCmp(t)) }
     l
+  }
+
+  private val cmpOps = Set("==", "!=", "<", ">", "<=", ">=")
+
+  private def parseCmp(t: Tok): Ast = {
+    val l = parseAdd(t)
+    if (t.peek != null && cmpOps(t.peek)) {
+      val op = t.next()
+      BinOp(op, l, parseAdd(t))
+    } else l
   }
 
   private def parseAdd(t: Tok): Ast = {
@@ -113,6 +136,15 @@ object MiniJslt {
   }
 
   private def parsePrim(t: Tok): Ast = t.peek match {
+    case "if" => // JSLT: if (cond) expr [else expr]; no else -> null
+      t.next(); t.expect("(")
+      val cond = parseExpr(t)
+      t.expect(")")
+      val thn = parseExpr(t)
+      val els =
+        if (t.peekIs("else")) { t.next(); parseExpr(t) }
+        else Lit(NullNode.getInstance)
+      IfE(cond, thn, els)
     case "." =>
       t.next()
       if (t.peekWord) Path(parseSteps(t)) else Dot
@@ -213,12 +245,35 @@ object MiniJslt {
         throw new IllegalArgumentException(s"undefined function $key"))
       val bound = fn.params.zip(args.map(eval(_, in, vars, defs))).toMap
       eval(fn.body, in, bound, defs)
+    case IfE(cond, thn, els) =>
+      val c = eval(cond, in, vars, defs)
+      // JSLT truthiness: null, false, empty collections/strings are falsy
+      val falsy = c == null || c.isNull ||
+        (c.isBoolean && !c.asBoolean()) ||
+        ((c.isArray || c.isObject) && c.size() == 0) ||
+        (c.isTextual && c.asText().isEmpty)
+      if (falsy) eval(els, in, vars, defs) else eval(thn, in, vars, defs)
     case BinOp(op, l, r) =>
       numericOp(op, eval(l, in, vars, defs), eval(r, in, vars, defs))
   }
 
   private def numericOp(op: String, a: JsonNode, b: JsonNode): JsonNode =
-    if (a.isTextual || b.isTextual) {
+    if (cmpOps(op)) {
+      val c =
+        if (a.isNumber && b.isNumber)
+          java.lang.Double.compare(a.asDouble(), b.asDouble())
+        else if (a.isTextual && b.isTextual) a.asText().compareTo(b.asText())
+        else if (a == b) 0
+        else a.toString.compareTo(b.toString)
+      BooleanNode.valueOf(op match {
+        case "==" => c == 0
+        case "!=" => c != 0
+        case "<"  => c < 0
+        case ">"  => c > 0
+        case "<=" => c <= 0
+        case ">=" => c >= 0
+      })
+    } else if (a.isTextual || b.isTextual) {
       require(op == "+", s"cannot $op strings")
       TextNode.valueOf(a.asText() + b.asText())
     } else if (a.isObject && b.isObject && op == "+") {
@@ -264,6 +319,9 @@ object MiniJslt {
           while (i < script.length &&
             (script(i).isDigit || script(i) == '.')) i += 1
           out += script.substring(start, i)
+        } else if ("=!<>".contains(c) && i + 1 < script.length &&
+          script(i + 1) == '=') {
+          out += script.substring(i, i + 2); i += 2
         } else { out += c.toString; i += 1 }
       }
       out.toVector

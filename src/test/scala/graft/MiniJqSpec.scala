@@ -74,3 +74,42 @@ class MiniJqSpec extends AnyFunSuite {
     assert(out.get("l").size() == 3)
   }
 }
+
+/** Round-2 language upgrades: JQ streams (.[], comma, collect) and JSLT
+  * let/if.
+  */
+class MiniLangSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.jq.{MiniJq, MiniJslt}
+  import graft.json.Js
+
+  test("JQ .[] iterates, [..] collects, comma concatenates") {
+    val all = MiniJq.compileAll(""".items[] | .v""")(
+      Js.parse("""{"items":[{"v":1},{"v":2},{"v":3}]}"""))
+    assert(all.map(_.asInt()) == Seq(1, 2, 3))
+
+    val collected = MiniJq.compile("""[.items[] | .v * 10]""")(
+      Js.parse("""{"items":[{"v":1},{"v":2}]}"""))
+    assert(collected.isArray && Js.elems(collected).map(_.asInt()) == Seq(10, 20))
+
+    val comma = MiniJq.compileAll(""".a, .b""")(
+      Js.parse("""{"a":1,"b":2}"""))
+    assert(comma.map(_.asInt()) == Seq(1, 2))
+
+    val objStream = MiniJq.compileAll("""{ "x": .items[] }""")(
+      Js.parse("""{"items":[5,6]}"""))
+    assert(objStream.map(_.get("x").asInt()) == Seq(5, 6))
+
+    val indexed = MiniJq.compile(""".items[1]""")(
+      Js.parse("""{"items":[5,6,7]}"""))
+    assert(indexed.asInt() == 6)
+  }
+
+  test("JSLT let bindings and if/else") {
+    val f = MiniJslt.compile(
+      """let threshold = 10
+        |{ "big": if (.v > $threshold) "yes" else "no", "v": .v }"""
+        .stripMargin)
+    assert(f(Js.parse("""{"v":15}""")).get("big").asText() == "yes")
+    assert(f(Js.parse("""{"v":5}""")).get("big").asText() == "no")
+  }
+}

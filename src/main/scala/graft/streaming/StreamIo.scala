@@ -62,17 +62,27 @@ final class KafkaIo(bootstrap: String,
       .start())
   }
 
-  /** Kafka sink shape: key from `_key`/`_id`, value = JSON of the rest;
-    * `$send`'s per-row `_topic` column is honored natively by the sink.
+  /** Kafka sink shape: key from `_key`/`key`/`_id`, value = JSON of the
+    * rest; `$send`'s per-row `_topic` column is honored natively by the
+    * sink. Schemaless message frames (the value IS the JSON text already)
+    * pass their value through — re-serializing would double-encode.
     */
   private[graft] def toKafkaShape(df: DataFrame,
       asString: Boolean): DataFrame = {
+    val routing = Set("key", "_key", "_topic", "_delay_ms")
+    val isMessage = df.columns.contains("value") &&
+      df.schema("value").dataType == org.apache.spark.sql.types.StringType &&
+      df.columns.forall(c => c == "value" || routing.contains(c))
     val keyCol =
       if (df.columns.contains("_key")) col("_key")
+      else if (df.columns.contains("key")) col("key")
       else if (df.columns.contains("_id")) col("_id").cast("string")
       else lit(null).cast("string")
-    val payloadCols = df.columns.filter(c => c != "_key" && c != "_topic")
-    val value = to_json(struct(payloadCols.map(col): _*))
+    val payloadCols =
+      df.columns.filter(c => c != "_key" && c != "_topic" && c != "_delay_ms")
+    val value =
+      if (isMessage) col("value")
+      else to_json(struct(payloadCols.map(col): _*))
     val cols = Seq(keyCol.as("key"), value.as("value")) ++
       (if (df.columns.contains("_topic")) Seq(col("_topic").as("topic"))
       else Nil)

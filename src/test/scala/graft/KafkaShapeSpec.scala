@@ -93,3 +93,18 @@ class CdcSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(graft.json.Js.parse(out("a4")).get("v").asInt() == 4)
   }
 }
+
+/** Schemaless message frames must NOT double-encode through the sink. */
+class KafkaMessageShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("message-shaped (key,value) frames pass the value through") {
+    val io = new graft.streaming.KafkaIo("unused:9092")
+    val df = Seq(("a", """{"_id":"a","v":1}""")).toDF("key", "value")
+    val shaped = io.toKafkaShape(df, asString = false).collect().head
+    assert(shaped.getAs[String]("key") == "a")
+    assert(graft.json.Js.parse(shaped.getAs[String]("value"))
+      .get("v").asInt() == 1) // not {"key":...,"value":"{...}"}
+  }
+}

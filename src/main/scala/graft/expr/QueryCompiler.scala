@@ -44,18 +44,23 @@ object QueryCompiler {
 
   /** Mongo semantics when NO document has the field (the typed schema
     * lacks the column, reference app3): the field "doesn't exist", so
-    * `$exists:false`, `$ne`, `$nin` and `$not` match every document and
-    * everything else matches none.
+    * `$exists:false`, `$ne`, `$nin`, null equality and `$in` containing
+    * null match every document; everything else matches none; `$not`
+    * inverts its operand's missing-field result.
     */
   private def missingFieldMatch(cond: JsonNode): Column =
     if (isOperatorObject(cond))
       Js.fields(cond).flatMap {
-        case ("$comment", _) | ("$options", _)      => None
-        case ("$exists", v)                         => Some(lit(!v.asBoolean()))
-        case ("$ne", _) | ("$nin", _) | ("$not", _) => Some(lit(true))
-        case _                                      => Some(lit(false))
+        case ("$comment", _) | ("$options", _) => None
+        case ("$exists", v)       => Some(lit(!v.asBoolean()))
+        case ("$eq", v)           => Some(lit(v.isNull))
+        case ("$ne", v)           => Some(lit(!v.isNull))
+        case ("$nin", v)          => Some(lit(!Js.elems(v).exists(_.isNull)))
+        case ("$in", v)           => Some(lit(Js.elems(v).exists(_.isNull)))
+        case ("$not", v)          => Some(!missingFieldMatch(v))
+        case _                    => Some(lit(false))
       }.reduceOption(_ && _).getOrElse(lit(true))
-    else lit(false)
+    else lit(cond.isNull) // Mongo: {field: null} matches missing fields
 
   /** Condition for one field: operator object or implicit equality. The
     * target is resolved per comparison with the literal as a type hint

@@ -308,11 +308,14 @@ object MiniJslt {
         } else if (c.isLetter || c == '_') {
           val start = i
           // hyphenated identifiers (.other-nested, reference app36): a '-'
-          // glues only when directly between identifier characters
+          // glues only when directly followed by a LETTER — `.value-1`
+          // stays subtraction (real JSLT has no hyphens in identifiers;
+          // this admits the fixtures' hyphenated keys without stealing
+          // adjacent numeric subtraction)
           while (i < script.length &&
             (script(i).isLetterOrDigit || script(i) == '_' ||
               (script(i) == '-' && i + 1 < script.length &&
-                script(i + 1).isLetterOrDigit))) i += 1
+                script(i + 1).isLetter))) i += 1
           out += script.substring(start, i)
         } else if (c.isDigit) {
           val start = i

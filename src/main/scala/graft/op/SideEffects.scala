@@ -61,7 +61,10 @@ private[graft] object PartitionCalls {
       private def fill(): Unit =
         while (it.hasNext && q.size < maxInFlight) {
           val a = it.next()
-          q.enqueue((a, Future(f(a))))
+          // blocking-hint: transport calls block on I/O — the global pool
+          // must grow past its CPU-count parallelism or concurrent stages
+          // would degrade toward sequential execution
+          q.enqueue((a, Future(blocking(f(a)))))
         }
       def hasNext: Boolean = { fill(); q.nonEmpty }
       def next(): (A, B) = {
@@ -100,7 +103,10 @@ private[graft] object PartitionCalls {
   }
 
   def maxInFlight(spec: JsonNode): Int =
-    if (spec.has("parallelism")) spec.get("parallelism").asInt() else 16
+    // guard: 0 (or a non-numeric value) would make boundedOrdered's fill
+    // loop never admit a row and silently drop the whole partition
+    math.max(1,
+      if (spec.has("parallelism")) spec.get("parallelism").asInt(16) else 16)
 }
 
 /** `$http` (docs/aggregation_stages.md:207-244): per-message HTTP call;

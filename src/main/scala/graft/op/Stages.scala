@@ -97,17 +97,16 @@ object Stages {
     // Schemaless output → (key, value-as-JSON-string); an extension object
     // form {script, schema} keeps the result typed for downstream stages.
     case "$jq" => df => {
-      val (script, schema) =
-        if (spec.isTextual) {
-          val s = spec.asText()
-          (if (s.contains("\n") || s.trim.startsWith(".") ||
-            s.trim.startsWith("{")) s
-          else env.scripts(s), None)
-        } else
-          (spec.get("script").asText(),
-            Option(spec.get("schema")).map(_.asText()))
-      val loader = env.scripts
-      val program = graft.jq.MiniJq.compile(script, loader)
+      val (text, schema) =
+        if (spec.isTextual) (spec.asText(), None)
+        else (spec.get("script").asText(),
+          Option(spec.get("schema")).map(_.asText()))
+      val inline = text.contains("\n") || text.trim.startsWith(".") ||
+        text.trim.startsWith("{")
+      val script = if (inline) text else env.scripts(text)
+      // base = the script file itself, so its relative imports resolve
+      val program = graft.jq.MiniJq.compile(script, env.scripts,
+        if (inline) "" else text)
       val apply = udf((json: String) =>
         graft.json.Js.render(program(graft.json.Js.parse(json))))
       val keyCol =
@@ -130,16 +129,15 @@ object Stages {
     // $jslt stage (docs/aggregation_stages.md:262-277): same shape as $jq
     // with the JSLT language
     case "$jslt" => df => {
-      val (script, schema) =
-        if (spec.isTextual) {
-          val s = spec.asText()
-          (if (s.contains("\n") || s.trim.startsWith(".") ||
-            s.trim.startsWith("{")) s
-          else env.scripts(s), None)
-        } else
-          (spec.get("script").asText(),
-            Option(spec.get("schema")).map(_.asText()))
-      val program = graft.jq.MiniJslt.compile(script, env.scripts)
+      val (text, schema) =
+        if (spec.isTextual) (spec.asText(), None)
+        else (spec.get("script").asText(),
+          Option(spec.get("schema")).map(_.asText()))
+      val inline = text.contains("\n") || text.trim.startsWith(".") ||
+        text.trim.startsWith("{")
+      val script = if (inline) text else env.scripts(text)
+      val program = graft.jq.MiniJslt.compile(script, env.scripts,
+        if (inline) "" else text)
       val apply = udf((json: String) =>
         graft.json.Js.render(program(graft.json.Js.parse(json))))
       val keyCol =
@@ -173,11 +171,14 @@ object Stages {
         val sampled =
           if (intervalMs <= 0) df
           else {
+            // nondeterministic: the sampler consumes an interval token per
+            // call — Catalyst must not merge, reorder, or re-evaluate it
             val pass = udf(() => graft.streaming.KafkaLag.sample(
               stageId, intervalMs, System.currentTimeMillis()))
+              .asNondeterministic()
             df.filter(pass())
           }
-        val fetch = udf(() => lagFn())
+        val fetch = udf(() => lagFn()).asNondeterministic()
         sampled.withColumn(spec.get("as").asText(), fetch())
       }
     case "$s3Transfer"    => df => S3Transfer(df, spec, env)
@@ -384,7 +385,11 @@ object Stages {
       val sub = Pipeline.compile(spec.get("pipeline"), env)(from)
       val arr = sub.agg(
         collect_list(struct(sub.columns.map(sub.col): _*)).as(as))
-      return df.crossJoin(broadcast(arr))
+      val joined = df.crossJoin(broadcast(arr))
+      return if (unwindAs)
+        joined.withColumn(as, explode(col(as)))
+      else if (inner) joined.where(size(col(as)) > 0)
+      else joined
     }
 
     val (probeKey, buildKey): (Column, Column) =

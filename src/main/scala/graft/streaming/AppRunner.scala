@@ -171,22 +171,28 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
         val out0 = AggregatePart(pre, conf, keyOverride)
         // batch href resolution (reference app36): pass 1 materializes the
         // final state per instance, pass 2 reduces with those states
-        // available to `{href}` refs. Streaming would plug a collection-
+        // available to `{href}` refs — but ONLY when refs actually occur
+        // (the second pass re-runs the whole part, which would double any
+        // side-effecting preprocessor). Streaming would plug a collection-
         // backed resolver instead (state isn't collectable mid-stream).
         val out =
           if (pre.isStreaming) out0
           else {
-            val finalStates = out0
+            val states = out0
               .filter(o => o.dest == "aggregate")
               .collect()
-              .groupBy(_.key)
-              .map { case (k, outs) =>
-                k -> outs.maxBy(o =>
-                  Option(graft.json.Js.parse(o.value).get("_seq"))
-                    .map(_.asLong()).getOrElse(-1L)).value
-              }
-            AggregatePart(pre,
-              conf.copy(resolver = finalStates.get _), keyOverride)
+            if (!states.exists(_.value.contains("\"href\""))) out0
+            else {
+              val finalStates = states
+                .groupBy(_.key)
+                .map { case (k, outs) =>
+                  k -> outs.maxBy(o =>
+                    Option(graft.json.Js.parse(o.value).get("_seq"))
+                      .map(_.asLong()).getOrElse(-1L)).value
+                }
+              AggregatePart(pre,
+                conf.copy(resolver = finalStates.get _), keyOverride)
+            }
           }
         // uniqueExpression re-keys commands THROUGH the `unique` purpose
         // topic (docs/state.md:125,176-197): expose the re-keyed command

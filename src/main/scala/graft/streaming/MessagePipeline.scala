@@ -53,14 +53,13 @@ object MessagePipeline {
         ExprCompiler.compile(spec.get("topic"), ctxOf(df)).cast(StringType))
     case "$jq" => // schema-free whole-message transform
       df => {
-        val script =
-          if (spec.isTextual) {
-            val s = spec.asText()
-            if (s.contains("\n") || s.trim.startsWith(".") ||
-              s.trim.startsWith("{")) s
-            else env.scripts(s)
-          } else spec.get("script").asText()
-        val program = graft.jq.MiniJq.compile(script, env.scripts)
+        val text =
+          if (spec.isTextual) spec.asText() else spec.get("script").asText()
+        val inline = text.contains("\n") || text.trim.startsWith(".") ||
+          text.trim.startsWith("{")
+        val script = if (inline) text else env.scripts(text)
+        val base = if (inline) "" else text
+        val program = graft.jq.MiniJq.compile(script, env.scripts, base)
         val apply = udf((json: String) => Js.render(program(Js.parse(json))))
         df.withColumn("value", apply(col("value")))
           .withColumn("key",

@@ -41,8 +41,13 @@ final class KafkaIo(bootstrap: String,
     }
   }
 
+  // several parts may sink one topic (reference app3/app11): each query
+  // needs its own checkpoint directory or the offset logs collide
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger
+
   def sink(kind: String, name: String, df: DataFrame,
       asString: Boolean): Unit = {
+    val ckpt = s"$checkpointRoot/$name-${sinkSeq.incrementAndGet()}"
     // rows stamped by $delay redeliver onto their _topic after the
     // duration instead of going to the part's sink topic
     val (now, delayed) =
@@ -53,12 +58,12 @@ final class KafkaIo(bootstrap: String,
     out.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", name)
-      .option("checkpointLocation", s"$checkpointRoot/$name")
+      .option("checkpointLocation", ckpt)
       .start()
     delayed.foreach(_.writeStream
       .foreach(new DelayedDelivery.Writer(
         new DelayedDelivery.KafkaTransport(bootstrap)))
-      .option("checkpointLocation", s"$checkpointRoot/$name-delay")
+      .option("checkpointLocation", s"$ckpt-delay")
       .start())
   }
 

@@ -31,10 +31,12 @@ object MiniJq {
   final case class ObjCons(fields: List[(String, Ast)]) extends Ast
   final case class ArrCons(items: List[Ast]) extends Ast
   final case class Del(path: Path) extends Ast
-  final case class Call(ns: Option[String], name: String) extends Ast
+  final case class Call(ns: Option[String], name: String,
+      args: List[Ast] = Nil) extends Ast
   final case class IfElse(cond: Ast, thn: Ast, els: Ast) extends Ast
 
-  final case class Program(defs: Map[String, Ast], body: Ast)
+  final case class FnDef(params: List[String], body: Ast)
+  final case class Program(defs: Map[String, FnDef], body: Ast)
 
   /** Compile a script; `load` resolves import paths to script text.
     * `base` is the app-root-relative path of this script, so nested
@@ -63,7 +65,7 @@ object MiniJq {
   private def parse(script: String, load: String => String,
       base: String = ""): Program = {
     val t = new Tokens(script)
-    val defs = mutable.Map[String, Ast]()
+    val defs = mutable.Map[String, FnDef]()
     var more = true
     while (more) {
       if (t.peekIs("import")) {
@@ -75,10 +77,19 @@ object MiniJq {
         imported.defs.foreach { case (k, v) => defs(s"$ns::$k") = v }
       } else if (t.peekIs("def")) {
         t.expect("def")
-        val name = t.ident(); t.expect(":")
+        val name = t.ident()
+        val params = mutable.ListBuffer[String]()
+        if (t.peekIs("(")) { // def f(a; b): ... — params are filters
+          t.next()
+          while (!t.peekIs(")")) {
+            params += t.ident(); if (t.peekIs(";")) t.next()
+          }
+          t.expect(")")
+        }
+        t.expect(":")
         val body = parseExpr(t)
         t.expect(";")
-        defs(name) = body
+        defs(name) = FnDef(params.toList, body)
       } else more = false
     }
     // defs-only scripts (imported libraries) have no body
@@ -215,8 +226,18 @@ object MiniJq {
     case "null"  => t.next(); Lit(NullNode.getInstance)
     case _ =>
       val name = t.ident()
-      if (t.peekIs("::")) { t.next(); Call(Some(name), t.ident()) }
-      else Call(None, name)
+      val (ns, fn) =
+        if (t.peekIs("::")) { t.next(); (Some(name), t.ident()) }
+        else (None, name)
+      val args = mutable.ListBuffer[Ast]()
+      if (t.peekIs("(")) { // jq separates filter args with ';'
+        t.next()
+        while (!t.peekIs(")")) {
+          args += parseExpr(t); if (t.peekIs(";")) t.next()
+        }
+        t.expect(")")
+      }
+      Call(ns, fn, args.toList)
   }
 
   // -- evaluator ------------------------------------------------------------
@@ -239,7 +260,7 @@ object MiniJq {
       else Seq.empty
   }
 
-  private def eval(ast: Ast, in: JsonNode, defs: Map[String, Ast])
+  private def eval(ast: Ast, in: JsonNode, defs: Map[String, FnDef])
       : Seq[JsonNode] =
     ast match {
       case Identity => Seq(in)
@@ -271,11 +292,15 @@ object MiniJq {
           case _             =>
         }
         Seq(out)
-      case Call(ns, name) =>
+      case Call(ns, name, args) =>
         val key = ns.map(n => s"$n::$name").getOrElse(name)
-        val body = defs.getOrElse(key,
-          throw new IllegalArgumentException(s"undefined filter $key"))
-        eval(body, in, defs)
+        defs.get(key) match {
+          case Some(FnDef(params, body)) =>
+            // jq parameters are filters; bind each arg as a zero-arg def
+            val bound = defs ++ params.zip(args.map(FnDef(Nil, _)))
+            eval(body, in, bound)
+          case None => builtinFn(key, args, in, defs)
+        }
       case IfElse(cond, thn, els) =>
         eval(cond, in, defs).flatMap { c =>
           // JQ truthiness: false and null are falsy, everything else truthy
@@ -289,6 +314,75 @@ object MiniJq {
           b <- eval(r, in, defs)
         } yield binop(op, a, b)
     }
+
+  private def truthyJq(c: JsonNode): Boolean =
+    !(c.isNull || (c.isBoolean && !c.asBoolean()))
+
+  /** The jq builtins the subset supports. `map`/`select`/`empty` are
+    * stream operations — trivial on the stream evaluator.
+    */
+  private def builtinFn(name: String, args: List[Ast], in: JsonNode,
+      defs: Map[String, FnDef]): Seq[JsonNode] = name match {
+    case "empty" => Seq.empty
+    case "not"   => Seq(BooleanNode.valueOf(!truthyJq(in)))
+    case "length" =>
+      Seq(LongNode.valueOf(
+        if (in == null || in.isNull) 0L
+        else if (in.isTextual) in.asText().length.toLong
+        else if (in.isArray || in.isObject) in.size().toLong
+        else if (in.isNumber) math.abs(in.asDouble()).toLong
+        else 0L))
+    case "keys" =>
+      val a = Js.arr()
+      Js.fields(in).map(_._1).sorted.foreach(a.add)
+      Seq(a)
+    case "values" =>
+      Seq { val a = Js.arr(); Js.fields(in).foreach(f => a.add(f._2)); a }
+    case "has" =>
+      eval(args.head, in, defs).map {
+        case k if k.isTextual => BooleanNode.valueOf(in.has(k.asText()))
+        case k if k.isNumber  => BooleanNode.valueOf(in.has(k.asInt()))
+        case _                => BooleanNode.FALSE
+      }
+    case "map" => // map(f) == [.[] | f]
+      val a = Js.arr()
+      step(in, IterateStep).flatMap(eval(args.head, _, defs)).foreach(a.add)
+      Seq(a)
+    case "select" => // keep the input when f is truthy, else emit nothing
+      eval(args.head, in, defs).flatMap(c =>
+        if (truthyJq(c)) Seq(in) else Seq.empty)
+    case "add" =>
+      Seq(step(in, IterateStep)
+        .reduceOption((a, b) => binop("+", a, b))
+        .getOrElse(NullNode.getInstance))
+    case "first" =>
+      if (args.isEmpty) Seq(step(in, IterateStep).headOption
+        .getOrElse(NullNode.getInstance))
+      else eval(args.head, in, defs).take(1)
+    case "last" =>
+      Seq(step(in, IterateStep).lastOption.getOrElse(NullNode.getInstance))
+    case "range" =>
+      eval(args.head, in, defs).flatMap(n =>
+        (0L until n.asLong()).map(LongNode.valueOf))
+    case "tostring" =>
+      Seq(TextNode.valueOf(
+        if (in.isTextual) in.asText() else Js.render(in)))
+    case "tonumber" =>
+      Seq(
+        if (in.isNumber) in
+        else DoubleNode.valueOf(in.asText().toDouble))
+    case "floor" => Seq(LongNode.valueOf(math.floor(in.asDouble()).toLong))
+    case "type" =>
+      Seq(TextNode.valueOf(
+        if (in == null || in.isNull) "null"
+        else if (in.isBoolean) "boolean"
+        else if (in.isNumber) "number"
+        else if (in.isTextual) "string"
+        else if (in.isArray) "array"
+        else "object"))
+    case other =>
+      throw new IllegalArgumentException(s"undefined filter $other")
+  }
 
   /** JQ `+`: numbers add, strings concat, arrays concat, objects merge
     * (right wins), null is the identity.

@@ -113,3 +113,37 @@ class MiniLangSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(f(Js.parse("""{"v":5}""")).get("big").asText() == "no")
   }
 }
+
+/** JQ builtins + parameterized defs (round 2). */
+class MiniJqBuiltinsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.jq.MiniJq
+  import graft.json.Js
+
+  test("map/select/length/keys/has/add/range/first/type") {
+    def one(s: String, in: String) = MiniJq.compile(s)(Js.parse(in))
+    assert(Js.render(one("""map(.v * 2)""", """[{"v":1},{"v":2}]""")) == "[2,4]")
+    assert(Js.render(one("""[.[] | select(.v > 1)]""",
+      """[{"v":1},{"v":2},{"v":3}]""")) == """[{"v":2},{"v":3}]""")
+    assert(one("""length""", """"hello"""").asInt() == 5)
+    assert(one("""length""", """[1,2,3]""").asInt() == 3)
+    assert(Js.render(one("""keys""", """{"b":1,"a":2}""")) == """["a","b"]""")
+    assert(one("""has("a")""", """{"a":1}""").asBoolean())
+    assert(one("""add""", """[1,2,3]""").asLong() == 6)
+    assert(Js.render(one("""[range(3)]""", "null")) == "[0,1,2]")
+    assert(one("""first""", """[7,8]""").asInt() == 7)
+    assert(one("""type""", """[1]""").asText() == "array")
+    assert(one("""tostring""", """{"a":1}""").asText() == """{"a":1}""")
+  }
+
+  test("parameterized defs bind args as filters") {
+    val f = MiniJq.compile(
+      """def scaled(factor): .v * factor;
+        |{ "out": scaled(10) }""".stripMargin)
+    assert(f(Js.parse("""{"v":4}""")).get("out").asLong() == 40)
+    // arg is a FILTER evaluated at use site
+    val g = MiniJq.compile(
+      """def pick(f): map(f);
+        |pick(.x)""".stripMargin)
+    assert(Js.render(g(Js.parse("""[{"x":1},{"x":2}]"""))) == "[1,2]")
+  }
+}

@@ -34,6 +34,7 @@ object MiniJq {
   final case class Call(ns: Option[String], name: String,
       args: List[Ast] = Nil) extends Ast
   final case class IfElse(cond: Ast, thn: Ast, els: Ast) extends Ast
+  final case class StrInterp(parts: List[Either[String, Ast]]) extends Ast
 
   final case class FnDef(params: List[String], body: Ast)
   final case class Program(defs: Map[String, FnDef], body: Ast)
@@ -209,7 +210,37 @@ object MiniJq {
       while (t.peekIs(".")) { t.next(); parts += Field(t.ident()) }
       t.expect(")")
       Del(Path(parts.toList))
-    case s if t.peekString => Lit(TextNode.valueOf(t.string()))
+    case s if t.peekString =>
+      val raw = t.string()
+      if (!raw.contains('\u0000')) Lit(TextNode.valueOf(raw))
+      else { // "a \(expr) b": parse each embedded expression
+        val parts = mutable.ListBuffer[Either[String, Ast]]()
+        var rest = raw
+        while (rest.contains('\u0000')) {
+          val at = rest.indexOf('\u0000')
+          if (at > 0) parts += Left(rest.substring(0, at))
+          // find the matching ')' for the '(' right after the marker
+          var depth = 0
+          var j = at + 1
+          var end = -1
+          while (end < 0 && j < rest.length) {
+            rest(j) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = j
+              case _   =>
+            }
+            j += 1
+          }
+          require(end > 0, "unterminated interpolation")
+          val inner = rest.substring(at + 2, end)
+          parts += Right(parse(inner, f =>
+            throw new IllegalArgumentException("no loader in interpolation"),
+            "").body)
+          rest = rest.substring(end + 1)
+        }
+        if (rest.nonEmpty) parts += Left(rest)
+        StrInterp(parts.toList)
+      }
     case "-" => // unary minus: the tokenizer emits '-' standalone
       t.next()
       val n = t.next()
@@ -313,6 +344,18 @@ object MiniJq {
           a <- eval(l, in, defs)
           b <- eval(r, in, defs)
         } yield binop(op, a, b)
+      case StrInterp(parts) =>
+        parts.foldLeft(Seq("")) { (acc, part) =>
+          part match {
+            case Left(text) => acc.map(_ + text)
+            case Right(e) =>
+              for {
+                prefix <- acc
+                v <- eval(e, in, defs)
+              } yield prefix +
+                (if (v.isTextual) v.asText() else Js.render(v))
+          }
+        }.map(TextNode.valueOf)
     }
 
   private def truthyJq(c: JsonNode): Boolean =
@@ -515,6 +558,10 @@ object MiniJq {
             case 'u' if i + 5 < s.length =>
               sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
               i += 6
+            case '(' => // \( starts jq string interpolation: keep a
+              // marker the parser splits on (NUL cannot occur in JSON text)
+              sb += '\u0000'; sb += '('
+              i += 2
             case e =>
               sb += (e match {
                 case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'

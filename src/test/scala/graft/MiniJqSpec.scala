@@ -147,3 +147,18 @@ class MiniJqBuiltinsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Js.render(g(Js.parse("""[{"x":1},{"x":2}]"""))) == "[1,2]")
   }
 }
+
+/** JQ string interpolation. */
+class MiniJqInterpSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.jq.MiniJq
+  import graft.json.Js
+
+  test("\\(expr) interpolates; streams multiply outputs") {
+    val f = MiniJq.compile("""{ "msg": "user \(.name) has \(.n) items" }""")
+    assert(f(Js.parse("""{"name":"jo","n":3}""")).get("msg").asText() ==
+      "user jo has 3 items")
+    val multi = MiniJq.compileAll(""" "v=\(.items[])" """)
+    assert(multi(Js.parse("""{"items":[1,2]}""")).map(_.asText()) ==
+      Seq("v=1", "v=2"))
+  }
+}

@@ -157,7 +157,8 @@ object GoldenTest {
       .map(t => t -> readDir(dir.resolve(s"test/preload/$t"))).toMap
 
     val io = new FileStreamIo(root, schemas,
-      tableSuffix = "_g" + java.util.UUID.randomUUID().toString.take(8))
+      tableSuffix = "_g" + java.util.UUID.randomUUID().toString.take(8),
+      maxFilesPerTrigger = 10000)
     try {
       val env = graft.op.Env(spark,
         collection = name => spark.read.json(preloads(name).toDS),

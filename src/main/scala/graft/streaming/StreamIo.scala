@@ -103,7 +103,13 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
     /** appended to memory-table names: lets several harness runs (and
       * several parts writing one topic) coexist in one SparkSession
       */
-    tableSuffix: String = "") extends Io {
+    tableSuffix: String = "",
+    /** 1 = one file per micro-batch (arrival-order simulation). Join-app
+      * harness runs raise it so all fixture messages share one batch —
+      * ingestion timestamps then land inside the join window regardless
+      * of machine load.
+      */
+    maxFilesPerTrigger: Int = 1) extends Io {
   var queries = Map.empty[String, StreamingQuery]
   /** memory tables per sink name, in start order */
   var tables = Map.empty[String, Seq[String]]
@@ -113,11 +119,11 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
       case Some(schema) =>
         spark.readStream
           .schema(schema)
-          .option("maxFilesPerTrigger", "1") // one file per micro-batch
+          .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
           .json(s"$root/$name")
       case None => // schemaless: (key, value) JSON-string messages
         spark.readStream
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
           .text(s"$root/$name")
           .select(
             get_json_object(col("value"), "$._id").as("key"),

@@ -241,10 +241,12 @@ object MiniJslt {
       o
     case CallFn(ns, name, args) =>
       val key = ns.map(n => s"$n:$name").getOrElse(name)
-      val fn = defs.getOrElse(key,
-        throw new IllegalArgumentException(s"undefined function $key"))
-      val bound = fn.params.zip(args.map(eval(_, in, vars, defs))).toMap
-      eval(fn.body, in, bound, defs)
+      defs.get(key) match {
+        case Some(fn) =>
+          val bound = fn.params.zip(args.map(eval(_, in, vars, defs))).toMap
+          eval(fn.body, in, bound, defs)
+        case None => builtinFn(key, args.map(eval(_, in, vars, defs)))
+      }
     case IfE(cond, thn, els) =>
       val c = eval(cond, in, vars, defs)
       // JSLT truthiness: null, false, empty collections/strings are falsy
@@ -256,6 +258,70 @@ object MiniJslt {
     case BinOp(op, l, r) =>
       numericOp(op, eval(l, in, vars, defs), eval(r, in, vars, defs))
   }
+
+  /** The JSLT standard-library subset scripts lean on. */
+  private def builtinFn(name: String, args: Seq[JsonNode]): JsonNode =
+    name match {
+      case "size" =>
+        val a = args.head
+        LongNode.valueOf(
+          if (a == null || a.isNull) 0L
+          else if (a.isTextual) a.asText().length.toLong
+          else a.size().toLong)
+      case "string" =>
+        TextNode.valueOf(
+          if (args.head.isTextual) args.head.asText()
+          else Js.render(args.head))
+      case "number" =>
+        val a = args.head
+        if (a.isNumber) a
+        else if (a.isTextual)
+          try LongNode.valueOf(a.asText().toLong)
+          catch {
+            case _: NumberFormatException =>
+              try DoubleNode.valueOf(a.asText().toDouble)
+              catch { case _: NumberFormatException => NullNode.getInstance }
+          }
+        else NullNode.getInstance
+      case "boolean" =>
+        val a = args.head
+        BooleanNode.valueOf(!(a == null || a.isNull ||
+          (a.isBoolean && !a.asBoolean()) ||
+          ((a.isArray || a.isObject) && a.size() == 0) ||
+          (a.isTextual && a.asText().isEmpty)))
+      case "not" =>
+        builtinFn("boolean", args) match {
+          case b: BooleanNode => BooleanNode.valueOf(!b.asBoolean())
+          case other          => other
+        }
+      case "contains" =>
+        val (el, coll) = (args.head, args(1))
+        // numeric nodes compare by value (LongNode(2) != IntNode(2) in
+        // Jackson object equality)
+        def same(a: JsonNode, b: JsonNode) =
+          a == b || (a.isNumber && b.isNumber && a.asDouble() == b.asDouble())
+        BooleanNode.valueOf(
+          if (coll.isArray) Js.elems(coll).exists(same(_, el))
+          else if (coll.isObject) el.isTextual && coll.has(el.asText())
+          else if (coll.isTextual && el.isTextual)
+            coll.asText().contains(el.asText())
+          else false)
+      case "join" =>
+        val sep = if (args.size > 1) args(1).asText() else ""
+        TextNode.valueOf(Js.elems(args.head)
+          .map(e => if (e.isTextual) e.asText() else Js.render(e))
+          .mkString(sep))
+      case "lowercase" => TextNode.valueOf(args.head.asText().toLowerCase)
+      case "uppercase" => TextNode.valueOf(args.head.asText().toUpperCase)
+      case "is-object" => BooleanNode.valueOf(args.head.isObject)
+      case "is-array"  => BooleanNode.valueOf(args.head.isArray)
+      case "is-string" => BooleanNode.valueOf(args.head.isTextual)
+      case "is-number" => BooleanNode.valueOf(args.head.isNumber)
+      case "fallback" =>
+        args.find(a => a != null && !a.isNull).getOrElse(NullNode.getInstance)
+      case other =>
+        throw new IllegalArgumentException(s"undefined function $other")
+    }
 
   private def numericOp(op: String, a: JsonNode, b: JsonNode): JsonNode =
     if (cmpOps(op)) {

@@ -162,3 +162,23 @@ class MiniJqInterpSpec extends org.scalatest.funsuite.AnyFunSuite {
       Seq("v=1", "v=2"))
   }
 }
+
+/** JSLT builtins. */
+class MiniJsltBuiltinsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.jq.MiniJslt
+  import graft.json.Js
+
+  test("size/string/number/contains/join/case/fallback") {
+    def one(s: String, in: String) = MiniJslt.compile(s)(Js.parse(in))
+    assert(one("size(.items)", """{"items":[1,2,3]}""").asInt() == 3)
+    assert(one("string(.v)", """{"v":5}""").asText() == "5")
+    assert(one("number(.v)", """{"v":"42"}""").asLong() == 42)
+    assert(one("""contains(2, .items)""", """{"items":[1,2]}""").asBoolean())
+    assert(one("""join(.items, "-")""",
+      """{"items":["a","b"]}""").asText() == "a-b")
+    assert(one("uppercase(.s)", """{"s":"ab"}""").asText() == "AB")
+    assert(one("fallback(.missing, .v)", """{"v":7}""").asInt() == 7)
+    assert(one("is-array(.items)", """{"items":[]}""").asBoolean())
+    assert(!one("boolean(.items)", """{"items":[]}""").asBoolean())
+  }
+}

@@ -35,6 +35,10 @@ object MiniJq {
       args: List[Ast] = Nil) extends Ast
   final case class IfElse(cond: Ast, thn: Ast, els: Ast) extends Ast
   final case class StrInterp(parts: List[Either[String, Ast]]) extends Ast
+  final case class VarRef(name: String) extends Ast
+  final case class Bind(src: Ast, name: String, rest: Ast) extends Ast
+  final case class Reduce(src: Ast, name: String, init: Ast, update: Ast)
+      extends Ast
 
   final case class FnDef(params: List[String], body: Ast)
   final case class Program(defs: Map[String, FnDef], body: Ast)
@@ -58,7 +62,7 @@ object MiniJq {
         throw new IllegalArgumentException(s"no script loader for $f"),
       base: String = ""): JsonNode => Seq[JsonNode] = {
     val prog = parse(script, load, base)
-    input => eval(prog.body, input, prog.defs)
+    input => eval(prog.body, input, prog.defs, Map.empty)
   }
 
   // -- parser ---------------------------------------------------------------
@@ -98,9 +102,17 @@ object MiniJq {
   }
 
   private def parseExpr(t: Tokens): Ast = {
-    val stages = mutable.ListBuffer(parseComma(t))
-    while (t.peekIs("|")) { t.expect("|"); stages += parseComma(t) }
-    if (stages.size == 1) stages.head else Pipe(stages.toList)
+    val head = parseComma(t)
+    if (t.peekIs("as")) { // EXPR as $x | REST — binds each output of EXPR
+      t.expect("as"); t.expect("$")
+      val name = t.ident()
+      t.expect("|")
+      Bind(head, name, parseExpr(t))
+    } else {
+      val stages = mutable.ListBuffer(head)
+      while (t.peekIs("|")) { t.expect("|"); stages += parseComma(t) }
+      if (stages.size == 1) stages.head else Pipe(stages.toList)
+    }
   }
 
   /** `,` concatenates output streams; binds tighter than `|`. */
@@ -191,6 +203,27 @@ object MiniJq {
       }
       t.expect("]")
       ArrCons(items.toList)
+    case "$" =>
+      t.next()
+      val v = VarRef(t.ident())
+      // postfix path on a variable: $x.v, $x[0]
+      if (t.peekIs(".") && { t.mark(); t.next(); val ok = t.peekIdent; t.reset(); ok }) {
+        t.next()
+        Pipe(List(v, Path(parseSteps(t, leadIdent = true))))
+      } else if (t.peekIs("["))
+        Pipe(List(v, Path(parseSteps(t, leadIdent = false))))
+      else v
+    case "reduce" => // reduce SRC as $x (INIT; UPDATE)
+      t.next()
+      val src = parseComma(t)
+      t.expect("as"); t.expect("$")
+      val name = t.ident()
+      t.expect("(")
+      val init = parseExpr(t)
+      t.expect(";")
+      val update = parseExpr(t)
+      t.expect(")")
+      Reduce(src, name, init, update)
     case "(" =>
       t.next(); val e = parseExpr(t); t.expect(")"); e
     case "if" =>
@@ -291,19 +324,32 @@ object MiniJq {
       else Seq.empty
   }
 
-  private def eval(ast: Ast, in: JsonNode, defs: Map[String, FnDef])
-      : Seq[JsonNode] =
+  private def eval(ast: Ast, in: JsonNode, defs: Map[String, FnDef],
+      vars: Map[String, JsonNode]): Seq[JsonNode] =
     ast match {
       case Identity => Seq(in)
       case Path(parts) =>
         parts.foldLeft(Seq(in))((ns, p) => ns.flatMap(step(_, p)))
       case Lit(v)       => Seq(v)
+      case VarRef(name) =>
+        Seq(vars.getOrElse(name,
+          throw new IllegalArgumentException(s"undefined variable $$$name")))
+      case Bind(src, name, rest) =>
+        eval(src, in, defs, vars).flatMap(v =>
+          eval(rest, in, defs, vars + (name -> v)))
+      case Reduce(src, name, init, update) =>
+        eval(init, in, defs, vars).map { init0 =>
+          eval(src, in, defs, vars).foldLeft(init0) { (acc, v) =>
+            eval(update, acc, defs, vars + (name -> v)).headOption
+              .getOrElse(NullNode.getInstance)
+          }
+        }
       case Pipe(stages) =>
-        stages.foldLeft(Seq(in))((ns, s) => ns.flatMap(eval(s, _, defs)))
-      case Comma(items) => items.flatMap(eval(_, in, defs))
+        stages.foldLeft(Seq(in))((ns, s) => ns.flatMap(eval(s, _, defs, vars)))
+      case Comma(items) => items.flatMap(eval(_, in, defs, vars))
       case ObjCons(fields) =>
         fields.foldLeft(Seq(Js.obj())) { case (objs, (k, e)) =>
-          for { o <- objs; v <- eval(e, in, defs) } yield {
+          for { o <- objs; v <- eval(e, in, defs, vars) } yield {
             val c = o.deepCopy[ObjectNode]()
             c.set[JsonNode](k, v)
             c
@@ -311,7 +357,7 @@ object MiniJq {
         }
       case ArrCons(items) =>
         val a = Js.arr()
-        items.foreach(e => eval(e, in, defs).foreach(a.add))
+        items.foreach(e => eval(e, in, defs, vars).foreach(a.add))
         Seq(a)
       case Del(Path(parts)) =>
         val out = in.deepCopy[JsonNode]()
@@ -329,20 +375,20 @@ object MiniJq {
           case Some(FnDef(params, body)) =>
             // jq parameters are filters; bind each arg as a zero-arg def
             val bound = defs ++ params.zip(args.map(FnDef(Nil, _)))
-            eval(body, in, bound)
-          case None => builtinFn(key, args, in, defs)
+            eval(body, in, bound, vars)
+          case None => builtinFn(key, args, in, defs, vars)
         }
       case IfElse(cond, thn, els) =>
-        eval(cond, in, defs).flatMap { c =>
+        eval(cond, in, defs, vars).flatMap { c =>
           // JQ truthiness: false and null are falsy, everything else truthy
           if (c.isNull || (c.isBoolean && !c.asBoolean()))
-            eval(els, in, defs)
-          else eval(thn, in, defs)
+            eval(els, in, defs, vars)
+          else eval(thn, in, defs, vars)
         }
       case BinOp(op, l, r) =>
         for {
-          a <- eval(l, in, defs)
-          b <- eval(r, in, defs)
+          a <- eval(l, in, defs, vars)
+          b <- eval(r, in, defs, vars)
         } yield binop(op, a, b)
       case StrInterp(parts) =>
         parts.foldLeft(Seq("")) { (acc, part) =>
@@ -351,7 +397,7 @@ object MiniJq {
             case Right(e) =>
               for {
                 prefix <- acc
-                v <- eval(e, in, defs)
+                v <- eval(e, in, defs, vars)
               } yield prefix +
                 (if (v.isTextual) v.asText() else Js.render(v))
           }
@@ -365,7 +411,8 @@ object MiniJq {
     * stream operations — trivial on the stream evaluator.
     */
   private def builtinFn(name: String, args: List[Ast], in: JsonNode,
-      defs: Map[String, FnDef]): Seq[JsonNode] = name match {
+      defs: Map[String, FnDef],
+      vars: Map[String, JsonNode]): Seq[JsonNode] = name match {
     case "empty" => Seq.empty
     case "not"   => Seq(BooleanNode.valueOf(!truthyJq(in)))
     case "length" =>
@@ -382,17 +429,18 @@ object MiniJq {
     case "values" =>
       Seq { val a = Js.arr(); Js.fields(in).foreach(f => a.add(f._2)); a }
     case "has" =>
-      eval(args.head, in, defs).map {
+      eval(args.head, in, defs, vars).map {
         case k if k.isTextual => BooleanNode.valueOf(in.has(k.asText()))
         case k if k.isNumber  => BooleanNode.valueOf(in.has(k.asInt()))
         case _                => BooleanNode.FALSE
       }
     case "map" => // map(f) == [.[] | f]
       val a = Js.arr()
-      step(in, IterateStep).flatMap(eval(args.head, _, defs)).foreach(a.add)
+      step(in, IterateStep).flatMap(eval(args.head, _, defs, vars))
+        .foreach(a.add)
       Seq(a)
     case "select" => // keep the input when f is truthy, else emit nothing
-      eval(args.head, in, defs).flatMap(c =>
+      eval(args.head, in, defs, vars).flatMap(c =>
         if (truthyJq(c)) Seq(in) else Seq.empty)
     case "add" =>
       Seq(step(in, IterateStep)
@@ -401,11 +449,11 @@ object MiniJq {
     case "first" =>
       if (args.isEmpty) Seq(step(in, IterateStep).headOption
         .getOrElse(NullNode.getInstance))
-      else eval(args.head, in, defs).take(1)
+      else eval(args.head, in, defs, vars).take(1)
     case "last" =>
       Seq(step(in, IterateStep).lastOption.getOrElse(NullNode.getInstance))
     case "range" =>
-      eval(args.head, in, defs).flatMap(n =>
+      eval(args.head, in, defs, vars).flatMap(n =>
         (0L until n.asLong()).map(LongNode.valueOf))
     case "tostring" =>
       Seq(TextNode.valueOf(
@@ -493,7 +541,7 @@ object MiniJq {
     def peekIdent: Boolean =
       peek != null && (peek.head.isLetter || peek.head == '_') &&
         !Set("def", "import", "as", "del", "true", "false", "null",
-          "if", "then", "else", "end", "elif")(peek)
+          "if", "then", "else", "end", "elif", "reduce")(peek)
     def peekString: Boolean = peek != null && peek.head == '"'
     def next(): String = { val t = peek; pos += 1; t }
     def mark(): Unit = marked = pos

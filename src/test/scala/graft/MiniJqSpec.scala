@@ -182,3 +182,21 @@ class MiniJsltBuiltinsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!one("boolean(.items)", """{"items":[]}""").asBoolean())
   }
 }
+
+/** JQ variables and reduce. */
+class MiniJqVarsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.jq.MiniJq
+  import graft.json.Js
+
+  test("EXPR as $x | ... binds each output") {
+    val g = MiniJq.compile(
+      """.total as $t | { "shares": [.items[] | .v / $t] }""")
+    val out = g(Js.parse("""{"total":10.0,"items":[{"v":2.0},{"v":8.0}]}"""))
+    assert(Js.render(out.get("shares")) == "[0.2,0.8]")
+  }
+
+  test("reduce folds a stream") {
+    val f = MiniJq.compile("""reduce .items[] as $x (0; . + $x.v)""")
+    assert(f(Js.parse("""{"items":[{"v":1},{"v":2},{"v":3}]}""")).asLong() == 6)
+  }
+}

@@ -117,9 +117,16 @@ object MiniJq {
 
   /** `,` concatenates output streams; binds tighter than `|`. */
   private def parseComma(t: Tokens): Ast = {
-    val items = mutable.ListBuffer(parseCmp(t))
-    while (t.peekIs(",")) { t.expect(","); items += parseCmp(t) }
+    val items = mutable.ListBuffer(parseAlt(t))
+    while (t.peekIs(",")) { t.expect(","); items += parseAlt(t) }
     if (items.size == 1) items.head else Comma(items.toList)
+  }
+
+  /** `l // r`: the truthy outputs of l, else r. */
+  private def parseAlt(t: Tokens): Ast = {
+    var l = parseCmp(t)
+    while (t.peekIs("//")) { t.next(); l = BinOp("//", l, parseCmp(t)) }
+    l
   }
 
   private val cmpOps = Set("==", "!=", "<", ">", "<=", ">=")
@@ -385,6 +392,9 @@ object MiniJq {
             eval(els, in, defs, vars)
           else eval(thn, in, defs, vars)
         }
+      case BinOp("//", l, r) =>
+        val lv = eval(l, in, defs, vars).filter(truthyJq)
+        if (lv.nonEmpty) lv else eval(r, in, defs, vars)
       case BinOp(op, l, r) =>
         for {
           a <- eval(l, in, defs, vars)
@@ -582,6 +592,8 @@ object MiniJq {
           out += s.substring(start, i)
         } else if (c == ':' && i + 1 < s.length && s(i + 1) == ':') {
           out += "::"; i += 2
+        } else if (c == '/' && i + 1 < s.length && s(i + 1) == '/') {
+          out += "//"; i += 2
         } else if ("=!<>".contains(c) && i + 1 < s.length &&
           s(i + 1) == '=') {
           out += s.substring(i, i + 2); i += 2

@@ -37,6 +37,9 @@ object MiniJslt {
   final case class PathOf(base: Ast, parts: List[Step]) extends Ast
 
   final case class IfE(cond: Ast, thn: Ast, els: Ast) extends Ast
+  final case class ArrFor(src: Ast, body: Ast, cond: Option[Ast]) extends Ast
+  final case class ArrLit(items: List[Ast]) extends Ast
+  final case class ObjFor(src: Ast, key: Ast, value: Ast) extends Ast
 
   final case class FnDef(params: List[String], body: Ast)
   final case class Program(defs: Map[String, FnDef],
@@ -149,6 +152,31 @@ object MiniJslt {
       t.next()
       if (t.peekWord) Path(parseSteps(t)) else Dot
     case "$" => t.next(); Var(t.word())
+    case "[" if t.peekAfterIs("for") => // [for (src) body if (cond)]
+      t.next(); t.next(); t.expect("(")
+      val src = parseExpr(t); t.expect(")")
+      val body = parseExpr(t)
+      val cond =
+        if (t.peekIs("if")) { t.next(); t.expect("(")
+          val c = parseExpr(t); t.expect(")"); Some(c) }
+        else None
+      t.expect("]")
+      ArrFor(src, body, cond)
+    case "[" => // array literal
+      t.next()
+      val items = mutable.ListBuffer[Ast]()
+      while (!t.peekIs("]")) {
+        items += parseExpr(t); if (t.peekIs(",")) t.next()
+      }
+      t.expect("]")
+      ArrLit(items.toList)
+    case "{" if t.peekAfterIs("for") => // {for (src) key : value}
+      t.next(); t.next(); t.expect("(")
+      val src = parseExpr(t); t.expect(")")
+      val key = parseExpr(t); t.expect(":")
+      val value = parseExpr(t)
+      t.expect("}")
+      ObjFor(src, key, value)
     case "{" =>
       t.next()
       val fields = mutable.ListBuffer[(String, Ast)]()
@@ -247,6 +275,45 @@ object MiniJslt {
           eval(fn.body, in, bound, defs)
         case None => builtinFn(key, args.map(eval(_, in, vars, defs)))
       }
+    case ArrLit(items) =>
+      val a = Js.arr()
+      items.foreach(e => a.add(eval(e, in, vars, defs)))
+      a
+    case ArrFor(src, body, cond) =>
+      val a = Js.arr()
+      val seq = eval(src, in, vars, defs)
+      val items =
+        if (seq.isArray) Js.elems(seq)
+        else if (seq.isObject) Js.fields(seq).map { case (k, v) =>
+          val e = Js.obj(); e.put("key", k); e.set[JsonNode]("value", v); e
+        }
+        else Nil
+      items.foreach { e =>
+        val keep = cond.forall { c =>
+          val r = eval(c, e, vars, defs)
+          !(r == null || r.isNull || (r.isBoolean && !r.asBoolean()))
+        }
+        if (keep) {
+          val v = eval(body, e, vars, defs)
+          if (v != null && !v.isNull) a.add(v) else a.add(NullNode.getInstance)
+        }
+      }
+      a
+    case ObjFor(src, key, value) =>
+      val o = Js.obj()
+      val seq = eval(src, in, vars, defs)
+      val items =
+        if (seq.isArray) Js.elems(seq)
+        else if (seq.isObject) Js.fields(seq).map { case (k, v) =>
+          val e = Js.obj(); e.put("key", k); e.set[JsonNode]("value", v); e
+        }
+        else Nil
+      items.foreach { e =>
+        val k = eval(key, e, vars, defs)
+        val v = eval(value, e, vars, defs)
+        if (!v.isNull) o.set[JsonNode](k.asText(), v)
+      }
+      o
     case IfE(cond, thn, els) =>
       val c = eval(cond, in, vars, defs)
       // JSLT truthiness: null, false, empty collections/strings are falsy
@@ -400,6 +467,8 @@ object MiniJslt {
     def peekIs(s: String): Boolean = peek == s
     def peekWord: Boolean =
       peek != null && (peek.head.isLetter || peek.head == '_')
+    def peekAfterIs(w: String): Boolean =
+      pos + 1 < tokens.length && tokens(pos + 1) == w
     def peekWordAfterDot: Boolean =
       pos + 1 < tokens.length &&
         (tokens(pos + 1).head.isLetter || tokens(pos + 1).head == '_')

@@ -200,3 +200,34 @@ class MiniJqVarsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(f(Js.parse("""{"items":[{"v":1},{"v":2},{"v":3}]}""")).asLong() == 6)
   }
 }
+
+/** JQ // alternative and JSLT for comprehensions. */
+class MiniLang2Spec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.jq.{MiniJq, MiniJslt}
+  import graft.json.Js
+
+  test("JQ // falls back on null/false/empty") {
+    val f = MiniJq.compile(""".a // "dflt"""")
+    assert(f(Js.parse("""{"a":"x"}""")).asText() == "x")
+    assert(f(Js.parse("""{"b":1}""")).asText() == "dflt")
+    assert(f(Js.parse("""{"a":false}""")).asText() == "dflt")
+    val g = MiniJq.compile("""(.items[] | select(. > 5)) // -1""")
+    assert(g(Js.parse("""{"items":[1,2]}""")).asInt() == -1)
+    assert(g(Js.parse("""{"items":[9,1]}""")).asInt() == 9)
+  }
+
+  test("JSLT for comprehensions over arrays and objects") {
+    val arr = MiniJslt.compile("""[for (.items) .v * 2 if (.v > 1)]""")
+    assert(Js.render(arr(Js.parse(
+      """{"items":[{"v":1},{"v":2},{"v":3}]}"""))) == "[4,6]")
+    val obj = MiniJslt.compile("""{for (.pairs) .k : .n}""")
+    val o = obj(Js.parse("""{"pairs":[{"k":"a","n":1},{"k":"b","n":2}]}"""))
+    assert(o.get("a").asInt() == 1 && o.get("b").asInt() == 2)
+    // object source yields {key, value} contexts
+    val inv = MiniJslt.compile("""{for (.m) .value : .key}""")
+    val r = inv(Js.parse("""{"m":{"x":"1","y":"2"}}"""))
+    assert(r.get("1").asText() == "x" && r.get("2").asText() == "y")
+    val lit = MiniJslt.compile("""[.a, .b]""")
+    assert(Js.render(lit(Js.parse("""{"a":1,"b":2}"""))) == "[1,2]")
+  }
+}

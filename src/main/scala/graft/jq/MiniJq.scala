@@ -481,6 +481,61 @@ object MiniJq {
         else if (in.isTextual) "string"
         else if (in.isArray) "array"
         else "object"))
+    case "test" =>
+      eval(args.head, in, defs, vars).map(re =>
+        BooleanNode.valueOf(
+          java.util.regex.Pattern.compile(re.asText())
+            .matcher(in.asText()).find()))
+    case "capture" => // named groups -> object
+      eval(args.head, in, defs, vars).map { re =>
+        val p = java.util.regex.Pattern.compile(re.asText())
+        val m = p.matcher(in.asText())
+        val o = Js.obj()
+        if (m.find()) {
+          val names = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
+            .findAllMatchIn(re.asText()).map(_.group(1))
+          names.foreach(n =>
+            Option(m.group(n)).foreach(v => o.put(n, v)))
+        }
+        o: JsonNode
+      }
+    case "sub" | "gsub" =>
+      for {
+        re <- eval(args.head, in, defs, vars)
+        repl <- eval(args(1), in, defs, vars)
+      } yield {
+        val p = java.util.regex.Pattern.compile(re.asText())
+        val m = p.matcher(in.asText())
+        TextNode.valueOf(
+          if (name == "sub") m.replaceFirst(repl.asText())
+          else m.replaceAll(repl.asText()))
+      }
+    case "split" =>
+      eval(args.head, in, defs, vars).map { sep =>
+        val a = Js.arr()
+        in.asText().split(java.util.regex.Pattern.quote(sep.asText()), -1)
+          .foreach(a.add)
+        a: JsonNode
+      }
+    case "join" =>
+      eval(args.head, in, defs, vars).map(sep =>
+        TextNode.valueOf(step(in, IterateStep)
+          .map(e => if (e.isTextual) e.asText() else Js.render(e))
+          .mkString(sep.asText())))
+    case "startswith" =>
+      eval(args.head, in, defs, vars).map(p =>
+        BooleanNode.valueOf(in.asText().startsWith(p.asText())))
+    case "endswith" =>
+      eval(args.head, in, defs, vars).map(p =>
+        BooleanNode.valueOf(in.asText().endsWith(p.asText())))
+    case "ltrimstr" =>
+      eval(args.head, in, defs, vars).map(p =>
+        TextNode.valueOf(in.asText().stripPrefix(p.asText())))
+    case "rtrimstr" =>
+      eval(args.head, in, defs, vars).map(p =>
+        TextNode.valueOf(in.asText().stripSuffix(p.asText())))
+    case "ascii_downcase" => Seq(TextNode.valueOf(in.asText().toLowerCase))
+    case "ascii_upcase"   => Seq(TextNode.valueOf(in.asText().toUpperCase))
     case other =>
       throw new IllegalArgumentException(s"undefined filter $other")
   }

@@ -386,6 +386,28 @@ object MiniJslt {
       case "is-number" => BooleanNode.valueOf(args.head.isNumber)
       case "fallback" =>
         args.find(a => a != null && !a.isNull).getOrElse(NullNode.getInstance)
+      case "test" =>
+        BooleanNode.valueOf(
+          java.util.regex.Pattern.compile(args(1).asText())
+            .matcher(args.head.asText()).find())
+      case "capture" => // named groups -> object
+        val p = java.util.regex.Pattern.compile(args(1).asText())
+        val m = p.matcher(args.head.asText())
+        val o = Js.obj()
+        if (m.find()) {
+          val names = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
+            .findAllMatchIn(args(1).asText()).map(_.group(1))
+          names.foreach(n => Option(m.group(n)).foreach(v => o.put(n, v)))
+        }
+        o
+      case "replace" =>
+        TextNode.valueOf(
+          args.head.asText().replaceAll(args(1).asText(), args(2).asText()))
+      case "split" =>
+        val a = Js.arr()
+        args.head.asText().split(args(1).asText(), -1).foreach(a.add)
+        a
+      case "trim" => TextNode.valueOf(args.head.asText().trim)
       case other =>
         throw new IllegalArgumentException(s"undefined function $other")
     }

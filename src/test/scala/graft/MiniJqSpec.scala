@@ -231,3 +231,35 @@ class MiniLang2Spec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Js.render(lit(Js.parse("""{"a":1,"b":2}"""))) == "[1,2]")
   }
 }
+
+/** Regex/string builtins in both interpreters. */
+class MiniLangRegexSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.jq.{MiniJq, MiniJslt}
+  import graft.json.Js
+
+  test("JQ test/capture/sub/gsub/split/join/affixes") {
+    def one(s: String, in: String) = MiniJq.compile(s)(Js.parse(in))
+    assert(one(""".s | test("\\d+")""", """{"s":"a12b"}""").asBoolean())
+    assert(one(""".s | capture("(?<num>\\d+)") | .num""",
+      """{"s":"a12b"}""").asText() == "12")
+    assert(one(""".s | sub("a"; "X")""", """{"s":"aba"}""").asText() == "Xba")
+    assert(one(""".s | gsub("a"; "X")""", """{"s":"aba"}""").asText() == "XbX")
+    assert(Js.render(one(""".s | split(",")""",
+      """{"s":"a,b"}""")) == """["a","b"]""")
+    assert(one(""".items | join("-")""",
+      """{"items":["a","b"]}""").asText() == "a-b")
+    assert(one(""".s | ltrimstr("ab")""", """{"s":"abc"}""").asText() == "c")
+    assert(one(""".s | startswith("ab")""", """{"s":"abc"}""").asBoolean())
+    assert(one(""".s | ascii_upcase""", """{"s":"ab"}""").asText() == "AB")
+  }
+
+  test("JSLT test/capture/replace/split/trim") {
+    def one(s: String, in: String) = MiniJslt.compile(s)(Js.parse(in))
+    assert(one("""test(.s, "\\d")""", """{"s":"a1"}""").asBoolean())
+    assert(one("""capture(.s, "(?<w>[a-z]+)") | .w""",
+      """{"s":"hi99"}""").asText() == "hi")
+    assert(one("""replace(.s, "a", "o")""", """{"s":"banana"}""").asText() == "bonono")
+    assert(Js.render(one("""split(.s, "-")""", """{"s":"x-y"}""")) == """["x","y"]""")
+    assert(one("""trim(.s)""", """{"s":" x "}""").asText() == "x")
+  }
+}

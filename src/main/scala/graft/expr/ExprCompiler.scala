@@ -248,10 +248,13 @@ object ExprCompiler {
           when(pos > 0, pos - 1 + start).otherwise(lit(-1L))
         }
       case "$isArray" =>
-        lit(ctx.typeOf(a0) match {
-          case _: ArrayType => true
-          case _            => false
-        })
+        ctx.typeOf(a0) match {
+          case _: ArrayType => lit(true)
+          case t if t.typeName == "variant" =>
+            // per-row: variant columns carry their type in the value
+            call_function("schema_of_variant", a0).startsWith("ARRAY")
+          case _ => lit(false)
+        }
       case "$map" =>
         val input = compile(n.get("input"), ctx)
         val v = if (n.has("as")) n.get("as").asText() else "this"
@@ -456,7 +459,25 @@ object ExprCompiler {
       case "$toInt"     => a0.cast(IntegerType)
       case "$toLong"    => a0.cast(LongType)
       case "$toString"  => a0.cast(StringType)
-      case "$type"      => lit(mongoTypeName(ctx.typeOf(a0)))
+      case "$type" =>
+        ctx.typeOf(a0) match {
+          case t if t.typeName == "variant" =>
+            // per-row for variants: map Spark's runtime schema string to
+            // the Mongo type name (schema_of_variant → e.g. "BIGINT")
+            val s = call_function("schema_of_variant", a0)
+            when(s.startsWith("ARRAY"), "array")
+              .when(s.startsWith("OBJECT") || s.startsWith("STRUCT") ||
+                s.startsWith("MAP"), "object")
+              .when(s === "STRING", "string")
+              .when(s === "BOOLEAN", "bool")
+              .when(s === "BIGINT" || s === "INT" || s === "SMALLINT" ||
+                s === "TINYINT", "long")
+              .when(s === "DOUBLE" || s === "FLOAT" ||
+                s.startsWith("DECIMAL"), "double")
+              .when(s === "VOID" || s === "NULL", "null")
+              .otherwise("object")
+          case t => lit(mongoTypeName(t))
+        }
 
       // ---- misc (:1161-1337) ----
       case "$let" =>

@@ -129,3 +129,28 @@ class MessagePipelineSpec3 extends AnyFunSuite {
     assert(out("other").get("n").asLong() == 1)
   }
 }
+
+/** $type/$isArray are per-row over variant (schemaless) values. */
+class VariantTypeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("variant $type and $isArray resolve at runtime") {
+    val df = Seq(
+      """{"_id":"a","v":[1,2]}""",
+      """{"_id":"b","v":"text"}""",
+      """{"_id":"c","v":5}""",
+      """{"_id":"d","v":{"x":1}}""")
+      .toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    val out = MessagePipeline.compile(Js.parse(
+      """[{"$addFields":{"t":{"$type":"$v"},"ia":{"$isArray":"$v"}}}]"""),
+      Env(spark))(df)
+      .select("value").as[String].collect().map(Js.parse)
+      .map(n => n.get("_id").asText() -> n).toMap
+    assert(out("a").get("t").asText() == "array" && out("a").get("ia").asBoolean())
+    assert(out("b").get("t").asText() == "string" && !out("b").get("ia").asBoolean())
+    assert(out("c").get("t").asText() == "long")
+    assert(out("d").get("t").asText() == "object")
+  }
+}

@@ -33,16 +33,31 @@ object AggregatePart {
     // the reference). Within a micro-batch, an optional `__ord` column
     // pins the order explicitly (iterator order otherwise).
     val hasOrd = commands.columns.contains("__ord")
+    // streaming forbids monotonically_increasing_id; a constant ord keeps
+    // iterator order intact through the STABLE sortBy below (per-partition
+    // arrival order, the Kafka guarantee)
     val ordCol =
-      if (hasOrd) col("__ord").cast("long") else monotonically_increasing_id()
+      if (hasOrd) col("__ord").cast("long")
+      else if (commands.isStreaming) lit(0L)
+      else monotonically_increasing_id()
     // a __raw column (the message's original JSON text) wins over
     // re-serializing the typed row: schema inference alphabetizes fields,
-    // but reducers and the event diff follow document field order
+    // but reducers and the event diff follow document field order. A
+    // schemaless (key, value) frame's value IS the raw text already.
+    val isMessage = commands.columns.contains("value") &&
+      commands.schema("value").dataType ==
+        org.apache.spark.sql.types.StringType &&
+      !commands.columns.contains("_id")
     val json =
       if (commands.columns.contains("__raw")) col("__raw")
+      else if (isMessage) col("value")
       else to_json(struct(
         commands.columns.filterNot(Set("__ord", "__raw")).map(col): _*))
-    val keyCol = keyOverride.getOrElse(col("_id")).cast("string")
+    val keyCol = keyOverride
+      .getOrElse(
+        if (commands.columns.contains("_id")) col("_id")
+        else get_json_object(json, "$._id"))
+      .cast("string")
     val asJson = commands
       .select(keyCol.as("key"), json.as("json"), ordCol.as("ord"))
       .as[(String, String, Long)]

@@ -137,14 +137,25 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
         val commands0 =
           io.source(spark, "topic", s"$aggType-command$envSuffix")
         val commands =
-          if (commands0.columns.contains("__ord")) commands0
+          if (commands0.columns.contains("__ord") || commands0.isStreaming)
+            commands0 // streaming: arrival order IS the iterator order
           else commands0.withColumn("__ord", monotonically_increasing_id())
         // preprocessors may be inline pipelines or file references
-        // (reference app8/app35: `preprocessor: "duplicates.yaml"`)
-        def preprocessor(node: JsonNode): DataFrame => DataFrame =
-          Pipeline.compile(
+        // (reference app8/app35: `preprocessor: "duplicates.yaml"`);
+        // schemaless (key, value) commands route through the message-mode
+        // compiler like stream parts do
+        def preprocessor(node: JsonNode): DataFrame => DataFrame = {
+          val pipeline =
             if (node.isTextual) Js.parseYaml(env.scripts(node.asText()))
-            else node, env)
+            else node
+          df =>
+            if (MessagePipeline.isMessageShaped(df))
+              MessagePipeline.compile(pipeline, env)(df)
+            else Pipeline.compile(pipeline, env)(df)
+        }
+        def commandName(df: DataFrame): Column =
+          if (df.columns.contains("_command")) col("_command")
+          else get_json_object(col("value"), "$._command")
         val aggPre =
           if (part.has("preprocessor"))
             preprocessor(part.get("preprocessor"))(commands)
@@ -154,9 +165,9 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
         val pre = Option(part.get("commands")).map { cmds =>
           Js.fields(cmds).foldLeft(aggPre) {
             case (df, (cmdName, cmdSpec)) if cmdSpec.has("preprocessor") =>
-              val matching = df.where(col("_command") === cmdName)
-              val others = df.where(col("_command") =!= cmdName ||
-                col("_command").isNull)
+              val cn = commandName(df)
+              val matching = df.where(cn === cmdName)
+              val others = df.where(cn =!= cmdName || cn.isNull)
               preprocessor(cmdSpec.get("preprocessor"))(matching)
                 .unionByName(others, allowMissingColumns = true)
             case (df, _) => df
@@ -222,9 +233,12 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
     def side(n: JsonNode, tag: String): (DataFrame, Column) = {
       val df0 = resolveFrom(n)
       val onCol = Stages.expr(df0, n.get("on")).cast("string")
+      // __ord/__raw are transport metadata: keeping them in the payload
+      // would defeat the value-keyed duplicate suppression below
+      val payload = df0.columns.filterNot(Set("__ord", "__raw")).map(col)
       val packed = df0.select(
         onCol.as(s"__key_$tag"),
-        struct(df0.columns.map(col): _*).as(tag),
+        struct(payload: _*).as(tag),
         current_timestamp().as(s"__jts_$tag"))
       val withWm =
         if (packed.isStreaming && window.isDefined)

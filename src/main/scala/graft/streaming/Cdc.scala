@@ -35,9 +35,11 @@ object Cdc {
     val beforeId = get_json_object(before, "$._id")
     val deleted = to_json(struct(beforeId.as("_id"),
       lit(true).as("_deleted")))
-    df.select(
+    val ordCols =
+      if (df.columns.contains("__ord")) Seq(col("__ord")) else Nil
+    df.select(Seq(
       coalesce(afterId, beforeId, col("key")).as("key"),
-      when(op === "d", deleted).otherwise(after).as("value"))
+      when(op === "d", deleted).otherwise(after).as("value")) ++ ordCols: _*)
       .where(col("value").isNotNull)
   }
 }

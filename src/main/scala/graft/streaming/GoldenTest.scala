@@ -127,7 +127,12 @@ object GoldenTest {
     * sources are file-backed CDC stand-ins tested in batch mode).
     */
   def runStreaming(spark: SparkSession, appDir: String,
-      config: Map[String, String] = Map.empty): Seq[Result] = {
+      config: Map[String, String] = Map.empty,
+      /** feed raw (key, value) messages instead of schema-inferred typed
+        * frames — the reference's native model; aggregates need it so
+        * reducers/diffs see document field order
+        */
+      schemaless: Boolean = false): Seq[Result] = {
     val dir = Paths.get(appDir)
     val appFile = Seq("application.yaml", "application.yml",
       "application.json")
@@ -153,21 +158,34 @@ object GoldenTest {
       }
       t -> spark.read.json(docs.toDS).schema
     }.toMap
+    val ioSchemas = if (schemaless) Map.empty[String, org.apache.spark.sql.types.StructType] else schemas
     val preloads = subdirs(dir.resolve("test/preload"))
       .map(t => t -> readDir(dir.resolve(s"test/preload/$t"))).toMap
 
-    val io = new FileStreamIo(root, schemas,
+    val io = new FileStreamIo(root, ioSchemas,
       tableSuffix = "_g" + java.util.UUID.randomUUID().toString.take(8),
       maxFilesPerTrigger = 10000)
     try {
       val env = graft.op.Env(spark,
         collection = name => spark.read.json(preloads(name).toDS),
         scripts = scripts)
-      new AppRunner(spark, io, env, config).run(Files.readString(appFile))
+      val streams =
+        new AppRunner(spark, io, env, config).run(Files.readString(appFile))
+      // aggregate purpose streams are exposed as named streams rather
+      // than part sinks — start a query for each expected one
+      subdirs(dir.resolve("test/topics/to")).foreach { t =>
+        if (!io.tables.contains(t))
+          streams.get(t).foreach(df => io.start(t, df))
+      }
       io.processAll()
       subdirs(dir.resolve("test/topics/to")).map { t =>
         val actual = io.tables.getOrElse(t, Nil)
-          .flatMap(tbl => spark.table(tbl).toJSON.collect())
+          .flatMap { tbl =>
+            val df = spark.table(tbl)
+            if (df.columns.toSet == Set("key", "value"))
+              df.select("value").collect().map(_.getString(0)).toSeq
+            else df.toJSON.collect().toSeq
+          }
           .map(Js.parse)
         compare(t, readDir(dir.resolve(s"test/topics/to/$t")), actual,
           strict = false)
@@ -202,6 +220,7 @@ object GoldenTest {
       val c = o.deepCopy[ObjectNode]()
       c.remove("_timestamp")
       c.remove("__raw")
+      c.remove("__ord")
       Js.fields(c).foreach { case (k, v) => c.set[JsonNode](k, normalize(v)) }
       c
     case other => other

@@ -19,9 +19,12 @@ import graft.op.{Env, Stages}
   */
 object MessagePipeline {
 
-  def isMessageShaped(df: DataFrame): Boolean =
-    df.columns.toSet == Set("key", "value") &&
+  def isMessageShaped(df: DataFrame): Boolean = {
+    val cols = df.columns.toSet
+    cols.contains("value") && cols.contains("key") &&
+      cols.subsetOf(Set("key", "value", "__ord", "_topic", "_delay_ms")) &&
       df.schema("value").dataType == StringType
+  }
 
   def compile(pipeline: JsonNode, env: Env): DataFrame => DataFrame = {
     val stages: Seq[DataFrame => DataFrame] =

@@ -27,7 +27,10 @@ final class KafkaIo(bootstrap: String,
       .option("startingOffsets", "earliest")
       .load()
       .select(col("key").cast("string"),
-        col("value").cast("string").as("__raw"))
+        col("value").cast("string").as("__raw"),
+        // per-partition offset = the arrival order guarantee aggregates
+        // reduce in (survives the groupByKey shuffle as __ord)
+        col("offset").as("__ord"))
     val messages =
       if (kind == "collection")
         Cdc.unwrap(raw.withColumnRenamed("__raw", "value"))
@@ -35,8 +38,9 @@ final class KafkaIo(bootstrap: String,
       else raw
     schemas.get(name) match {
       case Some(schema) =>
-        messages.select(col("key"), from_json(col("__raw"), schema).as("v"))
-          .select(col("key"), col("v.*"))
+        messages.select(col("key"), from_json(col("__raw"), schema).as("v"),
+            col("__ord"))
+          .select(col("key"), col("v.*"), col("__ord"))
       case None => messages.withColumnRenamed("__raw", "value")
     }
   }
@@ -74,7 +78,7 @@ final class KafkaIo(bootstrap: String,
     */
   private[graft] def toKafkaShape(df: DataFrame,
       asString: Boolean): DataFrame = {
-    val routing = Set("key", "_key", "_topic", "_delay_ms")
+    val routing = Set("key", "_key", "_topic", "_delay_ms", "__ord")
     val isMessage = df.columns.contains("value") &&
       df.schema("value").dataType == org.apache.spark.sql.types.StringType &&
       df.columns.forall(c => c == "value" || routing.contains(c))
@@ -83,8 +87,8 @@ final class KafkaIo(bootstrap: String,
       else if (df.columns.contains("key")) col("key")
       else if (df.columns.contains("_id")) col("_id").cast("string")
       else lit(null).cast("string")
-    val payloadCols =
-      df.columns.filter(c => c != "_key" && c != "_topic" && c != "_delay_ms")
+    val payloadCols = df.columns.filterNot(
+      Set("_key", "_topic", "_delay_ms", "__ord"))
     val value =
       if (isMessage) col("value")
       else to_json(struct(payloadCols.map(col): _*))
@@ -114,21 +118,29 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
   /** memory tables per sink name, in start order */
   var tables = Map.empty[String, Seq[String]]
 
-  def source(spark: SparkSession, kind: String, name: String): DataFrame =
+  def source(spark: SparkSession, kind: String, name: String): DataFrame = {
+    // arrival order must survive the groupByKey shuffle (files may land in
+    // separate partitions): derive __ord from the file name's digits —
+    // the harness writes m0000.json, m0001.json, ... (KafkaIo uses the
+    // partition offset for the same purpose)
+    val ord = regexp_extract(input_file_name(), "(\\d+)\\.json$", 1)
+      .cast("long").as("__ord")
     schemas.get(name) match {
       case Some(schema) =>
         spark.readStream
           .schema(schema)
           .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
           .json(s"$root/$name")
+          .withColumn("__ord", ord)
       case None => // schemaless: (key, value) JSON-string messages
         spark.readStream
           .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
           .text(s"$root/$name")
           .select(
             get_json_object(col("value"), "$._id").as("key"),
-            col("value"))
+            col("value"), ord)
     }
+  }
 
   def sink(kind: String, name: String, df: DataFrame,
       asString: Boolean): Unit =

@@ -26,4 +26,17 @@ class GoldenStreamingSpec extends AnyFunSuite {
       results.foreach(r => assert(r.ok, s"app$n/${r.topic}: ${r.detail}"))
     }
   }
+
+  // aggregate (event-sourcing) apps run schemaless: raw (key, value)
+  // commands keep document field order through the stateful reduce
+  private val aggregateApps = Seq(8, 35, 38, 39)
+
+  aggregateApps.foreach { n =>
+    test(s"reference app$n aggregate matches under Structured Streaming") {
+      val results =
+        GoldenTest.runStreaming(spark, s"$root/app$n", schemaless = true)
+      assert(results.nonEmpty, s"no expectations for app$n")
+      results.foreach(r => assert(r.ok, s"app$n/${r.topic}: ${r.detail}"))
+    }
+  }
 }

@@ -147,11 +147,18 @@ object GoldenTest {
         .sortBy(_.getFileName.toString)
         .map(f => Js.render(Js.parse(Files.readString(f))))
 
-    val topics = subdirs(dir.resolve("test/topics/from"))
+    // collections feed through the same file-stream transport (the CDC
+    // bridge is the production path; change-stream compare semantics are
+    // identical either way)
+    val sources =
+      subdirs(dir.resolve("test/topics/from"))
+        .map(t => t -> s"test/topics/from/$t") ++
+        subdirs(dir.resolve("test/collections/from"))
+          .map(c => c -> s"test/collections/from/$c")
     val root = Files.createTempDirectory("graft-golden-stream").toString
     import spark.implicits._
-    val schemas = topics.map { t =>
-      val docs = readDir(dir.resolve(s"test/topics/from/$t"))
+    val schemas = sources.map { case (t, path) =>
+      val docs = readDir(dir.resolve(path))
       docs.zipWithIndex.foreach { case (d, i) =>
         Files.createDirectories(Paths.get(s"$root/$t"))
         Files.writeString(Paths.get(f"$root/$t/m$i%04d.json"), d)
@@ -173,12 +180,18 @@ object GoldenTest {
         new AppRunner(spark, io, env, config).run(Files.readString(appFile))
       // aggregate purpose streams are exposed as named streams rather
       // than part sinks — start a query for each expected one
-      subdirs(dir.resolve("test/topics/to")).foreach { t =>
+      (subdirs(dir.resolve("test/topics/to")) ++
+        subdirs(dir.resolve("test/collections/to"))).foreach { t =>
         if (!io.tables.contains(t))
           streams.get(t).foreach(df => io.start(t, df))
       }
       io.processAll()
-      subdirs(dir.resolve("test/topics/to")).map { t =>
+      val expected =
+        subdirs(dir.resolve("test/topics/to"))
+          .map(t => t -> s"test/topics/to/$t") ++
+          subdirs(dir.resolve("test/collections/to"))
+            .map(c => c -> s"test/collections/to/$c")
+      expected.map { case (t, path) =>
         val actual = io.tables.getOrElse(t, Nil)
           .flatMap { tbl =>
             val df = spark.table(tbl)
@@ -187,8 +200,7 @@ object GoldenTest {
             else df.toJSON.collect().toSeq
           }
           .map(Js.parse)
-        compare(t, readDir(dir.resolve(s"test/topics/to/$t")), actual,
-          strict = false)
+        compare(t, readDir(dir.resolve(path)), actual, strict = false)
       }
     } finally io.stopAll()
   }

@@ -15,9 +15,10 @@ class GoldenStreamingSpec extends AnyFunSuite {
 
   private val root = "src/test/resources/goldapps"
 
-  // every ported app whose sources/sinks are all topics
+  // every ported app except the aggregates below and app36 (its batch
+  // href resolver needs the two-pass collect)
   private val topicApps =
-    Seq(1, 2, 3, 4, 5, 6, 7, 28, 32, 33, 40)
+    (1 to 7) ++ (9 to 31) ++ Seq(32, 33, 34, 40)
 
   topicApps.foreach { n =>
     test(s"reference app$n matches under Structured Streaming") {

@@ -252,7 +252,9 @@ object ExprCompiler {
           case _: ArrayType => lit(true)
           case t if t.typeName == "variant" =>
             // per-row: variant columns carry their type in the value
-            call_function("schema_of_variant", a0).startsWith("ARRAY")
+            coalesce(
+              call_function("schema_of_variant", a0).startsWith("ARRAY"),
+              lit(false))
           case _ => lit(false)
         }
       case "$map" =>
@@ -465,7 +467,8 @@ object ExprCompiler {
             // per-row for variants: map Spark's runtime schema string to
             // the Mongo type name (schema_of_variant → e.g. "BIGINT")
             val s = call_function("schema_of_variant", a0)
-            when(s.startsWith("ARRAY"), "array")
+            when(a0.isNull, "missing") // Mongo: absent field
+              .when(s.startsWith("ARRAY"), "array")
               .when(s.startsWith("OBJECT") || s.startsWith("STRUCT") ||
                 s.startsWith("MAP"), "object")
               .when(s === "STRING", "string")

@@ -178,8 +178,8 @@ object MiniJq {
     * comma separates pairs; parenthesize to stream inside a value).
     */
   private def parseObjVal(t: Tokens): Ast = {
-    val stages = mutable.ListBuffer(parseCmp(t))
-    while (t.peekIs("|")) { t.expect("|"); stages += parseCmp(t) }
+    val stages = mutable.ListBuffer(parseAlt(t))
+    while (t.peekIs("|")) { t.expect("|"); stages += parseAlt(t) }
     if (stages.size == 1) stages.head else Pipe(stages.toList)
   }
 
@@ -347,7 +347,7 @@ object MiniJq {
       case Reduce(src, name, init, update) =>
         eval(init, in, defs, vars).map { init0 =>
           eval(src, in, defs, vars).foldLeft(init0) { (acc, v) =>
-            eval(update, acc, defs, vars + (name -> v)).headOption
+            eval(update, acc, defs, vars + (name -> v)).lastOption
               .getOrElse(NullNode.getInstance)
           }
         }
@@ -463,8 +463,15 @@ object MiniJq {
     case "last" =>
       Seq(step(in, IterateStep).lastOption.getOrElse(NullNode.getInstance))
     case "range" =>
-      eval(args.head, in, defs, vars).flatMap(n =>
-        (0L until n.asLong()).map(LongNode.valueOf))
+      if (args.size >= 2)
+        (for {
+          from <- eval(args.head, in, defs, vars)
+          upto <- eval(args(1), in, defs, vars)
+        } yield (from.asLong() until upto.asLong()).map(LongNode.valueOf))
+          .flatten
+      else
+        eval(args.head, in, defs, vars).flatMap(n =>
+          (0L until n.asLong()).map(LongNode.valueOf))
     case "tostring" =>
       Seq(TextNode.valueOf(
         if (in.isTextual) in.asText() else Js.render(in)))
@@ -506,9 +513,10 @@ object MiniJq {
       } yield {
         val p = java.util.regex.Pattern.compile(re.asText())
         val m = p.matcher(in.asText())
+        val quoted = java.util.regex.Matcher.quoteReplacement(repl.asText())
         TextNode.valueOf(
-          if (name == "sub") m.replaceFirst(repl.asText())
-          else m.replaceAll(repl.asText()))
+          if (name == "sub") m.replaceFirst(quoted)
+          else m.replaceAll(quoted))
       }
     case "split" =>
       eval(args.head, in, defs, vars).map { sep =>

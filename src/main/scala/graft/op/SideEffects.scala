@@ -329,7 +329,8 @@ object S3Out {
     val bucket = Stages.expr(df, spec.get("bucket")).cast(StringType)
     val key = Stages.expr(df, spec.get("key")).cast(StringType)
     val store = env.store
-    val payload = to_json(struct(df.columns.map(col): _*))
+    val payload = to_json(struct(df.columns
+      .filterNot(Set("__ord", "__raw")).map(col): _*))
     val out = PartitionCalls.appendCall(df, Seq(bucket, key, payload),
       BooleanType,
       () => store.open(), () => store.close(),

@@ -113,7 +113,8 @@ object Stages {
         if (df.columns.contains("_id")) col("_id").cast(StringType)
         else lit(null).cast(StringType)
       val transformed = df.select(keyCol.as("__oldkey"),
-        apply(to_json(struct(df.columns.map(col): _*))).as("value"))
+        apply(to_json(struct(df.columns
+          .filterNot(Set("__ord", "__raw")).map(col): _*))).as("value"))
       schema match {
         case Some(ddl) =>
           transformed
@@ -144,7 +145,8 @@ object Stages {
         if (df.columns.contains("_id")) col("_id").cast(StringType)
         else lit(null).cast(StringType)
       val transformed = df.select(keyCol.as("__oldkey"),
-        apply(to_json(struct(df.columns.map(col): _*))).as("value"))
+        apply(to_json(struct(df.columns
+          .filterNot(Set("__ord", "__raw")).map(col): _*))).as("value"))
       schema match {
         case Some(ddl) =>
           transformed
@@ -458,7 +460,8 @@ object Stages {
       (rowInPart / amount).cast(LongType)
     df.withColumn("__batch", batch)
       .groupBy("__batch")
-      .agg(collect_list(struct(df.columns.map(col): _*)).as(as))
+      .agg(collect_list(struct(df.columns
+        .filterNot(Set("__ord", "__raw")).map(col): _*)).as(as))
       .drop("__batch")
   }
 

@@ -44,10 +44,7 @@ object AggregatePart {
     // re-serializing the typed row: schema inference alphabetizes fields,
     // but reducers and the event diff follow document field order. A
     // schemaless (key, value) frame's value IS the raw text already.
-    val isMessage = commands.columns.contains("value") &&
-      commands.schema("value").dataType ==
-        org.apache.spark.sql.types.StringType &&
-      !commands.columns.contains("_id")
+    val isMessage = MessagePipeline.isMessageShaped(commands)
     val json =
       if (commands.columns.contains("__raw")) col("__raw")
       else if (isMessage) col("value")

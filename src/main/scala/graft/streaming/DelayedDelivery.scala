@@ -67,10 +67,18 @@ object DelayedDelivery {
     def apply(topic: String, key: String, json: String): Unit = {
       val dir = Paths.get(root, topic)
       Files.createDirectories(dir)
+      // redeliveries sort AFTER the original messages: the file name's
+      // digit suffix feeds the source's __ord (arrival-order) column
+      val seq = FileTransport.counter.incrementAndGet()
       Files.writeString(
-        dir.resolve(s"delay-${java.util.UUID.randomUUID()}.json"),
+        dir.resolve(
+          s"delay-${java.util.UUID.randomUUID().toString.take(8)}-$seq.json"),
         json, StandardOpenOption.CREATE)
     }
+  }
+  object FileTransport {
+    private[DelayedDelivery] val counter =
+      new java.util.concurrent.atomic.AtomicLong(1000000000L)
   }
 
   /** Kafka transport via reflection: kafka-clients is a runtime-only

@@ -157,15 +157,15 @@ object GoldenTest {
           .map(c => c -> s"test/collections/from/$c")
     val root = Files.createTempDirectory("graft-golden-stream").toString
     import spark.implicits._
-    val schemas = sources.map { case (t, path) =>
+    val ioSchemas = sources.flatMap { case (t, path) =>
       val docs = readDir(dir.resolve(path))
       docs.zipWithIndex.foreach { case (d, i) =>
         Files.createDirectories(Paths.get(s"$root/$t"))
         Files.writeString(Paths.get(f"$root/$t/m$i%04d.json"), d)
       }
-      t -> spark.read.json(docs.toDS).schema
+      // schemaless mode skips inference entirely (only the files matter)
+      if (schemaless) None else Some(t -> spark.read.json(docs.toDS).schema)
     }.toMap
-    val ioSchemas = if (schemaless) Map.empty[String, org.apache.spark.sql.types.StructType] else schemas
     val preloads = subdirs(dir.resolve("test/preload"))
       .map(t => t -> readDir(dir.resolve(s"test/preload/$t"))).toMap
 

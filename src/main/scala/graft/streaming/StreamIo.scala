@@ -123,8 +123,11 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
     // separate partitions): derive __ord from the file name's digits —
     // the harness writes m0000.json, m0001.json, ... (KafkaIo uses the
     // partition offset for the same purpose)
-    val ord = regexp_extract(input_file_name(), "(\\d+)\\.json$", 1)
-      .cast("long").as("__ord")
+    // null-safe: a file without a digit suffix still needs a Long __ord
+    // (AggregatePart's encoder is non-nullable)
+    val ord = coalesce(
+      regexp_extract(input_file_name(), "(\\d+)\\.json$", 1).cast("long"),
+      lit(0L)).as("__ord")
     schemas.get(name) match {
       case Some(schema) =>
         spark.readStream

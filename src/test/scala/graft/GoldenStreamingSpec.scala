@@ -16,7 +16,7 @@ class GoldenStreamingSpec extends AnyFunSuite {
   private val root = "src/test/resources/goldapps"
 
   // every ported app except the aggregates below and app36 (its batch
-  // href resolver needs the two-pass collect)
+  // href resolver needs the two-pass collect); aggregates run schemaless
   private val topicApps =
     (1 to 7) ++ (9 to 31) ++ Seq(32, 33, 34, 40)
 
@@ -30,7 +30,7 @@ class GoldenStreamingSpec extends AnyFunSuite {
 
   // aggregate (event-sourcing) apps run schemaless: raw (key, value)
   // commands keep document field order through the stateful reduce
-  private val aggregateApps = Seq(8, 35, 38, 39)
+  private val aggregateApps = Seq(8, 35, 37, 38, 39)
 
   aggregateApps.foreach { n =>
     test(s"reference app$n aggregate matches under Structured Streaming") {

@@ -263,3 +263,22 @@ class MiniLangRegexSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(one("""trim(.s)""", """{"s":" x "}""").asText() == "x")
   }
 }
+
+/** Regression coverage for the second review round. */
+class MiniJqReview2Spec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.jq.MiniJq
+  import graft.json.Js
+
+  test("// works inside object values; literal replacements; range(a;b)") {
+    val f = MiniJq.compile("""{ "a": .x // 1, "b": .y // "d" }""")
+    val o = f(Js.parse("""{"y":"v"}"""))
+    assert(o.get("a").asInt() == 1 && o.get("b").asText() == "v")
+    assert(MiniJq.compile(""".s | gsub("-"; "$")""")(
+      Js.parse("""{"s":"a-b"}""")).asText() == "a$b")
+    assert(Js.render(MiniJq.compile("""[range(2;5)]""")(
+      Js.parse("null"))) == "[2,3,4]")
+    // reduce keeps the LAST output of a multi-output update
+    assert(MiniJq.compile("""reduce .[] as $x (0; . + $x, . * 2)""")(
+      Js.parse("[1,2]")).asLong() == 0) // ((0*2)*2): last output each step
+  }
+}

@@ -39,6 +39,9 @@ object MiniJq {
   final case class Bind(src: Ast, name: String, rest: Ast) extends Ast
   final case class Reduce(src: Ast, name: String, init: Ast, update: Ast)
       extends Ast
+  final case class Foreach(src: Ast, name: String, init: Ast, update: Ast,
+      extract: Option[Ast]) extends Ast
+  final case class TryOp(body: Ast, handler: Option[Ast]) extends Ast
 
   final case class FnDef(params: List[String], body: Ast)
   final case class Program(defs: Map[String, FnDef], body: Ast)
@@ -149,11 +152,18 @@ object MiniJq {
   }
 
   private def parseMul(t: Tokens): Ast = {
-    var l = parsePrimary(t)
+    var l = parsePostfix(t)
     while (t.peekIs("*") || t.peekIs("/")) {
       val op = t.next()
-      l = BinOp(op, l, parsePrimary(t))
+      l = BinOp(op, l, parsePostfix(t))
     }
+    l
+  }
+
+  /** `EXPR?` suppresses errors, like `try EXPR`. */
+  private def parsePostfix(t: Tokens): Ast = {
+    var l = parsePrimary(t)
+    while (t.peekIs("?")) { t.next(); l = TryOp(l, None) }
     l
   }
 
@@ -231,6 +241,25 @@ object MiniJq {
       val update = parseExpr(t)
       t.expect(")")
       Reduce(src, name, init, update)
+    case "foreach" => // foreach SRC as $x (INIT; UPDATE[; EXTRACT])
+      t.next()
+      val src = parseComma(t)
+      t.expect("as"); t.expect("$")
+      val name = t.ident()
+      t.expect("(")
+      val init = parseExpr(t)
+      t.expect(";")
+      val update = parseExpr(t)
+      val extract =
+        if (t.peekIs(";")) { t.next(); Some(parseExpr(t)) } else None
+      t.expect(")")
+      Foreach(src, name, init, update, extract)
+    case "try" => // try BODY [catch HANDLER]: errors become empty/handled
+      t.next()
+      val body = parsePrimary(t)
+      val handler =
+        if (t.peekIs("catch")) { t.next(); Some(parsePrimary(t)) } else None
+      TryOp(body, handler)
     case "(" =>
       t.next(); val e = parseExpr(t); t.expect(")"); e
     case "if" =>
@@ -344,6 +373,30 @@ object MiniJq {
       case Bind(src, name, rest) =>
         eval(src, in, defs, vars).flatMap(v =>
           eval(rest, in, defs, vars + (name -> v)))
+      case Foreach(src, name, init, update, extract) =>
+        eval(init, in, defs, vars).flatMap { init0 =>
+          var acc = init0
+          eval(src, in, defs, vars).flatMap { v =>
+            val bound = vars + (name -> v)
+            acc = eval(update, acc, defs, bound).lastOption
+              .getOrElse(NullNode.getInstance)
+            extract match {
+              case Some(e) => eval(e, acc, defs, bound)
+              case None    => Seq(acc)
+            }
+          }
+        }
+      case TryOp(body, handler) =>
+        try eval(body, in, defs, vars)
+        catch {
+          case e: Exception =>
+            handler match {
+              case Some(h) =>
+                eval(h, TextNode.valueOf(
+                  Option(e.getMessage).getOrElse("error")), defs, vars)
+              case None => Seq.empty
+            }
+        }
       case Reduce(src, name, init, update) =>
         eval(init, in, defs, vars).map { init0 =>
           eval(src, in, defs, vars).foldLeft(init0) { (acc, v) =>

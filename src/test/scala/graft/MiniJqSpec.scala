@@ -282,3 +282,28 @@ class MiniJqReview2Spec extends org.scalatest.funsuite.AnyFunSuite {
       Js.parse("[1,2]")).asLong() == 0) // ((0*2)*2): last output each step
   }
 }
+
+/** JQ try/?, foreach. */
+class MiniJqTrySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.jq.MiniJq
+  import graft.json.Js
+
+  test("try suppresses errors, catch handles, ? is shorthand") {
+    assert(MiniJq.compileAll(""" try (.s | tonumber) """)(
+      Js.parse("""{"s":"abc"}""")).isEmpty)
+    assert(MiniJq.compile(""" try (.s | tonumber) catch "bad" """)(
+      Js.parse("""{"s":"abc"}""")).asText() == "bad")
+    assert(MiniJq.compile(""" (.s | tonumber)? // -1 """)(
+      Js.parse("""{"s":"abc"}""")).asInt() == -1)
+    assert(MiniJq.compile(""" (.s | tonumber)? // -1 """)(
+      Js.parse("""{"s":"7"}""")).asInt() == 7)
+  }
+
+  test("foreach emits running states") {
+    assert(Js.render(MiniJq.compile("""[foreach .[] as $x (0; . + $x)]""")(
+      Js.parse("[1,2,3]"))) == "[1,3,6]")
+    assert(Js.render(MiniJq.compile(
+      """[foreach .[] as $x (0; . + $x; . * 10)]""")(
+      Js.parse("[1,2]"))) == "[10,30]")
+  }
+}

@@ -47,6 +47,13 @@ object Run {
           .getOrElse(kafka)
         val env = Env(spark,
           collection = name => io.source(spark, "collection", name),
+          // $out/$probe route straight to topics; the stage-level id is
+          // stable (derived from the target topic, not start order)
+          sink = (topic, df) =>
+            io.sink("topic", topic, df, asString = false,
+              partId = s"stage-$topic"),
+          lag = graft.streaming.KafkaLag.provider(
+            opts.getOrElse("kafka", "localhost:9092")),
           scripts = name => Files.readString(appDir.resolve(name)))
         new AppRunner(spark, io, env, configOf(opts))
           .run(Files.readString(Paths.get(appFile)))

@@ -449,9 +449,12 @@ object MiniJq {
         val lv = eval(l, in, defs, vars).filter(truthyJq)
         if (lv.nonEmpty) lv else eval(r, in, defs, vars)
       case BinOp(op, l, r) =>
+        // jq iterates the RIGHT operand in the outer loop:
+        // (1,2)+(10,20) yields 11,12,21,22 (not 11,21,12,22)
+        val lv = eval(l, in, defs, vars)
         for {
-          a <- eval(l, in, defs, vars)
           b <- eval(r, in, defs, vars)
+          a <- lv
         } yield binop(op, a, b)
       case StrInterp(parts) =>
         parts.foldLeft(Seq("")) { (acc, part) =>

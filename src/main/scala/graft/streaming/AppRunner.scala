@@ -14,9 +14,13 @@ import graft.op.{Env, Pipeline, Stages}
 trait Io {
   /** Resolve a source by kind ("topic" | "collection") and name. */
   def source(spark: SparkSession, kind: String, name: String): DataFrame
-  /** Bind a part output to a sink; returns a handle name. */
+  /** Bind a part output to a sink; returns a handle name. `partId` is the
+    * stable identity of the producing part — checkpoint locations must be
+    * derived from it (NOT from start order), or adding/reordering parts
+    * silently reassigns offsets across restarts.
+    */
   def sink(kind: String, name: String, df: DataFrame,
-      asString: Boolean): Unit
+      asString: Boolean, partId: String = ""): Unit
 }
 
 /** Compiles a declarative application (YAML/JSON, docs/application.md) —
@@ -53,10 +57,12 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
     def sinks(part: JsonNode, df: DataFrame): Unit = {
       val asString =
         part.has("toString") && part.get("toString").asBoolean()
+      val partId = Option(part.get("name")).map(_.asText()).getOrElse("")
       if (part.has("toTopic"))
-        io.sink("topic", part.get("toTopic").asText(), df, asString)
+        io.sink("topic", part.get("toTopic").asText(), df, asString, partId)
       if (part.has("toCollection"))
-        io.sink("collection", part.get("toCollection").asText(), df, asString)
+        io.sink("collection", part.get("toCollection").asText(), df, asString,
+          partId)
     }
 
     // parts can reference later parts' streams; resolve iteratively

@@ -21,8 +21,17 @@ object DelayedDelivery {
     })
 
   def schedule(delayMs: Long)(deliver: => Unit): Unit =
-    pool.schedule(new Runnable { def run(): Unit = deliver },
-      delayMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    pool.schedule(new Runnable {
+      def run(): Unit =
+        // the pool would silently swallow a throw; at-least-once loss on
+        // failure is the reference's documented caveat, but it must be
+        // VISIBLE loss
+        try deliver
+        catch {
+          case e: Throwable =>
+            System.err.println(s"graft $$delay redelivery failed: $e")
+        }
+    }, delayMs, java.util.concurrent.TimeUnit.MILLISECONDS)
 
   /** Does this part output carry `$delay` routing columns? */
   def hasDelay(df: DataFrame): Boolean = df.columns.contains("_delay_ms")
@@ -83,29 +92,42 @@ object DelayedDelivery {
 
   /** Kafka transport via reflection: kafka-clients is a runtime-only
     * dependency (exactly like the `format("kafka")` data source the
-    * normal sink path uses); one producer per JVM per bootstrap.
+    * normal sink path uses). Producers are cached per bootstrap per JVM
+    * (the companion map — deserialized copies share it), and every send
+    * BLOCKS on the returned future: a delayed redelivery that fails must
+    * surface, not vanish into an unobserved async buffer that executor
+    * shutdown discards.
     */
   final class KafkaTransport(bootstrap: String)
       extends ((String, String, String) => Unit) with Serializable {
-    @transient private lazy val producer: AnyRef = {
-      val props = new java.util.Properties()
-      props.put("bootstrap.servers", bootstrap)
-      props.put("key.serializer",
-        "org.apache.kafka.common.serialization.StringSerializer")
-      props.put("value.serializer",
-        "org.apache.kafka.common.serialization.StringSerializer")
-      Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
-        .getConstructor(classOf[java.util.Properties])
-        .newInstance(props).asInstanceOf[AnyRef]
-    }
     def apply(topic: String, key: String, json: String): Unit = {
+      val producer = KafkaTransport.producerFor(bootstrap)
       val recordCls =
         Class.forName("org.apache.kafka.clients.producer.ProducerRecord")
       val record = recordCls
         .getConstructor(classOf[String], classOf[Object], classOf[Object])
         .newInstance(topic, key, json)
-      producer.getClass.getMethod("send", recordCls)
+      val future = producer.getClass.getMethod("send", recordCls)
         .invoke(producer, record)
+      // Future.get(): wait for the broker ack so a failed redelivery
+      // throws here (the timer thread logs it) instead of being dropped
+      future.getClass.getMethod("get").invoke(future)
     }
+  }
+  object KafkaTransport {
+    private val producers =
+      new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    private[DelayedDelivery] def producerFor(bootstrap: String): AnyRef =
+      producers.computeIfAbsent(bootstrap, b => {
+        val props = new java.util.Properties()
+        props.put("bootstrap.servers", b)
+        props.put("key.serializer",
+          "org.apache.kafka.common.serialization.StringSerializer")
+        props.put("value.serializer",
+          "org.apache.kafka.common.serialization.StringSerializer")
+        Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
+          .getConstructor(classOf[java.util.Properties])
+          .newInstance(props).asInstanceOf[AnyRef]
+      })
   }
 }

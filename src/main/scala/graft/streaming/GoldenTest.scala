@@ -80,7 +80,7 @@ object GoldenTest {
           case _       => messageDf(collSources.getOrElse(name, Nil))
         }
       def sink(kind: String, name: String, df: DataFrame,
-          asString: Boolean): Unit =
+          asString: Boolean, partId: String = ""): Unit =
         sinks += name -> (sinks.getOrElse(name, Nil) :+ df)
     }
     val env = Env(spark,

@@ -46,10 +46,17 @@ object KafkaLag {
   }
 
   /** Provider closure for Env.lag backed by a kafka-clients AdminClient
-    * reached via reflection (no compile-time dependency).
+    * reached via reflection (no compile-time dependency). One AdminClient
+    * per bootstrap per JVM, reused across snapshots — creating one per
+    * sample would leak sockets and admin threads for the stream's
+    * lifetime.
     */
-  def provider(bootstrap: String): () => String =
-    () => snapshot(reflectiveAdmin(bootstrap))
+  def provider(bootstrap: String): () => String = {
+    () => snapshot(admins.computeIfAbsent(bootstrap, b => reflectiveAdmin(b)))
+  }
+
+  private val admins =
+    new java.util.concurrent.ConcurrentHashMap[String, Admin]()
 
   private def reflectiveAdmin(bootstrap: String): Admin = new Admin {
     private val adminCls = Class.forName("org.apache.kafka.clients.admin.Admin")

@@ -168,14 +168,19 @@ object MessagePipeline {
           when(col("__call.httpError").isNotNull,
             setField(col("value"), lit("httpError"),
               to_json(struct(col("__call.httpError").as("v")))))
-            .otherwise(as.map(a =>
+            .otherwise(as.map { a =>
+              // a 2xx body that isn't valid JSON must poison only ITS
+              // message: try_parse_json degrades to attaching the raw
+              // body as a string instead of failing the whole micro-batch
+              val parsed =
+                call_function("try_parse_json", col("__call.response"))
               when(col("__call.response").isNotNull,
                 setField(col("value"), lit(a),
-                  to_json(struct(
-                    call_function("parse_json", col("__call.response"))
-                      .as("v")))))
-                .otherwise(col("value")))
-              .getOrElse(col("value"))))
+                  when(parsed.isNotNull, to_json(struct(parsed.as("v"))))
+                    .otherwise(
+                      to_json(struct(col("__call.response").as("v"))))))
+                .otherwise(col("value"))
+            }.getOrElse(col("value"))))
         .drop("__call")
     }
     case "$trace" | "$log" | "$throttle" => df => df

@@ -25,15 +25,17 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io)
     }
 
   def sink(kind: String, name: String, df: DataFrame,
-      asString: Boolean): Unit = kind match {
+      asString: Boolean, partId: String = ""): Unit = kind match {
     case "collection" =>
       if (df.isStreaming)
         df.writeStream
-          .option("checkpointLocation", s"$root/.checkpoints/$name")
+          // stable identity: several parts may upsert one collection
+          .option("checkpointLocation",
+            s"$root/.checkpoints/$name${if (partId.isEmpty) "" else s"-$partId"}")
           .foreachBatch((batch: DataFrame, _: Long) => upsert(name, batch))
           .start()
       else upsert(name, df)
-    case _ => inner.sink(kind, name, df, asString)
+    case _ => inner.sink(kind, name, df, asString, partId)
   }
 
   /** Read-union-rewrite upsert: incoming rows win over stored rows with

@@ -46,12 +46,20 @@ final class KafkaIo(bootstrap: String,
   }
 
   // several parts may sink one topic (reference app3/app11): each query
-  // needs its own checkpoint directory or the offset logs collide
+  // needs its own checkpoint directory or the offset logs collide. The
+  // directory is derived from the STABLE (part, sink) identity — never
+  // from start order, which would reassign offset logs across restarts
+  // when a part is added/removed/reordered (silent loss or duplication).
+  // The counter is only a fallback for callers with no part identity.
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger
 
   def sink(kind: String, name: String, df: DataFrame,
-      asString: Boolean): Unit = {
-    val ckpt = s"$checkpointRoot/$name-${sinkSeq.incrementAndGet()}"
+      asString: Boolean, partId: String = ""): Unit = {
+    val sanitize = (s: String) => s.replaceAll("[^A-Za-z0-9._-]", "_")
+    val ckpt =
+      if (partId.nonEmpty)
+        s"$checkpointRoot/${sanitize(partId)}-$kind-${sanitize(name)}"
+      else s"$checkpointRoot/${sanitize(name)}-${sinkSeq.incrementAndGet()}"
     // rows stamped by $delay redeliver onto their _topic after the
     // duration instead of going to the part's sink topic
     val (now, delayed) =
@@ -146,7 +154,7 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
   }
 
   def sink(kind: String, name: String, df: DataFrame,
-      asString: Boolean): Unit =
+      asString: Boolean, partId: String = ""): Unit =
     if (df.isStreaming && DelayedDelivery.hasDelay(df)) {
       start(name, DelayedDelivery.immediate(df))
       // redelivery loops through the topic's source directory: the

@@ -30,7 +30,7 @@ final class TestIo(tables: Map[String, DataFrame]) extends Io {
     tables.getOrElse(name,
       throw new IllegalArgumentException(s"no test source $name"))
   def sink(kind: String, name: String, df: DataFrame,
-      asString: Boolean): Unit = sinks += name -> df
+      asString: Boolean, partId: String = ""): Unit = sinks += name -> df
 }
 
 class AppRunnerSpec extends AnyFunSuite {

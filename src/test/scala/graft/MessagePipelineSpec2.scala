@@ -12,6 +12,7 @@ import graft.streaming.MessagePipeline
 object MsgEchoHttp extends HttpTransport {
   def apply(m: String, u: String, h: String, b: String): HttpResult =
     if (u.endsWith("/boom")) HttpResult(500, """{"err":1}""")
+    else if (u.endsWith("/text")) HttpResult(200, "plain, not json")
     else HttpResult(200, s"""{"echo":"$u"}""")
 }
 
@@ -82,6 +83,19 @@ class MessagePipelineSpec2 extends AnyFunSuite {
     val bad = out.find(_.get("_id").asText() == "b").get
     assert(bad.get("httpError").get("statusCode").asInt() == 500)
     assert(!bad.has("resp"))
+  }
+
+  test("$http non-JSON 2xx body degrades to a string, not a batch failure") {
+    val env = Env(spark, http = MsgEchoHttp)
+    val out = run(
+      """[{"$http":{"url":{"$concat":["http://h/","$p"]},
+                    "method":"GET","as":"resp"}}]""",
+      msgs("""{"_id":"a","p":"text"}""", """{"_id":"b","p":"ok"}"""), env)
+      .select("value").as[String].collect().map(Js.parse)
+    val textual = out.find(_.get("_id").asText() == "a").get
+    assert(textual.get("resp").asText() == "plain, not json")
+    val good = out.find(_.get("_id").asText() == "b").get
+    assert(good.get("resp").get("echo").asText() == "http://h/ok")
   }
 }
 

@@ -82,6 +82,12 @@ class MiniLangSpec extends org.scalatest.funsuite.AnyFunSuite {
   import graft.jq.{MiniJq, MiniJslt}
   import graft.json.Js
 
+  test("JQ binary operators iterate the right operand in the outer loop") {
+    // jq: (1,2)+(10,20) → 11,12,21,22
+    val all = MiniJq.compileAll("""(1,2)+(10,20)""")(Js.parse("{}"))
+    assert(all.map(_.asInt()) == Seq(11, 12, 21, 22))
+  }
+
   test("JQ .[] iterates, [..] collects, comma concatenates") {
     val all = MiniJq.compileAll(""".items[] | .v""")(
       Js.parse("""{"items":[{"v":1},{"v":2},{"v":3}]}"""))

@@ -24,6 +24,7 @@ object Run {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expr.catalyst.GraftFunctions.register(spark)
 
     cmd match {
       case "test" =>

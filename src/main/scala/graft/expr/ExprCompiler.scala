@@ -169,8 +169,18 @@ object ExprCompiler {
   private def compileOp(op: String, n: JsonNode, ctx: Ctx): Column = {
     def isVariant(c: Column): Boolean =
       ctx.typeOf(c).typeName == "variant"
+    lazy val rawArgs = argList(n, ctx)
+    // both sides dynamically typed → Mongo's cross-type total order
+    // (Null < Number < String < Object < Array < Boolean) via the native
+    // mongo_cmp comparator over the JSON texts
+    lazy val variantCmp: Option[Column] =
+      if (comparisonOps(op) && rawArgs.size == 2 &&
+          isVariant(rawArgs(0)) && isVariant(rawArgs(1)))
+        Some(call_function("mongo_cmp",
+          to_json(rawArgs(0)), to_json(rawArgs(1))))
+      else None
     lazy val as = {
-      val raw = argList(n, ctx)
+      val raw = rawArgs
       if (numericOps(op))
         raw.map(c => if (isVariant(c)) c.cast(DoubleType) else c)
       else if (stringOps(op))
@@ -314,13 +324,13 @@ object ExprCompiler {
 
       // ---- comparison (:395-465) ----
       case "$cmp" =>
-        when(a0 < a1, -1).when(a0 > a1, 1).otherwise(0)
-      case "$eq"  => a0 === a1
-      case "$gt"  => a0 > a1
-      case "$gte" => a0 >= a1
-      case "$lt"  => a0 < a1
-      case "$lte" => a0 <= a1
-      case "$ne"  => a0 =!= a1
+        variantCmp.getOrElse(when(a0 < a1, -1).when(a0 > a1, 1).otherwise(0))
+      case "$eq"  => variantCmp.map(_ === 0).getOrElse(a0 === a1)
+      case "$gt"  => variantCmp.map(_ > 0).getOrElse(a0 > a1)
+      case "$gte" => variantCmp.map(_ >= 0).getOrElse(a0 >= a1)
+      case "$lt"  => variantCmp.map(_ < 0).getOrElse(a0 < a1)
+      case "$lte" => variantCmp.map(_ <= 0).getOrElse(a0 <= a1)
+      case "$ne"  => variantCmp.map(_ =!= 0).getOrElse(a0 =!= a1)
 
       // ---- conditional (:467-512) ----
       case "$cond" =>

@@ -59,7 +59,12 @@ case class DotProduct(left: Expression, right: Expression)
   * public API in Spark 4; the registry + call_function route is).
   */
 object GraftFunctions {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mongo_cmp", exprs => MongoCmp(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mongo_sort_key", exprs => MongoSortKey(exprs(0)), "built-in")
+  }
 }

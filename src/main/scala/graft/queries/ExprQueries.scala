@@ -300,6 +300,52 @@ object ExprQueries {
       """SELECT o_orderkey, 1 AS ma, o_orderpriority AS mb, 2 AS mc,
                 to_json(['x','y'])::VARCHAR AS keys,
                 to_json([o_orderkey, o_custkey])::VARCHAR AS vals
-         FROM orders WHERE o_orderkey<2000""")
+         FROM orders WHERE o_orderkey<2000"""),
+
+    // -- Mongo cross-type total order (mongo_sort_key / min_by-max_by).
+    // Mixed-type JSON values built per row; the oracle reproduces the
+    // bracket order with a composite CASE key (bracket digit + an
+    // order-preserving within-bracket rendering), and Mongo's
+    // ignore-nulls $min/$max via FILTER.
+    Q.fn("q_mongo_order",
+      """WITH j AS (
+           SELECT doc_id % 25 AS g, doc_id % 6 AS m,
+             CASE doc_id % 6
+               WHEN 0 THEN 'null'
+               WHEN 1 THEN CAST(n_chars AS VARCHAR)
+               WHEN 2 THEN '"' || lang || '"'
+               WHEN 3 THEN '{"a":' || n_chars || '}'
+               WHEN 4 THEN '[' || n_chars || ']'
+               ELSE CASE WHEN n_chars % 2 = 0 THEN 'true' ELSE 'false' END
+             END AS jv,
+             CASE doc_id % 6
+               WHEN 1 THEN '2' || lpad(CAST(n_chars AS VARCHAR), 12, '0')
+               WHEN 2 THEN '3' || lang
+               WHEN 3 THEN '4' || lpad(CAST(n_chars AS VARCHAR), 12, '0')
+               WHEN 4 THEN '5' || lpad(CAST(n_chars AS VARCHAR), 12, '0')
+               ELSE '6' || (CASE WHEN n_chars % 2 = 0 THEN '1' ELSE '0' END)
+             END AS k
+           FROM documents)
+         SELECT CAST(g AS INT) AS g,
+                arg_min(jv, k) FILTER (m <> 0) AS lo,
+                arg_max(jv, k) FILTER (m <> 0) AS hi
+         FROM j GROUP BY g""") { (spark, sfDir) =>
+      import org.apache.spark.sql.functions._
+      val df = graft.Tables.load(spark, sfDir, "documents")
+      val m = col("doc_id") % 6
+      val j = when(m === 0, lit("null"))
+        .when(m === 1, col("n_chars").cast("string"))
+        .when(m === 2, concat(lit("\""), col("lang"), lit("\"")))
+        .when(m === 3, concat(lit("{\"a\":"), col("n_chars"), lit("}")))
+        .when(m === 4, concat(lit("["), col("n_chars"), lit("]")))
+        .otherwise(when(col("n_chars") % 2 === 0, lit("true"))
+          .otherwise(lit("false")))
+      val k = call_function("mongo_sort_key", j)
+      // null bracket ("1") loses both ways: Mongo $min/$max ignore nulls
+      val kMin = when(k === "1", lit("\u007f")).otherwise(k)
+      val kMax = when(k === "1", lit("")).otherwise(k)
+      df.groupBy((col("doc_id") % 25).cast("int").as("g"))
+        .agg(min_by(j, kMin).as("lo"), max_by(j, kMax).as("hi"))
+    }
   )
 }

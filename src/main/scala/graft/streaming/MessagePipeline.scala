@@ -393,9 +393,9 @@ object MessagePipeline {
 
   /** Accumulators over variant inputs ($group and $bucket). The double
     * hop is only right for numeric accumulators: casting a string-valued
-    * variant to double nulls it out. $min/$max order variants Mongo-style
-    * (numbers < strings) via a min_by/max_by key; $push/$addToSet keep
-    * the value's own string rendering.
+    * variant to double nulls it out. $min/$max order variants by the full
+    * Mongo cross-type total order (mongo_sort_key collation key) via
+    * min_by/max_by; $push/$addToSet keep the value's own string rendering.
     */
   private def accumulators(fields: Seq[(String, JsonNode)], ctx: Ctx)
       : Seq[Column] =
@@ -404,16 +404,27 @@ object MessagePipeline {
         throw new IllegalArgumentException(s"accumulator for $field"))
       val c = ExprCompiler.compile(arg, ctx)
       val isVariant = ctx.typeOf(c).typeName == "variant"
-      def variantOrd(v: Column): Column = {
-        val num = call_function("try_variant_get", v, lit("$"), lit("double"))
-        struct(when(num.isNotNull, lit(0)).otherwise(lit(1)).as("rank"),
-          num.as("num"), v.cast(StringType).as("str"))
+      // Mongo total order (Null < Number < String < Object < Array <
+      // Boolean) as an order-preserving collation key: min_by/max_by
+      // partial-aggregate on it — no comparator crosses the shuffle.
+      // Mongo $min/$max IGNORE null/missing values, but Spark's
+      // min_by/max_by rank a SQL-null ordering smallest — so nulls get a
+      // sentinel key at the LOSING end (every real key starts with a
+      // rank char '1'-'6'); when all values are null the null row still
+      // wins, which is Mongo's "all null → null" result.
+      def variantOrd(v: Column, losing: String): Column = {
+        val k = call_function("mongo_sort_key", to_json(v))
+        // both SQL null (missing field) and the JSON-null bracket ("1")
+        // are ignored values
+        when(k.isNull || k === lit("1"), lit(losing)).otherwise(k)
       }
       (op match {
         case "$sum"   => sum(if (isVariant) c.cast("double") else c)
         case "$avg"   => avg(if (isVariant) c.cast("double") else c)
-        case "$min"   => if (isVariant) min_by(c, variantOrd(c)) else min(c)
-        case "$max"   => if (isVariant) max_by(c, variantOrd(c)) else max(c)
+        case "$min" =>
+          if (isVariant) min_by(c, variantOrd(c, "\u007f")) else min(c)
+        case "$max" =>
+          if (isVariant) max_by(c, variantOrd(c, "")) else max(c)
         case "$count" => count(lit(1))
         case "$push"  => collect_list(c.cast(StringType))
         case "$addToSet" =>

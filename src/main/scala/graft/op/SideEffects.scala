@@ -165,16 +165,18 @@ object Http {
   */
 object SignJwt {
 
-  def apply(df: DataFrame, spec: JsonNode): DataFrame = {
+  def apply(df: DataFrame, spec: JsonNode,
+      exprC: (DataFrame, JsonNode) => Column = (d, n) => Stages.expr(d, n))
+      : DataFrame = {
     val as = spec.get("as").asText()
     val pem = spec.get("privateKey").asText()
     val ttlSeconds =
       if (spec.has("ttl")) spec.get("ttl").asLong() else 5L
     def claimExpr(name: String): Column =
-      if (spec.has(name)) Stages.expr(df, spec.get(name)).cast(StringType)
+      if (spec.has(name)) exprC(df, spec.get(name)).cast(StringType)
       else lit(null).cast(StringType)
     val extraClaims =
-      if (spec.has("claims")) to_json(Stages.expr(df, spec.get("claims")))
+      if (spec.has("claims")) to_json(exprC(df, spec.get("claims")))
       else lit(null).cast(StringType)
 
     val sign = udf((iss: String, sub: String, aud: String, kid: String,
@@ -215,9 +217,11 @@ object SignJwt {
   */
 object S3Csv {
 
-  def apply(df: DataFrame, spec: JsonNode, env: Env): DataFrame = {
-    val bucket = Stages.expr(df, spec.get("bucket")).cast(StringType)
-    val key = Stages.expr(df, spec.get("key")).cast(StringType)
+  def apply(df: DataFrame, spec: JsonNode, env: Env,
+      exprC: (DataFrame, JsonNode) => Column = (d, n) => Stages.expr(d, n))
+      : DataFrame = {
+    val bucket = exprC(df, spec.get("bucket")).cast(StringType)
+    val key = exprC(df, spec.get("key")).cast(StringType)
     val store = env.store
     val fetched = PartitionCalls.appendCall(df, Seq(bucket, key),
       ArrayType(StringType),
@@ -260,10 +264,12 @@ object S3Csv {
   * land in httpError.
   */
 object S3Transfer {
-  def apply(df: DataFrame, spec: JsonNode, env: Env): DataFrame = {
-    val url = Stages.expr(df, spec.get("url")).cast(StringType)
-    val bucket = Stages.expr(df, spec.get("bucket")).cast(StringType)
-    val key = Stages.expr(df, spec.get("key")).cast(StringType)
+  def apply(df: DataFrame, spec: JsonNode, env: Env,
+      exprC: (DataFrame, JsonNode) => Column = (d, n) => Stages.expr(d, n))
+      : DataFrame = {
+    val url = exprC(df, spec.get("url")).cast(StringType)
+    val bucket = exprC(df, spec.get("bucket")).cast(StringType)
+    val key = exprC(df, spec.get("key")).cast(StringType)
     val transport = env.http
     val store = env.store
     val out = PartitionCalls.appendCall(df, Seq(url, bucket, key),
@@ -289,9 +295,11 @@ object S3Transfer {
   * multipart/mixed; extra attachment fields become MIME part headers.
   */
 object S3Attachments {
-  def apply(df: DataFrame, spec: JsonNode, env: Env): DataFrame = {
-    val url = Stages.expr(df, spec.get("url")).cast(StringType)
-    val attachments = to_json(Stages.expr(df, spec.get("attachments")))
+  def apply(df: DataFrame, spec: JsonNode, env: Env,
+      exprC: (DataFrame, JsonNode) => Column = (d, n) => Stages.expr(d, n))
+      : DataFrame = {
+    val url = exprC(df, spec.get("url")).cast(StringType)
+    val attachments = to_json(exprC(df, spec.get("attachments")))
     val transport = env.http
     val store = env.store
     val out = PartitionCalls.appendCall(df, Seq(url, attachments),
@@ -325,12 +333,17 @@ object S3Attachments {
   * object; passthrough output.
   */
 object S3Out {
-  def apply(df: DataFrame, spec: JsonNode, env: Env): DataFrame = {
-    val bucket = Stages.expr(df, spec.get("bucket")).cast(StringType)
-    val key = Stages.expr(df, spec.get("key")).cast(StringType)
+  def apply(df: DataFrame, spec: JsonNode, env: Env,
+      exprC: (DataFrame, JsonNode) => Column = (d, n) => Stages.expr(d, n))
+      : DataFrame = {
+    val bucket = exprC(df, spec.get("bucket")).cast(StringType)
+    val key = exprC(df, spec.get("key")).cast(StringType)
     val store = env.store
-    val payload = to_json(struct(df.columns
-      .filterNot(Set("__ord", "__raw")).map(col): _*))
+    // schemaless frames: the message JSON IS the value column
+    val payload =
+      if (graft.streaming.MessagePipeline.isMessageShaped(df)) col("value")
+      else to_json(struct(df.columns
+        .filterNot(Set("__ord", "__raw")).map(col): _*))
     val out = PartitionCalls.appendCall(df, Seq(bucket, key, payload),
       BooleanType,
       () => store.open(), () => store.close(),

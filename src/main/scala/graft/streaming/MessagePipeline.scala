@@ -385,11 +385,90 @@ object MessagePipeline {
       grouped.select(col("_id").as("key"),
         to_json(struct(grouped.columns.map(col): _*)).as("value"))
     }
+    // ---- side-effect / sink stages over schemaless frames: expressions
+    // compile against the variant ctx; outputs splice into the JSON value
+    case "$out" =>
+      df => { env.sink(spec.asText(), df); df }
+    case "$merge" => df => {
+      val into = spec.get("into").asText()
+      val keyed =
+        if (spec.has("key")) {
+          val k = ExprCompiler.compile(spec.get("key"), ctxOf(df))
+          df.withColumn("value",
+              setField(col("value"), lit("_id"), wrapJson(k)))
+            .withColumn("key", k.cast(StringType))
+        } else df
+      env.sink(into, keyed)
+      keyed
+    }
+    case "$delete" => df => {
+      val on =
+        if (spec.get("on").isArray) Js.elems(spec.get("on")).map(_.asText())
+        else Seq(spec.get("on").asText())
+      val v = call_function("parse_json", col("value"))
+      val keys = df.select(on.map(f =>
+        call_function("try_variant_get", v, lit("$." + f), lit("string"))
+          .as(f)): _*)
+      env.delete(spec.get("from").asText(), keys, on)
+      df
+    }
+    case "$lag" =>
+      val intervalMs =
+        if (spec.has("interval")) spec.get("interval").asLong() else 30000L
+      val stageId = java.util.UUID.randomUUID().toString
+      val lagFn = env.lag
+      df => {
+        val sampled =
+          if (intervalMs <= 0) df
+          else {
+            val pass = udf(() => KafkaLag.sample(
+              stageId, intervalMs, System.currentTimeMillis()))
+              .asNondeterministic()
+            df.filter(pass())
+          }
+        val fetch = udf(() => lagFn()).asNondeterministic()
+        sampled.withColumn("value",
+          setField(col("value"), lit(spec.get("as").asText()),
+            wrapJson(call_function("parse_json", fetch()))))
+      }
+    case "$signJwt" => df => {
+      val as = spec.get("as").asText()
+      graft.op.SignJwt(df, spec, msgExpr)
+        .withColumn("value",
+          setField(col("value"), lit(as), wrapJson(col(as))))
+        .drop(as)
+    }
+    case "$s3Csv" => df => graft.op.S3Csv(df, spec, env, msgExpr)
+    case "$s3Out" => df => graft.op.S3Out(df, spec, env, msgExpr)
+    case "$s3Transfer" => df => {
+      val as = spec.get("as").asText()
+      graft.op.S3Transfer(df, spec, env, msgExpr)
+        .withColumn("value",
+          when(col("httpError").isNotNull,
+            setField(col("value"), lit("httpError"),
+              wrapJson(col("httpError"))))
+            .otherwise(
+              setField(col("value"), lit(as), wrapJson(col(as)))))
+        .drop(as, "httpError")
+    }
+    case "$s3Attachments" => df =>
+      graft.op.S3Attachments(df, spec, env, msgExpr)
+        .withColumn("value",
+          when(col("httpError").isNotNull,
+            setField(col("value"), lit("httpError"),
+              wrapJson(col("httpError"))))
+            .otherwise(col("value")))
+        .drop("httpError")
+
     case other =>
       throw new IllegalArgumentException(
         s"stage $other needs a typed schema: declare one for the topic " +
           "or transform with $jq")
   }
+
+  /** Expression compiler against the schemaless (variant) document. */
+  private val msgExpr: (DataFrame, JsonNode) => Column =
+    (d, n) => ExprCompiler.compile(n, ctxOf(d))
 
   /** Accumulators over variant inputs ($group and $bucket). The double
     * hop is only right for numeric accumulators: casting a string-valued

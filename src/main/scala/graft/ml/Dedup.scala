@@ -206,4 +206,29 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Multi-probe variant of `embeddingPairsCelled`: every vector lands in
+    * its `nprobe` nearest cells (Similarity.assignCellsMulti), recovering
+    * the pairs a single-probe assignment loses at cell boundaries. A pair
+    * can now co-occur in several cells — `distinct` collapses the
+    * duplicates (cos is rounded, so the copies are bit-identical). Cost:
+    * `nprobe²`× the within-cell pair candidates, still an equi-join.
+    */
+  def embeddingPairsCelledMulti(df: DataFrame, embCol: String,
+      idCol: String, threshold: Double, nlist: Int,
+      nprobe: Int): DataFrame = {
+    val centroids = df.orderBy(col(idCol)).limit(nlist)
+    val cells =
+      Similarity.assignCellsMulti(df, centroids, embCol, idCol, nprobe)
+    val a = cells.select(col("cell"), col(idCol).as("id_a"),
+      col("v").as("va"))
+    val b = cells.select(col("cell"), col(idCol).as("id_b"),
+      col("v").as("vb"))
+    a.join(b, "cell")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", ndot6(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
+  }
 }

@@ -41,7 +41,16 @@ object Similarity {
     * ties to the lowest centroid id.
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame, embCol: String,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame =
+    assignCellsMulti(corpus, centroids, embCol, idCol, nprobe = 1)
+
+  /** Multi-probe assignment: each vector lands in its `nprobe` nearest
+    * cells. Costs `nprobe`× the storage/join fan-out and recovers the
+    * pairs that straddle a single-probe cell boundary (the IVF recall
+    * trade-off) — the standard multi-probe recall/cost dial.
+    */
+  def assignCellsMulti(corpus: DataFrame, centroids: DataFrame,
+      embCol: String, idCol: String, nprobe: Int): DataFrame = {
     val c = normalized(centroids, embCol, idCol, "vcent")
       .withColumnRenamed(idCol, "cell")
     val v = normalized(corpus, embCol, idCol, "v")
@@ -50,8 +59,42 @@ object Similarity {
     v.crossJoin(broadcast(c))
       .withColumn("ccos", ndot6(col("v"), col("vcent")))
       .withColumn("r", row_number().over(w))
-      .where(col("r") === 1)
+      .where(col("r") <= nprobe)
       .select(col(idCol), col("cell"), col("v"))
+  }
+
+  /** Deterministic batched farthest-first seeding (the k-means++ idea in
+    * k-means‖-style rounds, so it's O(rounds) broadcast passes instead of
+    * O(nlist) sequential ones): start from the lowest-id vector; each
+    * round scores every vector by its best cosine to any current seed
+    * (broadcast crossJoin + partial max) and admits the `nlist/rounds`
+    * farthest vectors, ties to the lowest id. Spread-out seeds beat the
+    * id-prefix codebook on cluster balance, which is what bounds the
+    * worst cell's O(cell²) pair cost.
+    */
+  def seedFarthestFirst(corpus: DataFrame, embCol: String, idCol: String,
+      nlist: Int, rounds: Int = 4): DataFrame = {
+    val v = normalized(corpus, embCol, idCol, "v")
+    var seeds = v.orderBy(col(idCol)).limit(1)
+      .select(col(idCol), col("v"))
+    val perRound = math.max(1, math.ceil((nlist - 1).toDouble /
+      math.max(1, rounds)).toInt)
+    var have = 1
+    while (have < nlist) {
+      val take = math.min(perRound, nlist - have)
+      val s = seeds.select(col(idCol).as("sid"), col("v").as("vs"))
+      val far = v.crossJoin(broadcast(s))
+        .withColumn("c", ndot6(col("v"), col("vs")))
+        .groupBy(col(idCol))
+        .agg(max(col("c")).as("best"), first(col("v")).as("v"))
+        .join(broadcast(s.select(col("sid").as(idCol))), Seq(idCol),
+          "left_anti")
+        .orderBy(col("best").asc, col(idCol).asc) // farthest = lowest cos
+        .limit(take)
+      seeds = seeds.unionByName(far.select(col(idCol), col("v"))).persist()
+      have += take
+    }
+    seeds.select(col(idCol), col("v").as(embCol))
   }
 
   /** Trained IVF codebook: Lloyd iterations as DataFrame aggregations.
@@ -63,8 +106,9 @@ object Similarity {
     * (idCol = cell id, embCol = centroid) frame for `ivfTopKWith`.
     */
   def kmeansCentroids(corpus: DataFrame, embCol: String, idCol: String,
-      nlist: Int, iters: Int = 2): DataFrame = {
-    var centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      nlist: Int, iters: Int = 2,
+      init: Option[DataFrame] = None): DataFrame = {
+    var centroids = init.getOrElse(corpus.orderBy(col(idCol)).limit(nlist))
       .select(col(idCol), col(embCol))
     (0 until iters).foreach { _ =>
       val assigned = assignCells(corpus, centroids, embCol, idCol)

@@ -118,6 +118,27 @@ object MlQueries {
         "embedding", "vec_id", threshold = 0.35, nlist = 8)
     },
 
+    // -- multi-probe IVF near-dup: each vector in its 2 nearest cells
+    // (recovers cell-boundary pairs); DISTINCT collapses pairs that
+    // co-occur in both probed cells
+    Q.fn("q_dedup_embedding_multiprobe",
+      s"""WITH v AS (SELECT vec_id, $normSql AS e
+                     FROM embeddings WHERE vec_id<300),
+               cent AS (SELECT vec_id AS cell, e AS vcent FROM v WHERE vec_id<8),
+               asg AS (SELECT vec_id, cell, e, row_number() OVER
+                         (PARTITION BY vec_id
+                          ORDER BY ${cosSql("e", "vcent")} DESC, cell) AS r
+                       FROM v CROSS JOIN cent),
+               cells AS (SELECT vec_id, cell, e FROM asg WHERE r<=2)
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${cosSql("a.e", "b.e")} AS cos
+          FROM cells a JOIN cells b ON a.cell=b.cell AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a.e", "b.e")} >= 0.35""") { (spark, sf) =>
+      Dedup.embeddingPairsCelledMulti(
+        Tables.load(spark, sf, "embeddings").where(col("vec_id") < 300),
+        "embedding", "vec_id", threshold = 0.35, nlist = 8, nprobe = 2)
+    },
+
     // -- exact n-gram Jaccard near-dup pairs (shingle inverted index)
     Q.fn("q_dedup_ngram",
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id<200),

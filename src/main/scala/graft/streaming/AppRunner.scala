@@ -12,15 +12,23 @@ import graft.op.{Env, Pipeline, Stages}
   * golden-file convention as the reference's harness (docs/testing.md).
   */
 trait Io {
-  /** Resolve a source by kind ("topic" | "collection") and name. */
-  def source(spark: SparkSession, kind: String, name: String): DataFrame
+  /** Resolve a source by kind ("topic" | "collection") and name.
+    * `options` carries part-level admission hints — today
+    * `maxPerSecond` from a `$throttle` stage, which sources map to their
+    * native rate controls (maxOffsetsPerTrigger / maxFilesPerTrigger).
+    */
+  def source(spark: SparkSession, kind: String, name: String,
+      options: Map[String, String] = Map.empty): DataFrame
   /** Bind a part output to a sink; returns a handle name. `partId` is the
     * stable identity of the producing part — checkpoint locations must be
     * derived from it (NOT from start order), or adding/reordering parts
-    * silently reassigns offsets across restarts.
+    * silently reassigns checkpoint dirs across restarts. `options` sees
+    * the same admission hints as the source (a throttled part needs a
+    * paced trigger for the offsets-per-trigger cap to be a rate).
     */
   def sink(kind: String, name: String, df: DataFrame,
-      asString: Boolean, partId: String = ""): Unit
+      asString: Boolean, partId: String = "",
+      options: Map[String, String] = Map.empty): Unit
 }
 
 /** Compiles a declarative application (YAML/JSON, docs/application.md) —
@@ -41,11 +49,25 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
     val parts = Js.elems(spec.get("parts"))
     var streams = Map.empty[String, DataFrame]
 
+    // $throttle (docs/aggregation_stages.md $throttle: maxPerSecond) is
+    // admission control, not a row transform: the rate cap is applied at
+    // the part's SOURCE (offsets/files per trigger) and paces the sink
+    // trigger — the Spark-native equivalent of the reference's
+    // upstream backpressure.
+    def admission(part: JsonNode): Map[String, String] =
+      Option(part.get("pipeline")).toSeq.flatMap(Js.elems)
+        .flatMap(st => Option(st.get("$throttle")))
+        .flatMap(t => Option(t.get("maxPerSecond")))
+        .map(_.asLong()).headOption
+        .map(r => Map("maxPerSecond" -> r.toString)).getOrElse(Map.empty)
+
     def resolveFrom(part: JsonNode): DataFrame =
       if (part.has("fromTopic"))
-        io.source(spark, "topic", part.get("fromTopic").asText())
+        io.source(spark, "topic", part.get("fromTopic").asText(),
+          admission(part))
       else if (part.has("fromCollection"))
-        io.source(spark, "collection", part.get("fromCollection").asText())
+        io.source(spark, "collection", part.get("fromCollection").asText(),
+          admission(part))
       else if (part.has("fromStream")) {
         val name = part.get("fromStream").asText()
         streams.getOrElse(name,
@@ -59,10 +81,11 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
         part.has("toString") && part.get("toString").asBoolean()
       val partId = Option(part.get("name")).map(_.asText()).getOrElse("")
       if (part.has("toTopic"))
-        io.sink("topic", part.get("toTopic").asText(), df, asString, partId)
+        io.sink("topic", part.get("toTopic").asText(), df, asString, partId,
+          admission(part))
       if (part.has("toCollection"))
         io.sink("collection", part.get("toCollection").asText(), df, asString,
-          partId)
+          partId, admission(part))
     }
 
     // parts can reference later parts' streams; resolve iteratively

@@ -74,13 +74,15 @@ object GoldenTest {
     // app3/app11): sink frames accumulate and union at collect time
     var sinks = Map.empty[String, Seq[DataFrame]]
     val io = new Io {
-      def source(spark: SparkSession, kind: String, name: String): DataFrame =
+      def source(spark: SparkSession, kind: String, name: String,
+          options: Map[String, String] = Map.empty): DataFrame =
         kind match {
           case "topic" => messageDf(topicSources.getOrElse(name, Nil))
           case _       => messageDf(collSources.getOrElse(name, Nil))
         }
       def sink(kind: String, name: String, df: DataFrame,
-          asString: Boolean, partId: String = ""): Unit =
+          asString: Boolean, partId: String = "",
+          options: Map[String, String] = Map.empty): Unit =
         sinks += name -> (sinks.getOrElse(name, Nil) :+ df)
     }
     val env = Env(spark,

@@ -9,23 +9,34 @@ import org.apache.spark.sql.functions._
   * file-backed stand-in for the reference's MongoDB collections
   * (docs/streams.md:45-50): `toCollection` upserts each message by `_id`,
   * `fromCollection`/`$lookup` read the current state. Streaming writers go
-  * through foreachBatch (the idempotent-upsert sink pattern; a Delta MERGE
-  * replaces the read-union-rewrite at real scale). Topics delegate to the
-  * wrapped transport Io.
+  * through foreachBatch (the idempotent-upsert sink pattern).
+  *
+  * Scale: the collection is hash-BUCKETED on `_id` into
+  * `__bucket=N/` partition directories. An upsert only reads and rewrites
+  * the buckets its batch touches — cost is O(touched buckets), not
+  * O(collection) — which is the poor man's MERGE (a real lakehouse format
+  * with MERGE INTO replaces the bucket rewrite one-for-one; the layout,
+  * pruning, and latest-row-wins logic are the same). Topics delegate to
+  * the wrapped transport Io.
   */
-final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io)
-    extends Io {
+final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
+    buckets: Int = 16) extends Io {
 
   private def dir(name: String) = s"$root/$name"
 
-  def source(spark: SparkSession, kind: String, name: String): DataFrame =
+  private def bucketOf(id: org.apache.spark.sql.Column) =
+    pmod(xxhash64(id.cast("string")), lit(buckets)).cast("int")
+
+  def source(spark: SparkSession, kind: String, name: String,
+      options: Map[String, String] = Map.empty): DataFrame =
     kind match {
-      case "collection" => spark.read.parquet(dir(name))
-      case _            => inner.source(spark, kind, name)
+      case "collection" => spark.read.parquet(dir(name)).drop("__bucket")
+      case _            => inner.source(spark, kind, name, options)
     }
 
   def sink(kind: String, name: String, df: DataFrame,
-      asString: Boolean, partId: String = ""): Unit = kind match {
+      asString: Boolean, partId: String = "",
+      options: Map[String, String] = Map.empty): Unit = kind match {
     case "collection" =>
       if (df.isStreaming)
         df.writeStream
@@ -35,19 +46,29 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io)
           .foreachBatch((batch: DataFrame, _: Long) => upsert(name, batch))
           .start()
       else upsert(name, df)
-    case _ => inner.sink(kind, name, df, asString, partId)
+    case _ => inner.sink(kind, name, df, asString, partId, options)
   }
 
-  /** Read-union-rewrite upsert: incoming rows win over stored rows with
-    * the same `_id`; within one batch the last row wins.
+  /** Bucket-local upsert: incoming rows win over stored rows with the
+    * same `_id`; within one batch the last row wins. Only the buckets the
+    * batch touches are read (partition-pruned) and rewritten.
     */
   def upsert(name: String, batch: DataFrame): Unit = synchronized {
     val incoming = batch
       .withColumn("__gen", lit(1))
       .withColumn("__ord", monotonically_increasing_id())
+      .withColumn("__bucket", bucketOf(col("_id")))
+    val touched = incoming.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ `buckets` values
     val merged =
       if (Files.exists(Paths.get(dir(name)))) {
-        val existing = spark.read.parquet(dir(name))
+        val stored = spark.read.parquet(dir(name))
+        // pre-bucketing layouts lack the partition column: recompute
+        val bucketed =
+          if (stored.columns.contains("__bucket")) stored
+          else stored.withColumn("__bucket", bucketOf(col("_id")))
+        val existing = bucketed
+          .where(col("__bucket").isin(touched.toSeq: _*)) // partition pruning
           .withColumn("__gen", lit(0)).withColumn("__ord", lit(0L))
         existing.unionByName(incoming, allowMissingColumns = true)
       } else incoming
@@ -57,26 +78,52 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__gen", "__ord", "__rn")
-    writeSwap(name, latest)
+    swapBuckets(name, latest, touched)
   }
 
   /** `$delete` support (docs/aggregation_stages.md:161-178): drop stored
     * docs whose `on` fields equal any incoming message's values
-    * (left-anti join on the key columns), then rewrite. A Delta DELETE
-    * replaces the read-anti-join-rewrite at real scale.
+    * (left-anti join on the key columns), then rewrite. Delete keys are
+    * arbitrary fields (not `_id`), so every bucket is scanned — the
+    * lakehouse-format DELETE is the real-scale version of this one.
     */
   def delete(name: String, matches: DataFrame, on: Seq[String]): Unit =
     synchronized {
       if (Files.exists(Paths.get(dir(name)))) {
-        val existing = spark.read.parquet(dir(name))
+        val stored = spark.read.parquet(dir(name)).drop("__bucket")
         val keys = matches.select(on.map(col): _*).distinct()
-        writeSwap(name, existing.join(keys, on, "left_anti"))
+        writeSwap(name, stored.join(keys, on, "left_anti")
+          .withColumn("__bucket", bucketOf(col("_id"))))
       }
     }
 
+  /** Write `latest` (already bucketed) to a staging dir, then swap ONLY
+    * the touched `__bucket=N` subdirectories into place. Untouched
+    * buckets keep their files — no read, no write, no move.
+    */
+  private def swapBuckets(name: String, latest: DataFrame,
+      touched: Set[Int]): Unit = {
+    val tmp = dir(name) + ".__tmp"
+    latest.write.mode(SaveMode.Overwrite)
+      .partitionBy("__bucket").parquet(tmp)
+    val target = Paths.get(dir(name))
+    Files.createDirectories(target)
+    touched.foreach { b =>
+      val dst = target.resolve(s"__bucket=$b")
+      val src = Paths.get(tmp, s"__bucket=$b")
+      val old = Paths.get(s"$tmp.old-$b")
+      if (Files.exists(dst)) Files.move(dst, old)
+      // a touched bucket can end empty (all its rows were later deleted
+      // upstream) — absence of the staging dir just removes it
+      if (Files.exists(src)) Files.move(src, dst)
+      deleteRecursively(old)
+    }
+    deleteRecursively(Paths.get(tmp))
+  }
+
   private def writeSwap(name: String, df: DataFrame): Unit = {
     val tmp = dir(name) + ".__tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    df.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(tmp)
     // swap: the rewrite must not read and overwrite the same files
     val target = Paths.get(dir(name))
     if (Files.exists(target)) {

@@ -19,12 +19,17 @@ final class KafkaIo(bootstrap: String,
       */
     cdcTopicPrefix: String = "cdc.") extends Io {
 
-  def source(spark: SparkSession, kind: String, name: String): DataFrame = {
+  def source(spark: SparkSession, kind: String, name: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val topic = if (kind == "collection") s"$cdcTopicPrefix$name" else name
-    val raw = spark.readStream.format("kafka")
+    val reader = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
+    // $throttle admission: cap the rows admitted per micro-batch; the
+    // sink's 1 s trigger turns the cap into a rate (maxPerSecond)
+    val raw = options.get("maxPerSecond")
+      .fold(reader)(r => reader.option("maxOffsetsPerTrigger", r))
       .load()
       .select(col("key").cast("string"),
         col("value").cast("string").as("__raw"),
@@ -54,7 +59,8 @@ final class KafkaIo(bootstrap: String,
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger
 
   def sink(kind: String, name: String, df: DataFrame,
-      asString: Boolean, partId: String = ""): Unit = {
+      asString: Boolean, partId: String = "",
+      options: Map[String, String] = Map.empty): Unit = {
     val sanitize = (s: String) => s.replaceAll("[^A-Za-z0-9._-]", "_")
     val ckpt =
       if (partId.nonEmpty)
@@ -67,10 +73,15 @@ final class KafkaIo(bootstrap: String,
         (DelayedDelivery.immediate(df), Some(DelayedDelivery.packedDelayed(df)))
       else (df, None)
     val out = toKafkaShape(now, asString)
-    out.writeStream.format("kafka")
+    val writer = out.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", name)
       .option("checkpointLocation", ckpt)
+    // paced trigger: with maxOffsetsPerTrigger at the source this makes
+    // the admission cap an actual msgs/second rate
+    options.get("maxPerSecond")
+      .fold(writer)(_ => writer.trigger(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")))
       .start()
     delayed.foreach(_.writeStream
       .foreach(new DelayedDelivery.Writer(
@@ -126,7 +137,13 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
   /** memory tables per sink name, in start order */
   var tables = Map.empty[String, Seq[String]]
 
-  def source(spark: SparkSession, kind: String, name: String): DataFrame = {
+  def source(spark: SparkSession, kind: String, name: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    // $throttle admission in the file harness: files stand in for
+    // messages, so the per-second cap maps to maxFilesPerTrigger
+    val filesPerTrigger = options.get("maxPerSecond")
+      .map(_.toLong.max(1L).toString)
+      .getOrElse(maxFilesPerTrigger.toString)
     // arrival order must survive the groupByKey shuffle (files may land in
     // separate partitions): derive __ord from the file name's digits —
     // the harness writes m0000.json, m0001.json, ... (KafkaIo uses the
@@ -140,12 +157,12 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
       case Some(schema) =>
         spark.readStream
           .schema(schema)
-          .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+          .option("maxFilesPerTrigger", filesPerTrigger)
           .json(s"$root/$name")
           .withColumn("__ord", ord)
       case None => // schemaless: (key, value) JSON-string messages
         spark.readStream
-          .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+          .option("maxFilesPerTrigger", filesPerTrigger)
           .text(s"$root/$name")
           .select(
             get_json_object(col("value"), "$._id").as("key"),
@@ -154,7 +171,8 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
   }
 
   def sink(kind: String, name: String, df: DataFrame,
-      asString: Boolean, partId: String = ""): Unit =
+      asString: Boolean, partId: String = "",
+      options: Map[String, String] = Map.empty): Unit =
     if (df.isStreaming && DelayedDelivery.hasDelay(df)) {
       start(name, DelayedDelivery.immediate(df))
       // redelivery loops through the topic's source directory: the

@@ -26,11 +26,13 @@ object SparkSpec {
   */
 final class TestIo(tables: Map[String, DataFrame]) extends Io {
   var sinks = Map.empty[String, DataFrame]
-  def source(spark: SparkSession, kind: String, name: String): DataFrame =
+  def source(spark: SparkSession, kind: String, name: String,
+      options: Map[String, String] = Map.empty): DataFrame =
     tables.getOrElse(name,
       throw new IllegalArgumentException(s"no test source $name"))
   def sink(kind: String, name: String, df: DataFrame,
-      asString: Boolean, partId: String = ""): Unit = sinks += name -> df
+      asString: Boolean, partId: String = "",
+      options: Map[String, String] = Map.empty): Unit = sinks += name -> df
 }
 
 class AppRunnerSpec extends AnyFunSuite {

@@ -23,6 +23,54 @@ class CollectionIoSpec extends AnyFunSuite {
     assert(state == Map("a" -> 9, "b" -> 2, "c" -> 3))
   }
 
+  test("upsert rewrites only the buckets the batch touches") {
+    val root = Files.createTempDirectory("graft-coll-bkt").toString
+    val io = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+    io.upsert("c2",
+      (0 until 64).map(i => (s"id$i", i)).toDF("_id", "v"))
+    val dir = java.nio.file.Paths.get(s"$root/c2")
+    import scala.jdk.CollectionConverters._
+    def filesPerBucket: Map[String, Set[String]] =
+      Files.list(dir).iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("__bucket="))
+        .map(p => p.getFileName.toString ->
+          Files.list(p).iterator().asScala
+            .map(_.getFileName.toString).toSet)
+        .toMap
+    val before = filesPerBucket
+    assert(before.size > 1, "expected several bucket dirs")
+    // single-doc upsert: exactly one bucket dir's files may change
+    io.upsert("c2", Seq(("id0", 99)).toDF("_id", "v"))
+    val after = filesPerBucket
+    val changed = before.keySet.union(after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    assert(changed.size == 1, s"changed buckets: $changed")
+    val state = io.source(spark, "collection", "c2")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(state("id0") == 99 && state.size == 64)
+  }
+
+  test("$throttle plumbs maxPerSecond to source admission") {
+    val dir = Files.createTempDirectory("graft-throttle").toString
+    def write(name: String, json: String): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(s"$dir/tin"))
+      Files.writeString(java.nio.file.Paths.get(s"$dir/tin/$name.json"), json)
+    }
+    (0 until 3).foreach(i => write(s"m$i", s"""{"_id":"k$i","v":$i}"""))
+    // harness default would admit all files in ONE batch; the $throttle
+    // stage caps admission to 1 per trigger → 3 separate micro-batches
+    val io = new FileStreamIo(dir, Map.empty, maxFilesPerTrigger = 10000)
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"thr","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"tin","toTopic":"tout",
+            "pipeline":[{"$throttle":{"maxPerSecond":1}}]}]}""")
+    io.processAll()
+    val q = io.queries.values.head
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    assert(spark.table(io.tables("tout").head).count() == 3)
+    io.stopAll()
+  }
+
   test("streaming toCollection upserts across micro-batches") {
     val dir = Files.createTempDirectory("graft-coll-app").toString
     val collRoot = Files.createTempDirectory("graft-coll-store").toString

@@ -64,4 +64,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.000001))
     assert(got.map(_.getAs[Int]("rank")).toSet == Set(1, 2, 3))
   }
+
+  test("farthest-first seeding: nlist distinct spread seeds, trains k-means") {
+    graft.queries.Q.session(spark)
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val seeds = Similarity.seedFarthestFirst(emb, "embedding", "vec_id",
+      nlist = 8, rounds = 3)
+    val ids = seeds.select("vec_id").collect().map(_.getLong(0))
+    assert(ids.length == 8 && ids.toSet.size == 8)
+    val trained = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+      nlist = 8, iters = 1, init = Some(seeds))
+    assert(trained.count() == 8)
+  }
+
+  test("multi-probe celled pairs are a superset of single-probe pairs") {
+    graft.queries.Q.session(spark)
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .where(col("vec_id") < 300)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairSet(graft.ml.Dedup.embeddingPairsCelled(
+      emb, "embedding", "vec_id", threshold = 0.35, nlist = 8))
+    val multi = pairSet(graft.ml.Dedup.embeddingPairsCelledMulti(
+      emb, "embedding", "vec_id", threshold = 0.35, nlist = 8, nprobe = 2))
+    assert(single.subsetOf(multi))
+    // the fixture has boundary pairs: multi-probe must recover some
+    assert(multi.size > single.size)
+  }
 }

@@ -39,7 +39,13 @@ trait Io {
   * re-serialization between parts).
   */
 final class AppRunner(spark: SparkSession, io: Io, env: Env,
-    config: Map[String, String] = Map.empty) {
+    config: Map[String, String] = Map.empty,
+    /** streaming `{href}` resolution hook (reference app36): aggregate
+      * reducers resolve refs through this at reduce time — HrefStore
+      * locally, an external serving store on a real cluster. Batch mode
+      * keeps its two-pass final-state collect.
+      */
+    hrefResolver: Option[String => Option[String]] = None) {
 
   def run(yamlOrJson: String): Map[String, DataFrame] = {
     val spec = Parameters.build(
@@ -207,7 +213,13 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
         val conf = AggregateLogic.Config(
           appName = "", aggType = aggType,
           validators = readValidators(part),
-          reducers = readReducers(part))
+          reducers = readReducers(part),
+          // streaming refs resolve live against the pluggable store;
+          // batch mode overrides below with the two-pass state collect
+          resolver =
+            if (pre.isStreaming)
+              hrefResolver.getOrElse((_: String) => None)
+            else (_: String) => None)
         val out0 = AggregatePart(pre, conf, keyOverride)
         // batch href resolution (reference app36): pass 1 materializes the
         // final state per instance, pass 2 reduces with those states

@@ -174,12 +174,38 @@ object GoldenTest {
     val io = new FileStreamIo(root, ioSchemas,
       tableSuffix = "_g" + java.util.UUID.randomUUID().toString.take(8),
       maxFilesPerTrigger = 10000)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     try {
       val env = graft.op.Env(spark,
         collection = name => spark.read.json(preloads(name).toDS),
         scripts = scripts)
       val streams =
-        new AppRunner(spark, io, env, config).run(Files.readString(appFile))
+        new AppRunner(spark, io, env, config,
+          hrefResolver = Some(HrefStore.Resolver(runId)))
+          .run(Files.readString(appFile))
+      // streaming {href} resolution (app36): when any fixture script uses
+      // refs, drain the aggregate purpose streams into the run's
+      // HrefStore FIRST — the streaming analog of the batch harness's
+      // pass-1 final-state collect; the assertion queries then reduce
+      // with every referenced state resolvable
+      val usesHrefs = Files.walk(Paths.get(root)).iterator().asScala
+        .exists(p => Files.isRegularFile(p) &&
+          Files.readString(p).contains("\"href\""))
+      if (usesHrefs) {
+        val updaters = streams.toSeq.collect {
+          case (n, df) if n.endsWith("-aggregate") =>
+            df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.select("key", "value").collect().foreach { r =>
+                val v = r.getString(1)
+                val seq = Option(Js.parse(v).get("_seq"))
+                  .map(_.asLong()).getOrElse(-1L)
+                HrefStore.put(runId, r.getString(0), seq, v)
+              }
+            }.queryName(s"href-updater-$runId-$n").start()
+        }
+        updaters.foreach(_.processAllAvailable())
+        updaters.foreach(_.stop())
+      }
       // aggregate purpose streams are exposed as named streams rather
       // than part sinks — start a query for each expected one
       (subdirs(dir.resolve("test/topics/to")) ++
@@ -204,7 +230,7 @@ object GoldenTest {
           .map(Js.parse)
         compare(t, readDir(dir.resolve(path)), actual, strict = false)
       }
-    } finally io.stopAll()
+    } finally { io.stopAll(); HrefStore.clear(runId) }
   }
 
   private def compare(topic: String, expectedRaw: Seq[String],

@@ -15,8 +15,8 @@ class GoldenStreamingSpec extends AnyFunSuite {
 
   private val root = "src/test/resources/goldapps"
 
-  // every ported app except the aggregates below and app36 (its batch
-  // href resolver needs the two-pass collect); aggregates run schemaless
+  // every ported app except the aggregates below; aggregates run
+  // schemaless
   private val topicApps =
     (1 to 7) ++ (9 to 31) ++ Seq(32, 33, 34, 40)
 
@@ -29,8 +29,10 @@ class GoldenStreamingSpec extends AnyFunSuite {
   }
 
   // aggregate (event-sourcing) apps run schemaless: raw (key, value)
-  // commands keep document field order through the stateful reduce
-  private val aggregateApps = Seq(8, 35, 37, 38, 39)
+  // commands keep document field order through the stateful reduce.
+  // app36's {href} refs resolve through the run-scoped HrefStore (the
+  // streaming analog of the batch harness's two-pass state collect).
+  private val aggregateApps = Seq(8, 35, 36, 37, 38, 39)
 
   aggregateApps.foreach { n =>
     test(s"reference app$n aggregate matches under Structured Streaming") {

@@ -42,17 +42,36 @@ object Run {
         val kafka = new KafkaIo(opts.getOrElse("kafka", "localhost:9092"))
         // --collections <dir>: file-backed collections (upsert parquet);
         // without it, collection edges fail fast
-        val io = opts.get("collections")
+        val collIo = opts.get("collections")
           .map(root => new graft.streaming.ParquetCollectionIo(
-            spark, root, kafka): graft.streaming.Io)
-          .getOrElse(kafka)
+            spark, root, kafka))
+        val io: graft.streaming.Io = collIo.getOrElse(kafka)
+        // stage-level sink ids: stable (derived from the target name) and
+        // unique (occurrence counter — two $out stages to one target get
+        // distinct checkpoint dirs; compile order within one app file is
+        // deterministic)
+        val stageSeq = new java.util.concurrent.ConcurrentHashMap[
+          String, java.util.concurrent.atomic.AtomicInteger]()
+        def stageId(name: String): String = {
+          val n = stageSeq.computeIfAbsent(name,
+            _ => new java.util.concurrent.atomic.AtomicInteger)
+            .incrementAndGet()
+          s"stage-$name-$n"
+        }
         val env = Env(spark,
           collection = name => io.source(spark, "collection", name),
-          // $out/$probe route straight to topics; the stage-level id is
-          // stable (derived from the target topic, not start order)
+          // $probe's counts go to a TOPIC; $merge/$out write COLLECTIONS
+          // (reference docs/aggregation_stages.md:378-392)
           sink = (topic, df) =>
-            io.sink("topic", topic, df, asString = false,
-              partId = s"stage-$topic"),
+            io.sink("topic", topic, df, asString = false, stageId(topic)),
+          collectionSink = (coll, df) =>
+            io.sink("collection", coll, df, asString = false, stageId(coll)),
+          delete = (coll, matches, on) =>
+            collIo match {
+              case Some(c) => c.delete(coll, matches, on)
+              case None => throw new IllegalArgumentException(
+                "$delete needs --collections")
+            },
           lag = graft.streaming.KafkaLag.provider(
             opts.getOrElse("kafka", "localhost:9092")),
           scripts = name => Files.readString(appDir.resolve(name)))

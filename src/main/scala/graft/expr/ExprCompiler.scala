@@ -176,8 +176,12 @@ object ExprCompiler {
     lazy val variantCmp: Option[Column] =
       if (comparisonOps(op) && rawArgs.size == 2 &&
           isVariant(rawArgs(0)) && isVariant(rawArgs(1)))
+        // a MISSING field (SQL-null variant) sits in Mongo's Null
+        // bracket, same as an explicit JSON null — don't let the null
+        // propagate and silently drop the comparison
         Some(call_function("mongo_cmp",
-          to_json(rawArgs(0)), to_json(rawArgs(1))))
+          coalesce(to_json(rawArgs(0)), lit("null")),
+          coalesce(to_json(rawArgs(1)), lit("null"))))
       else None
     lazy val as = {
       val raw = rawArgs

@@ -193,19 +193,10 @@ object Dedup {
     * boundary are the recall trade-off, standard for IVF near-dup.
     */
   def embeddingPairsCelled(df: DataFrame, embCol: String, idCol: String,
-      threshold: Double, nlist: Int): DataFrame = {
-    val centroids = df.orderBy(col(idCol)).limit(nlist)
-    val cells = Similarity.assignCells(df, centroids, embCol, idCol)
-    val a = cells.select(col("cell"), col(idCol).as("id_a"),
-      col("v").as("va"))
-    val b = cells.select(col("cell"), col(idCol).as("id_b"),
-      col("v").as("vb"))
-    a.join(b, "cell")
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cos", ndot6(col("va"), col("vb")))
-      .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
-  }
+      threshold: Double, nlist: Int): DataFrame =
+    // single probe: a pair occurs in at most one cell, no dedup needed
+    celledPairs(df, embCol, idCol, threshold, nlist, nprobe = 1,
+      dedup = false)
 
   /** Multi-probe variant of `embeddingPairsCelled`: every vector lands in
     * its `nprobe` nearest cells (Similarity.assignCellsMulti), recovering
@@ -216,7 +207,12 @@ object Dedup {
     */
   def embeddingPairsCelledMulti(df: DataFrame, embCol: String,
       idCol: String, threshold: Double, nlist: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    celledPairs(df, embCol, idCol, threshold, nlist, nprobe, dedup = true)
+
+  private def celledPairs(df: DataFrame, embCol: String, idCol: String,
+      threshold: Double, nlist: Int, nprobe: Int,
+      dedup: Boolean): DataFrame = {
     val centroids = df.orderBy(col(idCol)).limit(nlist)
     val cells =
       Similarity.assignCellsMulti(df, centroids, embCol, idCol, nprobe)
@@ -224,11 +220,13 @@ object Dedup {
       col("v").as("va"))
     val b = cells.select(col("cell"), col(idCol).as("id_b"),
       col("v").as("vb"))
-    a.join(b, "cell")
+    val pairs = a.join(b, "cell")
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", ndot6(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .distinct()
+    // multi-probe: a pair co-occurs in up to nprobe shared cells; the
+    // copies are bit-identical (cos is rounded), distinct collapses them
+    if (dedup) pairs.distinct() else pairs
   }
 }

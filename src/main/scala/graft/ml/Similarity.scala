@@ -79,9 +79,11 @@ object Similarity {
       .select(col(idCol), col("v"))
     val perRound = math.max(1, math.ceil((nlist - 1).toDouble /
       math.max(1, rounds)).toInt)
-    var have = 1
-    while (have < nlist) {
-      val take = math.min(perRound, nlist - have)
+    var have = 1L
+    var exhausted = false
+    var prior: Option[DataFrame] = None
+    while (have < nlist && !exhausted) {
+      val take = math.min(perRound.toLong, nlist - have).toInt
       val s = seeds.select(col(idCol).as("sid"), col("v").as("vs"))
       val far = v.crossJoin(broadcast(s))
         .withColumn("c", ndot6(col("v"), col("vs")))
@@ -91,8 +93,16 @@ object Similarity {
           "left_anti")
         .orderBy(col("best").asc, col(idCol).asc) // farthest = lowest cos
         .limit(take)
-      seeds = seeds.unionByName(far.select(col(idCol), col("v"))).persist()
-      have += take
+        .select(col(idCol), col("v"))
+      val next = seeds.unionByName(far).persist()
+      // count the seeds actually ADMITTED: a corpus smaller than nlist
+      // runs dry, and advancing by `take` would silently under-seed
+      val total = next.count()
+      exhausted = total == have
+      have = total
+      prior.foreach(_.unpersist())
+      prior = Some(next)
+      seeds = next
     }
     seeds.select(col(idCol), col("v").as(embCol))
   }

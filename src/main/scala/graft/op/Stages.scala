@@ -14,7 +14,13 @@ final case class Env(
     spark: SparkSession,
     collection: String => DataFrame = n =>
       throw new IllegalArgumentException(s"no collection $n"),
+    /** topic-shaped side outputs ($probe's counts topic). */
     sink: (String, DataFrame) => Unit = (_, _) => (),
+    /** collection-shaped side outputs: $merge/$out write COLLECTIONS in
+      * the reference (docs/aggregation_stages.md:378-392 — $out is $merge
+      * with on:_id/replace/insert).
+      */
+    collectionSink: (String, DataFrame) => Unit = (_, _) => (),
     /** `$delete`: remove docs from a collection whose `on` fields equal
       * the incoming messages' values (docs/aggregation_stages.md:161-178).
       */
@@ -81,8 +87,8 @@ object Stages {
     case "$redact"   => df => Redact(df, spec)
     case "$validate" => df => Validate(df, Validate.resolve(spec, env.scripts))
     case "$merge"    => df => merge(df, spec, env)
-    case "$out" =>
-      df => { env.sink(spec.asText(), df); df }
+    case "$out" => // $merge with on:_id/replace/insert — a COLLECTION
+      df => { env.collectionSink(spec.asText(), df); df }
     case "$trace" | "$log" => df => df // observability: no data transform
     case "$delete" =>
       val on =
@@ -470,7 +476,7 @@ object Stages {
     val keyed =
       if (spec.has("key")) df.withColumn("_id", expr(df, spec.get("key")))
       else df
-    env.sink(into, keyed)
+    env.collectionSink(into, keyed)
     keyed
   }
 }

@@ -188,12 +188,21 @@ object GoldenTest {
       // HrefStore FIRST — the streaming analog of the batch harness's
       // pass-1 final-state collect; the assertion queries then reduce
       // with every referenced state resolvable
-      val usesHrefs = Files.walk(Paths.get(root)).iterator().asScala
-        .exists(p => Files.isRegularFile(p) &&
-          Files.readString(p).contains("\"href\""))
+      def anyFileContains(base: Path, needle: String): Boolean = {
+        val walk = Files.walk(base)
+        try walk.iterator().asScala.exists(p =>
+          Files.isRegularFile(p) && Files.readString(p).contains(needle))
+        finally walk.close()
+      }
+      // refs can come from input DATA or be CONSTRUCTED by reducer
+      // scripts — scan both the staged inputs and the app directory
+      val usesHrefs = anyFileContains(Paths.get(root), "\"href\"") ||
+        anyFileContains(dir, "href")
       if (usesHrefs) {
         val updaters = streams.toSeq.collect {
-          case (n, df) if n.endsWith("-aggregate") =>
+          // contains, not endsWith: purpose streams of a part with an
+          // `environment` carry a suffix (<type>-aggregate-<env>)
+          case (n, df) if n.contains("-aggregate") =>
             df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
               batch.select("key", "value").collect().foreach { r =>
                 val v = r.getString(1)

@@ -387,18 +387,20 @@ object MessagePipeline {
     }
     // ---- side-effect / sink stages over schemaless frames: expressions
     // compile against the variant ctx; outputs splice into the JSON value
-    case "$out" =>
-      df => { env.sink(spec.asText(), df); df }
+    case "$out" => // $merge with on:_id/replace/insert — a COLLECTION
+      df => { env.collectionSink(spec.asText(), df); df }
     case "$merge" => df => {
       val into = spec.get("into").asText()
       val keyed =
         if (spec.has("key")) {
           val k = ExprCompiler.compile(spec.get("key"), ctxOf(df))
-          df.withColumn("value",
+          // key column first: the value splice below rewrites `value`,
+          // and k must evaluate against the ORIGINAL document both times
+          df.withColumn("key", k.cast(StringType))
+            .withColumn("value",
               setField(col("value"), lit("_id"), wrapJson(k)))
-            .withColumn("key", k.cast(StringType))
         } else df
-      env.sink(into, keyed)
+      env.collectionSink(into, keyed)
       keyed
     }
     case "$delete" => df => {

@@ -38,14 +38,19 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
       asString: Boolean, partId: String = "",
       options: Map[String, String] = Map.empty): Unit = kind match {
     case "collection" =>
-      if (df.isStreaming)
-        df.writeStream
+      if (df.isStreaming) {
+        val writer = df.writeStream
           // stable identity: several parts may upsert one collection
           .option("checkpointLocation",
             s"$root/.checkpoints/$name${if (partId.isEmpty) "" else s"-$partId"}")
           .foreachBatch((batch: DataFrame, _: Long) => upsert(name, batch))
+        // throttled part: pace the trigger so the source's admission cap
+        // is an actual rate (see KafkaIo.sink)
+        options.get("maxPerSecond")
+          .fold(writer)(_ => writer.trigger(
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")))
           .start()
-      else upsert(name, df)
+      } else upsert(name, df)
     case _ => inner.sink(kind, name, df, asString, partId, options)
   }
 
@@ -60,25 +65,30 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
       .withColumn("__bucket", bucketOf(col("_id")))
     val touched = incoming.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSet // ≤ `buckets` values
-    val merged =
-      if (Files.exists(Paths.get(dir(name)))) {
-        val stored = spark.read.parquet(dir(name))
-        // pre-bucketing layouts lack the partition column: recompute
+    val exists = Files.exists(Paths.get(dir(name)))
+    val stored = if (exists) Some(spark.read.parquet(dir(name))) else None
+    // a pre-bucketing (flat) layout must be migrated WHOLE on first touch:
+    // a bucket-only swap would leave the stale flat files at the root next
+    // to the new __bucket=N dirs (conflicting layouts / resurrected rows)
+    val legacy = stored.exists(df => !df.columns.contains("__bucket"))
+    val merged = stored match {
+      case Some(df) =>
         val bucketed =
-          if (stored.columns.contains("__bucket")) stored
-          else stored.withColumn("__bucket", bucketOf(col("_id")))
+          if (legacy) df.withColumn("__bucket", bucketOf(col("_id")))
+          else df.where(col("__bucket").isin(touched.toSeq: _*)) // pruned
         val existing = bucketed
-          .where(col("__bucket").isin(touched.toSeq: _*)) // partition pruning
           .withColumn("__gen", lit(0)).withColumn("__ord", lit(0L))
         existing.unionByName(incoming, allowMissingColumns = true)
-      } else incoming
+      case None => incoming
+    }
     val w = Window.partitionBy("_id")
       .orderBy(col("__gen").desc, col("__ord").desc)
     val latest = merged
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__gen", "__ord", "__rn")
-    swapBuckets(name, latest, touched)
+    if (legacy) writeSwap(name, latest)
+    else swapBuckets(name, latest, touched)
   }
 
   /** `$delete` support (docs/aggregation_stages.md:161-178): drop stored

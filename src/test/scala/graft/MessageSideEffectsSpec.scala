@@ -23,9 +23,9 @@ class MessageSideEffectsSpec extends AnyFunSuite {
       env: Env) =
     MessagePipeline.compile(Js.parse(pipeline), env)(df)
 
-  test("$out routes the message frame to the topic sink, passthrough") {
+  test("$out routes the message frame to the collection sink, passthrough") {
     var seen: Option[org.apache.spark.sql.DataFrame] = None
-    val env = Env(spark, sink = (name, df) =>
+    val env = Env(spark, collectionSink = (name, df) =>
       if (name == "side") seen = Some(df))
     val out = run("""[{"$out":"side"}]""",
       msgs("""{"_id":"a","v":1}"""), env).collect()
@@ -37,7 +37,7 @@ class MessageSideEffectsSpec extends AnyFunSuite {
 
   test("$merge splices _id from key expr and sinks to the collection") {
     var seen: Option[org.apache.spark.sql.DataFrame] = None
-    val env = Env(spark, sink = (name, df) =>
+    val env = Env(spark, collectionSink = (name, df) =>
       if (name == "coll") seen = Some(df))
     val out = run("""[{"$merge":{"into":"coll","key":"$v"}}]""",
       msgs("""{"_id":"a","v":"k7"}"""), env).collect()
@@ -45,6 +45,18 @@ class MessageSideEffectsSpec extends AnyFunSuite {
     assert(doc.get("_id").asText() == "k7")
     assert(out.head.getAs[String]("key") == "k7")
     assert(seen.isDefined)
+  }
+
+  test("$merge key derived from _id evaluates against the ORIGINAL doc") {
+    val env = Env(spark, collectionSink = (_, _) => ())
+    // the stage splices _id = key(doc); the key expression must not
+    // re-resolve against the already-spliced document (a-x-x)
+    val out = run(
+      """[{"$merge":{"into":"c","key":{"$concat":["$_id","-x"]}}}]""",
+      msgs("""{"_id":"a"}"""), env).collect()
+    assert(out.head.getAs[String]("key") == "a-x")
+    assert(Js.parse(out.head.getAs[String]("value"))
+      .get("_id").asText() == "a-x")
   }
 
   test("$delete extracts the `on` fields and hands them to env.delete") {

@@ -157,4 +157,20 @@ class MongoOrderSparkSpec extends AnyFunSuite {
     assert(out.head.get("lo").asInt() == 5)
     assert(out.head.get("hi").asBoolean())
   }
+
+  test("missing fields compare in the Null bracket, not as SQL null") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val msgs = Seq("""{"_id":"1","a":1,"b":2}""", """{"_id":"2","b":2}""")
+      .toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    // Mongo: missing `a` sits in the Null bracket, below every number —
+    // both documents satisfy a < b (a null-propagating compare would
+    // silently drop doc 2)
+    val out = graft.streaming.MessagePipeline.compile(
+      Js.parse("""[{"$match":{"$expr":{"$lt":["$a","$b"]}}}]"""),
+      graft.op.Env(spark))(msgs)
+      .select("key").as[String].collect().toSet
+    assert(out == Set("1", "2"))
+  }
 }

@@ -213,40 +213,86 @@ object SignJwt {
 /** `$s3Csv` (docs/aggregation_stages.md:696-725): per incoming message,
   * fetch a CSV object and emit one message per line; the header row names
   * the fields; values are typed long/double/string (S3CsvStage.java:246-251).
-  * Values stay a JSON-string column (schemaless payload).
+  * Values stay a JSON-string column (schemaless payload). `separator`
+  * defaults to TAB like the reference. With `eTag` set the fan-out is
+  * RESUMABLE: lines already emitted for that object version are skipped
+  * (reference tracks this in `resumeCollection`; here a pluggable per-JVM
+  * tracker — swap `S3Csv.resume` for a shared store on a cluster).
   */
 object S3Csv {
+
+  /** eTag → number of lines already emitted. */
+  trait ResumeTracker extends Serializable {
+    def done(eTag: String): Long
+    def advance(eTag: String, lines: Long): Unit
+  }
+  /** Default tracker: one map per JVM (readResolve keeps it a singleton
+    * across task deserializations in local mode).
+    */
+  object resume extends ResumeTracker {
+    private val progress =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    def done(eTag: String): Long =
+      Option(progress.get(eTag)).map(_.longValue()).getOrElse(0L)
+    def advance(eTag: String, lines: Long): Unit =
+      progress.merge(eTag, java.lang.Long.valueOf(lines),
+        (a, b) => if (b > a) b else a)
+    def clear(): Unit = progress.clear()
+  }
 
   def apply(df: DataFrame, spec: JsonNode, env: Env,
       exprC: (DataFrame, JsonNode) => Column = (d, n) => Stages.expr(d, n))
       : DataFrame = {
     val bucket = exprC(df, spec.get("bucket")).cast(StringType)
     val key = exprC(df, spec.get("key")).cast(StringType)
+    val eTag =
+      if (spec.has("eTag")) exprC(df, spec.get("eTag")).cast(StringType)
+      else lit(null).cast(StringType)
+    // String.split takes a regex — quote the literal separator
+    val separator = java.util.regex.Pattern.quote(
+      if (spec.has("separator")) spec.get("separator").asText() else "\t")
     val store = env.store
-    val fetched = PartitionCalls.appendCall(df, Seq(bucket, key),
+    val tracker = resume
+    val fetched = PartitionCalls.appendCall(df, Seq(bucket, key, eTag),
       ArrayType(StringType),
       () => store.open(), () => store.close(),
       PartitionCalls.maxInFlight(spec)) { args =>
       val content = store.get(args(0).asInstanceOf[String],
         args(1).asInstanceOf[String])
+      val tag = args(2).asInstanceOf[String]
       val lines = content.split("\n").filter(_.nonEmpty)
       if (lines.length < 2) Seq.empty[String]
       else {
-        val header = lines.head.split(",").map(_.trim)
-        lines.tail.toSeq.map { line =>
+        val header = lines.head.split(separator).map(_.trim)
+        val body = lines.tail.toSeq
+        val skip = if (tag == null) 0L else tracker.done(tag)
+        val out = body.drop(skip.toInt).map { line =>
           val o = Js.obj()
-          header.zip(line.split(",").map(_.trim)).foreach { case (h, v) =>
-            typed(v) match {
-              case l: java.lang.Long   => o.put(h, l.longValue())
-              case d: java.lang.Double => o.put(h, d.doubleValue())
-              case s: String           => o.put(h, s)
-            }
+          header.zip(line.split(separator).map(_.trim)).foreach {
+            case (h, v) =>
+              typed(v) match {
+                case l: java.lang.Long   => o.put(h, l.longValue())
+                case d: java.lang.Double => o.put(h, d.doubleValue())
+                case s: String           => o.put(h, s)
+              }
           }
           Js.render(o)
         }
+        if (tag != null) tracker.advance(tag, body.size.toLong)
+        out
       }
     }
-    fetched.withColumn("value", explode(col("__call"))).drop("__call")
+    // the lines REPLACE the incoming message ("lines are emitted as
+    // individual JSON messages"); the old key routes them, like $jq
+    // _id outranks a DATA field named "key" (the message key column only
+    // exists on schemaless frames, which also lack _id/_key columns)
+    val keyCol =
+      if (df.columns.contains("_key")) col("_key").cast(StringType)
+      else if (df.columns.contains("_id")) col("_id").cast(StringType)
+      else if (df.columns.contains("key")) col("key").cast(StringType)
+      else lit(null).cast(StringType)
+    fetched.select(keyCol.as("_key"),
+      explode(col("__call")).as("value"))
   }
 
   /** The reference's CSV typing rule: long, else double, else string. */

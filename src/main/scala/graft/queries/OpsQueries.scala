@@ -91,13 +91,15 @@ object OpsQueries {
 
     // -- $s3Csv via the fixed-object store (typed long/double/string)
     Q.fn("q_s3csv",
-      """SELECT r_regionkey, v.value FROM region,
+      """SELECT NULL AS _key, v.value FROM region,
          (VALUES ('{"id":1,"price":2.5,"name":"widget"}'),
                  ('{"id":2,"price":3,"name":"bolt"}')) v(value)""") {
       (spark, sf) =>
+        // the CSV lines REPLACE the messages (reference semantics): one
+        // (key, line) message per input row per line
         Pipeline.run(Tables.load(spark, sf, "region"),
-          """[{"$s3Csv":{"bucket":"b","key":"k.csv"}},
-              {"$project":{"r_regionkey":1,"value":1}}]""", env(spark, sf))
+          """[{"$s3Csv":{"bucket":"b","key":"k.csv","separator":","}}]""",
+          env(spark, sf))
     },
 
     // -- $delay routes to the retry topic with the configured duration

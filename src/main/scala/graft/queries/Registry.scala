@@ -19,6 +19,7 @@ object Q {
     */
   def session(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.caseSensitive", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

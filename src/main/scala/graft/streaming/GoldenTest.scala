@@ -30,6 +30,22 @@ object GoldenTest {
 
   final case class Result(topic: String, ok: Boolean, detail: String)
 
+  /** File-backed fixture object store for the s3* apps: GETs read
+    * `objects/<bucket>/<key>` under the app dir; PUTs are accepted and
+    * dropped (goldens assert topic outputs, not store contents).
+    */
+  final case class DirObjectStore(base: String) extends graft.op.ObjectStore {
+    def get(bucket: String, key: String): String =
+      Files.readString(Paths.get(base, bucket, key))
+    def put(bucket: String, key: String, content: String): Unit = ()
+  }
+
+  /** 200-stub transport for fixture apps that POST (s3attachments). */
+  object OkHttp extends graft.op.HttpTransport {
+    def apply(m: String, u: String, h: String,
+        b: String): graft.op.HttpResult = graft.op.HttpResult(200, "{}")
+  }
+
   def run(spark: SparkSession, appDir: String, strict: Boolean = false,
       config: Map[String, String] = Map.empty): Seq[Result] = {
     val dir = Paths.get(appDir)
@@ -85,13 +101,18 @@ object GoldenTest {
           options: Map[String, String] = Map.empty): Unit =
         sinks += name -> (sinks.getOrElse(name, Nil) :+ df)
     }
+    // fixture eTags repeat across harness runs in one JVM — resumable
+    // $s3Csv state must not leak between runs
+    graft.op.S3Csv.resume.clear()
     val env = Env(spark,
       collection = name => {
         // preloaded $lookup targets get a typed frame inferred from the docs
         import spark.implicits._
         spark.read.json(preloads(name).toDS)
       },
-      scripts = scripts)
+      scripts = scripts,
+      store = DirObjectStore(dir.resolve("objects").toString),
+      http = OkHttp)
 
     val streams =
       new AppRunner(spark, io, env, config).run(Files.readString(appFile))
@@ -176,9 +197,12 @@ object GoldenTest {
       maxFilesPerTrigger = 10000)
     val runId = java.util.UUID.randomUUID().toString.take(8)
     try {
+      graft.op.S3Csv.resume.clear()
       val env = graft.op.Env(spark,
         collection = name => spark.read.json(preloads(name).toDS),
-        scripts = scripts)
+        scripts = scripts,
+        store = DirObjectStore(dir.resolve("objects").toString),
+        http = OkHttp)
       val streams =
         new AppRunner(spark, io, env, config,
           hrefResolver = Some(HrefStore.Resolver(runId)))
@@ -232,7 +256,8 @@ object GoldenTest {
         val actual = io.tables.getOrElse(t, Nil)
           .flatMap { tbl =>
             val df = spark.table(tbl)
-            if (df.columns.toSet == Set("key", "value"))
+            if (df.columns.toSet == Set("key", "value") ||
+              df.columns.toSet == Set("_key", "value"))
               df.select("value").collect().map(_.getString(0)).toSeq
             else df.toJSON.collect().toSeq
           }

@@ -440,7 +440,8 @@ object MessagePipeline {
           setField(col("value"), lit(as), wrapJson(col(as))))
         .drop(as)
     }
-    case "$s3Csv" => df => graft.op.S3Csv(df, spec, env, msgExpr)
+    case "$s3Csv" => df => // line-messages keep the message-frame shape
+      graft.op.S3Csv(df, spec, env, msgExpr).withColumnRenamed("_key", "key")
     case "$s3Out" => df => graft.op.S3Out(df, spec, env, msgExpr)
     case "$s3Transfer" => df => {
       val as = spec.get("as").asText()

@@ -13,6 +13,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // JSON documents are case-sensitive (content-type vs Content-Type
+      // are DIFFERENT fields in the reference's world)
+      .config("spark.sql.caseSensitive", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -28,6 +28,14 @@ class GoldenStreamingSpec extends AnyFunSuite {
     }
   }
 
+  Seq("s3csv", "s3out", "s3attachments", "s3csv-resumable").foreach { a =>
+    test(s"reference $a app matches under Structured Streaming") {
+      val results = GoldenTest.runStreaming(spark, s"$root/$a")
+      assert(results.nonEmpty, s"no expectations for $a")
+      results.foreach(r => assert(r.ok, s"$a/${r.topic}: ${r.detail}"))
+    }
+  }
+
   // aggregate (event-sourcing) apps run schemaless: raw (key, value)
   // commands keep document field order through the stateful reduce.
   // app36's {href} refs resolve through the run-scoped HrefStore (the

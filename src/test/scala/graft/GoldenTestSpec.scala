@@ -70,4 +70,12 @@ class GoldenTestSpec extends AnyFunSuite {
       check(s"app$n")
     }
   }
+
+  // the reference's s3* fixture apps (TestApp also runs these); objects
+  // come from the fixture `objects/` tree, HTTP is a 200 stub
+  Seq("s3csv", "s3out", "s3attachments", "s3csv-resumable").foreach { a =>
+    test(s"reference $a app matches its golden outputs") {
+      check(a)
+    }
+  }
 }

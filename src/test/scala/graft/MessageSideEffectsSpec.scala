@@ -107,12 +107,27 @@ class MessageSideEffectsSpec extends AnyFunSuite {
     MemStore.put("b1", "k1.csv", "id,score,name\n1,0.5,ann\n2,1.5,bob")
     val env = Env(spark, store = MemStore)
     val out = run(
-      """[{"$s3Csv":{"bucket":"b1","key":{"$concat":["$k",".csv"]}}}]""",
+      """[{"$s3Csv":{"bucket":"b1","key":{"$concat":["$k",".csv"]},
+                     "separator":","}}]""",
       msgs("""{"_id":"a","k":"k1"}"""), env)
       .select("value").as[String].collect().map(Js.parse).sortBy(_.get("id").asLong())
     assert(out.length == 2)
     assert(out(0).get("id").asLong() == 1 && out(0).get("score").asDouble() == 0.5)
     assert(out(1).get("name").asText() == "bob")
+  }
+
+  test("$s3Csv with eTag resumes: already-emitted lines are skipped") {
+    graft.op.S3Csv.resume.clear()
+    MemStore.put("br", "r.csv", "a,b\n1,2\n3,4\n5,6")
+    val env = Env(spark, store = MemStore)
+    def emit() = run(
+      """[{"$s3Csv":{"bucket":"br","key":"r.csv","separator":",",
+                     "eTag":"$tag"}}]""",
+      msgs("""{"_id":"a","tag":"etag-1"}"""), env)
+      .select("value").as[String].collect()
+    assert(emit().length == 3) // fresh eTag: every line
+    assert(emit().isEmpty)     // replay of the same object version: none
+    graft.op.S3Csv.resume.clear()
   }
 
   test("$s3Out writes the raw message JSON as the object body") {

@@ -115,7 +115,7 @@ class SideEffectsSpec extends AnyFunSuite {
     MemStore.put("b1", "data.csv", "id,price,name\n1,2.5,widget\n2,3.5,bolt\n")
     val df = Seq(("m1", "b1", "data.csv")).toDF("_id", "bucket", "key")
     val out = Pipeline.run(df,
-      """[{"$s3Csv":{"bucket":"$bucket","key":"$key"}}]""", env)
+      """[{"$s3Csv":{"bucket":"$bucket","key":"$key","separator":","}}]""", env)
     val vals = out.select("value").as[String].collect().map(Js.parse).sortBy(_.get("id").asLong())
     assert(vals.length == 2)
     assert(vals(0).get("id").isIntegralNumber && vals(0).get("id").asLong() == 1)

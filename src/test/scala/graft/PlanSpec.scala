@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: the properties that keep the engine
+  * 100 TB-shaped must survive refactors — filters reach the parquet scan,
+  * small lookup sides broadcast, pair search never degrades to a
+  * nested-loop product, and nothing funnels through a single-partition
+  * exchange on the batch path.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame = {
+    graft.queries.Q.session(spark)
+    SparkEntry.queries(name)(spark, sf)
+  }
+
+  test("$match predicates push into the parquet scan") {
+    val p = plan(q("q_match_basic"))
+    // at least one scan carries a NON-empty pushed-filter list
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      "no filter reached the scan:\n" + p.take(800))
+  }
+
+  test("$lookup broadcasts the small dimension side") {
+    val p = plan(q("q_lookup_unwind"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("celled embedding pairs never plan a nested-loop product") {
+    val p = plan(q("q_dedup_embedding_multiprobe"))
+    // the centroid assignment broadcasts (nested-loop against a tiny
+    // broadcast side is the intended crossJoin); the PAIR join must be a
+    // hash equi-join on cell, never a product of the corpus with itself
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("banded simhash pairs join by equi-key, not all-pairs") {
+    val p = plan(q("q_dedup_simhash_pairs"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("batch $per has no single-partition exchange") {
+    graft.queries.Q.session(spark)
+    val df = Tables.load(spark, sf, "region")
+    val out = graft.op.Pipeline.run(df,
+      """[{"$per":{"amount":2,"as":"batch"}}]""",
+      graft.op.Env(spark))
+    assert(!plan(out).contains("SinglePartition"), plan(out).take(1200))
+  }
+
+  test("LSH pair search is an equi-join on band keys") {
+    val p = plan(q("q_dedup_lsh"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+}

@@ -511,6 +511,27 @@ object MessagePipeline {
         case "$push"  => collect_list(c.cast(StringType))
         case "$addToSet" =>
           array_sort(collect_set(c.cast(StringType)))
+        // arrival order across partitions is nondeterministic for
+        // $first/$last/$mergeObjects — same caveat as the typed path
+        case "$first" => first(c)
+        case "$last"  => last(c)
+        case "$stdDevPop" =>
+          stddev_pop(if (isVariant) c.cast("double") else c)
+        case "$mergeObjects" =>
+          // field-wise merge over the group's JSON objects, later
+          // non-null fields win (Mongo's ignore-null merge)
+          val mergeFn = udf((objs: Seq[String]) => {
+            val out = Js.obj()
+            objs.filter(_ != null).foreach { s =>
+              val n = Js.parse(s)
+              if (n.isObject) Js.fields(n).foreach { case (k, v) =>
+                if (!v.isNull) out.set[JsonNode](k, v)
+              }
+            }
+            Js.render(out)
+          })
+          call_function("parse_json",
+            mergeFn(collect_list(to_json(c))))
         case other =>
           throw new IllegalArgumentException(
             s"accumulator $other in schemaless mode")

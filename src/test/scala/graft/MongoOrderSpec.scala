@@ -158,6 +158,31 @@ class MongoOrderSparkSpec extends AnyFunSuite {
     assert(out.head.get("hi").asBoolean())
   }
 
+  test("schemaless $first/$last/$stdDevPop/$mergeObjects accumulators") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val msgs = Seq(
+      """{"_id":"1","g":"x","v":2,"o":{"a":1,"b":null}}""",
+      """{"_id":"2","g":"x","v":4,"o":{"b":2,"c":3}}""").toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    val out = graft.streaming.MessagePipeline.compile(
+      Js.parse("""[{"$group":{"_id":"$g",
+                    "f":{"$first":"$v"},"l":{"$last":"$v"},
+                    "sd":{"$stdDevPop":"$v"},
+                    "m":{"$mergeObjects":"$o"}}}]"""),
+      graft.op.Env(spark))(msgs)
+      .select("value").as[String].collect().map(Js.parse)
+    assert(out.length == 1)
+    val doc = out.head
+    assert(Set(2, 4).contains(doc.get("f").asInt()))
+    assert(Set(2, 4).contains(doc.get("l").asInt()))
+    assert(math.abs(doc.get("sd").asDouble() - 1.0) < 1e-9)
+    val m = doc.get("m")
+    // b=null in doc 1 is ignored; doc 2's b=2 wins; a and c both kept
+    assert(m.get("a").asInt() == 1 && m.get("b").asInt() == 2 &&
+      m.get("c").asInt() == 3)
+  }
+
   test("missing fields compare in the Null bracket, not as SQL null") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

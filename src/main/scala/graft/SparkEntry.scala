@@ -8,7 +8,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    CoreQueries.all ++ ExprQueries.all ++ MlQueries.all ++ OpsQueries.all
+    CoreQueries.all ++ ExprQueries.all ++ MlQueries.all ++ OpsQueries.all ++
+      AggregateQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * revenue by order priority for high-discount lineitems —

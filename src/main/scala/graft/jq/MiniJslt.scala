@@ -408,9 +408,89 @@ object MiniJslt {
         args.head.asText().split(args(1).asText(), -1).foreach(a.add)
         a
       case "trim" => TextNode.valueOf(args.head.asText().trim)
+
+      // ---- the reference's custom function set (docs/custom_jslt.md) ----
+      case "base64-encode" =>
+        TextNode.valueOf(java.util.Base64.getEncoder
+          .encodeToString(args.head.asText()
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case "base64-decode" =>
+        TextNode.valueOf(new String(
+          java.util.Base64.getDecoder.decode(args.head.asText()),
+          java.nio.charset.StandardCharsets.UTF_8))
+      case "uri-encode" => // URI %-encoding (URLEncoder is form-encoding:
+        // '+' for space — URIs want %20)
+        TextNode.valueOf(java.net.URLEncoder
+          .encode(args.head.asText(), "UTF-8").replace("+", "%20"))
+      case "uri-decode" =>
+        TextNode.valueOf(
+          java.net.URLDecoder.decode(args.head.asText(), "UTF-8"))
+      case "uuid" =>
+        TextNode.valueOf(java.util.UUID.randomUUID().toString)
+      case "substr" =>
+        val s = args.head.asText()
+        val from = args(1).asInt()
+        val to = if (args.size > 2) args(2).asInt() else s.length
+        TextNode.valueOf(s.substring(from, to))
+      case "parse-iso-instant" => // ISO 8601 timestamp -> epoch SECONDS
+        try LongNode.valueOf(
+          java.time.Instant.parse(args.head.asText()).getEpochSecond)
+        catch { case _: Exception => NullNode.getInstance }
+      case "pointer" => // combine the arguments into one RFC 6901 pointer
+        TextNode.valueOf(args.map(a =>
+          "/" + escapePointer(
+            if (a.isTextual) a.asText() else Js.render(a))).mkString)
+      case "get-pointer" =>
+        val v = args.head.at(args(1).asText())
+        if (v.isMissingNode)
+          (if (args.size > 2) args(2) else NullNode.getInstance) else v
+      case "set-pointer" =>
+        setPointer(args.head, args(1).asText(), args(2))
+      case "trace" => // identity with a log side effect (reference traces
+        // to the app logger, Context.java:75)
+        graft.op.LogSink.jslt("graft.jslt", "INFO",
+          "'" + Js.render(args.head) + "'", null, null, null)
+        args.head
+
       case other =>
         throw new IllegalArgumentException(s"undefined function $other")
     }
+
+  private def escapePointer(seg: String): String =
+    seg.replace("~", "~0").replace("/", "~1")
+
+  /** RFC 6901 set: returns a NEW document with `value` at `ptr`; missing
+    * intermediate objects are created, array segments must resolve ("-"
+    * appends).
+    */
+  private def setPointer(root: JsonNode, ptr: String, value: JsonNode)
+      : JsonNode = {
+    import com.fasterxml.jackson.databind.node.ArrayNode
+    if (ptr.isEmpty) return value
+    val segs = ptr.split("/", -1).drop(1)
+      .map(_.replace("~1", "/").replace("~0", "~")).toList
+    val copy = root.deepCopy[JsonNode]()
+    var cur: JsonNode = copy
+    segs.init.foreach { s =>
+      cur = cur match {
+        case o: ObjectNode =>
+          if (!o.has(s) || !o.get(s).isContainerNode)
+            o.set[JsonNode](s, Js.obj())
+          o.get(s)
+        case a: ArrayNode => a.get(s.toInt)
+        case other =>
+          throw new IllegalArgumentException(s"set-pointer through $other")
+      }
+    }
+    (cur, segs.last) match {
+      case (o: ObjectNode, k) => o.set[JsonNode](k, value)
+      case (a: ArrayNode, "-") => a.add(value)
+      case (a: ArrayNode, i)  => a.set(i.toInt, value)
+      case (other, _) =>
+        throw new IllegalArgumentException(s"set-pointer into $other")
+    }
+    copy
+  }
 
   private def numericOp(op: String, a: JsonNode, b: JsonNode): JsonNode =
     if (cmpOps(op)) {

@@ -30,6 +30,14 @@ final case class Env(
     scripts: String => String = name =>
       throw new IllegalArgumentException(s"no script loader for $name"),
     lag: () => String = () => "{}",
+    /** `$log` logger name — the application's name once an AppRunner has
+      * parsed the spec (docs/aggregation_stages.md:321).
+      */
+    application: String = "graft",
+    /** `$log`/`$trace` destination (reference LogStage.java writes through
+      * java.util.logging + OTel; tests capture, production binds SLF4J).
+      */
+    logger: LogSink = LogSink.Slf4j,
     store: ObjectStore = new ObjectStore {
       def get(bucket: String, key: String): String =
         throw new IllegalArgumentException("no object store configured")
@@ -89,7 +97,9 @@ object Stages {
     case "$merge"    => df => merge(df, spec, env)
     case "$out" => // $merge with on:_id/replace/insert — a COLLECTION
       df => { env.collectionSink(spec.asText(), df); df }
-    case "$trace" | "$log" => df => df // observability: no data transform
+    // observability: identity dataflow, real log side effect
+    case "$log"   => df => LogOp.log(df, spec, env)
+    case "$trace" => df => LogOp.trace(df, spec, env)
     case "$delete" =>
       val on =
         if (spec.get("on").isArray) Js.elems(spec.get("on")).map(_.asText())

@@ -38,7 +38,7 @@ trait Io {
   * reactive processor chains. Named streams are shared DataFrames (no
   * re-serialization between parts).
   */
-final class AppRunner(spark: SparkSession, io: Io, env: Env,
+final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     config: Map[String, String] = Map.empty,
     /** streaming `{href}` resolution hook (reference app36): aggregate
       * reducers resolve refs through this at reduce time — HrefStore
@@ -47,11 +47,18 @@ final class AppRunner(spark: SparkSession, io: Io, env: Env,
       */
     hrefResolver: Option[String => Option[String]] = None) {
 
+  /** `$log` writes to a logger named after the application
+    * (docs/aggregation_stages.md:321) — rebound per run() from the spec.
+    */
+  private var env: Env = env0
+
   def run(yamlOrJson: String): Map[String, DataFrame] = {
     val spec = Parameters.build(
       if (yamlOrJson.trim.startsWith("{")) Js.parse(yamlOrJson)
       else Js.parseYaml(yamlOrJson),
-      config, env.scripts)
+      config, env0.scripts)
+    env = Option(spec.get("application")).filter(_.isTextual)
+      .map(a => env0.copy(application = a.asText())).getOrElse(env0)
     val parts = Js.elems(spec.get("parts"))
     var streams = Map.empty[String, DataFrame]
 

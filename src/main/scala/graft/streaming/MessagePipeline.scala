@@ -183,7 +183,16 @@ object MessagePipeline {
             }.getOrElse(col("value"))))
         .drop("__call")
     }
-    case "$trace" | "$log" | "$throttle" => df => df
+    case "$throttle" => df => df // admission control, applied at the source
+    case "$log" => df =>
+      graft.op.LogOp.log(df, spec, env,
+        n => ExprCompiler.compile(n, ctxOf(df)),
+        get_json_object(col("value"), "$._corr"))
+    case "$trace" => df =>
+      graft.op.LogOp.trace(df, spec, env,
+        n => ExprCompiler.compile(n, ctxOf(df)),
+        col("value"),
+        get_json_object(col("value"), "$._corr"))
     case "$probe" => // observe() metrics → ProbeListener → probe topic
       df => df.observe(spec.get("name").asText(),
         count(lit(1)).as("count"))

@@ -61,6 +61,10 @@ class GoldenTestSpec extends AnyFunSuite {
     check("validmacro")
   }
 
+  test("custom JSLT function set app matches (strict)") {
+    check("jsltcustom", strict = true)
+  }
+
   // The reference's own fixture applications, ported verbatim
   // (reference src/test/resources/appN; Test.java runs them lenient).
   private val ported = (1 to 40)

@@ -323,14 +323,22 @@ object Stages {
     */
   private def accumulator(df: DataFrame, op: String, arg: JsonNode): Column = {
     lazy val c = expr(df, arg)
+    // Arrival-order accumulators ($first/$last/$mergeObjects) are
+    // nondeterministic across partition orders; when the frame carries the
+    // streaming layer's __ord stamp, rank by it instead (max_by/min_by).
+    // NOTE max_by/min_by rank a SQL-null ordering key SMALLEST, not
+    // skipped — conditioning the key on the value's non-nullness makes
+    // null-valued rows lose, which is exactly Mongo's ignore-null merge.
+    val ord: Option[Column] =
+      if (df.columns.contains("__ord")) Some(col("__ord")) else None
     op match {
       case "$sum"       => sum(c)
       case "$avg"       => avg(c)
       case "$min"       => min(c)
       case "$max"       => max(c)
       case "$count"     => count(lit(1))
-      case "$last"      => last(c)
-      case "$first"     => first(c)
+      case "$last"      => ord.map(o => max_by(c, o)).getOrElse(last(c))
+      case "$first"     => ord.map(o => min_by(c, o)).getOrElse(first(c))
       case "$push"      => collect_list(c)
       case "$addToSet"  => array_sort(collect_set(c))
       case "$stdDevPop" => stddev_pop(c)
@@ -339,10 +347,14 @@ object Stages {
         // — for a struct, that is last-non-null per field
         ctxOf(df).typeOf(c) match {
           case st: StructType =>
-            struct(st.fields.map(f =>
-              last(c.getField(f.name), ignoreNulls = true).as(f.name))
-              .toIndexedSeq: _*)
-          case _ => last(c)
+            struct(st.fields.map { f =>
+              val v = c.getField(f.name)
+              ord.map(o => max_by(v, when(v.isNotNull, o)))
+                .getOrElse(last(v, ignoreNulls = true)).as(f.name)
+            }.toIndexedSeq: _*)
+          case _ =>
+            ord.map(o => max_by(c, when(c.isNotNull, o)))
+              .getOrElse(last(c, ignoreNulls = true))
         }
       case other =>
         throw new IllegalArgumentException(s"unsupported accumulator $other")

@@ -138,6 +138,36 @@ object CoreQueries {
       """[{"$group":{"_id":"$o_orderkey","tp":{"$last":"$o_totalprice"}}}]""",
       """SELECT o_orderkey AS _id, o_totalprice AS tp FROM orders"""),
 
+    // -- $group: $mergeObjects with the __ord determinism stamp — per-field
+    // last-non-null ranked by __ord, not partition arrival order
+    // (docs/aggregation_stages.md:35; Mongo merge ignores null/missing).
+    // Field a is only present on 'O' orders, b only on 'F' — the merge must
+    // pick each field's latest non-null independently.
+    Q.pipe("q_group_mergeobjects", "orders",
+      """[{"$addFields":{"__ord":"$o_orderkey",
+           "v":{"a":{"$cond":[{"$eq":["$o_orderstatus","O"]},"$o_orderpriority",null]},
+                "b":{"$cond":[{"$eq":["$o_orderstatus","F"]},"$o_totalprice",null]}}}},
+          {"$group":{"_id":"$o_custkey","m":{"$mergeObjects":"$v"}}},
+          {"$project":{"_id":1,"a":"$m.a","b":"$m.b"}}]""",
+      """SELECT o_custkey AS _id,
+                arg_max(CASE WHEN o_orderstatus='O' THEN o_orderpriority END,
+                        CASE WHEN o_orderstatus='O' THEN o_orderkey END) AS a,
+                arg_max(CASE WHEN o_orderstatus='F' THEN o_totalprice END,
+                        CASE WHEN o_orderstatus='F' THEN o_orderkey END) AS b
+         FROM orders GROUP BY 1"""),
+
+    // -- $group: $first/$last with the __ord stamp (deterministic arrival
+    // order even over multi-row groups; event_id is unique → no tie-break)
+    Q.pipe("q_group_first_last_ord", "events",
+      """[{"$addFields":{"__ord":"$event_id"}},
+          {"$group":{"_id":"$user_id",
+            "first_type":{"$first":"$event_type"},
+            "last_value":{"$last":"$value"}}}]""",
+      """SELECT user_id AS _id,
+                arg_min(event_type, event_id) AS first_type,
+                arg_max(value, event_id) AS last_value
+         FROM events GROUP BY 1"""),
+
     // -- $bucket (docs/aggregation_stages.md:29-71)
     Q.pipe("q_bucket", "customer",
       """[{"$bucket":{"groupBy":"$c_acctbal",

@@ -346,6 +346,58 @@ object ExprQueries {
       val kMax = when(k === "1", lit("")).otherwise(k)
       df.groupBy((col("doc_id") % 25).cast("int").as("g"))
         .agg(min_by(j, kMin).as("lo"), max_by(j, kMax).as("hi"))
+    },
+
+    // -- $jes-added/$jes-removed/$jes-changed over JSON-Patch _ops arrays
+    // (docs/aggregation_operators.md:1231-1337): the event frame is built
+    // deterministically from `events`, the oracle re-derives the predicates
+    // with DuckDB list functions over the same constructed _ops list.
+    Q.fn("q_jes_changed",
+      """WITH e AS (
+           SELECT event_id,
+             [struct_pack(op := CASE event_type
+                 WHEN 'signup' THEN 'add' WHEN 'purchase' THEN 'replace'
+                 WHEN 'error' THEN 'remove' ELSE 'test' END,
+               path := '/status'),
+              struct_pack(op := 'replace', path := '/other')] AS ops,
+             event_id % 3 AS bstatus, (event_id + 1) % 3 AS astatus
+           FROM events WHERE event_id < 3000)
+         SELECT event_id,
+           CAST(len(list_filter(ops, o -> o.path = '/status'
+             AND o.op IN ('add','replace','remove'))) > 0 AS INT) AS chg,
+           CAST(len(list_filter(ops, o -> o.path = '/status'
+             AND o.op IN ('add','replace','remove'))) > 0
+             AND bstatus = 1 AND astatus = 2 AS INT) AS chg_12,
+           CAST(len(list_filter(ops, o -> o.path = '/status'
+             AND o.op = 'add')) > 0 AS INT) AS add_st,
+           CAST(len(list_filter(ops, o -> o.path = '/status'
+             AND o.op = 'remove')) > 0 AS INT) AS rm_st,
+           CAST(len(list_filter(ops, o -> o.path = '/other'
+             AND o.op IN ('add','replace','remove'))) > 0 AS INT) AS chg_other
+         FROM e""") { (spark, sfDir) =>
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.load(spark, sfDir, "events")
+        .where(col("event_id") < 3000)
+        .withColumn("__op", expr(
+          """CASE event_type WHEN 'signup' THEN 'add'
+             WHEN 'purchase' THEN 'replace' WHEN 'error' THEN 'remove'
+             ELSE 'test' END"""))
+        .withColumn("_ops", expr(
+          """array(named_struct('op', __op, 'path', '/status'),
+                   named_struct('op', 'replace', 'path', '/other'))"""))
+        .withColumn("_before", struct((col("event_id") % 3).as("status")))
+        .withColumn("_after", struct(((col("event_id") + 1) % 3).as("status")))
+      graft.op.Pipeline.run(ev,
+        """[{"$addFields":{
+             "chg":{"$toInt":{"$jes-changed":{"pointer":"/status"}}},
+             "chg_12":{"$toInt":{"$jes-changed":
+               {"pointer":"/status","from":1,"to":2}}},
+             "add_st":{"$toInt":{"$jes-added":"/status"}},
+             "rm_st":{"$toInt":{"$jes-removed":"/status"}},
+             "chg_other":{"$toInt":{"$jes-changed":{"pointer":"/other"}}}}},
+            {"$project":{"event_id":1,"chg":1,"chg_12":1,"add_st":1,
+                         "rm_st":1,"chg_other":1}}]""",
+        graft.Tables.env(spark, sfDir))
     }
   )
 }

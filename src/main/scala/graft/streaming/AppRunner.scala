@@ -3,6 +3,7 @@ package graft.streaming
 import com.fasterxml.jackson.databind.JsonNode
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.json.Js
 import graft.op.{Env, Pipeline, Stages}
 
@@ -232,25 +233,37 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
         // final state per instance, pass 2 reduces with those states
         // available to `{href}` refs — but ONLY when refs actually occur
         // (the second pass re-runs the whole part, which would double any
-        // side-effecting preprocessor). Streaming would plug a collection-
-        // backed resolver instead (state isn't collectable mid-stream).
+        // side-effecting preprocessor). The final states are reduced
+        // DISTRIBUTED (arg-max on _seq per instance) and shipped as a
+        // broadcast — the build side of a broadcast join; only one row per
+        // instance ever reaches the driver, never the output stream itself.
+        // Beyond broadcast scale, plug a collection-backed `hrefResolver`
+        // (the streaming hook) instead. Streaming uses HrefStore.
         val out =
           if (pre.isStreaming) out0
           else {
-            val states = out0
-              .filter(o => o.dest == "aggregate")
-              .collect()
-            if (!states.exists(_.value.contains("\"href\""))) out0
+            val sess = pre.sparkSession
+            import sess.implicits._
+            val states = out0.filter(o => o.dest == "aggregate")
+            states.persist(StorageLevel.MEMORY_AND_DISK)
+            val anyHref = !states
+              .filter(_.value.contains("\"href\"")).isEmpty
+            if (!anyHref) { states.unpersist(); out0 }
             else {
-              val finalStates = states
-                .groupBy(_.key)
-                .map { case (k, outs) =>
-                  k -> outs.maxBy(o =>
-                    Option(graft.json.Js.parse(o.value).get("_seq"))
-                      .map(_.asLong()).getOrElse(-1L)).value
-                }
+              val finals = states
+                .map(o => (o.key,
+                  Option(graft.json.Js.parse(o.value).get("_seq"))
+                    .map(_.asLong()).getOrElse(-1L),
+                  o.value))
+                .groupByKey(_._1)
+                .reduceGroups((a, b) => if (a._2 >= b._2) a else b)
+                .map { case (_, (k, _, v)) => (k, v) }
+                .collect().toMap
+              states.unpersist()
+              val bc = sess.sparkContext.broadcast(finals)
               AggregatePart(pre,
-                conf.copy(resolver = finalStates.get _), keyOverride)
+                conf.copy(resolver = (id: String) => bc.value.get(id)),
+                keyOverride)
             }
           }
         // uniqueExpression re-keys commands THROUGH the `unique` purpose

@@ -542,8 +542,11 @@ object ExprCompiler {
             .nameUUIDFromBytes(s"$s:$k".getBytes("UTF-8")).toString)
         nameUuid(scope, key)
 
-      case other =>
-        throw new IllegalArgumentException(s"unsupported operator $other")
+      case other => // plugin-provided operators (docs/plugins.md)
+        graft.plugin.Plugins.expression(other)
+          .map(f => f(n, ctx))
+          .getOrElse(
+            throw new IllegalArgumentException(s"unsupported operator $other"))
     }
   }
 

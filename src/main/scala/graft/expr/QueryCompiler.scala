@@ -71,9 +71,14 @@ object QueryCompiler {
     if (isOperatorObject(cond)) operatorConds(target, cond, ctx)
     else eqMatch(target(cond), cond, ctx)
 
+  /** Mongo: in the condition position, any `$`-prefixed key set makes an
+    * operator object (unknown operators then fail loudly in operatorConds —
+    * unless a plugin provides them, docs/plugins.md).
+    */
   private def isOperatorObject(n: JsonNode): Boolean =
     n.isObject && n.size() > 0 &&
-      Js.fields(n).forall { case (k, _) => operatorKeys.contains(k) }
+      Js.fields(n).forall { case (k, _) =>
+        operatorKeys.contains(k) || k.startsWith("$") }
 
   /** Mongo equality on a field: direct equality, or — if the field holds an
     * array — any-element equality (docs/query.md:5-28).
@@ -134,8 +139,11 @@ object QueryCompiler {
         val m = mask(v); Some(target(v).bitwiseAND(m) =!= m)
       case ("$not", v) =>
         Some(!coalesce(operatorConds(target, v, ctx), lit(false)))
-      case (other, _) =>
-        throw new IllegalArgumentException(s"unsupported query operator $other")
+      case (other, v) => // plugin-provided query operators (docs/plugins.md)
+        Some(graft.plugin.Plugins.matchOp(other)
+          .map(f => f(target(v), v, ctx))
+          .getOrElse(throw new IllegalArgumentException(
+            s"unsupported query operator $other")))
     }
     conds.reduce(_ && _)
   }

@@ -452,8 +452,12 @@ object MiniJslt {
           "'" + Js.render(args.head) + "'", null, null, null)
         args.head
 
-      case other =>
-        throw new IllegalArgumentException(s"undefined function $other")
+      case other => // plugin-provided functions (docs/plugins.md) — resolved
+        // at eval time so executor-side UDFs see classpath plugins too
+        graft.plugin.Plugins.jsltFunction(other)
+          .map(f => f(args))
+          .getOrElse(
+            throw new IllegalArgumentException(s"undefined function $other"))
     }
 
   private def escapePointer(seg: String): String =

@@ -229,8 +229,11 @@ object Stages {
             .withColumn("name", lit(spec.get("name").asText())))
         df
       }
-    case other =>
-      throw new IllegalArgumentException(s"unsupported stage $other")
+    case other => // plugin-provided stages (docs/plugins.md)
+      graft.plugin.Plugins.stage(other)
+        .map(f => f(spec, env))
+        .getOrElse(
+          throw new IllegalArgumentException(s"unsupported stage $other"))
   }
 
   // -- field update stages ---------------------------------------------------

@@ -54,6 +54,10 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
   private var env: Env = env0
 
   def run(yamlOrJson: String): Map[String, DataFrame] = {
+    // the reference's `plugins` config entry (docs/plugins.md): a directory
+    // of per-plugin subdirectories/jars, each its own classloader
+    config.get("plugins").foreach(p =>
+      graft.plugin.Plugins.loadDirectory(java.nio.file.Paths.get(p)))
     val spec = Parameters.build(
       if (yamlOrJson.trim.startsWith("{")) Js.parse(yamlOrJson)
       else Js.parseYaml(yamlOrJson),

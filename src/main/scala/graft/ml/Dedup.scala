@@ -195,7 +195,16 @@ object Dedup {
   def embeddingPairsCelled(df: DataFrame, embCol: String, idCol: String,
       threshold: Double, nlist: Int): DataFrame =
     // single probe: a pair occurs in at most one cell, no dedup needed
-    celledPairs(df, embCol, idCol, threshold, nlist, nprobe = 1,
+    celledPairs(df, embCol, idCol, threshold,
+      df.orderBy(col(idCol)).limit(nlist), nprobe = 1, dedup = false)
+
+  /** Celled near-dup pairs with an explicit codebook (e.g. a trained
+    * `Similarity.kmeansCentroids`) — balanced cells bound the worst
+    * O(cell²) pair cost, which is what matters at 100 TB.
+    */
+  def embeddingPairsCelledWith(df: DataFrame, embCol: String, idCol: String,
+      threshold: Double, centroids: DataFrame): DataFrame =
+    celledPairs(df, embCol, idCol, threshold, centroids, nprobe = 1,
       dedup = false)
 
   /** Multi-probe variant of `embeddingPairsCelled`: every vector lands in
@@ -208,12 +217,12 @@ object Dedup {
   def embeddingPairsCelledMulti(df: DataFrame, embCol: String,
       idCol: String, threshold: Double, nlist: Int,
       nprobe: Int): DataFrame =
-    celledPairs(df, embCol, idCol, threshold, nlist, nprobe, dedup = true)
+    celledPairs(df, embCol, idCol, threshold,
+      df.orderBy(col(idCol)).limit(nlist), nprobe, dedup = true)
 
   private def celledPairs(df: DataFrame, embCol: String, idCol: String,
-      threshold: Double, nlist: Int, nprobe: Int,
+      threshold: Double, centroids: DataFrame, nprobe: Int,
       dedup: Boolean): DataFrame = {
-    val centroids = df.orderBy(col(idCol)).limit(nlist)
     val cells =
       Similarity.assignCellsMulti(df, centroids, embCol, idCol, nprobe)
     val a = cells.select(col("cell"), col(idCol).as("id_a"),

@@ -122,10 +122,15 @@ object Similarity {
       .select(col(idCol), col(embCol))
     (0 until iters).foreach { _ =>
       val assigned = assignCells(corpus, centroids, embCol, idCol)
+      // exact fixed-point mean (1e-6 quanta): integer sums are partition-
+      // order-INDEPENDENT (double avg is not) and replayable bit-for-bit
+      // by the DuckDB oracle; the quantization error is below the 6-decimal
+      // rounding the assignment cosines use anyway
       val means = assigned
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg((sum(round(col("col") * 1e6).cast("long")).cast("double") /
+          (count(lit(1)) * lit(1e6))).as("m"))
         .groupBy(col("cell"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),

@@ -35,6 +35,62 @@ object MlQueries {
           x -> x / sqrt(${dotSql(
       "list_transform(embedding, x -> x::DOUBLE)",
       "list_transform(embedding, x -> x::DOUBLE)")}))"""
+  /** Re-normalize an f64 list expression (mirrors Fns.normalized applied to
+    * a centroid frame; lambda var `y` avoids capture when `x` nests inside).
+    */
+  private def renormSql(x: String) =
+    s"list_transform($x, y -> y / sqrt(${dotSql(x, x)}))"
+
+  /** The trained-IVF CTE chain replayed in DuckDB, mirroring
+    * `Similarity.seedFarthestFirst(nlist=8, rounds=1)` +
+    * `kmeansCentroids(iters=1)` (exact fixed-point means) + the final cell
+    * assignment over the emb<300 corpus. Ends with:
+    * `v` (normalized corpus), `cn2` (cell → normalized trained centroid),
+    * `cells` (vec_id, cell, e).
+    */
+  private val kmeansCellsCte =
+    s"""v AS (SELECT vec_id, $normSql AS e FROM embeddings WHERE vec_id<300),
+        s0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
+        far AS (SELECT v.vec_id, v.e FROM v, s0 WHERE v.vec_id <> s0.vec_id
+                ORDER BY ${cosSql("v.e", "s0.e")} ASC, v.vec_id ASC LIMIT 7),
+        seeds AS (SELECT vec_id, e FROM s0
+                  UNION ALL SELECT vec_id, e FROM far),
+        cn AS (SELECT vec_id AS cell, ${renormSql("e")} AS vcent FROM seeds),
+        asg0 AS (SELECT v.vec_id, cell, e, row_number() OVER
+                   (PARTITION BY v.vec_id
+                    ORDER BY ${cosSql("e", "vcent")} DESC, cell) AS r
+                 FROM v CROSS JOIN cn),
+        cells0 AS (SELECT vec_id, cell, e FROM asg0 WHERE r=1),
+        comp AS (SELECT cell, t.range AS pos, e[t.range+1] AS val
+                 FROM cells0, range(64) t),
+        means AS (SELECT cell, pos,
+                    CAST(sum(CAST(round(val*1000000) AS BIGINT)) AS DOUBLE)
+                      / (count(*)*1000000.0) AS m
+                  FROM comp GROUP BY 1,2),
+        cent AS (SELECT cell,
+                   list_transform(list(m ORDER BY pos), x -> x::FLOAT) AS cf
+                 FROM means GROUP BY cell),
+        cn2 AS (SELECT cell,
+                  ${renormSql("list_transform(cf, x -> x::DOUBLE)")} AS vcent
+                FROM cent),
+        asg2 AS (SELECT v.vec_id, cell, e, row_number() OVER
+                   (PARTITION BY v.vec_id
+                    ORDER BY ${cosSql("e", "vcent")} DESC, cell) AS r
+                 FROM v CROSS JOIN cn2),
+        cells AS (SELECT vec_id, cell, e FROM asg2 WHERE r=1)"""
+
+  /** The Spark side of `kmeansCellsCte`: trained codebook over the emb<300
+    * corpus.
+    */
+  private def trainedCodebook(spark: org.apache.spark.sql.SparkSession,
+      sf: String) = {
+    val corpus = Tables.load(spark, sf, "embeddings")
+      .where(col("vec_id") < 300)
+    val seeds = Similarity.seedFarthestFirst(corpus, "embedding", "vec_id",
+      nlist = 8, rounds = 1)
+    (corpus, Similarity.kmeansCentroids(corpus, "embedding", "vec_id",
+      nlist = 8, iters = 1, init = Some(seeds)))
+  }
 
   val all: Seq[Q] = Seq(
     // -- exact deduplication: hash-groupBy, deterministic winner
@@ -216,6 +272,91 @@ object MlQueries {
       val emb = Tables.load(spark, sf, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
         "embedding", "vec_id", k = 3, nlist = 8, nprobe = 2)
+    },
+
+    // -- IVF ANN over the TRAINED codebook (farthest-first seeds + one
+    // Lloyd iteration with exact fixed-point means); the oracle replays
+    // the whole training loop
+    Q.fn("q_knn_ivf_kmeans",
+      s"""WITH $kmeansCellsCte,
+               q AS (SELECT vec_id AS query_id, e AS vq FROM v WHERE vec_id<5),
+               probed AS (SELECT query_id, vq, cell, row_number() OVER
+                            (PARTITION BY query_id
+                             ORDER BY ${cosSql("vq", "vcent")} DESC, cell) AS pr
+                          FROM q CROSS JOIN cn2),
+               cand AS (SELECT query_id, vq, vec_id AS nb_id, cells.e
+                        FROM (SELECT * FROM probed WHERE pr<=2) p
+                        JOIN cells USING(cell) WHERE query_id <> vec_id),
+               ranked AS (SELECT query_id, nb_id, ${cosSql("vq", "e")} AS cos,
+                                 row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ${cosSql("vq", "e")} DESC, nb_id) AS rank
+                          FROM cand)
+          SELECT query_id, CAST(rank AS INT) AS rank, nb_id, cos
+          FROM ranked WHERE rank <= 3""") { (spark, sf) =>
+      val (corpus, cents) = trainedCodebook(spark, sf)
+      Similarity.ivfTopKWith(corpus,
+        Tables.load(spark, sf, "embeddings").where(col("vec_id") < 5),
+        cents, "embedding", "vec_id", k = 3, nprobe = 2)
+    },
+
+    // -- celled near-dup pairs over the trained codebook
+    Q.fn("q_dedup_embedding_celled_kmeans",
+      s"""WITH $kmeansCellsCte
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${cosSql("a.e", "b.e")} AS cos
+          FROM cells a JOIN cells b ON a.cell=b.cell AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a.e", "b.e")} >= 0.35""") { (spark, sf) =>
+      val (corpus, cents) = trainedCodebook(spark, sf)
+      Dedup.embeddingPairsCelledWith(corpus, "embedding", "vec_id",
+        threshold = 0.35, centroids = cents)
+    },
+
+    // -- recall@3 of the trained-codebook IVF against exact brute force,
+    // per query — the quality metric for the ANN scale path
+    Q.fn("q_knn_recall",
+      s"""WITH $kmeansCellsCte,
+               q AS (SELECT vec_id AS query_id, e AS vq FROM v WHERE vec_id<5),
+               probed AS (SELECT query_id, vq, cell, row_number() OVER
+                            (PARTITION BY query_id
+                             ORDER BY ${cosSql("vq", "vcent")} DESC, cell) AS pr
+                          FROM q CROSS JOIN cn2),
+               cand AS (SELECT query_id, vq, vec_id AS nb_id, cells.e
+                        FROM (SELECT * FROM probed WHERE pr<=2) p
+                        JOIN cells USING(cell) WHERE query_id <> vec_id),
+               iranked AS (SELECT query_id, nb_id,
+                                  row_number() OVER (PARTITION BY query_id
+                                    ORDER BY ${cosSql("vq", "e")} DESC, nb_id) AS rank
+                           FROM cand),
+               itop AS (SELECT query_id, nb_id FROM iranked WHERE rank<=3),
+               bscored AS (SELECT query_id, v.vec_id AS nb_id, vq, v.e
+                           FROM q JOIN v ON query_id <> v.vec_id),
+               branked AS (SELECT query_id, nb_id,
+                                  row_number() OVER (PARTITION BY query_id
+                                    ORDER BY ${cosSql("vq", "e")} DESC, nb_id) AS rank
+                           FROM bscored),
+               btop AS (SELECT query_id, nb_id FROM branked WHERE rank<=3),
+               hits AS (SELECT b.query_id, count(*) AS n_hit
+                        FROM btop b JOIN itop i
+                          ON b.query_id=i.query_id AND b.nb_id=i.nb_id
+                        GROUP BY 1)
+          SELECT q.query_id, coalesce(n_hit, 0) AS n_hit,
+                 round(coalesce(n_hit, 0)/3.0, 6) AS recall
+          FROM q LEFT JOIN hits USING(query_id)""") { (spark, sf) =>
+      val (corpus, cents) = trainedCodebook(spark, sf)
+      val queries = Tables.load(spark, sf, "embeddings")
+        .where(col("vec_id") < 5)
+      val ivf = Similarity.ivfTopKWith(corpus, queries, cents,
+        "embedding", "vec_id", k = 3, nprobe = 2)
+      val exact = Similarity.bruteForceTopK(corpus, queries,
+        "embedding", "vec_id", k = 3)
+      val hits = exact.select("query_id", "nb_id")
+        .join(ivf.select("query_id", "nb_id"), Seq("query_id", "nb_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 3.0, 6).as("recall"))
     },
 
     // -- token counting (whitespace + BPE-ish regex)

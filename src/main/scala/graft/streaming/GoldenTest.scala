@@ -267,7 +267,7 @@ object GoldenTest {
     } finally { io.stopAll(); HrefStore.clear(runId) }
   }
 
-  private def compare(topic: String, expectedRaw: Seq[String],
+  private[graft] def compare(topic: String, expectedRaw: Seq[String],
       actualRaw: Seq[JsonNode], strict: Boolean): Result = {
     val expected = expectedRaw.map(s => normalize(Js.parse(s)))
     val actual = actualRaw.map(normalize)

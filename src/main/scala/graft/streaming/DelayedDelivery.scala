@@ -93,10 +93,14 @@ object DelayedDelivery {
   /** Kafka transport via reflection: kafka-clients is a runtime-only
     * dependency (exactly like the `format("kafka")` data source the
     * normal sink path uses). Producers are cached per bootstrap per JVM
-    * (the companion map — deserialized copies share it), and every send
-    * BLOCKS on the returned future: a delayed redelivery that fails must
-    * surface, not vanish into an unobserved async buffer that executor
-    * shutdown discards.
+    * (the companion map — deserialized copies share it). Sends are ASYNC
+    * with a completion callback — N redeliveries pipeline through the
+    * producer's batching instead of costing N broker round-trips — and a
+    * failed redelivery still surfaces: the callback logs it (the same
+    * visibility the old blocking `Future.get` path gave, since `schedule`
+    * only ever logged the throw). A JVM shutdown hook flushes and closes
+    * every cached producer so buffered redeliveries aren't dropped on
+    * executor shutdown.
     */
   final class KafkaTransport(bootstrap: String)
       extends ((String, String, String) => Unit) with Serializable {
@@ -107,11 +111,20 @@ object DelayedDelivery {
       val record = recordCls
         .getConstructor(classOf[String], classOf[Object], classOf[Object])
         .newInstance(topic, key, json)
-      val future = producer.getClass.getMethod("send", recordCls)
-        .invoke(producer, record)
-      // Future.get(): wait for the broker ack so a failed redelivery
-      // throws here (the timer thread logs it) instead of being dropped
-      future.getClass.getMethod("get").invoke(future)
+      val callbackCls =
+        Class.forName("org.apache.kafka.clients.producer.Callback")
+      val callback = java.lang.reflect.Proxy.newProxyInstance(
+        callbackCls.getClassLoader, Array(callbackCls),
+        (_, method, cbArgs) =>
+          if (method.getName == "onCompletion") {
+            // (RecordMetadata, Exception) — a non-null exception is a
+            // dropped redelivery; it must be VISIBLE loss
+            Option(cbArgs(1)).foreach(e => System.err.println(
+              s"graft $$delay redelivery to $topic failed: $e"))
+            null
+          } else null)
+      producer.getClass.getMethod("send", recordCls, callbackCls)
+        .invoke(producer, record, callback)
     }
   }
   object KafkaTransport {
@@ -125,9 +138,18 @@ object DelayedDelivery {
           "org.apache.kafka.common.serialization.StringSerializer")
         props.put("value.serializer",
           "org.apache.kafka.common.serialization.StringSerializer")
-        Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
+        val p = Class
+          .forName("org.apache.kafka.clients.producer.KafkaProducer")
           .getConstructor(classOf[java.util.Properties])
           .newInstance(props).asInstanceOf[AnyRef]
+        // drain in-flight redeliveries before the JVM exits
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            p.getClass.getMethod("flush").invoke(p)
+            p.getClass.getMethod("close").invoke(p)
+          } catch { case _: Throwable => () },
+          s"graft-delay-close-$b"))
+        p
       })
   }
 }

@@ -66,4 +66,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
+
+  test("interval join stays non-vacuous (was empty once in round 2)") {
+    assert(q("q_interval_join").limit(1).count() == 1,
+      "q_interval_join returned no rows — the signup→purchase window " +
+        "predicate or the ns-epoch arithmetic regressed")
+  }
 }

@@ -20,6 +20,7 @@ object MiniJq {
   final case class Field(name: String) extends Step
   final case class Index(i: Int) extends Step
   case object IterateStep extends Step // `[]`: stream the elements/values
+  final case class Slice(from: Option[Int], to: Option[Int]) extends Step
 
   sealed trait Ast
   case object Identity extends Ast
@@ -28,9 +29,13 @@ object MiniJq {
   final case class Pipe(stages: List[Ast]) extends Ast
   final case class Comma(items: List[Ast]) extends Ast
   final case class BinOp(op: String, l: Ast, r: Ast) extends Ast
-  final case class ObjCons(fields: List[(String, Ast)]) extends Ast
+  // keys are expressions (plain identifiers become string literals) so
+  // `{(.k): v}` computed keys and `{a, $x}` shorthand both fit
+  final case class ObjCons(fields: List[(Ast, Ast)]) extends Ast
   final case class ArrCons(items: List[Ast]) extends Ast
-  final case class Del(path: Path) extends Ast
+  final case class Del(target: Ast) extends Ast
+  // `.a = v`, `.a |= f`, `.a += v` … — lhs must be a path expression
+  final case class AssignOp(op: String, lhs: Ast, rhs: Ast) extends Ast
   final case class Call(ns: Option[String], name: String,
       args: List[Ast] = Nil) extends Ast
   final case class IfElse(cond: Ast, thn: Ast, els: Ast) extends Ast
@@ -127,8 +132,32 @@ object MiniJq {
 
   /** `l // r`: the truthy outputs of l, else r. */
   private def parseAlt(t: Tokens): Ast = {
+    var l = parseAssign(t)
+    while (t.peekIs("//")) { t.next(); l = BinOp("//", l, parseAssign(t)) }
+    l
+  }
+
+  private val assignOps =
+    Set("=", "|=", "+=", "-=", "*=", "/=", "%=", "//=")
+
+  /** jq's `=` family is nonassoc, between `//` and `or`. */
+  private def parseAssign(t: Tokens): Ast = {
+    val l = parseOr(t)
+    if (t.peek != null && assignOps(t.peek)) {
+      val op = t.next()
+      AssignOp(op, l, parseOr(t))
+    } else l
+  }
+
+  private def parseOr(t: Tokens): Ast = {
+    var l = parseAnd(t)
+    while (t.peekIs("or")) { t.next(); l = BinOp("or", l, parseAnd(t)) }
+    l
+  }
+
+  private def parseAnd(t: Tokens): Ast = {
     var l = parseCmp(t)
-    while (t.peekIs("//")) { t.next(); l = BinOp("//", l, parseCmp(t)) }
+    while (t.peekIs("and")) { t.next(); l = BinOp("and", l, parseCmp(t)) }
     l
   }
 
@@ -153,32 +182,67 @@ object MiniJq {
 
   private def parseMul(t: Tokens): Ast = {
     var l = parsePostfix(t)
-    while (t.peekIs("*") || t.peekIs("/")) {
+    while (t.peekIs("*") || t.peekIs("/") || t.peekIs("%")) {
       val op = t.next()
       l = BinOp(op, l, parsePostfix(t))
     }
     l
   }
 
-  /** `EXPR?` suppresses errors, like `try EXPR`. */
+  /** `EXPR?` suppresses errors, like `try EXPR`; `EXPR.field` / `EXPR[...]`
+    * navigate into any expression's output (`match(re).captures[0]`).
+    */
   private def parsePostfix(t: Tokens): Ast = {
     var l = parsePrimary(t)
-    while (t.peekIs("?")) { t.next(); l = TryOp(l, None) }
+    var more = true
+    while (more) {
+      if (t.peekIs("?")) { t.next(); l = TryOp(l, None) }
+      else if (t.peekIs(".") && {
+        t.mark(); t.next(); val ok = t.peekIdent || t.peekString; t.reset(); ok
+      }) {
+        t.next()
+        l = Pipe(List(l, Path(parseSteps(t, leadIdent = true))))
+      } else if (t.peekIs("["))
+        l = Pipe(List(l, Path(parseSteps(t, leadIdent = false))))
+      else more = false
+    }
     l
   }
 
-  /** `.a.b[0][].c` after the leading dot: fields, indexes, iterations. */
+  /** `.a.b[0][].c` after the leading dot: fields, indexes (negative too),
+    * string indexes (`.["a b"]`), slices (`.[2:5]`, `.[:3]`, `.[-2:]`)
+    * and iterations.
+    */
   private def parseSteps(t: Tokens, leadIdent: Boolean): List[Step] = {
     val parts = mutable.ListBuffer.empty[Step]
-    if (leadIdent) parts += Field(t.ident())
+    if (leadIdent)
+      parts += Field(if (t.peekString) t.string() else t.ident())
+    def int(): Int = {
+      val neg = t.peekIs("-")
+      if (neg) t.next()
+      val n = t.next().toInt
+      if (neg) -n else n
+    }
     var more = true
     while (more) {
       if (t.peekIs("[")) {
         t.next()
         if (t.peekIs("]")) { t.next(); parts += IterateStep }
-        else { parts += Index(t.next().toInt); t.expect("]") }
-      } else if (t.peekIs(".") && { t.mark(); t.next(); val ok = t.peekIdent; t.reset(); ok }) {
-        t.next(); parts += Field(t.ident())
+        else if (t.peekString) { parts += Field(t.string()); t.expect("]") }
+        else if (t.peekIs(":")) { // .[:n]
+          t.next(); parts += Slice(None, Some(int())); t.expect("]")
+        } else {
+          val i = int()
+          if (t.peekIs(":")) {
+            t.next()
+            val to = if (t.peekIs("]")) None else Some(int())
+            parts += Slice(Some(i), to)
+          } else parts += Index(i)
+          t.expect("]")
+        }
+      } else if (t.peekIs(".") && { t.mark(); t.next(); val ok = t.peekIdent || t.peekString; t.reset(); ok }) {
+        t.next()
+        parts += Field(if (t.peekString) t.string() else t.ident())
       } else more = false
     }
     parts.toList
@@ -202,11 +266,25 @@ object MiniJq {
       } else Identity
     case "{" =>
       t.next()
-      val fields = mutable.ListBuffer[(String, Ast)]()
+      val fields = mutable.ListBuffer[(Ast, Ast)]()
       while (!t.peekIs("}")) {
-        val key = if (t.peekString) t.string() else t.ident()
-        t.expect(":")
-        fields += key -> parseObjVal(t)
+        if (t.peekIs("$")) { // {$x} == {x: $x}
+          t.next()
+          val v = t.ident()
+          fields += Lit(TextNode.valueOf(v)) -> VarRef(v)
+        } else if (t.peekIs("(")) { // {(expr): v} computed key
+          t.next()
+          val k = parseExpr(t)
+          t.expect(")"); t.expect(":")
+          fields += k -> parseObjVal(t)
+        } else {
+          val key = if (t.peekString) t.string() else t.ident()
+          if (t.peekIs(":")) {
+            t.next()
+            fields += Lit(TextNode.valueOf(key)) -> parseObjVal(t)
+          } else // {a} == {a: .a}
+            fields += Lit(TextNode.valueOf(key)) -> Path(List(Field(key)))
+        }
         if (t.peekIs(",")) t.next()
       }
       t.expect("}")
@@ -264,21 +342,25 @@ object MiniJq {
       t.next(); val e = parseExpr(t); t.expect(")"); e
     case "if" =>
       t.next()
-      val cond = parseExpr(t)
-      t.expect("then")
-      val thn = parseExpr(t)
-      val els =
-        if (t.peekIs("else")) { t.next(); parseExpr(t) }
-        else Identity // JQ: missing else passes the input through
-      t.expect("end")
-      IfElse(cond, thn, els)
+      def clause(): Ast = { // cond then BODY [elif…] [else BODY] end
+        val cond = parseExpr(t)
+        t.expect("then")
+        val thn = parseExpr(t)
+        val els =
+          if (t.peekIs("elif")) { t.next(); clause() }
+          else if (t.peekIs("else")) { t.next(); val e = parseExpr(t); t.expect("end"); e }
+          else { t.expect("end"); Identity } // missing else: pass through
+        IfElse(cond, thn, els)
+      }
+      clause()
     case "del" =>
       t.next(); t.expect("(")
-      t.expect(".")
-      val parts = mutable.ListBuffer[Step](Field(t.ident()))
-      while (t.peekIs(".")) { t.next(); parts += Field(t.ident()) }
+      val target = parseExpr(t)
       t.expect(")")
-      Del(Path(parts.toList))
+      Del(target)
+    case ".." => t.next(); Call(None, "recurse", Nil)
+    case s if s != null && s.head == '@' => // @base64, @csv, … format filters
+      t.next(); Call(None, s, Nil)
     case s if t.peekString =>
       val raw = t.string()
       if (!raw.contains('\u0000')) Lit(TextNode.valueOf(raw))
@@ -352,7 +434,24 @@ object MiniJq {
       else Seq(Option(n.get(f)).getOrElse(NullNode.getInstance))
     case Index(i) =>
       if (n == null || n.isNull) Seq(NullNode.getInstance)
-      else Seq(Option(n.get(i)).getOrElse(NullNode.getInstance))
+      else {
+        val at = if (i < 0) n.size() + i else i
+        Seq(Option(n.get(at)).getOrElse(NullNode.getInstance))
+      }
+    case Slice(from, to) =>
+      if (n == null || n.isNull) Seq(NullNode.getInstance)
+      else {
+        val len = if (n.isTextual) n.asText().length else n.size()
+        def clamp(i: Int) = math.max(0, math.min(len, if (i < 0) len + i else i))
+        val lo = clamp(from.getOrElse(0))
+        val hi = math.max(lo, clamp(to.getOrElse(len)))
+        if (n.isTextual) Seq(TextNode.valueOf(n.asText().substring(lo, hi)))
+        else {
+          val a = Js.arr()
+          (lo until hi).foreach(i => a.add(n.get(i)))
+          Seq(a)
+        }
+      }
     case IterateStep =>
       if (n == null || n.isNull) Seq.empty
       else if (n.isArray) Js.elems(n)
@@ -408,10 +507,14 @@ object MiniJq {
         stages.foldLeft(Seq(in))((ns, s) => ns.flatMap(eval(s, _, defs, vars)))
       case Comma(items) => items.flatMap(eval(_, in, defs, vars))
       case ObjCons(fields) =>
-        fields.foldLeft(Seq(Js.obj())) { case (objs, (k, e)) =>
-          for { o <- objs; v <- eval(e, in, defs, vars) } yield {
+        fields.foldLeft(Seq(Js.obj())) { case (objs, (ke, e)) =>
+          for {
+            o <- objs
+            k <- eval(ke, in, defs, vars)
+            v <- eval(e, in, defs, vars)
+          } yield {
             val c = o.deepCopy[ObjectNode]()
-            c.set[JsonNode](k, v)
+            c.set[JsonNode](k.asText(), v)
             c
           }
         }
@@ -419,16 +522,34 @@ object MiniJq {
         val a = Js.arr()
         items.foreach(e => eval(e, in, defs, vars).foreach(a.add))
         Seq(a)
-      case Del(Path(parts)) =>
-        val out = in.deepCopy[JsonNode]()
-        val fieldNames = parts.collect { case Field(f) => f }
-        val parent = fieldNames.init.foldLeft(out)((n, p) =>
-          Option(n.get(p)).getOrElse(NullNode.getInstance))
-        parent match {
-          case o: ObjectNode => o.remove(fieldNames.last)
-          case _             =>
+      case Del(target) =>
+        Seq(delPaths(in, concretePaths(target, in, defs, vars)))
+      case AssignOp(op, lhs, rhs) =>
+        val paths = concretePaths(lhs, in, defs, vars)
+        op match {
+          case "|=" => // update: f sees the old value at each path
+            Seq(paths.foldLeft(in) { (acc, p) =>
+              val old = getPath(acc, p)
+              eval(rhs, old, defs, vars).headOption match {
+                case Some(v) => setPath(acc, p, v)
+                case None    => delPaths(acc, Seq(p)) // empty update deletes
+              }
+            })
+          case "=" => // plain: rhs evaluated against the ORIGINAL input,
+            // one output per rhs output
+            eval(rhs, in, defs, vars).map(v =>
+              paths.foldLeft(in)((acc, p) => setPath(acc, p, v)))
+          case _ => // op= : lhs |= . OP v, v against the original input
+            val op0 = op.dropRight(1) // "+=" -> "+", "//=" -> "//"
+            eval(rhs, in, defs, vars).map(v =>
+              paths.foldLeft(in) { (acc, p) =>
+                val old = getPath(acc, p)
+                val nv =
+                  if (op0 == "//") (if (truthyJq(old)) old else v)
+                  else binop(op0, old, v)
+                setPath(acc, p, nv)
+              })
         }
-        Seq(out)
       case Call(ns, name, args) =>
         val key = ns.map(n => s"$n::$name").getOrElse(name)
         defs.get(key) match {
@@ -448,6 +569,16 @@ object MiniJq {
       case BinOp("//", l, r) =>
         val lv = eval(l, in, defs, vars).filter(truthyJq)
         if (lv.nonEmpty) lv else eval(r, in, defs, vars)
+      case BinOp("and", l, r) =>
+        eval(l, in, defs, vars).flatMap(a =>
+          if (!truthyJq(a)) Seq(BooleanNode.FALSE)
+          else eval(r, in, defs, vars)
+            .map(b => BooleanNode.valueOf(truthyJq(b))))
+      case BinOp("or", l, r) =>
+        eval(l, in, defs, vars).flatMap(a =>
+          if (truthyJq(a)) Seq(BooleanNode.TRUE)
+          else eval(r, in, defs, vars)
+            .map(b => BooleanNode.valueOf(truthyJq(b))))
       case BinOp(op, l, r) =>
         // jq iterates the RIGHT operand in the outer loop:
         // (1,2)+(10,20) yields 11,12,21,22 (not 11,21,12,22)
@@ -473,6 +604,171 @@ object MiniJq {
   private def truthyJq(c: JsonNode): Boolean =
     !(c.isNull || (c.isBoolean && !c.asBoolean()))
 
+  // -- paths ----------------------------------------------------------------
+  // A concrete path is a list of object keys (Left) / array indexes (Right).
+
+  private type PathElem = Either[String, Int]
+
+  /** The concrete paths a path expression designates in `in` — the
+    * machinery behind `del`, assignments, `paths` and `path(f)`.
+    */
+  private def concretePaths(ast: Ast, in: JsonNode, defs: Map[String, FnDef],
+      vars: Map[String, JsonNode]): Seq[List[PathElem]] = ast match {
+    case Identity => Seq(Nil)
+    case Path(steps) =>
+      def expand(node: JsonNode, rest: List[Step],
+          acc: List[PathElem]): Seq[List[PathElem]] = rest match {
+        case Nil => Seq(acc.reverse)
+        case Field(f) :: more =>
+          val next = if (node == null || node.isNull) NullNode.getInstance
+            else Option(node.get(f)).getOrElse(NullNode.getInstance)
+          expand(next, more, Left(f) :: acc)
+        case Index(i) :: more =>
+          val at = if (i < 0 && node != null) node.size() + i else i
+          val next = if (node == null || node.isNull) NullNode.getInstance
+            else Option(node.get(at)).getOrElse(NullNode.getInstance)
+          expand(next, more, Right(at) :: acc)
+        case IterateStep :: more =>
+          if (node == null || node.isNull) Seq.empty
+          else if (node.isArray)
+            (0 until node.size()).flatMap(i =>
+              expand(node.get(i), more, Right(i) :: acc))
+          else if (node.isObject)
+            Js.fields(node).flatMap { case (k, v) =>
+              expand(v, more, Left(k) :: acc)
+            }
+          else Seq.empty
+        case Slice(_, _) :: _ =>
+          throw new IllegalArgumentException("slice is not assignable here")
+      }
+      expand(in, steps, Nil)
+    case Comma(items) => items.flatMap(concretePaths(_, in, defs, vars))
+    case Pipe(stages) => // `.a | .b` as a path: chase each prefix path
+      stages.foldLeft(Seq(List.empty[PathElem])) { (prefixes, s) =>
+        prefixes.flatMap(p =>
+          concretePaths(s, getPath(in, p), defs, vars).map(p ++ _))
+      }
+    case Call(None, name, Nil) if defs.contains(name) =>
+      concretePaths(defs(name).body, in, defs, vars)
+    case other =>
+      throw new IllegalArgumentException(
+        s"not a path expression: $other")
+  }
+
+  private def getPath(n: JsonNode, path: Seq[PathElem]): JsonNode =
+    path.foldLeft(n) { (cur, p) =>
+      if (cur == null || cur.isNull) NullNode.getInstance
+      else p match {
+        case Left(f)  => Option(cur.get(f)).getOrElse(NullNode.getInstance)
+        case Right(i) => Option(cur.get(i)).getOrElse(NullNode.getInstance)
+      }
+    }
+
+  /** Functional set: copies along the path, creating containers for
+    * missing/null intermediates (object for a key, array for an index —
+    * jq setpath semantics, arrays padded with null).
+    */
+  private def setPath(n: JsonNode, path: Seq[PathElem],
+      v: JsonNode): JsonNode = path.toList match {
+    case Nil => v
+    case Left(f) :: rest =>
+      val o: ObjectNode =
+        if (n != null && n.isObject) n.deepCopy[ObjectNode]() else Js.obj()
+      val child = Option(o.get(f)).getOrElse(NullNode.getInstance)
+      o.set[JsonNode](f, setPath(child, rest, v))
+      o
+    case Right(i) :: rest =>
+      val a: ArrayNode =
+        if (n != null && n.isArray) n.deepCopy[ArrayNode]() else Js.arr()
+      val at = if (i < 0) a.size() + i else i
+      require(at >= 0, s"out of range index $i")
+      while (a.size() <= at) a.add(NullNode.getInstance)
+      a.set(at, setPath(a.get(at), rest, v))
+      a
+  }
+
+  /** Delete several concrete paths (longest/greatest-index first, so
+    * earlier deletions don't shift later ones — jq delpaths order).
+    */
+  private def delPaths(n: JsonNode, paths: Seq[Seq[PathElem]]): JsonNode = {
+    def del(node: JsonNode, path: List[PathElem]): JsonNode = path match {
+      case Nil => NullNode.getInstance
+      case Left(f) :: Nil =>
+        node match {
+          case o: ObjectNode =>
+            val c = o.deepCopy[ObjectNode](); c.remove(f); c
+          case other => other
+        }
+      case Right(i) :: Nil =>
+        node match {
+          case a: ArrayNode if i >= 0 && i < a.size() =>
+            val c = a.deepCopy[ArrayNode](); c.remove(i); c
+          case other => other
+        }
+      case head :: rest =>
+        val (key, child) = head match {
+          case Left(f)  => (head, Option(node.get(f)).orNull)
+          case Right(i) => (head, Option(node.get(i)).orNull)
+        }
+        if (child == null) node
+        else setPath(node, Seq(key), del(child, rest))
+    }
+    val ordered = paths.sortWith { (a, b) => // deepest + rightmost first
+      val c = a.length.compareTo(b.length)
+      if (c != 0) c > 0
+      else a.zip(b).collectFirst {
+        case (Right(x), Right(y)) if x != y => x > y
+        case (Left(x), Left(y)) if x != y   => x > y
+      }.getOrElse(false)
+    }
+    ordered.foldLeft(n)((acc, p) => del(acc, p.toList))
+  }
+
+  /** jq's cross-type total order:
+    * null < false < true < numbers < strings < arrays < objects.
+    */
+  private[jq] def cmpJq(a: JsonNode, b: JsonNode): Int = {
+    def rank(n: JsonNode): Int =
+      if (n == null || n.isNull) 0
+      else if (n.isBoolean) { if (n.asBoolean()) 2 else 1 }
+      else if (n.isNumber) 3
+      else if (n.isTextual) 4
+      else if (n.isArray) 5
+      else 6
+    val (ra, rb) = (rank(a), rank(b))
+    if (ra != rb) ra - rb
+    else ra match {
+      case 0 | 1 | 2 => 0
+      case 3 => java.lang.Double.compare(a.asDouble(), b.asDouble())
+      case 4 => a.asText().compareTo(b.asText())
+      case 5 =>
+        val (ea, eb) = (Js.elems(a), Js.elems(b))
+        ea.zip(eb).iterator.map { case (x, y) => cmpJq(x, y) }
+          .find(_ != 0).getOrElse(ea.size - eb.size)
+      case _ =>
+        val (fa, fb) = (Js.fields(a).sortBy(_._1), Js.fields(b).sortBy(_._1))
+        val keyCmp = fa.map(_._1).zip(fb.map(_._1)).iterator
+          .map { case (x, y) => x.compareTo(y) }.find(_ != 0)
+          .getOrElse(fa.size - fb.size)
+        if (keyCmp != 0) keyCmp
+        else fa.zip(fb).iterator.map { case ((_, x), (_, y)) => cmpJq(x, y) }
+          .find(_ != 0).getOrElse(0)
+    }
+  }
+
+  private def pathToArray(p: Seq[PathElem]): ArrayNode = {
+    val a = Js.arr()
+    p.foreach {
+      case Left(f)  => a.add(f)
+      case Right(i) => a.add(i)
+    }
+    a
+  }
+
+  private def arrayToPath(n: JsonNode): List[PathElem] =
+    Js.elems(n).map(e =>
+      if (e.isNumber) Right(e.asInt()) else Left(e.asText())).toList
+
   /** The jq builtins the subset supports. `map`/`select`/`empty` are
     * stream operations — trivial on the stream evaluator.
     */
@@ -492,8 +788,20 @@ object MiniJq {
       val a = Js.arr()
       Js.fields(in).map(_._1).sorted.foreach(a.add)
       Seq(a)
-    case "values" =>
-      Seq { val a = Js.arr(); Js.fields(in).foreach(f => a.add(f._2)); a }
+    case "values" => // jq: select(. != null)
+      if (in != null && !in.isNull) Seq(in) else Seq.empty
+    case "keys_unsorted" =>
+      val a = Js.arr()
+      Js.fields(in).map(_._1).foreach(a.add)
+      Seq(a)
+    case "objects"   => if (in.isObject) Seq(in) else Seq.empty
+    case "arrays"    => if (in.isArray) Seq(in) else Seq.empty
+    case "booleans"  => if (in.isBoolean) Seq(in) else Seq.empty
+    case "numbers"   => if (in.isNumber) Seq(in) else Seq.empty
+    case "strings"   => if (in.isTextual) Seq(in) else Seq.empty
+    case "nulls"     => if (in == null || in.isNull) Seq(in) else Seq.empty
+    case "iterables" => if (in.isArray || in.isObject) Seq(in) else Seq.empty
+    case "scalars"   => if (!in.isArray && !in.isObject) Seq(in) else Seq.empty
     case "has" =>
       eval(args.head, in, defs, vars).map {
         case k if k.isTextual => BooleanNode.valueOf(in.has(k.asText()))
@@ -517,9 +825,81 @@ object MiniJq {
         .getOrElse(NullNode.getInstance))
       else eval(args.head, in, defs, vars).take(1)
     case "last" =>
-      Seq(step(in, IterateStep).lastOption.getOrElse(NullNode.getInstance))
+      if (args.isEmpty)
+        Seq(step(in, IterateStep).lastOption.getOrElse(NullNode.getInstance))
+      else Seq(eval(args.head, in, defs, vars).lastOption
+        .getOrElse(NullNode.getInstance))
+    case "nth" =>
+      eval(args.head, in, defs, vars).flatMap { n =>
+        if (args.size == 1)
+          Seq(step(in, IterateStep).lift(n.asInt())
+            .getOrElse(NullNode.getInstance))
+        else eval(args(1), in, defs, vars).slice(n.asInt(), n.asInt() + 1)
+      }
+    case "limit" =>
+      eval(args.head, in, defs, vars).flatMap(n =>
+        eval(args(1), in, defs, vars).take(n.asInt()))
+    case "until" => // until(cond; update): loop . until cond holds
+      var cur = in
+      var guard = 0
+      while (!eval(args.head, cur, defs, vars).headOption.exists(truthyJq)) {
+        cur = eval(args(1), cur, defs, vars).headOption
+          .getOrElse(NullNode.getInstance)
+        guard += 1
+        require(guard < 1000000, "until(cond; update) did not converge")
+      }
+      Seq(cur)
+    case "while" => // while(cond; update): emit . while cond holds
+      val out = mutable.ListBuffer[JsonNode]()
+      var cur = in
+      var guard = 0
+      while (eval(args.head, cur, defs, vars).headOption.exists(truthyJq)) {
+        out += cur
+        cur = eval(args(1), cur, defs, vars).headOption
+          .getOrElse(NullNode.getInstance)
+        guard += 1
+        require(guard < 1000000, "while(cond; update) did not converge")
+      }
+      out.toList
+    case "recurse" => // `..` / recurse(f): . plus descendants, depth-first
+      if (args.isEmpty) {
+        def descend(n: JsonNode): Seq[JsonNode] =
+          n +: (if (n.isArray || n.isObject)
+            step(n, IterateStep).flatMap(descend)
+          else Seq.empty)
+        descend(in)
+      } else { // iterative pre-order walk: jq `def r: ., (f | r); r`
+        val out = mutable.ListBuffer[JsonNode]()
+        val stack = mutable.Stack[JsonNode](in)
+        while (stack.nonEmpty) {
+          val n = stack.pop()
+          out += n
+          require(out.size < 1000000, "recurse(f) did not converge")
+          val children =
+            try eval(args.head, n, defs, vars)
+            catch { case _: Exception => Seq.empty }
+          children.reverseIterator.foreach(stack.push)
+        }
+        out.toList
+      }
     case "range" =>
-      if (args.size >= 2)
+      if (args.size >= 3)
+        (for {
+          from <- eval(args.head, in, defs, vars)
+          upto <- eval(args(1), in, defs, vars)
+          by <- eval(args(2), in, defs, vars)
+        } yield {
+          val (f, u, b) = (from.asDouble(), upto.asDouble(), by.asDouble())
+          val out = mutable.ListBuffer[JsonNode]()
+          var x = f
+          while (if (b > 0) x < u else b < 0 && x > u) {
+            out += (if (x == x.toLong) LongNode.valueOf(x.toLong)
+              else DoubleNode.valueOf(x))
+            x += b
+          }
+          out.toList
+        }).flatten
+      else if (args.size == 2)
         (for {
           from <- eval(args.head, in, defs, vars)
           upto <- eval(args(1), in, defs, vars)
@@ -545,10 +925,8 @@ object MiniJq {
         else if (in.isArray) "array"
         else "object"))
     case "test" =>
-      eval(args.head, in, defs, vars).map(re =>
-        BooleanNode.valueOf(
-          java.util.regex.Pattern.compile(re.asText())
-            .matcher(in.asText()).find()))
+      val (re, _) = regexArgs(args, in, defs, vars)
+      Seq(BooleanNode.valueOf(re.matcher(in.asText()).find()))
     case "capture" => // named groups -> object
       eval(args.head, in, defs, vars).map { re =>
         val p = java.util.regex.Pattern.compile(re.asText())
@@ -575,12 +953,16 @@ object MiniJq {
           else m.replaceAll(quoted))
       }
     case "split" =>
-      eval(args.head, in, defs, vars).map { sep =>
-        val a = Js.arr()
-        in.asText().split(java.util.regex.Pattern.quote(sep.asText()), -1)
-          .foreach(a.add)
-        a: JsonNode
-      }
+      if (args.size > 1) { // split(re; flags): regex split
+        val (re, _) = regexArgs(args, in, defs, vars)
+        Seq(Js.mkArr(re.split(in.asText(), -1).toSeq.map(TextNode.valueOf)))
+      } else
+        eval(args.head, in, defs, vars).map { sep =>
+          val a = Js.arr()
+          in.asText().split(java.util.regex.Pattern.quote(sep.asText()), -1)
+            .foreach(a.add)
+          a: JsonNode
+        }
     case "join" =>
       eval(args.head, in, defs, vars).map(sep =>
         TextNode.valueOf(step(in, IterateStep)
@@ -600,9 +982,406 @@ object MiniJq {
         TextNode.valueOf(in.asText().stripSuffix(p.asText())))
     case "ascii_downcase" => Seq(TextNode.valueOf(in.asText().toLowerCase))
     case "ascii_upcase"   => Seq(TextNode.valueOf(in.asText().toUpperCase))
+    case "trim"  => Seq(TextNode.valueOf(in.asText().trim))
+    case "ltrim" => Seq(TextNode.valueOf(
+      in.asText().dropWhile(_.isWhitespace)))
+    case "rtrim" => Seq(TextNode.valueOf(
+      in.asText().reverse.dropWhile(_.isWhitespace).reverse))
+    case "utf8bytelength" =>
+      Seq(LongNode.valueOf(
+        in.asText().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .length.toLong))
+
+    // -- sorting and grouping (jq cross-type total order) --
+    case "sort" =>
+      Seq(Js.mkArr(Js.elems(in).sortWith(cmpJq(_, _) < 0)))
+    case "sort_by" => // key = the COLLECTED outputs of f, compared as array
+      Seq(Js.mkArr(Js.elems(in)
+        .map(e => (Js.mkArr(eval(args.head, e, defs, vars)), e))
+        .sortWith((a, b) => cmpJq(a._1, b._1) < 0).map(_._2)))
+    case "group_by" =>
+      val keyed = Js.elems(in)
+        .map(e => (Js.mkArr(eval(args.head, e, defs, vars)), e))
+        .sortWith((a, b) => cmpJq(a._1, b._1) < 0)
+      val groups = mutable.ListBuffer[JsonNode]()
+      var cur = mutable.ListBuffer[JsonNode]()
+      var curKey: JsonNode = null
+      keyed.foreach { case (k, e) =>
+        if (curKey != null && cmpJq(curKey, k) != 0) {
+          groups += Js.mkArr(cur.toList); cur = mutable.ListBuffer()
+        }
+        curKey = k; cur += e
+      }
+      if (cur.nonEmpty) groups += Js.mkArr(cur.toList)
+      Seq(Js.mkArr(groups.toList))
+    case "unique" =>
+      val sorted = Js.elems(in).sortWith(cmpJq(_, _) < 0)
+      Seq(Js.mkArr(sorted.foldLeft(List.empty[JsonNode])((acc, e) =>
+        if (acc.nonEmpty && cmpJq(acc.head, e) == 0) acc else e :: acc)
+        .reverse))
+    case "unique_by" =>
+      val keyed = Js.elems(in)
+        .map(e => (Js.mkArr(eval(args.head, e, defs, vars)), e))
+        .sortWith((a, b) => cmpJq(a._1, b._1) < 0)
+      Seq(Js.mkArr(keyed.foldLeft(List.empty[(JsonNode, JsonNode)])(
+        (acc, e) =>
+          if (acc.nonEmpty && cmpJq(acc.head._1, e._1) == 0) acc
+          else e :: acc).reverse.map(_._2)))
+    case "reverse" =>
+      if (in.isTextual) Seq(TextNode.valueOf(in.asText().reverse))
+      else Seq(Js.mkArr(Js.elems(in).reverse))
+    case "min" =>
+      Seq(Js.elems(in).reduceOption((a, b) => if (cmpJq(b, a) < 0) b else a)
+        .getOrElse(NullNode.getInstance))
+    case "max" =>
+      Seq(Js.elems(in).reduceOption((a, b) => if (cmpJq(b, a) >= 0) b else a)
+        .getOrElse(NullNode.getInstance))
+    case "min_by" | "max_by" =>
+      val keyed = Js.elems(in)
+        .map(e => (Js.mkArr(eval(args.head, e, defs, vars)), e))
+      Seq(
+        (if (name == "min_by")
+          keyed.reduceOption((a, b) => if (cmpJq(b._1, a._1) < 0) b else a)
+        else
+          keyed.reduceOption((a, b) => if (cmpJq(b._1, a._1) >= 0) b else a))
+          .map(_._2).getOrElse(NullNode.getInstance))
+
+    // -- entries --
+    case "to_entries" =>
+      Seq(Js.mkArr(Js.fields(in).map { case (k, v) =>
+        val o = Js.obj(); o.put("key", k); o.set[JsonNode]("value", v); o
+      }))
+    case "from_entries" =>
+      val o = Js.obj()
+      Js.elems(in).foreach { e =>
+        val k = List("key", "k", "name", "Name", "K", "Key")
+          .flatMap(f => Option(e.get(f))).headOption
+          .getOrElse(NullNode.getInstance)
+        val v = List("value", "v", "Value", "V")
+          .flatMap(f => Option(e.get(f))).headOption
+          .getOrElse(NullNode.getInstance)
+        o.set[JsonNode](
+          if (k.isTextual) k.asText() else Js.render(k), v)
+      }
+      Seq(o)
+    case "with_entries" => // to_entries | map(f) | from_entries
+      builtinFn("to_entries", Nil, in, defs, vars)
+        .flatMap(es => builtinFn("map", args, es, defs, vars))
+        .flatMap(es => builtinFn("from_entries", Nil, es, defs, vars))
+    case "map_values" => // .[] |= f (first output; empty drops the entry)
+      if (in.isObject) {
+        val o = Js.obj()
+        Js.fields(in).foreach { case (k, v) =>
+          eval(args.head, v, defs, vars).headOption
+            .foreach(o.set[JsonNode](k, _))
+        }
+        Seq(o)
+      } else
+        Seq(Js.mkArr(Js.elems(in).flatMap(e =>
+          eval(args.head, e, defs, vars).headOption)))
+
+    // -- predicates --
+    case "any" | "all" =>
+      val stream: Seq[JsonNode] =
+        if (args.isEmpty) step(in, IterateStep)
+        else if (args.size == 1)
+          step(in, IterateStep).flatMap(eval(args.head, _, defs, vars))
+        else eval(args.head, in, defs, vars)
+          .flatMap(v => eval(args(1), v, defs, vars))
+      Seq(BooleanNode.valueOf(
+        if (name == "any") stream.exists(truthyJq)
+        else stream.forall(truthyJq)))
+    case "contains" =>
+      eval(args.head, in, defs, vars)
+        .map(b => BooleanNode.valueOf(containsJq(in, b)))
+    case "inside" =>
+      eval(args.head, in, defs, vars)
+        .map(b => BooleanNode.valueOf(containsJq(b, in)))
+    case "in" =>
+      eval(args.head, in, defs, vars).map {
+        case o if o.isObject => BooleanNode.valueOf(o.has(in.asText()))
+        case a if a.isArray =>
+          BooleanNode.valueOf(in.asInt() >= 0 && in.asInt() < a.size())
+        case _ => BooleanNode.FALSE
+      }
+    case "isnan"      => Seq(BooleanNode.valueOf(
+      in.isNumber && in.asDouble().isNaN))
+    case "isinfinite" => Seq(BooleanNode.valueOf(
+      in.isNumber && in.asDouble().isInfinite))
+    case "infinite"   => Seq(DoubleNode.valueOf(Double.PositiveInfinity))
+    case "nan"        => Seq(DoubleNode.valueOf(Double.NaN))
+
+    // -- arrays --
+    case "flatten" =>
+      val depth =
+        if (args.isEmpty) Int.MaxValue
+        else eval(args.head, in, defs, vars).head.asInt()
+      def flat(n: JsonNode, d: Int): Seq[JsonNode] =
+        Js.elems(n).flatMap(e =>
+          if (e.isArray && d > 0) flat(e, d - 1) else Seq(e))
+      Seq(Js.mkArr(flat(in, depth)))
+    case "transpose" =>
+      val rows = Js.elems(in)
+      val width = rows.map(_.size()).maxOption.getOrElse(0)
+      Seq(Js.mkArr((0 until width).map(i =>
+        Js.mkArr(rows.map(r =>
+          Option[JsonNode](r.get(i)).getOrElse(NullNode.getInstance))))))
+    case "index" | "rindex" | "indices" =>
+      eval(args.head, in, defs, vars).map { needle =>
+        val hits: Seq[Int] =
+          if (in.isTextual) {
+            val (s, sub) = (in.asText(), needle.asText())
+            if (sub.isEmpty) Seq.empty
+            else Iterator.iterate(s.indexOf(sub))(i =>
+              s.indexOf(sub, i + 1)).takeWhile(_ >= 0).toSeq
+          } else {
+            val elems = Js.elems(in)
+            val sub = if (needle.isArray) Js.elems(needle) else Seq(needle)
+            if (sub.isEmpty) Seq.empty
+            else elems.indices.filter(i =>
+              i + sub.size <= elems.size &&
+                sub.indices.forall(j => cmpJq(elems(i + j), sub(j)) == 0))
+          }
+        name match {
+          case "index" => hits.headOption.map(i => LongNode.valueOf(i.toLong))
+            .getOrElse(NullNode.getInstance)
+          case "rindex" => hits.lastOption.map(i => LongNode.valueOf(i.toLong))
+            .getOrElse(NullNode.getInstance)
+          case _ => Js.mkArr(hits.map(i => LongNode.valueOf(i.toLong)))
+        }
+      }
+
+    // -- paths --
+    case "paths" =>
+      val all = allPaths(in, Vector.empty)
+      val filtered =
+        if (args.isEmpty) all
+        else all.filter { case (_, v) =>
+          eval(args.head, v, defs, vars).headOption.exists(truthyJq)
+        }
+      filtered.map { case (p, _) => pathToArray(p) }
+    case "leaf_paths" =>
+      allPaths(in, Vector.empty)
+        .filter { case (_, v) => !v.isArray && !v.isObject }
+        .map { case (p, _) => pathToArray(p) }
+    case "path" =>
+      concretePaths(args.head, in, defs, vars).map(pathToArray)
+    case "getpath" =>
+      eval(args.head, in, defs, vars)
+        .map(p => getPath(in, arrayToPath(p)))
+    case "setpath" =>
+      for {
+        p <- eval(args.head, in, defs, vars)
+        v <- eval(args(1), in, defs, vars)
+      } yield setPath(in, arrayToPath(p), v)
+    case "delpaths" =>
+      eval(args.head, in, defs, vars).map(ps =>
+        delPaths(in, Js.elems(ps).map(arrayToPath)))
+
+    // -- json / string conversion --
+    case "tojson" => Seq(TextNode.valueOf(Js.render(in)))
+    case "fromjson" => Seq(Js.parse(in.asText()))
+    case "explode" =>
+      Seq(Js.mkArr(in.asText().codePoints().toArray.toSeq
+        .map(c => LongNode.valueOf(c.toLong))))
+    case "implode" =>
+      val sb = new java.lang.StringBuilder
+      Js.elems(in).foreach(c => sb.appendCodePoint(c.asInt()))
+      Seq(TextNode.valueOf(sb.toString))
+    case "@text" => builtinFn("tostring", Nil, in, defs, vars)
+    case "@json" => Seq(TextNode.valueOf(Js.render(in)))
+    case "@base64" =>
+      Seq(TextNode.valueOf(java.util.Base64.getEncoder.encodeToString(
+        (if (in.isTextual) in.asText() else Js.render(in))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    case "@base64d" =>
+      Seq(TextNode.valueOf(new String(
+        java.util.Base64.getDecoder.decode(in.asText()),
+        java.nio.charset.StandardCharsets.UTF_8)))
+    case "@uri" =>
+      Seq(TextNode.valueOf(
+        (if (in.isTextual) in.asText() else Js.render(in)).flatMap { c =>
+          if (c.isLetterOrDigit || "-_.~".contains(c)) c.toString
+          else c.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .map(b => f"%%${b & 0xff}%02X").mkString
+        }))
+    case "@csv" | "@tsv" =>
+      Seq(TextNode.valueOf(Js.elems(in).map { e =>
+        if (name == "@csv") {
+          if (e.isTextual) "\"" + e.asText().replace("\"", "\"\"") + "\""
+          else if (e.isNull) "" else Js.render(e)
+        } else {
+          val s = if (e.isTextual) e.asText()
+            else if (e.isNull) "" else Js.render(e)
+          s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+            .replace("\r", "\\r")
+        }
+      }.mkString(if (name == "@csv") "," else "\t")))
+    case "@html" =>
+      Seq(TextNode.valueOf(
+        (if (in.isTextual) in.asText() else Js.render(in))
+          .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+          .replace("'", "&#39;").replace("\"", "&quot;")))
+
+    // -- math --
+    case "ceil"  => Seq(LongNode.valueOf(math.ceil(in.asDouble()).toLong))
+    case "round" => // C round: half away from zero
+      val x = in.asDouble()
+      Seq(LongNode.valueOf(
+        if (x < 0) -math.round(-x) else math.round(x)))
+    case "sqrt" => Seq(DoubleNode.valueOf(math.sqrt(in.asDouble())))
+    case "pow" =>
+      for {
+        x <- eval(args.head, in, defs, vars)
+        y <- eval(args(1), in, defs, vars)
+      } yield DoubleNode.valueOf(math.pow(x.asDouble(), y.asDouble()))
+    case "log"   => Seq(DoubleNode.valueOf(math.log(in.asDouble())))
+    case "log2"  => Seq(DoubleNode.valueOf(
+      math.log(in.asDouble()) / math.log(2)))
+    case "log10" => Seq(DoubleNode.valueOf(math.log10(in.asDouble())))
+    case "exp"   => Seq(DoubleNode.valueOf(math.exp(in.asDouble())))
+    case "exp2"  => Seq(DoubleNode.valueOf(math.pow(2, in.asDouble())))
+    case "exp10" => Seq(DoubleNode.valueOf(math.pow(10, in.asDouble())))
+    case "fabs"  => Seq(DoubleNode.valueOf(math.abs(in.asDouble())))
+    case "abs" =>
+      Seq(if (in.isIntegralNumber) LongNode.valueOf(math.abs(in.asLong()))
+      else DoubleNode.valueOf(math.abs(in.asDouble())))
+
+    // -- dates --
+    case "now" =>
+      Seq(DoubleNode.valueOf(System.currentTimeMillis() / 1000.0))
+    case "todate" | "todateiso8601" =>
+      Seq(TextNode.valueOf(java.time.Instant
+        .ofEpochSecond(in.asLong()).toString.replace(".000Z", "Z")))
+    case "fromdate" | "fromdateiso8601" =>
+      Seq(LongNode.valueOf(
+        java.time.Instant.parse(in.asText()).getEpochSecond))
+
+    // -- regex (beyond test/capture/sub/gsub) --
+    case "match" =>
+      val (re, flags) = regexArgs(args, in, defs, vars)
+      val m = re.matcher(in.asText())
+      val names = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
+        .findAllMatchIn(re.pattern()).map(_.group(1)).toList
+      val out = mutable.ListBuffer[JsonNode]()
+      while (m.find() && (out.isEmpty || flags.contains('g'))) {
+        val o = Js.obj()
+        o.put("offset", m.start()); o.put("length", m.end() - m.start())
+        o.put("string", m.group())
+        val caps = Js.arr()
+        (1 to m.groupCount()).foreach { g =>
+          val c = Js.obj()
+          c.put("offset", m.start(g))
+          c.put("length",
+            if (m.start(g) < 0) 0 else m.end(g) - m.start(g))
+          c.set[JsonNode]("string",
+            Option(m.group(g)).map(TextNode.valueOf)
+              .getOrElse(NullNode.getInstance))
+          c.set[JsonNode]("name",
+            names.lift(g - 1).map(TextNode.valueOf)
+              .getOrElse(NullNode.getInstance))
+          caps.add(c)
+        }
+        o.set[JsonNode]("captures", caps)
+        out += o
+      }
+      out.toList
+    case "scan" =>
+      val (re, _) = regexArgs(args, in, defs, vars)
+      val m = re.matcher(in.asText())
+      val out = mutable.ListBuffer[JsonNode]()
+      while (m.find())
+        out += (if (m.groupCount() == 0) TextNode.valueOf(m.group())
+        else Js.mkArr((1 to m.groupCount()).map(g =>
+          Option(m.group(g)).map(TextNode.valueOf(_): JsonNode)
+            .getOrElse(NullNode.getInstance))))
+      out.toList
+    case "splits" =>
+      val (re, _) = regexArgs(args, in, defs, vars)
+      re.split(in.asText(), -1).toSeq.map(TextNode.valueOf)
+
+    // -- structure walking --
+    case "walk" => // bottom-up transform, first output of f per node
+      def w(n: JsonNode): JsonNode = {
+        val t: JsonNode =
+          if (n.isArray) Js.mkArr(Js.elems(n).map(w))
+          else if (n.isObject) {
+            val o = Js.obj()
+            Js.fields(n).foreach { case (k, v) => o.set[JsonNode](k, w(v)) }
+            o
+          } else n
+        eval(args.head, t, defs, vars).headOption
+          .getOrElse(NullNode.getInstance)
+      }
+      Seq(w(in))
+
+    // -- diagnostics --
+    case "error" =>
+      val msg =
+        if (args.isEmpty) in
+        else eval(args.head, in, defs, vars).headOption
+          .getOrElse(NullNode.getInstance)
+      throw new IllegalArgumentException(
+        if (msg.isTextual) msg.asText() else Js.render(msg))
+    case "debug" =>
+      System.err.println(s"""["DEBUG:",${Js.render(in)}]""")
+      Seq(in)
+    case "stderr" =>
+      System.err.println(Js.render(in))
+      Seq(in)
+
     case other =>
       throw new IllegalArgumentException(s"undefined filter $other")
   }
+
+  /** (pattern, flags) from regex builtin args: `f(re)` or `f(re; flags)`.
+    * Flags: i (case-insensitive), x (comments), s (dotall), m (multiline),
+    * g (global — interpreted by the caller).
+    */
+  private def regexArgs(args: List[Ast], in: JsonNode,
+      defs: Map[String, FnDef],
+      vars: Map[String, JsonNode]): (java.util.regex.Pattern, String) = {
+    val re = eval(args.head, in, defs, vars).head.asText()
+    val flags =
+      if (args.size > 1) eval(args(1), in, defs, vars).head.asText() else ""
+    var f = 0
+    if (flags.contains('i')) f |= java.util.regex.Pattern.CASE_INSENSITIVE
+    if (flags.contains('x')) f |= java.util.regex.Pattern.COMMENTS
+    if (flags.contains('s')) f |= java.util.regex.Pattern.DOTALL
+    if (flags.contains('m')) f |= java.util.regex.Pattern.MULTILINE
+    (java.util.regex.Pattern.compile(re, f), flags)
+  }
+
+  /** Deep containment: objects need every key of `b` contained in `a`'s
+    * value, arrays need every element of `b` contained in SOME element of
+    * `a`, strings are substring, scalars are equality.
+    */
+  private def containsJq(a: JsonNode, b: JsonNode): Boolean =
+    if (a.isObject && b.isObject)
+      Js.fields(b).forall { case (k, bv) =>
+        Option(a.get(k)).exists(av => containsJq(av, bv))
+      }
+    else if (a.isArray && b.isArray)
+      Js.elems(b).forall(bv => Js.elems(a).exists(av => containsJq(av, bv)))
+    else if (a.isTextual && b.isTextual) a.asText().contains(b.asText())
+    else cmpJq(a, b) == 0
+
+  /** All non-root (path, value) pairs, depth-first, self before children. */
+  private def allPaths(n: JsonNode,
+      prefix: Vector[PathElem]): Seq[(Vector[PathElem], JsonNode)] =
+    if (n.isArray)
+      (0 until n.size()).flatMap { i =>
+        val c = n.get(i)
+        (prefix :+ (Right(i): PathElem), c) +:
+          allPaths(c, prefix :+ (Right(i): PathElem))
+      }
+    else if (n.isObject)
+      Js.fields(n).flatMap { case (k, v) =>
+        (prefix :+ (Left(k): PathElem), v) +:
+          allPaths(v, prefix :+ (Left(k): PathElem))
+      }
+    else Seq.empty
 
   /** JQ `+`: numbers add, strings concat, arrays concat, objects merge
     * (right wins), null is the identity.
@@ -653,7 +1432,24 @@ object MiniJq {
             if (exact) LongNode.valueOf(a.asLong() * b.asLong())
             else DoubleNode.valueOf(a.asDouble() * b.asDouble())
           case "/" => DoubleNode.valueOf(a.asDouble() / b.asDouble())
+          case "%" => // jq %: integer modulo (operands truncated)
+            LongNode.valueOf(a.asLong() % b.asLong())
         }
+      case ("-", a: ArrayNode, b: ArrayNode) => // array difference
+        val keep = Js.elems(a).filterNot(x =>
+          Js.elems(b).exists(y => cmpJq(x, y) == 0))
+        val out = Js.arr(); keep.foreach(out.add); out
+      case ("*", a: ObjectNode, b: ObjectNode) => // deep merge
+        def deep(x: JsonNode, y: JsonNode): JsonNode =
+          if (x.isObject && y.isObject) {
+            val m = x.deepCopy[ObjectNode]()
+            Js.fields(y).foreach { case (k, v) =>
+              m.set[JsonNode](k,
+                Option(x.get(k)).map(deep(_, v)).getOrElse(v))
+            }
+            m
+          } else y
+        deep(a, b)
       case _ =>
         throw new IllegalArgumentException(s"cannot apply $op to $l, $r")
     }
@@ -711,8 +1507,19 @@ object MiniJq {
           out += s.substring(start, i)
         } else if (c == ':' && i + 1 < s.length && s(i + 1) == ':') {
           out += "::"; i += 2
+        } else if (c == '.' && i + 1 < s.length && s(i + 1) == '.') {
+          out += ".."; i += 2
+        } else if (c == '@') { // @base64, @csv, … format filters
+          val start = i
+          i += 1
+          while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+          out += s.substring(start, i)
         } else if (c == '/' && i + 1 < s.length && s(i + 1) == '/') {
-          out += "//"; i += 2
+          if (i + 2 < s.length && s(i + 2) == '=') { out += "//="; i += 3 }
+          else { out += "//"; i += 2 }
+        } else if ("|+-*/%".contains(c) && i + 1 < s.length &&
+          s(i + 1) == '=') { // |= += -= *= /= %=
+          out += s.substring(i, i + 2); i += 2
         } else if ("=!<>".contains(c) && i + 1 < s.length &&
           s(i + 1) == '=') {
           out += s.substring(i, i + 2); i += 2

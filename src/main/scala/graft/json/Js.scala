@@ -24,6 +24,12 @@ object Js {
 
   def elems(n: JsonNode): Seq[JsonNode] = n.elements().asScala.toSeq
 
+  def mkArr(items: Seq[JsonNode]): ArrayNode = {
+    val a = arr()
+    items.foreach(a.add)
+    a
+  }
+
   /** Single-key object whose key starts with `$` → (op, args). Keys
     * starting with `_` are metadata siblings (the reference allows e.g.
     * `_trace: true` next to the stage op, app1/application.yaml) and are

@@ -22,6 +22,8 @@ object MiniJslt {
   sealed trait Step
   final case class Field(name: String) extends Step
   final case class Index(i: Int) extends Step
+  final case class DynIdx(e: Ast) extends Step // `.a[expr]`
+  final case class SliceStep(from: Option[Ast], to: Option[Ast]) extends Step
 
   sealed trait Ast
   case object Dot extends Ast
@@ -30,8 +32,13 @@ object MiniJslt {
   final case class Lit(v: JsonNode) extends Ast
   final case class BinOp(op: String, l: Ast, r: Ast) extends Ast
   final case class PipeOp(l: Ast, r: Ast) extends Ast
-  final case class ObjCons(fields: List[(String, Ast)], spread: Option[Ast])
-      extends Ast
+  /** `lets` bind before the fields; the matcher (`spread`) evaluates its
+    * expression per UNMATCHED key with `.` bound to that key's value, and
+    * `minus` lists keys the matcher must skip (`* - a, b : expr`).
+    */
+  final case class ObjCons(lets: List[(String, Ast)],
+      fields: List[(Ast, Ast)],
+      spread: Option[(List[String], Ast)]) extends Ast
   final case class CallFn(ns: Option[String], name: String, args: List[Ast])
       extends Ast
   final case class PathOf(base: Ast, parts: List[Step]) extends Ast
@@ -39,7 +46,8 @@ object MiniJslt {
   final case class IfE(cond: Ast, thn: Ast, els: Ast) extends Ast
   final case class ArrFor(src: Ast, body: Ast, cond: Option[Ast]) extends Ast
   final case class ArrLit(items: List[Ast]) extends Ast
-  final case class ObjFor(src: Ast, key: Ast, value: Ast) extends Ast
+  final case class ObjFor(src: Ast, key: Ast, value: Ast,
+      cond: Option[Ast]) extends Ast
 
   final case class FnDef(params: List[String], body: Ast)
   final case class Program(defs: Map[String, FnDef],
@@ -92,8 +100,20 @@ object MiniJslt {
   }
 
   private def parseExpr(t: Tok): Ast = {
+    var l = parseOr(t)
+    while (t.peekIs("|")) { t.next(); l = PipeOp(l, parseOr(t)) }
+    l
+  }
+
+  private def parseOr(t: Tok): Ast = {
+    var l = parseAnd(t)
+    while (t.peekIs("or")) { t.next(); l = BinOp("or", l, parseAnd(t)) }
+    l
+  }
+
+  private def parseAnd(t: Tok): Ast = {
     var l = parseCmp(t)
-    while (t.peekIs("|")) { t.next(); l = PipeOp(l, parseCmp(t)) }
+    while (t.peekIs("and")) { t.next(); l = BinOp("and", l, parseCmp(t)) }
     l
   }
 
@@ -116,23 +136,60 @@ object MiniJslt {
   }
 
   private def parseMul(t: Tok): Ast = {
-    var l = parsePrim(t)
+    var l = parsePostfix(t)
     while (t.peekIs("*") || t.peekIs("/")) {
-      val op = t.next(); l = BinOp(op, l, parsePrim(t))
+      val op = t.next(); l = BinOp(op, l, parsePostfix(t))
     }
     l
   }
 
-  /** `.a`, `.a.b`, `.a[0].b` ... after the leading dot was consumed. */
-  private def parseSteps(t: Tok): List[Step] = {
-    val parts = mutable.ListBuffer[Step](Field(t.word()))
+  /** `(expr).key`, `$var[0]`, `call(x).a` — steps after any primary. */
+  private def parsePostfix(t: Tok): Ast = {
+    var l = parsePrim(t)
+    var more = true
+    while (more) {
+      if (t.peekIs(".") && (t.peekWordAfterDot || t.peekStringAfterDot)) {
+        t.next()
+        l = PathOf(l, parseSteps(t, leadWord = true))
+      } else if (t.peekIs("["))
+        l = PathOf(l, parseSteps(t, leadWord = false))
+      else more = false
+    }
+    l match { // fold .-rooted paths back to plain Path
+      case PathOf(Dot, parts) => Path(parts)
+      case other              => other
+    }
+  }
+
+  /** `.a`, `.a.b`, `.a[0].b`, `.a[.k]`, `.a[1:2]`, `."x y"` — after the
+    * leading dot (or directly at a `[`).
+    */
+  private def parseSteps(t: Tok, leadWord: Boolean): List[Step] = {
+    val parts = mutable.ListBuffer.empty[Step]
+    if (leadWord)
+      parts += Field(if (t.peekString) t.string() else t.word())
     var more = true
     while (more) {
       if (t.peekIs("[")) {
-        t.next(); val i = t.next(); t.expect("]")
-        parts += Index(i.toInt)
-      } else if (t.peekIs(".") && t.peekWordAfterDot) {
-        t.next(); parts += Field(t.word())
+        t.next()
+        if (t.peekIs(":")) { // [:to]
+          t.next(); parts += SliceStep(None, Some(parseExpr(t)))
+        } else {
+          val e = parseExpr(t)
+          if (t.peekIs(":")) {
+            t.next()
+            val to = if (t.peekIs("]")) None else Some(parseExpr(t))
+            parts += SliceStep(Some(e), to)
+          } else
+            parts += (e match {
+              case Lit(n) if n.isIntegralNumber => Index(n.asInt())
+              case dyn                          => DynIdx(dyn)
+            })
+        }
+        t.expect("]")
+      } else if (t.peekIs(".") && (t.peekWordAfterDot || t.peekStringAfterDot)) {
+        t.next()
+        parts += Field(if (t.peekString) t.string() else t.word())
       } else more = false
     }
     parts.toList
@@ -150,7 +207,9 @@ object MiniJslt {
       IfE(cond, thn, els)
     case "." =>
       t.next()
-      if (t.peekWord) Path(parseSteps(t)) else Dot
+      if (t.peekWord || t.peekString || t.peekIs("["))
+        Path(parseSteps(t, leadWord = !t.peekIs("[")))
+      else Dot
     case "$" => t.next(); Var(t.word())
     case "[" if t.peekAfterIs("for") => // [for (src) body if (cond)]
       t.next(); t.next(); t.expect("(")
@@ -170,28 +229,51 @@ object MiniJslt {
       }
       t.expect("]")
       ArrLit(items.toList)
-    case "{" if t.peekAfterIs("for") => // {for (src) key : value}
+    case "{" if t.peekAfterIs("for") => // {for (src) key : value [if (c)]}
       t.next(); t.next(); t.expect("(")
       val src = parseExpr(t); t.expect(")")
       val key = parseExpr(t); t.expect(":")
       val value = parseExpr(t)
+      val cond =
+        if (t.peekIs("if")) { t.next(); t.expect("(")
+          val c = parseExpr(t); t.expect(")"); Some(c) }
+        else None
       t.expect("}")
-      ObjFor(src, key, value)
+      ObjFor(src, key, value, cond)
     case "{" =>
       t.next()
-      val fields = mutable.ListBuffer[(String, Ast)]()
-      var spread: Option[Ast] = None
+      val lets = mutable.ListBuffer[(String, Ast)]()
+      val fields = mutable.ListBuffer[(Ast, Ast)]()
+      var spread: Option[(List[String], Ast)] = None
       while (!t.peekIs("}")) {
-        if (t.peekIs("*")) { t.next(); t.expect(":"); spread = Some(parseExpr(t)) }
-        else {
-          val key = if (t.peekString) t.string() else t.word()
+        if (t.peekIs("*")) { // * : expr | * - k1, k2 : expr
+          t.next()
+          val minus = mutable.ListBuffer[String]()
+          if (t.peekIs("-")) {
+            t.next()
+            minus += (if (t.peekString) t.string() else t.word())
+            while (t.peekIs(",")) {
+              t.next()
+              minus += (if (t.peekString) t.string() else t.word())
+            }
+          }
+          t.expect(":")
+          spread = Some((minus.toList, parseExpr(t)))
+        } else if (t.peekIs("let")) { // object-scoped let
+          t.next(); val n = t.word(); t.expect("=")
+          lets += n -> parseExpr(t)
+        } else {
+          val key: Ast =
+            if (t.peekString) Lit(TextNode.valueOf(t.string()))
+            else if (t.peekWord) Lit(TextNode.valueOf(t.word()))
+            else { t.expect("("); val k = parseExpr(t); t.expect(")"); k }
           t.expect(":")
           fields += key -> parseExpr(t)
         }
         if (t.peekIs(",")) t.next()
       }
       t.expect("}")
-      ObjCons(fields.toList, spread)
+      ObjCons(lets.toList, fields.toList, spread)
     case "(" => t.next(); val e = parseExpr(t); t.expect(")"); e
     case s if t.peekString => Lit(TextNode.valueOf(t.string()))
     case "-" => // unary minus: the tokenizer emits '-' standalone
@@ -222,49 +304,42 @@ object MiniJslt {
       args += parseExpr(t); if (t.peekIs(",")) t.next()
     }
     t.expect(")")
-    val call = CallFn(ns, name, args.toList)
-    // postfix path on a call result: op:decr(.value).x
-    if (t.peekIs(".") && t.peekWordAfterDot) {
-      t.next()
-      PathOf(call, parseSteps(t))
-    } else call
+    CallFn(ns, name, args.toList) // postfix paths attach in parsePostfix
   }
-
-  private def walk(in: JsonNode, parts: List[Step]): JsonNode =
-    parts.foldLeft(in) { (n, p) =>
-      if (n == null || n.isNull) NullNode.getInstance
-      else p match {
-        case Field(f) => Option(n.get(f)).getOrElse(NullNode.getInstance)
-        case Index(i) => Option(n.get(i)).getOrElse(NullNode.getInstance)
-      }
-    }
 
   private def eval(ast: Ast, in: JsonNode, vars: Map[String, JsonNode],
       defs: Map[String, FnDef]): JsonNode = ast match {
     case Dot => in
-    case Path(parts) => walk(in, parts)
-    case PathOf(base, parts) => walk(eval(base, in, vars, defs), parts)
+    case Path(parts) => walk(in, parts, in, vars, defs)
+    case PathOf(base, parts) =>
+      walk(eval(base, in, vars, defs), parts, in, vars, defs)
     case Var(name) =>
       vars.getOrElse(name,
         throw new IllegalArgumentException(s"unbound variable $$$name"))
     case Lit(v) => v
     case PipeOp(l, r) => eval(r, eval(l, in, vars, defs), vars, defs)
-    case ObjCons(fields, spread) =>
+    case ObjCons(lets, fields, spread) =>
+      val scope = lets.foldLeft(vars) { case (vs, (n, e)) =>
+        vs + (n -> eval(e, in, vs, defs))
+      }
       val o = Js.obj()
-      val listed = fields.map(_._1).toSet
-      fields.foreach { case (k, e) =>
-        val v = eval(e, in, vars, defs)
+      val listed = mutable.Set[String]()
+      fields.foreach { case (ke, e) =>
+        val k = eval(ke, in, scope, defs).asText()
+        listed += k
+        val v = eval(e, in, scope, defs)
         // JSLT omits null-valued pairs: `"k": null` + `* : .` deletes k
         if (v != null && !v.isNull) o.set[JsonNode](k, v)
       }
-      spread.foreach { s =>
-        eval(s, in, vars, defs) match {
-          case src: ObjectNode =>
-            Js.fields(src).foreach { case (k, v) =>
-              if (!listed.contains(k) && !o.has(k)) o.set[JsonNode](k, v)
+      spread.foreach { case (minus, body) =>
+        if (in != null && in.isObject)
+          Js.fields(in).foreach { case (k, v) =>
+            if (!listed.contains(k) && !minus.contains(k) && !o.has(k)) {
+              // the matcher expression runs per key with `.` = its value
+              val mv = eval(body, v, scope, defs)
+              if (mv != null && !mv.isNull) o.set[JsonNode](k, mv)
             }
-          case _ =>
-        }
+          }
       }
       o
     case CallFn(ns, name, args) =>
@@ -299,7 +374,7 @@ object MiniJslt {
         }
       }
       a
-    case ObjFor(src, key, value) =>
+    case ObjFor(src, key, value, cond) =>
       val o = Js.obj()
       val seq = eval(src, in, vars, defs)
       val items =
@@ -309,9 +384,15 @@ object MiniJslt {
         }
         else Nil
       items.foreach { e =>
-        val k = eval(key, e, vars, defs)
-        val v = eval(value, e, vars, defs)
-        if (!v.isNull) o.set[JsonNode](k.asText(), v)
+        val keep = cond.forall { c =>
+          val r = eval(c, e, vars, defs)
+          !(r == null || r.isNull || (r.isBoolean && !r.asBoolean()))
+        }
+        if (keep) {
+          val k = eval(key, e, vars, defs)
+          val v = eval(value, e, vars, defs)
+          if (!v.isNull) o.set[JsonNode](k.asText(), v)
+        }
       }
       o
     case IfE(cond, thn, els) =>
@@ -322,9 +403,53 @@ object MiniJslt {
         ((c.isArray || c.isObject) && c.size() == 0) ||
         (c.isTextual && c.asText().isEmpty)
       if (falsy) eval(els, in, vars, defs) else eval(thn, in, vars, defs)
+    case BinOp("and", l, r) => // JSLT boolean() truthiness, short-circuit
+      if (!truthy(eval(l, in, vars, defs))) BooleanNode.FALSE
+      else BooleanNode.valueOf(truthy(eval(r, in, vars, defs)))
+    case BinOp("or", l, r) =>
+      if (truthy(eval(l, in, vars, defs))) BooleanNode.TRUE
+      else BooleanNode.valueOf(truthy(eval(r, in, vars, defs)))
     case BinOp(op, l, r) =>
       numericOp(op, eval(l, in, vars, defs), eval(r, in, vars, defs))
   }
+
+  private def truthy(a: JsonNode): Boolean =
+    !(a == null || a.isNull ||
+      (a.isBoolean && !a.asBoolean()) ||
+      ((a.isArray || a.isObject) && a.size() == 0) ||
+      (a.isTextual && a.asText().isEmpty))
+
+  /** Resolve path steps; dynamic indexes and slice bounds evaluate against
+    * the step ROOT input (`root`), like JSLT's `[ <expr> ]`.
+    */
+  private def walk(start: JsonNode, parts: List[Step], root: JsonNode,
+      vars: Map[String, JsonNode], defs: Map[String, FnDef]): JsonNode =
+    parts.foldLeft(start) { (n, p) =>
+      if (n == null || n.isNull) NullNode.getInstance
+      else p match {
+        case Field(f) => Option(n.get(f)).getOrElse(NullNode.getInstance)
+        case Index(i) =>
+          val at = if (i < 0) n.size() + i else i
+          Option(n.get(at)).getOrElse(NullNode.getInstance)
+        case DynIdx(e) =>
+          val idx = eval(e, root, vars, defs)
+          if (idx.isNumber) {
+            val i = idx.asInt()
+            val at = if (i < 0) n.size() + i else i
+            Option(n.get(at)).getOrElse(NullNode.getInstance)
+          } else Option(n.get(idx.asText())).getOrElse(NullNode.getInstance)
+        case SliceStep(fromE, toE) =>
+          val len = if (n.isTextual) n.asText().length else n.size()
+          def bound(e: Option[Ast], dflt: Int): Int =
+            e.map(x => eval(x, root, vars, defs).asInt()).getOrElse(dflt)
+          def clamp(i: Int) =
+            math.max(0, math.min(len, if (i < 0) len + i else i))
+          val lo = clamp(bound(fromE, 0))
+          val hi = math.max(lo, clamp(bound(toE, len)))
+          if (n.isTextual) TextNode.valueOf(n.asText().substring(lo, hi))
+          else Js.mkArr((lo until hi).map(n.get))
+      }
+    }
 
   /** The JSLT standard-library subset scripts lean on. */
   private def builtinFn(name: String, args: Seq[JsonNode]): JsonNode =
@@ -409,6 +534,170 @@ object MiniJslt {
         a
       case "trim" => TextNode.valueOf(args.head.asText().trim)
 
+      // ---- rest of the public JSLT standard library ----
+      case "is-boolean" => BooleanNode.valueOf(args.head.isBoolean)
+      case "is-integer" => BooleanNode.valueOf(args.head.isIntegralNumber)
+      case "is-decimal" => BooleanNode.valueOf(
+        args.head.isNumber && !args.head.isIntegralNumber)
+      case "round" =>
+        if (args.head.isNull) NullNode.getInstance
+        else LongNode.valueOf(math.round(args.head.asDouble()))
+      case "floor" =>
+        if (args.head.isNull) NullNode.getInstance
+        else LongNode.valueOf(math.floor(args.head.asDouble()).toLong)
+      case "ceiling" =>
+        if (args.head.isNull) NullNode.getInstance
+        else LongNode.valueOf(math.ceil(args.head.asDouble()).toLong)
+      case "random" =>
+        DoubleNode.valueOf(
+          java.util.concurrent.ThreadLocalRandom.current().nextDouble())
+      case "sum" =>
+        if (args.head.isNull) NullNode.getInstance
+        else {
+          val es = Js.elems(args.head)
+          require(es.forall(_.isNumber), "sum() over non-numbers")
+          if (es.forall(_.isIntegralNumber))
+            LongNode.valueOf(es.map(_.asLong()).sum)
+          else DoubleNode.valueOf(es.map(_.asDouble()).sum)
+        }
+      case "mod" => // mathematical modulo: result has the divisor's sign
+        LongNode.valueOf(
+          java.lang.Math.floorMod(args.head.asLong(), args(1).asLong()))
+      case "hash-int" => // deterministic int hash of the json value
+        LongNode.valueOf(canonical(args.head).hashCode.toLong)
+      case "sha256-hex" =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest((if (args.head.isTextual) args.head.asText()
+          else Js.render(args.head))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        TextNode.valueOf(digest.map(b => f"${b & 0xff}%02x").mkString)
+      case "starts-with" =>
+        BooleanNode.valueOf(
+          args.head.isTextual &&
+            args.head.asText().startsWith(args(1).asText()))
+      case "ends-with" =>
+        BooleanNode.valueOf(
+          args.head.isTextual &&
+            args.head.asText().endsWith(args(1).asText()))
+      case "from-json" =>
+        try Js.parse(args.head.asText())
+        catch {
+          case _: Exception =>
+            if (args.size > 1) args(1) else NullNode.getInstance
+        }
+      case "to-json" => TextNode.valueOf(Js.render(args.head))
+      case "min" | "max" => // two-value form (JSLT), null propagates
+        val (a, b) = (args.head, args(1))
+        if (a.isNull || b.isNull) NullNode.getInstance
+        else {
+          val c =
+            if (a.isNumber && b.isNumber)
+              java.lang.Double.compare(a.asDouble(), b.asDouble())
+            else a.asText().compareTo(b.asText())
+          if ((name == "min") == (c <= 0)) a else b
+        }
+      case "error" =>
+        throw new IllegalArgumentException(args.head.asText())
+      case "get-key" =>
+        val v = Option(args.head.get(args(1).asText()))
+          .getOrElse(NullNode.getInstance)
+        if (v.isNull && args.size > 2) args(2) else v
+      case "array" =>
+        val a = args.head
+        if (a.isNull || a.isArray) a
+        else if (a.isObject)
+          Js.mkArr(Js.fields(a).map { case (k, v) =>
+            val e = Js.obj()
+            e.put("key", k); e.set[JsonNode]("value", v); e: JsonNode
+          })
+        else throw new IllegalArgumentException(s"array() of $a")
+      case "flatten" => // one level, like JSLT
+        if (args.head.isNull) NullNode.getInstance
+        else Js.mkArr(Js.elems(args.head).flatMap(e =>
+          if (e.isArray) Js.elems(e) else Seq(e)))
+      case "all" =>
+        if (args.head.isNull) NullNode.getInstance
+        else BooleanNode.valueOf(Js.elems(args.head).forall(e =>
+          !(e.isNull || (e.isBoolean && !e.asBoolean()))))
+      case "any" =>
+        if (args.head.isNull) NullNode.getInstance
+        else BooleanNode.valueOf(Js.elems(args.head).exists(e =>
+          !(e.isNull || (e.isBoolean && !e.asBoolean()))))
+      case "zip" =>
+        if (args.head.isNull || args(1).isNull) NullNode.getInstance
+        else Js.mkArr(Js.elems(args.head).zip(Js.elems(args(1)))
+          .map { case (a, b) => Js.mkArr(Seq(a, b)): JsonNode })
+      case "zip-with-index" =>
+        if (args.head.isNull) NullNode.getInstance
+        else Js.mkArr(Js.elems(args.head).zipWithIndex.map { case (e, i) =>
+          Js.mkArr(Seq(e, LongNode.valueOf(i.toLong))): JsonNode
+        })
+      case "index-of" =>
+        if (args.head.isNull) NullNode.getInstance
+        else LongNode.valueOf(Js.elems(args.head).indexWhere(e =>
+          e == args(1) || (e.isNumber && args(1).isNumber &&
+            e.asDouble() == args(1).asDouble())).toLong)
+      case "now" =>
+        DoubleNode.valueOf(System.currentTimeMillis() / 1000.0)
+      case "parse-time" => // (time, format[, fallback]) -> epoch seconds
+        try {
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern(args(1).asText(), java.util.Locale.ENGLISH)
+            .withZone(java.time.ZoneOffset.UTC)
+          val inst = java.time.Instant.from(fmt.parse(args.head.asText()))
+          val ms = inst.toEpochMilli
+          if (ms % 1000 == 0) LongNode.valueOf(ms / 1000)
+          else DoubleNode.valueOf(ms / 1000.0)
+        } catch {
+          case _: Exception =>
+            if (args.size > 2) args(2)
+            else throw new IllegalArgumentException(
+              s"parse-time: cannot parse '${args.head.asText()}'")
+        }
+      case "format-time" => // (epoch-seconds, format[, timezone])
+        val zone =
+          if (args.size > 2) java.time.ZoneId.of(args(2).asText())
+          else java.time.ZoneOffset.UTC
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern(args(1).asText(), java.util.Locale.ENGLISH)
+          .withZone(zone)
+        val secs = args.head.asDouble()
+        TextNode.valueOf(fmt.format(
+          java.time.Instant.ofEpochMilli(math.round(secs * 1000))))
+      case "parse-url" =>
+        val u = new java.net.URI(args.head.asText())
+        val o = Js.obj()
+        def put(k: String, v: String): Unit =
+          if (v != null) o.put(k, v)
+        put("scheme", u.getScheme)
+        put("userinfo", u.getUserInfo)
+        put("host", u.getHost)
+        if (u.getPort >= 0) o.put("port", u.getPort)
+        put("path", if (u.getPath != null && u.getPath.isEmpty) null
+        else u.getPath)
+        put("query", u.getRawQuery)
+        put("fragment", u.getFragment)
+        if (u.getRawQuery != null) {
+          val params = Js.obj()
+          u.getRawQuery.split("&").filter(_.nonEmpty).foreach { kv =>
+            val eq = kv.indexOf('=')
+            val (k, v) =
+              if (eq < 0) (kv, NullNode.getInstance: JsonNode)
+              else (kv.substring(0, eq),
+                TextNode.valueOf(java.net.URLDecoder
+                  .decode(kv.substring(eq + 1), "UTF-8")): JsonNode)
+            val key = java.net.URLDecoder.decode(k, "UTF-8")
+            val arr = Option(params.get(key)).collect {
+              case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+            }.getOrElse {
+              val a = Js.arr(); params.set[JsonNode](key, a); a
+            }
+            arr.add(v)
+          }
+          o.set[JsonNode]("parameters", params)
+        }
+        o
+
       // ---- the reference's custom function set (docs/custom_jslt.md) ----
       case "base64-encode" =>
         TextNode.valueOf(java.util.Base64.getEncoder
@@ -459,6 +748,15 @@ object MiniJslt {
           .getOrElse(
             throw new IllegalArgumentException(s"undefined function $other"))
     }
+
+  /** Key-order-independent rendering, so hash-int is deterministic. */
+  private def canonical(n: JsonNode): String =
+    if (n.isObject)
+      Js.fields(n).sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + canonical(v) }
+        .mkString("{", ",", "}")
+    else if (n.isArray) Js.elems(n).map(canonical).mkString("[", ",", "]")
+    else Js.render(n)
 
   private def escapePointer(seg: String): String =
     seg.replace("~", "~0").replace("/", "~1")
@@ -514,7 +812,11 @@ object MiniJslt {
       })
     } else if (a.isTextual || b.isTextual) {
       require(op == "+", s"cannot $op strings")
-      TextNode.valueOf(a.asText() + b.asText())
+      TextNode.valueOf(
+        (if (a.isTextual) a.asText() else Js.render(a)) +
+          (if (b.isTextual) b.asText() else Js.render(b)))
+    } else if (a.isArray && b.isArray && op == "+") { // array concat
+      Js.mkArr(Js.elems(a) ++ Js.elems(b))
     } else if (a.isObject && b.isObject && op == "+") {
       val merged = a.deepCopy[ObjectNode]()
       Js.fields(b).foreach { case (k, v) => merged.set[JsonNode](k, v) }
@@ -578,6 +880,8 @@ object MiniJslt {
     def peekWordAfterDot: Boolean =
       pos + 1 < tokens.length &&
         (tokens(pos + 1).head.isLetter || tokens(pos + 1).head == '_')
+    def peekStringAfterDot: Boolean =
+      pos + 1 < tokens.length && tokens(pos + 1).head == '"'
     def peekString: Boolean = peek != null && peek.head == '"'
     def next(): String = { val t = peek; pos += 1; t }
     def expect(s: String): Unit =

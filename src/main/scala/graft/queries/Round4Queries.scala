@@ -1,0 +1,134 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.{Cdc, Io, ParquetCollectionIo}
+
+/** Round-4 coverage: DuckDB oracles for surfaces that were previously
+  * golden/ScalaTest-only — the collection sink's upsert/delete fold
+  * (docs/streams.md:45-50), CDC envelope unwrapping (App.java:650-683),
+  * and the expanded jq/JSLT language surface running as `$jq`/`$jslt`
+  * stages.
+  */
+object Round4Queries {
+
+  /** Collections live in throwaway temp dirs; topics are never touched. */
+  private object NoIo extends Io {
+    def source(spark: SparkSession, kind: String, name: String,
+        options: Map[String, String]): DataFrame =
+      throw new IllegalArgumentException(s"no source $kind/$name")
+    def sink(kind: String, name: String, df: DataFrame, asString: Boolean,
+        partId: String, options: Map[String, String]): Unit =
+      throw new IllegalArgumentException(s"no sink $kind/$name")
+  }
+
+  val all: Seq[Q] = Seq(
+    // -- toCollection upsert fold: two generations through the REAL
+    // bucketed parquet sink; the second batch overwrites a key range
+    Q.fn("q_collection_upsert",
+      """SELECT o_orderkey AS _id,
+                CASE WHEN o_orderkey <= 1000
+                     THEN CAST(0 AS BIGINT)
+                     ELSE CAST(trunc(o_totalprice) AS BIGINT) END AS total,
+                CASE WHEN o_orderkey <= 1000 THEN 'X'
+                     ELSE o_orderstatus END AS status
+         FROM orders WHERE o_orderkey <= 3000""") { (spark, sf) =>
+      val root = Files.createTempDirectory("graft-q-coll").toString
+      val io = new ParquetCollectionIo(spark, root, NoIo)
+      val orders = Tables.load(spark, sf, "orders")
+        .where(col("o_orderkey") <= 3000)
+      io.upsert("st",
+        orders.select(col("o_orderkey").as("_id"),
+          col("o_totalprice").cast("long").as("total"),
+          col("o_orderstatus").as("status")))
+      io.upsert("st",
+        orders.where(col("o_orderkey") <= 1000)
+          .select(col("o_orderkey").as("_id"),
+            lit(0L).as("total"), lit("X").as("status")))
+      io.source(spark, "collection", "st")
+    },
+
+    // -- $delete semantics: seed a collection, delete a keyed subset via
+    // the collection io's delete, read the survivors back
+    Q.fn("q_collection_delete",
+      """SELECT n_nationkey AS _id, n_name AS name
+         FROM nation WHERE n_regionkey <> 1""") { (spark, sf) =>
+      val root = Files.createTempDirectory("graft-q-del").toString
+      val io = new ParquetCollectionIo(spark, root, NoIo)
+      val nation = Tables.load(spark, sf, "nation")
+      io.upsert("n",
+        nation.select(col("n_nationkey").as("_id"),
+          col("n_name").as("name")))
+      io.delete("n",
+        nation.where(col("n_regionkey") === 1)
+          .select(col("n_nationkey").as("_id")), Seq("_id"))
+      io.source(spark, "collection", "n")
+    },
+
+    // -- CDC envelope unwrap: Debezium-style create + delete envelopes
+    // (payload-wrapped for even ids, flattened for odd) → document stream
+    Q.fn("q_cdc_unwrap",
+      """WITH src AS (SELECT * FROM events WHERE event_id < 1000),
+            creates AS (
+              SELECT CAST(event_id AS VARCHAR) AS k, event_id AS id,
+                     event_type AS t, FALSE AS deleted FROM src),
+            deletes AS (
+              SELECT CAST(event_id AS VARCHAR) AS k, event_id AS id,
+                     CAST(NULL AS VARCHAR) AS t, TRUE AS deleted
+              FROM src WHERE event_id % 10 = 0)
+         SELECT * FROM creates UNION ALL SELECT * FROM deletes""") {
+      (spark, sf) =>
+        val ev = Tables.load(spark, sf, "events")
+          .where(col("event_id") < 1000)
+        val afterJson = to_json(struct(col("event_id").as("_id"),
+          col("event_type").as("t")))
+        val createBody = to_json(struct(lit("c").as("op"),
+          afterJson.as("after")))
+        val creates = ev.select(
+          col("event_id").cast("string").as("key"),
+          // even ids: payload-wrapped (Debezium), odd ids: flattened
+          when(col("event_id") % 2 === 0,
+            concat(lit("""{"payload":"""), createBody, lit("}")))
+            .otherwise(createBody).as("value"))
+        val deletes = ev.where(col("event_id") % 10 === 0).select(
+          col("event_id").cast("string").as("key"),
+          to_json(struct(lit("d").as("op"),
+            to_json(struct(col("event_id").as("_id"))).as("before")))
+            .as("value"))
+        Cdc.unwrap(creates.unionByName(deletes)).select(
+          col("key").as("k"),
+          get_json_object(col("value"), "$._id").cast("long").as("id"),
+          get_json_object(col("value"), "$.t").as("t"),
+          coalesce(get_json_object(col("value"), "$._deleted")
+            .cast("boolean"), lit(false)).as("deleted"))
+    },
+
+    // -- the round-4 jq surface as a $jq stage: split/sort/slice/join
+    // pipelines, assignment, string functions
+    Q.pipe("q_jq_builtins", "documents",
+      """[{"$match":{"doc_id":{"$lt":200}}},
+          {"$jq":{"script":
+           "{ id: .doc_id, first2: (.text | split(\" \") | sort | .[0:2] | join(\"_\")), low: (.lang | ascii_downcase), n: (.text | split(\" \") | length) }",
+           "schema":"id long, first2 string, low string, n long"}}]""",
+      """SELECT doc_id AS id,
+                array_to_string(list_sort(string_split(text, ' '))[1:2], '_') AS first2,
+                lower(lang) AS low,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         FROM documents WHERE doc_id < 200"""),
+
+    // -- the round-4 JSLT surface as a $jslt stage: sha256-hex,
+    // starts-with, slices, sum, and/or
+    Q.pipe("q_jslt_builtins", "region",
+      """[{"$jslt":{"script":
+           "{ \"rid\": .r_regionkey, \"sha\": sha256-hex(.r_name), \"sw\": starts-with(.r_name, \"A\"), \"head\": .r_name[0:2], \"both\": .r_regionkey >= 0 and .r_regionkey < 3 }",
+           "schema":"rid long, sha string, sw boolean, head string, both boolean"}}]""",
+      """SELECT r_regionkey AS rid,
+                lower(sha256(r_name)) AS sha,
+                r_name LIKE 'A%' AS sw,
+                substr(r_name, 1, 2) AS head,
+                r_regionkey >= 0 AND r_regionkey < 3 AS both
+         FROM region""")
+  )
+}

@@ -1435,6 +1435,15 @@ object MiniJq {
           case "%" => // jq %: integer modulo (operands truncated)
             LongNode.valueOf(a.asLong() % b.asLong())
         }
+      case ("*", a, b) if a.isTextual && b.isNumber => // string repeat
+        if (b.asInt() <= 0) NullNode.getInstance
+        else TextNode.valueOf(a.asText() * b.asInt())
+      case ("/", a, b) if a.isTextual && b.isTextual => // jq: split
+        val out = Js.arr()
+        a.asText()
+          .split(java.util.regex.Pattern.quote(b.asText()), -1)
+          .foreach(out.add)
+        out
       case ("-", a: ArrayNode, b: ArrayNode) => // array difference
         val keep = Js.elems(a).filterNot(x =>
           Js.elems(b).exists(y => cmpJq(x, y) == 0))

@@ -172,11 +172,20 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs, exact: all-pairs product.
-    * ONLY for small bounded candidate sets (a few thousand vectors) — the
-    * plan is a nested-loop join. The scale path is `embeddingPairsCelled`.
+    * ONLY for small bounded candidate sets — the plan is a nested-loop
+    * join, so the input is GUARDED: more than `maxExactRows` rows fails
+    * fast (one metadata-cheap count) instead of launching an O(n²) job
+    * that can't finish at scale. The scale path is `embeddingPairsCelled`;
+    * raise the cap explicitly only for a bounded candidate set.
     */
   def embeddingPairs(df: DataFrame, embCol: String, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxExactRows: Long = 100000): DataFrame = {
+    val n = df.count()
+    require(n <= maxExactRows,
+      s"embeddingPairs is the EXACT all-pairs baseline: $n rows would " +
+        s"be ~${n * n / 2} comparisons. Use embeddingPairsCelled " +
+        "(IVF-celled, equi-join) at this size, or raise maxExactRows " +
+        "for a deliberately bounded candidate set.")
     val v = normalized(df, embCol, idCol, "v")
     val a = v.select(col(idCol).as("id_a"), col("v").as("va"))
     val b = v.select(col(idCol).as("id_b"), col("v").as("vb"))

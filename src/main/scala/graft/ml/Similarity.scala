@@ -21,9 +21,20 @@ object Similarity {
 
   /** Exact top-k neighbors for each query row (excluding self). Rank by
     * rounded cosine desc then id asc — fully deterministic.
+    *
+    * GUARDED exact baseline: |queries| × |corpus| above `maxExactWork`
+    * fails fast (two metadata-cheap counts) instead of launching a
+    * nested-loop job that can't finish at scale — `ivfTopK` is the scale
+    * path. Raise the cap explicitly only for a bounded evaluation set
+    * (e.g. measuring IVF recall on a sample, see MlQueries.q_knn_recall).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
-      idCol: String, k: Int): DataFrame = {
+      idCol: String, k: Int, maxExactWork: Long = 1000000000L): DataFrame = {
+    val (nq, nc) = (queries.count(), corpus.count())
+    require(nq * nc <= maxExactWork,
+      s"bruteForceTopK is the EXACT baseline: $nq queries x $nc corpus " +
+        s"rows = ${nq * nc} dot products. Use ivfTopK at this size, or " +
+        "raise maxExactWork for a deliberately bounded evaluation set.")
     val c = normalized(corpus, embCol, idCol, "vc")
       .withColumnRenamed(idCol, "nb_id")
     val q = normalized(queries, embCol, idCol, "vq")

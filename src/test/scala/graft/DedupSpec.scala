@@ -54,4 +54,16 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == quad)
     assert(banded.exists { case (a, b, d) => a == 1L && b == 3L && d == 0 })
   }
+
+  test("exact all-pairs baselines refuse oversized inputs") {
+    val big = spark.range(50).select(col("id").as("doc_id"),
+      array(lit(1f), lit(0f)).as("emb"))
+    val e = intercept[IllegalArgumentException](
+      Dedup.embeddingPairs(big, "emb", "doc_id", 0.9, maxExactRows = 10))
+    assert(e.getMessage.contains("embeddingPairsCelled"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.ml.Similarity.bruteForceTopK(big, big, "emb", "doc_id", 3,
+        maxExactWork = 100))
+    assert(e2.getMessage.contains("ivfTopK"))
+  }
 }

@@ -240,6 +240,12 @@ class MiniJqRound4Spec extends AnyFunSuite {
       """{"a":{"x":1,"y":2}}""")
   }
 
+  test("string repeat and string division") {
+    assert(render("\"ab\" * 3", "null") == "\"ababab\"")
+    assert(render("\"x\" * 0", "null") == "null")
+    assert(render("\"a,b,c\" / \",\"", "null") == """["a","b","c"]""")
+  }
+
   test("utf8bytelength, trim family") {
     assert(render("utf8bytelength", "\"é\"") == "2")
     assert(render("trim", "\"  x \"") == "\"x\"")

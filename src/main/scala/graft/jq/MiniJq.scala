@@ -941,17 +941,30 @@ object MiniJq {
         o: JsonNode
       }
     case "sub" | "gsub" =>
-      for {
-        re <- eval(args.head, in, defs, vars)
-        repl <- eval(args(1), in, defs, vars)
-      } yield {
-        val p = java.util.regex.Pattern.compile(re.asText())
-        val m = p.matcher(in.asText())
-        val quoted = java.util.regex.Matcher.quoteReplacement(repl.asText())
-        TextNode.valueOf(
-          if (name == "sub") m.replaceFirst(quoted)
-          else m.replaceAll(quoted))
+      // jq: the replacement is a FILTER evaluated with the named-capture
+      // object as its input — `gsub("(?<x>\\d)"; "<\(.x)>")` works
+      val (re, flags) = regexArgs(
+        args.head :: (if (args.size > 2) List(args(2)) else Nil),
+        in, defs, vars)
+      val global = name == "gsub" || flags.contains('g')
+      val names = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
+        .findAllMatchIn(re.pattern()).map(_.group(1)).toList
+      val m = re.matcher(in.asText())
+      val sb = new java.lang.StringBuffer
+      var continue = true
+      while (continue && m.find()) {
+        val caps = Js.obj()
+        names.foreach(n =>
+          Option(m.group(n)).foreach(v => caps.put(n, v)))
+        val repl = eval(args(1), caps, defs, vars).headOption
+          .map(r => if (r.isTextual) r.asText() else Js.render(r))
+          .getOrElse("")
+        m.appendReplacement(sb,
+          java.util.regex.Matcher.quoteReplacement(repl))
+        continue = global
       }
+      m.appendTail(sb)
+      Seq(TextNode.valueOf(sb.toString))
     case "split" =>
       if (args.size > 1) { // split(re; flags): regex split
         val (re, _) = regexArgs(args, in, defs, vars)

@@ -105,6 +105,35 @@ object Round4Queries {
             .cast("boolean"), lit(false)).as("deleted"))
     },
 
+    // -- toTopic packing through the REAL Kafka sink shape: typed frames
+    // get key-from-_id + JSON value, schemaless message frames pass
+    // their value through untouched (no double-encoding)
+    Q.fn("q_totopic_shape",
+      """SELECT CAST(n_nationkey AS VARCHAR) AS key,
+                to_json(struct_pack(
+                  _id := CAST(n_nationkey AS VARCHAR),
+                  n_name := n_name,
+                  n_regionkey := n_regionkey))::VARCHAR AS value
+         FROM nation
+         UNION ALL
+         SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS key,
+                '{"raw":' || CAST(r_regionkey AS VARCHAR) || '}' AS value
+         FROM region""") { (spark, sf) =>
+      val io = new graft.streaming.KafkaIo("none:9092")
+      val typed = io.toKafkaShape(
+        Tables.load(spark, sf, "nation").select(
+          col("n_nationkey").cast("string").as("_id"),
+          col("n_name"), col("n_regionkey")),
+        asString = false)
+      val message = io.toKafkaShape(
+        Tables.load(spark, sf, "region").select(
+          concat(lit("r"), col("r_regionkey")).as("key"),
+          concat(lit("""{"raw":"""), col("r_regionkey"), lit("}"))
+            .as("value")),
+        asString = true)
+      typed.unionByName(message)
+    },
+
     // -- the round-4 jq surface as a $jq stage: split/sort/slice/join
     // pipelines, assignment, string functions
     Q.pipe("q_jq_builtins", "documents",

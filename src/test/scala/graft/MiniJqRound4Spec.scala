@@ -240,6 +240,15 @@ class MiniJqRound4Spec extends AnyFunSuite {
       """{"a":{"x":1,"y":2}}""")
   }
 
+  test("sub/gsub evaluate the replacement against the capture object") {
+    assert(render("""gsub("(?<x>[0-9])"; "<\(.x)>")""", "\"a1b2\"") ==
+      "\"a<1>b<2>\"")
+    assert(render("""sub("(?<x>[0-9])"; "<\(.x)>")""", "\"a1b2\"") ==
+      "\"a<1>b2\"")
+    assert(render("""gsub("-"; "_")""", "\"a-b-c\"") == "\"a_b_c\"")
+    assert(render("""sub("O"; "0"; "i")""", "\"foo\"") == "\"f0o\"")
+  }
+
   test("string repeat and string division") {
     assert(render("\"ab\" * 3", "null") == "\"ababab\"")
     assert(render("\"x\" * 0", "null") == "null")

@@ -105,6 +105,21 @@ object Round4Queries {
             .cast("boolean"), lit(false)).as("deleted"))
     },
 
+    // -- compound $group _id (document expression) + dotted extraction
+    Q.pipe("q_group_compound", "orders",
+      """[{"$group":{"_id":{"st":"$o_orderstatus",
+                           "pr":"$o_orderpriority"},
+                     "n":{"$count":{}},
+                     "total_cents":{"$sum":{"$toLong":{"$round":
+                       {"$multiply":["$o_totalprice",100]}}}}}},
+          {"$project":{"st":"$_id.st","pr":"$_id.pr","n":1,
+                       "total_cents":1,"_id":0}}]""",
+      """SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                count(*) AS n,
+                CAST(sum(CAST(round_even(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM orders GROUP BY 1, 2"""),
+
     // -- toTopic packing through the REAL Kafka sink shape: typed frames
     // get key-from-_id + JSON value, schemaless message frames pass
     // their value through untouched (no double-encoding)

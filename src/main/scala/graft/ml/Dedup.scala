@@ -229,6 +229,51 @@ object Dedup {
     celledPairs(df, embCol, idCol, threshold,
       df.orderBy(col(idCol)).limit(nlist), nprobe, dedup = true)
 
+  /** Connected components over a candidate-pair edge list → duplicate
+    * CLUSTERS: every document gets the minimum reachable id as its
+    * component label. Iterative min-label propagation — per round one
+    * equi-join (labels to neighbors) + one min-aggregate, so each round
+    * is shuffle-bounded and the loop converges in `diameter` rounds
+    * (near-dup clusters are shallow; hub-and-spoke from banded LSH pairs
+    * makes the practical diameter 2-4). `persist` + count per round
+    * keeps lineage short and gives the convergence check; `maxIter`
+    * bounds pathological chains. This is the standard large-graph CC
+    * recipe (alternating large/small-star is the skew-hardened variant;
+    * the propagation join below is equi-keyed, so AQE's skew splitting
+    * already applies).
+    */
+  def components(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(
+        pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+      .persist()
+    // eager localCheckpoint per round TRUNCATES the logical plan — the
+    // naive loop doubles the plan each round (2^rounds analysis/heap)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels flow one hop; keep the minimum seen
+      val proposals = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .unionByName(proposals)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") < col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   private def celledPairs(df: DataFrame, embCol: String, idCol: String,
       threshold: Double, centroids: DataFrame, nprobe: Int,
       dedup: Boolean): DataFrame = {

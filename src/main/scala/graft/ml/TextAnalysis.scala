@@ -91,4 +91,34 @@ object TextAnalysis {
     df.withColumn("fp_md5", md5(normalized))
       .withColumn("fp_roll", rollingFingerprint(tokens(col(textCol))))
   }
+
+  /** Repetition signals (the Gopher/RefinedWeb-style filters a training
+    * corpus is pruned with): duplicate-word fraction, the most frequent
+    * word's share, duplicate-bigram fraction, mean word length. All
+    * per-row array expressions — zero shuffle, embarrassingly parallel;
+    * per-row cost is O(words · distinct) for the mode count, bounded by
+    * document length. Fractions are truncated to 6 decimals (exact
+    * across engines).
+    */
+  def repetition(df: DataFrame, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val n = size(w)
+    val distinctW = array_distinct(w)
+    val topShare = aggregate(distinctW, lit(0),
+      (acc, x) => greatest(acc, size(filter(w, y => y === x))))
+    val bigrams = transform(
+      sequence(lit(0), greatest(n - 2, lit(0))),
+      i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))
+    val nBigrams = when(n >= 2, n - 1).otherwise(0)
+    df.withColumn("n_words", n)
+      .withColumn("dup_word_frac",
+        trunc6((n - size(distinctW)) / n))
+      .withColumn("top_word_frac", trunc6(topShare / n))
+      .withColumn("dup_bigram_frac",
+        when(nBigrams === 0, 0.0).otherwise(trunc6(
+          (nBigrams - size(array_distinct(slice(bigrams, lit(1), nBigrams))))
+            / nBigrams)))
+      .withColumn("mean_word_len",
+        trunc6(aggregate(w, lit(0), (acc, x) => acc + length(x)) / n))
+  }
 }

@@ -105,6 +105,51 @@ object Round4Queries {
             .cast("boolean"), lit(false)).as("deleted"))
     },
 
+    // -- connected components over a candidate-pair edge list: the
+    // dup-cluster step after LSH/SimHash pair generation. The synthetic
+    // path graph (consecutive ids inside blocks of 7) has diameter 6, so
+    // the label propagation genuinely iterates; the closed-form oracle is
+    // component = id - id % 7.
+    Q.fn("q_dedup_components",
+      """SELECT doc_id AS id, CAST(doc_id - doc_id % 7 AS BIGINT) AS component
+         FROM documents WHERE doc_id < 350""") { (spark, sf) =>
+      val ids = Tables.load(spark, sf, "documents")
+        .where(col("doc_id") < 350).select(col("doc_id"))
+      val edges = ids
+        .where(col("doc_id") % 7 =!= 6 && col("doc_id") < 349)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+      graft.ml.Dedup.components(edges)
+    },
+
+    // -- repetition / quality signals (Gopher-style corpus filters)
+    Q.fn("q_text_repetition",
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents WHERE doc_id < 300),
+         s AS (SELECT doc_id, w, len(w) AS n, list_distinct(w) AS dw FROM t)
+         SELECT doc_id,
+           CAST(n AS INT) AS n_words,
+           trunc((n - len(dw)) / n * 1000000) / 1000000.0 AS dup_word_frac,
+           trunc(list_max(list_transform(dw,
+             x -> len(list_filter(w, y -> y = x)))) / n * 1000000)
+             / 1000000.0 AS top_word_frac,
+           CASE WHEN n < 2 THEN 0.0 ELSE
+             trunc(((n-1) - len(list_distinct(list_transform(
+               generate_series(1, CAST(n-1 AS INT)),
+               i -> w[i] || ' ' || w[i+1])))) / (n-1) * 1000000)
+               / 1000000.0 END AS dup_bigram_frac,
+           trunc(list_sum(list_transform(w, x -> len(x))) / n * 1000000)
+             / 1000000.0 AS mean_word_len
+         FROM s""") { (spark, sf) =>
+      graft.ml.TextAnalysis.repetition(
+        Tables.load(spark, sf, "documents").where(col("doc_id") < 300),
+        "text")
+        .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+          col("top_word_frac"), col("dup_bigram_frac"),
+          col("mean_word_len"))
+    },
+
     // -- compound $group _id (document expression) + dotted extraction
     Q.pipe("q_group_compound", "orders",
       """[{"$group":{"_id":{"st":"$o_orderstatus",

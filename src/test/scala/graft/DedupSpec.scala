@@ -55,6 +55,28 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.exists { case (a, b, d) => a == 1L && b == 3L && d == 0 })
   }
 
+  test("components label every cluster with its minimum id") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "completely unrelated words nothing shared here at all"))
+    val pairs = Dedup.simhashPairs(docs.toDF("doc_id", "text"),
+      "text", "doc_id", maxDist = 10)
+    val got = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1,2,3 are mutual near-dups; 4 and 5 have no edges (absent)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("components propagate across a long chain") {
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

@@ -639,13 +639,15 @@ object MiniJslt {
             e.asDouble() == args(1).asDouble())).toLong)
       case "now" =>
         DoubleNode.valueOf(System.currentTimeMillis() / 1000.0)
-      case "parse-time" => // (time, format[, fallback]) -> epoch seconds
+      case "parse-time" => // (time, format[, fallback]) -> epoch seconds;
+        // SimpleDateFormat semantics like public JSLT: missing fields
+        // (date-only patterns) default instead of failing
         try {
-          val fmt = java.time.format.DateTimeFormatter
-            .ofPattern(args(1).asText(), java.util.Locale.ENGLISH)
-            .withZone(java.time.ZoneOffset.UTC)
-          val inst = java.time.Instant.from(fmt.parse(args.head.asText()))
-          val ms = inst.toEpochMilli
+          val fmt = new java.text.SimpleDateFormat(
+            args(1).asText(), java.util.Locale.ENGLISH)
+          fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          fmt.setLenient(false)
+          val ms = fmt.parse(args.head.asText()).getTime
           if (ms % 1000 == 0) LongNode.valueOf(ms / 1000)
           else DoubleNode.valueOf(ms / 1000.0)
         } catch {

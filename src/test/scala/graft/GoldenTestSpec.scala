@@ -65,6 +65,10 @@ class GoldenTestSpec extends AnyFunSuite {
     check("jsltcustom", strict = true)
   }
 
+  test("round-4 jq/jslt language surface through stream parts (strict)") {
+    check("r4lang", strict = true)
+  }
+
   // The reference's own fixture applications, ported verbatim
   // (reference src/test/resources/appN; Test.java runs them lenient).
   private val ported = (1 to 40)

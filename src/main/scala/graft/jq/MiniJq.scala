@@ -927,19 +927,17 @@ object MiniJq {
     case "test" =>
       val (re, _) = regexArgs(args, in, defs, vars)
       Seq(BooleanNode.valueOf(re.matcher(in.asText()).find()))
-    case "capture" => // named groups -> object
-      eval(args.head, in, defs, vars).map { re =>
-        val p = java.util.regex.Pattern.compile(re.asText())
-        val m = p.matcher(in.asText())
+    case "capture" => // named groups -> object; honors flags (i, g, ...)
+      val (p, flags) = regexArgs(args, in, defs, vars)
+      val names = groupNames(p.pattern()).flatten
+      val m = p.matcher(in.asText())
+      val out = mutable.ListBuffer[JsonNode]()
+      while (m.find() && (out.isEmpty || flags.contains('g'))) {
         val o = Js.obj()
-        if (m.find()) {
-          val names = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
-            .findAllMatchIn(re.asText()).map(_.group(1))
-          names.foreach(n =>
-            Option(m.group(n)).foreach(v => o.put(n, v)))
-        }
-        o: JsonNode
+        names.foreach(n => Option(m.group(n)).foreach(v => o.put(n, v)))
+        out += o
       }
+      if (out.isEmpty) Seq(Js.obj()) else out.toList
     case "sub" | "gsub" =>
       // jq: the replacement is a FILTER evaluated with the named-capture
       // object as its input — `gsub("(?<x>\\d)"; "<\(.x)>")` works
@@ -1212,13 +1210,20 @@ object MiniJq {
         java.util.Base64.getDecoder.decode(in.asText()),
         java.nio.charset.StandardCharsets.UTF_8)))
     case "@uri" =>
-      Seq(TextNode.valueOf(
-        (if (in.isTextual) in.asText() else Js.render(in)).flatMap { c =>
-          if (c.isLetterOrDigit || "-_.~".contains(c)) c.toString
-          else c.toString
+      val s = if (in.isTextual) in.asText() else Js.render(in)
+      val sb = new StringBuilder
+      // by CODE POINT (surrogate pairs encode as one UTF-8 sequence);
+      // only ASCII unreserved chars pass through
+      s.codePoints().forEach { cp =>
+        if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+          (cp >= '0' && cp <= '9') || "-_.~".indexOf(cp) >= 0)
+          sb.append(cp.toChar)
+        else
+          new String(Character.toChars(cp))
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            .map(b => f"%%${b & 0xff}%02X").mkString
-        }))
+            .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+      }
+      Seq(TextNode.valueOf(sb.toString))
     case "@csv" | "@tsv" =>
       Seq(TextNode.valueOf(Js.elems(in).map { e =>
         if (name == "@csv") {
@@ -1275,8 +1280,7 @@ object MiniJq {
     case "match" =>
       val (re, flags) = regexArgs(args, in, defs, vars)
       val m = re.matcher(in.asText())
-      val names = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
-        .findAllMatchIn(re.pattern()).map(_.group(1)).toList
+      val names = groupNames(re.pattern())
       val out = mutable.ListBuffer[JsonNode]()
       while (m.find() && (out.isEmpty || flags.contains('g'))) {
         val o = Js.obj()
@@ -1292,7 +1296,7 @@ object MiniJq {
             Option(m.group(g)).map(TextNode.valueOf)
               .getOrElse(NullNode.getInstance))
           c.set[JsonNode]("name",
-            names.lift(g - 1).map(TextNode.valueOf)
+            names.lift(g - 1).flatten.map(TextNode.valueOf)
               .getOrElse(NullNode.getInstance))
           caps.add(c)
         }
@@ -1346,6 +1350,38 @@ object MiniJq {
 
     case other =>
       throw new IllegalArgumentException(s"undefined filter $other")
+  }
+
+  /** Group names by CAPTURING-group index (1-based list position):
+    * `(a)(?<x>b)` → List(None, Some("x")). Scans the pattern source —
+    * Java's Matcher has no index→name API — skipping escapes, character
+    * classes, non-capturing groups and lookarounds.
+    */
+  private[jq] def groupNames(re: String): List[Option[String]] = {
+    val out = mutable.ListBuffer[Option[String]]()
+    var i = 0
+    var inClass = false
+    while (i < re.length) {
+      re(i) match {
+        case '\\' => i += 1 // skip the escaped char
+        case '[' if !inClass => inClass = true
+        case ']' if inClass  => inClass = false
+        case '(' if !inClass =>
+          if (i + 1 < re.length && re(i + 1) == '?') {
+            // (?<name>...) is a capturing named group; (?<= (?<! (?: (?=
+            // (?! (?i) ... are not capturing
+            if (i + 2 < re.length && re(i + 2) == '<' &&
+              i + 3 < re.length && re(i + 3).isLetter) {
+              val end = re.indexOf('>', i + 3)
+              out += Some(re.substring(i + 3, end))
+              i = end
+            }
+          } else out += None
+        case _ =>
+      }
+      i += 1
+    }
+    out.toList
   }
 
   /** (pattern, flags) from regex builtin args: `f(re)` or `f(re; flags)`.

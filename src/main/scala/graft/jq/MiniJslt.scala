@@ -364,10 +364,7 @@ object MiniJslt {
         }
         else Nil
       items.foreach { e =>
-        val keep = cond.forall { c =>
-          val r = eval(c, e, vars, defs)
-          !(r == null || r.isNull || (r.isBoolean && !r.asBoolean()))
-        }
+        val keep = cond.forall(c => truthy(eval(c, e, vars, defs)))
         if (keep) {
           val v = eval(body, e, vars, defs)
           if (v != null && !v.isNull) a.add(v) else a.add(NullNode.getInstance)
@@ -384,10 +381,7 @@ object MiniJslt {
         }
         else Nil
       items.foreach { e =>
-        val keep = cond.forall { c =>
-          val r = eval(c, e, vars, defs)
-          !(r == null || r.isNull || (r.isBoolean && !r.asBoolean()))
-        }
+        val keep = cond.forall(c => truthy(eval(c, e, vars, defs)))
         if (keep) {
           val k = eval(key, e, vars, defs)
           val v = eval(value, e, vars, defs)
@@ -396,13 +390,8 @@ object MiniJslt {
       }
       o
     case IfE(cond, thn, els) =>
-      val c = eval(cond, in, vars, defs)
-      // JSLT truthiness: null, false, empty collections/strings are falsy
-      val falsy = c == null || c.isNull ||
-        (c.isBoolean && !c.asBoolean()) ||
-        ((c.isArray || c.isObject) && c.size() == 0) ||
-        (c.isTextual && c.asText().isEmpty)
-      if (falsy) eval(els, in, vars, defs) else eval(thn, in, vars, defs)
+      if (truthy(eval(cond, in, vars, defs))) eval(thn, in, vars, defs)
+      else eval(els, in, vars, defs)
     case BinOp("and", l, r) => // JSLT boolean() truthiness, short-circuit
       if (!truthy(eval(l, in, vars, defs))) BooleanNode.FALSE
       else BooleanNode.valueOf(truthy(eval(r, in, vars, defs)))
@@ -413,9 +402,11 @@ object MiniJslt {
       numericOp(op, eval(l, in, vars, defs), eval(r, in, vars, defs))
   }
 
+  /** JSLT boolean(): null, false, 0, empty collection/string are false. */
   private def truthy(a: JsonNode): Boolean =
     !(a == null || a.isNull ||
       (a.isBoolean && !a.asBoolean()) ||
+      (a.isNumber && a.asDouble() == 0.0) ||
       ((a.isArray || a.isObject) && a.size() == 0) ||
       (a.isTextual && a.asText().isEmpty))
 
@@ -475,12 +466,7 @@ object MiniJslt {
               catch { case _: NumberFormatException => NullNode.getInstance }
           }
         else NullNode.getInstance
-      case "boolean" =>
-        val a = args.head
-        BooleanNode.valueOf(!(a == null || a.isNull ||
-          (a.isBoolean && !a.asBoolean()) ||
-          ((a.isArray || a.isObject) && a.size() == 0) ||
-          (a.isTextual && a.asText().isEmpty)))
+      case "boolean" => BooleanNode.valueOf(truthy(args.head))
       case "not" =>
         builtinFn("boolean", args) match {
           case b: BooleanNode => BooleanNode.valueOf(!b.asBoolean())
@@ -611,10 +597,11 @@ object MiniJslt {
             e.put("key", k); e.set[JsonNode]("value", v); e: JsonNode
           })
         else throw new IllegalArgumentException(s"array() of $a")
-      case "flatten" => // one level, like JSLT
+      case "flatten" => // fully recursive, like JSLT
+        def flat(n: JsonNode): Seq[JsonNode] =
+          Js.elems(n).flatMap(e => if (e.isArray) flat(e) else Seq(e))
         if (args.head.isNull) NullNode.getInstance
-        else Js.mkArr(Js.elems(args.head).flatMap(e =>
-          if (e.isArray) Js.elems(e) else Seq(e)))
+        else Js.mkArr(flat(args.head))
       case "all" =>
         if (args.head.isNull) NullNode.getInstance
         else BooleanNode.valueOf(Js.elems(args.head).forall(e =>

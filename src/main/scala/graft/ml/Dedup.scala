@@ -271,6 +271,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a silent non-converged result would report one cluster as several
+    require(converged,
+      s"components did not converge in $maxIter rounds — the pair graph " +
+        "has a longer chain than expected; raise maxIter")
     labels.select(col("id"), col("label").as("component"))
   }
 

@@ -101,7 +101,11 @@ object TextAnalysis {
     * across engines).
     */
   def repetition(df: DataFrame, textCol: String): DataFrame = {
-    val w = tokens(col(textCol))
+    // materialize the token array ONCE: lambdas below reference the
+    // projected column — an inline split() would be re-evaluated per
+    // lambda access (see Fns.shingles note, measured 3-7x)
+    val withW = df.withColumn("__w", tokens(col(textCol)))
+    val w = col("__w")
     val n = size(w)
     val distinctW = array_distinct(w)
     val topShare = aggregate(distinctW, lit(0),
@@ -110,7 +114,7 @@ object TextAnalysis {
       sequence(lit(0), greatest(n - 2, lit(0))),
       i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))
     val nBigrams = when(n >= 2, n - 1).otherwise(0)
-    df.withColumn("n_words", n)
+    withW.withColumn("n_words", n)
       .withColumn("dup_word_frac",
         trunc6((n - size(distinctW)) / n))
       .withColumn("top_word_frac", trunc6(topShare / n))
@@ -120,5 +124,6 @@ object TextAnalysis {
             / nBigrams)))
       .withColumn("mean_word_len",
         trunc6(aggregate(w, lit(0), (acc, x) => acc + length(x)) / n))
+      .drop("__w")
   }
 }

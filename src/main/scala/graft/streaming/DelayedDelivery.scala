@@ -115,14 +115,19 @@ object DelayedDelivery {
         Class.forName("org.apache.kafka.clients.producer.Callback")
       val callback = java.lang.reflect.Proxy.newProxyInstance(
         callbackCls.getClassLoader, Array(callbackCls),
-        (_, method, cbArgs) =>
-          if (method.getName == "onCompletion") {
+        (proxy, method, cbArgs) => method.getName match {
+          case "onCompletion" =>
             // (RecordMetadata, Exception) — a non-null exception is a
             // dropped redelivery; it must be VISIBLE loss
             Option(cbArgs(1)).foreach(e => System.err.println(
               s"graft $$delay redelivery to $topic failed: $e"))
             null
-          } else null)
+          // Object methods must not return null (primitive unboxing NPE)
+          case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))
+          case "equals"   => java.lang.Boolean.valueOf(proxy eq cbArgs(0))
+          case "toString" => "graft-delay-callback"
+          case _          => null
+        })
       producer.getClass.getMethod("send", recordCls, callbackCls)
         .invoke(producer, record, callback)
     }

@@ -189,6 +189,23 @@ class MiniJqRound4Spec extends AnyFunSuite {
     assert(render("""test("ABC"; "i")""", "\"xabcx\"") == "true")
   }
 
+  test("capture names bind to the right groups; flags honored") {
+    // unnamed group BEFORE the named one: name must not shift
+    assert(render("""match("(a)(?<x>b)").captures | map(.name)""",
+      "\"ab\"") == """[null,"x"]""")
+    assert(render("""match("(a)(?<x>b)").captures[1].string""",
+      "\"ab\"") == "\"b\"")
+    assert(render("""capture("(?<a>B)"; "i")""", "\"ab\"") ==
+      """{"a":"b"}""")
+    assert(render("""[capture("(?<d>[0-9])"; "g")]""", "\"a1b2\"") ==
+      """[{"d":"1"},{"d":"2"}]""")
+  }
+
+  test("@uri percent-encodes non-ASCII by UTF-8 bytes") {
+    assert(render("@uri", "\"café\"") == "\"caf%C3%A9\"")
+    assert(render("@uri", "\"a b\"") == "\"a%20b\"")
+  }
+
   test("contains, inside, in") {
     assert(render("""contains("bc")""", "\"abcd\"") == "true")
     assert(render("""contains({"a":1})""", """{"a":1,"b":2}""") == "true")

@@ -17,6 +17,15 @@ class MiniJsltRound4Spec extends AnyFunSuite {
   private def render(script: String, in: String): String =
     Js.render(one(script, in))
 
+  test("numeric zero is false (JSLT boolean conversion)") {
+    assert(render("boolean(0)", "null") == "false")
+    assert(render("0 and true", "null") == "false")
+    assert(render("0 or false", "null") == "false")
+    assert(render("if (.n) \"yes\" else \"no\"", """{"n":0}""") ==
+      "\"no\"")
+    assert(render("flatten([[1,[2]],3])", "null") == "[1,2,3]")
+  }
+
   test("and / or with JSLT truthiness") {
     assert(render(".a and .b", """{"a":1,"b":"x"}""") == "true")
     assert(render(".a and .b", """{"a":1,"b":""}""") == "false")

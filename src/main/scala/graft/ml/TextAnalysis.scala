@@ -126,4 +126,45 @@ object TextAnalysis {
         trunc6(aggregate(w, lit(0), (acc, x) => acc + length(x)) / n))
       .drop("__w")
   }
+
+  /** BM25 keyword scoring with inverted-index candidate pruning — the
+    * corpus-search shape that survives 100 TB: explode DISTINCT terms per
+    * doc, equi-join the (tiny, broadcast) query term list — only docs
+    * containing at least one query term flow further — compute per-term
+    * contributions, one groupBy(doc) sum. Corpus stats (N, avgdl) and
+    * per-term document frequencies are small aggregates broadcast back.
+    * Returns (id, score) for every candidate; scores truncated to 6
+    * decimals for cross-engine determinism.
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .withColumn("__dl", size(col("__w")))
+    val stats = toks.agg(
+      count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val terms = broadcast(query.toDF("__term"))
+    // inverted postings restricted to the query terms
+    val postings = toks
+      .select(col(idCol), col("__w"), col("__dl"),
+        explode(array_distinct(col("__w"))).as("__term"))
+      .join(terms, "__term")
+    val dfreq = postings.groupBy("__term")
+      .agg(count(lit(1)).as("__df"))
+    postings
+      .join(broadcast(dfreq), "__term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__tf",
+        size(filter(col("__w"), x => x === col("__term"))))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__contrib",
+        col("__idf") * col("__tf") * lit(k1 + 1) /
+          (col("__tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(trunc6(sum(col("__contrib"))).as("score"))
+  }
+
 }

@@ -150,6 +150,30 @@ object Round4Queries {
           col("mean_word_len"))
     },
 
+    // -- BM25 keyword scoring over inverted-index candidates
+    Q.fn("q_text_bm25",
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+         st AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
+         q(term) AS (VALUES ('spark'), ('vector'), ('hash')),
+         hits AS (
+           SELECT doc_id, term, len(w) AS dl,
+                  len(list_filter(w, x -> x = term)) AS tf
+           FROM toks, q WHERE list_contains(w, term)),
+         dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY term)
+         SELECT doc_id,
+           trunc(sum(
+             ln(1 + (n - df + 0.5) / (df + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ) * 1000000) / 1000000.0 AS score
+         FROM hits JOIN dfreq USING (term) CROSS JOIN st
+         GROUP BY doc_id""") { (spark, sf) =>
+      graft.ml.TextAnalysis.bm25(
+        Tables.load(spark, sf, "documents"), "text", "doc_id",
+        Seq("spark", "vector", "hash"))
+    },
+
     // -- compound $group _id (document expression) + dotted extraction
     Q.pipe("q_group_compound", "orders",
       """[{"$group":{"_id":{"st":"$o_orderstatus",

@@ -67,6 +67,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("bm25 joins terms and stats by broadcast, no product") {
+    val p = plan(q("q_text_bm25"))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("interval join stays non-vacuous (was empty once in round 2)") {
     assert(q("q_interval_join").limit(1).count() == 1,
       "q_interval_join returned no rows — the signup→purchase window " +

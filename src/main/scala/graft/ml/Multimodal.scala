@@ -166,6 +166,121 @@ object Multimodal {
     * features — the filter predicate a 100 TB sweep needs to quarantine
     * undecodable media without failing the job.
     */
+  /** Pure-JVM RIFF/WAVE codec (PCM 16-bit little-endian) + the basic
+    * features an audio curation pipeline derives after decode (duration,
+    * RMS energy, peak). Like `Ppm`, this is a REAL codec for the one
+    * container simple enough to need no external library — it proves the
+    * audio decode path end to end; compressed codecs would drop into the
+    * same seam.
+    */
+  object Wav {
+    final case class Audio(sampleRate: Int, channels: Int,
+        samples: Array[Short])
+
+    /** Canonical 44-byte-header PCM WAV. */
+    def encode(a: Audio): Array[Byte] = {
+      val dataLen = a.samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16)
+        .putShort(1) // PCM
+        .putShort(a.channels.toShort)
+        .putInt(a.sampleRate)
+        .putInt(a.sampleRate * a.channels * 2) // byte rate
+        .putShort((a.channels * 2).toShort) // block align
+        .putShort(16) // bits per sample
+      bb.put("data".getBytes).putInt(dataLen)
+      a.samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Parse RIFF/WAVE with chunk walking (fmt may be followed by LIST or
+      * other chunks before data). PCM 16-bit only; anything else → None.
+      */
+    def decode(payload: Array[Byte]): Option[Audio] = {
+      if (payload.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      if (tag() != "RIFF") return None
+      bb.getInt // riff size
+      if (tag() != "WAVE") return None
+      var rate, channels, bits = 0
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8) {
+        val id = tag()
+        val len = bb.getInt
+        if (len < 0 || len > bb.remaining()) return None
+        id match {
+          case "fmt " =>
+            val fmt = bb.getShort
+            channels = bb.getShort
+            rate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            bits = bb.getShort
+            if (fmt != 1 || bits != 16) return None
+            bb.position(bb.position() + len - 16)
+          case "data" =>
+            samples = new Array[Short](len / 2)
+            bb.asShortBuffer().get(samples)
+            bb.position(bb.position() + len)
+          case _ => // LIST/fact/...: skip (word-aligned)
+            bb.position(bb.position() + len + (len & 1))
+        }
+      }
+      if (rate <= 0 || channels <= 0 || samples == null) None
+      else Some(Audio(rate, channels, samples))
+    }
+
+    def durationMs(a: Audio): Long =
+      a.samples.length.toLong / a.channels * 1000 / a.sampleRate
+
+    def rms(a: Audio): Double =
+      if (a.samples.isEmpty) 0.0
+      else math.sqrt(a.samples.map(s => s.toDouble * s).sum /
+        a.samples.length)
+
+    def peak(a: Audio): Int =
+      if (a.samples.isEmpty) 0 else a.samples.map(s => math.abs(s.toInt)).max
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("rms", DoubleType),
+    StructField("peak", IntegerType),
+    StructField("decoded", BooleanType)))
+
+  /** Per-partition audio decode over a `pack`ed frame (same mapInPandas
+    * shape as decodeImages); undecodable payloads → decoded=false row.
+    * `rms` is truncated to 6 decimals for cross-engine determinism.
+    */
+  def decodeAudio(packed: DataFrame, idCol: String): DataFrame = {
+    val input = packed.select(col(idCol).cast(LongType),
+      col("media_meta.format"), col("payload"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        Wav.decode(r.getAs[Array[Byte]](2)) match {
+          case Some(a) =>
+            Row(r.getLong(0), r.getString(1), a.sampleRate, a.channels,
+              a.samples.length, Wav.durationMs(a),
+              math.floor(Wav.rms(a) * 1000000) / 1000000, Wav.peak(a),
+              true)
+          case None =>
+            Row(r.getLong(0), r.getString(1), null, null, null, null,
+              null, null, false)
+        }
+      }
+    }(RowEncoder.encoderFor(audioSchema))
+  }
+
   def decodeImages(packed: DataFrame, idCol: String,
       thumbW: Int = 4, thumbH: Int = 4): DataFrame = {
     val input = packed.select(col(idCol).cast(LongType),

@@ -150,6 +150,33 @@ object Round4Queries {
           col("mean_word_len"))
     },
 
+    // -- REAL audio decode: synthesize PCM WAV bytes per row, decode
+    // through the RIFF codec, derive duration/RMS/peak; the closed-form
+    // oracle checks the whole encode→parse→feature path
+    Q.fn("q_multimodal_audio",
+      """SELECT event_id AS id, 'wav' AS format,
+                8000 AS sample_rate, 1 AS channels, 8 AS n_samples,
+                CAST(1 AS BIGINT) AS duration_ms,
+                trunc(sqrt(17.5) * (event_id % 32) * 1000000) / 1000000.0
+                  AS rms,
+                CAST(7 * (event_id % 32) AS INT) AS peak,
+                true AS decoded
+         FROM events WHERE event_id < 500""") { (spark, sf) =>
+      import spark.implicits._
+      import graft.ml.Multimodal
+      val packed = Tables.load(spark, sf, "events")
+        .where(col("event_id") < 500)
+        .select(col("event_id")).as[Long]
+        .map { id =>
+          val k = (id % 32).toInt
+          val samples = Array.tabulate[Short](8)(i => (i * k).toShort)
+          (id, Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, samples)))
+        }.toDF("event_id", "payload")
+        .withColumn("media_meta", struct(lit("wav").as("format"),
+          octet_length(col("payload")).as("n_bytes")))
+      Multimodal.decodeAudio(packed, "event_id")
+    },
+
     // -- BM25 keyword scoring over inverted-index candidates
     Q.fn("q_text_bm25",
       """WITH toks AS (

@@ -92,4 +92,47 @@ class MultimodalSpec extends AnyFunSuite {
     // the fixture has boundary pairs: multi-probe must recover some
     assert(multi.size > single.size)
   }
+
+  test("Wav round-trips PCM and walks extra chunks") {
+    import Multimodal.Wav
+    val a = Wav.Audio(44100, 2, Array[Short](0, 100, -100, 32767, -32768, 7))
+    val back = Wav.decode(Wav.encode(a)).get
+    assert(back.sampleRate == 44100 && back.channels == 2)
+    assert(back.samples.toSeq == a.samples.toSeq)
+    assert(Wav.durationMs(Wav.Audio(1000, 1, new Array[Short](500))) == 500)
+    assert(Wav.peak(back) == 32768)
+    // a LIST chunk between fmt and data must be skipped
+    val enc = Wav.encode(a)
+    val (head, data) = enc.splitAt(36) // RIFF..fmt chunk end
+    val list = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val withList = head ++ list ++ data
+    // patch the RIFF size (not validated, but keep it honest)
+    assert(Wav.decode(withList).get.samples.toSeq == a.samples.toSeq)
+  }
+
+  test("Wav rejects non-PCM and truncated payloads") {
+    import Multimodal.Wav
+    assert(Wav.decode(Array.fill[Byte](10)(1)).isEmpty)
+    assert(Wav.decode("RIFFxxxxWAVE".getBytes ++
+      new Array[Byte](40)).isEmpty)
+    val good = Wav.encode(Wav.Audio(8000, 1, Array[Short](1, 2, 3)))
+    val nonPcm = good.clone
+    nonPcm(20) = 3 // fmt code: IEEE float
+    assert(Wav.decode(nonPcm).isEmpty)
+  }
+
+  test("decodeAudio handles good and bad payloads in one partition") {
+    import Multimodal.Wav
+    val rows = Seq(
+      (1L, Wav.encode(Wav.Audio(8000, 1, Array[Short](3, 4)))),
+      (2L, Array[Byte](1, 2, 3)))
+    val packed = rows.toDF("id", "payload")
+      .withColumn("media_meta",
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit("wav").as("format"),
+          org.apache.spark.sql.functions.lit(0).as("n_bytes")))
+    val out = Multimodal.decodeAudio(packed, "id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(out == Map(1L -> true, 2L -> false))
+  }
 }

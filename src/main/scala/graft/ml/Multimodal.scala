@@ -281,6 +281,29 @@ object Multimodal {
     }(RowEncoder.encoderFor(audioSchema))
   }
 
+  /** Video-analog frame sampling: the payload is a sequence of
+    * FIXED-SIZE frames; keep every `everyNth` frame as its own row
+    * (`frame_idx`, frame payload). Pure codegen'd expressions —
+    * sequence + explode + binary substring, no UDF — so the row
+    * explosion happens executor-side and each frame can flow into the
+    * per-frame decoder (`decodeImages` on the exploded frame).
+    */
+  def frameSample(packed: DataFrame, idCol: String, frameBytes: Int,
+      everyNth: Int): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0)
+    val nFrames = (octet_length(col("payload")) / frameBytes).cast(IntegerType)
+    packed
+      .withColumn("frame_idx",
+        explode(when(nFrames > 0,
+          sequence(lit(0), nFrames - 1, lit(everyNth)))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("payload",
+        col("payload").substr(col("frame_idx") * frameBytes + lit(1),
+          lit(frameBytes)))
+      .select(col(idCol), col("frame_idx"), col("payload"),
+        col("media_meta"))
+  }
+
   def decodeImages(packed: DataFrame, idCol: String,
       thumbW: Int = 4, thumbH: Int = 4): DataFrame = {
     val input = packed.select(col(idCol).cast(LongType),

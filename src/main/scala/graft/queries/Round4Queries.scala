@@ -177,6 +177,35 @@ object Round4Queries {
       Multimodal.decodeAudio(packed, "event_id")
     },
 
+    // -- video-analog frame sampling: 6 fixed-size P6 frames per
+    // payload, keep every 2nd, decode each through the real PPM codec
+    Q.fn("q_multimodal_frames",
+      """SELECT event_id * 10 + j AS doc_id, 'frames' AS format,
+                1 AS width, 1 AS height, CAST(1 AS BIGINT) AS n_pixels,
+                CAST((event_id + j) % 100 AS DOUBLE) AS mean_luma,
+                true AS decoded
+         FROM events, (VALUES (0), (2), (4)) AS f(j)
+         WHERE event_id < 300""") { (spark, sf) =>
+      import graft.ml.Multimodal
+      // frame = 11-byte P6 header + 3 gray bytes (k<100 → single-byte chr)
+      def frame(j: Int) = {
+        val k = chr((col("event_id") + j) % 100)
+        concat(lit("P6\n1 1\n255\n").cast("binary"),
+          k.cast("binary"), k.cast("binary"), k.cast("binary"))
+      }
+      val packed = Tables.load(spark, sf, "events")
+        .where(col("event_id") < 300)
+        .select(col("event_id"),
+          concat((0 until 6).map(frame): _*).as("payload"))
+        .withColumn("media_meta", struct(lit("frames").as("format"),
+          octet_length(col("payload")).as("n_bytes")))
+      val frames = Multimodal.frameSample(packed, "event_id",
+        frameBytes = 14, everyNth = 2)
+        .withColumn("fid", col("event_id") * 10 + col("frame_idx"))
+      Multimodal.decodeImages(frames, "fid", thumbW = 1, thumbH = 1)
+        .drop("thumb_luma")
+    },
+
     // -- BM25 keyword scoring over inverted-index candidates
     Q.fn("q_text_bm25",
       """WITH toks AS (

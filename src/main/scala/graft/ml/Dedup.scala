@@ -231,16 +231,18 @@ object Dedup {
 
   /** Connected components over a candidate-pair edge list → duplicate
     * CLUSTERS: every document gets the minimum reachable id as its
-    * component label. Iterative min-label propagation — per round one
-    * equi-join (labels to neighbors) + one min-aggregate, so each round
-    * is shuffle-bounded and the loop converges in `diameter` rounds
-    * (near-dup clusters are shallow; hub-and-spoke from banded LSH pairs
-    * makes the practical diameter 2-4). `persist` + count per round
-    * keeps lineage short and gives the convergence check; `maxIter`
-    * bounds pathological chains. This is the standard large-graph CC
-    * recipe (alternating large/small-star is the skew-hardened variant;
-    * the propagation join below is equi-keyed, so AQE's skew splitting
-    * already applies).
+    * component label. Iterative min-label propagation WITH pointer
+    * jumping — per round: neighbor labels flow one hop (equi-join
+    * edges→labels), labels follow their own label's label (labels
+    * self-join), then one min-aggregate. The jump doubles the
+    * compressed distance per round, so convergence is O(log diameter)
+    * rounds, not O(diameter) — a 1000-long pathological chain needs
+    * ~10 rounds. Eager localCheckpoint per round truncates the
+    * otherwise-doubling plan; the convergence check is a limit(1) count
+    * of improved labels; `maxIter` bounds the loop and non-convergence
+    * FAILS rather than returning split clusters. All joins are
+    * equi-keyed, so AQE skew splitting applies (alternating
+    * large/small-star is the fully skew-hardened variant).
     */
   def components(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIter: Int = 25): DataFrame = {
@@ -257,11 +259,19 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor labels flow one hop; keep the minimum seen
+      // neighbor labels flow one hop...
       val proposals = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
+      // ...and POINTER JUMPING compresses chains: follow my label's
+      // label (labels self-joined on label=id), so the hop distance
+      // doubles per round — O(log diameter) rounds, not O(diameter).
+      // A 1000-long near-dup chain converges in ~10 rounds.
+      val jumped = labels.as("l")
+        .join(labels.as("m"), col("l.label") === col("m.id"))
+        .select(col("l.id").as("id"), col("m.label").as("label"))
       val next = labels.select(col("id"), col("label"))
         .unionByName(proposals)
+        .unionByName(jumped)
         .groupBy("id").agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")

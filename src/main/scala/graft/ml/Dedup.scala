@@ -180,12 +180,11 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, embCol: String, idCol: String,
       threshold: Double, maxExactRows: Long = 100000): DataFrame = {
-    val n = df.count()
-    require(n <= maxExactRows,
-      s"embeddingPairs is the EXACT all-pairs baseline: $n rows would " +
-        s"be ~${n * n / 2} comparisons. Use embeddingPairsCelled " +
-        "(IVF-celled, equi-join) at this size, or raise maxExactRows " +
-        "for a deliberately bounded candidate set.")
+    require(Fns.atMost(df, maxExactRows) <= maxExactRows,
+      s"embeddingPairs is the EXACT all-pairs baseline and the input " +
+        s"exceeds $maxExactRows rows (quadratic comparisons). Use " +
+        "embeddingPairsCelled (IVF-celled, equi-join) at this size, or " +
+        "raise maxExactRows for a deliberately bounded candidate set.")
     val v = normalized(df, embCol, idCol, "v")
     val a = v.select(col(idCol).as("id_a"), col("v").as("va"))
     val b = v.select(col(idCol).as("id_b"), col("v").as("vb"))

@@ -86,4 +86,12 @@ object Fns {
 
   /** Rounded dot product of pre-normalized vectors. */
   def ndot6(a: Column, b: Column): Column = round(dot(a, b), 6)
+
+  /** Cardinality probe capped at `cap`: min(count, cap+1), via a
+    * CollectLimit that short-circuits after cap+1 rows — the guard-rail
+    * check without a full count job over the input.
+    */
+  def atMost(df: org.apache.spark.sql.DataFrame, cap: Long): Long =
+    df.select(lit(1)).limit(math.min(cap + 1, Int.MaxValue.toLong).toInt)
+      .count()
 }

@@ -30,11 +30,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
       idCol: String, k: Int, maxExactWork: Long = 1000000000L): DataFrame = {
-    val (nq, nc) = (queries.count(), corpus.count())
+    // capped probes: if either side hits its cap the product certainly
+    // exceeds the budget, so the exact counts are never needed
+    val (nq, nc) = (graft.ml.Fns.atMost(queries, maxExactWork),
+      graft.ml.Fns.atMost(corpus, maxExactWork))
     require(nq * nc <= maxExactWork,
-      s"bruteForceTopK is the EXACT baseline: $nq queries x $nc corpus " +
-        s"rows = ${nq * nc} dot products. Use ivfTopK at this size, or " +
-        "raise maxExactWork for a deliberately bounded evaluation set.")
+      s"bruteForceTopK is the EXACT baseline: ~$nq queries x ~$nc corpus " +
+        "rows of dot products exceed maxExactWork. Use ivfTopK at this " +
+        "size, or raise maxExactWork for a bounded evaluation set.")
     val c = normalized(corpus, embCol, idCol, "vc")
       .withColumnRenamed(idCol, "nb_id")
     val q = normalized(queries, embCol, idCol, "vq")

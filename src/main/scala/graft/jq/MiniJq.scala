@@ -41,7 +41,15 @@ object MiniJq {
   final case class IfElse(cond: Ast, thn: Ast, els: Ast) extends Ast
   final case class StrInterp(parts: List[Either[String, Ast]]) extends Ast
   final case class VarRef(name: String) extends Ast
-  final case class Bind(src: Ast, name: String, rest: Ast) extends Ast
+  /** Destructuring patterns for `EXPR as PAT | REST`. */
+  sealed trait Pat
+  final case class PVar(name: String) extends Pat
+  final case class PArr(items: List[Pat]) extends Pat
+  // object keys may be literal names or `$shorthand` (binds the same-named
+  // field); values are nested patterns
+  final case class PObj(fields: List[(String, Pat)]) extends Pat
+
+  final case class Bind(src: Ast, pattern: Pat, rest: Ast) extends Ast
   final case class Reduce(src: Ast, name: String, init: Ast, update: Ast)
       extends Ast
   final case class Foreach(src: Ast, name: String, init: Ast, update: Ast,
@@ -111,16 +119,66 @@ object MiniJq {
 
   private def parseExpr(t: Tokens): Ast = {
     val head = parseComma(t)
-    if (t.peekIs("as")) { // EXPR as $x | REST — binds each output of EXPR
-      t.expect("as"); t.expect("$")
-      val name = t.ident()
+    if (t.peekIs("as")) { // EXPR as PAT | REST — binds each output of EXPR
+      t.expect("as")
+      val pat = parsePattern(t)
       t.expect("|")
-      Bind(head, name, parseExpr(t))
+      Bind(head, pat, parseExpr(t))
     } else {
       val stages = mutable.ListBuffer(head)
       while (t.peekIs("|")) { t.expect("|"); stages += parseComma(t) }
       if (stages.size == 1) stages.head else Pipe(stages.toList)
     }
+  }
+
+  /** `$x`, `[$a, $b]`, `{name: $n, $short, nested: [$v]}`. */
+  private def parsePattern(t: Tokens): Pat =
+    if (t.peekIs("$")) { t.next(); PVar(t.ident()) }
+    else if (t.peekIs("[")) {
+      t.next()
+      val items = mutable.ListBuffer[Pat]()
+      while (!t.peekIs("]")) {
+        items += parsePattern(t); if (t.peekIs(",")) t.next()
+      }
+      t.expect("]")
+      PArr(items.toList)
+    } else if (t.peekIs("{")) {
+      t.next()
+      val fields = mutable.ListBuffer[(String, Pat)]()
+      while (!t.peekIs("}")) {
+        if (t.peekIs("$")) { // {$x} == {x: $x}
+          t.next()
+          val n = t.ident()
+          fields += n -> PVar(n)
+        } else {
+          val key = if (t.peekString) t.string() else t.ident()
+          t.expect(":")
+          fields += key -> parsePattern(t)
+        }
+        if (t.peekIs(",")) t.next()
+      }
+      t.expect("}")
+      PObj(fields.toList)
+    } else throw new IllegalArgumentException(
+      s"expected pattern after 'as', found '${t.peek}'")
+
+  /** Walk a pattern against a value, binding every `$var` it names. */
+  private def bindPattern(p: Pat, v: JsonNode,
+      vars: Map[String, JsonNode]): Map[String, JsonNode] = p match {
+    case PVar(n) => vars + (n -> v)
+    case PArr(items) =>
+      items.zipWithIndex.foldLeft(vars) { case (vs, (pat, i)) =>
+        val e = if (v != null && v.isArray && i < v.size()) v.get(i)
+          else NullNode.getInstance
+        bindPattern(pat, e, vs)
+      }
+    case PObj(fields) =>
+      fields.foldLeft(vars) { case (vs, (k, pat)) =>
+        val e = if (v != null && v.isObject)
+          Option(v.get(k)).getOrElse(NullNode.getInstance)
+        else NullNode.getInstance
+        bindPattern(pat, e, vs)
+      }
   }
 
   /** `,` concatenates output streams; binds tighter than `|`. */
@@ -469,9 +527,9 @@ object MiniJq {
       case VarRef(name) =>
         Seq(vars.getOrElse(name,
           throw new IllegalArgumentException(s"undefined variable $$$name")))
-      case Bind(src, name, rest) =>
+      case Bind(src, pattern, rest) =>
         eval(src, in, defs, vars).flatMap(v =>
-          eval(rest, in, defs, vars + (name -> v)))
+          eval(rest, in, defs, bindPattern(pattern, v, vars)))
       case Foreach(src, name, init, update, extract) =>
         eval(init, in, defs, vars).flatMap { init0 =>
           var acc = init0

@@ -225,6 +225,17 @@ class MiniJqRound4Spec extends AnyFunSuite {
       """{"a":1,"b":10}""")
   }
 
+  test("destructuring patterns in as-bindings") {
+    assert(render(". as [$a, $b] | $a + $b", "[3,4]") == "7")
+    assert(render(". as {x: $v} | $v", """{"x":9}""") == "9")
+    assert(render(". as {$x} | $x", """{"x":1}""") == "1")
+    assert(render(". as {pts: [$p0, $p1], "
+      + """"n": $n} | [$p0, $p1, $n]""",
+      """{"pts":[5,6],"n":2}""") == "[5,6,2]")
+    // missing elements/fields bind null
+    assert(render(". as [$a, $b] | $b", "[1]") == "null")
+  }
+
   test("elif chains") {
     val f = MiniJq.compile(
       "if . < 0 then \"neg\" elif . == 0 then \"zero\" else \"pos\" end")

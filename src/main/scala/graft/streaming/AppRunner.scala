@@ -301,8 +301,13 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
       // __ord/__raw are transport metadata: keeping them in the payload
       // would defeat the value-keyed duplicate suppression below
       val payload = df0.columns.filterNot(Set("__ord", "__raw")).map(col)
-      val packed = df0.select(
-        onCol.as(s"__key_$tag"),
+      // null keys never join (filtered), and the coalesce makes the key
+      // STATICALLY non-nullable: the join state schema must not depend
+      // on when the optimizer infers non-nullability, or a restart can
+      // compute a different schema than the checkpoint recorded
+      // (STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE on resume — JoinRestartSpec)
+      val packed = df0.where(onCol.isNotNull).select(
+        coalesce(onCol, lit("")).as(s"__key_$tag"),
         struct(payload: _*).as(tag),
         current_timestamp().as(s"__jts_$tag"))
       val withWm =

@@ -19,39 +19,52 @@ import scala.jdk.CollectionConverters._
   * re-emit _seq 0/1 and break the golden), and the union of both runs'
   * outputs must match the fixture goldens exactly.
   */
+/** File sources (schemaless messages, FileStreamIo's convention) with
+  * durable FILE sinks + per-topic checkpoints — memory sinks cannot
+  * resume, so the golden-harness Io doesn't fit crash/resume tests.
+  * Shared by RestartSpec (aggregate) and JoinRestartSpec (join state).
+  */
+final class ResumableIo(srcRoot: Path, outRoot: Path, ckptRoot: Path,
+    /** topics with a declared schema yield TYPED frames (the join part
+      * needs them); others stay schemaless (key, value) messages
+      */
+    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+    extends Io {
+  def source(spark: SparkSession, kind: String, name: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", "10000")
+      .text(s"$srcRoot/$name")
+      .select(
+        get_json_object(col("value"), "$._id").as("key"),
+        col("value"),
+        coalesce(regexp_extract(input_file_name(),
+          "(\\d+)\\.json$", 1).cast("long"), lit(0L)).as("__ord"))
+    schemas.get(name) match {
+      case Some(schema) =>
+        raw.select(col("key"), from_json(col("value"), schema).as("v"),
+          col("__ord"))
+          .select(col("key"), col("v.*"), col("__ord"))
+      case None => raw
+    }
+  }
+
+  def sink(kind: String, name: String, df: DataFrame,
+      asString: Boolean, partId: String = "",
+      options: Map[String, String] = Map.empty): Unit = start(name, df)
+
+  def start(name: String, df: DataFrame): Unit =
+    df.writeStream.format("json")
+      .option("path", s"$outRoot/$name")
+      .option("checkpointLocation", s"$ckptRoot/$name")
+      .start()
+}
+
 class RestartSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
   private val appDir = Paths.get("src/test/resources/goldapps/app35")
   private val commandTopic = "plusminus2-counter-command"
-
-  /** File sources (schemaless messages, FileStreamIo's convention) with
-    * durable FILE sinks + per-topic checkpoints — memory sinks cannot
-    * resume, so the golden-harness Io doesn't fit here.
-    */
-  private final class ResumableIo(srcRoot: Path, outRoot: Path,
-      ckptRoot: Path) extends Io {
-    def source(spark: SparkSession, kind: String, name: String,
-        options: Map[String, String] = Map.empty): DataFrame =
-      spark.readStream
-        .option("maxFilesPerTrigger", "10000")
-        .text(s"$srcRoot/$name")
-        .select(
-          get_json_object(col("value"), "$._id").as("key"),
-          col("value"),
-          coalesce(regexp_extract(input_file_name(),
-            "(\\d+)\\.json$", 1).cast("long"), lit(0L)).as("__ord"))
-
-    def sink(kind: String, name: String, df: DataFrame,
-        asString: Boolean, partId: String = "",
-        options: Map[String, String] = Map.empty): Unit = start(name, df)
-
-    def start(name: String, df: DataFrame): Unit =
-      df.writeStream.format("json")
-        .option("path", s"$outRoot/$name")
-        .option("checkpointLocation", s"$ckptRoot/$name")
-        .start()
-  }
 
   private def stage(files: Seq[Path], srcDir: Path, from: Int): Unit = {
     Files.createDirectories(srcDir)

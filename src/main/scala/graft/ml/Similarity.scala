@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Fns._
@@ -169,6 +169,110 @@ object Similarity {
       idCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame =
     ivfSearch(corpus, queries, corpus.orderBy(col(idCol)).limit(nlist),
       embCol, idCol, k, nprobe)
+
+  // -- product quantization ------------------------------------------------
+  // PQ compresses each vector to m sub-codes (u8-scale codebooks): memory
+  // drops from 4·d bytes to m bytes per vector, and search becomes an
+  // asymmetric-distance scan — per query a tiny (m × ksub) lookup table,
+  // per candidate m table lookups instead of a d-dim dot product. The
+  // table join below is equi-keyed on (sub, code), so the scan is shuffle-
+  // bounded; IVF cells compose in front of it for candidate pruning.
+
+  /** Squared L2 over equal-length arrays, rounded to 6 decimals —
+    * deterministic ranking, replayable by the oracle (left-to-right sum
+    * order matches DuckDB's list_sum).
+    */
+  private def l2d6(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 6)
+
+  /** (id, sub, sv): each vector sliced into `m` equal subvectors. */
+  private def subvectors(df: DataFrame, embCol: String, idCol: String,
+      m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val d = dim / m
+    val e = col(embCol).cast("array<double>")
+    df.select(col(idCol),
+      posexplode(array((0 until m).map(j => slice(e, j * d + 1, d)): _*)))
+      .withColumnRenamed("pos", "sub")
+      .withColumnRenamed("col", "sv")
+  }
+
+  /** Per-subspace k-means codebooks: seeds are the `ksub` lowest-id rows'
+    * subvectors, then `iters` Lloyd rounds with the fixed-point mean (the
+    * same partition-order-independent trick as `kmeansCentroids`).
+    * Returns (sub, code, cent) — codes may thin out if a cell empties.
+    */
+  def pqTrain(df: DataFrame, embCol: String, idCol: String, m: Int,
+      ksub: Int, dim: Int, iters: Int = 1): DataFrame = {
+    val sub = subvectors(df, embCol, idCol, m, dim).persist()
+    val wSeed = Window.partitionBy("sub").orderBy(col(idCol))
+    var codebook: DataFrame = sub
+      .withColumn("rk", row_number().over(wSeed))
+      .where(col("rk") <= ksub)
+      .select(col("sub"), (col("rk") - 1).as("code"), col("sv").as("cent"))
+    (0 until iters).foreach { _ =>
+      val wAsg = Window.partitionBy(idCol, "sub")
+        .orderBy(col("d").asc, col("code").asc)
+      val assigned = sub.join(broadcast(codebook), "sub")
+        .withColumn("d", l2d6(col("sv"), col("cent")))
+        .withColumn("r", row_number().over(wAsg))
+        .where(col("r") === 1)
+      codebook = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg((sum(round(col("col") * 1e6).cast("long")).cast("double") /
+          (count(lit(1)) * lit(1e6))).as("mean"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("cent"))
+    }
+    sub.unpersist()
+    codebook.persist()
+  }
+
+  /** Encode every vector as its nearest code per subspace:
+    * (id, sub, code) — the m-byte compressed representation, exploded for
+    * the ADC join.
+    */
+  def pqEncode(df: DataFrame, codebook: DataFrame, embCol: String,
+      idCol: String, m: Int, dim: Int): DataFrame = {
+    val wAsg = Window.partitionBy(idCol, "sub")
+      .orderBy(col("d").asc, col("code").asc)
+    subvectors(df, embCol, idCol, m, dim)
+      .join(broadcast(codebook), "sub")
+      .withColumn("d", l2d6(col("sv"), col("cent")))
+      .withColumn("r", row_number().over(wAsg))
+      .where(col("r") === 1)
+      .select(col(idCol), col("sub"), col("code"))
+  }
+
+  /** Asymmetric-distance top-k: per query build the (sub, code) → d²
+    * lookup table against the codebook (broadcast), join the encoded
+    * corpus on (sub, code), sum the m lookups per (query, candidate) and
+    * rank ascending. This is the PQ linear scan — compose with IVF cells
+    * to prune candidates first at very large corpus sizes.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+      embCol: String, idCol: String, k: Int, m: Int, dim: Int): DataFrame = {
+    val enc = pqEncode(corpus, codebook, embCol, idCol, m, dim)
+      .withColumnRenamed(idCol, "nb_id")
+    val table = subvectors(queries, embCol, idCol, m, dim)
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        l2d6(col("sv"), col("cent")).as("d"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("nb_id").asc)
+    enc.join(table, Seq("sub", "code"))
+      .groupBy(col("query_id"), col("nb_id"))
+      .agg(round(sum(col("d")), 6).as("dist"))
+      .where(col("query_id") =!= col("nb_id"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nb_id"), col("dist"))
+  }
 
   private def ivfSearch(corpus: DataFrame, queries: DataFrame,
       centroidsDf: DataFrame, embCol: String, idCol: String, k: Int,

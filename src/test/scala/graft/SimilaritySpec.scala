@@ -82,4 +82,44 @@ class SimilaritySpec extends AnyFunSuite {
       s"trained codebook recall $rTrained fell >0.1 below id-prefix $rPrefix")
     corpus.unpersist()
   }
+
+  test("PQ: codes are complete, ADC ranks clusters correctly") {
+    import spark.implicits._
+    // two tight clusters in 8 dims (m=2 subspaces of 4)
+    def v(base: Float, jitter: Float) =
+      Array(base, base, base, base, base + jitter, base, base, base)
+    val rows = (0 until 10).map(i => (i.toLong, v(1f, i * 0.01f))) ++
+      (10 until 20).map(i => (i.toLong, v(-1f, (i - 10) * 0.01f)))
+    val df = rows.toDF("vec_id", "embedding")
+
+    val cb = graft.ml.Similarity.pqTrain(df, "embedding", "vec_id",
+      m = 2, ksub = 4, dim = 8, iters = 1)
+    val codes = graft.ml.Similarity.pqEncode(df, cb, "embedding",
+      "vec_id", m = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2))
+      .toMap
+    // every (vector, subspace) got exactly one code in range
+    assert(codes.size == 20 * 2)
+    assert(codes.values.forall(c => c >= 0 && c < 4))
+
+    val top = graft.ml.Similarity.pqAdcTopK(df, df.where(col("vec_id")
+      .isin(0L, 15L)), cb, "embedding", "vec_id", k = 3, m = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    // neighbors come from the query's own cluster
+    assert(top(0L).forall { case (_, nb) => nb < 10 }, top(0L).toSeq)
+    assert(top(15L).forall { case (_, nb) => nb >= 10 }, top(15L).toSeq)
+  }
+
+  test("PQ is deterministic across runs") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .where(col("vec_id") < 100)
+    def run() = graft.ml.Similarity.pqAdcTopK(emb,
+      emb.where(col("vec_id") < 3),
+      graft.ml.Similarity.pqTrain(emb, "embedding", "vec_id",
+        m = 4, ksub = 8, dim = 64),
+      "embedding", "vec_id", k = 3, m = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(run() == run())
+  }
 }

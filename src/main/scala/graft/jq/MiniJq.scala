@@ -985,7 +985,8 @@ object MiniJq {
     case "test" =>
       val (re, _) = regexArgs(args, in, defs, vars)
       Seq(BooleanNode.valueOf(re.matcher(in.asText()).find()))
-    case "capture" => // named groups -> object; honors flags (i, g, ...)
+    case "capture" => // named groups -> object; honors flags (i, g, ...);
+      // jq: no match -> EMPTY stream, not an empty object
       val (p, flags) = regexArgs(args, in, defs, vars)
       val names = groupNames(p.pattern()).flatten
       val m = p.matcher(in.asText())
@@ -995,7 +996,7 @@ object MiniJq {
         names.foreach(n => Option(m.group(n)).foreach(v => o.put(n, v)))
         out += o
       }
-      if (out.isEmpty) Seq(Js.obj()) else out.toList
+      out.toList
     case "sub" | "gsub" =>
       // jq: the replacement is a FILTER evaluated with the named-capture
       // object as its input — `gsub("(?<x>\\d)"; "<\(.x)>")` works
@@ -1003,8 +1004,7 @@ object MiniJq {
         args.head :: (if (args.size > 2) List(args(2)) else Nil),
         in, defs, vars)
       val global = name == "gsub" || flags.contains('g')
-      val names = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
-        .findAllMatchIn(re.pattern()).map(_.group(1)).toList
+      val names = groupNames(re.pattern()).flatten
       val m = re.matcher(in.asText())
       val sb = new java.lang.StringBuffer
       var continue = true

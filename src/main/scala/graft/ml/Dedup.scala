@@ -275,6 +275,7 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") < col("old")).limit(1).count()
+      labels.unpersist() // drop the previous round's checkpointed blocks
       labels = next
       converged = changed == 0
       iter += 1

@@ -87,11 +87,15 @@ object Fns {
   /** Rounded dot product of pre-normalized vectors. */
   def ndot6(a: Column, b: Column): Column = round(dot(a, b), 6)
 
-  /** Cardinality probe capped at `cap`: min(count, cap+1), via a
-    * CollectLimit that short-circuits after cap+1 rows — the guard-rail
-    * check without a full count job over the input.
+  /** Cardinality probe capped at `cap`: min(count, cap+1). Small caps use
+    * a limit probe (short-circuits; the GlobalLimit single-partition
+    * funnel is harmless at ≤1M ints); large caps use the distributed
+    * count (a GlobalLimit of 10⁹ rows would funnel them all through ONE
+    * task — strictly worse than counting).
     */
-  def atMost(df: org.apache.spark.sql.DataFrame, cap: Long): Long =
-    df.select(lit(1)).limit(math.min(cap + 1, Int.MaxValue.toLong).toInt)
-      .count()
+  def atMost(df: org.apache.spark.sql.DataFrame, cap: Long): Long = {
+    val capped = math.min(cap + 1, Int.MaxValue.toLong)
+    if (capped <= 1000000) df.select(lit(1)).limit(capped.toInt).count()
+    else math.min(df.count(), capped)
+  }
 }

@@ -196,44 +196,52 @@ object Multimodal {
     }
 
     /** Parse RIFF/WAVE with chunk walking (fmt may be followed by LIST or
-      * other chunks before data). PCM 16-bit only; anything else → None.
+      * other chunks before data). PCM 16-bit only; anything else — and
+      * ANY structurally corrupt payload (undersized fmt, chunk lengths
+      * past the buffer, odd tails) — returns None, never throws: one bad
+      * row must quarantine, not kill the task.
       */
-    def decode(payload: Array[Byte]): Option[Audio] = {
-      if (payload.length < 44) return None
-      val bb = java.nio.ByteBuffer.wrap(payload)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      def tag(): String = {
-        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
-      }
-      if (tag() != "RIFF") return None
-      bb.getInt // riff size
-      if (tag() != "WAVE") return None
-      var rate, channels, bits = 0
-      var samples: Array[Short] = null
-      while (bb.remaining() >= 8) {
-        val id = tag()
-        val len = bb.getInt
-        if (len < 0 || len > bb.remaining()) return None
-        id match {
-          case "fmt " =>
-            val fmt = bb.getShort
-            channels = bb.getShort
-            rate = bb.getInt
-            bb.getInt; bb.getShort // byte rate, block align
-            bits = bb.getShort
-            if (fmt != 1 || bits != 16) return None
-            bb.position(bb.position() + len - 16)
-          case "data" =>
-            samples = new Array[Short](len / 2)
-            bb.asShortBuffer().get(samples)
-            bb.position(bb.position() + len)
-          case _ => // LIST/fact/...: skip (word-aligned)
-            bb.position(bb.position() + len + (len & 1))
+    def decode(payload: Array[Byte]): Option[Audio] =
+      try {
+        if (payload.length < 44) return None
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(): String = {
+          val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
         }
+        if (tag() != "RIFF") return None
+        bb.getInt // riff size
+        if (tag() != "WAVE") return None
+        var rate, channels, bits = 0
+        var samples: Array[Short] = null
+        while (bb.remaining() >= 8) {
+          val id = tag()
+          val len = bb.getInt
+          if (len < 0 || len > bb.remaining()) return None
+          id match {
+            case "fmt " =>
+              if (len < 16) return None
+              val fmt = bb.getShort
+              channels = bb.getShort
+              rate = bb.getInt
+              bb.getInt; bb.getShort // byte rate, block align
+              bits = bb.getShort
+              if (fmt != 1 || bits != 16) return None
+              bb.position(bb.position() + len - 16)
+            case "data" =>
+              samples = new Array[Short](len / 2)
+              bb.asShortBuffer().get(samples)
+              bb.position(bb.position() + len)
+            case _ => // LIST/fact/...: skip (word-aligned)
+              bb.position(math.min(bb.limit(),
+                bb.position() + len + (len & 1)))
+          }
+        }
+        if (rate <= 0 || channels <= 0 || samples == null) None
+        else Some(Audio(rate, channels, samples))
+      } catch {
+        case _: RuntimeException => None // underflow/position on corrupt data
       }
-      if (rate <= 0 || channels <= 0 || samples == null) None
-      else Some(Audio(rate, channels, samples))
-    }
 
     def durationMs(a: Audio): Long =
       a.samples.length.toLong / a.channels * 1000 / a.sampleRate

@@ -229,7 +229,8 @@ object Similarity {
           s => s.getField("mean")).as("cent"))
     }
     sub.unpersist()
-    codebook.persist()
+    // no persist: the codebook is tiny and every consumer broadcasts it
+    codebook
   }
 
   /** Encode every vector as its nearest code per subspace:

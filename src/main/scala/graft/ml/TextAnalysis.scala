@@ -144,7 +144,10 @@ object TextAnalysis {
       .withColumn("__dl", size(col("__w")))
     val stats = toks.agg(
       count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
-    val terms = broadcast(query.toDF("__term"))
+    // normalize like tokens() does (lowercase) and dedup — an uppercase
+    // or repeated query term must not zero out or double-count postings
+    val terms = broadcast(
+      query.map(_.toLowerCase).distinct.toDF("__term"))
     // inverted postings restricted to the query terms
     val postings = toks
       .select(col(idCol), col("__w"), col("__dl"),

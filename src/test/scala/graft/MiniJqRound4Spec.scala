@@ -199,6 +199,10 @@ class MiniJqRound4Spec extends AnyFunSuite {
       """{"a":"b"}""")
     assert(render("""[capture("(?<d>[0-9])"; "g")]""", "\"a1b2\"") ==
       """[{"d":"1"},{"d":"2"}]""")
+    // jq: no match -> empty stream, not {}
+    assert(render("""[capture("(?<d>[0-9])"; "g")]""", "\"abc\"") == "[]")
+    // '(?<' inside a character class is not a named group
+    assert(render("""gsub("[(?<x>]"; "_")""", "\"a(b\"") == "\"a_b\"")
   }
 
   test("@uri percent-encodes non-ASCII by UTF-8 bytes") {

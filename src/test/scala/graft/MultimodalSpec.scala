@@ -121,6 +121,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Wav.decode(nonPcm).isEmpty)
   }
 
+  test("Wav returns None (never throws) on corrupt chunk structure") {
+    import Multimodal.Wav
+    // fmt chunk claims len=4 with only 4 bytes left: would underflow
+    val shortFmt = "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes ++ "LIST".getBytes ++ Array[Byte](24, 0, 0, 0) ++
+      new Array[Byte](24) ++ "fmt ".getBytes ++ Array[Byte](4, 0, 0, 0) ++
+      new Array[Byte](4)
+    assert(Wav.decode(shortFmt).isEmpty)
+    // undersized fmt (len < 16) must not rewind and re-parse garbage
+    val tiny = "RIFF".getBytes ++ Array[Byte](40, 0, 0, 0) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ Array[Byte](8, 0, 0, 0) ++
+      new Array[Byte](32)
+    assert(Wav.decode(tiny).isEmpty)
+    // odd-length final chunk: word-aligned skip past the buffer end
+    val oddTail = "RIFF".getBytes ++ Array[Byte](37, 0, 0, 0) ++
+      "WAVE".getBytes ++ "LIST".getBytes ++ Array[Byte](33, 0, 0, 0) ++
+      new Array[Byte](33)
+    assert(Wav.decode(oddTail).isEmpty)
+  }
+
   test("decodeAudio handles good and bad payloads in one partition") {
     import Multimodal.Wav
     val rows = Seq(

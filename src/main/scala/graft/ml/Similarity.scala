@@ -275,6 +275,50 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nb_id"), col("dist"))
   }
 
+  /** IVF + PQ composed: the coarse codebook prunes candidates to the
+    * query's `nprobe` nearest cells (equi-join on cell), then the ADC
+    * table refines WITHIN the candidates — the standard billion-scale
+    * layout (IVF bounds the scan, PQ bounds memory and per-candidate
+    * cost). Ranking is by rounded ADC distance, ties by id.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      coarseCentroids: DataFrame, codebook: DataFrame, embCol: String,
+      idCol: String, k: Int, m: Int, dim: Int, nprobe: Int): DataFrame = {
+    val cells = assignCells(corpus, coarseCentroids, embCol, idCol)
+      .select(col(idCol).as("nb_id"), col("cell"))
+    val q = normalized(queries, embCol, idCol, "vq")
+      .withColumnRenamed(idCol, "query_id")
+    val cent = normalized(coarseCentroids, embCol, idCol, "vcent")
+      .withColumnRenamed(idCol, "cell")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val candidates = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", ndot6(col("vq"), col("vcent")))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nprobe)
+      .select(col("query_id"), col("cell"))
+      .join(cells, "cell")
+      .where(col("query_id") =!= col("nb_id"))
+      .select(col("query_id"), col("nb_id"))
+    val enc = pqEncode(corpus, codebook, embCol, idCol, m, dim)
+      .withColumnRenamed(idCol, "nb_id")
+    val table = subvectors(queries, embCol, idCol, m, dim)
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        l2d6(col("sv"), col("cent")).as("d"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("nb_id").asc)
+    candidates
+      .join(enc, "nb_id")
+      .join(table, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("nb_id"))
+      .agg(round(sum(col("d")), 6).as("dist"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nb_id"), col("dist"))
+  }
+
   private def ivfSearch(corpus: DataFrame, queries: DataFrame,
       centroidsDf: DataFrame, embCol: String, idCol: String, k: Int,
       nprobe: Int): DataFrame = {

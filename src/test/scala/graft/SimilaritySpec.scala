@@ -110,6 +110,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top(15L).forall { case (_, nb) => nb >= 10 }, top(15L).toSeq)
   }
 
+  test("IVF+PQ equals full ADC restricted to the probed candidates") {
+    import graft.ml.Similarity
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .where(col("vec_id") < 150).cache()
+    val queries = emb.where(col("vec_id") < 4)
+    val coarse = emb.orderBy(col("vec_id")).limit(8)
+    val cb = Similarity.pqTrain(emb, "embedding", "vec_id",
+      m = 4, ksub = 8, dim = 64)
+
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, coarse, cb,
+      "embedding", "vec_id", k = 5, m = 4, dim = 64, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val full = Similarity.pqAdcTopK(emb, queries, cb,
+      "embedding", "vec_id", k = 150, m = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    // every IVF+PQ hit carries exactly its full-ADC distance
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { case (q, nb, d) =>
+      assert(full((q, nb)) == d, s"ADC distance mismatch for ($q,$nb)")
+    }
+    emb.unpersist()
+  }
+
   test("PQ is deterministic across runs") {
     val emb = Tables.load(spark, sfDir, "embeddings")
       .where(col("vec_id") < 100)

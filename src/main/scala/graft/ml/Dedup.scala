@@ -288,6 +288,22 @@ object Dedup {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** The prune plan a dedup pass ends with: every id with its canonical
+    * representative (the cluster minimum from `components`; singletons
+    * keep themselves) and the keep/drop verdict. One left join against
+    * the (much smaller) component table — the corpus frame never
+    * shuffles on anything but the join key.
+    */
+  def keepList(df: DataFrame, idCol: String, pairs: DataFrame,
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val comps = components(pairs, idACol, idBCol)
+    df.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("canonical_id"))
+      .withColumn("keep", col(idCol) === col("canonical_id"))
+  }
+
   private def celledPairs(df: DataFrame, embCol: String, idCol: String,
       threshold: Double, centroids: DataFrame, nprobe: Int,
       dedup: Boolean): DataFrame = {

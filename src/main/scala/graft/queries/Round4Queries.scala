@@ -122,6 +122,23 @@ object Round4Queries {
       graft.ml.Dedup.components(edges)
     },
 
+    // -- the dedup prune plan: pairs → clusters → canonical keeper per
+    // doc (same block-of-7 edge graph as q_dedup_components; docs ≥ 350
+    // have no edges and keep themselves)
+    Q.fn("q_dedup_keeplist",
+      """SELECT doc_id,
+                CAST(CASE WHEN doc_id < 350 THEN doc_id - doc_id % 7
+                          ELSE doc_id END AS BIGINT) AS canonical_id,
+                (doc_id >= 350 OR doc_id % 7 = 0) AS keep
+         FROM documents""") { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      val ids = docs.where(col("doc_id") < 350).select(col("doc_id"))
+      val edges = ids
+        .where(col("doc_id") % 7 =!= 6 && col("doc_id") < 349)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      graft.ml.Dedup.keepList(docs, "doc_id", edges)
+    },
+
     // -- repetition / quality signals (Gopher-style corpus filters)
     Q.fn("q_text_repetition",
       """WITH t AS (

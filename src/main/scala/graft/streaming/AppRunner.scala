@@ -318,10 +318,16 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     }
     val (l, lk) = side(part.get("left"), "left")
     val (r, rk) = side(part.get("right"), "right")
+    // Two-sided range, NOT abs(l−r) <= w: StreamingJoinHelper can only
+    // derive state-value watermarks (→ state eviction) from range
+    // predicates directly on the watermarked timestamp columns. An abs()
+    // wrapper defeats the extraction and both join buffers grow forever.
     val timeCond = window match {
       case Some(w) =>
-        abs(unix_millis(col("__jts_left")) -
-          unix_millis(col("__jts_right"))) <= w
+        col("__jts_right") >= col("__jts_left") -
+          expr(s"INTERVAL $w MILLISECOND") &&
+        col("__jts_right") <= col("__jts_left") +
+          expr(s"INTERVAL $w MILLISECOND")
       case None => lit(true)
     }
     val joined = l.join(r, lk === rk && timeCond, "inner")

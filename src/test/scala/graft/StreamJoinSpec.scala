@@ -50,6 +50,50 @@ class StreamJoinSpec extends AnyFunSuite {
     io.stopAll()
   }
 
+  test("streaming join evicts state once the window has passed") {
+    // Guards the two-sided range form of the window condition: with
+    // abs(l - r) <= w StreamingJoinHelper cannot derive state-value
+    // watermarks and both buffers grow without bound. Feed three
+    // well-separated micro-batch rounds through a 1 s window and assert
+    // the state store sheds the old rows instead of accumulating all 9
+    // (6 join-side + 3 dedup) entries.
+    val dir = Files.createTempDirectory("graft-sjevict").toString
+    def write(topic: String, name: String, json: String): Unit = {
+      Files.createDirectories(Paths.get(s"$dir/$topic"))
+      Files.writeString(Paths.get(s"$dir/$topic/$name.json"), json)
+    }
+    val s1 = DataType.fromDDL("_id string, corr string, lv int")
+      .asInstanceOf[StructType]
+    val s2 = DataType.fromDDL("_id string, corr string, rv int")
+      .asInstanceOf[StructType]
+    Files.createDirectories(Paths.get(s"$dir/lt"))
+    Files.createDirectories(Paths.get(s"$dir/rt"))
+    val io = new FileStreamIo(dir, Map("lt" -> s1, "rt" -> s2))
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"sje","version":"1.0","parts":[
+           {"type":"join","name":"j","window":1000,
+            "left":{"fromTopic":"lt","on":"$corr"},
+            "right":{"fromTopic":"rt","on":"$corr"},
+            "toTopic":"out_sje"}]}""")
+    def round(n: Int): Unit = {
+      write("lt", s"l$n", s"""{"_id":"l$n","corr":"c$n","lv":$n}""")
+      write("rt", s"r$n", s"""{"_id":"r$n","corr":"c$n","rv":$n}""")
+      io.processAll()
+    }
+    round(1)
+    Thread.sleep(3000) // ingestion clock outruns the 1 s window + delay
+    round(2)
+    Thread.sleep(3000)
+    round(3)
+    assert(spark.table("out_sje").collect().length == 3)
+    val joinQ = io.queries("out_sje")
+    val stateRows = joinQ.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    // unbounded growth keeps all 9; eviction leaves at most the last two
+    // rounds (watermark from round 2 clears round 1 during round 3)
+    assert(stateRows <= 6, s"join state not evicted: $stateRows rows buffered")
+    io.stopAll()
+  }
+
   test("$delay redelivers onto the target topic after the duration") {
     val dir = Files.createTempDirectory("graft-delay").toString
     Files.createDirectories(Paths.get(s"$dir/din"))

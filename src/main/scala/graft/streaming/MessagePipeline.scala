@@ -374,7 +374,7 @@ object MessagePipeline {
         .map(o => Js.fields(o)).getOrElse {
           Seq("count" -> Js.parse("""{"$count":{}}"""))
         }
-      val aggs = accumulators(output, ctx)
+      val aggs = accumulators(output, ctx, ordOf(df))
       val grouped = df.groupBy(id.as("_id")).agg(aggs.head, aggs.tail: _*)
       grouped.select(col("_id").as("key"),
         to_json(struct(grouped.columns.map(col): _*)).as("value"))
@@ -389,7 +389,7 @@ object MessagePipeline {
         if (idNode == null || idNode.isNull) lit(null).cast(StringType)
         else ExprCompiler.compile(idNode, ctx).cast(StringType)
       val aggs = accumulators(
-        Js.fields(spec).filter(_._1 != "_id"), ctx)
+        Js.fields(spec).filter(_._1 != "_id"), ctx, ordOf(df))
       val grouped = df.groupBy(id.as("_id")).agg(aggs.head, aggs.tail: _*)
       grouped.select(col("_id").as("key"),
         to_json(struct(grouped.columns.map(col): _*)).as("value"))
@@ -482,14 +482,21 @@ object MessagePipeline {
   private val msgExpr: (DataFrame, JsonNode) => Column =
     (d, n) => ExprCompiler.compile(n, ctxOf(d))
 
+  /** Arrival-order rank for order-sensitive accumulators: the transport's
+    * __ord stamp when the frame carries one (same contract as the typed
+    * path, Stages.accumulator).
+    */
+  private def ordOf(df: DataFrame): Option[Column] =
+    if (df.columns.contains("__ord")) Some(col("__ord")) else None
+
   /** Accumulators over variant inputs ($group and $bucket). The double
     * hop is only right for numeric accumulators: casting a string-valued
     * variant to double nulls it out. $min/$max order variants by the full
     * Mongo cross-type total order (mongo_sort_key collation key) via
     * min_by/max_by; $push/$addToSet keep the value's own string rendering.
     */
-  private def accumulators(fields: Seq[(String, JsonNode)], ctx: Ctx)
-      : Seq[Column] =
+  private def accumulators(fields: Seq[(String, JsonNode)], ctx: Ctx,
+      ord: Option[Column]): Seq[Column] =
     fields.map { case (field, v) =>
       val (op, arg) = Js.asOp(v).getOrElse(
         throw new IllegalArgumentException(s"accumulator for $field"))
@@ -520,15 +527,20 @@ object MessagePipeline {
         case "$push"  => collect_list(c.cast(StringType))
         case "$addToSet" =>
           array_sort(collect_set(c.cast(StringType)))
-        // arrival order across partitions is nondeterministic for
-        // $first/$last/$mergeObjects — same caveat as the typed path
-        case "$first" => first(c)
-        case "$last"  => last(c)
+        // arrival order: rank by the transport's __ord stamp when the
+        // frame carries one (min_by/max_by partial-aggregate, so the
+        // rank crosses the shuffle) — bare first()/last() depend on
+        // partition order and silently break on a multi-partition group
+        case "$first" => ord.map(o => min_by(c, o)).getOrElse(first(c))
+        case "$last"  => ord.map(o => max_by(c, o)).getOrElse(last(c))
         case "$stdDevPop" =>
           stddev_pop(if (isVariant) c.cast("double") else c)
         case "$mergeObjects" =>
           // field-wise merge over the group's JSON objects, later
-          // non-null fields win (Mongo's ignore-null merge)
+          // non-null fields win (Mongo's ignore-null merge). The fold is
+          // order-sensitive, so collect (__ord, json) pairs and sort by
+          // __ord before merging — collect_list order is partition-order
+          // nondeterministic on its own.
           val mergeFn = udf((objs: Seq[String]) => {
             val out = Js.obj()
             objs.filter(_ != null).foreach { s =>
@@ -539,8 +551,15 @@ object MessagePipeline {
             }
             Js.render(out)
           })
-          call_function("parse_json",
-            mergeFn(collect_list(to_json(c))))
+          val ordered = ord match {
+            case Some(o) =>
+              transform(
+                array_sort(collect_list(struct(o.as("o"),
+                  to_json(c).as("j")))),
+                x => x.getField("j"))
+            case None => collect_list(to_json(c))
+          }
+          call_function("parse_json", mergeFn(ordered))
         case other =>
           throw new IllegalArgumentException(
             s"accumulator $other in schemaless mode")

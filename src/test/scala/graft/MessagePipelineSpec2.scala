@@ -85,6 +85,35 @@ class MessagePipelineSpec2 extends AnyFunSuite {
     assert(!bad.has("resp"))
   }
 
+  test("$first/$last/$mergeObjects rank by __ord, not partition order") {
+    // The frame's row order deliberately disagrees with __ord (the
+    // transport arrival stamp) and the rows are scattered across
+    // partitions: bare first()/last()/unsorted-merge would pick the
+    // sequence head / tail instead of the __ord winner.
+    val docs = (63 to 0 by -1).map { i =>
+      val extra =
+        if (i == 0) ""","b":"x"""" else if (i == 63) ""","c":"z"""" else ""
+      (i.toLong,
+        s"""{"_id":"d$i","g":"k","v":"v$i","m":{"a":$i$extra}}""")
+    }
+    val df = docs.toDF("__ord", "value").repartition(8)
+      .select(get_json_object(col("value"), "$._id").as("key"),
+        col("value"), col("__ord"))
+    val out = run(
+      """[{"$group":{"_id":"$g",
+                     "f":{"$first":"$v"},
+                     "l":{"$last":"$v"},
+                     "m":{"$mergeObjects":"$m"}}}]""", df)
+      .select("value").as[String].collect().map(Js.parse)
+    assert(out.length == 1)
+    val v = out.head
+    assert(v.get("f").asText() == "v0")
+    assert(v.get("l").asText() == "v63")
+    assert(v.get("m").get("a").asInt() == 63) // highest __ord wins
+    assert(v.get("m").get("b").asText() == "x") // earliest-only field kept
+    assert(v.get("m").get("c").asText() == "z")
+  }
+
   test("$http non-JSON 2xx body degrades to a string, not a batch failure") {
     val env = Env(spark, http = MsgEchoHttp)
     val out = run(

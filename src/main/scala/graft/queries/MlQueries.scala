@@ -12,8 +12,8 @@ import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
 object MlQueries {
 
   // SQL fragments shared by the oracles (DuckDB dialect)
-  private val toksSql = "string_split(lower(text),' ')"
-  private def h32(s: String) = s"('0x'||substr(md5($s),1,8))::BIGINT"
+  private[queries] val toksSql = "string_split(lower(text),' ')"
+  private[queries] def h32(s: String) = s"('0x'||substr(md5($s),1,8))::BIGINT"
   private val shinglesSql =
     s"list_distinct(list_transform(range(0, len(t)-2), i -> t[i+1]||' '||t[i+2]||' '||t[i+3]))"
   private val minhashSql =
@@ -22,14 +22,14 @@ object MlQueries {
   private val bandsSql =
     """list_transform(range(0,4), b ->
          b::VARCHAR || ':' || sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR)"""
-  private def dotSql(a: String, b: String) =
+  private[queries] def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(range(1,65), i -> $a[i]*$b[i]), (x,y)->x+y)"
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"round(${dotSql(a, b)}, 6)" // over pre-normalized vectors
   /** L2-normalized f64 embedding CTE column (mirrors Fns.normalized:
     * norm materialized once per row, then element-wise divide).
     */
-  private val normSql =
+  private[queries] val normSql =
     s"""list_transform(
           list_transform(embedding, x -> x::DOUBLE),
           x -> x / sqrt(${dotSql(

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.MlQueries.{cosSql, normSql}
+
+/** Round-5 oracle coverage: the IVF+PQ composed search (the billion-scale
+  * ANN layout — previously spec-only), and deterministic oracles for the
+  * `$probe` and `$lag` observability stages.
+  */
+object Round5Queries {
+
+  val all: Seq[Q] = Seq(
+    // -- IVF + PQ composed: coarse cells prune candidates to the query's
+    // 2 nearest cells, then the PQ ADC table ranks within them. The
+    // oracle replays BOTH halves in SQL: the q_knn_pq codebook chain
+    // (train → encode → ADC tables, raw f64 subvectors) plus the
+    // q_knn_ivf coarse assignment (normalized cosine, lowest-id
+    // centroids), composed exactly like Similarity.ivfPqTopK.
+    Q.fn("q_knn_ivfpq",
+      s"""WITH v AS (SELECT vec_id,
+                            list_transform(embedding, x -> x::DOUBLE) AS e
+                     FROM embeddings WHERE vec_id < 200),
+          sub AS (SELECT vec_id, t.range AS sub,
+                         e[t.range*32+1 : (t.range+1)*32] AS sv
+                  FROM v, range(2) t),
+          seeds AS (SELECT sub,
+                           row_number() OVER (PARTITION BY sub
+                                              ORDER BY vec_id) - 1 AS code,
+                           sv AS cent
+                    FROM sub
+                    QUALIFY row_number() OVER (PARTITION BY sub
+                                               ORDER BY vec_id) <= 8),
+          asg0 AS (SELECT s.vec_id, s.sub, s.sv, c.code
+                   FROM sub s JOIN seeds c USING(sub)
+                   QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
+                     ORDER BY round(list_sum(list_transform(
+                       generate_series(1, 32),
+                       i -> (s.sv[i]-c.cent[i])*(s.sv[i]-c.cent[i]))), 6)
+                       ASC, c.code ASC) = 1),
+          comp AS (SELECT sub, code, t.range AS pos, sv[t.range+1] AS val
+                   FROM asg0, range(32) t),
+          mn AS (SELECT sub, code, pos,
+                        CAST(sum(CAST(round(val*1000000) AS BIGINT)) AS DOUBLE)
+                          / (count(*)*1000000.0) AS m
+                 FROM comp GROUP BY 1, 2, 3),
+          cb AS (SELECT sub, code, list(m ORDER BY pos) AS cent
+                 FROM mn GROUP BY 1, 2),
+          enc AS (SELECT s.vec_id, s.sub, c.code
+                  FROM sub s JOIN cb c USING(sub)
+                  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
+                    ORDER BY round(list_sum(list_transform(
+                      generate_series(1, 32),
+                      i -> (s.sv[i]-c.cent[i])*(s.sv[i]-c.cent[i]))), 6)
+                      ASC, c.code ASC) = 1),
+          qt AS (SELECT q.vec_id AS query_id, q.sub, c.code,
+                        round(list_sum(list_transform(
+                          generate_series(1, 32),
+                          i -> (q.sv[i]-c.cent[i])*(q.sv[i]-c.cent[i]))), 6)
+                          AS d
+                 FROM sub q JOIN cb c USING(sub) WHERE q.vec_id < 5),
+          nv AS (SELECT vec_id, $normSql AS ne
+                 FROM embeddings WHERE vec_id < 200),
+          coarse AS (SELECT vec_id AS cell, ne AS vcent
+                     FROM nv WHERE vec_id < 8),
+          casg AS (SELECT nv.vec_id, cell, row_number() OVER
+                     (PARTITION BY nv.vec_id
+                      ORDER BY ${cosSql("ne", "vcent")} DESC, cell) AS r
+                   FROM nv CROSS JOIN coarse),
+          ccells AS (SELECT vec_id AS nb_id, cell FROM casg WHERE r = 1),
+          cprobe AS (SELECT nv.vec_id AS query_id, cell, row_number() OVER
+                       (PARTITION BY nv.vec_id
+                        ORDER BY ${cosSql("ne", "vcent")} DESC, cell) AS pr
+                     FROM nv CROSS JOIN coarse WHERE nv.vec_id < 5),
+          cand AS (SELECT query_id, nb_id
+                   FROM (SELECT * FROM cprobe WHERE pr <= 2) p
+                   JOIN ccells USING(cell) WHERE query_id <> nb_id),
+          scored AS (SELECT qt.query_id, e.vec_id AS nb_id,
+                            round(sum(d), 6) AS dist
+                     FROM enc e JOIN qt USING(sub, code)
+                     JOIN cand ON cand.query_id = qt.query_id
+                              AND cand.nb_id = e.vec_id
+                     GROUP BY 1, 2)
+          SELECT query_id, CAST(rank AS INT) AS rank, nb_id, dist
+          FROM (SELECT query_id, nb_id, dist,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist, nb_id) AS rank
+                FROM scored)
+          WHERE rank <= 3""") { (spark, sf) =>
+      import graft.ml.Similarity
+      val emb = Tables.load(spark, sf, "embeddings")
+        .where(col("vec_id") < 200)
+      val cb = Similarity.pqTrain(emb, "embedding", "vec_id",
+        m = 2, ksub = 8, dim = 64, iters = 1)
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 5),
+        emb.where(col("vec_id") < 8), cb,
+        "embedding", "vec_id", k = 3, m = 2, dim = 64, nprobe = 2)
+    }
+  )
+}

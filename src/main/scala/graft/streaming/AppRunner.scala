@@ -226,25 +226,23 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
           appName = "", aggType = aggType,
           validators = readValidators(part),
           reducers = readReducers(part),
-          // streaming refs resolve live against the pluggable store;
-          // batch mode overrides below with the two-pass state collect
-          resolver =
-            if (pre.isStreaming)
-              hrefResolver.getOrElse((_: String) => None)
-            else (_: String) => None)
+          // refs resolve live against the pluggable store when one is
+          // provided; otherwise batch mode self-feeds below
+          resolver = hrefResolver.getOrElse((_: String) => None))
         val out0 = AggregatePart(pre, conf, keyOverride)
         // batch href resolution (reference app36): pass 1 materializes the
         // final state per instance, pass 2 reduces with those states
         // available to `{href}` refs — but ONLY when refs actually occur
         // (the second pass re-runs the whole part, which would double any
         // side-effecting preprocessor). The final states are reduced
-        // DISTRIBUTED (arg-max on _seq per instance) and shipped as a
-        // broadcast — the build side of a broadcast join; only one row per
-        // instance ever reaches the driver, never the output stream itself.
-        // Beyond broadcast scale, plug a collection-backed `hrefResolver`
-        // (the streaming hook) instead. Streaming uses HrefStore.
+        // DISTRIBUTED (arg-max on _seq per instance) and published into
+        // the href store FROM THE EXECUTORS (foreachPartition) — no row
+        // ever reaches the driver. Locally the store is the JVM-wide
+        // HrefStore singleton; a multi-JVM cluster plugs an external
+        // serving store via `hrefResolver` (which skips this self-feed
+        // pass entirely, in batch and streaming alike).
         val out =
-          if (pre.isStreaming) out0
+          if (pre.isStreaming || hrefResolver.isDefined) out0
           else {
             val sess = pre.sparkSession
             import sess.implicits._
@@ -254,19 +252,22 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
               .filter(_.value.contains("\"href\"")).isEmpty
             if (!anyHref) { states.unpersist(); out0 }
             else {
-              val finals = states
+              val run = "batch-" + java.util.UUID.randomUUID()
+              states
                 .map(o => (o.key,
                   Option(graft.json.Js.parse(o.value).get("_seq"))
                     .map(_.asLong()).getOrElse(-1L),
                   o.value))
                 .groupByKey(_._1)
                 .reduceGroups((a, b) => if (a._2 >= b._2) a else b)
-                .map { case (_, (k, _, v)) => (k, v) }
-                .collect().toMap
+                .map { case (_, t) => t }
+                .foreachPartition {
+                  (it: Iterator[(String, Long, String)]) =>
+                    it.foreach { case (k, s, v) => HrefStore.put(run, k, s, v) }
+                }
               states.unpersist()
-              val bc = sess.sparkContext.broadcast(finals)
               AggregatePart(pre,
-                conf.copy(resolver = (id: String) => bc.value.get(id)),
+                conf.copy(resolver = HrefStore.Resolver(run)),
                 keyOverride)
             }
           }

@@ -78,4 +78,17 @@ class PlanSpec extends AnyFunSuite {
       "q_interval_join returned no rows — the signup→purchase window " +
         "predicate or the ns-epoch arithmetic regressed")
   }
+
+  test("batch href resolution never collects state to the driver") {
+    // The pass-1 final states must reach reducers via an executor-side
+    // store publish (foreachPartition → HrefStore) or an external
+    // resolver — a driver-side collect().toMap is O(#aggregate
+    // instances) driver heap and OOMs at millions of entities.
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(
+        "src/main/scala/graft/streaming/AppRunner.scala"))
+    assert(!src.contains(".collect()"),
+      "AppRunner gained a driver-side collect — route batch href " +
+        "state through HrefStore/foreachPartition instead")
+  }
 }

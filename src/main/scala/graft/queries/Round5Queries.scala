@@ -95,6 +95,44 @@ object Round5Queries {
       Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 5),
         emb.where(col("vec_id") < 8), cb,
         "embedding", "vec_id", k = 3, m = 2, dim = 64, nprobe = 2)
+    },
+
+    // -- $probe: the stage's OWN counts (not just the downstream
+    // grouping pattern of q_probe_group) captured through the counts
+    // topic sink. current_timestamp() is query-constant, so the batch
+    // per-minute grouping yields exactly one row; the wall-clock minute
+    // column is projected away for determinism.
+    Q.fn("q_probe",
+      """SELECT 'nation_probe' AS name, count(*) AS count FROM nation""") {
+      (spark, sf) =>
+        var captured: Option[org.apache.spark.sql.DataFrame] = None
+        val env = Tables.env(spark, sf).copy(
+          sink = (t, d) => if (t == "probe_counts") captured = Some(d))
+        graft.op.Pipeline.run(Tables.load(spark, sf, "nation"),
+          """[{"$probe":{"name":"nation_probe","topic":"probe_counts"}}]""",
+          env)
+        captured.get.select(col("name"), col("count"))
+    },
+
+    // -- $lag: a stub AdminClient with fixed offsets; the documented
+    // end-minus-committed shape {group: {topic: {"<partition>": lag}}}
+    // (reference LagStage.java:36-110) attaches under `as` on every
+    // message (interval 0 disables sampling so the output is stable)
+    Q.fn("q_lag",
+      """SELECT r_regionkey, '{"g1":{"t":{"0":5,"1":0}}}' AS lag
+         FROM region""") { (spark, sf) =>
+      val admin = new graft.streaming.KafkaLag.Admin with Serializable {
+        def groups(): Seq[String] = Seq("g1")
+        def committed(group: String): Map[(String, Int), Long] =
+          Map(("t", 0) -> 10L, ("t", 1) -> 20L)
+        def endOffsets(tps: Seq[(String, Int)]): Map[(String, Int), Long] =
+          Map(("t", 0) -> 15L, ("t", 1) -> 20L)
+      }
+      val env = Tables.env(spark, sf).copy(
+        lag = () => graft.streaming.KafkaLag.snapshot(admin))
+      graft.op.Pipeline.run(Tables.load(spark, sf, "region"),
+        """[{"$lag":{"as":"lag","interval":0}}]""", env)
+        .select(col("r_regionkey"), col("lag"))
     }
   )
 }

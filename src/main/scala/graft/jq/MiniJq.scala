@@ -50,6 +50,9 @@ object MiniJq {
   final case class PObj(fields: List[(String, Pat)]) extends Pat
 
   final case class Bind(src: Ast, pattern: Pat, rest: Ast) extends Ast
+  /** `label $name | body` / `break $name`: early stream termination. */
+  final case class Label(name: String, body: Ast) extends Ast
+  final case class Break(name: String) extends Ast
   final case class Reduce(src: Ast, name: String, init: Ast, update: Ast)
       extends Ast
   final case class Foreach(src: Ast, name: String, init: Ast, update: Ast,
@@ -78,7 +81,14 @@ object MiniJq {
         throw new IllegalArgumentException(s"no script loader for $f"),
       base: String = ""): JsonNode => Seq[JsonNode] = {
     val prog = parse(script, load, base)
-    input => eval(prog.body, input, prog.defs, Map.empty)
+    input =>
+      try eval(prog.body, input, prog.defs, Map.empty)
+      catch {
+        // `halt` stops the program, keeping outputs already emitted
+        case b: BreakEx if b.label == HaltLabel => b.outputs
+        case b: BreakEx => throw new IllegalArgumentException(
+          s"break without a matching label $$${b.label}")
+      }
   }
 
   // -- parser ---------------------------------------------------------------
@@ -114,7 +124,12 @@ object MiniJq {
       } else more = false
     }
     // defs-only scripts (imported libraries) have no body
-    Program(defs.toMap, if (t.peek == null) Identity else parseExpr(t))
+    val body = if (t.peek == null) Identity else parseExpr(t)
+    // anything left over is a silent-truncation bug waiting to happen
+    // (jq rejects e.g. chained `=`: '.a = .b = 1' must not parse as
+    // '.a = .b' and drop the tail)
+    require(t.peek == null, s"unexpected token '${t.peek}' after program")
+    Program(defs.toMap, body)
   }
 
   private def parseExpr(t: Tokens): Ast = {
@@ -357,8 +372,16 @@ object MiniJq {
       t.expect("]")
       ArrCons(items.toList)
     case "$" =>
+      val loc = t.line
       t.next()
-      val v = VarRef(t.ident())
+      val name = t.ident()
+      // $__loc__ resolves at PARSE time to {file, line} (jq manual)
+      if (name == "__loc__") {
+        val o = Js.obj()
+        o.put("file", "<stdin>"); o.put("line", loc)
+        return Lit(o)
+      }
+      val v = VarRef(name)
       // postfix path on a variable: $x.v, $x[0]
       if (t.peekIs(".") && { t.mark(); t.next(); val ok = t.peekIdent; t.reset(); ok }) {
         t.next()
@@ -366,6 +389,14 @@ object MiniJq {
       } else if (t.peekIs("["))
         Pipe(List(v, Path(parseSteps(t, leadIdent = false))))
       else v
+    case "label" => // label $name | BODY — break $name escapes to here
+      t.next(); t.expect("$")
+      val name = t.ident()
+      t.expect("|")
+      Label(name, parseExpr(t))
+    case "break" =>
+      t.next(); t.expect("$")
+      Break(t.ident())
     case "reduce" => // reduce SRC as $x (INIT; UPDATE)
       t.next()
       val src = parseComma(t)
@@ -455,11 +486,13 @@ object MiniJq {
       val n = t.next()
       require(n != null && n.nonEmpty && n.head.isDigit,
         s"expected number after '-', found '$n'")
-      Lit(if (n.contains('.')) DoubleNode.valueOf(-n.toDouble)
+      Lit(if (n.exists(ch => ch == '.' || ch == 'e' || ch == 'E'))
+        DoubleNode.valueOf(-n.toDouble)
       else LongNode.valueOf(-n.toLong))
     case s if s != null && s.head.isDigit =>
       val n = t.next()
-      Lit(if (n.contains('.')) DoubleNode.valueOf(n.toDouble)
+      Lit(if (n.exists(ch => ch == '.' || ch == 'e' || ch == 'E'))
+        DoubleNode.valueOf(n.toDouble)
       else LongNode.valueOf(n.toLong))
     case "true"  => t.next(); Lit(BooleanNode.TRUE)
     case "false" => t.next(); Lit(BooleanNode.FALSE)
@@ -485,6 +518,46 @@ object MiniJq {
   // outputs. Pipe flat-maps, comma concatenates, binary operators and
   // object fields take the cartesian product of their operand streams,
   // and [expr] collects the whole stream into one array.
+
+  /** `break $label` as control flow: carries the outputs the enclosing
+    * stream fully produced before the break, so `label $o | 1,2,break $o`
+    * yields 1,2. The stream combinators (pipe, comma, bind, foreach)
+    * prepend their accumulated prefix and rethrow; `[...]`/`reduce` let it
+    * abort them (jq: an incomplete collection emits nothing). NOT an
+    * error — `try` must never swallow it.
+    */
+  private final class BreakEx(val label: String,
+      var outputs: Seq[JsonNode])
+      extends RuntimeException with scala.util.control.NoStackTrace
+
+  /** Reserved label `halt` escapes to: compileAll returns its outputs. */
+  private val HaltLabel = "__halt__"
+
+  private lazy val envNode: JsonNode = {
+    val o = Js.obj()
+    sys.env.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+    o
+  }
+
+  /** Pipe with break-aware prefix threading: outputs fully produced before
+    * a `break` keep flowing through the remaining stages, so
+    * `label $o | (1,2,break $o) | .*10` yields 10,20.
+    */
+  private def evalPipe(stages: List[Ast], inputs: Seq[JsonNode],
+      defs: Map[String, FnDef], vars: Map[String, JsonNode])
+      : Seq[JsonNode] = stages match {
+    case Nil => inputs
+    case s :: rest =>
+      val out = Vector.newBuilder[JsonNode]
+      val mapped =
+        try { inputs.foreach(n => out ++= eval(s, n, defs, vars)); out.result() }
+        catch {
+          case b: BreakEx =>
+            b.outputs = evalPipe(rest, out.result() ++ b.outputs, defs, vars)
+            throw b
+        }
+      evalPipe(rest, mapped, defs, vars)
+  }
 
   private def step(n: JsonNode, p: Step): Seq[JsonNode] = p match {
     case Field(f) =>
@@ -526,26 +599,48 @@ object MiniJq {
       case Lit(v)       => Seq(v)
       case VarRef(name) =>
         Seq(vars.getOrElse(name,
-          throw new IllegalArgumentException(s"undefined variable $$$name")))
+          if (name == "ENV") envNode
+          else throw new IllegalArgumentException(
+            s"undefined variable $$$name")))
+      case Label(name, body) =>
+        try eval(body, in, defs, vars)
+        catch { case b: BreakEx if b.label == name => b.outputs }
+      case Break(name) => throw new BreakEx(name, Vector.empty)
       case Bind(src, pattern, rest) =>
-        eval(src, in, defs, vars).flatMap(v =>
-          eval(rest, in, defs, bindPattern(pattern, v, vars)))
+        val srcVals = eval(src, in, defs, vars)
+        val out = Vector.newBuilder[JsonNode]
+        try {
+          srcVals.foreach(v =>
+            out ++= eval(rest, in, defs, bindPattern(pattern, v, vars)))
+          out.result()
+        } catch {
+          case b: BreakEx =>
+            b.outputs = out.result() ++ b.outputs; throw b
+        }
       case Foreach(src, name, init, update, extract) =>
         eval(init, in, defs, vars).flatMap { init0 =>
           var acc = init0
-          eval(src, in, defs, vars).flatMap { v =>
-            val bound = vars + (name -> v)
-            acc = eval(update, acc, defs, bound).lastOption
-              .getOrElse(NullNode.getInstance)
-            extract match {
-              case Some(e) => eval(e, acc, defs, bound)
-              case None    => Seq(acc)
+          val out = Vector.newBuilder[JsonNode]
+          try {
+            eval(src, in, defs, vars).foreach { v =>
+              val bound = vars + (name -> v)
+              acc = eval(update, acc, defs, bound).lastOption
+                .getOrElse(NullNode.getInstance)
+              extract match {
+                case Some(e) => out ++= eval(e, acc, defs, bound)
+                case None    => out += acc
+              }
             }
+            out.result()
+          } catch {
+            case b: BreakEx =>
+              b.outputs = out.result() ++ b.outputs; throw b
           }
         }
       case TryOp(body, handler) =>
         try eval(body, in, defs, vars)
         catch {
+          case b: BreakEx => throw b // control flow, not an error
           case e: Exception =>
             handler match {
               case Some(h) =>
@@ -555,31 +650,45 @@ object MiniJq {
             }
         }
       case Reduce(src, name, init, update) =>
-        eval(init, in, defs, vars).map { init0 =>
+        // like ArrCons: a break aborts the fold, nothing partial escapes
+        try eval(init, in, defs, vars).map { init0 =>
           eval(src, in, defs, vars).foldLeft(init0) { (acc, v) =>
             eval(update, acc, defs, vars + (name -> v)).lastOption
               .getOrElse(NullNode.getInstance)
           }
+        } catch { case b: BreakEx => b.outputs = Vector.empty; throw b }
+      case Pipe(stages) => evalPipe(stages, Seq(in), defs, vars)
+      case Comma(items) =>
+        val out = Vector.newBuilder[JsonNode]
+        try { items.foreach(i => out ++= eval(i, in, defs, vars)); out.result() }
+        catch {
+          case b: BreakEx =>
+            b.outputs = out.result() ++ b.outputs; throw b
         }
-      case Pipe(stages) =>
-        stages.foldLeft(Seq(in))((ns, s) => ns.flatMap(eval(s, _, defs, vars)))
-      case Comma(items) => items.flatMap(eval(_, in, defs, vars))
       case ObjCons(fields) =>
-        fields.foldLeft(Seq(Js.obj())) { case (objs, (ke, e)) =>
+        try fields.foldLeft(Seq(Js.obj())) { case (objs, (ke, e)) =>
           for {
             o <- objs
             k <- eval(ke, in, defs, vars)
             v <- eval(e, in, defs, vars)
           } yield {
+            // jq: a computed key must evaluate to a string — silently
+            // coercing an object/array with asText() yields ""
+            if (!k.isTextual) throw new IllegalArgumentException(
+              s"Object keys must be strings, not ${k.getNodeType.toString.toLowerCase}")
             val c = o.deepCopy[ObjectNode]()
             c.set[JsonNode](k.asText(), v)
             c
           }
-        }
+        } catch { case b: BreakEx => b.outputs = Vector.empty; throw b }
       case ArrCons(items) =>
+        // a break aborts the whole collection: outputs accumulated INSIDE
+        // the unfinished array must not leak to the enclosing label
         val a = Js.arr()
-        items.foreach(e => eval(e, in, defs, vars).foreach(a.add))
-        Seq(a)
+        try {
+          items.foreach(e => eval(e, in, defs, vars).foreach(a.add))
+          Seq(a)
+        } catch { case b: BreakEx => b.outputs = Vector.empty; throw b }
       case Del(target) =>
         Seq(delPaths(in, concretePaths(target, in, defs, vars)))
       case AssignOp(op, lhs, rhs) =>
@@ -771,14 +880,23 @@ object MiniJq {
         if (child == null) node
         else setPath(node, Seq(key), del(child, rest))
     }
-    val ordered = paths.sortWith { (a, b) => // deepest + rightmost first
-      val c = a.length.compareTo(b.length)
-      if (c != 0) c > 0
-      else a.zip(b).collectFirst {
-        case (Right(x), Right(y)) if x != y => x > y
-        case (Left(x), Left(y)) if x != y   => x > y
-      }.getOrElse(false)
+    // total order (deepest first, then rightmost-first element-wise; a
+    // mixed key/index position ranks indexes before keys) — a partial
+    // comparator here trips TimSort's contract check on 32+ paths
+    def elemCmp(x: PathElem, y: PathElem): Int = (x, y) match {
+      case (Right(a), Right(b)) => b.compareTo(a)
+      case (Left(a), Left(b))   => b.compareTo(a)
+      case (Right(_), Left(_))  => -1
+      case (Left(_), Right(_))  => 1
     }
+    val ordered = paths.sorted(new Ordering[Seq[PathElem]] {
+      def compare(a: Seq[PathElem], b: Seq[PathElem]): Int = {
+        val c = b.length.compareTo(a.length)
+        if (c != 0) c
+        else a.iterator.zip(b.iterator).map((elemCmp _).tupled)
+          .find(_ != 0).getOrElse(0)
+      }
+    })
     ordered.foldLeft(n)((acc, p) => del(acc, p.toList))
   }
 
@@ -835,6 +953,19 @@ object MiniJq {
       vars: Map[String, JsonNode]): Seq[JsonNode] = name match {
     case "empty" => Seq.empty
     case "not"   => Seq(BooleanNode.valueOf(!truthyJq(in)))
+    // this embedding feeds each invocation exactly ONE input, so the
+    // additional-inputs stream is always exhausted (jq semantics when
+    // stdin is drained): `input` errors, `inputs` is empty
+    case "input" =>
+      throw new IllegalArgumentException("No more inputs")
+    case "inputs" => Seq.empty
+    case "env"    => Seq(envNode)
+    // halt: stop the whole program, keeping outputs already emitted
+    // (the in-engine analog of jq's exit-0; there is no process to kill)
+    case "halt" => throw new BreakEx(HaltLabel, Vector.empty)
+    case "halt_error" =>
+      throw new IllegalArgumentException(
+        if (in != null && in.isTextual) in.asText() else Js.render(in))
     case "length" =>
       Seq(LongNode.valueOf(
         if (in == null || in.isNull) 0L
@@ -1573,9 +1704,15 @@ object MiniJq {
   // -- tokenizer ------------------------------------------------------------
 
   private final class Tokens(script: String) {
-    private val tokens: Vector[String] = tokenize(script)
+    private val (tokens: Vector[String], tokenLines: Vector[Int]) =
+      tokenize(script)
     private var pos = 0
     private var marked = 0
+
+    /** 1-based source line of the current token (for `$__loc__`). */
+    def line: Int =
+      if (pos < tokenLines.length) tokenLines(pos)
+      else tokenLines.lastOption.getOrElse(1)
 
     def peek: String = if (pos < tokens.length) tokens(pos) else null
     def peekIs(s: String): Boolean = peek == s
@@ -1603,45 +1740,59 @@ object MiniJq {
       t.substring(1) // token = leading quote + already-unescaped content
     }
 
-    private def tokenize(s: String): Vector[String] = {
+    private def tokenize(s: String): (Vector[String], Vector[Int]) = {
       val out = mutable.ArrayBuffer[String]()
+      val lines = mutable.ArrayBuffer[Int]()
       var i = 0
+      var line = 1
+      def push(tok: String): Unit = { out += tok; lines += line }
       while (i < s.length) {
         val c = s(i)
-        if (c.isWhitespace) i += 1
+        if (c.isWhitespace) { if (c == '\n') line += 1; i += 1 }
         else if (c == '#') { while (i < s.length && s(i) != '\n') i += 1 }
         else if (c == '"') {
           val (tok, after) = Tokens.stringToken(s, i)
-          out += tok; i = after
+          push(tok)
+          line += s.substring(i, after).count(_ == '\n')
+          i = after
         } else if (c.isLetter || c == '_') {
           val start = i
           while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
-          out += s.substring(start, i)
+          push(s.substring(start, i))
         } else if (c.isDigit) {
           val start = i
           while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
-          out += s.substring(start, i)
+          // scientific notation: 1e308, 2.5E-3 (jq numbers are doubles)
+          if (i < s.length && (s(i) == 'e' || s(i) == 'E')) {
+            val j = if (i + 1 < s.length &&
+              (s(i + 1) == '+' || s(i + 1) == '-')) i + 2 else i + 1
+            if (j < s.length && s(j).isDigit) {
+              i = j
+              while (i < s.length && s(i).isDigit) i += 1
+            }
+          }
+          push(s.substring(start, i))
         } else if (c == ':' && i + 1 < s.length && s(i + 1) == ':') {
-          out += "::"; i += 2
+          push("::"); i += 2
         } else if (c == '.' && i + 1 < s.length && s(i + 1) == '.') {
-          out += ".."; i += 2
+          push(".."); i += 2
         } else if (c == '@') { // @base64, @csv, … format filters
           val start = i
           i += 1
           while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
-          out += s.substring(start, i)
+          push(s.substring(start, i))
         } else if (c == '/' && i + 1 < s.length && s(i + 1) == '/') {
-          if (i + 2 < s.length && s(i + 2) == '=') { out += "//="; i += 3 }
-          else { out += "//"; i += 2 }
+          if (i + 2 < s.length && s(i + 2) == '=') { push("//="); i += 3 }
+          else { push("//"); i += 2 }
         } else if ("|+-*/%".contains(c) && i + 1 < s.length &&
           s(i + 1) == '=') { // |= += -= *= /= %=
-          out += s.substring(i, i + 2); i += 2
+          push(s.substring(i, i + 2)); i += 2
         } else if ("=!<>".contains(c) && i + 1 < s.length &&
           s(i + 1) == '=') {
-          out += s.substring(i, i + 2); i += 2
-        } else { out += c.toString; i += 1 }
+          push(s.substring(i, i + 2)); i += 2
+        } else { push(c.toString); i += 1 }
       }
-      out.toVector
+      (out.toVector, lines.toVector)
     }
   }
 

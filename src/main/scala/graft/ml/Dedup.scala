@@ -275,7 +275,7 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") < col("old")).limit(1).count()
-      labels.unpersist() // drop the previous round's checkpointed blocks
+      release(labels) // drop the previous round's checkpointed blocks
       labels = next
       converged = changed == 0
       iter += 1
@@ -287,6 +287,19 @@ object Dedup {
         "has a longer chain than expected; raise maxIter")
     labels.select(col("id"), col("label").as("component"))
   }
+
+  /** Release a localCheckpoint'd frame's storage: `DataFrame.unpersist()`
+    * is a NO-OP for checkpoint blocks (they are not registered with the
+    * cache manager) — the persisted RDD sits inside the checkpointed
+    * plan's LogicalRDD and must be unpersisted directly, or every
+    * iteration's blocks survive until RDD GC.
+    */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** The prune plan a dedup pass ends with: every id with its canonical
     * representative (the cluster minimum from `components`; singletons

@@ -93,14 +93,14 @@ object DelayedDelivery {
   /** Kafka transport via reflection: kafka-clients is a runtime-only
     * dependency (exactly like the `format("kafka")` data source the
     * normal sink path uses). Producers are cached per bootstrap per JVM
-    * (the companion map — deserialized copies share it). Sends are ASYNC
-    * with a completion callback — N redeliveries pipeline through the
-    * producer's batching instead of costing N broker round-trips — and a
-    * failed redelivery still surfaces: the callback logs it (the same
-    * visibility the old blocking `Future.get` path gave, since `schedule`
-    * only ever logged the throw). A JVM shutdown hook flushes and closes
-    * every cached producer so buffered redeliveries aren't dropped on
-    * executor shutdown.
+    * (the companion map — deserialized copies share it). Each timer tick
+    * CONFIRMS its send (flush + Future.get) before the tick is considered
+    * done: a fire-and-forget send leaves the redelivery in the producer
+    * buffer, where a hard executor crash (kill -9/OOM) silently drops it
+    * after the timer already completed. The throw from a failed send
+    * propagates to `schedule`'s catch — visible loss, per the reference's
+    * at-least-once caveat. A JVM shutdown hook still flushes and closes
+    * every cached producer for the graceful-exit path.
     */
   final class KafkaTransport(bootstrap: String)
       extends ((String, String, String) => Unit) with Serializable {
@@ -111,25 +111,16 @@ object DelayedDelivery {
       val record = recordCls
         .getConstructor(classOf[String], classOf[Object], classOf[Object])
         .newInstance(topic, key, json)
-      val callbackCls =
-        Class.forName("org.apache.kafka.clients.producer.Callback")
-      val callback = java.lang.reflect.Proxy.newProxyInstance(
-        callbackCls.getClassLoader, Array(callbackCls),
-        (proxy, method, cbArgs) => method.getName match {
-          case "onCompletion" =>
-            // (RecordMetadata, Exception) — a non-null exception is a
-            // dropped redelivery; it must be VISIBLE loss
-            Option(cbArgs(1)).foreach(e => System.err.println(
-              s"graft $$delay redelivery to $topic failed: $e"))
-            null
-          // Object methods must not return null (primitive unboxing NPE)
-          case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))
-          case "equals"   => java.lang.Boolean.valueOf(proxy eq cbArgs(0))
-          case "toString" => "graft-delay-callback"
-          case _          => null
-        })
-      producer.getClass.getMethod("send", recordCls, callbackCls)
-        .invoke(producer, record, callback)
+      val future = producer.getClass.getMethod("send", recordCls)
+        .invoke(producer, record)
+      producer.getClass.getMethod("flush").invoke(producer)
+      // ack or throw — InvocationTargetException unwraps to the send
+      // failure in schedule's visible-loss log
+      try future.getClass.getMethod("get").invoke(future)
+      catch {
+        case e: java.lang.reflect.InvocationTargetException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
     }
   }
   object KafkaTransport {

@@ -41,6 +41,41 @@ class KafkaShapeSpec extends AnyFunSuite {
   }
 }
 
+/** Real-broker smoke path: one produce→consume round trip through the
+  * actual `format("kafka")` reader instead of the reflective shim. Runs
+  * ONLY when KAFKA_BOOTSTRAP is set (and kafka-clients + the Spark Kafka
+  * connector are on the classpath); otherwise the test is CANCELED —
+  * visibly skipped, never silently passed.
+  */
+class KafkaSmokeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("produce→consume round trip through format(\"kafka\")") {
+    val bootstrap = sys.env.get("KAFKA_BOOTSTRAP")
+    assume(bootstrap.isDefined,
+      "KAFKA_BOOTSTRAP not set — no broker in this environment")
+    val topic = "graft-smoke-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    // the real producer (reflective kafka-clients, confirmed send)
+    new graft.streaming.DelayedDelivery.KafkaTransport(bootstrap.get)(
+      topic, "k1", """{"_id":"k1","v":42}""")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-kafka-smoke").toString
+    val io = new KafkaIo(bootstrap.get, checkpointRoot = ckpt)
+    val q = io.source(spark, "topic", topic)
+      .writeStream.format("memory").queryName("kafka_smoke")
+      .option("checkpointLocation", s"$ckpt/q").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("kafka_smoke").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("key") == "k1")
+      assert(Js.parse(rows.head.getAs[String]("value"))
+        .get("v").asInt() == 42)
+    } finally q.stop()
+  }
+}
+
 /** Lag snapshot computation over a fake admin (the reflective
   * kafka-clients path needs a broker; the shape and math are here).
   */

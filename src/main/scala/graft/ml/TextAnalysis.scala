@@ -127,6 +127,59 @@ object TextAnalysis {
       .drop("__w")
   }
 
+  /** PII patterns for corpus scrubbing. Chosen to behave identically
+    * under Java regex (Spark, codegen'd) and RE2 (the DuckDB oracle):
+    * character classes, bounded repetition and `\b` only — no lookaround
+    * or backreferences (RE2 has neither).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection + redaction (emails → [EMAIL], phones → [PHONE],
+    * IPv4 → [IP]) with per-kind match counts. Pure per-row regex
+    * expressions — zero shuffle, embarrassingly parallel. Emails scrub
+    * FIRST so dotted-digit local parts can't later masquerade as IPs.
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EmailPattern), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(PhonePattern), lit(0))))
+      .withColumn("n_ips",
+        size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, "[EMAIL]"),
+            PhonePattern, "[PHONE]"),
+          Ipv4Pattern, "[IP]"))
+  }
+
+  /** Character-distribution entropy (nats) — the classic gibberish /
+    * boilerplate signal. Histogram via explode + TWO-STAGE aggregation:
+    * partial map-side combine means the shuffle carries at most
+    * (doc, distinct-char) pairs (≲100 per doc), never one row per
+    * character; the total-length side is a plain equi-join on the id.
+    */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val hist = df
+      .select(col(idCol), explode(split(col(textCol), "")).as("__c"))
+      .groupBy(col(idCol), col("__c"))
+      .agg(count(lit(1)).cast(DoubleType).as("__cnt"))
+    val totals = df.select(col(idCol),
+      length(col(textCol)).cast(DoubleType).as("__n"))
+    hist.join(totals, idCol)
+      .withColumn("__p", col("__cnt") / col("__n"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("distinct_chars"),
+        max(col("__n")).cast(LongType).as("n_chars"),
+        trunc6(-sum(col("__p") * log(col("__p")))).as("entropy"))
+  }
+
   /** BM25 keyword scoring with inverted-index candidate pruning — the
     * corpus-search shape that survives 100 TB: explode DISTINCT terms per
     * doc, equi-join the (tiny, broadcast) query term list — only docs

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ml.TextAnalysis
 import graft.queries.MlQueries.{cosSql, normSql}
 
 /** Round-5 oracle coverage: the IVF+PQ composed search (the billion-scale
@@ -133,6 +134,144 @@ object Round5Queries {
       graft.op.Pipeline.run(Tables.load(spark, sf, "region"),
         """[{"$lag":{"as":"lag","interval":0}}]""", env)
         .select(col("r_regionkey"), col("lag"))
+    },
+
+    // -- fromStream part chaining through the REAL AppRunner batch DAG:
+    // part 1 filters, part 2 reads the named stream and projects —
+    // the driver gate now sees the part-resolution machinery itself
+    Q.fn("q_stream_chain",
+      """SELECT n_nationkey, n_name, n_regionkey * 10 AS rk10
+         FROM nation WHERE n_regionkey < 3""") { (spark, sf) =>
+      var captured: Option[org.apache.spark.sql.DataFrame] = None
+      val io = new graft.streaming.Io {
+        def source(s: org.apache.spark.sql.SparkSession, kind: String,
+            name: String, options: Map[String, String]) =
+          Tables.load(s, sf, "nation")
+        def sink(kind: String, name: String,
+            df: org.apache.spark.sql.DataFrame, asString: Boolean,
+            partId: String, options: Map[String, String]): Unit =
+          captured = Some(df)
+      }
+      new graft.streaming.AppRunner(spark, io, Tables.env(spark, sf)).run(
+        """{"application":"chain","version":"1.0","parts":[
+             {"type":"stream","name":"base","fromTopic":"nation_t",
+              "pipeline":[{"$match":{"n_regionkey":{"$lt":3}}}]},
+             {"type":"stream","name":"final","fromStream":"base",
+              "toTopic":"out_chain","pipeline":[
+                {"$addFields":{"rk10":{"$multiply":["$n_regionkey",10]}}},
+                {"$project":{"n_nationkey":1,"n_name":1,"rk10":1}}]}]}""")
+      captured.get
+    },
+
+    // -- the plugin SPI end to end: an embedded GraftPlugin contributes
+    // a stage, an expression operator, a $match operator and a JSLT
+    // function, and one pipeline exercises all four against the oracle
+    Q.fn("q_plugin_stage",
+      """SELECT r_regionkey AS rk, r_regionkey * 2 AS doubled,
+                'p-' || r_name AS tagged, r_name || '!' AS shout
+         FROM region WHERE r_regionkey % 2 = 0""") { (spark, sf) =>
+      Round5Queries.ensurePluginRegistered()
+      graft.op.Pipeline.run(Tables.load(spark, sf, "region"),
+        """[{"$match":{"r_regionkey":{"$evenKey":true}}},
+            {"$doubleKey":{}},
+            {"$addFields":{"tagged":{"$tagName":"$r_name"}}},
+            {"$jslt":{"script":
+              "{ \"rk\": .r_regionkey, \"doubled\": .doubled, \"tagged\": .tagged, \"shout\": shout(.r_name) }",
+              "schema":"rk long, doubled long, tagged string, shout string"}}]""",
+        Tables.env(spark, sf))
+    },
+
+    // -- PII scrubbing over documents (emails/phones/IPv4 → tokens, with
+    // per-kind counts); deterministic PII is spliced in so the scrubber
+    // has known work on every row, and the oracle replays the same
+    // regexes under RE2
+    Q.fn("q_text_pii",
+      s"""WITH t AS (SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-1234 from 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7' AS pii_text
+              FROM documents WHERE doc_id < 400)
+          SELECT doc_id,
+            len(regexp_extract_all(pii_text, '${TextAnalysis.EmailPattern}'))
+              AS n_emails,
+            len(regexp_extract_all(pii_text, '${TextAnalysis.PhonePattern}'))
+              AS n_phones,
+            len(regexp_extract_all(pii_text, '${TextAnalysis.Ipv4Pattern}'))
+              AS n_ips,
+            regexp_replace(regexp_replace(regexp_replace(pii_text,
+              '${TextAnalysis.EmailPattern}', '[EMAIL]', 'g'),
+              '${TextAnalysis.PhonePattern}', '[PHONE]', 'g'),
+              '${TextAnalysis.Ipv4Pattern}', '[IP]', 'g') AS scrubbed
+          FROM t""") { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+        .where(col("doc_id") < 400)
+        .withColumn("pii_text", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-1234 from 10.2."), (col("doc_id") % 256).cast("string"),
+          lit(".7")))
+      TextAnalysis.piiScrub(docs, "pii_text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), col("scrubbed"))
+    },
+
+    // -- character-distribution entropy (gibberish/boilerplate signal):
+    // explode → two-stage agg, shuffle bounded by distinct chars per doc
+    Q.fn("q_text_entropy",
+      """WITH hist AS (
+           SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt
+           FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                 FROM documents WHERE doc_id < 400)
+           GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(len(text) AS DOUBLE) AS n
+                 FROM documents WHERE doc_id < 400)
+         SELECT doc_id, count(*) AS distinct_chars,
+                CAST(max(n) AS BIGINT) AS n_chars,
+                CAST(trunc(-sum(cnt/n * ln(cnt/n)) * 1000000) AS BIGINT)
+                  / 1000000.0 AS entropy
+         FROM hist JOIN tot USING (doc_id) GROUP BY doc_id""") {
+      (spark, sf) =>
+        TextAnalysis.charEntropy(
+          Tables.load(spark, sf, "documents").where(col("doc_id") < 400),
+          "text", "doc_id")
     }
   )
+
+  /** Embedded plugin registration for q_plugin_stage — registered only
+    * while absent (Verify/Bench re-run queries, and test suites may
+    * Plugins.clear() between them; a plain lazy val would stay stranded
+    * after a clear).
+    */
+  def ensurePluginRegistered(): Unit = synchronized {
+    if (graft.plugin.Plugins.stage("$doubleKey").isEmpty)
+      graft.plugin.Plugins.register(queryPlugin)
+  }
+
+  private lazy val queryPlugin: graft.plugin.GraftPlugin =
+    new graft.plugin.GraftPlugin {
+      override def stageExtensions
+          : Map[String, (com.fasterxml.jackson.databind.JsonNode,
+            graft.op.Env) => org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame] =
+        Map("$doubleKey" -> ((_, _) => df =>
+          df.withColumn("doubled", col("r_regionkey") * 2)))
+      override def expressionExtensions
+          : Map[String, (com.fasterxml.jackson.databind.JsonNode,
+            graft.expr.Ctx) => org.apache.spark.sql.Column] =
+        Map("$tagName" -> ((node, ctx) =>
+          concat(lit("p-"), graft.expr.ExprCompiler.compile(node, ctx))))
+      override def matchExtensions
+          : Map[String, (org.apache.spark.sql.Column,
+            com.fasterxml.jackson.databind.JsonNode,
+            graft.expr.Ctx) => org.apache.spark.sql.Column] =
+        Map("$evenKey" -> ((target, _, _) => target % 2 === 0))
+      override def jsltFunctions
+          : Map[String, Seq[com.fasterxml.jackson.databind.JsonNode] =>
+            com.fasterxml.jackson.databind.JsonNode] =
+        Map("shout" -> (args =>
+          com.fasterxml.jackson.databind.node.TextNode.valueOf(
+            args.head.asText() + "!")))
+    }
 }

@@ -79,6 +79,22 @@ class PlanSpec extends AnyFunSuite {
         "predicate or the ns-epoch arithmetic regressed")
   }
 
+  test("IVF+PQ composed search joins by equi-key, no corpus product") {
+    val p = plan(q("q_knn_ivfpq"))
+    // the only nested-loop allowed is the broadcast of the tiny coarse
+    // centroid / codebook sides; the candidate and ADC joins must be
+    // hash equi-joins, never a corpus×corpus product
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(1200))
+  }
+
+  test("char entropy joins histogram to totals by equi-key") {
+    val p = plan(q("q_text_entropy"))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Fns._
 
@@ -132,6 +133,47 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
       .distinct()
+  }
+
+  /** Random-hyperplane LSH over embeddings (cosine SimHash): each vector
+    * gets a sign bit per hyperplane (dot ≥ 0), the bit string splits into
+    * bands of `bandBits`, candidates equi-join on (band, band value), and
+    * the exact cosine verifies. The standard cosine-LSH recall/cost dial:
+    * more planes → fewer false candidates, more bands → higher recall.
+    * `planes` supplies the hyperplanes — pass a deterministic frame (e.g.
+    * the lowest-id corpus vectors) so the sample is reproducible; it is
+    * broadcast (tiny). Plan shape: one narrow bit pass + a shuffle-hash
+    * join on the band key — never a corpus×corpus product. Same
+    * hot-bucket caveat as text SimHash: run exact dedup first.
+    */
+  def hyperplanePairs(corpus: DataFrame, planes: DataFrame, embCol: String,
+      idCol: String, threshold: Double, bandBits: Int = 4): DataFrame = {
+    val v = normalized(corpus, embCol, idCol, "v")
+    // the planes frame is tiny by contract — the single-partition window
+    // ranking it is a few rows, then it broadcasts
+    val pl = broadcast(normalized(planes, embCol, idCol, "pe")
+      .withColumn("__pi",
+        row_number().over(Window.orderBy(col(idCol))) - 1)
+      .select(col("__pi"), col("pe")))
+    val bits = v.crossJoin(pl)
+      .select(col(idCol),
+        (col("__pi") / bandBits).cast("int").as("band"),
+        (when(ndot6(col("v"), col("pe")) >= 0, 1L).otherwise(0L) *
+          pow(lit(2.0), col("__pi") % bandBits).cast("long")).as("bit"))
+    val sigs = bits.groupBy(col(idCol), col("band"))
+      .agg(sum(col("bit")).as("bv"))
+    val cand = sigs
+      .select(col(idCol).as("id_a"), col("band"), col("bv"))
+      .join(sigs.select(col(idCol).as("id_b"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(v.select(col(idCol).as("id_a"), col("v").as("__va")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col("v").as("__vb")), "id_b")
+      .withColumn("cos", ndot6(col("__va"), col("__vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Exact n-gram Jaccard similarity over a shingle inverted index:

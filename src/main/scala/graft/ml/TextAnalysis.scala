@@ -127,6 +127,35 @@ object TextAnalysis {
       .drop("__w")
   }
 
+  /** Deterministic reproducible subsampling: keep a row iff
+    * `h32(salt ‖ id) mod 10⁶ < rate × 10⁶`. Pure per-row hash — no RNG,
+    * no sort, no shuffle; the SAME sample on every run, engine, and
+    * cluster topology (Spark's `sample()` is partition-layout-dependent,
+    * which silently changes the corpus between runs). `salt` decorrelates
+    * independent sampling passes over the same ids.
+    */
+  def sampleByHash(df: DataFrame, idCol: String, rate: Double,
+      salt: String = "smpl"): DataFrame =
+    df.where(
+      h32(concat(lit(salt), col(idCol).cast(StringType))) % 1000000L <
+        math.round(rate * 1000000L))
+
+  /** Per-stratum rates (the curation move: downsample the dominant
+    * language/source, keep the rare ones): the stratum column selects its
+    * rate, unlisted strata get `defaultRate`. Same hash rule as
+    * `sampleByHash`, still one narrow pass.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "smpl"): DataFrame = {
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, r)) => when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.where(
+      h32(concat(lit(salt), col(idCol).cast(StringType))) % 1000000L <
+        (rateCol * 1000000.0).cast(LongType))
+  }
+
   /** PII patterns for corpus scrubbing. Chosen to behave identically
     * under Java regex (Spark, codegen'd) and RE2 (the DuckDB oracle):
     * character classes, bounded repetition and `\b` only — no lookaround

@@ -217,6 +217,52 @@ object Round5Queries {
           col("n_ips"), col("scrubbed"))
     },
 
+    // -- random-hyperplane LSH (cosine SimHash) near-dup pairs: sign
+    // bits against the 16 lowest-id vectors as planes, 4-bit bands,
+    // equi-join candidates, exact-cosine verify — the third ANN bucket
+    // family next to IVF cells and PQ codes
+    Q.fn("q_dedup_hyperplane",
+      s"""WITH v AS (SELECT vec_id, $normSql AS e
+                     FROM embeddings WHERE vec_id < 300),
+          pl AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pi,
+                        e AS pe
+                 FROM v WHERE vec_id < 16),
+          bits AS (SELECT v.vec_id, CAST(pi // 4 AS INT) AS band,
+                          CAST(CASE WHEN ${cosSql("v.e", "pe")} >= 0
+                               THEN 1 ELSE 0 END AS BIGINT)
+                            * CAST(pow(2, pi % 4) AS BIGINT) AS bit
+                   FROM v CROSS JOIN pl),
+          sig AS (SELECT vec_id, band, sum(bit) AS bv
+                  FROM bits GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM sig a JOIN sig b USING (band, bv)
+                   WHERE a.vec_id < b.vec_id)
+          SELECT id_a, id_b, ${cosSql("va.e", "vb.e")} AS cos
+          FROM cand
+          JOIN v va ON va.vec_id = id_a
+          JOIN v vb ON vb.vec_id = id_b
+          WHERE ${cosSql("va.e", "vb.e")} >= 0.35""") { (spark, sf) =>
+      val emb = Tables.load(spark, sf, "embeddings")
+        .where(col("vec_id") < 300)
+      graft.ml.Dedup.hyperplanePairs(emb, emb.where(col("vec_id") < 16),
+        "embedding", "vec_id", threshold = 0.35, bandBits = 4)
+    },
+
+    // -- deterministic stratified subsampling by language: the same
+    // md5-derived hash rule on both engines picks the identical sample
+    Q.fn("q_sample_stratified",
+      """SELECT doc_id, lang, source FROM documents
+         WHERE ('0x' || substr(md5('smpl' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000
+             < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                     ELSE 0.1 END) * 1000000.0 AS BIGINT)""") {
+      (spark, sf) =>
+        graft.ml.TextAnalysis.sampleStratified(
+          Tables.load(spark, sf, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+          .select(col("doc_id"), col("lang"), col("source"))
+    },
+
     // -- character-distribution entropy (gibberish/boilerplate signal):
     // explode → two-stage agg, shuffle bounded by distinct chars per doc
     Q.fn("q_text_entropy",

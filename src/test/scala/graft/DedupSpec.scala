@@ -55,6 +55,57 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.exists { case (a, b, d) => a == 1L && b == 3L && d == 0 })
   }
 
+  test("hyperplane pairs are exact-verified and recall the clustered dups") {
+    val sfDir = "/root/testdata/sf0.001"
+    graft.queries.Q.session(spark)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .where(col("vec_id") < 150)
+    val planes = emb.where(col("vec_id") < 16)
+    val lsh = Dedup.hyperplanePairs(emb, planes, "embedding", "vec_id",
+      threshold = 0.35, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // ground truth: the exact all-pairs scan at the same threshold
+    val exact = Dedup.embeddingPairs(emb, "embedding", "vec_id",
+      threshold = 0.35, maxExactRows = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // every LSH pair is a REAL pair with the exact cosine (no false
+    // positives survive the verify step)...
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos), s"false positive $pair") }
+    // ...and bucket recall is in the theoretical band: P(bit agree) =
+    // 1 − θ/π ≈ 0.62 at cos 0.35, so a 4-bit band matches with ≈0.15
+    // and 4 bands give ≈ 1−(1−0.15)⁴ ≈ 47% for pairs AT the threshold
+    // (higher-cosine pairs recall higher — the standard LSH dial)
+    assert(lsh.size * 3 >= exact.size,
+      s"recall ${lsh.size}/${exact.size} below the theoretical band")
+  }
+
+  test("hash sampling is deterministic and respects per-stratum rates") {
+    val sfDir = "/root/testdata/sf0.001"
+    graft.queries.Q.session(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+    import graft.ml.TextAnalysis.{sampleByHash, sampleStratified}
+    val s1 = sampleByHash(docs, "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = sampleByHash(docs, "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // same sample every run
+    // a different salt decorrelates
+    val s3 = sampleByHash(docs, "doc_id", 0.3, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3 != s1)
+    val n = docs.count().toDouble
+    assert(math.abs(s1.size / n - 0.3) < 0.1, s"rate off: ${s1.size / n}")
+    // rate 0 strata drop entirely; rate 1 strata keep everything
+    val strat = sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0)
+    assert(strat.where(col("lang") =!= "en").count() == 0)
+    assert(strat.count() == docs.where(col("lang") === "en").count())
+  }
+
   test("components label every cluster with its minimum id") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -89,6 +89,13 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("hyperplane LSH candidates join on band keys, no corpus product") {
+    val p = plan(q("q_dedup_hyperplane"))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(1200))
+  }
+
   test("char entropy joins histogram to totals by equi-key") {
     val p = plan(q("q_text_entropy"))
     assert(!p.contains("CartesianProduct"), p.take(1200))

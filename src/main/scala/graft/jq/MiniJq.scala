@@ -1378,6 +1378,50 @@ object MiniJq {
       eval(args.head, in, defs, vars).map(ps =>
         delPaths(in, Js.elems(ps).map(arrayToPath)))
 
+    // tostream: [path, leaf] per scalar/empty container, then a
+    // 1-element [path-of-last-child] closing event per nonempty
+    // container (jq manual's streamed form)
+    case "tostream" =>
+      def key(k: Either[String, Int]): JsonNode = k match {
+        case Left(f)  => TextNode.valueOf(f)
+        case Right(i) => LongNode.valueOf(i.toLong)
+      }
+      def stream(n: JsonNode, path: Vector[JsonNode]): Seq[JsonNode] = {
+        def ev(items: JsonNode*): JsonNode = {
+          val a = Js.arr(); items.foreach(a.add); a
+        }
+        def pv(p: Vector[JsonNode]): JsonNode = {
+          val a = Js.arr(); p.foreach(a.add); a
+        }
+        val children: Seq[(JsonNode, JsonNode)] =
+          if (n.isObject) Js.fields(n).map { case (k, v) =>
+            (key(Left(k)), v) }
+          else if (n.isArray) Js.elems(n).zipWithIndex.map { case (v, i) =>
+            (key(Right(i)), v) }
+          else Seq.empty
+        if (!n.isContainerNode || children.isEmpty) Seq(ev(pv(path), n))
+        else children.flatMap { case (k, v) => stream(v, path :+ k) } :+
+          ev(pv(path :+ children.last._1))
+      }
+      stream(in, Vector.empty)
+    // fromstream(f): reassemble f's event stream; a top-level closing
+    // event (|path| ≤ 1) or a [[], v] scalar pair emits one value
+    case "fromstream" =>
+      val out = Vector.newBuilder[JsonNode]
+      var acc: JsonNode = null
+      eval(args.head, in, defs, vars).foreach { e =>
+        require(e.isArray && e.size() >= 1 && e.get(0).isArray,
+          s"fromstream: not a stream event: ${Js.render(e)}")
+        val p = arrayToPath(e.get(0))
+        if (e.size() >= 2) {
+          if (p.isEmpty) out += e.get(1)
+          else acc = setPath(acc, p, e.get(1))
+        } else if (p.length <= 1 && acc != null) {
+          out += acc; acc = null
+        }
+      }
+      out.result()
+
     // -- json / string conversion --
     case "tojson" => Seq(TextNode.valueOf(Js.render(in)))
     case "fromjson" => Seq(Js.parse(in.asText()))

@@ -93,6 +93,21 @@ class MiniJqRound5Spec extends AnyFunSuite {
     assert(one("{(.k): 1}", """{"k":"good"}""") == """{"good":1}""")
   }
 
+  test("tostream emits [path,leaf] pairs and closing events") {
+    assert(all("tostream", """{"a":[1,2]}""") == Seq(
+      """[["a",0],1]""", """[["a",1],2]""", """[["a",1]]""", """[["a"]]"""))
+    assert(all("tostream", "1") == Seq("[[],1]"))
+    assert(all("tostream", """{"a":[]}""") == Seq(
+      """[["a"],[]]""", """[["a"]]"""))
+  }
+
+  test("fromstream(tostream) round-trips any document") {
+    val doc = """{"a":[1,{"b":"x"},[]],"c":null,"d":{"e":[true,false]}}"""
+    assert(one(". as $dot | fromstream($dot | tostream) == $dot", doc) ==
+      "true")
+    assert(one("fromstream(tostream)", "42") == "42")
+  }
+
   test("delpaths with many mixed key/index paths sorts totally") {
     // 64 equal-length paths mixing a string key and an int index at the
     // SAME position: the old sortWith comparator ranked such pairs

@@ -498,10 +498,37 @@ object Stages {
 
   private def merge(df: DataFrame, spec: JsonNode, env: Env): DataFrame = {
     val into = spec.get("into").asText()
+    val (wm, wnm) = mergeModes(spec)
     val keyed =
       if (spec.has("key")) df.withColumn("_id", expr(df, spec.get("key")))
       else df
-    env.collectionSink(into, keyed)
+    // non-default Mongo modes ride in-band as literal metadata columns
+    // (the $send/_topic pattern); the collection sink peels them off
+    val stamped =
+      if (wm == "replace" && wnm == "insert") keyed
+      else keyed.withColumn("__when_matched", lit(wm))
+        .withColumn("__when_not_matched", lit(wnm))
+    env.collectionSink(into, stamped)
     keyed
+  }
+
+  /** `$merge`'s whenMatched/whenNotMatched (docs/aggregation_stages.md:
+    * 378-384): Mongo's string modes; pipeline values are unsupported in
+    * the reference too — fail loudly rather than silently replacing.
+    */
+  private[graft] def mergeModes(spec: JsonNode): (String, String) = {
+    val wm = Option(spec.get("whenMatched")).map { n =>
+      require(n.isTextual,
+        "$merge whenMatched: pipeline values are not supported " +
+          "(reference parity) — use replace|keepExisting|merge|fail")
+      n.asText()
+    }.getOrElse("replace")
+    val wnm = Option(spec.get("whenNotMatched")).map(_.asText())
+      .getOrElse("insert")
+    require(Set("replace", "keepExisting", "merge", "fail")(wm),
+      s"$$merge whenMatched: $wm")
+    require(Set("insert", "discard", "fail")(wnm),
+      s"$$merge whenNotMatched: $wnm")
+    (wm, wnm)
   }
 }

@@ -15,7 +15,7 @@ import graft.streaming.{Cdc, Io, ParquetCollectionIo}
 object Round4Queries {
 
   /** Collections live in throwaway temp dirs; topics are never touched. */
-  private object NoIo extends Io {
+  private[queries] object NoIo extends Io {
     def source(spark: SparkSession, kind: String, name: String,
         options: Map[String, String]): DataFrame =
       throw new IllegalArgumentException(s"no source $kind/$name")

@@ -217,6 +217,42 @@ object Round5Queries {
           col("n_ips"), col("scrubbed"))
     },
 
+    // -- $merge Mongo modes (whenMatched: merge / whenNotMatched:
+    // discard) through the REAL stage + collection sink: generation 2
+    // carries null totals (must keep the stored value — Mongo's
+    // ignore-null document merge) and out-of-range ids (must be
+    // discarded)
+    Q.fn("q_merge_modes",
+      """SELECT o_orderkey AS _id,
+                CAST(trunc(o_totalprice) AS BIGINT) AS total,
+                CASE WHEN o_orderkey <= 1000 THEN 'X'
+                     ELSE o_orderstatus END AS status
+         FROM orders WHERE o_orderkey <= 2000""") { (spark, sf) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q-modes").toString
+      val io = new graft.streaming.ParquetCollectionIo(spark, root,
+        Round4Queries.NoIo)
+      val orders = Tables.load(spark, sf, "orders")
+      io.upsert("mm",
+        orders.where(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey").as("_id"),
+            col("o_totalprice").cast("long").as("total"),
+            col("o_orderstatus").as("status")))
+      // generation 2 through the $merge STAGE (mode parsing included):
+      // ids <= 1000 match (total null -> kept, status -> X); ids > 2000
+      // don't match and are discarded
+      val env = Tables.env(spark, sf)
+        .copy(collectionSink = (n, df) => io.upsert(n, df))
+      graft.op.Pipeline.run(
+        orders.where(col("o_orderkey") <= 1000 ||
+            col("o_orderkey") > 2000)
+          .select(col("o_orderkey").as("_id"),
+            lit(null).cast("long").as("total"), lit("X").as("status")),
+        """[{"$merge":{"into":"mm","whenMatched":"merge",
+                       "whenNotMatched":"discard"}}]""", env)
+      io.source(spark, "collection", "mm")
+    },
+
     // -- random-hyperplane LSH (cosine SimHash) near-dup pairs: sign
     // bits against the 16 lowest-id vectors as planes, 4-bit bands,
     // equi-join candidates, exact-cosine verify — the third ANN bucket

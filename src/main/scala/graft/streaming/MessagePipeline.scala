@@ -400,6 +400,12 @@ object MessagePipeline {
       df => { env.collectionSink(spec.asText(), df); df }
     case "$merge" => df => {
       val into = spec.get("into").asText()
+      val (wm, wnm) = graft.op.Stages.mergeModes(spec)
+      // schemaless value is ONE opaque JSON column — a field-wise
+      // whenMatched:merge needs typed columns; declare a schema for it
+      require(wm != "merge",
+        "$merge whenMatched: merge needs a typed frame " +
+          "(declare a schema for the topic)")
       val keyed =
         if (spec.has("key")) {
           val k = ExprCompiler.compile(spec.get("key"), ctxOf(df))
@@ -409,7 +415,11 @@ object MessagePipeline {
             .withColumn("value",
               setField(col("value"), lit("_id"), wrapJson(k)))
         } else df
-      env.collectionSink(into, keyed)
+      val stamped =
+        if (wm == "replace" && wnm == "insert") keyed
+        else keyed.withColumn("__when_matched", lit(wm))
+          .withColumn("__when_not_matched", lit(wnm))
+      env.collectionSink(into, stamped)
       keyed
     }
     case "$delete" => df => {

@@ -54,11 +54,31 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     case _ => inner.sink(kind, name, df, asString, partId, options)
   }
 
-  /** Bucket-local upsert: incoming rows win over stored rows with the
-    * same `_id`; within one batch the last row wins. Only the buckets the
-    * batch touches are read (partition-pruned) and rewritten.
+  /** Bucket-local upsert: by default incoming rows win over stored rows
+    * with the same `_id` (whenMatched: replace / whenNotMatched: insert —
+    * the reference's `$out` shape); within one batch the last row wins.
+    * Only the buckets the batch touches are read (partition-pruned) and
+    * rewritten.
+    *
+    * `$merge`'s Mongo modes ride IN-BAND as literal metadata columns
+    * (`__when_matched` ∈ replace|keepExisting|merge|fail,
+    * `__when_not_matched` ∈ insert|discard|fail — the same pattern as
+    * `$send`'s `_topic`), peeled off here:
+    *  - keepExisting: the stored row wins on a match
+    *  - merge: field-wise — the latest non-null value per column wins
+    *    (incoming null/missing keeps the stored field), Mongo's
+    *    ignore-null document merge
+    *  - fail / discard: matched-set policies via semi/anti joins on `_id`
     */
-  def upsert(name: String, batch: DataFrame): Unit = synchronized {
+  def upsert(name: String, batch0: DataFrame): Unit = synchronized {
+    val (wm, wnm) =
+      if (!batch0.columns.contains("__when_matched")) ("replace", "insert")
+      else batch0.select("__when_matched", "__when_not_matched")
+        .take(1) match {
+          case Array(r) => (r.getString(0), r.getString(1))
+          case _        => ("replace", "insert")
+        }
+    val batch = batch0.drop("__when_matched", "__when_not_matched")
     val incoming = batch
       .withColumn("__gen", lit(1))
       .withColumn("__ord", monotonically_increasing_id())
@@ -71,22 +91,63 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     // a bucket-only swap would leave the stale flat files at the root next
     // to the new __bucket=N dirs (conflicting layouts / resurrected rows)
     val legacy = stored.exists(df => !df.columns.contains("__bucket"))
-    val merged = stored match {
-      case Some(df) =>
-        val bucketed =
-          if (legacy) df.withColumn("__bucket", bucketOf(col("_id")))
-          else df.where(col("__bucket").isin(touched.toSeq: _*)) // pruned
-        val existing = bucketed
-          .withColumn("__gen", lit(0)).withColumn("__ord", lit(0L))
-        existing.unionByName(incoming, allowMissingColumns = true)
-      case None => incoming
+    val bucketed = stored.map { df =>
+      if (legacy) df.withColumn("__bucket", bucketOf(col("_id")))
+      else df.where(col("__bucket").isin(touched.toSeq: _*)) // pruned
     }
-    val w = Window.partitionBy("_id")
-      .orderBy(col("__gen").desc, col("__ord").desc)
-    val latest = merged
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__gen", "__ord", "__rn")
+    require(Set("replace", "keepExisting", "merge", "fail")(wm),
+      s"whenMatched $wm")
+    val existingIds = bucketed.map(_.select("_id"))
+    val admitted = wnm match {
+      case "insert" => incoming
+      case "discard" => existingIds match {
+        case Some(ids) => incoming.join(ids, Seq("_id"), "left_semi")
+        case None      => incoming.limit(0)
+      }
+      case "fail" =>
+        val unmatched = existingIds
+          .map(ids => incoming.join(ids, Seq("_id"), "left_anti"))
+          .getOrElse(incoming)
+        require(unmatched.isEmpty,
+          s"$$merge whenNotMatched: fail — unmatched _id for $name")
+        incoming
+      case other =>
+        throw new IllegalArgumentException(s"whenNotMatched $other")
+    }
+    if (wm == "fail")
+      existingIds.foreach(ids => require(
+        admitted.join(ids, Seq("_id"), "left_semi").isEmpty,
+        s"$$merge whenMatched: fail — matched _id for $name"))
+    val merged = bucketed match {
+      case Some(df) =>
+        val existing = df
+          .withColumn("__gen", lit(0)).withColumn("__ord", lit(0L))
+        existing.unionByName(admitted, allowMissingColumns = true)
+      case None => admitted
+    }
+    val latest = wm match {
+      case "merge" =>
+        // latest-non-null per column: max_by over a (gen, ord) struct
+        // key conditioned on the value's non-nullness, so null/missing
+        // incoming fields keep the stored value (Mongo's document merge)
+        val aggs = merged.columns
+          .filterNot(Set("_id", "__gen", "__ord", "__bucket"))
+          .map(c => max_by(col(c),
+            when(col(c).isNotNull,
+              struct(col("__gen"), col("__ord")))).as(c))
+        merged.groupBy(col("_id")).agg(aggs.head, aggs.tail: _*)
+          .withColumn("__bucket", bucketOf(col("_id")))
+      case _ =>
+        // replace (+fail, which proved no matches): incoming wins;
+        // keepExisting: the stored row wins, latest incoming otherwise
+        val w = Window.partitionBy("_id").orderBy(
+          if (wm == "keepExisting") col("__gen").asc else col("__gen").desc,
+          col("__ord").desc)
+        merged
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .drop("__gen", "__ord", "__rn")
+    }
     if (legacy) writeSwap(name, latest)
     else swapBuckets(name, latest, touched)
   }

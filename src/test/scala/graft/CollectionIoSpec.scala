@@ -23,6 +23,57 @@ class CollectionIoSpec extends AnyFunSuite {
     assert(state == Map("a" -> 9, "b" -> 2, "c" -> 3))
   }
 
+  test("$merge whenMatched/whenNotMatched modes through the sink") {
+    import org.apache.spark.sql.functions.{lit, col}
+    def stamped(df: org.apache.spark.sql.DataFrame, wm: String,
+        wnm: String) =
+      df.withColumn("__when_matched", lit(wm))
+        .withColumn("__when_not_matched", lit(wnm))
+    val root = Files.createTempDirectory("graft-coll-modes").toString
+    val io = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+
+    // keepExisting: stored row wins on match; new ids still insert
+    io.upsert("m1", Seq(("a", 1)).toDF("_id", "v"))
+    io.upsert("m1",
+      stamped(Seq(("a", 9), ("b", 2)).toDF("_id", "v"),
+        "keepExisting", "insert"))
+    assert(io.source(spark, "collection", "m1")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      Map("a" -> 1, "b" -> 2))
+
+    // merge: latest non-null per FIELD — null incoming keeps stored
+    io.upsert("m2",
+      Seq(("a", Some(5), "S")).toDF("_id", "total", "status"))
+    io.upsert("m2",
+      stamped(Seq(("a", None: Option[Int], "X"),
+        ("b", Some(7), "N")).toDF("_id", "total", "status"),
+        "merge", "insert"))
+    val m2 = io.source(spark, "collection", "m2").collect()
+      .map(r => r.getString(0) -> (r.get(1), r.getString(2))).toMap
+    assert(m2("a") == ((5, "X"))) // total kept, status replaced
+    assert(m2("b") == ((7, "N")))
+
+    // discard: unmatched incoming rows are dropped
+    io.upsert("m3", Seq(("a", 1)).toDF("_id", "v"))
+    io.upsert("m3",
+      stamped(Seq(("a", 9), ("zz", 2)).toDF("_id", "v"),
+        "replace", "discard"))
+    assert(io.source(spark, "collection", "m3")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      Map("a" -> 9))
+
+    // fail policies raise
+    io.upsert("m4", Seq(("a", 1)).toDF("_id", "v"))
+    intercept[IllegalArgumentException](io.upsert("m4",
+      stamped(Seq(("a", 9)).toDF("_id", "v"), "fail", "insert")))
+    intercept[IllegalArgumentException](io.upsert("m4",
+      stamped(Seq(("zz", 9)).toDF("_id", "v"), "replace", "fail")))
+    // and the collection is untouched after both failures
+    assert(io.source(spark, "collection", "m4")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      Map("a" -> 1))
+  }
+
   test("upsert rewrites only the buckets the batch touches") {
     val root = Files.createTempDirectory("graft-coll-bkt").toString
     val io = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))

@@ -30,8 +30,14 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
   def source(spark: SparkSession, kind: String, name: String,
       options: Map[String, String] = Map.empty): DataFrame =
     kind match {
-      case "collection" => spark.read.parquet(dir(name)).drop("__bucket")
-      case _            => inner.source(spark, kind, name, options)
+      case "collection" =>
+        val df = spark.read.parquet(dir(name)).drop("__bucket")
+        // schemaless layout: _id was derived from the key on write —
+        // hide it so the read-back frame stays message-shaped
+        if (df.columns.sorted.toSeq == Seq("_id", "key", "value"))
+          df.drop("_id")
+        else df
+      case _ => inner.source(spark, kind, name, options)
     }
 
   def sink(kind: String, name: String, df: DataFrame,
@@ -78,7 +84,19 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
           case Array(r) => (r.getString(0), r.getString(1))
           case _        => ("replace", "insert")
         }
-    val batch = batch0.drop("__when_matched", "__when_not_matched")
+    // transport metadata never belongs in the stored document
+    val batchClean = batch0.drop("__when_matched", "__when_not_matched",
+      "__ord", "__raw", "_topic", "_delay_ms")
+    // schemaless (key, value) frames: the message key IS the document id
+    // (the reference keys Mongo _id by the Kafka key); null keys fall
+    // back to the value's _id field
+    val batch =
+      if (batchClean.columns.contains("_id")) batchClean
+      else if (Set("key", "value").subsetOf(batchClean.columns.toSet))
+        batchClean.withColumn("_id",
+          coalesce(col("key"), get_json_object(col("value"), "$._id")))
+      else throw new IllegalArgumentException(
+        s"collection $name upsert needs an _id (or key/value) column")
     val incoming = batch
       .withColumn("__gen", lit(1))
       .withColumn("__ord", monotonically_increasing_id())

@@ -23,6 +23,22 @@ class CollectionIoSpec extends AnyFunSuite {
     assert(state == Map("a" -> 9, "b" -> 2, "c" -> 3))
   }
 
+  test("schemaless (key,value) frames upsert by key, stay message-shaped") {
+    val root = Files.createTempDirectory("graft-coll-msg").toString
+    val io = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+    // __ord transport metadata must not pollute the stored document
+    io.upsert("mc",
+      Seq(("a", """{"_id":"a","v":1}""", 0L),
+        ("b", """{"_id":"b","v":2}""", 1L)).toDF("key", "value", "__ord"))
+    io.upsert("mc",
+      Seq(("a", """{"_id":"a","v":9}""", 2L)).toDF("key", "value", "__ord"))
+    val back = io.source(spark, "collection", "mc")
+    assert(back.columns.sorted.toSeq == Seq("key", "value"))
+    val state = back.collect().map(r => r.getAs[String]("key") ->
+      graft.json.Js.parse(r.getAs[String]("value")).get("v").asInt()).toMap
+    assert(state == Map("a" -> 9, "b" -> 2))
+  }
+
   test("$merge whenMatched/whenNotMatched modes through the sink") {
     import org.apache.spark.sql.functions.{lit, col}
     def stamped(df: org.apache.spark.sql.DataFrame, wm: String,

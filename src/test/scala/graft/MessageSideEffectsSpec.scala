@@ -47,6 +47,27 @@ class MessageSideEffectsSpec extends AnyFunSuite {
     assert(seen.isDefined)
   }
 
+  test("schemaless $merge end-to-end into the parquet collection sink") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-msg-merge").toString
+    val io = new graft.streaming.ParquetCollectionIo(spark, root,
+      new TestIo(Map.empty))
+    val env = Env(spark, collectionSink = (name, df) => io.upsert(name, df))
+    run("""[{"$merge":{"into":"mcoll","key":"$_id"}}]""",
+      msgs("""{"_id":"a","v":1}""", """{"_id":"b","v":2}"""), env).collect()
+    run("""[{"$merge":{"into":"mcoll","key":"$_id",
+            "whenMatched":"keepExisting"}}]""",
+      msgs("""{"_id":"a","v":9}""", """{"_id":"c","v":3}"""), env).collect()
+    val state = io.source(spark, "collection", "mcoll").collect()
+      .map(r => r.getAs[String]("key") ->
+        Js.parse(r.getAs[String]("value")).get("v").asInt()).toMap
+    assert(state == Map("a" -> 1, "b" -> 2, "c" -> 3)) // a kept, c inserted
+    // whenMatched: merge is undefined over one opaque JSON column
+    intercept[IllegalArgumentException](run(
+      """[{"$merge":{"into":"mcoll","whenMatched":"merge"}}]""",
+      msgs("""{"_id":"a"}"""), env))
+  }
+
   test("$merge key derived from _id evaluates against the ORIGINAL doc") {
     val env = Env(spark, collectionSink = (_, _) => ())
     // the stage splices _id = key(doc); the key expression must not

@@ -209,6 +209,31 @@ object TextAnalysis {
         trunc6(-sum(col("__p") * log(col("__p")))).as("entropy"))
   }
 
+  /** Unigram surprisal — the corpus-LM quality signal: score each doc by
+    * the mean negative log-probability of its tokens under the corpus's
+    * own unigram distribution (gibberish and rare-token soup score HIGH,
+    * boilerplate scores LOW). Two-pass, both linear: token counts
+    * (explode + partial agg — shuffle is one row per distinct token per
+    * partition), then an equi-join of the exploded corpus on token and
+    * one groupBy(doc) mean. The vocabulary is NOT broadcast — at 100 TB
+    * it doesn't fit; the token join shuffles both sides on the token key
+    * and AQE handles the stopword skew.
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("__w"))
+    val counts = toks.groupBy(col("__w"))
+      .agg(count(lit(1)).cast(DoubleType).as("__c"))
+    val total = toks.agg(count(lit(1)).cast(DoubleType).as("__n"))
+    toks.join(counts, "__w")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        trunc6(avg(-log(col("__c") / col("__n")))).as("surprisal"))
+  }
+
   /** BM25 keyword scoring with inverted-index candidate pruning — the
     * corpus-search shape that survives 100 TB: explode DISTINCT terms per
     * doc, equi-join the (tiny, broadcast) query term list — only docs

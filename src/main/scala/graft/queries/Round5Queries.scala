@@ -299,6 +299,26 @@ object Round5Queries {
           .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // -- unigram surprisal (corpus-LM quality signal): mean -ln p(token)
+    // under the corpus's own unigram distribution; counts joined by
+    // token key (no vocabulary broadcast — it wouldn't fit at scale)
+    Q.fn("q_text_surprisal",
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split(lower(text), ' ')) AS w
+                      FROM documents WHERE doc_id < 400),
+          cnt AS (SELECT w, CAST(count(*) AS DOUBLE) AS c
+                  FROM tok GROUP BY w),
+          tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(trunc(avg(-ln(c/n)) * 1000000) AS BIGINT)
+                   / 1000000.0 AS surprisal
+          FROM tok JOIN cnt USING (w) CROSS JOIN tot
+          GROUP BY doc_id""") { (spark, sf) =>
+      TextAnalysis.unigramSurprisal(
+        Tables.load(spark, sf, "documents").where(col("doc_id") < 400),
+        "text", "doc_id")
+    },
+
     // -- character-distribution entropy (gibberish/boilerplate signal):
     // explode → two-stage agg, shuffle bounded by distinct chars per doc
     Q.fn("q_text_entropy",

@@ -102,6 +102,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("surprisal joins tokens to counts by token key, no product") {
+    val p = plan(q("q_text_surprisal"))
+    // the only broadcast is the single-row corpus total; the token join
+    // must be a hash/sort-merge equi-join (no vocabulary broadcast
+    // assumption, no product)
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(1200))
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

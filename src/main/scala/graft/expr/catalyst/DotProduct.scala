@@ -66,5 +66,9 @@ object GraftFunctions {
       "mongo_cmp", exprs => MongoCmp(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mongo_sort_key", exprs => MongoSortKey(exprs(0)), "built-in")
+    // aggregate: the analyzer wraps a bare AggregateFunction in an
+    // AggregateExpression, so the builder returns the function itself
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_min", exprs => TopKMin(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -51,6 +51,13 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nb_id"), col("cos"))
   }
 
+  /** Ascending == preferred for nearest-centroid ranking: cosine
+    * descending (`0.0 - cos` rather than `-cos` so a rounded `-0.0`
+    * normalizes to `+0.0`), ties to the lowest cell id.
+    */
+  private def probeKey(ccos: Column, cell: Column): Column =
+    struct((lit(0.0) - ccos).as("nc"), cell.as("cell"))
+
   /** Deterministic cell assignment: nearest centroid by rounded cosine,
     * ties to the lowest centroid id.
     */
@@ -62,19 +69,34 @@ object Similarity {
     * cells. Costs `nprobe`× the storage/join fan-out and recovers the
     * pairs that straddle a single-probe cell boundary (the IVF recall
     * trade-off) — the standard multi-probe recall/cost dial.
+    *
+    * Ranking is a PARTIAL AGGREGATE, not a window: `min_by` (nprobe = 1)
+    * or the bounded `top_k_min` aggregate (nprobe > 1) combine map-side,
+    * so the exchange carries one row per vector — the window formulation
+    * (`row_number` over id) would shuffle the whole corpus×centroids
+    * expansion, an nlist× amplification of the hottest ANN/dedup path.
     */
   def assignCellsMulti(corpus: DataFrame, centroids: DataFrame,
       embCol: String, idCol: String, nprobe: Int): DataFrame = {
     val c = normalized(centroids, embCol, idCol, "vcent")
       .withColumnRenamed(idCol, "cell")
     val v = normalized(corpus, embCol, idCol, "v")
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("ccos").desc, col("cell").asc)
-    v.crossJoin(broadcast(c))
+    val scored = v.crossJoin(broadcast(c))
       .withColumn("ccos", ndot6(col("v"), col("vcent")))
-      .withColumn("r", row_number().over(w))
-      .where(col("r") <= nprobe)
-      .select(col(idCol), col("cell"), col("v"))
+    if (nprobe == 1)
+      scored.groupBy(col(idCol))
+        .agg(min_by(struct(col("cell"), col("v")),
+          probeKey(col("ccos"), col("cell"))).as("b"))
+        .select(col(idCol), col("b.cell").as("cell"), col("b.v").as("v"))
+    else
+      scored.groupBy(col(idCol))
+        .agg(call_function("top_k_min",
+            probeKey(col("ccos"), col("cell")), lit(nprobe)).as("cands"),
+          // v is functionally dependent on the group key — any element is
+          // THE element, and first() keeps it out of the top-k buffer
+          first(col("v")).as("v"))
+        .select(col(idCol), explode(col("cands.cell")).as("cell"), col("v"))
+        .select(col(idCol), col("cell"), col("v"))
   }
 
   /** Deterministic batched farthest-first seeding (the k-means++ idea in
@@ -206,18 +228,25 @@ object Similarity {
   def pqTrain(df: DataFrame, embCol: String, idCol: String, m: Int,
       ksub: Int, dim: Int, iters: Int = 1): DataFrame = {
     val sub = subvectors(df, embCol, idCol, m, dim).persist()
-    val wSeed = Window.partitionBy("sub").orderBy(col(idCol))
-    var codebook: DataFrame = sub
-      .withColumn("rk", row_number().over(wSeed))
-      .where(col("rk") <= ksub)
-      .select(col("sub"), (col("rk") - 1).as("code"), col("sv").as("cent"))
+    // seeds = the ksub lowest-id rows' subvectors: a distributed
+    // TakeOrdered over ids (the per-sub ranking is the same for every sub)
+    // joined back to the sub frame — NOT a window over the full n×m sub
+    // frame, which would funnel each subspace through one partition
+    val seedIds = df.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol))
+      .withColumn("code",
+        row_number().over(Window.orderBy(col(idCol))) - 1)
+    var codebook: DataFrame = sub.join(broadcast(seedIds), idCol)
+      .select(col("sub"), col("code"), col("sv").as("cent"))
     (0 until iters).foreach { _ =>
-      val wAsg = Window.partitionBy(idCol, "sub")
-        .orderBy(col("d").asc, col("code").asc)
+      // nearest code per (vector, sub) as a map-side min_by partial
+      // aggregate — the window row_number formulation would shuffle the
+      // n×m×ksub expansion (see assignCellsMulti)
       val assigned = sub.join(broadcast(codebook), "sub")
         .withColumn("d", l2d6(col("sv"), col("cent")))
-        .withColumn("r", row_number().over(wAsg))
-        .where(col("r") === 1)
+        .groupBy(col(idCol), col("sub"))
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+          first(col("sv")).as("sv"))
       codebook = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")))
         .groupBy(col("sub"), col("code"), col("pos"))
@@ -238,16 +267,13 @@ object Similarity {
     * the ADC join.
     */
   def pqEncode(df: DataFrame, codebook: DataFrame, embCol: String,
-      idCol: String, m: Int, dim: Int): DataFrame = {
-    val wAsg = Window.partitionBy(idCol, "sub")
-      .orderBy(col("d").asc, col("code").asc)
+      idCol: String, m: Int, dim: Int): DataFrame =
     subvectors(df, embCol, idCol, m, dim)
       .join(broadcast(codebook), "sub")
       .withColumn("d", l2d6(col("sv"), col("cent")))
-      .withColumn("r", row_number().over(wAsg))
-      .where(col("r") === 1)
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
       .select(col(idCol), col("sub"), col("code"))
-  }
 
   /** Asymmetric-distance top-k: per query build the (sub, code) → d²
     * lookup table against the codebook (broadcast), join the encoded
@@ -286,17 +312,10 @@ object Similarity {
       idCol: String, k: Int, m: Int, dim: Int, nprobe: Int): DataFrame = {
     val cells = assignCells(corpus, coarseCentroids, embCol, idCol)
       .select(col(idCol).as("nb_id"), col("cell"))
-    val q = normalized(queries, embCol, idCol, "vq")
-      .withColumnRenamed(idCol, "query_id")
-    val cent = normalized(coarseCentroids, embCol, idCol, "vcent")
-      .withColumnRenamed(idCol, "cell")
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("ccos").desc, col("cell").asc)
-    val candidates = q.crossJoin(broadcast(cent))
-      .withColumn("ccos", ndot6(col("vq"), col("vcent")))
-      .withColumn("pr", row_number().over(wProbe))
-      .where(col("pr") <= nprobe)
-      .select(col("query_id"), col("cell"))
+    // query-side probing is the same partial-aggregate assignment
+    val candidates =
+      assignCellsMulti(queries, coarseCentroids, embCol, idCol, nprobe)
+      .select(col(idCol).as("query_id"), col("cell"))
       .join(cells, "cell")
       .where(col("query_id") =!= col("nb_id"))
       .select(col("query_id"), col("nb_id"))
@@ -325,17 +344,10 @@ object Similarity {
     val centroids = centroidsDf
     val cells = assignCells(corpus, centroids, embCol, idCol)
       .withColumnRenamed(idCol, "nb_id")
-    val q = normalized(queries, embCol, idCol, "vq")
-      .withColumnRenamed(idCol, "query_id")
-    val cent = normalized(centroids, embCol, idCol, "vcent")
-      .withColumnRenamed(idCol, "cell")
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("ccos").desc, col("cell").asc)
-    val probed = q.crossJoin(broadcast(cent))
-      .withColumn("ccos", ndot6(col("vq"), col("vcent")))
-      .withColumn("pr", row_number().over(wProbe))
-      .where(col("pr") <= nprobe)
-      .select(col("query_id"), col("vq"), col("cell"))
+    // query-side probing is the same partial-aggregate assignment; the
+    // returned "v" IS the normalized query vector
+    val probed = assignCellsMulti(queries, centroids, embCol, idCol, nprobe)
+      .select(col(idCol).as("query_id"), col("v").as("vq"), col("cell"))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nb_id").asc)
     probed.join(cells, "cell")

@@ -112,6 +112,45 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("centroid assignment partial-aggregates before the exchange") {
+    // The nearest-centroid ranking must be a map-side aggregate (min_by /
+    // top_k_min), never a window row_number: a window shuffles the whole
+    // corpus×centroids expansion (n×nlist rows) keyed by vector id, an
+    // nlist× amplification of the hottest ANN/dedup path at 100 TB. Walk
+    // the physical tree: no shuffle Exchange may reach the broadcast
+    // nested-loop expansion without an Aggregate in between, and no
+    // Window may appear at all.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def expansionLeaksIntoShuffle(n: SparkPlan): Boolean = n match {
+      case _: BaseAggregateExec => false
+      case _: BroadcastNestedLoopJoinExec => true
+      case other => other.children.exists(expansionLeaksIntoShuffle)
+    }
+    graft.queries.Q.session(spark)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = emb.orderBy(col("vec_id")).limit(8)
+    // exchanges are inserted by EnsureRequirements: inspect the executed
+    // plan, with AQE off so it isn't wrapped in an opaque adaptive root
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (np <- Seq(1, 2)) {
+      val df = graft.ml.Similarity.assignCellsMulti(
+        emb, cents, "embedding", "vec_id", np)
+      val p = df.queryExecution.executedPlan
+      assert(!p.toString.contains("Window"),
+        s"nprobe=$np assignment plans a window:\n" + p.toString.take(1500))
+      val shuffles = p.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        assert(!expansionLeaksIntoShuffle(e.children.head),
+          s"nprobe=$np: a shuffle carries the corpus×centroids expansion " +
+            "without a partial aggregate below it:\n" + p.toString.take(1500))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

@@ -252,6 +252,15 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
               .filter(_.value.contains("\"href\"")).isEmpty
             if (!anyHref) { states.unpersist(); out0 }
             else {
+              // the JVM-local HrefStore only works when every task runs in
+              // THIS JVM: on a multi-JVM cluster each executor's store
+              // would hold only the partitions it happened to publish and
+              // {href} refs would silently resolve to None — refuse loudly
+              // and demand the external resolver instead
+              require(sess.sparkContext.isLocal,
+                "batch {href} self-feed needs a single-JVM (local) master; " +
+                  "on a cluster provide AppRunner(hrefResolver = ...) " +
+                  "backed by a serving store")
               val run = "batch-" + java.util.UUID.randomUUID()
               states
                 .map(o => (o.key,
@@ -266,9 +275,17 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
                     it.foreach { case (k, s, v) => HrefStore.put(run, k, s, v) }
                 }
               states.unpersist()
-              AggregatePart(pre,
+              val pass2 = AggregatePart(pre,
                 conf.copy(resolver = HrefStore.Resolver(run)),
                 keyOverride)
+              // materialize pass 2 NOW (eager localCheckpoint severs the
+              // lineage, so downstream actions replay blocks, not the
+              // resolver), then release the run's store — a long-lived JVM
+              // must not accumulate one state map per batch run
+              val mat = pass2.toDF().localCheckpoint(true)
+              HrefStore.clear(run)
+              import org.apache.spark.sql.Encoders
+              mat.as(Encoders.product[AggregatePart.Out])
             }
           }
         // uniqueExpression re-keys commands THROUGH the `unique` purpose
@@ -319,6 +336,26 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     }
     val (l, lk) = side(part.get("left"), "left")
     val (r, rk) = side(part.get("right"), "right")
+    // Reference semantics default the window to INFINITE (App.java:693).
+    // On a stream that means both join buffers grow forever — the one
+    // silent unbounded-state path left in the engine — so the faithful
+    // behavior is available only behind an explicit opt-in, and noisily.
+    if (window.isEmpty && (l.isStreaming || r.isStreaming)) {
+      val pname = Option(part.get("name")).map(_.asText()).getOrElse("<unnamed>")
+      // opt-in is per part, or engine-wide via runner config (the golden
+      // harness replays verbatim reference apps under the latter)
+      require(Option(part.get("allowUnboundedJoinState"))
+          .exists(_.asBoolean()) ||
+          config.get("allowUnboundedJoinState").contains("true"),
+        s"streaming join part '$pname' has no `window`: the reference " +
+          "default is an infinite window, which buffers BOTH sides in the " +
+          "state store forever. Set `window` (milliseconds), or opt in to " +
+          "reference-faithful unbounded state with " +
+          "`allowUnboundedJoinState: true`.")
+      org.slf4j.LoggerFactory.getLogger(classOf[AppRunner]).warn(
+        s"streaming join part '$pname' runs with UNBOUNDED join state " +
+          "(allowUnboundedJoinState): no watermark eviction will occur")
+    }
     // Two-sided range, NOT abs(l−r) <= w: StreamingJoinHelper can only
     // derive state-value watermarks (→ state eviction) from range
     // predicates directly on the watermarked timestamp columns. An abs()

@@ -204,7 +204,11 @@ object GoldenTest {
         store = DirObjectStore(dir.resolve("objects").toString),
         http = OkHttp)
       val streams =
-        new AppRunner(spark, io, env, config,
+        // verbatim reference apps rely on the reference's infinite default
+        // join window (App.java:693) — the harness opts in engine-wide so
+        // fixtures stay byte-identical; production specs must say it
+        new AppRunner(spark, io, env,
+          Map("allowUnboundedJoinState" -> "true") ++ config,
           hrefResolver = Some(HrefStore.Resolver(runId)))
           .run(Files.readString(appFile))
       // streaming {href} resolution (app36): when any fixture script uses

@@ -94,6 +94,41 @@ class StreamJoinSpec extends AnyFunSuite {
     io.stopAll()
   }
 
+  test("windowless streaming join requires the explicit unbounded opt-in") {
+    // Reference semantics default the join window to infinite
+    // (App.java:693) — on a stream that is unbounded state-store growth,
+    // so the engine refuses it unless the part opts in explicitly.
+    val dir = Files.createTempDirectory("graft-sjnowin").toString
+    Files.createDirectories(Paths.get(s"$dir/lt2"))
+    Files.createDirectories(Paths.get(s"$dir/rt2"))
+    Files.writeString(Paths.get(s"$dir/lt2/l1.json"),
+      """{"_id":"l1","corr":"c1","lv":1}""")
+    Files.writeString(Paths.get(s"$dir/rt2/r1.json"),
+      """{"_id":"r1","corr":"c1","rv":2}""")
+    val s1 = DataType.fromDDL("_id string, corr string, lv int")
+      .asInstanceOf[StructType]
+    val s2 = DataType.fromDDL("_id string, corr string, rv int")
+      .asInstanceOf[StructType]
+    def spec(extra: String) =
+      s"""{"application":"sjnw","version":"1.0","parts":[
+           {"type":"join","name":"jnw"$extra,
+            "left":{"fromTopic":"lt2","on":"$$corr"},
+            "right":{"fromTopic":"rt2","on":"$$corr"},
+            "toTopic":"out_sjnw"}]}"""
+    val io = new FileStreamIo(dir, Map("lt2" -> s1, "rt2" -> s2))
+    val e = intercept[IllegalArgumentException] {
+      new AppRunner(spark, io, Env(spark)).run(spec(""))
+    }
+    assert(e.getMessage.contains("jnw") &&
+      e.getMessage.contains("allowUnboundedJoinState"))
+    // the reference-faithful infinite window stays available behind the flag
+    new AppRunner(spark, io, Env(spark))
+      .run(spec(""","allowUnboundedJoinState":true"""))
+    io.processAll()
+    assert(spark.table("out_sjnw").collect().length == 1)
+    io.stopAll()
+  }
+
   test("$delay redelivers onto the target topic after the duration") {
     val dir = Files.createTempDirectory("graft-delay").toString
     Files.createDirectories(Paths.get(s"$dir/din"))

@@ -375,13 +375,14 @@ object MiniJq {
       val loc = t.line
       t.next()
       val name = t.ident()
-      // $__loc__ resolves at PARSE time to {file, line} (jq manual)
-      if (name == "__loc__") {
-        val o = Js.obj()
-        o.put("file", "<stdin>"); o.put("line", loc)
-        return Lit(o)
-      }
-      val v = VarRef(name)
+      // $__loc__ resolves at PARSE time to {file, line} (jq manual); it
+      // takes postfix paths like any variable ($__loc__.file is valid jq)
+      val v: Ast =
+        if (name == "__loc__") {
+          val o = Js.obj()
+          o.put("file", "<stdin>"); o.put("line", loc)
+          Lit(o)
+        } else VarRef(name)
       // postfix path on a variable: $x.v, $x[0]
       if (t.peekIs(".") && { t.mark(); t.next(); val ok = t.peekIdent; t.reset(); ok }) {
         t.next()

@@ -153,7 +153,10 @@ object TextAnalysis {
     }
     df.where(
       h32(concat(lit(salt), col(idCol).cast(StringType))) % 1000000L <
-        (rateCol * 1000000.0).cast(LongType))
+        // round-half like sampleByHash's math.round (and DuckDB's BIGINT
+        // cast): a bare cast TRUNCATES, so FP-inexact rates (0.7 →
+        // 699999.99…) would shift the threshold one below the oracle's
+        round(rateCol * 1000000.0).cast(LongType))
   }
 
   /** PII patterns for corpus scrubbing. Chosen to behave identically

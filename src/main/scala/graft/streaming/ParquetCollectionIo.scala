@@ -80,9 +80,15 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     val (wm, wnm) =
       if (!batch0.columns.contains("__when_matched")) ("replace", "insert")
       else batch0.select("__when_matched", "__when_not_matched")
-        .take(1) match {
+        // the modes are planted as literals ($merge), so the whole batch
+        // must agree — PROVE it (capped 2-row probe) rather than silently
+        // trusting row 0 with mixed modes aboard
+        .distinct().limit(2).collect() match {
           case Array(r) => (r.getString(0), r.getString(1))
-          case _        => ("replace", "insert")
+          case Array()  => ("replace", "insert")
+          case _ => throw new IllegalArgumentException(
+            s"collection $name upsert: mixed $$merge modes in one batch " +
+              "(__when_matched/__when_not_matched must be constant per batch)")
         }
     // transport metadata never belongs in the stored document
     val batchClean = batch0.drop("__when_matched", "__when_not_matched",
@@ -100,9 +106,21 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     val incoming = batch
       .withColumn("__gen", lit(1))
       .withColumn("__ord", monotonically_increasing_id())
-      .withColumn("__bucket", bucketOf(col("_id")))
+      // xxhash64(null) is the SEED, not null — bucket null ids as null
+      // explicitly so the `touched` collect below rejects them with the
+      // cause (otherwise distinct null-_id docs silently collapse into
+      // one stored row)
+      .withColumn("__bucket",
+        when(col("_id").isNotNull, bucketOf(col("_id"))))
     val touched = incoming.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet // ≤ `buckets` values
+      .collect().map { r => // ≤ `buckets` values
+        // a null bucket means a null _id (null message key and no _id in
+        // the value) — fail the batch with the cause, not an NPE
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"collection $name upsert: row with null _id (null message key " +
+            "and no _id field in the value)")
+        r.getInt(0)
+      }.toSet
     val exists = Files.exists(Paths.get(dir(name)))
     val stored = if (exists) Some(spark.read.parquet(dir(name))) else None
     // a pre-bucketing (flat) layout must be migrated WHOLE on first touch:

@@ -28,4 +28,32 @@ class CollectionIoSpec2 extends AnyFunSuite {
       .select("_id").as[String].collect().toSet
     assert(left == Set("c")) // grp=x docs deleted
   }
+
+  test("upsert refuses a batch with mixed $merge modes") {
+    // __when_matched/__when_not_matched are planted as literals per
+    // $merge stage — a batch that somehow mixes two modes must fail
+    // loudly instead of applying row 0's mode to every row
+    val root = Files.createTempDirectory("graft-mixed").toString
+    val io = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+    import org.apache.spark.sql.functions.lit
+    val a = Seq(("a", 1)).toDF("_id", "v")
+      .withColumn("__when_matched", lit("replace"))
+      .withColumn("__when_not_matched", lit("insert"))
+    val b = Seq(("b", 2)).toDF("_id", "v")
+      .withColumn("__when_matched", lit("keepExisting"))
+      .withColumn("__when_not_matched", lit("insert"))
+    val e = intercept[IllegalArgumentException](
+      io.upsert("mx", a.unionByName(b)))
+    assert(e.getMessage.contains("mixed"))
+  }
+
+  test("upsert names the null-_id cause instead of an NPE") {
+    // schemaless fallback: null message key AND no _id in the value
+    val root = Files.createTempDirectory("graft-nullid").toString
+    val io = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+    val batch = Seq((Option.empty[String], """{"v":1}"""),
+      (Some("k1"), """{"v":2}""")).toDF("key", "value")
+    val e = intercept[IllegalArgumentException](io.upsert("ni", batch))
+    assert(e.getMessage.contains("null _id"))
+  }
 }

@@ -104,6 +104,15 @@ class DedupSpec extends AnyFunSuite {
       Map("en" -> 1.0), defaultRate = 0.0)
     assert(strat.where(col("lang") =!= "en").count() == 0)
     assert(strat.count() == docs.where(col("lang") === "en").count())
+    // FP-inexact rates (0.7*1e6 = 699999.99…) must round like
+    // sampleByHash (and DuckDB's BIGINT cast), not truncate: a single
+    // stratum at rate r selects exactly sampleByHash(r)'s rows
+    val uni = sampleStratified(docs.withColumn("one", lit("x")),
+      "doc_id", "one", Map("x" -> 0.7)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val byHash = sampleByHash(docs, "doc_id", 0.7).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(uni == byHash)
   }
 
   test("components label every cluster with its minimum id") {

@@ -78,6 +78,9 @@ class MiniJqRound5Spec extends AnyFunSuite {
   test("$__loc__ reports file and source line") {
     assert(one("$__loc__", "null") == """{"file":"<stdin>","line":1}""")
     assert(one("\n\n$__loc__", "null") == """{"file":"<stdin>","line":3}""")
+    // postfix paths apply like on any variable (valid jq)
+    assert(one("$__loc__.file", "null") == "\"<stdin>\"")
+    assert(one("$__loc__[\"line\"]", "null") == "1")
   }
 
   test("trailing tokens after the program are a parse error") {

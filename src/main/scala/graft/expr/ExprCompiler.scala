@@ -503,7 +503,17 @@ object ExprCompiler {
         }
         compile(n.get("in"), inner)
       case "$sort" => sortOp(n, ctx)
-      case "$trace" => compile(n, ctx) // identity; logging handled at stage level
+      case "$trace" => // value passes through unchanged, logged per row
+        // (reference pincette-mongo trace()). Routed through the global
+        // LogSink hook like the JSLT `trace` builtin — the compiler has
+        // no Env to thread (same constraint, Context.java:75).
+        val v = compile(n, ctx)
+        val logged = udf { (json: String) =>
+          graft.op.LogSink.jslt(
+            graft.op.LogOp.traceLogger, "INFO", json, null, null, null)
+          true
+        }.asNondeterministic()
+        when(logged(to_json(array(v))), v)
       // embedded script operators (docs/aggregation_operators.md:1163-1187):
       // {input?, script} → JSON-string result ($$ROOT input by default)
       case "$jq" | "$jslt" =>

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.json.Js
+import graft.op.{LogOp, LogSink}
+
+/** Round-6 oracle coverage: the `$trace` stage and `$trace` operator —
+  * the two remaining logger-side-channel surfaces (previously spec-only).
+  * Each run captures the engine-logger emissions per row and re-emits them
+  * as deterministic {_id, traced} rows the DuckDB oracle can replay
+  * (docs/aggregation_stages.md:804-824).
+  */
+object Round6Queries {
+
+  /** Run-scoped driver-side collector: entries funnel through the
+    * JVM-global queue (executors share the JVM at local[*] — the same
+    * contract as LogSink.Capture) but each query filters by its own tag,
+    * so concurrent suites can't cross-pollute.
+    */
+  private def tagged(entries: Seq[String], tag: String): Seq[Long] =
+    entries.flatMap { m0 =>
+      // the stage path quotes messages (escapeFormatting); the operator
+      // path logs the raw single-element-array JSON of the traced value
+      val m1 = if (m0.startsWith("'") && m0.endsWith("'"))
+        m0.substring(1, m0.length - 1) else m0
+      val m = if (m1.startsWith("[") && m1.endsWith("]"))
+        m1.substring(1, m1.length - 1) else m1
+      val n = Js.parse(m)
+      if (n != null && n.isObject &&
+        Option(n.get("tag")).exists(_.asText() == tag))
+        Option(n.get("id")).map(_.asLong())
+      else None
+    }
+
+  val all: Seq[Q] = Seq(
+    // -- $trace stage: every message is logged whole to the engine logger
+    // "graft.streams". Capture the emissions, parse the ids back out, and
+    // emit {_id, traced} — this oracles the SIDE CHANNEL (one entry per
+    // row through the stage), not just the passthrough.
+    Q.fn("q_trace_stage",
+      "SELECT CAST(r_regionkey AS BIGINT) AS _id, true AS traced " +
+        "FROM region ORDER BY 1") {
+      (spark, sf) =>
+        val out = graft.op.Pipeline.run(
+          Tables.load(spark, sf, "region")
+            .select(col("r_regionkey").cast("long").as("id"),
+              lit("q_trace_stage").as("tag")),
+          """[{"$trace":true}]""",
+          Tables.env(spark, sf).copy(logger = LogSink.Capture))
+        out.queryExecution.toRdd.count() // force the executor-side emits
+        val msgs = LogSink.Capture.entries
+          .filter(_.logger == LogOp.traceLogger).map(_.message)
+        import spark.implicits._
+        tagged(msgs, "q_trace_stage").distinct.sorted
+          .toDF("_id").withColumn("traced", lit(true))
+    },
+
+    // -- $trace operator: the traced VALUE flows through unchanged and is
+    // logged per evaluation (reference pincette-mongo trace()); the
+    // capture goes through the global LogSink.jslt hook the compiler
+    // logs to (it has no Env to thread, like the JSLT trace builtin).
+    Q.fn("q_trace_op",
+      "SELECT CAST(r_regionkey AS BIGINT) AS _id, true AS traced " +
+        "FROM region ORDER BY 1") {
+      (spark, sf) =>
+        val prev = LogSink.jslt
+        LogSink.jslt = LogSink.Capture
+        try {
+          val out = graft.op.Pipeline.run(
+            Tables.load(spark, sf, "region")
+              .select(col("r_regionkey").cast("long").as("id")),
+            """[{"$addFields":{"t":{"$trace":
+                 {"tag":{"$literal":"q_trace_op"},"id":"$id"}}}}]""",
+            Tables.env(spark, sf))
+          out.queryExecution.toRdd.count()
+        } finally LogSink.jslt = prev
+        val msgs = LogSink.Capture.entries
+          .filter(_.logger == LogOp.traceLogger).map(_.message)
+        import spark.implicits._
+        tagged(msgs, "q_trace_op").distinct.sorted
+          .toDF("_id").withColumn("traced", lit(true))
+    })
+}

@@ -28,13 +28,17 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // stdout tail-capture truncates past ~100 queries — the file is the
-    // durable artifact (round-over-round comparison reads it)
+    // target/bench.json is the durable artifact (round-over-round
+    // comparison reads it); stdout gets the SAME compact JSON as the very
+    // LAST line this JVM writes — everything else (spark stop logs) comes
+    // first, so a tail capture of the run output ends with parseable JSON
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, json + "\n")
-    println(s"bench results written to ${out.toAbsolutePath}")
     spark.stop()
+    println(json)
+    System.out.flush()
+    // hard-exit: no shutdown-hook chatter after the JSON line
+    System.exit(0)
   }
 }

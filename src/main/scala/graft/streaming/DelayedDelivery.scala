@@ -5,33 +5,15 @@ import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
 import org.apache.spark.sql.functions._
 
 /** `$delay` redelivery (docs/aggregation_stages.md:118-159): the stage
-  * stamps `_topic` and `_delay_ms`; the SINK hands such rows to a timer
-  * that re-produces them onto the target topic after the duration — the
-  * reference's scheduled re-produce. Message order is not guaranteed and
-  * loss is possible on a crash mid-delay, exactly the reference's caveat.
+  * stamps `_topic` and `_delay_ms`; the sink routes such rows through
+  * `StatefulOps.delayViaTimers` (engine-native per-key timers — state and
+  * timers live in the checkpoint, so a crash mid-delay redelivers on
+  * restart instead of losing the message, which the reference's in-memory
+  * scheduled re-produce documents as its caveat) and this module's
+  * transports produce the expired rows onto their target topic. Message
+  * order is not guaranteed, exactly like the reference.
   */
 object DelayedDelivery {
-
-  /** One daemon timer pool per executor JVM. */
-  lazy val pool: java.util.concurrent.ScheduledExecutorService =
-    java.util.concurrent.Executors.newScheduledThreadPool(2, r => {
-      val t = new Thread(r, "graft-delay")
-      t.setDaemon(true)
-      t
-    })
-
-  def schedule(delayMs: Long)(deliver: => Unit): Unit =
-    pool.schedule(new Runnable {
-      def run(): Unit =
-        // the pool would silently swallow a throw; at-least-once loss on
-        // failure is the reference's documented caveat, but it must be
-        // VISIBLE loss
-        try deliver
-        catch {
-          case e: Throwable =>
-            System.err.println(s"graft $$delay redelivery failed: $e")
-        }
-    }, delayMs, java.util.concurrent.TimeUnit.MILLISECONDS)
 
   /** Does this part output carry `$delay` routing columns? */
   def hasDelay(df: DataFrame): Boolean = df.columns.contains("_delay_ms")
@@ -53,17 +35,17 @@ object DelayedDelivery {
         key.as("key"), to_json(struct(payloadCols: _*)).as("json"))
   }
 
-  /** ForeachWriter over `packedDelayed` rows: schedules `deliver` per row.
-    * The transport must be serializable (executors run it).
+  /** ForeachWriter over the timer-expired (topic, key, json) rows:
+    * delivers immediately — the delay already elapsed in the stateful
+    * stage. The transport must be serializable (executors run it); a
+    * failed delivery throws, failing the micro-batch, and the row's state
+    * replays it — at-least-once instead of the pool's visible loss.
     */
-  final class Writer(deliver: (String, String, String) => Unit)
+  final class ImmediateWriter(deliver: (String, String, String) => Unit)
       extends ForeachWriter[Row] with Serializable {
     def open(partitionId: Long, epochId: Long): Boolean = true
-    def process(r: Row): Unit = {
-      val (topic, d, key, json) =
-        (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))
-      schedule(d)(deliver(topic, key, json))
-    }
+    def process(r: Row): Unit =
+      deliver(r.getString(0), r.getString(1), r.getString(2))
     def close(errorOrNull: Throwable): Unit = ()
   }
 

@@ -231,17 +231,21 @@ object GoldenTest {
           // contains, not endsWith: purpose streams of a part with an
           // `environment` carry a suffix (<type>-aggregate-<env>)
           case (n, df) if n.contains("-aggregate") =>
-            df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+            (df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
               batch.select("key", "value").collect().foreach { r =>
                 val v = r.getString(1)
                 val seq = Option(Js.parse(v).get("_seq"))
                   .map(_.asLong()).getOrElse(-1L)
                 HrefStore.put(runId, r.getString(0), seq, v)
               }
-            }.queryName(s"href-updater-$runId-$n").start()
+            }.queryName(s"href-updater-$runId-$n").start(),
+              StatefulOps.usesProcessingTimers(df))
         }
-        updaters.foreach(_.processAllAvailable())
-        updaters.foreach(_.stop())
+        updaters.foreach { case (q, timers) =>
+          if (timers) StatefulOps.awaitQuiesced(q)
+          else q.processAllAvailable()
+        }
+        updaters.foreach(_._1.stop())
       }
       // aggregate purpose streams are exposed as named streams rather
       // than part sinks — start a query for each expected one

@@ -256,19 +256,17 @@ object MessagePipeline {
     case "$deduplicate" =>
       df => {
         val e = ExprCompiler.compile(spec.get("expression"), ctxOf(df))
-        val keyed = df.withColumn("__dedup", e.cast(StringType))
-        val deduped =
-          if (df.isStreaming && spec.has("cacheWindow")) {
-            // cacheWindow bounds dedup state: ingestion-time watermark +
-            // dropDuplicatesWithinWatermark (docs/aggregation_stages.md:97)
-            val ms = spec.get("cacheWindow").asLong()
-            keyed
-              .withColumn("__ingest", current_timestamp())
-              .withWatermark("__ingest", s"$ms milliseconds")
-              .dropDuplicatesWithinWatermark("__dedup")
-              .drop("__ingest")
-          } else keyed.dropDuplicates("__dedup")
-        deduped.drop("__dedup")
+        if (df.isStreaming)
+          // transformWithState dedup: cacheWindow = real state TTL
+          // (docs/aggregation_stages.md:97-104), wall-clock expiry like
+          // the reference's cache; no cacheWindow = unbounded, faithful
+          StatefulOps.deduplicate(df, e,
+            if (spec.has("cacheWindow"))
+              Some(spec.get("cacheWindow").asLong())
+            else None)
+        else
+          df.withColumn("__dedup", e.cast(StringType))
+            .dropDuplicates("__dedup").drop("__dedup")
       }
     // schemaless $lookup: probe key extracts from the variant typed to the
     // foreign key's column type; matches splice into the message as a

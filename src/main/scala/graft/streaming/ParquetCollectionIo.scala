@@ -40,6 +40,12 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
       case _ => inner.source(spark, kind, name, options)
     }
 
+  /** Queries this Io started (collection upsert loops): callers wait on /
+    * stop exactly these — the session may carry other components' queries,
+    * some timer-driven (which never report "all available processed").
+    */
+  var started = Seq.empty[org.apache.spark.sql.streaming.StreamingQuery]
+
   def sink(kind: String, name: String, df: DataFrame,
       asString: Boolean, partId: String = "",
       options: Map[String, String] = Map.empty): Unit = kind match {
@@ -52,7 +58,7 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
           .foreachBatch((batch: DataFrame, _: Long) => upsert(name, batch))
         // throttled part: pace the trigger so the source's admission cap
         // is an actual rate (see KafkaIo.sink)
-        options.get("maxPerSecond")
+        started :+= options.get("maxPerSecond")
           .fold(writer)(_ => writer.trigger(
             org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")))
           .start()

@@ -83,8 +83,10 @@ final class KafkaIo(bootstrap: String,
       .fold(writer)(_ => writer.trigger(
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")))
       .start()
-    delayed.foreach(_.writeStream
-      .foreach(new DelayedDelivery.Writer(
+    // engine-native delay: state + timers in the checkpoint (crash-safe),
+    // expiry emits the row and the writer produces it immediately
+    delayed.foreach(d => StatefulOps.delayViaTimers(d).writeStream
+      .foreach(new DelayedDelivery.ImmediateWriter(
         new DelayedDelivery.KafkaTransport(bootstrap)))
       .option("checkpointLocation", s"$ckpt-delay")
       .start())
@@ -177,12 +179,24 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
       start(name, DelayedDelivery.immediate(df))
       // redelivery loops through the topic's source directory: the
       // delayed message becomes a new input file after its duration
-      val q = DelayedDelivery.packedDelayed(df).writeStream
-        .foreach(new DelayedDelivery.Writer(
+      val delayed = StatefulOps.delayViaTimers(DelayedDelivery.packedDelayed(df))
+      val q = delayed.writeStream
+        .foreach(new DelayedDelivery.ImmediateWriter(
           new DelayedDelivery.FileTransport(root)))
         .start()
+      track(delayed, q)
       queries += s"$name#delay" -> q
     } else start(name, df)
+
+  /** Queries with processing-time timers/TTL never latch
+    * `processAllAvailable` — drain them with StatefulOps.awaitQuiesced.
+    */
+  private var timerQueries = Set.empty[java.util.UUID]
+
+  private def track(df: DataFrame, q: StreamingQuery): StreamingQuery = {
+    if (StatefulOps.usesProcessingTimers(df)) timerQueries += q.id
+    q
+  }
 
   def start(name: String, df: DataFrame): StreamingQuery = {
     val prior = tables.getOrElse(name, Nil)
@@ -204,11 +218,15 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
             if e.getMessage.contains("streaming aggregations") =>
           startWith("update")
       }
+    track(df, q)
     queries += table -> q
     tables += name -> (prior :+ table)
     q
   }
 
-  def processAll(): Unit = queries.values.foreach(_.processAllAvailable())
+  def processAll(): Unit = queries.values.foreach { q =>
+    if (timerQueries.contains(q.id)) StatefulOps.awaitQuiesced(q)
+    else q.processAllAvailable()
+  }
   def stopAll(): Unit = queries.values.foreach(_.stop())
 }

@@ -156,14 +156,14 @@ class CollectionIoSpec extends AnyFunSuite {
            {"type":"stream","name":"w","fromTopic":"cin",
             "toCollection":"state"}]}""")
     fileIo.processAll()
-    spark.streams.active.foreach(_.processAllAvailable())
+    io.started.foreach(_.processAllAvailable())
     write("m2", """{"_id":"k1","v":7}""")
     fileIo.processAll()
-    spark.streams.active.foreach(_.processAllAvailable())
+    io.started.foreach(_.processAllAvailable())
     val state = io.source(spark, "collection", "state")
       .collect().map(r => (r.getAs[String]("_id"), r.getAs[Int]("v")))
     assert(state.toSeq == Seq(("k1", 7)))
-    spark.streams.active.foreach(_.stop())
+    io.started.foreach(_.stop())
     fileIo.stopAll()
   }
 }

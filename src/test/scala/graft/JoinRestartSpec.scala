@@ -52,8 +52,7 @@ class JoinRestartSpec extends AnyFunSuite {
   private def runPhase(io: ResumableIo): Unit = {
     val streams = new AppRunner(spark, io, Env(spark)).run(appYaml)
     streams.get("jout").foreach(io.start("jout", _))
-    spark.streams.active.foreach(_.processAllAvailable())
-    spark.streams.active.foreach(_.stop())
+    io.drainAndStop()
   }
 
   test("join part resumes: buffered left row joins after the restart") {

@@ -53,11 +53,27 @@ final class ResumableIo(srcRoot: Path, outRoot: Path, ckptRoot: Path,
       asString: Boolean, partId: String = "",
       options: Map[String, String] = Map.empty): Unit = start(name, df)
 
+  /** Only THIS Io's queries, tagged timer-driven or not: the shared
+    * session may carry other suites' queries, and `processAllAvailable`
+    * never returns on a processing-time transformWithState query —
+    * those drain via StatefulOps.awaitQuiesced.
+    */
+  var started =
+    Seq.empty[(org.apache.spark.sql.streaming.StreamingQuery, Boolean)]
+
   def start(name: String, df: DataFrame): Unit =
-    df.writeStream.format("json")
+    started :+= (df.writeStream.format("json")
       .option("path", s"$outRoot/$name")
       .option("checkpointLocation", s"$ckptRoot/$name")
-      .start()
+      .start() -> graft.streaming.StatefulOps.usesProcessingTimers(df))
+
+  def drainAndStop(): Unit = {
+    started.foreach { case (q, timers) =>
+      if (timers) graft.streaming.StatefulOps.awaitQuiesced(q)
+      else q.processAllAvailable()
+    }
+    started.foreach(_._1.stop())
+  }
 }
 
 class RestartSpec extends AnyFunSuite {
@@ -80,8 +96,7 @@ class RestartSpec extends AnyFunSuite {
     val streams = new AppRunner(spark, io, env)
       .run(Files.readString(appDir.resolve("application.yaml")))
     expectedTopics.foreach(t => streams.get(t).foreach(io.start(t, _)))
-    spark.streams.active.foreach(_.processAllAvailable())
-    spark.streams.active.foreach(_.stop())
+    io.drainAndStop()
   }
 
   test("app35 aggregate resumes mid-stream from checkpoints") {

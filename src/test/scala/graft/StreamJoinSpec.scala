@@ -71,7 +71,7 @@ class StreamJoinSpec extends AnyFunSuite {
     val io = new FileStreamIo(dir, Map("lt" -> s1, "rt" -> s2))
     new AppRunner(spark, io, Env(spark)).run(
       """{"application":"sje","version":"1.0","parts":[
-           {"type":"join","name":"j","window":1000,
+           {"type":"join","name":"j","window":2000,
             "left":{"fromTopic":"lt","on":"$corr"},
             "right":{"fromTopic":"rt","on":"$corr"},
             "toTopic":"out_sje"}]}""")
@@ -80,10 +80,13 @@ class StreamJoinSpec extends AnyFunSuite {
       write("rt", s"r$n", s"""{"_id":"r$n","corr":"c$n","rv":$n}""")
       io.processAll()
     }
+    // 2 s window: a round's two sides land in separate micro-batches
+    // (maxFilesPerTrigger=1) that must fall INSIDE the window even under
+    // parallel-suite load; 4 s gaps still outrun window + delay
     round(1)
-    Thread.sleep(3000) // ingestion clock outruns the 1 s window + delay
+    Thread.sleep(4000)
     round(2)
-    Thread.sleep(3000)
+    Thread.sleep(4000)
     round(3)
     assert(spark.table("out_sje").collect().length == 3)
     val joinQ = io.queries("out_sje")
@@ -141,11 +144,13 @@ class StreamJoinSpec extends AnyFunSuite {
       """{"application":"dl","version":"1.0","parts":[
            {"type":"stream","name":"delayer","fromTopic":"din",
             "toTopic":"out_dl","pipeline":[
-              {"$delay":{"duration":300,"topic":"retryt"}}]},
+              {"$delay":{"duration":5000,"topic":"retryt"}}]},
            {"type":"stream","name":"receiver","fromTopic":"retryt",
             "toTopic":"out_retry"}]}""")
     io.processAll()
     // nothing goes to the part's own sink; the delayed copy is pending
+    // (the 5 s duration comfortably outlasts processAll's quiescent wait
+    // on the timer-driven delay query, so this asserts BEFORE expiry)
     assert(spark.table("out_dl").collect().isEmpty)
     assert(spark.table("out_retry").collect().isEmpty)
     // after the duration the message surfaces on the retry topic

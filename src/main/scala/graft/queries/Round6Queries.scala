@@ -34,6 +34,33 @@ object Round6Queries {
     }
 
   val all: Seq[Q] = Seq(
+    // -- event traces (docs/telemetry.md:46-67): one flat trace message
+    // per UUID-_corr message. Deterministic _corr values derived from
+    // the region key; the wall-clock timestampNanos is projected away.
+    Q.fn("q_trace_events",
+      """SELECT printf('00000000-0000-4000-8000-%012d', r_regionkey)
+                  AS traceId,
+                'p.out' AS name, 'graft' AS serviceName,
+                'ns' AS serviceNamespace, r_name AS username
+         FROM region ORDER BY 1""") { (spark, sf) =>
+      val msgs = Tables.load(spark, sf, "region")
+        .select(col("r_regionkey").cast("string").as("key"),
+          to_json(struct(
+            format_string("00000000-0000-4000-8000-%012d",
+              col("r_regionkey")).as("_corr"),
+            struct(col("r_name").as("sub")).as("_jwt"),
+            col("r_regionkey").as("_id"))).as("value"))
+      graft.streaming.Telemetry
+        .eventTraces(msgs, "graft", "p", "p.out", "ns", "1.0")
+        .select(
+          get_json_object(col("value"), "$.traceId").as("traceId"),
+          get_json_object(col("value"), "$.name").as("name"),
+          get_json_object(col("value"), "$.serviceName").as("serviceName"),
+          get_json_object(col("value"), "$.serviceNamespace")
+            .as("serviceNamespace"),
+          get_json_object(col("value"), "$.username").as("username"))
+    },
+
     // -- $trace stage: every message is logged whole to the engine logger
     // "graft.streams". Capture the emissions, parse the ids back out, and
     // emit {_id, traced} — this oracles the SIDE CHANNEL (one entry per

@@ -64,6 +64,14 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
       config, env0.scripts)
     env = Option(spec.get("application")).filter(_.isTextual)
       .map(a => env0.copy(application = a.asText())).getOrElse(env0)
+    // otlp.http (docs/telemetry.md): every engine-logger entry also
+    // exports as an OTLP/HTTP logs request through the pluggable
+    // transport, tee'd with the configured sink
+    config.get("otlp.http").foreach { endpoint =>
+      env = env.copy(logger = Telemetry.tee(env.logger,
+        new Telemetry.OtlpLogSink(endpoint, env.application, env.http)))
+    }
+    val appVersion = Option(spec.get("version")).map(_.asText()).getOrElse("")
     val parts = Js.elems(spec.get("parts"))
     // STREAMING parts are stored as THUNKS: every consumer (each sink, each
     // downstream part, each harness query) gets a freshly-compiled plan.
@@ -144,7 +152,18 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
         part.get("type").asText() match {
           case "aggregate" => // aggregate sinks are its purpose topics
           case _ =>
-            sinks(part, streams(part.get("name").asText()))
+            val pname = part.get("name").asText()
+            sinks(part, streams(pname))
+            // tracesTopic (docs/telemetry.md:46-67): each part also emits
+            // flat event traces for messages carrying a UUID _corr — a
+            // pure projection side sink, one per part output
+            config.get("tracesTopic").foreach { t =>
+              io.sink("topic", t,
+                Telemetry.eventTraces(streams(pname)(), env.application,
+                  pname, s"$pname.out",
+                  config.getOrElse("namespace", "json-streams"), appVersion),
+                asString = false, s"$pname-traces")
+            }
         }
         progress = true
       }

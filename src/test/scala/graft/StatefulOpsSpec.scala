@@ -78,8 +78,9 @@ class StatefulOpsSpec extends AnyFunSuite {
     val ckpt = work.resolve("ckpt").toString
     Files.createDirectories(Paths.get(src))
     Files.writeString(Paths.get(s"$src/m1.json"),
-      """{"topic":"t1","delayMs":8000,"key":"k1","json":"{\"v\":1}"}""")
+      """{"topic":"t1","delayMs":20000,"key":"k1","json":"{\"v\":1}"}""")
     DelayCapture.buf.clear()
+    val t0 = System.currentTimeMillis()
     def startQ() = graft.streaming.StatefulOps.delayViaTimers(
       spark.readStream
         .schema("topic string, delayMs long, key string, json string")
@@ -100,14 +101,28 @@ class StatefulOpsSpec extends AnyFunSuite {
     while (!consumed && System.currentTimeMillis() < d1) Thread.sleep(100)
     assert(consumed, "input batch never committed")
     q1.stop()
+    q1.awaitTermination()
+    // if a loaded machine burned most of the 20 s delay before the stop,
+    // the pre-expiry assertions would be a flake, not a signal — cancel
+    // (Kafka-smoke discipline), which normal runs never hit
+    assume(System.currentTimeMillis() - t0 < 15000,
+      "machine too loaded to stop the query before the delay expired")
     assert(DelayCapture.buf.isEmpty, "delivered before the delay elapsed")
-    Thread.sleep(9000) // the deadline passes while the engine is down
+    // the deadline passes while the engine is down
+    Thread.sleep(math.max(0L, t0 + 21000 - System.currentTimeMillis()))
     val q2 = startQ()
-    val d2 = System.currentTimeMillis() + 30000
+    // generous: the restart re-acquires the RocksDB instance lock behind
+    // q1's async unload, and parallel suites saturate the local[4] pool
+    // with their own timer-driven queries — batch scheduling can lag far
+    // behind wall clock
+    val d2 = System.currentTimeMillis() + 240000
     while (DelayCapture.buf.isEmpty && System.currentTimeMillis() < d2)
       Thread.sleep(200)
+    val progress = Option(q2.lastProgress)
+      .map(p => s"batchId=${p.batchId}").getOrElse("no progress")
     q2.stop()
     assert(DelayCapture.buf.toArray.toSeq ==
-      Seq(("t1", "k1", """{"v":1}""")))
+      Seq(("t1", "k1", """{"v":1}""")),
+      s"restarted delay query never redelivered ($progress)")
   }
 }

@@ -399,11 +399,8 @@ object MessagePipeline {
     case "$merge" => df => {
       val into = spec.get("into").asText()
       val (wm, wnm) = graft.op.Stages.mergeModes(spec)
-      // schemaless value is ONE opaque JSON column — a field-wise
-      // whenMatched:merge needs typed columns; declare a schema for it
-      require(wm != "merge",
-        "$merge whenMatched: merge needs a typed frame " +
-          "(declare a schema for the topic)")
+      // whenMatched:merge on a schemaless frame is a JSON document merge
+      // performed IN the collection sink (ParquetCollectionIo.upsert)
       val keyed =
         if (spec.has("key")) {
           val k = ExprCompiler.compile(spec.get("key"), ctxOf(df))

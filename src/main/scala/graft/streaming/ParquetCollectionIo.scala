@@ -167,7 +167,35 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
         existing.unionByName(admitted, allowMissingColumns = true)
       case None => admitted
     }
+    val schemaless = merged.columns.toSet
+      .diff(Set("_id", "__gen", "__ord", "__bucket")) == Set("key", "value")
     val latest = wm match {
+      case "merge" if schemaless =>
+        // the document lives in ONE opaque JSON column: merge at the JSON
+        // level — fold the (stored, incoming…) values in (gen, ord) order,
+        // later non-null fields win (Mongo's ignore-null document merge,
+        // the same fold the $mergeObjects accumulator uses)
+        val mergeFn = udf((objs: Seq[String]) => {
+          val out = graft.json.Js.obj()
+          objs.filter(_ != null).foreach { s =>
+            val n = graft.json.Js.parse(s)
+            if (n.isObject) graft.json.Js.fields(n).foreach { case (k, v) =>
+              if (!v.isNull)
+                out.set[com.fasterxml.jackson.databind.JsonNode](k, v)
+            }
+          }
+          graft.json.Js.render(out)
+        })
+        merged.groupBy(col("_id"))
+          .agg(
+            max_by(col("key"), struct(col("__gen"), col("__ord"))).as("key"),
+            mergeFn(transform(
+              array_sort(collect_list(struct(
+                struct(col("__gen"), col("__ord")).as("o"),
+                col("value").as("j")))),
+              x => x.getField("j"))).as("value"))
+          .select(col("key"), col("value"), col("_id"))
+          .withColumn("__bucket", bucketOf(col("_id")))
       case "merge" =>
         // latest-non-null per column: max_by over a (gen, ord) struct
         // key conditioned on the value's non-nullness, so null/missing

@@ -47,6 +47,28 @@ class CollectionIoSpec2 extends AnyFunSuite {
     assert(e.getMessage.contains("mixed"))
   }
 
+  test("schemaless whenMatched:merge folds JSON documents in the sink") {
+    // one opaque JSON value column: the merge is a document merge — later
+    // non-null fields win, incoming null/missing keep the stored field
+    // (Mongo's ignore-null merge), new _ids insert
+    val root = Files.createTempDirectory("graft-jmerge").toString
+    val io = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+    import org.apache.spark.sql.functions.lit
+    io.upsert("jm", Seq(
+      (Some("a"), """{"_id":"a","x":1,"y":2}""")).toDF("key", "value"))
+    io.upsert("jm", Seq(
+      (Some("a"), """{"_id":"a","y":9,"z":3,"x":null}"""),
+      (Some("b"), """{"_id":"b","v":7}""")).toDF("key", "value")
+      .withColumn("__when_matched", lit("merge"))
+      .withColumn("__when_not_matched", lit("insert")))
+    val got = io.source(spark, "collection", "jm")
+      .select("key", "value").as[(String, String)].collect().toMap
+    assert(graft.json.Js.render(graft.json.Js.parse(got("a"))) ==
+      graft.json.Js.render(graft.json.Js.parse(
+        """{"_id":"a","x":1,"y":9,"z":3}""")))
+    assert(graft.json.Js.parse(got("b")).get("v").asInt() == 7)
+  }
+
   test("upsert names the null-_id cause instead of an NPE") {
     // schemaless fallback: null message key AND no _id in the value
     val root = Files.createTempDirectory("graft-nullid").toString

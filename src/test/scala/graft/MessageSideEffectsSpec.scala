@@ -62,10 +62,15 @@ class MessageSideEffectsSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("key") ->
         Js.parse(r.getAs[String]("value")).get("v").asInt()).toMap
     assert(state == Map("a" -> 1, "b" -> 2, "c" -> 3)) // a kept, c inserted
-    // whenMatched: merge is undefined over one opaque JSON column
-    intercept[IllegalArgumentException](run(
-      """[{"$merge":{"into":"mcoll","whenMatched":"merge"}}]""",
-      msgs("""{"_id":"a"}"""), env))
+    // whenMatched: merge over the opaque JSON column = document merge in
+    // the sink — new fields splice in, existing ones survive
+    run("""[{"$merge":{"into":"mcoll","key":"$_id",
+            "whenMatched":"merge"}}]""",
+      msgs("""{"_id":"a","w":5}"""), env).collect()
+    val mergedDoc = Js.parse(io.source(spark, "collection", "mcoll")
+      .where(org.apache.spark.sql.functions.col("key") === "a")
+      .collect().head.getAs[String]("value"))
+    assert(mergedDoc.get("v").asInt() == 1 && mergedDoc.get("w").asInt() == 5)
   }
 
   test("$merge key derived from _id evaluates against the ORIGINAL doc") {

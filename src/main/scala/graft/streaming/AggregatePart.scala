@@ -25,7 +25,17 @@ object AggregatePart {
     * commands agreeing on the criterion hit the same instance.
     */
   def apply(commands: DataFrame, conf: AggregateLogic.Config,
-      keyOverride: Option[org.apache.spark.sql.Column] = None)
+      keyOverride: Option[org.apache.spark.sql.Column] = None,
+      /** Snapshot expiry for ephemeral aggregate types (ROADMAP: the
+        * reference's durable store is MongoDB; its streaming caches are
+        * bounded). When set, an instance whose snapshot has seen no
+        * command for this many ms is EVICTED from the state store — the
+        * next command for that id reduces against empty state (`_seq`
+        * restarts), which is the intended semantics for session/saga-like
+        * types and a state-growth bound at 100 TB scale. Unset = the
+        * reference's immortal event-sourced state.
+        */
+      stateExpiryMs: Option[Long] = None)
       : Dataset[Out] = {
     val spark = commands.sparkSession
     import spark.implicits._
@@ -59,28 +69,42 @@ object AggregatePart {
       .select(keyCol.as("key"), json.as("json"), ordCol.as("ord"))
       .as[(String, String, Long)]
 
+    // batch runs have no timeout machinery (state is per-run anyway);
+    // the expiry knob only binds on real streams
+    val useExpiry = stateExpiryMs.isDefined && commands.isStreaming
     asJson
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
+        if (useExpiry) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[(String, String, Long)],
             state: GroupState[String]) =>
-          var cur: Option[ObjectNode] =
-            state.getOption.map(s => Js.parse(s).asInstanceOf[ObjectNode])
-          val outs = Seq.newBuilder[Out]
-          it.toSeq.sortBy(_._3).foreach { case (_, json, _) =>
-            val cmd = Js.parse(json).asInstanceOf[ObjectNode]
-            cmd.remove("__ord") // harness plumbing, never part of the command
-            cmd.remove("__raw")
-            val (next, emitted) =
-              AggregateLogic.step(cur, cmd, conf, System.currentTimeMillis())
-            cur = next
-            emitted.foreach { case (dest, doc) =>
-              outs += Out(dest.name, key, Js.render(doc))
+          if (state.hasTimedOut) {
+            // idle past the expiry window: evict the snapshot
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur: Option[ObjectNode] =
+              state.getOption.map(s => Js.parse(s).asInstanceOf[ObjectNode])
+            val outs = Seq.newBuilder[Out]
+            it.toSeq.sortBy(_._3).foreach { case (_, json, _) =>
+              val cmd = Js.parse(json).asInstanceOf[ObjectNode]
+              cmd.remove("__ord") // harness plumbing, never part of the command
+              cmd.remove("__raw")
+              val (next, emitted) =
+                AggregateLogic.step(cur, cmd, conf, System.currentTimeMillis())
+              cur = next
+              emitted.foreach { case (dest, doc) =>
+                outs += Out(dest.name, key, Js.render(doc))
+              }
             }
+            cur.foreach(s => state.update(Js.render(s)))
+            // the clock restarts on every command: expiry is an IDLE
+            // window, not a lifetime cap
+            if (useExpiry && state.exists)
+              state.setTimeoutDuration(stateExpiryMs.get)
+            outs.result().iterator
           }
-          cur.foreach(s => state.update(Js.render(s)))
-          outs.result().iterator
       }
   }
 

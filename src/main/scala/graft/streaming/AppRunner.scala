@@ -53,6 +53,18 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     */
   private var env: Env = env0
 
+  /** `json_streams.messages`/`starts`/`stops` counter export
+    * (docs/telemetry.md:33-44), populated by run() when `otlp.http` is
+    * configured. The caller registers `metricsListener` on
+    * `spark.streams` for the counts to flow (same contract as
+    * `ProbeListener`) and removes it when done.
+    */
+  private var metricSink: Option[Telemetry.OtlpMetricSink] = None
+  def metrics: Option[Telemetry.OtlpMetricSink] = metricSink
+  def metricsListener: Option[Telemetry.MetricsListener] =
+    metricSink.map(new Telemetry.MetricsListener(_,
+      config.getOrElse("otlp.metricsIntervalMillis", "60000").toLong))
+
   def run(yamlOrJson: String): Map[String, DataFrame] = {
     // the reference's `plugins` config entry (docs/plugins.md): a directory
     // of per-plugin subdirectories/jars, each its own classloader
@@ -72,6 +84,18 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
         new Telemetry.OtlpLogSink(endpoint, env.application, env.http)))
     }
     val appVersion = Option(spec.get("version")).map(_.asText()).getOrElse("")
+    // otlp.http also activates the message counters: every part's streams
+    // get an `observe()` count (a CollectMetrics node — no shuffle, no
+    // extra pass; Spark folds it into the existing stages) named
+    // `jsm__<part>.<sub>`, surfaced per micro-batch to `metricsListener`
+    metricSink = config.get("otlp.http").map(endpoint =>
+      new Telemetry.OtlpMetricSink(endpoint, env.application,
+        config.getOrElse("instance", java.util.UUID.randomUUID().toString),
+        Option(spec.get("version")).map(_.asText()).getOrElse(""), env.http))
+    def instr(sub: String)(df: DataFrame): DataFrame =
+      if (metricSink.isEmpty) df
+      else df.observe(Telemetry.MetricPrefix + sub,
+        count(lit(1)).as("count"))
     val parts = Js.elems(spec.get("parts"))
     // STREAMING parts are stored as THUNKS: every consumer (each sink, each
     // downstream part, each harness query) gets a freshly-compiled plan.
@@ -140,12 +164,12 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
         needs.forall(streams.contains)
       }
       ready.foreach { part =>
-        val produced = compilePart(part, resolveFrom, streams)
+        val produced = compilePart(part, resolveFrom, streams, instr)
         val isStream = produced.exists(_._2.isStreaming)
         produced.foreach { case (n, df) =>
           streams += n -> (
             if (isStream) () =>
-              compilePart(part, resolveFrom, streams)
+              compilePart(part, resolveFrom, streams, instr)
                 .collectFirst { case (`n`, d) => d }.get
             else () => df)
         }
@@ -178,20 +202,23 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
   }
 
   private def compilePart(part: JsonNode, resolveFrom: JsonNode => DataFrame,
-      streams: Map[String, () => DataFrame]): Seq[(String, DataFrame)] = {
+      streams: Map[String, () => DataFrame],
+      instr: String => DataFrame => DataFrame = _ => identity)
+      : Seq[(String, DataFrame)] = {
     val name =
       Option(part.get("name")).map(_.asText())
         .orElse(Option(part.get("aggregateType")).map(_.asText()))
         .getOrElse("")
     part.get("type").asText() match {
       case "stream" =>
-        val src = resolveFrom(part)
+        // metric subparts per docs/telemetry.md:38: `<part>.in`/`<part>.out`
+        val src = instr(s"$name.in")(resolveFrom(part))
         val out =
           if (!part.has("pipeline")) src
           else if (MessagePipeline.isMessageShaped(src))
             MessagePipeline.compile(part.get("pipeline"), env)(src)
           else Pipeline.compile(part.get("pipeline"), env)(src)
-        Seq(name -> out)
+        Seq(name -> instr(s"$name.out")(out))
 
       case "merge" => // docs/merge.md: n-ary union
         val srcs: Seq[DataFrame] =
@@ -202,9 +229,11 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
             Js.elems(part.get("fromCollections"))
               .map(t => io.source(spark, "collection", t.asText()))
           else Js.elems(part.get("fromStreams")).map(s => streams(s.asText())())
-        Seq(name -> srcs.reduce(_.unionByName(_, allowMissingColumns = true)))
+        Seq(name -> instr(s"$name.merged")(
+          srcs.reduce(_.unionByName(_, allowMissingColumns = true))))
 
-      case "join" => Seq(name -> joinPart(part, resolveFrom))
+      case "join" =>
+        Seq(name -> instr(s"$name.out")(joinPart(part, resolveFrom, instr)))
 
       case "aggregate" =>
         // environment suffixes topic names: <type>-<purpose>[-<env>]
@@ -266,7 +295,10 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
           // refs resolve live against the pluggable store when one is
           // provided; otherwise batch mode self-feeds below
           resolver = hrefResolver.getOrElse((_: String) => None))
-        val out0 = AggregatePart(pre, conf, keyOverride)
+        // `stateExpiry` (ms): snapshot TTL for ephemeral aggregate types —
+        // see AggregatePart.apply
+        val stateExpiry = Option(part.get("stateExpiry")).map(_.asLong())
+        val out0 = AggregatePart(pre, conf, keyOverride, stateExpiry)
         // batch href resolution (reference app36): pass 1 materializes the
         // final state per instance, pass 2 reduces with those states
         // available to `{href}` refs — but ONLY when refs actually occur
@@ -314,7 +346,7 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
               states.unpersist()
               val pass2 = AggregatePart(pre,
                 conf.copy(resolver = HrefStore.Resolver(run)),
-                keyOverride)
+                keyOverride, stateExpiry)
               // materialize pass 2 NOW (eager localCheckpoint severs the
               // lineage, so downstream actions replay blocks, not the
               // resolver), then release the run's store — a long-lived JVM
@@ -334,9 +366,16 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
             k.cast("string").as("key"),
             to_json(struct(payload: _*)).as("value"))
         }
+        // metric subparts `<type>.<purpose>` (the reference's per-command
+        // split, docs/telemetry.md:38, is finer: it names
+        // `<part>.command.<command>` — here purpose-level granularity)
         AggregatePart.streams(out, aggType).toSeq.map {
-          case (n, sdf) => (n + envSuffix) -> sdf
-        } ++ uniqueStream
+          case (n, sdf) =>
+            val purpose = n.stripPrefix(s"$aggType-")
+            (n + envSuffix) -> instr(s"$baseType.$purpose")(sdf)
+        } ++ uniqueStream.map {
+          case (n, sdf) => n -> instr(s"$baseType.unique")(sdf)
+        }
 
       case other =>
         throw new IllegalArgumentException(s"unknown part type $other")
@@ -347,11 +386,15 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     * ingestion-time window, output {_id, left, right}. Streaming inputs get
     * a watermark so the state store evicts rows outside the window.
     */
-  private def joinPart(part: JsonNode, resolveFrom: JsonNode => DataFrame)
+  private def joinPart(part: JsonNode, resolveFrom: JsonNode => DataFrame,
+      instr: String => DataFrame => DataFrame = _ => identity)
       : DataFrame = {
     val window = Option(part.get("window")).map(_.asLong())
+    val jname = Option(part.get("name")).map(_.asText()).getOrElse("")
     def side(n: JsonNode, tag: String): (DataFrame, Column) = {
-      val df0 = resolveFrom(n)
+      // metric subparts `<part>.left.in`/`<part>.right.in`
+      // (docs/telemetry.md:38)
+      val df0 = instr(s"$jname.$tag.in")(resolveFrom(n))
       val onCol = Stages.expr(df0, n.get("on")).cast("string")
       // __ord/__raw are transport metadata: keeping them in the payload
       // would defeat the value-keyed duplicate suppression below

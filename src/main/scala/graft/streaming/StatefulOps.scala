@@ -44,6 +44,12 @@ object StatefulOps {
     df.queryExecution.analyzed.collectFirst {
       case t: org.apache.spark.sql.catalyst.plans.logical.TransformWithState
           if t.timeMode == TimeMode.ProcessingTime() => t
+      // an aggregate part with `stateExpiry` (snapshot TTL) keeps
+      // triggering batches for its group timeouts the same way
+      case f: org.apache.spark.sql.catalyst.plans.logical
+          .FlatMapGroupsWithState
+          if f.timeout == org.apache.spark.sql.streaming.GroupStateTimeout
+            .ProcessingTimeTimeout => f
     }.isDefined
 
   /** Drain a timer-driven query: two consecutive empty micro-batches ⇒

@@ -85,6 +85,109 @@ object Telemetry {
     }
   }
 
+  /** Observed-metric name prefix the engine stamps on part streams
+    * (`AppRunner`): `jsm__<part>.<sub>` → the reference's `part`
+    * attribute value `<part>.<sub>` (docs/telemetry.md:33-44).
+    */
+  private[streaming] val MetricPrefix = "jsm__"
+
+  /** OTLP/HTTP metrics export (docs/telemetry.md:31-44): observable
+    * counters `json_streams.messages` (one data point per part subpart),
+    * `json_streams.starts` and `json_streams.stops`, all CUMULATIVE
+    * monotonic sums. Counts accumulate here (driver-side listener feed —
+    * a few longs per part, not per-row traffic) and `flush()` posts one
+    * `/v1/metrics` request, on the reference's once-a-minute cadence.
+    */
+  final class OtlpMetricSink(endpoint: String, application: String,
+      instance: String, version: String, http: HttpTransport) {
+    private val messages =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private val starts = new java.util.concurrent.atomic.AtomicLong
+    private val stops = new java.util.concurrent.atomic.AtomicLong
+    private val startNanos = System.currentTimeMillis() * 1000000L
+
+    def addMessages(partSub: String, n: Long): Unit =
+      messages.merge(partSub, n, (a, b) => a + b)
+    def addStart(): Unit = { starts.incrementAndGet(); () }
+    def addStop(): Unit = { stops.incrementAndGet(); () }
+
+    private def attr(key: String, value: String): String =
+      s"""{"key":${jstr(key)},"value":{"stringValue":${jstr(value)}}}"""
+
+    private def base: String = Seq(
+      attr("application", application), attr("instance", instance),
+      attr("profile.frame.type", "json-streams"),
+      attr("profile.frame.version", version)).mkString(",")
+
+    private def point(value: Long, extra: String): String =
+      s"""{"asInt":"$value","startTimeUnixNano":"$startNanos",
+         |"timeUnixNano":"${System.currentTimeMillis() * 1000000L}",
+         |"attributes":[$base$extra]}""".stripMargin.replace("\n", "")
+
+    private def counter(name: String, points: Seq[String]): String =
+      s"""{"name":${jstr(name)},"unit":"1","sum":{
+         |"aggregationTemporality":2,"isMonotonic":true,
+         |"dataPoints":[${points.mkString(",")}]}}""".stripMargin
+        .replace("\n", "")
+
+    /** One cumulative export request carrying every counter. */
+    def flush(): Unit = {
+      import scala.jdk.CollectionConverters._
+      val msgPoints = messages.asScala.toSeq.sortBy(_._1).map {
+        case (partSub, n) => point(n, "," + attr("part", partSub))
+      }
+      val metrics = Seq(
+        counter("json_streams.messages", msgPoints),
+        counter("json_streams.starts", Seq(point(starts.get(), ""))),
+        counter("json_streams.stops", Seq(point(stops.get(), ""))))
+        .filter(_.contains("asInt")) // drop the messages counter pre-traffic
+      val body =
+        s"""{"resourceMetrics":[{"resource":{"attributes":[
+           |{"key":"service.name","value":{"stringValue":${jstr(application)}}}]},
+           |"scopeMetrics":[{"scope":{"name":"graft"},
+           |"metrics":[${metrics.mkString(",")}]}]}]}""".stripMargin
+          .replace("\n", "")
+      http("POST", endpoint.stripSuffix("/") + "/v1/metrics",
+        """{"Content-Type":"application/json"}""", body)
+      ()
+    }
+  }
+
+  /** Streaming-query listener feeding the metric sink: each micro-batch's
+    * `jsm__`-prefixed observed counts accumulate into the cumulative
+    * counters; query starts/stops tick their counters. Flushes at most
+    * once per `intervalMillis` (reference cadence: a minute) plus once on
+    * every termination, so a short-lived run still exports.
+    */
+  final class MetricsListener(sink: OtlpMetricSink,
+      intervalMillis: Long = 60000L)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    @volatile private var lastFlush = System.currentTimeMillis()
+
+    override def onQueryStarted(event: QueryStartedEvent): Unit =
+      sink.addStart()
+
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      import scala.jdk.CollectionConverters._
+      event.progress.observedMetrics.asScala.foreach { case (name, row) =>
+        if (name.startsWith(MetricPrefix)) {
+          val idx = row.schema.fieldNames.indexOf("count")
+          if (idx >= 0)
+            sink.addMessages(name.substring(MetricPrefix.length),
+              row.getLong(idx))
+        }
+      }
+      val now = System.currentTimeMillis()
+      if (now - lastFlush >= intervalMillis) { lastFlush = now; sink.flush() }
+    }
+
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+      sink.addStop()
+      sink.flush()
+    }
+  }
+
   private val UuidRe =
     "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
       "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"

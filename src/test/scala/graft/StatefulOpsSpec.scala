@@ -114,15 +114,30 @@ class StatefulOpsSpec extends AnyFunSuite {
     // generous: the restart re-acquires the RocksDB instance lock behind
     // q1's async unload, and parallel suites saturate the local[4] pool
     // with their own timer-driven queries — batch scheduling can lag far
-    // behind wall clock
+    // behind wall clock. Expired timers only fire DURING a batch, and a
+    // restart that replays a mid-construct batch does so with the OLD
+    // batch timestamp — so keep traffic flowing (zero-delay nudge rows on
+    // another topic), the way a production stream would: each nudge batch
+    // carries a fresh timestamp that fires the recovered timer.
+    def delivered = {
+      import scala.jdk.CollectionConverters._
+      DelayCapture.buf.iterator().asScala.toSeq.filter(_._1 == "t1")
+    }
     val d2 = System.currentTimeMillis() + 240000
-    while (DelayCapture.buf.isEmpty && System.currentTimeMillis() < d2)
-      Thread.sleep(200)
+    var nudge = 0
+    while (delivered.isEmpty && q2.isActive &&
+        System.currentTimeMillis() < d2) {
+      Files.writeString(Paths.get(s"$src/nudge$nudge.json"),
+        """{"topic":"tn","delayMs":1,"key":"kn","json":"{}"}""")
+      nudge += 1
+      Thread.sleep(2000)
+    }
     val progress = Option(q2.lastProgress)
       .map(p => s"batchId=${p.batchId}").getOrElse("no progress")
+    val err = Option(q2.exception).flatten
+      .map(e => s", exception=${e.getMessage}").getOrElse("")
     q2.stop()
-    assert(DelayCapture.buf.toArray.toSeq ==
-      Seq(("t1", "k1", """{"v":1}""")),
-      s"restarted delay query never redelivered ($progress)")
+    assert(delivered == Seq(("t1", "k1", """{"v":1}""")),
+      s"restarted delay query never redelivered ($progress$err)")
   }
 }

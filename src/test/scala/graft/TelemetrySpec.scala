@@ -83,4 +83,98 @@ class TelemetrySpec extends AnyFunSuite {
     assert(t.get("serviceVersion").asText() == "2.0")
     assert(io.sinks.contains("tout"))
   }
+
+  test("OtlpMetricSink posts cumulative json_streams counters") {
+    var posts = Seq.empty[(String, String)]
+    val http: HttpTransport = (_, url, _, body) => {
+      posts :+= ((url, body)); HttpResult(200, "{}")
+    }
+    val sink = new Telemetry.OtlpMetricSink(
+      "http://collector:4318", "app3", "inst-1", "1.3", http)
+    sink.addStart()
+    sink.addMessages("p.in", 5)
+    sink.addMessages("p.out", 3)
+    sink.addMessages("p.in", 2) // accumulates: counters are cumulative
+    sink.flush()
+    assert(posts.length == 1)
+    val (url, body) = posts.head
+    assert(url == "http://collector:4318/v1/metrics")
+    val rm = Js.parse(body).get("resourceMetrics").get(0)
+    assert(rm.get("resource").get("attributes").get(0)
+      .get("value").get("stringValue").asText() == "app3")
+    val byName = Js.elems(rm.get("scopeMetrics").get(0).get("metrics"))
+      .map(m => m.get("name").asText() -> m).toMap
+    val sum = byName("json_streams.messages").get("sum")
+    assert(sum.get("aggregationTemporality").asInt() == 2)
+    assert(sum.get("isMonotonic").asBoolean())
+    def attrs(dp: com.fasterxml.jackson.databind.JsonNode) =
+      Js.elems(dp.get("attributes")).map(a =>
+        a.get("key").asText() ->
+          a.get("value").get("stringValue").asText()).toMap
+    val points = Js.elems(sum.get("dataPoints"))
+      .map(dp => attrs(dp)("part") -> dp.get("asInt").asText().toLong).toMap
+    assert(points == Map("p.in" -> 7L, "p.out" -> 3L))
+    val a = attrs(Js.elems(sum.get("dataPoints")).head)
+    assert(a("application") == "app3" && a("instance") == "inst-1" &&
+      a("profile.frame.type") == "json-streams" &&
+      a("profile.frame.version") == "1.3")
+    assert(Js.elems(byName("json_streams.starts").get("sum")
+      .get("dataPoints")).head.get("asInt").asText() == "1")
+    assert(Js.elems(byName("json_streams.stops").get("sum")
+      .get("dataPoints")).head.get("asInt").asText() == "0")
+  }
+
+  test("otlp.http wires json_streams.messages counts per part subpart") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-otlpm").toString
+    Files.createDirectories(Paths.get(s"$dir/min"))
+    val posts =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val http: HttpTransport = (_, url, _, body) => {
+      posts.add((url, body)); HttpResult(200, "{}")
+    }
+    val io = new graft.streaming.FileStreamIo(dir, Map.empty)
+    val runner = new AppRunner(spark, io,
+      graft.op.Env(spark).copy(http = http),
+      config = Map("otlp.http" -> "http://collector:4318",
+        "instance" -> "i-1", "otlp.metricsIntervalMillis" -> "0"))
+    runner.run(
+      """{"application":"mt","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"min",
+            "toTopic":"mout"}]}""")
+    val listener = runner.metricsListener.get
+    spark.streams.addListener(listener)
+    try {
+      // data arrives only now — every counted micro-batch happens with
+      // the listener registered
+      Files.writeString(Paths.get(s"$dir/min/m1.json"),
+        """{"_id":"a","v":1}""")
+      Files.writeString(Paths.get(s"$dir/min/m2.json"),
+        """{"_id":"b","v":2}""")
+      io.processAll()
+      io.stopAll() // termination → final flush
+      val deadline = System.currentTimeMillis() + 10000
+      def metricBodies = {
+        import scala.jdk.CollectionConverters._
+        posts.iterator().asScala.toSeq
+          .filter(_._1.endsWith("/v1/metrics")).map(_._2)
+      }
+      def partCounts: Map[String, Long] = metricBodies.lastOption.map { b =>
+        val ms = Js.elems(Js.parse(b).get("resourceMetrics").get(0)
+          .get("scopeMetrics").get(0).get("metrics"))
+        val sum = ms.find(_.get("name").asText() == "json_streams.messages")
+          .map(_.get("sum")).get
+        Js.elems(sum.get("dataPoints")).map { dp =>
+          val attrs = Js.elems(dp.get("attributes")).map(a =>
+            a.get("key").asText() ->
+              a.get("value").get("stringValue").asText()).toMap
+          attrs("part") -> dp.get("asInt").asText().toLong
+        }.toMap
+      }.getOrElse(Map.empty)
+      while (partCounts.getOrElse("s.out", 0L) < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(partCounts == Map("s.in" -> 2L, "s.out" -> 2L),
+        s"bodies: $metricBodies")
+    } finally spark.streams.removeListener(listener)
+  }
 }

@@ -20,9 +20,91 @@ import org.apache.spark.sql.functions._
   * the wrapped transport Io.
   */
 final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
-    buckets: Int = 16) extends Io {
+    buckets: Int = 16,
+    /** a lock file older than this is presumed abandoned (writer crash)
+      * and stolen; must exceed the longest single upsert batch
+      */
+    lockStaleMs: Long = 60000,
+    /** how long an upsert waits for a LIVE peer's lock before failing */
+    lockWaitMs: Long = 120000) extends Io {
 
   private def dir(name: String) = s"$root/$name"
+
+  /** Cross-JVM writer coordination (ROADMAP round-7 #2): the JVM-local
+    * `synchronized` only serializes THIS process's writers, but several
+    * engine instances can share one collection root. A per-collection
+    * lock FILE (atomic CREATE_NEW on the shared filesystem — the
+    * pessimistic cousin of a lakehouse format's optimistic commit
+    * protocol) serializes the read-merge-swap across processes:
+    *
+    *  - acquire: create `<collection>.__lock` with a unique token;
+    *    already-exists ⇒ poll (the peer's swap is file moves — fast)
+    *  - crash safety: a lock whose mtime is older than `lockStaleMs` is
+    *    deleted and re-contended, so a dead writer never wedges the
+    *    collection
+    *  - steal detection: before the final swap the writer re-reads the
+    *    lock; a foreign token means a peer declared us stale mid-write
+    *    (e.g. a long GC pause) — abort THIS batch's swap and retry the
+    *    whole upsert against the peer's result rather than clobber it
+    */
+  private val lockToken = java.util.UUID.randomUUID().toString
+
+  private def lockPath(name: String) =
+    Paths.get(dir(name) + ".__lock")
+
+  private def acquireLock(name: String): Unit = {
+    val p = lockPath(name)
+    Files.createDirectories(p.getParent)
+    val deadline = System.currentTimeMillis() + lockWaitMs
+    var held = false
+    while (!held) {
+      try {
+        Files.write(p, lockToken.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        held = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try Files.getLastModifiedTime(p).toMillis <
+              System.currentTimeMillis() - lockStaleMs
+            catch { case _: java.io.IOException => false } // gone: recontend
+          if (stale) Files.deleteIfExists(p) // steal; CREATE_NEW re-races
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"collection $name: writer lock held past ${lockWaitMs}ms " +
+                s"by a live peer (${p})")
+          else Thread.sleep(50)
+      }
+    }
+  }
+
+  /** Still ours? False means a peer stole it (we looked stale). */
+  private def ownsLock(name: String): Boolean =
+    try new String(Files.readAllBytes(lockPath(name)), "UTF-8") == lockToken
+    catch { case _: java.io.IOException => false }
+
+  private def releaseLock(name: String): Unit = {
+    if (ownsLock(name)) Files.deleteIfExists(lockPath(name))
+  }
+
+  /** Run `f` under the collection's cross-process writer lock; if the
+    * lock was stolen mid-write (`f` returns false = "don't commit"),
+    * retry — each attempt re-reads the stored state, so the peer's
+    * writes are never clobbered.
+    */
+  private def withWriterLock(name: String)(f: () => Boolean): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 5,
+        s"collection $name: writer lock stolen $attempts times in a row " +
+          "(raise lockStaleMs above the longest batch write)")
+      acquireLock(name)
+      try done = f()
+      finally releaseLock(name)
+    }
+  }
 
   private def bucketOf(id: org.apache.spark.sql.Column) =
     pmod(xxhash64(id.cast("string")), lit(buckets)).cast("int")
@@ -83,6 +165,14 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     *  - fail / discard: matched-set policies via semi/anti joins on `_id`
     */
   def upsert(name: String, batch0: DataFrame): Unit = synchronized {
+    withWriterLock(name)(() => upsertLocked(name, batch0))
+  }
+
+  /** One locked attempt; false = the lock was stolen after staging, the
+    * swap was NOT performed and the caller must retry from the stored
+    * state.
+    */
+  private def upsertLocked(name: String, batch0: DataFrame): Boolean = {
     val (wm, wnm) =
       if (!batch0.columns.contains("__when_matched")) ("replace", "insert")
       else batch0.select("__when_matched", "__when_not_matched")
@@ -230,11 +320,13 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     */
   def delete(name: String, matches: DataFrame, on: Seq[String]): Unit =
     synchronized {
-      if (Files.exists(Paths.get(dir(name)))) {
-        val stored = spark.read.parquet(dir(name)).drop("__bucket")
-        val keys = matches.select(on.map(col): _*).distinct()
-        writeSwap(name, stored.join(keys, on, "left_anti")
-          .withColumn("__bucket", bucketOf(col("_id"))))
+      withWriterLock(name) { () =>
+        if (Files.exists(Paths.get(dir(name)))) {
+          val stored = spark.read.parquet(dir(name)).drop("__bucket")
+          val keys = matches.select(on.map(col): _*).distinct()
+          writeSwap(name, stored.join(keys, on, "left_anti")
+            .withColumn("__bucket", bucketOf(col("_id"))))
+        } else true
       }
     }
 
@@ -243,10 +335,16 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     * buckets keep their files — no read, no write, no move.
     */
   private def swapBuckets(name: String, latest: DataFrame,
-      touched: Set[Int]): Unit = {
-    val tmp = dir(name) + ".__tmp"
+      touched: Set[Int]): Boolean = {
+    // per-instance staging dir: a peer that stole the lock must never
+    // overwrite OUR staging output mid-write
+    val tmp = dir(name) + s".__tmp-$lockToken"
     latest.write.mode(SaveMode.Overwrite)
       .partitionBy("__bucket").parquet(tmp)
+    // the staging write is the long pole: if a peer declared us stale
+    // during it, the stored state is no longer what we merged against —
+    // abandon the staging output and let the caller retry
+    if (!ownsLock(name)) { deleteRecursively(Paths.get(tmp)); return false }
     val target = Paths.get(dir(name))
     Files.createDirectories(target)
     touched.foreach { b =>
@@ -260,19 +358,22 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
       deleteRecursively(old)
     }
     deleteRecursively(Paths.get(tmp))
+    true
   }
 
-  private def writeSwap(name: String, df: DataFrame): Unit = {
-    val tmp = dir(name) + ".__tmp"
+  private def writeSwap(name: String, df: DataFrame): Boolean = {
+    val tmp = dir(name) + s".__tmp-$lockToken"
     df.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(tmp)
+    if (!ownsLock(name)) { deleteRecursively(Paths.get(tmp)); return false }
     // swap: the rewrite must not read and overwrite the same files
     val target = Paths.get(dir(name))
     if (Files.exists(target)) {
-      val old = Paths.get(dir(name) + ".__old")
+      val old = Paths.get(dir(name) + s".__old-$lockToken")
       Files.move(target, old)
       Files.move(Paths.get(tmp), target)
       deleteRecursively(old)
     } else Files.move(Paths.get(tmp), target)
+    true
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -1,0 +1,120 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Fns._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/quality: benchmark-contamination detection, sequence
+  * packing (concat-then-chunk), and domain-mix resampling. All shuffle
+  * on equi-keys or bounded aggregates — no cartesian products, no
+  * global single-partition windows.
+  */
+object Curation {
+
+  /** Benchmark contamination (the decontamination pass every pretraining
+    * corpus runs before training): a document is contaminated when it
+    * shares at least `minShared` distinct k-word shingles with ANY
+    * document of the benchmark set. Inverted-index equi-join on the
+    * shingle key — the benchmark side is tiny in practice and broadcasts
+    * under AQE; the corpus side streams through map-side-distinct.
+    * Returns only contaminated docs: (id, shared_ngrams).
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, k: Int = 3, minShared: Long = 2): DataFrame = {
+    def shingleSet(df: DataFrame, keep: Column*) = df
+      .select(keep :+ tokens(col(textCol)).as("__t"): _*)
+      .select(keep :+ explode(shingles(col("__t"), k)).as("sh"): _*)
+    val docSh = shingleSet(docs, col(idCol))
+    val benchSh = shingleSet(bench).distinct()
+    docSh.join(benchSh, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
+  /** Concat-then-chunk sequence packing (the standard pretraining
+    * batching layout): documents are concatenated in `idCol` order into
+    * one virtual token stream, which is cut into fixed `chunkTokens`
+    * windows; each output row maps a document to one chunk it overlaps,
+    * with the doc-local token slice [tok_from, tok_to).
+    *
+    * The global prefix sum is computed WITHOUT a single-partition window
+    * (the classic distributed-scan shape): ids bucket arithmetically
+    * (`id div bucketSize`), each bucket cumsums locally (window keyed by
+    * bucket — a normal hash-partitioned window), bucket totals cumsum in
+    * one tiny N/bucketSize-row pass, and the offsets broadcast-join back.
+    * At 10⁹ docs with the default bucket that middle pass is ~10⁶ rows —
+    * recurse the same trick if that ever becomes the bottleneck.
+    */
+  def packChunks(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Long, bucketSize: Long = 1000L): DataFrame = {
+    val id = col(idCol)
+    val toks = df
+      .select(id.as("__id"), size(tokens(col(textCol))).cast(LongType).as("__n"))
+      .where(col("__n") > 0)
+      .withColumn("__bkt", floor(col("__id") / bucketSize))
+    val inBucket = toks.withColumn("__cum",
+      sum(col("__n")).over(
+        Window.partitionBy("__bkt").orderBy("__id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketOffsets = toks.groupBy("__bkt")
+      .agg(sum(col("__n")).as("__btot"))
+      .withColumn("__boff",
+        coalesce(sum(col("__btot")).over(
+          Window.orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__boff"))
+    val placed = inBucket
+      .join(broadcast(bucketOffsets), "__bkt")
+      .withColumn("__end", col("__boff") + col("__cum"))
+      .withColumn("__start", col("__end") - col("__n"))
+    placed
+      .select(col("__id"), col("__n"), col("__start"), col("__end"),
+        explode(sequence(
+          floor(col("__start") / chunkTokens),
+          floor((col("__end") - 1) / chunkTokens))).as("chunk_id"))
+      .select(
+        col("__id").as(idCol),
+        col("chunk_id").cast(LongType),
+        (greatest(col("__start"), col("chunk_id") * chunkTokens)
+          - col("__start")).as("tok_from"),
+        (least(col("__end"), (col("chunk_id") + 1) * chunkTokens)
+          - col("__start")).as("tok_to"))
+  }
+
+  /** Domain-mix resampling: hit target proportions `targets`
+    * (source → weight) exactly, at the largest output size the data
+    * allows without upsampling. scale = minₛ count(s)/p(s); each listed
+    * source keeps its floor(p(s)·scale) lowest-hash rows (deterministic
+    * — same mix every run and topology); unlisted sources drop. The
+    * per-source counts are a |targets|-row aggregate (bounded by config,
+    * like the ≤16-bucket collect); ranking shuffles once by source —
+    * salt-split a pathological mega-domain before this if skew bites.
+    */
+  def domainMix(df: DataFrame, idCol: String, sourceCol: String,
+      targets: Map[String, Double], salt: String = "mix"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "domainMix needs positive target weights")
+    val listed = df.where(col(sourceCol).isin(targets.keys.toSeq: _*))
+    val counts = listed.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scale = targets.collect {
+      case (s, p) if counts.contains(s) => counts(s) / p
+    }.minOption.getOrElse(0.0)
+    val keepN = targets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, p)) =>
+        when(col(sourceCol) === s,
+          lit(math.floor(p * scale).toLong)).otherwise(acc)
+    }
+    val rank = row_number().over(
+      Window.partitionBy(col(sourceCol))
+        .orderBy(h32(concat(lit(salt), col(idCol).cast(StringType))),
+          col(idCol)))
+    listed.withColumn("__rank", rank)
+      .where(col("__rank") <= keepN)
+      .drop("__rank")
+  }
+}

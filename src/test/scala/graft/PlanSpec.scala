@@ -151,6 +151,36 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("contamination is an equi-join on the shingle key, no product") {
+    val p = plan(q("q_contamination"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("packChunks never windows the whole corpus in one partition") {
+    // the global prefix sum is the two-level bucket scan: the per-row
+    // window is keyed by __bkt (hash-partitioned); only the bucket-TOTALS
+    // window (N/bucketSize rows) may run single-partition
+    graft.queries.Q.session(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ml.Curation.packChunks(
+        Tables.load(spark, sf, "documents"), "text", "doc_id",
+        chunkTokens = 64, bucketSize = 50)
+      val p = df.queryExecution.executedPlan
+      val windows = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, p.toString.take(1500))
+      val rowLevel = windows.filter(
+        _.partitionSpec.exists(_.toString.contains("__bkt")))
+      assert(rowLevel.nonEmpty,
+        "per-row cumsum window lost its bucket key:\n" +
+          p.toString.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

@@ -64,6 +64,11 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
   def metricsListener: Option[Telemetry.MetricsListener] =
     metricSink.map(new Telemetry.MetricsListener(_,
       config.getOrElse("otlp.metricsIntervalMillis", "60000").toLong))
+  /** Register on `spark.listenerManager` for BATCH runs (their observed
+    * metrics ride the QueryExecutionListener bus, not streaming progress).
+    */
+  def batchMetricsListener: Option[Telemetry.BatchMetricsListener] =
+    metricSink.map(new Telemetry.BatchMetricsListener(_))
 
   def run(yamlOrJson: String): Map[String, DataFrame] = {
     // the reference's `plugins` config entry (docs/plugins.md): a directory
@@ -298,7 +303,21 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
         // `stateExpiry` (ms): snapshot TTL for ephemeral aggregate types —
         // see AggregatePart.apply
         val stateExpiry = Option(part.get("stateExpiry")).map(_.asLong())
-        val out0 = AggregatePart(pre, conf, keyOverride, stateExpiry)
+        // per-command metric split (docs/telemetry.md:38): commands the
+        // part DECLARES get their own counters — `<type>.command.<c>`,
+        // `<type>.event.<c>`, `<type>.invalid-command.<c>` — as extra
+        // count_if fields on one observe node (still zero-shuffle)
+        val declaredCmds: Seq[String] = Option(part.get("commands"))
+          .map(c => Js.fields(c).map(_._1)).getOrElse(Nil)
+        def multiObs(sub: String, fields: Seq[org.apache.spark.sql.Column])(
+            df: DataFrame): DataFrame =
+          if (metricSink.isEmpty || fields.isEmpty) df
+          else df.observe(Telemetry.MetricPrefix + sub,
+            fields.head, fields.tail: _*)
+        val preObs = multiObs(s"$baseType.command",
+          count(lit(1)).as("count") +: declaredCmds.map(c =>
+            count_if(commandName(pre) === c).as(c)))(pre)
+        val out0 = AggregatePart(preObs, conf, keyOverride, stateExpiry)
         // batch href resolution (reference app36): pass 1 materializes the
         // final state per instance, pass 2 reduces with those states
         // available to `{href}` refs — but ONLY when refs actually occur
@@ -366,13 +385,26 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
             k.cast("string").as("key"),
             to_json(struct(payload: _*)).as("value"))
         }
-        // metric subparts `<type>.<purpose>` (the reference's per-command
-        // split, docs/telemetry.md:38, is finer: it names
-        // `<part>.command.<command>` — here purpose-level granularity)
+        // metric subparts `<type>.<purpose>`; declared commands also get
+        // the reference's per-command split on the event and reply
+        // (invalid-command) streams
         AggregatePart.streams(out, aggType).toSeq.map {
           case (n, sdf) =>
             val purpose = n.stripPrefix(s"$aggType-")
-            (n + envSuffix) -> instr(s"$baseType.$purpose")(sdf)
+            val evCmd = get_json_object(col("value"), "$._command")
+            val obs: DataFrame => DataFrame = purpose match {
+              case "event" if declaredCmds.nonEmpty =>
+                multiObs(s"$baseType.event",
+                  count(lit(1)).as("count") +: declaredCmds.map(c =>
+                    count_if(evCmd === c).as(c)))
+              case "reply" if declaredCmds.nonEmpty =>
+                df => multiObs(s"$baseType.invalid-command",
+                  declaredCmds.map(c => count_if(evCmd === c &&
+                    get_json_object(col("value"), "$._error") === "true")
+                    .as(c)))(instr(s"$baseType.reply")(df))
+              case p => instr(s"$baseType.$p")
+            }
+            (n + envSuffix) -> obs(sdf)
         } ++ uniqueStream.map {
           case (n, sdf) => n -> instr(s"$baseType.unique")(sdf)
         }

@@ -153,6 +153,26 @@ object Telemetry {
     }
   }
 
+  /** One observed-metrics row into the sink. The field protocol: a
+    * field named `count` counts the subpart itself
+    * (`jsm__p.out` + `count` → part attribute `p.out`); any OTHER field
+    * name is a finer split appended to the subpart (`jsm__t.command` +
+    * `put` → `t.command.put` — the reference's per-command aggregate
+    * counters, docs/telemetry.md:38).
+    */
+  private[streaming] def feed(sink: OtlpMetricSink, name: String,
+      row: org.apache.spark.sql.Row): Unit =
+    if (name.startsWith(MetricPrefix)) {
+      val sub = name.substring(MetricPrefix.length)
+      row.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (f.dataType == org.apache.spark.sql.types.LongType &&
+            !row.isNullAt(i))
+          sink.addMessages(
+            if (f.name == "count") sub else s"$sub.${f.name}",
+            row.getLong(i))
+      }
+    }
+
   /** Streaming-query listener feeding the metric sink: each micro-batch's
     * `jsm__`-prefixed observed counts accumulate into the cumulative
     * counters; query starts/stops tick their counters. Flushes at most
@@ -171,12 +191,7 @@ object Telemetry {
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
       import scala.jdk.CollectionConverters._
       event.progress.observedMetrics.asScala.foreach { case (name, row) =>
-        if (name.startsWith(MetricPrefix)) {
-          val idx = row.schema.fieldNames.indexOf("count")
-          if (idx >= 0)
-            sink.addMessages(name.substring(MetricPrefix.length),
-              row.getLong(idx))
-        }
+        feed(sink, name, row)
       }
       val now = System.currentTimeMillis()
       if (now - lastFlush >= intervalMillis) { lastFlush = now; sink.flush() }
@@ -186,6 +201,26 @@ object Telemetry {
       sink.addStop()
       sink.flush()
     }
+  }
+
+  /** Batch runs surface their observed metrics through the
+    * QueryExecutionListener bus instead of streaming progress — same
+    * counters, flushed per completed action (batch cadence is coarse).
+    */
+  final class BatchMetricsListener(sink: OtlpMetricSink)
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = {
+      val metrics = qe.observedMetrics
+      if (metrics.exists(_._1.startsWith(MetricPrefix))) {
+        metrics.foreach { case (name, row) => feed(sink, name, row) }
+        sink.flush()
+      }
+    }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
   }
 
   private val UuidRe =

@@ -177,4 +177,57 @@ class TelemetrySpec extends AnyFunSuite {
         s"bodies: $metricBodies")
     } finally spark.streams.removeListener(listener)
   }
+
+  test("aggregate parts split counters per declared command (batch bus)") {
+    import spark.implicits._
+    val posts =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val http: HttpTransport = (_, url, _, body) => {
+      posts.add((url, body)); HttpResult(200, "{}")
+    }
+    val cmds = Seq(
+      """{"_id":"a","_command":"put","_jwt":{"sub":"t"},"v":1}""",
+      """{"_id":"b","_command":"put","_jwt":{"sub":"t"},"v":2}""",
+      """{"_id":"a","_command":"zap","_jwt":{"sub":"t"}}""") // undeclared
+      .toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    val io = new TestIo(Map("t-command" -> cmds))
+    val runner = new AppRunner(spark, io,
+      graft.op.Env(spark).copy(http = http),
+      config = Map("otlp.http" -> "http://collector:4318"))
+    val streams = runner.run(
+      """{"application":"pc","version":"1.0","parts":[
+           {"type":"aggregate","aggregateType":"t",
+            "commands":{"put":{}}}]}""")
+    val batchListener = runner.batchMetricsListener.get
+    spark.listenerManager.register(batchListener)
+    try {
+      // acting on the event stream executes the whole DAG (command
+      // observe included); the listener bus is async — poll the export
+      assert(streams("t-event").count() == 2) // two puts reduced
+      val deadline = System.currentTimeMillis() + 15000
+      def counts: Map[String, Long] = {
+        import scala.jdk.CollectionConverters._
+        posts.iterator().asScala.toSeq
+          .filter(_._1.endsWith("/v1/metrics")).lastOption.map { case (_, b) =>
+            val ms = Js.elems(Js.parse(b).get("resourceMetrics").get(0)
+              .get("scopeMetrics").get(0).get("metrics"))
+            ms.find(_.get("name").asText() == "json_streams.messages")
+              .map(m => Js.elems(m.get("sum").get("dataPoints")).map { dp =>
+                val attrs = Js.elems(dp.get("attributes")).map(a =>
+                  a.get("key").asText() ->
+                    a.get("value").get("stringValue").asText()).toMap
+                attrs("part") -> dp.get("asInt").asText().toLong
+              }.toMap).getOrElse(Map.empty)
+          }.getOrElse(Map.empty)
+      }
+      while (!counts.contains("t.command.put") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val got = counts
+      assert(got.getOrElse("t.command", 0L) == 3L, got) // all commands
+      assert(got.getOrElse("t.command.put", 0L) == 2L, got) // declared only
+      assert(got.getOrElse("t.event.put", 0L) == 2L, got)
+      assert(got.getOrElse("t.invalid-command.put", 0L) == 0L, got)
+    } finally spark.listenerManager.unregister(batchListener)
+  }
 }

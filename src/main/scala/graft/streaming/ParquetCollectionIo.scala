@@ -78,6 +78,104 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     }
   }
 
+  // ---- snapshot manifest -------------------------------------------------
+  //
+  // Readers must never glimpse a bucket mid-swap. The collection's
+  // current snapshot is the file list in `__manifest` (the miniature of
+  // a lakehouse format's commit log): writers move NEW files into the
+  // bucket dirs additively, atomically replace the manifest, and only
+  // DELETE a replaced file one generation later — so any reader whose
+  // plan resolved the previous manifest still finds its files on disk.
+  // Contract: a reader is safe while at most one writer generation lands
+  // between resolving the manifest and finishing the scan; direct
+  // directory listing is unsupported once a second generation exists
+  // (retired files are still present — exactly Delta/Iceberg semantics).
+
+  /** live: bucket → collection-relative parquet paths of the CURRENT
+    * snapshot; retired: files replaced by the LAST write, deleted at the
+    * next one.
+    */
+  private case class Manifest(gen: Long, live: Map[Int, Seq[String]],
+      retired: Seq[String])
+
+  private def manifestPath(name: String) =
+    Paths.get(dir(name), "__manifest")
+
+  private def loadManifest(name: String): Option[Manifest] =
+    if (!Files.exists(manifestPath(name))) None
+    else {
+      val n = graft.json.Js.parse(Files.readString(manifestPath(name)))
+      Some(Manifest(
+        n.get("gen").asLong(),
+        graft.json.Js.fields(n.get("live")).map { case (b, files) =>
+          b.toInt -> graft.json.Js.elems(files).map(_.asText())
+        }.toMap,
+        graft.json.Js.elems(n.get("retired")).map(_.asText())))
+    }
+
+  /** Bootstrap a manifest from the directory (pre-manifest layout):
+    * every parquet file under `__bucket=N/` is live; a LEGACY flat
+    * layout (files at the root) has no bucketed live set — callers
+    * migrate it whole through `writeSwap`.
+    */
+  private def dirManifest(name: String): Manifest = {
+    import scala.jdk.CollectionConverters._
+    val target = Paths.get(dir(name))
+    if (!Files.exists(target)) Manifest(0, Map.empty, Nil)
+    else {
+      val live = Files.list(target).iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("__bucket="))
+        .map { bdir =>
+          val b = bdir.getFileName.toString.stripPrefix("__bucket=").toInt
+          b -> Files.list(bdir).iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => s"__bucket=$b/${f.getFileName}")
+        }.filter(_._2.nonEmpty).toMap
+      Manifest(0, live, Nil)
+    }
+  }
+
+  private def writeManifest(name: String, m: Manifest): Unit = {
+    val o = graft.json.Js.obj()
+    o.put("gen", m.gen)
+    val live = graft.json.Js.obj()
+    m.live.toSeq.sortBy(_._1).foreach { case (b, files) =>
+      val a = graft.json.Js.arr()
+      files.foreach(a.add)
+      live.set[com.fasterxml.jackson.databind.JsonNode](b.toString, a)
+    }
+    o.set[com.fasterxml.jackson.databind.JsonNode]("live", live)
+    val retired = graft.json.Js.arr()
+    m.retired.foreach(retired.add)
+    o.set[com.fasterxml.jackson.databind.JsonNode]("retired", retired)
+    val tmp = Paths.get(dir(name), s"__manifest.tmp-$lockToken")
+    Files.createDirectories(tmp.getParent)
+    Files.writeString(tmp, graft.json.Js.render(o))
+    Files.move(tmp, manifestPath(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The current snapshot as a DataFrame (with the `__bucket` partition
+    * column), pruned to `onlyBuckets` at the FILE level when given.
+    * None = empty collection.
+    */
+  private def liveRead(name: String,
+      onlyBuckets: Option[Set[Int]] = None): Option[DataFrame] =
+    loadManifest(name) match {
+      case Some(m) =>
+        val files = onlyBuckets.fold(m.live)(bs => m.live.view
+            .filterKeys(bs).toMap)
+          .values.flatten.map(f => s"${dir(name)}/$f").toSeq
+        if (files.isEmpty) None
+        else Some(spark.read.option("basePath", dir(name))
+          .parquet(files: _*))
+      case None => // pre-manifest or legacy-flat directory
+        if (!Files.exists(Paths.get(dir(name)))) None
+        else Some(spark.read.parquet(dir(name)))
+    }
+
   /** Still ours? False means a peer stole it (we looked stale). */
   private def ownsLock(name: String): Boolean =
     try new String(Files.readAllBytes(lockPath(name)), "UTF-8") == lockToken
@@ -113,7 +211,11 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
       options: Map[String, String] = Map.empty): DataFrame =
     kind match {
       case "collection" =>
-        val df = spark.read.parquet(dir(name)).drop("__bucket")
+        // snapshot read via the manifest (empty/missing collections fall
+        // through to the directory read for the same error as before)
+        val df = liveRead(name)
+          .getOrElse(spark.read.parquet(dir(name)))
+          .drop("__bucket")
         // schemaless layout: _id was derived from the key on write —
         // hide it so the read-back frame stays message-shaped
         if (df.columns.sorted.toSeq == Seq("_id", "key", "value"))
@@ -217,16 +319,15 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
             "and no _id field in the value)")
         r.getInt(0)
       }.toSet
-    val exists = Files.exists(Paths.get(dir(name)))
-    val stored = if (exists) Some(spark.read.parquet(dir(name))) else None
+    val stored = liveRead(name)
     // a pre-bucketing (flat) layout must be migrated WHOLE on first touch:
     // a bucket-only swap would leave the stale flat files at the root next
     // to the new __bucket=N dirs (conflicting layouts / resurrected rows)
     val legacy = stored.exists(df => !df.columns.contains("__bucket"))
-    val bucketed = stored.map { df =>
-      if (legacy) df.withColumn("__bucket", bucketOf(col("_id")))
-      else df.where(col("__bucket").isin(touched.toSeq: _*)) // pruned
-    }
+    val bucketed =
+      if (legacy) stored.map(_.withColumn("__bucket", bucketOf(col("_id"))))
+      else liveRead(name, Some(touched)) // file-level pruned snapshot
+        .map(_.where(col("__bucket").isin(touched.toSeq: _*)))
     require(Set("replace", "keepExisting", "merge", "fail")(wm),
       s"whenMatched $wm")
     val existingIds = bucketed.map(_.select("_id"))
@@ -321,18 +422,26 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
   def delete(name: String, matches: DataFrame, on: Seq[String]): Unit =
     synchronized {
       withWriterLock(name) { () =>
-        if (Files.exists(Paths.get(dir(name)))) {
-          val stored = spark.read.parquet(dir(name)).drop("__bucket")
-          val keys = matches.select(on.map(col): _*).distinct()
-          writeSwap(name, stored.join(keys, on, "left_anti")
-            .withColumn("__bucket", bucketOf(col("_id"))))
-        } else true
+        liveRead(name) match {
+          case Some(df) =>
+            val stored = df.drop("__bucket")
+            val keys = matches.select(on.map(col): _*).distinct()
+            writeSwap(name, stored.join(keys, on, "left_anti")
+              .withColumn("__bucket", bucketOf(col("_id"))))
+          case None => true
+        }
       }
     }
 
   /** Write `latest` (already bucketed) to a staging dir, then swap ONLY
     * the touched `__bucket=N` subdirectories into place. Untouched
     * buckets keep their files — no read, no write, no move.
+    */
+  /** Stage, then COMMIT via the manifest: new files move into the live
+    * bucket dirs additively (Spark part-file names carry a job UUID — no
+    * collisions), the manifest swap is the atomic commit point, and the
+    * files the PREVIOUS write retired are deleted now that a full
+    * generation has passed.
     */
   private def swapBuckets(name: String, latest: DataFrame,
       touched: Set[Int]): Boolean = {
@@ -347,33 +456,78 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     if (!ownsLock(name)) { deleteRecursively(Paths.get(tmp)); return false }
     val target = Paths.get(dir(name))
     Files.createDirectories(target)
-    touched.foreach { b =>
-      val dst = target.resolve(s"__bucket=$b")
+    val m = loadManifest(name).getOrElse(dirManifest(name))
+    val moved: Map[Int, Seq[String]] = touched.toSeq.map { b =>
       val src = Paths.get(tmp, s"__bucket=$b")
-      val old = Paths.get(s"$tmp.old-$b")
-      if (Files.exists(dst)) Files.move(dst, old)
       // a touched bucket can end empty (all its rows were later deleted
-      // upstream) — absence of the staging dir just removes it
-      if (Files.exists(src)) Files.move(src, dst)
-      deleteRecursively(old)
-    }
+      // upstream) — no staged dir just empties its live list
+      if (!Files.exists(src)) b -> Seq.empty[String]
+      else {
+        import scala.jdk.CollectionConverters._
+        val dstDir = target.resolve(s"__bucket=$b")
+        Files.createDirectories(dstDir)
+        b -> Files.list(src).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { f =>
+            Files.move(f, dstDir.resolve(f.getFileName.toString))
+            s"__bucket=$b/${f.getFileName}"
+          }
+      }
+    }.toMap
+    commit(name, m,
+      live = (m.live -- touched) ++ moved.filter(_._2.nonEmpty),
+      nowRetired = touched.toSeq.flatMap(b => m.live.getOrElse(b, Nil)))
     deleteRecursively(Paths.get(tmp))
     true
   }
 
+  /** Full-snapshot replace ($delete, legacy-flat migration): every
+    * staged bucket becomes the new live set; ALL previous files retire.
+    */
   private def writeSwap(name: String, df: DataFrame): Boolean = {
     val tmp = dir(name) + s".__tmp-$lockToken"
     df.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(tmp)
     if (!ownsLock(name)) { deleteRecursively(Paths.get(tmp)); return false }
-    // swap: the rewrite must not read and overwrite the same files
+    import scala.jdk.CollectionConverters._
     val target = Paths.get(dir(name))
-    if (Files.exists(target)) {
-      val old = Paths.get(dir(name) + s".__old-$lockToken")
-      Files.move(target, old)
-      Files.move(Paths.get(tmp), target)
-      deleteRecursively(old)
-    } else Files.move(Paths.get(tmp), target)
+    Files.createDirectories(target)
+    val m = loadManifest(name).getOrElse(dirManifest(name))
+    val moved = Files.list(Paths.get(tmp)).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("__bucket="))
+      .map { src =>
+        val b = src.getFileName.toString.stripPrefix("__bucket=").toInt
+        val dstDir = target.resolve(s"__bucket=$b")
+        Files.createDirectories(dstDir)
+        b -> Files.list(src).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { f =>
+            Files.move(f, dstDir.resolve(f.getFileName.toString))
+            s"__bucket=$b/${f.getFileName}"
+          }
+      }.filter(_._2.nonEmpty).toMap
+    // a legacy-flat migration also retires the root-level files
+    val flat = Files.list(target).iterator().asScala.toSeq
+      .filter(p => !Files.isDirectory(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(_.getFileName.toString)
+    commit(name, m, live = moved,
+      nowRetired = m.live.values.flatten.toSeq ++ flat)
+    deleteRecursively(Paths.get(tmp))
     true
+  }
+
+  /** The atomic commit: delete what the previous write retired (its
+    * grace generation has passed), then swap the manifest in.
+    */
+  private def commit(name: String, prev: Manifest,
+      live: Map[Int, Seq[String]], nowRetired: Seq[String]): Unit = {
+    val target = Paths.get(dir(name))
+    prev.retired.foreach(f => Files.deleteIfExists(target.resolve(f)))
+    writeManifest(name, Manifest(prev.gen + 1, live,
+      // a file can be re-retired by a rapid touch-touch sequence — don't
+      // double-list it; and never retire something still live
+      nowRetired.distinct.filterNot(live.values.flatten.toSet)))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -32,7 +32,7 @@ class CollectionLockSpec extends AnyFunSuite {
     // buckets (both merged against the same stored generation)
     Await.result(
       Future.sequence(Seq(ups(a, 0 to 4), ups(b, 5 to 9))), 5.minutes)
-    val got = spark.read.parquet(s"$root/c")
+    val got = a.source(spark, "collection", "c")
       .select("_id").as[String].collect().toSet
     assert(got == (0 to 9).map(i => s"id$i").toSet)
     assert(!Files.exists(Paths.get(s"$root/c.__lock")), "lock released")
@@ -49,7 +49,7 @@ class CollectionLockSpec extends AnyFunSuite {
     val io = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
     import spark.implicits._
     io.upsert("c", Seq(("a", 1)).toDF("_id", "v")) // must not block
-    assert(spark.read.parquet(s"$root/c").where(col("_id") === "a")
+    assert(io.source(spark, "collection", "c").where(col("_id") === "a")
       .count() == 1)
     assert(!Files.exists(lock))
   }

@@ -518,16 +518,28 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
   }
 
   /** The atomic commit: delete what the previous write retired (its
-    * grace generation has passed), then swap the manifest in.
+    * grace generation has passed), GC crash debris, then swap the
+    * manifest in.
     */
   private def commit(name: String, prev: Manifest,
       live: Map[Int, Seq[String]], nowRetired: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
     val target = Paths.get(dir(name))
     prev.retired.foreach(f => Files.deleteIfExists(target.resolve(f)))
-    writeManifest(name, Manifest(prev.gen + 1, live,
-      // a file can be re-retired by a rapid touch-touch sequence — don't
-      // double-list it; and never retire something still live
-      nowRetired.distinct.filterNot(live.values.flatten.toSet)))
+    val retired = nowRetired.distinct.filterNot(live.values.flatten.toSet)
+    // a writer that crashed between its file moves and its manifest swap
+    // left orphans no manifest references — under the writer lock,
+    // anything in a live bucket dir outside (live ∪ retired) is debris
+    val known = (live.values.flatten ++ retired).toSet
+    live.keys.foreach { b =>
+      val bdir = target.resolve(s"__bucket=$b")
+      if (Files.exists(bdir))
+        Files.list(bdir).iterator().asScala.toSeq
+          .filter(f => f.getFileName.toString.endsWith(".parquet") &&
+            !known.contains(s"__bucket=$b/${f.getFileName}"))
+          .foreach(Files.deleteIfExists(_))
+    }
+    writeManifest(name, Manifest(prev.gen + 1, live, retired))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

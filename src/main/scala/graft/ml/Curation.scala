@@ -23,11 +23,27 @@ object Curation {
     * Returns only contaminated docs: (id, shared_ngrams).
     */
   def contamination(docs: DataFrame, bench: DataFrame, textCol: String,
-      idCol: String, k: Int = 3, minShared: Long = 2): DataFrame = {
+      idCol: String, k: Int = 3, minShared: Long = 2,
+      /** skew guard for the 100 TB run: drop shingles whose CORPUS
+        * document frequency exceeds this (stop-phrase shingles are
+        * non-discriminative — real decontamination uses long, rare
+        * n-grams — but they dominate the join volume). 0 = off; the
+        * oracle runs uncapped, like the LSH band caps (SCALING.md).
+        */
+      maxShingleDocs: Long = 0): DataFrame = {
     def shingleSet(df: DataFrame, keep: Column*) = df
       .select(keep :+ tokens(col(textCol)).as("__t"): _*)
       .select(keep :+ explode(shingles(col("__t"), k)).as("sh"): _*)
-    val docSh = shingleSet(docs, col(idCol))
+    val docSh0 = shingleSet(docs, col(idCol))
+    val docSh =
+      if (maxShingleDocs <= 0) docSh0
+      else { // hot-key anti-join, same shape as ngramJaccardPairs' cap:
+        // the freq side partial-aggregates map-side, so the hot keys
+        // never amplify a shuffle
+        val hot = docSh0.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > maxShingleDocs).select("sh")
+        docSh0.join(hot, Seq("sh"), "left_anti")
+      }
     val benchSh = shingleSet(bench).distinct()
     docSh.join(benchSh, "sh")
       .groupBy(col(idCol))

@@ -107,5 +107,48 @@ object Round6Queries {
         import spark.implicits._
         tagged(msgs, "q_trace_op").distinct.sorted
           .toDF("_id").withColumn("traced", lit(true))
+    },
+
+    // -- event-time join (extension beyond the reference's arrival-time
+    // window): sides with `timestamp` join on the DATA's clock — the
+    // window becomes replay-deterministic, which also makes it the one
+    // join variant a SQL oracle can replay exactly. Signup events joined
+    // to error events of the same user within 30 minutes.
+    // ts is parquet TIMESTAMP(NANOS) read as nanos (`nanosAsLong`):
+    // `div 1000` is exact integer truncation to micros, matching
+    // DuckDB's nanos→micros read (a double division would drift — nanos
+    // since 2024 exceed 2^53).
+    Q.fn("q_join_eventtime",
+      """SELECT CAST(a.user_id AS VARCHAR) AS _id,
+                a.event_id AS signup_ev, b.event_id AS error_ev
+         FROM events a JOIN events b ON a.user_id = b.user_id
+         WHERE a.event_type = 'signup' AND b.event_type = 'error'
+           AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000""") {
+      (spark, sf) =>
+        val ev = Tables.load(spark, sf, "events")
+          .select(col("event_id"), col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts_t"),
+            col("event_type"))
+        val tables = Map(
+          "ev_signup" -> ev.where(col("event_type") === "signup"),
+          "ev_error" -> ev.where(col("event_type") === "error"))
+        val io = new graft.streaming.Io {
+          def source(s: org.apache.spark.sql.SparkSession, kind: String,
+              name: String, options: Map[String, String]) = tables(name)
+          def sink(kind: String, name: String,
+              df: org.apache.spark.sql.DataFrame, asString: Boolean,
+              partId: String, options: Map[String, String]): Unit = ()
+        }
+        val streams = new graft.streaming.AppRunner(spark, io,
+          graft.op.Env(spark)).run(
+          """{"application":"jet","version":"1.0","parts":[
+               {"type":"join","name":"j","window":1800000,
+                "left":{"fromTopic":"ev_signup","on":"$user_id",
+                        "timestamp":"$ts_t"},
+                "right":{"fromTopic":"ev_error","on":"$user_id",
+                         "timestamp":"$ts_t"}}]}""")
+        streams("j").select(col("_id"),
+          col("left.event_id").as("signup_ev"),
+          col("right.event_id").as("error_ev"))
     })
 }

@@ -436,10 +436,21 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
       // on when the optimizer infers non-nullability, or a restart can
       // compute a different schema than the checkpoint recorded
       // (STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE on resume — JoinRestartSpec)
-      val packed = df0.where(onCol.isNotNull).select(
+      // event-time extension (beyond the reference's arrival-time
+      // window): a side with `timestamp` joins on the DATA's clock —
+      // watermark eviction and the window become replay-deterministic
+      // (re-running the topic yields the identical join), where
+      // arrival time depends on when the job happened to read the row
+      val jts = Option(n.get("timestamp"))
+        .map(e => Stages.expr(df0, e).cast("timestamp"))
+        .getOrElse(current_timestamp())
+      val packed = df0.where(onCol.isNotNull && jts.isNotNull).select(
         coalesce(onCol, lit("")).as(s"__key_$tag"),
         struct(payload: _*).as(tag),
-        current_timestamp().as(s"__jts_$tag"))
+        // statically non-nullable for the same restart-schema reason as
+        // the key (the coalesce arm is unreachable after the filter)
+        coalesce(jts, to_timestamp(lit("1970-01-01")))
+          .as(s"__jts_$tag"))
       val withWm =
         if (packed.isStreaming && window.isDefined)
           packed.withWatermark(s"__jts_$tag", s"${window.get} milliseconds")

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ml.Curation
+
+/** Unit coverage for the curation ops beyond their DuckDB oracles: the
+  * contamination skew cap and the packing tiling invariants.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("contamination cap drops stop-phrase shingles from the join") {
+    import spark.implicits._
+    // "a b c" appears in EVERY doc (a stop phrase); "x y z" only in doc 1
+    // and the benchmark
+    val docs = Seq(
+      (1L, "a b c x y z"),
+      (2L, "a b c q r s"),
+      (3L, "a b c t u v")).toDF("doc_id", "text")
+    val bench = Seq("a b c x y z").toDF("text")
+    // uncapped: every doc shares 'a b c' → all three hit at minShared=1
+    val uncapped = Curation.contamination(docs, bench, "text", "doc_id",
+      k = 3, minShared = 1)
+    assert(uncapped.count() == 3)
+    // capped at df<=2: 'a b c' (df=3) is dropped; only doc 1 still
+    // shares the rare shingles of 'x y z'
+    val capped = Curation.contamination(docs, bench, "text", "doc_id",
+      k = 3, minShared = 1, maxShingleDocs = 2)
+    assert(capped.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("packChunks tiles every document exactly, in order") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, Seq.fill(7 + (i % 5).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Curation
+      .packChunks(docs, "text", "doc_id", chunkTokens = 16, bucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    // every token of every doc is covered exactly once
+    val covered = chunks.groupBy(_._1).view.mapValues(
+      _.map(c => c._4 - c._3).sum).toMap
+    val expected = (0L until 40L).map(i => i -> (7 + (i % 5))).toMap
+    assert(covered == expected)
+    // chunk capacities are never exceeded and every chunk id in the
+    // covered range appears (the stream is gapless)
+    val perChunk = chunks.groupBy(_._2).view.mapValues(
+      _.map(c => c._4 - c._3).sum).toMap
+    val maxChunk = perChunk.keys.max
+    (0L until maxChunk).foreach(c =>
+      assert(perChunk(c) == 16L, s"chunk $c not full: ${perChunk.get(c)}"))
+    assert(perChunk(maxChunk) <= 16L)
+  }
+}

@@ -97,6 +97,44 @@ class StreamJoinSpec extends AnyFunSuite {
     io.stopAll()
   }
 
+  test("event-time join windows on the data's clock, not arrival") {
+    // Both sides carry a `timestamp` expression: rows minutes apart in
+    // EVENT time never join even though they arrive seconds apart, and
+    // rows inside the event-time window join regardless of arrival lag.
+    val dir = Files.createTempDirectory("graft-sjet").toString
+    def write(topic: String, name: String, json: String): Unit = {
+      Files.createDirectories(Paths.get(s"$dir/$topic"))
+      Files.writeString(Paths.get(s"$dir/$topic/$name.json"), json)
+    }
+    // c1: left/right 10 s apart in event time (inside the 60 s window);
+    // c2: 10 MINUTES apart (outside) — arrival order is all-at-once
+    write("lte", "l1",
+      """{"_id":"l1","corr":"c1","ets":"2024-01-01T10:00:00Z","lv":1}""")
+    write("rte", "r1",
+      """{"_id":"r1","corr":"c1","ets":"2024-01-01T10:00:10Z","rv":2}""")
+    write("lte", "l2",
+      """{"_id":"l2","corr":"c2","ets":"2024-01-01T10:00:00Z","lv":3}""")
+    write("rte", "r2",
+      """{"_id":"r2","corr":"c2","ets":"2024-01-01T10:10:00Z","rv":4}""")
+    val s1 = DataType.fromDDL("_id string, corr string, ets string, lv int")
+      .asInstanceOf[StructType]
+    val s2 = DataType.fromDDL("_id string, corr string, ets string, rv int")
+      .asInstanceOf[StructType]
+    val io = new FileStreamIo(dir, Map("lte" -> s1, "rte" -> s2),
+      maxFilesPerTrigger = 10)
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"sjet","version":"1.0","parts":[
+           {"type":"join","name":"je","window":60000,
+            "left":{"fromTopic":"lte","on":"$corr","timestamp":"$ets"},
+            "right":{"fromTopic":"rte","on":"$corr","timestamp":"$ets"},
+            "toTopic":"out_sjet"}]}""")
+    io.processAll()
+    val rows = spark.table("out_sjet").collect()
+    assert(rows.map(_.getAs[String]("_id")).toSeq == Seq("c1"),
+      s"event-time window violated: ${rows.mkString(",")}")
+    io.stopAll()
+  }
+
   test("windowless streaming join requires the explicit unbounded opt-in") {
     // Reference semantics default the join window to infinite
     // (App.java:693) — on a stream that is unbounded state-store growth,

@@ -192,6 +192,14 @@ object Telemetry {
       import scala.jdk.CollectionConverters._
       event.progress.observedMetrics.asScala.foreach { case (name, row) =>
         feed(sink, name, row)
+        // `$probe` observes use the probe's own name (no jsm__ prefix):
+        // bridge them into the counter export too, under `probe.<name>`,
+        // so one OTLP feed carries the whole message-flow picture
+        if (!name.startsWith(MetricPrefix)) {
+          val idx = row.schema.fieldNames.indexOf("count")
+          if (idx >= 0 && !row.isNullAt(idx))
+            sink.addMessages(s"probe.$name", row.getLong(idx))
+        }
       }
       val now = System.currentTimeMillis()
       if (now - lastFlush >= intervalMillis) { lastFlush = now; sink.flush() }

@@ -141,7 +141,8 @@ class TelemetrySpec extends AnyFunSuite {
     runner.run(
       """{"application":"mt","version":"1.0","parts":[
            {"type":"stream","name":"s","fromTopic":"min",
-            "toTopic":"mout"}]}""")
+            "toTopic":"mout","pipeline":[
+              {"$probe":{"name":"flow","topic":"probe-t"}}]}]}""")
     val listener = runner.metricsListener.get
     spark.streams.addListener(listener)
     try {
@@ -173,8 +174,9 @@ class TelemetrySpec extends AnyFunSuite {
       }.getOrElse(Map.empty)
       while (partCounts.getOrElse("s.out", 0L) < 2 &&
         System.currentTimeMillis() < deadline) Thread.sleep(100)
-      assert(partCounts == Map("s.in" -> 2L, "s.out" -> 2L),
-        s"bodies: $metricBodies")
+      // the $probe's own counts ride the same export under probe.<name>
+      assert(partCounts == Map("s.in" -> 2L, "s.out" -> 2L,
+        "probe.flow" -> 2L), s"bodies: $metricBodies")
     } finally spark.streams.removeListener(listener)
   }
 

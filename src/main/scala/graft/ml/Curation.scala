@@ -101,6 +101,42 @@ object Curation {
           - col("__start")).as("tok_to"))
   }
 
+  /** Token-budget corpus selection (the data-mixing step after scoring):
+    * keep the highest-quality documents, in (quality desc, id) order,
+    * whose running token total stays within `tokenBudget` — a strict
+    * greedy prefix, so the selection is deterministic and SQL-replayable.
+    * The global running sum uses the same two-level scan as `packChunks`,
+    * except the buckets quantize the SORT KEY (quality, `1/qualityBuckets`
+    * granularity): bucket order is quality order, so no corpus-wide
+    * single-partition window exists. Ties inside a quantum stay in one
+    * bucket, so the id tiebreak is still total.
+    */
+  def selectByBudget(df: DataFrame, textCol: String, idCol: String,
+      tokenBudget: Long, qualityBuckets: Int = 1000): DataFrame = {
+    val scored = TextAnalysis.qualityScore(df, textCol)
+      .select(col(idCol), col("n_tokens").cast(LongType).as("n_tokens"),
+        col("quality"))
+    val bkt = scored.withColumn("__bkt",
+      floor((lit(1.0) - col("quality")) * qualityBuckets).cast(LongType))
+    val inBucket = bkt.withColumn("__cum",
+      sum(col("n_tokens")).over(
+        Window.partitionBy("__bkt")
+          .orderBy(col("quality").desc, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = bkt.groupBy("__bkt")
+      .agg(sum(col("n_tokens")).as("__btot"))
+      .withColumn("__boff",
+        coalesce(sum(col("__btot")).over(
+          Window.orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__boff"))
+    inBucket.join(broadcast(offsets), "__bkt")
+      .withColumn("cum_tokens", col("__boff") + col("__cum"))
+      .where(col("cum_tokens") <= tokenBudget)
+      .select(col(idCol), col("n_tokens"), col("quality"),
+        col("cum_tokens"))
+  }
+
   /** Domain-mix resampling: hit target proportions `targets`
     * (source → weight) exactly, at the largest output size the data
     * allows without upsampling. scale = minₛ count(s)/p(s); each listed

@@ -65,6 +65,33 @@ object CurationQueries {
         "text", "doc_id", chunkTokens = 64, bucketSize = 50)
     },
 
+    // -- token-budget selection: highest-quality docs first (the
+    // q_text_quality score, trunc6 on both engines), greedy prefix under
+    // a 5000-token budget; the Spark plan's running sum is the two-level
+    // quality-bucket scan (no corpus-wide single-partition window)
+    Q.fn("q_select_budget",
+      """WITH t AS (SELECT *, string_split(lower(text),' ') AS toks
+                    FROM documents),
+              m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                trunc((length(text) / len(toks))*1000000.0)/1000000.0 AS cpt,
+                trunc(((length(text) - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g'))) / length(text))*1000000.0)/1000000.0 AS pr,
+                trunc((len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) / len(toks))*1000000.0)/1000000.0 AS sr
+              FROM t),
+              q AS (SELECT doc_id, n_tokens,
+                trunc((1.0 - abs(cpt - 5.0)/10.0 - pr + sr)*1000000.0)/1000000.0 AS quality
+              FROM m),
+              c AS (SELECT doc_id, n_tokens, quality,
+                CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+              FROM q)
+         SELECT doc_id, n_tokens, quality, cum_tokens FROM c
+         WHERE cum_tokens <= 5000""") { (spark, sf) =>
+      Curation.selectByBudget(
+        Tables.load(spark, sf, "documents"), "text", "doc_id",
+        tokenBudget = 5000)
+    },
+
     // -- domain-mix resampling: hit {src0: 0.5, src1: 0.3, src2: 0.2}
     // exactly at the largest feasible output size; per-source keepers are
     // the lowest-hash rows (deterministic mix, any topology).

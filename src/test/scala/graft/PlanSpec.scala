@@ -181,6 +181,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("selectByBudget windows by quality bucket, not the whole corpus") {
+    graft.queries.Q.session(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ml.Curation.selectByBudget(
+        Tables.load(spark, sf, "documents"), "text", "doc_id", 5000)
+      val p = df.queryExecution.executedPlan
+      val windows = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.exists(
+        _.partitionSpec.exists(_.toString.contains("__bkt"))),
+        "running sum lost its quality-bucket key:\n" + p.toString.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

@@ -93,10 +93,14 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
 
   /** live: bucket → collection-relative parquet paths of the CURRENT
     * snapshot; retired: files replaced by the LAST write, deleted at the
-    * next one.
+    * next one; schema: the stored frame's Spark schema (JSON) — a
+    * delete-all leaves live empty while the retired files are still on
+    * disk for their grace generation, and readers must get an EMPTY
+    * frame of this schema, never a directory scan that would resurrect
+    * the deleted rows.
     */
   private case class Manifest(gen: Long, live: Map[Int, Seq[String]],
-      retired: Seq[String])
+      retired: Seq[String], schema: Option[String] = None)
 
   private def manifestPath(name: String) =
     Paths.get(dir(name), "__manifest")
@@ -110,7 +114,8 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
         graft.json.Js.fields(n.get("live")).map { case (b, files) =>
           b.toInt -> graft.json.Js.elems(files).map(_.asText())
         }.toMap,
-        graft.json.Js.elems(n.get("retired")).map(_.asText())))
+        graft.json.Js.elems(n.get("retired")).map(_.asText()),
+        Option(n.get("schema")).filter(_.isTextual).map(_.asText())))
     }
 
   /** Bootstrap a manifest from the directory (pre-manifest layout):
@@ -149,6 +154,7 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     val retired = graft.json.Js.arr()
     m.retired.foreach(retired.add)
     o.set[com.fasterxml.jackson.databind.JsonNode]("retired", retired)
+    m.schema.foreach(s => o.put("schema", s))
     val tmp = Paths.get(dir(name), s"__manifest.tmp-$lockToken")
     Files.createDirectories(tmp.getParent)
     Files.writeString(tmp, graft.json.Js.render(o))
@@ -168,7 +174,15 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
         val files = onlyBuckets.fold(m.live)(bs => m.live.view
             .filterKeys(bs).toMap)
           .values.flatten.map(f => s"${dir(name)}/$f").toSeq
-        if (files.isEmpty) None
+        if (files.isEmpty)
+          // empty live set (e.g. delete-all): the retired files are
+          // STILL on disk for their grace generation — an empty frame of
+          // the recorded schema, never a directory fallback that would
+          // resurrect them
+          m.schema.map(s => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.DataType.fromJson(s)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]))
         else Some(spark.read.option("basePath", dir(name))
           .parquet(files: _*))
       case None => // pre-manifest or legacy-flat directory
@@ -181,9 +195,49 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     try new String(Files.readAllBytes(lockPath(name)), "UTF-8") == lockToken
     catch { case _: java.io.IOException => false }
 
+  /** Steal-safe release: claim the lock file exclusively with an
+    * ATOMIC_MOVE before deleting, so the read-then-delete pair can never
+    * remove a PEER's freshly-stolen lock. If the claimed file turns out
+    * to be the peer's (they stole between our last ownsLock and the
+    * move), put it back; if putting back collides with a third writer's
+    * new lock, drop the claim — the peer's own pre-commit ownsLock check
+    * sees its lock gone and aborts-retries (fail-safe: a spurious retry,
+    * never a double commit).
+    */
   private def releaseLock(name: String): Unit = {
-    if (ownsLock(name)) Files.deleteIfExists(lockPath(name))
+    val p = lockPath(name)
+    val claim = Paths.get(p.toString + s".rel-$lockToken")
+    try {
+      Files.move(p, claim, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (new String(Files.readAllBytes(claim), "UTF-8") == lockToken)
+        Files.deleteIfExists(claim)
+      else
+        try Files.move(claim, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException =>
+          Files.deleteIfExists(claim); ()
+        }
+    } catch { case _: java.io.IOException => () } // already gone
   }
+
+  /** Refresh the held lock's mtime so a LIVE writer's long batch never
+    * crosses `lockStaleMs` and gets stolen mid-write — staleness then
+    * only ever fires on a genuinely dead (crashed) writer. One shared
+    * daemon scheduler; each hold registers its own refresh task.
+    */
+  private def heartbeat(name: String)
+      : java.util.concurrent.ScheduledFuture[_] =
+    ParquetCollectionIo.scheduler.scheduleAtFixedRate(
+      () => try {
+        val p = lockPath(name)
+        // only touch OUR lock — after a (pathological) steal the peer's
+        // mtime is theirs to maintain
+        if (ownsLock(name)) Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+      } catch { case _: java.io.IOException => () },
+      lockStaleMs / 4, lockStaleMs / 4,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
 
   /** Run `f` under the collection's cross-process writer lock; if the
     * lock was stolen mid-write (`f` returns false = "don't commit"),
@@ -199,8 +253,9 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
         s"collection $name: writer lock stolen $attempts times in a row " +
           "(raise lockStaleMs above the longest batch write)")
       acquireLock(name)
+      val beat = heartbeat(name)
       try done = f()
-      finally releaseLock(name)
+      finally { beat.cancel(false); releaseLock(name) }
     }
   }
 
@@ -211,8 +266,10 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
       options: Map[String, String] = Map.empty): DataFrame =
     kind match {
       case "collection" =>
-        // snapshot read via the manifest (empty/missing collections fall
-        // through to the directory read for the same error as before)
+        // snapshot read via the manifest; an EMPTIED collection reads as
+        // an empty frame of the recorded schema (liveRead) — only a
+        // never-written/pre-manifest path falls through to the directory
+        // read (same missing-dir error as before)
         val df = liveRead(name)
           .getOrElse(spark.read.parquet(dir(name)))
           .drop("__bucket")
@@ -266,9 +323,20 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     *    ignore-null document merge
     *  - fail / discard: matched-set policies via semi/anti joins on `_id`
     */
-  def upsert(name: String, batch0: DataFrame): Unit = synchronized {
-    withWriterLock(name)(() => upsertLocked(name, batch0))
-  }
+  /** Per-collection JVM monitors: in-process writers to the SAME
+    * collection serialize here; writers to different collections must
+    * not queue behind a peer instance's cross-process lock wait on an
+    * unrelated collection (acquireLock can poll up to lockWaitMs).
+    */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitor(name: String): Object =
+    monitors.computeIfAbsent(name, _ => new Object)
+
+  def upsert(name: String, batch0: DataFrame): Unit =
+    monitor(name).synchronized {
+      withWriterLock(name)(() => upsertLocked(name, batch0))
+    }
 
   /** One locked attempt; false = the lock was stolen after staging, the
     * swap was NOT performed and the caller must retry from the stored
@@ -290,7 +358,7 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
         }
     // transport metadata never belongs in the stored document
     val batchClean = batch0.drop("__when_matched", "__when_not_matched",
-      "__ord", "__raw", "_topic", "_delay_ms")
+      "__ord", "__raw", "_topic", "_delay_ms", "_deliver_at")
     // schemaless (key, value) frames: the message key IS the document id
     // (the reference keys Mongo _id by the Kafka key); null keys fall
     // back to the value's _id field
@@ -420,7 +488,7 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     * lakehouse-format DELETE is the real-scale version of this one.
     */
   def delete(name: String, matches: DataFrame, on: Seq[String]): Unit =
-    synchronized {
+    monitor(name).synchronized {
       withWriterLock(name) { () =>
         liveRead(name) match {
           case Some(df) =>
@@ -474,11 +542,27 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
           }
       }
     }.toMap
+    // last look before the commit point: the moves + debris GC +
+    // manifest swap below assume exclusive ownership — if a peer stole
+    // the lock during the moves, abandon (our moved files are unreferenced
+    // debris the peer's next commit GCs) and retry against their result
+    if (!ownsLock(name)) { deleteRecursively(Paths.get(tmp)); return false }
     commit(name, m,
       live = (m.live -- touched) ++ moved.filter(_._2.nonEmpty),
-      nowRetired = touched.toSeq.flatMap(b => m.live.getOrElse(b, Nil)))
+      nowRetired = touched.toSeq.flatMap(b => m.live.getOrElse(b, Nil)),
+      schemaJson = storedSchemaJson(latest))
     deleteRecursively(Paths.get(tmp))
     true
+  }
+
+  /** The read-back schema of a staged frame: partition columns come LAST
+    * on a parquet read, so the recorded schema (used for empty-collection
+    * reads) moves `__bucket` to the tail to match.
+    */
+  private def storedSchemaJson(df: DataFrame): String = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    StructType(df.schema.fields.filterNot(_.name == "__bucket") :+
+      StructField("__bucket", IntegerType)).json
   }
 
   /** Full-snapshot replace ($delete, legacy-flat migration): every
@@ -511,8 +595,11 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
       .filter(p => !Files.isDirectory(p) &&
         p.getFileName.toString.endsWith(".parquet"))
       .map(_.getFileName.toString)
+    // same pre-commit ownership re-check as swapBuckets
+    if (!ownsLock(name)) { deleteRecursively(Paths.get(tmp)); return false }
     commit(name, m, live = moved,
-      nowRetired = m.live.values.flatten.toSeq ++ flat)
+      nowRetired = m.live.values.flatten.toSeq ++ flat,
+      schemaJson = storedSchemaJson(df))
     deleteRecursively(Paths.get(tmp))
     true
   }
@@ -522,7 +609,8 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     * manifest in.
     */
   private def commit(name: String, prev: Manifest,
-      live: Map[Int, Seq[String]], nowRetired: Seq[String]): Unit = {
+      live: Map[Int, Seq[String]], nowRetired: Seq[String],
+      schemaJson: String): Unit = {
     import scala.jdk.CollectionConverters._
     val target = Paths.get(dir(name))
     prev.retired.foreach(f => Files.deleteIfExists(target.resolve(f)))
@@ -539,7 +627,8 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
             !known.contains(s"__bucket=$b/${f.getFileName}"))
           .foreach(Files.deleteIfExists(_))
     }
-    writeManifest(name, Manifest(prev.gen + 1, live, retired))
+    writeManifest(name, Manifest(prev.gen + 1, live, retired,
+      Some(schemaJson)))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -547,5 +636,20 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
     Files.deleteIfExists(p)
+  }
+}
+
+object ParquetCollectionIo {
+  /** Lock-heartbeat scheduler: one daemon thread for the JVM (a refresh
+    * is a single utimes call; even many concurrent holds are cheap).
+    */
+  private val scheduler = {
+    val s = new java.util.concurrent.ScheduledThreadPoolExecutor(1, r => {
+      val t = new Thread(r, "graft-collection-lock-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+    s.setRemoveOnCancelPolicy(true)
+    s
   }
 }

@@ -54,6 +54,45 @@ class CollectionLockSpec extends AnyFunSuite {
     assert(!Files.exists(lock))
   }
 
+  test("a long batch refreshes the held lock's mtime (no mid-write steal)") {
+    val root = Files.createTempDirectory("graft-beat").toString
+    // lockStaleMs far below the batch duration: without the heartbeat the
+    // lock goes stale mid-write and a peer would steal it
+    val a = new ParquetCollectionIo(spark, root, new TestIo(Map.empty),
+      lockStaleMs = 800)
+    val b = new ParquetCollectionIo(spark, root, new TestIo(Map.empty),
+      lockStaleMs = 800)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udf
+    val slow = udf((i: Int) => { Thread.sleep(50); i })
+    val af = Future {
+      a.upsert("c", spark.range(80)
+        .select(col("id").cast("string").as("_id"),
+          slow(col("id").cast("int")).as("v"))
+        .repartition(1)) // one partition: ~4 s inside the writer lock
+    }
+    val lock = Paths.get(s"$root/c.__lock")
+    val deadline = System.currentTimeMillis() + 10000
+    while (!Files.exists(lock) && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(Files.exists(lock), "writer never took the lock")
+    val first = Files.getLastModifiedTime(lock).toMillis
+    // sample across 2.5 s (> 3 heartbeat periods); the mtime must move
+    var refreshed = false
+    (1 to 50).foreach { _ =>
+      if (!refreshed && Files.exists(lock)) {
+        if (Files.getLastModifiedTime(lock).toMillis > first) refreshed = true
+        else Thread.sleep(50)
+      }
+    }
+    assert(refreshed, "lock mtime never refreshed during a long batch")
+    // a live peer waits out the (refreshed) lock instead of stealing
+    val bf = Future { b.upsert("c", Seq(("x", 1)).toDF("_id", "v")) }
+    Await.result(Future.sequence(Seq(af, bf)), 5.minutes)
+    assert(a.source(spark, "collection", "c").count() == 81)
+    assert(!Files.exists(lock))
+  }
+
   test("a live peer's lock is honored until lockWaitMs, then fails loudly") {
     val root = Files.createTempDirectory("graft-held").toString
     val lock = Paths.get(s"$root/c.__lock")

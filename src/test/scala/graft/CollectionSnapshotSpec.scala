@@ -37,6 +37,24 @@ class CollectionSnapshotSpec extends AnyFunSuite {
       .where(col("v") === 3).count() == 50)
   }
 
+  test("deleting every row reads back empty, not resurrected files") {
+    val root = Files.createTempDirectory("graft-snap3").toString
+    val io = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+    import spark.implicits._
+    io.upsert("c", (0 until 20).map(i => (s"id$i", i)).toDF("_id", "v"))
+    io.delete("c", (0 until 20).map(i => Tuple1(s"id$i")).toDF("_id"),
+      Seq("_id"))
+    // the replaced files are STILL on disk (one grace generation) — a
+    // directory fallback would resurrect all 20 deleted rows here
+    val read = io.source(spark, "collection", "c")
+    assert(read.count() == 0, "deleted rows resurrected from retired files")
+    // and the schema survives the emptying (an upsert/lookup against the
+    // empty collection must still see the columns)
+    assert(read.columns.toSet == Set("_id", "v"))
+    io.upsert("c", Seq(("id0", 99)).toDF("_id", "v"))
+    assert(io.source(spark, "collection", "c").count() == 1)
+  }
+
   test("concurrent reads during continuous writes never fail or tear") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

@@ -160,18 +160,23 @@ object Telemetry {
     * `put` → `t.command.put` — the reference's per-command aggregate
     * counters, docs/telemetry.md:38).
     */
-  private[streaming] def feed(sink: OtlpMetricSink, name: String,
-      row: org.apache.spark.sql.Row): Unit =
-    if (name.startsWith(MetricPrefix)) {
+  private[streaming] def points(name: String,
+      row: org.apache.spark.sql.Row): Seq[(String, Long)] =
+    if (!name.startsWith(MetricPrefix)) Nil
+    else {
       val sub = name.substring(MetricPrefix.length)
-      row.schema.fields.zipWithIndex.foreach { case (f, i) =>
-        if (f.dataType == org.apache.spark.sql.types.LongType &&
-            !row.isNullAt(i))
-          sink.addMessages(
-            if (f.name == "count") sub else s"$sub.${f.name}",
-            row.getLong(i))
+      row.schema.fields.zipWithIndex.toSeq.collect {
+        case (f, i)
+            if f.dataType == org.apache.spark.sql.types.LongType &&
+              !row.isNullAt(i) =>
+          (if (f.name == "count") sub else s"$sub.${f.name}") ->
+            row.getLong(i)
       }
     }
+
+  private[streaming] def feed(sink: OtlpMetricSink, name: String,
+      row: org.apache.spark.sql.Row): Unit =
+    points(name, row).foreach { case (k, n) => sink.addMessages(k, n) }
 
   /** Streaming-query listener feeding the metric sink: each micro-batch's
     * `jsm__`-prefixed observed counts accumulate into the cumulative
@@ -185,20 +190,34 @@ object Telemetry {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     @volatile private var lastFlush = System.currentTimeMillis()
 
+    /** A part's observe nodes are embedded in EVERY consumer query's
+      * freshly-compiled plan (its own sink, a downstream `fromStream`
+      * part, the tracesTopic side query) and each query independently
+      * processes the part's whole stream — so each observation name is
+      * counted from exactly ONE query: the first to report it owns it
+      * (released on termination, so a restart re-claims and the
+      * cumulative counter keeps growing from one owner at a time).
+      */
+    private val owners =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.UUID]()
+
     override def onQueryStarted(event: QueryStartedEvent): Unit =
       sink.addStart()
 
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
       import scala.jdk.CollectionConverters._
+      val rid = event.progress.runId
       event.progress.observedMetrics.asScala.foreach { case (name, row) =>
-        feed(sink, name, row)
-        // `$probe` observes use the probe's own name (no jsm__ prefix):
-        // bridge them into the counter export too, under `probe.<name>`,
-        // so one OTLP feed carries the whole message-flow picture
-        if (!name.startsWith(MetricPrefix)) {
-          val idx = row.schema.fieldNames.indexOf("count")
-          if (idx >= 0 && !row.isNullAt(idx))
-            sink.addMessages(s"probe.$name", row.getLong(idx))
+        if (owners.computeIfAbsent(name, _ => rid) == rid) {
+          feed(sink, name, row)
+          // `$probe` observes use the probe's own name (no jsm__ prefix):
+          // bridge them into the counter export too, under `probe.<name>`,
+          // so one OTLP feed carries the whole message-flow picture
+          if (!name.startsWith(MetricPrefix)) {
+            val idx = row.schema.fieldNames.indexOf("count")
+            if (idx >= 0 && !row.isNullAt(idx))
+              sink.addMessages(s"probe.$name", row.getLong(idx))
+          }
         }
       }
       val now = System.currentTimeMillis()
@@ -206,6 +225,7 @@ object Telemetry {
     }
 
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+      owners.values.removeIf(_ == event.runId)
       sink.addStop()
       sink.flush()
     }
@@ -217,12 +237,32 @@ object Telemetry {
     */
   final class BatchMetricsListener(sink: OtlpMetricSink)
       extends org.apache.spark.sql.util.QueryExecutionListener {
+    /** Batch parts memoize their plans, so the SAME observe node re-fires
+      * on every action that recomputes the shared subtree (each purpose
+      * stream's action re-runs the command stream), and a short-circuit
+      * action (`isEmpty`, `limit` probes) reports a PARTIAL count. Feed
+      * the max-so-far per counter: a full recompute tops the counter up
+      * to the true total once, re-executions and partial scans add 0.
+      */
+    private val seen =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
     override def onSuccess(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
         durationNs: Long): Unit = {
       val metrics = qe.observedMetrics
       if (metrics.exists(_._1.startsWith(MetricPrefix))) {
-        metrics.foreach { case (name, row) => feed(sink, name, row) }
+        metrics.foreach { case (name, row) =>
+          points(name, row).foreach { case (k, n) =>
+            var added = 0L
+            seen.compute(k, (_, p) => {
+              val prev = if (p == null) 0L else p.longValue()
+              added = math.max(n - prev, 0L)
+              java.lang.Long.valueOf(math.max(prev, n))
+            })
+            if (added > 0) sink.addMessages(k, added)
+          }
+        }
         sink.flush()
       }
     }

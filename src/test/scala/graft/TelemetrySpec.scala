@@ -180,6 +180,62 @@ class TelemetrySpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("a second consumer query (tracesTopic) does not double-count") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-otlpd").toString
+    Files.createDirectories(Paths.get(s"$dir/din"))
+    val posts =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val http: HttpTransport = (_, url, _, body) => {
+      posts.add((url, body)); HttpResult(200, "{}")
+    }
+    val io = new graft.streaming.FileStreamIo(dir, Map.empty)
+    val runner = new AppRunner(spark, io,
+      graft.op.Env(spark).copy(http = http),
+      // tracesTopic starts a SECOND query over the part's stream whose
+      // freshly-compiled plan embeds the same jsm__ observe nodes — the
+      // listener must count each observation name from ONE query only
+      config = Map("otlp.http" -> "http://collector:4318",
+        "instance" -> "i-1", "otlp.metricsIntervalMillis" -> "0",
+        "tracesTopic" -> "traces"))
+    runner.run(
+      """{"application":"md","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"din",
+            "toTopic":"dout","pipeline":[]}]}""")
+    val listener = runner.metricsListener.get
+    spark.streams.addListener(listener)
+    try {
+      Files.writeString(Paths.get(s"$dir/din/m1.json"),
+        """{"_id":"a","v":1}""")
+      Files.writeString(Paths.get(s"$dir/din/m2.json"),
+        """{"_id":"b","v":2}""")
+      io.processAll()
+      io.stopAll()
+      val deadline = System.currentTimeMillis() + 10000
+      def partCounts: Map[String, Long] = {
+        import scala.jdk.CollectionConverters._
+        posts.iterator().asScala.toSeq
+          .filter(_._1.endsWith("/v1/metrics")).lastOption.map { case (_, b) =>
+            val ms = Js.elems(Js.parse(b).get("resourceMetrics").get(0)
+              .get("scopeMetrics").get(0).get("metrics"))
+            ms.find(_.get("name").asText() == "json_streams.messages")
+              .map(m => Js.elems(m.get("sum").get("dataPoints")).map { dp =>
+                val attrs = Js.elems(dp.get("attributes")).map(a =>
+                  a.get("key").asText() ->
+                    a.get("value").get("stringValue").asText()).toMap
+                attrs("part") -> dp.get("asInt").asText().toLong
+              }.toMap).getOrElse(Map.empty)
+          }.getOrElse(Map.empty)
+      }
+      while (partCounts.getOrElse("s.out", 0L) < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      // two messages, two consumer queries — the counters must say 2,
+      // not 2 × consumers
+      assert(partCounts.get("s.in").contains(2L), partCounts)
+      assert(partCounts.get("s.out").contains(2L), partCounts)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("aggregate parts split counters per declared command (batch bus)") {
     import spark.implicits._
     val posts =
@@ -230,6 +286,14 @@ class TelemetrySpec extends AnyFunSuite {
       assert(got.getOrElse("t.command.put", 0L) == 2L, got) // declared only
       assert(got.getOrElse("t.event.put", 0L) == 2L, got)
       assert(got.getOrElse("t.invalid-command.put", 0L) == 0L, got)
+      // batch plans memoize: a SECOND action recomputes the shared
+      // subtree and re-fires its observe — the counter must not re-add
+      assert(streams("t-event").count() == 2)
+      Thread.sleep(2000) // let the async listener bus drain
+      val after = counts
+      assert(after.getOrElse("t.command", 0L) == 3L,
+        s"re-execution re-added: $after")
+      assert(after.getOrElse("t.event.put", 0L) == 2L, after)
     } finally spark.listenerManager.unregister(batchListener)
   }
 }

@@ -207,9 +207,29 @@ object Stages {
     // $delay re-delivers to a topic after `duration` ms
     // (docs/aggregation_stages.md:118-159). Micro-batch engines delay at
     // trigger granularity: route to the topic; the sink applies the delay.
+    // Engine extension beyond the reference: `deliverAt` (an expression
+    // over the MESSAGE) instead of `duration` — delivery time comes from
+    // the data and the sink drives it with event-time (watermark) timers,
+    // so a replay redelivers identically (wall-clock delays drift between
+    // runs). Optional `lateness` (ms) bounds how far out-of-order
+    // deliverAt values may arrive (event-time late-data semantics).
     case "$delay" =>
-      df => df.withColumn("_topic", lit(spec.get("topic").asText()))
-        .withColumn("_delay_ms", lit(spec.get("duration").asLong()))
+      if (spec.has("deliverAt"))
+        df => {
+          val c = expr(df, spec.get("deliverAt"), env)
+          // numeric deliverAt = epoch MILLIS (a bare long cast would read
+          // it as seconds); anything else casts (timestamp, ISO string)
+          val at = (try df.select(c).schema.head.dataType
+            catch { case _: Exception => NullType }) match {
+            case _: NumericType => timestamp_millis(c.cast("long"))
+            case _ => c.cast("timestamp")
+          }
+          df.withColumn("_topic", lit(spec.get("topic").asText()))
+            .withColumn("_deliver_at", at)
+        }
+      else
+        df => df.withColumn("_topic", lit(spec.get("topic").asText()))
+          .withColumn("_delay_ms", lit(spec.get("duration").asLong()))
     // $throttle (docs/aggregation_stages.md:787-802): rate control maps to
     // source admission (maxOffsetsPerTrigger/trigger sizing), not a row
     // transform — identity here.

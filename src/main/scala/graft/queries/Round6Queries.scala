@@ -150,5 +150,27 @@ object Round6Queries {
         streams("j").select(col("_id"),
           col("left.event_id").as("signup_ev"),
           col("right.event_id").as("error_ev"))
+    },
+
+    // -- event-time $delay (extension beyond the reference's wall-clock
+    // `duration`): `deliverAt` is an expression over the MESSAGE, so the
+    // delivery instant comes from the data (the streaming sink drives it
+    // with watermark timers — StatefulOpsSpec covers that side; this
+    // oracles the stage's stamping + epoch round-trip).
+    Q.fn("q_delay_eventtime",
+      """SELECT event_id, 'retry' AS _topic,
+                epoch_ms(ts) + 5000 AS at_ms
+         FROM events WHERE event_id < 500""") { (spark, sf) =>
+      val ev = Tables.load(spark, sf, "events")
+        .where(col("event_id") < 500)
+        // ts is nanos-as-long (see q_join_eventtime): micros truncation
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts_t"))
+      graft.op.Pipeline.run(ev,
+        """[{"$delay":{"topic":"retry",
+              "deliverAt":{"$add":[{"$toEpochMillis":"$ts_t"},5000]}}},
+            {"$project":{"event_id":1,"_topic":1,
+              "at_ms":{"$toEpochMillis":"$_deliver_at"}}}]""",
+        Tables.env(spark, sf))
     })
 }

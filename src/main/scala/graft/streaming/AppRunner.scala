@@ -71,6 +71,10 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     metricSink.map(new Telemetry.BatchMetricsListener(_))
 
   def run(yamlOrJson: String): Map[String, DataFrame] = {
+    // one state-store provider for the WHOLE run, fixed before any part
+    // compiles — not flipped mid-run by the first timer-using part
+    // (see StatefulOps.ensureRocksDb)
+    StatefulOps.ensureRocksDb(spark)
     // the reference's `plugins` config entry (docs/plugins.md): a directory
     // of per-plugin subdirectories/jars, each its own classloader
     config.get("plugins").foreach(p =>
@@ -96,7 +100,7 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     metricSink = config.get("otlp.http").map(endpoint =>
       new Telemetry.OtlpMetricSink(endpoint, env.application,
         config.getOrElse("instance", java.util.UUID.randomUUID().toString),
-        Option(spec.get("version")).map(_.asText()).getOrElse(""), env.http))
+        appVersion, env.http))
     def instr(sub: String)(df: DataFrame): DataFrame =
       if (metricSink.isEmpty) df
       else df.observe(Telemetry.MetricPrefix + sub,
@@ -116,12 +120,23 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     // the part's SOURCE (offsets/files per trigger) and paces the sink
     // trigger — the Spark-native equivalent of the reference's
     // upstream backpressure.
-    def admission(part: JsonNode): Map[String, String] =
-      Option(part.get("pipeline")).toSeq.flatMap(Js.elems)
+    def admission(part: JsonNode): Map[String, String] = {
+      val stages = Option(part.get("pipeline")).toSeq.flatMap(Js.elems)
+      val throttle = stages
         .flatMap(st => Option(st.get("$throttle")))
         .flatMap(t => Option(t.get("maxPerSecond")))
         .map(_.asLong()).headOption
         .map(r => Map("maxPerSecond" -> r.toString)).getOrElse(Map.empty)
+      // event-time $delay: `lateness` (ms) bounds deliverAt disorder —
+      // the sink needs it to size the watermark
+      val lateness = stages
+        .flatMap(st => Option(st.get("$delay")))
+        .filter(_.has("deliverAt"))
+        .flatMap(d => Option(d.get("lateness")))
+        .map(_.asLong()).headOption
+        .map(l => Map("delayLateness" -> l.toString)).getOrElse(Map.empty)
+      throttle ++ lateness
+    }
 
     def resolveFrom(part: JsonNode): DataFrame =
       if (part.has("fromTopic"))

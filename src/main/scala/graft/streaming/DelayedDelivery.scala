@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
-import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+import org.apache.spark.sql.{Column, DataFrame, ForeachWriter, Row}
 import org.apache.spark.sql.functions._
 
 /** `$delay` redelivery (docs/aggregation_stages.md:118-159): the stage
@@ -15,25 +15,57 @@ import org.apache.spark.sql.functions._
   */
 object DelayedDelivery {
 
-  /** Does this part output carry `$delay` routing columns? */
-  def hasDelay(df: DataFrame): Boolean = df.columns.contains("_delay_ms")
+  private val Routing = Set("_delay_ms", "_deliver_at", "_topic")
+
+  /** Does this part output carry `$delay` routing columns?
+    * `_delay_ms` = processing-time delay (the reference's `duration`);
+    * `_deliver_at` = event-time delivery (engine `deliverAt` extension).
+    */
+  def hasDelay(df: DataFrame): Boolean =
+    df.columns.contains("_delay_ms") || df.columns.contains("_deliver_at")
 
   /** Rows without a delay, routing columns dropped. */
-  def immediate(df: DataFrame): DataFrame =
-    df.filter(col("_delay_ms").isNull).drop("_delay_ms", "_topic")
-
-  /** The delayed rows packed to (topic, delayMs, key, json). */
-  def packedDelayed(df: DataFrame): DataFrame = {
-    val payloadCols =
-      df.columns.filterNot(Set("_delay_ms", "_topic")).map(col)
-    val key =
-      if (df.columns.contains("_id")) col("_id").cast("string")
-      else lit(null).cast("string")
-    df.filter(col("_delay_ms").isNotNull)
-      .select(col("_topic").cast("string").as("topic"),
-        col("_delay_ms").cast("long").as("delayMs"),
-        key.as("key"), to_json(struct(payloadCols: _*)).as("json"))
+  def immediate(df: DataFrame): DataFrame = {
+    val conds = Seq("_delay_ms", "_deliver_at")
+      .filter(df.columns.contains).map(col(_).isNull)
+    conds.reduceOption(_ && _).fold(df)(df.filter)
+      .drop(Routing.toSeq: _*)
   }
+
+  private def packed(df: DataFrame, delayCol: String, as: Column*)
+      : DataFrame = {
+    // schemaless (key, value) message frames: the value IS the JSON text
+    // — wrapping it in a struct would redeliver an envelope, not the
+    // message (same contract as StreamIo.toKafkaShape)
+    val msg = MessagePipeline.isMessageShaped(df)
+    val payloadCols =
+      df.columns.filterNot(Routing ++ Set("__ord")).map(col)
+    val key =
+      if (msg) col("key").cast("string")
+      else if (df.columns.contains("_id")) col("_id").cast("string")
+      else lit(null).cast("string")
+    val json =
+      if (msg) col("value") else to_json(struct(payloadCols: _*))
+    df.filter(col(delayCol).isNotNull)
+      .select(col("_topic").cast("string").as("topic") +: as :+
+        key.as("key") :+ json.as("json"): _*)
+  }
+
+  /** The processing-time-delayed rows as (topic, delayMs, key, json),
+    * None when the frame carries no `_delay_ms` routing.
+    */
+  def packedDelayed(df: DataFrame): Option[DataFrame] =
+    if (!df.columns.contains("_delay_ms")) None
+    else Some(packed(df, "_delay_ms",
+      col("_delay_ms").cast("long").as("delayMs")))
+
+  /** The event-time-delayed rows as (topic, deliverAt, key, json),
+    * None when the frame carries no `_deliver_at` routing.
+    */
+  def packedEventDelayed(df: DataFrame): Option[DataFrame] =
+    if (!df.columns.contains("_deliver_at")) None
+    else Some(packed(df, "_deliver_at",
+      col("_deliver_at").cast("timestamp").as("deliverAt")))
 
   /** ForeachWriter over the timer-expired (topic, key, json) rows:
     * delivers immediately — the delay already elapsed in the stateful

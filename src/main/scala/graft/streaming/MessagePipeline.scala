@@ -22,7 +22,8 @@ object MessagePipeline {
   def isMessageShaped(df: DataFrame): Boolean = {
     val cols = df.columns.toSet
     cols.contains("value") && cols.contains("key") &&
-      cols.subsetOf(Set("key", "value", "__ord", "_topic", "_delay_ms")) &&
+      cols.subsetOf(Set("key", "value", "__ord", "_topic", "_delay_ms",
+        "_deliver_at")) &&
       df.schema("value").dataType == StringType
   }
 
@@ -140,8 +141,16 @@ object MessagePipeline {
       df.withColumn("value", check(col("value")))
     }
     case "$delay" => df =>
-      df.withColumn("_topic", lit(spec.get("topic").asText()))
-        .withColumn("_delay_ms", lit(spec.get("duration").asLong()))
+      // `deliverAt` (engine event-time extension — see op/Stages.scala)
+      // evaluates over the message value in schemaless mode too
+      if (spec.has("deliverAt"))
+        df.withColumn("_topic", lit(spec.get("topic").asText()))
+          .withColumn("_deliver_at",
+            ExprCompiler.compile(spec.get("deliverAt"), ctxOf(df))
+              .cast(TimestampType))
+      else
+        df.withColumn("_topic", lit(spec.get("topic").asText()))
+          .withColumn("_delay_ms", lit(spec.get("duration").asLong()))
     case "$http" => df => {
       // variant expressions compute the call args; the response splices
       // INTO the message (`as` / httpError paths) — schemaless messages

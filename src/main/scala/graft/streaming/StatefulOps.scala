@@ -27,13 +27,26 @@ object StatefulOps {
 
   /** `transformWithState` needs a multi-column-family store — RocksDB
     * (also the right call at 100 TB: off-heap state, incremental
-    * checkpoints). Set as the session's streaming state backend before
-    * the query starts.
+    * checkpoints). Set as the session's streaming state backend when the
+    * user hasn't configured one EXPLICITLY — an explicit choice is
+    * respected (an incompatible one fails the transformWithState query
+    * with Spark's own error, rather than us silently flipping the
+    * backend under checkpoints that were written with it).
+    *
+    * `AppRunner.run` calls this once at entry, so every query of a run
+    * uses ONE provider regardless of which parts use timers and in what
+    * order they compile — a mid-run flip would strand earlier queries'
+    * checkpoints on a different state format than a restart would pick.
     */
-  def ensureRocksDb(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider")
+  def ensureRocksDb(spark: SparkSession): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    // RuntimeConfig.get with a fallback returns the EXPLICIT value only
+    // (the registered default doesn't shadow the fallback)
+    if (spark.conf.get(key, "").isEmpty)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+  }
 
   /** Does this plan contain a processing-time transformWithState stage?
     * Such queries NEVER latch `processAllAvailable`'s no-new-data flag —
@@ -133,6 +146,30 @@ object StatefulOps {
         TimeMode.ProcessingTime(), OutputMode.Append())
       .toDF("topic", "key", "json")
   }
+
+  /** Event-time `$delay` (`deliverAt` comes from the DATA): timers fire
+    * when the WATERMARK passes each row's deliverAt, so a replay of the
+    * same input redelivers identically — processing-time delay is
+    * wall-clock and drifts between runs. The watermark rides the
+    * deliverAt column itself; rows whose deliverAt lags the max seen by
+    * more than `latenessMs` are late data (event-time semantics, dropped
+    * like any event-time operator would).
+    */
+  def delayViaEventTimers(packed: DataFrame, latenessMs: Long): DataFrame = {
+    val spark = packed.sparkSession
+    ensureRocksDb(spark)
+    import spark.implicits._
+    packed
+      .select(expr("uuid()").as("__uid"), col("topic"),
+        col("deliverAt").cast("timestamp").as("deliverAt"),
+        col("key"), col("json"))
+      .withWatermark("deliverAt", s"$latenessMs milliseconds")
+      .as[(String, String, java.sql.Timestamp, String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new EventDelayProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("topic", "key", "json")
+  }
 }
 
 /** One boolean per dedup key; `cacheWindow` becomes state TTL (entries
@@ -225,6 +262,40 @@ final class DelayProcessor extends StatefulProcessor[
     rows.foreach { case (_, topic, delayMs, k, json) =>
       pending.update((topic, k, json))
       getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + delayMs)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: String, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(String, String, String)] = {
+    val out =
+      if (pending.exists()) Iterator.single(pending.get())
+      else Iterator.empty
+    pending.clear()
+    out
+  }
+}
+
+/** Event-time `$delay` parking state: payload per unique row key, one
+  * EVENT-TIME timer at the row's own deliverAt — it fires when the
+  * watermark passes that instant, which depends only on the DATA.
+  */
+final class EventDelayProcessor extends StatefulProcessor[
+  String, (String, String, java.sql.Timestamp, String, String),
+  (String, String, String)] {
+  @transient private var pending: ValueState[(String, String, String)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    pending = getHandle.getValueState("pending",
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, String, java.sql.Timestamp, String, String)],
+      tv: TimerValues): Iterator[(String, String, String)] = {
+    rows.foreach { case (_, topic, at, k, json) =>
+      pending.update((topic, k, json))
+      getHandle.registerTimer(at.getTime)
     }
     Iterator.empty
   }

@@ -67,11 +67,10 @@ final class KafkaIo(bootstrap: String,
         s"$checkpointRoot/${sanitize(partId)}-$kind-${sanitize(name)}"
       else s"$checkpointRoot/${sanitize(name)}-${sinkSeq.incrementAndGet()}"
     // rows stamped by $delay redeliver onto their _topic after the
-    // duration instead of going to the part's sink topic
-    val (now, delayed) =
-      if (DelayedDelivery.hasDelay(df))
-        (DelayedDelivery.immediate(df), Some(DelayedDelivery.packedDelayed(df)))
-      else (df, None)
+    // duration (or at their event-time deliverAt) instead of going to
+    // the part's sink topic
+    val now =
+      if (DelayedDelivery.hasDelay(df)) DelayedDelivery.immediate(df) else df
     val out = toKafkaShape(now, asString)
     val writer = out.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
@@ -85,11 +84,21 @@ final class KafkaIo(bootstrap: String,
       .start()
     // engine-native delay: state + timers in the checkpoint (crash-safe),
     // expiry emits the row and the writer produces it immediately
-    delayed.foreach(d => StatefulOps.delayViaTimers(d).writeStream
-      .foreach(new DelayedDelivery.ImmediateWriter(
-        new DelayedDelivery.KafkaTransport(bootstrap)))
-      .option("checkpointLocation", s"$ckpt-delay")
-      .start())
+    DelayedDelivery.packedDelayed(df).foreach(d =>
+      StatefulOps.delayViaTimers(d).writeStream
+        .foreach(new DelayedDelivery.ImmediateWriter(
+          new DelayedDelivery.KafkaTransport(bootstrap)))
+        .option("checkpointLocation", s"$ckpt-delay")
+        .start())
+    // event-time deliverAt rows ride watermark timers (replay-
+    // deterministic); lateness comes from the stage spec via options
+    DelayedDelivery.packedEventDelayed(df).foreach(d =>
+      StatefulOps.delayViaEventTimers(d,
+        options.getOrElse("delayLateness", "0").toLong).writeStream
+        .foreach(new DelayedDelivery.ImmediateWriter(
+          new DelayedDelivery.KafkaTransport(bootstrap)))
+        .option("checkpointLocation", s"$ckpt-edelay")
+        .start())
   }
 
   /** Kafka sink shape: key from `_key`/`key`/`_id`, value = JSON of the
@@ -99,7 +108,8 @@ final class KafkaIo(bootstrap: String,
     */
   private[graft] def toKafkaShape(df: DataFrame,
       asString: Boolean): DataFrame = {
-    val routing = Set("key", "_key", "_topic", "_delay_ms", "__ord")
+    val routing =
+      Set("key", "_key", "_topic", "_delay_ms", "_deliver_at", "__ord")
     val isMessage = df.columns.contains("value") &&
       df.schema("value").dataType == org.apache.spark.sql.types.StringType &&
       df.columns.forall(c => c == "value" || routing.contains(c))
@@ -109,7 +119,7 @@ final class KafkaIo(bootstrap: String,
       else if (df.columns.contains("_id")) col("_id").cast("string")
       else lit(null).cast("string")
     val payloadCols = df.columns.filterNot(
-      Set("_key", "_topic", "_delay_ms", "__ord"))
+      Set("_key", "_topic", "_delay_ms", "_deliver_at", "__ord"))
     val value =
       if (isMessage) col("value")
       else to_json(struct(payloadCols.map(col): _*))
@@ -179,13 +189,26 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
       start(name, DelayedDelivery.immediate(df))
       // redelivery loops through the topic's source directory: the
       // delayed message becomes a new input file after its duration
-      val delayed = StatefulOps.delayViaTimers(DelayedDelivery.packedDelayed(df))
-      val q = delayed.writeStream
-        .foreach(new DelayedDelivery.ImmediateWriter(
-          new DelayedDelivery.FileTransport(root)))
-        .start()
-      track(delayed, q)
-      queries += s"$name#delay" -> q
+      DelayedDelivery.packedDelayed(df).foreach { packed =>
+        val delayed = StatefulOps.delayViaTimers(packed)
+        val q = delayed.writeStream
+          .foreach(new DelayedDelivery.ImmediateWriter(
+            new DelayedDelivery.FileTransport(root)))
+          .start()
+        track(delayed, q)
+        queries += s"$name#delay" -> q
+      }
+      // event-time deliverAt rows: watermark timers, data-driven delivery
+      DelayedDelivery.packedEventDelayed(df).foreach { packed =>
+        val delayed = StatefulOps.delayViaEventTimers(packed,
+          options.getOrElse("delayLateness", "0").toLong)
+        val q = delayed.writeStream
+          .foreach(new DelayedDelivery.ImmediateWriter(
+            new DelayedDelivery.FileTransport(root)))
+          .start()
+        track(delayed, q)
+        queries += s"$name#edelay" -> q
+      }
     } else start(name, df)
 
   /** Queries with processing-time timers/TTL never latch

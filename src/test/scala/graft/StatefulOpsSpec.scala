@@ -66,6 +66,88 @@ class StatefulOpsSpec extends AnyFunSuite {
     io.stopAll()
   }
 
+  test("event-time $delay delivers on watermark advance, not wall clock") {
+    // deliverAt comes from the DATA: a row is delivered when the
+    // WATERMARK (max deliverAt seen − lateness) passes its deliverAt.
+    // The test never sleeps for a delay — delivery is driven purely by
+    // feeding later-timestamped rows, which is what makes a replay
+    // deterministic.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L // fixed epoch ms — nothing reads the clock
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
+    val in = MemoryStream[(String, java.sql.Timestamp, String, String)]
+    DelayCapture.buf.clear()
+    // lateness 60 s: the watermark trails the max seen deliverAt by a
+    // minute, so rows near the head of event time stay parked until
+    // LATER data pushes the watermark past them
+    val q = graft.streaming.StatefulOps.delayViaEventTimers(
+      in.toDF().toDF("topic", "deliverAt", "key", "json"),
+      latenessMs = 60000)
+      .writeStream
+      .foreach(new graft.streaming.DelayedDelivery.ImmediateWriter(
+        (t, k, j) => DelayCapture.buf.add((t, k, j))))
+      .start()
+    def delivered: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      DelayCapture.buf.iterator().asScala.toSeq
+        .filter(_._1 == "et").map(_._2).toSet
+    }
+    try {
+      // batch 1: A due +0s, B due +300s → watermark +240s: A fires,
+      // B stays parked
+      in.addData(("et", ts(0), "A", "{}"), ("et", ts(300), "B", "{}"))
+      q.processAllAvailable()
+      assert(delivered == Set("A"), s"after wm=+240s: $delivered")
+      // wall clock passing does NOT deliver B — only data can
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      assert(delivered == Set("A"), s"wall clock delivered: $delivered")
+      // batch 2: C due +400s → watermark +340s: B fires, C stays parked
+      in.addData(("et", ts(400), "C", "{}"))
+      q.processAllAvailable()
+      assert(delivered == Set("A", "B"), s"after wm=+340s: $delivered")
+    } finally q.stop()
+  }
+
+  test("$delay deliverAt end-to-end: watermark-due rows redeliver to the topic") {
+    val dir = Files.createTempDirectory("graft-edelay").toString
+    Files.createDirectories(Paths.get(s"$dir/ein"))
+    // a due at 00:00, b due at 01:00: after the drain the watermark sits
+    // at b's instant (lateness 0), so BOTH are due and redeliver; the
+    // due times come from the data, not the clock
+    Files.writeString(Paths.get(s"$dir/ein/m1.json"),
+      """{"_id":"a","at":"2024-01-01T00:00:00Z"}""")
+    Files.writeString(Paths.get(s"$dir/ein/m2.json"),
+      """{"_id":"b","at":"2024-01-01T01:00:00Z"}""")
+    val io = new FileStreamIo(dir, Map.empty)
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"ed","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"ein",
+            "toTopic":"eunused",
+            "pipeline":[{"$delay":{"topic":"eretry",
+                                   "deliverAt":{"$toDate":"$at"}}}]}]}""")
+    val deadline = System.currentTimeMillis() + 30000
+    def redelivered: Seq[String] = {
+      val d = Paths.get(s"$dir/eretry")
+      if (!Files.exists(d)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(d).iterator().asScala.toSeq
+          .map(Files.readString(_))
+      }
+    }
+    while (redelivered.size < 2 && System.currentTimeMillis() < deadline) {
+      io.processAll()
+      Thread.sleep(200)
+    }
+    io.stopAll()
+    val ids = redelivered
+      .map(j => graft.json.Js.parse(j).get("_id").asText()).sorted
+    assert(ids == Seq("a", "b"), s"redelivered: $redelivered")
+  }
+
   test("$delay survives a crash: parked row redelivers from the checkpoint") {
     // The timer-pool design lost in-flight delays on a crash (the
     // reference's documented caveat). With transformWithState the parked

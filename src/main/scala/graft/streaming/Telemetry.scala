@@ -220,6 +220,13 @@ object Telemetry {
           }
         }
       }
+      // watermark-dropped rows (late event-time data — e.g. a $delay
+      // deliverAt behind the watermark) are silent loss unless exported:
+      // surface them as a counter. State operators are per query (no
+      // cross-query double count); the numbers are per batch.
+      val lateDropped = event.progress.stateOperators
+        .map(_.numRowsDroppedByWatermark).sum
+      if (lateDropped > 0) sink.addMessages("late.dropped", lateDropped)
       val now = System.currentTimeMillis()
       if (now - lastFlush >= intervalMillis) { lastFlush = now; sink.flush() }
     }

@@ -224,11 +224,15 @@ object Stages {
             case _: NumericType => timestamp_millis(c.cast("long"))
             case _ => c.cast("timestamp")
           }
-          df.withColumn("_topic", lit(spec.get("topic").asText()))
+          // a later $delay REPLACES an earlier one — both kinds armed
+          // would redeliver every row twice
+          df.drop("_delay_ms", "_deliver_at")
+            .withColumn("_topic", lit(spec.get("topic").asText()))
             .withColumn("_deliver_at", at)
         }
       else
-        df => df.withColumn("_topic", lit(spec.get("topic").asText()))
+        df => df.drop("_delay_ms", "_deliver_at")
+          .withColumn("_topic", lit(spec.get("topic").asText()))
           .withColumn("_delay_ms", lit(spec.get("duration").asLong()))
     // $throttle (docs/aggregation_stages.md:787-802): rate control maps to
     // source admission (maxOffsetsPerTrigger/trigger sizing), not a row

@@ -120,20 +120,42 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     // the part's SOURCE (offsets/files per trigger) and paces the sink
     // trigger — the Spark-native equivalent of the reference's
     // upstream backpressure.
-    def admission(part: JsonNode): Map[String, String] = {
-      val stages = Option(part.get("pipeline")).toSeq.flatMap(Js.elems)
-      val throttle = stages
-        .flatMap(st => Option(st.get("$throttle")))
-        .flatMap(t => Option(t.get("maxPerSecond")))
-        .map(_.asLong()).headOption
-        .map(r => Map("maxPerSecond" -> r.toString)).getOrElse(Map.empty)
-      // event-time $delay: `lateness` (ms) bounds deliverAt disorder —
-      // the sink needs it to size the watermark
-      val lateness = stages
+    val partByName: Map[String, JsonNode] =
+      parts.flatMap(p => Option(p.get("name")).map(_.asText() -> p)).toMap
+
+    // event-time $delay: `lateness` (ms) bounds deliverAt disorder — the
+    // SINK that finally sees the `_deliver_at` frame sizes the watermark
+    // with it, and that sink can be a DOWNSTREAM part's (fromStream
+    // pass-through keeps the routing columns), so walk the upstream chain
+    // to the part whose $delay stamped it
+    def delayLateness(part: JsonNode,
+        seen: Set[String] = Set.empty): Option[Long] = {
+      val own = Option(part.get("pipeline")).toSeq.flatMap(Js.elems)
         .flatMap(st => Option(st.get("$delay")))
         .filter(_.has("deliverAt"))
         .flatMap(d => Option(d.get("lateness")))
         .map(_.asLong()).headOption
+      own.orElse {
+        val ups = Seq("fromStream").flatMap(f =>
+          Option(part.get(f)).map(_.asText())) ++
+          Seq("left", "right").flatMap(s =>
+            Option(part.get(s)).flatMap(side =>
+              Option(side.get("fromStream")).map(_.asText()))) ++
+          (if (part.has("fromStreams"))
+            Js.elems(part.get("fromStreams")).map(_.asText())
+          else Nil)
+        ups.filterNot(seen).flatMap(n => partByName.get(n)
+          .flatMap(p => delayLateness(p, seen + n))).headOption
+      }
+    }
+
+    def admission(part: JsonNode): Map[String, String] = {
+      val throttle = Option(part.get("pipeline")).toSeq.flatMap(Js.elems)
+        .flatMap(st => Option(st.get("$throttle")))
+        .flatMap(t => Option(t.get("maxPerSecond")))
+        .map(_.asLong()).headOption
+        .map(r => Map("maxPerSecond" -> r.toString)).getOrElse(Map.empty)
+      val lateness = delayLateness(part)
         .map(l => Map("delayLateness" -> l.toString)).getOrElse(Map.empty)
       throttle ++ lateness
     }
@@ -159,9 +181,25 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
       val partId = Option(part.get("name")).map(_.asText()).getOrElse("")
       // each sink applies the thunk itself: toTopic + toCollection on one
       // part are two queries and must not share a plan instance
-      if (part.has("toTopic"))
-        io.sink("topic", part.get("toTopic").asText(), df(), asString, partId,
-          admission(part))
+      if (part.has("toTopic")) {
+        val topic = part.get("toTopic").asText()
+        val probe = df()
+        if (probe.isStreaming && DelayedDelivery.hasDelay(probe)) {
+          // $delay splits the sink into 2-3 queries (immediate + the
+          // delay kinds present); each gets a FRESH compile — starting
+          // them from one shared plan would race any transformWithState
+          // stage the pipeline also carries (one processor instance,
+          // several per-start inits)
+          val branches = Seq("immediate") ++
+            (if (probe.columns.contains("_delay_ms")) Seq("delay")
+            else Nil) ++
+            (if (probe.columns.contains("_deliver_at")) Seq("edelay")
+            else Nil)
+          branches.foreach(b => io.sink("topic", topic, df(), asString,
+            partId, admission(part) + ("delayBranch" -> b)))
+        } else
+          io.sink("topic", topic, probe, asString, partId, admission(part))
+      }
       if (part.has("toCollection"))
         io.sink("collection", part.get("toCollection").asText(), df(),
           asString, partId, admission(part))

@@ -140,17 +140,27 @@ object MessagePipeline {
       })
       df.withColumn("value", check(col("value")))
     }
-    case "$delay" => df =>
+    case "$delay" => df => {
+      // a later $delay REPLACES an earlier one (routing columns cleared —
+      // leaving both kinds armed would redeliver every row twice)
+      val base = df.drop("_delay_ms", "_deliver_at")
       // `deliverAt` (engine event-time extension — see op/Stages.scala)
       // evaluates over the message value in schemaless mode too
-      if (spec.has("deliverAt"))
-        df.withColumn("_topic", lit(spec.get("topic").asText()))
-          .withColumn("_deliver_at",
-            ExprCompiler.compile(spec.get("deliverAt"), ctxOf(df))
-              .cast(TimestampType))
-      else
-        df.withColumn("_topic", lit(spec.get("topic").asText()))
+      if (spec.has("deliverAt")) {
+        val c = ExprCompiler.compile(spec.get("deliverAt"), ctxOf(df))
+        // numeric deliverAt = epoch MILLIS (a bare cast would read it as
+        // seconds — same guard as the typed path)
+        val at = (try df.select(c).schema.head.dataType
+          catch { case _: Exception => NullType }) match {
+          case _: NumericType => timestamp_millis(c.cast("long"))
+          case _ => c.cast(TimestampType)
+        }
+        base.withColumn("_topic", lit(spec.get("topic").asText()))
+          .withColumn("_deliver_at", at)
+      } else
+        base.withColumn("_topic", lit(spec.get("topic").asText()))
           .withColumn("_delay_ms", lit(spec.get("duration").asLong()))
+    }
     case "$http" => df => {
       // variant expressions compute the call args; the response splices
       // INTO the message (`as` / httpError paths) — schemaless messages

@@ -174,15 +174,24 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
         val files = onlyBuckets.fold(m.live)(bs => m.live.view
             .filterKeys(bs).toMap)
           .values.flatten.map(f => s"${dir(name)}/$f").toSeq
-        if (files.isEmpty)
+        if (files.isEmpty) {
           // empty live set (e.g. delete-all): the retired files are
           // STILL on disk for their grace generation — an empty frame of
           // the recorded schema, never a directory fallback that would
-          // resurrect them
-          m.schema.map(s => spark.createDataFrame(
+          // resurrect them. A pre-schema-field manifest (older build)
+          // recovers the schema from the retired files' own footers.
+          val schema = m.schema.orElse {
+            val retired = m.retired.map(f => s"${dir(name)}/$f")
+              .filter(f => Files.exists(Paths.get(f)))
+            if (retired.isEmpty) None
+            else Some(spark.read.option("basePath", dir(name))
+              .parquet(retired: _*).schema.json)
+          }
+          schema.map(s => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.DataType.fromJson(s)
               .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        }
         else Some(spark.read.option("basePath", dir(name))
           .parquet(files: _*))
       case None => // pre-manifest or legacy-flat directory

@@ -68,37 +68,48 @@ final class KafkaIo(bootstrap: String,
       else s"$checkpointRoot/${sanitize(name)}-${sinkSeq.incrementAndGet()}"
     // rows stamped by $delay redeliver onto their _topic after the
     // duration (or at their event-time deliverAt) instead of going to
-    // the part's sink topic
-    val now =
-      if (DelayedDelivery.hasDelay(df)) DelayedDelivery.immediate(df) else df
-    val out = toKafkaShape(now, asString)
-    val writer = out.writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", name)
-      .option("checkpointLocation", ckpt)
-    // paced trigger: with maxOffsetsPerTrigger at the source this makes
-    // the admission cap an actual msgs/second rate
-    options.get("maxPerSecond")
-      .fold(writer)(_ => writer.trigger(
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")))
-      .start()
+    // the part's sink topic. `delayBranch` (AppRunner) narrows this call
+    // to ONE of the queries: a part whose pipeline also has a
+    // transformWithState stage must not start several queries over one
+    // compiled plan (the embedded StatefulProcessor instance races its
+    // per-start init) — the runner calls once per branch with a fresh
+    // compile. Absent (direct Io users), all branches start from this df.
+    val branch = options.get("delayBranch")
+    if (branch.forall(_ == "immediate")) {
+      val now =
+        if (DelayedDelivery.hasDelay(df)) DelayedDelivery.immediate(df)
+        else df
+      val out = toKafkaShape(now, asString)
+      val writer = out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", name)
+        .option("checkpointLocation", ckpt)
+      // paced trigger: with maxOffsetsPerTrigger at the source this makes
+      // the admission cap an actual msgs/second rate
+      options.get("maxPerSecond")
+        .fold(writer)(_ => writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")))
+        .start()
+    }
     // engine-native delay: state + timers in the checkpoint (crash-safe),
     // expiry emits the row and the writer produces it immediately
-    DelayedDelivery.packedDelayed(df).foreach(d =>
-      StatefulOps.delayViaTimers(d).writeStream
-        .foreach(new DelayedDelivery.ImmediateWriter(
-          new DelayedDelivery.KafkaTransport(bootstrap)))
-        .option("checkpointLocation", s"$ckpt-delay")
-        .start())
+    if (branch.forall(_ == "delay"))
+      DelayedDelivery.packedDelayed(df).foreach(d =>
+        StatefulOps.delayViaTimers(d).writeStream
+          .foreach(new DelayedDelivery.ImmediateWriter(
+            new DelayedDelivery.KafkaTransport(bootstrap)))
+          .option("checkpointLocation", s"$ckpt-delay")
+          .start())
     // event-time deliverAt rows ride watermark timers (replay-
     // deterministic); lateness comes from the stage spec via options
-    DelayedDelivery.packedEventDelayed(df).foreach(d =>
-      StatefulOps.delayViaEventTimers(d,
-        options.getOrElse("delayLateness", "0").toLong).writeStream
-        .foreach(new DelayedDelivery.ImmediateWriter(
-          new DelayedDelivery.KafkaTransport(bootstrap)))
-        .option("checkpointLocation", s"$ckpt-edelay")
-        .start())
+    if (branch.forall(_ == "edelay"))
+      DelayedDelivery.packedEventDelayed(df).foreach(d =>
+        StatefulOps.delayViaEventTimers(d,
+          options.getOrElse("delayLateness", "0").toLong).writeStream
+          .foreach(new DelayedDelivery.ImmediateWriter(
+            new DelayedDelivery.KafkaTransport(bootstrap)))
+          .option("checkpointLocation", s"$ckpt-edelay")
+          .start())
   }
 
   /** Kafka sink shape: key from `_key`/`key`/`_id`, value = JSON of the
@@ -186,29 +197,35 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
       asString: Boolean, partId: String = "",
       options: Map[String, String] = Map.empty): Unit =
     if (df.isStreaming && DelayedDelivery.hasDelay(df)) {
-      start(name, DelayedDelivery.immediate(df))
+      // `delayBranch` narrows to one query per call (fresh plan per
+      // branch — see the Kafka sink's note on the shared-processor race)
+      val branch = options.get("delayBranch")
+      if (branch.forall(_ == "immediate"))
+        start(name, DelayedDelivery.immediate(df))
       // redelivery loops through the topic's source directory: the
       // delayed message becomes a new input file after its duration
-      DelayedDelivery.packedDelayed(df).foreach { packed =>
-        val delayed = StatefulOps.delayViaTimers(packed)
-        val q = delayed.writeStream
-          .foreach(new DelayedDelivery.ImmediateWriter(
-            new DelayedDelivery.FileTransport(root)))
-          .start()
-        track(delayed, q)
-        queries += s"$name#delay" -> q
-      }
+      if (branch.forall(_ == "delay"))
+        DelayedDelivery.packedDelayed(df).foreach { packed =>
+          val delayed = StatefulOps.delayViaTimers(packed)
+          val q = delayed.writeStream
+            .foreach(new DelayedDelivery.ImmediateWriter(
+              new DelayedDelivery.FileTransport(root)))
+            .start()
+          track(delayed, q)
+          queries += s"$name#delay" -> q
+        }
       // event-time deliverAt rows: watermark timers, data-driven delivery
-      DelayedDelivery.packedEventDelayed(df).foreach { packed =>
-        val delayed = StatefulOps.delayViaEventTimers(packed,
-          options.getOrElse("delayLateness", "0").toLong)
-        val q = delayed.writeStream
-          .foreach(new DelayedDelivery.ImmediateWriter(
-            new DelayedDelivery.FileTransport(root)))
-          .start()
-        track(delayed, q)
-        queries += s"$name#edelay" -> q
-      }
+      if (branch.forall(_ == "edelay"))
+        DelayedDelivery.packedEventDelayed(df).foreach { packed =>
+          val delayed = StatefulOps.delayViaEventTimers(packed,
+            options.getOrElse("delayLateness", "0").toLong)
+          val q = delayed.writeStream
+            .foreach(new DelayedDelivery.ImmediateWriter(
+              new DelayedDelivery.FileTransport(root)))
+            .start()
+          track(delayed, q)
+          queries += s"$name#edelay" -> q
+        }
     } else start(name, df)
 
   /** Queries with processing-time timers/TTL never latch

@@ -197,6 +197,10 @@ object Telemetry {
       * counted from exactly ONE query: the first to report it owns it
       * (released on termination, so a restart re-claims and the
       * cumulative counter keeps growing from one owner at a time).
+      * Approximation at handoff: a successor claims from its OWN stream
+      * position, so the owner-death gap can over- or under-count the
+      * in-flight range — exact while an owner lives, which is the
+      * steady state.
       */
     private val owners =
       new java.util.concurrent.ConcurrentHashMap[String, java.util.UUID]()
@@ -222,11 +226,15 @@ object Telemetry {
       }
       // watermark-dropped rows (late event-time data — e.g. a $delay
       // deliverAt behind the watermark) are silent loss unless exported:
-      // surface them as a counter. State operators are per query (no
-      // cross-query double count); the numbers are per batch.
+      // surface them as a counter, per batch. Several consumer queries
+      // embed the same part's plan and each drops its own copy of a late
+      // row — the same ownership rule keeps the counter 1x (the logical
+      // message was lost once).
       val lateDropped = event.progress.stateOperators
         .map(_.numRowsDroppedByWatermark).sum
-      if (lateDropped > 0) sink.addMessages("late.dropped", lateDropped)
+      if (lateDropped > 0 &&
+          owners.computeIfAbsent("late.dropped", _ => rid) == rid)
+        sink.addMessages("late.dropped", lateDropped)
       val now = System.currentTimeMillis()
       if (now - lastFlush >= intervalMillis) { lastFlush = now; sink.flush() }
     }
@@ -250,6 +258,10 @@ object Telemetry {
       * action (`isEmpty`, `limit` probes) reports a PARTIAL count. Feed
       * the max-so-far per counter: a full recompute tops the counter up
       * to the true total once, re-executions and partial scans add 0.
+      * Consequence: observation names must be unique per run (they are —
+      * part names are unique, and one aggregate type = one part); two
+      * distinct plans sharing a name would have the smaller count
+      * swallowed by the max.
       */
     private val seen =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()

@@ -55,6 +55,26 @@ class CollectionSnapshotSpec extends AnyFunSuite {
     assert(io.source(spark, "collection", "c").count() == 1)
   }
 
+  test("an emptied collection with a pre-schema manifest still reads empty") {
+    // manifests written by older builds have no schema field: recover
+    // the schema from the retired files' own footers instead of falling
+    // back to a directory scan (which would resurrect the deleted rows)
+    val root = Files.createTempDirectory("graft-snap4").toString
+    val io = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+    import spark.implicits._
+    io.upsert("c", (0 until 10).map(i => (s"id$i", i)).toDF("_id", "v"))
+    io.delete("c", (0 until 10).map(i => Tuple1(s"id$i")).toDF("_id"),
+      Seq("_id"))
+    val mf = Paths.get(s"$root/c/__manifest")
+    val n = graft.json.Js.parse(Files.readString(mf))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    n.remove("schema")
+    Files.writeString(mf, graft.json.Js.render(n))
+    val read = io.source(spark, "collection", "c")
+    assert(read.count() == 0, "resurrected rows from a pre-schema manifest")
+    assert(read.columns.toSet == Set("_id", "v"))
+  }
+
   test("concurrent reads during continuous writes never fail or tear") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

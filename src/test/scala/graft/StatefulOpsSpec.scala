@@ -148,6 +148,49 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(ids == Seq("a", "b"), s"redelivered: $redelivered")
   }
 
+  test("$deduplicate + $delay in one part: sink branches get fresh plans") {
+    // the part's sink splits into an immediate and a delayed query; both
+    // embed the pipeline's DedupProcessor — starting them from ONE
+    // compiled plan races the processor's per-start init
+    // (STATEFUL_PROCESSOR_DUPLICATE_STATE_VARIABLE_DEFINED), so the
+    // runner must hand each branch its own compile
+    val dir = Files.createTempDirectory("graft-dd").toString
+    Files.createDirectories(Paths.get(s"$dir/ddin"))
+    Files.writeString(Paths.get(s"$dir/ddin/m1.json"),
+      """{"_id":"a","corr":"c1","at":"2024-01-01T00:00:00Z"}""")
+    Files.writeString(Paths.get(s"$dir/ddin/m2.json"),
+      """{"_id":"b","corr":"c1","at":"2024-01-01T01:00:00Z"}""")
+    val io = new FileStreamIo(dir, Map.empty)
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"dd","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"ddin",
+            "toTopic":"ddunused",
+            "pipeline":[{"$deduplicate":{"expression":"$corr"}},
+                        {"$delay":{"topic":"ddretry",
+                                   "deliverAt":{"$toDate":"$at"}}}]}]}""")
+    val deadline = System.currentTimeMillis() + 30000
+    def redelivered: Seq[String] = {
+      val d = Paths.get(s"$dir/ddretry")
+      if (!Files.exists(d)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(d).iterator().asScala.toSeq.map(Files.readString(_))
+      }
+    }
+    while (redelivered.isEmpty && System.currentTimeMillis() < deadline) {
+      io.processAll()
+      Thread.sleep(200)
+    }
+    io.stopAll()
+    // dedup keeps exactly ONE corr=c1 message (within-batch arrival
+    // order is not deterministic, so either may survive); its deliverAt
+    // is the surviving stream's max, so the drain delivers it
+    val ids = redelivered
+      .map(j => graft.json.Js.parse(j).get("_id").asText()).sorted
+    assert(ids.size == 1 && Set("a", "b")(ids.head),
+      s"redelivered: $redelivered")
+  }
+
   test("$delay survives a crash: parked row redelivers from the checkpoint") {
     // The timer-pool design lost in-flight delays on a crash (the
     // reference's documented caveat). With transformWithState the parked

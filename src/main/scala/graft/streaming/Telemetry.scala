@@ -111,6 +111,16 @@ object Telemetry {
     def addStart(): Unit = { starts.incrementAndGet(); () }
     def addStop(): Unit = { stops.incrementAndGet(); () }
 
+    /** Point-in-time state-store size per stateful operator (GAUGES, not
+      * sums): makes unbounded-state regressions visible in the same feed
+      * as the message counters.
+      */
+    private val state =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    def setState(operator: String, rows: Long, bytes: Long): Unit = {
+      state.put(operator, (rows, bytes)); ()
+    }
+
     private def attr(key: String, value: String): String =
       s"""{"key":${jstr(key)},"value":{"stringValue":${jstr(value)}}}"""
 
@@ -130,16 +140,30 @@ object Telemetry {
          |"dataPoints":[${points.mkString(",")}]}}""".stripMargin
         .replace("\n", "")
 
+    private def gauge(name: String, points: Seq[String]): String =
+      s"""{"name":${jstr(name)},"unit":"1","gauge":{
+         |"dataPoints":[${points.mkString(",")}]}}""".stripMargin
+        .replace("\n", "")
+
     /** One cumulative export request carrying every counter. */
     def flush(): Unit = {
       import scala.jdk.CollectionConverters._
       val msgPoints = messages.asScala.toSeq.sortBy(_._1).map {
         case (partSub, n) => point(n, "," + attr("part", partSub))
       }
-      val metrics = Seq(
+      val stateSnap = state.asScala.toSeq.sortBy(_._1)
+      val stateMetrics =
+        if (stateSnap.isEmpty) Nil
+        else Seq(
+          gauge("json_streams.state_rows", stateSnap.map { case (op, s) =>
+            point(s._1, "," + attr("operator", op)) }),
+          gauge("json_streams.state_bytes", stateSnap.map { case (op, s) =>
+            point(s._2, "," + attr("operator", op)) }))
+      val metrics = (Seq(
         counter("json_streams.messages", msgPoints),
         counter("json_streams.starts", Seq(point(starts.get(), ""))),
-        counter("json_streams.stops", Seq(point(stops.get(), ""))))
+        counter("json_streams.stops", Seq(point(stops.get(), "")))) ++
+        stateMetrics)
         .filter(_.contains("asInt")) // drop the messages counter pre-traffic
       val body =
         s"""{"resourceMetrics":[{"resource":{"attributes":[
@@ -235,14 +259,41 @@ object Telemetry {
       if (lateDropped > 0 &&
           owners.computeIfAbsent("late.dropped", _ => rid) == rid)
         sink.addMessages("late.dropped", lateDropped)
+      // state-store size per operator, summed over the queries holding
+      // that operator (each query's state is real, distinct state — no
+      // ownership here) — the unbounded-state early-warning gauge
+      val ops = event.progress.stateOperators
+        .map(so => so.operatorName -> (so.numRowsTotal, so.memoryUsedBytes))
+        .toMap
+      if (ops.nonEmpty) { stateByQuery.put(rid, ops); publishState() }
       val now = System.currentTimeMillis()
       if (now - lastFlush >= intervalMillis) { lastFlush = now; sink.flush() }
     }
 
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
       owners.values.removeIf(_ == event.runId)
+      if (stateByQuery.remove(event.runId) != null) publishState()
       sink.addStop()
       sink.flush()
+    }
+
+    private val stateByQuery = new java.util.concurrent.ConcurrentHashMap[
+      java.util.UUID, Map[String, (Long, Long)]]()
+    @volatile private var publishedOps = Set.empty[String]
+
+    private def publishState(): Unit = {
+      import scala.jdk.CollectionConverters._
+      val current = stateByQuery.values.asScala.toSeq.flatten
+        .groupBy(_._1).map { case (op, kvs) =>
+          op -> (kvs.map(_._2._1).sum, kvs.map(_._2._2).sum)
+        }
+      current.foreach { case (op, (rows, bytes)) =>
+        sink.setState(op, rows, bytes)
+      }
+      // a terminated query's operators zero out rather than lingering at
+      // their last value
+      (publishedOps -- current.keySet).foreach(sink.setState(_, 0, 0))
+      publishedOps = current.keySet
     }
   }
 

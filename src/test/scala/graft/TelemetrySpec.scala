@@ -236,6 +236,54 @@ class TelemetrySpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("stateful operators export state_rows gauges") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-otlpg").toString
+    Files.createDirectories(Paths.get(s"$dir/gin"))
+    val posts =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val http: HttpTransport = (_, url, _, body) => {
+      posts.add((url, body)); HttpResult(200, "{}")
+    }
+    val io = new graft.streaming.FileStreamIo(dir, Map.empty)
+    val runner = new AppRunner(spark, io,
+      graft.op.Env(spark).copy(http = http),
+      config = Map("otlp.http" -> "http://collector:4318",
+        "instance" -> "i-1", "otlp.metricsIntervalMillis" -> "0"))
+    runner.run(
+      """{"application":"gx","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"gin",
+            "toTopic":"gout","pipeline":[
+              {"$deduplicate":{"expression":"$corr"}}]}]}""")
+    val listener = runner.metricsListener.get
+    spark.streams.addListener(listener)
+    try {
+      Files.writeString(Paths.get(s"$dir/gin/m1.json"),
+        """{"_id":"a","corr":"c1"}""")
+      Files.writeString(Paths.get(s"$dir/gin/m2.json"),
+        """{"_id":"b","corr":"c2"}""")
+      io.processAll()
+      io.stopAll()
+      def gaugeRows: Long = {
+        import scala.jdk.CollectionConverters._
+        posts.iterator().asScala.toSeq
+          .filter(_._1.endsWith("/v1/metrics")).map(_._2)
+          .flatMap { b =>
+            Js.elems(Js.parse(b).get("resourceMetrics").get(0)
+              .get("scopeMetrics").get(0).get("metrics"))
+              .filter(_.get("name").asText() == "json_streams.state_rows")
+              .flatMap(m => Js.elems(m.get("gauge").get("dataPoints")))
+              .map(_.get("asInt").asText().toLong)
+          }.maxOption.getOrElse(-1L)
+      }
+      val deadline = System.currentTimeMillis() + 10000
+      while (gaugeRows < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      // two distinct dedup keys live in the state store
+      assert(gaugeRows == 2, s"state gauge: $gaugeRows")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("aggregate parts split counters per declared command (batch bus)") {
     import spark.implicits._
     val posts =

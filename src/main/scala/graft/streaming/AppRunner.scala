@@ -48,6 +48,16 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
       */
     hrefResolver: Option[String => Option[String]] = None) {
 
+  /** `config("href.store") = <shared dir>`: a filesystem-backed serving
+    * store every JVM can reach — the multi-JVM default between the
+    * local-mode singleton and a fully external `hrefResolver`. Batch
+    * runs SELF-FEED it (pass-1 final states publish here, pass 2
+    * resolves through it), so self-referential batch datasets work on a
+    * real cluster; states published by other runs remain resolvable.
+    */
+  private val fileHrefStore: Option[HrefStore.FileStore] =
+    config.get("href.store").map(HrefStore.FileStore)
+
   /** `$log` writes to a logger named after the application
     * (docs/aggregation_stages.md:321) — rebound per run() from the spec.
     */
@@ -351,8 +361,10 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
           validators = readValidators(part),
           reducers = readReducers(part),
           // refs resolve live against the pluggable store when one is
-          // provided; otherwise batch mode self-feeds below
-          resolver = hrefResolver.getOrElse((_: String) => None))
+          // provided (explicit resolver first, then the shared-dir file
+          // store); otherwise batch mode self-feeds below
+          resolver = hrefResolver
+            .orElse(fileHrefStore).getOrElse((_: String) => None))
         // `stateExpiry` (ms): snapshot TTL for ephemeral aggregate types —
         // see AggregatePart.apply
         val stateExpiry = Option(part.get("stateExpiry")).map(_.asLong())
@@ -381,7 +393,9 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
         // ever reaches the driver. Locally the store is the JVM-wide
         // HrefStore singleton; a multi-JVM cluster plugs an external
         // serving store via `hrefResolver` (which skips this self-feed
-        // pass entirely, in batch and streaming alike).
+        // pass entirely, in batch and streaming alike) or a shared
+        // directory via config("href.store") (self-feed runs, but into
+        // the shared files — cluster-safe).
         val out =
           if (pre.isStreaming || hrefResolver.isDefined) out0
           else {
@@ -393,17 +407,9 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
               .filter(_.value.contains("\"href\"")).isEmpty
             if (!anyHref) { states.unpersist(); out0 }
             else {
-              // the JVM-local HrefStore only works when every task runs in
-              // THIS JVM: on a multi-JVM cluster each executor's store
-              // would hold only the partitions it happened to publish and
-              // {href} refs would silently resolve to None — refuse loudly
-              // and demand the external resolver instead
-              require(sess.sparkContext.isLocal,
-                "batch {href} self-feed needs a single-JVM (local) master; " +
-                  "on a cluster provide AppRunner(hrefResolver = ...) " +
-                  "backed by a serving store")
-              val run = "batch-" + java.util.UUID.randomUUID()
-              states
+              // pass-1 final state per instance, reduced DISTRIBUTED
+              // (arg-max on _seq per id)
+              val finals = states
                 .map(o => (o.key,
                   Option(graft.json.Js.parse(o.value).get("_seq"))
                     .map(_.asLong()).getOrElse(-1L),
@@ -411,20 +417,50 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
                 .groupByKey(_._1)
                 .reduceGroups((a, b) => if (a._2 >= b._2) a else b)
                 .map { case (_, t) => t }
-                .foreachPartition {
-                  (it: Iterator[(String, Long, String)]) =>
-                    it.foreach { case (k, s, v) => HrefStore.put(run, k, s, v) }
-                }
+              val resolver: String => Option[String] = fileHrefStore match {
+                case Some(fs) =>
+                  // shared-dir store: every JVM reads the same files, so
+                  // the self-feed is cluster-safe; highest-_seq-wins makes
+                  // republish idempotent and keeps other runs' states
+                  finals.foreachPartition {
+                    (it: Iterator[(String, Long, String)]) =>
+                      it.foreach { case (k, s, v) => fs.put(k, s, v) }
+                  }
+                  fs
+                case None =>
+                  // the JVM-local HrefStore only works when every task
+                  // runs in THIS JVM: on a multi-JVM cluster each
+                  // executor's store would hold only the partitions it
+                  // happened to publish and {href} refs would silently
+                  // resolve to None — refuse loudly and demand a store
+                  require(sess.sparkContext.isLocal,
+                    "batch {href} self-feed needs a single-JVM (local) " +
+                      "master; on a cluster set config(\"href.store\") to " +
+                      "a shared directory or provide " +
+                      "AppRunner(hrefResolver = ...) backed by a serving " +
+                      "store")
+                  val run = "batch-" + java.util.UUID.randomUUID()
+                  finals.foreachPartition {
+                    (it: Iterator[(String, Long, String)]) =>
+                      it.foreach { case (k, s, v) =>
+                        HrefStore.put(run, k, s, v)
+                      }
+                  }
+                  HrefStore.Resolver(run)
+              }
               states.unpersist()
               val pass2 = AggregatePart(pre,
-                conf.copy(resolver = HrefStore.Resolver(run)),
-                keyOverride, stateExpiry)
+                conf.copy(resolver = resolver), keyOverride, stateExpiry)
               // materialize pass 2 NOW (eager localCheckpoint severs the
               // lineage, so downstream actions replay blocks, not the
               // resolver), then release the run's store — a long-lived JVM
-              // must not accumulate one state map per batch run
+              // must not accumulate one state map per batch run (the file
+              // store is durable and shared; nothing to release)
               val mat = pass2.toDF().localCheckpoint(true)
-              HrefStore.clear(run)
+              resolver match {
+                case HrefStore.Resolver(run) => HrefStore.clear(run)
+                case _ => ()
+              }
               import org.apache.spark.sql.Encoders
               mat.as(Encoders.product[AggregatePart.Out])
             }

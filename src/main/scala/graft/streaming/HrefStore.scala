@@ -35,4 +35,45 @@ object HrefStore {
       extends (String => Option[String]) with Serializable {
     def apply(id: String): Option[String] = get(run, id)
   }
+
+  /** Shared-filesystem serving store — the multi-JVM counterpart of the
+    * singleton above (`config("href.store") = <dir>` wires it): executor
+    * tasks publish each aggregate's latest state as one file per id
+    * under a root every JVM can reach (NFS/shared volume; object-store
+    * roots go through the same pattern with their own client), and
+    * reducers resolve `{href}` refs by reading them. Highest `_seq`
+    * wins, so republishing (batch retries, several engine instances) is
+    * idempotent. Per-id publishes are serial in practice — the purpose
+    * stream is keyed by the aggregate id — and the seq check guards
+    * replays; it is not a general concurrent-writer CAS.
+    */
+  final case class FileStore(root: String)
+      extends (String => Option[String]) with Serializable {
+    private def path(id: String) = java.nio.file.Paths.get(root,
+      java.net.URLEncoder.encode(id, "UTF-8") + ".json")
+
+    private def seqOf(json: String): Long =
+      Option(graft.json.Js.parse(json).get("_seq"))
+        .map(_.asLong()).getOrElse(-1L)
+
+    def put(id: String, seq: Long, json: String): Unit = {
+      val p = path(id)
+      java.nio.file.Files.createDirectories(p.getParent)
+      if (apply(id).forall(cur => seqOf(cur) <= seq)) {
+        val tmp = p.resolveSibling(p.getFileName.toString +
+          ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+        java.nio.file.Files.writeString(tmp, json)
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    def apply(id: String): Option[String] = {
+      val p = path(id)
+      if (java.nio.file.Files.exists(p))
+        Some(java.nio.file.Files.readString(p))
+      else None
+    }
+  }
 }

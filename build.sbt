@@ -1,8 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "pincettejsonstreamsspark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
-unmanagedBase := file("/opt/spark/jars")
+// Spark jars ship with the image (zero-egress). SPARK_HOME overrides the
+// default location; tools/bench derives its classpath the same way.
+unmanagedBase := file(sys.env.getOrElse("SPARK_HOME", "/opt/spark")) / "jars"
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(
@@ -11,6 +12,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// A bare `sbt "runMain graft.Bench"` must end with Bench's one JSON line
+// as the literal last stdout line (the driver tail-parses it). Two sbt
+// behaviors break that: the "[success] Total time" epilogue (disabled
+// below) and the forked process's stdout being re-logged with an
+// "[info] " prefix (StdoutOutput makes the child inherit stdout
+// directly). tools/bench bypasses sbt entirely; this covers every other
+// invocation path.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -125,15 +125,21 @@ object OpsQueries {
                 round_even(count(*)/60, 1) AS perSecond
          FROM events WHERE event_id<600 GROUP BY 1"""),
 
-    // -- date family over epoch-nanos events (parquet TIMESTAMP_NS read as
-    // long): daily rollup through $fromEpochNanos/$toDate
-    Q.pipe("q_events_daily", "events",
-      """[{"$addFields":{"day":{"$toDate":{"$fromEpochNanos":"$ts"}}}},
-          {"$group":{"_id":"$day","n":{"$count":{}},
-            "val_cents":{"$sum":{"$toLong":{"$round":{"$multiply":["$value",100]}}}}}}]""",
+    // -- date family over the events clock: daily rollup through
+    // $fromEpochNanos/$toDate. `ts` is normalized to canonical epoch-nanos
+    // first (Tables.tsNanos) so the pipeline is identical whether the
+    // parquet physical type is int64-nanos, timestamp[ns], or timestamp[us].
+    Q.fn("q_events_daily",
       """SELECT strftime(ts, '%Y-%m-%d') AS _id, count(*) AS n,
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents
-         FROM events GROUP BY 1"""),
+         FROM events GROUP BY 1""") { (spark, sf) =>
+      val ev = Tables.load(spark, sf, "events")
+      Pipeline.run(ev.withColumn("ts", Tables.tsNanos(ev)),
+        """[{"$addFields":{"day":{"$toDate":{"$fromEpochNanos":"$ts"}}}},
+            {"$group":{"_id":"$day","n":{"$count":{}},
+              "val_cents":{"$sum":{"$toLong":{"$round":{"$multiply":["$value",100]}}}}}}]""",
+        Tables.env(spark, sf))
+    },
 
     // -- the join part's relational shape: event-time interval join
     // (signup → purchase by the same user within an hour; the events table
@@ -149,12 +155,14 @@ object OpsQueries {
       (spark, sf) =>
         import org.apache.spark.sql.functions._
         val ev = graft.Tables.load(spark, sf, "events")
+        // canonical epoch-nanos regardless of the parquet physical type
+        val tsNs = graft.Tables.tsNanos(ev)
         val signups = ev.where(col("event_type") === "signup")
           .select(col("event_id").as("signup_id"),
-            col("user_id"), col("ts").as("sts"))
+            col("user_id"), tsNs.as("sts"))
         val purchases = ev.where(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"),
-            col("user_id"), col("ts").as("pts"))
+            col("user_id"), tsNs.as("pts"))
         signups.join(purchases, Seq("user_id"))
           .where(col("pts") >= col("sts") &&
             col("pts") - col("sts") <= 3600L * 1000 * 1000 * 1000)

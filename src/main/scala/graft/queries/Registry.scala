@@ -21,7 +21,10 @@ object Q {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.caseSensitive", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long
+    // If events.ts is parquet TIMESTAMP(NANOS), read it as epoch-nanos
+    // long instead of failing; a micros file is unaffected and arrives as
+    // TIMESTAMP. Queries never assume either shape — they normalize via
+    // Tables.tsNanos / Tables.tsTimestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.expr.catalyst.GraftFunctions.register(spark)
   }

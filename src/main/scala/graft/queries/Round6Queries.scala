@@ -114,10 +114,9 @@ object Round6Queries {
     // window becomes replay-deterministic, which also makes it the one
     // join variant a SQL oracle can replay exactly. Signup events joined
     // to error events of the same user within 30 minutes.
-    // ts is parquet TIMESTAMP(NANOS) read as nanos (`nanosAsLong`):
-    // `div 1000` is exact integer truncation to micros, matching
-    // DuckDB's nanos→micros read (a double division would drift — nanos
-    // since 2024 exceed 2^53).
+    // Tables.tsTimestamp normalizes whatever physical type the generator
+    // wrote (int64-nanos / timestamp[ns] / timestamp[us]) to a TIMESTAMP,
+    // truncating nanos to micros exactly — matching DuckDB's parquet read.
     Q.fn("q_join_eventtime",
       """SELECT CAST(a.user_id AS VARCHAR) AS _id,
                 a.event_id AS signup_ev, b.event_id AS error_ev
@@ -125,10 +124,9 @@ object Round6Queries {
          WHERE a.event_type = 'signup' AND b.event_type = 'error'
            AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000""") {
       (spark, sf) =>
-        val ev = Tables.load(spark, sf, "events")
-          .select(col("event_id"), col("user_id"),
-            timestamp_micros(expr("ts div 1000")).as("ts_t"),
-            col("event_type"))
+        val ev0 = Tables.load(spark, sf, "events")
+        val ev = ev0.select(col("event_id"), col("user_id"),
+          Tables.tsTimestamp(ev0).as("ts_t"), col("event_type"))
         val tables = Map(
           "ev_signup" -> ev.where(col("event_type") === "signup"),
           "ev_error" -> ev.where(col("event_type") === "error"))
@@ -161,11 +159,10 @@ object Round6Queries {
       """SELECT event_id, 'retry' AS _topic,
                 epoch_ms(ts) + 5000 AS at_ms
          FROM events WHERE event_id < 500""") { (spark, sf) =>
-      val ev = Tables.load(spark, sf, "events")
+      val ev0 = Tables.load(spark, sf, "events")
         .where(col("event_id") < 500)
-        // ts is nanos-as-long (see q_join_eventtime): micros truncation
-        .select(col("event_id"),
-          timestamp_micros(expr("ts div 1000")).as("ts_t"))
+      // physical-type-agnostic timestamp view (see q_join_eventtime)
+      val ev = ev0.select(col("event_id"), Tables.tsTimestamp(ev0).as("ts_t"))
       graft.op.Pipeline.run(ev,
         """[{"$delay":{"topic":"retry",
               "deliverAt":{"$add":[{"$toEpochMillis":"$ts_t"},5000]}}},

@@ -133,18 +133,19 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     val partByName: Map[String, JsonNode] =
       parts.flatMap(p => Option(p.get("name")).map(_.asText() -> p)).toMap
 
-    // event-time $delay: `lateness` (ms) bounds deliverAt disorder — the
-    // SINK that finally sees the `_deliver_at` frame sizes the watermark
-    // with it, and that sink can be a DOWNSTREAM part's (fromStream
+    // event-time $delay: `lateness` (ms) bounds deliverAt disorder and
+    // `deadLetterTopic` reroutes rows beyond that bound — the SINK that
+    // finally sees the `_deliver_at` frame sizes the watermark / router
+    // with them, and that sink can be a DOWNSTREAM part's (fromStream
     // pass-through keeps the routing columns), so walk the upstream chain
     // to the part whose $delay stamped it
-    def delayLateness(part: JsonNode,
-        seen: Set[String] = Set.empty): Option[Long] = {
+    def delaySpec(part: JsonNode, field: String,
+        seen: Set[String] = Set.empty): Option[JsonNode] = {
       val own = Option(part.get("pipeline")).toSeq.flatMap(Js.elems)
         .flatMap(st => Option(st.get("$delay")))
         .filter(_.has("deliverAt"))
-        .flatMap(d => Option(d.get("lateness")))
-        .map(_.asLong()).headOption
+        .flatMap(d => Option(d.get(field)))
+        .headOption
       own.orElse {
         val ups = Seq("fromStream").flatMap(f =>
           Option(part.get(f)).map(_.asText())) ++
@@ -155,7 +156,7 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
             Js.elems(part.get("fromStreams")).map(_.asText())
           else Nil)
         ups.filterNot(seen).flatMap(n => partByName.get(n)
-          .flatMap(p => delayLateness(p, seen + n))).headOption
+          .flatMap(p => delaySpec(p, field, seen + n))).headOption
       }
     }
 
@@ -165,9 +166,13 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
         .flatMap(t => Option(t.get("maxPerSecond")))
         .map(_.asLong()).headOption
         .map(r => Map("maxPerSecond" -> r.toString)).getOrElse(Map.empty)
-      val lateness = delayLateness(part)
-        .map(l => Map("delayLateness" -> l.toString)).getOrElse(Map.empty)
-      throttle ++ lateness
+      val lateness = delaySpec(part, "lateness")
+        .map(l => Map("delayLateness" -> l.asLong().toString))
+        .getOrElse(Map.empty)
+      val deadLetter = delaySpec(part, "deadLetterTopic")
+        .map(d => Map("delayDeadLetter" -> d.asText()))
+        .getOrElse(Map.empty)
+      throttle ++ lateness ++ deadLetter
     }
 
     def resolveFrom(part: JsonNode): DataFrame =

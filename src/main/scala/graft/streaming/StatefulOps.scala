@@ -129,6 +129,35 @@ object StatefulOps {
       .select(lit(null).cast("string").as("key"), col("value"))
   }
 
+  /** Deterministic per-row state key for the `$delay` parking stages. A
+    * task retry must recompute the SAME key — `uuid()` mints fresh ones on
+    * recompute, so a retried task re-parks every row under new keys and
+    * each is redelivered twice. Components:
+    *  - the content fields separate distinct messages (the 0x01 separator
+    *    keeps field boundaries — plain concat would collide ("ab","c")
+    *    with ("a","bc"); 0x00 stands in for a null field);
+    *  - (partition id, row position) separates identical payloads within
+    *    a batch, and is stable on recompute: the delay frame sits behind
+    *    narrow ops over a replayable source, so a retried task walks the
+    *    same rows in the same order;
+    *  - the batch timestamp separates identical payloads at identical
+    *    positions in DIFFERENT micro-batches (which would otherwise
+    *    coalesce onto one state slot and deliver once). In streaming,
+    *    `current_timestamp()` is pinned per micro-batch and recorded in
+    *    the offset log, so replays and retries see the same value.
+    * (`monotonically_increasing_id` would express the position
+    * declaratively but is rejected in streaming plans; the mapPartitions
+    * stamp at the call sites is the streaming-legal equivalent.)
+    */
+  private[graft] def uidOf(fields: Seq[String], pid: Int, idx: Long,
+      batchMs: Long): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val s = (fields.map(f => Option(f).getOrElse("\u0000")) ++
+      Seq(pid.toString, idx.toString, batchMs.toString))
+      .mkString("\u0001")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** `$delay` rows (topic, delayMs, key, json) → (topic, key, json)
     * emitted once their delay elapses. Each row gets its own state key, a
     * parked payload, and a timer; the caller's sink delivers immediately.
@@ -138,9 +167,16 @@ object StatefulOps {
     ensureRocksDb(spark)
     import spark.implicits._
     packed
-      .select(expr("uuid()").as("__uid"), col("topic"), col("delayMs"),
-        col("key"), col("json"))
-      .as[(String, String, Long, String, String)]
+      .select(col("topic"), col("delayMs"), col("key"), col("json"),
+        unix_millis(current_timestamp()).as("__bts"))
+      .as[(String, Long, String, String, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.zipWithIndex.map { case ((topic, delayMs, key, json, bts), i) =>
+          (uidOf(Seq(topic, delayMs.toString, key, json), pid, i, bts),
+            topic, delayMs, key, json)
+        }
+      }
       .groupByKey(_._1)
       .transformWithState(new DelayProcessor,
         TimeMode.ProcessingTime(), OutputMode.Append())
@@ -154,21 +190,77 @@ object StatefulOps {
     * deliverAt column itself; rows whose deliverAt lags the max seen by
     * more than `latenessMs` are late data (event-time semantics, dropped
     * like any event-time operator would).
+    *
+    * With `deadLetterTopic` set, late rows are not lost: a router stage
+    * ahead of the watermark (see [[LateRouter]]) rewrites them onto the
+    * dead-letter topic with the payload preserved, and they deliver
+    * through the same timer machinery as soon as the watermark allows.
     */
-  def delayViaEventTimers(packed: DataFrame, latenessMs: Long): DataFrame = {
+  def delayViaEventTimers(packed: DataFrame, latenessMs: Long,
+      deadLetterTopic: Option[String] = None): DataFrame = {
     val spark = packed.sparkSession
     ensureRocksDb(spark)
     import spark.implicits._
-    packed
-      .select(expr("uuid()").as("__uid"), col("topic"),
+    val stamped = packed
+      .select(col("topic"),
         col("deliverAt").cast("timestamp").as("deliverAt"),
-        col("key"), col("json"))
+        col("key"), col("json"),
+        unix_millis(current_timestamp()).as("__bts"))
+      .as[(String, java.sql.Timestamp, String, String, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.zipWithIndex.map { case ((topic, at, key, json, bts), i) =>
+          (uidOf(Seq(topic, at.getTime.toString, key, json), pid, i, bts),
+            topic, at, key, json)
+        }
+      }
+    val routed = deadLetterTopic match {
+      case Some(dlq) =>
+        stamped
+          .groupByKey(_ => 0)
+          .transformWithState(new LateRouter(latenessMs, dlq),
+            TimeMode.None(), OutputMode.Append())
+          .toDF("__uid", "topic", "deliverAt", "key", "json")
+      case None => stamped.toDF("__uid", "topic", "deliverAt", "key", "json")
+    }
+    routed
       .withWatermark("deliverAt", s"$latenessMs milliseconds")
       .as[(String, String, java.sql.Timestamp, String, String)]
       .groupByKey(_._1)
       .transformWithState(new EventDelayProcessor,
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("topic", "key", "json")
+  }
+
+  /** Batch analog of the dead-letter router, for oracle replay and batch
+    * diagnostics: `ord` plays arrival order, and the running max of
+    * deliverAt over that order plays the watermark's max-seen — a row is
+    * late exactly when the streaming router (at batch-of-one granularity)
+    * would call it late. Only the (ord, deliverAt) timeline — two narrow
+    * columns — passes through the serial running-max window; the payload
+    * stays partitioned and rejoins by an equi-join on ord, so the wide
+    * columns never funnel through the single-partition sort. The
+    * streaming path is the scale path; this is its replayable mirror.
+    * Output: the input columns with `topic` rewritten for late rows, plus
+    * a `late` boolean.
+    */
+  def routeLateBatch(packed: DataFrame, latenessMs: Long, dlqTopic: String,
+      ord: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("__ord").rowsBetween(Window.unboundedPreceding, -1)
+    val wide = packed.withColumn("__ord", ord)
+    val timeline = wide
+      .select(col("__ord"),
+        unix_millis(col("deliverAt").cast("timestamp")).as("__at"))
+      .withColumn("__mx", max(col("__at")).over(w))
+      .select(col("__ord").as("__ord2"), col("__mx"))
+    wide.join(timeline, col("__ord") === col("__ord2"))
+      .withColumn("late", col("__mx").isNotNull &&
+        unix_millis(col("deliverAt").cast("timestamp")) <=
+          col("__mx") - latenessMs)
+      .withColumn("topic",
+        when(col("late"), lit(dlqTopic)).otherwise(col("topic")))
+      .drop("__ord", "__ord2", "__mx")
   }
 }
 
@@ -307,5 +399,81 @@ final class EventDelayProcessor extends StatefulProcessor[
       else Iterator.empty
     pending.clear()
     out
+  }
+}
+
+/** Dead-letter router for event-time `$delay` (opt-in via the stage's
+  * `deadLetterTopic`): mirrors the downstream watermark's late-data
+  * judgment AHEAD of the watermark node and rewrites would-be-dropped rows
+  * onto the dead-letter topic instead of losing the payload.
+  *
+  * The judgment must match Spark's exactly: the watermark a micro-batch
+  * filters with is (max event time through the PREVIOUS batch) − lateness,
+  * and a row drops when its event time is ≤ that. The router keeps the
+  * same max in a ValueState[Long], judges the batch's rows against the
+  * PRIOR value, then folds the batch in — so a row the router passes is
+  * never dropped downstream, and a row it reroutes is exactly one the
+  * watermark would have discarded.
+  *
+  * A global watermark is a single scalar, so the router is a single-key
+  * stage — a serial pass. That is acceptable where `$delay` lives:
+  * retry/re-delivery control flow, not the 100 TB data plane; state is
+  * one long and rows transit once, only when dead-lettering is enabled.
+  *
+  * Rewritten rows get deliverAt = maxSeen + 1 ms: above the real
+  * watermark (maxSeen − lateness), so they survive the filter, and their
+  * timer fires the moment the watermark passes maxSeen — the earliest
+  * instant the machinery can honor. The JSON payload gains a `_dlq`
+  * object {topic, deliverAtMs} recording the original routing; non-object
+  * payloads pass byte-identical.
+  */
+final class LateRouter(latenessMs: Long, dlqTopic: String)
+    extends StatefulProcessor[Int,
+      (String, String, java.sql.Timestamp, String, String),
+      (String, String, java.sql.Timestamp, String, String)] {
+  @transient private var maxSeen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    maxSeen = getHandle.getValueState("maxSeen", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Int,
+      rows: Iterator[(String, String, java.sql.Timestamp, String, String)],
+      tv: TimerValues)
+      : Iterator[(String, String, java.sql.Timestamp, String, String)] = {
+    // buffer before updating state: the output iterator is consumed after
+    // this call returns, and the judgment must use the PRIOR batch max
+    val batch = rows.toVector
+    val prior = if (maxSeen.exists()) Some(maxSeen.get()) else None
+    val batchMax = batch.iterator.map(_._3.getTime) ++ prior.iterator
+    if (batch.nonEmpty || prior.nonEmpty) maxSeen.update(batchMax.max)
+    batch.iterator.map { case row @ (uid, topic, at, k, json) =>
+      prior match {
+        case Some(m) if at.getTime <= m - latenessMs =>
+          (uid, dlqTopic, new java.sql.Timestamp(m + 1), k,
+            LateRouter.annotate(json, topic, at.getTime))
+        case _ => row
+      }
+    }
+  }
+}
+
+object LateRouter {
+  /** Record the original routing inside the payload so the dead-letter
+    * consumer can replay it; a non-object payload has nowhere to put the
+    * annotation and passes unchanged.
+    */
+  private[streaming] def annotate(json: String, topic: String,
+      atMs: Long): String = {
+    val n = try Js.parse(json) catch { case _: Exception => null }
+    n match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        val d = Js.obj()
+        d.put("topic", topic)
+        d.put("deliverAtMs", atMs)
+        o.set[JsonNode]("_dlq", d)
+        Js.render(o)
+      case _ => json
+    }
   }
 }

@@ -105,7 +105,8 @@ final class KafkaIo(bootstrap: String,
     if (branch.forall(_ == "edelay"))
       DelayedDelivery.packedEventDelayed(df).foreach(d =>
         StatefulOps.delayViaEventTimers(d,
-          options.getOrElse("delayLateness", "0").toLong).writeStream
+          options.getOrElse("delayLateness", "0").toLong,
+          options.get("delayDeadLetter")).writeStream
           .foreach(new DelayedDelivery.ImmediateWriter(
             new DelayedDelivery.KafkaTransport(bootstrap)))
           .option("checkpointLocation", s"$ckpt-edelay")
@@ -218,7 +219,8 @@ final class FileStreamIo(root: String, schemas: Map[String, StructType],
       if (branch.forall(_ == "edelay"))
         DelayedDelivery.packedEventDelayed(df).foreach { packed =>
           val delayed = StatefulOps.delayViaEventTimers(packed,
-            options.getOrElse("delayLateness", "0").toLong)
+            options.getOrElse("delayLateness", "0").toLong,
+            options.get("delayDeadLetter"))
           val q = delayed.writeStream
             .foreach(new DelayedDelivery.ImmediateWriter(
               new DelayedDelivery.FileTransport(root)))

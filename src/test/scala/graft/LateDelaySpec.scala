@@ -58,4 +58,72 @@ class LateDelaySpec extends AnyFunSuite {
         s"late row should be dropped, not delivered: $got")
     } finally q.stop()
   }
+
+  test("with deadLetterTopic, a late row reroutes with payload intact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+    val in = MemoryStream[(String, java.sql.Timestamp, String, String)]
+    DelayCapture.buf.clear()
+    val q = graft.streaming.StatefulOps.delayViaEventTimers(
+      in.toDF().toDF("topic", "deliverAt", "key", "json"),
+      latenessMs = 60000, deadLetterTopic = Some("dlq"))
+      .writeStream
+      .foreach(new graft.streaming.DelayedDelivery.ImmediateWriter(
+        (t, k, j) => DelayCapture.buf.add((t, k, j))))
+      .start()
+    def got: Seq[(String, String, String)] = {
+      import scala.jdk.CollectionConverters._
+      DelayCapture.buf.iterator().asScala.toSeq
+    }
+    try {
+      in.addData(("lp", ts(300), "HEAD", """{"payload":42}"""))
+      q.processAllAvailable() // max seen 300s, watermark +240s
+      // due +100s = 140s behind the watermark: the router must reroute it
+      // BEFORE the watermark node — nothing may count as dropped
+      in.addData(("lp", ts(100), "LATE", """{"payload":7}"""))
+      q.processAllAvailable()
+      val dropped = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 0,
+        s"late row must dead-letter, not silently drop: $dropped")
+      // advancing the watermark past maxSeen delivers both HEAD and the
+      // rerouted LATE
+      in.addData(("lp", ts(500), "TAIL", "{}"))
+      q.processAllAvailable()
+      in.addData(("lp", ts(600), "T2", "{}"))
+      q.processAllAvailable()
+      val dlq = got.filter(_._1 == "dlq")
+      assert(dlq.map(_._2) == Seq("LATE"), s"dead letters: $dlq")
+      // payload preserved, original routing recorded
+      val n = graft.json.Js.parse(dlq.head._3)
+      assert(n.get("payload").asInt() == 7, dlq.head._3)
+      assert(n.get("_dlq").get("topic").asText() == "lp", dlq.head._3)
+      assert(n.get("_dlq").get("deliverAtMs").asLong() == t0 + 100000L,
+        dlq.head._3)
+      // on-time rows still deliver on their own topic
+      assert(got.filter(_._1 == "lp").map(_._2).toSet == Set("HEAD", "TAIL"),
+        s"on-time deliveries: $got")
+    } finally q.stop()
+  }
+
+  test("parking state keys are deterministic and collision-separated") {
+    import graft.streaming.StatefulOps.uidOf
+    // a recompute (task retry) walks the same rows at the same positions
+    // with the same batch timestamp — the key is a pure function of those
+    assert(uidOf(Seq("t", "1000", "k", "{}"), 3, 7, 99L) ==
+      uidOf(Seq("t", "1000", "k", "{}"), 3, 7, 99L))
+    // identical payloads in one batch: distinct positions, distinct keys
+    assert(uidOf(Seq("t", "1000", "k", "{}"), 0, 0, 99L) !=
+      uidOf(Seq("t", "1000", "k", "{}"), 0, 1, 99L))
+    // identical payloads at identical positions in different batches
+    assert(uidOf(Seq("t", "1000", "k", "{}"), 0, 0, 99L) !=
+      uidOf(Seq("t", "1000", "k", "{}"), 0, 0, 100L))
+    // field boundaries preserved; null and empty fields separated
+    assert(uidOf(Seq("ab", "c"), 0, 0, 0L) != uidOf(Seq("a", "bc"), 0, 0, 0L))
+    assert(uidOf(Seq(null, "x"), 0, 0, 0L) != uidOf(Seq("", "x"), 0, 0, 0L))
+  }
 }

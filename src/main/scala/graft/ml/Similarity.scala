@@ -110,7 +110,12 @@ object Similarity {
     */
   def seedFarthestFirst(corpus: DataFrame, embCol: String, idCol: String,
       nlist: Int, rounds: Int = 4): DataFrame = {
-    val v = normalized(corpus, embCol, idCol, "v")
+    // persist the normalized corpus for the loop's lifetime: every round
+    // launches a small driver-coordinated job over it, and re-running the
+    // scan + normalization per round makes the whole seeding pass swing
+    // with ambient load (each round's wall time is dominated by the
+    // re-read, not the math)
+    val v = normalized(corpus, embCol, idCol, "v").persist()
     var seeds = v.orderBy(col(idCol)).limit(1)
       .select(col(idCol), col("v"))
     val perRound = math.max(1, math.ceil((nlist - 1).toDouble /
@@ -140,6 +145,9 @@ object Similarity {
       prior = Some(next)
       seeds = next
     }
+    // the final seeds frame is persisted + materialized (count above), so
+    // dropping the corpus cache cannot trigger a recompute through it
+    v.unpersist()
     seeds.select(col(idCol), col("v").as(embCol))
   }
 
@@ -290,15 +298,11 @@ object Similarity {
       .join(broadcast(codebook), "sub")
       .select(col("query_id"), col("sub"), col("code"),
         l2d6(col("sv"), col("cent")).as("d"))
-    val wRank = Window.partitionBy("query_id")
-      .orderBy(col("dist").asc, col("nb_id").asc)
     enc.join(table, Seq("sub", "code"))
       .groupBy(col("query_id"), col("nb_id"))
       .agg(round(sum(col("d")), 6).as("dist"))
       .where(col("query_id") =!= col("nb_id"))
-      .withColumn("rank", row_number().over(wRank))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nb_id"), col("dist"))
+      .transform(searchTopKAsc(k))
   }
 
   /** IVF + PQ composed: the coarse codebook prunes candidates to the
@@ -326,16 +330,104 @@ object Similarity {
       .join(broadcast(codebook), "sub")
       .select(col("query_id"), col("sub"), col("code"),
         l2d6(col("sv"), col("cent")).as("d"))
-    val wRank = Window.partitionBy("query_id")
-      .orderBy(col("dist").asc, col("nb_id").asc)
     candidates
       .join(enc, "nb_id")
       .join(table, Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("nb_id"))
       .agg(round(sum(col("d")), 6).as("dist"))
-      .withColumn("rank", row_number().over(wRank))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nb_id"), col("dist"))
+      .transform(searchTopKAsc(k))
+  }
+
+  /** Search-side top-k as a bounded partial aggregate: `top_k_min` keeps
+    * k candidates per query on the MAP side, so the exchange carries at
+    * most k rows per query — the window formulation
+    * (`row_number().over(partitionBy(query_id))`) shuffles every candidate
+    * to the query's partition and sorts there, which makes a hot probed
+    * cell a hot partition at 100× (same argument as `assignCellsMulti`).
+    * Input: (query_id, nb_id, dist); output: (query_id, rank, nb_id, dist)
+    * ranked by distance ascending, ties to the lowest id — identical to
+    * the window ranking it replaces.
+    */
+  private def searchTopKAsc(k: Int)(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(call_function("top_k_min",
+        struct(col("dist"), col("nb_id")), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.nb_id").as("nb_id"), col("col.dist").as("dist"))
+
+  /** As `searchTopKAsc` but ranking cosine DESCENDING (ties to the lowest
+    * id): the sort key negates the cosine (`0.0 -` so a rounded `-0.0`
+    * normalizes, see `probeKey`) and the original cosine rides along as a
+    * trailing struct field — (dist, nb_id) is already a total order, so
+    * the extra field never affects ranking.
+    */
+  private def searchTopKDesc(k: Int)(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(call_function("top_k_min",
+        struct((lit(0.0) - col("cos")).as("nc"), col("nb_id"),
+          col("cos")), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.nb_id").as("nb_id"), col("col.cos").as("cos"))
+
+  /** The outcome of `tuneIvf`: parameters a caller can feed straight into
+    * `ivfTopK`/`ivfTopKWith`, plus the sampled recall that justified them.
+    */
+  final case class IvfTuning(nlist: Int, nprobe: Int, recall: Double)
+
+  /** Data-driven IVF parameters — at scale a user should not hand-pick
+    * `nlist`/`nprobe`:
+    *
+    *  - `nlist ≈ √n` (the standard IVF sizing: cell scan cost ~n/nlist
+    *    balances the nlist-sized codebook broadcast), clamped to
+    *    [8, 65536];
+    *  - `nprobe` doubles from 1 until recall@k on a SAMPLED query set
+    *    reaches `target` (or nprobe hits nlist — exhaustive probing).
+    *
+    * Recall estimation stays 100 TB-shaped: the ground truth is
+    * brute-force over sample×corpus — LINEAR in n for a fixed sample (the
+    * `maxExactWork` guard is raised exactly to that budget), and each
+    * probe trial is the normal celled equi-join search. Only sample×k
+    * (id, id) pairs ever reach the driver. The sample is a deterministic
+    * hash-order TakeOrdered, not a full sort.
+    */
+  def tuneIvf(corpus: DataFrame, embCol: String, idCol: String,
+      k: Int = 10, target: Double = 0.9, sampleQueries: Int = 32,
+      centroids: Option[DataFrame] = None): IvfTuning = {
+    val n = corpus.count()
+    require(n > 1, "tuneIvf needs a non-trivial corpus")
+    val nlist = math.min(65536L,
+      math.max(8L, math.round(math.sqrt(n.toDouble)))).toInt
+    val cents = centroids.getOrElse(
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol), col(embCol)))
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
+      .limit(sampleQueries)
+      .select(col(idCol), col(embCol))
+      .persist()
+    val exact = bruteForceTopK(corpus, sample, embCol, idCol, k,
+        maxExactWork = 2L * sampleQueries * n)
+      .select("query_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var nprobe = 1
+    var recall = 0.0
+    var done = false
+    while (!done) {
+      val got = ivfTopKWith(corpus, sample, cents, embCol, idCol, k, nprobe)
+        .select("query_id", "nb_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      recall =
+        if (exact.isEmpty) 1.0
+        else got.intersect(exact).size.toDouble / exact.size
+      if (recall >= target || nprobe >= nlist) done = true
+      else nprobe = math.min(nprobe * 2, nlist)
+    }
+    sample.unpersist()
+    IvfTuning(nlist, nprobe, recall)
   }
 
   private def ivfSearch(corpus: DataFrame, queries: DataFrame,
@@ -348,13 +440,10 @@ object Similarity {
     // returned "v" IS the normalized query vector
     val probed = assignCellsMulti(queries, centroids, embCol, idCol, nprobe)
       .select(col(idCol).as("query_id"), col("v").as("vq"), col("cell"))
-    val wRank = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("nb_id").asc)
     probed.join(cells, "cell")
       .where(col("query_id") =!= col("nb_id"))
       .withColumn("cos", ndot6(col("vq"), col("v")))
-      .withColumn("rank", row_number().over(wRank))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nb_id"), col("cos"))
+      .select(col("query_id"), col("nb_id"), col("cos"))
+      .transform(searchTopKDesc(k))
   }
 }

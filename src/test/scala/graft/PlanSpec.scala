@@ -151,6 +151,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("ANN search top-k is a bounded aggregate, never a query window") {
+    // a row_number window keyed by query_id shuffles EVERY candidate to
+    // the query's partition and sorts there — a hot probed cell becomes a
+    // hot partition at 100×; top_k_min combines map-side to k rows per
+    // query. pqTrain's tiny seed window (over a limit(ksub) frame) is the
+    // one window allowed: assert no window is KEYED on query_id.
+    for (name <- Seq("q_knn_ivf", "q_knn_ivf_kmeans", "q_knn_pq",
+        "q_knn_ivfpq")) {
+      val p = plan(q(name))
+      assert(!"windowspecdefinition\\(query_id".r.findFirstIn(p).isDefined,
+        s"$name ranks candidates with a query-keyed window:\n" +
+          p.take(1500))
+    }
+  }
+
   test("contamination is an equi-join on the shingle key, no product") {
     val p = plan(q("q_contamination"))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),

@@ -47,6 +47,62 @@ class SimilaritySpec extends AnyFunSuite {
     corpus.orderBy(col("vec_id")).limit(Nlist)
       .select(col("vec_id"), col("embedding"))
 
+  test("farthest-first seeding is round-bounded in Spark jobs") {
+    // the seeding loop is driver-coordinated: each round = one admission
+    // job + one count, plus the initial lowest-id job. Unbounded job
+    // growth (or a cache regression re-scanning the corpus per job) is
+    // what made the kmeans bench swing 3× with ambient load — pin the
+    // job count per (rounds) so it can't creep.
+    graft.queries.Q.session(spark)
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+      .where(col("vec_id") < 300)
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val seeds = Similarity.seedFarthestFirst(corpus, "embedding",
+        "vec_id", Nlist, rounds = 1)
+      assert(seeds.count() == Nlist)
+      // listener events are async; give the bus a beat to drain
+      Thread.sleep(500)
+      // rounds=1: initial seed job + 1 admission round (its count
+      // materializes the union) + the assertion count above; AQE splits
+      // each action into a few stage-jobs, so the bound carries slack —
+      // what it forbids is O(nlist) growth (one job per admitted seed
+      // would be 8+ admission jobs alone before AQE multiplication)
+      assert(counter.jobs.get() <= 12,
+        s"seeding launched ${counter.jobs.get()} jobs for 1 round")
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
+  test("tuneIvf derives nlist≈√n and probes until the recall floor") {
+    graft.queries.Q.session(spark)
+    val corpus = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val t = Similarity.tuneIvf(corpus, "embedding", "vec_id",
+      k = K, target = 0.8, sampleQueries = 16)
+    // 500 vectors → √500 ≈ 22
+    assert(t.nlist == 22, s"nlist ${t.nlist}")
+    assert(t.recall >= 0.8, s"tuning stopped below the floor: $t")
+    assert(t.nprobe >= 1 && t.nprobe <= t.nlist, t.toString)
+    // the returned parameters really deliver that recall end-to-end
+    val sample = corpus.orderBy(col("vec_id")).limit(16)
+    val exact = Similarity
+      .bruteForceTopK(corpus, sample, "embedding", "vec_id", K)
+      .select("query_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity
+      .ivfTopK(corpus, sample, "embedding", "vec_id", K, t.nlist, t.nprobe)
+      .select("query_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6,
+      s"tuned parameters collapsed on a fresh query set: $recall")
+  }
+
   test("skewed corpus: trained codebook recall beats id-prefix") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     // 200 deterministic jitters of vector 0 at low ids + 100 distinct

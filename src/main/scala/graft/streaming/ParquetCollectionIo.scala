@@ -99,24 +99,70 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     * frame of this schema, never a directory scan that would resurrect
     * the deleted rows.
     */
-  private case class Manifest(gen: Long, live: Map[Int, Seq[String]],
+  private[graft] case class Manifest(gen: Long, live: Map[Int, Seq[String]],
       retired: Seq[String], schema: Option[String] = None)
 
-  private def manifestPath(name: String) =
+  /** Legacy single-file manifest (pre-CAS layout): read-only fallback,
+    * deleted on the first generation-file commit.
+    */
+  private def legacyManifestPath(name: String) =
     Paths.get(dir(name), "__manifest")
 
-  private def loadManifest(name: String): Option[Manifest] =
-    if (!Files.exists(manifestPath(name))) None
-    else {
-      val n = graft.json.Js.parse(Files.readString(manifestPath(name)))
-      Some(Manifest(
-        n.get("gen").asLong(),
-        graft.json.Js.fields(n.get("live")).map { case (b, files) =>
-          b.toInt -> graft.json.Js.elems(files).map(_.asText())
-        }.toMap,
-        graft.json.Js.elems(n.get("retired")).map(_.asText()),
-        Option(n.get("schema")).filter(_.isTextual).map(_.asText())))
+  /** One manifest FILE per generation, zero-padded so lexical max ==
+    * numeric max. The file is the commit token: it is published with an
+    * atomic-exclusive hard link (link(2) fails EEXIST), so creating
+    * generation N is a compare-and-swap — exactly one writer can ever
+    * own it, however stale its view of the world.
+    */
+  private def genManifestPath(name: String, gen: Long) =
+    Paths.get(dir(name), f"__manifest-$gen%012d")
+
+  /** All generation files present, ascending by generation. */
+  private[graft] def genManifests(name: String): Seq[(Long, java.nio.file.Path)] = {
+    import scala.jdk.CollectionConverters._
+    val target = Paths.get(dir(name))
+    if (!Files.exists(target)) Nil
+    else Files.list(target).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("__manifest-"))
+      .flatMap { f =>
+        val suffix = f.getFileName.toString.stripPrefix("__manifest-")
+        suffix.toLongOption.map(_ -> f)
+      }
+      .sortBy(_._1)
+  }
+
+  private def parseManifest(text: String): Manifest = {
+    val n = graft.json.Js.parse(text)
+    Manifest(
+      n.get("gen").asLong(),
+      graft.json.Js.fields(n.get("live")).map { case (b, files) =>
+        b.toInt -> graft.json.Js.elems(files).map(_.asText())
+      }.toMap,
+      graft.json.Js.elems(n.get("retired")).map(_.asText()),
+      Option(n.get("schema")).filter(_.isTextual).map(_.asText()))
+  }
+
+  private def loadManifest(name: String): Option[Manifest] = {
+    // the newest generation file wins; a concurrent GC can delete a file
+    // between the listing and the read (kept generations: N and N-1, so
+    // only a reader two commits behind races it) — re-list and retry
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      genManifests(name).lastOption match {
+        case Some((_, f)) =>
+          try return Some(parseManifest(Files.readString(f)))
+          catch { case _: java.io.IOException => () } // deleted: re-list
+        case None =>
+          return (
+            if (!Files.exists(legacyManifestPath(name))) None
+            else Some(parseManifest(
+              Files.readString(legacyManifestPath(name)))))
+      }
     }
+    throw new IllegalStateException(
+      s"collection $name: manifest generations churned 5 reads in a row")
+  }
 
   /** Bootstrap a manifest from the directory (pre-manifest layout):
     * every parquet file under `__bucket=N/` is live; a LEGACY flat
@@ -141,7 +187,17 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     }
   }
 
-  private def writeManifest(name: String, m: Manifest): Unit = {
+  /** Publish `m` as generation file `__manifest-<gen>` via an
+    * atomic-EXCLUSIVE hard link: link(2) fails EEXIST if the slot is
+    * taken, unlike rename(2), which silently replaces (so ATOMIC_MOVE is
+    * NOT a CAS on POSIX). Returns false when a peer owns the generation —
+    * the caller's merge was computed against a superseded snapshot and
+    * must retry; nothing destructive may happen before this succeeds.
+    * On success, generations ≤ gen−2 and the legacy single-file manifest
+    * are garbage-collected (gen−1 stays so an in-flight reader that
+    * resolved the previous listing still finds its file).
+    */
+  private[graft] def casManifest(name: String, m: Manifest): Boolean = {
     val o = graft.json.Js.obj()
     o.put("gen", m.gen)
     val live = graft.json.Js.obj()
@@ -158,9 +214,17 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     val tmp = Paths.get(dir(name), s"__manifest.tmp-$lockToken")
     Files.createDirectories(tmp.getParent)
     Files.writeString(tmp, graft.json.Js.render(o))
-    Files.move(tmp, manifestPath(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val won =
+      try { Files.createLink(genManifestPath(name, m.gen), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    if (won) {
+      genManifests(name).foreach { case (g, f) =>
+        if (g <= m.gen - 2) Files.deleteIfExists(f)
+      }
+      Files.deleteIfExists(legacyManifestPath(name))
+    }
+    won
   }
 
   /** The current snapshot as a DataFrame (with the `__bucket` partition
@@ -267,6 +331,13 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
       finally { beat.cancel(false); releaseLock(name) }
     }
   }
+
+  /** Test seam: crash injection between the commit protocol's steps
+    * (CollectionLockSpec's kill-point loop). Points: 1 = staging written,
+    * 2 = files moved into live bucket dirs, 3 = generation CAS published
+    * but cleanup not run. Production leaves this a no-op.
+    */
+  private[graft] var killPoint: Int => Unit = _ => ()
 
   private def bucketOf(id: org.apache.spark.sql.Column) =
     pmod(xxhash64(id.cast("string")), lit(buckets)).cast("int")
@@ -527,6 +598,7 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     val tmp = dir(name) + s".__tmp-$lockToken"
     latest.write.mode(SaveMode.Overwrite)
       .partitionBy("__bucket").parquet(tmp)
+    killPoint(1)
     // the staging write is the long pole: if a peer declared us stale
     // during it, the stored state is no longer what we merged against —
     // abandon the staging output and let the caller retry
@@ -551,17 +623,22 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
           }
       }
     }.toMap
+    killPoint(2)
     // last look before the commit point: the moves + debris GC +
     // manifest swap below assume exclusive ownership — if a peer stole
     // the lock during the moves, abandon (our moved files are unreferenced
     // debris the peer's next commit GCs) and retry against their result
     if (!ownsLock(name)) { deleteRecursively(Paths.get(tmp)); return false }
-    commit(name, m,
+    // the generation CAS inside commit() is the real fence: even a writer
+    // that passes the ownsLock look above but is beaten to the manifest
+    // slot backs off with nothing destroyed (its moved files are
+    // unreferenced debris the winning side's next commit GCs)
+    val committed = commit(name, m,
       live = (m.live -- touched) ++ moved.filter(_._2.nonEmpty),
       nowRetired = touched.toSeq.flatMap(b => m.live.getOrElse(b, Nil)),
       schemaJson = storedSchemaJson(latest))
     deleteRecursively(Paths.get(tmp))
-    true
+    committed
   }
 
   /** The read-back schema of a staged frame: partition columns come LAST
@@ -606,27 +683,42 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
       .map(_.getFileName.toString)
     // same pre-commit ownership re-check as swapBuckets
     if (!ownsLock(name)) { deleteRecursively(Paths.get(tmp)); return false }
-    commit(name, m, live = moved,
+    val committed = commit(name, m, live = moved,
       nowRetired = m.live.values.flatten.toSeq ++ flat,
       schemaJson = storedSchemaJson(df))
     deleteRecursively(Paths.get(tmp))
-    true
+    committed
   }
 
   /** The atomic commit: delete what the previous write retired (its
     * grace generation has passed), GC crash debris, then swap the
     * manifest in.
     */
+  /** The commit point. ORDER MATTERS: the generation CAS comes FIRST —
+    * only the writer that owns generation prev.gen+1 may run the
+    * destructive steps (deleting the previous generation's retired files,
+    * GC'ing orphan debris). A writer whose CAS loses — e.g. one that
+    * stalled past `lockStaleMs` in a GC/NFS pause and woke after a peer
+    * stole the lock and committed — returns false having touched NOTHING:
+    * the old ownsLock()-then-commit sequence was a TOCTOU (the peer could
+    * land between the check and the swap, and the zombie's debris GC
+    * would then delete the peer's live files). False propagates to
+    * `withWriterLock`, which re-reads and retries the whole merge.
+    * A crash between the CAS and the cleanup strands the previous
+    * retired set as unreferenced debris — the next commit's GC removes
+    * anything in a live bucket dir outside (live ∪ retired).
+    */
   private def commit(name: String, prev: Manifest,
       live: Map[Int, Seq[String]], nowRetired: Seq[String],
-      schemaJson: String): Unit = {
+      schemaJson: String): Boolean = {
     import scala.jdk.CollectionConverters._
     val target = Paths.get(dir(name))
-    prev.retired.foreach(f => Files.deleteIfExists(target.resolve(f)))
     val retired = nowRetired.distinct.filterNot(live.values.flatten.toSet)
-    // a writer that crashed between its file moves and its manifest swap
-    // left orphans no manifest references — under the writer lock,
-    // anything in a live bucket dir outside (live ∪ retired) is debris
+    if (!casManifest(name, Manifest(prev.gen + 1, live, retired,
+        Some(schemaJson))))
+      return false
+    killPoint(3)
+    prev.retired.foreach(f => Files.deleteIfExists(target.resolve(f)))
     val known = (live.values.flatten ++ retired).toSet
     live.keys.foreach { b =>
       val bdir = target.resolve(s"__bucket=$b")
@@ -636,8 +728,7 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
             !known.contains(s"__bucket=$b/${f.getFileName}"))
           .foreach(Files.deleteIfExists(_))
     }
-    writeManifest(name, Manifest(prev.gen + 1, live, retired,
-      Some(schemaJson)))
+    true
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -107,4 +107,62 @@ class CollectionLockSpec extends AnyFunSuite {
     assert(Files.readString(lock) == "live-peer-token",
       "the peer's lock must survive")
   }
+
+  test("generation publish is a true CAS: one winner per slot") {
+    // rename(2) silently replaces on POSIX, so an ATOMIC_MOVE "commit" is
+    // a TOCTOU — a stalled writer waking past lockStaleMs could clobber
+    // the stealing peer's manifest. The link(2)-based publish must admit
+    // exactly one writer per generation however the lock behaved.
+    val root = Files.createTempDirectory("graft-cas").toString
+    val a = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+    val b = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+    import spark.implicits._
+    a.upsert("c", Seq(("seed", 0)).toDF("_id", "v")) // gen 1 exists
+    val base = a.genManifests("c").last._1
+    val ma = a.casManifest("c",
+      a.Manifest(base + 1, Map.empty, Nil, None))
+    val mb = b.casManifest("c",
+      b.Manifest(base + 1, Map.empty, Nil, None))
+    assert(ma != mb, "exactly one writer may own a generation slot")
+    // the loser retrying against the NEXT generation succeeds
+    assert(b.casManifest("c", b.Manifest(base + 2, Map.empty, Nil, None)))
+  }
+
+  test("kill-point loop through commit: readers stay consistent, " +
+      "a successor recovers every row") {
+    import spark.implicits._
+    for (kill <- 1 to 3) {
+      val root = Files.createTempDirectory(s"graft-kill$kill").toString
+      val w0 = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+      w0.upsert("c", Seq(("base", 0)).toDF("_id", "v"))
+      val victim = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+      final class Boom extends RuntimeException(s"kill@$kill")
+      victim.killPoint = p => if (p == kill) throw new Boom
+      intercept[Boom] {
+        victim.upsert("c", Seq(("mid", 1)).toDF("_id", "v"))
+      }
+      // crash debris may hold the dead victim's lock: a later writer
+      // steals it after lockStaleMs; for the test, clear it like a
+      // supervisor would
+      Files.deleteIfExists(Paths.get(s"$root/c.__lock"))
+      // a concurrent reader sees EXACTLY one committed generation:
+      // before the CAS (kill 1, 2) the old snapshot, after it (kill 3)
+      // the new one — never an error, never a mix
+      val reader = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+      val seen = reader.source(spark, "collection", "c")
+        .select("_id").as[String].collect().toSet
+      if (kill < 3) assert(seen == Set("base"), s"kill@$kill read $seen")
+      else assert(seen == Set("base", "mid"), s"kill@$kill read $seen")
+      // a successor writer recovers: its commit GCs the debris and lands
+      val w2 = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+      w2.upsert("c", Seq(("after", 2)).toDF("_id", "v"))
+      val fin = w2.source(spark, "collection", "c")
+        .select("_id").as[String].collect().toSet
+      assert(fin.contains("base") && fin.contains("after"),
+        s"kill@$kill final $fin")
+      // at most two generation files survive (N and N-1): unbounded
+      // growth would re-introduce the listing cost the manifest avoids
+      assert(w2.genManifests("c").size <= 2)
+    }
+  }
 }

@@ -65,7 +65,10 @@ class CollectionSnapshotSpec extends AnyFunSuite {
     io.upsert("c", (0 until 10).map(i => (s"id$i", i)).toDF("_id", "v"))
     io.delete("c", (0 until 10).map(i => Tuple1(s"id$i")).toDF("_id"),
       Seq("_id"))
-    val mf = Paths.get(s"$root/c/__manifest")
+    // rewrite the CURRENT generation file (the CAS layout keeps one
+    // manifest file per generation; the legacy single-file path is
+    // covered by the migration test below)
+    val mf = io.genManifests("c").last._2
     val n = graft.json.Js.parse(Files.readString(mf))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     n.remove("schema")
@@ -73,6 +76,28 @@ class CollectionSnapshotSpec extends AnyFunSuite {
     val read = io.source(spark, "collection", "c")
     assert(read.count() == 0, "resurrected rows from a pre-schema manifest")
     assert(read.columns.toSet == Set("_id", "v"))
+  }
+
+  test("a legacy single-file manifest reads and migrates on first commit") {
+    // older builds wrote one ATOMIC_MOVE-replaced `__manifest`; the CAS
+    // layout must (a) read it when no generation files exist, (b) retire
+    // it at the first generation commit so there is one source of truth
+    val root = Files.createTempDirectory("graft-legacy").toString
+    val io = new ParquetCollectionIo(spark, root, new TestIo(Map.empty))
+    import spark.implicits._
+    io.upsert("c", Seq(("a", 1), ("b", 2)).toDF("_id", "v"))
+    // rewrite the collection into the legacy shape: move the gen file's
+    // CONTENT to `__manifest` and drop the gen files
+    val gens = io.genManifests("c")
+    val legacy = Paths.get(s"$root/c/__manifest")
+    Files.writeString(legacy, Files.readString(gens.last._2))
+    gens.foreach(g => Files.delete(g._2))
+    assert(io.source(spark, "collection", "c").count() == 2,
+      "legacy manifest must still read")
+    io.upsert("c", Seq(("c", 3)).toDF("_id", "v"))
+    assert(!Files.exists(legacy), "first CAS commit retires the legacy file")
+    assert(io.genManifests("c").nonEmpty)
+    assert(io.source(spark, "collection", "c").count() == 3)
   }
 
   test("concurrent reads during continuous writes never fail or tear") {

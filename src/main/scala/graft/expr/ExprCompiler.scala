@@ -507,12 +507,24 @@ object ExprCompiler {
         // (reference pincette-mongo trace()). Routed through the global
         // LogSink hook like the JSLT `trace` builtin — the compiler has
         // no Env to thread (same constraint, Context.java:75).
+        // Deliberately DETERMINISTIC: value-wise the expression is the
+        // identity, so it is legal in sort/group/join-key positions like
+        // the reference's trace() (an asNondeterministic marker makes
+        // those positions an AnalysisException). The trade: the optimizer
+        // may duplicate or collapse evaluations, so the NUMBER of log
+        // entries is best-effort — the reference pins no count either
+        // ("logged per evaluation" is engine-defined).
         val v = compile(n, ctx)
         val logged = udf { (json: String) =>
+          // to_json needs a container, so the value rides in a 1-element
+          // array; log the VALUE, not the wrapper
+          val m = if (json != null && json.length >= 2 &&
+            json.charAt(0) == '[' && json.charAt(json.length - 1) == ']')
+            json.substring(1, json.length - 1) else json
           graft.op.LogSink.jslt(
-            graft.op.LogOp.traceLogger, "INFO", json, null, null, null)
+            graft.op.LogOp.traceLogger, "INFO", m, null, null, null)
           true
-        }.asNondeterministic()
+        }
         when(logged(to_json(array(v))), v)
       // embedded script operators (docs/aggregation_operators.md:1163-1187):
       // {input?, script} → JSON-string result ($$ROOT input by default)

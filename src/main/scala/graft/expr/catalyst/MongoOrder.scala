@@ -95,12 +95,25 @@ object MongoOrder {
   //   null    → '1'
   //   number  → '2' + decimal key (below)
   //   string  → '3' + esc(s) + '\u0000'
-  //   object  → '4' + (esc(key) + '\u0000' + enc(value))* + '\u0000'
+  //   object  → '4' + ('\u0002' + esc(key) + '\u0000' + enc(value))*
+  //             + '\u0000'
   //   array   → '5' + enc(elem)* + '\u0000'
   //   boolean → '6' + ('0'|'1')
   // esc maps '\u0000'→"\u0001\u0001" and '\u0001'→"\u0001\u0002": content
   // never contains the '\u0000' terminator, and the map is strictly
   // order-preserving, so byte-compare of encodings == the Mongo order.
+  //
+  // The '\u0002' field-start marker disambiguates the EMPTY field key:
+  // an empty key contributes no esc() bytes, so without the marker its
+  // '\u0000' key terminator is byte-identical to the object terminator
+  // and e.g. [{"":9}] encodes the same as [{},9] — a collision between
+  // distinct values. Order is preserved: every field starts '\u0002'
+  // (> the '\u0000' object end, so a prefix object still sorts first),
+  // and between two fields the comparison falls through to esc(key),
+  // exactly as before. Array elements need no marker — every element
+  // encoding starts with a rank char ≥ '1'. (esc leaves a raw '\u0002'
+  // in key content unescaped; safe, because the marker sits at a fixed
+  // position per field, so compared byte positions stay aligned.)
   //
   // Decimal key: EXACT (matches mongo_cmp's BigDecimal compare — int64
   // beyond 2^53 must not collide in the key), sign-exponent-mantissa
@@ -162,6 +175,7 @@ object MongoOrder {
         val it = n.fields()
         while (it.hasNext) {
           val e = it.next()
+          sb.append('\u0002') // field-start marker, see grammar note
           escInto(e.getKey, sb); sb.append('\u0000')
           keyInto(e.getValue, sb)
         }

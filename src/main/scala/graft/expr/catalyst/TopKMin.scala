@@ -45,6 +45,27 @@ case class TopKMin(
     }
   }
 
+  /** Analysis-time contract: a non-foldable or non-positive `k` must fail
+    * the QUERY'S analysis, not throw from an executor mid-aggregation
+    * (where it would surface as a task failure after work was scheduled).
+    */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!child.dataType.isInstanceOf[StructType])
+      TypeCheckFailure(
+        s"top_k_min value must be a struct, got ${child.dataType.sql}")
+    else if (!kExpr.foldable)
+      TypeCheckFailure("top_k_min k must be a constant (foldable) integer")
+    else kExpr.eval(InternalRow.empty) match {
+      case i: Int if i >= 1 => TypeCheckSuccess
+      case l: Long if l >= 1 => TypeCheckSuccess
+      case null => TypeCheckFailure("top_k_min k must not be null")
+      case x => TypeCheckFailure(
+        s"top_k_min k must be a positive integer constant, got $x")
+    }
+  }
+
   private lazy val elementType = child.dataType.asInstanceOf[StructType]
   @transient private lazy val ordering =
     InterpretedOrdering.forSchema(elementType.map(_.dataType))

@@ -60,6 +60,34 @@ class LogOpSpec extends AnyFunSuite {
     assert(e.head.message.contains("\"_id\":\"a\""))
   }
 
+  test("$trace operator is legal in a group key and logs the bare value") {
+    // the reference's trace() is the identity value-wise, so users put it
+    // anywhere an expression goes — a nondeterministic UDF marker made
+    // group/sort/join-key positions an AnalysisException
+    val prev = LogSink.jslt
+    LogSink.jslt = LogSink.Capture
+    LogSink.Capture.clear()
+    try {
+      val df = Seq(("a", 1L), ("b", 1L), ("c", 2L)).toDF("_id", "v")
+      val out = Pipeline.run(df,
+        """[{"$group":{"_id":{"$trace":"$v"},"n":{"$count":{}}}}]""",
+        Env(spark))
+      val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows == Map(1L -> 2L, 2L -> 1L))
+      val msgs = LogSink.Capture.entries
+        .filter(_.logger == graft.op.LogOp.traceLogger).map(_.message)
+      assert(msgs.nonEmpty)
+      // the VALUE is logged, not its [value] serialization wrapper
+      // (entries arrive quoted by escapeFormatting — strip and parse)
+      msgs.foreach { m0 =>
+        val m = if (m0.startsWith("'") && m0.endsWith("'"))
+          m0.substring(1, m0.length - 1) else m0
+        assert(!m.startsWith("["), s"array-wrapped trace entry: $m0")
+        assert(Set("1", "2").contains(m), s"unexpected trace entry: $m0")
+      }
+    } finally LogSink.jslt = prev
+  }
+
   test("message-mode $log reads _corr out of the JSON text") {
     LogSink.Capture.clear()
     val df = Seq(("k1",

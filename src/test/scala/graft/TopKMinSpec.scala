@@ -45,4 +45,22 @@ class TopKMinSpec extends AnyFunSuite {
       .select(col("t.v")).collect().head.getSeq[Int](0)
     assert(got == Seq(0, 1, 2))
   }
+
+  test("invalid k or value type fails at ANALYSIS, not on an executor") {
+    graft.queries.Q.session(spark)
+    val df = spark.range(0, 3)
+      .select(lit(0).as("g"), struct(col("id")).as("s"))
+    def analyze(agg: org.apache.spark.sql.Column): Unit =
+      df.groupBy("g").agg(agg.as("t")).queryExecution.analyzed
+    for (k <- Seq(lit(0), lit(-1), lit(null).cast("int"), col("g")))
+      intercept[org.apache.spark.sql.AnalysisException] {
+        analyze(call_function("top_k_min", col("s"), k))
+      }
+    // non-struct value is equally an analysis error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      analyze(call_function("top_k_min", col("g"), lit(2)))
+    }
+    // sanity: a proper call still analyzes
+    analyze(call_function("top_k_min", col("s"), lit(2)))
+  }
 }

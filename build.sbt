@@ -20,6 +20,7 @@ run / fork := true
 // directly). tools/bench bypasses sbt entirely; this covers every other
 // invocation path.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

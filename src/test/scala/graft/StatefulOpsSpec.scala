@@ -148,6 +148,68 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(ids == Seq("a", "b"), s"redelivered: $redelivered")
   }
 
+  test("app-level deadLetterTopic: a late deliverAt lands in the dlq topic") {
+    // wiring test for the full chain: $delay stage spec → AppRunner's
+    // delaySpec walk → sink options → StatefulOps router. b arrives a
+    // batch AFTER the watermark passed its deliverAt − lateness, so it
+    // must surface in the dead-letter topic with its payload (and the
+    // original routing under _dlq), never silently drop.
+    val dir = Files.createTempDirectory("graft-dlq").toString
+    Files.createDirectories(Paths.get(s"$dir/din"))
+    val io = new FileStreamIo(dir, Map.empty)
+    // deliverAt as numeric epoch MILLIS (the $delay stage's numeric
+    // path): the $toDate route truncates to day precision, which would
+    // collapse same-day instants onto midnight
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"dl","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"din",
+            "toTopic":"dunused",
+            "pipeline":[{"$delay":{"topic":"dretry",
+                                   "deliverAt":{"$toLong":"$at"},
+                                   "lateness":60000,
+                                   "deadLetterTopic":"ddlq"}}]}]}""")
+    def topicIds(t: String): Seq[String] = {
+      val d = Paths.get(s"$dir/$t")
+      if (!Files.exists(d)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(d).iterator().asScala.toSeq.map(Files.readString(_))
+          .map(j => graft.json.Js.parse(j).get("_id").asText())
+      }
+    }
+    def drainUntil(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!cond && System.currentTimeMillis() < deadline) {
+        io.processAll()
+        Thread.sleep(200)
+      }
+    }
+    // batch 1: a due +1h → max seen +1h, watermark +59min
+    Files.writeString(Paths.get(s"$dir/din/m1.json"),
+      """{"_id":"a","at":1704070800000}""")
+    io.processAll()
+    // batch 2: b due +0 ≤ +59min → LATE → rerouted to ddlq
+    Files.writeString(Paths.get(s"$dir/din/m2.json"),
+      """{"_id":"b","at":1704067200000}""")
+    io.processAll()
+    // batch 3: c due +2h advances the watermark to +119min — a (due
+    // +1h) and the rerouted b (due +1h+1ms) both become deliverable
+    Files.writeString(Paths.get(s"$dir/din/m3.json"),
+      """{"_id":"c","at":1704074400000}""")
+    drainUntil(topicIds("dretry").contains("a") &&
+      topicIds("ddlq").contains("b"))
+    io.stopAll()
+    assert(topicIds("dretry").sorted == Seq("a"), topicIds("dretry"))
+    assert(topicIds("ddlq") == Seq("b"), topicIds("ddlq"))
+    // payload preserved + original routing recorded
+    import scala.jdk.CollectionConverters._
+    val bJson = Files.list(Paths.get(s"$dir/ddlq")).iterator().asScala
+      .toSeq.map(Files.readString(_)).head
+    val n = graft.json.Js.parse(bJson)
+    assert(n.get("at").asLong() == 1704067200000L, bJson)
+    assert(n.get("_dlq").get("topic").asText() == "dretry", bJson)
+  }
+
   test("$deduplicate + $delay in one part: sink branches get fresh plans") {
     // the part's sink splits into an immediate and a delayed query; both
     // embed the pipeline's DedupProcessor — starting them from ONE

@@ -59,10 +59,12 @@ case class TopKMin(
       TypeCheckFailure("top_k_min k must be a constant (foldable) integer")
     else kExpr.eval(InternalRow.empty) match {
       case i: Int if i >= 1 => TypeCheckSuccess
-      case l: Long if l >= 1 => TypeCheckSuccess
+      // the runtime k is an Int: a Long beyond Int range would silently
+      // truncate (2^32 -> 0), so reject it here
+      case l: Long if l >= 1 && l <= Int.MaxValue => TypeCheckSuccess
       case null => TypeCheckFailure("top_k_min k must not be null")
       case x => TypeCheckFailure(
-        s"top_k_min k must be a positive integer constant, got $x")
+        s"top_k_min k must be a positive Int-range constant, got $x")
     }
   }
 

@@ -116,6 +116,7 @@ object Similarity {
     // with ambient load (each round's wall time is dominated by the
     // re-read, not the math)
     val v = normalized(corpus, embCol, idCol, "v").persist()
+    try {
     var seeds = v.orderBy(col(idCol)).limit(1)
       .select(col(idCol), col("v"))
     val perRound = math.max(1, math.ceil((nlist - 1).toDouble /
@@ -145,10 +146,12 @@ object Similarity {
       prior = Some(next)
       seeds = next
     }
-    // the final seeds frame is persisted + materialized (count above), so
-    // dropping the corpus cache cannot trigger a recompute through it
-    v.unpersist()
     seeds.select(col(idCol), col("v").as(embCol))
+    // the final seeds frame is persisted + materialized (count above), so
+    // dropping the corpus cache cannot trigger a recompute through it;
+    // the finally also covers a mid-loop failure, which would otherwise
+    // leave the whole normalized corpus pinned for the session
+    } finally v.unpersist()
   }
 
   /** Trained IVF codebook: Lloyd iterations as DataFrame aggregations.
@@ -409,25 +412,44 @@ object Similarity {
       .limit(sampleQueries)
       .select(col(idCol), col(embCol))
       .persist()
-    val exact = bruteForceTopK(corpus, sample, embCol, idCol, k,
-        maxExactWork = 2L * sampleQueries * n)
-      .select("query_id", "nb_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    var nprobe = 1
-    var recall = 0.0
-    var done = false
-    while (!done) {
-      val got = ivfTopKWith(corpus, sample, cents, embCol, idCol, k, nprobe)
+    // the corpus->cell assignment does not depend on nprobe: compute it
+    // ONCE and persist for the trial loop — re-running it per doubling
+    // would repeat up to log2(nlist) full corpus scans for identical
+    // results (only the tiny query-side probing varies between trials)
+    val cells = assignCells(corpus, cents, embCol, idCol)
+      .withColumnRenamed(idCol, "nb_id")
+      .persist()
+    try {
+      val exact = bruteForceTopK(corpus, sample, embCol, idCol, k,
+          maxExactWork = 2L * sampleQueries * n)
         .select("query_id", "nb_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      recall =
-        if (exact.isEmpty) 1.0
-        else got.intersect(exact).size.toDouble / exact.size
-      if (recall >= target || nprobe >= nlist) done = true
-      else nprobe = math.min(nprobe * 2, nlist)
+      var nprobe = 1
+      var recall = 0.0
+      var done = false
+      while (!done) {
+        val probed =
+          assignCellsMulti(sample, cents, embCol, idCol, nprobe)
+            .select(col(idCol).as("query_id"), col("v").as("vq"),
+              col("cell"))
+        val got = probed.join(cells, "cell")
+          .where(col("query_id") =!= col("nb_id"))
+          .withColumn("cos", ndot6(col("vq"), col("v")))
+          .select(col("query_id"), col("nb_id"), col("cos"))
+          .transform(searchTopKDesc(k))
+          .select("query_id", "nb_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        recall =
+          if (exact.isEmpty) 1.0
+          else got.intersect(exact).size.toDouble / exact.size
+        if (recall >= target || nprobe >= nlist) done = true
+        else nprobe = math.min(nprobe * 2, nlist)
+      }
+      IvfTuning(nlist, nprobe, recall)
+    } finally {
+      cells.unpersist()
+      sample.unpersist()
     }
-    sample.unpersist()
-    IvfTuning(nlist, nprobe, recall)
   }
 
   private def ivfSearch(corpus: DataFrame, queries: DataFrame,

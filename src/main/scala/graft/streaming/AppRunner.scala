@@ -138,14 +138,17 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     // finally sees the `_deliver_at` frame sizes the watermark / router
     // with them, and that sink can be a DOWNSTREAM part's (fromStream
     // pass-through keeps the routing columns), so walk the upstream chain
-    // to the part whose $delay stamped it
-    def delaySpec(part: JsonNode, field: String,
+    // to the part whose $delay stamped it. The walk resolves the WHOLE
+    // stage spec (a later $delay replaces an earlier one, matching the
+    // stage compiler) and both fields are read from that one node —
+    // resolving them independently could combine a lateness from one
+    // stage with a deadLetterTopic another stage declared.
+    def delaySpec(part: JsonNode,
         seen: Set[String] = Set.empty): Option[JsonNode] = {
       val own = Option(part.get("pipeline")).toSeq.flatMap(Js.elems)
         .flatMap(st => Option(st.get("$delay")))
         .filter(_.has("deliverAt"))
-        .flatMap(d => Option(d.get(field)))
-        .headOption
+        .lastOption
       own.orElse {
         val ups = Seq("fromStream").flatMap(f =>
           Option(part.get(f)).map(_.asText())) ++
@@ -156,7 +159,7 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
             Js.elems(part.get("fromStreams")).map(_.asText())
           else Nil)
         ups.filterNot(seen).flatMap(n => partByName.get(n)
-          .flatMap(p => delaySpec(p, field, seen + n))).headOption
+          .flatMap(p => delaySpec(p, seen + n))).headOption
       }
     }
 
@@ -166,10 +169,11 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
         .flatMap(t => Option(t.get("maxPerSecond")))
         .map(_.asLong()).headOption
         .map(r => Map("maxPerSecond" -> r.toString)).getOrElse(Map.empty)
-      val lateness = delaySpec(part, "lateness")
+      val delay = delaySpec(part)
+      val lateness = delay.flatMap(d => Option(d.get("lateness")))
         .map(l => Map("delayLateness" -> l.asLong().toString))
         .getOrElse(Map.empty)
-      val deadLetter = delaySpec(part, "deadLetterTopic")
+      val deadLetter = delay.flatMap(d => Option(d.get("deadLetterTopic")))
         .map(d => Map("delayDeadLetter" -> d.asText()))
         .getOrElse(Map.empty)
       throttle ++ lateness ++ deadLetter

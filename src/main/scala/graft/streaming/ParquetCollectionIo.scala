@@ -122,13 +122,21 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
     import scala.jdk.CollectionConverters._
     val target = Paths.get(dir(name))
     if (!Files.exists(target)) Nil
-    else Files.list(target).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("__manifest-"))
-      .flatMap { f =>
-        val suffix = f.getFileName.toString.stripPrefix("__manifest-")
-        suffix.toLongOption.map(_ -> f)
-      }
-      .sortBy(_._1)
+    else {
+      // this runs on EVERY collection read — close the directory stream
+      // eagerly instead of leaking an fd until GC
+      val stream = Files.list(target)
+      val names =
+        try stream.iterator().asScala.toVector
+        finally stream.close()
+      names
+        .filter(_.getFileName.toString.startsWith("__manifest-"))
+        .flatMap { f =>
+          val suffix = f.getFileName.toString.stripPrefix("__manifest-")
+          suffix.toLongOption.map(_ -> f)
+        }
+        .sortBy(_._1)
+    }
   }
 
   private def parseManifest(text: String): Manifest = {
@@ -143,25 +151,37 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
   }
 
   private def loadManifest(name: String): Option[Manifest] = {
-    // the newest generation file wins; a concurrent GC can delete a file
+    // The newest generation file wins; a concurrent GC can delete a file
     // between the listing and the read (kept generations: N and N-1, so
-    // only a reader two commits behind races it) — re-list and retry
+    // only a reader two commits behind races it) — re-list and retry.
+    // The legacy branch has its own race: the first CAS commit creates
+    // the gen file BEFORE deleting the legacy file, so a reader that
+    // listed no gen files and then misses the legacy file raced the
+    // migration — loop back and re-list (the gen file exists by then)
+    // rather than crash or fall through to a directory scan that would
+    // resurrect retired rows. Only two consecutive truly-empty
+    // observations mean a never-written collection.
     var attempts = 0
-    while (attempts < 5) {
+    var emptySeen = 0
+    while (attempts < 6) {
       attempts += 1
       genManifests(name).lastOption match {
         case Some((_, f)) =>
           try return Some(parseManifest(Files.readString(f)))
           catch { case _: java.io.IOException => () } // deleted: re-list
         case None =>
-          return (
-            if (!Files.exists(legacyManifestPath(name))) None
-            else Some(parseManifest(
-              Files.readString(legacyManifestPath(name)))))
+          val legacy = legacyManifestPath(name)
+          try return Some(parseManifest(Files.readString(legacy)))
+          catch {
+            case _: java.nio.file.NoSuchFileException =>
+              emptySeen += 1
+              if (emptySeen >= 2) return None // stable: never written
+            case _: java.io.IOException => () // transient: re-list
+          }
       }
     }
     throw new IllegalStateException(
-      s"collection $name: manifest generations churned 5 reads in a row")
+      s"collection $name: manifest generations churned 6 reads in a row")
   }
 
   /** Bootstrap a manifest from the directory (pre-manifest layout):

@@ -137,9 +137,10 @@ object StatefulOps {
     *    keeps field boundaries — plain concat would collide ("ab","c")
     *    with ("a","bc"); 0x00 stands in for a null field);
     *  - (partition id, row position) separates identical payloads within
-    *    a batch, and is stable on recompute: the delay frame sits behind
-    *    narrow ops over a replayable source, so a retried task walks the
-    *    same rows in the same order;
+    *    a batch, and is stable on recompute: the stamping pass sorts each
+    *    partition by content first, so the position depends only on the
+    *    partition's MEMBERSHIP (deterministic for replayable sources and
+    *    hash shuffles alike), never on shuffle-fetch arrival order;
     *  - the batch timestamp separates identical payloads at identical
     *    positions in DIFFERENT micro-batches (which would otherwise
     *    coalesce onto one state slot and deliver once). In streaming,
@@ -172,10 +173,19 @@ object StatefulOps {
       .as[(String, Long, String, String, Long)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        it.zipWithIndex.map { case ((topic, delayMs, key, json, bts), i) =>
-          (uidOf(Seq(topic, delayMs.toString, key, json), pid, i, bts),
-            topic, delayMs, key, json)
-        }
+        // a shuffle-fed partition has deterministic MEMBERSHIP but not
+        // row order (block fetch order varies across task retries, and a
+        // $delay can sit behind a $group/join): sort the buffered
+        // partition by content so idx is a pure function of the data.
+        // Buffering is bounded by design — the delay frame is
+        // retry/control traffic, not the data plane.
+        it.toVector
+          .sortBy(t => (t._1, t._2, Option(t._3).getOrElse(""), t._4))
+          .iterator.zipWithIndex
+          .map { case ((topic, delayMs, key, json, bts), i) =>
+            (uidOf(Seq(topic, delayMs.toString, key, json), pid, i, bts),
+              topic, delayMs, key, json)
+          }
       }
       .groupByKey(_._1)
       .transformWithState(new DelayProcessor,
@@ -209,10 +219,15 @@ object StatefulOps {
       .as[(String, java.sql.Timestamp, String, String, Long)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        it.zipWithIndex.map { case ((topic, at, key, json, bts), i) =>
-          (uidOf(Seq(topic, at.getTime.toString, key, json), pid, i, bts),
-            topic, at, key, json)
-        }
+        // content-sorted for retry-stable idx — see delayViaTimers
+        it.toVector
+          .sortBy(t =>
+            (t._1, t._2.getTime, Option(t._3).getOrElse(""), t._4))
+          .iterator.zipWithIndex
+          .map { case ((topic, at, key, json, bts), i) =>
+            (uidOf(Seq(topic, at.getTime.toString, key, json), pid, i, bts),
+              topic, at, key, json)
+          }
       }
     val routed = deadLetterTopic match {
       case Some(dlq) =>
@@ -243,6 +258,10 @@ object StatefulOps {
     * streaming path is the scale path; this is its replayable mirror.
     * Output: the input columns with `topic` rewritten for late rows, plus
     * a `late` boolean.
+    *
+    * CONTRACT: `ord` must be unique per row (it is the join-back key) —
+    * duplicate ords multiply rows through the payload rejoin and make
+    * the running max ambiguous.
     */
   def routeLateBatch(packed: DataFrame, latenessMs: Long, dlqTopic: String,
       ord: Column): DataFrame = {
@@ -445,9 +464,7 @@ final class LateRouter(latenessMs: Long, dlqTopic: String)
     // this call returns, and the judgment must use the PRIOR batch max
     val batch = rows.toVector
     val prior = if (maxSeen.exists()) Some(maxSeen.get()) else None
-    val batchMax = batch.iterator.map(_._3.getTime) ++ prior.iterator
-    if (batch.nonEmpty || prior.nonEmpty) maxSeen.update(batchMax.max)
-    batch.iterator.map { case row @ (uid, topic, at, k, json) =>
+    val out = batch.map { case row @ (uid, topic, at, k, json) =>
       prior match {
         case Some(m) if at.getTime <= m - latenessMs =>
           (uid, dlqTopic, new java.sql.Timestamp(m + 1), k,
@@ -455,6 +472,16 @@ final class LateRouter(latenessMs: Long, dlqTopic: String)
         case _ => row
       }
     }
+    // track the max over what we EMIT, not what arrived: the downstream
+    // watermark node computes its max from the router's output, and a
+    // rewritten row's maxSeen+1 exceeds the inputs' max — updating from
+    // inputs would let the two maxes diverge by 1 ms, and a future row
+    // at exactly the boundary would pass the router's late test yet be
+    // dropped by the watermark filter (payload lost, the one thing this
+    // stage promises cannot happen)
+    val outMax = out.iterator.map(_._3.getTime) ++ prior.iterator
+    if (out.nonEmpty || prior.nonEmpty) maxSeen.update(outMax.max)
+    out.iterator
   }
 }
 

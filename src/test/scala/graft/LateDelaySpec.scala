@@ -110,6 +110,57 @@ class LateDelaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("router max tracks OUTPUTS: the watermark-boundary row is " +
+      "dead-lettered, never watermark-dropped") {
+    // A dead-lettered row is rewritten to maxSeen+1ms, which raises the
+    // DOWNSTREAM max above the router's input max. If the router tracked
+    // inputs, a later row at exactly (maxSeen+1ms − lateness) would pass
+    // its late test yet be dropped by the watermark filter (eventTime <=
+    // watermark) — lost payload, the one thing dead-lettering promises
+    // cannot happen. The router must judge with the max over what it
+    // EMITS.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    val in = MemoryStream[(String, java.sql.Timestamp, String, String)]
+    DelayCapture.buf.clear()
+    val q = graft.streaming.StatefulOps.delayViaEventTimers(
+      in.toDF().toDF("topic", "deliverAt", "key", "json"),
+      latenessMs = 60000, deadLetterTopic = Some("dlq2"))
+      .writeStream
+      .foreach(new graft.streaming.DelayedDelivery.ImmediateWriter(
+        (t, k, j) => DelayCapture.buf.add((t, k, j))))
+      .start()
+    def ts(ms: Long) = new java.sql.Timestamp(t0 + ms)
+    try {
+      in.addData(("lp2", ts(300000), "HEAD", "{}"))
+      q.processAllAvailable() // router max 300s; wm 240s
+      in.addData(("lp2", ts(100000), "LATE", "{}"))
+      q.processAllAvailable() // dead-lettered -> emitted at 300.001s
+      // the boundary row: due exactly 300.001s - 60s = 240.001s. The
+      // downstream watermark is 240.001s, so only dead-lettering saves it
+      in.addData(("lp2", ts(240001), "EDGE", "{}"))
+      q.processAllAvailable()
+      val dropped = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 0, s"boundary row watermark-dropped: $dropped")
+      // advance far enough to flush all timers
+      in.addData(("lp2", ts(600000), "TAIL", "{}"))
+      q.processAllAvailable()
+      in.addData(("lp2", ts(700000), "T2", "{}"))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = DelayCapture.buf.iterator().asScala.toSeq
+        .filter(r => r._1 == "lp2" || r._1 == "dlq2")
+      assert(got.filter(_._1 == "dlq2").map(_._2).toSet ==
+        Set("LATE", "EDGE"), s"dead letters: $got")
+      assert(got.filter(_._1 == "lp2").map(_._2).toSet ==
+        Set("HEAD", "TAIL"), s"deliveries: $got")
+    } finally q.stop()
+  }
+
   test("parking state keys are deterministic and collision-separated") {
     import graft.streaming.StatefulOps.uidOf
     // a recompute (task retry) walks the same rows at the same positions

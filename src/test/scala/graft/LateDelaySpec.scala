@@ -161,6 +161,67 @@ class LateDelaySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("router maxSeen survives a restart: post-restart late rows still " +
+      "dead-letter") {
+    // the router's watermark mirror lives in the checkpoint like any
+    // transformWithState state: a restart that forgot maxSeen would see
+    // prior=None and PASS a late row into the watermark filter, which
+    // drops it — lost payload after every recovery
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("graft-router-restart")
+    val src = work.resolve("in").toString
+    val ckpt = work.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    DelayCapture.buf.clear()
+    def startQ() = graft.streaming.StatefulOps.delayViaEventTimers(
+      spark.readStream
+        .schema("topic string, deliverAt timestamp, key string, json string")
+        .json(src)
+        .select(col("topic"), col("deliverAt"), col("key"), col("json")),
+      latenessMs = 60000, deadLetterTopic = Some("dlq3"))
+      .writeStream
+      .foreach(new graft.streaming.DelayedDelivery.ImmediateWriter(
+        (t, k, j) => DelayCapture.buf.add((t, k, j))))
+      .option("checkpointLocation", ckpt)
+      .start()
+    def got(t: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      DelayCapture.buf.iterator().asScala.toSeq
+        .filter(_._1 == t).map(_._2).toSet
+    }
+    val q1 = startQ()
+    try {
+      // HEAD at 00:05 -> maxSeen 00:05 lands in the checkpoint
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$src/m1.json"),
+        """{"topic":"lp3","deliverAt":"2024-01-01T00:05:00Z","key":"HEAD","json":"{}"}""")
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+    val q2 = startQ()
+    try {
+      // LATE at 00:00 ≤ 00:05 − 60s: only a RESTORED maxSeen routes it
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$src/m2.json"),
+        """{"topic":"lp3","deliverAt":"2024-01-01T00:00:00Z","key":"LATE","json":"{}"}""")
+      q2.processAllAvailable()
+      // advance the watermark far enough to flush HEAD and the dlq row
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$src/m3.json"),
+        """{"topic":"lp3","deliverAt":"2024-01-01T01:00:00Z","key":"TAIL","json":"{}"}""")
+      q2.processAllAvailable()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$src/m4.json"),
+        """{"topic":"lp3","deliverAt":"2024-01-01T02:00:00Z","key":"T2","json":"{}"}""")
+      q2.processAllAvailable()
+      val dropped = q2.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 0, s"late row dropped after restart: $dropped")
+      assert(got("dlq3") == Set("LATE"), s"dead letters: ${got("dlq3")}")
+      assert(got("lp3").contains("HEAD"), s"deliveries: ${got("lp3")}")
+    } finally { q2.stop(); q2.awaitTermination() }
+  }
+
   test("parking state keys are deterministic and collision-separated") {
     import graft.streaming.StatefulOps.uidOf
     // a recompute (task retry) walks the same rows at the same positions

@@ -85,13 +85,39 @@ object AggregateLogic {
       }
     }
 
+    // delete of an instance that never existed: nothing to tombstone —
+    // refuse with a reply instead of fabricating `{_deleted: true}` state
+    // at _seq 0 for a phantom id (which would occupy the store forever
+    // and emit a delete event no put ever preceded)
+    if (cmdName == "delete" && state.isEmpty) {
+      val refused = command.deepCopy[ObjectNode]()
+      refused.put("_error", true)
+      refused.put("_statusCode", 404)
+      refused.put("message", "Not found")
+      return (state, Seq(Reply -> refused))
+    }
+
     // 4. reduce — the reducer sees the state with `{href}` subobjects
     //    resolved to the referenced aggregate's fields; the STORED state
     //    keeps the bare refs (unresolve below), so events diff clean
-    //    (reference app36: _ops shows only /value, hrefs stay hrefs)
+    //    (reference app36: _ops shows only /value, hrefs stay hrefs).
+    //    A reducer that THROWS (bad patch ops, a custom reducer bug) must
+    //    answer with an error reply, not kill the query: the streaming
+    //    checkpoint would replay the same poison command forever.
     val reducer = conf.reducers.getOrElse(cmdName, builtin(cmdName))
-    val reduced0 = reducer(command, resolveHrefs(cur, conf.resolver))
-    val reduced = unresolve(cur, reduced0) match {
+    val resolvedCur = resolveHrefs(cur, conf.resolver)
+    val reduced0 =
+      try reducer(command, resolvedCur)
+      catch {
+        case e: Exception =>
+          val refused = command.deepCopy[ObjectNode]()
+          refused.put("_error", true)
+          refused.put("_statusCode", 400)
+          refused.put("message",
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          return (state, Seq(Reply -> refused))
+      }
+    val reduced = unresolve(cur, resolvedCur, reduced0) match {
       case o: ObjectNode => o
       case _             => reduced0
     }
@@ -165,8 +191,11 @@ object AggregateLogic {
     val tgtOrder = Js.fields(tgt).map(_._1).zipWithIndex.toMap
     val srcOrder = Js.fields(src).map(_._1).zipWithIndex.toMap
     val sorted = Js.elems(ops).sortBy { op =>
+      // RFC 6901 unescape (~1 before ~0): a field named "a/b" or "a~b"
+      // must still find its document-order slot
       val seg = op.get("path").asText().split("/")
         .drop(1).headOption.getOrElse("")
+        .replace("~1", "/").replace("~0", "~")
       tgtOrder.get(seg)
         .orElse(srcOrder.get(seg).map(_ + tgtOrder.size))
         .getOrElse(Int.MaxValue)
@@ -204,27 +233,37 @@ object AggregateLogic {
     walk(state).asInstanceOf[ObjectNode]
   }
 
-  /** Collapse resolved refs back: wherever the ORIGINAL state had an
-    * href-only object and the reduced value still carries the same href,
-    * restore the bare ref (the reducer didn't change it — resolution must
-    * not leak into the stored state).
+  /** Collapse resolved refs back — resolution must not leak into the
+    * stored state. The walk runs over (stored, resolved-view, reduced) in
+    * parallel: a key the reducer emits that is ABSENT from the stored
+    * state, carried UNCHANGED from the resolved view, inside an object
+    * that has an `href`, is exactly a resolver-injected field — drop it.
+    * Everything else (keys present in the stored state, keys the reducer
+    * added, injected values the reducer MODIFIED — a deliberate write)
+    * stays. Matching on value identity rather than `o.size() == 1` also
+    * covers href objects with sibling fields and reducers that swap the
+    * href itself.
     */
-  private def unresolve(orig: JsonNode, red: JsonNode): JsonNode =
-    (orig, red) match {
-      case (o: ObjectNode, r: ObjectNode)
-          if o.size() == 1 && o.has("href") &&
-            Option(r.get("href")) == Option(o.get("href")) =>
-        o
-      case (o: ObjectNode, r: ObjectNode) =>
-        val out = r.deepCopy[ObjectNode]()
+  private def unresolve(orig: JsonNode, resolved: JsonNode,
+      red: JsonNode): JsonNode =
+    (orig, resolved, red) match {
+      case (o: ObjectNode, rs: ObjectNode, r: ObjectNode) =>
+        val out = Js.obj()
         Js.fields(r).foreach { case (k, v) =>
-          Option(o.get(k)).foreach(ov =>
-            out.set[JsonNode](k, unresolve(ov, v)))
+          if (o.has(k))
+            out.set[JsonNode](k,
+              unresolve(o.get(k), Option(rs.get(k)).getOrElse(o.get(k)), v))
+          else {
+            val injected = o.has("href") && rs.has(k) && rs.get(k) == v
+            if (!injected) out.set[JsonNode](k, v)
+          }
         }
         out
-      case (o: ArrayNode, r: ArrayNode) if o.size() == r.size() =>
+      case (o: ArrayNode, rs: ArrayNode, r: ArrayNode)
+          if o.size() == r.size() && rs.size() == r.size() =>
         val out = Js.arr()
-        (0 until r.size()).foreach(i => out.add(unresolve(o.get(i), r.get(i))))
+        (0 until r.size()).foreach(i =>
+          out.add(unresolve(o.get(i), rs.get(i), r.get(i))))
         out
       case _ => red
     }
@@ -259,8 +298,19 @@ object AggregateLogic {
 
   private def fullType(conf: Config) = conf.aggType
 
+  /** Jackson-style lenient extraction (the reference reads these fields
+    * with `asText`/`asLong`, which coerce): a numeric `_id` stringifies —
+    * matching the Spark-side key (`get_json_object` stringifies too) —
+    * and a string `"_seq"` still engages the optimistic-lock check
+    * instead of silently bypassing it.
+    */
   private def text(n: JsonNode, f: String): Option[String] =
-    Option(n.get(f)).filter(_.isTextual).map(_.asText())
+    Option(n.get(f)).filter(v => v.isValueNode && !v.isNull).map(_.asText())
   private def long(n: JsonNode, f: String): Option[Long] =
-    Option(n.get(f)).filter(_.isNumber).map(_.asLong())
+    Option(n.get(f)).flatMap {
+      case v if v.isNumber  => Some(v.asLong())
+      case v if v.isTextual =>
+        scala.util.Try(v.asText().trim.toLong).toOption
+      case _ => None
+    }
 }

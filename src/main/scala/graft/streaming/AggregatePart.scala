@@ -41,7 +41,12 @@ object AggregatePart {
     import spark.implicits._
     // Arrival order is the reduction order (Kafka offset order per key in
     // the reference). Within a micro-batch, an optional `__ord` column
-    // pins the order explicitly (iterator order otherwise).
+    // pins the order explicitly (iterator order otherwise). NOTE: when a
+    // key's commands span INPUT partitions (uniqueExpression re-keying),
+    // cross-partition order is undefined here exactly as it is in the
+    // reference — its unique re-key round-trips through the `<type>-unique`
+    // TOPIC to re-establish per-partition order, and this engine exposes
+    // the same stream (AppRunner's uniqueStream) for that purpose.
     val hasOrd = commands.columns.contains("__ord")
     // streaming forbids monotonically_increasing_id; a constant ord keeps
     // iterator order intact through the STABLE sortBy below (per-partition
@@ -84,18 +89,37 @@ object AggregatePart {
             state.remove()
             Iterator.empty
           } else {
+            // a corrupt SNAPSHOT is a real storage failure: stay strict
+            // (crashing preserves the checkpoint for inspection; silently
+            // resetting state would lose the aggregate)
             var cur: Option[ObjectNode] =
               state.getOption.map(s => Js.parse(s).asInstanceOf[ObjectNode])
             val outs = Seq.newBuilder[Out]
             it.toSeq.sortBy(_._3).foreach { case (_, json, _) =>
-              val cmd = Js.parse(json).asInstanceOf[ObjectNode]
-              cmd.remove("__ord") // harness plumbing, never part of the command
-              cmd.remove("__raw")
-              val (next, emitted) =
-                AggregateLogic.step(cur, cmd, conf, System.currentTimeMillis())
-              cur = next
-              emitted.foreach { case (dest, doc) =>
-                outs += Out(dest.name, key, Js.render(doc))
+              // a malformed or non-object COMMAND is a poison pill if it
+              // throws here: the task fails, the checkpoint replays the
+              // same record, and the query wedges forever. Skip it with a
+              // visible log line instead (no id to reply to).
+              val parsed =
+                try Js.parse(json) match {
+                  case o: ObjectNode => Some(o)
+                  case _ => None
+                } catch { case _: Exception => None }
+              parsed match {
+                case None =>
+                  org.slf4j.LoggerFactory.getLogger("graft.streams")
+                    .warn("aggregate {}: skipping unparseable command ({})",
+                      conf.aggType,
+                      json.take(200): Any)
+                case Some(cmd) =>
+                  cmd.remove("__ord") // harness plumbing, not the command
+                  cmd.remove("__raw")
+                  val (next, emitted) = AggregateLogic.step(cur, cmd, conf,
+                    System.currentTimeMillis())
+                  cur = next
+                  emitted.foreach { case (dest, doc) =>
+                    outs += Out(dest.name, key, Js.render(doc))
+                  }
               }
             }
             cur.foreach(s => state.update(Js.render(s)))
@@ -109,7 +133,14 @@ object AggregatePart {
   }
 
   /** The `<app>-<type>-<purpose>` streams (docs/state.md:66): filter the
-    * tagged output per purpose.
+    * tagged output per purpose. In BATCH, AppRunner materializes the
+    * stateful pass once (localCheckpoint) so the four purpose sinks share
+    * one execution and one `_timestamp` per event. In STREAMING each
+    * purpose sink is its own query over its own state store (standard
+    * Spark multi-sink topology), so copies of an event on different
+    * purpose topics may carry different wall-clock `_timestamp` values —
+    * correlate across streams by (`_id`, `_seq`, `_corr`), which are
+    * deterministic, not by timestamp.
     */
   def streams(out: Dataset[Out], aggType: String): Map[String, DataFrame] =
     Seq("aggregate", "event", "event-full", "reply").map { purpose =>

@@ -405,8 +405,21 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
         // pass entirely, in batch and streaming alike) or a shared
         // directory via config("href.store") (self-feed runs, but into
         // the shared files — cluster-safe).
+    // batch materialization: ONE execution of the stateful pass serves
+    // every purpose sink (each batch sink action would otherwise replay
+    // the whole reduction — 4x the work — and stamp divergent
+    // `_timestamp` values on copies of the same event). persist, NOT
+    // checkpoint: a checkpoint replaces the plan with a LogicalRDD,
+    // silently dropping every observe node upstream of it (command
+    // metrics would never fire); the cache keeps the plan — the first
+    // sink action materializes and fires the observes exactly once, and
+    // run() itself stays build-only.
+        def materialized(d: org.apache.spark.sql.Dataset[AggregatePart.Out])
+            : org.apache.spark.sql.Dataset[AggregatePart.Out] =
+          d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val out =
-          if (pre.isStreaming || hrefResolver.isDefined) out0
+          if (pre.isStreaming) out0
+          else if (hrefResolver.isDefined) materialized(out0)
           else {
             val sess = pre.sparkSession
             import sess.implicits._
@@ -414,7 +427,7 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
             states.persist(StorageLevel.MEMORY_AND_DISK)
             val anyHref = !states
               .filter(_.value.contains("\"href\"")).isEmpty
-            if (!anyHref) { states.unpersist(); out0 }
+            if (!anyHref) { states.unpersist(); materialized(out0) }
             else {
               // pass-1 final state per instance, reduced DISTRIBUTED
               // (arg-max on _seq per id)

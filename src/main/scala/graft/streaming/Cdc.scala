@@ -33,7 +33,16 @@ object Cdc {
     val before = field("before")
     val afterId = get_json_object(after, "$._id")
     val beforeId = get_json_object(before, "$._id")
-    val deleted = to_json(struct(beforeId.as("_id"),
+    // a delete without a pre-image (default Debezium Mongo config: no
+    // `before` document) carries the id only in the KEY — fall back to
+    // the Debezium key envelope ({payload:{id}}, {id}) or the raw key,
+    // or the {_id,_deleted:true} marker would have no _id at all and the
+    // delete would be lost downstream
+    val keyId = coalesce(
+      get_json_object(col("key"), "$.payload.id"),
+      get_json_object(col("key"), "$.id"),
+      col("key"))
+    val deleted = to_json(struct(coalesce(beforeId, keyId).as("_id"),
       lit(true).as("_deleted")))
     val ordCols =
       if (df.columns.contains("__ord")) Seq(col("__ord")) else Nil

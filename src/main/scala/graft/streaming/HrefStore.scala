@@ -37,7 +37,14 @@ object HrefStore {
   }
 
   /** Shared-filesystem serving store — the multi-JVM counterpart of the
-    * singleton above (`config("href.store") = <dir>` wires it): executor
+    * singleton above (`config("href.store") = <dir>` wires it). SCOPE:
+    * the engine's self-feed publishes into it on the BATCH two-pass path
+    * only. A STREAMING app resolves against whatever this directory
+    * holds — some publisher must keep it current (route the
+    * `<type>-aggregate` purpose stream to a collection/store and point
+    * `AppRunner(hrefResolver = ...)` at it, the exact analog of the
+    * reference resolving against the Mongo aggregate collection its own
+    * writes maintain). Executor
     * tasks publish each aggregate's latest state as one file per id
     * under a root every JVM can reach (NFS/shared volume; object-store
     * roots go through the same pattern with their own client), and

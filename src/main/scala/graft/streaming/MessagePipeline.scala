@@ -59,12 +59,20 @@ object MessagePipeline {
       df => {
         val text =
           if (spec.isTextual) spec.asText() else spec.get("script").asText()
-        val inline = text.contains("\n") || text.trim.startsWith(".") ||
-          text.trim.startsWith("{")
-        val script = if (inline) text else env.scripts(text)
-        val base = if (inline) "" else text
+        // single-line scripts can start with anything (del(...), if, [):
+        // treat the text as a registered script NAME only when the loader
+        // actually resolves it; otherwise it is an inline program (a
+        // typo'd name then surfaces as a visible parse error)
+        val loaded =
+          if (text.contains("\n")) None
+          else scala.util.Try(env.scripts(text)).toOption
+        val script = loaded.getOrElse(text)
+        val base = if (loaded.isDefined) text else ""
         val program = graft.jq.MiniJq.compile(script, env.scripts, base)
-        val apply = udf((json: String) => Js.render(program(Js.parse(json))))
+        // null-safe: a Kafka tombstone (null value) passes through — a
+        // thrown parse would be a poison pill the checkpoint replays
+        val apply = udf((json: String) =>
+          if (json == null) null else Js.render(program(Js.parse(json))))
         df.withColumn("value", apply(col("value")))
           .withColumn("key",
             coalesce(get_json_object(col("value"), "$._id"), col("key")))
@@ -73,44 +81,81 @@ object MessagePipeline {
       df => {
         val text =
           if (spec.isTextual) spec.asText() else spec.get("script").asText()
-        val inline = text.contains("\n") || text.trim.startsWith(".") ||
-          text.trim.startsWith("{")
-        val script = if (inline) text else env.scripts(text)
-        val base = if (inline) "" else text
+        val loaded = // see $jq: loader-resolved name, else inline
+          if (text.contains("\n")) None
+          else scala.util.Try(env.scripts(text)).toOption
+        val script = loaded.getOrElse(text)
+        val base = if (loaded.isDefined) text else ""
         val program = graft.jq.MiniJslt.compile(script, env.scripts, base)
-        val apply = udf((json: String) => Js.render(program(Js.parse(json))))
+        val apply = udf((json: String) =>
+          if (json == null) null else Js.render(program(Js.parse(json))))
         df.withColumn("value", apply(col("value")))
           .withColumn("key",
             coalesce(get_json_object(col("value"), "$._id"), col("key")))
       }
     case "$unwind" => df => {
       // array path → one message per element, the element replacing the
-      // array (docs/aggregation_stages.md:840-855); missing/empty drops
+      // array (docs/aggregation_stages.md:840-855, which defers to the
+      // full Mongo option set): preserveNullAndEmptyArrays keeps docs
+      // whose path is null/missing (unchanged) or an empty array (field
+      // removed); includeArrayIndex adds the element index (null for
+      // preserved docs); a non-array value unwinds as its own singleton.
       val (path, newIds) =
         if (spec.isTextual) (spec.asText().stripPrefix("$"), false)
         else (spec.get("path").asText().stripPrefix("$"),
           spec.has("newIds") && spec.get("newIds").asBoolean())
+      val preserve = !spec.isTextual &&
+        spec.has("preserveNullAndEmptyArrays") &&
+        spec.get("preserveNullAndEmptyArrays").asBoolean()
+      val idxField = Option(spec)
+        .filterNot(_.isTextual)
+        .flatMap(sp => Option(sp.get("includeArrayIndex")))
+        .map(_.asText())
       val split = udf((json: String) => {
+        if (json == null) Seq(json) // tombstone: pass through
+        else {
         val root = Js.parse(json)
         val parts = path.split("\\.").toList
         val arr = parts.foldLeft(Option(root)) {
           (cur, p) => cur.flatMap(n => Option(n.get(p)))
         }
-        arr match {
-          case Some(a) if a.isArray =>
-            Js.elems(a).map { e =>
-              val copy = Js.parse(Js.render(root))
-                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-              var cur = copy
-              parts.init.foreach(p =>
-                cur = cur.get(p)
-                  .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
-              cur.set[JsonNode](parts.last, e)
-              if (newIds)
-                copy.put("_id", java.util.UUID.randomUUID().toString)
-              Js.render(copy)
+        def emit(e: Option[JsonNode], idx: Option[Long],
+            dropField: Boolean): String = {
+          val copy = Js.parse(Js.render(root))
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          var cur = copy
+          parts.init.foreach(p =>
+            cur = cur.get(p)
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+          e.foreach(v => cur.set[JsonNode](parts.last, v))
+          if (dropField) cur.remove(parts.last)
+          idxField.foreach { f =>
+            idx match {
+              case Some(i) => copy.put(f, i)
+              case None => copy.putNull(f)
             }
-          case _ => Seq.empty[String]
+          }
+          if (newIds && e.isDefined)
+            copy.put("_id", java.util.UUID.randomUUID().toString)
+          Js.render(copy)
+        }
+        arr match {
+          case Some(a) if a.isArray && a.size() > 0 =>
+            Js.elems(a).zipWithIndex.map { case (e, i) =>
+              emit(Some(e), Some(i.toLong), dropField = false)
+            }
+          case Some(a) if a.isArray => // empty array
+            if (preserve) Seq(emit(None, None, dropField = true))
+            else Seq.empty[String]
+          case Some(a) if a.isNull =>
+            if (preserve) Seq(emit(None, None, dropField = false))
+            else Seq.empty[String]
+          case Some(v) => // non-array value: its own singleton (Mongo)
+            Seq(emit(Some(v), None, dropField = false))
+          case None => // missing path
+            if (preserve) Seq(emit(None, None, dropField = false))
+            else Seq.empty[String]
+        }
         }
       })
       df.withColumn("value", explode(split(col("value"))))
@@ -128,6 +173,7 @@ object MessagePipeline {
       // messages annotated _error:true + errors[]
       val resolved = graft.op.Validate.resolve(spec, env.scripts)
       val check = udf((json: String) => {
+        if (json == null) null else { // tombstone passes through
         val root = Js.parse(json)
           .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
         val errors = JsonValidator.validate(resolved, root, None)
@@ -137,7 +183,7 @@ object MessagePipeline {
           root.set[JsonNode]("errors", errors)
           Js.render(root)
         }
-      })
+      }})
       df.withColumn("value", check(col("value")))
     }
     case "$delay" => df => {
@@ -229,9 +275,11 @@ object MessagePipeline {
         if (spec.isArray) Js.elems(spec).map(_.asText())
         else Seq(spec.asText())
       val rm = udf((json: String, path: String) => {
+        if (json == null) null else { // tombstone passes through
         val root = Js.parse(json)
         removeAt(root, path.split("\\.").toList)
         Js.render(root)
+        }
       })
       paths.foldLeft(df)((d, p) =>
         d.withColumn("value", rm(col("value"), lit(p))))
@@ -309,18 +357,22 @@ object MessagePipeline {
       val joined = df.withColumn("__k", probeKey)
         .join(matches, Seq("__k"), if (inner) "inner" else "left_outer")
       val spliceArr = udf((json: String, docs: Seq[String]) => {
+        if (json == null) null else { // tombstone passes through
         val root = Js.parse(json)
           .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
         val arr = Js.arr()
         Option(docs).getOrElse(Seq.empty).foreach(d => arr.add(Js.parse(d)))
         root.set[JsonNode](as, arr)
         Js.render(root)
+        }
       })
       val spliceOne = udf((json: String, doc: String) => {
+        if (json == null) null else { // tombstone passes through
         val root = Js.parse(json)
           .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
         root.set[JsonNode](as, Js.parse(doc))
         Js.render(root)
+        }
       })
       val out =
         if (unwindAs)
@@ -364,10 +416,15 @@ object MessagePipeline {
             }
           case other => Some(other)
         }
-        walk(Js.parse(json)).map(Js.render).orNull
+        if (json == null) null // tombstone passes through
+        else walk(Js.parse(json)).map(Js.render).orNull
       })
-      df.withColumn("value", redact(col("value")))
-        .where(col("value").isNotNull)
+      // root-pruned docs drop, but an input that was ALREADY null (a
+      // tombstone) is not a pruning verdict — keep it
+      df.withColumn("__in_null", col("value").isNull)
+        .withColumn("value", redact(col("value")))
+        .where(col("value").isNotNull || col("__in_null"))
+        .drop("__in_null")
     }
 
     // schemaless $bucket: the boundary when-chain computes the bucket id,
@@ -377,14 +434,18 @@ object MessagePipeline {
       val ctx = ctxOf(df)
       val groupBy =
         ExprCompiler.compile(spec.get("groupBy"), ctx).cast("double")
-      val bounds = Js.elems(spec.get("boundaries")).map(_.asDouble())
+      val boundNodes = Js.elems(spec.get("boundaries"))
+      val bounds = boundNodes.map(_.asDouble())
       val defaultId: Column =
         if (spec.has("default")) lit(spec.get("default").asText())
         else lit(null).cast(StringType)
-      val id = bounds.sliding(2).toSeq.foldLeft(defaultId) {
-        case (acc, Seq(lo, hi)) =>
+      // the bucket id is the lower boundary AS WRITTEN in the spec
+      // ("0", "10", "0.5") — lit(lo).cast(string) would render the
+      // double form ("0.0") and break consumers matching on bucket ids
+      val id = bounds.zip(boundNodes).sliding(2).toSeq.foldLeft(defaultId) {
+        case (acc, Seq((lo, loNode), (hi, _))) =>
           when(groupBy >= lo && groupBy < hi,
-            lit(lo).cast(StringType)).otherwise(acc)
+            lit(loNode.asText())).otherwise(acc)
         case (acc, _) => acc
       }
       val output = Option(spec.get("output"))
@@ -392,7 +453,10 @@ object MessagePipeline {
           Seq("count" -> Js.parse("""{"$count":{}}"""))
         }
       val aggs = accumulators(output, ctx, ordOf(df))
-      val grouped = df.groupBy(id.as("_id")).agg(aggs.head, aggs.tail: _*)
+      // explicit empty output {} = distinct bucket ids, like $group
+      val grouped =
+        if (aggs.isEmpty) df.select(id.as("_id")).distinct()
+        else df.groupBy(id.as("_id")).agg(aggs.head, aggs.tail: _*)
       grouped.select(col("_id").as("key"),
         to_json(struct(grouped.columns.map(col): _*)).as("value"))
     }
@@ -407,7 +471,11 @@ object MessagePipeline {
         else ExprCompiler.compile(idNode, ctx).cast(StringType)
       val aggs = accumulators(
         Js.fields(spec).filter(_._1 != "_id"), ctx, ordOf(df))
-      val grouped = df.groupBy(id.as("_id")).agg(aggs.head, aggs.tail: _*)
+      // {$group: {_id: "$x"}} with no accumulators is the Mongo distinct
+      // idiom — aggs.head on the empty seq would throw
+      val grouped =
+        if (aggs.isEmpty) df.select(id.as("_id")).distinct()
+        else df.groupBy(id.as("_id")).agg(aggs.head, aggs.tail: _*)
       grouped.select(col("_id").as("key"),
         to_json(struct(grouped.columns.map(col): _*)).as("value"))
     }
@@ -592,16 +660,20 @@ object MessagePipeline {
 
   /** JSON text of a computed column, whatever its type: to_json needs a
     * container, so wrap in a single-field struct and unwrap in the splice.
+    * `ignoreNullFields=false` keeps a null result as `{"v":null}` — the
+    * default would drop it and the splice would REMOVE the field, where
+    * Mongo's $set/$addFields with a null value sets an explicit null.
     */
   private def wrapJson(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    to_json(struct(c.as("v")))
+    to_json(struct(c.as("v")), Map("ignoreNullFields" -> "false"))
 
   /** Splice `{"v": <json>}`-wrapped values into the message at a dotted
     * path (missing intermediate objects are created).
     */
   private val setField =
     udf((json: String, path: String, wrapped: String) => {
+      if (json == null) null else { // tombstone passes through
       val root = Js.parse(json) match {
         case o: com.fasterxml.jackson.databind.node.ObjectNode => o
         case _ => Js.obj()
@@ -621,6 +693,7 @@ object MessagePipeline {
       if (value == null) cur.remove(parts.last)
       else cur.set[com.fasterxml.jackson.databind.JsonNode](parts.last, value)
       Js.render(root)
+      }
     })
 
   private def removeAt(n: JsonNode, path: List[String]): Unit = n match {

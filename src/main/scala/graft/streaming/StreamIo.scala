@@ -43,9 +43,20 @@ final class KafkaIo(bootstrap: String,
       else raw
     schemas.get(name) match {
       case Some(schema) =>
-        messages.select(col("key"), from_json(col("__raw"), schema).as("v"),
+        val typed = messages
+          .select(col("key"), from_json(col("__raw"), schema).as("v"),
+            col("__ord"), col("__raw"))
+        // CDC sources must not lose delete markers: the user schema has
+        // no `_deleted` column, so from_json silently drops it and a
+        // delete envelope would become a phantom all-null document that
+        // UPSERTS over the real one downstream — carry the marker as an
+        // explicit nullable column
+        if (kind == "collection")
+          typed.select(col("key"), col("v.*"),
+            get_json_object(col("__raw"), "$._deleted").cast("boolean")
+              .as("_deleted"),
             col("__ord"))
-          .select(col("key"), col("v.*"), col("__ord"))
+        else typed.select(col("key"), col("v.*"), col("__ord"))
       case None => messages.withColumnRenamed("__raw", "value")
     }
   }
@@ -130,8 +141,13 @@ final class KafkaIo(bootstrap: String,
       else if (df.columns.contains("key")) col("key")
       else if (df.columns.contains("_id")) col("_id").cast("string")
       else lit(null).cast("string")
+    // `key` on a typed frame is the TRANSPORT key this source
+    // materialized (a declared schema with its own `key` field would
+    // already collide at the source select) — routing metadata, not a
+    // document field: serializing it into the value JSON would pollute
+    // every output document
     val payloadCols = df.columns.filterNot(
-      Set("_key", "_topic", "_delay_ms", "_deliver_at", "__ord"))
+      Set("_key", "key", "_topic", "_delay_ms", "_deliver_at", "__ord"))
     val value =
       if (isMessage) col("value")
       else to_json(struct(payloadCols.map(col): _*))

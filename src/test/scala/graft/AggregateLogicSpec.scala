@@ -116,4 +116,101 @@ class AggregateLogicSpec extends AnyFunSuite {
              "_jwt":{"sub":"system"}}"""), conf, 0L)
     assert(s4.get.get("value").asInt() == 4 && out4.nonEmpty)
   }
+
+  test("a patch with bad ops answers an error reply, never throws") {
+    // a thrown reducer is a poison pill: the streaming checkpoint would
+    // replay the same command forever
+    val (s1, _) = AggregateLogic.step(None,
+      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1,"_jwt":{"sub":"system"}}"""), conf, 0L)
+    val (s2, out) = AggregateLogic.step(s1,
+      obj("""{"_id":"a","_command":"patch","_corr":"c2",
+             "_ops":[{"op":"replace","path":"/nope","value":5}],"_jwt":{"sub":"system"}}"""),
+      conf, 0L)
+    assert(s2 == s1, "state must be untouched by a failed patch")
+    assert(out.map(_._1) == Seq(Reply))
+    val reply = out.head._2
+    assert(reply.get("_error").asBoolean())
+    assert(reply.get("_statusCode").asInt() == 400)
+  }
+
+  test("a custom reducer that throws answers an error reply") {
+    val boom = conf.copy(reducers = Map(
+      "explode" -> ((_, _) => throw new RuntimeException("kaboom"))))
+    val (s1, _) = AggregateLogic.step(None,
+      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1,"_jwt":{"sub":"system"}}"""), boom, 0L)
+    val (s2, out) = AggregateLogic.step(s1,
+      obj("""{"_id":"a","_command":"explode","_corr":"c2","_jwt":{"sub":"system"}}"""),
+      boom, 0L)
+    assert(s2 == s1)
+    assert(out.map(_._1) == Seq(Reply))
+    assert(out.head._2.get("message").asText() == "kaboom")
+  }
+
+  test("delete of a never-existing instance replies 404, no tombstone") {
+    val (s, out) = AggregateLogic.step(None,
+      obj("""{"_id":"ghost","_command":"delete","_corr":"c1","_jwt":{"sub":"system"}}"""),
+      conf, 0L)
+    assert(s.isEmpty, "no phantom state may be created")
+    assert(out.map(_._1) == Seq(Reply))
+    assert(out.head._2.get("_statusCode").asInt() == 404)
+  }
+
+  test("a string _seq still engages the optimistic-lock check") {
+    val (s1, _) = AggregateLogic.step(None,
+      obj("""{"_id":"a","_command":"put","_corr":"c1","value":1,"_jwt":{"sub":"system"}}"""), conf, 0L)
+    // stale _seq as a STRING (form/query-param encoders do this): must be
+    // coerced and REJECTED, not treated as absent and applied
+    val (s2, out) = AggregateLogic.step(s1,
+      obj("""{"_id":"a","_command":"put","_seq":"-1","value":9,"_jwt":{"sub":"system"}}"""),
+      conf, 0L)
+    assert(out.isEmpty && s2 == s1, "stale string _seq must be ignored")
+    // and a MATCHING string _seq passes
+    val (s3, out3) = AggregateLogic.step(s1,
+      obj("""{"_id":"a","_command":"put","_seq":"0","value":9,"_jwt":{"sub":"system"}}"""),
+      conf, 0L)
+    assert(out3.nonEmpty && s3.get.get("value").asInt() == 9)
+  }
+
+  test("a numeric _id stringifies instead of storing _id:\"\"") {
+    val (s, _) = AggregateLogic.step(None,
+      obj("""{"_id":42,"_command":"put","value":1,"_jwt":{"sub":"system"}}"""),
+      conf, 0L)
+    assert(s.get.get("_id").asText() == "42")
+  }
+
+  test("href resolution never leaks when the ref object has siblings") {
+    val resolving = conf.copy(resolver =
+      id => if (id == "1") Some("""{"_id":"1","balance":42}""") else None)
+    val (s1, _) = AggregateLogic.step(None,
+      obj("""{"_id":"a","_command":"put","_corr":"c1",
+             "owner":{"href":"/app/t/1","note":"n"},"value":1,"_jwt":{"sub":"system"}}"""),
+      resolving, 0L)
+    // patch touches ONLY /value; the stored state must keep the bare ref
+    // (plus its sibling), never the resolver-injected balance/_id
+    val (s2, out) = AggregateLogic.step(s1,
+      obj("""{"_id":"a","_command":"patch","_corr":"c2",
+             "_ops":[{"op":"replace","path":"/value","value":2}],"_jwt":{"sub":"system"}}"""),
+      resolving, 0L)
+    val owner = s2.get.get("owner")
+    assert(Js.fields(owner).map(_._1).toSet == Set("href", "note"),
+      Js.render(owner))
+    // and the event diff mentions only /value
+    val event = out.collectFirst { case (Event, e) => e }.get
+    val paths = Js.elems(event.get("_ops")).map(_.get("path").asText())
+    assert(paths == Seq("/value"), paths.toString)
+  }
+
+  test("diff ops on fields containing '/' or '~' keep document order") {
+    val (s1, _) = AggregateLogic.step(None,
+      obj("""{"_id":"a","_command":"put","a/b":1,"z":1,"_jwt":{"sub":"system"}}"""),
+      conf, 0L)
+    val (_, out) = AggregateLogic.step(s1,
+      obj("""{"_id":"a","_command":"put","a/b":2,"z":2,"_jwt":{"sub":"system"}}"""),
+      conf, 0L)
+    val event = out.collectFirst { case (Event, e) => e }.get
+    val paths = Js.elems(event.get("_ops")).map(_.get("path").asText())
+    // document order: the escaped a/b field (path /a~1b) sorts BEFORE /z,
+    // which requires unescaping the pointer segment to find its slot
+    assert(paths == Seq("/a~1b", "/z"), paths.toString)
+  }
 }

@@ -166,10 +166,86 @@ class MessagePipelineSpec3 extends AnyFunSuite {
         """{"_id":"c","v":55}""", """{"_id":"d","v":-1}"""))
       .select("value").as[String].collect().map(Js.parse)
       .map(n => n.get("_id").asText() -> n).toMap
-    assert(out("0.0").get("n").asLong() == 2)
-    assert(out("0.0").get("s").asDouble() == 10.0)
-    assert(out("10.0").get("n").asLong() == 1)
+    // bucket ids are the boundaries AS WRITTEN in the spec (0, 10), the
+    // Mongo shape — not their double renderings ("0.0")
+    assert(out("0").get("n").asLong() == 2)
+    assert(out("0").get("s").asDouble() == 10.0)
+    assert(out("10").get("n").asLong() == 1)
     assert(out("other").get("n").asLong() == 1)
+  }
+
+  test("a null (tombstone) value passes through transform stages") {
+    // a compacted-topic tombstone must not be a poison pill: every
+    // whole-message UDF stage passes null through unchanged
+    val df = Seq(("k1", """{"_id":"k1","a":1}"""), ("k2", null))
+      .toDF("key", "value")
+    for (stage <- Seq(
+        """[{"$addFields":{"b":2}}]""",
+        """[{"$unset":"a"}]""",
+        """[{"$jslt":{"script":"{ * : . }"}}]""",
+        """[{"$unwind":"$a"}]""",
+        """[{"$validate":{"conditions":[]}}]""",
+        """[{"$redact":"$$KEEP"}]""")) {
+      val out = run(stage, df).collect()
+      val nulls = out.count(_.getAs[String]("value") == null)
+      assert(nulls == 1, s"$stage: tombstone lost or multiplied ($nulls)")
+    }
+  }
+
+  test("$group with only _id is the distinct idiom") {
+    val out = run("""[{"$group":{"_id":"$u"}}]""",
+      msgs("""{"_id":"a","u":"x"}""", """{"_id":"b","u":"x"}""",
+        """{"_id":"c","u":"y"}"""))
+      .select("value").as[String].collect()
+      .map(j => Js.parse(j).get("_id").asText()).toSet
+    assert(out == Set("x", "y"))
+  }
+
+  test("$unwind Mongo options: preserve, index, singleton") {
+    val docs = msgs(
+      """{"_id":"a","items":[10,20]}""",
+      """{"_id":"b","items":[]}""",
+      """{"_id":"c"}""",
+      """{"_id":"d","items":7}""")
+    val out = run(
+      """[{"$unwind":{"path":"$items","preserveNullAndEmptyArrays":true,
+                      "includeArrayIndex":"i"}}]""", docs)
+      .select("value").as[String].collect().map(Js.parse)
+    val byId = out.groupBy(_.get("_id").asText())
+    // array: one per element with its index
+    assert(byId("a").map(n =>
+      (n.get("items").asInt(), n.get("i").asLong())).toSet ==
+      Set((10, 0L), (20, 1L)))
+    // empty array preserved WITHOUT the field, index null
+    assert(byId("b").size == 1 && !byId("b").head.has("items") &&
+      byId("b").head.get("i").isNull)
+    // missing path preserved unchanged, index null
+    assert(byId("c").size == 1 && byId("c").head.get("i").isNull)
+    // non-array value unwinds as its own singleton, index null
+    assert(byId("d").size == 1 && byId("d").head.get("items").asInt() == 7 &&
+      byId("d").head.get("i").isNull)
+    // and WITHOUT preserve, empty/missing still drop
+    val dropped = run("""[{"$unwind":"$items"}]""", docs)
+      .select("value").as[String].collect().map(Js.parse)
+      .map(_.get("_id").asText()).toSet
+    assert(dropped == Set("a", "d"))
+  }
+
+  test("$set with a null value sets JSON null, not field removal") {
+    val out = run("""[{"$set":{"a":null,"b":{"$literal":null}}}]""",
+      msgs("""{"_id":"x","a":1}"""))
+      .select("value").as[String].collect().head
+    val n = Js.parse(out)
+    assert(n.has("a") && n.get("a").isNull, out)
+    assert(n.has("b") && n.get("b").isNull, out)
+  }
+
+  test("one-line scripts not starting with . or { compile inline") {
+    val out = run("""[{"$jq":"del(.secret)"}]""",
+      msgs("""{"_id":"a","secret":1,"keep":2}"""))
+      .select("value").as[String].collect().head
+    val n = Js.parse(out)
+    assert(!n.has("secret") && n.get("keep").asInt() == 2, out)
   }
 }
 

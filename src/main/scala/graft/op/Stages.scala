@@ -117,12 +117,9 @@ object Stages {
         if (spec.isTextual) (spec.asText(), None)
         else (spec.get("script").asText(),
           Option(spec.get("schema")).map(_.asText()))
-      val inline = text.contains("\n") || text.trim.startsWith(".") ||
-        text.trim.startsWith("{")
-      val script = if (inline) text else env.scripts(text)
       // base = the script file itself, so its relative imports resolve
-      val program = graft.jq.MiniJq.compile(script, env.scripts,
-        if (inline) "" else text)
+      val (script, base) = Scripts.resolve(text, env.scripts)
+      val program = graft.jq.MiniJq.compile(script, env.scripts, base)
       val apply = udf((json: String) =>
         graft.json.Js.render(program(graft.json.Js.parse(json))))
       val keyCol =
@@ -150,11 +147,8 @@ object Stages {
         if (spec.isTextual) (spec.asText(), None)
         else (spec.get("script").asText(),
           Option(spec.get("schema")).map(_.asText()))
-      val inline = text.contains("\n") || text.trim.startsWith(".") ||
-        text.trim.startsWith("{")
-      val script = if (inline) text else env.scripts(text)
-      val program = graft.jq.MiniJslt.compile(script, env.scripts,
-        if (inline) "" else text)
+      val (script, base) = Scripts.resolve(text, env.scripts)
+      val program = graft.jq.MiniJslt.compile(script, env.scripts, base)
       val apply = udf((json: String) =>
         graft.json.Js.render(program(graft.json.Js.parse(json))))
       val keyCol =
@@ -302,13 +296,26 @@ object Stages {
       val dropped = entries.collect { case (k, v) if flag(v, false) => k }
       dropped.foldLeft(df)((d, p) => unset(d, Js.parse("\"" + p + "\"")))
     } else {
+      // dotted inclusions under ONE root must merge into one struct
+      // ({"a.b":1,"a.c":1} → a:{b,c}) — emitting a column per path would
+      // produce duplicate output names (AMBIGUOUS_REFERENCE downstream)
+      val keepTails = scala.collection.mutable.LinkedHashMap
+        .empty[String, Vector[Vector[String]]]
+      entries.foreach {
+        case (k, v) if flag(v, true) =>
+          val parts = k.split("\\.").toVector
+          keepTails.updateWith(parts.head)(t =>
+            Some(t.getOrElse(Vector.empty) :+ parts.tail))
+        case _ => ()
+      }
+      val emitted = scala.collection.mutable.Set.empty[String]
       val cols = entries.flatMap {
         case (k, v) if flag(v, false) => None
         case (k, v) if flag(v, true) =>
-          if (k.contains('.')) {
-            val parts = k.split("\\.")
-            Some(nestedKeep(parts).as(parts.head))
-          } else Some(col(k))
+          val root = k.split("\\.").head
+          if (emitted.add(root))
+            Some(nestedKeep(root, keepTails(root)).as(root))
+          else None // merged into the root's struct already
         case (k, v) => Some(expr(df, v, env).as(k))
       }
       val withId =
@@ -319,12 +326,21 @@ object Stages {
     }
   }
 
-  /** Inclusion of "a.b.c" keeps the nesting: struct(a: struct(b: c)). */
-  private def nestedKeep(parts: Array[String]): Column =
-    parts.tail.foldRight(col(parts.mkString(".")))((f, inner) =>
-      struct(inner.as(f))) match {
-      case c => c
-    }
+  /** Merged inclusion tree for one root: each tail is a kept path under
+    * it; an empty tail keeps the whole subtree (plain `a:1` wins over any
+    * `a.b:1`). Field order = first-mention order.
+    */
+  private def nestedKeep(root: String,
+      tails: Seq[Seq[String]]): Column = {
+    def build(prefix: Vector[String], ts: Seq[Seq[String]]): Column =
+      if (ts.exists(_.isEmpty)) col((root +: prefix).mkString("."))
+      else {
+        val heads = ts.map(_.head).distinct
+        struct(heads.map(h =>
+          build(prefix :+ h, ts.filter(_.head == h).map(_.tail)).as(h)): _*)
+      }
+    build(Vector.empty, tails.map(_.toSeq))
+  }
 
   private def replaceRoot(df: DataFrame, newRoot: JsonNode): DataFrame =
     df.select(expr(df, newRoot).as("__root")).select("__root.*")
@@ -338,7 +354,19 @@ object Stages {
       if (spec.isTextual) (spec.asText().stripPrefix("$"), false)
       else (spec.get("path").asText().stripPrefix("$"),
         spec.has("newIds") && spec.get("newIds").asBoolean())
-    val exploded = df.withColumn(path, explode(col(path)))
+    val exploded =
+      if (!path.contains('.')) df.withColumn(path, explode(col(path)))
+      else {
+        // withColumn on a dotted name mints a LITERAL "a.b" column and
+        // leaves the nested array untouched — explode through a temp
+        // column, then withField (which takes a nested path) makes the
+        // element REPLACE the field inside its struct
+        val parts = path.split("\\.")
+        df.withColumn("__unwound", explode(col(path)))
+          .withColumn(parts.head, col(parts.head)
+            .withField(parts.tail.mkString("."), col("__unwound")))
+          .drop("__unwound")
+      }
     if (newIds) exploded.withColumn("_id", org.apache.spark.sql.functions.expr("uuid()"))
     else exploded
   }
@@ -449,24 +477,71 @@ object Stages {
       else joined
     }
 
-    val (probeKey, buildKey): (Column, Column) =
+    val (probeKey, buildKey, foreign): (Column, Column, DataFrame) =
       if (spec.has("localField"))
         (col(spec.get("localField").asText()),
-          from.col(spec.get("foreignField").asText()))
+          from.col(spec.get("foreignField").asText()), from)
       else {
-        // correlated form: let + pipeline with one $match of equality pairs
+        // correlated form: let + pipeline whose FIRST stage is a $match.
+        // $$var equalities become join keys; the $match's OTHER
+        // predicates are uncorrelated and filter the foreign side;
+        // trailing stages must be row-local transforms (they commute
+        // with the per-document grouping) and apply to the foreign side.
+        // Anything else fails LOUDLY — silently dropping a predicate or
+        // stage would join wrong rows (house rule: no silent spec cuts).
         val let = Js.fields(spec.get("let"))
-        val matchSpec = Js.elems(spec.get("pipeline")).head.get("$match")
-        val pairs = Js.fields(matchSpec).collect {
-          case (foreignField, v)
-              if v.isTextual && v.asText().startsWith("$$") =>
-            val varName = v.asText().drop(2)
-            val local = let.collectFirst {
-              case (n, e) if n == varName => e.asText().stripPrefix("$")
-            }.getOrElse(throw new IllegalArgumentException(s"let $varName"))
-            (col(local), from.col(foreignField))
+        val stages = Js.elems(spec.get("pipeline"))
+        require(stages.nonEmpty && stages.head.has("$match"),
+          "correlated $lookup pipeline must start with a $match")
+        val matchSpec = stages.head.get("$match")
+        val (corr, static) = Js.fields(matchSpec).partition {
+          case (_, v) => v.isTextual && v.asText().startsWith("$$")
         }
-        (struct(pairs.map(_._1): _*), struct(pairs.map(_._2): _*))
+        require(corr.nonEmpty,
+          "correlated $lookup $match has no $$variable equality")
+        // deep $$ references outside the direct-equality form are not
+        // compilable to an equi-join — refuse rather than mis-join
+        static.foreach { case (f, v) =>
+          require(!Js.render(v).contains("\"$$"),
+            s"correlated $$lookup: unsupported nested $$$$-reference " +
+              s"under '$f'")
+        }
+        val keyFields = corr.map { case (foreignField, v) =>
+          val varName = v.asText().drop(2)
+          val local = let.collectFirst {
+            case (n, e) if n == varName => e.asText().stripPrefix("$")
+          }.getOrElse(throw new IllegalArgumentException(s"let $varName"))
+          (local, foreignField)
+        }
+        val filtered =
+          if (static.isEmpty) from
+          else {
+            val staticMatch = graft.json.Js.obj()
+            static.foreach { case (k, v) =>
+              staticMatch.set[JsonNode](k, v)
+            }
+            from.where(QueryCompiler.compile(staticMatch,
+              ctxOf(from, env)))
+          }
+        val rowLocal = Set("$project", "$addFields", "$set", "$unset",
+          "$replaceRoot", "$replaceWith")
+        val shaped = stages.tail.foldLeft(filtered) { (d, st) =>
+          val op = Js.fields(st).head._1
+          require(rowLocal.contains(op),
+            s"correlated $$lookup: stage '$op' after the $$match is not " +
+              "a row-local transform; apply it after the lookup instead")
+          compile(op, Js.fields(st).head._2, env)(d)
+        }
+        // the join keys must survive the shaping (a $project that drops
+        // the correlated field leaves nothing to join on) — refuse
+        // loudly instead of a MISSING_ATTRIBUTES analysis error later
+        keyFields.foreach { case (_, f) =>
+          require(shaped.columns.contains(f.split("\\.").head),
+            s"correlated $$lookup: the pipeline removed join field '$f' " +
+              "— keep it in the $$project (it joins the documents)")
+        }
+        (struct(keyFields.map(kf => col(kf._1)): _*),
+          struct(keyFields.map(kf => shaped.col(kf._2)): _*), shaped)
       }
 
     // No forced broadcast hint: Catalyst broadcasts automatically when the
@@ -474,12 +549,13 @@ object Stages {
     // stats), and falls back to a shuffled join for big dimensions — the
     // probe side is never regrouped either way.
     if (unwindAs) {
-      val matched = from.select(buildKey.as("__k"), struct(from.columns.map(from.col): _*).as(as))
+      val matched = foreign.select(buildKey.as("__k"),
+        struct(foreign.columns.map(foreign.col): _*).as(as))
       df.join(matched, probeKey === col("__k"), "inner").drop("__k")
     } else {
-      val grouped = from
+      val grouped = foreign
         .groupBy(buildKey.as("__k"))
-        .agg(collect_list(struct(from.columns.map(from.col): _*)).as(as))
+        .agg(collect_list(struct(foreign.columns.map(foreign.col): _*)).as(as))
       val joined =
         df.join(grouped, probeKey === col("__k"),
           if (inner) "inner" else "left_outer").drop("__k")
@@ -496,7 +572,16 @@ object Stages {
 
   private def deduplicate(df: DataFrame, spec: JsonNode): DataFrame = {
     val e = expr(df, spec.get("expression"))
-    df.withColumn("__dedup", e).dropDuplicates("__dedup").drop("__dedup")
+    if (df.isStreaming)
+      // transformWithState dedup with cacheWindow as real state TTL —
+      // plain dropDuplicates on a stream grows its state forever AND
+      // silently ignores cacheWindow (the schemaless path routes to the
+      // same operator; this typed path must too)
+      graft.streaming.StatefulOps.deduplicate(df, e,
+        if (spec.has("cacheWindow")) Some(spec.get("cacheWindow").asLong())
+        else None)
+    else
+      df.withColumn("__dedup", e).dropDuplicates("__dedup").drop("__dedup")
   }
 
   /** Batch analog of the $per batching stage (streaming impl batches arrival

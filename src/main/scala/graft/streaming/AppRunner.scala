@@ -158,8 +158,21 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
           (if (part.has("fromStreams"))
             Js.elems(part.get("fromStreams")).map(_.asText())
           else Nil)
-        ups.filterNot(seen).flatMap(n => partByName.get(n)
-          .flatMap(p => delaySpec(p, seen + n))).headOption
+        val found = ups.filterNot(seen).flatMap(n => partByName.get(n)
+          .flatMap(p => delaySpec(p, seen + n)))
+        // a merge of several delayed upstreams has ONE edelay sink: it
+        // cannot honor two different (lateness, deadLetterTopic)
+        // configurations — refuse rather than silently applying one
+        // leg's bounds to the other leg's rows
+        val configs = found.map(d =>
+          (Option(d.get("lateness")).map(_.asLong()),
+            Option(d.get("deadLetterTopic")).map(_.asText()))).distinct
+        require(configs.size <= 1,
+          s"part '${Option(part.get("name")).map(_.asText())
+            .getOrElse("<unnamed>")}' merges streams whose $$delay " +
+            "specs disagree on lateness/deadLetterTopic " +
+            s"($configs) — align them or split the sink")
+        found.headOption
       }
     }
 
@@ -259,11 +272,14 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
             // flat event traces for messages carrying a UUID _corr — a
             // pure projection side sink, one per part output
             config.get("tracesTopic").foreach { t =>
+              // the traces query shares the part's admission options: a
+              // $throttle'd part needs the paced trigger HERE too, or the
+              // source offsets cap stops being a rate on this query
               io.sink("topic", t,
                 Telemetry.eventTraces(streams(pname)(), env.application,
                   pname, s"$pname.out",
                   config.getOrElse("namespace", "json-streams"), appVersion),
-                asString = false, s"$pname-traces")
+                asString = false, s"$pname-traces", admission(part))
             }
         }
         progress = true
@@ -423,11 +439,16 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
           else {
             val sess = pre.sparkSession
             import sess.implicits._
-            val states = out0.filter(o => o.dest == "aggregate")
-            states.persist(StorageLevel.MEMORY_AND_DISK)
+            // persist the WHOLE pass, not just the aggregate rows: the
+            // href probe below is then the single execution — persisting
+            // only `states` made the probe an EXTRA run of the stateful
+            // pass, firing side-effecting preprocessors and the command
+            // observes twice even when no hrefs occur
+            val mat0 = materialized(out0)
+            val states = mat0.filter(o => o.dest == "aggregate")
             val anyHref = !states
               .filter(_.value.contains("\"href\"")).isEmpty
-            if (!anyHref) { states.unpersist(); materialized(out0) }
+            if (!anyHref) mat0
             else {
               // pass-1 final state per instance, reduced DISTRIBUTED
               // (arg-max on _seq per id)
@@ -470,7 +491,9 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
                   }
                   HrefStore.Resolver(run)
               }
-              states.unpersist()
+              // pass 1's cache served the probe + final-state publish;
+              // pass 2 recomputes from `pre` with the resolver wired
+              mat0.unpersist()
               val pass2 = AggregatePart(pre,
                 conf.copy(resolver = resolver), keyOverride, stateExpiry)
               // materialize pass 2 NOW (eager localCheckpoint severs the
@@ -574,7 +597,9 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
     // On a stream that means both join buffers grow forever — the one
     // silent unbounded-state path left in the engine — so the faithful
     // behavior is available only behind an explicit opt-in, and noisily.
-    if (window.isEmpty && (l.isStreaming || r.isStreaming)) {
+    // stream-STATIC joins hold no join state (the static side re-reads
+    // per micro-batch) — only a stream-stream join buffers both sides
+    if (window.isEmpty && l.isStreaming && r.isStreaming) {
       val pname = Option(part.get("name")).map(_.asText()).getOrElse("<unnamed>")
       // opt-in is per part, or engine-wide via runner config (the golden
       // harness replays verbatim reference apps under the latter)

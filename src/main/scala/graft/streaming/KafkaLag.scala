@@ -132,10 +132,17 @@ object KafkaLag {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   def sample(stageId: String, intervalMs: Long, nowMs: Long): Boolean = {
-    val prev = lastSample.get(stageId)
-    if (prev == null || nowMs >= prev + intervalMs) {
-      lastSample.put(stageId, nowMs)
-      true
-    } else false
+    // atomic claim: the naive get-then-put let two concurrent tasks both
+    // observe the stale value and both pass, emitting two lag messages
+    // for one interval. (Scope is per JVM by design — the reference's
+    // LagStage samples per INSTANCE, and an executor is the instance
+    // analog.)
+    var claimed = false
+    lastSample.compute(stageId, (_, prev) =>
+      if (prev == null || nowMs >= prev + intervalMs) {
+        claimed = true
+        java.lang.Long.valueOf(nowMs)
+      } else prev)
+    claimed
   }
 }

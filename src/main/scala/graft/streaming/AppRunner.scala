@@ -58,6 +58,36 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
   private val fileHrefStore: Option[HrefStore.FileStore] =
     config.get("href.store").map(HrefStore.FileStore)
 
+  /** Self-feed of the shared-dir href store: with `config("href.store")`
+    * set, the `<type>-aggregate` purpose stream publishes every state it
+    * carries into the store AS IT IS DRAINED — the Spark analog of the
+    * reference keeping its Mongo aggregate collection current by writing
+    * it (app36 resolves refs against the collection its own sinks
+    * maintain). Executor-side and pass-through (rows unchanged);
+    * `FileStore.put` is highest-`_seq`-wins, so several consumers of the
+    * same purpose stream, a replayed micro-batch, or another engine
+    * instance all converge on the latest state. Publication is as lazy as
+    * the stream itself: an aggregate purpose stream nobody sinks
+    * publishes nothing — route it to its purpose topic (as the reference
+    * always does) and the store stays current.
+    */
+  private def hrefSelfFeed(df: DataFrame): DataFrame = fileHrefStore match {
+    case None => df
+    case Some(fs) =>
+      import org.apache.spark.sql.{Encoders, Row}
+      df.mapPartitions { (it: Iterator[Row]) =>
+        it.map { r =>
+          val v = r.getString(1)
+          if (r.getString(0) != null && v != null) {
+            val seq = Option(Js.parse(v).get("_seq"))
+              .filter(_.isNumber).map(_.asLong()).getOrElse(-1L)
+            fs.put(r.getString(0), seq, v)
+          }
+          r
+        }
+      }(Encoders.row(df.schema))
+  }
+
   /** `$log` writes to a logger named after the application
     * (docs/aggregation_stages.md:321) — rebound per run() from the spec.
     */
@@ -538,7 +568,10 @@ final class AppRunner(spark: SparkSession, io: Io, env0: Env,
                     .as(c)))(instr(s"$baseType.reply")(df))
               case p => instr(s"$baseType.$p")
             }
-            (n + envSuffix) -> obs(sdf)
+            // the aggregate purpose stream self-feeds the shared-dir
+            // href store (streaming analog of the batch publish above)
+            val fed = if (purpose == "aggregate") hrefSelfFeed(sdf) else sdf
+            (n + envSuffix) -> obs(fed)
         } ++ uniqueStream.map {
           case (n, sdf) => n -> instr(s"$baseType.unique")(sdf)
         }

@@ -18,16 +18,22 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // a throwing query must not masquerade as a fast one (an
+    // AnalysisException fail-fast clocks ~0.07s — meaningless as a
+    // timing): record it under "errors" and EXCLUDE it from "queries"
+    var errors = List.empty[String]
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => errors ::= name; false }
+      if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // target/bench.json is the durable artifact (round-over-round
     // comparison reads it); stdout gets the SAME compact JSON as the very
     // LAST line this JVM writes — everything else (spark stop logs) comes

@@ -19,6 +19,11 @@ object Verify {
     // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a query that throws must stay VISIBLE in the artifacts, not just on
+    // stderr: a harness that keys off the parquet dirs would otherwise
+    // silently shrink the checked set (exactly what happened when the
+    // testdata's timestamp type changed under four event-time queries)
+    var failures = Map.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +31,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> s"${e.getClass.getSimpleName}: ${
+          Option(e.getMessage).getOrElse("").linesIterator.take(3)
+            .mkString(" ")}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +51,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // errors.json: every attempted-but-failed query with a one-line cause.
+    // Always written (empty object when clean) so "file absent" and
+    // "nothing failed" are distinguishable.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
+    // summary on stderr, exit 0 either way: the per-query dumps that DID
+    // succeed must still reach the comparing harness — a nonzero exit
+    // could make it discard the whole run over one bad query
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} queries FAILED: ${
+          failures.keys.toSeq.sorted.mkString(",")}")
   }
 }

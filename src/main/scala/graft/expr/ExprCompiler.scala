@@ -290,7 +290,10 @@ object ExprCompiler {
         val step = if (as.size > 2) as(2) else lit(1L)
         val l0 = a0.cast(LongType); val l1 = a1.cast(LongType)
         val sl = step.cast(LongType)
-        when((l1 > l0) === (sl > 0),
+        // empty whenever the step does not move start TOWARD end — the
+        // `===` formulation sent start==end with a negative step into
+        // sequence(x, x+1, -1), a runtime crash where Mongo returns []
+        when(((l1 > l0) && (sl > 0)) || ((l1 < l0) && (sl < 0)),
           sequence(l0, l1 - signum(sl).cast(LongType), sl))
           .otherwise(array().cast(ArrayType(LongType)))
       case "$reduce" =>
@@ -322,19 +325,39 @@ object ExprCompiler {
         zip_with(cols(0), cols(1), (x, y) => array(x, y))
 
       // ---- boolean (:354-393) ----
-      case "$and" => as.reduce(_ && _)
-      case "$or"  => as.reduce(_ || _)
-      case "$not" => !a0
+      // Mongo truthiness, not SQL three-valued logic: null and 0 are
+      // falsy, every other value (including "" and []) is truthy — so
+      // $and over a null operand is false, never SQL-null
+      case "$and" => as.map(truthy(_, ctx)).reduce(_ && _)
+      case "$or"  => as.map(truthy(_, ctx)).reduce(_ || _)
+      case "$not" => !truthy(a0, ctx)
 
       // ---- comparison (:395-465) ----
+      // Ordered comparisons follow Mongo's total order on the null
+      // bracket: null/missing sorts BELOW every value, and comparing two
+      // nulls is equality — never SQL-null. The coalesce fallback fires
+      // exactly when a side is null (the plain comparison answers null),
+      // so fully-non-null data keeps the bare codegen'd predicate.
       case "$cmp" =>
-        variantCmp.getOrElse(when(a0 < a1, -1).when(a0 > a1, 1).otherwise(0))
-      case "$eq"  => variantCmp.map(_ === 0).getOrElse(a0 === a1)
-      case "$gt"  => variantCmp.map(_ > 0).getOrElse(a0 > a1)
-      case "$gte" => variantCmp.map(_ >= 0).getOrElse(a0 >= a1)
-      case "$lt"  => variantCmp.map(_ < 0).getOrElse(a0 < a1)
-      case "$lte" => variantCmp.map(_ <= 0).getOrElse(a0 <= a1)
-      case "$ne"  => variantCmp.map(_ =!= 0).getOrElse(a0 =!= a1)
+        variantCmp.getOrElse(
+          when(a0.isNull && a1.isNull, 0).when(a0.isNull, -1)
+            .when(a1.isNull, 1)
+            .otherwise(when(a0 < a1, -1).when(a0 > a1, 1).otherwise(0)))
+      // $eq/$ne are null-SAFE (<=>): Mongo's null bracket makes
+      // $eq:[null,null] true and $ne:[null,5] true — plain ===/=!= would
+      // answer SQL null (false in a filter, null in a projection)
+      case "$eq"  => variantCmp.map(_ === 0).getOrElse(a0 <=> a1)
+      case "$gt" =>
+        variantCmp.map(_ > 0)
+          .getOrElse(coalesce(a0 > a1, a0.isNotNull && a1.isNull))
+      case "$gte" =>
+        variantCmp.map(_ >= 0).getOrElse(coalesce(a0 >= a1, a1.isNull))
+      case "$lt" =>
+        variantCmp.map(_ < 0)
+          .getOrElse(coalesce(a0 < a1, a0.isNull && a1.isNotNull))
+      case "$lte" =>
+        variantCmp.map(_ <= 0).getOrElse(coalesce(a0 <= a1, a0.isNull))
+      case "$ne"  => variantCmp.map(_ =!= 0).getOrElse(!(a0 <=> a1))
 
       // ---- conditional (:467-512) ----
       case "$cond" =>
@@ -342,11 +365,14 @@ object ExprCompiler {
           if (n.isArray) (as(0), as(1), as(2))
           else (compile(n.get("if"), ctx), compile(n.get("then"), ctx),
             compile(n.get("else"), ctx))
-        when(i, t).otherwise(e)
+        // truthy: Mongo accepts any expression as the condition (0/null
+        // falsy); a bare numeric would otherwise fail analysis
+        when(truthy(i, ctx), t).otherwise(e)
       case "$ifNull" => coalesce(as: _*)
       case "$switch" =>
         val branches = Js.elems(n.get("branches")).map(b =>
-          (compile(b.get("case"), ctx), compile(b.get("then"), ctx)))
+          (truthy(compile(b.get("case"), ctx), ctx),
+            compile(b.get("then"), ctx)))
         val base = when(branches.head._1, branches.head._2)
         val chained = branches.tail.foldLeft(base) { case (c, (cond, v)) =>
           c.when(cond, v)
@@ -383,12 +409,18 @@ object ExprCompiler {
       // ---- set, over arrays (:646-722) ----
       case "$allElementsTrue" => forall(a0, x => x)
       case "$anyElementTrue"  => exists(a0, x => x)
-      case "$setDifference"   => array_sort(array_distinct(array_except(a0, a1)))
-      case "$setEquals" =>
-        size(array_except(a0, a1)) === 0 && size(array_except(a1, a0)) === 0
-      case "$setIntersection" =>
-        array_sort(array_distinct(array_intersect(a0, a1)))
-      case "$setIsSubset" => size(array_except(a0, a1)) === 0
+      case "$setDifference" =>
+        require(as.size == 2, s"$$setDifference takes 2 arrays, got ${as.size}")
+        array_sort(array_distinct(array_except(a0, a1)))
+      case "$setEquals" => // n-ary in Mongo: all operands are equal as sets
+        as.tail.map(b =>
+          size(array_except(a0, b)) === 0 && size(array_except(b, a0)) === 0)
+          .reduce(_ && _)
+      case "$setIntersection" => // n-ary in Mongo
+        array_sort(array_distinct(as.reduce(array_intersect)))
+      case "$setIsSubset" =>
+        require(as.size == 2, s"$$setIsSubset takes 2 arrays, got ${as.size}")
+        size(array_except(a0, a1)) === 0
       case "$setUnion" =>
         array_sort(array_distinct(concat(as: _*)))
 
@@ -426,7 +458,17 @@ object ExprCompiler {
           concat(substring_col(input, lit(1), pos - 1), repl,
             substring_col(input, pos + length(find),
               length(input) - pos - length(find) + 1)))
-      case "$split"      => split(a0, litQuote(n.get(1).asText()))
+      case "$split" =>
+        // the delimiter is any expression in Mongo; the old `asText()`
+        // turned a field path "$d" into the literal "$d" and an operator
+        // object into "" (Jackson), silently splitting wrong — quote
+        // string literals at compile time, everything else at runtime
+        // (\Q...\E)
+        val delim = n.get(1)
+        if (delim.isTextual && !delim.asText().startsWith("$"))
+          split(a0, litQuote(delim.asText()))
+        else call_function("split", a0,
+          concat(lit("\\Q"), a1.cast(StringType), lit("\\E")))
       case "$strcasecmp" =>
         val l = lower(a0); val r = lower(a1)
         when(l < r, -1).when(l > r, 1).otherwise(0)
@@ -475,26 +517,7 @@ object ExprCompiler {
       case "$toInt"     => a0.cast(IntegerType)
       case "$toLong"    => a0.cast(LongType)
       case "$toString"  => a0.cast(StringType)
-      case "$type" =>
-        ctx.typeOf(a0) match {
-          case t if t.typeName == "variant" =>
-            // per-row for variants: map Spark's runtime schema string to
-            // the Mongo type name (schema_of_variant → e.g. "BIGINT")
-            val s = call_function("schema_of_variant", a0)
-            when(a0.isNull, "missing") // Mongo: absent field
-              .when(s.startsWith("ARRAY"), "array")
-              .when(s.startsWith("OBJECT") || s.startsWith("STRUCT") ||
-                s.startsWith("MAP"), "object")
-              .when(s === "STRING", "string")
-              .when(s === "BOOLEAN", "bool")
-              .when(s === "BIGINT" || s === "INT" || s === "SMALLINT" ||
-                s === "TINYINT", "long")
-              .when(s === "DOUBLE" || s === "FLOAT" ||
-                s.startsWith("DECIMAL"), "double")
-              .when(s === "VOID" || s === "NULL", "null")
-              .otherwise("object")
-          case t => lit(mongoTypeName(t))
-        }
+      case "$type" => mongoTypeOf(a0, ctx)
 
       // ---- misc (:1161-1337) ----
       case "$let" =>
@@ -663,10 +686,13 @@ object ExprCompiler {
       StructField("match", StringType),
       StructField("idx", IntegerType),
       StructField("captures", ArrayType(StringType)))))
+    // compile once at plan build (Pattern is Serializable) — a per-row
+    // Pattern.compile would dominate the scan on long documents
+    val pat = java.util.regex.Pattern.compile(re)
     val finder = udf((s: String) =>
       if (s == null) null
       else {
-        val m = java.util.regex.Pattern.compile(re).matcher(s)
+        val m = pat.matcher(s)
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(String, Int, Seq[String])]
         while (m.find()) out += ((m.group(), m.start(),
@@ -725,6 +751,28 @@ object ExprCompiler {
     case other => throw new IllegalArgumentException(s"$$convert to $other")
   }
 
+  /** Mongo truthiness (docs link $and/$or/$not straight to MongoDB):
+    * null, missing, false, and 0 are falsy; EVERYTHING else — "" and []
+    * included — is truthy. Known scalar types compile to a non-null
+    * boolean; an unresolvable type (lambda-scoped variable → the typeOf
+    * probe fails and answers NullType) keeps the raw column, preserving
+    * SQL semantics rather than guessing wrong.
+    */
+  private def truthy(c: Column, ctx: Ctx): Column = ctx.typeOf(c) match {
+    case BooleanType    => coalesce(c, lit(false))
+    case _: NumericType => coalesce(c =!= 0, lit(false))
+    case StringType | BinaryType | TimestampType | DateType |
+        TimestampNTZType | _: ArrayType | _: StructType | _: MapType =>
+      c.isNotNull
+    case t if t.typeName == "variant" =>
+      when(c.isNull || call_function("is_variant_null", c), lit(false))
+        .otherwise(coalesce(
+          call_function("try_variant_get", c, lit("$"), lit("boolean")),
+          call_function("try_variant_get", c, lit("$"), lit("double")) =!= 0,
+          lit(true)))
+    case _ => c // unknown (NullType ambiguity): keep current semantics
+  }
+
   /** Mongo $toBool: numbers → x != 0, strings → always true, bool → identity. */
   private def toBool(c: Column, ctx: Ctx): Column = ctx.typeOf(c) match {
     case BooleanType => c
@@ -732,6 +780,32 @@ object ExprCompiler {
     case _: NumericType => c =!= 0
     case _ => c.cast(BooleanType)
   }
+
+  /** Mongo type name of a column — compile-time for typed models,
+    * per-row for variants (shared by the `$type` expression operator and
+    * the `$type` query operator, which must not answer a static "object"
+    * for every schemaless field).
+    */
+  private[graft] def mongoTypeOf(c: Column, ctx: Ctx): Column =
+    ctx.typeOf(c) match {
+      case t if t.typeName == "variant" =>
+        // per-row for variants: map Spark's runtime schema string to
+        // the Mongo type name (schema_of_variant → e.g. "BIGINT")
+        val s = call_function("schema_of_variant", c)
+        when(c.isNull, "missing") // Mongo: absent field
+          .when(s.startsWith("ARRAY"), "array")
+          .when(s.startsWith("OBJECT") || s.startsWith("STRUCT") ||
+            s.startsWith("MAP"), "object")
+          .when(s === "STRING", "string")
+          .when(s === "BOOLEAN", "bool")
+          .when(s === "BIGINT" || s === "INT" || s === "SMALLINT" ||
+            s === "TINYINT", "long")
+          .when(s === "DOUBLE" || s === "FLOAT" ||
+            s.startsWith("DECIMAL"), "double")
+          .when(s === "VOID" || s === "NULL", "null")
+          .otherwise("object")
+      case t => lit(mongoTypeName(t))
+    }
 
   private[graft] def mongoTypeName(t: DataType): String = t match {
     case StringType                    => "string"

@@ -85,7 +85,10 @@ object QueryCompiler {
     */
   private def eqMatch(target: Column, v: JsonNode, ctx: Ctx): Column = {
     val value = litNode(v)
-    ctx.typeOf(target) match {
+    // {field: null} matches null AND missing fields in Mongo — both are
+    // SQL NULL in the relational model; `=== lit(null)` would match none
+    if (v.isNull) target.isNull
+    else ctx.typeOf(target) match {
       case ArrayType(et, _) if !v.isArray =>
         array_contains(target, value.cast(et))
       case _ => target === value
@@ -107,17 +110,31 @@ object QueryCompiler {
         Some(!coalesce(eqMatch(target(v), v, ctx), lit(false)))
       case ("$in", v) =>
         val hint = Js.elems(v).headOption.orNull
-        Some(target(hint).isin(Js.elems(v).map(scalaValue): _*))
+        val (nulls, vals) = Js.elems(v).partition(_.isNull)
+        // a null in the list makes $in match null/missing fields (Mongo);
+        // a SQL IN with a null element would instead match none of them
+        val base =
+          if (vals.isEmpty) lit(false)
+          else target(hint).isin(vals.map(scalaValue): _*)
+        Some(if (nulls.isEmpty) base
+        else coalesce(base, lit(false)) || target(hint).isNull)
       case ("$nin", v) =>
         val hint = Js.elems(v).headOption.orNull
-        Some(!coalesce(target(hint).isin(Js.elems(v).map(scalaValue): _*),
-          lit(false)))
+        val (nulls, vals) = Js.elems(v).partition(_.isNull)
+        val base =
+          if (vals.isEmpty) lit(false)
+          else target(hint).isin(vals.map(scalaValue): _*)
+        val notIn = !coalesce(base, lit(false))
+        // a null in the list excludes null/missing fields from $nin
+        Some(if (nulls.isEmpty) notIn else notIn && target(hint).isNotNull)
       case ("$exists", v) =>
         Some(if (v.asBoolean()) target(null).isNotNull
         else target(null).isNull)
       case ("$type", v) =>
-        Some(lit(ExprCompiler.mongoTypeName(ctx.typeOf(target(null))) ==
-          v.asText()))
+        // per-row for schemaless (variant) fields; folds to a constant
+        // for typed columns — the old static answer called every variant
+        // field "object"
+        Some(ExprCompiler.mongoTypeOf(target(null), ctx) === v.asText())
       case ("$expr", v) => Some(ExprCompiler.compile(v, ctx))
       case ("$mod", v) =>
         Some(target(v.get(0)) % litNode(v.get(0)) === litNode(v.get(1)))
@@ -125,9 +142,9 @@ object QueryCompiler {
         val hint = Js.parse("\"s\"") // force string extraction
         Some(target(hint).rlike(ExprCompiler.regexWithOptions(
           ExprCompiler.regexLiteral(v), opts)))
-      case ("$all", v) =>
+      case ("$all", v) => // Mongo: an empty $all list matches NOTHING
         Some(Js.elems(v).map(e => array_contains(target(null), litNode(e)))
-          .reduce(_ && _))
+          .reduceOption(_ && _).getOrElse(lit(false)))
       case ("$elemMatch", v) =>
         Some(exists(target(null), x => compileValuePredicate(v, x, ctx)))
       case ("$size", v) => Some(size(target(null)) === litNode(v))
@@ -180,5 +197,8 @@ object QueryCompiler {
     else if (n.isInt || n.isLong) n.asLong()
     else if (n.isNumber) n.asDouble()
     else if (n.isBoolean) n.asBoolean()
-    else null
+    // array/object list elements used to become Scala null — an isin()
+    // that silently matches nothing; refuse instead
+    else throw new IllegalArgumentException(
+      s"unsupported $$in/$$nin element: ${n.getNodeType}")
 }

@@ -63,12 +63,15 @@ object Plugins {
   def loadDirectory(directory: Path): Unit = synchronized {
     if (Files.isDirectory(directory) &&
         loadedDirs.add(directory.toAbsolutePath.normalize())) {
-      val entries =
-        Files.list(directory).iterator().asScala.toSeq.sortBy(_.toString)
+      def listAll(dir: Path): Seq[Path] = {
+        val s = Files.list(dir) // close the stream: each leaks an fd
+        try s.iterator().asScala.toSeq.sortBy(_.toString)
+        finally s.close()
+      }
+      val entries = listAll(directory)
       val loaders = entries.flatMap { p =>
         if (Files.isDirectory(p)) {
-          val jars = Files.list(p).iterator().asScala
-            .filter(_.toString.endsWith(".jar")).toSeq.sortBy(_.toString)
+          val jars = listAll(p).filter(_.toString.endsWith(".jar"))
           Some(new java.net.URLClassLoader(
             (p +: jars).map(_.toUri.toURL).toArray, getClass.getClassLoader))
         } else if (p.toString.endsWith(".jar"))

@@ -13,16 +13,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated query filter for exclusive re-measurement
+    // of one suspect query (variance triage); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None        => SparkEntry.queries
+    }
     // untimed warmup pass: JIT + whole-stage-codegen compilation dominates
     // single-shot runs at bench scale and fully amortizes on real data
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     // a throwing query must not masquerade as a fast one (an
     // AnalysisException fail-fast clocks ~0.07s — meaningless as a
     // timing): record it under "errors" and EXCLUDE it from "queries"
     var errors = List.empty[String]
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+    val results = queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => errors ::= name; false }
@@ -31,18 +39,28 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
+    // a broken query's fail-fast must never inflate the headline into a
+    // bogus "speedup": the total is only comparable when every query ran,
+    // so a run with errors reports value:null (comparators treat it as a
+    // failed run) — the per-query map still carries the successful timings
+    val total =
+      if (errors.nonEmpty) "null"
+      else "%.3f".formatLocal(java.util.Locale.ROOT, results.values.sum)
+    // the full per-query map goes to the durable target/bench.json only;
+    // stdout gets a COMPACT line (<300 chars even at 200 queries) because
+    // the driver tail-captures a bounded window of output — a 3.5k-char
+    // line gets its head truncated and fails to parse
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // target/bench.json is the durable artifact (round-over-round
-    // comparison reads it); stdout gets the SAME compact JSON as the very
-    // LAST line this JVM writes — everything else (spark stop logs) comes
-    // first, so a tail capture of the run output ends with parseable JSON
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"errors":$errs,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.writeString(out, json + "\n")
+    java.nio.file.Files.writeString(out, full + "\n")
     spark.stop()
-    println(json)
+    // the compact line is the very LAST stdout this JVM writes, so any
+    // tail capture of the run output ends with parseable JSON
+    println(compact)
     System.out.flush()
     // hard-exit: no shutdown-hook chatter after the JSON line
     System.exit(0)

@@ -467,8 +467,18 @@ object ExprCompiler {
         val delim = n.get(1)
         if (delim.isTextual && !delim.asText().startsWith("$"))
           split(a0, litQuote(delim.asText()))
-        else call_function("split", a0,
-          concat(lit("\\Q"), a1.cast(StringType), lit("\\E")))
+        else {
+          // Pattern.quote's trick for a delimiter that itself contains
+          // \E (which would close the \Q quote and leak regex): replace
+          // each literal `\E` with `\E\\E\Q` before wrapping
+          val quoted = regexp_replace(a1.cast(StringType),
+            lit("\\\\E"), lit("\\\\E\\\\\\\\E\\\\Q"))
+          // Mongo errors on a null delimiter (it is not "split by nothing")
+          when(a1.isNull && !a0.isNull, raise_error(
+            lit("$split requires a non-null string delimiter")))
+            .otherwise(call_function("split", a0,
+              concat(lit("\\Q"), quoted, lit("\\E"))))
+        }
       case "$strcasecmp" =>
         val l = lower(a0); val r = lower(a1)
         when(l < r, -1).when(l > r, 1).otherwise(0)
@@ -765,11 +775,21 @@ object ExprCompiler {
         TimestampNTZType | _: ArrayType | _: StructType | _: MapType =>
       c.isNotNull
     case t if t.typeName == "variant" =>
+      // type-dispatch BEFORE casting: a variant string like "false" or "0"
+      // would cast to boolean/double and read falsy, but in Mongo every
+      // string (and array/object) is truthy — only bool false and
+      // numeric 0 are falsy among present values
+      val s = call_function("schema_of_variant", c)
       when(c.isNull || call_function("is_variant_null", c), lit(false))
-        .otherwise(coalesce(
+        .when(s === "BOOLEAN", coalesce(
           call_function("try_variant_get", c, lit("$"), lit("boolean")),
+          lit(true)))
+        .when(s === "DOUBLE" || s === "FLOAT" || s.startsWith("DECIMAL") ||
+          s === "BIGINT" || s === "INT" || s === "SMALLINT" ||
+          s === "TINYINT", coalesce(
           call_function("try_variant_get", c, lit("$"), lit("double")) =!= 0,
           lit(true)))
+        .otherwise(lit(true))
     case _ => c // unknown (NullType ambiguity): keep current semantics
   }
 

@@ -83,11 +83,24 @@ object QueryCompiler {
   /** Mongo equality on a field: direct equality, or — if the field holds an
     * array — any-element equality (docs/query.md:5-28).
     */
+  /** Mongo-null predicate for a field: in the relational model both a
+    * stored null and an absent field are SQL NULL; in the variant model an
+    * EXPLICIT JSON null ({"f":null}) is a non-null variant carrying a
+    * variant-null value, so it must also count — {f:null} and {$eq:null}
+    * match it, and {$ne:null}/{$nin:[null,..]} must not.
+    */
+  private def isNullish(target: Column, ctx: Ctx): Column =
+    ctx.typeOf(target) match {
+      case t if t.typeName == "variant" =>
+        target.isNull || call_function("is_variant_null", target)
+      case _ => target.isNull
+    }
+
   private def eqMatch(target: Column, v: JsonNode, ctx: Ctx): Column = {
     val value = litNode(v)
     // {field: null} matches null AND missing fields in Mongo — both are
     // SQL NULL in the relational model; `=== lit(null)` would match none
-    if (v.isNull) target.isNull
+    if (v.isNull) isNullish(target, ctx)
     else ctx.typeOf(target) match {
       case ArrayType(et, _) if !v.isArray =>
         array_contains(target, value.cast(et))
@@ -109,24 +122,30 @@ object QueryCompiler {
       case ("$ne", v) =>
         Some(!coalesce(eqMatch(target(v), v, ctx), lit(false)))
       case ("$in", v) =>
-        val hint = Js.elems(v).headOption.orNull
         val (nulls, vals) = Js.elems(v).partition(_.isNull)
+        // the extraction hint must come from a NON-null element: a null
+        // hint extracts the raw variant and compares variant-vs-literal
+        val hint = vals.headOption.orNull
         // a null in the list makes $in match null/missing fields (Mongo);
         // a SQL IN with a null element would instead match none of them
         val base =
           if (vals.isEmpty) lit(false)
           else target(hint).isin(vals.map(scalaValue): _*)
+        // the null test must probe the RAW extraction: the typed
+        // try_variant_get answers SQL null on a type MISMATCH too, which
+        // would make a string field wrongly count as null here
         Some(if (nulls.isEmpty) base
-        else coalesce(base, lit(false)) || target(hint).isNull)
+        else coalesce(base, lit(false)) || isNullish(target(null), ctx))
       case ("$nin", v) =>
-        val hint = Js.elems(v).headOption.orNull
         val (nulls, vals) = Js.elems(v).partition(_.isNull)
+        val hint = vals.headOption.orNull
         val base =
           if (vals.isEmpty) lit(false)
           else target(hint).isin(vals.map(scalaValue): _*)
         val notIn = !coalesce(base, lit(false))
         // a null in the list excludes null/missing fields from $nin
-        Some(if (nulls.isEmpty) notIn else notIn && target(hint).isNotNull)
+        Some(if (nulls.isEmpty) notIn
+        else notIn && !isNullish(target(null), ctx))
       case ("$exists", v) =>
         Some(if (v.asBoolean()) target(null).isNotNull
         else target(null).isNull)

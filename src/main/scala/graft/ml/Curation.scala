@@ -141,13 +141,23 @@ object Curation {
     * (source → weight) exactly, at the largest output size the data
     * allows without upsampling. scale = minₛ count(s)/p(s); each listed
     * source keeps its floor(p(s)·scale) lowest-hash rows (deterministic
-    * — same mix every run and topology); unlisted sources drop. The
-    * per-source counts are a |targets|-row aggregate (bounded by config,
-    * like the ≤16-bucket collect); ranking shuffles once by source —
-    * salt-split a pathological mega-domain before this if skew bites.
+    * — same mix every run and topology); unlisted sources drop.
+    *
+    * The per-source top-keepN selection uses the same two-level scan as
+    * `packChunks`/`selectByBudget` rather than a per-source `row_number`
+    * window: the hash splits into `hashBuckets` equal ranges, a
+    * |sources|×|buckets| aggregate (map-side partial, tiny) counts rows
+    * per (source, bucket), a prefix sum over that tiny frame finds each
+    * row's global rank offset, and the residual ranking happens inside a
+    * (source, bucket) window — hash-uniform partitions of ~n/buckets
+    * rows. A 30 %-of-corpus domain is then ~buckets parallel sorts, not
+    * one task's full sort, so the operator survives a hot domain at 100×.
+    * The per-source counts are a |targets|-row collect (bounded by
+    * config, like the ≤16-bucket collect).
     */
   def domainMix(df: DataFrame, idCol: String, sourceCol: String,
-      targets: Map[String, Double], salt: String = "mix"): DataFrame = {
+      targets: Map[String, Double], salt: String = "mix",
+      hashBuckets: Int = 1024): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0),
       "domainMix needs positive target weights")
     val listed = df.where(col(sourceCol).isin(targets.keys.toSeq: _*))
@@ -161,12 +171,30 @@ object Curation {
         when(col(sourceCol) === s,
           lit(math.floor(p * scale).toLong)).otherwise(acc)
     }
-    val rank = row_number().over(
-      Window.partitionBy(col(sourceCol))
-        .orderBy(h32(concat(lit(salt), col(idCol).cast(StringType))),
-          col(idCol)))
-    listed.withColumn("__rank", rank)
+    // h32 is uniform on [0, 2^32): equal-width ranges bucket evenly
+    val bucketWidth = (1L << 32) / hashBuckets + 1
+    val hashed = listed
+      .withColumn("__h", h32(concat(lit(salt), col(idCol).cast(StringType))))
+      .withColumn("__hbkt", (col("__h") / bucketWidth).cast(LongType))
+    // rows ranked BEFORE each (source, bucket): prefix sum over the tiny
+    // |sources| x |buckets| count frame — bucket order is hash order, so
+    // global rank = bucket offset + rank within the bucket
+    val offsets = hashed.groupBy(col(sourceCol), col("__hbkt"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__boff",
+        coalesce(sum(col("__bn")).over(
+          Window.partitionBy(col(sourceCol)).orderBy("__hbkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(sourceCol).as("__src2"), col("__hbkt").as("__hbkt2"),
+        col("__boff"))
+    val inBucket = row_number().over(
+      Window.partitionBy(col(sourceCol), col("__hbkt"))
+        .orderBy(col("__h"), col(idCol)))
+    hashed
+      .join(broadcast(offsets), col(sourceCol) === col("__src2") &&
+        col("__hbkt") === col("__hbkt2"))
+      .withColumn("__rank", col("__boff") + inBucket)
       .where(col("__rank") <= keepN)
-      .drop("__rank")
+      .drop("__h", "__hbkt", "__src2", "__hbkt2", "__boff", "__rank")
   }
 }

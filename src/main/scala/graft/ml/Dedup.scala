@@ -160,8 +160,13 @@ object Dedup {
         (col("__pi") / bandBits).cast("int").as("band"),
         (when(ndot6(col("v"), col("pe")) >= 0, 1L).otherwise(0L) *
           pow(lit(2.0), col("__pi") % bandBits).cast("long")).as("bit"))
+    // materialize the narrow (id, band, bv) signatures once: BOTH legs of
+    // the candidate self-join reuse them, so without the persist the
+    // corpus×planes bit pass runs twice (same shape as simhashPairs'
+    // banded.persist; ~bands rows per doc, far narrower than the corpus)
     val sigs = bits.groupBy(col(idCol), col("band"))
       .agg(sum(col("bit")).as("bv"))
+      .persist()
     val cand = sigs
       .select(col(idCol).as("id_a"), col("band"), col("bv"))
       .join(sigs.select(col(idCol).as("id_b"), col("band"), col("bv")),

@@ -7,9 +7,10 @@ import Fns._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  *  - `bruteForceTopK` is the exact baseline: query×corpus join, window
-  *    top-k per query. Fine when |queries| is small; the corpus side stays
-  *    partitioned, ranks are computed per-query partition.
+  *  - `bruteForceTopK` is the exact baseline: query×corpus join, bounded
+  *    `top_k_min` partial aggregate per query. Fine when |queries| is
+  *    small; the corpus side stays partitioned and the exchange carries at
+  *    most k rows per query.
   *  - `ivfTopK` is the scale path: a deterministic IVF — centroids are a
   *    fixed id-prefix sample (a stand-in for k-means; the assignment and
   *    search plumbing is identical), vectors are assigned to their nearest
@@ -44,11 +45,10 @@ object Similarity {
       .withColumnRenamed(idCol, "query_id")
     val scored = q.join(c, col("query_id") =!= col("nb_id"))
       .withColumn("cos", ndot6(col("vq"), col("vc")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("nb_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nb_id"), col("cos"))
+    // same bounded partial-aggregate top-k as the IVF/PQ search side: the
+    // exchange carries at most k rows per query (a per-query row_number
+    // window would shuffle the whole query x corpus expansion)
+    searchTopKDesc(k)(scored)
   }
 
   /** Ascending == preferred for nearest-centroid ranking: cosine

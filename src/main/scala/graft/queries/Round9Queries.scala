@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.Tables
+
+/** Round-9 representation benchmark (SURVEY §1.4): the same raw-topic
+  * `$match`+`$project` shape over a JSON-string message column, once
+  * through Spark 4 `parse_json`/`variant_get` (parse once into a variant,
+  * extract typed fields) and once through `get_json_object` JSON-path
+  * extraction (re-tokenizes the string per path). Identical results —
+  * the DuckDB oracle reads the parquet directly — so the bench pair
+  * isolates the representation cost. Numbers live in SCALING.md §variant.
+  *
+  * The raw frame mirrors what a topic carries (reference app1-style raw
+  * messages): one JSON text per row, built here with `to_json(struct(*))`
+  * over the events table so both engines agree on the payload bytes.
+  */
+object Round9Queries {
+
+  private val oracle =
+    """SELECT event_id, event_type, value
+         FROM events WHERE value > 150.0 AND event_type <> 'error'"""
+
+  /** events → one raw JSON string per row (the topic payload). */
+  private def raw(spark: org.apache.spark.sql.SparkSession, sf: String) = {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.select(to_json(struct(ev.columns.map(col): _*)).as("msg"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q.fn("q_raw_variant", oracle) { (spark, sf) =>
+      // parse ONCE into a variant column, then typed extractions — the
+      // engine's schemaless path (VariantDoc); casts via try_variant_get
+      // so a malformed field is Mongo-style "no match", not an error
+      raw(spark, sf)
+        .select(call_function("parse_json", col("msg")).as("doc"))
+        .select(
+          call_function("try_variant_get", col("doc"), lit("$.event_id"),
+            lit("long")).as("event_id"),
+          call_function("try_variant_get", col("doc"), lit("$.event_type"),
+            lit("string")).as("event_type"),
+          call_function("try_variant_get", col("doc"), lit("$.value"),
+            lit("double")).as("value"))
+        .where(col("value") > 150.0 && col("event_type") =!= "error")
+    },
+    Q.fn("q_raw_jsonpath", oracle) { (spark, sf) =>
+      // JSON-path extraction straight off the string: each path walks the
+      // text again (three tokenizations per row here)
+      raw(spark, sf)
+        .select(
+          get_json_object(col("msg"), "$.event_id").cast(LongType)
+            .as("event_id"),
+          get_json_object(col("msg"), "$.event_type").as("event_type"),
+          get_json_object(col("msg"), "$.value").cast(DoubleType)
+            .as("value"))
+        .where(col("value") > 150.0 && col("event_type") =!= "error")
+    })
+}

@@ -263,9 +263,22 @@ object StatefulOps {
     * duplicate ords multiply rows through the payload rejoin and make
     * the running max ambiguous.
     */
+  /** Serial-replay cap: the running max over arrival order is inherently
+    * sequential (a single-partition two-column window), so this batch
+    * mirror is only for bounded diagnostic/oracle replays — the streaming
+    * `LateRouter` is the scale path. `maxRows` makes feeding it a corpus
+    * fail fast instead of funneling the corpus timeline through one task.
+    */
   def routeLateBatch(packed: DataFrame, latenessMs: Long, dlqTopic: String,
-      ord: Column): DataFrame = {
+      ord: Column, maxRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val n = graft.ml.Fns.atMost(packed, maxRows)
+    require(n <= maxRows,
+      s"routeLateBatch replays the stream's SERIAL late-judgment (a " +
+        s"single-partition running-max over arrival order) and is bounded " +
+        s"to $maxRows rows; ~$n exceed that. Use the streaming LateRouter " +
+        s"($$delay dead-lettering) at scale, or raise maxRows explicitly " +
+        s"for a bounded diagnostic replay.")
     val w = Window.orderBy("__ord").rowsBetween(Window.unboundedPreceding, -1)
     val wide = packed.withColumn("__ord", ord)
     val timeline = wide

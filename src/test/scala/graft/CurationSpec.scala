@@ -53,4 +53,33 @@ class CurationSpec extends AnyFunSuite {
       assert(perChunk(c) == 16L, s"chunk $c not full: ${perChunk.get(c)}"))
     assert(perChunk(maxChunk) <= 16L)
   }
+
+  test("domainMix bucketed selection equals the per-domain rank spec") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed domains: a (60 rows), b (30), c (10) — targets 0.5/0.3/0.2
+    // → scale = min(60/.5, 30/.3, 10/.2) = 50 → keep 25/15/10
+    val docs = ((0L until 60L).map(i => (i, "a")) ++
+      (60L until 90L).map(i => (i, "b")) ++
+      (90L until 100L).map(i => (i, "c"))).toDF("doc_id", "source")
+    val targets = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    // the spec: each source keeps its keepN lowest-(h32, id) rows
+    val h = graft.ml.Fns.h32(
+      concat(lit("mix"), col("doc_id").cast("string")))
+    val ranked = docs.withColumn("__r", row_number().over(
+      Window.partitionBy("source").orderBy(h, col("doc_id"))))
+    val expected = ranked
+      .where(col("__r") <= when(col("source") === "a", 25)
+        .when(col("source") === "b", 15).otherwise(10))
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.size == 50)
+    // the two-level bucketed implementation must select the SAME set,
+    // at any bucket granularity (4 forces rows across bucket boundaries)
+    for (buckets <- Seq(4, 1024)) {
+      val got = Curation.domainMix(docs, "doc_id", "source", targets,
+        hashBuckets = buckets).select("doc_id").as[Long].collect()
+      assert(got.length == 50, s"buckets=$buckets kept ${got.length}")
+      assert(got.toSet == expected, s"buckets=$buckets selected wrong set")
+    }
+  }
 }

@@ -212,6 +212,37 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("domainMix ranks inside hash buckets, never one task per domain") {
+    // the per-row ranking window must be keyed by (source, __hbkt) so a
+    // 30%-of-corpus domain is ~buckets parallel sorts; a window keyed on
+    // the source alone may only run over the AGGREGATED counts frame
+    // (|sources|×|buckets| rows — an Aggregate sits below it)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def hasAggBelow(n: SparkPlan): Boolean = n match {
+      case _: BaseAggregateExec => true
+      case other                => other.children.exists(hasAggBelow)
+    }
+    graft.queries.Q.session(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ml.Curation.domainMix(
+        Tables.load(spark, sf, "documents"), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      val p = df.queryExecution.executedPlan
+      val windows = p.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, p.toString.take(1500))
+      windows.foreach { w =>
+        val keys = w.partitionSpec.map(_.toString)
+        val bucketed = keys.exists(_.contains("__hbkt"))
+        assert(bucketed || hasAggBelow(w),
+          "a raw-row window is keyed per-domain only (hot-domain " +
+            "funnel):\n" + p.toString.take(1500))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

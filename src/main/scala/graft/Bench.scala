@@ -17,6 +17,14 @@ object Bench {
     // of one suspect query (variance triage); the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd filter must fail loudly, not "run" zero queries and
+    // report a 0.000s total that reads as an absurd speedup
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${
+          unknown.toSeq.sorted.mkString(",")}")
+    }
     val queries = only match {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None        => SparkEntry.queries
@@ -39,6 +47,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the compact stdout line must stay bounded even in a mass-failure
+    // round (123 quoted names would regrow it past a tail capture —
+    // exactly the failure the compact line exists to avoid): cap the
+    // inline list and carry the full one in the durable artifact
+    val errsCompact = {
+      val names = errors.sorted
+      (names.take(5).map("\"" + _ + "\"") ++
+        (if (names.size > 5) Seq(s"\"...${names.size - 5}_more\"")
+         else Nil)).mkString("[", ",", "]")
+    }
     // a broken query's fail-fast must never inflate the headline into a
     // bogus "speedup": the total is only comparable when every query ran,
     // so a run with errors reports value:null (comparators treat it as a
@@ -50,11 +68,18 @@ object Bench {
     // stdout gets a COMPACT line (<300 chars even at 200 queries) because
     // the driver tail-captures a bounded window of output — a 3.5k-char
     // line gets its head truncated and fails to parse
+    val filtered = only.isDefined
+    val filteredField = if (filtered) "\"filtered\":true," else ""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$filteredField"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"errors":$errs,"sf":"$sfDir"}"""
-    val out = java.nio.file.Paths.get("target/bench.json")
+      s"""{"metric":"total","value":$total,"unit":"sec",$filteredField"n":${results.size},"errors":$errsCompact,"sf":"$sfDir"}"""
+    // a SPARK_GRAFT_ONLY subset must NEVER overwrite the durable
+    // full-run artifact: a round-over-round comparator reading
+    // target/bench.json would mistake a one-query triage run for a
+    // massive speedup
+    val out = java.nio.file.Paths.get(
+      if (filtered) "target/bench_filtered.json" else "target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, full + "\n")
     spark.stop()

@@ -160,6 +160,9 @@ object Curation {
       hashBuckets: Int = 1024): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0),
       "domainMix needs positive target weights")
+    // a non-positive bucket count would flip bucket order vs hash order
+    // and silently break the global-rank reconstruction
+    require(hashBuckets > 0, "domainMix needs hashBuckets > 0")
     val listed = df.where(col(sourceCol).isin(targets.keys.toSeq: _*))
     val counts = listed.groupBy(col(sourceCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

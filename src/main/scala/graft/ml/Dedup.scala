@@ -163,7 +163,10 @@ object Dedup {
     // materialize the narrow (id, band, bv) signatures once: BOTH legs of
     // the candidate self-join reuse them, so without the persist the
     // corpus×planes bit pass runs twice (same shape as simhashPairs'
-    // banded.persist; ~bands rows per doc, far narrower than the corpus)
+    // banded.persist; ~bands rows per doc, far narrower than the corpus).
+    // The returned plan depends on this frame, so it cannot unpersist
+    // here; blocks are MEMORY_AND_DISK and LRU-evictable — a caller
+    // running many passes in one session can clearCache() between them
     val sigs = bits.groupBy(col(idCol), col("band"))
       .agg(sum(col("bit")).as("bv"))
       .persist()

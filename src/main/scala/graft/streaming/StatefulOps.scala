@@ -272,7 +272,11 @@ object StatefulOps {
   def routeLateBatch(packed: DataFrame, latenessMs: Long, dlqTopic: String,
       ord: Column, maxRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = graft.ml.Fns.atMost(packed, maxRows)
+    // bounded limit-probe, NOT a full count: the guard must not scan a
+    // 10B-row lineage before rejecting it (and must not charge every
+    // legitimate call a full extra pass)
+    val probeCap = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val n = packed.select(lit(1)).limit(probeCap).count()
     require(n <= maxRows,
       s"routeLateBatch replays the stream's SERIAL late-judgment (a " +
         s"single-partition running-max over arrival order) and is bounded " +

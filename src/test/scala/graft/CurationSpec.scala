@@ -81,5 +81,12 @@ class CurationSpec extends AnyFunSuite {
       assert(got.length == 50, s"buckets=$buckets kept ${got.length}")
       assert(got.toSet == expected, s"buckets=$buckets selected wrong set")
     }
+    // a non-positive bucket count would silently reverse bucket order —
+    // it must fail loudly instead
+    for (bad <- Seq(0, -4))
+      intercept[IllegalArgumentException] {
+        Curation.domainMix(docs, "doc_id", "source", targets,
+          hashBuckets = bad)
+      }
   }
 }

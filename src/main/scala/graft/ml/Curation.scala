@@ -200,4 +200,62 @@ object Curation {
       .where(col("__rank") <= keepN)
       .drop("__h", "__hbkt", "__src2", "__hbkt2", "__boff", "__rank")
   }
+
+  /** Temperature-based domain resampling (the multilingual/multi-domain
+    * rebalance standard in pretraining mixes): target proportions
+    * p(s) ∝ count(s)^τ — τ = 1 keeps natural proportions, τ → 0 flattens
+    * toward uniform, upweighting small domains WITHOUT upsampling (keep
+    * rates clamp at 1; the realized output is the largest mix the data
+    * allows under that clamp, scaled to ≈ `outputFraction` of the
+    * corpus). Selection is a pure per-row hash-threshold compare —
+    * keep iff h32(salt‖id) < rate(s)·2³² — so there is NO window, NO
+    * per-domain shuffle, and no rank reconstruction at all: the scan
+    * parallelism is the input's, any domain skew included. Exactly
+    * replayable in SQL (same md5-derived h32), deterministic across
+    * runs and topologies.
+    *
+    * The per-domain counts are one |domains|-row aggregate collected to
+    * the driver; `maxDomains` bounds that collect (domains are
+    * config-scale in practice — languages, sources, crawls).
+    */
+  def domainMixTemperature(df: DataFrame, idCol: String, sourceCol: String,
+      temperature: Double, outputFraction: Double = 1.0,
+      salt: String = "mixT", maxDomains: Int = 100000): DataFrame = {
+    require(temperature > 0 && temperature <= 1,
+      "temperature must be in (0, 1]: 1 = natural proportions, " +
+        "smaller = flatter mix (upsampling, t > 1, is not supported)")
+    require(outputFraction > 0 && outputFraction <= 1,
+      "outputFraction must be in (0, 1]")
+    val counts = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).count()
+      .limit(maxDomains + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.size <= maxDomains,
+      s"more than $maxDomains distinct domains — bucket them upstream " +
+        "or raise maxDomains (the counts map is driver-resident)")
+    if (counts.isEmpty) return df.limit(0)
+    val total = counts.values.sum.toDouble
+    val weights = counts.view.mapValues(n =>
+      math.pow(n.toDouble, temperature)).toMap
+    // sum in sorted-key order and round the rate to 9 decimals (the
+    // repo-wide float convention): an external SQL replay sums/pows in
+    // its own order, and an ulp difference at the threshold would flip
+    // boundary rows
+    val wSum = weights.toSeq.sortBy(_._1).map(_._2).sum
+    // expected output size ≈ outputFraction·total, split by p(s); the
+    // per-domain keep RATE clamps at 1 (never upsample a small domain)
+    val rate = counts.map { case (s, n) =>
+      val r = math.min(1.0, outputFraction * total * (weights(s) / wSum) / n)
+      s -> math.round(r * 1e9) / 1e9
+    }
+    // deterministic per-row keep: uniform h32 under the rate threshold.
+    // Thresholds fold into one chained CASE over the bounded domain set
+    val threshold = rate.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, r)) =>
+        when(col(sourceCol) === s,
+          lit(math.round(r * 4294967296.0))).otherwise(acc)
+    }
+    df.where(col(sourceCol).isNotNull &&
+      h32(concat(lit(salt), col(idCol).cast(StringType))) < threshold)
+  }
 }

@@ -45,6 +45,32 @@ object Round9Queries {
             lit("double")).as("value"))
         .where(col("value") > 150.0 && col("event_type") =!= "error")
     },
+    Q.fn("q_domain_temperature",
+      """WITH d AS (SELECT doc_id,
+                CASE WHEN source LIKE 'src1%' THEN 'big' ELSE source END
+                  AS dom
+              FROM documents WHERE source IS NOT NULL),
+         cnt AS (SELECT dom, CAST(count(*) AS DOUBLE) AS n
+                 FROM d GROUP BY 1),
+         w AS (SELECT dom, n, pow(n, 0.5) AS wt FROM cnt),
+         tot AS (SELECT sum(n) AS total, sum(wt) AS wsum FROM w),
+         rate AS (SELECT dom,
+                round(least(1.0, 0.5 * total * (wt / wsum) / n), 9) AS r
+              FROM w CROSS JOIN tot)
+         SELECT d.doc_id, d.dom
+           FROM d JOIN rate USING (dom)
+          WHERE ('0x'||substr(md5('mixT'||CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
+                < CAST(round(r * 4294967296.0) AS BIGINT)""") {
+      (spark, sf) =>
+        // the testdata's sources are uniform; fold the src1x family into
+        // one hot domain so the τ=0.5 flattening is non-vacuous
+        val d = Tables.load(spark, sf, "documents")
+          .withColumn("dom", when(col("source").startsWith("src1"),
+            lit("big")).otherwise(col("source")))
+        graft.ml.Curation.domainMixTemperature(
+          d, "doc_id", "dom", temperature = 0.5, outputFraction = 0.5)
+          .select(col("doc_id"), col("dom"))
+    },
     Q.fn("q_raw_jsonpath", oracle) { (spark, sf) =>
       // JSON-path extraction straight off the string: each path walks the
       // text again (three tokenizations per row here)

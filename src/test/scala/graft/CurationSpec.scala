@@ -89,4 +89,35 @@ class CurationSpec extends AnyFunSuite {
           hashBuckets = bad)
       }
   }
+
+  test("domainMixTemperature flattens toward uniform as t shrinks") {
+    import spark.implicits._
+    // heavy skew: big (800 rows) vs small (50)
+    val docs = ((0L until 800L).map(i => (i, "big")) ++
+      (800L until 850L).map(i => (i, "small"))).toDF("doc_id", "source")
+    def mix(t: Double, f: Double): Map[String, Long] =
+      Curation.domainMixTemperature(docs, "doc_id", "source", t, f)
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // t = 1 keeps natural proportions: every domain's keep rate is
+    // exactly outputFraction (hash-binomial noise around f*n)
+    val nat = mix(1.0, 0.5)
+    assert(math.abs(nat("big") - 400.0) < 60, nat.toString)
+    assert(math.abs(nat("small") - 25.0) < 15, nat.toString)
+    // t = 0.25 upweights the small domain: its keep RATE must exceed
+    // the big domain's (clamped at 1 — never upsampled past its size)
+    val flat = mix(0.25, 0.5)
+    assert(flat("small").toDouble / 50 > flat("big").toDouble / 800,
+      flat.toString)
+    assert(flat("small") <= 50)
+    // determinism: same inputs, same selection
+    assert(mix(0.25, 0.5) == flat)
+    // t > 1 (upsampling) and degenerate fractions fail loudly
+    intercept[IllegalArgumentException] {
+      Curation.domainMixTemperature(docs, "doc_id", "source", 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.domainMixTemperature(docs, "doc_id", "source", 0.5, 0.0)
+    }
+  }
 }

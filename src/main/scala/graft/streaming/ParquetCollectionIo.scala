@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Collections as parquet directories with upsert-by-`_id` writes — the
@@ -568,14 +567,22 @@ final class ParquetCollectionIo(spark: SparkSession, root: String, inner: Io,
           .withColumn("__bucket", bucketOf(col("_id")))
       case _ =>
         // replace (+fail, which proved no matches): incoming wins;
-        // keepExisting: the stored row wins, latest incoming otherwise
-        val w = Window.partitionBy("_id").orderBy(
-          if (wm == "keepExisting") col("__gen").asc else col("__gen").desc,
-          col("__ord").desc)
-        merged
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1)
-          .drop("__gen", "__ord", "__rn")
+        // keepExisting: the stored row wins, latest incoming otherwise.
+        // argmax as a max_by PARTIAL aggregate (like the merge branches
+        // above), not a per-_id row_number window: the aggregate combines
+        // map-side so the exchange carries one row per (_id, mapper)
+        // instead of every generation's full row, and skips the
+        // per-partition sort entirely
+        val pick =
+          if (wm == "keepExisting") // min gen, then max ord within it
+            struct((lit(0) - col("__gen")).as("g"), col("__ord").as("o"))
+          else struct(col("__gen").as("g"), col("__ord").as("o"))
+        val outCols = merged.columns.filterNot(Set("__gen", "__ord"))
+        merged.groupBy(col("_id"))
+          .agg(max_by(struct(outCols.map(col): _*), pick).as("__row"))
+          .select(outCols.map(c =>
+            if (c == "_id") col("_id")
+            else col("__row").getField(c).as(c)): _*)
     }
     if (legacy) writeSwap(name, latest)
     else swapBuckets(name, latest, touched)

@@ -21,6 +21,8 @@ object Run {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.caseSensitive", "true")
+      // Mongo map semantics: a later duplicate key wins
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

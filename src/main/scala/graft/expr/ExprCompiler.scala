@@ -249,6 +249,10 @@ object ExprCompiler {
       case "$first" => get(a0, lit(0))
       case "$last"  => get(a0, size(a0) - 1)
       case "$in"    => array_contains(a1, a0)
+      case "$indexOfArray" if ctx.typeOf(a0) == NullType =>
+        // a null/missing array yields null (Mongo); array_position would
+        // reject the NullType argument at analysis
+        lit(null).cast(LongType)
       case "$indexOfArray" =>
         val base = array_position(a0, a1).cast(LongType) - 1
         if (as.size <= 2) base
@@ -318,11 +322,31 @@ object ExprCompiler {
             .otherwise(slice(a0, greatest(pos, -size(a0)), cnt))
         }
       case "$zip" => // two-input form; arrays of arrays out
-        val inputs =
-          if (n.isArray) Js.elems(n) else Js.elems(n.get("inputs"))
+        val (inputs, useLongest, defaults) =
+          if (n.isArray) (Js.elems(n), false, Option.empty[JsonNode])
+          else (Js.elems(n.get("inputs")),
+            n.has("useLongestLength") &&
+              n.get("useLongestLength").asBoolean(),
+            Option(n.get("defaults")))
         val cols = inputs.map(compile(_, ctx))
         require(cols.size == 2, "$zip: two inputs supported")
-        zip_with(cols(0), cols(1), (x, y) => array(x, y))
+        // index-built, NOT zip_with: zip_with pads the shorter input to
+        // the longest with nulls, but Mongo's default is the SHORTEST
+        // length, and under useLongestLength only positions past an
+        // input's end take its default (a genuine null element must
+        // never be replaced)
+        val n0 = size(cols(0)); val n1 = size(cols(1))
+        val len = if (useLongest) greatest(n0, n1) else least(n0, n1)
+        def pad(i: Int) = defaults
+          .map(d => compile(d.get(i), ctx)).getOrElse(lit(null))
+        // sequence(0, -1) counts DOWN (see Fns.shingles): build at least
+        // one index and slice back to len so the empty case stays typed
+        slice(
+          transform(sequence(lit(0), greatest(len, lit(1)) - 1), i =>
+            array(
+              when(i < n0, get(cols(0), i)).otherwise(pad(0)),
+              when(i < n1, get(cols(1), i)).otherwise(pad(1)))),
+          lit(1), len)
 
       // ---- boolean (:354-393) ----
       // Mongo truthiness, not SQL three-valued logic: null and 0 are

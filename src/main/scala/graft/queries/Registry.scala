@@ -20,6 +20,9 @@ object Q {
   def session(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.caseSensitive", "true")
+    // Mongo's $arrayToObject / map semantics: a later duplicate key WINS
+    // (Spark's default policy throws on duplicates)
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // If events.ts is parquet TIMESTAMP(NANOS), read it as epoch-nanos
     // long instead of failing; a micros file is unaffected and arrives as

@@ -16,6 +16,9 @@ object SparkSpec {
       // JSON documents are case-sensitive (content-type vs Content-Type
       // are DIFFERENT fields in the reference's world)
       .config("spark.sql.caseSensitive", "true")
+      // Mongo map semantics: a later duplicate key wins (mirrors
+      // Q.session; Spark's default policy throws on duplicates)
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

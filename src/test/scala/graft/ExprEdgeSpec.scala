@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.op.{Env, Pipeline}
+
+/** MongoDB-documented edge behaviors of the array/set operator family
+  * (reference docs/aggregation_operators.md links each operator straight
+  * to the MongoDB manual): negative/out-of-range indexes, empty-set
+  * identities, $zip padding, $arrayToObject duplicate keys, $reduce over
+  * the empty array.
+  */
+class ExprEdgeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val env = Env(spark)
+
+  private def one(df: org.apache.spark.sql.DataFrame, pipe: String): Row =
+    Pipeline.run(df, pipe, env).collect().head
+
+  private val arr = Seq(Tuple1(Seq(10L, 20L, 30L))).toDF("a")
+
+  test("$arrayElemAt: negative wraps from the end, out-of-range is null") {
+    val out = one(arr,
+      """[{"$project":{
+           "last":{"$arrayElemAt":["$a",-1]},
+           "first":{"$arrayElemAt":["$a",0]},
+           "over":{"$arrayElemAt":["$a",9]},
+           "under":{"$arrayElemAt":["$a",-9]}}}]""")
+    assert(out.getLong(0) == 30L)
+    assert(out.getLong(1) == 10L)
+    assert(out.isNullAt(2), "index past the end must be missing/null")
+    assert(out.isNullAt(3), "negative index past the start must be null")
+  }
+
+  test("$slice: negative count takes from the end, position clamps") {
+    val out = one(arr,
+      """[{"$project":{
+           "firstTwo":{"$slice":["$a",2]},
+           "lastTwo":{"$slice":["$a",-2]},
+           "midOne":{"$slice":["$a",1,1]},
+           "negPos":{"$slice":["$a",-2,1]},
+           "overPos":{"$slice":["$a",10,2]}}}]""")
+    assert(out.getSeq[Long](0) == Seq(10L, 20L))
+    assert(out.getSeq[Long](1) == Seq(20L, 30L))
+    assert(out.getSeq[Long](2) == Seq(20L))
+    assert(out.getSeq[Long](3) == Seq(20L))
+    assert(out.getSeq[Long](4) == Seq.empty,
+      "position past the end yields an empty array")
+  }
+
+  test("$indexOfArray: found/not-found/range, null array is null") {
+    val df = Seq((Seq(1L, 2L, 3L, 2L), Option.empty[Seq[Long]]))
+      .toDF("a", "nullArr")
+    val out = one(df,
+      """[{"$project":{
+           "hit":{"$indexOfArray":["$a",2]},
+           "miss":{"$indexOfArray":["$a",9]},
+           "fromTwo":{"$indexOfArray":["$a",2,2]},
+           "bounded":{"$indexOfArray":["$a",2,0,1]},
+           "nulCol":{"$indexOfArray":["$nullArr",2]},
+           "nulLit":{"$indexOfArray":[{"$literal":null},2]}}}]""")
+    assert(out.getLong(0) == 1L)
+    assert(out.getLong(1) == -1L)
+    assert(out.getLong(2) == 3L, "start offset skips earlier hits")
+    assert(out.getLong(3) == -1L, "end bound excludes the hit at 1")
+    assert(out.isNullAt(4), "null array column yields null, not -1")
+    assert(out.isNullAt(5), "literal null array yields null, not an error")
+  }
+
+  test("$zip: shortest by default, longestLength pads with defaults") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(10L, 20L))).toDF("x", "y")
+    val out = one(df,
+      """[{"$project":{
+           "short":{"$zip":{"inputs":["$x","$y"]}},
+           "long":{"$zip":{"inputs":["$x","$y"],"useLongestLength":true}},
+           "defs":{"$zip":{"inputs":["$x","$y"],"useLongestLength":true,
+                           "defaults":[0,-1]}}}}]""")
+    assert(out.getSeq[scala.collection.Seq[Any]](0).map(_.toSeq) ==
+      Seq(Seq(1L, 10L), Seq(2L, 20L)),
+      "default zips to the SHORTEST input")
+    assert(out.getSeq[scala.collection.Seq[Any]](1).map(_.toSeq) ==
+      Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, null)),
+      "longestLength pads the short input with null")
+    assert(out.getSeq[scala.collection.Seq[Any]](2).map(_.toSeq) ==
+      Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, -1L)),
+      "defaults pad per input position")
+  }
+
+  test("$arrayToObject: later duplicate keys win") {
+    val df = Seq(Tuple1(1)).toDF("x")
+    val out = one(df,
+      """[{"$project":{"o":{"$arrayToObject":{"$literal":
+           [{"k":"a","v":1},{"k":"b","v":2},{"k":"a","v":9}]}}}}]""")
+    val o = out.getAs[Map[String, Long]]("o")
+    assert(o == Map("a" -> 9L, "b" -> 2L))
+  }
+
+  test("$reduce: empty input yields initialValue, null input yields null") {
+    val df = Seq((Seq.empty[Long], Option.empty[Seq[Long]])).toDF("e", "n")
+    val out = one(df,
+      """[{"$project":{
+           "empty":{"$reduce":{"input":"$e","initialValue":42,
+             "in":{"$add":["$$value","$$this"]}}},
+           "nul":{"$reduce":{"input":"$n","initialValue":42,
+             "in":{"$add":["$$value","$$this"]}}}}}]""")
+    assert(out.getLong(0) == 42L)
+    assert(out.isNullAt(1), "$reduce over null is null, not initialValue")
+  }
+
+  test("set identities: empty-set edges follow the Mongo manual") {
+    val df = Seq(Tuple1(1)).toDF("x")
+    val out = one(df,
+      """[{"$project":{
+           "allEmpty":{"$allElementsTrue":[{"$literal":[]}]},
+           "anyEmpty":{"$anyElementTrue":[{"$literal":[]}]},
+           "emptySubset":{"$setIsSubset":[{"$literal":[]},
+                                          {"$literal":[1]}]},
+           "diffDedup":{"$setDifference":[{"$literal":[1,1,2]},
+                                          {"$literal":[2]}]}}}]""")
+    assert(out.getBoolean(0), "$allElementsTrue([]) is true (vacuous)")
+    assert(!out.getBoolean(1), "$anyElementTrue([]) is false")
+    assert(out.getBoolean(2), "the empty set is a subset of anything")
+    assert(out.getSeq[Long](3) == Seq(1L),
+      "$setDifference deduplicates its result")
+  }
+
+  test("$first/$last array accessors and $in element test") {
+    val out = one(arr,
+      """[{"$project":{
+           "f":{"$first":"$a"},
+           "l":{"$last":"$a"},
+           "has":{"$in":[20,"$a"]},
+           "hasNot":{"$in":[99,"$a"]}}}]""")
+    assert(out.getLong(0) == 10L)
+    assert(out.getLong(1) == 30L)
+    assert(out.getBoolean(2))
+    assert(!out.getBoolean(3))
+  }
+}

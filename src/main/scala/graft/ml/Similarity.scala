@@ -452,6 +452,56 @@ object Similarity {
     }
   }
 
+  // -- persisted index -----------------------------------------------------
+
+  /** Build a reusable IVF index on disk: `dir/centroids` holds the
+    * codebook (idCol, embCol) and `dir/cells` the corpus assignment
+    * (nb_id, cell, v — v the normalized f64 vector the search ranks
+    * with). The build is the expensive corpus pass; persisting it splits
+    * index-build from query-serve, the standard layout at corpus scale —
+    * repeated searches (`searchIvfIndex`) read two parquet frames instead
+    * of re-running codebook training and the corpus×centroids assignment.
+    * `kmeansIters > 0` trains the codebook (`kmeansCentroids`); 0 keeps
+    * the deterministic id-prefix codebook. The cells frame stays flat
+    * parquet (the search joins it by cell hash anyway); at very large
+    * nlist, `partitionBy("cell")` would enable probe-side partition
+    * pruning at the price of one file per cell — a layout knob, not a
+    * semantics change.
+    */
+  def buildIvfIndex(corpus: DataFrame, embCol: String, idCol: String,
+      dir: String, nlist: Int, kmeansIters: Int = 0): Unit = {
+    val cents =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, embCol, idCol, nlist, kmeansIters)
+      else corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol), col(embCol))
+    cents.select(col(idCol), col(embCol))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assignCells(corpus, cents, embCol, idCol)
+      .select(col(idCol).as("nb_id"), col("cell"), col("v"))
+      .write.mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  /** Search a `buildIvfIndex` directory: probe the saved codebook, join
+    * the saved cells — identical results to `ivfTopKWith` over the same
+    * corpus/codebook, with the training and corpus-assignment passes
+    * amortized away. Same shuffle shape as the in-memory search: the
+    * cell equi-join and the bounded `top_k_min` per query.
+    */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, embCol: String, idCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val probed = assignCellsMulti(queries, cents, embCol, idCol, nprobe)
+      .select(col(idCol).as("query_id"), col("v").as("vq"), col("cell"))
+    probed.join(cells, "cell")
+      .where(col("query_id") =!= col("nb_id"))
+      .withColumn("cos", ndot6(col("vq"), col("v")))
+      .select(col("query_id"), col("nb_id"), col("cos"))
+      .transform(searchTopKDesc(k))
+  }
+
   private def ivfSearch(corpus: DataFrame, queries: DataFrame,
       centroidsDf: DataFrame, embCol: String, idCol: String, k: Int,
       nprobe: Int): DataFrame = {

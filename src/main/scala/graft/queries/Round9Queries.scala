@@ -18,6 +18,36 @@ import graft.Tables
   */
 object Round9Queries {
 
+  /** Same replay as q_knn_ivf (MlQueries): the persisted-index path must
+    * answer byte-for-byte what the in-memory IVF search answers — the
+    * index directory only amortizes the build, never changes results.
+    */
+  private val ivfPersistedOracle = {
+    import MlQueries.{normSql, cosSql}
+    s"""WITH v AS (SELECT vec_id, $normSql AS e
+                   FROM embeddings),
+             cent AS (SELECT vec_id AS cell, e AS vcent FROM v WHERE vec_id<8),
+             asg AS (SELECT vec_id, cell, e, row_number() OVER
+                       (PARTITION BY vec_id
+                        ORDER BY ${cosSql("e", "vcent")} DESC, cell) AS r
+                     FROM v CROSS JOIN cent),
+             cells AS (SELECT vec_id AS nb_id, cell, e FROM asg WHERE r=1),
+             q AS (SELECT vec_id AS query_id, e AS vq FROM v WHERE vec_id<5),
+             probed AS (SELECT query_id, vq, cell, row_number() OVER
+                          (PARTITION BY query_id
+                           ORDER BY ${cosSql("vq", "vcent")} DESC, cell) AS pr
+                        FROM q CROSS JOIN cent),
+             cand AS (SELECT query_id, vq, nb_id, cells.e
+                      FROM (SELECT * FROM probed WHERE pr<=2) p
+                      JOIN cells USING(cell) WHERE query_id <> nb_id),
+             ranked AS (SELECT query_id, nb_id, ${cosSql("vq", "e")} AS cos,
+                               row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ${cosSql("vq", "e")} DESC, nb_id) AS rank
+                        FROM cand)
+        SELECT query_id, CAST(rank AS INT) AS rank, nb_id, cos
+        FROM ranked WHERE rank <= 3"""
+  }
+
   private val oracle =
     """SELECT event_id, event_type, value
          FROM events WHERE value > 150.0 AND event_type <> 'error'"""
@@ -44,6 +74,17 @@ object Round9Queries {
           call_function("try_variant_get", col("doc"), lit("$.value"),
             lit("double")).as("value"))
         .where(col("value") > 150.0 && col("event_type") =!= "error")
+    },
+    Q.fn("q_knn_ivf_persisted", ivfPersistedOracle) { (spark, sf) =>
+      import graft.ml.Similarity
+      // index-build/query-serve split: train+assign ONCE to parquet, then
+      // search the directory — results must equal the in-memory ivfTopK
+      val emb = Tables.load(spark, sf, "embeddings")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index").toString
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, nlist = 8)
+      Similarity.searchIvfIndex(spark, dir, emb.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nprobe = 2)
     },
     Q.fn("q_domain_temperature",
       """WITH d AS (SELECT doc_id,

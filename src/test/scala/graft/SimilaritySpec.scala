@@ -202,4 +202,32 @@ class SimilaritySpec extends AnyFunSuite {
         r.getDouble(3))).toSet
     assert(run() == run())
   }
+
+  test("persisted IVF index answers exactly what the in-memory search does") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.where(col("vec_id") < 4)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // id-prefix codebook
+    val dir1 = java.nio.file.Files
+      .createTempDirectory("graft-ivf-idx1").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir1, nlist = 8)
+    assert(rows(Similarity.searchIvfIndex(spark, dir1, queries,
+      "embedding", "vec_id", k = 3, nprobe = 2)) ==
+      rows(Similarity.ivfTopK(emb, queries, "embedding", "vec_id",
+        k = 3, nlist = 8, nprobe = 2)))
+    // trained codebook: build with kmeansIters > 0, compare against the
+    // same trained centroids through the in-memory path
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-ivf-idx2").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir2, nlist = 8,
+      kmeansIters = 1)
+    val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+      nlist = 8, iters = 1)
+    assert(rows(Similarity.searchIvfIndex(spark, dir2, queries,
+      "embedding", "vec_id", k = 3, nprobe = 2)) ==
+      rows(Similarity.ivfTopKWith(emb, queries, cents,
+        "embedding", "vec_id", k = 3, nprobe = 2)))
+  }
 }

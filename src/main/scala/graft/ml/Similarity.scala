@@ -469,7 +469,13 @@ object Similarity {
     * semantics change.
     */
   def buildIvfIndex(corpus: DataFrame, embCol: String, idCol: String,
-      dir: String, nlist: Int, kmeansIters: Int = 0): Unit = {
+      dir: String, nlist: Int, kmeansIters: Int = 0,
+      /** lay the cells out one directory per cell: the probe-side join
+        * then PRUNES unprobed cells at the scan (nprobe/nlist of the
+        * index read per query batch) at the price of nlist directories —
+        * worth it once the index dwarfs a batch's probed slice
+        */
+      partitionByCell: Boolean = false): Unit = {
     val cents =
       if (kmeansIters > 0)
         kmeansCentroids(corpus, embCol, idCol, nlist, kmeansIters)
@@ -477,9 +483,11 @@ object Similarity {
         .select(col(idCol), col(embCol))
     cents.select(col(idCol), col(embCol))
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    assignCells(corpus, cents, embCol, idCol)
+    val cells = assignCells(corpus, cents, embCol, idCol)
       .select(col(idCol).as("nb_id"), col("cell"), col("v"))
-      .write.mode("overwrite").parquet(s"$dir/cells")
+    val w = cells.write.mode("overwrite")
+    (if (partitionByCell) w.partitionBy("cell") else w)
+      .parquet(s"$dir/cells")
   }
 
   /** Search a `buildIvfIndex` directory: probe the saved codebook, join

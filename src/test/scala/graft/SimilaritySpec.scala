@@ -229,5 +229,17 @@ class SimilaritySpec extends AnyFunSuite {
       "embedding", "vec_id", k = 3, nprobe = 2)) ==
       rows(Similarity.ivfTopKWith(emb, queries, cents,
         "embedding", "vec_id", k = 3, nprobe = 2)))
+    // cell-partitioned layout: same answers, prunable directories
+    val dir3 = java.nio.file.Files
+      .createTempDirectory("graft-ivf-idx3").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir3, nlist = 8,
+      partitionByCell = true)
+    assert(rows(Similarity.searchIvfIndex(spark, dir3, queries,
+      "embedding", "vec_id", k = 3, nprobe = 2)) ==
+      rows(Similarity.ivfTopK(emb, queries, "embedding", "vec_id",
+        k = 3, nlist = 8, nprobe = 2)))
+    assert(new java.io.File(s"$dir3/cells").listFiles()
+      .exists(_.getName.startsWith("cell=")),
+      "cells must be laid out one directory per cell")
   }
 }

@@ -330,6 +330,17 @@ object ExprCompiler {
             Option(n.get("defaults")))
         val cols = inputs.map(compile(_, ctx))
         require(cols.size == 2, "$zip: two inputs supported")
+        // Mongo errors on a malformed spec at parse time, not per row:
+        // defaults are only legal under useLongestLength (the shortest-
+        // length default never pads) and must pair up with the inputs —
+        // a short defaults array would otherwise NPE on d.get(i)
+        defaults.foreach { d =>
+          require(useLongest,
+            "$zip: defaults requires useLongestLength: true")
+          require(d.isArray && d.size == cols.size,
+            s"$$zip: defaults must be an array with one entry per input " +
+              s"(${cols.size} inputs, got ${if (d.isArray) d.size else d})")
+        }
         // index-built, NOT zip_with: zip_with pads the shorter input to
         // the longest with nulls, but Mongo's default is the SHORTEST
         // length, and under useLongestLength only positions past an
@@ -339,14 +350,26 @@ object ExprCompiler {
         val len = if (useLongest) greatest(n0, n1) else least(n0, n1)
         def pad(i: Int) = defaults
           .map(d => compile(d.get(i), ctx)).getOrElse(lit(null))
-        // sequence(0, -1) counts DOWN (see Fns.shingles): build at least
-        // one index and slice back to len so the empty case stays typed
-        slice(
-          transform(sequence(lit(0), greatest(len, lit(1)) - 1), i =>
-            array(
-              when(i < n0, get(cols(0), i)).otherwise(pad(0)),
-              when(i < n1, get(cols(1), i)).otherwise(pad(1)))),
-          lit(1), len)
+        // a statically-null input ($literal: null) would fail analysis in
+        // size/get below; Mongo answers null, so short-circuit (same
+        // pattern as the $indexOfArray null-typed case above)
+        if (cols.exists(c => ctx.typeOf(c) == NullType)) lit(null)
+        else {
+          // sequence(0, -1) counts DOWN (see Fns.shingles): build at
+          // least one index and slice back to len so the empty case
+          // stays typed
+          val zipped = slice(
+            transform(sequence(lit(0), greatest(len, lit(1)) - 1), i =>
+              array(
+                when(i < n0, get(cols(0), i)).otherwise(pad(0)),
+                when(i < n1, get(cols(1), i)).otherwise(pad(1)))),
+            lit(1), len)
+          // any null/missing INPUT makes the whole result null (Mongo);
+          // least/greatest skip SQL nulls, so without this gate a null
+          // input would silently act like an empty/absent array
+          when(cols(0).isNull || cols(1).isNull, lit(null))
+            .otherwise(zipped)
+        }
 
       // ---- boolean (:354-393) ----
       // Mongo truthiness, not SQL three-valued logic: null and 0 are

@@ -481,13 +481,19 @@ object Similarity {
         kmeansCentroids(corpus, embCol, idCol, nlist, kmeansIters)
       else corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol), col(embCol))
-    cents.select(col(idCol), col(embCol))
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    val cells = assignCells(corpus, cents, embCol, idCol)
-      .select(col(idCol).as("nb_id"), col("cell"), col("v"))
-    val w = cells.write.mode("overwrite")
-    (if (partitionByCell) w.partitionBy("cell") else w)
-      .parquet(s"$dir/cells")
+    try {
+      cents.select(col(idCol), col(embCol))
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      val cells = assignCells(corpus, cents, embCol, idCol)
+        .select(col(idCol).as("nb_id"), col("cell"), col("v"))
+      val w = cells.write.mode("overwrite")
+      (if (partitionByCell) w.partitionBy("cell") else w)
+        .parquet(s"$dir/cells")
+    } finally
+      // kmeansCentroids hands back a persist()-ed codebook; both consumers
+      // (the centroids and cells writes) are parquet-materialized above,
+      // so release it here instead of pinning executor memory per build
+      if (kmeansIters > 0) cents.unpersist()
   }
 
   /** Search a `buildIvfIndex` directory: probe the saved codebook, join

@@ -88,6 +88,33 @@ class ExprEdgeSpec extends AnyFunSuite {
       "defaults pad per input position")
   }
 
+  test("$zip: any null/missing input makes the result null") {
+    val df = Seq((Seq(1L, 2L), Option.empty[Seq[Long]])).toDF("x", "n")
+    val out = one(df,
+      """[{"$project":{
+           "nulCol":{"$zip":{"inputs":["$x","$n"]}},
+           "nulLit":{"$zip":{"inputs":["$x",{"$literal":null}]}},
+           "nulLong":{"$zip":{"inputs":["$n","$x"],
+                              "useLongestLength":true}}}}]""")
+    (0 to 2).foreach(i => assert(out.isNullAt(i),
+      s"slot $i: a null input must null the whole $$zip result, " +
+        "never act as an empty array"))
+  }
+
+  test("$zip: malformed specs error at compile, like Mongo") {
+    val df = Seq((Seq(1L), Seq(2L))).toDF("x", "y")
+    val noLongest = intercept[IllegalArgumentException] {
+      one(df, """[{"$project":{"z":{"$zip":{"inputs":["$x","$y"],
+                   "defaults":[0,0]}}}}]""")
+    }
+    assert(noLongest.getMessage.contains("useLongestLength"))
+    val shortDefaults = intercept[IllegalArgumentException] {
+      one(df, """[{"$project":{"z":{"$zip":{"inputs":["$x","$y"],
+                   "useLongestLength":true,"defaults":[0]}}}}]""")
+    }
+    assert(shortDefaults.getMessage.contains("one entry per input"))
+  }
+
   test("$arrayToObject: later duplicate keys win") {
     val df = Seq(Tuple1(1)).toDF("x")
     val out = one(df,

@@ -242,4 +242,34 @@ class SimilaritySpec extends AnyFunSuite {
       .exists(_.getName.startsWith("cell=")),
       "cells must be laid out one directory per cell")
   }
+
+  test("buildIvfIndex releases the trained codebook cache") {
+    // a corpus plan no other test caches: Spark's CacheManager dedups
+    // persist() by plan, so an identical corpus would share (and this
+    // test's unpersist would drop) another test's cached codebook
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .where(col("vec_id") % 7 =!= 3)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-unpersist").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, nlist = 8,
+      kmeansIters = 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "the kmeansCentroids codebook persist must be released once the " +
+        "centroids and cells parquet writes have materialized it")
+  }
+
+  test("q_knn_ivf_persisted builds its index once per source dir") {
+    val q = SparkEntry.queries("q_knn_ivf_persisted")
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def indexDirs = tmp.listFiles()
+      .count(_.getName.startsWith("graft-ivf-index"))
+    val r1 = q(spark, sfDir).collect().toSet
+    val after1 = indexDirs
+    val r2 = q(spark, sfDir).collect().toSet
+    assert(indexDirs == after1,
+      "a repeated execution (Bench warmup+timed, Verify) must reuse the " +
+        "JVM-cached index directory, not rebuild a fresh one")
+    assert(r1 == r2)
+  }
 }

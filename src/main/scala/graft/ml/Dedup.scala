@@ -67,13 +67,13 @@ object Dedup {
     // recompute every signature for both sides
     val withBands0 = minhash(df, textCol, idCol, k, p)
       .select(col(idCol), explode(bandKeys(col("sig"), bands, r)).as("band"))
-    val withBands = (maxBandFreq match {
+    val withBands = CacheLifecycle.pin(maxBandFreq match {
       case None => withBands0
       case Some(cap) =>
         val hot = withBands0.groupBy("band")
           .agg(count(lit(1)).as("bf")).where(col("bf") > cap).select("band")
         withBands0.join(hot, Seq("band"), "left_anti")
-    }).persist()
+    })
     val a = withBands.as("a")
     val b = withBands.as("b")
     a.join(b, "band")
@@ -119,10 +119,9 @@ object Dedup {
           .bitwiseAND(lit((1L << width) - 1)).as("bv"))
     }
     // materialize (id, sig, band) once: both join legs reuse it
-    val banded = simhash(df, textCol, idCol)
+    val banded = CacheLifecycle.pin(simhash(df, textCol, idCol)
       .select(col(idCol), col("simhash"),
-        explode(array(bandCols: _*)).as("band"))
-      .persist()
+        explode(array(bandCols: _*)).as("band")))
     val a = banded.select(col("band"), col(idCol).as("id_a"),
       col("simhash").as("sig_a"))
     val b = banded.select(col("band"), col(idCol).as("id_b"),
@@ -166,10 +165,10 @@ object Dedup {
     // banded.persist; ~bands rows per doc, far narrower than the corpus).
     // The returned plan depends on this frame, so it cannot unpersist
     // here; blocks are MEMORY_AND_DISK and LRU-evictable — a caller
-    // running many passes in one session can clearCache() between them
-    val sigs = bits.groupBy(col(idCol), col("band"))
-      .agg(sum(col("bit")).as("bv"))
-      .persist()
+    // running many passes in one session reclaims them deterministically
+    // with CacheLifecycle.releaseAll() once the pass's output is written
+    val sigs = CacheLifecycle.pin(bits.groupBy(col(idCol), col("band"))
+      .agg(sum(col("bit")).as("bv")))
     val cand = sigs
       .select(col(idCol).as("id_a"), col("band"), col("bv"))
       .join(sigs.select(col(idCol).as("id_b"), col("band"), col("bv")),
@@ -325,7 +324,8 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") < col("old")).limit(1).count()
-      release(labels) // drop the previous round's checkpointed blocks
+      // drop the previous round's checkpointed blocks
+      CacheLifecycle.releaseCheckpoint(labels)
       labels = next
       converged = changed == 0
       iter += 1
@@ -335,21 +335,13 @@ object Dedup {
     require(converged,
       s"components did not converge in $maxIter rounds — the pair graph " +
         "has a longer chain than expected; raise maxIter")
+    // the FINAL labels checkpoint backs the returned frame; register it
+    // so CacheLifecycle.releaseAll() can reclaim its blocks once the
+    // caller has written the clusters out (after which the frame is dead
+    // — a truncated lineage cannot recompute)
+    CacheLifecycle.pinCheckpointed(labels)
     labels.select(col("id"), col("label").as("component"))
   }
-
-  /** Release a localCheckpoint'd frame's storage: `DataFrame.unpersist()`
-    * is a NO-OP for checkpoint blocks (they are not registered with the
-    * cache manager) — the persisted RDD sits inside the checkpointed
-    * plan's LogicalRDD and must be unpersisted directly, or every
-    * iteration's blocks survive until RDD GC.
-    */
-  private def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 
   /** The prune plan a dedup pass ends with: every id with its canonical
     * representative (the cluster minimum from `components`; singletons

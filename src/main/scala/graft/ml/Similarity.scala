@@ -146,6 +146,9 @@ object Similarity {
       prior = Some(next)
       seeds = next
     }
+    // the final seeds frame stays persisted (the returned plan reads it
+    // twice per consumer round); register it for deterministic reclaim
+    prior.foreach(CacheLifecycle.pin(_))
     seeds.select(col(idCol), col("v").as(embCol))
     // the final seeds frame is persisted + materialized (count above), so
     // dropping the corpus cache cannot trigger a recompute through it;
@@ -185,7 +188,10 @@ object Similarity {
       centroids = means.select(col("cell").as(idCol),
         col("c").cast("array<float>").as(embCol))
     }
-    centroids.persist()
+    // the codebook is read by every downstream assignment pass; pinned so
+    // CacheLifecycle.releaseAll() (or an owning caller's unpersist, e.g.
+    // buildIvfIndex) can reclaim it once the consumer is done
+    CacheLifecycle.pin(centroids)
   }
 
   /** IVF ANN with an explicit codebook (e.g. from `kmeansCentroids`). */

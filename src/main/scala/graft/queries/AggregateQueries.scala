@@ -62,9 +62,8 @@ object AggregateQueries {
               col("o_custkey")))
             .as("__raw"))
 
-        val out = AggregatePart(cmds,
-          AggregateLogic.Config(appName = "verify", aggType = "verify-order"))
-          .persist()
+        val out = graft.ml.CacheLifecycle.pin(AggregatePart(cmds,
+          AggregateLogic.Config(appName = "verify", aggType = "verify-order")))
 
         // Final snapshot per key = the aggregate-stream record with the
         // highest _seq (the stream re-emits the snapshot on every accepted

@@ -70,5 +70,15 @@ object GraftFunctions {
     // AggregateExpression, so the builder returns the function itself
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_min", exprs => TopKMin(exprs(0), exprs(1)), "built-in")
+    // Spark's own codegen'd Bloom probe (BloomFilterMightContain) is
+    // registered only in the INTERNAL registry (it backs runtime join
+    // filters); surface it for Dedup.dedupAgainst's reference-corpus
+    // pre-filter. The filter argument must be foldable (a lit of the
+    // sketch bytes) or a scalar subquery — the expression type-checks
+    // that itself.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -359,6 +359,96 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("canonical_id"))
   }
 
+  /** Segment-level dedup (boilerplate removal, RefinedWeb/CCNet-style):
+    * split each document on `sep`, drop every segment whose DOCUMENT
+    * frequency exceeds `maxDocFrac` of the corpus (a paragraph repeated
+    * across more than that fraction of documents is boilerplate —
+    * headers, navigation, license blocks), and reassemble the survivors
+    * in original order. Returns (idCol, text_clean, n_dropped); a
+    * document whose every segment is boilerplate stays, with an empty
+    * text_clean.
+    *
+    * Scale shape: one partial-aggregated distinct-count per segment
+    * (shuffle keyed on the segment), an anti-join against the HOT
+    * segment set only (small by construction — segments over the
+    * fraction are few; Spark broadcasts it), and one aggregation back on
+    * the document id. No window over the corpus, no product.
+    */
+  def dedupSegments(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n", maxDocFrac: Double = 0.5): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac <= 1,
+      s"dedupSegments: maxDocFrac must be in (0, 1], got $maxDocFrac")
+    val segArr = split(col(textCol),
+      java.util.regex.Pattern.quote(sep))
+    val segs = df.select(col(idCol), posexplode(segArr).as(Seq("pos", "seg")))
+    // document frequency per segment vs the corpus size — both partial
+    // aggregates; the threshold stays in-plan (broadcast 1-row frame),
+    // no driver action
+    val tot = df.select(count_distinct(col(idCol)).as("__tot"))
+    val hot = segs.groupBy(col("seg"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .crossJoin(broadcast(tot))
+      .where(col("__df") > col("__tot") * maxDocFrac)
+      .select(col("seg"))
+    val kept = segs.join(hot, Seq("seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg")), sep).as("text_clean"),
+        count(lit(1)).as("__kept"))
+    df.select(col(idCol), size(segArr).as("__n"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (col("__n") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Incremental (cross-corpus) dedup: the rows of `newDf` whose text is
+    * NOT already present in `refDf` — the ingestion-time filter that
+    * keeps a growing corpus exact-duplicate-free without re-deduping the
+    * whole corpus per batch.
+    *
+    * Exact semantics either way (the result is an anti-join on the text);
+    * `bloomExpectedItems` turns on the scale path: build a Bloom filter
+    * over the NEW batch's text hashes (the small side — one distributed
+    * aggregate, sketch to the driver, same contract as
+    * `DataFrameStatFunctions.bloomFilter`), pre-filter the 100 TB
+    * reference corpus with `might_contain` AT THE SCAN (Spark's native
+    * codegen'd BloomFilterMightContain — a ref row failing the filter
+    * provably matches nothing in the batch), and anti-join only the
+    * survivors: the shuffle carries ~|new| rows instead of |ref|. False
+    * positives only admit extra rows into the exact join, never change
+    * the result. Null text never matches anything (SQL join semantics)
+    * and is kept.
+    */
+  def dedupAgainst(newDf: DataFrame, refDf: DataFrame, textCol: String,
+      bloomExpectedItems: Option[Long] = None,
+      fpp: Double = 0.01): DataFrame = {
+    val ref = refDf.select(col(textCol).as("__ref_text"))
+    val pruned = bloomExpectedItems match {
+      case None => ref
+      case Some(n) =>
+        require(n > 0, "dedupAgainst: bloomExpectedItems must be > 0")
+        val bf = newDf.select(xxhash64(col(textCol)).as("__k"))
+          .stat.bloomFilter("__k", n, fpp)
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+        ref.where(call_function("bloom_might_contain", lit(bytes),
+          xxhash64(col("__ref_text"))))
+    }
+    // equi-keys on (hash, text): the shuffle partitions on the cheap
+    // 8-byte hash, the text equality keeps hash collisions from dropping
+    // distinct rows
+    newDf.join(pruned,
+      xxhash64(col(textCol)) === xxhash64(col("__ref_text")) &&
+        col(textCol) === col("__ref_text"),
+      "left_anti")
+  }
+
   private def celledPairs(df: DataFrame, embCol: String, idCol: String,
       threshold: Double, centroids: DataFrame, nprobe: Int,
       dedup: Boolean): DataFrame = {

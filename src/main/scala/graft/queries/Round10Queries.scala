@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ml.Dedup
+
+/** Round-10 corpus-curation additions: segment-level boilerplate removal
+  * and incremental (cross-corpus) dedup with a Bloom-prefiltered
+  * reference scan. Both are exact and DuckDB-replayable; the Bloom
+  * filter only prunes the reference side of an anti-join, never changes
+  * the result.
+  */
+object Round10Queries {
+
+  /** dedupSegments over the documents table at token granularity
+    * (the synthetic text has no newlines, so the separator is a space:
+    * "segments" = tokens, and the >50 %-document-frequency drops are the
+    * corpus's stopword-like boilerplate). The oracle replays the same
+    * document-frequency threshold and order-preserving reassembly.
+    */
+  private val segmentsOracle =
+    """WITH segs AS (SELECT doc_id, unnest(string_split(text,' ')) AS seg,
+                            generate_subscripts(string_split(text,' '),1)
+                              AS pos
+                     FROM documents),
+            tot AS (SELECT count(DISTINCT doc_id) AS t FROM documents),
+            hot AS (SELECT seg FROM segs CROSS JOIN tot
+                    GROUP BY seg, t
+                    HAVING count(DISTINCT doc_id) > t * 0.5),
+            kept AS (SELECT s.doc_id, s.seg, s.pos FROM segs s
+                     ANTI JOIN hot h ON s.seg = h.seg),
+            agg AS (SELECT doc_id,
+                           string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+                           count(*) AS kept_n
+                    FROM kept GROUP BY doc_id)
+       SELECT d.doc_id,
+              coalesce(a.text_clean, '') AS text_clean,
+              CAST(len(string_split(d.text,' ')) - coalesce(a.kept_n, 0)
+                   AS BIGINT) AS n_dropped
+       FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+  /** Incremental-ingest scenario built from the documents table: the
+    * "new batch" is one third exact copies of reference docs (re-keyed)
+    * and one third genuinely new texts; dedupAgainst must keep exactly
+    * the new texts. The Spark side runs the Bloom-prefiltered path; the
+    * oracle is the plain anti-join (same result by construction).
+    */
+  private val incrementalOracle =
+    """WITH newb AS (
+         SELECT doc_id + 1000000 AS doc_id, text
+           FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id + 2000000 AS doc_id, text || ' v2' AS text
+           FROM documents WHERE doc_id % 3 = 1)
+       SELECT n.doc_id, n.text
+         FROM newb n ANTI JOIN documents r ON n.text = r.text"""
+
+  val all: Seq[Q] = Seq(
+    Q.fn("q_dedup_segments", segmentsOracle) { (spark, sf) =>
+      Dedup.dedupSegments(
+        Tables.load(spark, sf, "documents").select("doc_id", "text"),
+        "text", "doc_id", sep = " ", maxDocFrac = 0.5)
+    },
+    Q.fn("q_dedup_incremental", incrementalOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+        .select("doc_id", "text")
+      val newBatch = docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")))
+      Dedup.dedupAgainst(newBatch, docs, "text",
+        bloomExpectedItems = Some(100000L))
+    })
+}

@@ -137,6 +137,44 @@ class DedupSpec extends AnyFunSuite {
     assert(got == (0L to 9L).map(_ -> 0L).toMap)
   }
 
+  test("dedupSegments drops boilerplate paragraphs, preserves order") {
+    // 4 docs; "FOOTER" appears in 3/4 (> 50% document frequency) and
+    // must be dropped everywhere; "intro" appears in 2/4 (= 50%, not
+    // strictly above) and stays; doc 4 is all boilerplate
+    val docs = Seq(
+      (1L, "intro\n\nbody one\n\nFOOTER"),
+      (2L, "intro\n\nbody two\n\nFOOTER"),
+      (3L, "unique head\n\nFOOTER\n\nbody three"),
+      (4L, "FOOTER")).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, "text", "doc_id", sep = "\n\n")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == ("intro\n\nbody one", 1L))
+    assert(out(2L) == ("intro\n\nbody two", 1L))
+    assert(out(3L) == ("unique head\n\nbody three", 1L),
+      "reassembly must keep the original segment order across a drop")
+    assert(out(4L) == ("", 1L),
+      "an all-boilerplate document stays, with empty text")
+  }
+
+  test("dedupAgainst: Bloom-prefiltered path equals the exact anti-join") {
+    val ref = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "same"))
+      .toDF("id", "text")
+    val newB = Seq((10L, "alpha beta"), (11L, "fresh one"), (12L, "same"),
+      (13L, "fresh two"), (14L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.dedupAgainst(newB, ref, "text"))
+    val bloom = ids(Dedup.dedupAgainst(newB, ref, "text",
+      bloomExpectedItems = Some(1000L)))
+    assert(exact == Set(11L, 13L, 14L),
+      "duplicates of ref texts drop; fresh and null-text rows stay")
+    assert(bloom == exact,
+      "the Bloom filter is a prefilter only — it must never change the " +
+        "anti-join's result")
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

@@ -243,6 +243,28 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("incremental dedup Bloom-prefilters the reference side") {
+    val p = plan(q("q_dedup_incremental"))
+    // the reference corpus must pass through the codegen'd Bloom probe
+    // BEFORE the anti-join shuffle — at 100 TB that filter is what keeps
+    // the shuffle at ~|new batch| rows instead of |reference|
+    assert(p.contains("might_contain"),
+      "no Bloom prefilter on the reference scan:\n" + p.take(1200))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("segment dedup aggregates and anti-joins, never windows") {
+    val p = plan(q("q_dedup_segments"))
+    // document-frequency threshold = partial aggregate + tiny broadcast
+    // (the 1-row corpus count); reassembly = aggregation by doc id. A
+    // Window here would mean a per-document (or worse, corpus-wide) sort
+    // funnel that the collect_list/array_sort formulation avoids
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

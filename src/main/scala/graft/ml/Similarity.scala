@@ -51,6 +51,50 @@ object Similarity {
     searchTopKDesc(k)(scored)
   }
 
+  /** Deterministic sparse random projection (Achlioptas ±1 /
+    * Johnson-Lindenstrauss): project `inDim`-dim vectors to `outDim`
+    * dims, y_j = Σ_i x_i · s(i,j) with s(i,j) ∈ {+1,−1} derived from the
+    * md5-based h32 of "seed_i_j" — the same formula the SQL oracle
+    * replays. The sign matrix is computed ONCE on the driver
+    * (inDim×outDim md5s, config-sized) and embedded as a literal, so
+    * per-row work is pure codegen'd arithmetic — no per-row hashing, no
+    * join, no shuffle: a narrow map over the corpus.
+    *
+    * Scale lever: at 100 TB a 64→16 projection cuts every downstream
+    * ANN shuffle's vector payload 4×; JL keeps pairwise geometry within
+    * ~1/√outDim distortion, so use it to pre-filter (search projected,
+    * re-rank survivors full-dim) rather than as the final ranking.
+    * The JL 1/√outDim normalization is deliberately OMITTED: cosine is
+    * scale-invariant, and skipping it keeps every output value exact —
+    * the inner sum runs on 1e-6 fixed-point quanta (same trick as
+    * `kmeansCentroids`; integer addition is order-independent) and the
+    * single /1e6 division of a < 2^53 integer is one IEEE operation,
+    * so the result is bit-replayable by the DuckDB oracle with no
+    * rounding step to tie-break differently.
+    */
+  def randomProjection(df: DataFrame, embCol: String, idCol: String,
+      inDim: Int, outDim: Int, seed: String = "proj"): DataFrame = {
+    require(inDim > 0 && outDim > 0 && outDim <= inDim,
+      s"randomProjection: need 0 < outDim <= inDim, got $inDim -> $outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Long = {
+      val hex = md.digest(s"${seed}_${i}_${j}".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    val m = typedLit((0 until inDim).map(i =>
+      (0 until outDim).map(j => sign(i, j))))
+    val x = col("__x")
+    df.withColumn("__x", col(embCol).cast("array<double>"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(outDim - 1)), j =>
+          aggregate(sequence(lit(0), lit(inDim - 1)), lit(0L),
+            (acc, i) => acc +
+              round(element_at(x, i + 1) * 1e6).cast("long") *
+                element_at(element_at(m, i + 1), j + 1))
+            .cast("double") / 1e6).as("proj"))
+  }
+
   /** Ascending == preferred for nearest-centroid ranking: cosine
     * descending (`0.0 - cos` rather than `-cos` so a rounded `-0.0`
     * normalizes to `+0.0`), ties to the lowest cell id.

@@ -55,7 +55,36 @@ object Round10Queries {
        SELECT n.doc_id, n.text
          FROM newb n ANTI JOIN documents r ON n.text = r.text"""
 
+  /** randomProjection 64 → 16 over the embeddings table, exploded to
+    * (vec_id, j, y) rows. The oracle regenerates the identical ±1 sign
+    * matrix from the md5-derived h32 of "proj_i_j" and replays the
+    * fixed-point (1e-6 quanta) inner sum — integer addition is
+    * order-independent, so Spark's sequential fold and DuckDB's group
+    * sum agree bit-for-bit before the final rounded division.
+    */
+  private val projectOracle =
+    """WITH m AS (SELECT i, j,
+                    CASE WHEN ('0x'||substr(md5('proj_'||i||'_'||j),1,8))::BIGINT
+                              % 2 = 0
+                         THEN 1 ELSE -1 END AS s
+                  FROM range(64) t1(i) CROSS JOIN range(16) t2(j)),
+            x AS (SELECT vec_id,
+                    generate_subscripts(embedding, 1) - 1 AS i,
+                    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                         AS BIGINT) AS xi
+                  FROM embeddings)
+       SELECT x.vec_id, CAST(m.j AS INT) AS j,
+              CAST(sum(x.xi * m.s) AS DOUBLE) / 1000000.0 AS y
+       FROM x JOIN m USING (i) GROUP BY x.vec_id, m.j"""
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_embed_project", projectOracle) { (spark, sf) =>
+      import graft.ml.Similarity
+      Similarity.randomProjection(
+        Tables.load(spark, sf, "embeddings"), "embedding", "vec_id",
+        inDim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+    },
     Q.fn("q_dedup_segments", segmentsOracle) { (spark, sf) =>
       Dedup.dedupSegments(
         Tables.load(spark, sf, "documents").select("doc_id", "text"),

@@ -265,6 +265,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("random projection is a narrow map — no exchange, no join") {
+    val p = plan(q("q_embed_project"))
+    // the sign matrix is a driver-built literal: the projection must be
+    // pure per-row arithmetic (scan -> project -> explode), because at
+    // 100 TB any shuffle or matrix join here would dwarf the savings the
+    // narrower vectors buy downstream
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

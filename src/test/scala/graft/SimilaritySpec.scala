@@ -243,6 +243,38 @@ class SimilaritySpec extends AnyFunSuite {
       "cells must be laid out one directory per cell")
   }
 
+  test("randomProjection preserves geometry and is deterministic") {
+    import spark.implicits._
+    // near-duplicate pair (base + small deterministic noise) vs an
+    // unrelated vector: after 64 -> 16 projection the near-dup cosine
+    // must stay high and the unrelated cosine low (JL distortion bound)
+    def vec(f: Int => Double) = (0 until 64).map(i => f(i).toFloat)
+    val base = vec(i => math.sin(i * 0.7))
+    val near = vec(i => math.sin(i * 0.7) + 0.01 * math.cos(i * 1.3))
+    val other = vec(i => math.cos(i * 2.1) + 0.5 * math.sin(i * 0.3))
+    val df = Seq((0L, base), (1L, near), (2L, other))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity
+      .randomProjection(df, "embedding", "vec_id", inDim = 64, outDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p = run()
+    assert(p == run(), "projection must be bit-deterministic across runs")
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(cos(p(0L), p(1L)) > 0.9,
+      s"near-dup cosine collapsed to ${cos(p(0L), p(1L))}")
+    assert(math.abs(cos(p(0L), p(2L))) < 0.6,
+      s"unrelated cosine inflated to ${cos(p(0L), p(2L))}")
+    // expected squared length: E||y||^2 = outDim * ||x||^2 (unscaled
+    // +-1 signs); the ratio concentrates within JL distortion
+    val nx = base.map(x => x.toDouble * x).sum
+    val ny = p(0L).map(x => x * x).sum
+    assert(ny / (16 * nx) > 0.5 && ny / (16 * nx) < 1.5,
+      s"length ratio ${ny / (16 * nx)} outside the JL band")
+  }
+
   test("buildIvfIndex releases the trained codebook cache") {
     // a corpus plan no other test caches: Spark's CacheManager dedups
     // persist() by plan, so an identical corpus would share (and this

@@ -275,6 +275,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"length ratio ${ny / (16 * nx)} outside the JL band")
   }
 
+  test("cell-partitioned index search dynamically prunes unprobed cells") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-dpp").toString
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", dir, nlist = 8,
+      partitionByCell = true)
+    val out = Similarity.searchIvfIndex(spark, dir,
+      emb.where(col("vec_id") < 3), "embedding", "vec_id",
+      k = 3, nprobe = 2)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    // Spark's dynamic partition pruning must reach the cells scan: the
+    // probed cell ids broadcast into a partition filter, so a search
+    // reads nprobe/nlist of the index instead of all of it — the whole
+    // point of the partitionByCell layout at large nlist
+    assert(p.contains(" IN dynamicpruning#"),
+      "no dynamic partition pruning on the cells scan:\n" + p.take(1500))
+  }
+
   test("buildIvfIndex releases the trained codebook cache") {
     // a corpus plan no other test caches: Spark's CacheManager dedups
     // persist() by plan, so an identical corpus would share (and this

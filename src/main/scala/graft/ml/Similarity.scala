@@ -95,6 +95,49 @@ object Similarity {
             .cast("double") / 1e6).as("proj"))
   }
 
+  /** Two-stage ANN through the projection: candidate generation ranks by
+    * projected cosine in the `outDim`-narrow space (1/4 of the flops and
+    * shuffle bytes at 64→16), then the `candidates`-per-query survivors
+    * are re-ranked by FULL-dimension cosine — the standard
+    * filter-then-refine layout. `candidates > k` buys back the JL
+    * distortion (recall → 1 as candidates grows; `SimilaritySpec`
+    * measures it). Candidate generation here is the guarded exact pass
+    * (query × corpus, bounded by `maxExactWork`); at corpus scale run
+    * the same projection through `ivfTopKWith` for the candidate stage
+    * instead.
+    */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
+      idCol: String, k: Int, inDim: Int, outDim: Int, candidates: Int,
+      seed: String = "proj", maxExactWork: Long = 1000000000L): DataFrame = {
+    require(candidates >= k,
+      s"projectedTopK: candidates ($candidates) must be >= k ($k)")
+    val (nq, nc) = (graft.ml.Fns.atMost(queries, maxExactWork),
+      graft.ml.Fns.atMost(corpus, maxExactWork))
+    require(nq * nc <= maxExactWork,
+      s"projectedTopK's candidate stage is exact over ~$nq x ~$nc " +
+        "projected rows, exceeding maxExactWork. Feed the projection " +
+        "through ivfTopKWith for candidate generation at this size.")
+    val pc = normalized(
+      randomProjection(corpus, embCol, idCol, inDim, outDim, seed),
+      "proj", idCol, "pv").withColumnRenamed(idCol, "nb_id")
+    val pq = normalized(
+      randomProjection(queries, embCol, idCol, inDim, outDim, seed),
+      "proj", idCol, "qv").withColumnRenamed(idCol, "query_id")
+    val cand = pq.join(pc, col("query_id") =!= col("nb_id"))
+      .withColumn("cos", ndot6(col("qv"), col("pv")))
+      .select(col("query_id"), col("nb_id"), col("cos"))
+      .transform(searchTopKDesc(candidates))
+    val cf = normalized(corpus, embCol, idCol, "vc")
+      .withColumnRenamed(idCol, "nb_id")
+    val qf = normalized(queries, embCol, idCol, "vq")
+      .withColumnRenamed(idCol, "query_id")
+    cand.select(col("query_id"), col("nb_id"))
+      .join(cf, "nb_id").join(qf, "query_id")
+      .withColumn("cos", ndot6(col("vq"), col("vc")))
+      .select(col("query_id"), col("nb_id"), col("cos"))
+      .transform(searchTopKDesc(k))
+  }
+
   /** Ascending == preferred for nearest-centroid ranking: cosine
     * descending (`0.0 - cos` rather than `-cos` so a rounded `-0.0`
     * normalizes to `+0.0`), ties to the lowest cell id.

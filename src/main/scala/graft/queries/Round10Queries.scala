@@ -77,6 +77,54 @@ object Round10Queries {
               CAST(sum(x.xi * m.s) AS DOUBLE) / 1000000.0 AS y
        FROM x JOIN m USING (i) GROUP BY x.vec_id, m.j"""
 
+  private def dot16(a: String, b: String) =
+    s"list_reduce(list_transform(range(1,17), i -> $a[i]*$b[i]), (x,y)->x+y)"
+
+  /** projectedTopK replayed end-to-end: the identical sign matrix and
+    * fixed-point projection, L2 normalization in the 16-dim space,
+    * candidate top-10 by projected cosine (ties to the lowest id, like
+    * top_k_min), then full-dimension re-rank to top-3.
+    */
+  private val projectedKnnOracle = {
+    import MlQueries.normSql
+    s"""WITH m AS (SELECT i, j,
+                     CASE WHEN ('0x'||substr(md5('proj_'||i||'_'||j),1,8))::BIGINT
+                               % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+                   FROM range(64) t1(i) CROSS JOIN range(16) t2(j)),
+            x AS (SELECT vec_id,
+                    generate_subscripts(embedding, 1) - 1 AS i,
+                    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                         AS BIGINT) AS xi
+                  FROM embeddings),
+            yj AS (SELECT x.vec_id, m.j,
+                          CAST(sum(x.xi * m.s) AS DOUBLE) / 1000000.0 AS y
+                   FROM x JOIN m USING (i) GROUP BY x.vec_id, m.j),
+            py AS (SELECT vec_id, list(y ORDER BY j) AS p
+                   FROM yj GROUP BY vec_id),
+            pn AS (SELECT vec_id,
+                          list_transform(p, z -> z / sqrt(${dot16("p", "p")}))
+                            AS pv
+                   FROM py),
+            v AS (SELECT vec_id, $normSql AS e FROM embeddings),
+            cand AS (SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
+                            row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(${dot16("q.pv", "c.pv")}, 6)
+                                         DESC, c.vec_id) AS cr
+                     FROM (SELECT * FROM pn WHERE vec_id < 5) q
+                     CROSS JOIN pn c WHERE q.vec_id <> c.vec_id),
+            rr AS (SELECT cand.query_id, cand.nb_id,
+                          round(${MlQueries.cosSql("qv.e", "nv.e")}, 6) AS cos,
+                          row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY round(${MlQueries.cosSql("qv.e", "nv.e")}, 6)
+                                       DESC, cand.nb_id) AS rn
+                   FROM (SELECT * FROM cand WHERE cr <= 10) cand
+                   JOIN v qv ON qv.vec_id = cand.query_id
+                   JOIN v nv ON nv.vec_id = cand.nb_id)
+       SELECT query_id, CAST(rn AS INT) AS rank, nb_id, cos
+       FROM rr WHERE rn <= 3"""
+  }
+
   val all: Seq[Q] = Seq(
     Q.fn("q_embed_project", projectOracle) { (spark, sf) =>
       import graft.ml.Similarity
@@ -84,6 +132,13 @@ object Round10Queries {
         Tables.load(spark, sf, "embeddings"), "embedding", "vec_id",
         inDim = 64, outDim = 16)
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+    },
+    Q.fn("q_knn_projected", projectedKnnOracle) { (spark, sf) =>
+      import graft.ml.Similarity
+      val emb = Tables.load(spark, sf, "embeddings")
+      Similarity.projectedTopK(emb, emb.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, inDim = 64, outDim = 16,
+        candidates = 10)
     },
     Q.fn("q_dedup_segments", segmentsOracle) { (spark, sf) =>
       Dedup.dedupSegments(

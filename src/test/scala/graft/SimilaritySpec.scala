@@ -275,6 +275,48 @@ class SimilaritySpec extends AnyFunSuite {
       s"length ratio ${ny / (16 * nx)} outside the JL band")
   }
 
+  test("projectedTopK: wider candidate stage buys back JL distortion") {
+    // clustered data, like real near-dup corpora: JL preserves the BIG
+    // margins between a query's cluster-mates and the background, so
+    // filter-then-refine recalls the true neighbors. (On the uniform
+    // synthetic embeddings the true top-k margins are ~1e-2 — below JL
+    // distortion at 16 dims — and recall is honestly near-random; that
+    // regime needs the full-dim paths, which is exactly why projection
+    // is a candidate PRE-filter, never the final ranking.)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cluster = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).crossJoin(spark.range(0, 60).toDF("j"))
+      .select(col("j").as("vec_id"),
+        expr("""transform(embedding,
+                 (x, p) -> CAST(x + 0.001*((j*31+p)%7-3) AS FLOAT))""")
+          .as("embedding"))
+    val others = emb.where(col("vec_id") >= 100 && col("vec_id") < 200)
+      .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
+    val corpus = cluster.unionByName(others).cache()
+    val queries = corpus.where(col("vec_id") % 17 === 3)
+    val exact = Similarity
+      .bruteForceTopK(corpus, queries, "embedding", "vec_id", K)
+      .select("query_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(cand: Int): Double = {
+      val got = Similarity.projectedTopK(corpus, queries, "embedding",
+        "vec_id", k = K, inDim = 64, outDim = 16, candidates = cand)
+        .select("query_id", "nb_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val narrow = recallAt(K)
+    val wide = recallAt(4 * K)
+    info(f"projected recall@$K candidates=$K: $narrow%.3f, " +
+      f"candidates=${4 * K}: $wide%.3f")
+    assert(wide >= narrow,
+      s"recall must not fall as candidates grow ($narrow -> $wide)")
+    assert(wide >= 0.6,
+      s"projected candidates + full-dim re-rank recalled only $wide " +
+        "of the exact top-k on clustered data")
+    corpus.unpersist()
+  }
+
   test("cell-partitioned index search dynamically prunes unprobed cells") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val dir = java.nio.file.Files

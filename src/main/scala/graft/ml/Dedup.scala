@@ -390,18 +390,20 @@ object Dedup {
       .crossJoin(broadcast(tot))
       .where(col("__df") > col("__tot") * maxDocFrac)
       .select(col("seg"))
-    val kept = segs.join(hot, Seq("seg"), "left_anti")
+    // mark-and-aggregate in ONE pass: a left join against the hot set
+    // (broadcastable, like the anti-join it replaces) flags boilerplate
+    // segments, and a single per-document aggregate produces both the
+    // reassembled text (collect_list skips the null'd-out hot segments)
+    // and the dropped count — no second corpus scan for sizes, and every
+    // document keeps a row because every document has >= 1 segment
+    segs.join(hot.withColumn("__hot", lit(true)), Seq("seg"), "left")
       .groupBy(col(idCol))
       .agg(
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("pos"), col("seg"))))),
           s => s.getField("seg")), sep).as("text_clean"),
-        count(lit(1)).as("__kept"))
-    df.select(col(idCol), size(segArr).as("__n"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        (col("__n") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+        sum(when(col("__hot"), 1L).otherwise(0L)).as("n_dropped"))
   }
 
   /** Incremental (cross-corpus) dedup: the rows of `newDf` whose text is

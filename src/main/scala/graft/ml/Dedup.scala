@@ -380,7 +380,13 @@ object Dedup {
       s"dedupSegments: maxDocFrac must be in (0, 1], got $maxDocFrac")
     val segArr = split(col(textCol),
       java.util.regex.Pattern.quote(sep))
-    val segs = df.select(col(idCol), posexplode(segArr).as(Seq("pos", "seg")))
+    // _outer: a null text explodes to zero rows and the plain variant
+    // would silently DROP the document from the output — a curation
+    // stage must never lose rows. A null-text document survives with an
+    // empty text_clean and n_dropped 0 (the null segment never matches
+    // the hot set and collect_list skips it).
+    val segs = df.select(col(idCol),
+      posexplode_outer(segArr).as(Seq("pos", "seg")))
     // document frequency per segment vs the corpus size — both partial
     // aggregates; the threshold stays in-plan (broadcast 1-row frame),
     // no driver action

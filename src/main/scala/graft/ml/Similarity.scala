@@ -131,6 +131,39 @@ object Similarity {
       .withColumn("cos", ndot6(col("qv"), col("pv")))
       .select(col("query_id"), col("nb_id"), col("cos"))
       .transform(searchTopKDesc(candidates))
+    rerankFullDim(cand, corpus, queries, embCol, idCol, k)
+  }
+
+  /** IVF-accelerated variant of `projectedTopK` — the corpus-scale
+    * composition: candidate generation runs `ivfTopK` IN THE PROJECTED
+    * space (cell assignment, probing and candidate ranking all touch
+    * only the `outDim`-narrow vectors — at 64→16 the dominant
+    * corpus-side shuffle carries 1/4 of the bytes), then the
+    * `candidates` survivors re-rank by full-dimension cosine. Recall
+    * compounds the IVF probe miss and the JL distortion; widen
+    * `nprobe` and `candidates` to buy it back (`SimilaritySpec`
+    * measures the composition on clustered data).
+    */
+  def projectedIvfTopK(corpus: DataFrame, queries: DataFrame,
+      embCol: String, idCol: String, k: Int, inDim: Int, outDim: Int,
+      candidates: Int, nlist: Int, nprobe: Int,
+      seed: String = "proj"): DataFrame = {
+    require(candidates >= k,
+      s"projectedIvfTopK: candidates ($candidates) must be >= k ($k)")
+    val pc = randomProjection(corpus, embCol, idCol, inDim, outDim, seed)
+    val pq = randomProjection(queries, embCol, idCol, inDim, outDim, seed)
+    val cand = ivfTopK(pc, pq, "proj", idCol, candidates, nlist, nprobe)
+    rerankFullDim(cand, corpus, queries, embCol, idCol, k)
+  }
+
+  /** Exact full-dimension re-rank of a (query_id, nb_id) candidate
+    * frame: join the candidates back to both embedding sides — equi-keyed
+    * on the ids, so only the ~candidates-per-query survivors carry
+    * full-width vectors — and keep the bounded top-k.
+    */
+  private def rerankFullDim(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, embCol: String, idCol: String,
+      k: Int): DataFrame = {
     val cf = normalized(corpus, embCol, idCol, "vc")
       .withColumnRenamed(idCol, "nb_id")
     val qf = normalized(queries, embCol, idCol, "vq")

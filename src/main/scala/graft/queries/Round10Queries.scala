@@ -80,6 +80,31 @@ object Round10Queries {
   private def dot16(a: String, b: String) =
     s"list_reduce(list_transform(range(1,17), i -> $a[i]*$b[i]), (x,y)->x+y)"
 
+  /** Shared CTE prefix: the projection (m, x, yj, py) and its L2
+    * normalization (pn) — the 16-dim space both projected searches
+    * rank candidates in.
+    */
+  private val projCte =
+    s"""m AS (SELECT i, j,
+              CASE WHEN ('0x'||substr(md5('proj_'||i||'_'||j),1,8))::BIGINT
+                        % 2 = 0
+                   THEN 1 ELSE -1 END AS s
+            FROM range(64) t1(i) CROSS JOIN range(16) t2(j)),
+        x AS (SELECT vec_id,
+                generate_subscripts(embedding, 1) - 1 AS i,
+                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                     AS BIGINT) AS xi
+              FROM embeddings),
+        yj AS (SELECT x.vec_id, m.j,
+                      CAST(sum(x.xi * m.s) AS DOUBLE) / 1000000.0 AS y
+               FROM x JOIN m USING (i) GROUP BY x.vec_id, m.j),
+        py AS (SELECT vec_id, list(y ORDER BY j) AS p
+               FROM yj GROUP BY vec_id),
+        pn AS (SELECT vec_id,
+                      list_transform(p, z -> z / sqrt(${dot16("p", "p")}))
+                        AS pv
+               FROM py)"""
+
   /** projectedTopK replayed end-to-end: the identical sign matrix and
     * fixed-point projection, L2 normalization in the 16-dim space,
     * candidate top-10 by projected cosine (ties to the lowest id, like
@@ -87,25 +112,7 @@ object Round10Queries {
     */
   private val projectedKnnOracle = {
     import MlQueries.normSql
-    s"""WITH m AS (SELECT i, j,
-                     CASE WHEN ('0x'||substr(md5('proj_'||i||'_'||j),1,8))::BIGINT
-                               % 2 = 0
-                          THEN 1 ELSE -1 END AS s
-                   FROM range(64) t1(i) CROSS JOIN range(16) t2(j)),
-            x AS (SELECT vec_id,
-                    generate_subscripts(embedding, 1) - 1 AS i,
-                    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
-                         AS BIGINT) AS xi
-                  FROM embeddings),
-            yj AS (SELECT x.vec_id, m.j,
-                          CAST(sum(x.xi * m.s) AS DOUBLE) / 1000000.0 AS y
-                   FROM x JOIN m USING (i) GROUP BY x.vec_id, m.j),
-            py AS (SELECT vec_id, list(y ORDER BY j) AS p
-                   FROM yj GROUP BY vec_id),
-            pn AS (SELECT vec_id,
-                          list_transform(p, z -> z / sqrt(${dot16("p", "p")}))
-                            AS pv
-                   FROM py),
+    s"""WITH $projCte,
             v AS (SELECT vec_id, $normSql AS e FROM embeddings),
             cand AS (SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
                             row_number() OVER (PARTITION BY q.vec_id
@@ -125,6 +132,49 @@ object Round10Queries {
        FROM rr WHERE rn <= 3"""
   }
 
+  /** projectedIvfTopK replayed: id-prefix codebook IN THE PROJECTED
+    * space (8 cells), nearest-cell assignment and 2-cell probing by
+    * rounded projected cosine (ties to the lowest cell), candidate
+    * top-10 within the probed cells, then full-dimension re-rank to
+    * top-3 — every stage mirroring ivfSearch + rerankFullDim.
+    */
+  private val projectedIvfOracle = {
+    import MlQueries.normSql
+    s"""WITH $projCte,
+            cent AS (SELECT vec_id AS cell, pv AS vcent
+                     FROM pn WHERE vec_id < 8),
+            asg AS (SELECT pn.vec_id, cell, pv, row_number() OVER
+                      (PARTITION BY pn.vec_id
+                       ORDER BY round(${dot16("pv", "vcent")}, 6) DESC,
+                                cell) AS r
+                    FROM pn CROSS JOIN cent),
+            cells AS (SELECT vec_id AS nb_id, cell, pv AS pe
+                      FROM asg WHERE r = 1),
+            probed AS (SELECT q.vec_id AS query_id, cell, pv AS pq,
+                              row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round(${dot16("pv", "vcent")}, 6)
+                                           DESC, cell) AS pr
+                       FROM (SELECT * FROM pn WHERE vec_id < 5) q
+                       CROSS JOIN cent),
+            cand AS (SELECT query_id, nb_id,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(${dot16("pq", "pe")}, 6) DESC,
+                                       nb_id) AS cr
+                     FROM (SELECT * FROM probed WHERE pr <= 2) p
+                     JOIN cells USING (cell) WHERE query_id <> nb_id),
+            v AS (SELECT vec_id, $normSql AS e FROM embeddings),
+            rr AS (SELECT cand.query_id, cand.nb_id,
+                          round(${MlQueries.cosSql("qv.e", "nv.e")}, 6) AS cos,
+                          row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY round(${MlQueries.cosSql("qv.e", "nv.e")}, 6)
+                                       DESC, cand.nb_id) AS rn
+                   FROM (SELECT * FROM cand WHERE cr <= 10) cand
+                   JOIN v qv ON qv.vec_id = cand.query_id
+                   JOIN v nv ON nv.vec_id = cand.nb_id)
+       SELECT query_id, CAST(rn AS INT) AS rank, nb_id, cos
+       FROM rr WHERE rn <= 3"""
+  }
+
   val all: Seq[Q] = Seq(
     Q.fn("q_embed_project", projectOracle) { (spark, sf) =>
       import graft.ml.Similarity
@@ -132,6 +182,13 @@ object Round10Queries {
         Tables.load(spark, sf, "embeddings"), "embedding", "vec_id",
         inDim = 64, outDim = 16)
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+    },
+    Q.fn("q_knn_projected_ivf", projectedIvfOracle) { (spark, sf) =>
+      import graft.ml.Similarity
+      val emb = Tables.load(spark, sf, "embeddings")
+      Similarity.projectedIvfTopK(emb, emb.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, inDim = 64, outDim = 16,
+        candidates = 10, nlist = 8, nprobe = 2)
     },
     Q.fn("q_knn_projected", projectedKnnOracle) { (spark, sf) =>
       import graft.ml.Similarity

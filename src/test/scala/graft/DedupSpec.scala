@@ -145,7 +145,8 @@ class DedupSpec extends AnyFunSuite {
       (1L, "intro\n\nbody one\n\nFOOTER"),
       (2L, "intro\n\nbody two\n\nFOOTER"),
       (3L, "unique head\n\nFOOTER\n\nbody three"),
-      (4L, "FOOTER")).toDF("doc_id", "text")
+      (4L, "FOOTER"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val out = Dedup.dedupSegments(docs, "text", "doc_id", sep = "\n\n")
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
       .toMap
@@ -155,6 +156,9 @@ class DedupSpec extends AnyFunSuite {
       "reassembly must keep the original segment order across a drop")
     assert(out(4L) == ("", 1L),
       "an all-boilerplate document stays, with empty text")
+    assert(out.contains(5L) && out(5L) == ("", 0L),
+      "a null-text document must survive the explode (a curation stage " +
+        "never loses rows), with empty text and nothing counted dropped")
   }
 
   test("dedupAgainst: Bloom-prefiltered path equals the exact anti-join") {

@@ -314,6 +314,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(wide >= 0.6,
       s"projected candidates + full-dim re-rank recalled only $wide " +
         "of the exact top-k on clustered data")
+    // the corpus-scale composition: IVF candidate generation in the
+    // projected space compounds probe miss with JL distortion — with a
+    // generous probe it must stay within reach of the exact-candidate
+    // variant on the same data
+    val ivfGot = Similarity.projectedIvfTopK(corpus, queries, "embedding",
+      "vec_id", k = K, inDim = 64, outDim = 16, candidates = 4 * K,
+      nlist = 8, nprobe = 4)
+      .select("query_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = ivfGot.intersect(exact).size.toDouble / exact.size
+    info(f"projected+IVF recall@$K: $ivfRecall%.3f")
+    assert(ivfRecall >= 0.5,
+      s"projected IVF composition recalled only $ivfRecall")
     corpus.unpersist()
   }
 

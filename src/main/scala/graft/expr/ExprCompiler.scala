@@ -248,7 +248,16 @@ object ExprCompiler {
         filter(input, x => compile(n.get("cond"), ctx.withVar(v, x)))
       case "$first" => get(a0, lit(0))
       case "$last"  => get(a0, size(a0) - 1)
-      case "$in"    => array_contains(a1, a0)
+      case "$in" =>
+        // Mongo equality semantics, never SQL 3VL: a null needle matches
+        // a null ELEMENT (array_contains answers SQL-null), and a
+        // non-null needle absent from an array that contains nulls is
+        // false, not null. A statically-null needle ($literal: null)
+        // compiles straight to the null-element scan — array_contains
+        // rejects a NullType argument at analysis even in a dead branch
+        if (ctx.typeOf(a0) == NullType) exists(a1, _.isNull)
+        else when(a0.isNull, exists(a1, _.isNull))
+          .otherwise(coalesce(array_contains(a1, a0), lit(false)))
       case "$indexOfArray" if ctx.typeOf(a0) == NullType =>
         // a null/missing array yields null (Mongo); array_position would
         // reject the NullType argument at analysis
@@ -283,11 +292,16 @@ object ExprCompiler {
         val target = if (n.isObject && Js.asOp(n).isEmpty) compile(n, ctx) else a0
         ctx.typeOf(target) match {
           case st: StructType =>
-            array(st.fields.map(f =>
-              struct(lit(f.name).as("k"), target.getField(f.name).as("v"))): _*)
+            // a NULL struct row yields null, not an array of the schema's
+            // keys with null values (Mongo: null/missing input → null)
+            when(target.isNull, lit(null))
+              .otherwise(array(st.fields.map(f =>
+                struct(lit(f.name).as("k"),
+                  target.getField(f.name).as("v"))): _*))
           case _: MapType =>
             transform(map_entries(target),
               e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
+          case NullType => lit(null) // statically null/missing input
           case t => throw new IllegalArgumentException(s"$$objectToArray on $t")
         }
       case "$range" =>

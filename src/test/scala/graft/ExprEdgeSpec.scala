@@ -115,6 +115,66 @@ class ExprEdgeSpec extends AnyFunSuite {
     assert(shortDefaults.getMessage.contains("one entry per input"))
   }
 
+  test("$in: Mongo equality on nulls, never SQL three-valued logic") {
+    val df = Seq((Seq(Some(1L), None, Some(3L)), Seq(1L, 2L)))
+      .toDF("withNull", "plain")
+    val out = one(df,
+      """[{"$project":{
+           "hit":{"$in":[1,"$plain"]},
+           "miss":{"$in":[9,"$plain"]},
+           "missWithNull":{"$in":[9,"$withNull"]},
+           "nullHit":{"$in":[{"$literal":null},"$withNull"]},
+           "nullMiss":{"$in":[{"$literal":null},"$plain"]}}}]""")
+    assert(out.getBoolean(0))
+    assert(!out.getBoolean(1))
+    assert(!out.getBoolean(2),
+      "a needle absent from an array CONTAINING nulls is false, not null")
+    assert(out.getBoolean(3), "a null needle matches a null element")
+    assert(!out.getBoolean(4), "a null needle misses a null-free array")
+  }
+
+  test("$concatArrays/$reverseArray/$map/$filter: null input yields null") {
+    val df = Seq((Seq(1L, 2L), Option.empty[Seq[Long]])).toDF("a", "n")
+    val out = one(df,
+      """[{"$project":{
+           "cc":{"$concatArrays":["$a","$n"]},
+           "rev":{"$reverseArray":"$n"},
+           "mapped":{"$map":{"input":"$n","in":{"$add":["$$this",1]}}},
+           "filtered":{"$filter":{"input":"$n","cond":true}},
+           "mapDefaultAs":{"$map":{"input":"$a",
+                                   "in":{"$add":["$$this",10]}}}}}]""")
+    (0 to 3).foreach(i => assert(out.isNullAt(i),
+      s"slot $i must be null when any array input is null"))
+    assert(out.getSeq[Long](4) == Seq(11L, 12L),
+      "$map/$filter bind $$this when 'as' is omitted")
+  }
+
+  test("$first/$last: empty arrays and null input answer null") {
+    val df = Seq((Seq(7L, 8L), Seq.empty[Long], Option.empty[Seq[Long]]))
+      .toDF("a", "e", "n")
+    val out = one(df,
+      """[{"$project":{
+           "f":{"$first":"$a"}, "l":{"$last":"$a"},
+           "fe":{"$first":"$e"}, "le":{"$last":"$e"},
+           "fn":{"$first":"$n"}, "ln":{"$last":"$n"}}}]""")
+    assert(out.getLong(0) == 7L && out.getLong(1) == 8L)
+    (2 to 5).foreach(i => assert(out.isNullAt(i)))
+  }
+
+  test("$objectToArray: null object yields null, not schema keys") {
+    val df = Seq((1L, Some((1L, "x")), Option.empty[(Long, String)]))
+      .toDF("id", "o", "n")
+    val out = one(df,
+      """[{"$project":{
+           "ok":{"$objectToArray":"$o"},
+           "nul":{"$objectToArray":"$n"},
+           "lit":{"$objectToArray":{"$literal":null}}}}]""")
+    assert(out.getSeq[Row](0).map(r => (r.getString(0))) == Seq("_1", "_2"))
+    assert(out.isNullAt(1),
+      "a null struct row must yield null, not [{k,_1,v:null}...]")
+    assert(out.isNullAt(2))
+  }
+
   test("$arrayToObject: later duplicate keys win") {
     val df = Seq(Tuple1(1)).toDF("x")
     val out = one(df,

@@ -218,6 +218,30 @@ object Curation {
     * the driver; `maxDomains` bounds that collect (domains are
     * config-scale in practice — languages, sources, crawls).
     */
+  /** Quality-filter cascade with drop accounting: evaluate the named
+    * predicates in order and attribute every dropped document to the
+    * FIRST filter it failed — the funnel report every production
+    * curation pipeline publishes (N in → n1 dropped too_short → n2
+    * dropped low_quality → …). One narrow per-row pass (a coalesce over
+    * the failure names; no shuffle, no join); the funnel counts are one
+    * partial aggregate over the `first_fail` column downstream. A
+    * predicate evaluating to SQL null counts as a FAILURE of that
+    * filter (an unscorable document must not silently pass a gate).
+    * Returns (idCol, keep, first_fail — null when kept).
+    */
+  def filterCascade(df: DataFrame, idCol: String,
+      filters: Seq[(String, Column)]): DataFrame = {
+    require(filters.nonEmpty, "filterCascade: at least one filter")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "filterCascade: filter names must be unique (they label the funnel)")
+    val firstFail = coalesce(filters.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name))
+    } :+ lit(null).cast(StringType): _*)
+    df.select(col(idCol), firstFail.as("first_fail"))
+      .select(col(idCol), col("first_fail").isNull.as("keep"),
+        col("first_fail"))
+  }
+
   def domainMixTemperature(df: DataFrame, idCol: String, sourceCol: String,
       temperature: Double, outputFraction: Double = 1.0,
       salt: String = "mixT", maxDomains: Int = 100000): DataFrame = {

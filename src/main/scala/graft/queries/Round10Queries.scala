@@ -175,7 +175,37 @@ object Round10Queries {
        FROM rr WHERE rn <= 3"""
   }
 
+  /** filterCascade funnel over documents: four deterministic quality
+    * gates in order, every comparison in integer arithmetic so both
+    * engines agree exactly (mean-word-length <= 6 is expressed as
+    * total-word-chars <= 6*nwords; dup-word ratio >= 0.5 as
+    * 2*distinct >= ntokens).
+    */
+  private val funnelOracle = {
+    val n = "len(string_split(text,' '))"
+    s"""WITH f AS (SELECT doc_id,
+              CASE WHEN NOT (length(text) >= 200) THEN 'too_short'
+                   WHEN NOT ($n >= 40) THEN 'few_words'
+                   WHEN NOT ((length(text) - ($n - 1)) <= $n * 6)
+                     THEN 'long_words'
+                   WHEN NOT (len(list_distinct(string_split(text,' '))) * 2
+                             >= $n) THEN 'dup_words'
+              END AS first_fail
+            FROM documents)
+       SELECT doc_id, first_fail IS NULL AS keep, first_fail FROM f"""
+  }
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_quality_funnel", funnelOracle) { (spark, sf) =>
+      val d = Tables.load(spark, sf, "documents")
+      val toks = split(col("text"), " ")
+      graft.ml.Curation.filterCascade(d, "doc_id", Seq(
+        "too_short" -> (length(col("text")) >= 200),
+        "few_words" -> (size(toks) >= 40),
+        "long_words" ->
+          ((length(col("text")) - (size(toks) - 1)) <= size(toks) * 6),
+        "dup_words" -> (size(array_distinct(toks)) * 2 >= size(toks))))
+    },
     Q.fn("q_embed_project", projectOracle) { (spark, sf) =>
       import graft.ml.Similarity
       Similarity.randomProjection(

@@ -90,6 +90,33 @@ class CurationSpec extends AnyFunSuite {
       }
   }
 
+  test("filterCascade attributes drops to the FIRST failing gate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some(10)),  // passes both gates
+      (2L, Some(-5)),  // fails gate a (and would fail b — a must win)
+      (3L, Some(100)), // passes a, fails b
+      (4L, None)       // null score: both predicates are SQL null → fail a
+    ).toDF("id", "score")
+    val out = Curation.filterCascade(docs, "id", Seq(
+      "a" -> (col("score") >= 0),
+      "b" -> (col("score") <= 50)))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+    assert(out(1L) == ((true, None)))
+    assert(out(2L) == ((false, Some("a"))),
+      "a doc failing several gates is attributed to the first")
+    assert(out(3L) == ((false, Some("b"))))
+    assert(out(4L) == ((false, Some("a"))),
+      "an unscorable (null) document must fail the gate, not slip past")
+    val dup = intercept[IllegalArgumentException] {
+      Curation.filterCascade(docs, "id", Seq("x" -> lit(true),
+        "x" -> lit(false)))
+    }
+    assert(dup.getMessage.contains("unique"))
+  }
+
   test("domainMixTemperature flattens toward uniform as t shrinks") {
     import spark.implicits._
     // heavy skew: big (800 rows) vs small (50)

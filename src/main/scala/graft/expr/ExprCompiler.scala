@@ -248,6 +248,30 @@ object ExprCompiler {
         filter(input, x => compile(n.get("cond"), ctx.withVar(v, x)))
       case "$first" => get(a0, lit(0))
       case "$last"  => get(a0, size(a0) - 1)
+      case "$in" if isVariant(rawArgs(1)) =>
+        // schemaless haystack: elements are variants. A variant needle
+        // (field vs field) compares in Mongo's cross-type total order
+        // via mongo_cmp — the same comparator the $cmp family rides; a
+        // typed literal needle casts each element to its type, matching
+        // the variant-vs-literal coercion the comparison machinery uses.
+        // Explicit JSON nulls and missing fields share the null bracket.
+        val arr = rawArgs(1).cast("array<variant>")
+        val needle = rawArgs(0)
+        val hit =
+          if (isVariant(needle))
+            exists(arr, e => call_function("mongo_cmp",
+              coalesce(to_json(e), lit("null")),
+              coalesce(to_json(needle), lit("null"))) === 0)
+          else if (ctx.typeOf(needle) == NullType)
+            exists(arr, e =>
+              e.isNull || call_function("is_variant_null", e))
+          else exists(arr, e =>
+            // try_variant_get, not cast: a type-mismatched element (a
+            // string next to the numeric needle) is "no match", Mongo-
+            // style — a plain variant cast THROWS on it
+            call_function("try_variant_get", e, lit("$"),
+              lit(ctx.typeOf(needle).sql)) <=> needle)
+        coalesce(hit, lit(false))
       case "$in" =>
         // Mongo equality semantics, never SQL 3VL: a null needle matches
         // a null ELEMENT (array_contains answers SQL-null), and a
@@ -302,6 +326,16 @@ object ExprCompiler {
             transform(map_entries(target),
               e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
           case NullType => lit(null) // statically null/missing input
+          case t if t.typeName == "variant" =>
+            // schemaless object → [{k, v}…]. DEVIATION: entries come out
+            // in KEY-SORTED order, not document order — the variant
+            // binary encoding sorts object keys at parse_json time, so
+            // insertion order is unrecoverable here (the typed/struct
+            // path above does preserve field order). JSON-null and
+            // missing inputs both yield null.
+            transform(map_entries(target.cast("map<string,variant>")),
+              e => struct(e.getField("key").as("k"),
+                e.getField("value").as("v")))
           case t => throw new IllegalArgumentException(s"$$objectToArray on $t")
         }
       case "$range" =>

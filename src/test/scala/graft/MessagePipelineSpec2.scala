@@ -272,4 +272,58 @@ class VariantTypeSpec extends AnyFunSuite {
     assert(out("c").get("t").asText() == "long")
     assert(out("d").get("t").asText() == "object")
   }
+
+  test("schemaless $in: Mongo equality over variant arrays, null bracket") {
+    val df = Seq(
+      """{"_id":"a","arr":[1,2,"b"],"withNull":[1,null],"x":2}""")
+      .toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    val out = MessagePipeline.compile(Js.parse(
+      """[{"$addFields":{
+           "hitNum":{"$in":[2,"$arr"]},
+           "missNum":{"$in":[9,"$arr"]},
+           "hitStr":{"$in":["b","$arr"]},
+           "fieldNeedle":{"$in":["$x","$arr"]},
+           "nullLit":{"$in":[{"$literal":null},"$withNull"]},
+           "nullMiss":{"$in":[{"$literal":null},"$arr"]},
+           "missingField":{"$in":["$nope","$withNull"]}}}]"""),
+      Env(spark))(df)
+      .select("value").as[String].collect().map(Js.parse).head
+    assert(out.get("hitNum").asBoolean())
+    assert(!out.get("missNum").asBoolean())
+    assert(out.get("hitStr").asBoolean())
+    assert(out.get("fieldNeedle").asBoolean(),
+      "a variant needle compares in Mongo total order (mongo_cmp)")
+    assert(out.get("nullLit").asBoolean(),
+      "an explicit JSON null element matches a null needle")
+    assert(!out.get("nullMiss").asBoolean())
+    assert(out.get("missingField").asBoolean(),
+      "a missing field sits in the null bracket, like Mongo")
+  }
+
+  test("schemaless $objectToArray: document order, null/missing is null") {
+    val df = Seq("""{"_id":"a","o":{"z":1,"a":"two"},"n":null}""")
+      .toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    val out = MessagePipeline.compile(Js.parse(
+      """[{"$addFields":{
+           "kv":{"$objectToArray":"$o"},
+           "nul":{"$objectToArray":"$n"},
+           "missing":{"$objectToArray":"$nope"}}}]"""),
+      Env(spark))(df)
+      .select("value").as[String].collect().map(Js.parse).head
+    val kv = out.get("kv")
+    assert(kv.size() == 2)
+    // KEY-SORTED order, not document order: the variant binary encoding
+    // sorts object keys at parse_json time, so insertion order is
+    // unrecoverable in the schemaless path (known deviation; the typed
+    // struct path preserves field order)
+    assert(kv.get(0).get("k").asText() == "a" &&
+      kv.get(0).get("v").asText() == "two")
+    assert(kv.get(1).get("k").asText() == "z" &&
+      kv.get(1).get("v").asLong() == 1L)
+    assert(out.get("nul").isNull, "explicit JSON null input yields null")
+    assert(out.get("missing") == null || out.get("missing").isNull,
+      "missing field input yields null")
+  }
 }

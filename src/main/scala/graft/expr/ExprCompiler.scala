@@ -78,6 +78,19 @@ final case class Ctx(
     scripts: String => String = name =>
       throw new IllegalArgumentException(s"no script loader for $name")) {
   def withVar(name: String, c: Column): Ctx = copy(vars = vars + (name -> c))
+
+  /** Bind a variable whose type the analyzer cannot resolve (a lambda
+    * variable over a variant array: elements are variants, but an
+    * unresolved lambda var has no schema). The type is answered by
+    * REFERENCE identity — `compileString` hands back the stored Column
+    * instance, so operator coercions (numeric/string/array) see the
+    * declared type and apply the same variant rules as for field paths.
+    */
+  def withTypedVar(name: String, c: Column, t: DataType): Ctx = {
+    val outer = typeOf
+    copy(vars = vars + (name -> c),
+      typeOf = col => if (col eq c) t else outer(col))
+  }
 }
 
 object ExprCompiler {
@@ -198,6 +211,15 @@ object ExprCompiler {
     }
     lazy val a0 = as.head
     lazy val a1 = as(1)
+    // array-family operand: a variant argument is a dynamically-typed
+    // array — cast it to array<variant> so the array functions apply.
+    // Without this, Spark's implicit variant→string cast silently turns
+    // $concatArrays into string concatenation and $reverseArray into
+    // string reversal, and every other array function fails analysis.
+    // Elements stay variants; downstream operators coerce them like any
+    // other schemaless value.
+    def asArr(c: Column): Column =
+      if (isVariant(c)) c.cast("array<variant>") else c
 
     op match {
       // ---- arithmetic (docs/aggregation_operators.md:5-153) ----
@@ -224,8 +246,9 @@ object ExprCompiler {
       // get() (not element_at) → out-of-bounds is null, Mongo-style, even
       // under ANSI mode
       case "$arrayElemAt" =>
-        when(a1 >= 0, get(a0, a1.cast(IntegerType)))
-          .otherwise(get(a0, size(a0) + a1.cast(IntegerType)))
+        val arr = asArr(a0)
+        when(a1 >= 0, get(arr, a1.cast(IntegerType)))
+          .otherwise(get(arr, size(arr) + a1.cast(IntegerType)))
       case "$arrayToObject" => // [[k,v]...] or [{k:..,v:..}...] → map
         ctx.typeOf(a0) match {
           case ArrayType(ArrayType(_, _), _) =>
@@ -236,18 +259,20 @@ object ExprCompiler {
             map_from_entries(
               transform(a0, e => struct(e.getField("k"), e.getField("v"))))
         }
-      case "$concatArrays" => concat(as: _*)
+      case "$concatArrays" => concat(as.map(asArr): _*)
       case "$elemMatch" => // first element matching the query (custom op)
         get(
-          filter(compile(n.get(0), ctx),
+          filter(asArr(compile(n.get(0), ctx)),
             x => QueryCompiler.compileValuePredicate(n.get(1), x, ctx)),
           lit(0))
       case "$filter" =>
-        val input = compile(n.get("input"), ctx)
+        val raw = compile(n.get("input"), ctx)
         val v = if (n.has("as")) n.get("as").asText() else "this"
-        filter(input, x => compile(n.get("cond"), ctx.withVar(v, x)))
-      case "$first" => get(a0, lit(0))
-      case "$last"  => get(a0, size(a0) - 1)
+        filter(asArr(raw), x => compile(n.get("cond"),
+          if (isVariant(raw)) ctx.withTypedVar(v, x, VariantType)
+          else ctx.withVar(v, x)))
+      case "$first" => get(asArr(a0), lit(0))
+      case "$last"  => get(asArr(a0), size(asArr(a0)) - 1)
       case "$in" if isVariant(rawArgs(1)) =>
         // schemaless haystack: elements are variants. A variant needle
         // (field vs field) compares in Mongo's cross-type total order
@@ -286,6 +311,19 @@ object ExprCompiler {
         // a null/missing array yields null (Mongo); array_position would
         // reject the NullType argument at analysis
         lit(null).cast(LongType)
+      case "$indexOfArray" if isVariant(rawArgs.head) =>
+        // schemaless: match elements in Mongo's total order — compare
+        // order-preserving collation keys (equality under mongo_cmp is
+        // exactly key equality), so 2 matches 2.0 and nulls bracket
+        def msk(c: Column) = call_function("mongo_sort_key",
+          coalesce(to_json(c), lit("null")))
+        val keys = transform(rawArgs.head.cast("array<variant>"),
+          e => msk(e))
+        val needleKey =
+          if (isVariant(rawArgs(1))) msk(rawArgs(1))
+          else msk(call_function("parse_json", to_json(array(rawArgs(1))))
+            .cast("array<variant>").getItem(0))
+        array_position(keys, needleKey).cast(LongType) - 1
       case "$indexOfArray" =>
         val base = array_position(a0, a1).cast(LongType) - 1
         if (as.size <= 2) base
@@ -309,9 +347,11 @@ object ExprCompiler {
           case _ => lit(false)
         }
       case "$map" =>
-        val input = compile(n.get("input"), ctx)
+        val raw = compile(n.get("input"), ctx)
         val v = if (n.has("as")) n.get("as").asText() else "this"
-        transform(input, x => compile(n.get("in"), ctx.withVar(v, x)))
+        transform(asArr(raw), x => compile(n.get("in"),
+          if (isVariant(raw)) ctx.withTypedVar(v, x, VariantType)
+          else ctx.withVar(v, x)))
       case "$objectToArray" => // object → [{k, v}...]
         val target = if (n.isObject && Js.asOp(n).isEmpty) compile(n, ctx) else a0
         ctx.typeOf(target) match {
@@ -349,25 +389,38 @@ object ExprCompiler {
           sequence(l0, l1 - signum(sl).cast(LongType), sl))
           .otherwise(array().cast(ArrayType(LongType)))
       case "$reduce" =>
-        val input = compile(n.get("input"), ctx)
+        val raw = compile(n.get("input"), ctx)
         val init = compile(n.get("initialValue"), ctx)
-        aggregate(input, init, (acc, x) =>
-          compile(n.get("in"), ctx.withVar("value", acc).withVar("this", x)))
-      case "$reverseArray" => reverse(a0)
-      case "$size"         => size(a0)
+        if (isVariant(raw))
+          // schemaless: the accumulator threads as a VARIANT (zero and
+          // merge-result types must agree for `aggregate`, and the body's
+          // type depends on the data) — the body coerces $$value like any
+          // other variant operand and the result casts back
+          aggregate(asArr(raw), init.cast(VariantType), (acc, x) =>
+            compile(n.get("in"), ctx
+              .withTypedVar("this", x, VariantType)
+              .withTypedVar("value", acc, VariantType))
+              .cast(VariantType))
+        else
+          aggregate(raw, init, (acc, x) =>
+            compile(n.get("in"),
+              ctx.withVar("value", acc).withVar("this", x)))
+      case "$reverseArray" => reverse(asArr(a0))
+      case "$size"         => size(asArr(a0))
       case "$slice" =>
         // negative positions clamp at the array start (Mongo semantics;
         // Spark's slice returns empty when |start| exceeds the length)
+        val arr = asArr(a0)
         if (as.size == 2) {
           // [arr, n]: first n (n>0) or last n (n<0)
           val cnt = a1.cast(IntegerType)
-          when(cnt >= 0, slice(a0, lit(1), cnt))
-            .otherwise(slice(a0, greatest(cnt, -size(a0)), -cnt))
+          when(cnt >= 0, slice(arr, lit(1), cnt))
+            .otherwise(slice(arr, greatest(cnt, -size(arr)), -cnt))
         } else {
           // [arr, pos, n]: pos may be negative (from end), n > 0
           val pos = a1.cast(IntegerType); val cnt = as(2).cast(IntegerType)
-          when(pos >= 0, slice(a0, pos + 1, cnt))
-            .otherwise(slice(a0, greatest(pos, -size(a0)), cnt))
+          when(pos >= 0, slice(arr, pos + 1, cnt))
+            .otherwise(slice(arr, greatest(pos, -size(arr)), cnt))
         }
       case "$zip" => // two-input form; arrays of arrays out
         val (inputs, useLongest, defaults) =

@@ -326,4 +326,43 @@ class VariantTypeSpec extends AnyFunSuite {
     assert(out.get("missing") == null || out.get("missing").isNull,
       "missing field input yields null")
   }
+
+  test("schemaless array operators work on variant arrays, as arrays") {
+    // regression shield: before round 10, $concatArrays/$reverseArray
+    // silently coerced the variant to STRING (concat "[3,1,2][3,1,2]",
+    // reverse "]2,1,3[") and the rest failed analysis
+    val df = Seq("""{"_id":"a","arr":[3,1,2]}""").toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    val out = MessagePipeline.compile(Js.parse(
+      """[{"$addFields":{
+           "m":{"$map":{"input":"$arr","in":{"$add":["$$this",1]}}},
+           "f":{"$filter":{"input":"$arr","cond":{"$gt":["$$this",1]}}},
+           "c":{"$concatArrays":["$arr","$arr"]},
+           "r":{"$reverseArray":"$arr"},
+           "sl":{"$slice":["$arr",2]},
+           "n":{"$size":"$arr"},
+           "f1":{"$first":"$arr"},
+           "e":{"$arrayElemAt":["$arr",1]},
+           "rd":{"$reduce":{"input":"$arr","initialValue":0,
+                            "in":{"$add":["$$value","$$this"]}}},
+           "ix":{"$indexOfArray":["$arr",2]}}}]"""),
+      Env(spark))(df)
+      .select("value").as[String].collect().map(Js.parse).head
+    def longs(f: String) =
+      (0 until out.get(f).size()).map(i => out.get(f).get(i).asLong())
+    assert(out.get("m").get(0).asDouble() == 4.0)
+    assert(longs("f") == Seq(3L, 2L))
+    assert(longs("c") == Seq(3L, 1L, 2L, 3L, 1L, 2L),
+      "$concatArrays must concatenate ARRAYS, not their JSON texts")
+    assert(longs("r") == Seq(2L, 1L, 3L),
+      "$reverseArray must reverse ELEMENTS, not the JSON text")
+    assert(longs("sl") == Seq(3L, 1L))
+    assert(out.get("n").asLong() == 3L)
+    assert(out.get("f1").asLong() == 3L)
+    assert(out.get("e").asLong() == 1L)
+    assert(out.get("rd").asDouble() == 6.0,
+      "$reduce threads the accumulator as a variant")
+    assert(out.get("ix").asLong() == 2L,
+      "$indexOfArray matches in Mongo total order via collation keys")
+  }
 }

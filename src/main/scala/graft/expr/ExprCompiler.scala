@@ -555,8 +555,57 @@ object ExprCompiler {
       case "$mergeObjects" => mergeObjects(as, ctx)
 
       // ---- set, over arrays (:646-722) ----
+      case "$allElementsTrue" if isVariant(rawArgs.head) =>
+        forall(asArr(rawArgs.head),
+          x => truthy(x, ctx.withTypedVar("__e", x, VariantType)))
       case "$allElementsTrue" => forall(a0, x => x)
+      case "$anyElementTrue" if isVariant(rawArgs.head) =>
+        exists(asArr(rawArgs.head),
+          x => truthy(x, ctx.withTypedVar("__e", x, VariantType)))
       case "$anyElementTrue"  => exists(a0, x => x)
+      // Set operators over VARIANT arrays: membership/dedup/sorting run
+      // on mongo_sort_key collation keys (equality under Mongo's total
+      // order IS key equality, so 2 matches 2.0 and nulls bracket), and
+      // value-producing ops rebuild the elements through a key→value map
+      // (LAST_WIN dedups equal-keyed representatives deterministically).
+      // Variants themselves are not orderable, so none of the typed
+      // array_* set functions apply directly.
+      case "$setDifference" | "$setEquals" | "$setIntersection" |
+          "$setIsSubset" | "$setUnion" if rawArgs.exists(isVariant) =>
+        def msk(c: Column) = call_function("mongo_sort_key",
+          coalesce(to_json(c), lit("null")))
+        // a TYPED operand mixed in (an array literal) round-trips through
+        // JSON into the variant model so its elements key the same way
+        def toVarArr(c: Column) =
+          if (isVariant(c)) c.cast("array<variant>")
+          else call_function("parse_json", to_json(c))
+            .cast("array<variant>")
+        val arrs = rawArgs.map(toVarArr)
+        val keys = arrs.map(a => transform(a, e => msk(e)))
+        def values(sortedKeys: Column) = {
+          val all = concat(arrs: _*)
+          val m = map_from_arrays(transform(all, e => msk(e)), all)
+          transform(sortedKeys, k => element_at(m, k))
+        }
+        op match {
+          case "$setUnion" =>
+            values(array_sort(array_distinct(concat(keys: _*))))
+          case "$setIntersection" =>
+            values(array_sort(array_distinct(keys.reduce(array_intersect))))
+          case "$setDifference" =>
+            require(keys.size == 2,
+              s"$$setDifference takes 2 arrays, got ${keys.size}")
+            values(array_sort(array_distinct(
+              array_except(keys(0), keys(1)))))
+          case "$setEquals" =>
+            keys.tail.map(b =>
+              size(array_except(keys.head, b)) === 0 &&
+                size(array_except(b, keys.head)) === 0).reduce(_ && _)
+          case "$setIsSubset" =>
+            require(keys.size == 2,
+              s"$$setIsSubset takes 2 arrays, got ${keys.size}")
+            size(array_except(keys(0), keys(1))) === 0
+        }
       case "$setDifference" =>
         require(as.size == 2, s"$$setDifference takes 2 arrays, got ${as.size}")
         array_sort(array_distinct(array_except(a0, a1)))

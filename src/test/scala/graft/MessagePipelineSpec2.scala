@@ -365,4 +365,41 @@ class VariantTypeSpec extends AnyFunSuite {
     assert(out.get("ix").asLong() == 2L,
       "$indexOfArray matches in Mongo total order via collation keys")
   }
+
+  test("schemaless set operators: Mongo-order membership over variants") {
+    val df = Seq("""{"_id":"a","x":[2,1,2,"b"],"y":[1,"b","c"],
+                     "t":[1,"s",true],"ft":[1,0]}""".replace("\n", ""))
+      .toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    val out = MessagePipeline.compile(Js.parse(
+      """[{"$addFields":{
+           "u":{"$setUnion":["$x","$y"]},
+           "i":{"$setIntersection":["$x","$y"]},
+           "d":{"$setDifference":["$x","$y"]},
+           "sub":{"$setIsSubset":["$y","$x"]},
+           "sub2":{"$setIsSubset":[{"$literal":[1,2]},"$x"]},
+           "eq":{"$setEquals":["$x","$x"]},
+           "neq":{"$setEquals":["$x","$y"]},
+           "all":{"$allElementsTrue":["$t"]},
+           "all0":{"$allElementsTrue":["$ft"]},
+           "any0":{"$anyElementTrue":["$ft"]}}}]"""),
+      Env(spark))(df)
+      .select("value").as[String].collect().map(Js.parse).head
+    def vals(f: String) = (0 until out.get(f).size())
+      .map(i => out.get(f).get(i)).map(n =>
+        if (n.isNumber) n.asLong().toString else n.asText())
+    // mongo order: numbers before strings; dedup by Mongo equality
+    assert(vals("u") == Seq("1", "2", "b", "c"))
+    assert(vals("i") == Seq("1", "b"))
+    assert(vals("d") == Seq("2"))
+    assert(!out.get("sub").asBoolean(), "y has 'c', x does not")
+    assert(out.get("sub2").asBoolean(),
+      "a typed numeric literal keys like the variant 1 and 2")
+    assert(out.get("eq").asBoolean(), "sets dedup before comparing")
+    assert(!out.get("neq").asBoolean())
+    assert(out.get("all").asBoolean(),
+      "strings and true are truthy in Mongo")
+    assert(!out.get("all0").asBoolean(), "0 is falsy")
+    assert(out.get("any0").asBoolean())
+  }
 }

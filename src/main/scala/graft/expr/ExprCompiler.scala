@@ -101,7 +101,8 @@ object ExprCompiler {
     else if (n.isNumber) lit(n.asDouble())
     else if (n.isBoolean) lit(n.asBoolean())
     else if (n.isNull) lit(null)
-    else if (n.isArray) array(Js.elems(n).map(compile(_, ctx)): _*)
+    else if (n.isArray) heteroLiteral(n, ctx)
+      .getOrElse(array(Js.elems(n).map(compile(_, ctx)): _*))
     else
       Js.asOp(n) match {
         case Some((op, args)) => compileOp(op, args, ctx)
@@ -283,19 +284,22 @@ object ExprCompiler {
         val arr = rawArgs(1).cast("array<variant>")
         val needle = rawArgs(0)
         val hit =
-          if (isVariant(needle))
-            exists(arr, e => call_function("mongo_cmp",
-              coalesce(to_json(e), lit("null")),
-              coalesce(to_json(needle), lit("null"))) === 0)
-          else if (ctx.typeOf(needle) == NullType)
+          if (ctx.typeOf(needle) == NullType)
             exists(arr, e =>
               e.isNull || call_function("is_variant_null", e))
-          else exists(arr, e =>
-            // try_variant_get, not cast: a type-mismatched element (a
-            // string next to the numeric needle) is "no match", Mongo-
-            // style — a plain variant cast THROWS on it
-            call_function("try_variant_get", e, lit("$"),
-              lit(ctx.typeOf(needle).sql)) <=> needle)
+          else {
+            // a TYPED needle lifts into a variant through JSON so it
+            // compares in Mongo's total order with its OWN type bracket
+            // — try_variant_get/cast would coerce (the number 1 would
+            // match the string "1", which Mongo never does)
+            val nv =
+              if (isVariant(needle)) needle
+              else call_function("parse_json", to_json(array(needle)))
+                .cast("array<variant>").getItem(0)
+            exists(arr, e => call_function("mongo_cmp",
+              coalesce(to_json(e), lit("null")),
+              coalesce(to_json(nv), lit("null"))) === 0)
+          }
         coalesce(hit, lit(false))
       case "$in" =>
         // Mongo equality semantics, never SQL 3VL: a null needle matches
@@ -549,7 +553,9 @@ object ExprCompiler {
       case "$toEpochSeconds" => unix_seconds(asTimestamp(a0, ctx))
 
       // ---- literal (:616-627) ----
-      case "$literal" => literal(n)
+      case "$literal" =>
+        if (n.isArray) heteroLiteral(n, ctx).getOrElse(literal(n))
+        else literal(n)
 
       // ---- object (:629-644) ----
       case "$mergeObjects" => mergeObjects(as, ctx)
@@ -852,6 +858,30 @@ object ExprCompiler {
   private def from_json_dynamic(c: Column): Column = parse_json(c)
 
   /** `$literal` returns the operand unevaluated. */
+  /** A pure-literal array mixing Mongo type brackets (numbers, strings,
+    * booleans) has no Spark element type — `array()` would silently
+    * coerce 1 to "1", corrupting the data. In the schemaless model it
+    * compiles to the equivalent VARIANT array (elements keep their
+    * types); the typed model rejects it loudly. Arrays with expression
+    * or object elements fall through to the normal path (None).
+    */
+  private def heteroLiteral(n: JsonNode, ctx: Ctx): Option[Column] = {
+    def kind(e: JsonNode): String =
+      if (e.isNumber) "n" else if (e.isTextual) "s"
+      else if (e.isBoolean) "b" else if (e.isNull) "z" else "x"
+    val ks = Js.elems(n).map(kind)
+    val scalarKinds = ks.filter(_ != "z").distinct
+    if (ks.contains("x") || scalarKinds.size <= 1) None
+    else ctx.doc match {
+      case _: VariantDoc =>
+        Some(call_function("parse_json", lit(n.toString)))
+      case _ => throw new IllegalArgumentException(
+        s"array literal $n mixes Mongo type brackets (numbers/strings/" +
+          "booleans); the typed model has no element type for it — " +
+          "restructure the literal or run the schemaless path")
+    }
+  }
+
   private def literal(n: JsonNode): Column =
     if (n.isTextual) lit(n.asText())
     else if (n.isInt || n.isLong) lit(n.asLong())

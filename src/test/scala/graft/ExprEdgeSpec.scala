@@ -175,6 +175,21 @@ class ExprEdgeSpec extends AnyFunSuite {
     assert(out.isNullAt(2))
   }
 
+  test("typed model rejects heterogeneous array literals loudly") {
+    // Spark's array() would silently coerce [1, "b"] to ["1", "b"] —
+    // data corruption; the typed model has no element type for a mixed
+    // literal, so it must refuse (the schemaless path represents it)
+    val df = Seq(Tuple1(1L)).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      one(df, """[{"$project":{"z":{"$literal":[1,"b"]}}}]""")
+    }
+    assert(e.getMessage.contains("mixes Mongo type brackets"))
+    val e2 = intercept[IllegalArgumentException] {
+      one(df, """[{"$project":{"z":{"$in":[1,[1,"b"]]}}}]""")
+    }
+    assert(e2.getMessage.contains("mixes Mongo type brackets"))
+  }
+
   test("$arrayToObject: later duplicate keys win") {
     val df = Seq(Tuple1(1)).toDF("x")
     val out = one(df,

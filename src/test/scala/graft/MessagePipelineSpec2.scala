@@ -402,4 +402,24 @@ class VariantTypeSpec extends AnyFunSuite {
     assert(!out.get("all0").asBoolean(), "0 is falsy")
     assert(out.get("any0").asBoolean())
   }
+
+  test("schemaless heterogeneous array literal keeps element types") {
+    // [1, "b"] used to silently compile to ["1", "b"] (Spark's array()
+    // type coercion); in the variant model it now parses as a variant
+    // array and each element keeps its Mongo type bracket
+    val df = Seq("""{"_id":"a","x":[2,1,"b"]}""").toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    val out = MessagePipeline.compile(Js.parse(
+      """[{"$addFields":{
+           "inNum":{"$in":[1,{"$literal":[1,"b"]}]},
+           "inStrMiss":{"$in":["1",{"$literal":[1,"b"]}]},
+           "sub":{"$setIsSubset":[{"$literal":[1,"b"]},"$x"]}}}]"""),
+      Env(spark))(df)
+      .select("value").as[String].collect().map(Js.parse).head
+    assert(out.get("inNum").asBoolean())
+    assert(!out.get("inStrMiss").asBoolean(),
+      "the string \"1\" must NOT match the number 1 — the literal's " +
+        "elements keep their types")
+    assert(out.get("sub").asBoolean())
+  }
 }

@@ -218,6 +218,50 @@ object Curation {
     * the driver; `maxDomains` bounds that collect (domains are
     * config-scale in practice — languages, sources, crawls).
     */
+  /** Content-defined chunking (the CDC idea behind FastCDC, over
+    * tokens): a chunk boundary falls BEFORE token i whenever the hash
+    * of the 2-gram ending at i is ≡ 0 mod `targetTokens`, so boundaries
+    * depend only on LOCAL content — an insertion early in a document
+    * shifts at most one chunk, where fixed tiling (packChunks) shifts
+    * every subsequent chunk. That stability is what makes chunk-level
+    * exact dedup effective across near-identical documents. Expected
+    * chunk length ≈ targetTokens (geometric; no min/max clamp — the
+    * sequential FastCDC window is deliberately not replicated so the
+    * split stays a pure per-row map, and an oversized tail can feed
+    * packChunks downstream).
+    *
+    * Returns (idCol, chunk_idx, tok_start, chunk) — one row per chunk,
+    * a narrow explode with no shuffle. Deterministic md5-derived
+    * hashing; the SQL oracle replays byte-for-byte.
+    */
+  def chunkByContent(df: DataFrame, textCol: String, idCol: String,
+      targetTokens: Int = 64): DataFrame = {
+    require(targetTokens >= 2, "chunkByContent: targetTokens must be >= 2")
+    val withT = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val n = size(col("__t"))
+    // boundaries before token i (0-based, 1 <= i < n): 2-gram hash test;
+    // sequence(1, 0) counts DOWN, so short docs skip the scan entirely
+    val bounds = concat(
+      array(lit(0)),
+      when(n <= 1, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(1), n - 1), i =>
+          h32(concat_ws(" ", get(col("__t"), i - 1), get(col("__t"), i)))
+            % targetTokens === 0)),
+      array(n))
+    withT
+      .select(col(idCol), col("__t"), bounds.as("__b"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__b")) - 2), j =>
+          struct(
+            element_at(col("__b"), j + 1).cast("long").as("tok_start"),
+            array_join(slice(col("__t"),
+              element_at(col("__b"), j + 1) + 1,
+              element_at(col("__b"), j + 2) -
+                element_at(col("__b"), j + 1)), " ").as("chunk")))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col.tok_start"), col("col.chunk"))
+  }
+
   /** Quality-filter cascade with drop accounting: evaluate the named
     * predicates in order and attribute every dropped document to the
     * FIRST filter it failed — the funnel report every production

@@ -195,7 +195,39 @@ object Round10Queries {
        SELECT doc_id, first_fail IS NULL AS keep, first_fail FROM f"""
   }
 
+  /** chunkByContent over documents (2-gram rolling-hash boundaries,
+    * expected chunk ≈ 16 tokens). The oracle replays the identical
+    * boundary test and slicing, 1-based in DuckDB.
+    */
+  private val chunkOracle =
+    """WITH t0 AS (SELECT doc_id, string_split(lower(text),' ') AS t
+                   FROM documents),
+            b AS (SELECT doc_id, t,
+                    list_concat(list_concat(
+                      [0]::BIGINT[],
+                      CASE WHEN len(t) <= 1 THEN []::BIGINT[]
+                           ELSE list_filter(range(1, len(t)), i ->
+                             ('0x'||substr(md5(t[i]||' '||t[i+1]),1,8))::BIGINT
+                               % 16 = 0)
+                      END),
+                      [len(t)]::BIGINT[]) AS bounds
+                  FROM t0),
+            c AS (SELECT doc_id, t, bounds, unnest(range(1, len(bounds)))
+                    AS j
+                  FROM b)
+       SELECT doc_id, CAST(j - 1 AS INT) AS chunk_idx,
+              bounds[CAST(j AS INT)] AS tok_start,
+              array_to_string(
+                t[CAST(bounds[CAST(j AS INT)] + 1 AS INT):
+                  CAST(bounds[CAST(j + 1 AS INT)] AS INT)], ' ') AS chunk
+       FROM c"""
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_chunk_content", chunkOracle) { (spark, sf) =>
+      graft.ml.Curation.chunkByContent(
+        Tables.load(spark, sf, "documents").select("doc_id", "text"),
+        "text", "doc_id", targetTokens = 16)
+    },
     Q.fn("q_quality_funnel", funnelOracle) { (spark, sf) =>
       val d = Tables.load(spark, sf, "documents")
       val toks = split(col("text"), " ")

@@ -117,6 +117,32 @@ class CurationSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("unique"))
   }
 
+  test("chunkByContent: exact tiling, and an early edit stays local") {
+    import spark.implicits._
+    val words = (0 until 200).map(i => s"tok$i")
+    val base = words.mkString(" ")
+    val edited = (words.take(3) ++ Seq("inserted") ++ words.drop(3))
+      .mkString(" ")
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val out = Curation.chunkByContent(df, "text", "doc_id",
+      targetTokens = 8)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val bc = out.filter(_._1 == 1L).map(_._2)
+    val ec = out.filter(_._1 == 2L).map(_._2)
+    assert(bc.mkString(" ") == base, "chunks must tile the text exactly")
+    assert(ec.mkString(" ") == edited)
+    assert(bc.length > 10, s"expected many ~8-token chunks, got ${bc.length}")
+    // the CDC property packChunks lacks: boundaries depend only on local
+    // 2-grams, so everything past the edit re-aligns — the common chunk
+    // SUFFIX covers all but the few chunks touching the insertion
+    val common = bc.reverse.zip(ec.reverse).takeWhile { case (a, b) => a == b }
+      .length
+    assert(common >= bc.length - 2,
+      s"an edit at token 3 disturbed ${bc.length - common} of ${bc.length} " +
+        "chunks — boundaries must be content-local")
+  }
+
   test("domainMixTemperature flattens toward uniform as t shrinks") {
     import spark.implicits._
     // heavy skew: big (800 rows) vs small (50)

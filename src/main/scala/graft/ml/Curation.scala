@@ -262,6 +262,32 @@ object Curation {
         col("col.tok_start"), col("col.chunk"))
   }
 
+  /** Chunk-level duplication score per document: content-defined chunks
+    * (`chunkByContent`) hashed and counted corpus-wide; a document's
+    * score is the fraction of its chunks that also appear in ANOTHER
+    * document — the sub-document dedup signal (boilerplate paragraphs,
+    * syndicated passages) that document-level exact/near dedup misses.
+    * Shape: one narrow chunk explode, one partial-aggregated count
+    * keyed on the chunk hash, one equi-join back, one per-doc
+    * aggregate. Returns (idCol, n_chunks, n_dup, dup_frac rounded 9).
+    */
+  def chunkDupScore(df: DataFrame, textCol: String, idCol: String,
+      targetTokens: Int = 64): DataFrame = {
+    val chunks = chunkByContent(df, textCol, idCol, targetTokens)
+      .select(col(idCol), h32(col("chunk")).as("__h"))
+    // distinct docs per chunk hash: a chunk repeated WITHIN one doc is
+    // not corpus duplication
+    val docFreq = chunks.groupBy(col("__h"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+    chunks.join(docFreq, "__h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_chunks"), 9))
+  }
+
   /** Quality-filter cascade with drop accounting: evaluate the named
     * predicates in order and attribute every dropped document to the
     * FIRST filter it failed — the funnel report every production

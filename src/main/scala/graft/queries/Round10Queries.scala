@@ -222,7 +222,57 @@ object Round10Queries {
                   CAST(bounds[CAST(j + 1 AS INT)] AS INT)], ' ') AS chunk
        FROM c"""
 
+  /** chunkDupScore over a corpus where every document has an
+    * edited twin (a prefix insertion, re-keyed): CDC boundaries
+    * re-align after the edit, so the twins share their tail chunks and
+    * the duplication signal is non-vacuous — exactly what the operator
+    * exists to surface. The oracle replays chunking, hashing,
+    * distinct-doc frequency, and the per-doc fractions.
+    */
+  private val chunkDupOracle =
+    """WITH corpus AS (
+         SELECT doc_id, lower(text) AS text FROM documents
+         UNION ALL
+         SELECT doc_id + 500000 AS doc_id,
+                'edited intro ' || lower(text) AS text FROM documents),
+            t0 AS (SELECT doc_id, string_split(text,' ') AS t FROM corpus),
+            b AS (SELECT doc_id, t,
+                    list_concat(list_concat(
+                      [0]::BIGINT[],
+                      CASE WHEN len(t) <= 1 THEN []::BIGINT[]
+                           ELSE list_filter(range(1, len(t)), i ->
+                             ('0x'||substr(md5(t[i]||' '||t[i+1]),1,8))::BIGINT
+                               % 16 = 0)
+                      END),
+                      [len(t)]::BIGINT[]) AS bounds
+                  FROM t0),
+            c AS (SELECT doc_id, t, bounds,
+                         unnest(range(1, len(bounds))) AS j
+                  FROM b),
+            h AS (SELECT doc_id,
+                    ('0x'||substr(md5(array_to_string(
+                      t[CAST(bounds[CAST(j AS INT)] + 1 AS INT):
+                        CAST(bounds[CAST(j + 1 AS INT)] AS INT)], ' ')
+                      ),1,8))::BIGINT AS hh
+                  FROM c),
+            f AS (SELECT hh, count(DISTINCT doc_id) AS df
+                  FROM h GROUP BY 1)
+       SELECT h.doc_id, count(*) AS n_chunks,
+              CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup,
+              round(CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)
+                         AS DOUBLE) / count(*), 9) AS dup_frac
+       FROM h JOIN f USING (hh) GROUP BY 1"""
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_chunk_dedup", chunkDupOracle) { (spark, sf) =>
+      val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + 500000L).as("doc_id"),
+        concat(lit("edited intro "), col("text")).as("text")))
+      graft.ml.Curation.chunkDupScore(corpus, "text", "doc_id",
+        targetTokens = 16)
+    },
     Q.fn("q_chunk_content", chunkOracle) { (spark, sf) =>
       graft.ml.Curation.chunkByContent(
         Tables.load(spark, sf, "documents").select("doc_id", "text"),

@@ -275,6 +275,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("content-defined chunking is a narrow explode; dup score joins by hash") {
+    val p1 = plan(q("q_chunk_content"))
+    assert(!p1.contains("Exchange") && !p1.contains("Join"), p1.take(1200))
+    val p2 = plan(q("q_chunk_dedup"))
+    // chunk + hash + distinct-doc count + equi-join back: aggregates and
+    // a hash-keyed join only — never a window, never a product, and the
+    // join key is the 8-byte hash, not the chunk text
+    assert(!p2.contains("Window"), p2.take(1200))
+    assert(!p2.contains("CartesianProduct"), p2.take(1200))
+  }
+
   test("quality funnel is a narrow map — no exchange, no join") {
     val p = plan(q("q_quality_funnel"))
     assert(!p.contains("Exchange"), p.take(1200))

@@ -262,9 +262,12 @@ object ExprCompiler {
         }
       case "$concatArrays" => concat(as.map(asArr): _*)
       case "$elemMatch" => // first element matching the query (custom op)
+        val raw = compile(n.get(0), ctx)
         get(
-          filter(asArr(compile(n.get(0), ctx)),
-            x => QueryCompiler.compileValuePredicate(n.get(1), x, ctx)),
+          filter(asArr(raw), x => QueryCompiler.compileValuePredicate(
+            n.get(1), x,
+            if (isVariant(raw)) ctx.withTypedVar("__e", x, VariantType)
+            else ctx)),
           lit(0))
       case "$filter" =>
         val raw = compile(n.get("input"), ctx)

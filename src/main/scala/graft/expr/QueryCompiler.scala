@@ -69,7 +69,68 @@ object QueryCompiler {
   private def fieldMatch(target: JsonNode => Column, cond: JsonNode,
       ctx: Ctx): Column =
     if (isOperatorObject(cond)) operatorConds(target, cond, ctx)
-    else eqMatch(target(cond), cond, ctx)
+    else eqMatchField(target, cond, ctx)
+
+  /** Query-side array view of a field: a typed array passes through; a
+    * VARIANT extracts as `array<variant>` per row, answering null for
+    * non-arrays — Mongo's `$size`/`$all`/`$elemMatch` and the array
+    * element probes match NOTHING on a non-array field rather than
+    * erroring (so the expression path's throwing cast doesn't apply).
+    */
+  private def asQueryArr(c: Column, ctx: Ctx): Column =
+    if (ctx.typeOf(c).typeName == "variant")
+      call_function("try_variant_get", c, lit("$"), lit("array<variant>"))
+    else c
+
+  /** Canonical JSON text of a query literal for `mongo_cmp` comparison
+    * against a variant's `to_json`: object keys sort recursively because
+    * the variant binary encoding sorts keys at parse time (documented
+    * deviation — field order is unrecoverable in the schemaless model).
+    */
+  private def canonJson(n: JsonNode): String =
+    if (n.isArray) Js.elems(n).map(canonJson).mkString("[", ",", "]")
+    else if (n.isObject)
+      Js.fields(n).sortBy(_._1).map { case (k, v) =>
+        com.fasterxml.jackson.databind.node.TextNode.valueOf(k).toString +
+          ":" + canonJson(v)
+      }.mkString("{", ",", "}")
+    else n.toString
+
+  /** Mongo equality between one VARIANT value and a query literal, in the
+    * cross-type total order (2 matches 2.0; a number never matches a
+    * string; an explicit JSON null matches the null literal).
+    */
+  private def variantEqLit(x: Column, v: JsonNode): Column =
+    if (v.isNull) x.isNull || call_function("is_variant_null", x)
+    else call_function("mongo_cmp",
+      coalesce(to_json(x), lit("null")), lit(canonJson(v))) === 0
+
+  /** Mongo equality on a field resolved through `target`: besides direct
+    * value equality, an ARRAY-holding field matches when ANY element
+    * equals the literal (docs/query.md:5-28). Typed models get the
+    * element probe from eqMatch's ArrayType branch; the variant model
+    * probes the per-row array view — without it a schemaless
+    * `{nums: 5}` over `nums: [1,5]` silently matched nothing.
+    */
+  private def eqMatchField(target: JsonNode => Column, v: JsonNode,
+      ctx: Ctx): Column = {
+    val raw = target(null)
+    if (ctx.typeOf(raw).typeName != "variant") eqMatch(target(v), v, ctx)
+    else {
+      val direct =
+        if (v.isNull) isNullish(raw, ctx)
+        else if (v.isObject || v.isArray)
+          // no typed extraction exists for structured literals —
+          // whole-value Mongo equality over the JSON text (`===` on a
+          // variant would string-coerce or fail analysis)
+          call_function("mongo_cmp",
+            coalesce(to_json(raw), lit("null")), lit(canonJson(v))) === 0
+        else eqMatch(target(v), v, ctx)
+      coalesce(direct, lit(false)) ||
+        coalesce(exists(asQueryArr(raw, ctx), x => variantEqLit(x, v)),
+          lit(false))
+    }
+  }
 
   /** Mongo: in the condition position, any `$`-prefixed key set makes an
     * operator object (unknown operators then fail loudly in operatorConds —
@@ -114,13 +175,23 @@ object QueryCompiler {
       if (n.has("$options")) n.get("$options").asText() else ""
     val conds = Js.fields(n).flatMap {
       case ("$comment", _) | ("$options", _) => None
-      case ("$eq", v)  => Some(eqMatch(target(v), v, ctx))
+      case ("$eq", v)  => Some(eqMatchField(target, v, ctx))
       case ("$gt", v)  => Some(target(v) > litNode(v))
       case ("$gte", v) => Some(target(v) >= litNode(v))
       case ("$lt", v)  => Some(target(v) < litNode(v))
       case ("$lte", v) => Some(target(v) <= litNode(v))
       case ("$ne", v) =>
-        Some(!coalesce(eqMatch(target(v), v, ctx), lit(false)))
+        Some(!coalesce(eqMatchField(target, v, ctx), lit(false)))
+      // variant fields: $in is Mongo's OR-of-equalities (and $nin its
+      // negation) — each equality carries the any-array-element probe,
+      // so {$in:[5]} matches nums:[1,5] and {$in:[null]} matches an
+      // array holding an explicit null, like Mongo
+      case ("$in", v) if ctx.typeOf(target(null)).typeName == "variant" =>
+        Some(Js.elems(v).map(e => eqMatchField(target, e, ctx))
+          .reduceOption(_ || _).getOrElse(lit(false)))
+      case ("$nin", v) if ctx.typeOf(target(null)).typeName == "variant" =>
+        Some(!coalesce(Js.elems(v).map(e => eqMatchField(target, e, ctx))
+          .reduceOption(_ || _).getOrElse(lit(false)), lit(false)))
       case ("$in", v) =>
         val (nulls, vals) = Js.elems(v).partition(_.isNull)
         // the extraction hint must come from a NON-null element: a null
@@ -162,11 +233,24 @@ object QueryCompiler {
         Some(target(hint).rlike(ExprCompiler.regexWithOptions(
           ExprCompiler.regexLiteral(v), opts)))
       case ("$all", v) => // Mongo: an empty $all list matches NOTHING
-        Some(Js.elems(v).map(e => array_contains(target(null), litNode(e)))
-          .reduceOption(_ && _).getOrElse(lit(false)))
+        // $all ≡ AND of single equalities (Mongo manual) — on the variant
+        // path eqMatchField carries both the whole-value and the
+        // any-element match, covering Mongo's non-array-field edge too
+        Some(
+          if (ctx.typeOf(target(null)).typeName == "variant")
+            Js.elems(v).map(e => eqMatchField(target, e, ctx))
+              .reduceOption(_ && _).getOrElse(lit(false))
+          else Js.elems(v).map(e => array_contains(target(null), litNode(e)))
+            .reduceOption(_ && _).getOrElse(lit(false)))
       case ("$elemMatch", v) =>
-        Some(exists(target(null), x => compileValuePredicate(v, x, ctx)))
-      case ("$size", v) => Some(size(target(null)) === litNode(v))
+        val raw = target(null)
+        val variant = ctx.typeOf(raw).typeName == "variant"
+        Some(coalesce(
+          exists(asQueryArr(raw, ctx), x => compileValuePredicate(v, x,
+            if (variant) ctx.withTypedVar("__e", x, VariantType) else ctx)),
+          lit(false)))
+      case ("$size", v) =>
+        Some(size(asQueryArr(target(null), ctx)) === litNode(v))
       case ("$bitsAllSet", v) =>
         val m = mask(v); Some(target(v).bitwiseAND(m) === m)
       case ("$bitsAllClear", v) => Some(target(v).bitwiseAND(mask(v)) === 0)
@@ -189,12 +273,36 @@ object QueryCompiler {
     * value itself or a query over the value's fields.
     */
   private[graft] def compileValuePredicate(
-      cond: JsonNode, x: Column, ctx: Ctx): Column =
-    if (isOperatorObject(cond)) operatorConds(_ => x, cond, ctx)
+      cond: JsonNode, x: Column, ctx: Ctx): Column = {
+    // a VARIANT element (schemaless $elemMatch: the caller types the
+    // lambda var via Ctx.withTypedVar) extracts hint-directed typed
+    // values, mirroring VariantDoc.pathAs — getField/raw comparison
+    // would fail analysis on the variant
+    val variant = ctx.typeOf(x).typeName == "variant"
+    def hintT(v: JsonNode): String =
+      if (v == null) null
+      else if (v.isTextual) "string"
+      else if (v.isNumber) "double"
+      else if (v.isBoolean) "boolean"
+      else null
+    def self(v: JsonNode): Column =
+      if (!variant) x
+      else Option(hintT(v)).map(t =>
+        call_function("try_variant_get", x, lit("$"), lit(t))).getOrElse(x)
+    def fieldOf(field: String)(v: JsonNode): Column =
+      if (!variant) field.split("\\.").foldLeft(x)(_.getField(_))
+      else {
+        val p = "$." + field
+        Option(hintT(v)).map(t =>
+          call_function("try_variant_get", x, lit(p), lit(t)))
+          .getOrElse(call_function("variant_get", x, lit(p)))
+      }
+    if (isOperatorObject(cond)) operatorConds(self, cond, ctx)
     else
       Js.fields(cond).map { case (field, c) =>
-        fieldMatch(_ => field.split("\\.").foldLeft(x)(_.getField(_)), c, ctx)
+        fieldMatch(fieldOf(field), c, ctx)
       }.reduce(_ && _)
+  }
 
   /** Bit mask: literal number or array of bit positions (docs/query.md:231+). */
   private def mask(n: JsonNode): Long =

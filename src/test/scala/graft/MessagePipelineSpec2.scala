@@ -403,6 +403,58 @@ class VariantTypeSpec extends AnyFunSuite {
     assert(out.get("any0").asBoolean())
   }
 
+  test("schemaless $elemMatch: query predicates over variant elements") {
+    val df = Seq(
+      """{"_id":"a","arr":[{"v":1},{"v":9}],"nums":[1,5,9]}""")
+      .toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    val out = MessagePipeline.compile(Js.parse(
+      """[{"$addFields":{
+           "obj":{"$elemMatch":["$arr",{"v":{"$gt":5}}]},
+           "objMiss":{"$elemMatch":["$arr",{"v":{"$gt":50}}]},
+           "scalar":{"$elemMatch":["$nums",{"$gt":4}]}}}]"""),
+      Env(spark))(df)
+      .select("value").as[String].collect().map(Js.parse).head
+    assert(out.get("obj").get("v").asLong() == 9L,
+      "field predicates extract hint-typed values from variant elements")
+    assert(out.get("objMiss").isNull)
+    assert(out.get("scalar").asLong() == 5L,
+      "operator-object predicates apply to the variant element itself")
+  }
+
+  test("schemaless $match: Mongo array-field semantics over variant arrays") {
+    // the query language treats an array-holding field as "matches if the
+    // value OR any element matches" (reference docs/query.md:5-28); the
+    // variant model must probe a per-row array view — these all either
+    // failed analysis (exists/size/array_contains on VARIANT) or silently
+    // matched nothing (typed extraction of an array answers null)
+    val df = Seq(
+      """{"_id":"a","items":[{"name":"a","qty":3},{"name":"b","qty":1}],"tags":["x","y"],"nums":[1,5,9]}""",
+      """{"_id":"b","items":[{"name":"a","qty":1}],"tags":["x"],"nums":[2]}""")
+      .toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    def run(m: String): Seq[String] =
+      MessagePipeline.compile(Js.parse(s"""[{"$$match":$m}]"""), Env(spark))(df)
+        .select("value").as[String].collect().toSeq
+        .map(v => Js.parse(v).get("_id").asText()).sorted
+    assert(run("""{"items":{"$elemMatch":{"name":"a","qty":{"$gte":2}}}}""")
+      == Seq("a"), "$elemMatch with a field sub-query")
+    assert(run("""{"nums":{"$elemMatch":{"$gt":4}}}""") == Seq("a"),
+      "$elemMatch with an operator object over scalar elements")
+    assert(run("""{"tags":{"$size":2}}""") == Seq("a"), "$size")
+    assert(run("""{"_id":{"$size":1}}""") == Nil,
+      "$size on a non-array field matches nothing, no error")
+    assert(run("""{"tags":{"$all":["x","y"]}}""") == Seq("a"), "$all")
+    assert(run("""{"nums":5}""") == Seq("a"),
+      "implicit equality matches any array element")
+    assert(run("""{"items":{"name":"a","qty":1}}""") == Seq("b"),
+      "object-literal equality matches an array element (Mongo order)")
+    assert(run("""{"nums":{"$in":[5,7]}}""") == Seq("a"), "$in over array")
+    assert(run("""{"nums":{"$nin":[5]}}""") == Seq("b"), "$nin over array")
+    assert(run("""{"tags":{"$ne":"y"}}""") == Seq("b"),
+      "$ne excludes any-element matches")
+  }
+
   test("schemaless heterogeneous array literal keeps element types") {
     // [1, "b"] used to silently compile to ["1", "b"] (Spark's array()
     // type coercion); in the variant model it now parses as a variant

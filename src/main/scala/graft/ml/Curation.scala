@@ -288,6 +288,46 @@ object Curation {
         round(col("n_dup").cast("double") / col("n_chunks"), 9))
   }
 
+  /** Chunk-level dedup KEEP-LIST: where `chunkDupScore` only measures
+    * sub-document duplication, this resolves it — each duplicated chunk
+    * keeps ONLY the copy in its canonical document (minimum `idCol`
+    * over the documents containing it, the same min-id convention as
+    * exact document dedup) and is dropped from every other document,
+    * and the survivors reassemble in original order. The cleaned corpus
+    * carries each duplicated passage exactly once.
+    *
+    * Returns (idCol, text_clean, n_chunks, n_dropped); text_clean is in
+    * the chunker's token normalization (lower-cased, single-space).
+    * A document whose every chunk is owned elsewhere survives with an
+    * empty text_clean, and a null-text document survives with
+    * n_chunks 0 — a curation stage never loses rows (left join: the
+    * null chunk has no hash and no owner).
+    *
+    * Scale shape: one narrow chunk explode, one partial-aggregated min
+    * per chunk hash (map-side combine absorbs hot boilerplate chunks),
+    * one equi-join back on the hash (AQE splits a skewed hot key), one
+    * per-document aggregate. No window over the corpus, no product, no
+    * driver action.
+    */
+  def dedupChunks(df: DataFrame, textCol: String, idCol: String,
+      targetTokens: Int = 64): DataFrame = {
+    val chunks = chunkByContent(df, textCol, idCol, targetTokens)
+      .select(col(idCol), col("chunk_idx"), col("chunk"),
+        h32(col("chunk")).as("__h"))
+    val owner = chunks.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__owner"))
+    chunks.join(owner, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__owner") === col(idCol),
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("text_clean"),
+        count(col("chunk")).as("n_chunks"),
+        sum(when(col("__owner") =!= col(idCol), 1L).otherwise(0L))
+          .as("n_dropped"))
+  }
+
   /** Quality-filter cascade with drop accounting: evaluate the named
     * predicates in order and attribute every dropped document to the
     * FIRST filter it failed — the funnel report every production

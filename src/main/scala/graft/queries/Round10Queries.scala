@@ -264,7 +264,61 @@ object Round10Queries {
                          AS DOUBLE) / count(*), 9) AS dup_frac
        FROM h JOIN f USING (hh) GROUP BY 1"""
 
+  /** dedupChunks over the same twin corpus as q_chunk_dedup: each
+    * duplicated chunk survives only in its min-doc_id owner, survivors
+    * reassemble in order. The oracle replays chunking + hashing + the
+    * min-owner keep-list; `string_agg(... ORDER BY j)` mirrors the
+    * array_sort reassembly and coalesces to '' for fully-owned docs.
+    */
+  private val chunkKeeplistOracle =
+    """WITH corpus AS (
+         SELECT doc_id, lower(text) AS text FROM documents
+         UNION ALL
+         SELECT doc_id + 500000 AS doc_id,
+                'edited intro ' || lower(text) AS text FROM documents),
+            t0 AS (SELECT doc_id, string_split(text,' ') AS t FROM corpus),
+            b AS (SELECT doc_id, t,
+                    list_concat(list_concat(
+                      [0]::BIGINT[],
+                      CASE WHEN len(t) <= 1 THEN []::BIGINT[]
+                           ELSE list_filter(range(1, len(t)), i ->
+                             ('0x'||substr(md5(t[i]||' '||t[i+1]),1,8))::BIGINT
+                               % 16 = 0)
+                      END),
+                      [len(t)]::BIGINT[]) AS bounds
+                  FROM t0),
+            c AS (SELECT doc_id, t, bounds,
+                         unnest(range(1, len(bounds))) AS j
+                  FROM b),
+            h0 AS (SELECT doc_id, j,
+                     array_to_string(
+                       t[CAST(bounds[CAST(j AS INT)] + 1 AS INT):
+                         CAST(bounds[CAST(j + 1 AS INT)] AS INT)], ' ')
+                       AS chunk
+                   FROM c),
+            h AS (SELECT doc_id, j, chunk,
+                    ('0x'||substr(md5(chunk),1,8))::BIGINT AS hh
+                  FROM h0),
+            own AS (SELECT hh, min(doc_id) AS owner FROM h GROUP BY 1)
+       SELECT h.doc_id,
+              coalesce(string_agg(
+                CASE WHEN own.owner = h.doc_id THEN h.chunk END,
+                ' ' ORDER BY h.j), '') AS text_clean,
+              count(h.chunk) AS n_chunks,
+              CAST(sum(CASE WHEN own.owner <> h.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+       FROM h LEFT JOIN own USING (hh)
+       GROUP BY 1"""
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_chunk_keeplist", chunkKeeplistOracle) { (spark, sf) =>
+      val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + 500000L).as("doc_id"),
+        concat(lit("edited intro "), col("text")).as("text")))
+      graft.ml.Curation.dedupChunks(corpus, "text", "doc_id",
+        targetTokens = 16)
+    },
     Q.fn("q_chunk_dedup", chunkDupOracle) { (spark, sf) =>
       val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
       val corpus = d.unionByName(d.select(

@@ -143,6 +143,38 @@ class CurationSpec extends AnyFunSuite {
         "chunks — boundaries must be content-local")
   }
 
+  test("dedupChunks: min-id canonical keeps, twins lose shared chunks") {
+    import spark.implicits._
+    val words = (0 until 200).map(i => s"tok$i")
+    val base = words.mkString(" ")
+    val edited = "edited intro " + base
+    val df = Seq((1L, base), (2L, edited), (3L, base),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Curation.dedupChunks(df, "text", "doc_id", targetTokens = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "no row may be lost")
+    // the canonical (min-id) document keeps its full text
+    assert(out(1L)._1 == base)
+    assert(out(1L)._3 == 0L)
+    // an exact twin loses every chunk but keeps its row
+    assert(out(3L)._1 == "")
+    assert(out(3L)._3 == out(3L)._2 && out(3L)._2 > 0)
+    // the edited twin keeps exactly the chunks doc 1 does not own —
+    // CDC re-aligns after the insertion, so that is the head region only
+    def chunksOf(id: Long, text: String): Seq[String] =
+      Curation.chunkByContent(Seq((id, text)).toDF("doc_id", "text"),
+        "text", "doc_id", targetTokens = 8)
+        .orderBy("chunk_idx").collect().map(_.getString(3)).toSeq
+    val c1 = chunksOf(1L, base).toSet
+    val expected2 = chunksOf(2L, edited).filterNot(c1).mkString(" ")
+    assert(out(2L)._1 == expected2)
+    assert(out(2L)._3 > 0 && out(2L)._1.nonEmpty)
+    // null text: survives with zero chunks (curation never loses rows)
+    assert(out(4L) == (("", 0L, 0L)))
+  }
+
   test("domainMixTemperature flattens toward uniform as t shrinks") {
     import spark.implicits._
     // heavy skew: big (800 rows) vs small (50)

@@ -646,6 +646,50 @@ object Similarity {
       .transform(searchTopKDesc(k))
   }
 
+  /** Disk-resident analog of `projectedIvfTopK`: build the IVF index
+    * over the PROJECTED corpus, so the persisted index is `outDim/inDim`
+    * the size of a full-dimension one (at 64→16, a quarter of the bytes
+    * on disk AND through every probe-side shuffle), and searches re-rank
+    * the narrow candidates against the original corpus at full width.
+    * The projection parameters ride in `dir/meta` so a later session
+    * searches with the identical sign matrix — a seed mismatch would
+    * silently probe garbage cells.
+    */
+  def buildProjectedIvfIndex(corpus: DataFrame, embCol: String,
+      idCol: String, dir: String, inDim: Int, outDim: Int, nlist: Int,
+      kmeansIters: Int = 0, partitionByCell: Boolean = false,
+      seed: String = "proj"): Unit = {
+    val pc = randomProjection(corpus, embCol, idCol, inDim, outDim, seed)
+    buildIvfIndex(pc, "proj", idCol, dir, nlist, kmeansIters,
+      partitionByCell)
+    corpus.sparkSession.range(1)
+      .select(lit(inDim).as("in_dim"), lit(outDim).as("out_dim"),
+        lit(seed).as("seed"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Search a `buildProjectedIvfIndex` directory: project the queries
+    * with the saved parameters, run the narrow persisted-index search for
+    * `candidates` per query, then re-rank the survivors by FULL-dimension
+    * cosine against the caller's original corpus frame (the index never
+    * stored the wide vectors — the re-rank join touches only
+    * ~candidates-per-query of them). Identical results to
+    * `projectedIvfTopK` with the same parameters.
+    */
+  def searchProjectedIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, corpus: DataFrame, queries: DataFrame, embCol: String,
+      idCol: String, k: Int, candidates: Int, nprobe: Int): DataFrame = {
+    require(candidates >= k,
+      s"searchProjectedIvfIndex: candidates ($candidates) must be >= k ($k)")
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val pq = randomProjection(queries, embCol, idCol,
+      m.getAs[Int]("in_dim"), m.getAs[Int]("out_dim"),
+      m.getAs[String]("seed"))
+    val cand = searchIvfIndex(spark, dir, pq, "proj", idCol, candidates,
+      nprobe)
+    rerankFullDim(cand, corpus, queries, embCol, idCol, k)
+  }
+
   private def ivfSearch(corpus: DataFrame, queries: DataFrame,
       centroidsDf: DataFrame, embCol: String, idCol: String, k: Int,
       nprobe: Int): DataFrame = {

@@ -310,7 +310,37 @@ object Round10Queries {
        FROM h LEFT JOIN own USING (hh)
        GROUP BY 1"""
 
+  /** source-dir → built projected-index dir (JVM-lifetime, like
+    * Round9Queries.persistedIndexDirs — Bench/Verify re-execute each
+    * query, and the query showcases amortized search, not the build).
+    */
+  private val projIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_knn_projected_ivf_persisted", projectedIvfOracle) {
+      (spark, sf) =>
+        import graft.ml.Similarity
+        // the disk-resident projectedIvfTopK: the narrow (16-dim) index
+        // persists once per source dir; searches must answer byte-for-byte
+        // what the in-memory composition answers — same oracle
+        val emb = Tables.load(spark, sf, "embeddings")
+        val dir = projIndexDirs.computeIfAbsent(sf, { _ =>
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-proj-ivf-index")
+          Similarity.buildProjectedIvfIndex(emb, "embedding", "vec_id",
+            d.toString, inDim = 64, outDim = 16, nlist = 8)
+          sys.addShutdownHook {
+            import java.nio.file.{Files => F}
+            import scala.jdk.CollectionConverters._
+            F.walk(d).iterator.asScala.toSeq.reverse.foreach(F.deleteIfExists)
+          }
+          d.toString
+        })
+        Similarity.searchProjectedIvfIndex(spark, dir, emb,
+          emb.where(col("vec_id") < 5), "embedding", "vec_id",
+          k = 3, candidates = 10, nprobe = 2)
+    },
     Q.fn("q_chunk_keeplist", chunkKeeplistOracle) { (spark, sf) =>
       val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
       val corpus = d.unionByName(d.select(

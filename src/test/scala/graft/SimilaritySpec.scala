@@ -243,6 +243,33 @@ class SimilaritySpec extends AnyFunSuite {
       "cells must be laid out one directory per cell")
   }
 
+  test("persisted projected IVF index: narrow on disk, full-dim answers") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.where(col("vec_id") < 4)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-proj-ivf-idx").toString
+    Similarity.buildProjectedIvfIndex(emb, "embedding", "vec_id", dir,
+      inDim = 64, outDim = 16, nlist = 8)
+    // byte-identical to the in-memory filter-then-refine composition
+    assert(rows(Similarity.searchProjectedIvfIndex(spark, dir, emb,
+      queries, "embedding", "vec_id", k = 3, candidates = 10, nprobe = 2))
+      == rows(Similarity.projectedIvfTopK(emb, queries, "embedding",
+        "vec_id", k = 3, inDim = 64, outDim = 16, candidates = 10,
+        nlist = 8, nprobe = 2)))
+    // the point of the composition: the index stores PROJECTED vectors —
+    // 16 doubles per row in the cells frame, not the full 64
+    val cellVec = spark.read.parquet(s"$dir/cells")
+      .select("v").limit(1).collect()(0).getSeq[Double](0)
+    assert(cellVec.size == 16,
+      s"index must store the narrow projection, got ${cellVec.size} dims")
+    // the meta frame carries the projection parameters for later sessions
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert(m.getAs[Int]("in_dim") == 64 && m.getAs[Int]("out_dim") == 16)
+  }
+
   test("randomProjection preserves geometry and is deterministic") {
     import spark.implicits._
     // near-duplicate pair (base + small deterministic noise) vs an

@@ -36,6 +36,13 @@ object QueryCompiler {
       case ("$expr", v) => Some(ExprCompiler.compile(v, ctx))
       case (field, cond) if !ctx.doc.has(field) =>
         Some(missingFieldMatch(cond))
+      // dotted paths in the variant model traverse intermediate arrays
+      // (Mongo: {"items.qty": 2} matches items:[{qty:1},{qty:2}]); the
+      // single-segment path keeps the fused extract-with-hint fast path
+      case (field, cond) if ctx.doc.isInstanceOf[VariantDoc] &&
+          field.contains(".") =>
+        Some(variantPathMatch(ctx.doc.root, field.split("\\.").toList,
+          cond, ctx))
       case (field, cond) =>
         Some(fieldMatch(hint => ctx.doc.pathAs(field, hint), cond, ctx))
     }
@@ -70,6 +77,76 @@ object QueryCompiler {
       ctx: Ctx): Column =
     if (isOperatorObject(cond)) operatorConds(target, cond, ctx)
     else eqMatchField(target, cond, ctx)
+
+  /** Extraction type hint from a comparison literal (variant model):
+    * `try_variant_get` with the hint nulls out cross-bracket values, so
+    * comparisons stay type-bracketed like Mongo's.
+    */
+  private def hintType(v: JsonNode): String =
+    if (v == null) null
+    else if (v.isTextual) "string"
+    else if (v.isNumber) "double"
+    else if (v.isBoolean) "boolean"
+    else null
+
+  /** Dotted-path `$match` resolution over the variant model with Mongo's
+    * array traversal (docs/query.md:5-28): an INTERMEDIATE segment that
+    * resolves to an array of documents applies the rest of the path to
+    * each element, and the condition matches if the direct value or any
+    * traversed element matches; the LEAF segment's array handling lives
+    * in the operators themselves (eqMatchField / elemOrSelf). One
+    * traversal per segment — Mongo does not descend nested arrays
+    * ([[{b:1}]] never matches "a.b") and neither does this. Numeric
+    * segments are field names, not array indexes (deviation).
+    */
+  private def variantPathMatch(cur: Column, parts: List[String],
+      cond: JsonNode, ctx: Ctx): Column = {
+    val f = parts.head
+    if (parts.tail.isEmpty) {
+      val leafRaw = call_function("variant_get", cur, lit("$." + f))
+      val target: JsonNode => Column = v =>
+        Option(hintType(v)).map(t =>
+          call_function("try_variant_get", cur, lit("$." + f), lit(t)))
+          .getOrElse(leafRaw)
+      // register the leaf by IDENTITY so every consumer (eqMatchField,
+      // isNullish, asQueryArr, $type) sees VariantType even inside a
+      // traversal lambda, where the analyzer probe cannot resolve
+      fieldMatch(target, cond,
+        ctx.withTypedVar("__pm", leafRaw, VariantType))
+    } else {
+      val next = call_function("variant_get", cur, lit("$." + f))
+      val direct = variantPathMatch(next, parts.tail, cond, ctx)
+      val arr = call_function("try_variant_get", next, lit("$"),
+        lit("array<variant>"))
+      // through a NON-EMPTY array the only resolution is element-wise —
+      // without the guard, variant_get(array, "$.rest") answers null and
+      // {path: null} would wrongly match every doc whose elements all
+      // carry the field; an EMPTY array resolves to nothing, which is
+      // exactly the direct branch's null (Mongo: {a:[]} matches
+      // {"a.b": null})
+      ((arr.isNull || size(arr) === 0) && coalesce(direct, lit(false))) ||
+        coalesce(exists(arr, x => variantPathMatch(x, parts.tail, cond,
+          ctx)), lit(false))
+    }
+  }
+
+  /** Range/regex/mod operator on a field: Mongo matches when the value
+    * OR any array element satisfies it. Typed models answer the direct
+    * comparison; the variant model adds the per-row element probe with
+    * the same hint-typed extraction (cross-bracket elements null out and
+    * never match, like Mongo's type bracketing).
+    */
+  private def elemOrSelf(target: JsonNode => Column, v: JsonNode,
+      ctx: Ctx)(pred: Column => Column): Column = {
+    val direct = pred(target(v))
+    val raw = target(null)
+    if (ctx.typeOf(raw).typeName != "variant") direct
+    else coalesce(direct, lit(false)) ||
+      coalesce(exists(asQueryArr(raw, ctx), x =>
+        pred(Option(hintType(v)).map(t =>
+          call_function("try_variant_get", x, lit("$"), lit(t)))
+          .getOrElse(x))), lit(false))
+  }
 
   /** Query-side array view of a field: a typed array passes through; a
     * VARIANT extracts as `array<variant>` per row, answering null for
@@ -176,10 +253,10 @@ object QueryCompiler {
     val conds = Js.fields(n).flatMap {
       case ("$comment", _) | ("$options", _) => None
       case ("$eq", v)  => Some(eqMatchField(target, v, ctx))
-      case ("$gt", v)  => Some(target(v) > litNode(v))
-      case ("$gte", v) => Some(target(v) >= litNode(v))
-      case ("$lt", v)  => Some(target(v) < litNode(v))
-      case ("$lte", v) => Some(target(v) <= litNode(v))
+      case ("$gt", v)  => Some(elemOrSelf(target, v, ctx)(_ > litNode(v)))
+      case ("$gte", v) => Some(elemOrSelf(target, v, ctx)(_ >= litNode(v)))
+      case ("$lt", v)  => Some(elemOrSelf(target, v, ctx)(_ < litNode(v)))
+      case ("$lte", v) => Some(elemOrSelf(target, v, ctx)(_ <= litNode(v)))
       case ("$ne", v) =>
         Some(!coalesce(eqMatchField(target, v, ctx), lit(false)))
       // variant fields: $in is Mongo's OR-of-equalities (and $nin its
@@ -227,11 +304,13 @@ object QueryCompiler {
         Some(ExprCompiler.mongoTypeOf(target(null), ctx) === v.asText())
       case ("$expr", v) => Some(ExprCompiler.compile(v, ctx))
       case ("$mod", v) =>
-        Some(target(v.get(0)) % litNode(v.get(0)) === litNode(v.get(1)))
+        Some(elemOrSelf(target, v.get(0), ctx)(
+          _ % litNode(v.get(0)) === litNode(v.get(1))))
       case ("$regex", v) =>
         val hint = Js.parse("\"s\"") // force string extraction
-        Some(target(hint).rlike(ExprCompiler.regexWithOptions(
-          ExprCompiler.regexLiteral(v), opts)))
+        val re = ExprCompiler.regexWithOptions(
+          ExprCompiler.regexLiteral(v), opts)
+        Some(elemOrSelf(target, hint, ctx)(_.rlike(re)))
       case ("$all", v) => // Mongo: an empty $all list matches NOTHING
         // $all ≡ AND of single equalities (Mongo manual) — on the variant
         // path eqMatchField carries both the whole-value and the
@@ -279,28 +358,26 @@ object QueryCompiler {
     // values, mirroring VariantDoc.pathAs — getField/raw comparison
     // would fail analysis on the variant
     val variant = ctx.typeOf(x).typeName == "variant"
-    def hintT(v: JsonNode): String =
-      if (v == null) null
-      else if (v.isTextual) "string"
-      else if (v.isNumber) "double"
-      else if (v.isBoolean) "boolean"
-      else null
     def self(v: JsonNode): Column =
       if (!variant) x
-      else Option(hintT(v)).map(t =>
+      else Option(hintType(v)).map(t =>
         call_function("try_variant_get", x, lit("$"), lit(t))).getOrElse(x)
     def fieldOf(field: String)(v: JsonNode): Column =
       if (!variant) field.split("\\.").foldLeft(x)(_.getField(_))
       else {
         val p = "$." + field
-        Option(hintT(v)).map(t =>
+        Option(hintType(v)).map(t =>
           call_function("try_variant_get", x, lit(p), lit(t)))
           .getOrElse(call_function("variant_get", x, lit(p)))
       }
     if (isOperatorObject(cond)) operatorConds(self, cond, ctx)
     else
       Js.fields(cond).map { case (field, c) =>
-        fieldMatch(fieldOf(field), c, ctx)
+        // dotted sub-paths over variant elements traverse intermediate
+        // arrays, same as the top-level resolver
+        if (variant && field.contains("."))
+          variantPathMatch(x, field.split("\\.").toList, c, ctx)
+        else fieldMatch(fieldOf(field), c, ctx)
       }.reduce(_ && _)
   }
 

@@ -453,6 +453,40 @@ class VariantTypeSpec extends AnyFunSuite {
     assert(run("""{"nums":{"$nin":[5]}}""") == Seq("b"), "$nin over array")
     assert(run("""{"tags":{"$ne":"y"}}""") == Seq("b"),
       "$ne excludes any-element matches")
+    // range/regex/mod are any-element too (type-bracketed)
+    assert(run("""{"nums":{"$gt":8}}""") == Seq("a"), "$gt over array")
+    assert(run("""{"nums":{"$lte":2}}""") == Seq("a", "b"))
+    assert(run("""{"tags":{"$regex":"^y"}}""") == Seq("a"),
+      "$regex over array elements")
+    assert(run("""{"nums":{"$mod":[2,0]}}""") == Seq("b"),
+      "$mod over array elements")
+  }
+
+  test("schemaless $match: dotted paths traverse intermediate arrays") {
+    val df = Seq(
+      """{"_id":"a","items":[{"name":"a","qty":3},{"name":"b","qty":1}],"deep":[{"b":[{"c":5}]}],"obj":{"k":7}}""",
+      """{"_id":"b","items":[{"name":"a","qty":1}],"deep":[{"b":[{"c":6}]}],"obj":{"k":8}}""",
+      """{"_id":"c","nested":[[{"b":1}]]}""")
+      .toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    def run(m: String): Seq[String] =
+      MessagePipeline.compile(Js.parse(s"""[{"$$match":$m}]"""), Env(spark))(df)
+        .select("value").as[String].collect().toSeq
+        .map(v => Js.parse(v).get("_id").asText()).sorted
+    // {"items.qty": v}: items is an array of documents — Mongo resolves
+    // qty against each element
+    assert(run("""{"items.qty":1}""") == Seq("a", "b"))
+    assert(run("""{"items.qty":{"$gte":2}}""") == Seq("a"))
+    assert(run("""{"items.name":"b"}""") == Seq("a"))
+    // plain object paths still resolve directly
+    assert(run("""{"obj.k":7}""") == Seq("a"))
+    assert(run("""{"obj.k":{"$gt":7}}""") == Seq("b"))
+    // traversal composes per segment (array under array-element field)
+    assert(run("""{"deep.b.c":5}""") == Seq("a"))
+    // Mongo does NOT descend nested arrays ([[{b:1}]] never matches)
+    assert(run("""{"nested.b":1}""") == Nil)
+    // missing paths match null, like Mongo
+    assert(run("""{"items.qty":null}""") == Seq("c"))
   }
 
   test("schemaless heterogeneous array literal keeps element types") {

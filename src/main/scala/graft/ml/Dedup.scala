@@ -457,6 +457,68 @@ object Dedup {
       "left_anti")
   }
 
+  /** Incremental NEAR-dedup: the rows of `newDf` whose text is not a
+    * near-duplicate of any `refDf` row — `dedupAgainst`'s companion for
+    * the syndicated/boilerplate copies an exact anti-join can't see.
+    * Candidates come from a MinHash-LSH band join between the batch and
+    * the reference: the BATCH side's band table is the broadcast side (a
+    * batch is small next to a 100 TB reference), so the reference
+    * streams through the probe with no corpus-wide shuffle. Candidates
+    * then verify by exact shingle Jaccard — computed ONLY for candidate
+    * pairs (shingle tables are semi-joined down to candidate documents
+    * first). A new row drops when ANY verified reference neighbor
+    * reaches `minJaccard`; exact copies drop too (identical bands,
+    * Jaccard 1). Rows with null text or fewer than `k` tokens have no
+    * shingles, band with nothing and are always KEPT — compose with the
+    * exact `dedupAgainst` for those.
+    *
+    * `maxBandFreq` caps reference-side hot band buckets (a duplicate
+    * cluster puts its whole size into one bucket, O(size) probe rows per
+    * batch band) at a bounded recall cost — same dial as
+    * `lshCandidates`, off by default so the oracle checks the exact
+    * variant.
+    */
+  def dedupAgainstNear(newDf: DataFrame, refDf: DataFrame, textCol: String,
+      idCol: String, minJaccard: Double = 0.8, k: Int = 3, p: Int = 12,
+      bands: Int = 4, maxBandFreq: Option[Int] = None): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"dedupAgainstNear: minJaccard must be in (0, 1], got $minJaccard")
+    val r = p / bands
+    def bandsOf(df: DataFrame, as: String) =
+      minhash(df, textCol, idCol, k, p)
+        .select(col(idCol).as(as),
+          explode(bandKeys(col("sig"), bands, r)).as("band"))
+    val nb = bandsOf(newDf, "__new_id")
+    val rb0 = bandsOf(refDf, "__ref_id")
+    val rb = maxBandFreq match {
+      case None => rb0
+      case Some(cap) =>
+        val hot = rb0.groupBy("band").agg(count(lit(1)).as("bf"))
+          .where(col("bf") > cap).select("band")
+        rb0.join(hot, Seq("band"), "left_anti")
+    }
+    val cand = broadcast(nb).join(rb, "band")
+      .select(col("__new_id"), col("__ref_id")).distinct()
+    def shingleTable(df: DataFrame, ids: DataFrame, as: String) =
+      df.join(ids, Seq(idCol), "left_semi")
+        .select(col(idCol).as(as), tokens(col(textCol)).as("__t"))
+        .select(col(as), explode(shingles(col("__t"), k)).as("sh"))
+    val nsh = shingleTable(newDf,
+      cand.select(col("__new_id").as(idCol)).distinct(), "__new_id")
+    val rsh = shingleTable(refDf,
+      cand.select(col("__ref_id").as(idCol)).distinct(), "__ref_id")
+    val shared = nsh.join(rsh, "sh")
+      .join(cand, Seq("__new_id", "__ref_id"), "left_semi")
+      .groupBy("__new_id", "__ref_id").agg(count(lit(1)).as("__shared"))
+    val nsz = nsh.groupBy("__new_id").agg(count(lit(1)).as("__nsz"))
+    val rsz = rsh.groupBy("__ref_id").agg(count(lit(1)).as("__rsz"))
+    val dropIds = shared.join(nsz, "__new_id").join(rsz, "__ref_id")
+      .where(round(col("__shared") /
+        (col("__nsz") + col("__rsz") - col("__shared")), 6) >= minJaccard)
+      .select(col("__new_id").as(idCol)).distinct()
+    newDf.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   private def celledPairs(df: DataFrame, embCol: String, idCol: String,
       threshold: Double, centroids: DataFrame, nprobe: Int,
       dedup: Boolean): DataFrame = {

@@ -14,12 +14,12 @@ object MlQueries {
   // SQL fragments shared by the oracles (DuckDB dialect)
   private[queries] val toksSql = "string_split(lower(text),' ')"
   private[queries] def h32(s: String) = s"('0x'||substr(md5($s),1,8))::BIGINT"
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     s"list_distinct(list_transform(range(0, len(t)-2), i -> t[i+1]||' '||t[i+2]||' '||t[i+3]))"
-  private val minhashSql =
+  private[queries] val minhashSql =
     s"""list_transform(range(0,12), i ->
           list_min(list_transform(sh, s -> ((1+2*i)*${h32("s")} + 7919*i) % 4294967311)))"""
-  private val bandsSql =
+  private[queries] val bandsSql =
     """list_transform(range(0,4), b ->
          b::VARCHAR || ':' || sig[3*b+1]::VARCHAR || ',' || sig[3*b+2]::VARCHAR || ',' || sig[3*b+3]::VARCHAR)"""
   private[queries] def dotSql(a: String, b: String) =

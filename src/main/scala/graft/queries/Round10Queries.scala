@@ -310,6 +310,53 @@ object Round10Queries {
        FROM h LEFT JOIN own USING (hh)
        GROUP BY 1"""
 
+  /** dedupAgainstNear over a batch of 30 near-dup twins (prefix edit of
+    * a reference doc — high shingle Jaccard, must DROP) and 10 novel
+    * docs (no shared shingles — must survive even if a band ever
+    * collided, because candidates verify by exact Jaccard). The oracle
+    * replays minhash banding, the band join, the candidate-restricted
+    * shingle intersection and the Jaccard gate.
+    */
+  private val nearIncOracle = {
+    import MlQueries.{toksSql, shinglesSql, minhashSql, bandsSql}
+    s"""WITH batch AS (
+          SELECT doc_id + 500000 AS doc_id, 'edited intro ' || text AS text
+          FROM documents WHERE doc_id < 30
+          UNION ALL
+          SELECT doc_id + 600000 AS doc_id,
+                 'novel document number ' || (doc_id + 600000) ||
+                 ' entirely unlike anything else in this corpus' AS text
+          FROM documents WHERE doc_id < 10),
+        ntok AS (SELECT doc_id, $toksSql AS t FROM batch),
+        rtok AS (SELECT doc_id, $toksSql AS t FROM documents),
+        nsh0 AS (SELECT doc_id, $shinglesSql AS sh FROM ntok),
+        rsh0 AS (SELECT doc_id, $shinglesSql AS sh FROM rtok),
+        nsig AS (SELECT doc_id, $minhashSql AS sig FROM nsh0),
+        rsig AS (SELECT doc_id, $minhashSql AS sig FROM rsh0),
+        nband AS (SELECT doc_id, unnest($bandsSql) AS band FROM nsig),
+        rband AS (SELECT doc_id, unnest($bandsSql) AS band FROM rsig),
+        cand AS (SELECT DISTINCT n.doc_id AS nid, r.doc_id AS rid
+                 FROM nband n JOIN rband r USING (band)),
+        nsh AS (SELECT doc_id, unnest(sh) AS s FROM nsh0
+                WHERE doc_id IN (SELECT nid FROM cand)),
+        rsh AS (SELECT doc_id, unnest(sh) AS s FROM rsh0
+                WHERE doc_id IN (SELECT rid FROM cand)),
+        shared AS (SELECT n.doc_id AS nid, r.doc_id AS rid,
+                          count(*) AS sc
+                   FROM nsh n JOIN rsh r ON n.s = r.s
+                   JOIN cand c ON c.nid = n.doc_id AND c.rid = r.doc_id
+                   GROUP BY 1, 2),
+        nsz AS (SELECT doc_id, len(sh) AS sz FROM nsh0),
+        rsz AS (SELECT doc_id, len(sh) AS sz FROM rsh0),
+        dropped AS (SELECT DISTINCT s.nid FROM shared s
+                    JOIN nsz ON nsz.doc_id = s.nid
+                    JOIN rsz ON rsz.doc_id = s.rid
+                    WHERE round(CAST(s.sc AS DOUBLE)
+                            / (nsz.sz + rsz.sz - s.sc), 6) >= 0.5)
+        SELECT b.doc_id, b.text FROM batch b
+        WHERE b.doc_id NOT IN (SELECT nid FROM dropped)"""
+  }
+
   /** source-dir → built projected-index dir (JVM-lifetime, like
     * Round9Queries.persistedIndexDirs — Bench/Verify re-execute each
     * query, and the query showcases amortized search, not the build).
@@ -318,6 +365,18 @@ object Round10Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val all: Seq[Q] = Seq(
+    Q.fn("q_dedup_near_incremental", nearIncOracle) { (spark, sf) =>
+      val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      val twins = d.where(col("doc_id") < 30).select(
+        (col("doc_id") + 500000L).as("doc_id"),
+        concat(lit("edited intro "), col("text")).as("text"))
+      val novel = d.where(col("doc_id") < 10).select(
+        (col("doc_id") + 600000L).as("doc_id"),
+        concat(lit("novel document number "), col("doc_id") + 600000L,
+          lit(" entirely unlike anything else in this corpus")).as("text"))
+      Dedup.dedupAgainstNear(twins.unionByName(novel), d,
+        "text", "doc_id", minJaccard = 0.5)
+    },
     Q.fn("q_knn_projected_ivf_persisted", projectedIvfOracle) {
       (spark, sf) =>
         import graft.ml.Similarity

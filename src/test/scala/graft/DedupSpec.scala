@@ -179,6 +179,33 @@ class DedupSpec extends AnyFunSuite {
         "anti-join's result")
   }
 
+  test("dedupAgainstNear: LSH candidates, Jaccard-verified drops") {
+    // a long shared body so the near-dup keeps most shingles
+    val body = (0 until 60).map(i => s"w$i").mkString(" ")
+    val ref = Seq((1L, body), (2L, "another reference text entirely"))
+      .toDF("id", "text")
+    val newB = Seq(
+      (10L, "edited intro " + body),            // near-dup -> drop
+      (11L, body),                              // exact copy -> drop
+      (12L, "a wholly different new document"), // novel -> keep
+      (13L, "so hi"),                           // < k tokens: no bands -> keep
+      (14L, null.asInstanceOf[String]))         // null text -> keep
+      .toDF("id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(Dedup.dedupAgainstNear(newB, ref, "text", "id",
+      minJaccard = 0.5)) == Set(12L, 13L, 14L))
+    // a threshold above the twin's Jaccard keeps it (verification
+    // gates candidates — banding alone never drops)
+    assert(ids(Dedup.dedupAgainstNear(newB, ref, "text", "id",
+      minJaccard = 0.999)) == Set(10L, 12L, 13L, 14L))
+    // capping reference band buckets only prunes candidates
+    assert(ids(Dedup.dedupAgainstNear(newB, ref, "text", "id",
+      minJaccard = 0.5, maxBandFreq = Some(0))) == Set(10L, 11L, 12L, 13L, 14L))
+    intercept[IllegalArgumentException](
+      Dedup.dedupAgainstNear(newB, ref, "text", "id", minJaccard = 0.0))
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

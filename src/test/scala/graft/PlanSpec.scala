@@ -286,6 +286,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct"), p2.take(1200))
   }
 
+  test("chunk keep-list joins by hash and aggregates, never windows") {
+    val p = plan(q("q_chunk_keeplist"))
+    // min-owner per chunk hash = partial aggregate; membership = equi-join
+    // on the 8-byte hash; reassembly = collect_list/array_sort per doc. A
+    // Window would funnel a hot boilerplate chunk's occurrences through
+    // one sorted partition
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("near-dedup broadcasts the batch bands; reference never products") {
+    val p = plan(q("q_dedup_near_incremental"))
+    // the batch side of the band join must BROADCAST: at 100 TB the
+    // reference corpus streams through the probe — a shuffle join here
+    // would move the whole reference's band table
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("persisted projected IVF search equi-joins the narrow index") {
+    val p = plan(q("q_knn_projected_ivf_persisted"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("quality funnel is a narrow map — no exchange, no join") {
     val p = plan(q("q_quality_funnel"))
     assert(!p.contains("Exchange"), p.take(1200))

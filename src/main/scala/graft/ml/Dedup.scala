@@ -489,7 +489,62 @@ object Dedup {
         .select(col(idCol).as(as),
           explode(bandKeys(col("sig"), bands, r)).as("band"))
     val nb = bandsOf(newDf, "__new_id")
-    val rb0 = bandsOf(refDf, "__ref_id")
+    val rb = bandsOf(refDf, "__ref_id")
+    nearFromBands(newDf, refDf, nb, rb, textCol, idCol, minJaccard, k,
+      maxBandFreq)
+  }
+
+  /** Persist the reference side of `dedupAgainstNear`: the (id, band)
+    * table — the only pass that touches the WHOLE corpus. Ingested
+    * batches then probe the saved bands (`dedupAgainstNearIndexed`)
+    * instead of re-shingling 100 TB per batch; the shingle verification
+    * re-reads text only for candidate documents from the live reference
+    * frame, so shingles are never stored. `dir/meta` pins (k, p, bands)
+    * — a mismatch between index-time and probe-time parameters would
+    * silently compare incompatible signatures.
+    */
+  def buildBandIndex(refDf: DataFrame, textCol: String, idCol: String,
+      dir: String, k: Int = 3, p: Int = 12, bands: Int = 4): Unit = {
+    minhash(refDf, textCol, idCol, k, p)
+      .select(col(idCol).as("__ref_id"),
+        explode(bandKeys(col("sig"), bands, p / bands)).as("band"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    refDf.sparkSession.range(1)
+      .select(lit(k).as("k"), lit(p).as("p"), lit(bands).as("bands"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** `dedupAgainstNear` against a `buildBandIndex` directory: identical
+    * results, with the corpus-wide shingle+minhash pass amortized into
+    * the index build. `refDf` must be the frame the index was built
+    * from — it supplies the candidate documents' text for the Jaccard
+    * verification (an equi-join by id; only ~candidates rows of text
+    * move).
+    */
+  def dedupAgainstNearIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDf: DataFrame, refDf: DataFrame, textCol: String,
+      idCol: String, minJaccard: Double = 0.8,
+      maxBandFreq: Option[Int] = None): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"dedupAgainstNearIndexed: minJaccard must be in (0, 1], got $minJaccard")
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val (k, p, bands) =
+      (m.getAs[Int]("k"), m.getAs[Int]("p"), m.getAs[Int]("bands"))
+    val nb = minhash(newDf, textCol, idCol, k, p)
+      .select(col(idCol).as("__new_id"),
+        explode(bandKeys(col("sig"), bands, p / bands)).as("band"))
+    val rb = spark.read.parquet(s"$dir/bands")
+    nearFromBands(newDf, refDf, nb, rb, textCol, idCol, minJaccard, k,
+      maxBandFreq)
+  }
+
+  /** Candidate generation + verification shared by the live and indexed
+    * near-dedup paths: broadcast the batch bands into the reference band
+    * table, then exact-Jaccard-verify candidates only.
+    */
+  private def nearFromBands(newDf: DataFrame, refDf: DataFrame,
+      nb: DataFrame, rb0: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double, k: Int, maxBandFreq: Option[Int]): DataFrame = {
     val rb = maxBandFreq match {
       case None => rb0
       case Some(cap) =>

@@ -206,6 +206,31 @@ class DedupSpec extends AnyFunSuite {
       Dedup.dedupAgainstNear(newB, ref, "text", "id", minJaccard = 0.0))
   }
 
+  test("dedupAgainstNearIndexed equals the live path; meta pins params") {
+    val body = (0 until 60).map(i => s"w$i").mkString(" ")
+    val ref = Seq((1L, body), (2L, "another reference text entirely"))
+      .toDF("id", "text")
+    val newB = Seq(
+      (10L, "edited intro " + body),
+      (11L, body),
+      (12L, "a wholly different new document"),
+      (14L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-band-idx").toString
+    Dedup.buildBandIndex(ref, "text", "id", dir)
+    assert(ids(Dedup.dedupAgainstNearIndexed(spark, dir, newB, ref,
+      "text", "id", minJaccard = 0.5)) ==
+      ids(Dedup.dedupAgainstNear(newB, ref, "text", "id",
+        minJaccard = 0.5)),
+      "the band index only amortizes the corpus pass, never the result")
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert(m.getAs[Int]("k") == 3 && m.getAs[Int]("p") == 12 &&
+      m.getAs[Int]("bands") == 4)
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

@@ -137,6 +137,43 @@ object Curation {
         col("cum_tokens"))
   }
 
+  /** Deterministic global training-shuffle order: `pos` is the row's
+    * rank (0-based) in ascending `md5(salt || id)` order — the standard
+    * "shuffle the corpus once per epoch" step, replayable across
+    * engines and runs (change `salt` per epoch). The naive formulation
+    * is a corpus-wide `row_number` window — one task sorts 100 TB; this
+    * computes it with the same two-level scan as `packChunks` /
+    * `selectByBudget`: rows rank inside their hash-prefix bucket
+    * (`buckets` partitions, each ~n/buckets rows), and bucket offsets
+    * come from a window over the bounded bucket-count frame. The hash
+    * prefix IS the leading sort key, so bucket order is global order
+    * and the id tiebreak inside a bucket keeps the order total.
+    * Returns (idCol, pos).
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String = "shuffle",
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "shuffleOrder: buckets must be > 0")
+    val hashed = df.select(col(idCol),
+      md5(concat(lit(salt), col(idCol).cast(StringType))).as("__h"))
+      // RANGE bucket on the 32-bit hash prefix (NOT modulo — bucket
+      // order must equal hash order for the offsets to rank globally):
+      // floor(prefix * buckets / 2^32), monotone in the hash
+      .withColumn("__bkt",
+        floor(conv(substring(col("__h"), 1, 8), 16, 10).cast(LongType)
+          * buckets / lit(4294967296L)).cast(LongType))
+    val within = hashed.withColumn("__r",
+      row_number().over(Window.partitionBy("__bkt")
+        .orderBy(col("__h"), col(idCol))))
+    val offsets = hashed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    within.join(broadcast(offsets), "__bkt")
+      .select(col(idCol), (col("__off") + col("__r") - 1).as("pos"))
+  }
+
   /** Domain-mix resampling: hit target proportions `targets`
     * (source → weight) exactly, at the largest output size the data
     * allows without upsampling. scale = minₛ count(s)/p(s); each listed

@@ -364,6 +364,18 @@ object Round10Queries {
   private val projIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Deterministic training-shuffle order: pos = rank in md5(salt||id)
+    * order. The engine computes it with the two-level bucket scan (no
+    * corpus-wide window); the oracle replays it as the global
+    * row_number it is equivalent to.
+    */
+  private val shuffleOracle =
+    """SELECT doc_id,
+              CAST(row_number() OVER (
+                ORDER BY md5('shuffle' || CAST(doc_id AS VARCHAR)),
+                         doc_id) - 1 AS BIGINT) AS pos
+       FROM documents"""
+
   /** source-dir → built band-index dir (JVM-lifetime, same pattern as
     * projIndexDirs — the query showcases amortized probing).
     */
@@ -371,6 +383,11 @@ object Round10Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val all: Seq[Q] = Seq(
+    Q.fn("q_shuffle_order", shuffleOracle) { (spark, sf) =>
+      graft.ml.Curation.shuffleOrder(
+        Tables.load(spark, sf, "documents").select("doc_id"),
+        "doc_id", buckets = 64)
+    },
     Q.fn("q_dedup_near_indexed", nearIncOracle) { (spark, sf) =>
       // same batch and same answer as q_dedup_near_incremental, but the
       // reference corpus is shingled ONCE into a persisted band index —

@@ -175,6 +175,31 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == (("", 0L, 0L)))
   }
 
+  test("shuffleOrder: exact permutation equal to the global hash sort") {
+    import spark.implicits._
+    val docs = (0L until 500L).toDF("id")
+    val out = Curation.shuffleOrder(docs, "id", buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation: every position 0..n-1 exactly once
+    assert(out.values.toSeq.sorted == (0L until 500L))
+    // equals the rank in the global md5 order (what the two-level scan
+    // must reproduce without a corpus-wide window)
+    val expected = docs
+      .select(col("id"), md5(concat(lit("shuffle"), col("id").cast("string"))).as("h"))
+      .orderBy("h", "id").collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(out == expected)
+    // bucket count is a parallelism knob, never a semantics knob
+    val one = Curation.shuffleOrder(docs, "id", buckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == out)
+    // a different salt reshuffles
+    val other = Curation.shuffleOrder(docs, "id", salt = "epoch2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other != out)
+    assert(other.values.toSeq.sorted == (0L until 500L))
+  }
+
   test("domainMixTemperature flattens toward uniform as t shrinks") {
     import spark.implicits._
     // heavy skew: big (800 rows) vs small (50)

@@ -212,6 +212,34 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("shuffleOrder ranks inside hash-range buckets, never globally") {
+    // the per-row rank window must be keyed by __bkt (each bucket is
+    // ~n/buckets rows); an unkeyed window may only run over the bucket
+    // COUNT frame (<= buckets rows — an Aggregate sits below it)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def hasAggBelow(n: SparkPlan): Boolean = n match {
+      case _: BaseAggregateExec => true
+      case other                => other.children.exists(hasAggBelow)
+    }
+    graft.queries.Q.session(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ml.Curation.shuffleOrder(
+        Tables.load(spark, sf, "documents").select("doc_id"), "doc_id")
+      val p = df.queryExecution.executedPlan
+      val windows = p.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, p.toString.take(1500))
+      windows.foreach { w =>
+        val bucketed = w.partitionSpec.exists(_.toString.contains("__bkt"))
+        assert(bucketed || hasAggBelow(w),
+          "a raw-row window ranks the whole corpus in one task:\n" +
+            p.toString.take(1500))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("domainMix ranks inside hash buckets, never one task per domain") {
     // the per-row ranking window must be keyed by (source, __hbkt) so a
     // 30%-of-corpus domain is ~buckets parallel sorts; a window keyed on

@@ -174,6 +174,37 @@ object Curation {
       .select(col(idCol), (col("__off") + col("__r") - 1).as("pos"))
   }
 
+  /** Deterministic train/validation/test split assignment: each row
+    * lands in the named split whose cumulative weight interval contains
+    * its hash fraction `h32(salt || id) / 2^32` — stable under corpus
+    * growth (a document's split never changes when other documents
+    * arrive, unlike rank-based splitting), replayable across engines,
+    * and a pure narrow map (no shuffle, no join — `PlanSpec`-style
+    * shape). Weights must be positive and sum to 1 within 1e-9; splits
+    * assign in the given order. Returns the input plus a `split`
+    * column.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplits: at least one split")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "assignSplits: split names must be unique")
+    require(splits.forall(_._2 > 0), "assignSplits: weights must be > 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"assignSplits: weights must sum to 1, got ${splits.map(_._2).sum}")
+    val frac = h32(concat(lit(salt), col(idCol).cast(StringType))) /
+      lit(4294967296.0)
+    // round the cumulative bounds to 9 decimals (repo float convention)
+    // so an external replay computes the identical thresholds
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(b => math.rint(b * 1e9) / 1e9)
+    val expr = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), b), rest) =>
+      when(frac < b, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Domain-mix resampling: hit target proportions `targets`
     * (source → weight) exactly, at the largest output size the data
     * allows without upsampling. scale = minₛ count(s)/p(s); each listed

@@ -382,7 +382,26 @@ object Round10Queries {
   private val bandIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Hash-interval split assignment replay: the same h32 fraction and
+    * the same cumulative bounds (0.9, 0.95).
+    */
+  private val splitsOracle = {
+    val frac =
+      "(('0x'||substr(md5('split' || CAST(doc_id AS VARCHAR)),1,8))" +
+        "::BIGINT / 4294967296.0)"
+    s"""SELECT doc_id,
+               CASE WHEN $frac < 0.9 THEN 'train'
+                    WHEN $frac < 0.95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents"""
+  }
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_assign_splits", splitsOracle) { (spark, sf) =>
+      graft.ml.Curation.assignSplits(
+        Tables.load(spark, sf, "documents").select("doc_id"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    },
     Q.fn("q_shuffle_order", shuffleOracle) { (spark, sf) =>
       graft.ml.Curation.shuffleOrder(
         Tables.load(spark, sf, "documents").select("doc_id"),

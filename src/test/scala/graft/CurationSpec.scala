@@ -175,6 +175,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == (("", 0L, 0L)))
   }
 
+  test("assignSplits: stable hash intervals, loud weight validation") {
+    import spark.implicits._
+    val docs = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.assignSplits(docs, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byName = out.values.groupBy(identity).view.mapValues(_.size)
+    // rates are hash-binomial around the weights
+    assert(math.abs(byName("train") - 1600) < 120, byName.toString)
+    assert(math.abs(byName("val") - 200) < 70, byName.toString)
+    assert(math.abs(byName("test") - 200) < 70, byName.toString)
+    // STABILITY under corpus growth: a document's split never changes
+    // when more documents arrive (the point vs rank-based splitting)
+    val grown = Curation.assignSplits((0L until 4000L).toDF("id"), "id",
+      splits).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall { case (id, s) => grown(id) == s })
+    intercept[IllegalArgumentException](
+      Curation.assignSplits(docs, "id", Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Curation.assignSplits(docs, "id", Seq("a" -> 0.5, "a" -> 0.5)))
+    intercept[IllegalArgumentException](
+      Curation.assignSplits(docs, "id", Seq("a" -> 1.5, "b" -> -0.5)))
+  }
+
   test("shuffleOrder: exact permutation equal to the global hash sort") {
     import spark.implicits._
     val docs = (0L until 500L).toDF("id")

@@ -182,6 +182,32 @@ object QueryCompiler {
     else call_function("mongo_cmp",
       coalesce(to_json(x), lit("null")), lit(canonJson(v))) === 0
 
+  /** `$in` on a variant field: scalar literals GROUP by extraction type
+    * — one typed `isin` on the value plus one element probe per type
+    * group (`exists` is an interpreted higher-order pass: a 1000-element
+    * $in must cost <= 3 passes per row, not 1000) — while null and
+    * structured literals keep the per-element equality (null matches
+    * null/missing/element-null; objects compare in Mongo order).
+    */
+  private def variantInCond(target: JsonNode => Column,
+      elems: Seq[JsonNode], ctx: Ctx): Column =
+    if (elems.isEmpty) lit(false)
+    else {
+      val raw = target(null)
+      val arr = asQueryArr(raw, ctx)
+      val (scalars, rest) = elems.partition(e => hintType(e) != null)
+      val scalarConds = scalars.groupBy(hintType).toSeq.sortBy(_._1)
+        .map { case (t, vs) =>
+          val vals = vs.map(scalaValue)
+          coalesce(target(vs.head).isin(vals: _*), lit(false)) ||
+            coalesce(exists(arr, x =>
+              call_function("try_variant_get", x, lit("$"), lit(t))
+                .isin(vals: _*)), lit(false))
+        }
+      val restConds = rest.map(e => eqMatchField(target, e, ctx))
+      (scalarConds ++ restConds).reduce(_ || _)
+    }
+
   /** Mongo equality on a field resolved through `target`: besides direct
     * value equality, an ARRAY-holding field matches when ANY element
     * equals the literal (docs/query.md:5-28). Typed models get the
@@ -264,11 +290,10 @@ object QueryCompiler {
       // so {$in:[5]} matches nums:[1,5] and {$in:[null]} matches an
       // array holding an explicit null, like Mongo
       case ("$in", v) if ctx.typeOf(target(null)).typeName == "variant" =>
-        Some(Js.elems(v).map(e => eqMatchField(target, e, ctx))
-          .reduceOption(_ || _).getOrElse(lit(false)))
+        Some(variantInCond(target, Js.elems(v), ctx))
       case ("$nin", v) if ctx.typeOf(target(null)).typeName == "variant" =>
-        Some(!coalesce(Js.elems(v).map(e => eqMatchField(target, e, ctx))
-          .reduceOption(_ || _).getOrElse(lit(false)), lit(false)))
+        Some(!coalesce(variantInCond(target, Js.elems(v), ctx),
+          lit(false)))
       case ("$in", v) =>
         val (nulls, vals) = Js.elems(v).partition(_.isNull)
         // the extraction hint must come from a NON-null element: a null

@@ -237,6 +237,61 @@ object TextAnalysis {
         trunc6(avg(-log(col("__c") / col("__n")))).as("surprisal"))
   }
 
+  /** Cross-corpus bigram LM score (the CCNet-style curation signal:
+    * "does this document look like the REFERENCE distribution"): mean
+    * negative log-probability of the document's bigrams under a
+    * Laplace-smoothed bigram model trained on `refDf` —
+    * p(w2|w1) = (B(w1,w2) + 1) / (U(w1) + V), with V the reference
+    * vocabulary size, so out-of-vocabulary tokens and unseen bigrams
+    * degrade smoothly instead of scoring -log 0 (the difference from
+    * `unigramSurprisal`, which self-scores and never sees OOV).
+    * In-distribution text scores LOW; gibberish and off-domain text
+    * score HIGH. Returns (idCol, n_bigrams, lm_score trunc6);
+    * documents with fewer than 2 tokens have no bigrams and score
+    * null over a zero count.
+    *
+    * Shape: reference unigram/bigram counts are partial aggregates; the
+    * scored corpus's bigrams explode once and LEFT-join the two count
+    * tables on their keys (both shuffles keyed on token text; AQE
+    * absorbs stopword-bigram skew; the model is never broadcast — at
+    * 100 TB a bigram table does not fit); V rides a broadcast 1-row
+    * frame; one per-document aggregate. No window, no product.
+    */
+  def lmScore(docs: DataFrame, refDf: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    def bigrams(df: DataFrame, keep: Seq[Column]) = df
+      .select(keep :+ tokens(col(textCol)).as("__t"): _*)
+      .select(keep :+ explode(when(size(col("__t")) < 2,
+        array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("__t")) - 2),
+          i => concat_ws(" ", get(col("__t"), i), get(col("__t"), i + 1)))))
+        .as("__bg"): _*)
+    val refToks = refDf.select(explode(tokens(col(textCol))).as("__w"))
+    val uni = refToks.groupBy(col("__w"))
+      .agg(count(lit(1)).cast(DoubleType).as("__u"))
+    val vocab = refToks.agg(
+      count_distinct(col("__w")).cast(DoubleType).as("__v"))
+    val bi = bigrams(refDf, Seq.empty).groupBy(col("__bg"))
+      .agg(count(lit(1)).cast(DoubleType).as("__b"))
+    val scored = bigrams(docs, Seq(col(idCol)))
+      .withColumn("__w", split(col("__bg"), " ").getItem(0))
+      .join(bi, Seq("__bg"), "left")
+      .join(uni, Seq("__w"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__p",
+        (coalesce(col("__b"), lit(0.0)) + 1.0) /
+          (coalesce(col("__u"), lit(0.0)) + col("__v")))
+    // left join back to the corpus so < 2-token documents keep a row
+    docs.select(col(idCol)).join(
+      scored.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        trunc6(avg(-log(col("__p")))).as("lm_score")),
+      Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score"))
+  }
+
   /** BM25 keyword scoring with inverted-index candidate pruning — the
     * corpus-search shape that survives 100 TB: explode DISTINCT terms per
     * doc, equi-join the (tiny, broadcast) query term list — only docs

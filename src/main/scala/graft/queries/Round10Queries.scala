@@ -396,7 +396,50 @@ object Round10Queries {
         FROM documents"""
   }
 
+  /** Cross-corpus bigram LM scoring: docs >= 250 scored under a
+    * Laplace-smoothed bigram model of docs < 250 (a real train/score
+    * split, so OOV smoothing is exercised). Full replay.
+    */
+  private val lmOracle =
+    """WITH ref AS (SELECT text FROM documents WHERE doc_id < 250),
+            sc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+            rt AS (SELECT unnest(string_split(lower(text),' ')) AS w
+                   FROM ref),
+            uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS u
+                    FROM rt GROUP BY 1),
+            voc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM rt),
+            rbt AS (SELECT string_split(lower(text),' ') AS t FROM ref),
+            rb AS (SELECT unnest(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])) AS bg
+                   FROM rbt WHERE len(t) >= 2),
+            bi AS (SELECT bg, CAST(count(*) AS DOUBLE) AS b
+                   FROM rb GROUP BY 1),
+            sbt AS (SELECT doc_id, string_split(lower(text),' ') AS t
+                    FROM sc),
+            sb AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])) AS bg
+                   FROM sbt WHERE len(t) >= 2),
+            j AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w
+                  FROM sb),
+            p AS (SELECT j.doc_id,
+                    (coalesce(bi.b, 0) + 1) / (coalesce(uni.u, 0) + voc.v)
+                      AS p
+                  FROM j LEFT JOIN bi USING (bg) LEFT JOIN uni USING (w)
+                  CROSS JOIN voc),
+            agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                      CAST(trunc(avg(-ln(p)) * 1000000) AS BIGINT)
+                        / 1000000.0 AS lm_score
+                    FROM p GROUP BY 1)
+       SELECT s.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.lm_score
+       FROM sc s LEFT JOIN agg a USING (doc_id)"""
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_lm_score", lmOracle) { (spark, sf) =>
+      val d = Tables.load(spark, sf, "documents")
+      graft.ml.TextAnalysis.lmScore(
+        d.where(col("doc_id") >= 250).select("doc_id", "text"),
+        d.where(col("doc_id") < 250), "text", "doc_id")
+    },
     Q.fn("q_assign_splits", splitsOracle) { (spark, sf) =>
       graft.ml.Curation.assignSplits(
         Tables.load(spark, sf, "documents").select("doc_id"), "doc_id",

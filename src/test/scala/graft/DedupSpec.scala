@@ -231,6 +231,32 @@ class DedupSpec extends AnyFunSuite {
       m.getAs[Int]("bands") == 4)
   }
 
+  test("lmScore: in-distribution text scores low, OOV smooths finitely") {
+    import graft.ml.TextAnalysis
+    // reference corpus: repetitive in-domain phrasing
+    val ref = (0L until 50L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog number $i"))
+      .toDF("id", "text")
+    val docs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog number 7"),
+      (101L, "zzz qqq entirely unseen vocabulary xxx yyy www vvv"),
+      (102L, "one"),                       // a single token: no bigrams
+      (103L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = TextAnalysis.lmScore(docs, ref, "text", "id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.toString.toDouble))))
+      .toMap
+    assert(out.keySet == Set(100L, 101L, 102L, 103L), "no row may be lost")
+    val inDist = out(100L)._2.get
+    val oov = out(101L)._2.get
+    assert(inDist < oov,
+      s"in-distribution must score lower: $inDist vs $oov")
+    assert(oov.isFinite, "Laplace smoothing must never produce -log 0")
+    assert(out(102L) == ((0L, None)) && out(103L) == ((0L, None)),
+      "documents without bigrams keep a row with a null score")
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

@@ -51,6 +51,21 @@ object Curation {
       .where(col("shared_ngrams") >= minShared)
   }
 
+  /** Decontamination keep-list: `contamination`'s resolution step —
+    * drop every document sharing at least `minShared` distinct k-gram
+    * shingles with the benchmark/eval set, keep the rest. A left
+    * anti-join against the (small by construction) contaminated-id set;
+    * null-text documents shingle to nothing and are kept. Same
+    * `maxShingleDocs` skew guard as `contamination`.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, k: Int = 3, minShared: Long = 2,
+      maxShingleDocs: Long = 0): DataFrame =
+    docs.join(
+      contamination(docs, bench, textCol, idCol, k, minShared,
+        maxShingleDocs).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Concat-then-chunk sequence packing (the standard pretraining
     * batching layout): documents are concatenated in `idCol` order into
     * one virtual token stream, which is cut into fixed `chunkTokens`

@@ -433,7 +433,36 @@ object Round10Queries {
        SELECT s.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.lm_score
        FROM sc s LEFT JOIN agg a USING (doc_id)"""
 
+  /** decontaminate over the same corpus split as q_contamination: the
+    * survivors are exactly the non-benchmark docs NOT in the
+    * contamination report.
+    */
+  private val decontaminateOracle = {
+    val toks = "string_split(lower(text),' ')"
+    val sh3 = "list_distinct(list_transform(range(0, len(t)-2), " +
+      "i -> t[i+1]||' '||t[i+2]||' '||t[i+3]))"
+    s"""WITH tokd AS (SELECT doc_id, $toks AS t FROM documents
+                      WHERE doc_id % 10 <> 0),
+             tokb AS (SELECT $toks AS t FROM documents
+                      WHERE doc_id % 10 = 0),
+             ds AS (SELECT doc_id, unnest($sh3) AS sh FROM tokd),
+             bs AS (SELECT DISTINCT unnest($sh3) AS sh FROM tokb),
+             bad AS (SELECT doc_id FROM ds JOIN bs USING (sh)
+                     GROUP BY 1 HAVING count(*) >= 2)
+        SELECT d.doc_id, d.text FROM documents d
+        WHERE d.doc_id % 10 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM bad)"""
+  }
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_decontaminate", decontaminateOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+        .select("doc_id", "text")
+      graft.ml.Curation.decontaminate(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "text", "doc_id", k = 3, minShared = 2)
+    },
     Q.fn("q_lm_score", lmOracle) { (spark, sf) =>
       val d = Tables.load(spark, sf, "documents")
       graft.ml.TextAnalysis.lmScore(

@@ -138,14 +138,20 @@ object QueryCompiler {
     */
   private def elemOrSelf(target: JsonNode => Column, v: JsonNode,
       ctx: Ctx)(pred: Column => Column): Column = {
-    val direct = pred(target(v))
     val raw = target(null)
-    if (ctx.typeOf(raw).typeName != "variant") direct
-    else coalesce(direct, lit(false)) ||
-      coalesce(exists(asQueryArr(raw, ctx), x =>
-        pred(Option(hintType(v)).map(t =>
-          call_function("try_variant_get", x, lit("$"), lit(t)))
-          .getOrElse(x))), lit(false))
+    ctx.typeOf(raw) match {
+      case t if t.typeName == "variant" =>
+        coalesce(pred(target(v)), lit(false)) ||
+          coalesce(exists(asQueryArr(raw, ctx), x =>
+            pred(Option(hintType(v)).map(ht =>
+              call_function("try_variant_get", x, lit("$"), lit(ht)))
+              .getOrElse(x))), lit(false))
+      case _: ArrayType =>
+        // typed array field: any-element semantics only — the direct
+        // scalar comparison would not analyze against an array column
+        coalesce(exists(raw, x => pred(x)), lit(false))
+      case _ => pred(target(v))
+    }
   }
 
   /** Query-side array view of a field: a typed array passes through; a
@@ -181,6 +187,34 @@ object QueryCompiler {
     if (v.isNull) x.isNull || call_function("is_variant_null", x)
     else call_function("mongo_cmp",
       coalesce(to_json(x), lit("null")), lit(canonJson(v))) === 0
+
+  /** `$in` on a typed field: scalar-list membership on the hint-typed
+    * extraction, or — when the field holds a typed ARRAY — any-element
+    * membership (Mongo), which the scalar isin would fail to analyze.
+    * A null in the list makes $in match null/missing fields (and arrays
+    * holding a null element); a SQL IN with a null element would
+    * instead match none of them.
+    */
+  private def typedInCond(target: JsonNode => Column, v: JsonNode,
+      ctx: Ctx): Column = {
+    val (nulls, vals) = Js.elems(v).partition(_.isNull)
+    // the extraction hint must come from a NON-null element: a null
+    // hint extracts the raw variant and compares variant-vs-literal
+    val hint = vals.headOption.orNull
+    val raw = target(null)
+    val isArr = ctx.typeOf(raw).isInstanceOf[ArrayType]
+    val base =
+      if (vals.isEmpty) lit(false)
+      else if (isArr) exists(raw, x => x.isin(vals.map(scalaValue): _*))
+      else target(hint).isin(vals.map(scalaValue): _*)
+    // the null test must probe the RAW extraction: the typed
+    // try_variant_get answers SQL null on a type MISMATCH too, which
+    // would make a string field wrongly count as null here
+    if (nulls.isEmpty) base
+    else coalesce(base, lit(false)) || isNullish(raw, ctx) ||
+      (if (isArr) coalesce(exists(raw, _.isNull), lit(false))
+       else lit(false))
+  }
 
   /** `$in` on a variant field: scalar literals GROUP by extraction type
     * — one typed `isin` on the value plus one element probe per type
@@ -295,28 +329,12 @@ object QueryCompiler {
         Some(!coalesce(variantInCond(target, Js.elems(v), ctx),
           lit(false)))
       case ("$in", v) =>
-        val (nulls, vals) = Js.elems(v).partition(_.isNull)
-        // the extraction hint must come from a NON-null element: a null
-        // hint extracts the raw variant and compares variant-vs-literal
-        val hint = vals.headOption.orNull
-        // a null in the list makes $in match null/missing fields (Mongo);
-        // a SQL IN with a null element would instead match none of them
-        val base =
-          if (vals.isEmpty) lit(false)
-          else target(hint).isin(vals.map(scalaValue): _*)
-        // the null test must probe the RAW extraction: the typed
-        // try_variant_get answers SQL null on a type MISMATCH too, which
-        // would make a string field wrongly count as null here
-        Some(if (nulls.isEmpty) base
-        else coalesce(base, lit(false)) || isNullish(target(null), ctx))
+        Some(typedInCond(target, v, ctx))
       case ("$nin", v) =>
-        val (nulls, vals) = Js.elems(v).partition(_.isNull)
-        val hint = vals.headOption.orNull
-        val base =
-          if (vals.isEmpty) lit(false)
-          else target(hint).isin(vals.map(scalaValue): _*)
-        val notIn = !coalesce(base, lit(false))
-        // a null in the list excludes null/missing fields from $nin
+        val (nulls, _) = Js.elems(v).partition(_.isNull)
+        val notIn = !coalesce(typedInCond(target, v, ctx), lit(false))
+        // a null in the list excludes null/missing fields from $nin;
+        // typedInCond already folds the null cases into the match side
         Some(if (nulls.isEmpty) notIn
         else notIn && !isNullish(target(null), ctx))
       case ("$exists", v) =>

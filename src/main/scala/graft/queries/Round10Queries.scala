@@ -455,6 +455,19 @@ object Round10Queries {
   }
 
   val all: Seq[Q] = Seq(
+    // typed-array any-element matching: Mongo range and $in operators on
+    // an ARRAY column match when any element satisfies them (the scalar
+    // comparison would not even analyze against an array)
+    Q.pipe("q_match_array_ops", "documents",
+      """[{"$addFields":{"tokens":{"$split":["$text"," "]}}},
+          {"$match":{"tokens":{"$gte":"win","$in":["scan","sort"]}}},
+          {"$project":{"doc_id":1,"n":{"$size":"$tokens"}}}]""",
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n
+         FROM documents
+         WHERE len(list_filter(string_split(text,' '), x -> x >= 'win'))
+                 > 0
+           AND len(list_filter(string_split(text,' '),
+                 x -> x IN ('scan','sort'))) > 0"""),
     Q.fn("q_decontaminate", decontaminateOracle) { (spark, sf) =>
       val docs = Tables.load(spark, sf, "documents")
         .select("doc_id", "text")

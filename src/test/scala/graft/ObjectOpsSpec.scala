@@ -76,6 +76,23 @@ class ObjectOpsSpec extends AnyFunSuite {
     assert(out.select("_id").collect().map(_.getString(0)).toSeq == Seq("d2"))
   }
 
+  test("typed array fields: range and $in match any element (Mongo)") {
+    val df = Seq(
+      ("d1", Seq(1L, 5L, 9L)),
+      ("d2", Seq(2L)),
+      ("d3", Seq[Long]()))
+      .toDF("_id", "nums")
+    def run(m: String): Seq[String] = Pipeline.run(df,
+      s"""[{"$$match":$m}]""", env)
+      .select("_id").collect().map(_.getString(0)).toSeq.sorted
+    // the scalar comparison would fail analysis against an array column;
+    // Mongo matches when ANY element satisfies the operator
+    assert(run("""{"nums":{"$gt":8}}""") == Seq("d1"))
+    assert(run("""{"nums":{"$lte":2}}""") == Seq("d1", "d2"))
+    assert(run("""{"nums":{"$in":[5,7]}}""") == Seq("d1"))
+    assert(run("""{"nums":{"$nin":[5]}}""") == Seq("d2", "d3"))
+  }
+
   test("$group with an object _id groups by multiple keys") {
     val df = Seq(("F", "O", 1), ("F", "O", 2), ("F", "N", 5), ("R", "O", 7))
       .toDF("f", "s", "q")

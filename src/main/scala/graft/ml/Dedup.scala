@@ -412,6 +412,37 @@ object Dedup {
         sum(when(col("__hot"), 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** WITHIN-document repeated-line removal (the Gopher/RefinedWeb
+    * cleaning step corpus-level dedup misses): every line keeps only its
+    * FIRST occurrence inside its own document, survivors reassemble in
+    * order. Returns (idCol, text_clean, n_dropped); null-text documents
+    * survive with an empty text_clean (posexplode_outer — a curation
+    * stage never loses rows).
+    *
+    * Scale shape: explode + one partial-aggregated min(pos) keyed on
+    * (doc, line) — per-document keys, so no corpus-wide hot key exists —
+    * and one per-document reassembly aggregate. No window, no join, no
+    * product. An O(lines²)-per-row HOF formulation would stay narrow but
+    * evaluates interpreted and quadratic on long documents.
+    */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol), posexplode_outer(
+      split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      .as(Seq("pos", "line")))
+    lines
+      .groupBy(col(idCol), col("line"))
+      .agg(min(col("pos")).as("__first"), count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__first"), col("line")))),
+          s => s.getField("line")), sep).as("text_clean"),
+        sum(col("__n") - 1).as("n_dropped"))
+      .withColumn("n_dropped",
+        coalesce(col("n_dropped"), lit(0L)))
+  }
+
   /** Incremental (cross-corpus) dedup: the rows of `newDf` whose text is
     * NOT already present in `refDf` — the ingestion-time filter that
     * keeps a growing corpus exact-duplicate-free without re-deduping the

@@ -454,7 +454,31 @@ object Round10Queries {
           AND d.doc_id NOT IN (SELECT doc_id FROM bad)"""
   }
 
+  /** dedupLines at token granularity (the synthetic text has no
+    * newlines): every repeated token keeps its first occurrence. The
+    * oracle replays first-position selection and ordered reassembly.
+    */
+  private val dedupLinesOracle =
+    """WITH lines AS (SELECT doc_id,
+                             unnest(string_split(text,' ')) AS line,
+                             generate_subscripts(string_split(text,' '),1)
+                               AS pos
+                      FROM documents),
+            firsts AS (SELECT doc_id, line, min(pos) AS f, count(*) AS n
+                       FROM lines GROUP BY 1, 2),
+            agg AS (SELECT doc_id,
+                           string_agg(line, ' ' ORDER BY f) AS text_clean,
+                           CAST(sum(n - 1) AS BIGINT) AS n_dropped
+                    FROM firsts GROUP BY 1)
+       SELECT doc_id, coalesce(text_clean, '') AS text_clean, n_dropped
+       FROM agg"""
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_dedup_lines", dedupLinesOracle) { (spark, sf) =>
+      Dedup.dedupLines(
+        Tables.load(spark, sf, "documents").select("doc_id", "text"),
+        "text", "doc_id", sep = " ")
+    },
     // typed-array any-element matching: Mongo range and $in operators on
     // an ARRAY column match when any element satisfies them (the scalar
     // comparison would not even analyze against an array)

@@ -231,6 +231,22 @@ class DedupSpec extends AnyFunSuite {
       m.getAs[Int]("bands") == 4)
   }
 
+  test("dedupLines keeps first occurrences in order, never loses rows") {
+    val docs = Seq(
+      (1L, "intro\nbody\nintro\ntail\nbody"),
+      (2L, "unique\nlines\nonly"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == (("intro\nbody\ntail", 2L)),
+      "repeats drop, first occurrences keep their order")
+    assert(out(2L) == (("unique\nlines\nonly", 0L)))
+    assert(out(3L) == (("", 0L)),
+      "a null-text document survives with empty text")
+  }
+
   test("lmScore: in-distribution text scores low, OOV smooths finitely") {
     import graft.ml.TextAnalysis
     // reference corpus: repetitive in-domain phrasing

@@ -134,6 +134,23 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dedup KEEP-FIRST: drop every document with a near
+    * PREDECESSOR (a smaller `idCol` within Hamming `maxDist`), keep the
+    * rest. The store-always rule — every document's signature counts
+    * against its successors whether or not it survived itself — makes a
+    * document's fate depend only on the documents before it, so the
+    * result is join-expressible (banded pairs + one anti-join, no
+    * serial scan) and chains resolve deterministically: b near a drops,
+    * and c near only b still drops. Same rule as the streaming
+    * `$deduplicateNear` stage, with arrival order replaced by id order.
+    */
+  def simhashKeepFirst(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int): DataFrame =
+    df.join(
+      simhashPairs(df, textCol, idCol, maxDist)
+        .select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Random-hyperplane LSH over embeddings (cosine SimHash): each vector
     * gets a sign bit per hyperplane (dot ≥ 0), the bit string splits into
     * bands of `bandBits`, candidates equi-join on (band, band value), and

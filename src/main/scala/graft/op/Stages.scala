@@ -85,6 +85,7 @@ object Stages {
       df => df.agg(count(lit(1)).as(spec.asText()))
     case "$lookup"      => df => lookup(df, spec, env)
     case "$deduplicate" => df => deduplicate(df, spec)
+    case "$deduplicateNear" => df => deduplicateNear(df, spec)
     case "$per" => df =>
       if (df.isStreaming) graft.streaming.PerStage(df, spec)
       else per(df, spec)
@@ -569,6 +570,22 @@ object Stages {
   }
 
   // -- stateful-ish stages in batch form ------------------------------------
+
+  /** Engine extension: NEAR-dedup by SimHash Hamming distance on an
+    * expression (the reference's $deduplicate is exact) — streaming via
+    * the banded transformWithState hops, batch via the banded join
+    * analog (StatefulOps scaladoc has the semantics).
+    */
+  private def deduplicateNear(df: DataFrame, spec: JsonNode): DataFrame = {
+    val e = expr(df, spec.get("expression"))
+    val maxDist =
+      if (spec.has("maxDistance")) spec.get("maxDistance").asInt() else 3
+    if (df.isStreaming)
+      graft.streaming.StatefulOps.deduplicateNear(df, e, maxDist,
+        if (spec.has("cacheWindow")) Some(spec.get("cacheWindow").asLong())
+        else None)
+    else graft.streaming.StatefulOps.deduplicateNearBatch(df, e, maxDist)
+  }
 
   private def deduplicate(df: DataFrame, spec: JsonNode): DataFrame = {
     val e = expr(df, spec.get("expression"))

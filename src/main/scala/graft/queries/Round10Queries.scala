@@ -473,7 +473,35 @@ object Round10Queries {
        SELECT doc_id, coalesce(text_clean, '') AS text_clean, n_dropped
        FROM agg"""
 
+  /** simhashKeepFirst over the q_dedup_simhash_pairs corpus: survivors
+    * are the docs with no near predecessor.
+    */
+  private val keepFirstOracle = {
+    import MlQueries.{toksSql, h32}
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents
+                     WHERE doc_id < 200),
+             sh AS (SELECT doc_id,
+               CAST(list_sum(list_transform(range(0,32), j ->
+                 CASE WHEN 2*len(list_filter(t, x ->
+                        ((${h32("x")} >> j) & 1) = 1)) > len(t)
+                      THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)
+                 AS simhash
+               FROM tok),
+             bad AS (SELECT DISTINCT b.doc_id
+                     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                     WHERE bit_count(xor(a.simhash, b.simhash)) <= 8)
+        SELECT d.doc_id, d.text FROM documents d
+        WHERE d.doc_id < 200
+          AND d.doc_id NOT IN (SELECT doc_id FROM bad)"""
+  }
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_dedup_simhash_keepfirst", keepFirstOracle) { (spark, sf) =>
+      Dedup.simhashKeepFirst(
+        Tables.load(spark, sf, "documents").where(col("doc_id") < 200)
+          .select("doc_id", "text"),
+        "text", "doc_id", maxDist = 8)
+    },
     Q.fn("q_dedup_lines", dedupLinesOracle) { (spark, sf) =>
       Dedup.dedupLines(
         Tables.load(spark, sf, "documents").select("doc_id", "text"),

@@ -335,6 +335,20 @@ object MessagePipeline {
           df.withColumn("__dedup", e.cast(StringType))
             .dropDuplicates("__dedup").drop("__dedup")
       }
+    // engine extension: NEAR-dedup by SimHash distance on an expression
+    // (the reference's $deduplicate is exact); see StatefulOps scaladoc
+    case "$deduplicateNear" =>
+      df => {
+        val e = ExprCompiler.compile(spec.get("expression"), ctxOf(df))
+        val maxDist =
+          if (spec.has("maxDistance")) spec.get("maxDistance").asInt() else 3
+        if (df.isStreaming)
+          StatefulOps.deduplicateNear(df, e, maxDist,
+            if (spec.has("cacheWindow"))
+              Some(spec.get("cacheWindow").asLong())
+            else None)
+        else StatefulOps.deduplicateNearBatch(df, e, maxDist)
+      }
     // schemaless $lookup: probe key extracts from the variant typed to the
     // foreign key's column type; matches splice into the message as a
     // JSON array (left outer) or replace per match (unwind → inner)

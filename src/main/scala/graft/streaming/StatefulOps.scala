@@ -110,6 +110,149 @@ object StatefulOps {
       .select("__r.*")
   }
 
+  /** 32-bit SimHash of a text column, per row (the same majority formula
+    * as `graft.ml.Dedup.simhash`, which aggregates over exploded tokens;
+    * here the tokens stay in-row — messages are small). Null/empty text
+    * hashes to 0, so two empty messages count as near (distance 0).
+    */
+  private[graft] def simhash32(text: Column): Column = {
+    val hs = transform(split(lower(text.cast("string")), " "),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    coalesce((0 until 32).map(j =>
+      when(size(filter(hs, h =>
+        call_function("shiftright", h, lit(j)) % 2 === 1)) * 2 >
+        size(hs), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _), lit(0L))
+  }
+
+  /** Streaming NEAR-dedup (`$deduplicateNear` — an engine extension; the
+    * reference's `$deduplicate` is exact-by-expression): a message drops
+    * when an EARLIER message (transport `__ord` within a batch, batch
+    * succession across batches) is within `maxDist` Hamming bits on the
+    * 32-bit SimHash of `text`. Store-always banding: every message's
+    * signature enters its maxDist+1 band states whether or not the
+    * message itself survived — a message's fate depends only on its
+    * predecessors, chains resolve deterministically (b near a drops; c
+    * near only b still drops), and the batch analog
+    * (`Dedup.simhashKeepFirst`, id order standing in for arrival order)
+    * is a plain join, oracled as `q_dedup_simhash_keepfirst`.
+    *
+    * Two stateful hops: (1) rows fan out to their maxDist+1
+    * (band index : band value) groups — by pigeonhole any pair within
+    * maxDist agrees exactly on one band — where a TTL'd `ListState` of
+    * full signatures answers the near test; (2) the per-band verdicts
+    * regroup on the row's unique id (all copies travel in the same
+    * micro-batch — no cross-batch wait) and the row emits iff no band
+    * flagged it. `cacheWindow` is the band-state TTL; without it state
+    * grows with the stream (like `$deduplicate`, faithful to an
+    * unbounded cache). A task retry may re-append signatures to band
+    * state — duplicate signatures change no near verdict, only state
+    * volume.
+    */
+  def deduplicateNear(df: DataFrame, text: Column, maxDist: Int,
+      cacheWindowMs: Option[Long]): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32,
+      s"deduplicateNear: maxDist must be in [0, 32), got $maxDist")
+    val spark = df.sparkSession
+    ensureRocksDb(spark)
+    import spark.implicits._
+    val nBands = maxDist + 1
+    val schema = df.schema
+    val ord =
+      if (df.columns.contains("__ord")) col("__ord").cast("long")
+      else lit(0L)
+    // stamp a unique deterministic id per row (same contract as the
+    // $delay stamping pass: sorted partition position, so the id is a
+    // pure function of the data, not of shuffle-fetch arrival order)
+    val stamped = df
+      .select(to_json(struct(df.columns.map(col): _*)).as("__row"),
+        ord.as("__o"), simhash32(text).as("__sig"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.toVector.sortBy(t => (t._2, t._1)).iterator.zipWithIndex.map {
+          case ((row, o, s), i) => (uidOf(Seq(row), pid, i, 0L), row, o, s)
+        }
+      }.toDF("__id", "__row", "__o", "__sig")
+    val bounds = (0 to nBands).map(i => i * 32 / nBands)
+    val bandCols = (0 until nBands).map { i =>
+      val off = bounds(i)
+      val width = bounds(i + 1) - bounds(i)
+      concat_ws(":", lit(i),
+        call_function("shiftright", col("__sig"), lit(off))
+          .bitwiseAND(lit((1L << width) - 1)))
+    }
+    val flagged = stamped
+      .select(col("__id"), col("__row"), col("__o"), col("__sig"),
+        explode(array(bandCols: _*)).as("__band"))
+      .as[(String, String, Long, Long, String)]
+      .groupByKey(_._5)
+      .transformWithState(new NearBandProcessor(maxDist, cacheWindowMs),
+        if (cacheWindowMs.isDefined) TimeMode.ProcessingTime()
+        else TimeMode.None(),
+        OutputMode.Append())
+    flagged
+      .groupByKey(_._1)
+      .transformWithState(new NearVoteProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("__row")
+      .select(from_json(col("__row"), schema).as("__r"))
+      .select("__r.*")
+  }
+
+  /** Batch analog of [[deduplicateNear]]: the same store-always
+    * keep-first rule with (`__ord`, row content) standing in for arrival
+    * order. Banded self-join (strictly-earlier near neighbor) plus a
+    * per-content window for exact ties (identical rows at the same ord
+    * cannot order each other in a join; the window partitions by the
+    * row CONTENT, so its partitions are the duplicate-copy counts,
+    * never the corpus) — then one anti-join. No serial scan.
+    */
+  def deduplicateNearBatch(df: DataFrame, text: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32,
+      s"deduplicateNear: maxDist must be in [0, 32), got $maxDist")
+    val nBands = maxDist + 1
+    val schema = df.schema
+    val ord =
+      if (df.columns.contains("__ord")) col("__ord").cast("long")
+      else lit(0L)
+    val base = df.select(
+      to_json(struct(df.columns.map(col): _*)).as("__row"),
+      ord.as("__o"), simhash32(text).as("__sig"))
+    val bounds = (0 to nBands).map(i => i * 32 / nBands)
+    val bandCols = (0 until nBands).map { i =>
+      val off = bounds(i)
+      val width = bounds(i + 1) - bounds(i)
+      concat_ws(":", lit(i),
+        call_function("shiftright", col("__sig"), lit(off))
+          .bitwiseAND(lit((1L << width) - 1)))
+    }
+    import org.apache.spark.sql.expressions.Window
+    val copies = base.withColumn("__copy",
+      row_number().over(Window.partitionBy("__row").orderBy("__o")))
+    val banded = copies
+      .select(col("__row"), col("__o"), col("__sig"), col("__copy"),
+        explode(array(bandCols: _*)).as("__band"))
+    val a = banded.select(col("__band"), col("__o").as("__oa"),
+      col("__row").as("__ra"), col("__sig").as("__sa"))
+    val b = banded.select(col("__band"), col("__o").as("__ob"),
+      col("__row").as("__rb"), col("__sig").as("__sb"),
+      col("__copy").as("__cb"))
+    val nearLater = a.join(b, "__band")
+      .where((col("__oa") < col("__ob")) ||
+        (col("__oa") === col("__ob") && col("__ra") < col("__rb")))
+      .where(bit_count(col("__sa").bitwiseXOR(col("__sb"))) <= maxDist)
+      .select(col("__rb").as("__row"), col("__ob").as("__o"),
+        col("__cb").as("__copy")).distinct()
+    val tieDups = copies.where(col("__copy") > 1)
+      .select(col("__row"), col("__o"), col("__copy"))
+    copies.join(nearLater.unionByName(tieDups).distinct(),
+        Seq("__row", "__o", "__copy"), "left_anti")
+      .select(from_json(col("__row"), schema).as("__r"))
+      .select("__r.*")
+  }
+
   /** Streaming `$per` over (key, value) message payloads: emit one message
     * per `amount` buffered values; `timeoutMs` flushes the remainder via a
     * native per-key timer.
@@ -321,6 +464,59 @@ final class DedupProcessor(ttlMs: Option[Long])
       seen.update(true)
       rows.take(1).map(_._2)
     }
+}
+
+/** One band's signature log for `$deduplicateNear`: a TTL'd ListState of
+  * the full 32-bit signatures whose band value hashed here. Rows process
+  * in (ord, content) order — the same total order the stamping pass
+  * used — so the near verdict is deterministic; every row's signature is
+  * stored (store-always) whether or not the row survives.
+  */
+final class NearBandProcessor(maxDist: Int, ttlMs: Option[Long])
+    extends StatefulProcessor[String, (String, String, Long, Long, String),
+      (String, String, Boolean)] {
+  @transient private var sigs: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttl = ttlMs.map(ms => TTLConfig(java.time.Duration.ofMillis(ms)))
+      .getOrElse(TTLConfig.NONE)
+    sigs = getHandle.getListState("sigs", Encoders.scalaLong, ttl)
+  }
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, String, Long, Long, String)],
+      tv: TimerValues): Iterator[(String, String, Boolean)] = {
+    val local = scala.collection.mutable.ArrayBuffer[Long]()
+    sigs.get().foreach(local += _)
+    val sorted = rows.toVector.sortBy(t => (t._3, t._2))
+    val out = sorted.map { case (id, row, _, sig, _) =>
+      val hit =
+        local.exists(s => java.lang.Long.bitCount(s ^ sig) <= maxDist)
+      local += sig
+      // appendValue keeps the stored entries' TTLs; put() would restamp
+      // every old signature's expiry on each batch
+      sigs.appendValue(sig)
+      (id, row, hit)
+    }
+    out.iterator
+  }
+}
+
+/** The per-row verdict merge for `$deduplicateNear`: all of a row's band
+  * copies travel in one micro-batch, so the vote is stateless — emit the
+  * row iff no band flagged a near predecessor.
+  */
+final class NearVoteProcessor
+    extends StatefulProcessor[String, (String, String, Boolean), String] {
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, String, Boolean)],
+      tv: TimerValues): Iterator[String] = {
+    val copies = rows.toVector
+    if (copies.exists(_._3)) Iterator.empty
+    else copies.headOption.map(_._2).iterator
+  }
 }
 
 /** The `$per` accumulator: ListState buffer, native flush timer. One

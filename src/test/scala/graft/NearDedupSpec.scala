@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.op.Env
+import graft.streaming.{AppRunner, FileStreamIo, StatefulOps}
+
+/** `$deduplicateNear` — the SimHash near-dedup engine extension: a
+  * message drops when an earlier message is within maxDistance Hamming
+  * bits; store-always banding keeps the rule order-deterministic and
+  * chain-stable (see StatefulOps scaladoc).
+  */
+class NearDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val base =
+    (0 until 40).map(i => s"w$i").mkString(" ")
+  private val near = // one token edited: a handful of majority bits flip
+    ((0 until 39).map(i => s"w$i") :+ "changed").mkString(" ")
+  private val other =
+    (0 until 40).map(i => s"x$i").mkString(" ")
+
+  private def sigOf(t: String): Long = {
+    import spark.implicits._
+    Seq(t).toDF("t")
+      .select(StatefulOps.simhash32(col("t"))).collect()(0).getLong(0)
+  }
+
+  test("the test corpus separates: near within 8 bits, other beyond") {
+    val (sb, sn, so) = (sigOf(base), sigOf(near), sigOf(other))
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(d(sb, sn) <= 8, s"near distance ${d(sb, sn)}")
+    assert(d(sb, so) > 8, s"other distance ${d(sb, so)}")
+    assert(d(sn, so) > 8, s"near-other distance ${d(sn, so)}")
+  }
+
+  test("batch $deduplicateNear keeps first occurrences, drops near/exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, base), (2L, near), (3L, other), (4L, base))
+      .toDF("__ord", "text")
+    val out = graft.op.Pipeline.run(df,
+      """[{"$deduplicateNear":{"expression":"$text","maxDistance":8}}]""",
+      Env(spark))
+    assert(out.select("__ord").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L),
+      "the near twin and the exact copy drop; base and other survive")
+    // exact ties at the same ord: exactly one copy survives
+    val ties = Seq((1L, base), (1L, base), (1L, other))
+      .toDF("__ord", "text")
+    val out2 = graft.op.Pipeline.run(ties,
+      """[{"$deduplicateNear":{"expression":"$text","maxDistance":8}}]""",
+      Env(spark))
+    assert(out2.count() == 2)
+  }
+
+  test("streaming $deduplicateNear drops near messages across batches") {
+    val dir = Files.createTempDirectory("graft-near").toString
+    // one file per micro-batch; the file source orders same-mtime files
+    // by LISTING order (not name), so arrival order needs explicit
+    // ascending mtimes to be deterministic
+    var mtime = System.currentTimeMillis() - 60000
+    def write(name: String, json: String): Unit = {
+      Files.createDirectories(Paths.get(s"$dir/nearin"))
+      val p = Paths.get(s"$dir/nearin/$name.json")
+      Files.writeString(p, json)
+      mtime += 2000
+      p.toFile.setLastModified(mtime)
+    }
+    write("m1", s"""{"_id":"a","text":"$base"}""")
+    write("m2", s"""{"_id":"b","text":"$near"}""")
+    write("m3", s"""{"_id":"c","text":"$other"}""")
+    val io = new FileStreamIo(dir, Map.empty)
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"near","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"nearin",
+            "toTopic":"out_near",
+            "pipeline":[{"$deduplicateNear":{"expression":"$text",
+                                             "maxDistance":8}}]}]}""")
+    io.processAll()
+    def ids: Set[String] = spark.table("out_near")
+      .select(get_json_object(col("value"), "$._id"))
+      .collect().map(_.getString(0)).toSet
+    assert(ids == Set("a", "c"), s"first batch: $ids")
+    // a later batch's near message still drops — band state persists
+    write("m4", s"""{"_id":"d","text":"$near"}""")
+    write("m5", s"""{"_id":"e","text":"fresh and unrelated content"}""")
+    io.processAll()
+    assert(ids == Set("a", "c", "e"), s"second batch: $ids")
+    io.stopAll()
+  }
+}

@@ -312,6 +312,60 @@ object Multimodal {
         col("media_meta"))
   }
 
+  /** Perceptual image near-dup pairs (aHash): decode → 8×8 luma
+    * thumbnail → 64-bit average hash (bit c set iff cell c's luma
+    * STRICTLY exceeds the thumbnail mean) → banded Hamming pairs at
+    * `maxDist` — the image analog of `Dedup.simhashPairs`, over 64 bits
+    * (pigeonhole: maxDist+1 bands, any pair within maxDist agrees
+    * exactly on one band; equi-join on the band, full-distance verify).
+    * The decode rides the per-partition codec seam; everything after is
+    * columnar. Undecodable payloads have no hash and pair with nothing.
+    */
+  def imageAHashPairs(packed: DataFrame, idCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"imageAHashPairs: maxDist must be in [0, 64), got $maxDist")
+    val nBands = maxDist + 1
+    // decodeImages' output schema names the id column doc_id regardless
+    // of idCol — rename back to the caller's name
+    val th = decodeImages(packed, idCol, thumbW = 8, thumbH = 8)
+      .where(col("decoded"))
+      .select(col("doc_id").as(idCol), col("thumb_luma"))
+      .withColumn("__mean",
+        aggregate(col("thumb_luma"), lit(0L), (a, x) => a + x)
+          .cast(DoubleType) / size(col("thumb_luma")))
+    // 64 direct element accesses (no per-bit HOF pass); adding distinct
+    // powers of two never carries, so the sum IS the bit-OR — exact even
+    // with the sign bit
+    val ahash = (0 until 64).map(c =>
+      when(get(col("thumb_luma"), lit(c)).cast(DoubleType) > col("__mean"),
+        lit(1L << c)).otherwise(lit(0L))).reduce(_ + _)
+    val bounds = (0 to nBands).map(i => i * 64 / nBands)
+    val bandCols = (0 until nBands).map { i =>
+      val off = bounds(i)
+      val width = bounds(i + 1) - bounds(i)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      struct(lit(i).as("bi"),
+        call_function("shiftright", col("ahash"), lit(off))
+          .bitwiseAND(lit(mask)).as("bv"))
+    }
+    val banded = CacheLifecycle.pin(
+      th.select(col(idCol), ahash.as("ahash"))
+        .select(col(idCol), col("ahash"),
+          explode(array(bandCols: _*)).as("band")))
+    val a = banded.select(col("band"), col(idCol).as("id_a"),
+      col("ahash").as("ha"))
+    val b = banded.select(col("band"), col(idCol).as("id_b"),
+      col("ahash").as("hb"))
+    a.join(b, "band")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast(IntegerType))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
+  }
+
   def decodeImages(packed: DataFrame, idCol: String,
       thumbW: Int = 4, thumbH: Int = 4): DataFrame = {
     val input = packed.select(col(idCol).cast(LongType),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ml.Dedup
@@ -495,7 +496,77 @@ object Round10Queries {
           AND d.doc_id NOT IN (SELECT doc_id FROM bad)"""
   }
 
+  /** imageAHashPairs over deterministic 8×8 PPM images (md5-derived
+    * cell lumas; each doc gets a twin with cell 0 bumped, so twin pairs
+    * sit within a few Hamming bits and cross pairs ~32). Spark REALLY
+    * round-trips PPM encode → decode → thumbnail (gray luma v → v and
+    * 8×8→8×8 resize is identity); the oracle replays the feature math
+    * directly from the same cell formula.
+    */
+  private val ahashOracle = {
+    val lum = "('0x'||substr(md5(doc_id || '-' || c),1,2))::BIGINT"
+    s"""WITH ids AS (SELECT doc_id FROM documents),
+         base AS (SELECT doc_id,
+                    list_transform(range(0,64), c -> $lum) AS lum
+                  FROM ids),
+         twin AS (SELECT doc_id + 500000 AS tid,
+                    list_transform(range(0,64), c ->
+                      CASE WHEN c = 0 THEN ($lum + 16) % 256
+                           ELSE $lum END) AS lum
+                  FROM ids),
+         lums AS (SELECT doc_id, lum FROM base
+                  UNION ALL SELECT tid AS doc_id, lum FROM twin),
+         m AS (SELECT doc_id, lum, list_sum(lum)::DOUBLE / 64 AS mean
+               FROM lums),
+         ah AS (SELECT doc_id,
+                  -- DuckDB rejects 1 << 63 as overflow; bit 63 is the
+                  -- Long sign bit, spelled as its value
+                  CAST(list_sum(list_transform(range(0,64), c ->
+                    CASE WHEN lum[CAST(c+1 AS INT)] <= mean THEN 0::BIGINT
+                         WHEN c = 63 THEN -9223372036854775807 - 1
+                         ELSE (1::BIGINT << CAST(c AS INT)) END))
+                    AS BIGINT) AS ahash
+                FROM m),
+         bands AS (SELECT doc_id, ahash,
+                     unnest(list_transform(range(0,7), i ->
+                       i::VARCHAR || ':' ||
+                       ((ahash >> CAST(i*64//7 AS INT)) &
+                        ((1::BIGINT <<
+                          CAST((i+1)*64//7 - i*64//7 AS INT)) - 1))
+                         ::VARCHAR)) AS band
+                   FROM ah)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS dist
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 6"""
+  }
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_multimodal_ahash", ahashOracle) { (spark, sf) =>
+      import graft.ml.Multimodal
+      val d = Tables.load(spark, sf, "documents").select("doc_id")
+      def lumaOf(c: Column, bump: Boolean): Column = {
+        val v = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("-"), c.cast("string"))), 1, 2), 16, 10).cast("int")
+        if (bump) when(c === 0, (v + 16) % 256).otherwise(v) else v
+      }
+      def ppm(bump: Boolean): Column =
+        concat(lit("P3\n8 8\n255\n"), array_join(
+          transform(sequence(lit(0), lit(63)), c => {
+            val v = lumaOf(c, bump).cast("string")
+            concat_ws(" ", v, v, v)
+          }), " "))
+      val base = d.select(col("doc_id"), ppm(bump = false).as("img"))
+      // two selects: Spark's lateral-column-alias resolution would bind
+      // the ppm's col("doc_id") to the RE-KEYED alias in one select,
+      // silently hashing the wrong id
+      val twin = d.select(col("doc_id"), ppm(bump = true).as("img"))
+        .select((col("doc_id") + 500000L).as("doc_id"), col("img"))
+      val corpus = base.unionByName(twin).withColumn("fmt", lit("ppm"))
+      Multimodal.imageAHashPairs(
+        Multimodal.pack(corpus, "img", "fmt"), "doc_id", maxDist = 6)
+    },
     Q.fn("q_dedup_simhash_keepfirst", keepFirstOracle) { (spark, sf) =>
       Dedup.simhashKeepFirst(
         Tables.load(spark, sf, "documents").where(col("doc_id") < 200)

@@ -155,4 +155,35 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
     assert(out == Map(1L -> true, 2L -> false))
   }
+
+  test("imageAHashPairs: near twins pair, unrelated images do not") {
+    import spark.implicits._
+    // deterministic 8x8 gray PPMs: per-cell md5-derived luma; the twin
+    // bumps ONE cell, the stranger re-hashes every cell
+    def ppmOf(seed: String, bump: Boolean): String = {
+      def lum(c: Int): Int = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed-$c".getBytes("UTF-8"))
+          .take(1).map("%02x".format(_)).mkString
+        val v = Integer.parseInt(h, 16)
+        if (bump && c == 0) (v + 16) % 256 else v
+      }
+      "P3\n8 8\n255\n" +
+        (0 until 64).map(c => s"${lum(c)} ${lum(c)} ${lum(c)}").mkString(" ")
+    }
+    val df = Seq(
+      (1L, ppmOf("a", bump = false)),
+      (2L, ppmOf("a", bump = true)),   // near twin of 1
+      (3L, ppmOf("zzz", bump = false)), // unrelated
+      (4L, "not a ppm"))                // undecodable: pairs with nothing
+      .toDF("id", "img").withColumn("fmt", lit("ppm"))
+    val pairs = Multimodal.imageAHashPairs(
+      Multimodal.pack(df, "img", "fmt"), "id", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected only the twin pair, got $pairs")
+    intercept[IllegalArgumentException](
+      Multimodal.imageAHashPairs(Multimodal.pack(df, "img", "fmt"), "id",
+        maxDist = 64))
+  }
 }

@@ -340,23 +340,36 @@ object Multimodal {
     val ahash = (0 until 64).map(c =>
       when(get(col("thumb_luma"), lit(c)).cast(DoubleType) > col("__mean"),
         lit(1L << c)).otherwise(lit(0L))).reduce(_ + _)
+    banded64Pairs(th.select(col(idCol), ahash.as("__h64")), idCol,
+      maxDist)
+  }
+
+  /** Banded Hamming pair search over a 64-bit signature column `__h64`
+    * — pigeonhole: maxDist+1 bands, any pair within maxDist agrees
+    * exactly on one band; equi-join on the band key, full-distance
+    * verify. Shared by the image (aHash) and audio (envelope)
+    * perceptual dedup ops; the 64-bit sibling of
+    * `Dedup.simhashPairs`.
+    */
+  private[ml] def banded64Pairs(hashed: DataFrame, idCol: String,
+      maxDist: Int): DataFrame = {
+    val nBands = maxDist + 1
     val bounds = (0 to nBands).map(i => i * 64 / nBands)
     val bandCols = (0 until nBands).map { i =>
       val off = bounds(i)
       val width = bounds(i + 1) - bounds(i)
       val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(i).as("bi"),
-        call_function("shiftright", col("ahash"), lit(off))
+        call_function("shiftright", col("__h64"), lit(off))
           .bitwiseAND(lit(mask)).as("bv"))
     }
     val banded = CacheLifecycle.pin(
-      th.select(col(idCol), ahash.as("ahash"))
-        .select(col(idCol), col("ahash"),
-          explode(array(bandCols: _*)).as("band")))
+      hashed.select(col(idCol), col("__h64"),
+        explode(array(bandCols: _*)).as("band")))
     val a = banded.select(col("band"), col(idCol).as("id_a"),
-      col("ahash").as("ha"))
+      col("__h64").as("ha"))
     val b = banded.select(col("band"), col(idCol).as("id_b"),
-      col("ahash").as("hb"))
+      col("__h64").as("hb"))
     a.join(b, "band")
       .where(col("id_a") < col("id_b"))
       .withColumn("dist",
@@ -364,6 +377,62 @@ object Multimodal {
       .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
       .distinct()
+  }
+
+  private val envelopeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("env", ArrayType(LongType)),
+    StructField("decoded", BooleanType)))
+
+  /** Per-window energy envelope of decoded PCM: `windows` equal sample
+    * ranges (sample i lands in window i*windows/n), each summing
+    * |sample| — exact integer arithmetic, so an external SQL replay
+    * agrees bit-for-bit. Undecodable payloads → decoded=false.
+    */
+  def decodeAudioEnvelope(packed: DataFrame, idCol: String,
+      windows: Int = 64): DataFrame = {
+    require(windows > 0)
+    val input = packed.select(col(idCol).cast(LongType), col("payload"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        Wav.decode(r.getAs[Array[Byte]](1)) match {
+          case Some(a) if a.samples.nonEmpty =>
+            val n = a.samples.length
+            val env = Array.fill(windows)(0L)
+            var i = 0
+            while (i < n) {
+              env((i.toLong * windows / n).toInt) +=
+                math.abs(a.samples(i).toLong)
+              i += 1
+            }
+            Row(r.getLong(0), env.toSeq, true)
+          case Some(_) => Row(r.getLong(0), Seq.fill(windows)(0L), true)
+          case None    => Row(r.getLong(0), null, false)
+        }
+      }
+    }(RowEncoder.encoderFor(envelopeSchema))
+  }
+
+  /** Audio perceptual near-dup pairs (energy-envelope hash): decode PCM
+    * → 64 window energies → 64-bit hash (bit w set iff window w's
+    * energy share STRICTLY exceeds the mean: env[w]·64 > total — an
+    * integer comparison, no division) → banded Hamming pairs. The audio
+    * member of the perceptual family next to `imageAHashPairs` (images)
+    * and `Dedup.simhashPairs` (text).
+    */
+  def audioEnvelopePairs(packed: DataFrame, idCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"audioEnvelopePairs: maxDist must be in [0, 64), got $maxDist")
+    val env = decodeAudioEnvelope(packed, idCol, windows = 64)
+      .where(col("decoded"))
+      .select(col("doc_id").as(idCol), col("env"))
+      .withColumn("__tot", aggregate(col("env"), lit(0L), (a, x) => a + x))
+    val ahash = (0 until 64).map(w =>
+      when(get(col("env"), lit(w)) * 64 > col("__tot"), lit(1L << w))
+        .otherwise(lit(0L))).reduce(_ + _)
+    banded64Pairs(env.select(col(idCol), ahash.as("__h64")), idCol,
+      maxDist)
   }
 
   def decodeImages(packed: DataFrame, idCol: String,

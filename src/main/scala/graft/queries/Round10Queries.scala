@@ -542,7 +542,71 @@ object Round10Queries {
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 6"""
   }
 
+  /** audioEnvelopePairs over deterministic PCM (md5-derived samples;
+    * each event gets a twin with its first window's samples shifted).
+    * Spark really round-trips WAV encode → decode → envelope; the
+    * oracle replays the integer window sums and the hash directly.
+    */
+  private val audioPairsOracle = {
+    val s = "('0x'||substr(md5(id || '-' || i),1,2))::BIGINT - 128"
+    s"""WITH ids AS (SELECT event_id AS id FROM events
+                     WHERE event_id < 300),
+         smp AS (SELECT id, i, $s AS s
+                 FROM ids CROSS JOIN range(0,256) t(i)),
+         twin AS (SELECT id + 500000 AS id, i,
+                         CASE WHEN i < 4 THEN s + 64 ELSE s END AS s
+                  FROM smp),
+         allsmp AS (SELECT * FROM smp UNION ALL SELECT * FROM twin),
+         env AS (SELECT id, CAST(i * 64 // 256 AS INT) AS w,
+                        sum(abs(s)) AS e
+                 FROM allsmp GROUP BY 1, 2),
+         tot AS (SELECT id, sum(e) AS t FROM env GROUP BY 1),
+         ah AS (SELECT env.id,
+                  CAST(sum(CASE WHEN e * 64 <= t THEN 0::BIGINT
+                           WHEN w = 63 THEN -9223372036854775807 - 1
+                           ELSE (1::BIGINT << w) END) AS BIGINT) AS ahash
+                FROM env JOIN tot USING (id) GROUP BY 1),
+         bands AS (SELECT id, ahash,
+                     unnest(list_transform(range(0,7), i ->
+                       i::VARCHAR || ':' ||
+                       ((ahash >> CAST(i*64//7 AS INT)) &
+                        ((1::BIGINT <<
+                          CAST((i+1)*64//7 - i*64//7 AS INT)) - 1))
+                         ::VARCHAR)) AS band
+                   FROM ah)
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS dist
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.id < b.id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 6"""
+  }
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_multimodal_audio_pairs", audioPairsOracle) { (spark, sf) =>
+      import spark.implicits._
+      import graft.ml.Multimodal
+      def md5hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val packed = Tables.load(spark, sf, "events")
+        .where(col("event_id") < 300)
+        .select(col("event_id")).as[Long]
+        .flatMap { id =>
+          def s(i: Int): Int =
+            Integer.parseInt(md5hex(s"$id-$i").take(2), 16) - 128
+          val base = Array.tabulate[Short](256)(i => s(i).toShort)
+          val twin = Array.tabulate[Short](256)(i =>
+            (if (i < 4) s(i) + 64 else s(i)).toShort)
+          Seq(
+            (id, Multimodal.Wav.encode(
+              Multimodal.Wav.Audio(8000, 1, base))),
+            (id + 500000L, Multimodal.Wav.encode(
+              Multimodal.Wav.Audio(8000, 1, twin))))
+        }.toDF("event_id", "payload")
+        .withColumn("media_meta", struct(lit("wav").as("format"),
+          octet_length(col("payload")).as("n_bytes")))
+      Multimodal.audioEnvelopePairs(packed, "event_id", maxDist = 6)
+    },
     Q.fn("q_multimodal_ahash", ahashOracle) { (spark, sf) =>
       import graft.ml.Multimodal
       val d = Tables.load(spark, sf, "documents").select("doc_id")

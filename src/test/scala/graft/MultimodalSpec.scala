@@ -186,4 +186,24 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.imageAHashPairs(Multimodal.pack(df, "img", "fmt"), "id",
         maxDist = 64))
   }
+
+  test("audioEnvelopePairs: near twins pair, unrelated audio does not") {
+    import spark.implicits._
+    def pcm(seed: Int, bump: Boolean): Array[Short] =
+      Array.tabulate[Short](256) { i =>
+        val v = ((seed * 31 + i * 17) % 199) - 99
+        (if (bump && i < 4) v + 64 else v).toShort
+      }
+    val df = Seq(
+      (1L, Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, pcm(5, bump = false)))),
+      (2L, Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, pcm(5, bump = true)))),
+      (3L, Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, pcm(77, bump = false)))),
+      (4L, Array[Byte](1, 2, 3))) // undecodable
+      .toDF("id", "payload")
+      .withColumn("media_meta", struct(lit("wav").as("format"),
+        octet_length(col("payload")).as("n_bytes")))
+    val pairs = Multimodal.audioEnvelopePairs(df, "id", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the twin pair, got $pairs")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -325,23 +325,56 @@ object Multimodal {
       maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       s"imageAHashPairs: maxDist must be in [0, 64), got $maxDist")
-    val nBands = maxDist + 1
     // decodeImages' output schema names the id column doc_id regardless
     // of idCol — rename back to the caller's name
     val th = decodeImages(packed, idCol, thumbW = 8, thumbH = 8)
       .where(col("decoded"))
       .select(col("doc_id").as(idCol), col("thumb_luma"))
-      .withColumn("__mean",
-        aggregate(col("thumb_luma"), lit(0L), (a, x) => a + x)
-          .cast(DoubleType) / size(col("thumb_luma")))
-    // 64 direct element accesses (no per-bit HOF pass); adding distinct
-    // powers of two never carries, so the sum IS the bit-OR — exact even
-    // with the sign bit
-    val ahash = (0 until 64).map(c =>
-      when(get(col("thumb_luma"), lit(c)).cast(DoubleType) > col("__mean"),
-        lit(1L << c)).otherwise(lit(0L))).reduce(_ + _)
-    banded64Pairs(th.select(col(idCol), ahash.as("__h64")), idCol,
-      maxDist)
+    banded64Pairs(
+      th.select(col(idCol), aHash64(col("thumb_luma")).as("__h64")),
+      idCol, maxDist)
+  }
+
+  /** Video near-dup pairs: sampled frames decode to 8×8 aHashes and
+    * band-join ACROSS videos — two videos pair when at least
+    * `minSharedFrames` DISTINCT sampled frames of the first have a near
+    * (≤ maxDist) frame in the second. The composition of `frameSample`
+    * with the image aHash banded search: no frame×frame product, no
+    * video×video product — the join key is the band, and the per-pair
+    * aggregation is a partial count. Frame indexes must stay below 1e6
+    * (the per-frame key is id·1e6 + frame_idx).
+    */
+  def videoNearPairs(packed: DataFrame, idCol: String, frameBytes: Int,
+      everyNth: Int, maxDist: Int, minSharedFrames: Int = 1): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"videoNearPairs: maxDist must be in [0, 64), got $maxDist")
+    require(minSharedFrames >= 1,
+      s"videoNearPairs: minSharedFrames must be >= 1")
+    val frames = frameSample(packed, idCol, frameBytes, everyNth)
+      .withColumn("__fkey",
+        col(idCol).cast(LongType) * 1000000L + col("frame_idx"))
+    val th = decodeImages(frames, "__fkey", thumbW = 8, thumbH = 8)
+      .where(col("decoded"))
+      .select(col("doc_id").as("__fkey"), col("thumb_luma"))
+    val hashed = th.select(
+      ((col("__fkey") - pmod(col("__fkey"), lit(1000000L))) / 1000000L)
+        .cast(LongType).as("__vid"),
+      pmod(col("__fkey"), lit(1000000L)).as("__fidx"),
+      aHash64(col("thumb_luma")).as("__h64"))
+    val banded = CacheLifecycle.pin(hashed.select(col("__vid"),
+      col("__fidx"), col("__h64"),
+      explode(bands64(col("__h64"), maxDist)).as("band")))
+    val a = banded.select(col("band"), col("__vid").as("id_a"),
+      col("__fidx").as("fa"), col("__h64").as("ha"))
+    val b = banded.select(col("band"), col("__vid").as("id_b"),
+      col("__h64").as("hb"))
+    a.join(b, "band")
+      .where(col("id_a") < col("id_b"))
+      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("fa")).distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minSharedFrames)
   }
 
   /** Banded Hamming pair search over a 64-bit signature column `__h64`
@@ -351,21 +384,38 @@ object Multimodal {
     * perceptual dedup ops; the 64-bit sibling of
     * `Dedup.simhashPairs`.
     */
-  private[ml] def banded64Pairs(hashed: DataFrame, idCol: String,
-      maxDist: Int): DataFrame = {
+  /** The maxDist+1 pigeonhole band keys of a 64-bit signature column. */
+  private def bands64(h: Column, maxDist: Int): Column = {
     val nBands = maxDist + 1
     val bounds = (0 to nBands).map(i => i * 64 / nBands)
-    val bandCols = (0 until nBands).map { i =>
+    array((0 until nBands).map { i =>
       val off = bounds(i)
       val width = bounds(i + 1) - bounds(i)
       val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(i).as("bi"),
-        call_function("shiftright", col("__h64"), lit(off))
+        call_function("shiftright", h, lit(off))
           .bitwiseAND(lit(mask)).as("bv"))
-    }
+    }: _*)
+  }
+
+  /** The aHash over a decoded luma array: bit c set iff cell c STRICTLY
+    * exceeds the array mean. 64 direct element accesses (no per-bit HOF
+    * pass); adding distinct powers of two never carries, so the sum IS
+    * the bit-OR — exact even with the sign bit.
+    */
+  private def aHash64(lum: Column): Column = {
+    val mean = aggregate(lum, lit(0L), (a, x) => a + x)
+      .cast(DoubleType) / size(lum)
+    (0 until 64).map(c =>
+      when(get(lum, lit(c)).cast(DoubleType) > mean, lit(1L << c))
+        .otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  private[ml] def banded64Pairs(hashed: DataFrame, idCol: String,
+      maxDist: Int): DataFrame = {
     val banded = CacheLifecycle.pin(
       hashed.select(col(idCol), col("__h64"),
-        explode(array(bandCols: _*)).as("band")))
+        explode(bands64(col("__h64"), maxDist)).as("band")))
     val a = banded.select(col("band"), col(idCol).as("id_a"),
       col("__h64").as("ha"))
     val b = banded.select(col("band"), col(idCol).as("id_b"),

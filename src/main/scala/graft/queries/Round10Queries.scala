@@ -581,7 +581,81 @@ object Round10Queries {
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 6"""
   }
 
+  /** videoNearPairs over 3-frame synthetic videos (md5-derived 8×8 gray
+    * P6 frames, values < 128 so the gray byte is a single ASCII chr;
+    * each video gets a twin with frame 0's first cell bumped). Twins
+    * share all three frames as near; unrelated videos share none. Full
+    * replay of the per-frame aHash, banding and the shared-frame count.
+    */
+  private val videoPairsOracle = {
+    val v = "('0x'||substr(md5(id||'-'||f||'-'||c),1,2))::BIGINT % 128"
+    s"""WITH ids AS (SELECT event_id AS id FROM events
+                     WHERE event_id < 200),
+         cell AS (SELECT id, f, c, $v AS v
+                  FROM ids CROSS JOIN range(0,3) tf(f)
+                           CROSS JOIN range(0,64) tc(c)),
+         twin AS (SELECT id + 500000 AS id, f, c,
+                         CASE WHEN f = 0 AND c = 0 THEN (v + 16) % 128
+                              ELSE v END AS v
+                  FROM cell),
+         allc AS (SELECT * FROM cell UNION ALL SELECT * FROM twin),
+         m AS (SELECT id, f, sum(v)::DOUBLE / 64 AS mean
+               FROM allc GROUP BY 1, 2),
+         ah AS (SELECT allc.id, allc.f,
+                  CAST(sum(CASE WHEN v <= mean THEN 0::BIGINT
+                           WHEN c = 63 THEN -9223372036854775807 - 1
+                           ELSE (1::BIGINT << CAST(c AS INT)) END)
+                    AS BIGINT) AS ahash
+                FROM allc JOIN m USING (id, f) GROUP BY 1, 2),
+         bands AS (SELECT id, f, ahash,
+                     unnest(list_transform(range(0,7), i ->
+                       i::VARCHAR || ':' ||
+                       ((ahash >> CAST(i*64//7 AS INT)) &
+                        ((1::BIGINT <<
+                          CAST((i+1)*64//7 - i*64//7 AS INT)) - 1))
+                         ::VARCHAR)) AS band
+                   FROM ah),
+         near AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.f AS fa
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.id < b.id
+                  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6)
+        SELECT id_a, id_b, count(*) AS shared_frames
+        FROM near GROUP BY 1, 2 HAVING count(*) >= 2"""
+  }
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_multimodal_video_pairs", videoPairsOracle) { (spark, sf) =>
+      import spark.implicits._
+      import graft.ml.Multimodal
+      def md5hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      def lum(vid: Long, f: Int, c: Int): Int =
+        Integer.parseInt(md5hex(s"$vid-$f-$c").take(2), 16) % 128
+      def frame(vid: Long, f: Int, bump: Boolean): Array[Byte] = {
+        val px = new Array[Byte](192)
+        (0 until 64).foreach { c =>
+          val v0 = lum(vid, f, c)
+          val v = if (bump && f == 0 && c == 0) (v0 + 16) % 128 else v0
+          px(3 * c) = v.toByte; px(3 * c + 1) = v.toByte
+          px(3 * c + 2) = v.toByte
+        }
+        "P6\n8 8\n255\n".getBytes("US-ASCII") ++ px
+      }
+      def video(hashId: Long, bump: Boolean): Array[Byte] =
+        (0 until 3).map(f => frame(hashId, f, bump)).reduce(_ ++ _)
+      val packed = Tables.load(spark, sf, "events")
+        .where(col("event_id") < 200)
+        .select(col("event_id")).as[Long]
+        .flatMap { id =>
+          Seq((id, video(id, bump = false)),
+            (id + 500000L, video(id, bump = true)))
+        }.toDF("event_id", "payload")
+        .withColumn("media_meta", struct(lit("frames").as("format"),
+          octet_length(col("payload")).as("n_bytes")))
+      Multimodal.videoNearPairs(packed, "event_id", frameBytes = 203,
+        everyNth = 1, maxDist = 6, minSharedFrames = 2)
+    },
     Q.fn("q_multimodal_audio_pairs", audioPairsOracle) { (spark, sf) =>
       import spark.implicits._
       import graft.ml.Multimodal

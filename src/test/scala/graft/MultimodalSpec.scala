@@ -206,4 +206,40 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"expected only the twin pair, got $pairs")
   }
+
+  test("videoNearPairs: shared-frame threshold gates video pairs") {
+    import spark.implicits._
+    // 2-frame videos of 8x8 gray P6 (203 bytes/frame); video 2 shares
+    // frame patterns with video 1 (one bumped cell), video 3 is unrelated
+    def frame(seed: Int, bump: Boolean): Array[Byte] = {
+      val px = new Array[Byte](192)
+      (0 until 64).foreach { c =>
+        // md5-derived lumas: linear ramps would make DIFFERENT seeds
+        // share above-mean bit patterns and collide in aHash space
+        val v0 = Integer.parseInt(java.security.MessageDigest
+          .getInstance("MD5").digest(s"$seed-$c".getBytes("UTF-8"))
+          .take(1).map("%02x".format(_)).mkString, 16) % 127
+        val v = if (bump && c == 0) (v0 + 16) % 127 else v0
+        px(3 * c) = v.toByte; px(3 * c + 1) = v.toByte; px(3 * c + 2) = v.toByte
+      }
+      "P6\n8 8\n255\n".getBytes("US-ASCII") ++ px
+    }
+    def video(frames: Array[Byte]*): Array[Byte] = frames.reduce(_ ++ _)
+    val df = Seq(
+      (1L, video(frame(5, false), frame(9, false))),
+      (2L, video(frame(5, true), frame(9, true))),   // near twin
+      (3L, video(frame(70, false), frame(81, false))), // unrelated
+      (4L, video(frame(5, false), frame(70, false)))) // shares ONE frame with 1 and 3
+      .toDF("id", "payload")
+      .withColumn("media_meta", struct(lit("frames").as("format"),
+        octet_length(col("payload")).as("n_bytes")))
+    def pairs(minShared: Int) =
+      Multimodal.videoNearPairs(df, "id", frameBytes = 203, everyNth = 1,
+        maxDist = 6, minSharedFrames = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(2) == Set((1L, 2L)),
+      "only the twin shares BOTH frames")
+    assert(pairs(1) == Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)),
+      "single-frame overlaps appear at minShared = 1")
+  }
 }

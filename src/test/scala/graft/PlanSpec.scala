@@ -340,6 +340,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("perceptual pair searches join by band key, never by product") {
+    // image aHash, audio envelope, video shared-frame: all ride the
+    // 64-bit pigeonhole band equi-join — a CartesianProduct here would
+    // be the quadratic frame/clip/image scan the banding exists to avoid
+    for (q <- Seq("q_multimodal_ahash", "q_multimodal_audio_pairs",
+        "q_multimodal_video_pairs")) {
+      val p = plan(this.q(q))
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$q:\n" + p.take(1200))
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(1200))
+    }
+  }
+
   test("quality funnel is a narrow map — no exchange, no join") {
     val p = plan(q("q_quality_funnel"))
     assert(!p.contains("Exchange"), p.take(1200))

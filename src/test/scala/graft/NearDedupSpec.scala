@@ -55,6 +55,45 @@ class NearDedupSpec extends AnyFunSuite {
     assert(out2.count() == 2)
   }
 
+  test("$deduplicateNear band state survives a crash/restart") {
+    import java.nio.file.{Files => F, Paths => P}
+    import graft.json.Js
+    val work = F.createTempDirectory("graft-near-restart")
+    val srcDir = work.resolve("in/nearrin")
+    F.createDirectories(srcDir)
+    val app =
+      """{"application":"nearr","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"nearrin",
+            "toTopic":"out_nearr",
+            "pipeline":[{"$deduplicateNear":{"expression":"$text",
+                                             "maxDistance":8}}]}]}"""
+    def runPhase(): Unit = {
+      val io = new ResumableIo(work.resolve("in"), work.resolve("out"),
+        work.resolve("ckpt"))
+      val streams = new AppRunner(spark, io, Env(spark)).run(app)
+      streams.get("out_nearr").foreach(io.start("out_nearr", _))
+      io.drainAndStop()
+    }
+    // phase 1: the base message only, then the crash
+    F.writeString(srcDir.resolve("m0000.json"),
+      s"""{"_id":"a","text":"$base"}""")
+    runPhase()
+    // phase 2, NEW runner over the same checkpoint: a near message must
+    // STILL drop — its only near predecessor lives in restored band
+    // state — while unrelated content passes
+    F.writeString(srcDir.resolve("m0001.json"),
+      s"""{"_id":"b","text":"$near"}""")
+    F.writeString(srcDir.resolve("m0002.json"),
+      s"""{"_id":"c","text":"$other"}""")
+    runPhase()
+    val ids = spark.read.schema("key string, value string")
+      .json(work.resolve("out/out_nearr").toString)
+      .select("value").collect()
+      .map(r => Js.parse(r.getString(0)).get("_id").asText()).toSet
+    assert(ids == Set("a", "c"),
+      s"restored state must still suppress the near twin: $ids")
+  }
+
   test("streaming $deduplicateNear drops near messages across batches") {
     val dir = Files.createTempDirectory("graft-near").toString
     // one file per micro-batch; the file source orders same-mtime files

@@ -580,11 +580,14 @@ object Stages {
     val e = expr(df, spec.get("expression"))
     val maxDist =
       if (spec.has("maxDistance")) spec.get("maxDistance").asInt() else 3
+    val dupTopic =
+      if (spec.has("dupTopic")) Some(spec.get("dupTopic").asText()) else None
     if (df.isStreaming)
       graft.streaming.StatefulOps.deduplicateNear(df, e, maxDist,
         if (spec.has("cacheWindow")) Some(spec.get("cacheWindow").asLong())
-        else None)
-    else graft.streaming.StatefulOps.deduplicateNearBatch(df, e, maxDist)
+        else None, dupTopic)
+    else graft.streaming.StatefulOps.deduplicateNearBatch(df, e, maxDist,
+      dupTopic)
   }
 
   private def deduplicate(df: DataFrame, spec: JsonNode): DataFrame = {

@@ -342,12 +342,15 @@ object MessagePipeline {
         val e = ExprCompiler.compile(spec.get("expression"), ctxOf(df))
         val maxDist =
           if (spec.has("maxDistance")) spec.get("maxDistance").asInt() else 3
+        val dupTopic =
+          if (spec.has("dupTopic")) Some(spec.get("dupTopic").asText())
+          else None
         if (df.isStreaming)
           StatefulOps.deduplicateNear(df, e, maxDist,
             if (spec.has("cacheWindow"))
               Some(spec.get("cacheWindow").asLong())
-            else None)
-        else StatefulOps.deduplicateNearBatch(df, e, maxDist)
+            else None, dupTopic)
+        else StatefulOps.deduplicateNearBatch(df, e, maxDist, dupTopic)
       }
     // schemaless $lookup: probe key extracts from the variant typed to the
     // foreign key's column type; matches splice into the message as a

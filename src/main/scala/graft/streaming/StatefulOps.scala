@@ -150,7 +150,12 @@ object StatefulOps {
     * volume.
     */
   def deduplicateNear(df: DataFrame, text: Column, maxDist: Int,
-      cacheWindowMs: Option[Long]): DataFrame = {
+      cacheWindowMs: Option[Long],
+      /** route dropped near-duplicates to this topic (`_topic` column,
+        * honored natively by the sinks like `$send`) instead of losing
+        * them — the same dead-letter ethos as late-`$delay` routing
+        */
+      dupTopic: Option[String] = None): DataFrame = {
     require(maxDist >= 0 && maxDist < 32,
       s"deduplicateNear: maxDist must be in [0, 32), got $maxDist")
     val spark = df.sparkSession
@@ -191,13 +196,36 @@ object StatefulOps {
         if (cacheWindowMs.isDefined) TimeMode.ProcessingTime()
         else TimeMode.None(),
         OutputMode.Append())
-    flagged
+    val voted = flagged
       .groupByKey(_._1)
       .transformWithState(new NearVoteProcessor,
         TimeMode.None(), OutputMode.Append())
-      .toDF("__row")
-      .select(from_json(col("__row"), schema).as("__r"))
-      .select("__r.*")
+      .toDF("__row", "__flagged")
+      .select(col("__flagged"), from_json(col("__row"), schema).as("__r"))
+    routeDups(voted, schema, dupTopic)
+  }
+
+  /** Shared verdict routing for the near-dedup paths: without a dup
+    * topic, flagged rows drop; with one, they survive re-routed via the
+    * `_topic` column (an existing `_topic` value is preserved on
+    * unflagged rows).
+    */
+  private def routeDups(voted: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      dupTopic: Option[String]): DataFrame = {
+    val unpacked = voted.select(
+      col("__flagged") +: schema.fieldNames.map(f => col(s"__r.$f")): _*)
+    dupTopic match {
+      case None => unpacked.where(!col("__flagged")).drop("__flagged")
+      case Some(t) =>
+        val existing =
+          if (schema.fieldNames.contains("_topic")) col("_topic")
+          else lit(null).cast("string")
+        unpacked
+          .withColumn("_topic",
+            when(col("__flagged"), lit(t)).otherwise(existing))
+          .drop("__flagged")
+    }
   }
 
   /** Batch analog of [[deduplicateNear]]: the same store-always
@@ -209,7 +237,7 @@ object StatefulOps {
     * never the corpus) — then one anti-join. No serial scan.
     */
   def deduplicateNearBatch(df: DataFrame, text: Column,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, dupTopic: Option[String] = None): DataFrame = {
     require(maxDist >= 0 && maxDist < 32,
       s"deduplicateNear: maxDist must be in [0, 32), got $maxDist")
     val nBands = maxDist + 1
@@ -247,10 +275,13 @@ object StatefulOps {
         col("__cb").as("__copy")).distinct()
     val tieDups = copies.where(col("__copy") > 1)
       .select(col("__row"), col("__o"), col("__copy"))
-    copies.join(nearLater.unionByName(tieDups).distinct(),
-        Seq("__row", "__o", "__copy"), "left_anti")
-      .select(from_json(col("__row"), schema).as("__r"))
-      .select("__r.*")
+    val flaggedSet = nearLater.unionByName(tieDups).distinct()
+      .withColumn("__flagged", lit(true))
+    val voted = copies
+      .join(flaggedSet, Seq("__row", "__o", "__copy"), "left")
+      .select(coalesce(col("__flagged"), lit(false)).as("__flagged"),
+        from_json(col("__row"), schema).as("__r"))
+    routeDups(voted, schema, dupTopic)
   }
 
   /** Streaming `$per` over (key, value) message payloads: emit one message
@@ -503,19 +534,20 @@ final class NearBandProcessor(maxDist: Int, ttlMs: Option[Long])
 }
 
 /** The per-row verdict merge for `$deduplicateNear`: all of a row's band
-  * copies travel in one micro-batch, so the vote is stateless — emit the
-  * row iff no band flagged a near predecessor.
+  * copies travel in one micro-batch, so the vote is stateless — one
+  * (row, flagged) verdict per row; the caller drops or re-routes flagged
+  * rows.
   */
 final class NearVoteProcessor
-    extends StatefulProcessor[String, (String, String, Boolean), String] {
+    extends StatefulProcessor[String, (String, String, Boolean),
+      (String, Boolean)] {
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
 
   override def handleInputRows(key: String,
       rows: Iterator[(String, String, Boolean)],
-      tv: TimerValues): Iterator[String] = {
+      tv: TimerValues): Iterator[(String, Boolean)] = {
     val copies = rows.toVector
-    if (copies.exists(_._3)) Iterator.empty
-    else copies.headOption.map(_._2).iterator
+    copies.headOption.map(c => (c._2, copies.exists(_._3))).iterator
   }
 }
 

@@ -55,6 +55,23 @@ class NearDedupSpec extends AnyFunSuite {
     assert(out2.count() == 2)
   }
 
+  test("dupTopic routes dropped near-duplicates instead of losing them") {
+    import spark.implicits._
+    val df = Seq((1L, base), (2L, near), (3L, other))
+      .toDF("__ord", "text")
+    val out = graft.op.Pipeline.run(df,
+      """[{"$deduplicateNear":{"expression":"$text","maxDistance":8,
+                               "dupTopic":"near-dups"}}]""",
+      Env(spark))
+    val rows = out.select("__ord", "_topic").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), "no row is lost")
+    assert(rows(2L) == Some("near-dups"),
+      "the dropped near twin re-routes to the dup topic")
+    assert(rows(1L).isEmpty && rows(3L).isEmpty,
+      "survivors carry no routing override")
+  }
+
   test("$deduplicateNear band state survives a crash/restart") {
     import java.nio.file.{Files => F, Paths => P}
     import graft.json.Js

@@ -35,6 +35,12 @@ object Verify {
           Option(e.getMessage).getOrElse("").linesIterator.take(3)
             .mkString(" ")}"
       }
+      // the parquet dump is written — release this query's ml-internal
+      // pins (band tables, signatures, codebooks) instead of letting ~150
+      // queries' caches pile onto the storage pool. Bench deliberately
+      // does NOT do this: its timed pass reuses the warmup's pins, and
+      // releasing would inflate timings against the recorded history.
+      graft.ml.CacheLifecycle.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

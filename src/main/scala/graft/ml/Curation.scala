@@ -167,7 +167,10 @@ object Curation {
     */
   def shuffleOrder(df: DataFrame, idCol: String, salt: String = "shuffle",
       buckets: Int = 1024): DataFrame = {
-    require(buckets > 0, "shuffleOrder: buckets must be > 0")
+    // prefix(32-bit) * buckets must stay exact in a double (< 2^52) or
+    // the range-bucket assignment loses monotonicity at boundaries
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"shuffleOrder: buckets must be in [1, 2^20], got $buckets")
     val hashed = df.select(col(idCol),
       md5(concat(lit(salt), col(idCol).cast(StringType))).as("__h"))
       // RANGE bucket on the 32-bit hash prefix (NOT modulo — bucket

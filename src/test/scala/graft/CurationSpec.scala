@@ -222,6 +222,10 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(other != out)
     assert(other.values.toSeq.sorted == (0L until 500L))
+    // past 2^20 buckets the range assignment would lose double
+    // precision — refuse loudly
+    intercept[IllegalArgumentException](
+      Curation.shuffleOrder(docs, "id", buckets = (1 << 20) + 1))
   }
 
   test("domainMixTemperature flattens toward uniform as t shrinks") {

@@ -306,6 +306,20 @@ object QueryCompiler {
     }
   }
 
+  /** `$elemMatch` condition over the field's array view: any element
+    * satisfying the sub-query/operator object (shared by the direct
+    * operator and its `$all` composition).
+    */
+  private def elemMatchCond(target: JsonNode => Column, v: JsonNode,
+      ctx: Ctx): Column = {
+    val raw = target(null)
+    val variant = ctx.typeOf(raw).typeName == "variant"
+    coalesce(
+      exists(asQueryArr(raw, ctx), x => compileValuePredicate(v, x,
+        if (variant) ctx.withTypedVar("__e", x, VariantType) else ctx)),
+      lit(false))
+  }
+
   private def operatorConds(target: JsonNode => Column, n: JsonNode,
       ctx: Ctx): Column = {
     val opts =
@@ -357,20 +371,18 @@ object QueryCompiler {
       case ("$all", v) => // Mongo: an empty $all list matches NOTHING
         // $all ≡ AND of single equalities (Mongo manual) — on the variant
         // path eqMatchField carries both the whole-value and the
-        // any-element match, covering Mongo's non-array-field edge too
-        Some(
-          if (ctx.typeOf(target(null)).typeName == "variant")
-            Js.elems(v).map(e => eqMatchField(target, e, ctx))
-              .reduceOption(_ && _).getOrElse(lit(false))
-          else Js.elems(v).map(e => array_contains(target(null), litNode(e)))
-            .reduceOption(_ && _).getOrElse(lit(false)))
-      case ("$elemMatch", v) =>
-        val raw = target(null)
-        val variant = ctx.typeOf(raw).typeName == "variant"
-        Some(coalesce(
-          exists(asQueryArr(raw, ctx), x => compileValuePredicate(v, x,
-            if (variant) ctx.withTypedVar("__e", x, VariantType) else ctx)),
-          lit(false)))
+        // any-element match, covering Mongo's non-array-field edge too.
+        // {$all: [{$elemMatch: q}, ...]} is Mongo's documented
+        // composition: EACH member must have a matching element —
+        // treating it as an object literal would silently match nothing
+        Some(Js.elems(v).map {
+          case e if e.isObject && e.size() == 1 && e.has("$elemMatch") =>
+            elemMatchCond(target, e.get("$elemMatch"), ctx)
+          case e if ctx.typeOf(target(null)).typeName == "variant" =>
+            eqMatchField(target, e, ctx)
+          case e => array_contains(target(null), litNode(e))
+        }.reduceOption(_ && _).getOrElse(lit(false)))
+      case ("$elemMatch", v) => Some(elemMatchCond(target, v, ctx))
       case ("$size", v) =>
         Some(size(asQueryArr(target(null), ctx)) === litNode(v))
       case ("$bitsAllSet", v) =>

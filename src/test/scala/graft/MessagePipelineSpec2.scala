@@ -487,6 +487,14 @@ class VariantTypeSpec extends AnyFunSuite {
     assert(run("""{"nested.b":1}""") == Nil)
     // missing paths match null, like Mongo
     assert(run("""{"items.qty":null}""") == Seq("c"))
+    // Mongo's $all + $elemMatch composition: each member needs its own
+    // matching element (an object-literal reading would match nothing)
+    assert(run(
+      """{"items":{"$all":[{"$elemMatch":{"name":"a","qty":{"$gte":2}}},
+                           {"$elemMatch":{"name":"b"}}]}}""") == Seq("a"))
+    assert(run(
+      """{"items":{"$all":[{"$elemMatch":{"name":"a"}}]}}""")
+      == Seq("a", "b"))
   }
 
   test("schemaless heterogeneous array literal keeps element types") {

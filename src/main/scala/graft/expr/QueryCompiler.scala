@@ -357,8 +357,15 @@ object QueryCompiler {
       case ("$type", v) =>
         // per-row for schemaless (variant) fields; folds to a constant
         // for typed columns — the old static answer called every variant
-        // field "object"
-        Some(ExprCompiler.mongoTypeOf(target(null), ctx) === v.asText())
+        // field "object". Mongo also accepts an ARRAY of type names
+        // (matches any); asText() on an array is "" and would silently
+        // match nothing
+        val t = ExprCompiler.mongoTypeOf(target(null), ctx)
+        Some(
+          if (v.isArray)
+            Js.elems(v).map(e => t === e.asText())
+              .reduceOption(_ || _).getOrElse(lit(false))
+          else t === v.asText())
       case ("$expr", v) => Some(ExprCompiler.compile(v, ctx))
       case ("$mod", v) =>
         Some(elemOrSelf(target, v.get(0), ctx)(

@@ -462,6 +462,22 @@ class VariantTypeSpec extends AnyFunSuite {
       "$mod over array elements")
   }
 
+  test("schemaless $match: $type accepts an array of type names") {
+    val df = Seq(
+      """{"_id":"a","v":5}""",
+      """{"_id":"b","v":"text"}""",
+      """{"_id":"c","v":[1]}""")
+      .toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    def run(m: String): Seq[String] =
+      MessagePipeline.compile(Js.parse(s"""[{"$$match":$m}]"""), Env(spark))(df)
+        .select("value").as[String].collect().toSeq
+        .map(v => Js.parse(v).get("_id").asText()).sorted
+    assert(run("""{"v":{"$type":["long","string"]}}""") == Seq("a", "b"))
+    assert(run("""{"v":{"$type":"array"}}""") == Seq("c"))
+    assert(run("""{"v":{"$type":[]}}""") == Nil)
+  }
+
   test("schemaless $match: dotted paths traverse intermediate arrays") {
     val df = Seq(
       """{"_id":"a","items":[{"name":"a","qty":3},{"name":"b","qty":1}],"deep":[{"b":[{"c":5}]}],"obj":{"k":7}}""",

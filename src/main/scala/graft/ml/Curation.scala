@@ -66,6 +66,45 @@ object Curation {
         maxShingleDocs).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Boundary-respecting NEXT-FIT packing (the layout for training
+    * without cross-document attention — `packChunks`' complement, which
+    * SPLITS documents across fixed windows): documents concatenate in
+    * `idCol` order and each lands whole in the bin its START offset
+    * falls into — `bin = floor(start / binTokens)` — so a bin may run
+    * over `binTokens` by at most one document (greedy next-fit; cap
+    * documents upstream if strict capacity matters). Deterministic,
+    * SQL-replayable, and the global start offsets ride the same
+    * two-level bucket scan as `packChunks` — no corpus-wide window.
+    * Returns (idCol, bin, start_tok, n_tokens); zero/null-token
+    * documents are excluded like `packChunks`.
+    */
+  def packBins(df: DataFrame, textCol: String, idCol: String,
+      binTokens: Long, bucketSize: Long = 1000L): DataFrame = {
+    require(binTokens > 0, "packBins: binTokens must be > 0")
+    val id = col(idCol)
+    val toks = df
+      .select(id.as("__id"),
+        size(tokens(col(textCol))).cast(LongType).as("__n"))
+      .where(col("__n") > 0)
+      .withColumn("__bkt", floor(col("__id") / bucketSize))
+    val inBucket = toks.withColumn("__cum",
+      sum(col("__n")).over(
+        Window.partitionBy("__bkt").orderBy("__id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketOffsets = toks.groupBy("__bkt")
+      .agg(sum(col("__n")).as("__btot"))
+      .withColumn("__boff",
+        coalesce(sum(col("__btot")).over(
+          Window.orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__boff"))
+    inBucket.join(broadcast(bucketOffsets), "__bkt")
+      .withColumn("__start", col("__boff") + col("__cum") - col("__n"))
+      .select(col("__id").as(idCol),
+        floor(col("__start") / binTokens).cast(LongType).as("bin"),
+        col("__start").as("start_tok"), col("__n").as("n_tokens"))
+  }
+
   /** Concat-then-chunk sequence packing (the standard pretraining
     * batching layout): documents are concatenated in `idCol` order into
     * one virtual token stream, which is cut into fixed `chunkTokens`

@@ -623,7 +623,30 @@ object Round10Queries {
         FROM near GROUP BY 1, 2 HAVING count(*) >= 2"""
   }
 
+  /** packBins over documents < 300 (same slice as q_pack_chunks): each
+    * doc lands whole in the bin its global start offset falls into. The
+    * oracle replays the running-sum placement as the global window it is
+    * equivalent to.
+    */
+  private val packBinsOracle =
+    """WITH d AS (SELECT doc_id,
+                    CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n
+                  FROM documents WHERE doc_id < 300),
+            c AS (SELECT doc_id, n,
+                    CAST(sum(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) - n AS s
+                  FROM d WHERE n > 0)
+       SELECT doc_id, CAST(s // 512 AS BIGINT) AS bin,
+              s AS start_tok, n AS n_tokens
+       FROM c"""
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_pack_bins", packBinsOracle) { (spark, sf) =>
+      graft.ml.Curation.packBins(
+        Tables.load(spark, sf, "documents").where(col("doc_id") < 300),
+        "text", "doc_id", binTokens = 512)
+    },
     Q.fn("q_multimodal_video_pairs", videoPairsOracle) { (spark, sf) =>
       import spark.implicits._
       import graft.ml.Multimodal

@@ -175,6 +175,32 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == (("", 0L, 0L)))
   }
 
+  test("packBins: whole documents, next-fit bins, bounded overflow") {
+    import spark.implicits._
+    // token counts 5, 7, 4, 6, 9, 3 against binTokens = 10 (null text
+    // has no tokens and is excluded, like packChunks)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e f g"), (3L, "a b c d"),
+      (4L, "a b c d e f"), (5L, "a b c d e f g h i"), (6L, "a b c"),
+      (7L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = Curation.packBins(docs, "text", "id", binTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // starts: 0,5,12,16,22,31 -> bins 0,0,1,1,2,3
+    assert(out.map(t => t._1 -> t._2).toSeq ==
+      Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L, 6L -> 3L))
+    assert(out.map(_._3).toSeq == Seq(0L, 5L, 12L, 16L, 22L, 31L))
+    // a doc is never split: one row per tokenized document
+    assert(out.length == 6)
+    // next-fit overflow is bounded by one document: bin 0 carries 12
+    // tokens (5 + 7) against capacity 10 — by design, never more than
+    // capacity + the overflowing doc
+    val binTotals = out.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    assert(binTotals(0L) == 12L)
+    intercept[IllegalArgumentException](
+      Curation.packBins(docs, "text", "id", binTokens = 0))
+  }
+
   test("assignSplits: stable hash intervals, loud weight validation") {
     import spark.implicits._
     val docs = (0L until 2000L).toDF("id")

@@ -196,6 +196,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("packBins rides the same bucketed scan — no corpus-wide window") {
+    graft.queries.Q.session(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ml.Curation.packBins(
+        Tables.load(spark, sf, "documents"), "text", "doc_id",
+        binTokens = 512, bucketSize = 50)
+      val p = df.queryExecution.executedPlan
+      val windows = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, p.toString.take(1500))
+      assert(windows.exists(
+        _.partitionSpec.exists(_.toString.contains("__bkt"))),
+        "per-row cumsum window lost its bucket key:\n" +
+          p.toString.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("selectByBudget windows by quality bucket, not the whole corpus") {
     graft.queries.Q.session(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -69,6 +69,10 @@ class GoldenTestSpec extends AnyFunSuite {
     check("r4lang", strict = true)
   }
 
+  test("$deduplicateNear app: near twin re-routes via dupTopic (strict)") {
+    check("neardedup", strict = true)
+  }
+
   // The reference's own fixture applications, ported verbatim
   // (reference src/test/resources/appN; Test.java runs them lenient).
   private val ported = (1 to 40)

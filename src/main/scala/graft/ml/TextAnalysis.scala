@@ -237,6 +237,42 @@ object TextAnalysis {
         trunc6(avg(-log(col("__c") / col("__n")))).as("surprisal"))
   }
 
+  /** N-gram novelty against a reference corpus: the fraction of a
+    * document's DISTINCT k-gram shingles absent from the reference — a
+    * near-zero score means the document is assembled from passages the
+    * reference already carries (the dedupe-adjacent redundancy signal),
+    * a near-one score means genuinely new text. Shape: distinct
+    * shingles explode once per side, the reference set dedupes with a
+    * partial aggregate, one left join keyed on the shingle (AQE absorbs
+    * stopword-shingle skew; the reference is never broadcast), one
+    * per-document aggregate. Documents with fewer than k tokens have no
+    * shingles and score null over a zero count (rows are never lost).
+    * Returns (idCol, n_shingles, n_novel, novelty rounded 9).
+    */
+  def noveltyScore(docs: DataFrame, refDf: DataFrame, textCol: String,
+      idCol: String, k: Int = 3): DataFrame = {
+    val docSh = docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(shingles(col("__t"), k)).as("sh"))
+    val refSh = refDf
+      .select(tokens(col(textCol)).as("__t"))
+      .select(explode(shingles(col("__t"), k)).as("sh"))
+      .distinct().withColumn("__seen", lit(true))
+    docs.select(col(idCol)).join(
+      docSh.join(refSh, Seq("sh"), "left")
+        .groupBy(col(idCol))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast(DoubleType) / col("n_shingles"), 9)),
+      Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        col("novelty"))
+  }
+
   /** Cross-corpus bigram LM score (the CCNet-style curation signal:
     * "does this document look like the REFERENCE distribution"): mean
     * negative log-probability of the document's bigrams under a

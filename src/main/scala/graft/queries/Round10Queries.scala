@@ -641,7 +641,40 @@ object Round10Queries {
               s AS start_tok, n AS n_tokens
        FROM c"""
 
+  /** noveltyScore: docs >= 250 scored against the < 250 reference (the
+    * lmScore split). Distinct-shingle membership replayed exactly.
+    */
+  private val noveltyOracle = {
+    val sh3 = "list_distinct(list_transform(range(0, len(t)-2), " +
+      "i -> t[i+1]||' '||t[i+2]||' '||t[i+3]))"
+    s"""WITH sc AS (SELECT doc_id, string_split(lower(text),' ') AS t
+                    FROM documents WHERE doc_id >= 250),
+            rf AS (SELECT string_split(lower(text),' ') AS t
+                   FROM documents WHERE doc_id < 250),
+            ds AS (SELECT doc_id, unnest($sh3) AS sh FROM sc),
+            rs AS (SELECT DISTINCT unnest($sh3) AS sh FROM rf),
+            j AS (SELECT ds.doc_id, ds.sh,
+                         CASE WHEN rs.sh IS NULL THEN 1 ELSE 0 END AS nov
+                  FROM ds LEFT JOIN rs USING (sh)),
+            agg AS (SELECT doc_id, count(*) AS n_shingles,
+                           CAST(sum(nov) AS BIGINT) AS n_novel,
+                           round(CAST(sum(nov) AS DOUBLE) / count(*), 9)
+                             AS novelty
+                    FROM j GROUP BY 1)
+        SELECT s.doc_id,
+               coalesce(a.n_shingles, 0) AS n_shingles,
+               coalesce(a.n_novel, 0) AS n_novel, a.novelty
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) s
+        LEFT JOIN agg a USING (doc_id)"""
+  }
+
   val all: Seq[Q] = Seq(
+    Q.fn("q_text_novelty", noveltyOracle) { (spark, sf) =>
+      val d = Tables.load(spark, sf, "documents")
+      graft.ml.TextAnalysis.noveltyScore(
+        d.where(col("doc_id") >= 250).select("doc_id", "text"),
+        d.where(col("doc_id") < 250), "text", "doc_id")
+    },
     Q.fn("q_pack_bins", packBinsOracle) { (spark, sf) =>
       graft.ml.Curation.packBins(
         Tables.load(spark, sf, "documents").where(col("doc_id") < 300),

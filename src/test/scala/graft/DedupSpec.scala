@@ -247,6 +247,29 @@ class DedupSpec extends AnyFunSuite {
       "a null-text document survives with empty text")
   }
 
+  test("noveltyScore: copied text scores 0, new text 1, rows never lost") {
+    import graft.ml.TextAnalysis
+    val ref = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // all seen
+      (11L, "completely novel words never seen before anywhere"),
+      (12L, "the quick brown fox visits entirely novel territory today"),
+      (13L, "so hi"),                       // < k tokens: no shingles
+      (14L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = TextAnalysis.noveltyScore(docs, ref, "text", "id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L, 14L))
+    assert(out(10L)._3 == Some(0.0), s"verbatim copy: ${out(10L)}")
+    assert(out(11L)._3 == Some(1.0), s"fully novel: ${out(11L)}")
+    val mixed = out(12L)._3.get.toString.toDouble
+    assert(mixed > 0.0 && mixed < 1.0, s"mixed: $mixed")
+    assert(out(13L) == ((0L, 0L, None)) && out(14L) == ((0L, 0L, None)),
+      "shingle-less documents keep a row with a null score")
+  }
+
   test("lmScore: in-distribution text scores low, OOV smooths finitely") {
     import graft.ml.TextAnalysis
     // reference corpus: repetitive in-domain phrasing

@@ -102,7 +102,26 @@ object ExprCompiler {
     else if (n.isBoolean) lit(n.asBoolean())
     else if (n.isNull) lit(null)
     else if (n.isArray) heteroLiteral(n, ctx)
-      .getOrElse(array(Js.elems(n).map(compile(_, ctx)): _*))
+      .getOrElse {
+        val cols = Js.elems(n).map(compile(_, ctx))
+        // schemaless model: an array mixing compiled element TYPES (a
+        // field reference next to a number literal, a variant next to a
+        // string) cannot build through array() — analysis rejects
+        // long-vs-variant, and scalar mixes would silently coerce.
+        // Lift every element to VARIANT instead (same bracket-preserving
+        // array the pure-literal hetero path produces). Homogeneous and
+        // all-numeric arrays keep their natural Spark type.
+        val ts = if (ctx.doc.isInstanceOf[VariantDoc])
+          cols.map(ctx.typeOf).filter(_ != NullType) else Nil
+        if (ts.map(_.typeName).distinct.size <= 1 ||
+            ts.forall(_.isInstanceOf[NumericType]))
+          array(cols: _*)
+        else
+          array(cols.map(c =>
+            if (ctx.typeOf(c).typeName == "variant") c
+            else call_function("parse_json", to_json(array(c)))
+              .cast("array<variant>").getItem(0)): _*)
+      }
     else
       Js.asOp(n) match {
         case Some((op, args)) => compileOp(op, args, ctx)
@@ -330,19 +349,12 @@ object ExprCompiler {
           if (isVariant(rawArgs(1))) msk(rawArgs(1))
           else msk(call_function("parse_json", to_json(array(rawArgs(1))))
             .cast("array<variant>").getItem(0))
-        array_position(keys, needleKey).cast(LongType) - 1
+        // same [start, end) clamp as the typed branch — the collation-key
+        // array slices identically (silently searching the whole array
+        // would return indexes outside the requested range)
+        indexOfIn(keys, needleKey, as)
       case "$indexOfArray" =>
-        val base = array_position(a0, a1).cast(LongType) - 1
-        if (as.size <= 2) base
-        else {
-          // search restricted to [start, end): index within slice, re-offset
-          val start = as(2)
-          val len =
-            if (as.size > 3) as(3) - start else size(a0).cast(LongType) - start
-          val sub = slice(a0, (start + 1).cast(IntegerType), len.cast(IntegerType))
-          val pos = array_position(sub, a1).cast(LongType)
-          when(pos > 0, pos - 1 + start).otherwise(lit(-1L))
-        }
+        indexOfIn(a0, a1, as)
       case "$isArray" =>
         ctx.typeOf(a0) match {
           case _: ArrayType => lit(true)
@@ -557,7 +569,8 @@ object ExprCompiler {
 
       // ---- literal (:616-627) ----
       case "$literal" =>
-        if (n.isArray) heteroLiteral(n, ctx).getOrElse(literal(n))
+        if (n.isArray) heteroLiteral(n, ctx, underLiteral = true)
+          .getOrElse(literal(n))
         else literal(n)
 
       // ---- object (:629-644) ----
@@ -861,16 +874,47 @@ object ExprCompiler {
   private def from_json_dynamic(c: Column): Column = parse_json(c)
 
   /** `$literal` returns the operand unevaluated. */
+  /** `$indexOfArray` core shared by the typed and variant (collation-key)
+    * branches: position of `needle` in `arr`, restricted to Mongo's
+    * optional [start, end) window with the index re-offset to the whole
+    * array; -1 when absent.
+    */
+  private def indexOfIn(arr: Column, needle: Column,
+      as: Seq[Column]): Column = {
+    val base = array_position(arr, needle).cast(LongType) - 1
+    if (as.size <= 2) base
+    else {
+      // search restricted to [start, end): index within slice, re-offset
+      val start = as(2)
+      val len =
+        if (as.size > 3) as(3) - start else size(arr).cast(LongType) - start
+      val sub = slice(arr, (start + 1).cast(IntegerType),
+        len.cast(IntegerType))
+      val pos = array_position(sub, needle).cast(LongType)
+      when(pos > 0, pos - 1 + start).otherwise(lit(-1L))
+    }
+  }
+
   /** A pure-literal array mixing Mongo type brackets (numbers, strings,
     * booleans) has no Spark element type — `array()` would silently
     * coerce 1 to "1", corrupting the data. In the schemaless model it
     * compiles to the equivalent VARIANT array (elements keep their
     * types); the typed model rejects it loudly. Arrays with expression
     * or object elements fall through to the normal path (None).
+    *
+    * On the plain (non-`$literal`) path a textual element starting with
+    * `$` is a FIELD/VARIABLE REFERENCE, not a string literal — `[1,
+    * "$price"]` must resolve the path per element, so it counts as an
+    * expression ("x") and falls through. Under `$literal`
+    * (`underLiteral = true`) path resolution is suppressed by contract
+    * and `"$price"` stays the literal string.
     */
-  private def heteroLiteral(n: JsonNode, ctx: Ctx): Option[Column] = {
+  private def heteroLiteral(n: JsonNode, ctx: Ctx,
+      underLiteral: Boolean = false): Option[Column] = {
     def kind(e: JsonNode): String =
-      if (e.isNumber) "n" else if (e.isTextual) "s"
+      if (e.isNumber) "n"
+      else if (e.isTextual)
+        if (!underLiteral && e.asText().startsWith("$")) "x" else "s"
       else if (e.isBoolean) "b" else if (e.isNull) "z" else "x"
     val ks = Js.elems(n).map(kind)
     val scalarKinds = ks.filter(_ != "z").distinct

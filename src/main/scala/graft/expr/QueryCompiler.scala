@@ -41,7 +41,7 @@ object QueryCompiler {
       // single-segment path keeps the fused extract-with-hint fast path
       case (field, cond) if ctx.doc.isInstanceOf[VariantDoc] &&
           field.contains(".") =>
-        Some(variantPathMatch(ctx.doc.root, field.split("\\.").toList,
+        Some(variantPathConds(ctx.doc.root, field.split("\\.").toList,
           cond, ctx))
       case (field, cond) =>
         Some(fieldMatch(hint => ctx.doc.pathAs(field, hint), cond, ctx))
@@ -99,6 +99,50 @@ object QueryCompiler {
     * ([[{b:1}]] never matches "a.b") and neither does this. Numeric
     * segments are field names, not array indexes (deviation).
     */
+  /** Dotted-path condition entry: negation-shaped operators (`$ne`,
+    * `$nin`, `$not`, `$exists:false`) must hold for EVERY value the path
+    * traversal reaches — Mongo's `{"items.qty": {$ne: 2}}` does NOT
+    * match `items:[{qty:1},{qty:2}]` — but the traversal applies its
+    * condition per element via exists(), which would give any-element
+    * semantics. So the operator object splits here, each negated
+    * operator compiles its POSITIVE form through the traversal and the
+    * negation hoists outside the disjunction (the same shape the leaf
+    * `$ne` gets from `!coalesce(eqMatchField, false)`). Splitting also
+    * matches Mongo for POSITIVE operators: `{$gt:5, $lt:9}` over an
+    * array may be satisfied by different elements (that is what
+    * `$elemMatch` is for), exactly like the non-dotted leaf where each
+    * operator runs its own `elemOrSelf` probe.
+    */
+  private def variantPathConds(root: Column, parts: List[String],
+      cond: JsonNode, ctx: Ctx): Column =
+    if (!isOperatorObject(cond)) variantPathMatch(root, parts, cond, ctx)
+    else {
+      def one(op: String, v: JsonNode): JsonNode = {
+        val o = Js.obj()
+        o.set[JsonNode](op, v)
+        // $regex travels with its sibling $options
+        if (op == "$regex" && cond.has("$options"))
+          o.set[JsonNode]("$options", cond.get("$options"))
+        o
+      }
+      def pos(c: Column): Column = coalesce(c, lit(false))
+      val conds = Js.fields(cond).flatMap {
+        case ("$comment", _) | ("$options", _) => None
+        case ("$ne", v) =>
+          Some(!pos(variantPathMatch(root, parts, one("$eq", v), ctx)))
+        case ("$nin", v) =>
+          Some(!pos(variantPathMatch(root, parts, one("$in", v), ctx)))
+        case ("$exists", v) if !v.asBoolean() =>
+          Some(!pos(variantPathMatch(root, parts,
+            one("$exists", Js.parse("true")), ctx)))
+        case ("$not", v) =>
+          Some(!pos(variantPathConds(root, parts, v, ctx)))
+        case (op, v) =>
+          Some(variantPathMatch(root, parts, one(op, v), ctx))
+      }
+      conds.reduceOption(_ && _).getOrElse(lit(true))
+    }
+
   private def variantPathMatch(cur: Column, parts: List[String],
       cond: JsonNode, ctx: Ctx): Column = {
     val f = parts.head

@@ -513,6 +513,72 @@ class VariantTypeSpec extends AnyFunSuite {
       == Seq("a", "b"))
   }
 
+  test("schemaless $match: negated operators hoist outside array traversal") {
+    val df = Seq(
+      """{"_id":"a","items":[{"name":"a","qty":3},{"name":"b","qty":1}]}""",
+      """{"_id":"b","items":[{"name":"a","qty":1}]}""",
+      """{"_id":"c","other":1}""")
+      .toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    def run(m: String): Seq[String] =
+      MessagePipeline.compile(Js.parse(s"""[{"$$match":$m}]"""), Env(spark))(df)
+        .select("value").as[String].collect().toSeq
+        .map(v => Js.parse(v).get("_id").asText()).sorted
+    // Mongo: {$ne: v} through an array path holds only when NO traversed
+    // value equals v (one matching element used to satisfy $ne per-element)
+    assert(run("""{"items.qty":{"$ne":1}}""") == Seq("c"))
+    assert(run("""{"items.qty":{"$ne":2}}""") == Seq("a", "b", "c"))
+    assert(run("""{"items.qty":{"$nin":[1,3]}}""") == Seq("c"))
+    assert(run("""{"items.qty":{"$not":{"$gte":2}}}""") == Seq("b", "c"))
+    assert(run("""{"items.qty":{"$exists":false}}""") == Seq("c"))
+    assert(run("""{"items.qty":{"$exists":true}}""") == Seq("a", "b"))
+    // positive operators stay independent per element (Mongo: different
+    // elements may satisfy different operators; $elemMatch pins one)
+    assert(run("""{"items.qty":{"$gte":3,"$lte":1}}""") == Seq("a"))
+    // mixed positive + negative: any element ≥1 AND no element = 3
+    assert(run("""{"items.qty":{"$gte":1,"$ne":3}}""") == Seq("b"))
+    // double negation resolves back to the positive disjunction
+    assert(run("""{"items.qty":{"$not":{"$ne":1}}}""") == Seq("a", "b"))
+  }
+
+  test("plain hetero array resolves $-prefixed elements as references") {
+    // [1, "$x"] on the PLAIN path must resolve the field reference —
+    // it used to compile to the constant [1, "$x"]; under $literal the
+    // string stays a literal by contract
+    val df = Seq("""{"_id":"a","x":7,"s":"t"}""").toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    val out = MessagePipeline.compile(Js.parse(
+      """[{"$addFields":{
+           "resolved":{"$arrayElemAt":[[1,"$x"],1]},
+           "lit":{"$arrayElemAt":[{"$literal":[1,"$x"]},1]}}}]"""),
+      Env(spark))(df)
+      .select("value").as[String].collect().map(Js.parse).head
+    assert(out.get("resolved").asLong() == 7L,
+      "\"$x\" in a plain mixed array is a field reference")
+    assert(out.get("lit").asText() == "$x",
+      "$literal suppresses path resolution")
+  }
+
+  test("variant $indexOfArray honors start/end bounds") {
+    val df = Seq("""{"_id":"a","xs":[5,3,5,"5",5]}""").toDF("value")
+      .select(get_json_object(col("value"), "$._id").as("key"), col("value"))
+    val out = MessagePipeline.compile(Js.parse(
+      """[{"$addFields":{
+           "whole":{"$indexOfArray":["$xs",5]},
+           "from1":{"$indexOfArray":["$xs",5,1]},
+           "window":{"$indexOfArray":["$xs",5,3,4]},
+           "missed":{"$indexOfArray":["$xs",3,2]}}}]"""),
+      Env(spark))(df)
+      .select("value").as[String].collect().map(Js.parse).head
+    assert(out.get("whole").asLong() == 0L)
+    assert(out.get("from1").asLong() == 2L,
+      "search starts at index 1, re-offset to the whole array")
+    assert(out.get("missed").asLong() == -1L)
+    assert(out.get("window").asLong() == -1L,
+      "index 3 is the STRING \"5\" — Mongo type brackets exclude it; " +
+        "the number at index 4 sits outside [3,4)")
+  }
+
   test("schemaless heterogeneous array literal keeps element types") {
     // [1, "b"] used to silently compile to ["1", "b"] (Spark's array()
     // type coercion); in the variant model it now parses as a variant

@@ -82,41 +82,63 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash per document: explode tokens, hash once per row, 32
-    * bit-count sums per doc, then recombine — same
-    * explode-and-partially-aggregate shape as minhash.
+  /** 64-bit SimHash per document: explode tokens, hash once per row
+    * (one md5, split into two 32-bit halves — bits 0-31 from hex chars
+    * 1-8, bits 32-63 from chars 9-16, each half non-negative so the
+    * per-bit shifts never meet the sign bit), 64 bit-count sums per doc,
+    * then recombine — same explode-and-partially-aggregate shape as
+    * minhash. Bit 63's value is Long.MinValue; summing DISTINCT powers
+    * of two never carries, so the sum is exactly the bit-OR.
+    *
+    * 64 bits is the web-scale width (Charikar/Manku et al.): at 32 bits
+    * two UNRELATED documents sit within Hamming 3 with probability
+    * ~1.3e-6 — a million-document corpus already yields ~10^5 spurious
+    * near pairs — and maxDist-3 banding admits only 4×256 = 1,024
+    * distinct band keys, a hard parallelism ceiling. At 64 bits the
+    * false-pair odds drop to ~2e-15 and the same banding spreads over
+    * 4×65,536 keys (see SCALING.md).
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hashed = df
       .select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .select(col(idCol), h32(col("t")).as("h"))
-    val aggs = count(lit(1)).as("n") +: (0 until 32).map(j =>
-      sum(call_function("shiftright", col("h"), lit(j)) % 2).as(s"b$j"))
+      .select(col(idCol), md5(col("t")).as("m"))
+      .select(col(idCol),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hlo"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("hhi"))
+    val aggs = count(lit(1)).as("n") +: (0 until 64).map { j =>
+      val half = if (j < 32) col("hlo") else col("hhi")
+      sum(call_function("shiftright", half, lit(j % 32)) % 2).as(s"b$j")
+    }
     hashed.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
-        (0 until 32).map(j =>
+        (0 until 64).map(j =>
           when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxDist`, banded:
-    * split the 32-bit signature into `maxDist + 1` bit bands — by
+    * split the 64-bit signature into `maxDist + 1` bit bands — by
     * pigeonhole, any pair within distance `maxDist` agrees EXACTLY on at
     * least one band — equi-join on (band index, band value), then verify
     * the full Hamming distance. Exact same result set as the quadratic
     * all-pairs scan, but the plan is a shuffle-hash join on the band key,
-    * never a nested-loop product.
+    * never a nested-loop product. (Arithmetic vs logical shift is
+    * immaterial: the band mask keeps only the low `width` bits, so the
+    * sign-extension of a negative signature never reaches the key.)
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"simhashPairs: maxDist must be in [0, 64), got $maxDist")
     val nBands = maxDist + 1
-    val bounds = (0 to nBands).map(i => i * 32 / nBands)
+    val bounds = (0 to nBands).map(i => i * 64 / nBands)
     val bandCols = (0 until nBands).map { i =>
       val off = bounds(i)
       val width = bounds(i + 1) - bounds(i)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(i).as("bi"),
         call_function("shiftright", col("simhash"), lit(off))
-          .bitwiseAND(lit((1L << width) - 1)).as("bv"))
+          .bitwiseAND(lit(mask)).as("bv"))
     }
     // materialize (id, sig, band) once: both join legs reuse it
     val banded = CacheLifecycle.pin(simhash(df, textCol, idCol)

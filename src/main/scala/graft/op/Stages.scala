@@ -585,7 +585,9 @@ object Stages {
     if (df.isStreaming)
       graft.streaming.StatefulOps.deduplicateNear(df, e, maxDist,
         if (spec.has("cacheWindow")) Some(spec.get("cacheWindow").asLong())
-        else None, dupTopic)
+        else None, dupTopic,
+        if (spec.has("maxPerBand")) spec.get("maxPerBand").asInt()
+        else 4096)
     else graft.streaming.StatefulOps.deduplicateNearBatch(df, e, maxDist,
       dupTopic)
   }

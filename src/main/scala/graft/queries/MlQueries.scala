@@ -14,6 +14,24 @@ object MlQueries {
   // SQL fragments shared by the oracles (DuckDB dialect)
   private[queries] val toksSql = "string_split(lower(text),' ')"
   private[queries] def h32(s: String) = s"('0x'||substr(md5($s),1,8))::BIGINT"
+  /** Per-document 64-bit SimHash over a token-list column `t` — full
+    * replay of `Dedup.simhash`'s bit layout: bits 0-31 from md5 hex
+    * chars 1-8, bits 32-63 from chars 9-16 (each half non-negative, so
+    * the per-bit shift never meets the sign bit); bit 63 spelled as its
+    * value because DuckDB rejects `1 << 63` as overflow.
+    */
+  private[queries] val simhash64Sql =
+    """CAST(list_sum(list_transform(range(0,64), j ->
+         CASE WHEN 2*len(list_filter(t, x ->
+                ((CASE WHEN j < 32
+                       THEN (('0x'||substr(md5(x),1,8))::BIGINT
+                             >> CAST(j AS INT))
+                       ELSE (('0x'||substr(md5(x),9,8))::BIGINT
+                             >> CAST(j-32 AS INT)) END) & 1) = 1))
+                > len(t)
+              THEN CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                        ELSE (1::BIGINT << CAST(j AS INT)) END
+              ELSE 0::BIGINT END)) AS BIGINT)"""
   private[queries] val shinglesSql =
     s"list_distinct(list_transform(range(0, len(t)-2), i -> t[i+1]||' '||t[i+2]||' '||t[i+3]))"
   private[queries] val minhashSql =
@@ -124,13 +142,10 @@ object MlQueries {
       Dedup.lshCandidates(Tables.load(spark, sf, "documents"), "text", "doc_id")
     },
 
-    // -- 32-bit SimHash signatures
+    // -- 64-bit SimHash signatures
     Q.fn("q_dedup_simhash",
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id<200)
-          SELECT doc_id,
-            CAST(list_sum(list_transform(range(0,32), j ->
-              CASE WHEN 2*len(list_filter(t, x -> ((${h32("x")} >> j) & 1) = 1)) > len(t)
-                   THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+          SELECT doc_id, $simhash64Sql AS simhash
           FROM tok""") { (spark, sf) =>
       Dedup.simhash(
         Tables.load(spark, sf, "documents").where(col("doc_id") < 200),
@@ -141,10 +156,7 @@ object MlQueries {
     // oracle replays the quadratic definition — the band join is exact)
     Q.fn("q_dedup_simhash_pairs",
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id<200),
-               sh AS (SELECT doc_id,
-                 CAST(list_sum(list_transform(range(0,32), j ->
-                   CASE WHEN 2*len(list_filter(t, x -> ((${h32("x")} >> j) & 1) = 1)) > len(t)
-                        THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+               sh AS (SELECT doc_id, $simhash64Sql AS simhash
                  FROM tok)
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist

@@ -478,15 +478,10 @@ object Round10Queries {
     * are the docs with no near predecessor.
     */
   private val keepFirstOracle = {
-    import MlQueries.{toksSql, h32}
+    import MlQueries.{toksSql, simhash64Sql}
     s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents
                      WHERE doc_id < 200),
-             sh AS (SELECT doc_id,
-               CAST(list_sum(list_transform(range(0,32), j ->
-                 CASE WHEN 2*len(list_filter(t, x ->
-                        ((${h32("x")} >> j) & 1) = 1)) > len(t)
-                      THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)
-                 AS simhash
+             sh AS (SELECT doc_id, $simhash64Sql AS simhash
                FROM tok),
              bad AS (SELECT DISTINCT b.doc_id
                      FROM sh a JOIN sh b ON a.doc_id < b.doc_id

@@ -349,7 +349,9 @@ object MessagePipeline {
           StatefulOps.deduplicateNear(df, e, maxDist,
             if (spec.has("cacheWindow"))
               Some(spec.get("cacheWindow").asLong())
-            else None, dupTopic)
+            else None, dupTopic,
+            if (spec.has("maxPerBand")) spec.get("maxPerBand").asInt()
+            else 4096)
         else StatefulOps.deduplicateNearBatch(df, e, maxDist, dupTopic)
       }
     // schemaless $lookup: probe key extracts from the variant typed to the

@@ -110,26 +110,47 @@ object StatefulOps {
       .select("__r.*")
   }
 
-  /** 32-bit SimHash of a text column, per row (the same majority formula
-    * as `graft.ml.Dedup.simhash`, which aggregates over exploded tokens;
-    * here the tokens stay in-row — messages are small). Null/empty text
-    * hashes to 0, so two empty messages count as near (distance 0).
+  /** 64-bit SimHash of a text column, per row (the same majority formula
+    * and md5-two-halves bit layout as `graft.ml.Dedup.simhash`, which
+    * aggregates over exploded tokens; here the tokens stay in-row —
+    * messages are small). Null/empty text hashes to 0, so two empty
+    * messages count as near (distance 0).
+    *
+    * Interpreted-HOF shape matters here (HOFs never codegen): the token
+    * hashes accumulate into a 65-slot count array in ONE `aggregate`
+    * pass (md5 runs twice per token, for the two 32-bit halves), and the
+    * count array binds once through the `transform(array(x), v => ...)`
+    * let-idiom — re-referencing an expression re-evaluates it in the
+    * interpreted evaluator, so the old per-bit `filter` formulation paid
+    * the md5 work once per OUTPUT bit, not once per token.
     */
-  private[graft] def simhash32(text: Column): Column = {
-    val hs = transform(split(lower(text.cast("string")), " "),
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    coalesce((0 until 32).map(j =>
-      when(size(filter(hs, h =>
-        call_function("shiftright", h, lit(j)) % 2 === 1)) * 2 >
-        size(hs), lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _), lit(0L))
+  private[graft] def simhash64(text: Column): Column = {
+    val toks = split(lower(text.cast("string")), " ")
+    // slots 0..63: per-bit majority counts; slot 64: token count
+    val counts = aggregate(toks, array_repeat(lit(0L), 65), (acc, t) => {
+      val lo = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+      val hi = conv(substring(md5(t), 9, 8), 16, 10).cast("long")
+      zip_with(acc, sequence(lit(0), lit(64)), (c, j) =>
+        c + when(j === 64, lit(1L))
+          .when(j < 32, call_function("shiftright", lo, j) % 2)
+          .otherwise(call_function("shiftright", hi, j - 32) % 2))
+    })
+    // bind counts ONCE; bit 63 is the sign bit and Java shiftleft wraps
+    // mod 64, so shiftleft(1, 63) is exactly Long.MinValue — summing
+    // distinct powers of two never carries, the sum IS the bit-OR
+    val sig = element_at(transform(array(counts), cs =>
+      aggregate(zip_with(slice(cs, 1, 64), sequence(lit(0), lit(63)),
+        (c, j) => when(c * 2 > element_at(cs, 65),
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x)), 1)
+    coalesce(sig, lit(0L))
   }
 
   /** Streaming NEAR-dedup (`$deduplicateNear` — an engine extension; the
     * reference's `$deduplicate` is exact-by-expression): a message drops
     * when an EARLIER message (transport `__ord` within a batch, batch
     * succession across batches) is within `maxDist` Hamming bits on the
-    * 32-bit SimHash of `text`. Store-always banding: every message's
+    * 64-bit SimHash of `text`. Store-always banding: every message's
     * signature enters its maxDist+1 band states whether or not the
     * message itself survived — a message's fate depends only on its
     * predecessors, chains resolve deterministically (b near a drops; c
@@ -155,9 +176,20 @@ object StatefulOps {
         * honored natively by the sinks like `$send`) instead of losing
         * them — the same dead-letter ethos as late-`$delay` routing
         */
-      dupTopic: Option[String] = None): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32,
-      s"deduplicateNear: maxDist must be in [0, 32), got $maxDist")
+      dupTopic: Option[String] = None,
+      /** per-band signature-log cap: each (band index : band value) key
+        * keeps at most this many of its MOST RECENT signatures, so a hot
+        * band (a flood of exact/near duplicates all landing on one key)
+        * cannot grow an unbounded ListState whose linear scan every new
+        * arrival pays — the same ethos as `lshCandidates`' hot-band cap.
+        * Recall trade: a message can no longer be flagged against a
+        * predecessor evicted from the band's window (it is still flagged
+        * if ANY of its maxDist+1 bands retains a near predecessor).
+        * ≤ 0 disables the cap (faithful unbounded cache).
+        */
+      maxPerBand: Int = 4096): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"deduplicateNear: maxDist must be in [0, 64), got $maxDist")
     val spark = df.sparkSession
     ensureRocksDb(spark)
     import spark.implicits._
@@ -171,7 +203,7 @@ object StatefulOps {
     // pure function of the data, not of shuffle-fetch arrival order)
     val stamped = df
       .select(to_json(struct(df.columns.map(col): _*)).as("__row"),
-        ord.as("__o"), simhash32(text).as("__sig"))
+        ord.as("__o"), simhash64(text).as("__sig"))
       .as[(String, Long, Long)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -179,20 +211,22 @@ object StatefulOps {
           case ((row, o, s), i) => (uidOf(Seq(row), pid, i, 0L), row, o, s)
         }
       }.toDF("__id", "__row", "__o", "__sig")
-    val bounds = (0 to nBands).map(i => i * 32 / nBands)
+    val bounds = (0 to nBands).map(i => i * 64 / nBands)
     val bandCols = (0 until nBands).map { i =>
       val off = bounds(i)
       val width = bounds(i + 1) - bounds(i)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       concat_ws(":", lit(i),
         call_function("shiftright", col("__sig"), lit(off))
-          .bitwiseAND(lit((1L << width) - 1)))
+          .bitwiseAND(lit(mask)))
     }
     val flagged = stamped
       .select(col("__id"), col("__row"), col("__o"), col("__sig"),
         explode(array(bandCols: _*)).as("__band"))
       .as[(String, String, Long, Long, String)]
       .groupByKey(_._5)
-      .transformWithState(new NearBandProcessor(maxDist, cacheWindowMs),
+      .transformWithState(
+        new NearBandProcessor(maxDist, cacheWindowMs, maxPerBand),
         if (cacheWindowMs.isDefined) TimeMode.ProcessingTime()
         else TimeMode.None(),
         OutputMode.Append())
@@ -238,8 +272,8 @@ object StatefulOps {
     */
   def deduplicateNearBatch(df: DataFrame, text: Column,
       maxDist: Int, dupTopic: Option[String] = None): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32,
-      s"deduplicateNear: maxDist must be in [0, 32), got $maxDist")
+    require(maxDist >= 0 && maxDist < 64,
+      s"deduplicateNear: maxDist must be in [0, 64), got $maxDist")
     val nBands = maxDist + 1
     val schema = df.schema
     val ord =
@@ -247,14 +281,15 @@ object StatefulOps {
       else lit(0L)
     val base = df.select(
       to_json(struct(df.columns.map(col): _*)).as("__row"),
-      ord.as("__o"), simhash32(text).as("__sig"))
-    val bounds = (0 to nBands).map(i => i * 32 / nBands)
+      ord.as("__o"), simhash64(text).as("__sig"))
+    val bounds = (0 to nBands).map(i => i * 64 / nBands)
     val bandCols = (0 until nBands).map { i =>
       val off = bounds(i)
       val width = bounds(i + 1) - bounds(i)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       concat_ws(":", lit(i),
         call_function("shiftright", col("__sig"), lit(off))
-          .bitwiseAND(lit((1L << width) - 1)))
+          .bitwiseAND(lit(mask)))
     }
     import org.apache.spark.sql.expressions.Window
     val copies = base.withColumn("__copy",
@@ -498,12 +533,13 @@ final class DedupProcessor(ttlMs: Option[Long])
 }
 
 /** One band's signature log for `$deduplicateNear`: a TTL'd ListState of
-  * the full 32-bit signatures whose band value hashed here. Rows process
+  * the full 64-bit signatures whose band value hashed here. Rows process
   * in (ord, content) order — the same total order the stamping pass
   * used — so the near verdict is deterministic; every row's signature is
   * stored (store-always) whether or not the row survives.
   */
-final class NearBandProcessor(maxDist: Int, ttlMs: Option[Long])
+final class NearBandProcessor(maxDist: Int, ttlMs: Option[Long],
+    maxPerBand: Int = 4096)
     extends StatefulProcessor[String, (String, String, Long, Long, String),
       (String, String, Boolean)] {
   @transient private var sigs: ListState[Long] = _
@@ -524,11 +560,17 @@ final class NearBandProcessor(maxDist: Int, ttlMs: Option[Long])
       val hit =
         local.exists(s => java.lang.Long.bitCount(s ^ sig) <= maxDist)
       local += sig
-      // appendValue keeps the stored entries' TTLs; put() would restamp
-      // every old signature's expiry on each batch
-      sigs.appendValue(sig)
       (id, row, hit)
     }
+    if (maxPerBand > 0 && local.size > maxPerBand)
+      // the cap trims to the MOST RECENT maxPerBand signatures; the
+      // rewrite restamps the survivors' TTLs — acceptable, a band only
+      // trims when hot, where the recent window dominates the verdicts
+      sigs.put(local.takeRight(maxPerBand).toArray)
+    else
+      // appendValue keeps the stored entries' TTLs; put() would restamp
+      // every old signature's expiry on each batch
+      sorted.foreach(t => sigs.appendValue(t._4))
     out.iterator
   }
 }

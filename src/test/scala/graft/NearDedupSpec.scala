@@ -24,7 +24,7 @@ class NearDedupSpec extends AnyFunSuite {
   private def sigOf(t: String): Long = {
     import spark.implicits._
     Seq(t).toDF("t")
-      .select(StatefulOps.simhash32(col("t"))).collect()(0).getLong(0)
+      .select(StatefulOps.simhash64(col("t"))).collect()(0).getLong(0)
   }
 
   test("the test corpus separates: near within 8 bits, other beyond") {
@@ -144,6 +144,62 @@ class NearDedupSpec extends AnyFunSuite {
     write("m5", s"""{"_id":"e","text":"fresh and unrelated content"}""")
     io.processAll()
     assert(ids == Set("a", "c", "e"), s"second batch: $ids")
+    io.stopAll()
+  }
+
+  test("maxPerBand caps per-band signature state, verdicts intact") {
+    val dir = Files.createTempDirectory("graft-near-cap").toString
+    var mtime = System.currentTimeMillis() - 60000
+    def write(name: String, json: String): Unit = {
+      Files.createDirectories(Paths.get(s"$dir/capin"))
+      val p = Paths.get(s"$dir/capin/$name.json")
+      Files.writeString(p, json)
+      mtime += 2000
+      p.toFile.setLastModified(mtime)
+    }
+    // a flood of exact copies lands every signature on the SAME band
+    // keys: the hot-band scenario the cap exists for
+    (0 until 6).foreach(i => write(s"m$i", s"""{"_id":"c$i","text":"$base"}"""))
+    val io = new FileStreamIo(dir, Map.empty)
+    new AppRunner(spark, io, Env(spark)).run(
+      """{"application":"nearcap","version":"1.0","parts":[
+           {"type":"stream","name":"s","fromTopic":"capin",
+            "toTopic":"out_nearcap",
+            "pipeline":[{"$deduplicateNear":{"expression":"$text",
+                                             "maxDistance":8,
+                                             "maxPerBand":1,
+                                             "dupTopic":"cap-dups"}}]}]}""")
+    io.processAll()
+    def rows: Map[String, Option[String]] = {
+      val t = spark.table("out_nearcap")
+      val topicCol =
+        if (t.columns.contains("_topic")) col("_topic")
+        else get_json_object(col("value"), "$._topic")
+      t.select(get_json_object(col("value"), "$._id"), topicCol)
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    }
+    assert(rows.keySet == (0 until 6).map(i => s"c$i").toSet,
+      s"dupTopic loses nothing: ${rows.keySet}")
+    assert(rows.count(_._2.contains("cap-dups")) == 5,
+      "every copy after the first is flagged — the retained most-recent " +
+        "signature per band still answers the near test")
+    // state stays bounded: maxDist 8 → 9 bands, each trimmed to ONE
+    // signature; without the cap the six copies would hold 9×6 entries
+    val q = io.queries.values.find(q =>
+      Option(q.lastProgress).exists(_.stateOperators.nonEmpty))
+      .getOrElse(io.queries.values.head)
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    assert(stateRows <= 9,
+      s"per-band lists must trim to maxPerBand=1: $stateRows state rows")
+    // the retained window still suppresses later near arrivals and
+    // passes unrelated content
+    write("m6", s"""{"_id":"n","text":"$near"}""")
+    write("m7", s"""{"_id":"o","text":"$other"}""")
+    io.processAll()
+    val r2 = rows
+    assert(r2("n").contains("cap-dups"), s"near after trim: $r2")
+    assert(r2("o").isEmpty, s"unrelated after trim: $r2")
     io.stopAll()
   }
 }

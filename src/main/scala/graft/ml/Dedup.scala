@@ -530,6 +530,16 @@ object Dedup {
   /** Incremental NEAR-dedup: the rows of `newDf` whose text is not a
     * near-duplicate of any `refDf` row — `dedupAgainst`'s companion for
     * the syndicated/boilerplate copies an exact anti-join can't see.
+    *
+    * ONE-SHOT convenience form: every call re-shingles and re-minhashes
+    * the ENTIRE reference corpus to derive its band table. The
+    * PRODUCTION form for a standing ingestion pipeline is
+    * [[buildBandIndex]] + [[dedupAgainstNearIndexed]], which computes
+    * that corpus-wide pass ONCE into a persisted (id, band) table and
+    * lets every batch probe it — identical results, O(batch) work per
+    * batch instead of O(corpus). Use this live path only for ad-hoc
+    * single passes where building an index isn't worth it.
+    *
     * Candidates come from a MinHash-LSH band join between the batch and
     * the reference: the BATCH side's band table is the broadcast side (a
     * batch is small next to a 100 TB reference), so the reference

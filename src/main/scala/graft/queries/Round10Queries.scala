@@ -733,26 +733,27 @@ object Round10Queries {
       Multimodal.audioEnvelopePairs(packed, "event_id", maxDist = 6)
     },
     Q.fn("q_multimodal_ahash", ahashOracle) { (spark, sf) =>
+      import spark.implicits._
       import graft.ml.Multimodal
-      val d = Tables.load(spark, sf, "documents").select("doc_id")
-      def lumaOf(c: Column, bump: Boolean): Column = {
-        val v = conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit("-"), c.cast("string"))), 1, 2), 16, 10).cast("int")
-        if (bump) when(c === 0, (v + 16) % 256).otherwise(v) else v
-      }
-      def ppm(bump: Boolean): Column =
-        concat(lit("P3\n8 8\n255\n"), array_join(
-          transform(sequence(lit(0), lit(63)), c => {
-            val v = lumaOf(c, bump).cast("string")
-            concat_ws(" ", v, v, v)
-          }), " "))
-      val base = d.select(col("doc_id"), ppm(bump = false).as("img"))
-      // two selects: Spark's lateral-column-alias resolution would bind
-      // the ppm's col("doc_id") to the RE-KEYED alias in one select,
-      // silently hashing the wrong id
-      val twin = d.select(col("doc_id"), ppm(bump = true).as("img"))
-        .select((col("doc_id") + 500000L).as("doc_id"), col("img"))
-      val corpus = base.unionByName(twin).withColumn("fmt", lit("ppm"))
+      // typed-map corpus like the audio/video twins: the expression-tree
+      // version spent most of the query's bench time constructing the
+      // synthetic images (567 expression nodes per row of inline
+      // md5/conv/concat), not in the operator under test
+      def md5hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      def ppm(id: Long, bump: Boolean): String =
+        "P3\n8 8\n255\n" + (0 until 64).map { c =>
+          val v0 = Integer.parseInt(md5hex(s"$id-$c").take(2), 16)
+          val v = if (bump && c == 0) (v0 + 16) % 256 else v0
+          s"$v $v $v"
+        }.mkString(" ")
+      val corpus = Tables.load(spark, sf, "documents")
+        .select(col("doc_id")).as[Long]
+        .flatMap(id => Seq((id, ppm(id, bump = false)),
+          (id + 500000L, ppm(id, bump = true))))
+        .toDF("doc_id", "img")
+        .withColumn("fmt", lit("ppm"))
       Multimodal.imageAHashPairs(
         Multimodal.pack(corpus, "img", "fmt"), "doc_id", maxDist = 6)
     },

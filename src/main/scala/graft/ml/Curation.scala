@@ -14,6 +14,79 @@ import Fns._
   */
 object Curation {
 
+  /** Deterministic host extraction from a URL string — the curation
+    * pipeline's provenance key (per-domain quotas, blocklists,
+    * `domainMix` labels all start here). Pure regex + string
+    * normalization, no java.net parsing: the SAME extraction replays in
+    * any SQL engine (the oracle runs it in DuckDB) and a malformed URL
+    * yields null instead of an exception — a curation pass must never
+    * throw on crawl junk. Normalization: strip scheme / userinfo / port
+    * / path / query / fragment, lowercase, strip one trailing dot.
+    * A codegen'd narrow map — no shuffle, no UDF.
+    */
+  def extractHost(url: Column): Column = {
+    // a host never contains whitespace; with no explicit scheme the
+    // extraction additionally requires a DOTTED host, so free text that
+    // merely starts with a word ("not a url ...") yields null instead
+    // of its first token
+    val withScheme = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#\\s]*@)?([^/:?#\\s]+)", 1)
+    val bare = regexp_extract(url,
+      "^(?:[^/@?#\\s]*@)?([^/:?#\\s]+)", 1)
+    val raw = when(withScheme =!= "", withScheme)
+      .when(bare.contains("."), bare)
+      .otherwise(lit(""))
+    val cleaned = regexp_replace(lower(raw), "\\.$", "")
+    when(cleaned === "", lit(null).cast(StringType)).otherwise(cleaned)
+  }
+
+  /** Registrable ("pay-level") domain of a host: the last two labels,
+    * or three when the last two form a well-known multi-label public
+    * suffix (co.uk, com.au, ...). The built-in suffix set is a
+    * deliberately small, deterministic heuristic — a production run
+    * would broadcast-join the full Public Suffix List (it is data, not
+    * code); the grouping key's SHAPE (narrow map, no shuffle) is
+    * identical either way. Hosts with ≤ 1 label (and null) pass
+    * through unchanged.
+    */
+  private val multiLabelSuffixes = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.nz", "co.in", "co.za", "com.br",
+    "com.mx", "com.cn", "com.sg", "com.ar", "com.tr")
+  def registrableDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val lastTwo =
+      concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val lastThree = concat_ws(".", element_at(parts, -3),
+      element_at(parts, -2), element_at(parts, -1))
+    when(host.isNull || n <= 1, host)
+      .when(n >= 3 && lastTwo.isin(multiLabelSuffixes: _*), lastThree)
+      .otherwise(lastTwo)
+  }
+
+  /** Per-domain corpus statistics: group the corpus by registrable
+    * domain (derived from `urlCol` in the same narrow map) and count
+    * documents, distinct hosts and an optional summed weight (token
+    * count, quality score). THE standard curation dashboard query, and
+    * the input `domainMix`'s quotas are computed from. Plan: narrow
+    * extraction map → hash aggregate with map-side partials (the
+    * distinct-host count rides Spark's partial distinct aggregation);
+    * no window, no product, no driver collect. Docs with no parseable
+    * host group under the null domain — dropping them silently would
+    * misreport the corpus.
+    */
+  def domainStats(df: DataFrame, urlCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    val keyed = df
+      .withColumn("__host", extractHost(col(urlCol)))
+      .withColumn("domain", registrableDomain(col("__host")))
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      count_distinct(col("__host")).as("n_hosts")) ++
+      weightCol.map(w => sum(col(w)).as("sum_weight"))
+    keyed.groupBy(col("domain")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Benchmark contamination (the decontamination pass every pretraining
     * corpus runs before training): a document is contaminated when it
     * shares at least `minShared` distinct k-word shingles with ANY

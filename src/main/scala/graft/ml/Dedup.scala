@@ -398,6 +398,31 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("canonical_id"))
   }
 
+  /** Embedding near-dup RESOLUTION: IVF-celled cosine pairs → connected
+    * components → canonical keep-list, in one call — the embedding
+    * side's analog of the text pipeline's `keepList` ergonomics.
+    * Returns every id with its cluster-minimum `canonical_id` and the
+    * `keep` verdict; filter on `keep` (or join `canonical_id`) to
+    * prune. `nprobe > 1` probes each vector's nearest cells for
+    * boundary-pair recall.
+    *
+    * Scale shape: the parts compose without new exchanges beyond their
+    * own — celled equi-join pair generation (never a product),
+    * O(log diameter) label propagation over the pair edges (small by
+    * construction: only near-duplicates), one left join of the corpus
+    * against the component table.
+    */
+  def dedupEmbeddings(df: DataFrame, embCol: String, idCol: String,
+      threshold: Double, nlist: Int, nprobe: Int = 1): DataFrame = {
+    val pairs =
+      if (nprobe <= 1)
+        embeddingPairsCelled(df, embCol, idCol, threshold, nlist)
+      else
+        embeddingPairsCelledMulti(df, embCol, idCol, threshold, nlist,
+          nprobe)
+    keepList(df, idCol, pairs)
+  }
+
   /** Segment-level dedup (boilerplate removal, RefinedWeb/CCNet-style):
     * split each document on `sep`, drop every segment whose DOCUMENT
     * frequency exceeds `maxDocFrac` of the corpus (a paragraph repeated

@@ -284,4 +284,63 @@ class CurationSpec extends AnyFunSuite {
       Curation.domainMixTemperature(docs, "doc_id", "source", 0.5, 0.0)
     }
   }
+
+  test("extractHost normalizes and never throws on crawl junk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      "https://www.Example.COM/path?q=1" -> "www.example.com",
+      "http://user:pw@host.org:8080/x" -> "host.org",
+      "HTTP://SITE.NET./a#frag" -> "site.net",
+      "ftp+ssh://files.example.org/f" -> "files.example.org",
+      "no-scheme.example.com/path" -> "no-scheme.example.com",
+      "https://192.168.0.1:443/admin" -> "192.168.0.1",
+      "://" -> null,
+      "" -> null,
+      null.asInstanceOf[String] -> null)
+    val out = cases.map(_._1).toDF("url")
+      .select(Curation.extractHost(col("url"))).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want $want got $got")
+    }
+  }
+
+  test("registrableDomain: two labels, known multi-label suffixes pass-through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      "www.example.com" -> "example.com",
+      "a.b.news.co.uk" -> "news.co.uk",
+      "blog.site7.com.au" -> "site7.com.au",
+      "example.org" -> "example.org",
+      "localhost" -> "localhost",
+      null.asInstanceOf[String] -> null)
+    val out = cases.map(_._1).toDF("host")
+      .select(Curation.registrableDomain(col("host"))).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want $want got $got")
+    }
+  }
+
+  test("domainStats groups by registrable domain with distinct hosts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "https://www.shop.com/a", 10),
+      (2L, "https://blog.shop.com/b", 20),
+      (3L, "http://www.shop.com/c", 30),
+      (4L, "https://other.org/d", 5),
+      (5L, "not a url at all ://", 7)).toDF("doc_id", "url", "w")
+    val out = Curation.domainStats(docs, "url", Some("w"))
+      .collect().map(r => (Option(r.getString(0)),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out.contains((Some("shop.com"), 3L, 2L, 60L)),
+      s"shop.com: $out")
+    assert(out.contains((Some("other.org"), 1L, 1L, 5L)))
+    // unparseable urls group under null rather than vanishing
+    assert(out.exists(t => t._1.isEmpty && t._2 == 1L && t._4 == 7L),
+      s"null-domain row: $out")
+  }
 }

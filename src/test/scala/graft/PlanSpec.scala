@@ -378,6 +378,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("domain stats: narrow extraction map + partial hash aggregate") {
+    val p = plan(q("q_domain_stats"))
+    // host/domain extraction must stay a projection feeding a partial
+    // (map-side) aggregate — a window or a product here would serialize
+    // the corpus; the only exchange is the hash-partitioned aggregate
+    // shuffle on the domain key
+    assert(p.contains("HashAggregate"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("SinglePartition"), p.take(1200))
+  }
+
+  test("embedding dedup resolution joins the corpus by equi-key only") {
+    val p = plan(q("q_dedup_embeddings"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

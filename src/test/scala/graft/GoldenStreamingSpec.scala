@@ -28,7 +28,11 @@ class GoldenStreamingSpec extends AnyFunSuite {
     }
   }
 
-  Seq("s3csv", "s3out", "s3attachments", "s3csv-resumable").foreach { a =>
+  // engine-extension fixtures: $deduplicateNear's store-always verdicts
+  // and dupTopic routing under real streaming (arrival order rides the
+  // filename-derived __ord, so the matrix entry is deterministic)
+  Seq("s3csv", "s3out", "s3attachments", "s3csv-resumable", "neardedup")
+    .foreach { a =>
     test(s"reference $a app matches under Structured Streaming") {
       val results = GoldenTest.runStreaming(spark, s"$root/$a")
       assert(results.nonEmpty, s"no expectations for $a")

@@ -65,6 +65,62 @@ object Curation {
       .otherwise(lastTwo)
   }
 
+  /** Canonical URL for URL-level dedup — the normalization every crawl
+    * pipeline applies before treating two URLs as the same page:
+    * fragment stripped, scheme and host lowercased, userinfo dropped,
+    * default ports (:80 http, :443 https) stripped, trailing path
+    * slashes stripped, tracking query parameters removed (utm_*,
+    * fbclid, gclid, ref, mc_cid, mc_eid) and the survivors SORTED so
+    * parameter order never splits a page. Pure regex/array expressions
+    * (each single-match, so engines that replace first-match-only
+    * replay identically); null in → null out. A codegen'd narrow map.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val pre = regexp_extract(noFrag, "^([^?]*)", 1)
+    val q = regexp_extract(noFrag, "^[^?]*\\?(.*)$", 1)
+    val scheme = lower(regexp_extract(pre,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val rest = when(scheme =!= "",
+      regexp_replace(pre, "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""))
+      .otherwise(pre)
+    val hostport = lower(regexp_replace(
+      regexp_extract(rest, "^([^/]*)", 1), "^[^@]*@", ""))
+    val host = when(scheme === "http",
+      regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path = regexp_replace(
+      regexp_extract(rest, "^[^/]*(/.*)?$", 1), "/+$", "")
+    val params = filter(split(q, "&"), p =>
+      p =!= "" &&
+        !p.rlike("^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)(=|$)"))
+    val qs = array_join(array_sort(params), "&")
+    when(url.isNull, lit(null).cast(StringType)).otherwise(concat(
+      when(scheme =!= "", concat(scheme, lit("://"))).otherwise(lit("")),
+      host, path,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit(""))))
+  }
+
+  /** URL-level exact dedup: every id with the corpus-minimum id among
+    * the rows sharing its CANONICAL url and the keep verdict — the
+    * crawl-side keep-list (same ergonomics as `Dedup.keepList`). Rows
+    * with no parseable url (null canonical) always keep: "no URL" is
+    * not a duplicate of "no URL". Plan: narrow canonicalization map →
+    * one hash aggregate on the canonical key → one equi-join back; no
+    * window, no product.
+    */
+  def dedupUrls(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val canon = df.select(col(idCol),
+      canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    val firsts = canon.where(col("canonical_url").isNotNull)
+      .groupBy("canonical_url").agg(min(col(idCol)).as("__first"))
+    canon.join(firsts, Seq("canonical_url"), "left")
+      .select(col(idCol), col("canonical_url"),
+        (col("canonical_url").isNull || col(idCol) === col("__first"))
+          .as("keep"))
+  }
+
   /** Per-domain corpus statistics: group the corpus by registrable
     * domain (derived from `urlCol` in the same narrow map) and count
     * documents, distinct hosts and an optional summed weight (token

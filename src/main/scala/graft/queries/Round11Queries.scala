@@ -52,33 +52,60 @@ object Round11Queries {
     * registrableDomain / domainStats) run on that column like any
     * crawl-provenance field.
     */
+  /** Doc-keyed pick: varies per document (case, port, tracking junk,
+    * trailing slash, fragment — the noise canonicalization collapses).
+    */
   private def pick(salt: String, n: Int): Column =
     conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))),
       1, 4), 16, 10).cast("long") % n
 
+  /** Group-keyed pick (doc_id % 150): several documents share one
+    * logical PAGE (site/scheme/subdomain/path), so URL-level dedup has
+    * real collisions once the per-doc noise is canonicalized away.
+    */
+  private def pickG(salt: String, n: Int): Column =
+    conv(substring(md5(concat((col("doc_id") % 150).cast("string"),
+      lit(salt))), 1, 4), 16, 10).cast("long") % n
+
   private def withUrl(df: DataFrame): DataFrame = {
-    val scheme = when(pick("-s", 2) === 0, lit("http"))
+    val scheme = when(pickG("-s", 2) === 0, lit("http"))
       .otherwise(lit("https"))
-    val sub = when(pick("-w", 3) === 0, lit(""))
-      .when(pick("-w", 3) === 1, lit("www.")).otherwise(lit("blog."))
-    val name = concat(lit("site"), pick("-n", 40).cast("string"))
+    val sub = when(pickG("-w", 3) === 0, lit(""))
+      .when(pickG("-w", 3) === 1, lit("www.")).otherwise(lit("blog."))
+    val name = concat(lit("site"), pickG("-n", 40).cast("string"))
     val tld = element_at(
       array(lit("com"), lit("org"), lit("net"), lit("co.uk"),
         lit("com.au")),
-      (pick("-t", 5) + 1).cast("int"))
-    val port = when(pick("-p", 4) === 0, lit(":8080")).otherwise(lit(""))
+      (pickG("-t", 5) + 1).cast("int"))
+    val port = when(pick("-p", 4) === 0, lit(":8080"))
+      .when(pick("-p", 4) === 1 && pickG("-s", 2) === 0, lit(":80"))
+      .when(pick("-p", 4) === 2 && pickG("-s", 2) === 1, lit(":443"))
+      .otherwise(lit(""))
+    val slash = when(pick("-l", 3) === 0, lit("/")).otherwise(lit(""))
+    val qpart = when(pick("-q", 4) === 0, lit("?utm_source=x&b=2&a=1"))
+      .when(pick("-q", 4) === 1, lit("?z=9&a=1"))
+      .when(pick("-q", 4) === 2, lit("?ref=home"))
+      .otherwise(lit(""))
+    val frag = when(pick("-f", 3) === 0, lit("#sec2")).otherwise(lit(""))
     val url0 = concat(scheme, lit("://"), sub, name, lit("."), tld, port,
-      lit("/p/"), col("doc_id").cast("string"))
+      lit("/p/"), (col("doc_id") % 150).cast("string"), slash, qpart,
+      frag)
     df.withColumn("url",
       when(pick("-z", 20) === 0, lit(null).cast("string"))
         .when(pick("-u", 10) === 0, upper(url0))
         .otherwise(url0))
   }
 
-  /** The same fixture in DuckDB: `urls(doc_id, url, text)`. */
+  /** The same fixture in DuckDB: `urls(doc_id, url, text)`. Page parts
+    * key on the doc_id%150 GROUP, per-doc noise on doc_id — in sync
+    * with `withUrl`.
+    */
   private val urlCte = {
     def pickSql(salt: String, n: Int) =
       s"(('0x'||substr(md5(doc_id::VARCHAR || '$salt'),1,4))::BIGINT % $n)"
+    def pickGSql(salt: String, n: Int) =
+      s"(('0x'||substr(md5((doc_id % 150)::VARCHAR || '$salt'),1,4))" +
+        s"::BIGINT % $n)"
     s"""urls AS (
          SELECT doc_id, text,
            CASE WHEN ${pickSql("-z", 20)} = 0 THEN NULL
@@ -86,18 +113,30 @@ object Round11Queries {
                 ELSE u0 END AS url
          FROM (
            SELECT doc_id, text,
-             (CASE WHEN ${pickSql("-s", 2)} = 0 THEN 'http'
+             (CASE WHEN ${pickGSql("-s", 2)} = 0 THEN 'http'
                    ELSE 'https' END)
              || '://'
-             || (CASE WHEN ${pickSql("-w", 3)} = 0 THEN ''
-                      WHEN ${pickSql("-w", 3)} = 1 THEN 'www.'
+             || (CASE WHEN ${pickGSql("-w", 3)} = 0 THEN ''
+                      WHEN ${pickGSql("-w", 3)} = 1 THEN 'www.'
                       ELSE 'blog.' END)
-             || 'site' || ${pickSql("-n", 40)}::VARCHAR || '.'
+             || 'site' || ${pickGSql("-n", 40)}::VARCHAR || '.'
              || (['com','org','net','co.uk','com.au'])
-                  [CAST(${pickSql("-t", 5)} + 1 AS INT)]
+                  [CAST(${pickGSql("-t", 5)} + 1 AS INT)]
              || (CASE WHEN ${pickSql("-p", 4)} = 0 THEN ':8080'
+                      WHEN ${pickSql("-p", 4)} = 1
+                           AND ${pickGSql("-s", 2)} = 0 THEN ':80'
+                      WHEN ${pickSql("-p", 4)} = 2
+                           AND ${pickGSql("-s", 2)} = 1 THEN ':443'
                       ELSE '' END)
-             || '/p/' || doc_id::VARCHAR AS u0
+             || '/p/' || (doc_id % 150)::VARCHAR
+             || (CASE WHEN ${pickSql("-l", 3)} = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN ${pickSql("-q", 4)} = 0
+                        THEN '?utm_source=x&b=2&a=1'
+                      WHEN ${pickSql("-q", 4)} = 1 THEN '?z=9&a=1'
+                      WHEN ${pickSql("-q", 4)} = 2 THEN '?ref=home'
+                      ELSE '' END)
+             || (CASE WHEN ${pickSql("-f", 3)} = 0 THEN '#sec2'
+                      ELSE '' END) AS u0
            FROM documents))"""
   }
 
@@ -131,6 +170,67 @@ object Round11Queries {
                    string_split($host, '.')[-1]
              ELSE string_split($host, '.')[-2] || '.' ||
                   string_split($host, '.')[-1] END"""
+
+  /** `Curation.canonicalizeUrl` replayed in DuckDB, one CTE step per
+    * normalization stage (every regexp is single-match, so DuckDB's
+    * first-match regexp_replace agrees with Spark's replace-all).
+    */
+  private val canonCte =
+    s"""c1 AS (SELECT doc_id, url,
+                 regexp_replace(url, '#.*', '') AS nofrag FROM urls),
+        c2 AS (SELECT doc_id, url,
+                 regexp_extract(nofrag, '^([^?]*)', 1) AS pre,
+                 regexp_extract(nofrag, '^[^?]*\\?(.*)$$', 1) AS q
+               FROM c1),
+        c3 AS (SELECT doc_id, url, q,
+                 lower(regexp_extract(pre,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                 CASE WHEN regexp_extract(pre,
+                        '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) <> ''
+                      THEN regexp_replace(pre,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')
+                      ELSE pre END AS rest
+               FROM c2),
+        c4 AS (SELECT doc_id, url, q, scheme,
+                 lower(regexp_replace(
+                   regexp_extract(rest, '^([^/]*)', 1),
+                   '^[^@]*@', '')) AS hostport,
+                 regexp_replace(regexp_extract(rest, '^[^/]*(/.*)?$$', 1),
+                   '/+$$', '') AS path
+               FROM c3),
+        c5 AS (SELECT doc_id, url, scheme, path,
+                 CASE WHEN scheme = 'http'
+                        THEN regexp_replace(hostport, ':80$$', '')
+                      WHEN scheme = 'https'
+                        THEN regexp_replace(hostport, ':443$$', '')
+                      ELSE hostport END AS host,
+                 array_to_string(list_sort(list_filter(
+                   string_split(q, '&'), p -> p <> '' AND NOT
+                     regexp_matches(p,
+                       '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)(=|$$)')
+                   )), '&') AS qs
+               FROM c4),
+        canon AS (SELECT doc_id, url,
+                    CASE WHEN url IS NULL THEN NULL ELSE
+                      (CASE WHEN scheme <> '' THEN scheme || '://'
+                            ELSE '' END)
+                      || host || path
+                      || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
+                    END AS canonical_url
+                  FROM c5)"""
+
+  private val urlCanonicalOracle =
+    s"""WITH $urlCte, $canonCte
+        SELECT doc_id, url, canonical_url FROM canon"""
+
+  private val urlDedupOracle =
+    s"""WITH $urlCte, $canonCte,
+         firsts AS (SELECT canonical_url, min(doc_id) AS f
+                    FROM canon WHERE canonical_url IS NOT NULL
+                    GROUP BY 1)
+        SELECT c.doc_id, c.canonical_url,
+               (c.canonical_url IS NULL OR c.doc_id = firsts.f) AS keep
+        FROM canon c LEFT JOIN firsts USING (canonical_url)"""
 
   private val urlDomainsOracle =
     s"""WITH $urlCte,
@@ -166,6 +266,17 @@ object Round11Queries {
       val docs = withUrl(Tables.load(spark, sf, "documents"))
         .withColumn("w", octet_length(col("text")))
       Curation.domainStats(docs, "url", weightCol = Some("w"))
+    },
+
+    Q.fn("q_url_canonical", urlCanonicalOracle) { (spark, sf) =>
+      withUrl(Tables.load(spark, sf, "documents"))
+        .select(col("doc_id"), col("url"),
+          Curation.canonicalizeUrl(col("url")).as("canonical_url"))
+    },
+
+    Q.fn("q_url_dedup", urlDedupOracle) { (spark, sf) =>
+      Curation.dedupUrls(
+        withUrl(Tables.load(spark, sf, "documents")), "url", "doc_id")
     }
   )
 }

@@ -324,6 +324,43 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalizeUrl collapses page-identity noise, keeps real params") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      "HTTP://User@WWW.Shop.COM:80/a/b/?utm_source=x&b=2&a=1#frag"
+        -> "http://www.shop.com/a/b?a=1&b=2",
+      "https://shop.com:443/x" -> "https://shop.com/x",
+      "https://shop.com:8443/x" -> "https://shop.com:8443/x",
+      "http://shop.com:443/x" -> "http://shop.com:443/x",
+      "https://shop.com/p?ref=home&gclid=123&fbclid=9"
+        -> "https://shop.com/p",
+      "https://shop.com/p?b=2&a=1" -> "https://shop.com/p?a=1&b=2",
+      "shop.com/p/" -> "shop.com/p",
+      "https://shop.com" -> "https://shop.com",
+      null.asInstanceOf[String] -> null)
+    val out = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalizeUrl(col("url"))).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want $want got $got")
+    }
+  }
+
+  test("dedupUrls keeps the min id per canonical url, null urls keep") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://shop.com/p?utm_source=a"),
+      (2L, "https://shop.com/p/#top"),
+      (3L, "https://shop.com/q"),
+      (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    val out = Curation.dedupUrls(docs, "url", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> true, 5L -> true), s"$out")
+  }
+
   test("domainStats groups by registrable domain with distinct hosts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -37,7 +37,12 @@ object Curation {
       .when(bare.contains("."), bare)
       .otherwise(lit(""))
     val cleaned = regexp_replace(lower(raw), "\\.$", "")
-    when(cleaned === "", lit(null).cast(StringType)).otherwise(cleaned)
+    // IPv6 literals ('https://[::1]:8080/x'): the generic capture stops
+    // at the first ':' and would yield the bogus non-null host '[' — a
+    // worse provenance key (quotas, blocklists) than the null the rest
+    // of the crawl junk produces. Any bracket in the capture → null.
+    val noBracket = regexp_replace(cleaned, "^.*[\\[\\]].*$", "")
+    when(noBracket === "", lit(null).cast(StringType)).otherwise(noBracket)
   }
 
   /** Registrable ("pay-level") domain of a host: the last two labels,
@@ -73,7 +78,12 @@ object Curation {
     * fbclid, gclid, ref, mc_cid, mc_eid) and the survivors SORTED so
     * parameter order never splits a page. Pure regex/array expressions
     * (each single-match, so engines that replace first-match-only
-    * replay identically); null in → null out. A codegen'd narrow map.
+    * replay identically); null in → null out. A narrow map — no
+    * shuffle, no UDF; NOTE the tracking-param removal runs through
+    * lambda HOFs (`filter`/`array_sort`), which Spark evaluates
+    * interpreted outside whole-stage codegen — one bounded pass over a
+    * handful of query params per row, acceptable here, but not a
+    * codegen'd hot loop.
     */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
@@ -142,6 +152,196 @@ object Curation {
       weightCol.map(w => sum(col(w)).as("sum_weight"))
     keyed.groupBy(col("domain")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Registrable domain with the public-suffix set as DATA — the
+    * production form `registrableDomain`'s scaladoc names: the real
+    * Public Suffix List is ~10k entries that change monthly, so it
+    * belongs in a TABLE (one string column `suffix`), not in code.
+    *
+    * Shape: ZERO corpus shuffle — and zero shuffle anywhere. The naive
+    * form (explode each host's label-count candidate tails, join,
+    * groupBy host for the longest match, join back) costs two
+    * corpus-wide shuffles; instead the suffix table (bounded by
+    * `maxSuffixRows` — it is config-scale and never grows with the
+    * corpus) collects once, dedups driver-side, splits by LABEL COUNT
+    * into ≤ `maxSuffixLabels` classes (the PSL's longest entries have
+    * 5 labels) and each class broadcast-LEFT-joins the corpus on the
+    * host's last-`i`-labels tail — a computed equi-key, so every join
+    * is a map-side BroadcastHashJoin and the longest match is
+    * `coalesce` over the classes from longest down (a host has ONE
+    * tail per length, and the class lists are distinct, so no join can
+    * duplicate rows). The corpus is scanned once, never exchanged.
+    *
+    * Semantics: registrable domain = longest matched suffix plus one
+    * more label; a host that IS a public suffix maps to itself; no
+    * match falls back to the last-two-labels heuristic (exactly
+    * `registrableDomain` when the table holds the built-in set); null /
+    * single-label hosts pass through. PSL wildcard (`*.ck`) and
+    * exception (`!www.ck`) rules are not interpreted — expand them into
+    * literal rows when loading the real list. Output: `df` +
+    * `domain`.
+    */
+  def registrableDomainFromTable(df: DataFrame, hostCol: String,
+      suffixes: DataFrame, maxSuffixLabels: Int = 8,
+      maxSuffixRows: Int = 1000000): DataFrame = {
+    import df.sparkSession.implicits._
+    // the suffix list is config-scale data (the full PSL is ~10k rows
+    // and never grows with the corpus): collect it ONCE, dedup
+    // driver-side, and ship each label-count class back as a broadcast
+    // local relation — a distributed distinct per class would cost a
+    // (tiny but needless) shuffle each, and a build side with
+    // duplicate keys would duplicate corpus rows through the outer join
+    val rows = suffixes.select(col("suffix").cast(StringType))
+      .limit(maxSuffixRows + 1).collect()
+    require(rows.length <= maxSuffixRows,
+      s"more than $maxSuffixRows suffix rows — that is not a public " +
+        "suffix list (the table is driver-resident by design)")
+    val bySize: Map[Int, Seq[String]] = rows.iterator
+      .filterNot(_.isNullAt(0)).map(_.getString(0)).toSeq.distinct
+      .groupBy(s => s.count(_ == '.') + 1)
+    val classes = (1 to
+      math.min(bySize.keys.maxOption.getOrElse(0), maxSuffixLabels))
+      .filter(bySize.contains)
+    val parts = split(col(hostCol), "\\.")
+    val n = size(parts)
+    def tail(i: Int): Column =
+      when(n >= i, concat_ws(".", slice(parts, -i, i)))
+    var out = df
+    classes.foreach { i =>
+      val cls = bySize(i).toDF(s"__sfx$i")
+      out = out.join(broadcast(cls), tail(i) === col(s"__sfx$i"), "left")
+    }
+    val bestLen = coalesce(classes.reverse.map(i =>
+      when(col(s"__sfx$i").isNotNull, lit(i))) :+
+      lit(null).cast(IntegerType): _*)
+    val lastTwo =
+      concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val domain = when(col(hostCol).isNull || n <= 1, col(hostCol))
+      .when(bestLen.isNull, lastTwo)
+      .when(bestLen >= n, col(hostCol))
+      .otherwise(concat_ws(".",
+        slice(parts, -(bestLen + lit(1)), bestLen + lit(1))))
+    out.withColumn("domain", domain)
+      .drop(classes.map(i => s"__sfx$i"): _*)
+  }
+
+  /** A deterministic fixture suffix table for specs/oracles: the
+    * single-label TLDs the tests touch, the built-in multi-label set
+    * `registrableDomain` hardcodes, and a few exotic deeper entries
+    * (3- and 4-label) so the longest-match logic is exercised past two
+    * labels. A production run loads the real PSL here instead.
+    */
+  val fixtureSuffixStrings: Seq[String] =
+    Seq("com", "org", "net", "io", "uk", "au", "jp", "us", "nz", "in",
+      "za", "br", "mx", "cn", "sg", "ar", "tr") ++
+      multiLabelSuffixes ++
+      Seq("edu.au", "act.edu.au", "k12.ma.us", "pvt.k12.ma.us",
+        "github.io", "kawasaki.jp", "city.kawasaki.jp")
+
+  def fixtureSuffixes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    fixtureSuffixStrings.toDF("suffix")
+  }
+
+  /** Persist the canonical-url → first-id index of a crawl corpus — the
+    * URL-level mirror of [[Dedup.buildBandIndex]]: `dedupUrls`
+    * re-canonicalizes the WHOLE corpus per call; a standing crawl
+    * pipeline canonicalizes it ONCE here and lets every new batch probe
+    * the saved index (`dedupUrlsAgainstIndex`). One row per distinct
+    * canonical url with the corpus-minimum id (the keeper
+    * `dedupUrls` would pick).
+    */
+  def buildUrlIndex(df: DataFrame, urlCol: String, idCol: String,
+      dir: String): Unit =
+    df.select(canonicalizeUrl(col(urlCol)).as("canonical_url"),
+        col(idCol).as("first_id"))
+      .where(col("canonical_url").isNotNull)
+      .groupBy("canonical_url").agg(min(col("first_id")).as("first_id"))
+      .write.mode("overwrite").parquet(s"$dir/urls")
+
+  /** The index rows whose canonical url appears in `batchKeys`: the
+    * INDEX streams (billions of urls at crawl scale) against the
+    * BROADCAST batch key set — no index shuffle ever; the result is
+    * ≤ |batch| rows.
+    */
+  private def urlIndexHits(idx: DataFrame, batchKeys: DataFrame) =
+    idx.join(broadcast(batchKeys), Seq("canonical_url"), "left_semi")
+
+  /** Fold a new crawl batch into a `buildUrlIndex` directory: append
+    * the batch's canonical urls NOT already present (existing entries
+    * win — the FIRST crawl's id stays the keeper, append never
+    * rewrites). Same probe shape as `dedupUrlsAgainstIndex`: the index
+    * streams once, the batch broadcasts, and only the genuinely new
+    * (canonical_url, first_id) rows are written.
+    */
+  def updateUrlIndex(spark: SparkSession, dir: String, df: DataFrame,
+      urlCol: String, idCol: String): Unit = {
+    val idx = spark.read.parquet(s"$dir/urls")
+    val batch = df
+      .select(canonicalizeUrl(col(urlCol)).as("canonical_url"),
+        col(idCol).as("first_id"))
+      .where(col("canonical_url").isNotNull)
+      .groupBy("canonical_url").agg(min(col("first_id")).as("first_id"))
+    val hits = urlIndexHits(idx, batch.select("canonical_url"))
+      .select("canonical_url")
+    batch.join(broadcast(hits), Seq("canonical_url"), "left_anti")
+      .write.mode("append").parquet(s"$dir/urls")
+  }
+
+  /** URL-level dedup of a new crawl batch against a `buildUrlIndex`
+    * directory — the crawl-pipeline production shape (new batches dedup
+    * against all prior crawls without re-canonicalizing them). Returns
+    * the `dedupUrls` keep-list over the batch: a row keeps iff its
+    * canonical url is null (no URL is not a duplicate of no URL), or is
+    * unseen in BOTH the index and the earlier rows of this batch (the
+    * batch-minimum id is the keeper among batch-internal twins).
+    *
+    * Scale shape: the batch canonicalizes in a narrow map; the index
+    * never shuffles — its scan semi-joins against the BROADCAST batch
+    * key set, so probing a billion-url index costs one index read and
+    * zero exchanges of it; the two batch-side joins are batch-sized.
+    */
+  def dedupUrlsAgainstIndex(spark: SparkSession, dir: String,
+      newDf: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val idx = spark.read.parquet(s"$dir/urls")
+    val canon = newDf.select(col(idCol),
+      canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    val keys = canon.where(col("canonical_url").isNotNull)
+      .select("canonical_url").distinct()
+    val hits = urlIndexHits(idx, keys)
+      .select(col("canonical_url"), lit(true).as("__inref"))
+    val firsts = canon.where(col("canonical_url").isNotNull)
+      .groupBy("canonical_url").agg(min(col(idCol)).as("__first"))
+    canon.join(broadcast(hits), Seq("canonical_url"), "left")
+      .join(firsts, Seq("canonical_url"), "left")
+      .select(col(idCol), col("canonical_url"),
+        (col("canonical_url").isNull ||
+          (col("__inref").isNull && col(idCol) === col("__first")))
+          .as("keep"))
+  }
+
+  /** stats → quotas → mix in ONE operator: THE standard crawl-curation
+    * composition. Each row's registrable domain derives from its URL
+    * (the same narrow `extractHost` → `registrableDomain` map
+    * `domainStats` groups by) and the corpus temperature-resamples on
+    * that domain with `domainMixTemperature`'s math — p(domain) ∝
+    * count^τ, per-row deterministic hash-threshold keep, rates clamped
+    * at 1. Docs with no parseable host are dropped (a quota needs a
+    * provenance key; count them beforehand via `domainStats`' null
+    * row). Output: the kept rows + their `domain` column.
+    *
+    * Plan shape: the returned frame is the input scan + the narrow
+    * extraction + a per-row hash compare — NO window, no join, no
+    * added shuffle (the per-domain counts are one bounded aggregate
+    * collected at call time, exactly `domainMixTemperature`'s).
+    */
+  def domainMixFromUrls(df: DataFrame, urlCol: String, idCol: String,
+      temperature: Double, outputFraction: Double = 1.0,
+      salt: String = "mixT", maxDomains: Int = 100000): DataFrame =
+    domainMixTemperature(
+      df.withColumn("domain",
+        registrableDomain(extractHost(col(urlCol)))),
+      idCol, "domain", temperature, outputFraction, salt, maxDomains)
 
   /** Benchmark contamination (the decontamination pass every pretraining
     * corpus runs before training): a document is contaminated when it
@@ -637,13 +837,19 @@ object Curation {
       s -> math.round(r * 1e9) / 1e9
     }
     // deterministic per-row keep: uniform h32 under the rate threshold.
-    // Thresholds fold into one chained CASE over the bounded domain set
-    val threshold = rate.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (s, r)) =>
-        when(col(sourceCol) === s,
-          lit(math.round(r * 4294967296.0))).otherwise(acc)
-    }
+    // Thresholds ship as ONE literal map (domain → threshold) probed
+    // with element_at — O(1) per row and the source column is
+    // referenced exactly once. The previous chained-CASE form compared
+    // per domain AND, when the source column is a derived expression
+    // (domainMixFromUrls' url → host → domain extraction), the
+    // optimizer inlined that whole expression into every branch —
+    // O(|domains| × |expr|) codegen that blew the heap past ~100
+    // domains.
+    val thresholds: Map[String, Long] =
+      rate.map { case (s, r) => s -> math.round(r * 4294967296.0) }
     df.where(col(sourceCol).isNotNull &&
-      h32(concat(lit(salt), col(idCol).cast(StringType))) < threshold)
+      h32(concat(lit(salt), col(idCol).cast(StringType))) <
+        coalesce(element_at(typedLit(thresholds), col(sourceCol)),
+          lit(0L)))
   }
 }

@@ -556,8 +556,13 @@ object Dedup {
     * near-duplicate of any `refDf` row — `dedupAgainst`'s companion for
     * the syndicated/boilerplate copies an exact anti-join can't see.
     *
-    * ONE-SHOT convenience form: every call re-shingles and re-minhashes
-    * the ENTIRE reference corpus to derive its band table. The
+    * ONE-SHOT convenience form: the reference corpus' band table is
+    * derived live (shingle + minhash over ALL of `refDf`) — but PINNED
+    * via [[CacheLifecycle]], so repeated calls against the same
+    * reference frame in one session amortize that corpus-wide pass
+    * (Spark's CacheManager dedups identical plans, so the second call's
+    * band subtree resolves to the cached table). Results are identical
+    * either way; `CacheLifecycle.releaseAll()` reclaims the blocks. The
     * PRODUCTION form for a standing ingestion pipeline is
     * [[buildBandIndex]] + [[dedupAgainstNearIndexed]], which computes
     * that corpus-wide pass ONCE into a persisted (id, band) table and
@@ -594,7 +599,10 @@ object Dedup {
         .select(col(idCol).as(as),
           explode(bandKeys(col("sig"), bands, r)).as("band"))
     val nb = bandsOf(newDf, "__new_id")
-    val rb = bandsOf(refDf, "__ref_id")
+    // only the REFERENCE side pins: it is the corpus-sized leg whose
+    // shingle+minhash pass dominates the call; the batch side is small
+    // and changes per call (caching it would only fill the LRU)
+    val rb = CacheLifecycle.pin(bandsOf(refDf, "__ref_id"))
     nearFromBands(newDf, refDf, nb, rb, textCol, idCol, minJaccard, k,
       maxBandFreq)
   }

@@ -429,6 +429,59 @@ object Multimodal {
       .distinct()
   }
 
+  /** Persist the 64-bit aHash signatures of an image corpus — the
+    * perceptual mirror of [[Dedup.buildBandIndex]] for the
+    * crawl-incremental shape: new image batches dedup against a prior
+    * corpus's STORED signatures (`dedupImagesAgainstAHashIndex`)
+    * instead of re-decoding it per batch — decode + thumbnail is the
+    * expensive pass, and it runs exactly once per corpus here.
+    *
+    * The index stores raw signatures, not exploded band keys: banding
+    * is maxDist+1 shift-mask ops derived at probe time, so ONE index
+    * serves any probe `maxDist` (unlike the MinHash index, whose band
+    * layout is baked in at build time and therefore pinned by meta).
+    * Rows whose payload fails to decode hash to nothing and are not
+    * indexed.
+    */
+  def buildAHashIndex(packed: DataFrame, idCol: String,
+      dir: String): Unit =
+    decodeImages(packed, idCol, thumbW = 8, thumbH = 8)
+      .where(col("decoded"))
+      .select(col("doc_id").as("__ref_id"),
+        aHash64(col("thumb_luma")).as("__h64"))
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+
+  /** Rows of `newPacked` whose image is NOT a perceptual near-dup
+    * (aHash Hamming distance ≤ `maxDist`) of any image in a
+    * `buildAHashIndex` directory. Both sides band with the pigeonhole
+    * layout for `maxDist` (any pair within maxDist agrees exactly on
+    * one band), the INDEX side streams against the BROADCAST batch
+    * bands — probing a billion-image index costs one index scan and
+    * zero exchanges of it — and candidates verify by full 64-bit
+    * distance. Batch rows that fail to decode are KEPT (no signature →
+    * no evidence of duplication); batch-internal near-dups are not
+    * this operator's job — run `imageAHashPairs` within the batch.
+    */
+  def dedupImagesAgainstAHashIndex(spark: SparkSession, dir: String,
+      newPacked: DataFrame, idCol: String, maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"dedupImagesAgainstAHashIndex: maxDist must be in [0, 64), " +
+        s"got $maxDist")
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    val nb = decodeImages(newPacked, idCol, thumbW = 8, thumbH = 8)
+      .where(col("decoded"))
+      .select(col("doc_id").as("__new_id"),
+        aHash64(col("thumb_luma")).as("__nh"))
+      .select(col("__new_id"), col("__nh"),
+        explode(bands64(col("__nh"), maxDist)).as("band"))
+    val rb = sigs.select(col("__ref_id"), col("__h64"),
+      explode(bands64(col("__h64"), maxDist)).as("band"))
+    val dropIds = rb.join(broadcast(nb), "band")
+      .where(bit_count(col("__h64").bitwiseXOR(col("__nh"))) <= maxDist)
+      .select(col("__new_id").as(idCol)).distinct()
+    newPacked.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   private val envelopeSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("env", ArrayType(LongType)),

@@ -587,7 +587,7 @@ object Stages {
         if (spec.has("cacheWindow")) Some(spec.get("cacheWindow").asLong())
         else None, dupTopic,
         if (spec.has("maxPerBand")) spec.get("maxPerBand").asInt()
-        else 4096)
+        else graft.streaming.StatefulOps.DefaultMaxPerBand)
     else graft.streaming.StatefulOps.deduplicateNearBatch(df, e, maxDist,
       dupTopic)
   }

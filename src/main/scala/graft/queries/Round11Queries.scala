@@ -55,7 +55,7 @@ object Round11Queries {
   /** Doc-keyed pick: varies per document (case, port, tracking junk,
     * trailing slash, fragment — the noise canonicalization collapses).
     */
-  private def pick(salt: String, n: Int): Column =
+  private[queries] def pick(salt: String, n: Int): Column =
     conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))),
       1, 4), 16, 10).cast("long") % n
 
@@ -63,11 +63,11 @@ object Round11Queries {
     * logical PAGE (site/scheme/subdomain/path), so URL-level dedup has
     * real collisions once the per-doc noise is canonicalized away.
     */
-  private def pickG(salt: String, n: Int): Column =
+  private[queries] def pickG(salt: String, n: Int): Column =
     conv(substring(md5(concat((col("doc_id") % 150).cast("string"),
       lit(salt))), 1, 4), 16, 10).cast("long") % n
 
-  private def withUrl(df: DataFrame): DataFrame = {
+  private[queries] def withUrl(df: DataFrame): DataFrame = {
     val scheme = when(pickG("-s", 2) === 0, lit("http"))
       .otherwise(lit("https"))
     val sub = when(pickG("-w", 3) === 0, lit(""))
@@ -100,7 +100,7 @@ object Round11Queries {
     * key on the doc_id%150 GROUP, per-doc noise on doc_id — in sync
     * with `withUrl`.
     */
-  private val urlCte = {
+  private[queries] val urlCte = {
     def pickSql(salt: String, n: Int) =
       s"(('0x'||substr(md5(doc_id::VARCHAR || '$salt'),1,4))::BIGINT % $n)"
     def pickGSql(salt: String, n: Int) =
@@ -144,18 +144,18 @@ object Round11Queries {
     * the SAME regex and label arithmetic (that portability is the point
     * of the pure-regex extraction).
     */
-  private def hostSql(url: String) = {
+  private[queries] def hostSql(url: String) = {
     val withScheme = s"""regexp_extract($url,
       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#\\s]*@)?([^/:?#\\s]+)', 1)"""
     val bare = s"""regexp_extract($url,
       '^(?:[^/@?#\\s]*@)?([^/:?#\\s]+)', 1)"""
-    s"""nullif(regexp_replace(lower(
+    s"""nullif(regexp_replace(regexp_replace(lower(
           CASE WHEN $withScheme <> '' THEN $withScheme
                WHEN contains($bare, '.') THEN $bare
                ELSE '' END),
-        '\\.$$', ''), '')"""
+        '\\.$$', ''), '^.*[\\[\\]].*$$', ''), '')"""
   }
-  private def domainSql(host: String) =
+  private[queries] def domainSql(host: String) =
     s"""CASE WHEN $host IS NULL OR len(string_split($host, '.')) <= 1
               THEN $host
              WHEN len(string_split($host, '.')) >= 3
@@ -175,7 +175,7 @@ object Round11Queries {
     * normalization stage (every regexp is single-match, so DuckDB's
     * first-match regexp_replace agrees with Spark's replace-all).
     */
-  private val canonCte =
+  private[queries] val canonCte =
     s"""c1 AS (SELECT doc_id, url,
                  regexp_replace(url, '#.*', '') AS nofrag FROM urls),
         c2 AS (SELECT doc_id, url,
@@ -245,7 +245,7 @@ object Round11Queries {
                FROM h)
         SELECT domain, count(*) AS n_docs,
                count(DISTINCT host) AS n_hosts,
-               sum(w) AS sum_weight
+               CAST(sum(w) AS BIGINT) AS sum_weight
         FROM d GROUP BY 1"""
 
   val all: Seq[Q] = Seq(

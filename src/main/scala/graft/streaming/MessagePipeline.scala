@@ -351,7 +351,7 @@ object MessagePipeline {
               Some(spec.get("cacheWindow").asLong())
             else None, dupTopic,
             if (spec.has("maxPerBand")) spec.get("maxPerBand").asInt()
-            else 4096)
+            else StatefulOps.DefaultMaxPerBand)
         else StatefulOps.deduplicateNearBatch(df, e, maxDist, dupTopic)
       }
     // schemaless $lookup: probe key extracts from the variant typed to the

@@ -25,6 +25,14 @@ import graft.json.Js
   */
 object StatefulOps {
 
+  /** The `$deduplicateNear` per-band signature-log cap's single source
+    * of truth — referenced by both stage parsers (`op.Stages`,
+    * `streaming.MessagePipeline`) and both parameter defaults
+    * (`deduplicateNear`, `NearBandProcessor`) so a spec default and a
+    * processor default can never silently drift apart.
+    */
+  val DefaultMaxPerBand: Int = 4096
+
   /** `transformWithState` needs a multi-column-family store — RocksDB
     * (also the right call at 100 TB: off-heap state, incremental
     * checkpoints). Set as the session's streaming state backend when the
@@ -187,7 +195,7 @@ object StatefulOps {
         * if ANY of its maxDist+1 bands retains a near predecessor).
         * ≤ 0 disables the cap (faithful unbounded cache).
         */
-      maxPerBand: Int = 4096): DataFrame = {
+      maxPerBand: Int = DefaultMaxPerBand): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       s"deduplicateNear: maxDist must be in [0, 64), got $maxDist")
     val spark = df.sparkSession
@@ -539,7 +547,7 @@ final class DedupProcessor(ttlMs: Option[Long])
   * stored (store-always) whether or not the row survives.
   */
 final class NearBandProcessor(maxDist: Int, ttlMs: Option[Long],
-    maxPerBand: Int = 4096)
+    maxPerBand: Int = StatefulOps.DefaultMaxPerBand)
     extends StatefulProcessor[String, (String, String, Long, Long, String),
       (String, String, Boolean)] {
   @transient private var sigs: ListState[Long] = _

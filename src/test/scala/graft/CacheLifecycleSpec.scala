@@ -62,4 +62,30 @@ class CacheLifecycleSpec extends AnyFunSuite {
     CacheLifecycle.releaseAll()
     assert(CacheLifecycle.releaseAll() == 0)
   }
+
+  test("dedupAgainstNear pins the reference band table across calls") {
+    import spark.implicits._
+    CacheLifecycle.releaseAll()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .where(col("doc_id") < 200).select("doc_id", "text")
+    val ref = docs.where(col("doc_id") < 150)
+    val batch = docs.where(col("doc_id") >= 150)
+    val before = persistedIds
+    val r1 = Dedup.dedupAgainstNear(batch, ref, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val pinned = persistedIds -- before
+    assert(pinned.nonEmpty,
+      "the live near-dedup must cache the reference band table")
+    // a second call against the SAME reference frame builds the same
+    // band plan — the CacheManager resolves it to the cached table, so
+    // the corpus-wide shingle+minhash pass is not repeated
+    val again = Dedup.dedupAgainstNear(batch, ref, "text", "doc_id")
+    assert(again.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"),
+      "second call must read the pinned reference bands from cache")
+    assert(again.select("doc_id").as[Long].collect().toSet == r1)
+    val released = CacheLifecycle.releaseAll()
+    assert(released >= 1)
+    assert((persistedIds & pinned).isEmpty)
+  }
 }

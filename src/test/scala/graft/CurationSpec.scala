@@ -380,4 +380,157 @@ class CurationSpec extends AnyFunSuite {
     assert(out.exists(t => t._1.isEmpty && t._2 == 1L && t._4 == 7L),
       s"null-domain row: $out")
   }
+
+  test("extractHost nulls IPv6 literals instead of a bogus '[' host") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the generic capture stops at the first ':' of '[::1]' — a bracket
+    // in the capture means the URL used an IPv6 literal and the host
+    // must be null (a non-null '[' would poison per-domain quotas)
+    val cases = Seq(
+      "https://[::1]:8080/x" -> null,
+      "http://[2001:db8::1]/a" -> null,
+      "https://user@[fe80::2]:443/p?q=1" -> null,
+      // a bracket elsewhere never reaches the capture group
+      "https://ok.example.com/a[1]" -> "ok.example.com")
+    val out = cases.map(_._1).toDF("url")
+      .select(Curation.extractHost(col("url"))).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want $want got $got")
+    }
+  }
+
+  test("registrableDomainFromTable: longest suffix wins, fallback holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // two-label suffix from the table
+      "blog.site1.co.uk" -> "site1.co.uk",
+      "a.b.news.co.uk" -> "news.co.uk",
+      // deeper suffixes: 3-label k12.ma.us beats us; 4-label
+      // pvt.k12.ma.us beats both
+      "x.k12.ma.us" -> "x.k12.ma.us",
+      "a.x.pvt.k12.ma.us" -> "x.pvt.k12.ma.us",
+      // the private-section style entry
+      "foo.github.io" -> "foo.github.io",
+      // a host that IS a public suffix maps to itself
+      "github.io" -> "github.io",
+      "k12.ma.us" -> "k12.ma.us",
+      // no suffix in the table → last-two-labels fallback
+      "a.b.weird.zz" -> "weird.zz",
+      "weird.zz" -> "weird.zz",
+      // pass-throughs
+      "localhost" -> "localhost",
+      null.asInstanceOf[String] -> null)
+    val out = Curation.registrableDomainFromTable(
+      cases.map(_._1).toDF("host"), "host",
+      Curation.fixtureSuffixes(spark))
+      .select(col("domain")).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want $want got $got")
+    }
+    // on hosts whose suffixes are all in the built-in set, the table
+    // form must agree with the heuristic registrableDomain
+    val hosts = Seq("www.example.com", "a.b.news.co.uk",
+      "blog.site7.com.au", "example.org", "localhost").toDF("host")
+    val table = Curation.registrableDomainFromTable(hosts, "host",
+      Curation.fixtureSuffixes(spark)).select("host", "domain")
+    val heur = hosts.select(col("host"),
+      Curation.registrableDomain(col("host")).as("domain"))
+    assert(table.collect().toSeq.sortBy(_.getString(0)) ==
+      heur.collect().toSeq.sortBy(_.getString(0)))
+  }
+
+  test("url index: build, probe, append-only update, rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-url-index-spec").toString
+    val prior = Seq(
+      (1L, "https://shop.com/p?utm_source=a"), // canonical shop.com/p
+      (2L, "https://shop.com/p/#top"),         // same page, id 1 keeps
+      (3L, "https://shop.com/q")).toDF("doc_id", "url")
+    Curation.buildUrlIndex(prior, "url", "doc_id", dir)
+    val idx1 = spark.read.parquet(s"$dir/urls").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx1 == Map("https://shop.com/p" -> 1L,
+      "https://shop.com/q" -> 3L), s"$idx1")
+    val batch = Seq(
+      (10L, "https://shop.com/p?fbclid=z"), // dup of the index → drop
+      (11L, "https://shop.com/r"),          // new page → keep
+      (12L, "https://shop.com/r/"),         // batch-internal dup of 11
+      (13L, null.asInstanceOf[String]))     // no url → keep
+      .toDF("doc_id", "url")
+    val keep = Curation
+      .dedupUrlsAgainstIndex(spark, dir, batch, "url", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep == Map(10L -> false, 11L -> true, 12L -> false,
+      13L -> true), s"$keep")
+    // append-only update: the collision keeps the FIRST crawl's id; the
+    // new canonical lands with the batch-minimum id; null urls never
+    // index
+    Curation.updateUrlIndex(spark, dir, batch, "url", "doc_id")
+    val idx2 = spark.read.parquet(s"$dir/urls").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx2 == Map("https://shop.com/p" -> 1L,
+      "https://shop.com/q" -> 3L, "https://shop.com/r" -> 11L), s"$idx2")
+    // a batch row colliding with the just-appended url now drops
+    val again = Curation.dedupUrlsAgainstIndex(spark, dir,
+      Seq((20L, "https://shop.com/r?utm_source=x")).toDF("doc_id", "url"),
+      "url", "doc_id").collect()
+    assert(again.length == 1 && !again(0).getBoolean(2))
+    // rebuild overwrites: the index is exactly the new corpus
+    Curation.buildUrlIndex(
+      Seq((50L, "https://other.org/a")).toDF("doc_id", "url"),
+      "url", "doc_id", dir)
+    val idx3 = spark.read.parquet(s"$dir/urls").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx3 == Map("https://other.org/a" -> 50L), s"$idx3")
+  }
+
+  test("domainMixFromUrls = derive domain + temperature mix, null urls drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 200L).map { i =>
+      val url =
+        if (i % 50 == 49) null
+        else if (i % 4 == 0) s"https://www.big.com/p/$i"
+        else if (i % 4 == 1) s"https://a.big.com/q/$i"
+        else if (i % 4 == 2) s"https://small.org/r/$i"
+        else s"http://tiny.net/s/$i"
+      (i, url)
+    }.toDF("doc_id", "url")
+    val composed = Curation
+      .domainMixFromUrls(docs, "url", "doc_id", temperature = 0.5,
+        outputFraction = 0.5)
+      .select("doc_id", "domain").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val manual = Curation.domainMixTemperature(
+      docs.withColumn("domain",
+        Curation.registrableDomain(
+          Curation.extractHost(col("url")))),
+      "doc_id", "domain", temperature = 0.5, outputFraction = 0.5)
+      .select("doc_id", "domain").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(composed == manual)
+    assert(composed.nonEmpty)
+    assert(composed.values.toSet.subsetOf(
+      Set("big.com", "small.org", "tiny.net")), s"${composed.values.toSet}")
+  }
+
+  test("domainMixTemperature survives many domains on a derived column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    // regression: the per-domain thresholds must ship as ONE literal
+    // map, not a chained CASE — with a DERIVED source expression the
+    // optimizer inlines the expression into every CASE branch, and at
+    // a few hundred domains the generated code blew the driver heap
+    val docs = (0L until 600L).toDF("doc_id")
+      .withColumn("src",
+        concat(lit("domain-"), pmod(col("doc_id"), lit(300L))))
+    val kept = Curation.domainMixTemperature(docs, "doc_id", "src",
+      temperature = 0.5, outputFraction = 0.5)
+    assert(kept.count() > 0)
+  }
 }

@@ -242,4 +242,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs(1) == Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)),
       "single-frame overlaps appear at minShared = 1")
   }
+
+  test("aHash index: build, probe drops near twins, rebuild overwrites") {
+    def ppmOf(seed: String, bump: Boolean): String = {
+      def lum(c: Int): Int = {
+        val v = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed-$c".getBytes("UTF-8"))(0) & 0xff
+        if (bump && c == 0) (v + 16) % 256 else v
+      }
+      "P3\n8 8\n255\n" +
+        (0 until 64).map(c => s"${lum(c)} ${lum(c)} ${lum(c)}").mkString(" ")
+    }
+    def packed(rows: Seq[(Long, String)]) =
+      Multimodal.pack(rows.toDF("id", "img")
+        .withColumn("fmt", lit("ppm")), "img", "fmt")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ahash-index-spec").toString
+    Multimodal.buildAHashIndex(
+      packed(Seq(1L -> ppmOf("a", bump = false),
+        2L -> ppmOf("b", bump = false))), "id", dir)
+    val batch = Seq(
+      10L -> ppmOf("a", bump = true),   // near twin of indexed 1 -> drop
+      11L -> ppmOf("zzz", bump = false), // unrelated -> keep
+      12L -> "not a ppm")                // undecodable -> keep
+    val kept = Multimodal.dedupImagesAgainstAHashIndex(spark, dir,
+      packed(batch), "id").select("id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L), s"$kept")
+    // one signature index serves any probe distance: at maxDist 0 the
+    // bumped twin is no longer an exact hash match and survives
+    val keptExact = Multimodal.dedupImagesAgainstAHashIndex(spark, dir,
+      packed(batch), "id", maxDist = 0)
+      .select("id").as[Long].collect().toSet
+    assert(keptExact == Set(10L, 11L, 12L), s"$keptExact")
+    // rebuild overwrites: an index of only 'zzz' now drops 11, keeps 10
+    Multimodal.buildAHashIndex(
+      packed(Seq(5L -> ppmOf("zzz", bump = false))), "id", dir)
+    val kept2 = Multimodal.dedupImagesAgainstAHashIndex(spark, dir,
+      packed(batch), "id").select("id").as[Long].collect().toSet
+    assert(kept2 == Set(10L, 12L), s"$kept2")
+  }
 }

@@ -390,6 +390,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(1200))
   }
 
+  test("PSL domain resolution is broadcast-join only — corpus never shuffles") {
+    val p = plan(q("q_domain_psl"))
+    // the suffix table joins as ≤ label-count broadcast classes against
+    // computed tail keys: every join must be a map-side
+    // BroadcastHashJoin and the corpus must reach the output without a
+    // single hash-partition exchange (the naive explode+groupBy+join-
+    // back form costs two corpus shuffles)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("incremental URL dedup probes the index by broadcast, no product") {
+    val p = plan(q("q_url_dedup_incremental"))
+    // the persisted index must stream against broadcast batch keys —
+    // billions of indexed urls never shuffle; batch-sized aggregations
+    // are the only hash exchanges
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("domain mix from urls is a narrow hash-threshold filter") {
+    val p = plan(q("q_domain_mix_urls"))
+    // quotas are computed at call time from one bounded aggregate; the
+    // RETURNED plan must be scan + extraction + literal-map threshold
+    // compare — no join, no window, no exchange at all
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("aHash index dedup joins stored signatures by band key") {
+    val p = plan(q("q_multimodal_ahash_index"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("embedding dedup resolution joins the corpus by equi-key only") {
     val p = plan(q("q_dedup_embeddings"))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),

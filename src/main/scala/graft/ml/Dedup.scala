@@ -627,6 +627,33 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Fold admitted batch rows into a `buildBandIndex` directory — the
+    * step that closes the standing-ingestion loop (probe the index,
+    * keep the survivors, APPEND the survivors' bands so the next batch
+    * dedups against them too; the reference text frame passed to the
+    * next probe must grow by the same rows). Bands derive with the
+    * meta-pinned (k, p, bands); ids already present in the index are
+    * skipped (first write wins, append never duplicates), detected
+    * with the streaming-index/broadcast-batch probe shape — the index
+    * is never shuffled.
+    */
+  def updateBandIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, textCol: String, idCol: String): Unit = {
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val (k, p, bands) =
+      (m.getAs[Int]("k"), m.getAs[Int]("p"), m.getAs[Int]("bands"))
+    val nb = minhash(df, textCol, idCol, k, p)
+      .select(col(idCol).as("__ref_id"),
+        explode(bandKeys(col("sig"), bands, p / bands)).as("band"))
+    val idx = spark.read.parquet(s"$dir/bands")
+    val existing = idx
+      .join(broadcast(nb.select("__ref_id").distinct()),
+        Seq("__ref_id"), "left_semi")
+      .select("__ref_id").distinct()
+    nb.join(broadcast(existing), Seq("__ref_id"), "left_anti")
+      .write.mode("append").parquet(s"$dir/bands")
+  }
+
   /** `dedupAgainstNear` against a `buildBandIndex` directory: identical
     * results, with the corpus-wide shingle+minhash pass amortized into
     * the index build. `refDf` must be the frame the index was built

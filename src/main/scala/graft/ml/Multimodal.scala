@@ -451,6 +451,29 @@ object Multimodal {
         aHash64(col("thumb_luma")).as("__h64"))
       .write.mode("overwrite").parquet(s"$dir/sigs")
 
+  /** Fold admitted batch images into a `buildAHashIndex` directory —
+    * the loop-closing step of the standing pipeline (probe, keep the
+    * survivors, APPEND the survivors' signatures so the next batch
+    * dedups against them). Ids already indexed are skipped (first
+    * write wins), found with the same streaming-index/broadcast-batch
+    * probe shape; undecodable batch rows hash to nothing and are
+    * never indexed.
+    */
+  def updateAHashIndex(spark: SparkSession, dir: String,
+      newPacked: DataFrame, idCol: String): Unit = {
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    val nh = decodeImages(newPacked, idCol, thumbW = 8, thumbH = 8)
+      .where(col("decoded"))
+      .select(col("doc_id").as("__ref_id"),
+        aHash64(col("thumb_luma")).as("__h64"))
+    val existing = sigs
+      .join(broadcast(nh.select("__ref_id").distinct()),
+        Seq("__ref_id"), "left_semi")
+      .select("__ref_id").distinct()
+    nh.join(broadcast(existing), Seq("__ref_id"), "left_anti")
+      .write.mode("append").parquet(s"$dir/sigs")
+  }
+
   /** Rows of `newPacked` whose image is NOT a perceptual near-dup
     * (aHash Hamming distance ≤ `maxDist`) of any image in a
     * `buildAHashIndex` directory. Both sides band with the pigeonhole

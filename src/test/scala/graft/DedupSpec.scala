@@ -231,6 +231,40 @@ class DedupSpec extends AnyFunSuite {
       m.getAs[Int]("bands") == 4)
   }
 
+  test("updateBandIndex folds survivors in; next batch dedups against them") {
+    val body = (0 until 60).map(i => s"w$i").mkString(" ")
+    val fresh = (0 until 60).map(i => s"v$i").mkString(" ")
+    val ref = Seq((1L, body)).toDF("id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-band-idx-upd").toString
+    Dedup.buildBandIndex(ref, "text", "id", dir)
+    // batch 1: 10 is near the indexed 1 (drops); 12 is new (keeps)
+    val b1 = Seq((10L, "edited intro " + body), (12L, fresh))
+      .toDF("id", "text")
+    val kept1 = Dedup.dedupAgainstNearIndexed(spark, dir, b1, ref,
+      "text", "id", minJaccard = 0.5)
+    assert(ids(kept1) == Set(12L))
+    // fold the survivors (and an already-indexed id, which must skip)
+    Dedup.updateBandIndex(spark, dir,
+      kept1.union(Seq((1L, body)).toDF("id", "text")), "text", "id")
+    val bandsPerId = spark.read.parquet(s"$dir/bands")
+      .groupBy("__ref_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bandsPerId.keySet == Set(1L, 12L), s"$bandsPerId")
+    assert(bandsPerId(1L) == bandsPerId(12L),
+      "append must skip already-indexed ids, never duplicate bands: " +
+        s"$bandsPerId")
+    // batch 2: a near-edit of 12 now drops; the reference frame grows
+    // by the same admitted rows (it supplies verification text)
+    val ref2 = ref.union(b1.where(col("id") === 12L))
+    val b2 = Seq((20L, "edited intro " + fresh), (21L, "wholly new thing"))
+      .toDF("id", "text")
+    assert(ids(Dedup.dedupAgainstNearIndexed(spark, dir, b2, ref2,
+      "text", "id", minJaccard = 0.5)) == Set(21L))
+  }
+
   test("dedupLines keeps first occurrences in order, never loses rows") {
     val docs = Seq(
       (1L, "intro\nbody\nintro\ntail\nbody"),

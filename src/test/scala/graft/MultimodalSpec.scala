@@ -280,5 +280,21 @@ class MultimodalSpec extends AnyFunSuite {
     val kept2 = Multimodal.dedupImagesAgainstAHashIndex(spark, dir,
       packed(batch), "id").select("id").as[Long].collect().toSet
     assert(kept2 == Set(10L, 12L), s"$kept2")
+    // fold the admitted image in (already-indexed 5 skips; undecodable
+    // 12 never indexes): a near twin of 10 now drops against the
+    // appended signature
+    Multimodal.updateAHashIndex(spark, dir,
+      packed(Seq(5L -> ppmOf("zzz", bump = false),
+        10L -> ppmOf("a", bump = true),
+        12L -> "not a ppm")), "id")
+    val sigIds = spark.read.parquet(s"$dir/sigs")
+      .select("__ref_id").as[Long].collect().toSeq
+    assert(sigIds.sorted == Seq(5L, 10L),
+      s"append must skip indexed ids and undecodables: $sigIds")
+    val kept3 = Multimodal.dedupImagesAgainstAHashIndex(spark, dir,
+      packed(Seq(30L -> ppmOf("a", bump = false))), "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept3.isEmpty,
+      "the appended twin signature must catch the next batch's near-dup")
   }
 }

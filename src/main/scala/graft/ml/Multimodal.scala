@@ -429,27 +429,82 @@ object Multimodal {
       .distinct()
   }
 
+  /** (id, 64-bit aHash) signatures of the decodable images of `packed`
+    * — the shared currency of the persisted signature-index family
+    * (build / append / probe all speak `(__sig_id, __h64)`).
+    */
+  private def imageSigs(packed: DataFrame, idCol: String): DataFrame =
+    decodeImages(packed, idCol, thumbW = 8, thumbH = 8)
+      .where(col("decoded"))
+      .select(col("doc_id").as("__sig_id"),
+        aHash64(col("thumb_luma")).as("__h64"))
+
+  /** Persist a `(__ref_id, __h64)` signature frame as a probe-able
+    * index directory. The index stores raw 64-bit signatures, not
+    * exploded band keys: banding is maxDist+1 shift-mask ops derived
+    * at probe time, so ONE index serves any probe `maxDist` (unlike
+    * the MinHash index, whose band layout is baked in at build time
+    * and therefore pinned by meta).
+    */
+  private def writeSigIndex(sigs: DataFrame, dir: String): Unit =
+    sigs.select(col("__sig_id").as("__ref_id"), col("__h64"))
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+
+  /** Append a batch's signatures to a signature-index directory,
+    * skipping ids already present (first write wins; append never
+    * rewrites or duplicates). Same probe direction as the dedup
+    * itself: the INDEX streams, the batch's id set broadcasts — the
+    * index is never shuffled.
+    */
+  private def appendSigIndex(spark: SparkSession, dir: String,
+      newSigs: DataFrame): Unit = {
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    val batch = newSigs.select(col("__sig_id").as("__ref_id"),
+      col("__h64"))
+    val existing = sigs
+      .join(broadcast(batch.select("__ref_id").distinct()),
+        Seq("__ref_id"), "left_semi")
+      .select("__ref_id").distinct()
+    batch.join(broadcast(existing), Seq("__ref_id"), "left_anti")
+      .write.mode("append").parquet(s"$dir/sigs")
+  }
+
+  /** Rows of `newPacked` whose signature (in `newSigs`) is NOT within
+    * Hamming `maxDist` of any signature in the index directory. Both
+    * sides band with the pigeonhole layout for `maxDist` (any pair
+    * within maxDist agrees exactly on one band), the INDEX side
+    * streams against the BROADCAST batch bands — probing a
+    * billion-row index costs one index scan and zero exchanges of it
+    * — and candidates verify by full 64-bit distance.
+    */
+  private def dedupAgainstSigIndex(spark: SparkSession, dir: String,
+      newPacked: DataFrame, newSigs: DataFrame, idCol: String,
+      maxDist: Int): DataFrame = {
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    val nb = newSigs
+      .select(col("__sig_id").as("__new_id"), col("__h64").as("__nh"))
+      .select(col("__new_id"), col("__nh"),
+        explode(bands64(col("__nh"), maxDist)).as("band"))
+    val rb = sigs.select(col("__ref_id"), col("__h64"),
+      explode(bands64(col("__h64"), maxDist)).as("band"))
+    val dropIds = rb.join(broadcast(nb), "band")
+      .where(bit_count(col("__h64").bitwiseXOR(col("__nh"))) <= maxDist)
+      .select(col("__new_id").as(idCol)).distinct()
+    newPacked.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Persist the 64-bit aHash signatures of an image corpus — the
     * perceptual mirror of [[Dedup.buildBandIndex]] for the
     * crawl-incremental shape: new image batches dedup against a prior
     * corpus's STORED signatures (`dedupImagesAgainstAHashIndex`)
     * instead of re-decoding it per batch — decode + thumbnail is the
-    * expensive pass, and it runs exactly once per corpus here.
-    *
-    * The index stores raw signatures, not exploded band keys: banding
-    * is maxDist+1 shift-mask ops derived at probe time, so ONE index
-    * serves any probe `maxDist` (unlike the MinHash index, whose band
-    * layout is baked in at build time and therefore pinned by meta).
-    * Rows whose payload fails to decode hash to nothing and are not
+    * expensive pass, and it runs exactly once per corpus here. Rows
+    * whose payload fails to decode hash to nothing and are not
     * indexed.
     */
   def buildAHashIndex(packed: DataFrame, idCol: String,
       dir: String): Unit =
-    decodeImages(packed, idCol, thumbW = 8, thumbH = 8)
-      .where(col("decoded"))
-      .select(col("doc_id").as("__ref_id"),
-        aHash64(col("thumb_luma")).as("__h64"))
-      .write.mode("overwrite").parquet(s"$dir/sigs")
+    writeSigIndex(imageSigs(packed, idCol), dir)
 
   /** Fold admitted batch images into a `buildAHashIndex` directory —
     * the loop-closing step of the standing pipeline (probe, keep the
@@ -460,49 +515,23 @@ object Multimodal {
     * never indexed.
     */
   def updateAHashIndex(spark: SparkSession, dir: String,
-      newPacked: DataFrame, idCol: String): Unit = {
-    val sigs = spark.read.parquet(s"$dir/sigs")
-    val nh = decodeImages(newPacked, idCol, thumbW = 8, thumbH = 8)
-      .where(col("decoded"))
-      .select(col("doc_id").as("__ref_id"),
-        aHash64(col("thumb_luma")).as("__h64"))
-    val existing = sigs
-      .join(broadcast(nh.select("__ref_id").distinct()),
-        Seq("__ref_id"), "left_semi")
-      .select("__ref_id").distinct()
-    nh.join(broadcast(existing), Seq("__ref_id"), "left_anti")
-      .write.mode("append").parquet(s"$dir/sigs")
-  }
+      newPacked: DataFrame, idCol: String): Unit =
+    appendSigIndex(spark, dir, imageSigs(newPacked, idCol))
 
   /** Rows of `newPacked` whose image is NOT a perceptual near-dup
     * (aHash Hamming distance ≤ `maxDist`) of any image in a
-    * `buildAHashIndex` directory. Both sides band with the pigeonhole
-    * layout for `maxDist` (any pair within maxDist agrees exactly on
-    * one band), the INDEX side streams against the BROADCAST batch
-    * bands — probing a billion-image index costs one index scan and
-    * zero exchanges of it — and candidates verify by full 64-bit
-    * distance. Batch rows that fail to decode are KEPT (no signature →
-    * no evidence of duplication); batch-internal near-dups are not
-    * this operator's job — run `imageAHashPairs` within the batch.
+    * `buildAHashIndex` directory. Batch rows that fail to decode are
+    * KEPT (no signature → no evidence of duplication); batch-internal
+    * near-dups are not this operator's job — run `imageAHashPairs`
+    * within the batch.
     */
   def dedupImagesAgainstAHashIndex(spark: SparkSession, dir: String,
       newPacked: DataFrame, idCol: String, maxDist: Int = 6): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       s"dedupImagesAgainstAHashIndex: maxDist must be in [0, 64), " +
         s"got $maxDist")
-    val sigs = spark.read.parquet(s"$dir/sigs")
-    val nb = decodeImages(newPacked, idCol, thumbW = 8, thumbH = 8)
-      .where(col("decoded"))
-      .select(col("doc_id").as("__new_id"),
-        aHash64(col("thumb_luma")).as("__nh"))
-      .select(col("__new_id"), col("__nh"),
-        explode(bands64(col("__nh"), maxDist)).as("band"))
-    val rb = sigs.select(col("__ref_id"), col("__h64"),
-      explode(bands64(col("__h64"), maxDist)).as("band"))
-    val dropIds = rb.join(broadcast(nb), "band")
-      .where(bit_count(col("__h64").bitwiseXOR(col("__nh"))) <= maxDist)
-      .select(col("__new_id").as(idCol)).distinct()
-    newPacked.join(dropIds, Seq(idCol), "left_anti")
+    dedupAgainstSigIndex(spark, dir, newPacked,
+      imageSigs(newPacked, idCol), idCol, maxDist)
   }
 
   private val envelopeSchema = StructType(Seq(
@@ -550,15 +579,56 @@ object Multimodal {
       maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       s"audioEnvelopePairs: maxDist must be in [0, 64), got $maxDist")
+    banded64Pairs(audioSigs(packed, idCol)
+      .select(col("__sig_id").as(idCol), col("__h64")), idCol, maxDist)
+  }
+
+  /** (id, 64-bit envelope hash) signatures of the decodable audio rows
+    * of `packed` — the `audioEnvelopePairs` hash (bit w set iff window
+    * w's energy share STRICTLY exceeds the mean: env[w]·64 > total, an
+    * integer comparison).
+    */
+  private def audioSigs(packed: DataFrame, idCol: String): DataFrame = {
     val env = decodeAudioEnvelope(packed, idCol, windows = 64)
       .where(col("decoded"))
-      .select(col("doc_id").as(idCol), col("env"))
+      .select(col("doc_id").as("__sig_id"), col("env"))
       .withColumn("__tot", aggregate(col("env"), lit(0L), (a, x) => a + x))
     val ahash = (0 until 64).map(w =>
       when(get(col("env"), lit(w)) * 64 > col("__tot"), lit(1L << w))
         .otherwise(lit(0L))).reduce(_ + _)
-    banded64Pairs(env.select(col(idCol), ahash.as("__h64")), idCol,
-      maxDist)
+    env.select(col("__sig_id"), ahash.as("__h64"))
+  }
+
+  /** Persist the 64-bit envelope-hash signatures of an audio corpus —
+    * the audio member of the persisted signature-index family next to
+    * [[buildAHashIndex]] (images): new audio batches dedup against a
+    * prior corpus's STORED signatures instead of re-decoding its PCM
+    * per batch. Undecodable payloads are not indexed.
+    */
+  def buildAudioIndex(packed: DataFrame, idCol: String,
+      dir: String): Unit =
+    writeSigIndex(audioSigs(packed, idCol), dir)
+
+  /** Fold admitted batch audio into a `buildAudioIndex` directory —
+    * probe, keep the survivors, APPEND the survivors' signatures so
+    * the next batch dedups against them. Ids already indexed are
+    * skipped (first write wins); undecodable batch rows never index.
+    */
+  def updateAudioIndex(spark: SparkSession, dir: String,
+      newPacked: DataFrame, idCol: String): Unit =
+    appendSigIndex(spark, dir, audioSigs(newPacked, idCol))
+
+  /** Rows of `newPacked` whose audio is NOT a perceptual near-dup
+    * (envelope-hash Hamming distance ≤ `maxDist`) of any clip in a
+    * `buildAudioIndex` directory. Batch rows that fail to decode are
+    * KEPT; batch-internal near-dups are `audioEnvelopePairs`' job.
+    */
+  def dedupAudioAgainstIndex(spark: SparkSession, dir: String,
+      newPacked: DataFrame, idCol: String, maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"dedupAudioAgainstIndex: maxDist must be in [0, 64), got $maxDist")
+    dedupAgainstSigIndex(spark, dir, newPacked,
+      audioSigs(newPacked, idCol), idCol, maxDist)
   }
 
   def decodeImages(packed: DataFrame, idCol: String,

@@ -297,4 +297,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept3.isEmpty,
       "the appended twin signature must catch the next batch's near-dup")
   }
+
+  test("audio index: build, probe, fold survivors, next batch drops") {
+    import spark.implicits._
+    def pcm(seed: Int, bump: Boolean): Array[Short] =
+      Array.tabulate[Short](256) { i =>
+        val v = ((seed * 31 + i * 17) % 199) - 99
+        (if (bump && i < 4) v + 64 else v).toShort
+      }
+    def wav(seed: Int, bump: Boolean): Array[Byte] =
+      Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, pcm(seed, bump)))
+    def packed(rows: Seq[(Long, Array[Byte])]) =
+      rows.toDF("id", "payload")
+        .withColumn("media_meta", struct(lit("wav").as("format"),
+          octet_length(col("payload")).as("n_bytes")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-audio-idx").toString
+    Multimodal.buildAudioIndex(
+      packed(Seq(5L -> wav(5, bump = false), 6L -> wav(77, bump = false))),
+      "id", dir)
+    // near twin of 5 drops; unrelated 12 keeps; undecodable 13 keeps
+    val batch = packed(Seq(10L -> wav(5, bump = true),
+      12L -> wav(33, bump = false), 13L -> Array[Byte](1, 2, 3)))
+    val kept = Multimodal.dedupAudioAgainstIndex(spark, dir, batch, "id",
+      maxDist = 8)
+    assert(kept.select("id").as[Long].collect().toSet == Set(12L, 13L))
+    // fold the survivors: 12 indexes, undecodable 13 never does, the
+    // already-indexed 5 skips (no duplicate signature rows)
+    Multimodal.updateAudioIndex(spark, dir,
+      kept.union(packed(Seq(5L -> wav(5, bump = false)))), "id")
+    val sigIds = spark.read.parquet(s"$dir/sigs")
+      .select("__ref_id").as[Long].collect().toSeq
+    assert(sigIds.sorted == Seq(5L, 6L, 12L),
+      s"append must skip indexed ids and undecodables: $sigIds")
+    val kept2 = Multimodal.dedupAudioAgainstIndex(spark, dir,
+      packed(Seq(30L -> wav(33, bump = true))), "id", maxDist = 8)
+      .select("id").as[Long].collect().toSet
+    assert(kept2.isEmpty,
+      "the appended signature must catch the next batch's near-dup")
+  }
 }

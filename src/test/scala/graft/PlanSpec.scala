@@ -429,6 +429,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("post-fold index probes keep the index stream-side, no product") {
+    // the loop queries probe an index that an update appended to: the
+    // probe after the fold must keep the exact shape of the probe
+    // before it — broadcast batch side, no product, no window funnel
+    for (name <- Seq("q_url_index_loop", "q_dedup_near_loop",
+        "q_multimodal_ahash_loop", "q_multimodal_audio_index")) {
+      val p = plan(q(name))
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("Window"), s"$name:\n" + p.take(1500))
+    }
+  }
+
   test("embedding dedup resolution joins the corpus by equi-key only") {
     val p = plan(q("q_dedup_embeddings"))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),

@@ -852,4 +852,107 @@ object Curation {
         coalesce(element_at(typedLit(thresholds), col(sourceCol)),
           lit(0L)))
   }
+
+  /** Truncate to 6 decimals — unlike rounding, identical across
+    * engines when a value lands exactly on a half.
+    */
+  private def trunc6(c: Column): Column =
+    (c * 1000000.0).cast(LongType) / 1000000.0
+
+  /** Unigram + bigram instances of `textCol` hashed into `buckets`
+    * feature buckets (h32 mod buckets) — DSIR's hashed n-gram
+    * features. One row per n-gram INSTANCE (multiplicity matters for
+    * both the models and the per-document sums).
+    */
+  private def hashedGrams(df: DataFrame, textCol: String,
+      keep: Seq[Column], buckets: Int): DataFrame = {
+    val t = col("__t")
+    df.select(keep :+ tokens(col(textCol)).as("__t"): _*)
+      .select(keep :+ explode(concat(t,
+        when(size(t) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(t) - 2),
+            i => concat_ws(" ", get(t, i), get(t, i + 1))))))
+        .as("__g"): _*)
+      .select(keep :+ (h32(col("__g")) % buckets).as("__b"): _*)
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each
+    * source document by how much more likely its hashed n-gram
+    * features are under a TARGET corpus's distribution than under the
+    * source corpus's own. Features are unigram + bigram instances
+    * hashed into `buckets` buckets; each side's bucket model is
+    * Laplace-smoothed — p(b) = (count(b) + 1) / (total + buckets) —
+    * and a document's log-weight is Σ over its n-gram instances of
+    * ln p_target(b) − ln p_source(b). Returns (idCol, n_grams,
+    * dsir_logw trunc6); documents whose text yields no n-grams keep a
+    * row with n_grams = 0 and a null weight.
+    *
+    * Scale shape — DSIR's own point: both models are ≤ `buckets`-row
+    * aggregates that BROADCAST no matter how large either corpus is
+    * (contrast `TextAnalysis.lmScore`, whose bigram table must
+    * shuffle-join). The source corpus explodes its n-grams once,
+    * pre-aggregates (doc, bucket, n) with map-side partials, and the
+    * weight is two broadcast joins + one per-document sum. No window,
+    * no product, no driver-side model.
+    */
+  def dsirWeights(docs: DataFrame, targetDf: DataFrame, textCol: String,
+      idCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"dsirWeights: buckets must be > 0, got $buckets")
+    val tCnt = hashedGrams(targetDf, textCol, Seq.empty, buckets)
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).cast(DoubleType).as("__tc"))
+    val sCnt = hashedGrams(docs, textCol, Seq.empty, buckets)
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).cast(DoubleType).as("__sc"))
+    val tTot = tCnt.agg(coalesce(sum("__tc"), lit(0.0)).as("__tT"))
+    val sTot = sCnt.agg(coalesce(sum("__sc"), lit(0.0)).as("__sT"))
+    val perDoc = hashedGrams(docs, textCol, Seq(col(idCol)), buckets)
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(tCnt), Seq("__b"), "left")
+      .join(broadcast(sCnt), Seq("__b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(sTot))
+      .withColumn("__lw", col("__n") *
+        (log((coalesce(col("__tc"), lit(0.0)) + 1.0) /
+          (col("__tT") + buckets)) -
+          log((coalesce(col("__sc"), lit(0.0)) + 1.0) /
+            (col("__sT") + buckets))))
+    docs.select(col(idCol)).join(
+      perDoc.groupBy(col(idCol)).agg(
+        sum("__n").as("n_grams"),
+        trunc6(sum("__lw")).as("dsir_logw")),
+      Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("dsir_logw"))
+  }
+
+  /** DSIR selection: Gumbel-top-k resampling under the importance
+    * weights — sampling k documents without replacement with
+    * probability ∝ exp(dsir_logw) is EXACTLY taking the k largest
+    * dsir_logw + Gumbel(0,1) keys (the Gumbel-max trick). The noise is
+    * deterministic and engine-replayable: u = (h32(salt‖id) + 0.5) /
+    * 2³², g = −ln(−ln u) — u is never 0 or 1, the same sample on every
+    * run and cluster topology. Keys truncate to 6 decimals with the id
+    * as tie-break, so the selected SET is stable across engines.
+    * Returns (idCol, dsir_key) for the k selected documents.
+    *
+    * Scale shape: the global top-k plans as TakeOrderedAndProject
+    * (per-partition heaps + one k-row driver merge) — no full sort, no
+    * window, no single-partition exchange.
+    */
+  def dsirSelect(docs: DataFrame, targetDf: DataFrame, textCol: String,
+      idCol: String, k: Int, buckets: Int = 1024,
+      salt: String = "dsir"): DataFrame = {
+    require(k > 0, s"dsirSelect: k must be > 0, got $k")
+    val u = (h32(concat(lit(salt), col(idCol).cast(StringType))) + 0.5) /
+      4294967296.0
+    dsirWeights(docs, targetDf, textCol, idCol, buckets)
+      .where(col("dsir_logw").isNotNull)
+      .withColumn("dsir_key", trunc6(col("dsir_logw") - log(-log(u))))
+      .orderBy(col("dsir_key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dsir_key"))
+  }
 }

@@ -127,6 +127,68 @@ object TextAnalysis {
       .drop("__w")
   }
 
+  /** The Gopher document-filter RULE SET (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", App. A1.1) as per-rule verdicts plus the combined keep —
+    * `qualityScore`/`repetition` expose raw signals; this applies the
+    * PUBLISHED thresholds, and the per-rule booleans are what an
+    * ablation dashboard needs. Every ratio threshold is an integer
+    * cross-multiplication (no float division), so any SQL engine
+    * replays the verdicts bit-for-bit:
+    *  - `word_count_ok`:    50 ≤ words ≤ 100,000
+    *  - `mean_word_len_ok`: 3 ≤ mean word chars ≤ 10
+    *    (3·words ≤ word chars ≤ 10·words)
+    *  - `symbol_ratio_ok`:  ('#' count + '...' count)·10 ≤ words
+    *  - `bullet_lines_ok`:  lines starting with a bullet (•, -, star) ≤ 90 %
+    *  - `ellipsis_lines_ok`: lines ending in '...'/'…' ≤ 30 %
+    *  - `alpha_words_ok`:   words with ≥ 1 alphabetic char ≥ 80 %
+    *  - `stopword_ok`:      ≥ 2 distinct Gopher stop words present
+    * `gopher_keep` is their conjunction. All per-row array/string
+    * expressions — zero shuffle; the bounded HOF passes (word-char
+    * sum, line/word filters) run once per row over document-length
+    * arrays.
+    */
+  def gopherRules(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val withT = df
+      .withColumn("__w", tokens(text))
+      .withColumn("__l", split(text, "\n"))
+    val w = col("__w")
+    val lines = col("__l")
+    val nW = size(w)
+    val nL = size(lines)
+    val wordChars = aggregate(w, lit(0), (acc, x) => acc + length(x))
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val bullets = size(filter(lines, l =>
+      ltrim(l).startsWith("•") || ltrim(l).startsWith("-") ||
+        ltrim(l).startsWith("*")))
+    val ellLines = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+    val alphaWords = size(filter(w, x => x.rlike("[a-zA-Z]")))
+    val stop = typedLit(GopherStopwords)
+    val stopHits = size(filter(stop, s => array_contains(w, s)))
+    val rules = Seq(
+      "word_count_ok" -> (nW >= 50 && nW <= 100000),
+      "mean_word_len_ok" ->
+        (wordChars >= nW * 3 && wordChars <= nW * 10),
+      "symbol_ratio_ok" -> ((hashes + ellipses) * 10 <= nW),
+      "bullet_lines_ok" -> (bullets * 10 <= nL * 9),
+      "ellipsis_lines_ok" -> (ellLines * 10 <= nL * 3),
+      "alpha_words_ok" -> (alphaWords * 5 >= nW * 4),
+      "stopword_ok" -> (stopHits >= 2))
+    rules.foldLeft(withT) { case (acc, (name, c)) =>
+      acc.withColumn(name, c)
+    }.withColumn("gopher_keep",
+      rules.map(r => col(r._1)).reduce(_ && _))
+      .drop("__w", "__l")
+  }
+
+  /** The 8 membership words of Gopher's stop-word rule (App. A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Deterministic reproducible subsampling: keep a row iff
     * `h32(salt ‖ id) mod 10⁶ < rate × 10⁶`. Pure per-row hash — no RNG,
     * no sort, no shuffle; the SAME sample on every run, engine, and

@@ -298,6 +298,99 @@ object Round12Queries {
   private val nearLoopDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** `TextAnalysis.gopherRules` replayed in DuckDB: the same
+    * integer-cross-multiplied thresholds over the same token/line
+    * splits — the point of spelling every ratio as an integer compare
+    * is that this replay is bit-for-bit, no float in sight.
+    */
+  private val gopherOracle =
+    """WITH t0 AS (SELECT doc_id, text,
+                     string_split(lower(text), ' ') AS t,
+                     string_split(text, chr(10)) AS l
+                   FROM documents),
+        m AS (SELECT doc_id,
+                len(t) AS nw,
+                len(l) AS nl,
+                coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+                  AS wchars,
+                len(text) - len(replace(text, '#', '')) AS hashes,
+                (len(text) - len(replace(text, '...', ''))) // 3 AS ells,
+                len(list_filter(l, x -> starts_with(ltrim(x), '•')
+                   OR starts_with(ltrim(x), '-')
+                   OR starts_with(ltrim(x), '*'))) AS bullets,
+                len(list_filter(l, x -> ends_with(rtrim(x), '...')
+                   OR ends_with(rtrim(x), '…'))) AS elllines,
+                len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+                  AS alphaw,
+                len(list_filter(
+                  ['the','be','to','of','and','that','have','with'],
+                  s -> list_contains(t, s))) AS stops
+              FROM t0)
+       SELECT doc_id,
+         (nw >= 50 AND nw <= 100000) AS word_count_ok,
+         (wchars >= nw*3 AND wchars <= nw*10) AS mean_word_len_ok,
+         ((hashes + ells) * 10 <= nw) AS symbol_ratio_ok,
+         (bullets * 10 <= nl * 9) AS bullet_lines_ok,
+         (elllines * 10 <= nl * 3) AS ellipsis_lines_ok,
+         (alphaw * 5 >= nw * 4) AS alpha_words_ok,
+         (stops >= 2) AS stopword_ok,
+         ((nw >= 50 AND nw <= 100000)
+          AND (wchars >= nw*3 AND wchars <= nw*10)
+          AND ((hashes + ells) * 10 <= nw)
+          AND (bullets * 10 <= nl * 9)
+          AND (elllines * 10 <= nl * 3)
+          AND (alphaw * 5 >= nw * 4)
+          AND (stops >= 2)) AS gopher_keep
+       FROM m"""
+
+  /** The DSIR weight CTE chain (shared by the weights and select
+    * oracles): hashed unigram+bigram instances, Laplace-smoothed
+    * 1024-bucket models (target = doc_id % 7 = 0 slice, source = the
+    * whole corpus), per-doc instance-weighted log-ratio sum, trunc6.
+    */
+  private val dsirCtes =
+    """grams AS (
+         SELECT doc_id, unnest(list_concat(t,
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+             AS g
+         FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+               FROM documents)),
+       gb AS (SELECT doc_id,
+                ('0x'||substr(md5(g),1,8))::BIGINT % 1024 AS b
+              FROM grams),
+       tc AS (SELECT b, CAST(count(*) AS DOUBLE) AS tc FROM gb
+              WHERE doc_id % 7 = 0 GROUP BY 1),
+       sc AS (SELECT b, CAST(count(*) AS DOUBLE) AS sc FROM gb
+              GROUP BY 1),
+       tt AS (SELECT coalesce(sum(tc), 0) AS tT FROM tc),
+       st AS (SELECT coalesce(sum(sc), 0) AS sT FROM sc),
+       db AS (SELECT doc_id, b, count(*) AS n FROM gb GROUP BY 1, 2),
+       wgt AS (SELECT db.doc_id,
+                 CAST(sum(n) AS BIGINT) AS n_grams,
+                 CAST(trunc(sum(n *
+                     (ln((coalesce(tc,0)+1)/(tT+1024))
+                      - ln((coalesce(sc,0)+1)/(sT+1024)))) * 1000000)
+                   AS BIGINT) / 1000000.0 AS dsir_logw
+               FROM db LEFT JOIN tc USING (b) LEFT JOIN sc USING (b)
+               CROSS JOIN tt CROSS JOIN st GROUP BY 1)"""
+
+  private val dsirWeightsOracle =
+    s"""WITH $dsirCtes
+        SELECT d.doc_id, coalesce(w.n_grams, 0) AS n_grams, w.dsir_logw
+        FROM documents d LEFT JOIN wgt w USING (doc_id)"""
+
+  private val dsirSelectOracle =
+    s"""WITH $dsirCtes,
+         sel AS (SELECT doc_id,
+                   CAST(trunc((dsir_logw - ln(-ln(
+                     ((('0x'||substr(md5('dsir' ||
+                         CAST(doc_id AS VARCHAR)),1,8))::BIGINT + 0.5)
+                       / 4294967296.0)))) * 1000000) AS BIGINT)
+                     / 1000000.0 AS dsir_key
+                 FROM wgt WHERE dsir_logw IS NOT NULL)
+        SELECT doc_id, dsir_key FROM sel
+        ORDER BY dsir_key DESC, doc_id LIMIT 100"""
+
   /** tokens → shingles → MinHash sig → band CTE chain for one side of
     * the near-dedup loop replay, name-prefixed so the chain can run
     * once per side (`src` must expose doc_id, text).
@@ -577,6 +670,29 @@ object Round12Queries {
       Dedup.dedupAgainstNearIndexed(spark, dir,
         twins2.unionByName(novel2), ref2, "text", "doc_id",
         minJaccard = 0.5)
+    },
+
+    Q.fn("q_gopher_rules", gopherOracle) { (spark, sf) =>
+      graft.ml.TextAnalysis.gopherRules(
+        Tables.load(spark, sf, "documents").select("doc_id", "text"),
+        "text")
+        .select("doc_id", "word_count_ok", "mean_word_len_ok",
+          "symbol_ratio_ok", "bullet_lines_ok", "ellipsis_lines_ok",
+          "alpha_words_ok", "stopword_ok", "gopher_keep")
+    },
+
+    Q.fn("q_dsir_weights", dsirWeightsOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+        .select("doc_id", "text")
+      Curation.dsirWeights(docs, docs.where(col("doc_id") % 7 === 0),
+        "text", "doc_id", buckets = 1024)
+    },
+
+    Q.fn("q_dsir_select", dsirSelectOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+        .select("doc_id", "text")
+      Curation.dsirSelect(docs, docs.where(col("doc_id") % 7 === 0),
+        "text", "doc_id", k = 100, buckets = 1024)
     }
   )
 }

@@ -533,4 +533,46 @@ class CurationSpec extends AnyFunSuite {
       temperature = 0.5, outputFraction = 0.5)
     assert(kept.count() > 0)
   }
+
+  test("dsirWeights pull toward the target style; gram counts exact") {
+    import spark.implicits._
+    val docs = ((1L to 4L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta run $i")) ++
+      (5L to 8L).map(i => (i, s"omega psi chi phi upsilon tau run $i")) ++
+      Seq((9L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val target = docs.where(col("doc_id") <= 4)
+    val out = Curation.dsirWeights(docs, target, "text", "doc_id",
+      buckets = 256).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.toString.toDouble))))
+      .toMap
+    assert(out.keySet == (1L to 9L).toSet, "no row may be lost")
+    // 8 tokens → 8 unigrams + 7 bigrams
+    assert((1L to 8L).forall(i => out(i)._1 == 15L), s"$out")
+    assert(out(9L) == ((0L, None)),
+      "null text keeps a row with 0 grams and a null weight")
+    val a = (1L to 4L).map(out(_)._2.get)
+    val b = (5L to 8L).map(out(_)._2.get)
+    assert(a.min > b.max,
+      s"target-style docs must outweigh off-style docs: $a vs $b")
+  }
+
+  test("dsirSelect: Gumbel-top-k is deterministic and favors the target") {
+    import spark.implicits._
+    val docs = ((1L to 10L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      (11L to 20L).map(i =>
+        (i, "omega psi chi phi upsilon tau sigma rho")))
+      .toDF("doc_id", "text")
+    val target = docs.where(col("doc_id") <= 10)
+    def pick() = Curation.dsirSelect(docs, target, "text", "doc_id",
+      k = 6, buckets = 256).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val sel = pick()
+    assert(sel.size == 6)
+    assert(pick() == sel, "the same salt must select the same set")
+    assert(sel.count(_ <= 10L) > sel.count(_ > 10L),
+      s"selection must lean toward the target style: $sel")
+  }
 }

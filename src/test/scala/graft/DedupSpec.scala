@@ -330,6 +330,38 @@ class DedupSpec extends AnyFunSuite {
       "documents without bigrams keep a row with a null score")
   }
 
+  test("gopherRules: each published rule fires on its own violation") {
+    import graft.ml.TextAnalysis
+    val good = Seq.fill(5)(
+      "the quick brown fox jumps over the lazy dog with energy and joy")
+      .mkString(" ")                                    // 65 plain words
+    val rows = Seq(
+      (1L, good),
+      (2L, "too short to pass"),                        // < 50 words
+      (3L, Seq.fill(60)("supercalifragilisticexpialidocious")
+        .mkString(" ")),                                // mean len > 10
+      (4L, good + " " + Seq.fill(10)("#").mkString(" ")), // symbols
+      (5L, (1 to 10).map(i => s"- bullet item $i").mkString("\n")),
+      (6L, (1 to 10).map(i =>
+        if (i <= 4) s"line $i trails off..." else s"line $i is fine")
+        .mkString("\n")),                               // 40 % ellipsis
+      (7L, (1 to 60).map(_.toString).mkString(" ")),    // digits only
+      (8L, Seq.fill(60)("orbit").mkString(" ")))        // no stop words
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(rows, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_keep"), "the good doc keeps")
+    assert(!out(2L).getAs[Boolean]("word_count_ok"))
+    assert(!out(3L).getAs[Boolean]("mean_word_len_ok"))
+    assert(!out(4L).getAs[Boolean]("symbol_ratio_ok"))
+    assert(!out(5L).getAs[Boolean]("bullet_lines_ok"))
+    assert(!out(6L).getAs[Boolean]("ellipsis_lines_ok"))
+    assert(!out(7L).getAs[Boolean]("alpha_words_ok"))
+    assert(!out(8L).getAs[Boolean]("stopword_ok"))
+    assert((2L to 8L).forall(i => !out(i).getAs[Boolean]("gopher_keep")),
+      "any failed rule fails the conjunction")
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

@@ -429,6 +429,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("gopher rules are a narrow per-row map — no exchange, no join") {
+    val p = plan(q("q_gopher_rules"))
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("DSIR models broadcast; weights never window or product") {
+    // DSIR's point at 100 TB: the bucket models are fixed-size
+    // aggregates that broadcast regardless of corpus size (the 1-row
+    // totals ride the intended tiny-side nested-loop crossJoin)
+    val p = plan(q("q_dsir_weights"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("DSIR selection is a global top-k, not a sort or a window") {
+    val p = plan(q("q_dsir_select"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("post-fold index probes keep the index stream-side, no product") {
     // the loop queries probe an index that an update appended to: the
     // probe after the fold must keep the exact shape of the probe

@@ -189,6 +189,189 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The REPETITION half of the Gopher filter (Rae et al. 2021, App.
+    * A1.1, "repetitious documents"): per-rule verdicts for the 13
+    * published thresholds plus the combined `rep_keep`. Definitions
+    * (each an integer cross-multiplication, engine-replayable
+    * bit-for-bit):
+    *  - lines / paragraphs: non-empty `\n` / `\n\n` splits; a
+    *    "duplicate" is any occurrence beyond the first of an
+    *    identical element, and duplicate CHARACTERS are the characters
+    *    of those beyond-first occurrences.
+    *    `dup_line_frac_ok` ≤ 30 %, `dup_para_frac_ok` ≤ 30 % (by
+    *    element count); `dup_line_char_ok` ≤ 20 %,
+    *    `dup_para_char_ok` ≤ 20 % (by characters).
+    *  - top n-gram (n = 2,3,4): characters covered by the single most
+    *    frequent word n-gram — count × n-gram chars (tokens only, no
+    *    separators) over total word chars — ≤ 20 / 18 / 16 %.
+    *  - duplicate n-grams (n = 5…10): characters of tokens covered by
+    *    ANY occurrence of any n-gram that appears more than once,
+    *    counting each token position ONCE even when duplicated
+    *    n-grams overlap (the paper's "take care not to count
+    *    characters twice"), over total word chars — ≤ 15/14/13/12/11/10 %.
+    * Empty docs pass every rule vacuously (0 ≤ 0); null text is
+    * treated as empty.
+    *
+    * Scale shape: line/paragraph stats are per-row array passes (no
+    * shuffle). The n-gram stats CANNOT be a per-row mode loop (an
+    * O(distinct²) interpreted HOF — the `repetition` helper's
+    * `top_word_frac` trick does not extend to 9 gram sizes); instead
+    * the n-gram occurrences for n = 2…10 explode ONCE into
+    * (id, n, start, gram) and everything else is hash aggregates and
+    * equi-joins on (id, n, gram)/(id, pos): partial-aggregate counts,
+    * a conditional-max pivot for the top-gram stats, and a
+    * distinct-position coverage join for the overlap-safe duplicate
+    * chars. Linear in corpus size (9 gram passes ≈ 9× token volume,
+    * the algorithm's honest price), no window, no product, no
+    * driver-side state.
+    */
+  def gopherRepetitionRules(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val id = col(idCol)
+    val base = df.select(id,
+      coalesce(col(textCol), lit("")).as("__text"))
+      .withColumn("__w",
+        filter(split(lower(col("__text")), " "), t => t =!= ""))
+
+    // ---- per-row line/paragraph duplicate stats (no shuffle) ----
+    def charSum(a: Column): Column =
+      aggregate(a, lit(0L), (acc, x) => acc + length(x))
+    def dupOk(a: Column, num: Int, den: Int): Column = {
+      val n = size(a)
+      (n - size(array_distinct(a))) * den <= n * num
+    }
+    def dupCharOk(a: Column, num: Int, den: Int): Column = {
+      val total = charSum(a)
+      (total - charSum(array_distinct(a))) * den <= total * num
+    }
+    val lines = filter(split(col("__text"), "\n"), l => l =!= "")
+    val paras = filter(split(col("__text"), "\n\n"), p => p =!= "")
+    val perRow = base
+      .withColumn("__wchars", charSum(col("__w")))
+      .withColumn("dup_line_frac_ok", dupOk(lines, 3, 10))
+      .withColumn("dup_line_char_ok", dupCharOk(lines, 1, 5))
+      .withColumn("dup_para_frac_ok", dupOk(paras, 3, 10))
+      .withColumn("dup_para_char_ok", dupCharOk(paras, 1, 5))
+      .drop("__text")
+
+    // ---- one occurrence frame for every gram size ----
+    val toks = base.select(id, col("__w"))
+    def gramArr(n: Int): Column = {
+      val w = col("__w")
+      when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(j => get(w, i + j)): _*)))
+    }
+    val occ = (2 to 10).map { n =>
+      toks.select(id, lit(n).as("__n"),
+        posexplode(gramArr(n)).as(Seq("__start", "__g")))
+    }.reduce(_ unionByName _)
+    val counts = occ.groupBy(id, col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+
+    // top n-gram chars (n = 2..4): count × (gram chars minus the n−1
+    // separators), conditional-max pivoted to one row per doc
+    val gramChars = col("__c") * (length(col("__g")) - (col("__n") - 1))
+    val topAggs = (2 to 4).map(n =>
+      max(when(col("__n") === n, gramChars)).as(s"__top$n"))
+    val tops = counts.where(col("__n") <= 4).groupBy(id)
+      .agg(topAggs.head, topAggs.tail: _*)
+
+    // duplicate n-gram coverage (n = 5..10): token positions covered by
+    // any occurrence of a >1-count gram, each position counted once
+    val tokLens = toks
+      .select(id, posexplode(col("__w")).as(Seq("__pos", "__tok")))
+      .select(id, col("__pos"), length(col("__tok")).as("__len"))
+    val dupAggs = (5 to 10).map(n =>
+      sum(when(col("__n") === n, col("__len"))).as(s"__dup$n"))
+    val dupCover = occ.where(col("__n") >= 5)
+      .join(counts.where(col("__n") >= 5 && col("__c") > 1)
+        .select(id, col("__n"), col("__g")), Seq(idCol, "__n", "__g"))
+      .select(id, col("__n"),
+        explode(sequence(col("__start"),
+          col("__start") + col("__n") - 1)).as("__pos"))
+      .distinct()
+      .join(tokLens, Seq(idCol, "__pos"))
+      .groupBy(id)
+      .agg(dupAggs.head, dupAggs.tail: _*)
+
+    val thrTop = Map(2 -> 20, 3 -> 18, 4 -> 16)
+    val thrDup = Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11,
+      10 -> 10)
+    val joined = perRow
+      .join(tops, Seq(idCol), "left")
+      .join(dupCover, Seq(idCol), "left")
+    val withOks = thrTop.toSeq.sortBy(_._1).foldLeft(joined) {
+      case (acc, (n, thr)) => acc.withColumn(s"top_${n}gram_ok",
+        coalesce(col(s"__top$n"), lit(0L)) * 100 <=
+          col("__wchars") * thr)
+    }
+    val withDups = thrDup.toSeq.sortBy(_._1).foldLeft(withOks) {
+      case (acc, (n, thr)) => acc.withColumn(s"dup_${n}gram_ok",
+        coalesce(col(s"__dup$n"), lit(0L)) * 100 <=
+          col("__wchars") * thr)
+    }
+    val ruleCols = Seq("dup_line_frac_ok", "dup_line_char_ok",
+      "dup_para_frac_ok", "dup_para_char_ok") ++
+      (2 to 4).map(n => s"top_${n}gram_ok") ++
+      (5 to 10).map(n => s"dup_${n}gram_ok")
+    withDups
+      .withColumn("rep_keep", ruleCols.map(col).reduce(_ && _))
+      .drop("__w" +: "__wchars" +:
+        ((2 to 4).map(n => s"__top$n") ++
+          (5 to 10).map(n => s"__dup$n")): _*)
+  }
+
+  /** The C4 cleaning rule set (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning", §2.2) as a line filter plus
+    * page-level verdicts. A line survives iff its trimmed form ends in
+    * terminal punctuation (`. ! ? "`), it has ≥ 3 whitespace words,
+    * and it does not mention "javascript" (case-insensitive);
+    * `c4_text` is the surviving lines rejoined with `\n`. Page
+    * verdicts: `sentence_count_ok` — ≥ 5 sentences in the CLEANED
+    * text, where the sentence count is the deterministic
+    * `.`/`!`/`?` character count (a documented approximation of C4's
+    * sentence splitter, chosen so any SQL engine replays it);
+    * `lorem_ok` — no "lorem ipsum"; `brace_ok` — no `{`;
+    * `badwords_ok` — no blocklist word among the lower-cased
+    * whitespace tokens (the blocklist is DATA, like the Public Suffix
+    * List: C4 uses the public "List of Dirty, Naughty …" — pass it
+    * in; the default is empty). `c4_keep` is the conjunction. C4's
+    * three-sentence-span corpus dedup is deliberately NOT here — that
+    * is [[Dedup]]/[[Curation.chunkKeepList]] territory.
+    *
+    * Pure per-row string/array expressions — no shuffle; the line
+    * filter is one bounded HOF pass per row.
+    */
+  def c4Rules(df: DataFrame, textCol: String,
+      badWords: Seq[String] = Seq.empty): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val keptLines = filter(split(text, "\n"), l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(filter(split(t, " "), w => w =!= "")) >= 3 &&
+        !lower(l).contains("javascript")
+    })
+    val cleaned = array_join(keptLines, "\n")
+    val withText = df
+      .withColumn("c4_text", cleaned)
+      .withColumn("n_kept_lines", size(keptLines))
+      .withColumn("n_sentences",
+        length(col("c4_text")) -
+          length(translate(col("c4_text"), ".!?", "")))
+      .withColumn("sentence_count_ok", col("n_sentences") >= 5)
+      .withColumn("lorem_ok", !lower(text).contains("lorem ipsum"))
+      .withColumn("brace_ok", !text.contains("{"))
+    val withBad =
+      if (badWords.isEmpty) withText.withColumn("badwords_ok", lit(true))
+      else withText.withColumn("badwords_ok",
+        !exists(typedLit(badWords.map(_.toLowerCase)), b =>
+          array_contains(split(lower(text), " "), b)))
+    withBad.withColumn("c4_keep",
+      col("sentence_count_ok") && col("lorem_ok") && col("brace_ok") &&
+        col("badwords_ok"))
+  }
+
   /** Deterministic reproducible subsampling: keep a row iff
     * `h32(salt ‖ id) mod 10⁶ < rate × 10⁶`. Pure per-row hash — no RNG,
     * no sort, no shuffle; the SAME sample on every run, engine, and

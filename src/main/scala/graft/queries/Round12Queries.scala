@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ml.{Curation, Dedup, Multimodal}
@@ -391,6 +391,213 @@ object Round12Queries {
         SELECT doc_id, dsir_key FROM sel
         ORDER BY dsir_key DESC, doc_id LIMIT 100"""
 
+  /** Deterministic multi-line PAGE fixture for the quality-filter
+    * families: documents are single-line and punctuation-free, so the
+    * line/paragraph/sentence rules would all fire vacuously on them.
+    * Each doc gets 4-8 md5-picked template lines (good prose, a
+    * too-short line, a JavaScript notice, clickbait, 5×-repeated
+    * spam, a question, an identical boilerplate footer, a `{`-laden
+    * config line), a paragraph break after every 3rd line, and a
+    * 1-in-12 trailing "lorem ipsum" line — every branch of both the
+    * Gopher repetition rules and the C4 rules fires on some docs.
+    */
+  private[queries] def withPage(df: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def pickI(i: Column, salt: String, n: Int): Column =
+      conv(substring(md5(concat(id.cast("string"), lit(salt),
+        i.cast("string"))), 1, 4), 16, 10).cast("long") % n
+    def lineOf(i: Column): Column = {
+      val t = pickI(i, "-l", 8)
+      val j = pickI(i, "-j", 90).cast("string")
+      when(t === 0, concat(
+        lit("The quick brown fox jumps over the lazy dog number "), j,
+        lit(".")))
+        .when(t === 1, lit("short line"))
+        .when(t === 2,
+          lit("Please enable JavaScript to view this content today."))
+        .when(t === 3, concat(
+          lit("click here to read all about special offer "), j,
+          lit("!")))
+        .when(t === 4, lit("buy now buy now buy now buy now buy now."))
+        .when(t === 5,
+          lit("is this the sample text you wanted to see today?"))
+        .when(t === 6,
+          lit("repeated boilerplate footer line for every page here."))
+        .otherwise(concat(
+          lit("var config = { \"mode\": full, \"page\": "), j,
+          lit(" };")))
+    }
+    val nLines = (lit(4) + Round11Queries.pick("-L", 5)).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1), i =>
+      when(i % 3 === 2, concat(lineOf(i), lit("\n")))
+        .otherwise(lineOf(i)))
+    val page0 = array_join(lines, "\n")
+    val page = when(Round11Queries.pick("-lo", 12) === 0,
+      concat(page0, lit("\nlorem ipsum dolor sit amet.")))
+      .otherwise(page0)
+    df.select(id, page.as("page"))
+  }
+
+  /** DuckDB replay of [[withPage]] — same md5 picks, templates,
+    * paragraph breaks, and lorem tail, bit-for-bit.
+    */
+  private[queries] val pageCte: String = {
+    def pickSql(salt: String, n: Int) =
+      s"(('0x'||substr(md5(doc_id::VARCHAR || '$salt'),1,4))" +
+        s"::BIGINT % $n)"
+    def pickISql(salt: String, n: Int) =
+      s"(('0x'||substr(md5(doc_id::VARCHAR || '$salt' || i::VARCHAR)" +
+        s",1,4))::BIGINT % $n)"
+    val j = s"${pickISql("-j", 90)}::VARCHAR"
+    val line =
+      s"""CASE ${pickISql("-l", 8)}
+           WHEN 0 THEN 'The quick brown fox jumps over the lazy dog number ' || $j || '.'
+           WHEN 1 THEN 'short line'
+           WHEN 2 THEN 'Please enable JavaScript to view this content today.'
+           WHEN 3 THEN 'click here to read all about special offer ' || $j || '!'
+           WHEN 4 THEN 'buy now buy now buy now buy now buy now.'
+           WHEN 5 THEN 'is this the sample text you wanted to see today?'
+           WHEN 6 THEN 'repeated boilerplate footer line for every page here.'
+           ELSE 'var config = { "mode": full, "page": ' || $j || ' };'
+         END"""
+    s"""pages AS (
+         SELECT doc_id,
+           CASE WHEN ${pickSql("-lo", 12)} = 0
+                THEN p0 || chr(10) || 'lorem ipsum dolor sit amet.'
+                ELSE p0 END AS page
+         FROM (
+           SELECT doc_id,
+             array_to_string(
+               list_transform(range(0, 4 + ${pickSql("-L", 5)}),
+                 i -> CASE WHEN i % 3 = 2 THEN ($line) || chr(10)
+                           ELSE ($line) END), chr(10)) AS p0
+           FROM documents))"""
+  }
+
+  /** `TextAnalysis.gopherRepetitionRules` replayed in DuckDB: the same
+    * non-empty line/paragraph duplicate stats, the same exploded
+    * (doc, n, gram) counts for the top-gram chars, and the same
+    * distinct-position coverage for the overlap-safe duplicate n-gram
+    * chars — all integer cross-multiplications.
+    */
+  private val repOracle = {
+    val conds = Seq(
+      "dup_line_frac_ok" -> "(nl - dl) * 10 <= nl * 3",
+      "dup_line_char_ok" -> "(lchars - dlchars) * 5 <= lchars",
+      "dup_para_frac_ok" -> "(np - dp) * 10 <= np * 3",
+      "dup_para_char_ok" -> "(pchars - dpchars) * 5 <= pchars") ++
+      Seq(2 -> 20, 3 -> 18, 4 -> 16).map { case (n, thr) =>
+        s"top_${n}gram_ok" ->
+          s"coalesce(top$n, 0) * 100 <= wchars * $thr"
+      } ++
+      Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+        .map { case (n, thr) =>
+          s"dup_${n}gram_ok" ->
+            s"coalesce(dup$n, 0) * 100 <= wchars * $thr"
+        }
+    val flags = conds.map { case (nm, c) => s"$c AS $nm" }
+      .mkString(",\n          ")
+    val keep = conds.map(c => s"(${c._2})").mkString("\n           AND ")
+    s"""WITH $pageCte,
+         t0 AS (SELECT doc_id,
+                  list_filter(string_split(lower(page), ' '),
+                    x -> x <> '') AS w,
+                  list_filter(string_split(page, chr(10)),
+                    x -> x <> '') AS l,
+                  list_filter(string_split(page, chr(10)||chr(10)),
+                    x -> x <> '') AS p
+                FROM pages),
+         pr AS (SELECT doc_id,
+                  coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                    AS wchars,
+                  len(l) AS nl, len(list_distinct(l)) AS dl,
+                  coalesce(list_sum(list_transform(l, x -> len(x))), 0)
+                    AS lchars,
+                  coalesce(list_sum(list_transform(list_distinct(l),
+                    x -> len(x))), 0) AS dlchars,
+                  len(p) AS np, len(list_distinct(p)) AS dp,
+                  coalesce(list_sum(list_transform(p, x -> len(x))), 0)
+                    AS pchars,
+                  coalesce(list_sum(list_transform(list_distinct(p),
+                    x -> len(x))), 0) AS dpchars
+                FROM t0),
+         ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
+         occ0 AS (SELECT doc_id, n, w,
+                    unnest(range(1, len(w) - n + 2)) AS s
+                  FROM t0, ns WHERE len(w) >= n),
+         occ AS (SELECT doc_id, n, s,
+                   array_to_string(w[s:s+n-1], ' ') AS g
+                 FROM occ0),
+         cnt AS (SELECT doc_id, n, g, count(*) AS c FROM occ
+                 GROUP BY 1, 2, 3),
+         tops AS (SELECT doc_id,
+                    max(CASE WHEN n = 2 THEN c * (len(g)-1) END) AS top2,
+                    max(CASE WHEN n = 3 THEN c * (len(g)-2) END) AS top3,
+                    max(CASE WHEN n = 4 THEN c * (len(g)-3) END) AS top4
+                  FROM cnt WHERE n <= 4 GROUP BY 1),
+         cov0 AS (SELECT doc_id, n, unnest(range(s, s + n)) AS pos
+                  FROM occ JOIN cnt USING (doc_id, n, g)
+                  WHERE n >= 5 AND c > 1),
+         cov AS (SELECT DISTINCT doc_id, n, pos FROM cov0),
+         dup AS (SELECT cov.doc_id,
+                   sum(CASE WHEN cov.n = 5 THEN len(t0.w[cov.pos]) END)
+                     AS dup5,
+                   sum(CASE WHEN cov.n = 6 THEN len(t0.w[cov.pos]) END)
+                     AS dup6,
+                   sum(CASE WHEN cov.n = 7 THEN len(t0.w[cov.pos]) END)
+                     AS dup7,
+                   sum(CASE WHEN cov.n = 8 THEN len(t0.w[cov.pos]) END)
+                     AS dup8,
+                   sum(CASE WHEN cov.n = 9 THEN len(t0.w[cov.pos]) END)
+                     AS dup9,
+                   sum(CASE WHEN cov.n = 10 THEN len(t0.w[cov.pos]) END)
+                     AS dup10
+                 FROM cov JOIN t0 USING (doc_id) GROUP BY 1)
+        SELECT pr.doc_id,
+          $flags,
+          ($keep) AS rep_keep
+        FROM pr LEFT JOIN tops USING (doc_id)
+                LEFT JOIN dup USING (doc_id)"""
+  }
+
+  /** `TextAnalysis.c4Rules` replayed in DuckDB: the same line filter
+    * (terminal punctuation, ≥ 3 words, no "javascript"), the rejoined
+    * cleaned text compared as a STRING (the strongest possible check),
+    * and the same page verdicts with ['offer','fox'] as the fixture
+    * blocklist.
+    */
+  private val c4Oracle = {
+    val sentences = "len(c4_text) - len(translate(c4_text, '.!?', ''))"
+    val keepParts = Seq(
+      s"($sentences) >= 5",
+      "NOT contains(lower(page), 'lorem ipsum')",
+      "NOT contains(page, '{')",
+      "NOT list_has_any(string_split(lower(page), ' '), " +
+        "['offer','fox'])")
+    s"""WITH $pageCte,
+         k AS (SELECT doc_id, page,
+                 list_filter(string_split(page, chr(10)), l ->
+                   regexp_matches(trim(l), '[.!?"]$$')
+                   AND len(list_filter(string_split(trim(l), ' '),
+                     t -> t <> '')) >= 3
+                   AND NOT contains(lower(l), 'javascript')) AS kept
+               FROM pages),
+         c AS (SELECT doc_id, page,
+                 -- DuckDB's array_to_string is NULL on an empty list;
+                 -- Spark's array_join is '' — align on ''
+                 coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
+                 len(kept) AS n_kept_lines
+               FROM k)
+        SELECT doc_id, c4_text, n_kept_lines,
+          $sentences AS n_sentences,
+          ${keepParts(0)} AS sentence_count_ok,
+          ${keepParts(1)} AS lorem_ok,
+          ${keepParts(2)} AS brace_ok,
+          ${keepParts(3)} AS badwords_ok,
+          (${keepParts.map(p => s"($p)").mkString(" AND ")}) AS c4_keep
+        FROM c"""
+  }
+
   /** tokens → shingles → MinHash sig → band CTE chain for one side of
     * the near-dedup loop replay, name-prefixed so the chain can run
     * once per side (`src` must expose doc_id, text).
@@ -693,6 +900,25 @@ object Round12Queries {
         .select("doc_id", "text")
       Curation.dsirSelect(docs, docs.where(col("doc_id") % 7 === 0),
         "text", "doc_id", k = 100, buckets = 1024)
+    },
+
+    Q.fn("q_gopher_repetition", repOracle) { (spark, sf) =>
+      graft.ml.TextAnalysis.gopherRepetitionRules(
+        withPage(Tables.load(spark, sf, "documents")), "page", "doc_id")
+        .select((Seq("doc_id", "dup_line_frac_ok", "dup_line_char_ok",
+          "dup_para_frac_ok", "dup_para_char_ok") ++
+          (2 to 4).map(n => s"top_${n}gram_ok") ++
+          (5 to 10).map(n => s"dup_${n}gram_ok") :+ "rep_keep")
+          .map(col): _*)
+    },
+
+    Q.fn("q_c4_rules", c4Oracle) { (spark, sf) =>
+      graft.ml.TextAnalysis.c4Rules(
+        withPage(Tables.load(spark, sf, "documents")), "page",
+        badWords = Seq("offer", "fox"))
+        .select("doc_id", "c4_text", "n_kept_lines", "n_sentences",
+          "sentence_count_ok", "lorem_ok", "brace_ok", "badwords_ok",
+          "c4_keep")
     }
   )
 }

@@ -362,6 +362,75 @@ class DedupSpec extends AnyFunSuite {
       "any failed rule fails the conjunction")
   }
 
+  test("gopherRepetitionRules: each repetition rule fires; overlaps " +
+    "count once") {
+    import graft.ml.TextAnalysis
+    val filler = (1 to 30).map(i => f"f$i%02d").mkString(" ")
+    val rows = Seq(
+      (1L, (1 to 10).map(i =>
+        s"alpha$i bravo$i charlie$i delta$i echo$i")
+        .mkString("\n")),                               // all-distinct doc
+      (2L, (Seq.fill(5)("same line") ++
+        (1 to 5).map(i => s"other line $i")).mkString("\n")), // dup lines
+      (3L, (Seq.fill(4)("para one here") ++
+        (1 to 4).map(i => s"unique para $i")).mkString("\n\n")), // dup paras
+      (4L, Seq.fill(30)("buy now").mkString(" ")),      // top 2-gram
+      // 7×"p" → dup 5-grams cover 7 union chars (15 if double-counted);
+      // filler makes 97 total chars: 700 ≤ 97·15 only under union math
+      (5L, "p p p p p p p " + filler),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetitionRules(rows, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("rep_keep"), "clean doc keeps")
+    assert(!out(2L).getAs[Boolean]("dup_line_frac_ok"))
+    assert(!out(2L).getAs[Boolean]("dup_line_char_ok"))
+    assert(!out(3L).getAs[Boolean]("dup_para_frac_ok"))
+    assert(!out(3L).getAs[Boolean]("dup_para_char_ok"))
+    assert(!out(4L).getAs[Boolean]("top_2gram_ok"))
+    assert(!out(4L).getAs[Boolean]("rep_keep"))
+    assert(out(5L).getAs[Boolean]("dup_5gram_ok"),
+      "overlapping duplicated 5-grams must count each character once " +
+        "(naive double-counting would fail this doc)")
+    assert((2 to 10).forall(n =>
+      out(1L).getAs[Boolean](
+        if (n <= 4) s"top_${n}gram_ok" else s"dup_${n}gram_ok")))
+    assert(out(6L).getAs[Boolean]("rep_keep"),
+      "null text passes every rule vacuously")
+  }
+
+  test("c4Rules: line filter and page verdicts") {
+    import graft.ml.TextAnalysis
+    val rows = Seq(
+      (1L, "This is a good first sentence. Plus a second one here!\n" +
+        "no terminal punctuation line\n" +
+        "ok.\n" +                             // < 3 words → dropped
+        "Please enable JavaScript to proceed now.\n" +
+        "Another fine sentence ends here. Repeat? Yes. More! Sure."),
+      (2L, "Lorem Ipsum dolor sit amet today. And more. And more. " +
+        "And more. And more. And more."),
+      (3L, "A config block { appears here today. More. More. More. " +
+        "More. More."),
+      (4L, "The word casino appears right here. More. More. More. " +
+        "More. More."),
+      (5L, "Only two sentences here. Not enough at all."))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Rules(rows, "text",
+      badWords = Seq("casino")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("c4_text") ==
+      "This is a good first sentence. Plus a second one here!\n" +
+        "Another fine sentence ends here. Repeat? Yes. More! Sure.",
+      "short, punctuation-less and javascript lines are dropped")
+    assert(out(1L).getAs[Int]("n_kept_lines") == 2)
+    assert(out(1L).getAs[Boolean]("c4_keep"))
+    assert(!out(2L).getAs[Boolean]("lorem_ok"))
+    assert(!out(3L).getAs[Boolean]("brace_ok"))
+    assert(!out(4L).getAs[Boolean]("badwords_ok"))
+    assert(!out(5L).getAs[Boolean]("sentence_count_ok"))
+    assert((2L to 5L).forall(i => !out(i).getAs[Boolean]("c4_keep")))
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

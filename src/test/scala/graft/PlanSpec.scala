@@ -452,6 +452,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("gopher repetition = hash aggregates + equi-joins, no mode loop") {
+    // the n-gram stats must NOT plan as a window or product — they are
+    // partial-aggregate counts and distinct-position coverage joins
+    val p = plan(q("q_gopher_repetition"))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("C4 rules are a narrow per-row map — no exchange, no join") {
+    val p = plan(q("q_c4_rules"))
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("post-fold index probes keep the index stream-side, no product") {
     // the loop queries probe an index that an update appended to: the
     // probe after the fold must keep the exact shape of the probe

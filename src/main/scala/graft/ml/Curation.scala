@@ -876,6 +876,63 @@ object Curation {
       .select(keep :+ (h32(col("__g")) % buckets).as("__b"): _*)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): score every document under a reference LM
+    * ([[TextAnalysis.lmScore]] — Laplace-smoothed bigrams of `refDf`)
+    * and split each group (CCNet groups by language — pass any
+    * provenance column) into `head` / `middle` / `tail` terciles of
+    * the score, head = most-fluent third. Documents the model cannot
+    * score (< 2 tokens → null score) land in `tail`, as do documents
+    * of a group with no scorable members.
+    *
+    * The terciles are computed from a QUANTIZED histogram
+    * (`⌊score/quantum⌋` buckets), not a per-document rank: a
+    * `Window.partitionBy(group)` over the corpus would funnel each
+    * language through one partition — the classic hot-partition
+    * killer at 100 TB. The histogram is a hash aggregate whose size
+    * is ≤ groups × (max_score/quantum) — INDEPENDENT of corpus row
+    * count — so the cumulative window runs over a bounded frame and
+    * the resulting per-group boundaries broadcast back. Bucket
+    * boundary membership is integer math (`cum·3 ≥ total`), so the
+    * assignment replays exactly in any engine; the quantum is the
+    * documented resolution of the cut.
+    */
+  def perplexityBuckets(docs: DataFrame, refDf: DataFrame,
+      textCol: String, idCol: String, groupCol: String,
+      quantum: Double = 0.01): DataFrame = {
+    require(quantum > 0,
+      s"perplexityBuckets: quantum must be > 0, got $quantum")
+    val scored = TextAnalysis.lmScore(docs, refDf, textCol, idCol)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .withColumn("__qb",
+        when(col("lm_score").isNotNull,
+          (col("lm_score") / quantum).cast(LongType)))
+    val hist = scored.where(col("__qb").isNotNull)
+      .groupBy(col(groupCol), col("__qb"))
+      .agg(count(lit(1)).as("__c"))
+    // bounded frame: the window input is the histogram, never the corpus
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__qb"))))
+    val tot = hist.groupBy(col(groupCol)).agg(sum("__c").as("__tot"))
+    val bounds = cum.join(tot, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("__cum") * 3 >= col("__tot"), col("__qb")))
+          .as("__headMax"),
+        min(when(col("__cum") * 3 >= col("__tot") * 2, col("__qb")))
+          .as("__midMax"))
+    scored.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn("ppl_bucket",
+        when(col("lm_score").isNull, lit("tail"))
+          .when(col("__qb") <= col("__headMax"), lit("head"))
+          .when(col("__qb") <= col("__midMax"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(groupCol), col("n_bigrams"),
+        col("lm_score"), col("ppl_bucket"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score each
     * source document by how much more likely its hashed n-gram

@@ -372,6 +372,79 @@ object TextAnalysis {
         col("badwords_ok"))
   }
 
+  /** Corpus vocabulary: the top-`k` terms by total occurrence count,
+    * with document frequency — the first corpus-health report any
+    * pipeline run produces (tokenizer coverage, boilerplate/stopword
+    * probes, `sampleStratified` rate design). Terms are the non-empty
+    * lower-cased whitespace tokens.
+    *
+    * Scale shape: explode → one partial-aggregated (term → tf, df)
+    * hash aggregate → global top-k, which plans as
+    * TakeOrderedAndProject (per-partition heaps + a k-row driver
+    * merge) — no full sort, no window, no single-partition exchange.
+    * Ties at the cut break on the term itself, so the top-k SET is
+    * deterministic across engines and partitionings.
+    */
+  def vocabulary(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"vocabulary: k must be > 0, got $k")
+    df.select(col(idCol),
+      explode(filter(tokens(col(textCol)), t => t =!= ""))
+        .as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"),
+        count_distinct(col(idCol)).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Hashed TF-IDF, sparse form: one row per (doc, feature bucket)
+    * with `tfidf = tf · ln((N+1)/(df+1))` truncated to 6 decimals —
+    * the hashing-trick featurization (term → `h32 mod dim`) whose
+    * model side is CONSTANT-size no matter the corpus: the per-bucket
+    * document frequencies are a ≤ `dim`-row aggregate that broadcasts,
+    * and the corpus size is a 1-row broadcast. Explode → partial
+    * hash-aggregate tf → two broadcast joins; no window, no product.
+    * Pair with [[tfidfVectors]] for the dense form the ANN operators
+    * consume.
+    */
+  def tfidfSparse(df: DataFrame, textCol: String, idCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"tfidfSparse: dim must be > 0, got $dim")
+    val tf = df.select(col(idCol),
+      explode(filter(tokens(col(textCol)), t => t =!= ""))
+        .as("__term"))
+      .select(col(idCol), (h32(col("__term")) % dim).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("__tf"))
+    val n = df.select(count_distinct(col(idCol))
+      .cast(DoubleType).as("__n"))
+    val dfreq = tf.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast(DoubleType).as("__df"))
+    tf.join(broadcast(dfreq), Seq("bucket"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("bucket"),
+        trunc6(col("__tf") *
+          log((col("__n") + 1.0) / (col("__df") + 1.0))).as("tfidf"))
+  }
+
+  /** Dense hashed TF-IDF vectors (`Array[Float]` of length `dim`),
+    * ready for the [[Similarity]] ANN operators — text and embedding
+    * curation share one similarity stack. One per-doc aggregate over
+    * the sparse form; the dense fill is a per-row bounded pass
+    * (`dim` lookups into the doc's own bucket map).
+    */
+  def tfidfVectors(df: DataFrame, textCol: String, idCol: String,
+      dim: Int): DataFrame =
+    tfidfSparse(df, textCol, idCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("tfidf")))).as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          coalesce(element_at(col("__m"), i.cast(LongType)), lit(0.0))
+            .cast(FloatType)).as("emb"))
+
   /** Deterministic reproducible subsampling: keep a row iff
     * `h32(salt ‖ id) mod 10⁶ < rate × 10⁶`. Pure per-row hash — no RNG,
     * no sort, no shuffle; the SAME sample on every run, engine, and

@@ -598,6 +598,141 @@ object Round12Queries {
         FROM c"""
   }
 
+  /** `TextAnalysis.vocabulary` replayed in DuckDB — same tokenization,
+    * same (tf DESC, term) tie-break at the cut so the top-k SET is
+    * deterministic.
+    */
+  private val vocabOracle =
+    """WITH tk AS (SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '),
+             t -> t <> '')) AS term
+         FROM documents)
+       SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+       FROM tk GROUP BY 1 ORDER BY tf DESC, term LIMIT 150"""
+
+  /** Shared CTE chain: hashed-TF-IDF sparse rows over `documents`
+    * (h32 mod 256 buckets, tf · ln((N+1)/(df+1)) trunc6) — the exact
+    * mirror of `TextAnalysis.tfidfSparse(dim = 256)`.
+    */
+  private val tfidfCtes =
+    """tk AS (SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '),
+            t -> t <> '')) AS term
+        FROM documents),
+       tb AS (SELECT doc_id,
+                ('0x'||substr(md5(term),1,8))::BIGINT % 256 AS bucket
+              FROM tk),
+       tfq AS (SELECT doc_id, bucket, count(*) AS tf FROM tb
+               GROUP BY 1, 2),
+       nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+              FROM documents),
+       dfr AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS df FROM tfq
+               GROUP BY 1),
+       sp AS (SELECT tfq.doc_id, tfq.bucket,
+                CAST(trunc(tfq.tf * ln((n+1)/(df+1)) * 1000000)
+                  AS BIGINT) / 1000000.0 AS tfidf
+              FROM tfq JOIN dfr USING (bucket) CROSS JOIN nn)"""
+
+  private val tfidfOracle =
+    s"""WITH $tfidfCtes
+        SELECT doc_id, bucket, tfidf FROM sp"""
+
+  /** The tfidf → dense-float-vector → brute cosine top-k composition
+    * replayed end-to-end: the dense vector quantizes each tfidf
+    * through FLOAT (mirroring the engine's Array[Float] embedding
+    * column), and the dot products run the same sequential i = 1…256
+    * double sum as the engine's dot_product expression, so the cosine
+    * replays bit-for-bit before its 6-decimal round.
+    */
+  private val tfidfAnnOracle = {
+    def dot256(a: String, b: String) =
+      s"list_reduce(list_transform(range(1,257), i -> $a[i]*$b[i]), " +
+        "(x,y) -> x+y)"
+    s"""WITH $tfidfCtes,
+         dm AS (SELECT doc_id, map_from_entries(
+                  list(struct_pack(k := bucket, v := tfidf))) AS m
+                FROM sp GROUP BY 1),
+         dv AS (SELECT doc_id,
+                  list_transform(range(0, 256), b ->
+                    coalesce(map_extract(m, b)[1], 0)::FLOAT::DOUBLE)
+                    AS e0
+                FROM dm),
+         v AS (SELECT doc_id,
+                 list_transform(e0, x ->
+                   x / sqrt(${dot256("e0", "e0")})) AS e
+               FROM dv),
+         q AS (SELECT doc_id AS query_id, e AS vq FROM v
+               WHERE doc_id < 10),
+         scored AS (SELECT query_id, v.doc_id AS nb_id,
+                      round(${dot256("vq", "v.e")}, 6) AS cos
+                    FROM q JOIN v ON query_id <> v.doc_id),
+         ranked AS (SELECT *, row_number() OVER
+                      (PARTITION BY query_id
+                       ORDER BY cos DESC, nb_id) AS rank
+                    FROM scored)
+        SELECT query_id, CAST(rank AS INT) AS rank, nb_id, cos
+        FROM ranked WHERE rank <= 5"""
+  }
+
+  /** `Curation.perplexityBuckets` replayed: the q_lm_score CTE chain
+    * (ref = doc_id < 250, scored = the rest) feeding the quantized
+    * histogram, the cumulative-count tercile boundaries (integer
+    * `cum·3 ≥ tot` math) and the head/middle/tail assignment, with a
+    * synthetic 3-way group standing in for the language column.
+    */
+  private val pplOracle =
+    """WITH ref AS (SELECT text FROM documents WHERE doc_id < 250),
+            sc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+            rt AS (SELECT unnest(string_split(lower(text),' ')) AS w
+                   FROM ref),
+            uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS u
+                    FROM rt GROUP BY 1),
+            voc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM rt),
+            rbt AS (SELECT string_split(lower(text),' ') AS t FROM ref),
+            rb AS (SELECT unnest(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])) AS bg
+                   FROM rbt WHERE len(t) >= 2),
+            bi AS (SELECT bg, CAST(count(*) AS DOUBLE) AS b
+                   FROM rb GROUP BY 1),
+            sbt AS (SELECT doc_id, string_split(lower(text),' ') AS t
+                    FROM sc),
+            sb AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])) AS bg
+                   FROM sbt WHERE len(t) >= 2),
+            j AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w
+                  FROM sb),
+            p AS (SELECT j.doc_id,
+                    (coalesce(bi.b, 0) + 1) / (coalesce(uni.u, 0) + voc.v)
+                      AS p
+                  FROM j LEFT JOIN bi USING (bg) LEFT JOIN uni USING (w)
+                  CROSS JOIN voc),
+            agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                      CAST(trunc(avg(-ln(p)) * 1000000) AS BIGINT)
+                        / 1000000.0 AS lm_score
+                    FROM p GROUP BY 1),
+            s AS (SELECT sc.doc_id,
+                    'g' || (sc.doc_id % 3)::VARCHAR AS grp,
+                    coalesce(a.n_bigrams, 0) AS n_bigrams, a.lm_score,
+                    CASE WHEN a.lm_score IS NOT NULL
+                         THEN trunc(a.lm_score / 0.01)::BIGINT END AS qb
+                  FROM sc LEFT JOIN agg a USING (doc_id)),
+            hist AS (SELECT grp, qb, count(*) AS c FROM s
+                     WHERE qb IS NOT NULL GROUP BY 1, 2),
+            cum AS (SELECT grp, qb,
+                      sum(c) OVER (PARTITION BY grp ORDER BY qb) AS cum
+                    FROM hist),
+            tot AS (SELECT grp, sum(c) AS tot FROM hist GROUP BY 1),
+            b AS (SELECT cum.grp,
+                    min(CASE WHEN cum*3 >= tot THEN qb END) AS headmax,
+                    min(CASE WHEN cum*3 >= tot*2 THEN qb END) AS midmax
+                  FROM cum JOIN tot USING (grp) GROUP BY 1)
+       SELECT s.doc_id, s.grp, s.n_bigrams, s.lm_score,
+         CASE WHEN s.lm_score IS NULL THEN 'tail'
+              WHEN s.qb <= b.headmax THEN 'head'
+              WHEN s.qb <= b.midmax THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+       FROM s LEFT JOIN b USING (grp)"""
+
   /** tokens → shingles → MinHash sig → band CTE chain for one side of
     * the near-dedup loop replay, name-prefixed so the chain can run
     * once per side (`src` must expose doc_id, text).
@@ -919,6 +1054,37 @@ object Round12Queries {
         .select("doc_id", "c4_text", "n_kept_lines", "n_sentences",
           "sentence_count_ok", "lorem_ok", "brace_ok", "badwords_ok",
           "c4_keep")
+    },
+
+    Q.fn("q_vocabulary", vocabOracle) { (spark, sf) =>
+      graft.ml.TextAnalysis.vocabulary(
+        Tables.load(spark, sf, "documents").select("doc_id", "text"),
+        "text", "doc_id", k = 150)
+    },
+
+    Q.fn("q_tfidf", tfidfOracle) { (spark, sf) =>
+      graft.ml.TextAnalysis.tfidfSparse(
+        Tables.load(spark, sf, "documents").select("doc_id", "text"),
+        "text", "doc_id", dim = 256)
+    },
+
+    Q.fn("q_tfidf_ann", tfidfAnnOracle) { (spark, sf) =>
+      val vecs = graft.ml.TextAnalysis.tfidfVectors(
+        Tables.load(spark, sf, "documents").select("doc_id", "text"),
+        "text", "doc_id", dim = 256)
+      graft.ml.Similarity.bruteForceTopK(vecs,
+        vecs.where(col("doc_id") < 10), "emb", "doc_id", k = 5)
+    },
+
+    Q.fn("q_ppl_buckets", pplOracle) { (spark, sf) =>
+      val d = Tables.load(spark, sf, "documents")
+      val docs = d.where(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"),
+          concat(lit("g"), (col("doc_id") % 3).cast("string"))
+            .as("grp"))
+      Curation.perplexityBuckets(docs, d.where(col("doc_id") < 250),
+        "text", "doc_id", "grp")
+        .select("doc_id", "grp", "n_bigrams", "lm_score", "ppl_bucket")
     }
   )
 }

@@ -558,6 +558,41 @@ class CurationSpec extends AnyFunSuite {
       s"target-style docs must outweigh off-style docs: $a vs $b")
   }
 
+  test("perplexityBuckets: per-group terciles, unscoreable docs → tail") {
+    import spark.implicits._
+    // reference corpus: fluent bigrams "w1 w2 ... w8" style
+    val ref = (1L to 20L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // group A: 3 fluency tiers (exact ref phrase / half on-model /
+    // gibberish); group B: all on-model; plus a 1-token doc (no bigram)
+    val docs = ((100L to 109L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta", "ga")) ++
+      (110L to 119L).map(i =>
+        (i, "alpha beta gamma delta x" + i + " y" + i, "ga")) ++
+      (120L to 129L).map(i =>
+        (i, s"q$i r$i s$i t$i u$i v$i", "ga")) ++
+      (200L to 205L).map(i =>
+        (i, "alpha beta gamma delta epsilon zeta eta theta", "gb")) ++
+      Seq((300L, "solo", "ga")))
+      .toDF("doc_id", "text", "grp")
+    val out = Curation.perplexityBuckets(docs, ref, "text", "doc_id",
+      "grp").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("grp"), r.getAs[String]("ppl_bucket"))))
+      .toMap
+    assert(out.size == 37, "every input doc keeps a row")
+    assert((100L to 109L).forall(out(_)._2 == "head"),
+      "on-model docs are the head tercile: " + out.toString)
+    assert((110L to 119L).forall(out(_)._2 == "middle"))
+    assert((120L to 129L).forall(out(_)._2 == "tail"))
+    assert(out(300L) == (("ga", "tail")),
+      "a doc with no bigrams cannot be scored and lands in tail")
+    assert((200L to 205L).forall(out(_)._2 == "head"),
+      "a uniform group has identical scores in one bucket; " +
+        "cum*3 >= tot makes that bucket head for everyone")
+  }
+
   test("dsirSelect: Gumbel-top-k is deterministic and favors the target") {
     import spark.implicits._
     val docs = ((1L to 10L).map(i =>

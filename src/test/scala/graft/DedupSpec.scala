@@ -431,6 +431,47 @@ class DedupSpec extends AnyFunSuite {
     assert((2L to 5L).forall(i => !out(i).getAs[Boolean]("c4_keep")))
   }
 
+  test("vocabulary: tf/df exact, deterministic tie-break at the cut") {
+    import graft.ml.TextAnalysis
+    val rows = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple date date cherry"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(rows, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // apple tf=3; banana tf=2 df=2; cherry tf=2 df=2; date tf=2 df=1 —
+    // the tf=2 three-way tie cuts alphabetically: banana, cherry
+    assert(out.toSeq == Seq(("apple", 3L, 2L), ("banana", 2L, 2L),
+      ("cherry", 2L, 2L)), out.toSeq.toString)
+  }
+
+  test("tfidfSparse/tfidfVectors: idf math and dense placement") {
+    import graft.ml.TextAnalysis
+    val rows = Seq(
+      (1L, "common rare"),
+      (2L, "common"),
+      (3L, "common common"))
+      .toDF("doc_id", "text")
+    val sp = TextAnalysis.tfidfSparse(rows, "text", "doc_id", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // N=3; 'common' df=3 → idf ln(4/4)=0; 'rare' df=1 → idf ln(2)
+    val rare = sp.collect { case ((1L, _), v) if v != 0.0 => v }
+    assert(rare.size == 1 &&
+      math.abs(rare.head - math.floor(math.log(2.0) * 1e6) / 1e6) < 1e-9,
+      sp.toString)
+    assert(sp.count(_._2 == 0.0) == 3,
+      "the corpus-wide term scores 0 in every doc: " + sp.toString)
+    val dense = TextAnalysis.tfidfVectors(rows, "text", "doc_id", 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(dense.values.forall(_.size == 64))
+    val rareBucket = sp.collect { case ((1L, b), v) if v != 0.0 => b }.head
+    assert(math.abs(dense(1L)(rareBucket.toInt) - rare.head.toFloat)
+      < 1e-9, "dense vector must place tfidf at its hash bucket")
+    assert(dense(2L).forall(_ == 0f), "all-common doc is the zero vector")
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

@@ -462,6 +462,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("vocabulary is a global top-k over one hash aggregate") {
+    val p = plan(q("q_vocabulary"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("tfidf model sides broadcast; no product, no window") {
+    // the per-bucket df table (<= dim rows) and the 1-row corpus count
+    // must broadcast — the corpus side never re-shuffles for the model
+    val p = plan(q("q_tfidf"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("perplexity buckets: window only over the bounded histogram") {
+    // the corpus-side assignment is a broadcast join of per-group
+    // boundaries; the only Window runs on the aggregated histogram
+    val p = plan(q("q_ppl_buckets"))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "the histogram cumulative sum should plan as " +
+      "one Window over the aggregated frame")
+  }
+
   test("C4 rules are a narrow per-row map — no exchange, no join") {
     val p = plan(q("q_c4_rules"))
     assert(!p.contains("Exchange"), p.take(1500))

@@ -507,6 +507,73 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)))
   }
 
+  /** Exact duplicated-substring removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" §4.1,
+    * ExactSubstr): any window of `minTokens` consecutive whitespace
+    * tokens that occurs MORE THAN ONCE in the corpus — across
+    * documents or twice inside one — is duplication; every token
+    * position covered by any occurrence of such a window is marked,
+    * and the survivors reassemble in order (single-space normalized,
+    * the documented token-level rendering of the paper's byte-level
+    * spans). Returns (idCol, n_tokens, n_dropped_tokens, text_clean);
+    * null/empty docs keep a row with zero counts.
+    *
+    * Scale shape — the paper's suffix array is a single-machine
+    * construction; the equivalent corpus-scale formulation is window
+    * fingerprints: one explode into (doc, start, 64-bit gram key), a
+    * partial-aggregated count over the key, an equi-join back of the
+    * duplicated keys, and a distinct-position coverage aggregate (the
+    * same overlap-safe machinery as
+    * [[TextAnalysis.gopherRepetitionRules]]). The key is md5's two
+    * 32-bit halves kept as SEPARATE columns — a 16-byte shuffle key
+    * independent of `minTokens`, no 50-token strings through the
+    * exchange, and no signed-overflow corner in any engine. At 10¹³
+    * windows the 64-bit birthday bound mis-marks ~10⁻⁷ of windows —
+    * negligible for curation and replayed identically by the oracle.
+    */
+  def exactSubstringDedup(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 50): DataFrame = {
+    require(minTokens >= 2,
+      s"exactSubstringDedup: minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    val toks = df.select(col(idCol),
+      filter(split(col(textCol), " "), t => t =!= "").as("__w"))
+    val tokPos = toks.select(col(idCol),
+      posexplode_outer(col("__w")).as(Seq("__pos", "__tok")))
+    val w = col("__w")
+    val gramArr = when(size(w) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - k),
+        i => md5(concat_ws(" ",
+          (0 until k).map(j => get(w, i + j)): _*))))
+    val occ = toks
+      .select(col(idCol), posexplode(gramArr).as(Seq("__start", "__m")))
+      .select(col(idCol), col("__start"),
+        conv(substring(col("__m"), 1, 8), 16, 10).cast("long")
+          .as("__hlo"),
+        conv(substring(col("__m"), 9, 8), 16, 10).cast("long")
+          .as("__hhi"))
+    val dup = occ.groupBy(col("__hlo"), col("__hhi"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1)
+      .select(col("__hlo"), col("__hhi"))
+    val cover = occ.join(dup, Seq("__hlo", "__hhi"))
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__start") + k - 1))
+          .as("__pos"))
+      .distinct()
+    tokPos
+      .join(cover.withColumn("__dup", lit(true)), Seq(idCol, "__pos"),
+        "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(when(col("__tok").isNotNull, 1)).as("n_tokens"),
+        sum(when(col("__dup"), 1L).otherwise(0L))
+          .as("n_dropped_tokens"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__dup").isNull && col("__tok").isNotNull,
+            struct(col("__pos"), col("__tok"))))),
+          s => s.getField("__tok")), " ").as("text_clean"))
+  }
+
   /** Incremental (cross-corpus) dedup: the rows of `newDf` whose text is
     * NOT already present in `refDf` — the ingestion-time filter that
     * keeps a growing corpus exact-duplicate-free without re-deduping the

@@ -733,6 +733,49 @@ object Round12Queries {
               ELSE 'tail' END AS ppl_bucket
        FROM s LEFT JOIN b USING (grp)"""
 
+  /** `Dedup.exactSubstringDedup(minTokens = 8)` over the page fixture,
+    * replayed: same md5-two-halves window keys, same duplicated-key
+    * set, same distinct-position coverage, same single-space token
+    * reassembly. The repeated template lines across pages are exactly
+    * the cross-document duplication the operator exists to strip.
+    */
+  private val exactSubstrOracle =
+    s"""WITH $pageCte,
+         t0 AS (SELECT doc_id,
+                  list_filter(string_split(page, ' '), t -> t <> '')
+                    AS w
+                FROM pages),
+         occ0 AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS s
+                  FROM t0 WHERE len(w) >= 8),
+         och AS (SELECT doc_id, s,
+                   ('0x'||substr(m,1,8))::BIGINT AS hlo,
+                   ('0x'||substr(m,9,8))::BIGINT AS hhi
+                 FROM (SELECT doc_id, s,
+                         md5(array_to_string(w[s:s+7], ' ')) AS m
+                       FROM occ0)),
+         dup AS (SELECT hlo, hhi FROM och GROUP BY 1, 2
+                 HAVING count(*) > 1),
+         cov AS (SELECT DISTINCT doc_id, pos FROM
+                   (SELECT och.doc_id, unnest(range(s, s + 8)) AS pos
+                    FROM och JOIN dup USING (hlo, hhi))),
+         tp AS (SELECT doc_id, pos, w[pos] AS tok FROM
+                  (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos
+                   FROM t0)),
+         mk AS (SELECT tp.doc_id, tp.pos, tp.tok,
+                  cov.pos IS NOT NULL AS dup
+                FROM tp LEFT JOIN cov USING (doc_id, pos)),
+         res AS (SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dropped_tokens,
+                   coalesce(array_to_string(
+                     list(tok ORDER BY pos) FILTER (WHERE NOT dup),
+                     ' '), '') AS text_clean
+                 FROM mk GROUP BY 1)
+        SELECT p.doc_id, coalesce(r.n_tokens, 0) AS n_tokens,
+          coalesce(r.n_dropped_tokens, 0) AS n_dropped_tokens,
+          coalesce(r.text_clean, '') AS text_clean
+        FROM pages p LEFT JOIN res r USING (doc_id)"""
+
   /** tokens → shingles → MinHash sig → band CTE chain for one side of
     * the near-dedup loop replay, name-prefixed so the chain can run
     * once per side (`src` must expose doc_id, text).
@@ -1085,6 +1128,13 @@ object Round12Queries {
       Curation.perplexityBuckets(docs, d.where(col("doc_id") < 250),
         "text", "doc_id", "grp")
         .select("doc_id", "grp", "n_bigrams", "lm_score", "ppl_bucket")
+    },
+
+    Q.fn("q_exact_substring", exactSubstrOracle) { (spark, sf) =>
+      Dedup.exactSubstringDedup(
+        withPage(Tables.load(spark, sf, "documents")), "page",
+        "doc_id", minTokens = 8)
+        .select("doc_id", "n_tokens", "n_dropped_tokens", "text_clean")
     }
   )
 }

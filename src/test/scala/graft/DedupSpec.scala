@@ -472,6 +472,32 @@ class DedupSpec extends AnyFunSuite {
     assert(dense(2L).forall(_ == 0f), "all-common doc is the zero vector")
   }
 
+  test("exactSubstringDedup: cross-doc and within-doc windows, " +
+    "overlap-safe") {
+    val rows = Seq(
+      (1L, "a b c d e f"),                 // unique — untouched
+      (2L, "x y z p q r"),                 // shares "x y z" with doc 3
+      (3L, "x y z w v u"),
+      (4L, "m n o m n o m n o"),           // self-repeating — all covered
+      (5L, null.asInstanceOf[String]),
+      (6L, "s t"))                         // shorter than the window
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(rows, "text", "doc_id",
+      minTokens = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dropped_tokens"),
+          r.getAs[String]("text_clean")))).toMap
+    assert(out(1L) == ((6L, 0L, "a b c d e f")))
+    assert(out(2L) == ((6L, 3L, "p q r")),
+      "the shared window is stripped from BOTH documents: " + out)
+    assert(out(3L) == ((6L, 3L, "w v u")))
+    assert(out(4L) == ((9L, 9L, "")),
+      "overlapping duplicated windows cover each position once")
+    assert(out(5L) == ((0L, 0L, "")), "null text keeps a zero row")
+    assert(out(6L) == ((2L, 0L, "s t")),
+      "docs shorter than the window have no windows to match")
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

@@ -489,6 +489,16 @@ class PlanSpec extends AnyFunSuite {
       "one Window over the aggregated frame")
   }
 
+  test("exact-substring dedup: 16-byte-key aggregates, no product") {
+    // the duplicated-window detection must stay equi-joined on the
+    // two md5 halves — never a window, never a nested loop
+    val p = plan(q("q_exact_substring"))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("C4 rules are a narrow per-row map — no exchange, no join") {
     val p = plan(q("q_c4_rules"))
     assert(!p.contains("Exchange"), p.take(1500))

@@ -876,6 +876,37 @@ object Curation {
       .select(keep :+ (h32(col("__g")) % buckets).as("__b"): _*)
   }
 
+  /** The standard web-curation quality cascade, composed end-to-end
+    * (the C4 → Gopher ordering of RefinedWeb/FineWeb): C4's line
+    * filter cleans each page first, then the Gopher quality rules AND
+    * the Gopher repetition rules judge the CLEANED text — order
+    * matters, since dropped boilerplate lines must not count against
+    * the repetition thresholds. Returns (idCol, text_clean, c4_keep,
+    * gopher_keep, rep_keep, keep) with keep the conjunction.
+    *
+    * Scale shape: the C4 and Gopher rule stages are per-row maps; the
+    * only shuffles are the repetition stage's own n-gram aggregates
+    * and one equi-join back on the id — composing adds NO new shuffle
+    * beyond [[TextAnalysis.gopherRepetitionRules]]'s.
+    */
+  def qualityPipeline(df: DataFrame, textCol: String, idCol: String,
+      badWords: Seq[String] = Seq.empty): DataFrame = {
+    val c4 = TextAnalysis.c4Rules(df, textCol, badWords)
+      .select(col(idCol), col("c4_text"), col("c4_keep"))
+    val g = TextAnalysis.gopherRules(c4, "c4_text")
+      .select(col(idCol), col("c4_text"), col("c4_keep"),
+        col("gopher_keep"))
+    val rep = TextAnalysis.gopherRepetitionRules(
+      c4.select(col(idCol), col("c4_text")), "c4_text", idCol)
+      .select(col(idCol), col("rep_keep"))
+    g.join(rep, Seq(idCol))
+      .withColumn("keep",
+        col("c4_keep") && col("gopher_keep") && col("rep_keep"))
+      .select(col(idCol), col("c4_text").as("text_clean"),
+        col("c4_keep"), col("gopher_keep"), col("rep_keep"),
+        col("keep"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data"): score every document under a reference LM

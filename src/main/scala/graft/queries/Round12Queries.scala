@@ -394,7 +394,7 @@ object Round12Queries {
   /** Deterministic multi-line PAGE fixture for the quality-filter
     * families: documents are single-line and punctuation-free, so the
     * line/paragraph/sentence rules would all fire vacuously on them.
-    * Each doc gets 4-8 md5-picked template lines (good prose, a
+    * Each doc gets 8-15 md5-picked template lines (good prose, a
     * too-short line, a JavaScript notice, clickbait, 5×-repeated
     * spam, a question, an identical boilerplate footer, a `{`-laden
     * config line), a paragraph break after every 3rd line, and a
@@ -418,16 +418,18 @@ object Round12Queries {
         .when(t === 3, concat(
           lit("click here to read all about special offer "), j,
           lit("!")))
-        .when(t === 4, lit("buy now buy now buy now buy now buy now."))
-        .when(t === 5,
-          lit("is this the sample text you wanted to see today?"))
+        .when(t === 4, concat(
+          lit("buy now buy now buy now buy now item "), j, lit(".")))
+        .when(t === 5, concat(
+          lit("is this the sample text number "), j,
+          lit(" you wanted to see today?")))
         .when(t === 6,
           lit("repeated boilerplate footer line for every page here."))
         .otherwise(concat(
           lit("var config = { \"mode\": full, \"page\": "), j,
           lit(" };")))
     }
-    val nLines = (lit(4) + Round11Queries.pick("-L", 5)).cast("int")
+    val nLines = (lit(8) + Round11Queries.pick("-L", 8)).cast("int")
     val lines = transform(sequence(lit(0), nLines - 1), i =>
       when(i % 3 === 2, concat(lineOf(i), lit("\n")))
         .otherwise(lineOf(i)))
@@ -455,8 +457,8 @@ object Round12Queries {
            WHEN 1 THEN 'short line'
            WHEN 2 THEN 'Please enable JavaScript to view this content today.'
            WHEN 3 THEN 'click here to read all about special offer ' || $j || '!'
-           WHEN 4 THEN 'buy now buy now buy now buy now buy now.'
-           WHEN 5 THEN 'is this the sample text you wanted to see today?'
+           WHEN 4 THEN 'buy now buy now buy now buy now item ' || $j || '.'
+           WHEN 5 THEN 'is this the sample text number ' || $j || ' you wanted to see today?'
            WHEN 6 THEN 'repeated boilerplate footer line for every page here.'
            ELSE 'var config = { "mode": full, "page": ' || $j || ' };'
          END"""
@@ -468,7 +470,7 @@ object Round12Queries {
          FROM (
            SELECT doc_id,
              array_to_string(
-               list_transform(range(0, 4 + ${pickSql("-L", 5)}),
+               list_transform(range(0, 8 + ${pickSql("-L", 8)}),
                  i -> CASE WHEN i % 3 = 2 THEN ($line) || chr(10)
                            ELSE ($line) END), chr(10)) AS p0
            FROM documents))"""
@@ -480,34 +482,41 @@ object Round12Queries {
     * distinct-position coverage for the overlap-safe duplicate n-gram
     * chars — all integer cross-multiplications.
     */
-  private val repOracle = {
-    val conds = Seq(
-      "dup_line_frac_ok" -> "(nl - dl) * 10 <= nl * 3",
-      "dup_line_char_ok" -> "(lchars - dlchars) * 5 <= lchars",
-      "dup_para_frac_ok" -> "(np - dp) * 10 <= np * 3",
-      "dup_para_char_ok" -> "(pchars - dpchars) * 5 <= pchars") ++
-      Seq(2 -> 20, 3 -> 18, 4 -> 16).map { case (n, thr) =>
-        s"top_${n}gram_ok" ->
-          s"coalesce(top$n, 0) * 100 <= wchars * $thr"
-      } ++
-      Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
-        .map { case (n, thr) =>
-          s"dup_${n}gram_ok" ->
-            s"coalesce(dup$n, 0) * 100 <= wchars * $thr"
-        }
-    val flags = conds.map { case (nm, c) => s"$c AS $nm" }
+  private val repConds = Seq(
+    "dup_line_frac_ok" -> "(nl - dl) * 10 <= nl * 3",
+    "dup_line_char_ok" -> "(lchars - dlchars) * 5 <= lchars",
+    "dup_para_frac_ok" -> "(np - dp) * 10 <= np * 3",
+    "dup_para_char_ok" -> "(pchars - dpchars) * 5 <= pchars") ++
+    Seq(2 -> 20, 3 -> 18, 4 -> 16).map { case (n, thr) =>
+      s"top_${n}gram_ok" ->
+        s"coalesce(top$n, 0) * 100 <= wchars * $thr"
+    } ++
+    Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+      .map { case (n, thr) =>
+        s"dup_${n}gram_ok" ->
+          s"coalesce(dup$n, 0) * 100 <= wchars * $thr"
+      }
+
+  /** The repetition-rule CTE chain over `src(doc_id, <textCol>)`, CTE
+    * names prefixed with `p` so two chains can coexist in one oracle;
+    * ends with `${p}rep` exposing doc_id, the 13 per-rule flags, and
+    * rep_keep.
+    */
+  private def repChain(src: String, textCol: String, p: String)
+      : String = {
+    val flags = repConds.map { case (nm, c) => s"$c AS $nm" }
       .mkString(",\n          ")
-    val keep = conds.map(c => s"(${c._2})").mkString("\n           AND ")
-    s"""WITH $pageCte,
-         t0 AS (SELECT doc_id,
-                  list_filter(string_split(lower(page), ' '),
+    val keep = repConds.map(c => s"(${c._2})")
+      .mkString("\n           AND ")
+    s"""${p}t0 AS (SELECT doc_id,
+                  list_filter(string_split(lower($textCol), ' '),
                     x -> x <> '') AS w,
-                  list_filter(string_split(page, chr(10)),
+                  list_filter(string_split($textCol, chr(10)),
                     x -> x <> '') AS l,
-                  list_filter(string_split(page, chr(10)||chr(10)),
+                  list_filter(string_split($textCol, chr(10)||chr(10)),
                     x -> x <> '') AS p
-                FROM pages),
-         pr AS (SELECT doc_id,
+                FROM $src),
+         ${p}pr AS (SELECT doc_id,
                   coalesce(list_sum(list_transform(w, x -> len(x))), 0)
                     AS wchars,
                   len(l) AS nl, len(list_distinct(l)) AS dl,
@@ -520,62 +529,71 @@ object Round12Queries {
                     AS pchars,
                   coalesce(list_sum(list_transform(list_distinct(p),
                     x -> len(x))), 0) AS dpchars
-                FROM t0),
-         ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
-         occ0 AS (SELECT doc_id, n, w,
+                FROM ${p}t0),
+         ${p}ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
+         ${p}occ0 AS (SELECT doc_id, n, w,
                     unnest(range(1, len(w) - n + 2)) AS s
-                  FROM t0, ns WHERE len(w) >= n),
-         occ AS (SELECT doc_id, n, s,
+                  FROM ${p}t0, ${p}ns WHERE len(w) >= n),
+         ${p}occ AS (SELECT doc_id, n, s,
                    array_to_string(w[s:s+n-1], ' ') AS g
-                 FROM occ0),
-         cnt AS (SELECT doc_id, n, g, count(*) AS c FROM occ
+                 FROM ${p}occ0),
+         ${p}cnt AS (SELECT doc_id, n, g, count(*) AS c FROM ${p}occ
                  GROUP BY 1, 2, 3),
-         tops AS (SELECT doc_id,
+         ${p}tops AS (SELECT doc_id,
                     max(CASE WHEN n = 2 THEN c * (len(g)-1) END) AS top2,
                     max(CASE WHEN n = 3 THEN c * (len(g)-2) END) AS top3,
                     max(CASE WHEN n = 4 THEN c * (len(g)-3) END) AS top4
-                  FROM cnt WHERE n <= 4 GROUP BY 1),
-         cov0 AS (SELECT doc_id, n, unnest(range(s, s + n)) AS pos
-                  FROM occ JOIN cnt USING (doc_id, n, g)
+                  FROM ${p}cnt WHERE n <= 4 GROUP BY 1),
+         ${p}cov0 AS (SELECT doc_id, n, unnest(range(s, s + n)) AS pos
+                  FROM ${p}occ JOIN ${p}cnt USING (doc_id, n, g)
                   WHERE n >= 5 AND c > 1),
-         cov AS (SELECT DISTINCT doc_id, n, pos FROM cov0),
-         dup AS (SELECT cov.doc_id,
-                   sum(CASE WHEN cov.n = 5 THEN len(t0.w[cov.pos]) END)
-                     AS dup5,
-                   sum(CASE WHEN cov.n = 6 THEN len(t0.w[cov.pos]) END)
-                     AS dup6,
-                   sum(CASE WHEN cov.n = 7 THEN len(t0.w[cov.pos]) END)
-                     AS dup7,
-                   sum(CASE WHEN cov.n = 8 THEN len(t0.w[cov.pos]) END)
-                     AS dup8,
-                   sum(CASE WHEN cov.n = 9 THEN len(t0.w[cov.pos]) END)
-                     AS dup9,
-                   sum(CASE WHEN cov.n = 10 THEN len(t0.w[cov.pos]) END)
-                     AS dup10
-                 FROM cov JOIN t0 USING (doc_id) GROUP BY 1)
-        SELECT pr.doc_id,
+         ${p}cov AS (SELECT DISTINCT doc_id, n, pos FROM ${p}cov0),
+         ${p}dup AS (SELECT ${p}cov.doc_id,
+                   sum(CASE WHEN ${p}cov.n = 5
+                       THEN len(${p}t0.w[${p}cov.pos]) END) AS dup5,
+                   sum(CASE WHEN ${p}cov.n = 6
+                       THEN len(${p}t0.w[${p}cov.pos]) END) AS dup6,
+                   sum(CASE WHEN ${p}cov.n = 7
+                       THEN len(${p}t0.w[${p}cov.pos]) END) AS dup7,
+                   sum(CASE WHEN ${p}cov.n = 8
+                       THEN len(${p}t0.w[${p}cov.pos]) END) AS dup8,
+                   sum(CASE WHEN ${p}cov.n = 9
+                       THEN len(${p}t0.w[${p}cov.pos]) END) AS dup9,
+                   sum(CASE WHEN ${p}cov.n = 10
+                       THEN len(${p}t0.w[${p}cov.pos]) END) AS dup10
+                 FROM ${p}cov JOIN ${p}t0 USING (doc_id) GROUP BY 1),
+         ${p}rep AS (SELECT doc_id,
           $flags,
           ($keep) AS rep_keep
-        FROM pr LEFT JOIN tops USING (doc_id)
-                LEFT JOIN dup USING (doc_id)"""
+        FROM ${p}pr LEFT JOIN ${p}tops USING (doc_id)
+                LEFT JOIN ${p}dup USING (doc_id))"""
+  }
+
+  private val repOracle = {
+    val flagCols = repConds.map(_._1).mkString(", ")
+    s"""WITH $pageCte, ${repChain("pages", "page", "")}
+        SELECT doc_id, $flagCols, rep_keep FROM rep"""
   }
 
   /** `TextAnalysis.c4Rules` replayed in DuckDB: the same line filter
     * (terminal punctuation, ≥ 3 words, no "javascript"), the rejoined
     * cleaned text compared as a STRING (the strongest possible check),
-    * and the same page verdicts with ['offer','fox'] as the fixture
+    * and the same page verdicts with ['offer'] as the fixture
     * blocklist.
     */
-  private val c4Oracle = {
-    val sentences = "len(c4_text) - len(translate(c4_text, '.!?', ''))"
-    val keepParts = Seq(
-      s"($sentences) >= 5",
-      "NOT contains(lower(page), 'lorem ipsum')",
-      "NOT contains(page, '{')",
-      "NOT list_has_any(string_split(lower(page), ' '), " +
-        "['offer','fox'])")
-    s"""WITH $pageCte,
-         k AS (SELECT doc_id, page,
+  private val c4Sentences =
+    "len(c4_text) - len(translate(c4_text, '.!?', ''))"
+  private val c4KeepParts = Seq(
+    s"($c4Sentences) >= 5",
+    "NOT contains(lower(page), 'lorem ipsum')",
+    "NOT contains(page, '{')",
+    "NOT list_has_any(string_split(lower(page), ' '), ['offer'])")
+
+  /** The C4 line-filter CTE chain over `pages`: ends with `c` exposing
+    * (doc_id, page, c4_text, n_kept_lines).
+    */
+  private val c4Ctes =
+    s"""k AS (SELECT doc_id, page,
                  list_filter(string_split(page, chr(10)), l ->
                    regexp_matches(trim(l), '[.!?"]$$')
                    AND len(list_filter(string_split(trim(l), ' '),
@@ -587,16 +605,74 @@ object Round12Queries {
                  -- Spark's array_join is '' — align on ''
                  coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
                  len(kept) AS n_kept_lines
-               FROM k)
+               FROM k)"""
+
+  private val c4Oracle =
+    s"""WITH $pageCte, $c4Ctes
         SELECT doc_id, c4_text, n_kept_lines,
-          $sentences AS n_sentences,
-          ${keepParts(0)} AS sentence_count_ok,
-          ${keepParts(1)} AS lorem_ok,
-          ${keepParts(2)} AS brace_ok,
-          ${keepParts(3)} AS badwords_ok,
-          (${keepParts.map(p => s"($p)").mkString(" AND ")}) AS c4_keep
+          $c4Sentences AS n_sentences,
+          ${c4KeepParts(0)} AS sentence_count_ok,
+          ${c4KeepParts(1)} AS lorem_ok,
+          ${c4KeepParts(2)} AS brace_ok,
+          ${c4KeepParts(3)} AS badwords_ok,
+          (${c4KeepParts.map(p => s"($p)").mkString(" AND ")}) AS c4_keep
         FROM c"""
-  }
+
+  /** The Gopher quality-rule keep over `src(doc_id, <textCol>)` — the
+    * q_gopher_rules conjunction, CTE-prefixed; ends with `${p}gk`
+    * exposing (doc_id, gopher_keep).
+    */
+  private def gopherKeepChain(src: String, textCol: String, p: String)
+      : String =
+    s"""${p}g0 AS (SELECT doc_id, $textCol AS text,
+            string_split(lower($textCol), ' ') AS t,
+            string_split($textCol, chr(10)) AS l
+          FROM $src),
+        ${p}gm AS (SELECT doc_id,
+            len(t) AS nw, len(l) AS nl,
+            coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+              AS wchars,
+            len(text) - len(replace(text, '#', '')) AS hashes,
+            (len(text) - len(replace(text, '...', ''))) // 3 AS ells,
+            len(list_filter(l, x -> starts_with(ltrim(x), '•')
+               OR starts_with(ltrim(x), '-')
+               OR starts_with(ltrim(x), '*'))) AS bullets,
+            len(list_filter(l, x -> ends_with(rtrim(x), '...')
+               OR ends_with(rtrim(x), '…'))) AS elllines,
+            len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS alphaw,
+            len(list_filter(
+              ['the','be','to','of','and','that','have','with'],
+              s -> list_contains(t, s))) AS stops
+          FROM ${p}g0),
+        ${p}gk AS (SELECT doc_id,
+            ((nw >= 50 AND nw <= 100000)
+             AND (wchars >= nw*3 AND wchars <= nw*10)
+             AND ((hashes + ells) * 10 <= nw)
+             AND (bullets * 10 <= nl * 9)
+             AND (elllines * 10 <= nl * 3)
+             AND (alphaw * 5 >= nw * 4)
+             AND (stops >= 2)) AS gopher_keep
+          FROM ${p}gm)"""
+
+  /** `Curation.qualityPipeline` replayed end-to-end: the C4 clean
+    * feeds BOTH Gopher rule families over the CLEANED text, and the
+    * final keep is the three-way conjunction — the full
+    * RefinedWeb-style cascade in one deterministic replay.
+    */
+  private val pipelineOracle =
+    s"""WITH $pageCte, $c4Ctes,
+         cleaned AS (SELECT doc_id, c4_text,
+             (${c4KeepParts.map(p => s"($p)").mkString(" AND ")})
+               AS c4_keep
+           FROM c),
+         ${gopherKeepChain("cleaned", "c4_text", "q_")},
+         ${repChain("cleaned", "c4_text", "r_")}
+        SELECT cl.doc_id, cl.c4_text AS text_clean, cl.c4_keep,
+          g.gopher_keep, r.rep_keep,
+          (cl.c4_keep AND g.gopher_keep AND r.rep_keep) AS keep
+        FROM cleaned cl JOIN q_gk g USING (doc_id)
+             JOIN r_rep r USING (doc_id)"""
 
   /** `TextAnalysis.vocabulary` replayed in DuckDB — same tokenization,
     * same (tf DESC, term) tie-break at the cut so the top-k SET is
@@ -1093,7 +1169,7 @@ object Round12Queries {
     Q.fn("q_c4_rules", c4Oracle) { (spark, sf) =>
       graft.ml.TextAnalysis.c4Rules(
         withPage(Tables.load(spark, sf, "documents")), "page",
-        badWords = Seq("offer", "fox"))
+        badWords = Seq("offer"))
         .select("doc_id", "c4_text", "n_kept_lines", "n_sentences",
           "sentence_count_ok", "lorem_ok", "brace_ok", "badwords_ok",
           "c4_keep")
@@ -1135,6 +1211,14 @@ object Round12Queries {
         withPage(Tables.load(spark, sf, "documents")), "page",
         "doc_id", minTokens = 8)
         .select("doc_id", "n_tokens", "n_dropped_tokens", "text_clean")
+    },
+
+    Q.fn("q_quality_pipeline", pipelineOracle) { (spark, sf) =>
+      Curation.qualityPipeline(
+        withPage(Tables.load(spark, sf, "documents")), "page",
+        "doc_id", badWords = Seq("offer"))
+        .select("doc_id", "text_clean", "c4_keep", "gopher_keep",
+          "rep_keep", "keep")
     }
   )
 }

@@ -558,6 +558,56 @@ class CurationSpec extends AnyFunSuite {
       s"target-style docs must outweigh off-style docs: $a vs $b")
   }
 
+  test("qualityPipeline: C4 cleans first, Gopher families judge the " +
+    "cleaned text, keep is the conjunction") {
+    import spark.implicits._
+    // 10 genuinely varied sentences (no shared 5-gram stems — a
+    // templated "good" doc would rightly fail the duplicate-5-gram
+    // rule) with stopwords → passes all three families
+    val good = Seq(
+      "The researchers walked along the shore and recorded every " +
+        "tide with care.",
+      "A quiet library can hold more ideas than any crowded market " +
+        "square.",
+      "Some of the oldest maps show rivers that have long since " +
+        "moved away.",
+      "Bright copper kettles whistled softly while the evening meal " +
+        "was prepared.",
+      "Children often ask questions that the wisest teachers cannot " +
+        "answer quickly.",
+      "The harvest came early this year because the spring rains " +
+        "were generous.",
+      "Engineers tested the bridge for weeks before anyone was " +
+        "allowed to cross.",
+      "Music from the old radio drifted through the open kitchen " +
+        "window.",
+      "Travelers who learn a few local words are welcomed almost " +
+        "everywhere.",
+      "That small bakery on the corner still uses its original " +
+        "stone oven.").mkString("\n")
+    val rows = Seq(
+      (1L, good),
+      // same prose but with boilerplate junk lines C4 must strip
+      // BEFORE the repetition rules run (order matters)
+      (2L, good + "\nshort line\n" +
+        "Please enable JavaScript to view this content now."),
+      (3L, good + "\nLorem ipsum dolor sit amet today."),  // c4 fails
+      (4L, (1 to 10).map(_ =>
+        "The same exact sentence repeats in this document always.")
+        .mkString("\n")))                                  // rep fails
+      .toDF("doc_id", "text")
+    val out = Curation.qualityPipeline(rows, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), out(1L).toString)
+    assert(out(2L).getAs[Boolean]("keep"),
+      "junk lines must be stripped before the repetition verdict")
+    assert(out(2L).getAs[String]("text_clean") == good)
+    assert(!out(3L).getAs[Boolean]("c4_keep") &&
+      !out(3L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("rep_keep") &&
+      !out(4L).getAs[Boolean]("keep"))
+  }
+
   test("perplexityBuckets: per-group terciles, unscoreable docs → tail") {
     import spark.implicits._
     // reference corpus: fluent bigrams "w1 w2 ... w8" style

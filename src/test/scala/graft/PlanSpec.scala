@@ -499,6 +499,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("quality pipeline composes without new shuffles or products") {
+    val p = plan(q("q_quality_pipeline"))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("C4 rules are a narrow per-row map — no exchange, no join") {
     val p = plan(q("q_c4_rules"))
     assert(!p.contains("Exchange"), p.take(1500))

@@ -1,0 +1,129 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Fns._
+
+/** Byte-pair-encoding vocabulary learning and encoding (Sennrich et
+  * al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units") — the tokenizer-training step of a training-data pipeline,
+  * run over the corpus the other operators just curated.
+  *
+  * Merge learning iterates: count adjacent symbol pairs weighted by
+  * word frequency, merge the most frequent pair everywhere, repeat.
+  * The distributed shape keeps the iteration cheap no matter the
+  * corpus size: the corpus is aggregated ONCE into a (word, freq)
+  * table — pair statistics are a function of the word DISTRIBUTION,
+  * not the token stream, so 100 TB of text collapses to the distinct
+  * vocabulary before any iteration starts. Each round is then one
+  * partial-aggregated pair count over that table plus a 1-row driver
+  * collect of the winning pair (the same config-scale driver action as
+  * `Similarity.kmeansCentroids`' per-iteration centroid collect).
+  *
+  * Symbol sequences are carried in a canonical STRING rendering —
+  * every symbol wrapped in single spaces (`"ab c" → " a  b  c "` for
+  * the word "abc") — so one merge application is one literal
+  * `regexp_replace` of `" l  r "` with `" lr "`: replace-all scans
+  * left-to-right over non-overlapping matches, which is EXACTLY BPE's
+  * single-pass greedy merge, and any SQL engine's `replace()` follows
+  * the same contract — the oracle replays training bit-for-bit. Ties
+  * for the most frequent pair break on (count DESC, left, right), so
+  * the learned merge TABLE is deterministic across runs, engines and
+  * partitionings.
+  */
+object Bpe {
+
+  /** The canonical spaced rendering of a word's initial character
+    * symbols: each char wrapped in its own spaces.
+    */
+  private def charRender(word: Column): Column =
+    concat_ws("", transform(split(word, ""),
+      c => concat(lit(" "), c, lit(" "))))
+
+  private def pairPattern(l: String, r: String): String =
+    java.util.regex.Pattern.quote(s" $l  $r ")
+
+  private def pairReplacement(l: String, r: String): String =
+    s" $l$r ".replace("\\", "\\\\").replace("$", "\\$")
+
+  /** Learn `numMerges` BPE merges from the corpus; returns the merge
+    * table (rank, lhs, rhs) in learned order — config-scale output
+    * (`numMerges` rows). The (word, freq) aggregation happens once;
+    * each iteration re-derives pair counts from the current spaced
+    * rendering (a few-thousand-row vocabulary table at any corpus
+    * size — the re-computation of the chained replaces is bounded by
+    * vocabulary size × numMerges, never by the corpus).
+    */
+  def bpeTrain(df: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 256,
+      s"bpeTrain: numMerges must be in [1, 256], got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words0 = df
+      .select(explode(filter(tokens(col(textCol)), t => t =!= ""))
+        .as("__word"))
+      .groupBy(col("__word")).agg(count(lit(1)).as("__freq"))
+      .select(charRender(col("__word")).as("__s"), col("__freq"))
+    val words = CacheLifecycle.pin(words0)
+    var current = words.select(col("__s"), col("__freq"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    (1 to numMerges).foreach { _ =>
+      val sym = filter(split(col("__s"), " "), x => x =!= "")
+      val best = current
+        .select(col("__freq"), explode(
+          when(size(sym) < 2, array().cast("array<struct<l:string,r:string>>"))
+            .otherwise(transform(sequence(lit(0), size(sym) - 2),
+              i => struct(get(sym, i).as("l"), get(sym, i + 1).as("r")))))
+          .as("__p"))
+        .groupBy(col("__p.l").as("__l"), col("__p.r").as("__r"))
+        .agg(sum(col("__freq")).as("__c"))
+        .orderBy(col("__c").desc, col("__l"), col("__r"))
+        .limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val (l, r) = (best.head.getString(0), best.head.getString(1))
+        merges += ((l, r))
+        current = current.withColumn("__s",
+          regexp_replace(col("__s"), pairPattern(l, r),
+            pairReplacement(l, r)))
+      }
+    }
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r) }.toSeq
+      .toDF("rank", "lhs", "rhs")
+  }
+
+  /** Apply a learned merge list to the corpus: every token re-renders
+    * to its spaced character symbols and replays the merges in rank
+    * order (the merge list is config-scale — it folds into one
+    * per-row expression chain, a narrow codegen-free but bounded map;
+    * a trie-based `mapPartitions` encoder is the constant-factor
+    * optimization when `numMerges` reaches real-tokenizer size).
+    * Returns (idCol, n_tokens, n_bpe_pieces): the compression the
+    * learned vocabulary achieves per document.
+    */
+  def bpeEncode(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 256,
+      s"bpeEncode: merge chain too long (${merges.size}); " +
+        "use a trie-based encoder beyond 256 merges")
+    val toks = df.select(col(idCol),
+      explode_outer(filter(tokens(col(textCol)), t => t =!= ""))
+        .as("__word"))
+    val encoded = merges.foldLeft(charRender(col("__word"))) {
+      case (s, (l, r)) =>
+        regexp_replace(s, pairPattern(l, r), pairReplacement(l, r))
+    }
+    toks
+      .select(col(idCol),
+        when(col("__word").isNull, lit(0))
+          .otherwise(lit(1)).as("__one"),
+        when(col("__word").isNull, lit(0))
+          .otherwise(size(filter(split(encoded, " "), x => x =!= "")))
+          .as("__pieces"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__one")).as("n_tokens"),
+        sum(col("__pieces")).as("n_bpe_pieces"))
+  }
+}

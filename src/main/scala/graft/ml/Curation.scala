@@ -304,8 +304,15 @@ object Curation {
   def dedupUrlsAgainstIndex(spark: SparkSession, dir: String,
       newDf: DataFrame, urlCol: String, idCol: String): DataFrame = {
     val idx = spark.read.parquet(s"$dir/urls")
-    val canon = newDf.select(col(idCol),
-      canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    // pinned: canon feeds THREE legs of one plan (the key set, the
+    // first-id aggregate, and the output join), and physical planning
+    // re-inlines the canonicalizeUrl tree into each — with a derived
+    // url column that tripled a multi-second planner+Janino pass per
+    // call (the domainMixFromUrls lesson, SCALING.md round 12). The
+    // cache boundary canonicalizes each batch row once and every leg
+    // sees a plain attribute.
+    val canon = CacheLifecycle.pin(newDf.select(col(idCol),
+      canonicalizeUrl(col(urlCol)).as("canonical_url")))
     val keys = canon.where(col("canonical_url").isNotNull)
       .select("canonical_url").distinct()
     val hits = urlIndexHits(idx, keys)
@@ -339,8 +346,24 @@ object Curation {
       temperature: Double, outputFraction: Double = 1.0,
       salt: String = "mixT", maxDomains: Int = 100000): DataFrame =
     domainMixTemperature(
-      df.withColumn("domain",
-        registrableDomain(extractHost(col(urlCol)))),
+      // PINNED, not inlined: registrableDomain references its host
+      // argument ~10× and extractHost its url 3×, and Column vals are
+      // trees, not bindings — composing them duplicates the whole url
+      // expression into every reference. Staged withColumns don't
+      // survive physical planning either (ScanOperation.trimAliases
+      // re-inlines project chains over a file scan), so BOTH passes of
+      // the mix (the counts aggregate and the per-row filter) paid
+      // planner alias-substitution plus a multi-second Janino compile
+      // of the exploded tree on EVERY job (~20 s/call at sf0.1,
+      // jstack-verified: UnitCompiler + trimAliases dominate). The
+      // cache boundary evaluates the domain exactly once into a
+      // narrow (input ∪ domain) table; downstream plans see a plain
+      // attribute. Two passes over one materialization is also simply
+      // less work than re-deriving domains twice.
+      CacheLifecycle.pin(
+        df.withColumn("__host", extractHost(col(urlCol)))
+          .withColumn("domain", registrableDomain(col("__host")))
+          .drop("__host")),
       idCol, "domain", temperature, outputFraction, salt, maxDomains)
 
   /** Benchmark contamination (the decontamination pass every pretraining
@@ -814,8 +837,14 @@ object Curation {
         "smaller = flatter mix (upsampling, t > 1, is not supported)")
     require(outputFraction > 0 && outputFraction <= 1,
       "outputFraction must be in (0, 1]")
-    val counts = df.where(col(sourceCol).isNotNull)
-      .groupBy(col(sourceCol)).count()
+    // null rows are excluded AFTER the aggregate: an `isNotNull` on a
+    // DERIVED source column (domainMixFromUrls' url → domain) pushes
+    // down into the substituted expression and sends the optimizer's
+    // constraint propagation into a ~10 s/job spiral on the big
+    // url-extraction tree (measured at sf0.1) — filtering the
+    // ≤ maxDomains aggregated frame is free and equivalent
+    val counts = df.groupBy(col(sourceCol)).count()
+      .where(col(sourceCol).isNotNull)
       .limit(maxDomains + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.size <= maxDomains,
@@ -847,7 +876,10 @@ object Curation {
     // domains.
     val thresholds: Map[String, Long] =
       rate.map { case (s, r) => s -> math.round(r * 4294967296.0) }
-    df.where(col(sourceCol).isNotNull &&
+    // no isNotNull here either (same constraint-propagation spiral):
+    // a null source looks up no threshold, coalesces to 0, and h32 ≥ 0
+    // can never be < 0 — null rows drop by arithmetic
+    df.where(
       h32(concat(lit(salt), col(idCol).cast(StringType))) <
         coalesce(element_at(typedLit(thresholds), col(sourceCol)),
           lit(0L)))

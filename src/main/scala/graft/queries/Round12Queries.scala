@@ -852,6 +852,79 @@ object Round12Queries {
           coalesce(r.text_clean, '') AS text_clean
         FROM pages p LEFT JOIN res r USING (doc_id)"""
 
+  /** `Bpe.bpeTrain` replayed step by step: the iterative merge loop
+    * unrolls into one CTE block per merge — pair counts from the
+    * current spaced rendering, the (count DESC, l, r) winner, and the
+    * replace-all merge application whose left-to-right non-overlap
+    * contract is identical in both engines. `bpeSteps` merges.
+    */
+  private val bpeSteps = 6
+
+  private def bpeStepCtes(n: Int): String =
+    (1 to n).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (SELECT pr.l AS l, pr.r AS r, sum(freq) AS c
+              FROM (SELECT freq,
+                      unnest(list_transform(range(1, len(sym)),
+                        j -> {'l': sym[j], 'r': sym[j+1]})) AS pr
+                    FROM (SELECT freq,
+                            list_filter(string_split(s, ' '),
+                              x -> x <> '') AS sym
+                          FROM $prev)
+                    WHERE len(sym) >= 2)
+              GROUP BY 1, 2),
+         b$i AS (SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         w$i AS (SELECT replace($prev.s,
+                    ' '||b$i.l||'  '||b$i.r||' ',
+                    ' '||b$i.l||b$i.r||' ') AS s, freq
+                 FROM $prev CROSS JOIN b$i)"""
+    }.mkString(",\n         ")
+
+  private val bpeBaseCte =
+    """w0 AS (SELECT array_to_string(list_transform(
+               range(1, len(word) + 1), i -> ' '||word[i]||' '), '')
+               AS s,
+             freq
+           FROM (SELECT word, count(*) AS freq FROM
+                  (SELECT unnest(list_filter(
+                     string_split(lower(text), ' '), t -> t <> ''))
+                     AS word
+                   FROM documents)
+                 GROUP BY 1))"""
+
+  private val bpeTrainOracle =
+    s"""WITH $bpeBaseCte,
+         ${bpeStepCtes(bpeSteps)}
+        ${(1 to bpeSteps).map(i =>
+           s"SELECT $i AS rank, l AS lhs, r AS rhs FROM b$i")
+          .mkString("\n        UNION ALL ")}"""
+
+  private val bpeEncodeOracle = {
+    val chain = (1 to bpeSteps).map { i =>
+      s"""e$i AS (SELECT doc_id, replace(e${i - 1}.s,
+              ' '||b$i.l||'  '||b$i.r||' ',
+              ' '||b$i.l||b$i.r||' ') AS s
+            FROM e${i - 1} CROSS JOIN b$i)"""
+    }.mkString(",\n         ")
+    s"""WITH $bpeBaseCte,
+         ${bpeStepCtes(bpeSteps)},
+         e0 AS (SELECT doc_id, array_to_string(list_transform(
+                  range(1, len(word) + 1), i -> ' '||word[i]||' '), '')
+                  AS s
+                FROM (SELECT doc_id, unnest(list_filter(
+                        string_split(lower(text), ' '), t -> t <> ''))
+                        AS word
+                      FROM documents)),
+         $chain,
+         enc AS (SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(len(list_filter(string_split(s, ' '),
+                     x -> x <> ''))) AS BIGINT) AS n_bpe_pieces
+                 FROM e$bpeSteps GROUP BY 1)
+        SELECT d.doc_id, coalesce(enc.n_tokens, 0) AS n_tokens,
+          coalesce(enc.n_bpe_pieces, 0) AS n_bpe_pieces
+        FROM documents d LEFT JOIN enc USING (doc_id)"""
+  }
+
   /** tokens → shingles → MinHash sig → band CTE chain for one side of
     * the near-dedup loop replay, name-prefixed so the chain can run
     * once per side (`src` must expose doc_id, text).
@@ -1219,6 +1292,23 @@ object Round12Queries {
         "doc_id", badWords = Seq("offer"))
         .select("doc_id", "text_clean", "c4_keep", "gopher_keep",
           "rep_keep", "keep")
+    },
+
+    Q.fn("q_bpe_train", bpeTrainOracle) { (spark, sf) =>
+      graft.ml.Bpe.bpeTrain(
+        Tables.load(spark, sf, "documents").select("text"),
+        "text", numMerges = bpeSteps)
+    },
+
+    Q.fn("q_bpe_encode", bpeEncodeOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+        .select("doc_id", "text")
+      val merges = graft.ml.Bpe.bpeTrain(docs, "text",
+        numMerges = bpeSteps)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ml.Bpe.bpeEncode(docs, "text", "doc_id", merges)
     }
   )
 }
+

@@ -499,6 +499,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("bpe encode is per-row merge replay + one id aggregate") {
+    val p = plan(q("q_bpe_encode"))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("quality pipeline composes without new shuffles or products") {
     val p = plan(q("q_quality_pipeline"))
     assert(!p.contains("CartesianProduct"), p.take(1500))

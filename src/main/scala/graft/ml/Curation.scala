@@ -923,8 +923,14 @@ object Curation {
     */
   def qualityPipeline(df: DataFrame, textCol: String, idCol: String,
       badWords: Seq[String] = Seq.empty): DataFrame = {
-    val c4 = TextAnalysis.c4Rules(df, textCol, badWords)
-      .select(col(idCol), col("c4_text"), col("c4_keep"))
+    // pinned: the cleaned text feeds the Gopher rule map AND the
+    // repetition stage's several exploded legs — physical planning
+    // would re-inline the C4 line-filter HOFs into each leg
+    // (ScanOperation.trimAliases, the domainMixFromUrls lesson), so
+    // the cache boundary cleans each page exactly once
+    val c4 = CacheLifecycle.pin(
+      TextAnalysis.c4Rules(df, textCol, badWords)
+        .select(col(idCol), col("c4_text"), col("c4_keep")))
     val g = TextAnalysis.gopherRules(c4, "c4_text")
       .select(col(idCol), col("c4_text"), col("c4_keep"),
         col("gopher_keep"))

@@ -1261,9 +1261,13 @@ object Round12Queries {
     },
 
     Q.fn("q_tfidf_ann", tfidfAnnOracle) { (spark, sf) =>
-      val vecs = graft.ml.TextAnalysis.tfidfVectors(
-        Tables.load(spark, sf, "documents").select("doc_id", "text"),
-        "text", "doc_id", dim = 256)
+      // pinned: the vector frame feeds the corpus leg, the query leg
+      // AND bruteForceTopK's two guard count-probes — unpinned, the
+      // whole explode+aggregate featurization re-ran four times
+      val vecs = graft.ml.CacheLifecycle.pin(
+        graft.ml.TextAnalysis.tfidfVectors(
+          Tables.load(spark, sf, "documents").select("doc_id", "text"),
+          "text", "doc_id", dim = 256))
       graft.ml.Similarity.bruteForceTopK(vecs,
         vecs.where(col("doc_id") < 10), "emb", "doc_id", k = 5)
     },

@@ -945,6 +945,47 @@ object Curation {
         col("keep"))
   }
 
+  /** Per-domain quality dashboard — the crawl-ops view that decides
+    * which domains to keep crawling: for each registrable domain, the
+    * document count and how many pass the Gopher quality rule set
+    * ([[TextAnalysis.gopherRules]] over `textCol`). Rows with no
+    * parseable host aggregate under a null domain (they count — junk
+    * provenance is a signal). Narrow per-row maps (url → domain, the
+    * rule verdicts) into ONE partial-aggregated hash aggregate; no
+    * join, no window.
+    */
+  def domainQualityStats(df: DataFrame, urlCol: String,
+      textCol: String): DataFrame =
+    TextAnalysis.gopherRules(df, textCol)
+      .withColumn("__host", extractHost(col(urlCol)))
+      .withColumn("domain", registrableDomain(col("__host")))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("gopher_keep"), 1L).otherwise(0L))
+          .as("gopher_kept"))
+
+  /** Document-length histogram in power-of-two buckets: bucket =
+    * ⌊log₂ tokens⌋ computed EXACTLY as `length(bin(n)) − 1` (binary
+    * digit count — no floating log, so every engine buckets powers of
+    * two identically). Returns (bucket, n_docs, n_tokens) — the
+    * length-distribution report that sizes packing windows and
+    * truncation budgets. Zero-token docs land in bucket −1. One
+    * partial-aggregated hash aggregate over a per-row map.
+    */
+  def tokenHistogram(df: DataFrame, textCol: String): DataFrame = {
+    // explicit null branch: under legacy sizeOfNull, size(null) is -1,
+    // which would poison the token sum
+    val n = when(col(textCol).isNull, lit(0))
+      .otherwise(size(filter(tokens(col(textCol)), t => t =!= "")))
+    df.select(n.as("__n"))
+      .select(when(col("__n") <= 0, lit(-1))
+        .otherwise(length(bin(col("__n"))) - 1).as("bucket"),
+        col("__n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).cast(LongType).as("n_tokens"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data"): score every document under a reference LM

@@ -925,6 +925,34 @@ object Round12Queries {
         FROM documents d LEFT JOIN enc USING (doc_id)"""
   }
 
+  /** `Curation.domainQualityStats` replayed: the url→domain chain and
+    * the Gopher keep chain over the SAME fixture rows, one aggregate.
+    * Null domains group too — junk provenance is a dashboard signal.
+    */
+  private val domainQualityOracle =
+    s"""WITH $urlCte,
+         ${gopherKeepChain("urls", "text", "dq_")},
+         dom AS (SELECT doc_id, ${domainSql("host")} AS domain
+                 FROM (SELECT doc_id, ${hostSql("url")} AS host
+                       FROM urls))
+        SELECT d.domain, count(*) AS docs,
+          CAST(sum(CASE WHEN gk.gopher_keep THEN 1 ELSE 0 END)
+            AS BIGINT) AS gopher_kept
+        FROM dom d JOIN dq_gk gk USING (doc_id) GROUP BY 1"""
+
+  /** `Curation.tokenHistogram` replayed: the exact binary-digit-count
+    * bucket (`len(bin(n)) - 1` — no floating log anywhere, so powers
+    * of two bucket identically in every engine).
+    */
+  private val tokenHistOracle =
+    """WITH t AS (SELECT coalesce(len(list_filter(
+             string_split(lower(text), ' '), x -> x <> '')), 0) AS n
+           FROM documents)
+       SELECT CASE WHEN n <= 0 THEN -1 ELSE len(bin(n)) - 1 END
+                AS bucket,
+         count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+       FROM t GROUP BY 1"""
+
   /** tokens → shingles → MinHash sig → band CTE chain for one side of
     * the near-dedup loop replay, name-prefixed so the chain can run
     * once per side (`src` must expose doc_id, text).
@@ -1312,6 +1340,16 @@ object Round12Queries {
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.ml.Bpe.bpeEncode(docs, "text", "doc_id", merges)
+    },
+
+    Q.fn("q_domain_quality", domainQualityOracle) { (spark, sf) =>
+      Curation.domainQualityStats(
+        withUrl(Tables.load(spark, sf, "documents")), "url", "text")
+    },
+
+    Q.fn("q_token_histogram", tokenHistOracle) { (spark, sf) =>
+      Curation.tokenHistogram(
+        Tables.load(spark, sf, "documents"), "text")
     }
   )
 }

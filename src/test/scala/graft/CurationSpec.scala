@@ -558,6 +558,50 @@ class CurationSpec extends AnyFunSuite {
       s"target-style docs must outweigh off-style docs: $a vs $b")
   }
 
+  test("domainQualityStats: per-domain doc and keep counts, null " +
+    "domain groups too") {
+    import spark.implicits._
+    val good = ("the quick brown fox jumps over the lazy dog and " +
+      "that sentence repeats with fresh words every time so the " +
+      "fifty word floor is cleared by ") + (1 to 30)
+      .map(i => s"word$i").mkString(" ")
+    val rows = Seq(
+      (1L, "https://a.example.com/x", good),
+      (2L, "https://b.example.com/y", good),
+      (3L, "https://a.example.com/z", "too short"),
+      (4L, "https://shop.site.co.uk/p", good),
+      (5L, "not a url at all", good))
+      .toDF("doc_id", "url", "text")
+    val out = Curation.domainQualityStats(rows, "url", "text")
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(Some("example.com")) == ((3L, 2L)), out.toString)
+    assert(out(Some("site.co.uk")) == ((1L, 1L)))
+    assert(out(None) == ((1L, 1L)),
+      "unparseable urls aggregate under the null domain")
+  }
+
+  test("tokenHistogram: exact power-of-two buckets, zero docs at -1") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, "one"),
+      (4L, "one two"),
+      (5L, "one two three"),
+      (6L, "a b c d"),
+      (7L, (1 to 8).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.tokenHistogram(rows, "text").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(-1) == ((2L, 0L)), out.toString)   // null + empty
+    assert(out(0) == ((1L, 1L)))                  // 1 token
+    assert(out(1) == ((2L, 5L)))                  // 2 and 3 tokens
+    assert(out(2) == ((1L, 4L)))                  // exactly 4 → bucket 2
+    assert(out(3) == ((1L, 8L)))                  // exactly 8 → bucket 3
+  }
+
   test("qualityPipeline: C4 cleans first, Gopher families judge the " +
     "cleaned text, keep is the conjunction") {
     import spark.implicits._

@@ -499,6 +499,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("domain quality stats and token histogram are map + aggregate") {
+    Seq("q_domain_quality", "q_token_histogram").foreach { name =>
+      val p = plan(q(name))
+      assert(p.contains("HashAggregate"), name + "\n" + p.take(1200))
+      assert(!p.contains("Join"), name + "\n" + p.take(1200))
+      assert(!p.contains("Window"), name + "\n" + p.take(1200))
+    }
+  }
+
   test("bpe encode is per-row merge replay + one id aggregate") {
     val p = plan(q("q_bpe_encode"))
     assert(p.contains("HashAggregate"), p.take(1500))

@@ -46,6 +46,42 @@ object Dedup {
         array((0 until p).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
+  /** The outcome of [[tuneLsh]]: band layout a caller feeds straight
+    * into `lshCandidates`/`minhash` (`bands × rows` permutations),
+    * plus the integrated S-curve error that justified it.
+    */
+  final case class LshTuning(bands: Int, rows: Int, error: Double)
+
+  /** Data-independent (bands, rows) selection for a target Jaccard
+    * threshold — `tuneIvf`'s companion on the MinHash side: a user
+    * should not hand-pick the band layout either. The candidate
+    * probability of a pair at similarity s under b bands of r rows is
+    * the S-curve P(s) = 1 − (1 − sʳ)ᵇ; the chosen layout minimizes
+    * the usual integrated error — false-positive mass below the
+    * threshold plus false-negative mass above it — over all layouts
+    * with b·r ≤ p, by 1000-point midpoint quadrature. Pure driver
+    * math over ≤ p·ln p candidates: deterministic, no data touched,
+    * no job.
+    */
+  def tuneLsh(threshold: Double, p: Int = 12): LshTuning = {
+    require(threshold > 0 && threshold < 1,
+      s"tuneLsh: threshold must be in (0, 1), got $threshold")
+    require(p >= 1, s"tuneLsh: p must be >= 1, got $p")
+    val n = 1000
+    val best = (for {
+      r <- 1 to p
+      b <- 1 to p / r
+    } yield {
+      val err = (0 until n).map { i =>
+        val s = (i + 0.5) / n
+        val pr = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < threshold) pr else 1.0 - pr
+      }.sum / n
+      LshTuning(b, r, err)
+    }).minBy(t => (t.error, t.bands * t.rows, t.rows))
+    best
+  }
+
   /** LSH candidate pairs: documents sharing at least one band bucket.
     * Equi-join on the band key — the scalable plan (shuffle by band key;
     * bucket sizes bound the quadratic blow-up).

@@ -498,6 +498,31 @@ class DedupSpec extends AnyFunSuite {
       "docs shorter than the window have no windows to match")
   }
 
+  test("tuneLsh: budget respected, threshold steers rows, deterministic") {
+    val lo = Dedup.tuneLsh(0.2, p = 12)
+    val hi = Dedup.tuneLsh(0.8, p = 12)
+    Seq(lo, hi).foreach { t =>
+      assert(t.bands >= 1 && t.rows >= 1 && t.bands * t.rows <= 12,
+        t.toString)
+      assert(t.error > 0 && t.error < 0.5, t.toString)
+    }
+    // a low threshold wants a shallow curve (few rows, many bands);
+    // a high threshold wants a steep one (more rows per band)
+    assert(lo.rows < hi.rows, s"$lo vs $hi")
+    assert(Dedup.tuneLsh(0.5, p = 12) == Dedup.tuneLsh(0.5, p = 12))
+    // the default engine layout (4 bands x 3 rows) must never beat the
+    // tuned pick at its own threshold
+    val default = {
+      val n = 1000
+      (0 until n).map { i =>
+        val s = (i + 0.5) / n
+        val pr = 1.0 - math.pow(1.0 - math.pow(s, 3), 4)
+        if (s < 0.5) pr else 1.0 - pr
+      }.sum / n
+    }
+    assert(Dedup.tuneLsh(0.5, p = 12).error <= default + 1e-12)
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

@@ -1,0 +1,156 @@
+package graft.ml
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Fns._
+
+/** A learned quality classifier over hashed bag-of-words features — the
+  * curation step the heuristic filters (Gopher/C4 rules, stopword ratios)
+  * cannot replace: train a linear model on a labeled seed set (curated
+  * positives vs crawl negatives, the GPT-3/CCNet recipe) and score the
+  * whole corpus with it.
+  *
+  * The model is logistic-style regression over `buckets` hashed binary
+  * token features, trained by full-batch gradient steps. Every quantity
+  * that crosses an aggregation is FIXED-POINT (weights 1e-12 quanta,
+  * per-doc gradient contributions 1e-9 quanta), so training is
+  * partition-order-independent and replays bit-for-bit in the DuckDB
+  * oracle. The link is the "fast sigmoid" p = 0.5 + 0.5·(m / (1 + |m|)) —
+  * rational IEEE ops only, because `exp` differs across libm
+  * implementations by an ulp, which a multi-step training loop would
+  * amplify across engines. It has the same fixed point (p = y on a
+  * separable margin) and the (p − y) full-batch update is the standard
+  * surrogate gradient.
+  *
+  * 100 TB shape: the model is `buckets + 1` longs — constant-size, a
+  * broadcast literal map, never a shuffled frame (the DSIR design). Per
+  * step the corpus-sized work is: one per-doc partial aggregate over the
+  * pinned (doc, bucket) feature frame, one co-partitioned join back on
+  * the doc id, one `buckets`-row gradient aggregate. Driver traffic per
+  * step is exactly `buckets + 1` longs.
+  */
+object Classifier {
+
+  /** Fixed-point scale of the weights/bias (1e-12 quanta). */
+  val WeightScale = 1e12
+
+  /** Fixed-point scale of per-doc gradient contributions (1e-9 quanta). */
+  val GradScale = 1e9
+
+  /** Learned model: `weights(b)` is the 1e12-scaled weight of hashed
+    * bucket `b`; `bias` likewise. Constant-size (buckets + 1 longs) —
+    * ships to executors as a literal map, independent of corpus size.
+    */
+  final case class QualityModel(weights: Array[Long], bias: Long,
+      buckets: Int) {
+    require(weights.length == buckets, "weights.length must equal buckets")
+  }
+
+  /** Deterministic squashing link: p = 0.5 + 0.5·(m / (1 + |m|)).
+    * Division/abs/add/multiply are exactly specified by IEEE-754, so the
+    * value is bit-identical in any engine — unlike exp-based sigmoid.
+    */
+  def fastSigmoid(m: Column): Column =
+    lit(0.5) + lit(0.5) * (m / (lit(1.0) + abs(m)))
+
+  /** Distinct (id, bucket) binary features: bucket = h32(token) mod
+    * `buckets`. One explode + one distinct (partial-aggregated shuffle on
+    * the pair) — linear in token volume.
+    */
+  def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
+      buckets: Int): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), (h32(col("__tok")) % buckets).cast("int").as("bucket"))
+      .distinct()
+
+  /** round-half-away-from-zero on the EXACT binary value of `d` — the
+    * same ties rule as Spark's `round(col, 0)` and DuckDB's `round`, so
+    * the driver-side weight updates replay identically in the oracle.
+    */
+  private def roundAway(d: Double): Long =
+    new JBigDecimal(d).setScale(0, RoundingMode.HALF_UP).longValueExact
+
+  /** Train by `steps` full-batch gradient steps at learning rate `lr`
+    * from zero weights. `labelCol` must be 0/1. Per step: margins are an
+    * exact integer sum of the literal-map weights over each doc's
+    * buckets, p the fast-sigmoid link, and the gradient the integer sum
+    * of round((p − y)·1e9) per bucket; the update subtracts
+    * round(lr·1000·g / n) from each 1e12-scaled weight. The ONLY driver
+    * collects are the `buckets`-row gradient frame and the bias sum —
+    * bounded by construction (`buckets` ≤ 4096 enforced).
+    */
+  def train(df: DataFrame, textCol: String, labelCol: String,
+      idCol: String, buckets: Int = 64, steps: Int = 3,
+      lr: Double = 0.5): QualityModel = {
+    require(buckets >= 1 && buckets <= 4096,
+      s"train: buckets must be in [1, 4096], got $buckets")
+    require(steps >= 1, s"train: steps must be >= 1, got $steps")
+    require(lr > 0, s"train: lr must be > 0, got $lr")
+    val feats = CacheLifecycle.pin(
+      hashedFeatures(df, textCol, idCol, buckets))
+    val labels = CacheLifecycle.pin(
+      df.select(col(idCol), col(labelCol).cast("int").as("__y")))
+    val n = labels.count()
+    require(n > 0, "train: empty training set")
+    // bucket -1 = the bias "feature" (present on every doc): ONE join +
+    // ONE aggregate + ONE collect per step covers all buckets and the bias
+    val withBias = CacheLifecycle.pin(
+      feats.select(col(idCol), col("bucket"))
+        .union(labels.select(col(idCol), lit(-1).cast("int").as("bucket"))))
+    val w = Array.fill(buckets)(0L)
+    var bias = 0L
+    (0 until steps).foreach { _ =>
+      val contrib = contributions(feats, labels, idCol,
+        QualityModel(w.clone(), bias, buckets))
+      val grads = withBias.join(contrib, idCol)
+        .groupBy("bucket").agg(sum(col("__c")).as("__g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def delta(g: Long): Long = roundAway(g * (lr * 1000.0) / n)
+      (0 until buckets).foreach { b =>
+        w(b) -= delta(grads.getOrElse(b, 0L))
+      }
+      bias -= delta(grads.getOrElse(-1, 0L))
+    }
+    QualityModel(w, bias, buckets)
+  }
+
+  /** Per-doc 1e9-scaled (p − y) — the shared core of the gradient pass. */
+  private def contributions(feats: DataFrame, labels: DataFrame,
+      idCol: String, model: QualityModel): DataFrame =
+    labels.join(marginInt(feats, idCol, model), Seq(idCol), "left")
+      .withColumn("__p", fastSigmoid(marginOf(col("__mi"), model)))
+      .withColumn("__c",
+        round((col("__p") - col("__y")) * lit(GradScale), 0).cast("long"))
+      .select(col(idCol), col("__c"))
+
+  /** Exact integer margin per doc: sum of the literal-map weights over
+    * the doc's buckets (partial-aggregated; O(1) map probe per row).
+    */
+  private def marginInt(feats: DataFrame, idCol: String,
+      model: QualityModel): DataFrame = {
+    val wmap = typedLit(
+      model.weights.zipWithIndex.map { case (v, i) => i -> v }.toMap)
+    feats.select(col(idCol), element_at(wmap, col("bucket")).as("__w"))
+      .groupBy(idCol).agg(sum(col("__w")).as("__mi"))
+  }
+
+  private def marginOf(mi: Column, model: QualityModel): Column =
+    (coalesce(mi, lit(0L)) + lit(model.bias)).cast("double") /
+      lit(WeightScale)
+
+  /** Score a corpus with a trained model: (idCol, score, pred) where
+    * score = round(p, 6) and pred = p ≥ 0.5. One feature pass + one
+    * per-doc aggregate; the model is a broadcast literal.
+    */
+  def score(df: DataFrame, textCol: String, idCol: String,
+      model: QualityModel): DataFrame = {
+    val feats = hashedFeatures(df, textCol, idCol, model.buckets)
+    df.select(col(idCol))
+      .join(marginInt(feats, idCol, model), Seq(idCol), "left")
+      .withColumn("__p", fastSigmoid(marginOf(col("__mi"), model)))
+      .select(col(idCol), round(col("__p"), 6).as("score"),
+        (col("__p") >= 0.5).as("pred"))
+  }
+}

@@ -97,8 +97,27 @@ object Dedup {
     */
   def lshCandidates(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, p: Int = 12, bands: Int = 4,
+      maxBandFreq: Option[Int] = None): DataFrame =
+    lshCandidatesLayout(df, textCol, idCol, k, bands, p / bands, maxBandFreq)
+
+  /** LSH candidate pairs under a [[tuneLsh]]-selected band layout: the
+    * caller states the Jaccard threshold they care about and the S-curve
+    * picks (bands, rows) — only `bands × rows` permutations are computed
+    * (the tuning may use fewer than the `p` budget when that minimizes
+    * the integrated error). Same plan shape as `lshCandidates`: band-key
+    * equi-join, never a product.
+    */
+  def lshCandidatesTuned(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, k: Int = 3, p: Int = 12,
       maxBandFreq: Option[Int] = None): DataFrame = {
-    val r = p / bands
+    val t = tuneLsh(threshold, p)
+    lshCandidatesLayout(df, textCol, idCol, k, t.bands, t.rows, maxBandFreq)
+  }
+
+  private def lshCandidatesLayout(df: DataFrame, textCol: String,
+      idCol: String, k: Int, bands: Int, r: Int,
+      maxBandFreq: Option[Int]): DataFrame = {
+    val p = bands * r
     // materialize the (id, band) table once: the self-join would otherwise
     // recompute every signature for both sides
     val withBands0 = minhash(df, textCol, idCol, k, p)

@@ -223,6 +223,58 @@ object Similarity {
         .select(col(idCol), col("cell"), col("v"))
   }
 
+  /** Prototypicality of each vector — its rounded cosine to its OWN cell
+    * centroid (Sorscher et al., "Beyond neural scaling laws": a point
+    * deep inside a cluster is prototypical/redundant; a point near the
+    * boundary is informative). Returns (idCol, cell, proto). Plan: the
+    * assignment's broadcast crossJoin + per-id partial min_by, then one
+    * broadcast join back to the nlist-row centroid frame — no shuffle of
+    * the corpus beyond the assignment's single per-id aggregate.
+    */
+  def prototypicality(corpus: DataFrame, centroids: DataFrame,
+      embCol: String, idCol: String): DataFrame = {
+    val c = normalized(centroids, embCol, idCol, "vcent")
+      .withColumnRenamed(idCol, "cell")
+    assignCells(corpus, centroids, embCol, idCol)
+      .join(broadcast(c), "cell")
+      .select(col(idCol), col("cell"), ndot6(col("v"), col("vcent")).as("proto"))
+  }
+
+  /** SSL-prototypes data pruning: per cell, KEEP the `keepFraction`
+    * LEAST prototypical vectors (ties to the lowest id) and mark the
+    * prototypical core for removal — the Sorscher et al. rule that beat
+    * random pruning and per-example loss at scale. Returns
+    * (idCol, cell, proto, keep).
+    *
+    * Plan: prototypicality (one per-id aggregate), then a per-cell
+    * rank — a sort-based window partitioned BY CELL, so the corpus
+    * shuffles once on cell and each cell sorts (externally, spilling)
+    * in parallel; the per-cell quota is a broadcast nlist-row count
+    * join, not a second window. At extreme per-cell cardinality the
+    * two-pass histogram-threshold form (bounded per-cell score
+    * histogram → per-cell cutoff → narrow filter) replaces the rank at
+    * the cost of quota exactness at the cutoff score; the window form
+    * is exact, which is what the oracle checks.
+    */
+  def prunePrototypes(corpus: DataFrame, centroids: DataFrame,
+      embCol: String, idCol: String, keepFraction: Double): DataFrame = {
+    require(keepFraction >= 0 && keepFraction <= 1,
+      s"prunePrototypes: keepFraction must be in [0, 1], got $keepFraction")
+    // two consumers (quota aggregate + rank window) — pin so the
+    // assignment crossJoin runs once
+    val proto = CacheLifecycle.pin(
+      prototypicality(corpus, centroids, embCol, idCol))
+    val quota = proto.groupBy("cell")
+      .agg(ceil(count(lit(1)) * lit(keepFraction)).as("__quota"))
+    val rn = row_number().over(
+      Window.partitionBy(col("cell"))
+        .orderBy(col("proto").asc, col(idCol).asc))
+    proto.withColumn("__rn", rn)
+      .join(broadcast(quota), "cell")
+      .select(col(idCol), col("cell"), col("proto"),
+        (col("__rn") <= col("__quota")).as("keep"))
+  }
+
   /** Deterministic batched farthest-first seeding (the k-means++ idea in
     * k-means‖-style rounds, so it's O(rounds) broadcast passes instead of
     * O(nlist) sequential ones): start from the lowest-id vector; each

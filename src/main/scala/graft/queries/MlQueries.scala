@@ -323,6 +323,25 @@ object MlQueries {
         threshold = 0.35, centroids = cents)
     },
 
+    // -- SSL-prototypes pruning over the trained codebook: per-cell keep
+    // the LEAST prototypical half (cos to own centroid asc, ties to the
+    // lowest id) — Sorscher et al.'s data-pruning rule
+    Q.fn("q_prototype_prune",
+      s"""WITH $kmeansCellsCte,
+               pr AS (SELECT c.vec_id, c.cell,
+                             ${cosSql("c.e", "cn2.vcent")} AS proto
+                      FROM cells c JOIN cn2 USING (cell)),
+               q AS (SELECT cell, ceil(count(*) * 0.5) AS quota
+                     FROM pr GROUP BY 1),
+               r AS (SELECT pr.*, row_number() OVER (PARTITION BY cell
+                       ORDER BY proto ASC, vec_id ASC) AS rn FROM pr)
+          SELECT r.vec_id, r.cell, r.proto, (rn <= quota) AS keep
+          FROM r JOIN q USING (cell)""") { (spark, sf) =>
+      val (corpus, cents) = trainedCodebook(spark, sf)
+      Similarity.prunePrototypes(corpus, cents, "embedding", "vec_id",
+        keepFraction = 0.5)
+    },
+
     // -- recall@3 of the trained-codebook IVF against exact brute force,
     // per query — the quality metric for the ANN scale path
     Q.fn("q_knn_recall",

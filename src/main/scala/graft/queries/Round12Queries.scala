@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ml.{Curation, Dedup, Multimodal}
+import graft.ml.{Classifier, Curation, Dedup, Multimodal}
 
 /** Round-12 driver-gate queries: the Public Suffix List as broadcast
   * DATA, the persisted canonical-url index (crawl-incremental URL
@@ -1350,7 +1350,147 @@ object Round12Queries {
     Q.fn("q_token_histogram", tokenHistOracle) { (spark, sf) =>
       Curation.tokenHistogram(
         Tables.load(spark, sf, "documents"), "text")
+    },
+
+    Q.fn("q_lsh_tuned", lshTunedOracle) { (spark, sf) =>
+      Dedup.lshCandidatesTuned(Tables.load(spark, sf, "documents"),
+        "text", "doc_id", threshold = LshThreshold)
+    },
+
+    Q.fn("q_quality_clf_model", clfModelOracle) { (spark, sf) =>
+      val m = trainClf(spark, sf)
+      import spark.implicits._
+      (m.weights.zipWithIndex.map { case (w, b) => (b, w) }.toSeq :+
+        ((-1, m.bias))).toDF("bucket", "weight")
+    },
+
+    Q.fn("q_quality_clf", clfScoreOracle) { (spark, sf) =>
+      Classifier.score(Tables.load(spark, sf, "documents"),
+        "text", "doc_id", trainClf(spark, sf))
     }
   )
+
+  /** `tuneLsh`'s pick for the tuned-LSH gate query — computed once at
+    * registry build (pure deterministic driver math) and INLINED into the
+    * oracle SQL, so the gate checks the tuning itself: a different
+    * (bands, rows) choice changes the band keys and the pair set.
+    */
+  private lazy val LshThreshold = 0.75
+  private lazy val lshTuning = Dedup.tuneLsh(LshThreshold)
+
+  private lazy val lshTunedOracle = {
+    val b = lshTuning.bands
+    val r = lshTuning.rows
+    val mhSql =
+      s"""list_transform(range(0,${b * r}), i ->
+            list_min(list_transform(sh, s ->
+              ((1+2*i)*${MlQueries.h32("s")} + 7919*i) % 4294967311)))"""
+    val bandsSql =
+      s"""list_transform(range(0,$b), bb -> bb::VARCHAR || ':' || ${(0 until r)
+          .map(j => s"sig[$r*bb+${j + 1}]::VARCHAR")
+          .mkString(" || ',' || ")})"""
+    s"""WITH tok AS (SELECT doc_id, ${MlQueries.toksSql} AS t FROM documents),
+         s AS (SELECT doc_id, ${MlQueries.shinglesSql} AS sh FROM tok),
+         sigs AS (SELECT doc_id, $mhSql AS sig FROM s),
+         bands AS (SELECT doc_id, unnest($bandsSql) AS band FROM sigs)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING(band)
+        WHERE a.doc_id < b.doc_id"""
+  }
+
+  /** Quality-classifier fixture: distant-supervision seed labels —
+    * positive iff the doc mentions the seed token "line" (≈73 % of the
+    * doc_id < 300 training slice; the synthetic corpus has a single
+    * 31-word vocabulary shared by every lang/source, so no OTHER
+    * doc-level column is recoverable from bag-of-words). 16 steps at
+    * lr 4.0 fully separate the seed rule (train accuracy 1.0) — the
+    * smoke proof that the gradient loop actually learns, not just runs.
+    */
+  private def trainClf(spark: SparkSession, sf: String) =
+    Classifier.train(
+      Tables.load(spark, sf, "documents").where(col("doc_id") < 300)
+        .withColumn("__y",
+          array_contains(split(lower(col("text")), " "), "line")
+            .cast("int")),
+      "text", "__y", "doc_id", buckets = ClfBuckets, steps = ClfSteps,
+      lr = 4.0)
+
+  private lazy val ClfBuckets = 64
+  private lazy val ClfLrK = "4000.0"
+  private lazy val ClfSteps = 16
+
+  /** The training loop UNROLLED as chained CTEs, one (w_k, bias_k) pair
+    * per gradient step — every arithmetic step mirrors
+    * `Classifier.train` exactly (fixed-point sums, fast-sigmoid link,
+    * round-half-away updates; lr·1000 inlined as a literal), so the oracle re-derives
+    * the same weights DuckDB-side rather than trusting the engine's.
+    */
+  private lazy val clfTrainCtes = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""tr AS MATERIALIZED (SELECT doc_id,
+                        CASE WHEN list_contains(string_split(lower(text), ' '),
+                                                'line')
+                             THEN 1 ELSE 0 END AS y
+                 FROM documents WHERE doc_id < 300),
+          tok AS (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS tk
+                  FROM documents WHERE doc_id < 300),
+          f AS MATERIALIZED (SELECT DISTINCT doc_id,
+                       ${MlQueries.h32("tk")} % $ClfBuckets AS b FROM tok),
+          nn AS MATERIALIZED (SELECT count(*) AS n FROM tr),
+          w0 AS MATERIALIZED (SELECT range AS b, 0::BIGINT AS w FROM range($ClfBuckets)),
+          bias0 AS MATERIALIZED (SELECT 0::BIGINT AS bv)"""
+    (1 to ClfSteps).foreach { k =>
+      val pw = s"w${k - 1}"
+      val pb = s"bias${k - 1}"
+      sb ++=
+        s""",
+          mi$k AS MATERIALIZED (SELECT f.doc_id, sum(w.w) AS mi
+                   FROM f JOIN $pw w USING (b) GROUP BY 1),
+          p$k AS MATERIALIZED (SELECT doc_id, y, 0.5 + 0.5 * (m / (1.0 + abs(m))) AS p
+                  FROM (SELECT t.doc_id, t.y,
+                               CAST(COALESCE(mi.mi, 0) +
+                                    (SELECT bv FROM $pb) AS DOUBLE)
+                                 / 1000000000000.0 AS m
+                        FROM tr t LEFT JOIN mi$k mi USING (doc_id))),
+          c$k AS MATERIALIZED (SELECT doc_id,
+                         CAST(round((p - y) * 1000000000.0) AS BIGINT) AS c
+                  FROM p$k),
+          g$k AS MATERIALIZED (SELECT f.b, sum(c.c) AS g
+                  FROM f JOIN c$k c USING (doc_id) GROUP BY 1),
+          w$k AS MATERIALIZED (SELECT w.b, w.w - CAST(round(COALESCE(g.g, 0) * $ClfLrK
+                           / (SELECT n FROM nn)) AS BIGINT) AS w
+                  FROM $pw w LEFT JOIN g$k g USING (b)),
+          bias$k AS MATERIALIZED (SELECT (SELECT bv FROM $pb) -
+                            CAST(round((SELECT sum(c) FROM c$k) * $ClfLrK
+                              / (SELECT n FROM nn)) AS BIGINT) AS bv)"""
+    }
+    sb.toString
+  }
+
+  private lazy val clfModelOracle =
+    s"""WITH $clfTrainCtes
+        SELECT CAST(b AS INT) AS bucket, w AS weight FROM w$ClfSteps
+        UNION ALL
+        SELECT CAST(-1 AS INT), (SELECT bv FROM bias$ClfSteps)"""
+
+  private lazy val clfScoreOracle =
+    s"""WITH $clfTrainCtes,
+         tokall AS (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS tk
+                    FROM documents),
+         fall AS MATERIALIZED (SELECT DISTINCT doc_id,
+                         ${MlQueries.h32("tk")} % $ClfBuckets AS b
+                  FROM tokall),
+         miall AS (SELECT fall.doc_id, sum(w.w) AS mi
+                   FROM fall JOIN w$ClfSteps w USING (b) GROUP BY 1),
+         pall AS (SELECT doc_id, 0.5 + 0.5 * (m / (1.0 + abs(m))) AS p
+                  FROM (SELECT d.doc_id,
+                               CAST(COALESCE(mi.mi, 0) +
+                                    (SELECT bv FROM bias$ClfSteps) AS DOUBLE)
+                                 / 1000000000000.0 AS m
+                        FROM documents d LEFT JOIN miall mi USING (doc_id)))
+        SELECT doc_id, round(p, 6) AS score, p >= 0.5 AS pred FROM pall"""
 }
 

@@ -523,6 +523,26 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.tuneLsh(0.5, p = 12).error <= default + 1e-12)
   }
 
+  test("lshCandidatesTuned applies exactly the tuned layout") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val t = Dedup.tuneLsh(0.75)
+    assert(t.bands * t.rows <= 12)
+    val tuned = Dedup.lshCandidatesTuned(docs, "text", "doc_id", 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the tuned call must equal the explicit-layout call with tuneLsh's
+    // own picks (p chosen so lshCandidates derives the same rows/band)
+    val explicit = Dedup.lshCandidates(docs, "text", "doc_id",
+        p = t.bands * t.rows, bands = t.bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tuned == explicit)
+    assert(tuned.contains((1L, 4L)), "exact dups always collide")
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

@@ -549,6 +549,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("classifier scoring is literal-map margins — no weight join") {
+    val p = plan(q("q_quality_clf"))
+    // the model ships as a broadcast literal map probed per row: the
+    // only joins are the per-doc margin equi-join, and there is no
+    // window, no product, and no weights-frame shuffle
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("prototype pruning: one per-cell window, centroid joins broadcast") {
+    val p = plan(q("q_prototype_prune"))
+    // the rank is the one intended window (partitioned BY CELL — sorts
+    // run cell-parallel and spill); the nlist-row centroid and quota
+    // frames must broadcast, and nothing may funnel to one partition
+    // except the bounded quota aggregate
+    assert(p.contains("Window"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

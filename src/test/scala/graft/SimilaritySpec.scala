@@ -392,6 +392,32 @@ class SimilaritySpec extends AnyFunSuite {
         "centroids and cells parquet writes have materialized it")
   }
 
+  test("prunePrototypes keeps the least-prototypical per-cell half") {
+    import spark.implicits._
+    // two orthogonal clusters with explicit centroids; prototypicality =
+    // cosine to OWN centroid, so the keep set is the boundary half
+    val cents = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)), // cell 0, most prototypical
+      (11L, Seq(0.9f, 0.1f)),
+      (12L, Seq(0.8f, 0.2f)),
+      (13L, Seq(0.6f, 0.4f)), // cell 0, least prototypical
+      (20L, Seq(0.0f, 1.0f)), // cell 1, most prototypical
+      (21L, Seq(0.1f, 0.9f)),
+      (22L, Seq(0.3f, 0.7f))  // cell 1, least prototypical (odd-size cell)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .prunePrototypes(corpus, cents, "embedding", "vec_id", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.size == 7, "every vector gets a verdict")
+    // cell 0: quota ceil(4*0.5)=2 → keep the two least prototypical
+    assert(out(13L) && out(12L) && !out(11L) && !out(10L))
+    // cell 1: quota ceil(3*0.5)=2 → keep 22 and 21, prune the centroid hit
+    assert(out(22L) && out(21L) && !out(20L))
+  }
+
   test("q_knn_ivf_persisted builds its index once per source dir") {
     val q = SparkEntry.queries("q_knn_ivf_persisted")
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))

@@ -88,17 +88,23 @@ object Classifier {
       s"train: buckets must be in [1, 4096], got $buckets")
     require(steps >= 1, s"train: steps must be >= 1, got $steps")
     require(lr > 0, s"train: lr must be > 0, got $lr")
+    // co-partition everything by the doc id at pin time: the per-step
+    // margin aggregate, label join and gradient join then all reuse the
+    // cached partitioning, leaving ONE exchange per step (the
+    // buckets-row gradient aggregate) instead of four
     val feats = CacheLifecycle.pin(
-      hashedFeatures(df, textCol, idCol, buckets))
+      hashedFeatures(df, textCol, idCol, buckets).repartition(col(idCol)))
     val labels = CacheLifecycle.pin(
-      df.select(col(idCol), col(labelCol).cast("int").as("__y")))
+      df.select(col(idCol), col(labelCol).cast("int").as("__y"))
+        .repartition(col(idCol)))
     val n = labels.count()
     require(n > 0, "train: empty training set")
     // bucket -1 = the bias "feature" (present on every doc): ONE join +
     // ONE aggregate + ONE collect per step covers all buckets and the bias
     val withBias = CacheLifecycle.pin(
       feats.select(col(idCol), col("bucket"))
-        .union(labels.select(col(idCol), lit(-1).cast("int").as("bucket"))))
+        .union(labels.select(col(idCol), lit(-1).cast("int").as("bucket")))
+        .repartition(col(idCol)))
     val w = Array.fill(buckets)(0L)
     var bias = 0L
     (0 until steps).foreach { _ =>

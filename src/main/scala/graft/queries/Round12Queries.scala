@@ -1407,13 +1407,21 @@ object Round12Queries {
     * smoke proof that the gradient loop actually learns, not just runs.
     */
   private def trainClf(spark: SparkSession, sf: String) =
-    Classifier.train(
-      Tables.load(spark, sf, "documents").where(col("doc_id") < 300)
-        .withColumn("__y",
-          array_contains(split(lower(col("text")), " "), "line")
-            .cast("int")),
-      "text", "__y", "doc_id", buckets = ClfBuckets, steps = ClfSteps,
-      lr = 4.0)
+    clfCache.computeIfAbsent(sf, _ =>
+      Classifier.train(
+        Tables.load(spark, sf, "documents").where(col("doc_id") < 300)
+          .withColumn("__y",
+            array_contains(split(lower(col("text")), " "), "line")
+              .cast("int")),
+        "text", "__y", "doc_id", buckets = ClfBuckets, steps = ClfSteps,
+        lr = 4.0))
+
+  /** Deterministic model per source dir — both gate queries (model dump
+    * + corpus scoring) share one training run, the same JVM-level memo
+    * the persisted IVF index uses.
+    */
+  private val clfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Classifier.QualityModel]()
 
   private lazy val ClfBuckets = 64
   private lazy val ClfLrK = "4000.0"

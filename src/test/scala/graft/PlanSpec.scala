@@ -549,14 +549,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
-  test("classifier scoring is literal-map margins — no weight join") {
+  test("classifier scoring is a narrow map — no exchange, no join") {
     val p = plan(q("q_quality_clf"))
-    // the model ships as a broadcast literal map probed per row: the
-    // only joins are the per-doc margin equi-join, and there is no
-    // window, no product, and no weights-frame shuffle
+    // the model is a literal map folded per row: the 100 TB scoring
+    // pass must be scan + projection only — no exchange, no join, no
+    // window, no aggregate
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
     assert(!p.contains("Window"), p.take(1500))
-    assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("HashAggregate"), p.take(1500))
   }
 
   test("prototype pruning: one per-cell window, centroid joins broadcast") {

@@ -146,6 +146,46 @@ object Classifier {
     (coalesce(mi, lit(0L)) + lit(model.bias)).cast("double") /
       lit(WeightScale)
 
+  /** Operating-point selection: the score cut that maximizes accuracy on
+    * a labeled set (ties to the lowest cut). The search space is the
+    * BOUNDED per-mil histogram of rounded scores — one corpus pass into
+    * a ≤ 1001-row aggregate, then driver math over the histogram; never
+    * a per-doc sort or collect. Returns (cutBucket, correct, n): predict
+    * positive iff floor(score·1000) ≥ cutBucket. cutBucket ∈ [0, 1001]
+    * (0 = everything positive, 1001 = nothing).
+    */
+  final case class ThresholdPick(cutBucket: Int, correct: Long, n: Long)
+
+  def tuneThreshold(df: DataFrame, textCol: String, labelCol: String,
+      idCol: String, model: QualityModel): ThresholdPick = {
+    val scored = score(df, textCol, idCol, model)
+      .join(df.select(col(idCol), col(labelCol).cast("int").as("__y")),
+        idCol)
+    val hist = scored
+      .groupBy(floor(col("score") * 1000).cast("int").as("__b"))
+      .agg(sum(col("__y")).cast("long").as("__pos"),
+        count(lit(1)).as("__tot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val totalPos = hist.map(_._2).sum
+    val total = hist.map(_._3).sum
+    // correct(cut) = negatives below the cut + positives at/above it;
+    // sweep the 1001-bucket histogram once
+    var negBelow = 0L
+    var best = ThresholdPick(0, totalPos, total) // cut 0: all positive
+    (0 to 1001).foreach { cut =>
+      if (cut > 0) hist.filter(_._1 == cut - 1).foreach { case (_, p, t) =>
+        negBelow += (t - p)
+      }
+      val posAtOrAbove = totalPos -
+        hist.filter(_._1 < cut).map(_._2).sum
+      val correct = negBelow + posAtOrAbove
+      if (correct > best.correct) best = ThresholdPick(cut, correct, total)
+    }
+    best
+  }
+
   /** Score a corpus with a trained model: (idCol, score, pred) where
     * score = round(p, 6) and pred = p ≥ 0.5.
     *

@@ -225,6 +225,53 @@ object Curation {
       .drop(classes.map(i => s"__sfx$i"): _*)
   }
 
+  /** Domain blocklist filter — the crawl-curation kill switch (spam,
+    * adult, malware, opted-out publishers): a row is `blocked` iff ANY
+    * label tail of its host equals a blocklist entry, so blocking
+    * `example.com` also blocks `a.b.example.com` (the standard
+    * subdomain-inclusive rule); `blocked_by` records the most specific
+    * (longest) matching entry for provenance, null when clean. Hosts
+    * that are null (unparseable crawl junk) are NOT blocked — route
+    * them through quality filters, not a domain rule they can't match.
+    *
+    * Same zero-shuffle shape as [[registrableDomainFromTable]]: the
+    * blocklist is config-scale DATA (bounded by `maxRows`), collected
+    * once, deduped driver-side, split into per-label-count classes,
+    * each class a broadcast-LEFT-join on the host's computed
+    * last-`i`-labels tail. The corpus is scanned once and never
+    * exchanged.
+    */
+  def applyDomainBlocklist(df: DataFrame, hostCol: String,
+      blocklist: DataFrame, maxLabels: Int = 8,
+      maxRows: Int = 1000000): DataFrame = {
+    import df.sparkSession.implicits._
+    val rows = blocklist.select(col("entry").cast(StringType))
+      .limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"more than $maxRows blocklist rows — the blocklist is " +
+        "driver-resident by design (it is config, not corpus)")
+    val bySize: Map[Int, Seq[String]] = rows.iterator
+      .filterNot(_.isNullAt(0)).map(_.getString(0)).toSeq.distinct
+      .groupBy(s => s.count(_ == '.') + 1)
+    val classes = (1 to
+      math.min(bySize.keys.maxOption.getOrElse(0), maxLabels))
+      .filter(bySize.contains)
+    val parts = split(col(hostCol), "\\.")
+    val n = size(parts)
+    def tail(i: Int): Column =
+      when(n >= i, concat_ws(".", slice(parts, -i, i)))
+    var out = df
+    classes.foreach { i =>
+      val cls = bySize(i).toDF(s"__blk$i")
+      out = out.join(broadcast(cls), tail(i) === col(s"__blk$i"), "left")
+    }
+    val hit = coalesce(classes.reverse.map(i => col(s"__blk$i")) :+
+      lit(null).cast(StringType): _*)
+    out.withColumn("blocked_by", hit)
+      .withColumn("blocked", hit.isNotNull)
+      .drop(classes.map(i => s"__blk$i"): _*)
+  }
+
   /** A deterministic fixture suffix table for specs/oracles: the
     * single-label TLDs the tests touch, the built-in multi-label set
     * `registrableDomain` hardcodes, and a few exotic deeper entries

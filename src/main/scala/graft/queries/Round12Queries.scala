@@ -1357,6 +1357,15 @@ object Round12Queries {
         "text", "doc_id", threshold = LshThreshold)
     },
 
+    Q.fn("q_domain_blocklist", blocklistOracle) { (spark, sf) =>
+      import spark.implicits._
+      Curation.applyDomainBlocklist(
+        withUrl(Tables.load(spark, sf, "documents"))
+          .withColumn("host", Curation.extractHost(col("url")))
+          .select("doc_id", "host"),
+        "host", BlockEntries.toDF("entry"))
+    },
+
     Q.fn("q_quality_clf_model", clfModelOracle) { (spark, sf) =>
       val m = trainClf(spark, sf)
       import spark.implicits._
@@ -1367,6 +1376,14 @@ object Round12Queries {
     Q.fn("q_quality_clf", clfScoreOracle) { (spark, sf) =>
       Classifier.score(Tables.load(spark, sf, "documents"),
         "text", "doc_id", trainClf(spark, sf))
+    },
+
+    Q.fn("q_quality_threshold", thresholdOracle) { (spark, sf) =>
+      val pick = Classifier.tuneThreshold(clfTrainSet(spark, sf),
+        "text", "__y", "doc_id", trainClf(spark, sf))
+      import spark.implicits._
+      Seq((pick.cutBucket, pick.correct, pick.n))
+        .toDF("cut_bucket", "correct", "n")
     }
   )
 
@@ -1398,6 +1415,35 @@ object Round12Queries {
         WHERE a.doc_id < b.doc_id"""
   }
 
+  /** Blocklist fixture: registrable-domain entries (subdomain-inclusive)
+    * plus one host-specific entry, so both the any-tail rule and the
+    * longest-match provenance are exercised against the md5-url corpus.
+    */
+  private lazy val BlockEntries = Seq(
+    "site1.com", "site3.co.uk", "blog.site4.net", "site5.com.au",
+    "site2.org")
+
+  /** `applyDomainBlocklist` replayed in DuckDB: candidate label tails
+    * joined against the entry list, most specific match wins.
+    */
+  private lazy val blocklistOracle = {
+    val entries = BlockEntries.map(e => s"'$e'").mkString("[", ",", "]")
+    s"""WITH $urlCte,
+         h AS (SELECT doc_id, ${hostSql("url")} AS host FROM urls),
+         hp AS (SELECT doc_id, host,
+                       string_split(host, '.') AS parts FROM h),
+         ble AS (SELECT entry, len(string_split(entry, '.')) AS elen
+                 FROM (SELECT unnest($entries) AS entry)),
+         cand AS (SELECT hp.doc_id, b.entry, b.elen FROM hp JOIN ble b
+                    ON len(hp.parts) >= b.elen
+                   AND array_to_string(hp.parts[-b.elen:], '.') = b.entry),
+         best AS (SELECT doc_id, arg_max(entry, elen) AS entry
+                  FROM cand GROUP BY 1)
+        SELECT hp.doc_id, hp.host, b.entry AS blocked_by,
+               (b.entry IS NOT NULL) AS blocked
+        FROM hp LEFT JOIN best b USING (doc_id)"""
+  }
+
   /** Quality-classifier fixture: distant-supervision seed labels —
     * positive iff the doc mentions the seed token "line" (≈73 % of the
     * doc_id < 300 training slice; the synthetic corpus has a single
@@ -1406,13 +1452,15 @@ object Round12Queries {
     * lr 4.0 fully separate the seed rule (train accuracy 1.0) — the
     * smoke proof that the gradient loop actually learns, not just runs.
     */
+  private def clfTrainSet(spark: SparkSession, sf: String) =
+    Tables.load(spark, sf, "documents").where(col("doc_id") < 300)
+      .withColumn("__y",
+        array_contains(split(lower(col("text")), " "), "line")
+          .cast("int"))
+
   private def trainClf(spark: SparkSession, sf: String) =
     clfCache.computeIfAbsent(sf, _ =>
-      Classifier.train(
-        Tables.load(spark, sf, "documents").where(col("doc_id") < 300)
-          .withColumn("__y",
-            array_contains(split(lower(col("text")), " "), "line")
-              .cast("int")),
+      Classifier.train(clfTrainSet(spark, sf),
         "text", "__y", "doc_id", buckets = ClfBuckets, steps = ClfSteps,
         lr = 4.0))
 
@@ -1482,6 +1530,37 @@ object Round12Queries {
         SELECT CAST(b AS INT) AS bucket, w AS weight FROM w$ClfSteps
         UNION ALL
         SELECT CAST(-1 AS INT), (SELECT bv FROM bias$ClfSteps)"""
+
+  /** `tuneThreshold` replayed: score the training slice with the final
+    * weights, per-mil histogram, sweep all 1002 cuts, max correct with
+    * ties to the lowest cut.
+    */
+  private lazy val thresholdOracle =
+    s"""WITH $clfTrainCtes,
+         mtr AS MATERIALIZED (SELECT f.doc_id, sum(w.w) AS mi
+                FROM f JOIN w$ClfSteps w USING (b) GROUP BY 1),
+         ptr AS MATERIALIZED (SELECT doc_id, y,
+                  round(0.5 + 0.5 * (m / (1.0 + abs(m))), 6) AS s
+                FROM (SELECT t.doc_id, t.y,
+                             CAST(COALESCE(mi.mi, 0) +
+                                  (SELECT bv FROM bias$ClfSteps) AS DOUBLE)
+                               / 1000000000000.0 AS m
+                      FROM tr t LEFT JOIN mtr mi USING (doc_id))),
+         hist AS MATERIALIZED (SELECT CAST(floor(s * 1000) AS INT) AS hb,
+                  CAST(sum(y) AS BIGINT) AS pos, count(*) AS tot
+                FROM ptr GROUP BY 1),
+         tots AS MATERIALIZED (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+                  CAST(sum(tot) AS BIGINT) AS tt FROM hist),
+         corr AS (SELECT cuts.range AS cut,
+                    CAST((SELECT COALESCE(sum(tot - pos), 0) FROM hist
+                          WHERE hb < cuts.range) +
+                         ((SELECT tp FROM tots) -
+                          (SELECT COALESCE(sum(pos), 0) FROM hist
+                           WHERE hb < cuts.range)) AS BIGINT) AS correct
+                  FROM range(0, 1002) cuts)
+        SELECT CAST(cut AS INT) AS cut_bucket, correct,
+               (SELECT tt FROM tots) AS n
+        FROM corr ORDER BY correct DESC, cut ASC LIMIT 1"""
 
   private lazy val clfScoreOracle =
     s"""WITH $clfTrainCtes,

@@ -60,6 +60,20 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out.getBoolean(2) == (out.getDouble(1) >= 0.5))
   }
 
+  test("tuneThreshold finds a perfect cut on separable data; ties low") {
+    val m = Classifier.train(seedSet, "text", "y", "id", steps = 8,
+      lr = 4.0)
+    val pick = Classifier.tuneThreshold(seedSet, "text", "y", "id", m)
+    assert(pick.n == 40)
+    assert(pick.correct == 40, s"separable data must cut perfectly: $pick")
+    assert(pick.cutBucket > 0 && pick.cutBucket <= 1000, pick.toString)
+    // degenerate all-positive labels: cut 0 (everything positive) is
+    // already perfect, and the tie rule keeps the LOWEST such cut
+    val allPos = seedSet.withColumn("y", lit(1))
+    val pick0 = Classifier.tuneThreshold(allPos, "text", "y", "id", m)
+    assert(pick0.cutBucket == 0 && pick0.correct == 40, pick0.toString)
+  }
+
   test("guards: bucket bounds, step bounds, empty training set") {
     intercept[IllegalArgumentException] {
       Classifier.train(seedSet, "text", "y", "id", buckets = 0)

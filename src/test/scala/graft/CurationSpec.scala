@@ -704,4 +704,33 @@ class CurationSpec extends AnyFunSuite {
     assert(sel.count(_ <= 10L) > sel.count(_ > 10L),
       s"selection must lean toward the target style: $sel")
   }
+
+  test("applyDomainBlocklist: subdomain-inclusive, longest entry wins") {
+    import spark.implicits._
+    val hosts = Seq(
+      (1L, "example.com"),          // exact entry hit
+      (2L, "a.b.example.com"),      // subdomain of an entry
+      (3L, "ads.example.com"),      // deeper entry beats the shallower one
+      (4L, "notexample.com"),       // label boundary: NOT a suffix match
+      (5L, "clean.org"),            // no entry
+      (6L, null.asInstanceOf[String])) // junk host: never blocked
+      .toDF("id", "host")
+    val bl = Seq("example.com", "ads.example.com").toDF("entry")
+    val out = Curation.applyDomainBlocklist(hosts, "host", bl)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("blocked")),
+          Option(r.getString(r.fieldIndex("blocked_by"))))).toMap
+    assert(out(1L) == (true, Some("example.com")))
+    assert(out(2L) == (true, Some("example.com")))
+    assert(out(3L) == (true, Some("ads.example.com")),
+      "the most specific entry must win provenance")
+    assert(out(4L) == (false, None),
+      "suffix matching must respect label boundaries")
+    assert(out(5L) == (false, None))
+    assert(out(6L) == (false, None), "null hosts are never blocked")
+    // empty blocklist: everything clean, schema intact
+    val none = Curation.applyDomainBlocklist(hosts, "host",
+      spark.emptyDataFrame.select(lit("x").as("entry")).where(lit(false)))
+    assert(none.where(col("blocked")).count() == 0)
+  }
 }

@@ -403,6 +403,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("domain blocklist is broadcast-join only — corpus never shuffles") {
+    val p = plan(q("q_domain_blocklist"))
+    // the blocklist joins as per-label-count broadcast classes on
+    // computed tail keys, exactly the PSL shape: map-side
+    // BroadcastHashJoins, zero corpus exchange
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("incremental URL dedup probes the index by broadcast, no product") {
     val p = plan(q("q_url_dedup_incremental"))
     // the persisted index must stream against broadcast batch keys —

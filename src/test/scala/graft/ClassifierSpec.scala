@@ -74,6 +74,27 @@ class ClassifierSpec extends AnyFunSuite {
     assert(pick0.cutBucket == 0 && pick0.correct == 40, pick0.toString)
   }
 
+  test("scoring rides Structured Streaming unchanged (narrow map)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val m = Classifier.train(seedSet, "text", "y", "id", steps = 3)
+    val doc = (1L, "curated prose with careful structure and clear citations")
+    val input = MemoryStream[(Long, String)]
+    val q = Classifier.score(input.toDF().toDF("id", "text"), "text", "id", m)
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(doc)
+      q.processAllAvailable()
+      val got = spark.table("clf_stream")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      val want = Classifier.score(Seq(doc).toDF("id", "text"), "text", "id", m)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      assert(got.toSeq == want.toSeq,
+        "streaming scores must equal the batch scores")
+    } finally q.stop()
+  }
+
   test("guards: bucket bounds, step bounds, empty training set") {
     intercept[IllegalArgumentException] {
       Classifier.train(seedSet, "text", "y", "id", buckets = 0)

@@ -478,6 +478,61 @@ object Dedup {
     keepList(df, idCol, pairs)
   }
 
+  /** MinHash-LSH candidate pairs verified by EXACT shingle Jaccard —
+    * the fuzzy-dedup pair stage with the false-positive band collisions
+    * removed. Verification is restricted to candidate documents only:
+    * their shingle tables rebuild from text (never stored), join on the
+    * shingle key (inverted index over candidate ids, a tiny corpus
+    * subset by construction), and the pair filter is a left-semi
+    * against the candidate set — no all-pairs anything. The shingle
+    * table is pinned: the a-side, b-side and size legs reuse one pass.
+    * Returns (id_a, id_b, jaccard ≥ minJaccard).
+    */
+  def nearPairs(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.5, k: Int = 3, p: Int = 12, bands: Int = 4,
+      maxBandFreq: Option[Int] = None): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"nearPairs: minJaccard must be in (0, 1], got $minJaccard")
+    val cand = CacheLifecycle.pin(
+      lshCandidates(df, textCol, idCol, k, p, bands, maxBandFreq))
+    val ids = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val sh = CacheLifecycle.pin(
+      df.join(ids, Seq(idCol), "left_semi")
+        .select(col(idCol), tokens(col(textCol)).as("__t"))
+        .select(col(idCol), explode(shingles(col("__t"), k)).as("sh")))
+    val shared = sh.select(col(idCol).as("id_a"), col("sh"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh")), "sh")
+      .where(col("id_a") < col("id_b"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__shared"))
+    val szs = sh.groupBy(idCol).agg(count(lit(1)).as("__sz"))
+    shared
+      .join(szs.select(col(idCol).as("id_a"), col("__sz").as("__sza")),
+        "id_a")
+      .join(szs.select(col(idCol).as("id_b"), col("__sz").as("__szb")),
+        "id_b")
+      .withColumn("jaccard", round(col("__shared") /
+        (col("__sza") + col("__szb") - col("__shared")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Text near-dup RESOLUTION in one call — the text-side analog of
+    * [[dedupEmbeddings]]: LSH candidates → exact-Jaccard verification
+    * (candidates only) → connected components → canonical keep-list.
+    * Returns every id with its cluster-minimum `canonical_id` and the
+    * `keep` verdict. The parts compose without new exchanges beyond
+    * their own: band equi-join, candidate-restricted shingle join,
+    * O(log diameter) label propagation over the (small) verified pair
+    * set, one corpus left join.
+    */
+  def dedupNear(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.5, k: Int = 3, p: Int = 12, bands: Int = 4,
+      maxBandFreq: Option[Int] = None): DataFrame =
+    keepList(df, idCol,
+      nearPairs(df, textCol, idCol, minJaccard, k, p, bands, maxBandFreq))
+
   /** Segment-level dedup (boilerplate removal, RefinedWeb/CCNet-style):
     * split each document on `sep`, drop every segment whose DOCUMENT
     * frequency exceeds `maxDocFrac` of the corpus (a paragraph repeated

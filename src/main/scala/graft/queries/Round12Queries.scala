@@ -1357,6 +1357,11 @@ object Round12Queries {
         "text", "doc_id", threshold = LshThreshold)
     },
 
+    Q.fn("q_dedup_near_resolved", nearResolvedOracle) { (spark, sf) =>
+      Dedup.dedupNear(Tables.load(spark, sf, "documents"),
+        "text", "doc_id", minJaccard = 0.5)
+    },
+
     Q.fn("q_domain_blocklist", blocklistOracle) { (spark, sf) =>
       import spark.implicits._
       Curation.applyDomainBlocklist(
@@ -1414,6 +1419,54 @@ object Round12Queries {
         FROM bands a JOIN bands b USING(band)
         WHERE a.doc_id < b.doc_id"""
   }
+
+  /** `dedupNear` replayed: the q_dedup_lsh candidate chain, exact-Jaccard
+    * verification over candidate ids only, recursive reachability
+    * closure, corpus-wide keep-list. At sf0.001 the candidate set is
+    * cleanly bimodal (28 true near-dups at j ≥ 0.889, 15 band collisions
+    * at j ≤ 0.034), so the 0.5 threshold demonstrates the verification
+    * stage actually discarding LSH false positives.
+    */
+  private lazy val nearResolvedOracle =
+    s"""WITH RECURSIVE
+         tok AS (SELECT doc_id, ${MlQueries.toksSql} AS t FROM documents),
+         s AS MATERIALIZED (SELECT doc_id, ${MlQueries.shinglesSql} AS sh
+                            FROM tok),
+         sigs AS (SELECT doc_id, ${MlQueries.minhashSql} AS sig FROM s),
+         bands AS (SELECT doc_id, unnest(${MlQueries.bandsSql}) AS band
+                   FROM sigs),
+         cand AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING(band)
+           WHERE a.doc_id < b.doc_id),
+         csh AS MATERIALIZED (
+           SELECT doc_id, unnest(sh) AS g FROM s
+           WHERE doc_id IN (SELECT id_a FROM cand
+                            UNION SELECT id_b FROM cand)),
+         szs AS MATERIALIZED (SELECT doc_id, count(*) AS sz
+                              FROM csh GROUP BY 1),
+         shared AS (SELECT c.id_a, c.id_b, count(*) AS n
+                    FROM cand c
+                    JOIN csh a ON a.doc_id = c.id_a
+                    JOIN csh b ON b.doc_id = c.id_b AND b.g = a.g
+                    GROUP BY 1, 2),
+         pairs AS MATERIALIZED (
+           SELECT sh.id_a, sh.id_b
+           FROM shared sh
+           JOIN szs za ON za.doc_id = sh.id_a
+           JOIN szs zb ON zb.doc_id = sh.id_b
+           WHERE round(sh.n / (za.sz + zb.sz - sh.n), 6) >= 0.5),
+         edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (SELECT s, d FROM edges
+                          UNION SELECT reach.id, edges.d
+                          FROM reach JOIN edges ON reach.r = edges.s),
+         comp AS (SELECT id AS doc_id, least(id, min(r)) AS component
+                  FROM reach GROUP BY id)
+        SELECT d.doc_id,
+               coalesce(comp.component, d.doc_id) AS canonical_id,
+               d.doc_id = coalesce(comp.component, d.doc_id) AS keep
+        FROM (SELECT doc_id FROM documents) d LEFT JOIN comp USING (doc_id)"""
 
   /** Blocklist fixture: registrable-domain entries (subdomain-inclusive)
     * plus one host-specific entry, so both the any-tail rule and the

@@ -543,6 +543,28 @@ class DedupSpec extends AnyFunSuite {
     assert(tuned.contains((1L, 4L)), "exact dups always collide")
   }
 
+  test("dedupNear resolves verified clusters; collisions don't merge") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, "completely different words sharing nothing with the others"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupNear(docs, "text", "doc_id", minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out.size == 5, "every doc gets a verdict")
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (1L, false), "exact dup joins the cluster minimum")
+    assert(out(3L) == (1L, false), "near dup joins via the verified pair")
+    assert(out(4L) == (4L, true) && out(5L) == (5L, true))
+    // the pair stage must report the verified jaccard, not raw candidates
+    val pairs = Dedup.nearPairs(docs, "text", "doc_id", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

@@ -70,6 +70,9 @@ object GraftFunctions {
     // AggregateExpression, so the builder returns the function itself
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_min", exprs => TopKMin(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hashed_margin",
+      exprs => HashedMarginInt(exprs(0), exprs(1)), "built-in")
     // Spark's own codegen'd Bloom probe (BloomFilterMightContain) is
     // registered only in the INTERNAL registry (it backs runtime join
     // filters); surface it for Dedup.dedupAgainst's reference-corpus

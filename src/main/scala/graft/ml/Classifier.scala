@@ -190,27 +190,20 @@ object Classifier {
     * score = round(p, 6) and pred = p ≥ 0.5.
     *
     * Scoring is the 100 TB-sized pass, so unlike training it is a
-    * NARROW per-row map — tokens → distinct hashed buckets → literal-map
-    * margin fold, all inside one projection: no explode, no distinct
-    * shuffle, no aggregate, no join. The fold runs through lambda HOFs
-    * (interpreted), but the md5 per token dominates either way and the
-    * margin is the same exact integer sum the training pass aggregates —
-    * order-independent, so the exploded and folded forms are
-    * value-identical (the oracle replays the exploded form).
+    * NARROW per-row map — one projection, no explode, no distinct
+    * shuffle, no aggregate, no join — and the margin is the native
+    * whole-stage-codegen [[graft.expr.catalyst.HashedMarginInt]]
+    * expression (a HOF fold would interpret every element, md5
+    * included). The margin is the same exact integer sum the training
+    * pass aggregates — order-independent, so the exploded and native
+    * forms are value-identical (the oracle replays the exploded form).
     */
   def score(df: DataFrame, textCol: String, idCol: String,
-      model: QualityModel): DataFrame = {
-    val wmap = typedLit(
-      model.weights.zipWithIndex.map { case (v, i) => i -> v }.toMap)
-    val bucketsArr = array_distinct(
-      transform(tokens(col(textCol)),
-        t => (h32(t) % model.buckets).cast("int")))
-    df.select(col(idCol), bucketsArr.as("__b"))
-      .select(col(idCol),
-        aggregate(col("__b"), lit(0L),
-          (acc, b) => acc + element_at(wmap, b)).as("__mi"))
+      model: QualityModel): DataFrame =
+    df.select(col(idCol),
+        call_function("hashed_margin", tokens(col(textCol)),
+          typedLit(model.weights)).as("__mi"))
       .withColumn("__p", fastSigmoid(marginOf(col("__mi"), model)))
       .select(col(idCol), round(col("__p"), 6).as("score"),
         (col("__p") >= 0.5).as("pred"))
-  }
 }

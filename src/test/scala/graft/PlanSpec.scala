@@ -569,6 +569,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1500))
     assert(!p.contains("Window"), p.take(1500))
     assert(!p.contains("HashAggregate"), p.take(1500))
+    // the margin must stay the native codegen expression — a HOF fold
+    // here interprets every token's md5 on the corpus-sized pass
+    assert(p.contains("hashed_margin"), p.take(1500))
   }
 
   test("prototype pruning: one per-cell window, centroid joins broadcast") {

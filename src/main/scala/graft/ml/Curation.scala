@@ -225,6 +225,35 @@ object Curation {
       .drop(classes.map(i => s"__sfx$i"): _*)
   }
 
+  /** HTML → text extraction — the step a crawl pipeline runs before ANY
+    * text operator (dedup shingles over raw markup are markup shingles).
+    * Deterministic regex chain, deliberately RE2-SAFE (no backreferences,
+    * lazy quantifiers + inline (?is) flags only) so the exact same rules
+    * replay in any engine (the oracle runs them in DuckDB with the 'g'
+    * option): script/style elements drop with their CONTENT, comments
+    * and remaining tags become spaces, the five core entities decode
+    * (&amp; LAST, so "&amp;lt;" decodes to the literal "&lt;" and never
+    * resurrects a tag), whitespace collapses, ends trim. A narrow
+    * codegen'd map — no shuffle, no UDF; null in → null out. Not a
+    * browser: malformed-markup recovery beyond these rules (unclosed
+    * script, conditional comments) is out of scope and documented so.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTag) { case (c, (from, to)) =>
+        // entity names contain no regex metacharacters — literal patterns
+        regexp_replace(c, from, to)
+      }
+    trim(regexp_replace(ent, "[ \\t\\n\\r]+", " "))
+  }
+
   /** Domain blocklist filter — the crawl-curation kill switch (spam,
     * adult, malware, opted-out publishers): a row is `blocked` iff ANY
     * label tail of its host equals a blocklist entry, so blocking

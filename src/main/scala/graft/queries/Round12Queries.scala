@@ -13,7 +13,7 @@ import graft.ml.{Classifier, Curation, Dedup, Multimodal}
   * md5-derived PPM corpus so the oracles replay bit-for-bit.
   */
 object Round12Queries {
-  import Round11Queries.{withUrl, urlCte, hostSql, domainSql, canonCte}
+  import Round11Queries.{withUrl, urlCte, hostSql, domainSql, canonCte, pick}
 
   /** `registrableDomainFromTable` replayed in DuckDB: the same
     * candidate-tail-vs-suffix-table join (value-equivalent to the
@@ -1357,6 +1357,12 @@ object Round12Queries {
         "text", "doc_id", threshold = LshThreshold)
     },
 
+    Q.fn("q_html_text", htmlTextOracle) { (spark, sf) =>
+      withHtml(Tables.load(spark, sf, "documents"))
+        .select(col("doc_id"),
+          Curation.htmlToText(col("html")).as("text_clean"))
+    },
+
     Q.fn("q_dedup_near_resolved", nearResolvedOracle) { (spark, sf) =>
       Dedup.dedupNear(Tables.load(spark, sf, "documents"),
         "text", "doc_id", minJaccard = 0.5)
@@ -1419,6 +1425,72 @@ object Round12Queries {
         FROM bands a JOIN bands b USING(band)
         WHERE a.doc_id < b.doc_id"""
   }
+
+  /** HTML fixture: each doc's text wrapped in deterministic markup —
+    * md5-picked script block (lower/UPPER/absent, with `<`/`&&`/`>`
+    * inside its body), style block, comment, cased open tag, and an
+    * entity gauntlet including the double-encoded `&amp;lt;` (must
+    * decode to the literal "&lt;", never resurrect a tag).
+    */
+  private def withHtml(df: DataFrame): DataFrame = {
+    val script = when(pick("-js", 3) === 0,
+        lit("<script type=\"text/javascript\">var x = 1 < 2 && y > 0;</script>"))
+      .when(pick("-js", 3) === 1, lit("<SCRIPT>var z = 3;</SCRIPT>"))
+      .otherwise(lit(""))
+    val style = when(pick("-cs", 2) === 0,
+      lit("<style>p { color: red; }</style>")).otherwise(lit(""))
+    val openTag = when(pick("-h", 3) === 0, lit("<P CLASS=\"big\">"))
+      .otherwise(lit("<p>"))
+    df.withColumn("html", concat(
+      lit("<html><head>"), script, style,
+      lit("</head><body><!-- nav\nbar -->"), openTag, col("text"),
+      lit("</p><div>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; " +
+        "a&nbsp;b</div></body></html>")))
+  }
+
+  private lazy val htmlTextOracle = {
+    val pickSql = (salt: String, n: Int) =>
+      s"(('0x'||substr(md5(doc_id::VARCHAR || '$salt'),1,4))::BIGINT % $n)"
+    s"""WITH h AS (SELECT doc_id, '<html><head>' ||
+           (CASE WHEN ${pickSql("-js", 3)} = 0
+                 THEN '<script type="text/javascript">var x = 1 < 2 && y > 0;</script>'
+                 WHEN ${pickSql("-js", 3)} = 1
+                 THEN '<SCRIPT>var z = 3;</SCRIPT>'
+                 ELSE '' END) ||
+           (CASE WHEN ${pickSql("-cs", 2)} = 0
+                 THEN '<style>p { color: red; }</style>' ELSE '' END) ||
+           '</head><body><!-- nav
+bar -->' ||
+           (CASE WHEN ${pickSql("-h", 3)} = 0
+                 THEN '<P CLASS="big">' ELSE '<p>' END) ||
+           text ||
+           '</p><div>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</div></body></html>'
+             AS html
+         FROM documents)
+        SELECT doc_id, trim($htmlChainSql) AS text_clean
+        FROM h"""
+  }
+
+  /** The htmlToText regex chain as nested DuckDB regexp_replace calls —
+    * built by folding so the parenthesization can never drift from the
+    * rule list.
+    */
+  private lazy val htmlChainSql: String =
+    (Seq(
+      "(?is)<script[^>]*>.*?</script>" -> "' '",
+      "(?is)<style[^>]*>.*?</style>" -> "' '",
+      "(?s)<!--.*?-->" -> "' '",
+      "(?s)<[^>]*>" -> "' '",
+      "&lt;" -> "'<'",
+      "&gt;" -> "'>'",
+      "&quot;" -> "'\"'",
+      "&#39;" -> "''''",
+      "&nbsp;" -> "' '",
+      "&amp;" -> "'&'",
+      "[ \\t\\n\\r]+" -> "' '")
+      .foldLeft("h.html") { case (inner, (pat, rep)) =>
+        s"regexp_replace($inner, '$pat', $rep, 'g')"
+      })
 
   /** `dedupNear` replayed: the q_dedup_lsh candidate chain, exact-Jaccard
     * verification over candidate ids only, recursive reachability

@@ -705,6 +705,31 @@ class CurationSpec extends AnyFunSuite {
       s"selection must lean toward the target style: $sel")
   }
 
+  test("htmlToText: scripts drop with content, entities decode once") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<html><body><p>Hello <b>world</b></p></body></html>"),
+      (2L, "<SCRIPT>if (a < b && c > d) alert('x');</SCRIPT>text"),
+      (3L, "<style>p{color:red}</style>styled"),
+      (4L, "<!-- a\nmultiline comment -->kept"),
+      (5L, "&amp;lt; stays literal; &lt;i&gt; decodes; a&nbsp;b"),
+      (6L, "no markup at   all"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("id", "html")
+    val out = rows.select(col("id"),
+        graft.ml.Curation.htmlToText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) == Some("Hello world"))
+    assert(out(2L) == Some("text"),
+      "script CONTENT (with < > inside) must drop, any tag case")
+    assert(out(3L) == Some("styled"))
+    assert(out(4L) == Some("kept"), "comments drop across newlines")
+    assert(out(5L) == Some("&lt; stays literal; <i> decodes; a b"),
+      "&amp;-last ordering: double-encoded entities never re-decode")
+    assert(out(6L) == Some("no markup at all"), "whitespace collapses")
+    assert(out(7L).isEmpty, "null in, null out")
+  }
+
   test("applyDomainBlocklist: subdomain-inclusive, longest entry wins") {
     import spark.implicits._
     val hosts = Seq(

@@ -403,6 +403,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("html extraction is a narrow map — no exchange, no join") {
+    val p = plan(q("q_html_text"))
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("domain blocklist is broadcast-join only — corpus never shuffles") {
     val p = plan(q("q_domain_blocklist"))
     // the blocklist joins as per-label-count broadcast classes on

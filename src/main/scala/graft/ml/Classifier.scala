@@ -200,10 +200,39 @@ object Classifier {
     */
   def score(df: DataFrame, textCol: String, idCol: String,
       model: QualityModel): DataFrame =
-    df.select(col(idCol),
-        call_function("hashed_margin", tokens(col(textCol)),
-          typedLit(model.weights)).as("__mi"))
-      .withColumn("__p", fastSigmoid(marginOf(col("__mi"), model)))
+    df.select(col(idCol), rawP(col(textCol), model).as("__p"))
       .select(col(idCol), round(col("__p"), 6).as("score"),
         (col("__p") >= 0.5).as("pred"))
+
+  /** The un-rounded probability as a composable Column (native margin +
+    * fast sigmoid) — for callers that keep their own columns alongside
+    * the score (e.g. [[domainQualityReport]]).
+    */
+  def rawP(text: Column, model: QualityModel): Column =
+    fastSigmoid(marginOf(
+      call_function("hashed_margin", tokens(text),
+        typedLit(model.weights)), model))
+
+  /** The stats → operating point → report composition: per registrable
+    * domain (derived from `urlCol` in the same narrow map), document
+    * count, documents KEPT at the `cutBucket` operating point
+    * (floor(score·1000) ≥ cut — [[tuneThreshold]]'s contract) and the
+    * exact 1e-6-quanta score sum (an integer — partition-order-safe,
+    * unlike a double mean). One codegen'd projection into one partial
+    * hash aggregate; docs with no parseable host report under the null
+    * domain rather than vanishing.
+    */
+  def domainQualityReport(df: DataFrame, urlCol: String, textCol: String,
+      model: QualityModel, cutBucket: Int): DataFrame = {
+    val score6 = round(rawP(col(textCol), model), 6)
+    df.select(
+        Curation.registrableDomain(Curation.extractHost(col(urlCol)))
+          .as("domain"),
+        score6.as("__s"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((floor(col("__s") * 1000).cast("int") >= lit(cutBucket))
+          .cast("long")).as("n_kept"),
+        sum(round(col("__s") * 1e6, 0).cast("long")).as("sum_score6"))
+  }
 }

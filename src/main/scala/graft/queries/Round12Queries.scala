@@ -1395,6 +1395,14 @@ object Round12Queries {
       import spark.implicits._
       Seq((pick.cutBucket, pick.correct, pick.n))
         .toDF("cut_bucket", "correct", "n")
+    },
+
+    Q.fn("q_quality_clf_domains", clfDomainsOracle) { (spark, sf) =>
+      val m = trainClf(spark, sf)
+      val cut = Classifier.tuneThreshold(clfTrainSet(spark, sf),
+        "text", "__y", "doc_id", m).cutBucket
+      Classifier.domainQualityReport(
+        withUrl(Tables.load(spark, sf, "documents")), "url", "text", m, cut)
     }
   )
 
@@ -1660,9 +1668,8 @@ bar -->' ||
     * weights, per-mil histogram, sweep all 1002 cuts, max correct with
     * ties to the lowest cut.
     */
-  private lazy val thresholdOracle =
-    s"""WITH $clfTrainCtes,
-         mtr AS MATERIALIZED (SELECT f.doc_id, sum(w.w) AS mi
+  private lazy val clfThresholdCtes =
+    s"""mtr AS MATERIALIZED (SELECT f.doc_id, sum(w.w) AS mi
                 FROM f JOIN w$ClfSteps w USING (b) GROUP BY 1),
          ptr AS MATERIALIZED (SELECT doc_id, y,
                   round(0.5 + 0.5 * (m / (1.0 + abs(m))), 6) AS s
@@ -1676,16 +1683,55 @@ bar -->' ||
                 FROM ptr GROUP BY 1),
          tots AS MATERIALIZED (SELECT CAST(sum(pos) AS BIGINT) AS tp,
                   CAST(sum(tot) AS BIGINT) AS tt FROM hist),
-         corr AS (SELECT cuts.range AS cut,
+         corr AS MATERIALIZED (SELECT cuts.range AS cut,
                     CAST((SELECT COALESCE(sum(tot - pos), 0) FROM hist
                           WHERE hb < cuts.range) +
                          ((SELECT tp FROM tots) -
                           (SELECT COALESCE(sum(pos), 0) FROM hist
                            WHERE hb < cuts.range)) AS BIGINT) AS correct
-                  FROM range(0, 1002) cuts)
+                  FROM range(0, 1002) cuts)"""
+
+  private lazy val thresholdOracle =
+    s"""WITH $clfTrainCtes,
+         $clfThresholdCtes
         SELECT CAST(cut AS INT) AS cut_bucket, correct,
                (SELECT tt FROM tots) AS n
         FROM corr ORDER BY correct DESC, cut ASC LIMIT 1"""
+
+  /** `domainQualityReport` replayed: the tuned cut re-derived from the
+    * threshold CTEs, every doc scored with the final weights, grouped by
+    * the md5-url fixture's registrable domain.
+    */
+  private lazy val clfDomainsOracle =
+    s"""WITH $clfTrainCtes,
+         $clfThresholdCtes,
+         cutq AS MATERIALIZED (SELECT CAST(cut AS INT) AS cut FROM corr
+                               ORDER BY correct DESC, cut ASC LIMIT 1),
+         $urlCte,
+         hu AS (SELECT doc_id, ${hostSql("url")} AS host FROM urls),
+         du AS (SELECT doc_id, ${domainSql("host")} AS domain FROM hu),
+         tokall AS (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS tk
+                    FROM urls),
+         fall AS MATERIALIZED (SELECT DISTINCT doc_id,
+                         ${MlQueries.h32("tk")} % $ClfBuckets AS b
+                  FROM tokall),
+         miall AS (SELECT fall.doc_id, sum(w.w) AS mi
+                   FROM fall JOIN w$ClfSteps w USING (b) GROUP BY 1),
+         pall AS MATERIALIZED (
+           SELECT doc_id, round(0.5 + 0.5 * (m / (1.0 + abs(m))), 6) AS s
+           FROM (SELECT d.doc_id,
+                        CAST(COALESCE(mi.mi, 0) +
+                             (SELECT bv FROM bias$ClfSteps) AS DOUBLE)
+                          / 1000000000000.0 AS m
+                 FROM documents d LEFT JOIN miall mi USING (doc_id)))
+        SELECT du.domain, count(*) AS n_docs,
+               CAST(sum(CASE WHEN CAST(floor(s * 1000) AS INT) >=
+                                  (SELECT cut FROM cutq)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CAST(round(s * 1000000.0) AS BIGINT)) AS BIGINT)
+                 AS sum_score6
+        FROM du JOIN pall USING (doc_id) GROUP BY 1"""
 
   private lazy val clfScoreOracle =
     s"""WITH $clfTrainCtes,

@@ -581,6 +581,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashed_margin"), p.take(1500))
   }
 
+  test("classifier domain report: narrow score map + one hash aggregate") {
+    val p = plan(q("q_quality_clf_domains"))
+    // url→domain extraction and the native margin live in one codegen'd
+    // projection feeding a partial hash aggregate on the domain key —
+    // no window, no join, no product on the corpus path
+    assert(p.contains("hashed_margin"), p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("prototype pruning: one per-cell window, centroid joins broadcast") {
     val p = plan(q("q_prototype_prune"))
     // the rank is the one intended window (partitioned BY CELL — sorts

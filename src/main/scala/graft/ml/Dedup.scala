@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Fns._
@@ -312,6 +312,84 @@ object Dedup {
         round(col("shared") / (col("sz_a") + col("sz_b") - col("shared")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS scheme): hash every k-token gram, then in every window of `w`
+    * consecutive gram hashes select the minimum (RIGHTMOST position on
+    * ties — the paper's rule, which makes selection robust to window
+    * overlap), and deduplicate the selections. Guarantee: two documents
+    * sharing any token run of length ≥ w + k − 1 share at least one
+    * fingerprint, while storing only ~2/(w+1) of the gram hashes —
+    * the sparse middle ground between the whole-document rolling hash
+    * (`TextAnalysis`) and dense shingle sets.
+    *
+    * Shape: explode (id, pos, hash) once, fan each position into the ≤ w
+    * windows containing it (a bounded ×w map, w is small), and pick each
+    * window's winner with a PARTIAL min_by aggregate keyed on
+    * (id, window) — never a per-document sort or a corpus window.
+    * Returns distinct (idCol, pos, fp).
+    */
+  def winnowing(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1, s"winnowing: k must be >= 1, got $k")
+    require(w >= 1, s"winnowing: w must be >= 1, got $w")
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        posexplode(gramHashes(col("__t"), k)).as(Seq("pos", "h")))
+    // a window q covers positions [q, q+w-1]; position p belongs to
+    // windows max(0, p-w+1)..p. A truncated trailing window has fewer
+    // than w members, so "exactly w members" identifies the real
+    // windows without a doc-size join. Docs with fewer than w grams
+    // have no full window and hence no fingerprints (the guarantee
+    // needs w+k-1 tokens anyway).
+    val fanned = grams
+      .select(col(idCol), col("pos"), col("h"),
+        explode(sequence(greatest(col("pos") - (w - 1), lit(0)),
+          col("pos"))).as("q"))
+    val winners = fanned
+      .groupBy(col(idCol), col("q"))
+      .agg(min_by(struct(col("pos"), col("h")),
+        struct(col("h"), (lit(0) - col("pos")))).as("sel"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") === w)
+    winners.select(col(idCol), col("sel.pos").as("pos"),
+      col("sel.h").as("fp")).distinct()
+  }
+
+  /** Ordered (not distinct) k-gram hashes of a token array — winnowing
+    * needs positions, unlike the set-semantics `shingles`.
+    */
+  private def gramHashes(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => h32(concat_ws(" ", (0 until k).map(j => get(toks, i + j)): _*))))
+
+  /** Candidate near-dup pairs by shared winnowing fingerprints: an
+    * inverted-index equi-join on the fingerprint (doc-frequency cap for
+    * the boilerplate/hot-fingerprint guard, like `ngramJaccardPairs`),
+    * counting DISTINCT shared fingerprints per pair. The w+k−1
+    * guarantee makes `minShared = 1` exhaustive for long shared runs;
+    * higher values trade recall for precision.
+    */
+  def winnowingPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val fpAll = winnowing(df, textCol, idCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val fp = maxDocFreq match {
+      case None => fpAll
+      case Some(cap) =>
+        val hot = fpAll.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("fp")
+        fpAll.join(hot, Seq("fp"), "left_anti")
+    }
+    fp.select(col(idCol).as("id_a"), col("fp"))
+      .join(fp.select(col(idCol).as("id_b"), col("fp")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
   }
 
   /** Embedding-cosine near-duplicate pairs, exact: all-pairs product.

@@ -1357,6 +1357,17 @@ object Round12Queries {
         "text", "doc_id", threshold = LshThreshold)
     },
 
+    Q.fn("q_winnow_fingerprints", winnowOracle) { (spark, sf) =>
+      Dedup.winnowing(
+        Tables.load(spark, sf, "documents").where(col("doc_id") < 100),
+        "text", "doc_id")
+    },
+
+    Q.fn("q_winnow_pairs", winnowPairsOracle) { (spark, sf) =>
+      Dedup.winnowingPairs(Tables.load(spark, sf, "documents"),
+        "text", "doc_id", minShared = 2, maxDocFreq = Some(50))
+    },
+
     Q.fn("q_html_text", htmlTextOracle) { (spark, sf) =>
       withHtml(Tables.load(spark, sf, "documents"))
         .select(col("doc_id"),
@@ -1433,6 +1444,44 @@ object Round12Queries {
         FROM bands a JOIN bands b USING(band)
         WHERE a.doc_id < b.doc_id"""
   }
+
+  /** `winnowing` (k=5, w=4) replayed: positional 5-gram hashes, each
+    * position fanned into its ≤ w windows, per-window argmin with the
+    * paper's rightmost-tie rule (h ASC, pos DESC), truncated trailing
+    * windows dropped by the exactly-w member count.
+    */
+  private def winnowCtes(where: String) =
+    s"""tok AS (SELECT doc_id, ${MlQueries.toksSql} AS t
+                FROM documents $where),
+        g AS (SELECT doc_id, CAST(s - 1 AS INT) AS pos,
+                ('0x'||substr(md5(array_to_string(t[s:s+4], ' ')),1,8))::BIGINT
+                  AS h
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS s
+                    FROM tok WHERE len(t) >= 5)),
+        fan AS (SELECT doc_id, pos, h,
+                       unnest(range(greatest(pos - 3, 0), pos + 1)) AS q
+                FROM g),
+        win AS (SELECT doc_id, q, pos, h,
+                  count(*) OVER (PARTITION BY doc_id, q) AS n,
+                  row_number() OVER (PARTITION BY doc_id, q
+                    ORDER BY h ASC, pos DESC) AS rn
+                FROM fan),
+        wfp AS (SELECT DISTINCT doc_id, pos, h AS fp
+                FROM win WHERE rn = 1 AND n = 4)"""
+
+  private lazy val winnowOracle =
+    s"""WITH ${winnowCtes("WHERE doc_id < 100")}
+        SELECT doc_id, pos, fp FROM wfp"""
+
+  private lazy val winnowPairsOracle =
+    s"""WITH ${winnowCtes("")},
+         fpd AS (SELECT DISTINCT doc_id, fp FROM wfp),
+         hot AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) > 50),
+         cool AS (SELECT fpd.* FROM fpd ANTI JOIN hot USING (fp))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM cool a JOIN cool b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2"""
 
   /** HTML fixture: each doc's text wrapped in deterministic markup —
     * md5-picked script block (lower/UPPER/absent, with `<`/`&&`/`>`

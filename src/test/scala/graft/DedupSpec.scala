@@ -565,6 +565,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("winnowing: shared-run guarantee, sparsity, pair detection") {
+    val run = "q w e r t y u i" // 8 shared tokens = w + k - 1
+    val docs = Seq(
+      (1L, s"a b c d e f $run"),
+      (2L, s"$run z x c v b n"),
+      (3L, "totally different words with no common run here at all"))
+      .toDF("doc_id", "text")
+    val by = Dedup.winnowing(docs, "text", "doc_id") // k=5, w=4
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(by(1L).intersect(by(2L)).nonEmpty,
+      "a shared run of w+k-1 tokens must share at least one fingerprint")
+    assert(by(3L).intersect(by(1L)).isEmpty)
+    // sparsity: selections are a strict subset of the 10 grams
+    assert(by(1L).size < 10, by(1L).toString)
+    // fewer than w grams → no full window → no fingerprints
+    val tiny = Seq((9L, "a b c d e f g")).toDF("doc_id", "text")
+    assert(Dedup.winnowing(tiny, "text", "doc_id").count() == 0)
+    val pairs = Dedup
+      .winnowingPairs(docs, "text", "doc_id", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("exact all-pairs baselines refuse oversized inputs") {
     val big = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1f), lit(0f)).as("emb"))

@@ -403,6 +403,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("winnowing selects via partial min_by, never a corpus window") {
+    val p = plan(q("q_winnow_fingerprints"))
+    // the per-window argmin is a partial aggregate keyed on (id, q) —
+    // map-side combined; a row_number window here would sort the w×
+    // fanned gram stream per document
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val pp = plan(q("q_winnow_pairs"))
+    assert(!pp.contains("Window"), pp.take(1500))
+    assert(!pp.contains("CartesianProduct"), pp.take(1500))
+  }
+
   test("html extraction is a narrow map — no exchange, no join") {
     val p = plan(q("q_html_text"))
     assert(!p.contains("Exchange"), p.take(1500))

@@ -225,6 +225,73 @@ object Curation {
       .drop(classes.map(i => s"__sfx$i"): _*)
   }
 
+  /** Epoch/repeat planning under a token budget — the data-scheduling
+    * step between per-source stats and the actual mix: given each
+    * source's tokens-per-epoch, a total token budget and a hard
+    * per-source epoch cap (default 4 — repeating data beyond ~4 epochs
+    * stops helping, Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models"), allocate the budget ∝ n^0.5 (sqrt temperature —
+    * upweights small sources) by WATER-FILLING: sources whose share
+    * exceeds their cap contribute exactly the cap, and their surplus
+    * redistributes among the uncapped until no new source caps.
+    *
+    * All arithmetic is exact integers (weights are 1e6-quanta sqrt —
+    * IEEE sqrt is exactly specified, so the fixed-point weights replay
+    * bit-for-bit; shares are BIGINT floor divisions), so the plan is
+    * identical in any engine and any topology. The per-source stats are
+    * ONE partial-aggregated pass; the fill loop is driver math over a
+    * require-bounded source list (sources are config-scale, like
+    * domains). Flooring leaves < |sources| tokens of the budget
+    * unspent; an infeasible budget (> cap × capacity) caps every
+    * source and reports the achievable plan. Returns
+    * (sourceCol, n_tokens, take_tokens, epochs_ppm) where epochs_ppm =
+    * ⌊take·1e6 / n⌋ — the repeat factor in parts-per-million, exact.
+    */
+  def epochPlan(df: DataFrame, sourceCol: String, textCol: String,
+      budgetTokens: Long, maxEpochs: Int = 4,
+      maxSources: Int = 100000): DataFrame = {
+    require(budgetTokens > 0, s"epochPlan: budget must be > 0")
+    require(maxEpochs >= 1, s"epochPlan: maxEpochs must be >= 1")
+    require(budgetTokens <= 1000000000000L,
+      "epochPlan: budget beyond 1e12 tokens risks 64-bit share overflow")
+    val per = df.groupBy(col(sourceCol))
+      .agg(sum(size(tokens(col(textCol)))).as("n_tokens"))
+      .limit(maxSources + 1).collect()
+    require(per.length <= maxSources,
+      s"epochPlan: more than $maxSources sources — the plan is " +
+        "driver-resident by design (sources are config, not corpus)")
+    val rows = per.map(r => (r.getString(0), r.getLong(1)))
+    require(rows.forall(_._1 != null),
+      "epochPlan: null source label — fill provenance first")
+    val w6 = rows.map { case (s, nn) =>
+      s -> new java.math.BigDecimal(math.sqrt(nn.toDouble) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    }.toMap
+    val cap = rows.map { case (s, nn) => s -> maxEpochs * nn }.toMap
+    var capped = Map.empty[String, Long]
+    var done = false
+    while (!done) {
+      val u = rows.collect { case (s, _) if !capped.contains(s) => s }
+      if (u.isEmpty) done = true
+      else {
+        val bigW = u.map(w6).sum
+        val r = budgetTokens - capped.values.sum
+        val newCaps = u.filter(s => r * w6(s) / bigW > cap(s))
+        if (newCaps.isEmpty) done = true
+        else capped ++= newCaps.map(s => s -> cap(s))
+      }
+    }
+    val u = rows.collect { case (s, _) if !capped.contains(s) => s }
+    val bigW = math.max(u.map(w6).sum, 1L)
+    val r = budgetTokens - capped.values.sum
+    val out = rows.map { case (s, nn) =>
+      val take = capped.getOrElse(s, math.min(r * w6(s) / bigW, cap(s)))
+      (s, nn, take, take * 1000000L / nn)
+    }.toSeq
+    import df.sparkSession.implicits._
+    out.toDF(sourceCol, "n_tokens", "take_tokens", "epochs_ppm")
+  }
+
   /** HTML → text extraction — the step a crawl pipeline runs before ANY
     * text operator (dedup shingles over raw markup are markup shingles).
     * Deterministic regex chain, deliberately RE2-SAFE (no backreferences,

@@ -1357,6 +1357,12 @@ object Round12Queries {
         "text", "doc_id", threshold = LshThreshold)
     },
 
+    Q.fn("q_epoch_plan", epochPlanOracle) { (spark, sf) =>
+      Curation.epochPlan(Tables.load(spark, sf, "documents"),
+        "source", "text", budgetTokens = EpochBudget,
+        maxEpochs = EpochCap)
+    },
+
     Q.fn("q_winnow_fingerprints", winnowOracle) { (spark, sf) =>
       Dedup.winnowing(
         Tables.load(spark, sf, "documents").where(col("doc_id") < 100),
@@ -1443,6 +1449,57 @@ object Round12Queries {
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b USING(band)
         WHERE a.doc_id < b.doc_id"""
+  }
+
+  /** `epochPlan` replayed: per-source token totals, 1e6-quanta sqrt
+    * weights (IEEE sqrt — bit-exact), and the water-filling loop
+    * unrolled one CTE pair per round (cumulative capped set + fresh
+    * integer shares for the uncapped remainder). 21 rounds cover the
+    * worst case (one new cap per round over the 20 fixture sources);
+    * converged rounds are idempotent. Budget 54000 at cap 2 epochs
+    * forces 2-3 redistribution rounds at the gate scales.
+    */
+  private lazy val EpochBudget = 54000L
+  private lazy val EpochCap = 2
+  private lazy val epochPlanOracle = {
+    val rounds = 21
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH w AS MATERIALIZED (
+            SELECT source, CAST(sum(len(${MlQueries.toksSql})) AS BIGINT) AS n,
+                   CAST(round(sqrt(CAST(sum(len(${MlQueries.toksSql}))
+                     AS BIGINT)) * 1000000.0) AS BIGINT) AS w6,
+                   CAST($EpochCap AS BIGINT) *
+                     CAST(sum(len(${MlQueries.toksSql})) AS BIGINT) AS cap
+            FROM documents GROUP BY 1),
+          c0 AS (SELECT source, CAST(0 AS BIGINT) AS take FROM w
+                 WHERE 1 = 0)"""
+    // a{j} = fresh integer shares for the still-uncapped sources given
+    // the capped set after round j-1; c{j} adds the newly over-cap
+    // sources. a{rounds+1} is the FINAL share pass the select reads.
+    (1 to (rounds + 1)).foreach { j =>
+      val pc = s"c${j - 1}"
+      sb ++=
+        s""",
+          a$j AS MATERIALIZED (SELECT w.source, w.cap,
+                    (($EpochBudget - (SELECT COALESCE(sum(take), 0)
+                                      FROM $pc)) * w.w6)
+                      // (SELECT sum(w2.w6) FROM w w2
+                         ANTI JOIN $pc USING (source)) AS a
+                  FROM w ANTI JOIN $pc USING (source)),
+          c$j AS MATERIALIZED (SELECT * FROM $pc UNION ALL
+                  SELECT source, cap AS take FROM a$j WHERE a > cap)"""
+    }
+    sb ++=
+      s"""
+        SELECT w.source, w.n AS n_tokens,
+               COALESCE(c.take, LEAST(f.a, w.cap)) AS take_tokens,
+               COALESCE(c.take, LEAST(f.a, w.cap)) * 1000000 // w.n
+                 AS epochs_ppm
+        FROM w
+        LEFT JOIN c$rounds c USING (source)
+        LEFT JOIN a${rounds + 1} f USING (source)"""
+    sb.toString
   }
 
   /** `winnowing` (k=5, w=4) replayed: positional 5-gram hashes, each

@@ -705,6 +705,37 @@ class CurationSpec extends AnyFunSuite {
       s"selection must lean toward the target style: $sel")
   }
 
+  test("epochPlan: caps bind, surplus redistributes, budget met") {
+    import spark.implicits._
+    // sqrt weighting over-asks the tiny sources; they cap at 2 epochs
+    // and the surplus water-fills back to the big one
+    val docs = ((1 to 100).map(i => (s"d$i", "big", ("w " * 20).trim)) ++
+      (1 to 5).map(i => (s"s$i", "tiny1", ("w " * 10).trim)) ++
+      (1 to 5).map(i => (s"t$i", "tiny2", ("w " * 10).trim)))
+      .toDF("id", "source", "text")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      Curation.epochPlan(df, "source", "text", budgetTokens = 1000,
+        maxEpochs = 2).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val plan = planOf(docs)
+    plan.foreach { case (_, (n, take, ppm)) =>
+      assert(take <= 2 * n, "no source beyond the epoch cap")
+      assert(ppm == take * 1000000L / n)
+    }
+    assert(plan("tiny1")._2 == 100 && plan("tiny2")._2 == 100,
+      "over-asked tiny sources take exactly cap x tokens")
+    assert(plan("big")._2 == 800, "the surplus redistributes")
+    assert(plan.values.map(_._2).sum == 1000, "budget met exactly here")
+    // infeasible budget: every source caps, plan reports the achievable
+    val all = Curation.epochPlan(docs, "source", "text",
+      budgetTokens = 100000, maxEpochs = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(all.forall { case (n, take) => take == 2 * n })
+    // partition-order independence (exact integer arithmetic)
+    assert(planOf(docs.repartition(7)) == plan)
+  }
+
   test("htmlToText: scripts drop with content, entities decode once") {
     import spark.implicits._
     val rows = Seq(

@@ -1,0 +1,97 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators for crawl curation. Domain/host authority is a
+  * standard corpus-quality signal (crawl frontiers and quality weights
+  * are routinely derived from link centrality); the graph is built from
+  * extracted hrefs and scored with PageRank.
+  *
+  * Every iteration uses EXACT integer arithmetic on 1e-12-quanta ranks
+  * (floor divisions in a fixed order), so the result is
+  * partition-order-independent and replays bit-for-bit in the DuckDB
+  * oracle's unrolled iteration CTEs — a double-sum PageRank would drift
+  * by summation order across topologies.
+  */
+object Graphs {
+
+  /** Fixed-point scale of the ranks (1e-12 quanta). */
+  val RankScale = 1000000000000L
+
+  /** PageRank over an edge list, `iters` fixed iterations at damping
+    * 0.85 (hard-coded so the 85/100 integer steps are part of the
+    * replayable contract). Edges dedup first; nodes = src ∪ dst.
+    *
+    * Exact update, all BIGINT floors in fixed order:
+    *   contrib(u→v) = r(u) div outdeg(u)
+    *   dangling     = Σ r(u) over outdeg-less u, then div N
+    *   r'(v) = (Scale·15 div 100) div N
+    *           + (85 · (Σ contrib(·→v) + dangling)) div 100
+    * Flooring loses a little mass per iteration (deterministically);
+    * ranking order is what the signal consumer uses.
+    *
+    * Scale shape: per iteration one equi-join of ranks with the edge
+    * list (shuffle on src) and one partial-aggregated sum (shuffle on
+    * dst) — the standard distributed PageRank; the dangling mass is a
+    * 1-row scalar aggregate (bounded driver traffic), and
+    * `localCheckpoint` truncates the otherwise-growing plan per
+    * iteration exactly like `Dedup.components`. Returns (node, pr_rank) — named to stay clear of the
+    * `rank` window keyword in replay engines.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    val e = CacheLifecycle.pin(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
+    val nodes = CacheLifecycle.pin(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val outdeg = CacheLifecycle.pin(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    val base = RankScale * 15L / 100L / n
+    var ranks = nodes.withColumn("pr_rank", lit(RankScale / n))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val withDeg = ranks.join(outdeg, Seq("node"), "left")
+      val dangling = withDeg.where(col("deg").isNull)
+        .agg(coalesce(sum(col("pr_rank")), lit(0L))).head.getLong(0) / n
+      val sums = withDeg.where(col("deg").isNotNull)
+        .select(col("node").as("src"),
+          expr("pr_rank div deg").as("c"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
+      val next = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"(85 * (coalesce(s, 0L) + ${dangling}L)) div 100"))
+            .as("pr_rank"))
+        .localCheckpoint(true)
+      CacheLifecycle.releaseCheckpoint(ranks)
+      ranks = next
+    }
+    CacheLifecycle.pinCheckpointed(ranks)
+    ranks
+  }
+
+  /** Href extraction from raw HTML — RE2-safe (the oracle replays it):
+    * the quoted value of every `href="..."`/`href='...'` attribute,
+    * case-insensitive, one row per link. The attribute name must follow
+    * a non-name character ([^\w-]) so `data-href` never matches — the
+    * lookbehind-free boundary RE2 allows. Returns `df`'s id column +
+    * `href`. A narrow map + one explode; no shuffle.
+    */
+  def extractLinks(df: DataFrame, htmlCol: String,
+      idCol: String): DataFrame = {
+    val hrefs = concat(
+      regexp_extract_all(col(htmlCol),
+        lit("(?i)[^\\w-]href=\"([^\"]*)\""), lit(1)),
+      regexp_extract_all(col(htmlCol),
+        lit("(?i)[^\\w-]href='([^']*)'"), lit(1)))
+    df.select(col(idCol), explode(hrefs).as("href"))
+  }
+}

@@ -1357,6 +1357,24 @@ object Round12Queries {
         "text", "doc_id", threshold = LshThreshold)
     },
 
+    Q.fn("q_extract_links", linksOracle) { (spark, sf) =>
+      graft.ml.Graphs.extractLinks(
+        withLinkHtml(Tables.load(spark, sf, "documents")),
+        "html_links", "doc_id")
+    },
+
+    Q.fn("q_pagerank", pageRankOracle) { (spark, sf) =>
+      val u = withUrl(Tables.load(spark, sf, "documents"))
+        .withColumn("src", Curation.extractHost(col("url")))
+      val e1 = u.select(col("src"),
+        concat(lit("www.site"), pick("-l1", 40).cast("string"),
+          lit(".com")).as("dst"))
+      val e2 = u.select(col("src"),
+        concat(lit("site"), pick("-l2", 40).cast("string"),
+          lit(".org")).as("dst"))
+      graft.ml.Graphs.pageRank(e1.union(e2), "src", "dst", iters = 3)
+    },
+
     Q.fn("q_epoch_plan", epochPlanOracle) { (spark, sf) =>
       Curation.epochPlan(Tables.load(spark, sf, "documents"),
         "source", "text", budgetTokens = EpochBudget,
@@ -1449,6 +1467,87 @@ object Round12Queries {
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b USING(band)
         WHERE a.doc_id < b.doc_id"""
+  }
+
+  private def pickSqlOf(salt: String, n: Int) =
+    s"(('0x'||substr(md5(doc_id::VARCHAR || '$salt'),1,4))::BIGINT % $n)"
+
+  /** Link fixture: two anchors per doc — one double-quoted lowercase,
+    * one single-quoted uppercase HREF — so both quoting forms and the
+    * case-insensitive attribute match are exercised.
+    */
+  private def withLinkHtml(df: DataFrame): DataFrame =
+    df.withColumn("html_links", concat(
+      lit("<p>see <a href=\"https://www.site"),
+      pick("-l1", 40).cast("string"),
+      lit(".com/a\">one</a> and <A HREF='http://site"),
+      pick("-l2", 40).cast("string"),
+      lit(".org/b?x=1'>two</A></p>")))
+
+  private lazy val linksOracle =
+    s"""WITH h AS (SELECT doc_id,
+           '<p>see <a href="https://www.site' ||
+             ${pickSqlOf("-l1", 40)}::VARCHAR ||
+             '.com/a">one</a> and <A HREF=''http://site' ||
+             ${pickSqlOf("-l2", 40)}::VARCHAR ||
+             '.org/b?x=1''>two</A></p>' AS html_links
+         FROM documents)
+        SELECT doc_id, unnest(
+          regexp_extract_all(html_links, '(?i)[^\\w-]href="([^"]*)"', 1) ||
+          regexp_extract_all(html_links, '(?i)[^\\w-]href=''([^'']*)''', 1))
+          AS href
+        FROM h"""
+
+  /** `pageRank` replayed: the host graph from the md5-url fixture (two
+    * picked outlinks per doc), then three unrolled integer iterations —
+    * contrib floor-div, dangling mass share, 85/100 damping — every
+    * round CTE MATERIALIZED.
+    */
+  private lazy val pageRankOracle = {
+    val iters = 3
+    val scale = "1000000000000"
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH $urlCte,
+          hh AS (SELECT doc_id, ${hostSql("url")} AS host FROM urls),
+          e0 AS (SELECT host AS src,
+                   'www.site' || ${pickSqlOf("-l1", 40)}::VARCHAR ||
+                     '.com' AS dst
+                 FROM hh
+                 UNION ALL
+                 SELECT host,
+                   'site' || ${pickSqlOf("-l2", 40)}::VARCHAR || '.org'
+                 FROM hh),
+          e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0
+                             WHERE src IS NOT NULL AND dst IS NOT NULL),
+          nodes AS MATERIALIZED (SELECT src AS node FROM e
+                                 UNION SELECT dst FROM e),
+          nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+          deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+                               FROM e GROUP BY 1),
+          r0 AS MATERIALIZED (SELECT node,
+                 $scale // (SELECT n FROM nn) AS pr_rank FROM nodes)"""
+    (1 to iters).foreach { i =>
+      val pr = s"r${i - 1}"
+      sb ++=
+        s""",
+          d$i AS MATERIALIZED (
+            SELECT COALESCE(sum(pr_rank), 0) // (SELECT n FROM nn) AS ds
+            FROM $pr ANTI JOIN deg USING (node)),
+          s$i AS MATERIALIZED (
+            SELECT e.dst AS node, sum((r.pr_rank // deg.deg)) AS s
+            FROM $pr r JOIN deg USING (node) JOIN e ON e.src = r.node
+            GROUP BY 1),
+          r$i AS MATERIALIZED (
+            SELECT n.node,
+              (($scale * 15) // 100) // (SELECT n FROM nn)
+                + (85 * (COALESCE(s.s, 0) + (SELECT ds FROM d$i))) // 100
+                AS pr_rank
+            FROM nodes n LEFT JOIN s$i s USING (node))"""
+    }
+    sb ++= s"""
+        SELECT node, pr_rank FROM r$iters"""
+    sb.toString
   }
 
   /** `epochPlan` replayed: per-source token totals, 1e6-quanta sqrt

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ml.Graphs
+
+/** Link-graph operators: PageRank's exact integer iterations must rank
+  * hubs above leaves, survive dangling nodes, and be partition-order
+  * independent; href extraction must handle both quote forms and any
+  * attribute case.
+  */
+class GraphsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("pageRank: the pointed-at hub outranks the pointers") {
+    // a, b, c, d all link to hub; hub links to a (so it isn't dangling)
+    val edges = Seq(
+      ("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+      ("hub", "a")).toDF("src", "dst")
+    val r = Graphs.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.size == 5)
+    assert(Seq("a", "b", "c", "d").forall(v => r("hub") > r(v)),
+      r.toString)
+    // a receives the hub's whole mass, so it outranks b/c/d
+    assert(r("a") > r("b") && r("b") == r("c") && r("c") == r("d"))
+  }
+
+  test("pageRank: dangling sinks keep and redistribute mass") {
+    // sink has no outlinks: its mass must re-enter the graph instead of
+    // silently accumulating or erroring
+    val edges = Seq(("a", "sink"), ("b", "sink")).toDF("src", "dst")
+    val r = Graphs.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("sink") > r("a"), r.toString)
+    assert(r.values.forall(_ > 0), "every node keeps positive rank")
+  }
+
+  test("pageRank: exact integers make topology irrelevant") {
+    val edges = (1 to 60).map(i => (s"n${i % 12}", s"n${(i * 7) % 12}"))
+      .toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graphs.pageRank(df, "src", "dst", iters = 4)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(run(edges.repartition(13)) == run(edges.coalesce(1)))
+  }
+
+  test("extractLinks: both quote forms, any case, multiple per doc") {
+    val html = Seq((1L,
+      """<a href="x.com">1</a> <A HREF='y.org'>2</A> href=z notattr""" +
+        """ <a data-href="no">n</a> <a href="">empty</a>"""))
+      .toDF("id", "html")
+    val links = Graphs.extractLinks(html, "html", "id")
+      .collect().map(_.getString(1)).toSeq
+    assert(links.sorted == Seq("", "x.com", "y.org"),
+      s"got $links: bare href= and data-href must not match; " +
+        "empty quoted values do")
+  }
+}

@@ -376,14 +376,17 @@ object Dedup {
   def winnowingPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, w: Int = 4, minShared: Int = 2,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val fpAll = winnowing(df, textCol, idCol, k, w)
-      .select(col(idCol), col("fp")).distinct()
+    // pinned: the a-side, b-side (and the doc-freq probe) all read the
+    // fingerprint frame — unpinned, the whole winnowing subtree would
+    // recompute per leg
+    val fpAll = CacheLifecycle.pin(winnowing(df, textCol, idCol, k, w)
+      .select(col(idCol), col("fp")).distinct())
     val fp = maxDocFreq match {
       case None => fpAll
       case Some(cap) =>
         val hot = fpAll.groupBy("fp").agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select("fp")
-        fpAll.join(hot, Seq("fp"), "left_anti")
+        CacheLifecycle.pin(fpAll.join(hot, Seq("fp"), "left_anti"))
     }
     fp.select(col(idCol).as("id_a"), col("fp"))
       .join(fp.select(col(idCol).as("id_b"), col("fp")), "fp")

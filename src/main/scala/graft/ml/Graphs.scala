@@ -58,17 +58,21 @@ object Graphs {
       .localCheckpoint(true)
     (1 to iters).foreach { _ =>
       val withDeg = ranks.join(outdeg, Seq("node"), "left")
+      // the dangling mass rides as a broadcast 1-row frame instead of a
+      // separate driver action — one job per iteration (the eager
+      // checkpoint), not two
       val dangling = withDeg.where(col("deg").isNull)
-        .agg(coalesce(sum(col("pr_rank")), lit(0L))).head.getLong(0) / n
+        .agg(expr(s"coalesce(sum(pr_rank), 0L) div ${n}L").as("ds"))
       val sums = withDeg.where(col("deg").isNotNull)
         .select(col("node").as("src"),
           expr("pr_rank div deg").as("c"))
         .join(e, "src")
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
       val next = nodes.join(sums, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit(base) +
-            expr(s"(85 * (coalesce(s, 0L) + ${dangling}L)) div 100"))
+            expr("(85 * (coalesce(s, 0L) + ds)) div 100"))
             .as("pr_rank"))
         .localCheckpoint(true)
       CacheLifecycle.releaseCheckpoint(ranks)

@@ -1532,17 +1532,19 @@ object Round12Queries {
       sb ++=
         s""",
           d$i AS MATERIALIZED (
-            SELECT COALESCE(sum(pr_rank), 0) // (SELECT n FROM nn) AS ds
+            SELECT CAST(COALESCE(sum(pr_rank), 0) // (SELECT n FROM nn)
+                   AS BIGINT) AS ds
             FROM $pr ANTI JOIN deg USING (node)),
           s$i AS MATERIALIZED (
-            SELECT e.dst AS node, sum((r.pr_rank // deg.deg)) AS s
+            SELECT e.dst AS node,
+                   CAST(sum((r.pr_rank // deg.deg)) AS BIGINT) AS s
             FROM $pr r JOIN deg USING (node) JOIN e ON e.src = r.node
             GROUP BY 1),
           r$i AS MATERIALIZED (
             SELECT n.node,
-              (($scale * 15) // 100) // (SELECT n FROM nn)
+              CAST((($scale * 15) // 100) // (SELECT n FROM nn)
                 + (85 * (COALESCE(s.s, 0) + (SELECT ds FROM d$i))) // 100
-                AS pr_rank
+                AS BIGINT) AS pr_rank
             FROM nodes n LEFT JOIN s$i s USING (node))"""
     }
     sb ++= s"""
@@ -1581,10 +1583,12 @@ object Round12Queries {
       sb ++=
         s""",
           a$j AS MATERIALIZED (SELECT w.source, w.cap,
-                    (($EpochBudget - (SELECT COALESCE(sum(take), 0)
-                                      FROM $pc)) * w.w6)
-                      // (SELECT sum(w2.w6) FROM w w2
-                         ANTI JOIN $pc USING (source)) AS a
+                    CAST((($EpochBudget -
+                           CAST((SELECT COALESCE(sum(take), 0) FROM $pc)
+                                AS BIGINT)) * w.w6)
+                      // CAST((SELECT sum(w2.w6) FROM w w2
+                               ANTI JOIN $pc USING (source)) AS BIGINT)
+                      AS BIGINT) AS a
                   FROM w ANTI JOIN $pc USING (source)),
           c$j AS MATERIALIZED (SELECT * FROM $pc UNION ALL
                   SELECT source, cap AS take FROM a$j WHERE a > cap)"""
@@ -1592,9 +1596,10 @@ object Round12Queries {
     sb ++=
       s"""
         SELECT w.source, w.n AS n_tokens,
-               COALESCE(c.take, LEAST(f.a, w.cap)) AS take_tokens,
-               COALESCE(c.take, LEAST(f.a, w.cap)) * 1000000 // w.n
-                 AS epochs_ppm
+               CAST(COALESCE(c.take, LEAST(f.a, w.cap)) AS BIGINT)
+                 AS take_tokens,
+               CAST(COALESCE(c.take, LEAST(f.a, w.cap)) * 1000000 // w.n
+                 AS BIGINT) AS epochs_ppm
         FROM w
         LEFT JOIN c$rounds c USING (source)
         LEFT JOIN a${rounds + 1} f USING (source)"""

@@ -98,4 +98,47 @@ object Graphs {
         lit("(?i)[^\\w-]href='([^']*)'"), lit(1)))
     df.select(col(idCol), explode(hrefs).as("href"))
   }
+
+  /** (href, anchor-text) pairs from raw HTML — the link graph's second
+    * signal: anchor text describes the TARGET page (anchor-text
+    * indexing), so quality/topic signals aggregate per target. Matches
+    * `<a ... href="u" ...>text</a>` where the anchor body has no nested
+    * tags (RE2-safe; nested-markup anchors are out of the regex
+    * contract, like htmlToText's recovery limits). Two aligned
+    * `regexp_extract_all` passes of the SAME pattern zip positionally —
+    * RE2 and Java find non-overlapping matches in the same order.
+    * Returns idCol + (href, anchor). A narrow map + one explode.
+    */
+  def extractAnchors(df: DataFrame, htmlCol: String,
+      idCol: String): DataFrame = {
+    def pairs(pat: String) = zip_with(
+      regexp_extract_all(col(htmlCol), lit(pat), lit(1)),
+      regexp_extract_all(col(htmlCol), lit(pat), lit(2)),
+      (u, t) => struct(u.as("href"), t.as("anchor")))
+    val dq = "(?i)<a[^>]*[^\\w-]href=\"([^\"]*)\"[^>]*>([^<]*)</a"
+    val sq = "(?i)<a[^>]*[^\\w-]href='([^']*)'[^>]*>([^<]*)</a"
+    df.select(col(idCol),
+        explode(concat(pairs(dq), pairs(sq))).as("__z"))
+      .select(col(idCol), col("__z.href").as("href"),
+        col("__z.anchor").as("anchor"))
+  }
+
+  /** Per-target-domain anchor index: every anchor text pointing at a
+    * registrable domain, aggregated as (domain, n_links, anchors) with
+    * the anchor list SORTED and capped at `maxAnchors` (deterministic
+    * across topologies; the cap bounds per-domain state — popular
+    * domains attract unbounded in-links at crawl scale). One narrow
+    * extraction map + one partial hash aggregate.
+    */
+  def anchorIndex(links: DataFrame, hrefCol: String, anchorCol: String,
+      maxAnchors: Int = 20): DataFrame =
+    links.select(
+        Curation.registrableDomain(Curation.extractHost(col(hrefCol)))
+          .as("domain"),
+        col(anchorCol).as("__a"))
+      .where(col("domain").isNotNull)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_links"),
+        slice(array_sort(collect_list(col("__a"))), 1, maxAnchors)
+          .as("anchors"))
 }

@@ -1363,6 +1363,22 @@ object Round12Queries {
         "html_links", "doc_id")
     },
 
+    Q.fn("q_extract_anchors", anchorsOracle) { (spark, sf) =>
+      graft.ml.Graphs.extractAnchors(
+        withLinkHtml(Tables.load(spark, sf, "documents")),
+        "html_links", "doc_id")
+    },
+
+    Q.fn("q_anchor_index", anchorIndexOracle) { (spark, sf) =>
+      graft.ml.Graphs.anchorIndex(
+        graft.ml.Graphs.extractAnchors(
+          withLinkHtml(Tables.load(spark, sf, "documents")),
+          "html_links", "doc_id"),
+        "href", "anchor")
+        .select(col("domain"), col("n_links"),
+          to_json(col("anchors")).as("anchors"))
+    },
+
     Q.fn("q_pagerank", pageRankOracle) { (spark, sf) =>
       val u = withUrl(Tables.load(spark, sf, "documents"))
         .withColumn("src", Curation.extractHost(col("url")))
@@ -1480,23 +1496,70 @@ object Round12Queries {
     df.withColumn("html_links", concat(
       lit("<p>see <a href=\"https://www.site"),
       pick("-l1", 40).cast("string"),
-      lit(".com/a\">one</a> and <A HREF='http://site"),
+      lit(".com/a\">a"),
+      pick("-a1", 30).cast("string"),
+      lit("</a> and <A HREF='http://site"),
       pick("-l2", 40).cast("string"),
-      lit(".org/b?x=1'>two</A></p>")))
+      lit(".org/b?x=1'>b"),
+      pick("-a2", 30).cast("string"),
+      lit("</A></p>")))
 
-  private lazy val linksOracle =
-    s"""WITH h AS (SELECT doc_id,
+  private lazy val linkHtmlCte =
+    s"""h AS (SELECT doc_id,
            '<p>see <a href="https://www.site' ||
              ${pickSqlOf("-l1", 40)}::VARCHAR ||
-             '.com/a">one</a> and <A HREF=''http://site' ||
+             '.com/a">a' || ${pickSqlOf("-a1", 30)}::VARCHAR ||
+             '</a> and <A HREF=''http://site' ||
              ${pickSqlOf("-l2", 40)}::VARCHAR ||
-             '.org/b?x=1''>two</A></p>' AS html_links
-         FROM documents)
+             '.org/b?x=1''>b' || ${pickSqlOf("-a2", 30)}::VARCHAR ||
+             '</A></p>' AS html_links
+         FROM documents)"""
+
+  private lazy val linksOracle =
+    s"""WITH $linkHtmlCte
         SELECT doc_id, unnest(
           regexp_extract_all(html_links, '(?i)[^\\w-]href="([^"]*)"', 1) ||
           regexp_extract_all(html_links, '(?i)[^\\w-]href=''([^'']*)''', 1))
           AS href
         FROM h"""
+
+  private lazy val anchorsOracle = {
+    val dq = """(?i)<a[^>]*[^\w-]href="([^"]*)"[^>]*>([^<]*)</a"""
+    val sq = """(?i)<a[^>]*[^\w-]href=''([^'']*)''[^>]*>([^<]*)</a"""
+    s"""WITH $linkHtmlCte,
+         z AS (SELECT doc_id, unnest(
+                 list_zip(regexp_extract_all(html_links, '$dq', 1),
+                          regexp_extract_all(html_links, '$dq', 2)) ||
+                 list_zip(regexp_extract_all(html_links, '$sq', 1),
+                          regexp_extract_all(html_links, '$sq', 2)))
+                 AS z
+               FROM h)
+        SELECT doc_id, z[1] AS href, z[2] AS anchor FROM z"""
+  }
+
+  private lazy val anchorIndexOracle =
+    s"""WITH $linkHtmlCte,
+         z AS (SELECT doc_id, unnest(
+                 list_zip(
+                   regexp_extract_all(html_links,
+                     '(?i)<a[^>]*[^\\w-]href="([^"]*)"[^>]*>([^<]*)</a', 1),
+                   regexp_extract_all(html_links,
+                     '(?i)<a[^>]*[^\\w-]href="([^"]*)"[^>]*>([^<]*)</a', 2)) ||
+                 list_zip(
+                   regexp_extract_all(html_links,
+                     '(?i)<a[^>]*[^\\w-]href=''([^'']*)''[^>]*>([^<]*)</a', 1),
+                   regexp_extract_all(html_links,
+                     '(?i)<a[^>]*[^\\w-]href=''([^'']*)''[^>]*>([^<]*)</a', 2)))
+                 AS z
+               FROM h),
+         lk AS (SELECT z[1] AS href, z[2] AS anchor FROM z),
+         dh AS (SELECT ${hostSql("href")} AS hh, anchor FROM lk),
+         d AS (SELECT ${domainSql("hh")} AS domain, anchor FROM dh),
+         agg AS (SELECT domain, count(*) AS n_links,
+                        (list(anchor ORDER BY anchor))[1:20] AS an
+                 FROM d WHERE domain IS NOT NULL GROUP BY 1)
+        SELECT domain, n_links, to_json(an)::VARCHAR AS anchors
+        FROM agg"""
 
   /** `pageRank` replayed: the host graph from the md5-url fixture (two
     * picked outlinks per doc), then three unrolled integer iterations —

@@ -46,6 +46,30 @@ class GraphsSpec extends AnyFunSuite {
     assert(run(edges.repartition(13)) == run(edges.coalesce(1)))
   }
 
+  test("extractAnchors pairs hrefs with their text; index sorts + caps") {
+    val html = Seq(
+      (1L, """<a class=l href="http://a.com/x">Alpha</a>""" +
+        """ <A HREF='http://b.org'>Beta</A> <a href="http://a.com/y">Zed</a>"""),
+      (2L, """<a href="http://sub.a.com">Gamma</a> <a href="junk">j</a>"""))
+      .toDF("id", "html")
+    val anchors = Graphs.extractAnchors(html, "html", "id")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(anchors == Set(
+      ("http://a.com/x", "Alpha"), ("http://b.org", "Beta"),
+      ("http://a.com/y", "Zed"), ("http://sub.a.com", "Gamma"),
+      ("junk", "j")), anchors.toString)
+    val idx = Graphs.anchorIndex(
+      Graphs.extractAnchors(html, "html", "id"), "href", "anchor",
+      maxAnchors = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[String](2).toList))).toMap
+    // subdomain rolls into the registrable domain; unparseable href drops
+    assert(idx("a.com") == ((3L, List("Alpha", "Gamma"))),
+      s"sorted and capped at 2: $idx")
+    assert(idx("b.org") == ((1L, List("Beta"))))
+    assert(!idx.contains("junk") || idx.get("junk").isEmpty)
+  }
+
   test("extractLinks: both quote forms, any case, multiple per doc") {
     val html = Seq((1L,
       """<a href="x.com">1</a> <A HREF='y.org'>2</A> href=z notattr""" +

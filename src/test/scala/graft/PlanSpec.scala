@@ -403,6 +403,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("link extraction is a narrow map + explode — no exchange") {
+    val p = plan(q("q_extract_links"))
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("Generate"), p.take(1500)) // the explode
+  }
+
+  test("pagerank iterations are equi-joins over checkpointed ranks") {
+    val p = plan(q("q_pagerank"))
+    // the returned frame is the final checkpointed ranks — iterations
+    // already ran as equi-join + partial-agg rounds; nothing in the
+    // final plan may be a product or a window
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("winnowing selects via partial min_by, never a corpus window") {
     val p = plan(q("q_winnow_fingerprints"))
     // the per-window argmin is a partial aggregate keyed on (id, q) —

@@ -1391,6 +1391,21 @@ object Round12Queries {
       graft.ml.Graphs.pageRank(e1.union(e2), "src", "dst", iters = 3)
     },
 
+    Q.fn("q_domain_authority", domainAuthorityOracle) { (spark, sf) =>
+      val u = withUrl(Tables.load(spark, sf, "documents"))
+        .withColumn("src", Curation.extractHost(col("url")))
+      val e1 = u.select(col("src"),
+        concat(lit("www.site"), pick("-l1", 40).cast("string"),
+          lit(".com")).as("dst"))
+      val e2 = u.select(col("src"),
+        concat(lit("site"), pick("-l2", 40).cast("string"),
+          lit(".org")).as("dst"))
+      graft.ml.Graphs.pageRank(e1.union(e2), "src", "dst", iters = 3)
+        .groupBy(Curation.registrableDomain(col("node")).as("domain"))
+        .agg(sum(col("pr_rank")).as("authority"),
+          count(lit(1)).as("n_hosts"))
+    },
+
     Q.fn("q_epoch_plan", epochPlanOracle) { (spark, sf) =>
       Curation.epochPlan(Tables.load(spark, sf, "documents"),
         "source", "text", budgetTokens = EpochBudget,
@@ -1614,6 +1629,28 @@ object Round12Queries {
         SELECT node, pr_rank FROM r$iters"""
     sb.toString
   }
+
+  /** Host authority rolled up to registrable domains: the pageRank CTE
+    * chain (exact integer iterations) + the domain grouping with the
+    * cast integer rank sum — the "quality weight per domain" table a
+    * curation pass joins against.
+    */
+  private lazy val domainAuthorityOracle =
+    s"""$pageRankOracle0,
+         rolled AS (SELECT ${domainSql("node")} AS domain,
+                 CAST(sum(pr_rank) AS BIGINT) AS authority,
+                 count(*) AS n_hosts
+               FROM r3 GROUP BY 1)
+        SELECT domain, authority, n_hosts FROM rolled"""
+
+  /** The pageRank CTE chain WITHOUT the final select — shared by the
+    * rank query and the domain rollup.
+    */
+  private lazy val pageRankOracle0 =
+    pageRankOracle.stripSuffix(pageRankSelect)
+
+  private lazy val pageRankSelect = """
+        SELECT node, pr_rank FROM r3"""
 
   /** `epochPlan` replayed: per-source token totals, 1e6-quanta sqrt
     * weights (IEEE sqrt — bit-exact), and the water-filling loop

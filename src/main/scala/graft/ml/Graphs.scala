@@ -33,11 +33,12 @@ object Graphs {
     *
     * Scale shape: per iteration one equi-join of ranks with the edge
     * list (shuffle on src) and one partial-aggregated sum (shuffle on
-    * dst) — the standard distributed PageRank; the dangling mass is a
-    * 1-row scalar aggregate (bounded driver traffic), and
-    * `localCheckpoint` truncates the otherwise-growing plan per
-    * iteration exactly like `Dedup.components`. Returns (node, pr_rank) — named to stay clear of the
-    * `rank` window keyword in replay engines.
+    * dst) — the standard distributed PageRank; the dangling mass rides
+    * as a broadcast 1-row frame inside the same job (no per-iteration
+    * driver action), and `localCheckpoint` truncates the
+    * otherwise-growing plan per iteration exactly like
+    * `Dedup.components`. Returns (node, pr_rank) — named to stay clear
+    * of the `rank` window keyword in replay engines.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3): DataFrame = {

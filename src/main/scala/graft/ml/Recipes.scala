@@ -1,0 +1,94 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The standard crawl-curation recipe composed END TO END from the
+  * operator families — the one-call proof that the pieces fit: raw HTML
+  * pages with URLs in, a deduplicated quality-filtered corpus out, plus
+  * the per-stage funnel report every curation run ships with.
+  *
+  * Stage order is the one production pipelines use and the scaladocs of
+  * the parts assume: markup strips FIRST (dedup shingles over raw
+  * markup are markup shingles), domain kill-switches apply before
+  * paying any text analysis, rule filters (cheap, narrow) run before
+  * the learned classifier, and dedup runs LAST over the surviving
+  * high-quality text (URL-level exact before near-dup, so canonical
+  * twins never reach the band join).
+  *
+  * Orchestration notes: each stage's output is an EAGER localCheckpoint
+  * (registered with `CacheLifecycle`) — a plain persist does NOT
+  * truncate the analyzed plan, and because every stage joins two reads
+  * of its input the un-truncated lineage doubles per stage until plan
+  * STRINGIFICATION alone OOMs (the `components` lesson at pipeline
+  * scale). Per-stage counts are bounded scalar actions; every data
+  * pass is the underlying operator's documented distributed shape, and
+  * the composition itself adds only id-equi-joins. Call
+  * `CacheLifecycle.releaseAll()` when done with the returned frames
+  * (checkpointed lineage cannot recompute after release).
+  */
+object Recipes {
+
+  /** Run the full recipe. `seed` is the labeled seed set
+    * (`idCol`, `seedLabelCol` ∈ {0,1}) for the quality classifier —
+    * labels join against the post-markup text, so seed docs need not
+    * survive the later filters. Returns (kept corpus, funnel) where
+    * funnel = (step, stage, docs) after each stage.
+    */
+  def curate(df: DataFrame, idCol: String, htmlCol: String,
+      urlCol: String, blocklist: DataFrame, seed: DataFrame,
+      seedLabelCol: String, minJaccard: Double = 0.8,
+      badWords: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
+    val funnel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def stage(name: String)(d: DataFrame): DataFrame = {
+      val cp = d.localCheckpoint(true)
+      CacheLifecycle.pinCheckpointed(cp)
+      funnel += name -> cp.count()
+      cp
+    }
+    val in = stage("input")(df)
+    val texted = stage("html_to_text")(
+      in.withColumn("text_clean", Curation.htmlToText(col(htmlCol)))
+        .where(col("text_clean").isNotNull && col("text_clean") =!= ""))
+    val unblocked = stage("blocklist")(
+      Curation.applyDomainBlocklist(
+          texted.withColumn("__host", Curation.extractHost(col(urlCol))),
+          "__host", blocklist)
+        .where(!col("blocked"))
+        .drop("blocked", "blocked_by", "__host"))
+    val ruled = stage("quality_rules")(
+      unblocked.drop("text_clean").join(
+        Curation.qualityPipeline(unblocked, "text_clean", idCol, badWords)
+          .where(col("keep")).select(col(idCol), col("text_clean")),
+        Seq(idCol)))
+    // the classifier trains on the POST-MARKUP text of the seed ids
+    val labeled = texted.select(col(idCol), col("text_clean"))
+      .join(seed.select(col(idCol), col(seedLabelCol)), Seq(idCol))
+    val model = Classifier.train(labeled, "text_clean", seedLabelCol,
+      idCol)
+    val cut = Classifier.tuneThreshold(labeled, "text_clean",
+      seedLabelCol, idCol, model)
+    val scored = stage("classifier")(
+      ruled.join(
+        Classifier.score(ruled, "text_clean", idCol, model)
+          .where(floor(col("score") * 1000).cast("int") >=
+            lit(cut.cutBucket))
+          .select(col(idCol)),
+        Seq(idCol)))
+    val urlKept = stage("url_dedup")(
+      scored.join(
+        Curation.dedupUrls(scored, urlCol, idCol)
+          .where(col("keep")).select(col(idCol)),
+        Seq(idCol)))
+    val nearKept = stage("near_dedup")(
+      urlKept.join(
+        Dedup.dedupNear(urlKept, "text_clean", idCol, minJaccard)
+          .where(col("keep")).select(col(idCol)),
+        Seq(idCol)))
+    import df.sparkSession.implicits._
+    val report = funnel.zipWithIndex
+      .map { case ((name, docs), i) => (i, name, docs) }.toSeq
+      .toDF("step", "stage", "docs")
+    (nearKept, report)
+  }
+}

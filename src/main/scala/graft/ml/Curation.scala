@@ -237,7 +237,12 @@ object Curation {
     *
     * All arithmetic is exact integers (weights are 1e6-quanta sqrt —
     * IEEE sqrt is exactly specified, so the fixed-point weights replay
-    * bit-for-bit; shares are BIGINT floor divisions), so the plan is
+    * bit-for-bit; shares are floor divisions whose budget×weight
+    * NUMERATOR is computed in BigInt — at a realistic 1e9-token budget
+    * over a 100M-token source the product is ~1e19, past 2^63, and a
+    * 64-bit multiply would wrap silently into negative takes; the
+    * replaying engine must widen the same product, e.g. HUGEINT), so
+    * the plan is
     * identical in any engine and any topology. The per-source stats are
     * ONE partial-aggregated pass; the fill loop is driver math over a
     * require-bounded source list (sources are config-scale, like
@@ -252,8 +257,6 @@ object Curation {
       maxSources: Int = 100000): DataFrame = {
     require(budgetTokens > 0, s"epochPlan: budget must be > 0")
     require(maxEpochs >= 1, s"epochPlan: maxEpochs must be >= 1")
-    require(budgetTokens <= 1000000000000L,
-      "epochPlan: budget beyond 1e12 tokens risks 64-bit share overflow")
     val per = df.groupBy(col(sourceCol))
       .agg(sum(size(tokens(col(textCol)))).as("n_tokens"))
       .limit(maxSources + 1).collect()
@@ -268,25 +271,31 @@ object Curation {
         .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
     }.toMap
     val cap = rows.map { case (s, nn) => s -> maxEpochs * nn }.toMap
+    // budget × weight overflows 64 bits long before the inputs look
+    // exotic (1e9 budget × 1e10 weight = 1e19) — the share numerator
+    // is BigInt, driver-side config-scale math, cost nil
+    def share(r: Long, s: String, bigW: BigInt): Long =
+      ((BigInt(r) * w6(s)) / bigW).toLong
     var capped = Map.empty[String, Long]
     var done = false
     while (!done) {
       val u = rows.collect { case (s, _) if !capped.contains(s) => s }
       if (u.isEmpty) done = true
       else {
-        val bigW = u.map(w6).sum
+        val bigW = u.map(s => BigInt(w6(s))).sum
         val r = budgetTokens - capped.values.sum
-        val newCaps = u.filter(s => r * w6(s) / bigW > cap(s))
+        val newCaps = u.filter(s => share(r, s, bigW) > cap(s))
         if (newCaps.isEmpty) done = true
         else capped ++= newCaps.map(s => s -> cap(s))
       }
     }
     val u = rows.collect { case (s, _) if !capped.contains(s) => s }
-    val bigW = math.max(u.map(w6).sum, 1L)
+    val bigW = u.map(s => BigInt(w6(s))).sum.max(BigInt(1))
     val r = budgetTokens - capped.values.sum
     val out = rows.map { case (s, nn) =>
-      val take = capped.getOrElse(s, math.min(r * w6(s) / bigW, cap(s)))
-      (s, nn, take, take * 1000000L / nn)
+      val take =
+        capped.getOrElse(s, math.min(share(r, s, bigW), cap(s)))
+      (s, nn, take, (BigInt(take) * 1000000L / nn).toLong)
     }.toSeq
     import df.sparkSession.implicits._
     out.toDF(sourceCol, "n_tokens", "take_tokens", "epochs_ppm")

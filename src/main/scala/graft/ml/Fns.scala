@@ -21,6 +21,15 @@ object Fns {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** Lower-cased WHITESPACE-RUN tokens with empties dropped — the
+    * Gopher/C4 "word" definition (Rae et al. 2021 count whitespace
+    * words, so a token never spans a newline and runs of spaces never
+    * mint empty words). Distinct from [[tokens]] (single-space split),
+    * which the shingle/DSIR/BPE families keep for replay stability.
+    */
+  def wsTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
   /** Distinct k-word shingles of the token array. O(1) `get` accesses per
     * shingle. IMPORTANT: pass a *materialized column* (projected in a prior
     * select), not an inline `split(...)` expression — Catalyst inlines

@@ -138,20 +138,25 @@ object TextAnalysis {
     *  - `word_count_ok`:    50 ≤ words ≤ 100,000
     *  - `mean_word_len_ok`: 3 ≤ mean word chars ≤ 10
     *    (3·words ≤ word chars ≤ 10·words)
-    *  - `symbol_ratio_ok`:  ('#' count + '...' count)·10 ≤ words
+    *  - `symbol_ratio_ok`:  '#' count·10 ≤ words AND '...' count·10 ≤
+    *    words (the paper applies the 0.1 symbol-to-word threshold to
+    *    EACH symbol separately)
     *  - `bullet_lines_ok`:  lines starting with a bullet (•, -, star) ≤ 90 %
     *  - `ellipsis_lines_ok`: lines ending in '...'/'…' ≤ 30 %
     *  - `alpha_words_ok`:   words with ≥ 1 alphabetic char ≥ 80 %
     *  - `stopword_ok`:      ≥ 2 distinct Gopher stop words present
-    * `gopher_keep` is their conjunction. All per-row array/string
-    * expressions — zero shuffle; the bounded HOF passes (word-char
-    * sum, line/word filters) run once per row over document-length
-    * arrays.
+    * `gopher_keep` is their conjunction. Words are WHITESPACE words
+    * ([[Fns.wsTokens]]: `\s+` split, empties dropped) — the same
+    * definition [[gopherRepetitionRules]] uses, so one cascade never
+    * disagrees with itself about what a word is, and a token never
+    * fuses across a newline. All per-row array/string expressions —
+    * zero shuffle; the bounded HOF passes (word-char sum, line/word
+    * filters) run once per row over document-length arrays.
     */
   def gopherRules(df: DataFrame, textCol: String): DataFrame = {
     val text = col(textCol)
     val withT = df
-      .withColumn("__w", tokens(text))
+      .withColumn("__w", wsTokens(text))
       .withColumn("__l", split(text, "\n"))
     val w = col("__w")
     val lines = col("__l")
@@ -173,7 +178,7 @@ object TextAnalysis {
       "word_count_ok" -> (nW >= 50 && nW <= 100000),
       "mean_word_len_ok" ->
         (wordChars >= nW * 3 && wordChars <= nW * 10),
-      "symbol_ratio_ok" -> ((hashes + ellipses) * 10 <= nW),
+      "symbol_ratio_ok" -> (hashes * 10 <= nW && ellipses * 10 <= nW),
       "bullet_lines_ok" -> (bullets * 10 <= nL * 9),
       "ellipsis_lines_ok" -> (ellLines * 10 <= nL * 3),
       "alpha_words_ok" -> (alphaWords * 5 >= nW * 4),
@@ -202,7 +207,9 @@ object TextAnalysis {
     *    element count); `dup_line_char_ok` ≤ 20 %,
     *    `dup_para_char_ok` ≤ 20 % (by characters).
     *  - top n-gram (n = 2,3,4): characters covered by the single most
-    *    frequent word n-gram — count × n-gram chars (tokens only, no
+    *    frequent word n-gram (argmax by occurrence count; count ties
+    *    break on the lexicographically greatest gram, so the pick is
+    *    engine-deterministic) — count × n-gram chars (tokens only, no
     *    separators) over total word chars — ≤ 20 / 18 / 16 %.
     *  - duplicate n-grams (n = 5…10): characters of tokens covered by
     *    ANY occurrence of any n-gram that appears more than once,
@@ -230,8 +237,7 @@ object TextAnalysis {
     val id = col(idCol)
     val base = df.select(id,
       coalesce(col(textCol), lit("")).as("__text"))
-      .withColumn("__w",
-        filter(split(lower(col("__text")), " "), t => t =!= ""))
+      .withColumn("__w", wsTokens(col("__text")))
 
     // ---- per-row line/paragraph duplicate stats (no shuffle) ----
     def charSum(a: Column): Column =
@@ -269,13 +275,23 @@ object TextAnalysis {
     val counts = occ.groupBy(id, col("__n"), col("__g"))
       .agg(count(lit(1)).as("__c"))
 
-    // top n-gram chars (n = 2..4): count × (gram chars minus the n−1
-    // separators), conditional-max pivoted to one row per doc
-    val gramChars = col("__c") * (length(col("__g")) - (col("__n") - 1))
+    // top n-gram chars (n = 2..4): the chars covered by the single
+    // MOST FREQUENT n-gram — argmax by count, ties broken by the
+    // lexicographically greatest gram so the pick is deterministic in
+    // every engine. One conditional struct-max per n (struct ordering
+    // is field-lexicographic: count first, gram second — exactly the
+    // tie-broken argmax), coverage = count × (gram chars minus the
+    // n−1 separators) of the winner.
     val topAggs = (2 to 4).map(n =>
-      max(when(col("__n") === n, gramChars)).as(s"__top$n"))
-    val tops = counts.where(col("__n") <= 4).groupBy(id)
+      max(when(col("__n") === n,
+        struct(col("__c"), col("__g")))).as(s"__ts$n"))
+    val tops0 = counts.where(col("__n") <= 4).groupBy(id)
       .agg(topAggs.head, topAggs.tail: _*)
+    val tops = (2 to 4).foldLeft(tops0) { case (acc, n) =>
+      acc.withColumn(s"__top$n",
+        col(s"__ts$n.__c") *
+          (length(col(s"__ts$n.__g")) - (n - 1)))
+    }.drop((2 to 4).map(n => s"__ts$n"): _*)
 
     // duplicate n-gram coverage (n = 5..10): token positions covered by
     // any occurrence of a >1-count gram, each position counted once

@@ -305,7 +305,8 @@ object Round12Queries {
     */
   private val gopherOracle =
     """WITH t0 AS (SELECT doc_id, text,
-                     string_split(lower(text), ' ') AS t,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '\s+'), x -> x <> '') AS t,
                      string_split(text, chr(10)) AS l
                    FROM documents),
         m AS (SELECT doc_id,
@@ -329,14 +330,14 @@ object Round12Queries {
        SELECT doc_id,
          (nw >= 50 AND nw <= 100000) AS word_count_ok,
          (wchars >= nw*3 AND wchars <= nw*10) AS mean_word_len_ok,
-         ((hashes + ells) * 10 <= nw) AS symbol_ratio_ok,
+         (hashes * 10 <= nw AND ells * 10 <= nw) AS symbol_ratio_ok,
          (bullets * 10 <= nl * 9) AS bullet_lines_ok,
          (elllines * 10 <= nl * 3) AS ellipsis_lines_ok,
          (alphaw * 5 >= nw * 4) AS alpha_words_ok,
          (stops >= 2) AS stopword_ok,
          ((nw >= 50 AND nw <= 100000)
           AND (wchars >= nw*3 AND wchars <= nw*10)
-          AND ((hashes + ells) * 10 <= nw)
+          AND (hashes * 10 <= nw AND ells * 10 <= nw)
           AND (bullets * 10 <= nl * 9)
           AND (elllines * 10 <= nl * 3)
           AND (alphaw * 5 >= nw * 4)
@@ -509,8 +510,8 @@ object Round12Queries {
     val keep = repConds.map(c => s"(${c._2})")
       .mkString("\n           AND ")
     s"""${p}t0 AS (SELECT doc_id,
-                  list_filter(string_split(lower($textCol), ' '),
-                    x -> x <> '') AS w,
+                  list_filter(regexp_split_to_array(lower($textCol),
+                    '\\s+'), x -> x <> '') AS w,
                   list_filter(string_split($textCol, chr(10)),
                     x -> x <> '') AS l,
                   list_filter(string_split($textCol, chr(10)||chr(10)),
@@ -539,11 +540,20 @@ object Round12Queries {
                  FROM ${p}occ0),
          ${p}cnt AS (SELECT doc_id, n, g, count(*) AS c FROM ${p}occ
                  GROUP BY 1, 2, 3),
+         -- argmax by count (ties: lexicographically greatest gram),
+         -- THEN that winner's char coverage — matches the Spark
+         -- struct-max (count, gram) ordering exactly
+         ${p}mx AS (SELECT doc_id, n, max(c) AS mc FROM ${p}cnt
+                  WHERE n <= 4 GROUP BY 1, 2),
+         ${p}tg AS (SELECT c.doc_id, c.n, m.mc, max(c.g) AS g
+                  FROM ${p}cnt c JOIN ${p}mx m
+                    ON c.doc_id = m.doc_id AND c.n = m.n AND c.c = m.mc
+                  GROUP BY 1, 2, 3),
          ${p}tops AS (SELECT doc_id,
-                    max(CASE WHEN n = 2 THEN c * (len(g)-1) END) AS top2,
-                    max(CASE WHEN n = 3 THEN c * (len(g)-2) END) AS top3,
-                    max(CASE WHEN n = 4 THEN c * (len(g)-3) END) AS top4
-                  FROM ${p}cnt WHERE n <= 4 GROUP BY 1),
+                    max(CASE WHEN n = 2 THEN mc * (len(g)-1) END) AS top2,
+                    max(CASE WHEN n = 3 THEN mc * (len(g)-2) END) AS top3,
+                    max(CASE WHEN n = 4 THEN mc * (len(g)-3) END) AS top4
+                  FROM ${p}tg GROUP BY 1),
          ${p}cov0 AS (SELECT doc_id, n, unnest(range(s, s + n)) AS pos
                   FROM ${p}occ JOIN ${p}cnt USING (doc_id, n, g)
                   WHERE n >= 5 AND c > 1),
@@ -625,7 +635,8 @@ object Round12Queries {
   private def gopherKeepChain(src: String, textCol: String, p: String)
       : String =
     s"""${p}g0 AS (SELECT doc_id, $textCol AS text,
-            string_split(lower($textCol), ' ') AS t,
+            list_filter(regexp_split_to_array(lower($textCol),
+              '\\s+'), x -> x <> '') AS t,
             string_split($textCol, chr(10)) AS l
           FROM $src),
         ${p}gm AS (SELECT doc_id,
@@ -1683,9 +1694,12 @@ object Round12Queries {
       sb ++=
         s""",
           a$j AS MATERIALIZED (SELECT w.source, w.cap,
-                    CAST((($EpochBudget -
+                    -- budget×weight widens to HUGEINT before the floor
+                    -- division, mirroring the engine's BigInt share
+                    -- numerator (a 64-bit product wraps at ~1e19)
+                    CAST((CAST(($EpochBudget -
                            CAST((SELECT COALESCE(sum(take), 0) FROM $pc)
-                                AS BIGINT)) * w.w6)
+                                AS BIGINT)) AS HUGEINT) * w.w6)
                       // CAST((SELECT sum(w2.w6) FROM w w2
                                ANTI JOIN $pc USING (source)) AS BIGINT)
                       AS BIGINT) AS a
@@ -1698,8 +1712,8 @@ object Round12Queries {
         SELECT w.source, w.n AS n_tokens,
                CAST(COALESCE(c.take, LEAST(f.a, w.cap)) AS BIGINT)
                  AS take_tokens,
-               CAST(COALESCE(c.take, LEAST(f.a, w.cap)) * 1000000 // w.n
-                 AS BIGINT) AS epochs_ppm
+               CAST(CAST(COALESCE(c.take, LEAST(f.a, w.cap)) AS HUGEINT)
+                 * 1000000 // w.n AS BIGINT) AS epochs_ppm
         FROM w
         LEFT JOIN c$rounds c USING (source)
         LEFT JOIN a${rounds + 1} f USING (source)"""

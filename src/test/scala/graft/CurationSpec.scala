@@ -736,6 +736,34 @@ class CurationSpec extends AnyFunSuite {
     assert(planOf(docs.repartition(7)) == plan)
   }
 
+  test("epochPlan: budget x weight beyond 2^63 must not wrap " +
+    "(BigInt share numerator)") {
+    import spark.implicits._
+    // 10,000-token source -> w6 = 1e8; budget 1e11 -> the share
+    // numerator is 1e19 > Long.MaxValue. 64-bit arithmetic wraps it
+    // negative (negative takes, empty cap set); the BigInt numerator
+    // yields the exact floor shares.
+    val docs = Seq(
+      ("a", "A", ("w " * 10000).trim),
+      ("b", "B", ("w " * 2500).trim)).toDF("id", "source", "text")
+    val plan = Curation.epochPlan(docs, "source", "text",
+      budgetTokens = 100000000000L, maxEpochs = 10000000)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // round 1 shares (1e19-numerator products): B's 1e11·5e7/1.5e8 =
+    // 3.33e10 exceeds its 2.5e10 cap -> B caps, the 7.5e10 surplus
+    // water-fills to A. The wrapped 64-bit product would find NO cap
+    // and emit negative takes.
+    assert(plan("A") == ((10000L, 75000000000L, 7500000000000L)))
+    assert(plan("B") == ((2500L, 25000000000L, 10000000000000L)))
+    // same budget with a binding cap: everything caps, takes stay
+    // positive and exact (the wrapped product would skip every cap)
+    val capped = Curation.epochPlan(docs, "source", "text",
+      budgetTokens = 100000000000L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(capped == Map("A" -> 40000L, "B" -> 10000L))
+  }
+
   test("htmlToText: scripts drop with content, entities decode once") {
     import spark.implicits._
     val rows = Seq(

@@ -600,4 +600,56 @@ class DedupSpec extends AnyFunSuite {
         maxExactWork = 100))
     assert(e2.getMessage.contains("ivfTopK"))
   }
+
+  test("gopherRules: words are whitespace words — newlines split, " +
+    "space runs mint no empties, symbol thresholds apply per symbol") {
+    import graft.ml.TextAnalysis
+    // 60 words joined by NEWLINES: under a space-only split this would
+    // be one giant fused token (word count 1, no stopword hit)
+    val newlined = ((1 to 52).map(i => s"word$i") ++
+      Seq("the", "of", "and", "that", "have", "with", "dog.", "cat"))
+      .mkString("\n")
+    // 60 words with double-space runs: empties must not count as words
+    val doubled = (1 to 60).map(i => s"word$i").mkString("  ")
+    // 5 '#' and 5 '...' over 60 words: combined (10·10 > 60) would
+    // reject; the published PER-SYMBOL rule keeps (50 ≤ 60 twice)
+    val good = Seq.fill(12)("the quick brown fox jumps").mkString(" ")
+    val perSym = good + " " + (Seq.fill(5)("#") ++ Seq.fill(5)("..."))
+      .mkString(" ")
+    val oneSym = good + " " + Seq.fill(7)("#").mkString(" ")
+    val rows = Seq((1L, newlined), (2L, doubled), (3L, perSym),
+      (4L, oneSym)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(rows, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("word_count_ok"),
+      "newline-separated words must each count")
+    assert(out(1L).getAs[Boolean]("stopword_ok"),
+      "a stopword after a newline must still hit")
+    assert(out(2L).getAs[Boolean]("word_count_ok"),
+      "space runs must not mint empty words")
+    assert(out(2L).getAs[Boolean]("mean_word_len_ok"),
+      "empty words must not drag the mean word length down")
+    assert(out(3L).getAs[Boolean]("symbol_ratio_ok"),
+      "each symbol under 10% separately must keep (combined-ratio " +
+        "math would reject this doc)")
+    assert(!out(4L).getAs[Boolean]("symbol_ratio_ok"),
+      "one symbol over 10% alone must reject")
+  }
+
+  test("gopherRepetitionRules: top n-gram is the MOST FREQUENT gram's " +
+    "coverage, not an upper bound over count x chars") {
+    import graft.ml.TextAnalysis
+    // (aa bb) x3 covers 12 chars; the once-only long gram
+    // (cccccccc dddddddd) covers 16. wchars = 64, threshold 20% ->
+    // argmax-by-count passes (1200 <= 1280) where the old
+    // max-over-all-grams formulation rejected (1600 > 1280).
+    val text = ("aa bb f1 aa bb f2 aa bb f3 cccccccc dddddddd " +
+      (1 to 10).map(i => f"g$i%02d").mkString(" "))
+    val out = TextAnalysis.gopherRepetitionRules(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().head
+    assert(out.getAs[Boolean]("top_2gram_ok"),
+      "coverage must come from the argmax-by-count gram (the paper's " +
+        "most-frequent n-gram), not a longer rarer one")
+  }
 }

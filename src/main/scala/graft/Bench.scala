@@ -36,13 +36,31 @@ object Bench {
     }
     // a throwing query must not masquerade as a fast one (an
     // AnalysisException fail-fast clocks ~0.07s — meaningless as a
-    // timing): record it under "errors" and EXCLUDE it from "queries"
+    // timing): record it under "errors" and EXCLUDE it from "queries".
+    //
+    // Each timed attempt is SELF-CONTAINED: releaseAll() first, so a
+    // query's number never depends on the cache/storage pressure the
+    // other ~190 queries left behind (the round-12 artifact swung
+    // 115.6 -> 235.4s on identical code from exactly that coupling —
+    // six queries absorbed ~95s of storage-pool eviction). Two
+    // attempts, best-of-2: the floor of two cold-cache runs is stable
+    // where a single sample rides ambient load; cold JIT/codegen is
+    // already amortized by the warmup pass above. HISTORY BREAK:
+    // per-query numbers from round 13 on are cold-cache best-of-2 and
+    // NOT comparable with BENCH_r12 and earlier single-pass
+    // shared-cache timings (see SCALING.md, round-13 notes).
     var errors = List.empty[String]
     val results = queries.flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => errors ::= name; false }
-      if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
+      def attempt(): Option[Double] = {
+        graft.ml.CacheLifecycle.releaseAll()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+      val ts = Seq(attempt(), attempt()).flatten
+      if (ts.isEmpty) { errors ::= name; None }
+      else Some(name -> ts.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -37,9 +37,9 @@ object Verify {
       }
       // the parquet dump is written — release this query's ml-internal
       // pins (band tables, signatures, codebooks) instead of letting ~150
-      // queries' caches pile onto the storage pool. Bench deliberately
-      // does NOT do this: its timed pass reuses the warmup's pins, and
-      // releasing would inflate timings against the recorded history.
+      // queries' caches pile onto the storage pool. Bench does the same
+      // before each timed attempt (since round 13), for the same
+      // isolation reason.
       graft.ml.CacheLifecycle.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -107,7 +107,7 @@ object Bpe {
       merges: Seq[(String, String)]): DataFrame = {
     require(merges.size <= 256,
       s"bpeEncode: merge chain too long (${merges.size}); " +
-        "use a trie-based encoder beyond 256 merges")
+        "use bpeEncodeLarge beyond 256 merges")
     val toks = df.select(col(idCol),
       explode_outer(filter(tokens(col(textCol)), t => t =!= ""))
         .as("__word"))
@@ -125,5 +125,110 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(sum(col("__one")).as("n_tokens"),
         sum(col("__pieces")).as("n_bpe_pieces"))
+  }
+
+  /** The production encoder for REAL-tokenizer merge tables (30k+
+    * merges), where [[bpeEncode]]'s one-`regexp_replace`-per-merge
+    * expression chain cannot go (it caps at 256). Same contract and
+    * output as [[bpeEncode]] — (idCol, n_tokens, n_bpe_pieces) — and
+    * bit-identical results for ANY merge list, because the per-word
+    * loop simulates the pass-by-rank semantics exactly rather than the
+    * common min-rank-first heuristic: rank k fires only at its turn in
+    * ascending rank order, newly created pair occurrences only arm
+    * ranks LATER than the pass that created them, and each firing is
+    * one left-to-right non-overlapping sweep (the `replace`-all
+    * contract). Min-rank-first is equivalent only for "layered" tables
+    * where no later merge re-produces an earlier pair's side; learned
+    * tables can violate that (two different pairs may concatenate to
+    * the same symbol string), so the simulation does not assume it.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT word table
+    * before any per-word work (the same argument as [[bpeTrain]] —
+    * encoding is a function of the vocabulary), each distinct word is
+    * encoded once in a `mapPartitions` loop over the broadcast
+    * rank table (config-scale: ~1 MB for 30k merges), and the piece
+    * counts equi-join back to the token occurrences (shuffle on the
+    * word — the honest price; no corpus-size driver state, no window).
+    * Per-word cost is O(fired-merges × word length + pairs·log) —
+    * words are short; a pathological unbroken megabyte "word" costs
+    * O(len²) like any BPE encoder would.
+    */
+  def bpeEncodeLarge(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeLarge: empty merge list")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mergeArr = merges.toArray
+    // every rank of every pair (a learned table CAN repeat a pair;
+    // each occurrence is its own pass)
+    val rankIndex: Map[(String, String), Array[Int]] = merges.zipWithIndex
+      .groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._2 + 1).sorted.toArray }
+    val bcMerges = spark.sparkContext.broadcast(mergeArr)
+    val bcRanks = spark.sparkContext.broadcast(rankIndex)
+    val toks = df.select(col(idCol),
+      explode_outer(filter(tokens(col(textCol)), t => t =!= ""))
+        .as("__word"))
+    val pieces = toks.where(col("__word").isNotNull)
+      .select(col("__word")).distinct().as[String]
+      .mapPartitions { it =>
+        val m = bcMerges.value
+        val r = bcRanks.value
+        it.map(w => (w, encodePieces(w, m, r)))
+      }.toDF("__word", "__pieces")
+    toks.join(pieces, Seq("__word"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(when(col("__word").isNull, 0).otherwise(1))
+          .as("n_tokens"),
+        sum(coalesce(col("__pieces"), lit(0))).as("n_bpe_pieces"))
+  }
+
+  /** Exact pass-by-rank encode of one word; returns the piece count.
+    * A TreeSet of armed ranks stands in for scanning all N passes:
+    * initially every adjacent pair arms all its ranks; popping the
+    * minimum visits passes in ascending order; a sweep that fires
+    * re-arms only ranks GREATER than the current pass (an occurrence
+    * created during pass k missed every pass ≤ k — exactly the chained
+    * `regexp_replace` semantics). Stale armed ranks (pair destroyed by
+    * an earlier pass) sweep zero matches, matching the no-op pass.
+    */
+  private[ml] def encodePieces(word: String,
+      merges: Array[(String, String)],
+      ranks: Map[(String, String), Array[Int]]): Int = {
+    var syms = word.toCharArray.map(_.toString)
+    if (syms.length < 2) return syms.length
+    val armed = new java.util.TreeSet[Integer]()
+    def arm(l: String, r: String, after: Int): Unit =
+      ranks.get((l, r)).foreach { rs =>
+        var i = 0
+        while (i < rs.length) {
+          if (rs(i) > after) armed.add(rs(i))
+          i += 1
+        }
+      }
+    var i = 0
+    while (i < syms.length - 1) { arm(syms(i), syms(i + 1), 0); i += 1 }
+    while (!armed.isEmpty) {
+      val k = armed.pollFirst()
+      val (l, r) = merges(k - 1)
+      // one left-to-right non-overlapping sweep (replace-all contract)
+      var changed = false
+      val out = new scala.collection.mutable.ArrayBuffer[String](
+        syms.length)
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+          out += l + r; j += 2; changed = true
+        } else { out += syms(j); j += 1 }
+      }
+      if (changed) {
+        syms = out.toArray
+        var p = 0
+        while (p < syms.length - 1) {
+          arm(syms(p), syms(p + 1), k); p += 1
+        }
+      }
+    }
+    syms.length
   }
 }

@@ -45,4 +45,63 @@ class BpeSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 15L)))
     assert(out(4L) == ((0L, 0L)), "null text keeps a zero row")
   }
+
+  test("bpeEncodeLarge == bpeEncode on learned merges (equivalence)") {
+    val richer = docs.union(Seq(
+      (5L, "lowest newest lowest slowest"),
+      (6L, "we sew news lower")).toDF("doc_id", "text"))
+    val merges = Bpe.bpeTrain(richer, "text", numMerges = 12)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val chain = rows(Bpe.bpeEncode(richer, "text", "doc_id", merges))
+    val large = rows(Bpe.bpeEncodeLarge(richer, "text", "doc_id", merges))
+    assert(large == chain,
+      s"pass-by-rank simulation must match the replace chain: " +
+        s"$large vs $chain")
+  }
+
+  test("bpeEncodeLarge: PASS semantics, not min-rank-first — an " +
+    "earlier pass never fires on a pair a later pass creates") {
+    // merges: rank 1 (ab, c), rank 2 (a, b). Chain: pass 1 no-op (no
+    // 'ab' symbol yet), pass 2 -> [ab, c] = 2 pieces. A min-rank-first
+    // encoder would then merge (ab, c) -> 1 piece — wrong.
+    val one = Seq((1L, "abc")).toDF("doc_id", "text")
+    val merges = Seq(("ab", "c"), ("a", "b"))
+    val chain = Bpe.bpeEncode(one, "text", "doc_id", merges)
+      .collect().head.getLong(2)
+    val large = Bpe.bpeEncodeLarge(one, "text", "doc_id", merges)
+      .collect().head.getLong(2)
+    assert(chain == 2L, s"chain ground truth: $chain")
+    assert(large == 2L,
+      "bpeEncodeLarge must not revisit a pass whose turn is gone")
+    // and a pair CREATED by an earlier pass must fire a later pass:
+    // rank 1 (a, b), rank 2 (ab, c) -> abc collapses to 1 piece
+    val fwd = Seq(("a", "b"), ("ab", "c"))
+    assert(Bpe.bpeEncodeLarge(one, "text", "doc_id", fwd)
+      .collect().head.getLong(2) == 1L)
+    // duplicate pair in the table: each occurrence is its own pass.
+    // ranks: 1 (a,b), 2 (c,ab), 3 (a,b) on "cabab": pass 1 merges both
+    // (a,b) L-to-R -> [c, ab, ab]; pass 2 -> [cab, ab]; pass 3 no-op
+    // (no bare a,b left) -> 2 pieces.
+    val dup = Seq((1L, "cabab")).toDF("doc_id", "text")
+    val dm = Seq(("a", "b"), ("c", "ab"), ("a", "b"))
+    assert(Bpe.bpeEncodeLarge(dup, "text", "doc_id", dm)
+      .collect().head.getLong(2) ==
+      Bpe.bpeEncode(dup, "text", "doc_id", dm)
+        .collect().head.getLong(2))
+  }
+
+  test("bpeEncode refuses >256 merges and names the scale path") {
+    val merges = (1 to 257).map(i => (s"x$i", "y"))
+    val e = intercept[IllegalArgumentException](
+      Bpe.bpeEncode(docs, "text", "doc_id", merges))
+    assert(e.getMessage.contains("bpeEncodeLarge"))
+    // bpeEncodeLarge takes the same list without complaint
+    assert(Bpe.bpeEncodeLarge(docs, "text", "doc_id", merges)
+      .count() == 4)
+  }
 }

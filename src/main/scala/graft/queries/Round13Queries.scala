@@ -74,10 +74,42 @@ object Round13Queries {
         FROM documents d LEFT JOIN enc USING (doc_id)"""
   }
 
+  /** `q_cbor_pipeline` replay: the wire chain is a lossless identity on
+    * JSON documents, so the oracle is the downstream pipeline over the
+    * plain table — any wire defect (lost field, mangled number, dropped
+    * row) breaks the compare.
+    */
+  private val cborOracle =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+       FROM documents WHERE regexp_matches(text, 'spark')"""
+
   val all: Seq[Q] = Seq(
     Q.fn("q_bpe_encode_large", bpeLargeOracle) { (spark, sf) =>
       Bpe.bpeEncodeLarge(Tables.load(spark, sf, "documents"),
         "text", "doc_id", largeMerges)
+    },
+
+    // the reference's Kafka wire format end to end: every fixture row
+    // serializes to gzip-CBOR (docs/serialisation.md:3), rides the
+    // decode fallback chain back to JSON, and feeds a normal
+    // aggregation pipeline — proving a json-streams deployment's
+    // topics are readable byte-for-byte
+    Q.fn("q_cbor_pipeline", cborOracle) { (spark, sf) =>
+      import graft.streaming.KafkaIo
+      val docs = Tables.load(spark, sf, "documents")
+      val decoded = docs
+        .select(KafkaIo.wireDecode(KafkaIo.wireEncode(
+          to_json(struct(col("doc_id"), col("text"))))).as("j"))
+        .select(from_json(col("j"),
+          org.apache.spark.sql.types.DataType.fromDDL(
+            "doc_id BIGINT, text STRING"))
+          .as("v"))
+        .select("v.*")
+      graft.op.Pipeline.run(decoded,
+        """[{"$match":{"text":{"$regex":"spark"}}},
+            {"$project":{"doc_id":1,
+              "n_chars":{"$toLong":{"$strLenCP":"$text"}}}}]""",
+        Tables.env(spark, sf))
     }
   )
 }

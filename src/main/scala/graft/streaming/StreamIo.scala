@@ -31,8 +31,12 @@ final class KafkaIo(bootstrap: String,
     val raw = options.get("maxPerSecond")
       .fold(reader)(r => reader.option("maxOffsetsPerTrigger", r))
       .load()
+      // wire decode (docs/serialisation.md:3): gunzip → CBOR → JSON,
+      // falling back to the UTF-8 string reading — a topic written by
+      // an existing json-streams deployment (gzip-CBOR values) and one
+      // written as plain JSON strings both read row by row
       .select(col("key").cast("string"),
-        col("value").cast("string").as("__raw"),
+        KafkaIo.wireDecode(col("value")).as("__raw"),
         // per-partition offset = the arrival order guarantee aggregates
         // reduce in (survives the groupByKey shuffle as __ord)
         col("offset").as("__ord"))
@@ -90,7 +94,13 @@ final class KafkaIo(bootstrap: String,
       val now =
         if (DelayedDelivery.hasDelay(df)) DelayedDelivery.immediate(df)
         else df
-      val out = toKafkaShape(now, asString)
+      // the value leaves as gzip-CBOR (the reference wire format)
+      // unless the part set `toString` — then the JSON text goes as-is
+      val shaped = toKafkaShape(now, asString)
+      val out =
+        if (asString) shaped
+        else shaped.withColumn("value",
+          KafkaIo.wireEncode(col("value")))
       val writer = out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("topic", name)
@@ -156,6 +166,19 @@ final class KafkaIo(bootstrap: String,
       else Nil)
     df.select(cols: _*)
   }
+}
+
+object KafkaIo {
+  import org.apache.spark.sql.functions.udf
+
+  /** Wire codec boundary (like the PPM/WAV codecs): per-row byte work no
+    * built-in expresses, so a Scala UDF is the honest shape — one narrow
+    * map at the transport edge, never in a relational hot path.
+    */
+  private[graft] val wireDecode =
+    udf((b: Array[Byte]) => graft.json.Wire.consume(b))
+  private[graft] val wireEncode =
+    udf((s: String) => graft.json.Wire.produce(s, asString = false))
 }
 
 /** Test Io over file streams + memory sinks: the golden-folder convention

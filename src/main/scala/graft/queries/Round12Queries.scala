@@ -503,7 +503,7 @@ object Round12Queries {
     * ends with `${p}rep` exposing doc_id, the 13 per-rule flags, and
     * rep_keep.
     */
-  private def repChain(src: String, textCol: String, p: String)
+  private[queries] def repChain(src: String, textCol: String, p: String)
       : String = {
     val flags = repConds.map { case (nm, c) => s"$c AS $nm" }
       .mkString(",\n          ")
@@ -591,9 +591,9 @@ object Round12Queries {
     * and the same page verdicts with ['offer'] as the fixture
     * blocklist.
     */
-  private val c4Sentences =
+  private[queries] val c4Sentences =
     "len(c4_text) - len(translate(c4_text, '.!?', ''))"
-  private val c4KeepParts = Seq(
+  private[queries] val c4KeepParts = Seq(
     s"($c4Sentences) >= 5",
     "NOT contains(lower(page), 'lorem ipsum')",
     "NOT contains(page, '{')",
@@ -602,20 +602,22 @@ object Round12Queries {
   /** The C4 line-filter CTE chain over `pages`: ends with `c` exposing
     * (doc_id, page, c4_text, n_kept_lines).
     */
-  private val c4Ctes =
+  private[queries] def c4CtesOver(src: String): String =
     s"""k AS (SELECT doc_id, page,
                  list_filter(string_split(page, chr(10)), l ->
                    regexp_matches(trim(l), '[.!?"]$$')
                    AND len(list_filter(string_split(trim(l), ' '),
                      t -> t <> '')) >= 3
                    AND NOT contains(lower(l), 'javascript')) AS kept
-               FROM pages),
+               FROM $src),
          c AS (SELECT doc_id, page,
                  -- DuckDB's array_to_string is NULL on an empty list;
                  -- Spark's array_join is '' — align on ''
                  coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
                  len(kept) AS n_kept_lines
                FROM k)"""
+
+  private val c4Ctes = c4CtesOver("pages")
 
   private val c4Oracle =
     s"""WITH $pageCte, $c4Ctes
@@ -632,7 +634,7 @@ object Round12Queries {
     * q_gopher_rules conjunction, CTE-prefixed; ends with `${p}gk`
     * exposing (doc_id, gopher_keep).
     */
-  private def gopherKeepChain(src: String, textCol: String, p: String)
+  private[queries] def gopherKeepChain(src: String, textCol: String, p: String)
       : String =
     s"""${p}g0 AS (SELECT doc_id, $textCol AS text,
             list_filter(regexp_split_to_array(lower($textCol),
@@ -968,7 +970,7 @@ object Round12Queries {
     * the near-dedup loop replay, name-prefixed so the chain can run
     * once per side (`src` must expose doc_id, text).
     */
-  private def sigCtes(name: String, src: String) = {
+  private[queries] def sigCtes(name: String, src: String) = {
     import MlQueries.{toksSql, shinglesSql, minhashSql, bandsSql}
     s"""${name}tok AS (SELECT doc_id, $toksSql AS t FROM $src),
         ${name}sh0 AS (SELECT doc_id, $shinglesSql AS sh FROM ${name}tok),
@@ -1764,7 +1766,7 @@ object Round12Queries {
     * entity gauntlet including the double-encoded `&amp;lt;` (must
     * decode to the literal "&lt;", never resurrect a tag).
     */
-  private def withHtml(df: DataFrame): DataFrame = {
+  private[queries] def withHtml(df: DataFrame): DataFrame = {
     val script = when(pick("-js", 3) === 0,
         lit("<script type=\"text/javascript\">var x = 1 < 2 && y > 0;</script>"))
       .when(pick("-js", 3) === 1, lit("<SCRIPT>var z = 3;</SCRIPT>"))
@@ -1780,10 +1782,14 @@ object Round12Queries {
         "a&nbsp;b</div></body></html>")))
   }
 
-  private lazy val htmlTextOracle = {
+  /** The [[withHtml]] markup fixture replayed over any source exposing
+    * (doc_id, text) — shared by the html_to_text gate and the recipe
+    * funnel replay.
+    */
+  private[queries] def htmlFixtureCte(src: String): String = {
     val pickSql = (salt: String, n: Int) =>
       s"(('0x'||substr(md5(doc_id::VARCHAR || '$salt'),1,4))::BIGINT % $n)"
-    s"""WITH h AS (SELECT doc_id, '<html><head>' ||
+    s"""h AS (SELECT doc_id, '<html><head>' ||
            (CASE WHEN ${pickSql("-js", 3)} = 0
                  THEN '<script type="text/javascript">var x = 1 < 2 && y > 0;</script>'
                  WHEN ${pickSql("-js", 3)} = 1
@@ -1798,16 +1804,19 @@ bar -->' ||
            text ||
            '</p><div>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</div></body></html>'
              AS html
-         FROM documents)
+         FROM $src)"""
+  }
+
+  private lazy val htmlTextOracle =
+    s"""WITH ${htmlFixtureCte("documents")}
         SELECT doc_id, trim($htmlChainSql) AS text_clean
         FROM h"""
-  }
 
   /** The htmlToText regex chain as nested DuckDB regexp_replace calls —
     * built by folding so the parenthesization can never drift from the
     * rule list.
     */
-  private lazy val htmlChainSql: String =
+  private[queries] lazy val htmlChainSql: String =
     (Seq(
       "(?is)<script[^>]*>.*?</script>" -> "' '",
       "(?is)<style[^>]*>.*?</style>" -> "' '",
@@ -1876,7 +1885,7 @@ bar -->' ||
     * plus one host-specific entry, so both the any-tail rule and the
     * longest-match provenance are exercised against the md5-url corpus.
     */
-  private lazy val BlockEntries = Seq(
+  private[queries] lazy val BlockEntries = Seq(
     "site1.com", "site3.co.uk", "blog.site4.net", "site5.com.au",
     "site2.org")
 
@@ -1928,7 +1937,7 @@ bar -->' ||
   private val clfCache =
     new java.util.concurrent.ConcurrentHashMap[String, Classifier.QualityModel]()
 
-  private lazy val ClfBuckets = 64
+  private[queries] lazy val ClfBuckets = 64
   private lazy val ClfLrK = "4000.0"
   private lazy val ClfSteps = 16
 
@@ -1938,23 +1947,30 @@ bar -->' ||
     * round-half-away updates; lr·1000 inlined as a literal), so the oracle re-derives
     * the same weights DuckDB-side rather than trusting the engine's.
     */
-  private lazy val clfTrainCtes = {
+  /** The training loop unrolled over ANY (doc_id, text) feature source
+    * and label rule — `featSrc` supplies the hashed bag-of-words,
+    * `labelFrom`/`labelExpr` the supervision (both over the doc_id < 300
+    * training slice), `steps`/`lrK` the loop shape (lrK = lr·1000 as a
+    * SQL double literal). The gate oracles train on raw documents; the
+    * recipe funnel trains on the post-markup text with page-rule labels.
+    */
+  private[queries] def clfCtesOver(featSrc: String, labelFrom: String,
+      labelExpr: String, steps: Int, lrK: String): String = {
     val sb = new StringBuilder
     sb ++=
       s"""tr AS MATERIALIZED (SELECT doc_id,
-                        CASE WHEN list_contains(string_split(lower(text), ' '),
-                                                'line')
+                        CASE WHEN $labelExpr
                              THEN 1 ELSE 0 END AS y
-                 FROM documents WHERE doc_id < 300),
+                 FROM $labelFrom WHERE doc_id < 300),
           tok AS (SELECT doc_id,
                          unnest(string_split(lower(text), ' ')) AS tk
-                  FROM documents WHERE doc_id < 300),
+                  FROM $featSrc WHERE doc_id < 300),
           f AS MATERIALIZED (SELECT DISTINCT doc_id,
                        ${MlQueries.h32("tk")} % $ClfBuckets AS b FROM tok),
           nn AS MATERIALIZED (SELECT count(*) AS n FROM tr),
           w0 AS MATERIALIZED (SELECT range AS b, 0::BIGINT AS w FROM range($ClfBuckets)),
           bias0 AS MATERIALIZED (SELECT 0::BIGINT AS bv)"""
-    (1 to ClfSteps).foreach { k =>
+    (1 to steps).foreach { k =>
       val pw = s"w${k - 1}"
       val pb = s"bias${k - 1}"
       sb ++=
@@ -1972,15 +1988,19 @@ bar -->' ||
                   FROM p$k),
           g$k AS MATERIALIZED (SELECT f.b, sum(c.c) AS g
                   FROM f JOIN c$k c USING (doc_id) GROUP BY 1),
-          w$k AS MATERIALIZED (SELECT w.b, w.w - CAST(round(COALESCE(g.g, 0) * $ClfLrK
+          w$k AS MATERIALIZED (SELECT w.b, w.w - CAST(round(COALESCE(g.g, 0) * $lrK
                            / (SELECT n FROM nn)) AS BIGINT) AS w
                   FROM $pw w LEFT JOIN g$k g USING (b)),
           bias$k AS MATERIALIZED (SELECT (SELECT bv FROM $pb) -
-                            CAST(round((SELECT sum(c) FROM c$k) * $ClfLrK
+                            CAST(round((SELECT sum(c) FROM c$k) * $lrK
                               / (SELECT n FROM nn)) AS BIGINT) AS bv)"""
     }
     sb.toString
   }
+
+  private lazy val clfTrainCtes = clfCtesOver("documents", "documents",
+    "list_contains(string_split(lower(text), ' '), 'line')",
+    ClfSteps, ClfLrK)
 
   private lazy val clfModelOracle =
     s"""WITH $clfTrainCtes
@@ -1992,14 +2012,14 @@ bar -->' ||
     * weights, per-mil histogram, sweep all 1002 cuts, max correct with
     * ties to the lowest cut.
     */
-  private lazy val clfThresholdCtes =
+  private[queries] def clfThresholdCtesOver(steps: Int): String =
     s"""mtr AS MATERIALIZED (SELECT f.doc_id, sum(w.w) AS mi
-                FROM f JOIN w$ClfSteps w USING (b) GROUP BY 1),
+                FROM f JOIN w$steps w USING (b) GROUP BY 1),
          ptr AS MATERIALIZED (SELECT doc_id, y,
                   round(0.5 + 0.5 * (m / (1.0 + abs(m))), 6) AS s
                 FROM (SELECT t.doc_id, t.y,
                              CAST(COALESCE(mi.mi, 0) +
-                                  (SELECT bv FROM bias$ClfSteps) AS DOUBLE)
+                                  (SELECT bv FROM bias$steps) AS DOUBLE)
                                / 1000000000000.0 AS m
                       FROM tr t LEFT JOIN mtr mi USING (doc_id))),
          hist AS MATERIALIZED (SELECT CAST(floor(s * 1000) AS INT) AS hb,
@@ -2014,6 +2034,8 @@ bar -->' ||
                           (SELECT COALESCE(sum(pos), 0) FROM hist
                            WHERE hb < cuts.range)) AS BIGINT) AS correct
                   FROM range(0, 1002) cuts)"""
+
+  private lazy val clfThresholdCtes = clfThresholdCtesOver(ClfSteps)
 
   private lazy val thresholdOracle =
     s"""WITH $clfTrainCtes,

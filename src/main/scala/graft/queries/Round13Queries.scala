@@ -83,6 +83,247 @@ object Round13Queries {
     """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
        FROM documents WHERE regexp_matches(text, 'spark')"""
 
+  /** The funnel's page fixture: 8-15 varied sentences per page whose
+    * ADJACENT word pairs always contain a varying token (doc-vocabulary
+    * picks + a 90-way number), so the repetition rules discriminate
+    * instead of rejecting every page on template skeletons; three c4
+    * killer lines (javascript / config-brace / offer) appear
+    * independently at 1/30 per line, a "short line" label marker
+    * prepends at 1/2 (the classifier's supervision), and a lorem tail
+    * appends at 1/25. All md5 picks — the oracle replays bit-for-bit.
+    */
+  /** Sentence frames: varied stopword STARTS (gopher's two-distinct-
+    * stopword rule stays satisfiable) and varied terminal-punctuation
+    * ENDS — so the cross-sentence (end, start) word pair varies too and
+    * the top-2-gram rule measures real repetition, not the frame.
+    */
+  private[queries] val FunnelStarts =
+    Seq("the", "that", "of", "and", "to")
+  private[queries] val FunnelEnds =
+    Seq("today.", "again.", "nicely.", "indeed.", "somehow.", "alright.")
+
+  private[queries] def withFunnelPage(df: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val toks = split(lower(col("text")), " ")
+    def pickI(i: Column, salt: String, n: Int): Column =
+      conv(substring(md5(concat(id.cast("string"), lit(salt),
+        i.cast("string"))), 1, 4), 16, 10).cast("long") % n
+    def wOf(i: Column, salt: String): Column =
+      get(toks, (pickI(i, salt, 997) % size(toks)).cast("int"))
+    def lineOf(i: Column): Column = {
+      val k = pickI(i, "-k", 30)
+      val j = pickI(i, "-j", 90).cast("string")
+      when(k === 0,
+        lit("Please enable JavaScript to view this content today."))
+        .when(k === 1, concat(
+          lit("var config = { \"mode\": full, \"page\": "), j,
+          lit(" };")))
+        .when(k === 2, concat(
+          lit("click here to read all about special offer "), j,
+          lit("!")))
+        .otherwise(concat(
+          element_at(typedLit(FunnelStarts),
+            (pickI(i, "-st", 5) + 1).cast("int")),
+          lit(" "), wOf(i, "-a"), lit(" saw "), j,
+          lit(" with "), wOf(i, "-b"), lit(" under "), wOf(i, "-c"),
+          lit(" "),
+          element_at(typedLit(FunnelEnds),
+            (pickI(i, "-en", 6) + 1).cast("int"))))
+    }
+    val nLines = (lit(8) + Round11Queries.pick("-L", 8)).cast("int")
+    val body =
+      array_join(transform(sequence(lit(0), nLines - 1), i => lineOf(i)),
+        "\n")
+    val marked = when(Round11Queries.pick("-sl", 2) === 0,
+      concat(lit("short line\n"), body)).otherwise(body)
+    val page = when(Round11Queries.pick("-lo", 25) === 0,
+      concat(marked, lit("\nlorem ipsum dolor sit amet.")))
+      .otherwise(marked)
+    df.select(id, col("text"), page.as("page"))
+  }
+
+  /** DuckDB replay of [[withFunnelPage]]. */
+  private[queries] lazy val funnelPageCte: String = {
+    def pickSql(salt: String, n: Int) =
+      s"(('0x'||substr(md5(doc_id::VARCHAR || '$salt'),1,4))" +
+        s"::BIGINT % $n)"
+    def pickISql(salt: String, n: Int) =
+      s"(('0x'||substr(md5(doc_id::VARCHAR || '$salt' || i::VARCHAR)" +
+        s",1,4))::BIGINT % $n)"
+    val j = s"${pickISql("-j", 90)}::VARCHAR"
+    def w(salt: String) =
+      s"t[CAST((${pickISql(salt, 997)} % len(t)) + 1 AS INT)]"
+    val line =
+      s"""CASE ${pickISql("-k", 30)}
+           WHEN 0 THEN 'Please enable JavaScript to view this content today.'
+           WHEN 1 THEN 'var config = { "mode": full, "page": ' || $j || ' };'
+           WHEN 2 THEN 'click here to read all about special offer ' || $j || '!'
+           ELSE (['the','that','of','and','to'])
+                  [CAST(${pickISql("-st", 5)} + 1 AS INT)]
+                || ' ' || ${w("-a")} || ' saw ' || $j || ' with ' ||
+                ${w("-b")} || ' under ' || ${w("-c")} || ' ' ||
+                (['today.','again.','nicely.','indeed.','somehow.','alright.'])
+                  [CAST(${pickISql("-en", 6)} + 1 AS INT)]
+         END"""
+    s"""fpages AS (
+         SELECT doc_id,
+           CASE WHEN ${pickSql("-lo", 25)} = 0
+                THEN marked || chr(10) || 'lorem ipsum dolor sit amet.'
+                ELSE marked END AS page
+         FROM (
+           SELECT doc_id,
+             CASE WHEN ${pickSql("-sl", 2)} = 0
+                  THEN 'short line' || chr(10) || body
+                  ELSE body END AS marked
+           FROM (
+             SELECT doc_id,
+               array_to_string(
+                 list_transform(range(0, 8 + ${pickSql("-L", 8)}),
+                   i -> ($line)), chr(10)) AS body
+             FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                   FROM documents))))"""
+  }
+
+  /** `Recipes.curate` funnel replayed END TO END: the page fixture
+    * wrapped in the html fixture, the md5-url fixture, and then every
+    * stage of the recipe re-derived with the SAME CTE families the
+    * individual gates use — html→text strip chain, blocklist
+    * tail-match, C4→Gopher→repetition cascade over the cleaned text,
+    * the 3-step classifier trained on post-markup text with page-rule
+    * labels and applied at the tuned cut, canonical-URL keep-first,
+    * and the LSH→verify→closure near-dedup at j ≥ 0.8. Each funnel
+    * row is one stage's surviving-document count.
+    */
+  private lazy val funnelOracle = {
+    import Round12Queries._
+    import Round11Queries.{urlCte, canonCte, hostSql}
+    val fpages = funnelPageCte
+    // the canonicalization chain's c1..c5 collide with the classifier
+    // chain's per-step c$k CTEs — prefix the canon copy
+    val canonCteU = canonCte.replaceAll("\\bc([1-5])\\b", "uc$1")
+    val entries = Round12Queries.BlockEntries
+      .map(e => s"'$e'").mkString("[", ",", "]")
+    val c4keep = c4KeepParts.map(p => s"($p)").mkString(" AND ")
+    s"""WITH RECURSIVE
+       $fpages,
+       h AS (SELECT doc_id,
+               '<html><head><style>p { color: red; }</style></head>' ||
+               '<body><!-- nav --><p>' || page || '</p></body></html>'
+                 AS html
+             FROM fpages),
+       texted AS MATERIALIZED (
+         SELECT doc_id, trim($htmlChainSql) AS text_clean FROM h),
+       texted2 AS MATERIALIZED (
+         SELECT * FROM texted
+         WHERE text_clean IS NOT NULL AND text_clean <> ''),
+       $urlCte,
+       bhh AS (SELECT doc_id, ${hostSql("url")} AS host FROM urls),
+       bhp AS (SELECT doc_id, string_split(host, '.') AS parts
+               FROM bhh),
+       ble AS (SELECT entry, len(string_split(entry, '.')) AS elen
+               FROM (SELECT unnest($entries) AS entry)),
+       bcand AS (SELECT bhp.doc_id FROM bhp JOIN ble b
+                   ON len(bhp.parts) >= b.elen
+                  AND array_to_string(bhp.parts[-b.elen:], '.')
+                        = b.entry),
+       unblocked AS MATERIALIZED (
+         SELECT t.doc_id, t.text_clean FROM texted2 t
+         WHERE t.doc_id NOT IN (SELECT doc_id FROM bcand)),
+       qpages AS (SELECT doc_id, text_clean AS page FROM unblocked),
+       ${c4CtesOver("qpages")},
+       cq AS MATERIALIZED (SELECT doc_id, c4_text,
+              ($c4keep) AS c4_keep FROM c),
+       ${gopherKeepChain("cq", "c4_text", "fg_")},
+       ${repChain("cq", "c4_text", "fr_")},
+       ruled AS MATERIALIZED (
+         SELECT cq.doc_id, cq.c4_text AS text_clean
+         FROM cq JOIN fg_gk g USING (doc_id)
+                 JOIN fr_rep r USING (doc_id)
+         WHERE cq.c4_keep AND g.gopher_keep AND r.rep_keep),
+       clfsrc AS (SELECT doc_id, text_clean AS text FROM texted2),
+       ${clfCtesOver("clfsrc", "fpages",
+          "contains(page, 'short line')", 3, "500.0")},
+       ${clfThresholdCtesOver(3)},
+       cutq AS MATERIALIZED (SELECT CAST(cut AS INT) AS cut FROM corr
+                             ORDER BY correct DESC, cut ASC LIMIT 1),
+       rtok AS (SELECT doc_id,
+                  unnest(string_split(lower(text_clean), ' ')) AS tk
+                FROM ruled),
+       rfeat AS MATERIALIZED (SELECT DISTINCT doc_id,
+                  ${MlQueries.h32("tk")} % $ClfBuckets AS b FROM rtok),
+       rmi AS (SELECT rfeat.doc_id, sum(w.w) AS mi
+               FROM rfeat JOIN w3 w USING (b) GROUP BY 1),
+       rp AS MATERIALIZED (SELECT doc_id,
+                0.5 + 0.5 * (m / (1.0 + abs(m))) AS p
+              FROM (SELECT r.doc_id,
+                      CAST(COALESCE(mi.mi, 0) +
+                           (SELECT bv FROM bias3) AS DOUBLE)
+                        / 1000000000000.0 AS m
+                    FROM ruled r LEFT JOIN rmi mi USING (doc_id))),
+       scored AS MATERIALIZED (
+         SELECT r.doc_id, r.text_clean
+         FROM ruled r JOIN rp USING (doc_id)
+         WHERE CAST(floor(rp.p * 1000) AS INT) >=
+               (SELECT cut FROM cutq)),
+       $canonCteU,
+       sfirsts AS (SELECT c.canonical_url, min(c.doc_id) AS f
+                   FROM canon c JOIN scored s USING (doc_id)
+                   WHERE c.canonical_url IS NOT NULL GROUP BY 1),
+       urlkept AS MATERIALIZED (
+         SELECT s.doc_id, s.text_clean
+         FROM scored s JOIN canon c USING (doc_id)
+         LEFT JOIN sfirsts f ON f.canonical_url = c.canonical_url
+         WHERE c.canonical_url IS NULL OR s.doc_id = f.f),
+       uk2 AS (SELECT doc_id, text_clean AS text FROM urlkept),
+       ${sigCtes("fn", "uk2")},
+       ncand AS MATERIALIZED (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM fnband a JOIN fnband b USING (band)
+         WHERE a.doc_id < b.doc_id),
+       ncsh AS MATERIALIZED (
+         SELECT doc_id, unnest(sh) AS g FROM fnsh0
+         WHERE doc_id IN (SELECT id_a FROM ncand
+                          UNION SELECT id_b FROM ncand)),
+       nszs AS MATERIALIZED (SELECT doc_id, count(*) AS sz
+                             FROM ncsh GROUP BY 1),
+       nshared AS (SELECT c.id_a, c.id_b, count(*) AS n
+                   FROM ncand c JOIN ncsh a ON a.doc_id = c.id_a
+                   JOIN ncsh b ON b.doc_id = c.id_b AND b.g = a.g
+                   GROUP BY 1, 2),
+       npairs AS MATERIALIZED (
+         SELECT sh.id_a, sh.id_b FROM nshared sh
+         JOIN nszs za ON za.doc_id = sh.id_a
+         JOIN nszs zb ON zb.doc_id = sh.id_b
+         WHERE round(sh.n / (za.sz + zb.sz - sh.n), 6) >= 0.8),
+       nedges AS (SELECT id_a AS s, id_b AS d FROM npairs
+                  UNION SELECT id_b, id_a FROM npairs),
+       nreach(id, r) AS (SELECT s, d FROM nedges
+                         UNION SELECT nreach.id, nedges.d
+                         FROM nreach JOIN nedges
+                           ON nreach.r = nedges.s),
+       ncomp AS (SELECT id AS doc_id, least(id, min(r)) AS component
+                 FROM nreach GROUP BY id),
+       nearkept AS (SELECT u.doc_id FROM urlkept u
+                    LEFT JOIN ncomp USING (doc_id)
+                    WHERE u.doc_id =
+                          coalesce(ncomp.component, u.doc_id))
+      SELECT * FROM (
+        SELECT CAST(0 AS INT) AS step, 'input' AS stage,
+               (SELECT count(*) FROM documents) AS docs
+        UNION ALL SELECT 1, 'html_to_text',
+               (SELECT count(*) FROM texted2)
+        UNION ALL SELECT 2, 'blocklist',
+               (SELECT count(*) FROM unblocked)
+        UNION ALL SELECT 3, 'quality_rules',
+               (SELECT count(*) FROM ruled)
+        UNION ALL SELECT 4, 'classifier',
+               (SELECT count(*) FROM scored)
+        UNION ALL SELECT 5, 'url_dedup',
+               (SELECT count(*) FROM urlkept)
+        UNION ALL SELECT 6, 'near_dedup',
+               (SELECT count(*) FROM nearkept))"""
+  }
+
   val all: Seq[Q] = Seq(
     Q.fn("q_bpe_encode_large", bpeLargeOracle) { (spark, sf) =>
       Bpe.bpeEncodeLarge(Tables.load(spark, sf, "documents"),
@@ -110,6 +351,34 @@ object Round13Queries {
             {"$project":{"doc_id":1,
               "n_chars":{"$toLong":{"$strLenCP":"$text"}}}}]""",
         Tables.env(spark, sf))
+    },
+
+    // the flagship end-to-end composition, now gate-checked: raw
+    // html+url pages in, the per-stage funnel out, every stage's count
+    // replayed in DuckDB from the same fixtures
+    Q.fn("q_recipe_funnel", funnelOracle) { (spark, sf) =>
+      import spark.implicits._
+      val docs = Tables.load(spark, sf, "documents")
+      val pages = withFunnelPage(docs)
+      // a LIGHT html wrap (style + comment + tags, no trailing entity
+      // junk): after the strip chain's whitespace collapse the cleaned
+      // text ends with the page's own last character, so C4's
+      // terminal-punctuation line rule stays discriminating instead of
+      // rejecting every page on fixture boilerplate
+      val input = Round11Queries.withUrl(pages
+        .select(col("doc_id"), col("page").as("text"))
+        .withColumn("html", concat(
+          lit("<html><head><style>p { color: red; }</style></head>"),
+          lit("<body><!-- nav --><p>"), col("text"),
+          lit("</p></body></html>"))))
+      val blocklist = Round12Queries.BlockEntries.toDF("entry")
+      val seed = pages.where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          col("page").contains("short line").cast("int").as("__y"))
+      val (_, funnel) = graft.ml.Recipes.curate(input, "doc_id",
+        "html", "url", blocklist, seed, "__y", minJaccard = 0.8,
+        badWords = Seq("offer"))
+      funnel
     }
   )
 }

@@ -177,9 +177,9 @@ object Curation {
     * match falls back to the last-two-labels heuristic (exactly
     * `registrableDomain` when the table holds the built-in set); null /
     * single-label hosts pass through. PSL wildcard (`*.ck`) and
-    * exception (`!www.ck`) rules are not interpreted — expand them into
-    * literal rows when loading the real list. Output: `df` +
-    * `domain`.
+    * exception (`!www.ck`) rules are not interpreted here — use
+    * [[registrableDomainPsl]] with [[publicSuffixList]] (the vendored
+    * real list) for full PSL semantics. Output: `df` + `domain`.
     */
   def registrableDomainFromTable(df: DataFrame, hostCol: String,
       suffixes: DataFrame, maxSuffixLabels: Int = 8,
@@ -223,6 +223,116 @@ object Curation {
         slice(parts, -(bestLen + lit(1)), bestLen + lit(1))))
     out.withColumn("domain", domain)
       .drop(classes.map(i => s"__sfx$i"): _*)
+  }
+
+  /** The vendored Public Suffix List snapshot as a DataFrame — the real
+    * ~9.6k-rule list (publicsuffix.org, MPL 2.0; snapshot dated
+    * 2023-02-09 from the Debian `publicsuffix` package, vendored at
+    * `graft/public_suffix_list.dat` with its license header intact).
+    * Parsed per the PSL format spec: comment (`//`) and blank lines
+    * drop, a rule ends at the first whitespace, rules lowercase.
+    * Returns (suffix, kind) where kind ∈ literal | wildcard |
+    * exception and `suffix` carries the rule's LITERAL label part
+    * (`*.ck` → ("ck", wildcard), `!www.ck` → ("www.ck", exception)) —
+    * the shape [[registrableDomainPsl]] consumes.
+    */
+  def publicSuffixList(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "vendored public_suffix_list.dat missing")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.iterator
+      .map(_.trim.takeWhile(!_.isWhitespace))
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.toLowerCase)
+      .map { l =>
+        if (l.startsWith("!")) (l.drop(1), "exception")
+        else if (l.startsWith("*.")) (l.drop(2), "wildcard")
+        else (l, "literal")
+      }
+      .toSeq.toDF("suffix", "kind")
+  }
+
+  /** Registrable domain under FULL Public Suffix List semantics
+    * (publicsuffix.org algorithm): literal rules match the host tail,
+    * a wildcard `*.X` matches any ONE extra label under X, and an
+    * exception `!Y` overrides every other match with the suffix Y
+    * minus its leftmost label; the longest matching rule wins within a
+    * kind; no match falls back to the spec's implicit `*` default (the
+    * last two labels, like [[registrableDomain]]). A host that IS a
+    * public suffix maps to itself; null / single-label hosts pass
+    * through.
+    *
+    * Scale shape — the [[registrableDomainFromTable]] design extended
+    * per kind: the rules table is config-scale, collected once and
+    * split driver-side into per-(kind, label-count) classes; each
+    * class broadcast-LEFT-joins the corpus on the computed
+    * last-`i`-labels tail (map-side BroadcastHashJoin, distinct build
+    * keys, so no row duplication), and the winning rule is `coalesce`/
+    * `greatest` arithmetic over the class markers. ZERO corpus
+    * shuffle, one scan.
+    */
+  def registrableDomainPsl(df: DataFrame, hostCol: String,
+      rules: DataFrame, maxSuffixLabels: Int = 8,
+      maxSuffixRows: Int = 1000000): DataFrame = {
+    import df.sparkSession.implicits._
+    val rows = rules
+      .select(col("suffix").cast(StringType), col("kind").cast(StringType))
+      .limit(maxSuffixRows + 1).collect()
+    require(rows.length <= maxSuffixRows,
+      s"more than $maxSuffixRows suffix rows — that is not a public " +
+        "suffix list (the table is driver-resident by design)")
+    def classesOf(kind: String): Map[Int, Seq[String]] = rows.iterator
+      .filter(r => !r.isNullAt(0) && r.getString(1) == kind)
+      .map(_.getString(0)).toSeq.distinct
+      .groupBy(s => s.count(_ == '.') + 1)
+      .filter(_._1 <= maxSuffixLabels)
+    val lits = classesOf("literal")
+    val wilds = classesOf("wildcard")
+    val excs = classesOf("exception")
+    val parts = split(col(hostCol), "\\.")
+    val n = size(parts)
+    def tail(i: Int): Column =
+      when(n >= i, concat_ws(".", slice(parts, -i, i)))
+    var out = df
+    def joinClasses(m: Map[Int, Seq[String]], pfx: String): Seq[Int] = {
+      val ks = m.keys.toSeq.sorted
+      ks.foreach { i =>
+        val cls = m(i).toDF(s"__$pfx$i")
+        out = out.join(broadcast(cls), tail(i) === col(s"__$pfx$i"),
+          "left")
+      }
+      ks
+    }
+    val litKs = joinClasses(lits, "lit")
+    val wcKs = joinClasses(wilds, "wc")
+    val excKs = joinClasses(excs, "exc")
+    // longest-match length per kind; wildcard rule `*.X` has |X|+1
+    // labels and needs the extra host label to exist; exception `!Y`
+    // yields the suffix Y minus its leftmost label
+    def longest(ks: Seq[Int], f: Int => Column): Column =
+      coalesce(ks.reverse.map(f) :+ lit(null).cast(IntegerType): _*)
+    val litLen = longest(litKs, i =>
+      when(col(s"__lit$i").isNotNull, lit(i)))
+    val wcLen = longest(wcKs, i =>
+      when(col(s"__wc$i").isNotNull && n >= i + 1, lit(i + 1)))
+    val excLen = longest(excKs, i =>
+      when(col(s"__exc$i").isNotNull, lit(i - 1)))
+    val bestLen = when(excLen.isNotNull, excLen)
+      .otherwise(greatest(litLen, wcLen))
+    val lastTwo =
+      concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val domain = when(col(hostCol).isNull || n <= 1, col(hostCol))
+      .when(bestLen.isNull, lastTwo)
+      .when(bestLen >= n, col(hostCol))
+      .otherwise(concat_ws(".",
+        slice(parts, -(bestLen + lit(1)), bestLen + lit(1))))
+    out.withColumn("domain", domain)
+      .drop(litKs.map(i => s"__lit$i") ++ wcKs.map(i => s"__wc$i") ++
+        excKs.map(i => s"__exc$i"): _*)
   }
 
   /** Epoch/repeat planning under a token budget — the data-scheduling

@@ -817,4 +817,65 @@ class CurationSpec extends AnyFunSuite {
       spark.emptyDataFrame.select(lit("x").as("entry")).where(lit(false)))
     assert(none.where(col("blocked")).count() == 0)
   }
+
+  test("publicSuffixList: the vendored real snapshot loads with " +
+    "literal, wildcard and exception rules") {
+    val psl = Curation.publicSuffixList(spark)
+    val byKind = psl.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind("literal") > 9000,
+      s"the real PSL has ~9.6k literal rules: $byKind")
+    assert(byKind("wildcard") > 10 && byKind("exception") > 2, byKind)
+    val rules = psl.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rules.contains(("com", "literal")))
+    assert(rules.contains(("co.uk", "literal")))
+    assert(rules.contains(("ck", "wildcard")), "*.ck")
+    assert(rules.contains(("www.ck", "exception")), "!www.ck")
+    assert(rules.contains(("github.io", "literal")),
+      "private-section rules load too")
+  }
+
+  test("registrableDomainPsl: full PSL semantics — wildcards, " +
+    "exceptions, longest match, fallback") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val psl = Curation.publicSuffixList(spark)
+    val cases = Seq(
+      "foo.bar.com" -> "bar.com", // default literal TLD
+      "a.b.co.uk" -> "b.co.uk", // multi-label literal
+      "co.uk" -> "co.uk", // host IS a public suffix
+      // *.ck wildcard: any.ck is itself a suffix, so one MORE label
+      // is the registrable domain
+      "x.y.ck" -> "x.y.ck",
+      "y.ck" -> "y.ck", // wildcard-matched suffix maps to itself
+      // !www.ck exception: suffix is ck, so www.ck registers
+      "www.ck" -> "www.ck",
+      "foo.www.ck" -> "www.ck",
+      // *.kawasaki.jp + !city.kawasaki.jp
+      "a.city.kawasaki.jp" -> "city.kawasaki.jp",
+      "city.kawasaki.jp" -> "city.kawasaki.jp",
+      "a.x.kawasaki.jp" -> "a.x.kawasaki.jp",
+      // private-section rule
+      "user.github.io" -> "user.github.io",
+      // no match: last-two fallback (the spec's implicit * rule)
+      "internal.corp" -> "internal.corp",
+      "db.internal.corp" -> "internal.corp",
+      "localhost" -> "localhost") // single label passes through
+    val df = cases.map(_._1).toDF("host")
+    val out = Curation.registrableDomainPsl(df, "host", psl)
+      .select(col("host"), col("domain")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(out(h) == want, s"$h: got ${out(h)}, want $want")
+    }
+    // null host passes through; partition count does not matter
+    val withNull = (cases.map(_._1) :+ null).toDF("host")
+    val out2 = Curation.registrableDomainPsl(
+      withNull.repartition(5), "host", psl)
+    assert(out2.where(col("host").isNull && col("domain").isNull)
+      .count() == 1)
+    assert(out2.count() == cases.size + 1,
+      "broadcast classes must never duplicate corpus rows")
+  }
 }

@@ -451,6 +451,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("full-PSL registrable domain is broadcast-join only — the real " +
+    "9.6k-rule list never shuffles the corpus") {
+    import spark.implicits._
+    val psl = graft.ml.Curation.publicSuffixList(spark)
+    val hosts = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("concat('h', doc_id % 50, '.example.co.uk') AS host")
+    val p = plan(
+      graft.ml.Curation.registrableDomainPsl(hosts, "host", psl))
+    // every (kind, label-count) class joins as a map-side broadcast on
+    // a computed tail key; the corpus is scanned once, never exchanged
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("incremental URL dedup probes the index by broadcast, no product") {
     val p = plan(q("q_url_dedup_incremental"))
     // the persisted index must stream against broadcast batch keys —

@@ -142,4 +142,49 @@ object Graphs {
       .agg(count(lit(1)).as("n_links"),
         slice(array_sort(collect_list(col("__a"))), 1, maxAnchors)
           .as("anchors"))
+
+  /** The composed per-domain link-QUALITY table — the two link-graph
+    * signals joined into the one frame a curation pass feeds into
+    * `domainMix` quotas: anchor DIVERSITY (distinct lower-cased
+    * whitespace anchor terms per in-link — organic in-links describe a
+    * target many ways, spam farms repeat one phrase) and the PageRank
+    * AUTHORITY rollup. All integer arithmetic, replayable anywhere:
+    * `diversity_ppm` = ⌊terms·1e6 / n_links⌋ and `quality` =
+    * ⌊authority/1000⌋·diversity_ppm div 1000 (the staged floors keep
+    * the product inside 64 bits — authority ≤ the 1e12 rank scale, so
+    * a direct product could reach 1e19; the /1000 granularity loss is
+    * far below either signal's noise).
+    *
+    * Scale shape: one narrow extraction map; two partial hash
+    * aggregates over (domain) — link count, and distinct terms over
+    * the exploded anchor tokens — equi-joined on the domain key, then
+    * a LEFT join with the (config-scale) authority table. The
+    * extraction frame is pinned: two aggregate legs read it. No
+    * window, no product, no driver state.
+    */
+  def domainLinkQuality(links: DataFrame, hrefCol: String,
+      anchorCol: String, authority: DataFrame): DataFrame = {
+    val keyed = CacheLifecycle.pin(links.select(
+        Curation.registrableDomain(Curation.extractHost(col(hrefCol)))
+          .as("domain"),
+        col(anchorCol).as("__a"))
+      .where(col("domain").isNotNull))
+    val counts = keyed.groupBy("domain")
+      .agg(count(lit(1)).as("n_links"))
+    val terms = keyed
+      .select(col("domain"), explode(Fns.wsTokens(col("__a"))).as("__t"))
+      .groupBy("domain")
+      .agg(count_distinct(col("__t")).as("n_anchor_terms"))
+    counts.join(terms, Seq("domain"), "left")
+      .withColumn("n_anchor_terms",
+        coalesce(col("n_anchor_terms"), lit(0L)))
+      .withColumn("diversity_ppm",
+        expr("n_anchor_terms * 1000000 div n_links"))
+      .join(authority.select(col("domain"),
+        col("authority").cast("long").as("authority")),
+        Seq("domain"), "left")
+      .withColumn("authority", coalesce(col("authority"), lit(0L)))
+      .withColumn("quality",
+        expr("(authority div 1000) * diversity_ppm div 1000"))
+  }
 }

@@ -1520,7 +1520,7 @@ object Round12Queries {
     * one single-quoted uppercase HREF — so both quoting forms and the
     * case-insensitive attribute match are exercised.
     */
-  private def withLinkHtml(df: DataFrame): DataFrame =
+  private[queries] def withLinkHtml(df: DataFrame): DataFrame =
     df.withColumn("html_links", concat(
       lit("<p>see <a href=\"https://www.site"),
       pick("-l1", 40).cast("string"),
@@ -1532,7 +1532,7 @@ object Round12Queries {
       pick("-a2", 30).cast("string"),
       lit("</A></p>")))
 
-  private lazy val linkHtmlCte =
+  private[queries] lazy val linkHtmlCte =
     s"""h AS (SELECT doc_id,
            '<p>see <a href="https://www.site' ||
              ${pickSqlOf("-l1", 40)}::VARCHAR ||
@@ -1659,7 +1659,7 @@ object Round12Queries {
   /** The pageRank CTE chain WITHOUT the final select — shared by the
     * rank query and the domain rollup.
     */
-  private lazy val pageRankOracle0 =
+  private[queries] lazy val pageRankOracle0 =
     pageRankOracle.stripSuffix(pageRankSelect)
 
   private lazy val pageRankSelect = """

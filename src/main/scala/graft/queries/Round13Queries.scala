@@ -324,6 +324,54 @@ object Round13Queries {
                (SELECT count(*) FROM nearkept))"""
   }
 
+  /** `domainLinkQuality` replayed by CHAINING the existing gate CTE
+    * families: the pageRank iteration chain (r3) rolled up to domain
+    * authority, the anchor-extraction fixture's (href, anchor) pairs
+    * reduced to per-domain link counts and distinct lower-cased
+    * whitespace anchor terms, and the staged integer quality product.
+    * Both fixtures pick target sites with the SAME md5 salts, so the
+    * anchors genuinely point at the ranked hosts.
+    */
+  private lazy val linkQualityOracle = {
+    import Round11Queries.{hostSql, domainSql}
+    val dq = """(?i)<a[^>]*[^\w-]href="([^"]*)"[^>]*>([^<]*)</a"""
+    val sq = """(?i)<a[^>]*[^\w-]href=''([^'']*)''[^>]*>([^<]*)</a"""
+    s"""${Round12Queries.pageRankOracle0},
+       rolled AS (SELECT ${domainSql("node")} AS domain,
+               CAST(sum(pr_rank) AS BIGINT) AS authority
+             FROM r3 GROUP BY 1),
+       ${Round12Queries.linkHtmlCte},
+       z AS (SELECT doc_id, unnest(
+               list_zip(regexp_extract_all(html_links, '$dq', 1),
+                        regexp_extract_all(html_links, '$dq', 2)) ||
+               list_zip(regexp_extract_all(html_links, '$sq', 1),
+                        regexp_extract_all(html_links, '$sq', 2)))
+               AS z
+             FROM h),
+       lk AS (SELECT z[1] AS href, z[2] AS anchor FROM z),
+       ldh AS (SELECT ${hostSql("href")} AS hh, anchor FROM lk),
+       ld AS MATERIALIZED (SELECT ${domainSql("hh")} AS domain, anchor
+             FROM ldh WHERE ${domainSql("hh")} IS NOT NULL),
+       lc AS (SELECT domain, count(*) AS n_links FROM ld GROUP BY 1),
+       lt AS (SELECT domain, count(DISTINCT t) AS n_terms
+              FROM (SELECT domain, unnest(list_filter(
+                      regexp_split_to_array(lower(anchor), '\\s+'),
+                      x -> x <> '')) AS t
+                    FROM ld)
+              GROUP BY 1),
+       q AS (SELECT lc.domain, lc.n_links,
+               CAST(COALESCE(lt.n_terms, 0) AS BIGINT) AS n_anchor_terms,
+               CAST(COALESCE(lt.n_terms, 0) * 1000000 // lc.n_links
+                 AS BIGINT) AS diversity_ppm,
+               CAST(COALESCE(r.authority, 0) AS BIGINT) AS authority
+             FROM lc LEFT JOIN lt USING (domain)
+                     LEFT JOIN rolled r USING (domain))
+      SELECT domain, n_links, n_anchor_terms, diversity_ppm, authority,
+        CAST((authority // 1000) * diversity_ppm // 1000 AS BIGINT)
+          AS quality
+      FROM q"""
+  }
+
   val all: Seq[Q] = Seq(
     Q.fn("q_bpe_encode_large", bpeLargeOracle) { (spark, sf) =>
       Bpe.bpeEncodeLarge(Tables.load(spark, sf, "documents"),
@@ -379,6 +427,29 @@ object Round13Queries {
         "html", "url", blocklist, seed, "__y", minJaccard = 0.8,
         badWords = Seq("offer"))
       funnel
+    },
+
+    // anchor diversity x authority: the two link-graph signals
+    // composed into the per-domain quality table a domainMix pass
+    // consumes — chained from the SAME fixtures the pagerank and
+    // anchor gates use
+    Q.fn("q_domain_link_quality", linkQualityOracle) { (spark, sf) =>
+      import Round11Queries.{withUrl, pick}
+      val docs = Tables.load(spark, sf, "documents")
+      val anchors = Graphs.extractAnchors(
+        Round12Queries.withLinkHtml(docs), "html_links", "doc_id")
+      val u = withUrl(docs)
+        .withColumn("src", Curation.extractHost(col("url")))
+      val e1 = u.select(col("src"),
+        concat(lit("www.site"), pick("-l1", 40).cast("string"),
+          lit(".com")).as("dst"))
+      val e2 = u.select(col("src"),
+        concat(lit("site"), pick("-l2", 40).cast("string"),
+          lit(".org")).as("dst"))
+      val auth = Graphs.pageRank(e1.union(e2), "src", "dst", iters = 3)
+        .groupBy(Curation.registrableDomain(col("node")).as("domain"))
+        .agg(sum(col("pr_rank")).as("authority"))
+      Graphs.domainLinkQuality(anchors, "href", "anchor", auth)
     }
   )
 }

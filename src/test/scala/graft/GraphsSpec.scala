@@ -81,4 +81,33 @@ class GraphsSpec extends AnyFunSuite {
       s"got $links: bare href= and data-href must not match; " +
         "empty quoted values do")
   }
+
+  test("domainLinkQuality: diversity is distinct whitespace terms per " +
+    "link; unranked domains score zero quality") {
+    // spam.org: 4 in-links, one repeated phrase (2 distinct terms) ->
+    // diversity 500000 ppm. good.com: 2 in-links, 6 distinct terms ->
+    // diversity 3000000 ppm. noauth.net is absent from the authority
+    // table -> authority 0, quality 0.
+    val links = Seq(
+      ("https://www.spam.org/a", "buy cheap"),
+      ("https://spam.org/b", "buy cheap"),
+      ("https://spam.org/c", "buy  cheap"), // runs mint no empty terms
+      ("https://spam.org/d", "Buy CHEAP"), // case folds
+      ("https://good.com/x", "rust compiler internals"),
+      ("https://good.com/y", "borrow checker notes"),
+      ("https://noauth.net/z", "one link"))
+      .toDF("href", "anchor")
+    val auth = Seq(("spam.org", 2000000L), ("good.com", 8000000L))
+      .toDF("domain", "authority")
+    val out = Graphs.domainLinkQuality(links, "href", "anchor", auth)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out("spam.org") ==
+      ((4L, 2L, 500000L, 2000000L, (2000L * 500000L) / 1000L)))
+    assert(out("good.com") ==
+      ((2L, 6L, 3000000L, 8000000L, (8000L * 3000000L) / 1000L)))
+    assert(out("noauth.net") == ((1L, 2L, 2000000L, 0L, 0L)))
+    graft.ml.CacheLifecycle.releaseAll()
+  }
 }

@@ -122,9 +122,13 @@ object DelayedDelivery {
       val producer = KafkaTransport.producerFor(bootstrap)
       val recordCls =
         Class.forName("org.apache.kafka.clients.producer.ProducerRecord")
+      // redelivered messages speak the same wire format as the sinks
+      // (gzip-CBOR, docs/serialisation.md) — consumers run one decode
+      // chain for first-pass and redelivered rows alike
       val record = recordCls
         .getConstructor(classOf[String], classOf[Object], classOf[Object])
-        .newInstance(topic, key, json)
+        .newInstance(topic, key,
+          graft.json.Wire.produce(json, asString = false))
       val future = producer.getClass.getMethod("send", recordCls)
         .invoke(producer, record)
       producer.getClass.getMethod("flush").invoke(producer)
@@ -147,7 +151,7 @@ object DelayedDelivery {
         props.put("key.serializer",
           "org.apache.kafka.common.serialization.StringSerializer")
         props.put("value.serializer",
-          "org.apache.kafka.common.serialization.StringSerializer")
+          "org.apache.kafka.common.serialization.ByteArraySerializer")
         val p = Class
           .forName("org.apache.kafka.clients.producer.KafkaProducer")
           .getConstructor(classOf[java.util.Properties])

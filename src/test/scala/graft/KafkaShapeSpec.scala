@@ -56,7 +56,9 @@ class KafkaSmokeSpec extends AnyFunSuite {
       "KAFKA_BOOTSTRAP not set — no broker in this environment")
     val topic = "graft-smoke-" +
       java.util.UUID.randomUUID().toString.take(8)
-    // the real producer (reflective kafka-clients, confirmed send)
+    // the real producer (reflective kafka-clients, confirmed send) —
+    // since round 13 it writes the gzip-CBOR wire format, so this
+    // round trip also proves the decode chain against a real broker
     new graft.streaming.DelayedDelivery.KafkaTransport(bootstrap.get)(
       topic, "k1", """{"_id":"k1","v":42}""")
     val ckpt = java.nio.file.Files

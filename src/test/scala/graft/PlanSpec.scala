@@ -494,6 +494,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("large-merge BPE encode: distinct-word equi-join, no window, " +
+    "no product, no corpus collect") {
+    val p = plan(q("q_bpe_encode_large"))
+    // vocabulary encodes once (mapPartitions over the distinct word
+    // table with broadcast ranks) and joins back by word — shuffles
+    // are the distinct/join/agg hash exchanges only
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("domain link quality: two hash aggregates + broadcast-able " +
+    "authority join, no window, no product") {
+    val p = plan(q("q_domain_link_quality"))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("gopher rules are a narrow per-row map — no exchange, no join") {
     val p = plan(q("q_gopher_rules"))
     assert(!p.contains("Exchange"), p.take(1500))

@@ -187,4 +187,31 @@ object Graphs {
       .withColumn("quality",
         expr("(authority div 1000) * diversity_ppm div 1000"))
   }
+
+  /** Close the loop: the [[domainLinkQuality]] table FEEDING the
+    * `domainMix` quotas — per-domain target weights proportional to
+    * link quality, zero-quality domains excluded, the selection itself
+    * delegated to [[Curation.domainMix]] (exact deterministic
+    * lowest-hash-first keeps). The quality table is config-scale
+    * (domains, not documents): one require-bounded collect builds the
+    * target map; quality values stay < 2⁵³ by construction (authority
+    * is bounded by the 1e12 rank scale and the staged floors), so the
+    * Long→Double target conversion is exact and any engine replays the
+    * scale/floor arithmetic bit-for-bit.
+    */
+  def mixByLinkQuality(corpus: DataFrame, idCol: String,
+      domainCol: String, quality: DataFrame, salt: String = "mixQ",
+      maxDomains: Int = 10000): DataFrame = {
+    val rows = quality.select(col("domain"), col("quality"))
+      .where(col("quality") > 0).limit(maxDomains + 1).collect()
+    require(rows.length <= maxDomains,
+      s"mixByLinkQuality: more than $maxDomains positive-quality " +
+        "domains — the target map is driver-resident by design " +
+        "(bucket low-quality domains upstream or raise maxDomains)")
+    val targets = rows
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    require(targets.nonEmpty,
+      "mixByLinkQuality: no positive-quality domains")
+    Curation.domainMix(corpus, idCol, domainCol, targets, salt)
+  }
 }

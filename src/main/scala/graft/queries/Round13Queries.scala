@@ -372,6 +372,47 @@ object Round13Queries {
       FROM q"""
   }
 
+  /** `mixByLinkQuality` replayed: the link-quality chain's q table
+    * becomes the target-weight map (positive quality only), the corpus
+    * domains come from the md5-url fixture, and the `domainMix`
+    * selection replays exactly — min-ratio scale, floored per-domain
+    * keeps, lowest-hash-first row ranks.
+    */
+  private lazy val mixLinkQualityOracle = {
+    import Round11Queries.{hostSql, domainSql}
+    val prefix = linkQualityOracle.stripSuffix(linkQualitySelect)
+    s"""$prefix,
+       qt AS MATERIALIZED (SELECT domain,
+              CAST((authority // 1000) * diversity_ppm // 1000
+                AS BIGINT) AS p
+            FROM q
+            WHERE (authority // 1000) * diversity_ppm // 1000 > 0),
+       cdom AS (SELECT doc_id, ${domainSql("chost")} AS domain
+                FROM (SELECT doc_id, ${hostSql("url")} AS chost
+                      FROM urls)),
+       listed AS MATERIALIZED (SELECT c.doc_id, c.domain
+                FROM cdom c JOIN qt USING (domain)),
+       mcnt AS (SELECT domain, CAST(count(*) AS DOUBLE) AS c
+                FROM listed GROUP BY 1),
+       msc AS (SELECT min(c / qt.p) AS scale
+               FROM mcnt JOIN qt USING (domain)),
+       mkeep AS (SELECT mcnt.domain,
+                   CAST(floor(qt.p * (SELECT scale FROM msc))
+                     AS BIGINT) AS k
+                 FROM mcnt JOIN qt USING (domain)),
+       mr AS (SELECT doc_id, domain,
+                row_number() OVER (PARTITION BY domain
+                  ORDER BY ('0x'||substr(md5('mixQ'||
+                    CAST(doc_id AS VARCHAR)),1,8))::BIGINT, doc_id)
+                  AS rn
+              FROM listed)
+      SELECT doc_id, domain FROM mr JOIN mkeep USING (domain)
+      WHERE rn <= k"""
+  }
+
+  private lazy val linkQualitySelect =
+    linkQualityOracle.substring(linkQualityOracle.lastIndexOf("\n      SELECT"))
+
   val all: Seq[Q] = Seq(
     Q.fn("q_bpe_encode_large", bpeLargeOracle) { (spark, sf) =>
       Bpe.bpeEncodeLarge(Tables.load(spark, sf, "documents"),
@@ -450,6 +491,36 @@ object Round13Queries {
         .groupBy(Curation.registrableDomain(col("node")).as("domain"))
         .agg(sum(col("pr_rank")).as("authority"))
       Graphs.domainLinkQuality(anchors, "href", "anchor", auth)
+    },
+
+    // ... and the quality table FEEDING the mix quotas: domains keep
+    // documents in proportion to their link quality — the composition
+    // the quality table exists for
+    Q.fn("q_mix_link_quality", mixLinkQualityOracle) { (spark, sf) =>
+      import Round11Queries.{withUrl, pick}
+      val docs = Tables.load(spark, sf, "documents")
+      val anchors = Graphs.extractAnchors(
+        Round12Queries.withLinkHtml(docs), "html_links", "doc_id")
+      val u = withUrl(docs)
+        .withColumn("src", Curation.extractHost(col("url")))
+      val e1 = u.select(col("src"),
+        concat(lit("www.site"), pick("-l1", 40).cast("string"),
+          lit(".com")).as("dst"))
+      val e2 = u.select(col("src"),
+        concat(lit("site"), pick("-l2", 40).cast("string"),
+          lit(".org")).as("dst"))
+      val auth = Graphs.pageRank(e1.union(e2), "src", "dst", iters = 3)
+        .groupBy(Curation.registrableDomain(col("node")).as("domain"))
+        .agg(sum(col("pr_rank")).as("authority"))
+      val quality =
+        Graphs.domainLinkQuality(anchors, "href", "anchor", auth)
+      // pinned: the derived domain feeds domainMix's counts aggregate
+      // AND its per-row selection (the domainMixFromUrls lesson)
+      val corpus = graft.ml.CacheLifecycle.pin(withUrl(docs)
+        .withColumn("domain",
+          Curation.registrableDomain(Curation.extractHost(col("url"))))
+        .select(col("doc_id"), col("domain")))
+      Graphs.mixByLinkQuality(corpus, "doc_id", "domain", quality)
     }
   )
 }

@@ -110,4 +110,29 @@ class GraphsSpec extends AnyFunSuite {
     assert(out("noauth.net") == ((1L, 2L, 2000000L, 0L, 0L)))
     graft.ml.CacheLifecycle.releaseAll()
   }
+
+  test("mixByLinkQuality: keeps documents in proportion to quality; " +
+    "zero-quality domains drop") {
+    // quality A=200, B=100, C=0; corpus 10 A + 10 B + 5 C.
+    // scale = min(10/200, 10/100) = 0.05 -> keep 10 A, 5 B, 0 C.
+    val quality = Seq(
+      ("a.com", 20L, 40L, 2000000L, 100000L, 200L),
+      ("b.org", 10L, 10L, 1000000L, 100000L, 100L),
+      ("c.net", 5L, 5L, 1000000L, 0L, 0L))
+      .toDF("domain", "n_links", "n_anchor_terms", "diversity_ppm",
+        "authority", "quality")
+    val corpus = ((1 to 10).map(i => (i.toLong, "a.com")) ++
+      (11 to 20).map(i => (i.toLong, "b.org")) ++
+      (21 to 25).map(i => (i.toLong, "c.net")))
+      .toDF("doc_id", "domain")
+    val sel = Graphs.mixByLinkQuality(corpus, "doc_id", "domain",
+      quality).groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sel == Map("a.com" -> 10L, "b.org" -> 5L), sel.toString)
+    // all-zero quality must refuse loudly, not select nothing
+    val e = intercept[IllegalArgumentException](
+      Graphs.mixByLinkQuality(corpus, "doc_id", "domain",
+        quality.where(col("domain") === "c.net")))
+    assert(e.getMessage.contains("no positive-quality"))
+  }
 }

@@ -240,6 +240,46 @@ object Similarity {
       .select(col(idCol), col("cell"), ndot6(col("v"), col("vcent")).as("proto"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): within each
+    * k-means cluster, vectors whose pairwise cosine clears `threshold`
+    * form semantic-duplicate groups, and each group keeps ONE
+    * representative — the paper keeps the member with the LOWEST
+    * cosine to its cluster centroid (the least prototypical survives,
+    * consistent with the SSL-prototypes finding that deep-in-cluster
+    * examples are the redundant ones); ties break to the lowest id.
+    * Singletons keep themselves. Returns (idCol, cell, proto,
+    * component, keep).
+    *
+    * Scale shape — the parts compose with no new exchange classes:
+    * within-cell equi-join pair generation (never a product; the
+    * clustering exists precisely to bound the pair search, so groups
+    * cannot span cells by construction), O(log diameter) component
+    * propagation over the duplicate-pair graph (small by
+    * construction), one per-component argmin aggregate (a struct-min,
+    * so the proto-then-id tie-break is one partial aggregate, not a
+    * window), and an equi-join back.
+    */
+  def semDeDup(corpus: DataFrame, centroids: DataFrame, embCol: String,
+      idCol: String, threshold: Double): DataFrame = {
+    // two consumers (the component join and the keeper argmin) — pin
+    // so the assignment crossJoin runs once
+    val proto = CacheLifecycle.pin(
+      prototypicality(corpus, centroids, embCol, idCol))
+    val pairs = Dedup.embeddingPairsCelledWith(corpus, embCol, idCol,
+      threshold, centroids)
+    val comps = Dedup.components(pairs)
+    val withComp = proto
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val keepers = withComp.groupBy("component")
+      .agg(min(struct(col("proto"), col(idCol))).as("__k"))
+      .select(col("component"), col(s"__k.$idCol").as("__kid"))
+    withComp.join(keepers, Seq("component"))
+      .select(col(idCol), col("cell"), col("proto"), col("component"),
+        (col(idCol) === col("__kid")).as("keep"))
+  }
+
   /** SSL-prototypes data pruning: per cell, KEEP the `keepFraction`
     * LEAST prototypical vectors (ties to the lowest id) and mark the
     * prototypical core for removal — the Sorscher et al. rule that beat

@@ -66,7 +66,7 @@ object MlQueries {
     * `v` (normalized corpus), `cn2` (cell → normalized trained centroid),
     * `cells` (vec_id, cell, e).
     */
-  private val kmeansCellsCte =
+  private[queries] val kmeansCellsCte =
     s"""v AS (SELECT vec_id, $normSql AS e FROM embeddings WHERE vec_id<300),
         s0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
         far AS (SELECT v.vec_id, v.e FROM v, s0 WHERE v.vec_id <> s0.vec_id
@@ -100,7 +100,7 @@ object MlQueries {
   /** The Spark side of `kmeansCellsCte`: trained codebook over the emb<300
     * corpus.
     */
-  private def trainedCodebook(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def trainedCodebook(spark: org.apache.spark.sql.SparkSession,
       sf: String) = {
     val corpus = Tables.load(spark, sf, "embeddings")
       .where(col("vec_id") < 300)

@@ -413,6 +413,41 @@ object Round13Queries {
   private lazy val linkQualitySelect =
     linkQualityOracle.substring(linkQualityOracle.lastIndexOf("\n      SELECT"))
 
+  /** `semDeDup` replayed: the trained-codebook CTE chain (seeds +
+    * one Lloyd round + assignment), within-cell cosine pairs at 0.35,
+    * recursive reachability closure, and the per-group
+    * least-prototypical keeper (min proto, ties to min id).
+    */
+  private lazy val semDedupOracle = {
+    import MlQueries.{kmeansCellsCte, cosSql}
+    s"""WITH RECURSIVE $kmeansCellsCte,
+       spr AS MATERIALIZED (SELECT c.vec_id, c.cell,
+               ${cosSql("c.e", "cn2.vcent")} AS proto
+             FROM cells c JOIN cn2 USING (cell)),
+       sps AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM cells a JOIN cells b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE ${cosSql("a.e", "b.e")} >= 0.35),
+       sed AS (SELECT id_a AS s, id_b AS d FROM sps
+               UNION SELECT id_b, id_a FROM sps),
+       sreach(id, r) AS (SELECT s, d FROM sed
+                         UNION SELECT sreach.id, sed.d
+                         FROM sreach JOIN sed ON sreach.r = sed.s),
+       scomp AS (SELECT id AS vec_id, least(id, min(r)) AS component
+                 FROM sreach GROUP BY id),
+       swc AS MATERIALIZED (SELECT spr.vec_id, spr.cell, spr.proto,
+               COALESCE(scomp.component, spr.vec_id) AS component
+             FROM spr LEFT JOIN scomp USING (vec_id)),
+       smp AS (SELECT component, min(proto) AS m FROM swc GROUP BY 1),
+       skp AS (SELECT swc.component, min(swc.vec_id) AS kid
+               FROM swc JOIN smp ON swc.component = smp.component
+                 AND swc.proto = smp.m
+               GROUP BY 1)
+      SELECT swc.vec_id, swc.cell, swc.proto, swc.component,
+        (swc.vec_id = skp.kid) AS keep
+      FROM swc JOIN skp USING (component)"""
+  }
+
   val all: Seq[Q] = Seq(
     Q.fn("q_bpe_encode_large", bpeLargeOracle) { (spark, sf) =>
       Bpe.bpeEncodeLarge(Tables.load(spark, sf, "documents"),
@@ -521,6 +556,15 @@ object Round13Queries {
           Curation.registrableDomain(Curation.extractHost(col("url"))))
         .select(col("doc_id"), col("domain")))
       Graphs.mixByLinkQuality(corpus, "doc_id", "domain", quality)
+    },
+
+    // SemDeDup: semantic dedup inside the trained k-means cells —
+    // duplicate groups by pairwise cosine, each keeping its LEAST
+    // prototypical member (Abbas et al. 2023)
+    Q.fn("q_semdedup", semDedupOracle) { (spark, sf) =>
+      val (corpus, cents) = MlQueries.trainedCodebook(spark, sf)
+      graft.ml.Similarity.semDeDup(corpus, cents, "embedding",
+        "vec_id", threshold = 0.35)
     }
   )
 }

@@ -83,6 +83,43 @@ class CborSpec extends AnyFunSuite {
       == Js.parse(uni))
   }
 
+  test("property: encode→decode round-trips arbitrary JSON documents " +
+    "bit-for-bit (render compare)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val scalar: Gen[String] = Gen.oneOf(
+      Gen.const("null"), Gen.const("true"), Gen.const("false"),
+      Gen.choose(Long.MinValue, Long.MaxValue).map(_.toString),
+      Gen.choose(-1e12, 1e12).map(d => d.toString),
+      Gen.alphaNumStr.map(s => "\"" + s.take(12) + "\""),
+      Gen.oneOf("\"héllo\"", "\"日本語 text\"", "\"a\\nb\\t\\\"c\""))
+    def value(depth: Int): Gen[String] =
+      if (depth <= 0) scalar
+      else Gen.frequency(
+        3 -> scalar,
+        1 -> Gen.listOfN(3, value(depth - 1))
+          .map(_.mkString("[", ",", "]")),
+        1 -> Gen.listOfN(3, Gen.zip(Gen.alphaNumStr.map(_.take(6)),
+          value(depth - 1)))
+          .map(_.zipWithIndex.map { case ((k, v), i) =>
+            "\"" + k + i + "\":" + v }.mkString("{", ",", "}")))
+    val doc = value(3)
+    var seed = Seed(1337L)
+    (0 until 200).foreach { _ =>
+      val json = doc.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val n = Js.parse(json)
+      val back = Cbor.decode(Cbor.encode(n))
+      assert(Js.render(back) == Js.render(n),
+        s"round trip diverged for $json")
+      // and through the full wire chain, including gzip
+      assert(Wire.consume(Wire.produce(Js.render(n), asString = false))
+        == Js.render(n) ||
+        !(n.isObject || n.isArray), // scalar top-levels read as text
+        s"wire chain diverged for $json")
+    }
+  }
+
   test("Kafka value path: encode/decode UDFs round-trip the frame and " +
     "match the string path row for row") {
     import spark.implicits._

@@ -418,6 +418,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(22L) && out(21L) && !out(20L))
   }
 
+  test("semDeDup: duplicate groups keep their LEAST prototypical " +
+    "member; singletons keep; groups never span cells") {
+    import spark.implicits._
+    val cents = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      // cell 0: a tight 3-member semantic-duplicate group — the paper's
+      // rule keeps the one FARTHEST from the centroid (id 3)
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.995f, 0.0998f)),
+      (3L, Seq(0.980f, 0.199f)),
+      // cell 1: a singleton
+      (4L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = graft.ml.Similarity
+      .semDeDup(corpus, cents, "embedding", "vec_id", threshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((1L, false)) && out(2L) == ((1L, false)),
+      s"prototypical duplicates drop: $out")
+    assert(out(3L) == ((1L, true)),
+      "the least prototypical member represents the group")
+    assert(out(4L) == ((4L, true)), "singletons keep themselves")
+    graft.ml.CacheLifecycle.releaseAll()
+  }
+
   test("q_knn_ivf_persisted builds its index once per source dir") {
     val q = SparkEntry.queries("q_knn_ivf_persisted")
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))

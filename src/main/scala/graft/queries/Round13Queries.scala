@@ -448,6 +448,61 @@ object Round13Queries {
       FROM swc JOIN skp USING (component)"""
   }
 
+  /** Fixture rule table for the FULL-PSL-semantics gate: literals
+    * (incl. multi-label), a wildcard and an exception that target
+    * hosts the md5-url fixture actually produces.
+    */
+  private[queries] val PslFullRules: Seq[(String, String)] = Seq(
+    ("com", "literal"), ("org", "literal"), ("net", "literal"),
+    ("co.uk", "literal"), ("com.au", "literal"),
+    // *.site22.org: the fixture has BOTH blog.site22.org (wildcard
+    // fires -> the host IS a public suffix, maps to itself) and bare
+    // site22.org (needs the extra label -> falls to the 'org' literal)
+    ("site22.org", "wildcard"),
+    // !www.site10.com: www.site10.com registers itself while its
+    // sibling blog.site10.com resolves through the 'com' literal
+    ("www.site10.com", "exception"))
+
+  /** `registrableDomainPsl` over the fixture rules, replayed with the
+    * publicsuffix.org algorithm in SQL: per-rule tail matches with the
+    * wildcard's extra-label guard, exception-overrides-all, longest
+    * match, implicit-* (last-two) fallback, is-a-suffix maps to
+    * itself.
+    */
+  private lazy val pslFullOracle = {
+    import Round11Queries.{hostSql, urlCte}
+    val rules = PslFullRules.map { case (sfx, k) =>
+      s"('$sfx', '$k', ${sfx.count(_ == '.') + 1})"
+    }.mkString(", ")
+    s"""WITH $urlCte,
+       ph AS (SELECT doc_id, ${hostSql("url")} AS host FROM urls),
+       pp AS (SELECT doc_id, host, string_split(host, '.') AS parts
+              FROM ph),
+       prules(suffix, kind, rlen) AS (VALUES $rules),
+       pcand AS (SELECT pp.doc_id, r.kind,
+                   CASE r.kind WHEN 'wildcard' THEN r.rlen + 1
+                        WHEN 'exception' THEN r.rlen - 1
+                        ELSE r.rlen END AS efflen
+                 FROM pp JOIN prules r
+                   ON len(pp.parts) >= r.rlen
+                  AND array_to_string(pp.parts[-r.rlen:], '.') = r.suffix
+                  AND (r.kind <> 'wildcard'
+                       OR len(pp.parts) >= r.rlen + 1)),
+       pbest AS (SELECT doc_id,
+                   CASE WHEN bool_or(kind = 'exception')
+                        THEN max(efflen) FILTER (kind = 'exception')
+                        ELSE max(efflen) END AS bl
+                 FROM pcand GROUP BY 1)
+      SELECT pp.doc_id, pp.host,
+        CASE WHEN pp.host IS NULL OR len(pp.parts) <= 1 THEN pp.host
+             WHEN b.bl IS NULL THEN
+               pp.parts[-2] || '.' || pp.parts[-1]
+             WHEN b.bl >= len(pp.parts) THEN pp.host
+             ELSE array_to_string(pp.parts[-(b.bl + 1):], '.') END
+          AS domain
+      FROM pp LEFT JOIN pbest b USING (doc_id)"""
+  }
+
   val all: Seq[Q] = Seq(
     Q.fn("q_bpe_encode_large", bpeLargeOracle) { (spark, sf) =>
       Bpe.bpeEncodeLarge(Tables.load(spark, sf, "documents"),
@@ -565,6 +620,21 @@ object Round13Queries {
       val (corpus, cents) = MlQueries.trainedCodebook(spark, sf)
       graft.ml.Similarity.semDeDup(corpus, cents, "embedding",
         "vec_id", threshold = 0.35)
+    },
+
+    // full PSL semantics (wildcard + exception + longest match) driven
+    // through the gate on a fixture rule table — the vendored real
+    // list runs the same code path (spec'd; 9.6k rules cannot inline
+    // into an oracle)
+    Q.fn("q_domain_psl_full", pslFullOracle) { (spark, sf) =>
+      import spark.implicits._
+      import Round11Queries.withUrl
+      val rules = PslFullRules.toDF("suffix", "kind")
+      val hosts = withUrl(Tables.load(spark, sf, "documents"))
+        .select(col("doc_id"),
+          Curation.extractHost(col("url")).as("host"))
+      Curation.registrableDomainPsl(hosts, "host", rules)
+        .select("doc_id", "host", "domain")
     }
   )
 }

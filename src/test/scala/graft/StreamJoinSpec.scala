@@ -71,7 +71,7 @@ class StreamJoinSpec extends AnyFunSuite {
     val io = new FileStreamIo(dir, Map("lt" -> s1, "rt" -> s2))
     new AppRunner(spark, io, Env(spark)).run(
       """{"application":"sje","version":"1.0","parts":[
-           {"type":"join","name":"j","window":2000,
+           {"type":"join","name":"j","window":8000,
             "left":{"fromTopic":"lt","on":"$corr"},
             "right":{"fromTopic":"rt","on":"$corr"},
             "toTopic":"out_sje"}]}""")
@@ -80,19 +80,22 @@ class StreamJoinSpec extends AnyFunSuite {
       write("rt", s"r$n", s"""{"_id":"r$n","corr":"c$n","rv":$n}""")
       io.processAll()
     }
-    // 2 s window: a round's two sides land in separate micro-batches
-    // (maxFilesPerTrigger=1) that must fall INSIDE the window even under
-    // parallel-suite load; 4 s gaps still outrun window + delay
+    // 8 s window: a round's two sides may land in separate micro-batches
+    // (maxFilesPerTrigger=1) and a GC pause under full-suite load can
+    // put seconds between them — the window must absorb that (a 2 s
+    // window flaked exactly once in ~10 full-suite runs); the 12 s gaps
+    // still outrun window + delay, so eviction stays observable
     round(1)
-    Thread.sleep(4000)
+    Thread.sleep(12000)
     round(2)
-    Thread.sleep(4000)
+    Thread.sleep(12000)
     round(3)
     assert(spark.table("out_sje").collect().length == 3)
     val joinQ = io.queries("out_sje")
     val stateRows = joinQ.lastProgress.stateOperators.map(_.numRowsTotal).sum
     // unbounded growth keeps all 9; eviction leaves at most the last two
-    // rounds (watermark from round 2 clears round 1 during round 3)
+    // rounds (the 12 s gap exceeds the 8 s window, so round 1 clears
+    // during round 3)
     assert(stateRows <= 6, s"join state not evicted: $stateRows rows buffered")
     io.stopAll()
   }

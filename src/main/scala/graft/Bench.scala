@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,14 +49,20 @@ object Bench {
     // per-query numbers from round 13 on are cold-cache best-of-2 and
     // NOT comparable with BENCH_r12 and earlier single-pass
     // shared-cache timings (see SCALING.md, round-13 notes).
+    // a query that throws on SOME attempt but succeeds on another is
+    // intermittent breakage, not noise — the minimum would silently
+    // mask it, so such queries are reported under "flaky" (with their
+    // succeeding timing still in "queries")
     var errors = List.empty[String]
-    val results = queries.flatMap { case (name, fn) =>
+    var flaky = Set.empty[String]
+    def measureOne(name: String,
+        fn: (SparkSession, String) => DataFrame): Option[Double] = {
       def attempt(): Option[Double] = {
         graft.ml.CacheLifecycle.releaseAll()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
+        } catch { case _: Throwable => flaky += name; None }
       }
       // sub-second queries can still swing 2x on pure scheduler/GC
       // jitter (0.15 vs 0.35s): when the two samples disagree by more
@@ -68,9 +74,30 @@ object Bench {
         if (ts0.size == 2 && ts0.max > ts0.min * 1.5)
           ts0 ++ attempt()
         else ts0
-      if (ts.isEmpty) { errors ::= name; None }
-      else Some(name -> ts.min)
+      ts.minOption
     }
+    // TWO full timed passes, back to back: the acceptance rule for
+    // run-level determinism (two exclusive runs within 10% on the
+    // total — SCALING.md round-13) becomes checkable from the artifact
+    // ALONE via value vs value2, instead of requiring an out-of-band
+    // re-measurement when a round lands under ambient host contention.
+    // `value` (pass 1) stays the round-over-round comparator; "queries"
+    // is pass 1's map so value == sum(queries) holds.
+    def pass(): (Map[String, Double], List[String]) = {
+      var errs = List.empty[String]
+      val m = queries.flatMap { case (name, fn) =>
+        measureOne(name, fn) match {
+          case Some(t) => Some(name -> t)
+          case None => errs ::= name; None
+        }
+      }
+      (m.toMap, errs)
+    }
+    val (results, errors1) = pass()
+    val (results2, errors2) = pass()
+    errors = (errors1 ++ errors2).distinct
+    // a query that failed ALL attempts of a pass is an error, not flaky
+    flaky = flaky.diff(errors.toSet)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -91,16 +118,29 @@ object Bench {
     val total =
       if (errors.nonEmpty) "null"
       else "%.3f".formatLocal(java.util.Locale.ROOT, results.values.sum)
+    val total2 =
+      if (errors.nonEmpty) "null"
+      else "%.3f".formatLocal(java.util.Locale.ROOT, results2.values.sum)
+    val flakyJson = flaky.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val flakyCompact = {
+      val names = flaky.toSeq.sorted
+      (names.take(5).map("\"" + _ + "\"") ++
+        (if (names.size > 5) Seq(s"\"...${names.size - 5}_more\"")
+         else Nil)).mkString("[", ",", "]")
+    }
     // the full per-query map goes to the durable target/bench.json only;
     // stdout gets a COMPACT line (<300 chars even at 200 queries) because
     // the driver tail-captures a bounded window of output — a 3.5k-char
     // line gets its head truncated and fails to parse
     val filtered = only.isDefined
     val filteredField = if (filtered) "\"filtered\":true," else ""
+    val qs2 = results2.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$filteredField"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value2":$total2,"unit":"sec",$filteredField"queries":$qs,"queries2":$qs2,"errors":$errs,"flaky":$flakyJson,"sf":"$sfDir"}"""
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec",$filteredField"n":${results.size},"errors":$errsCompact,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value2":$total2,"unit":"sec",$filteredField"n":${results.size},"errors":$errsCompact,"flaky":$flakyCompact,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY subset must NEVER overwrite the durable
     // full-run artifact: a round-over-round comparator reading
     // target/bench.json would mistake a one-query triage run for a

@@ -24,6 +24,19 @@ object Cbor {
 
   // ---------------- encode ----------------
 
+  /** KEY-ORDER CONTRACT: map entries encode in the Jackson tree's
+    * INSERTION order — no canonical re-sort. Every producer path in
+    * this engine builds the tree from JSON text whose key order is
+    * itself deterministic (`to_json(struct(...))` is column order;
+    * `Js.parse` preserves text order), so produced bytes are
+    * byte-for-byte reproducible run over run. A future producer that
+    * assembles nodes in a different order emits permuted-but-EQUAL
+    * documents: consumers are unaffected (decode → JSON is order-
+    * insensitive at the value level), but byte-level golden tests and
+    * content-hash dedup over wire bytes would silently split — keep
+    * insertion order stable or hash the RENDERED JSON, never the wire
+    * bytes (CborSpec pins both halves of this contract).
+    */
   def encode(n: JsonNode): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     write(n, out)
@@ -242,10 +255,27 @@ object Cbor {
   */
 object Wire {
 
+  /** `produce` mirrors `consume`'s container-top-level rule so the two
+    * are TOTAL inverses over everything consume admits: only a JSON
+    * OBJECT/ARRAY travels as gzip-CBOR (reference messages are
+    * `Message<String, JsonObject>`), while non-JSON text (a foreign
+    * producer's value that rode in via the string fallback) and bare
+    * JSON scalars pass through as raw UTF-8. Encoding a scalar would
+    * round-trip as undecodable bytes (consume only renders container
+    * top-levels) and a parse failure in the pass-through sink path or
+    * `$delay` redelivery would permanently fail the micro-batch.
+    */
   def produce(json: String, asString: Boolean): Array[Byte] =
     if (json == null) null
     else if (asString) json.getBytes(UTF_8)
-    else gzip(Cbor.encode(Js.parse(json)))
+    else {
+      val node =
+        try Some(Js.parse(json)) catch { case _: Exception => None }
+      node match {
+        case Some(n) if n.isObject || n.isArray => gzip(Cbor.encode(n))
+        case _ => json.getBytes(UTF_8)
+      }
+    }
 
   def consume(bytes: Array[Byte]): String = {
     if (bytes == null) return null

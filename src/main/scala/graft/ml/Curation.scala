@@ -230,7 +230,10 @@ object Curation {
     * 2023-02-09 from the Debian `publicsuffix` package, vendored at
     * `graft/public_suffix_list.dat` with its license header intact).
     * Parsed per the PSL format spec: comment (`//`) and blank lines
-    * drop, a rule ends at the first whitespace, rules lowercase.
+    * drop, a rule ends at the first whitespace, rules lowercase, and
+    * Unicode IDN rules normalize to their punycode (`xn--`) form —
+    * the publicsuffix.org algorithm matches on punycode labels, which
+    * is what real crawl hosts carry.
     * Returns (suffix, kind) where kind ∈ literal | wildcard |
     * exception and `suffix` carries the rule's LITERAL label part
     * (`*.ck` → ("ck", wildcard), `!www.ck` → ("www.ck", exception)) —
@@ -244,14 +247,28 @@ object Curation {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
+    // IDN rules are stored in Unicode in the upstream list (中国, みんな)
+    // while real crawl hosts carry punycode (xn--) labels — the
+    // publicsuffix.org algorithm specifies matching on punycode-
+    // normalized labels, so a Unicode rule kept verbatim could never
+    // fire. Normalize each rule to ASCII via java.net.IDN (RFC 3490);
+    // already-ASCII rules pass through unchanged, and a rule IDN
+    // cannot encode (none in the vendored snapshot) is kept verbatim
+    // rather than dropped.
+    def punycode(rule: String): String =
+      if (rule.forall(_ < 128)) rule
+      else
+        try java.net.IDN.toASCII(rule, java.net.IDN.ALLOW_UNASSIGNED)
+          .toLowerCase
+        catch { case _: IllegalArgumentException => rule }
     lines.iterator
       .map(_.trim.takeWhile(!_.isWhitespace))
       .filter(l => l.nonEmpty && !l.startsWith("//"))
       .map(_.toLowerCase)
       .map { l =>
-        if (l.startsWith("!")) (l.drop(1), "exception")
-        else if (l.startsWith("*.")) (l.drop(2), "wildcard")
-        else (l, "literal")
+        if (l.startsWith("!")) (punycode(l.drop(1)), "exception")
+        else if (l.startsWith("*.")) (punycode(l.drop(2)), "wildcard")
+        else (punycode(l), "literal")
       }
       .toSeq.toDF("suffix", "kind")
   }

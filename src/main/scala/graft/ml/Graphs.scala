@@ -149,11 +149,13 @@ object Graphs {
     * whitespace anchor terms per in-link — organic in-links describe a
     * target many ways, spam farms repeat one phrase) and the PageRank
     * AUTHORITY rollup. All integer arithmetic, replayable anywhere:
-    * `diversity_ppm` = ⌊terms·1e6 / n_links⌋ and `quality` =
-    * ⌊authority/1000⌋·diversity_ppm div 1000 (the staged floors keep
-    * the product inside 64 bits — authority ≤ the 1e12 rank scale, so
-    * a direct product could reach 1e19; the /1000 granularity loss is
-    * far below either signal's noise).
+    * `diversity_ppm` = min(⌊min(terms,1e7)·1e6 / n_links⌋, 1e7) and
+    * `quality` = ⌊authority/1000⌋·diversity_ppm div 1000. The staged
+    * floors plus the 1e7-ppm clamp keep the product inside 64 bits BY
+    * CONSTRUCTION — authority ≤ the 1e12 rank scale and ppm ≤ 1e7 give
+    * quality ≤ 1e13 < 2^53, so even the Long→Double conversion
+    * downstream (`mixByLinkQuality`) stays exact; the /1000 granularity
+    * loss is far below either signal's noise.
     *
     * Scale shape: one narrow extraction map; two partial hash
     * aggregates over (domain) — link count, and distinct terms over
@@ -179,7 +181,17 @@ object Graphs {
       .withColumn("n_anchor_terms",
         coalesce(col("n_anchor_terms"), lit(0L)))
       .withColumn("diversity_ppm",
-        expr("n_anchor_terms * 1000000 div n_links"))
+        // ENFORCED headroom, not assumed: diversity is unbounded in the
+        // wild (one link with a 1e4-term anchor reads ~1e10 ppm), and an
+        // unclamped value would push (authority div 1000) · ppm past
+        // 2^63 at the 1e12 rank scale — wrapping quality negative and
+        // breaking mixByLinkQuality's <2^53 exactness contract. 1e7 ppm
+        // = 10 distinct terms per in-link, already deep in degenerate
+        // territory (organic anchors carry 1-5 terms); the inner clamp
+        // keeps the product itself inside 64 bits for any term count.
+        least(expr(
+          "least(n_anchor_terms, 10000000) * 1000000 div n_links"),
+          lit(10000000L)))
       .join(authority.select(col("domain"),
         col("authority").cast("long").as("authority")),
         Seq("domain"), "left")

@@ -361,7 +361,8 @@ object Round13Queries {
               GROUP BY 1),
        q AS (SELECT lc.domain, lc.n_links,
                CAST(COALESCE(lt.n_terms, 0) AS BIGINT) AS n_anchor_terms,
-               CAST(COALESCE(lt.n_terms, 0) * 1000000 // lc.n_links
+               CAST(least(least(COALESCE(lt.n_terms, 0), 10000000)
+                 * 1000000 // lc.n_links, 10000000)
                  AS BIGINT) AS diversity_ppm,
                CAST(COALESCE(r.authority, 0) AS BIGINT) AS authority
              FROM lc LEFT JOIN lt USING (domain)

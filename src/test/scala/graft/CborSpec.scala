@@ -83,6 +83,43 @@ class CborSpec extends AnyFunSuite {
       == Js.parse(uni))
   }
 
+  test("produce is total over everything consume admits: non-JSON " +
+    "text and bare JSON scalars pass through as raw UTF-8") {
+    // a foreign producer's non-JSON value rode in via the string
+    // fallback; the pass-through sink / $delay redelivery re-produce it
+    val foreign = "plain text from a foreign producer"
+    assert(new String(Wire.produce(foreign, asString = false), "UTF-8")
+      == foreign)
+    assert(Wire.consume(Wire.produce(foreign, asString = false))
+      == foreign)
+    // a valid-JSON SCALAR must not encode to CBOR (consume renders only
+    // container top-levels — the bytes would come back as garbage)
+    Seq("42", "\"quoted\"", "true", "null", "3.25").foreach { s =>
+      assert(Wire.consume(Wire.produce(s, asString = false)) == s,
+        s"scalar $s must round-trip verbatim")
+    }
+    // containers still take the wire format
+    val obj = Wire.produce("""{"a":1}""", asString = false)
+    assert(obj(0) == 0x1f.toByte && obj(1) == 0x8b.toByte)
+    val arr = Wire.produce("""[1,2]""", asString = false)
+    assert(arr(0) == 0x1f.toByte && arr(1) == 0x8b.toByte)
+  }
+
+  test("key-order contract: map entries encode in insertion order, " +
+    "permuted keys are value-equal but not byte-equal") {
+    val a = Js.parse("""{"x":1,"y":2}""")
+    val b = Js.parse("""{"y":2,"x":1}""")
+    // byte-level: insertion order is preserved, so the permutation
+    // yields DIFFERENT wire bytes...
+    assert(!java.util.Arrays.equals(Cbor.encode(a), Cbor.encode(b)))
+    // ...and re-encoding the same text is byte-stable run over run
+    assert(java.util.Arrays.equals(Cbor.encode(a),
+      Cbor.encode(Js.parse("""{"x":1,"y":2}"""))))
+    // value-level: decode → render is order-insensitive for consumers
+    assert(Js.parse(Js.render(Cbor.decode(Cbor.encode(a)))) ==
+      Js.parse(Js.render(Cbor.decode(Cbor.encode(b)))))
+  }
+
   test("property: encode→decode round-trips arbitrary JSON documents " +
     "bit-for-bit (render compare)") {
     import org.scalacheck.Gen

@@ -834,6 +834,33 @@ class CurationSpec extends AnyFunSuite {
     assert(rules.contains(("www.ck", "exception")), "!www.ck")
     assert(rules.contains(("github.io", "literal")),
       "private-section rules load too")
+    // IDN rules normalize to punycode at parse time (the publicsuffix
+    // .org algorithm matches on punycode labels; crawl hosts carry
+    // xn-- forms, so a Unicode rule kept verbatim could never fire)
+    assert(rules.contains(("xn--55qx5d.cn", "literal")),
+      "公司.cn must load as its punycode form")
+    assert(!rules.exists(_._1.exists(_ >= 128)),
+      "no Unicode rule may survive parsing un-normalized")
+  }
+
+  test("registrableDomainPsl: punycode hosts resolve through IDN " +
+    "rules — the multi-label Unicode suffix fires") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val psl = Curation.publicSuffixList(spark)
+    // 公司.cn == xn--55qx5d.cn is a 2-label PSL rule: the registrable
+    // domain of shop.example.xn--55qx5d.cn is example.xn--55qx5d.cn —
+    // the last-two-labels fallback (what an unconverted Unicode rule
+    // would degrade to) answers xn--55qx5d.cn instead
+    val hosts = Seq("shop.example.xn--55qx5d.cn",
+      "example.xn--55qx5d.cn", "xn--55qx5d.cn").toDF("host")
+    val out = Curation.registrableDomainPsl(hosts, "host", psl)
+      .select(col("host"), col("domain")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("shop.example.xn--55qx5d.cn") == "example.xn--55qx5d.cn")
+    assert(out("example.xn--55qx5d.cn") == "example.xn--55qx5d.cn")
+    assert(out("xn--55qx5d.cn") == "xn--55qx5d.cn",
+      "a host that IS the suffix maps to itself")
   }
 
   test("registrableDomainPsl: full PSL semantics — wildcards, " +

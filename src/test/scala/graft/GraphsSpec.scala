@@ -111,6 +111,27 @@ class GraphsSpec extends AnyFunSuite {
     graft.ml.CacheLifecycle.releaseAll()
   }
 
+  test("domainLinkQuality: degenerate mega-anchor diversity clamps at " +
+    "1e7 ppm — quality never wraps negative at the 1e12 rank scale") {
+    // one in-link whose anchor carries 10,001 distinct terms: unclamped
+    // diversity would read ~1e10 ppm and (1e12 div 1000) * 1e10 would
+    // overflow 2^63 into a negative quality
+    val megaAnchor = (0 until 10001).map(i => s"t$i").mkString(" ")
+    val links = Seq(("https://stuffed.com/x", megaAnchor))
+      .toDF("href", "anchor")
+    val auth = Seq(("stuffed.com", Graphs.RankScale)) // full 1e12 scale
+      .toDF("domain", "authority")
+    val r = Graphs.domainLinkQuality(links, "href", "anchor", auth)
+      .collect().head
+    assert(r.getAs[Long]("diversity_ppm") == 10000000L,
+      "diversity clamps at 1e7 ppm")
+    val q = r.getAs[Long]("quality")
+    assert(q == (Graphs.RankScale / 1000L) * 10000000L / 1000L)
+    assert(q > 0 && q < (1L << 53),
+      s"quality $q must stay positive and Double-exact")
+    graft.ml.CacheLifecycle.releaseAll()
+  }
+
   test("mixByLinkQuality: keeps documents in proportion to quality; " +
     "zero-quality domains drop") {
     // quality A=200, B=100, C=0; corpus 10 A + 10 B + 5 C.

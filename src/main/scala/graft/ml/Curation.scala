@@ -131,6 +131,26 @@ object Curation {
           .as("keep"))
   }
 
+  /** The ONE switch every domain-keyed composition threads: derive each
+    * row's registrable `domain` from `hostCol` with the built-in
+    * last-two-labels heuristic (a narrow column map — the default, and
+    * what the deterministic oracles replay), or with FULL Public Suffix
+    * List semantics via [[registrableDomainPsl]] when a rules table is
+    * supplied (same zero-corpus-shuffle broadcast-join shape; pass
+    * `Some(publicSuffixList(spark))` for the vendored real list — the
+    * production form, where `blog.example.co.uk` and
+    * `shop.example.co.uk` must group as `example.co.uk`, and
+    * `user.github.io`-class private suffixes must not collapse into
+    * one `github.io` pseudo-domain).
+    */
+  def withRegistrableDomain(df: DataFrame, hostCol: String,
+      psl: Option[DataFrame]): DataFrame =
+    psl match {
+      case Some(rules) => registrableDomainPsl(df, hostCol, rules)
+      case None =>
+        df.withColumn("domain", registrableDomain(col(hostCol)))
+    }
+
   /** Per-domain corpus statistics: group the corpus by registrable
     * domain (derived from `urlCol` in the same narrow map) and count
     * documents, distinct hosts and an optional summed weight (token
@@ -140,13 +160,15 @@ object Curation {
     * distinct-host count rides Spark's partial distinct aggregation);
     * no window, no product, no driver collect. Docs with no parseable
     * host group under the null domain — dropping them silently would
-    * misreport the corpus.
+    * misreport the corpus. `psl` switches the domain keying to full
+    * Public Suffix List semantics ([[withRegistrableDomain]]) — still
+    * broadcast-only, no shape change.
     */
   def domainStats(df: DataFrame, urlCol: String,
-      weightCol: Option[String] = None): DataFrame = {
-    val keyed = df
-      .withColumn("__host", extractHost(col(urlCol)))
-      .withColumn("domain", registrableDomain(col("__host")))
+      weightCol: Option[String] = None,
+      psl: Option[DataFrame] = None): DataFrame = {
+    val keyed = withRegistrableDomain(
+      df.withColumn("__host", extractHost(col(urlCol))), "__host", psl)
     val aggs = Seq(count(lit(1)).as("n_docs"),
       count_distinct(col("__host")).as("n_hosts")) ++
       weightCol.map(w => sum(col(w)).as("sum_weight"))
@@ -623,7 +645,12 @@ object Curation {
     */
   def domainMixFromUrls(df: DataFrame, urlCol: String, idCol: String,
       temperature: Double, outputFraction: Double = 1.0,
-      salt: String = "mixT", maxDomains: Int = 100000): DataFrame =
+      salt: String = "mixT", maxDomains: Int = 100000,
+      /** full-PSL domain keying when supplied ([[withRegistrableDomain]])
+        * — wrong quotas are the cost of heuristic grouping on real
+        * crawls (co.uk/github.io-class hosts split or merge wrongly)
+        */
+      psl: Option[DataFrame] = None): DataFrame =
     domainMixTemperature(
       // PINNED, not inlined: registrableDomain references its host
       // argument ~10× and extractHost its url 3×, and Column vals are
@@ -640,8 +667,9 @@ object Curation {
       // attribute. Two passes over one materialization is also simply
       // less work than re-deriving domains twice.
       CacheLifecycle.pin(
-        df.withColumn("__host", extractHost(col(urlCol)))
-          .withColumn("domain", registrableDomain(col("__host")))
+        withRegistrableDomain(
+          df.withColumn("__host", extractHost(col(urlCol))),
+          "__host", psl)
           .drop("__host")),
       idCol, "domain", temperature, outputFraction, salt, maxDomains)
 

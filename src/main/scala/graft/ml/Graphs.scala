@@ -132,16 +132,33 @@ object Graphs {
     * extraction map + one partial hash aggregate.
     */
   def anchorIndex(links: DataFrame, hrefCol: String, anchorCol: String,
-      maxAnchors: Int = 20): DataFrame =
-    links.select(
-        Curation.registrableDomain(Curation.extractHost(col(hrefCol)))
-          .as("domain"),
-        col(anchorCol).as("__a"))
+      maxAnchors: Int = 20, psl: Option[DataFrame] = None): DataFrame =
+    Curation.withRegistrableDomain(
+        links.select(Curation.extractHost(col(hrefCol)).as("__h"),
+          col(anchorCol).as("__a")),
+        "__h", psl)
       .where(col("domain").isNotNull)
       .groupBy("domain")
       .agg(count(lit(1)).as("n_links"),
         slice(array_sort(collect_list(col("__a"))), 1, maxAnchors)
           .as("anchors"))
+
+  /** PageRank rolled up to registrable domains — the per-domain
+    * AUTHORITY table the link-quality and mix compositions consume
+    * (and the `q_domain_authority` dashboard row). One hash aggregate
+    * over the (config-scale) rank frame; `psl` switches the domain
+    * keying to full Public Suffix List semantics
+    * ([[Curation.withRegistrableDomain]]) — on a real crawl the
+    * heuristic wrongly splits or merges co.uk/github.io-class hosts,
+    * corrupting every downstream quota built on the rollup.
+    */
+  def domainAuthority(ranks: DataFrame, nodeCol: String = "node",
+      psl: Option[DataFrame] = None): DataFrame =
+    Curation.withRegistrableDomain(
+        ranks.select(col(nodeCol).as("__h"), col("pr_rank")), "__h", psl)
+      .groupBy("domain")
+      .agg(sum(col("pr_rank")).as("authority"),
+        count(lit(1)).as("n_hosts"))
 
   /** The composed per-domain link-QUALITY table — the two link-graph
     * signals joined into the one frame a curation pass feeds into
@@ -165,12 +182,15 @@ object Graphs {
     * window, no product, no driver state.
     */
   def domainLinkQuality(links: DataFrame, hrefCol: String,
-      anchorCol: String, authority: DataFrame): DataFrame = {
-    val keyed = CacheLifecycle.pin(links.select(
-        Curation.registrableDomain(Curation.extractHost(col(hrefCol)))
-          .as("domain"),
-        col(anchorCol).as("__a"))
-      .where(col("domain").isNotNull))
+      anchorCol: String, authority: DataFrame,
+      psl: Option[DataFrame] = None): DataFrame = {
+    val keyed = CacheLifecycle.pin(
+      Curation.withRegistrableDomain(
+          links.select(Curation.extractHost(col(hrefCol)).as("__h"),
+            col(anchorCol).as("__a")),
+          "__h", psl)
+        .select(col("domain"), col("__a"))
+        .where(col("domain").isNotNull))
     val counts = keyed.groupBy("domain")
       .agg(count(lit(1)).as("n_links"))
     val terms = keyed

@@ -1413,10 +1413,8 @@ object Round12Queries {
       val e2 = u.select(col("src"),
         concat(lit("site"), pick("-l2", 40).cast("string"),
           lit(".org")).as("dst"))
-      graft.ml.Graphs.pageRank(e1.union(e2), "src", "dst", iters = 3)
-        .groupBy(Curation.registrableDomain(col("node")).as("domain"))
-        .agg(sum(col("pr_rank")).as("authority"),
-          count(lit(1)).as("n_hosts"))
+      graft.ml.Graphs.domainAuthority(
+        graft.ml.Graphs.pageRank(e1.union(e2), "src", "dst", iters = 3))
     },
 
     Q.fn("q_epoch_plan", epochPlanOracle) { (spark, sf) =>

@@ -843,6 +843,39 @@ class CurationSpec extends AnyFunSuite {
       "no Unicode rule may survive parsing un-normalized")
   }
 
+  test("domainStats through the vendored PSL: exotic hosts group " +
+    "correctly where the heuristic is provably wrong") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // *.kawasaki.jp: a.city... and b.city... belong to ONE registrable
+    // domain (city.kawasaki.jp via the !city exception); user.github.io
+    // and other.github.io are TWO domains (private-section suffix).
+    // The last-two-labels heuristic merges the github.io pair into one
+    // and splits the kawasaki pair from its sibling c.x.kawasaki.jp
+    // cases entirely differently.
+    val docs = Seq(
+      (1L, "https://a.city.kawasaki.jp/p"),
+      (2L, "https://b.city.kawasaki.jp/q"),
+      (3L, "https://user.github.io/r"),
+      (4L, "https://other.github.io/s")).toDF("doc_id", "url")
+    val psl = Curation.publicSuffixList(spark)
+    val viaPsl = Curation.domainStats(docs, "url", None, Some(psl))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaPsl == Map(
+      "city.kawasaki.jp" -> 2L,
+      "user.github.io" -> 1L,
+      "other.github.io" -> 1L), viaPsl.toString)
+    val viaHeuristic = Curation.domainStats(docs, "url")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaHeuristic == Map(
+      // WRONG both ways: the kawasaki pair loses its city.* registrable
+      // level, and two github users collapse into one pseudo-domain
+      "kawasaki.jp" -> 2L,
+      "github.io" -> 2L),
+      viaHeuristic.toString)
+    graft.ml.CacheLifecycle.releaseAll()
+  }
+
   test("registrableDomainPsl: punycode hosts resolve through IDN " +
     "rules — the multi-label Unicode suffix fires") {
     import spark.implicits._

@@ -468,6 +468,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("PSL-threaded compositions stay broadcast-only: domainStats and " +
+    "the authority rollup add no corpus exchange for the keying") {
+    // q_domain_stats_psl: the ONLY hash exchange is the stats
+    // aggregate itself; every PSL class joins map-side
+    val p = plan(q("q_domain_stats_psl"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    // only the stats aggregation exchanges: (domain, __host) partial-
+    // distinct then domain — Spark's standard two-phase distinct
+    // rewrite. The PSL keying itself must not add a third.
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges corpus exchanges:\n${p.take(1500)}")
+  }
+
   test("incremental URL dedup probes the index by broadcast, no product") {
     val p = plan(q("q_url_dedup_incremental"))
     // the persisted index must stream against broadcast batch keys —

@@ -985,6 +985,30 @@ object Curation {
       .drop("__h", "__hbkt", "__src2", "__hbkt2", "__boff", "__rank")
   }
 
+  /** Language-aware mixing — the standard multilingual rebalance: the
+    * language-ID prediction ([[TextAnalysis.langId]], the n-gram/
+    * stopword heuristic) becomes the mix key and per-language target
+    * weights drive [[domainMix]]'s exact deterministic lowest-hash
+    * keeps. Rows whose predicted language is not targeted (including
+    * `unknown`) drop — route them through a dedicated quota if they
+    * should survive. Returns the kept rows + `lang_pred`.
+    *
+    * Scale shape: langId is a narrow per-row map (bounded stopword-list
+    * probes); the (id, lang_pred) projection is PINNED because the mix
+    * reads it twice (the per-language counts aggregate and the per-row
+    * selection — the domainMixFromUrls lesson), and the selection
+    * itself is domainMix's two-level hash-bucket scan: no per-language
+    * window over the corpus, a 90 %-English crawl stays ~buckets
+    * parallel sorts.
+    */
+  def languageMix(df: DataFrame, textCol: String, idCol: String,
+      targets: Map[String, Double], salt: String = "mixL"): DataFrame = {
+    val keyed = CacheLifecycle.pin(
+      TextAnalysis.langId(df, textCol)
+        .select(col(idCol), col("lang_pred")))
+    domainMix(keyed, idCol, "lang_pred", targets, salt)
+  }
+
   /** Temperature-based domain resampling (the multilingual/multi-domain
     * rebalance standard in pretraining mixes): target proportions
     * p(s) ∝ count(s)^τ — τ = 1 keeps natural proportions, τ → 0 flattens

@@ -39,11 +39,59 @@ object Recipes {
       urlCol: String, blocklist: DataFrame, seed: DataFrame,
       seedLabelCol: String, minJaccard: Double = 0.8,
       badWords: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
-    val funnel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val stages = curateStaged(df, idCol, htmlCol, urlCol, blocklist,
+      seed, seedLabelCol, minJaccard, badWords)
+    import df.sparkSession.implicits._
+    val report = stages.zipWithIndex
+      .map { case ((name, frame), i) => (i, name, frame.count()) }
+      .toDF("step", "stage", "docs")
+    (stages.last._2, report)
+  }
+
+  /** Per-domain funnel ATTRIBUTION — the production question the global
+    * funnel can't answer: WHERE do the losses concentrate? One hash
+    * aggregate per stage over the already-checkpointed stage frames
+    * (config-scale output: stages × domains), keyed by registrable
+    * domain — full Public Suffix List semantics when `psl` is supplied
+    * ([[Curation.withRegistrableDomain]]; heuristic otherwise). A
+    * domain whose docs vanish at `quality_rules` is template spam; one
+    * that collapses at `near_dedup` is a mirror farm — the report that
+    * drives blocklist and quota updates. Returns
+    * (step, stage, domain, docs).
+    */
+  def curateFunnelByDomain(df: DataFrame, idCol: String, htmlCol: String,
+      urlCol: String, blocklist: DataFrame, seed: DataFrame,
+      seedLabelCol: String, minJaccard: Double = 0.8,
+      badWords: Seq[String] = Seq.empty,
+      psl: Option[DataFrame] = None): DataFrame = {
+    val stages = curateStaged(df, idCol, htmlCol, urlCol, blocklist,
+      seed, seedLabelCol, minJaccard, badWords)
+    stages.zipWithIndex.map { case ((name, frame), i) =>
+      Curation.withRegistrableDomain(
+          frame.withColumn("__host", Curation.extractHost(col(urlCol))),
+          "__host", psl)
+        .groupBy("domain").agg(count(lit(1)).as("docs"))
+        .select(lit(i).as("step"), lit(name).as("stage"),
+          col("domain"), col("docs"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The staged recipe body shared by [[curate]] and
+    * [[curateFunnelByDomain]]: runs every stage, eager-checkpointing
+    * each boundary, and returns the named stage frames in funnel order
+    * (last = the kept corpus). Every frame retains the input's url
+    * column, so attribution rollups need no re-join.
+    */
+  private def curateStaged(df: DataFrame, idCol: String, htmlCol: String,
+      urlCol: String, blocklist: DataFrame, seed: DataFrame,
+      seedLabelCol: String, minJaccard: Double,
+      badWords: Seq[String]): Seq[(String, DataFrame)] = {
+    val funnel =
+      scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     def stage(name: String)(d: DataFrame): DataFrame = {
       val cp = d.localCheckpoint(true)
       CacheLifecycle.pinCheckpointed(cp)
-      funnel += name -> cp.count()
+      funnel += name -> cp
       cp
     }
     val in = stage("input")(df)
@@ -80,15 +128,11 @@ object Recipes {
         Curation.dedupUrls(scored, urlCol, idCol)
           .where(col("keep")).select(col(idCol)),
         Seq(idCol)))
-    val nearKept = stage("near_dedup")(
+    stage("near_dedup")(
       urlKept.join(
         Dedup.dedupNear(urlKept, "text_clean", idCol, minJaccard)
           .where(col("keep")).select(col(idCol)),
         Seq(idCol)))
-    import df.sparkSession.implicits._
-    val report = funnel.zipWithIndex
-      .map { case ((name, docs), i) => (i, name, docs) }.toSeq
-      .toDF("step", "stage", "docs")
-    (nearKept, report)
+    funnel.toSeq
   }
 }

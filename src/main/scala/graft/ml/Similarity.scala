@@ -629,8 +629,11 @@ object Similarity {
     val cents = centroids.getOrElse(
       corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol), col(embCol)))
+    // md5-derived hash order (not xxhash64): the SAME deterministic
+    // sample replays in any engine — the gate oracle re-derives it
     val sample = corpus
-      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
+      .orderBy(Fns.h32(concat(lit("tune"), col(idCol).cast("string"))),
+        col(idCol))
       .limit(sampleQueries)
       .select(col(idCol), col(embCol))
       .persist()

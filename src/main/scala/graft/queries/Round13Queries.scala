@@ -324,6 +324,14 @@ object Round13Queries {
                (SELECT count(*) FROM nearkept))"""
   }
 
+  /** The funnel oracle's CTE chain WITHOUT the final stage-count
+    * select — Round14's per-domain attribution appends its own domain
+    * rollups over the same stage CTEs.
+    */
+  private[queries] lazy val funnelOraclePrefix =
+    funnelOracle.substring(0,
+      funnelOracle.lastIndexOf("\n      SELECT * FROM ("))
+
   /** `domainLinkQuality` replayed by CHAINING the existing gate CTE
     * families: the pageRank iteration chain (r3) rolled up to domain
     * authority, the anchor-extraction fixture's (href, anchor) pairs

@@ -82,7 +82,196 @@ object Round14Queries {
         count(*) AS n_hosts
       FROM ap_dom d JOIN aph a USING (k) GROUP BY 1"""
 
+  /** `curateFunnelByDomain` replayed: the ENTIRE funnel CTE chain
+    * (Round13's gate) plus the fixture-PSL domain keying, rolled up
+    * per (stage, domain) — the attribution report that tells a
+    * curation run WHERE the losses concentrate.
+    */
+  private lazy val funnelDomainsOracle = {
+    import Round11Queries.hostSql
+    val stages = Seq(
+      (0, "input", "documents"), (1, "html_to_text", "texted2"),
+      (2, "blocklist", "unblocked"), (3, "quality_rules", "ruled"),
+      (4, "classifier", "scored"), (5, "url_dedup", "urlkept"),
+      (6, "near_dedup", "nearkept"))
+    val rollups = stages.map { case (i, name, cte) =>
+      s"""SELECT CAST($i AS INT) AS step, '$name' AS stage, d.domain,
+            count(*) AS docs
+          FROM $cte s JOIN fd_dom d ON d.k = s.doc_id
+          GROUP BY 1, 2, 3"""
+    }.mkString("\n      UNION ALL ")
+    s"""${Round13Queries.funnelOraclePrefix},
+       fdh AS (SELECT doc_id AS k, ${hostSql("url")} AS host FROM urls),
+       ${pslDomainCtes("fdh", "fd_")}
+      $rollups"""
+  }
+
+  /** Per-language phrases whose stopwords fire EXACTLY ONE language's
+    * list (the shared fr/es `la` avoided), so the langId argmax is
+    * unambiguous; the trailing doc-varying token keeps texts distinct.
+    * zh has no stopword list → `unknown` → drops from the mix.
+    */
+  private val LangPhrases = Seq(
+    "en" -> "the of and it", "de" -> "der und ist zu",
+    "fr" -> "le les et dans", "es" -> "el los y una")
+
+  /** `languageMix` replayed: the multilingual text fixture → the langId
+    * stopword-argmax → per-language counts → min-ratio scale → floored
+    * keeps → lowest-hash-first row ranks (salt mixL).
+    */
+  private lazy val languageMixOracle = {
+    val phrase = LangPhrases.map { case (l, p) =>
+      s"WHEN '$l' THEN '$p'"
+    }.mkString(" ")
+    def scoreSql(words: Seq[String]) =
+      s"len(list_filter(toks, x -> list_contains(" +
+        words.map(w => s"'$w'").mkString("[", ",", "]") + ", x)))"
+    // the SAME stopword lists TextAnalysis.LangStopwords hardcodes
+    val en = scoreSql(Seq("the", "of", "and", "to", "in", "is", "that", "it"))
+    val de = scoreSql(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"))
+    val fr = scoreSql(Seq("le", "la", "les", "et", "est", "un", "une", "dans"))
+    val es = scoreSql(Seq("el", "la", "los", "y", "es", "un", "una", "en"))
+    s"""WITH ml AS (SELECT doc_id,
+              (CASE lang $phrase ELSE 'zz qq' END)
+                || ' x' || (doc_id % 90)::VARCHAR AS mltext
+            FROM documents),
+       mt AS (SELECT doc_id, string_split(lower(mltext), ' ') AS toks
+              FROM ml),
+       ms AS (SELECT doc_id, $en AS s_en, $de AS s_de, $fr AS s_fr,
+                $es AS s_es
+              FROM mt),
+       mlp AS (SELECT doc_id,
+                 CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0
+                        THEN 'unknown'
+                      WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                      WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                      WHEN s_fr >= s_es THEN 'fr'
+                      ELSE 'es' END AS lang_pred
+               FROM ms),
+       mll AS (SELECT doc_id, lang_pred FROM mlp
+               WHERE lang_pred IN ('en', 'de', 'fr', 'es')),
+       mlc AS (SELECT lang_pred, CAST(count(*) AS DOUBLE) AS c
+               FROM mll GROUP BY 1),
+       mlw(lang_pred, p) AS (VALUES ('en', 0.4), ('de', 0.3),
+               ('fr', 0.2), ('es', 0.1)),
+       mlsc AS (SELECT min(c / p) AS scale
+                FROM mlc JOIN mlw USING (lang_pred)),
+       mlk AS (SELECT mlc.lang_pred,
+                 CAST(floor(p * (SELECT scale FROM mlsc)) AS BIGINT)
+                   AS k
+               FROM mlc JOIN mlw USING (lang_pred)),
+       mlr AS (SELECT doc_id, lang_pred,
+                 row_number() OVER (PARTITION BY lang_pred
+                   ORDER BY ('0x'||substr(md5('mixL'||
+                     CAST(doc_id AS VARCHAR)),1,8))::BIGINT, doc_id)
+                   AS rn
+               FROM mll)
+      SELECT doc_id, lang_pred FROM mlr JOIN mlk USING (lang_pred)
+      WHERE rn <= k"""
+  }
+
+  /** `tuneIvf` replayed end to end, no unrolling: the doubling trial
+    * sequence {min(2^i, nlist)} is generated from n, every trial's
+    * recall@k computes in one generic (trial × query × probed-cell)
+    * join, and the chosen nprobe is the first doubling that reaches the
+    * target (else nlist). All ingredients are the pinned ANN families:
+    * md5-hash-ordered sample, id-prefix codebook, rounded-cosine cell
+    * assignment with lowest-cell ties, (cos DESC, nb_id ASC) top-k.
+    */
+  private lazy val tuneIvfOracle = {
+    import MlQueries.{cosSql, normSql}
+    val K = 10
+    s"""WITH nv AS MATERIALIZED (
+           SELECT vec_id, $normSql AS e FROM embeddings),
+       tn AS (SELECT count(*) AS n FROM nv),
+       tnl AS (SELECT CAST(least(65536, greatest(8,
+                 round(sqrt(n::DOUBLE)))) AS BIGINT) AS nlist FROM tn),
+       tcent AS MATERIALIZED (
+           SELECT vec_id AS cell, e AS vcent
+           FROM (SELECT vec_id, e,
+                   row_number() OVER (ORDER BY vec_id) AS r FROM nv)
+           WHERE r <= (SELECT nlist FROM tnl)),
+       tsamp AS MATERIALIZED (
+           SELECT vec_id AS query_id, e AS vq
+           FROM nv
+           ORDER BY ('0x'||substr(md5('tune'||vec_id::VARCHAR),1,8))
+                      ::BIGINT, vec_id
+           LIMIT 32),
+       texact AS MATERIALIZED (
+           SELECT query_id, nb_id FROM (
+             SELECT s.query_id, v.vec_id AS nb_id,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY ${cosSql("s.vq", "v.e")} DESC, v.vec_id)
+                 AS r
+             FROM tsamp s JOIN nv v ON v.vec_id <> s.query_id)
+           WHERE r <= $K),
+       tne AS (SELECT count(*) AS ne FROM texact),
+       tcells AS MATERIALIZED (
+           SELECT vec_id AS nb_id, cell, e AS v FROM (
+             SELECT v.vec_id, c.cell, v.e,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${cosSql("v.e", "c.vcent")} DESC, c.cell)
+                 AS r
+             FROM nv v CROSS JOIN tcent c)
+           WHERE r = 1),
+       tqrank AS MATERIALIZED (
+           SELECT query_id, vq, cell, r FROM (
+             SELECT s.query_id, s.vq, c.cell,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY ${cosSql("s.vq", "c.vcent")} DESC, c.cell)
+                 AS r
+             FROM tsamp s CROSS JOIN tcent c)),
+       ttrials AS (SELECT DISTINCT
+                     least(CAST(2 ** i AS BIGINT),
+                       (SELECT nlist FROM tnl)) AS nprobe
+                   FROM range(0, 17) t(i)
+                   WHERE CAST(2 ** i AS BIGINT) <=
+                         2 * (SELECT nlist FROM tnl)),
+       tgot AS MATERIALIZED (
+           SELECT nprobe, query_id, nb_id FROM (
+             SELECT t.nprobe, q.query_id, c.nb_id,
+               row_number() OVER (PARTITION BY t.nprobe, q.query_id
+                 ORDER BY ${cosSql("q.vq", "c.v")} DESC, c.nb_id)
+                 AS r
+             FROM ttrials t
+             JOIN tqrank q ON q.r <= t.nprobe
+             JOIN tcells c ON c.cell = q.cell
+                          AND c.nb_id <> q.query_id)
+           WHERE r <= $K),
+       trec AS MATERIALIZED (
+           SELECT t.nprobe,
+             CAST(count(e.nb_id) AS DOUBLE) / (SELECT ne FROM tne)
+               AS recall
+           FROM ttrials t
+           LEFT JOIN tgot g ON g.nprobe = t.nprobe
+           LEFT JOIN texact e ON e.query_id = g.query_id
+                             AND e.nb_id = g.nb_id
+           GROUP BY 1),
+       tpick AS (SELECT COALESCE(
+                   (SELECT min(nprobe) FROM trec WHERE recall >= 0.9),
+                   (SELECT max(nprobe) FROM trec)) AS nprobe)
+      SELECT CAST((SELECT nlist FROM tnl) AS INT) AS nlist,
+        CAST(t.nprobe AS INT) AS nprobe, t.recall
+      FROM trec t JOIN tpick p ON t.nprobe = p.nprobe"""
+  }
+
   val all: Seq[Q] = Seq(
+    // language-aware mixing: langId predictions keying per-language
+    // quotas — the multilingual rebalance composed from the langid and
+    // mix families over a deterministic multilingual text fixture
+    Q.fn("q_language_mix", languageMixOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      val phrase = LangPhrases.foldLeft(
+        when(lit(false), lit(""))) { case (acc, (l, p)) =>
+        acc.when(col("lang") === l, lit(p))
+      }.otherwise(lit("zz qq"))
+      val ml = docs.withColumn("__mltext",
+        concat(phrase, lit(" x"), (col("doc_id") % 90).cast("string")))
+      Curation.languageMix(ml, "__mltext", "doc_id",
+        Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.2, "es" -> 0.1))
+        .select(col("doc_id"), col("lang_pred"))
+    },
+
     // full PSL semantics threaded through a COMPOSITION (round-13
     // verdict lead item): the per-domain stats dashboard keyed by the
     // publicsuffix.org algorithm instead of the last-two-labels
@@ -92,6 +281,40 @@ object Round14Queries {
       Curation.domainStats(
         Round11Queries.withUrl(Tables.load(spark, sf, "documents")),
         "url", None, Some(PslFullRules.toDF("suffix", "kind")))
+    },
+
+    // data-driven IVF parameter search, gate-checked: nlist from n,
+    // nprobe doubling to the recall floor, the recall that justified it
+    Q.fn("q_tune_ivf", tuneIvfOracle) { (spark, sf) =>
+      import spark.implicits._
+      val t = graft.ml.Similarity.tuneIvf(
+        Tables.load(spark, sf, "embeddings"), "embedding", "vec_id",
+        k = 10, target = 0.9, sampleQueries = 32)
+      Seq((t.nlist, t.nprobe, t.recall)).toDF("nlist", "nprobe", "recall")
+    },
+
+    // per-domain funnel attribution, keyed by the fixture PSL rules —
+    // the flagship composition threaded through full-PSL semantics AND
+    // the per-stage loss report in one gate
+    Q.fn("q_recipe_funnel_domains", funnelDomainsOracle) { (spark, sf) =>
+      import spark.implicits._
+      import Round13Queries.withFunnelPage
+      val docs = Tables.load(spark, sf, "documents")
+      val pages = withFunnelPage(docs)
+      val input = Round11Queries.withUrl(pages
+        .select(col("doc_id"), col("page").as("text"))
+        .withColumn("html", concat(
+          lit("<html><head><style>p { color: red; }</style></head>"),
+          lit("<body><!-- nav --><p>"), col("text"),
+          lit("</p></body></html>"))))
+      val blocklist = Round12Queries.BlockEntries.toDF("entry")
+      val seed = pages.where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          col("page").contains("short line").cast("int").as("__y"))
+      graft.ml.Recipes.curateFunnelByDomain(input, "doc_id",
+        "html", "url", blocklist, seed, "__y", minJaccard = 0.8,
+        badWords = Seq("offer"),
+        psl = Some(PslFullRules.toDF("suffix", "kind")))
     },
 
     // ... and through the authority rollup the link-quality and mix

@@ -843,6 +843,30 @@ class CurationSpec extends AnyFunSuite {
       "no Unicode rule may survive parsing un-normalized")
   }
 
+  test("languageMix: langId predictions key per-language quotas; " +
+    "unknown and untargeted languages drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 8 clearly-English docs, 4 German, 2 un-identifiable
+    val docs = ((1 to 8).map(i => (i.toLong, s"the of and it doc$i")) ++
+      (9 to 12).map(i => (i.toLong, s"der und ist zu doc$i")) ++
+      Seq((13L, "zz qq"), (14L, "mmm nnn")))
+      .toDF("id", "text")
+    val out = Curation.languageMix(docs, "text", "id",
+      Map("en" -> 0.5, "de" -> 0.5))
+    val byLang = out.groupBy("lang_pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // scale = min(8/0.5, 4/0.5) = 8 -> keep 4 en + 4 de, drop unknown
+    assert(byLang == Map("en" -> 4L, "de" -> 4L), byLang.toString)
+    // deterministic: same selection both runs
+    val ids1 = out.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.languageMix(docs, "text", "id",
+      Map("en" -> 0.5, "de" -> 0.5))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    graft.ml.CacheLifecycle.releaseAll()
+  }
+
   test("domainStats through the vendored PSL: exotic hosts group " +
     "correctly where the heuristic is provably wrong") {
     import spark.implicits._

@@ -76,6 +76,29 @@ class RecipeSpec extends AnyFunSuite {
     graft.ml.CacheLifecycle.releaseAll()
   }
 
+  test("curateFunnelByDomain: per-domain docs sum to the funnel per " +
+    "stage, and losses attribute to the right domains") {
+    val bl = Seq("bad.com").toDF("entry")
+    val byDomain = Recipes.curateFunnelByDomain(corpus, "id", "html",
+      "url", bl, seed, "y", minJaccard = 0.5)
+    val rows = byDomain.collect().map(r =>
+      (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    // stage sums == the global funnel (7,6,5,4,4,3,2)
+    val sums = byDomain.groupBy("step").agg(sum("docs").as("s"))
+      .orderBy("step").collect().map(_.getLong(1)).toSeq
+    assert(sums == Seq(7L, 6L, 5L, 4L, 4L, 3L, 2L), sums.toString)
+    // the blocklist loss lands on spam.bad.com's registrable domain
+    assert(rows(("html_to_text", "bad.com")) == 1L)
+    assert(!rows.contains(("blocklist", "bad.com")),
+      "the blocked domain must vanish AT the blocklist stage")
+    // the url twin dies on good.com, the near-dup on fine.org
+    assert(rows(("classifier", "good.com")) == 2L)
+    assert(rows(("url_dedup", "good.com")) == 1L)
+    assert(rows(("url_dedup", "fine.org")) == 2L)
+    assert(rows(("near_dedup", "fine.org")) == 1L)
+    graft.ml.CacheLifecycle.releaseAll()
+  }
+
   test("the recipe is partition-order deterministic") {
     val bl = Seq("bad.com").toDF("entry")
     def run(df: org.apache.spark.sql.DataFrame) = {

@@ -1,0 +1,242 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Fns._
+
+/** Unigram-LM (SentencePiece-style) tokenizer training and encoding —
+  * the other half of the tokenizer story next to [[Bpe]] (Kudo 2018,
+  * "Subword Regularization: Improving Neural Network Translation Models
+  * with Multiple Subword Candidates", and the public SentencePiece
+  * design): a vocabulary of pieces with unigram probabilities, trained
+  * by EM over the corpus, segmenting each word with Viterbi under the
+  * product-of-probabilities objective.
+  *
+  * This implementation is the HARD-EM (Viterbi-EM) variant: the E-step
+  * assigns each word its single best segmentation under the current
+  * probabilities and the M-step re-estimates piece probabilities from
+  * the (word-frequency-weighted) piece counts along those paths. Soft
+  * EM's forward-backward marginals need transcendental-free arithmetic
+  * nowhere — hard EM's argmax + integer counts do, which is what makes
+  * every round REPLAYABLE bit-for-bit in any SQL engine.
+  *
+  * Bit-exactness contract (the same discipline as
+  * [[Classifier]]'s fixed-point training):
+  *   - probabilities are FIXED-POINT parts-per-million integers,
+  *     `p_ppm = floor(count * 10^6 / total)` — integer division, no
+  *     floats anywhere;
+  *   - a segmentation's score is the exact rational
+  *     `prod(p_ppm) / 10^6^k` (k pieces), compared by integer
+  *     cross-multiplication `a * 10^6^kb <=> b * 10^6^ka` — no logs,
+  *     no rounding, so ties are EXACT and broken deterministically by
+  *     (fewer pieces, then the lexicographically smaller space-joined
+  *     piece sequence). The order is extension-invariant (appending a
+  *     common suffix multiplies both scores by the same factor, adds
+  *     the same k, and appends the same string — a path is never a
+  *     string-prefix of a different same-position path because both
+  *     concatenate to the same character prefix), so Viterbi's
+  *     optimal-substructure argument holds under the FULL tie-broken
+  *     order and the DP reproduces the brute-force argmax exactly.
+  *
+  * Scale shape (the [[Bpe.bpeTrain]] argument): tokenizer state is a
+  * function of the word DISTRIBUTION, not the token stream — the corpus
+  * collapses ONCE to the distinct (word, freq) table, each EM round is
+  * one `mapPartitions` Viterbi pass over that table against the
+  * broadcast vocabulary (config-scale, `require`-bounded) plus one
+  * partial-aggregated piece count, and encoding joins the per-word
+  * results back to token occurrences by word equi-key. 100 TB of text
+  * costs one vocabulary aggregation up front; every round after is
+  * vocabulary-sized.
+  */
+object Unigram {
+
+  /** One vocabulary entry: the piece, its last-E-step count, and its
+    * fixed-point probability in parts per million.
+    */
+  final case class Piece(piece: String, cnt: Long, pPpm: Long)
+
+  private val P = BigInt(1000000)
+
+  /** All substring pieces of a word up to length `maxLen`, one entry
+    * per OCCURRENCE (the standard seed-vocabulary statistic).
+    */
+  private def substrPieces(w: Column, maxLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(w)),
+      i => transform(sequence(lit(0), least(lit(maxLen - 1), length(w) - i)),
+        l => w.substr(i, l + lit(1)))))
+
+  /** Train a unigram-LM vocabulary: seed with every single character
+    * plus the `seedSize` most frequent multi-character substrings
+    * (length ≤ `maxPieceLen`, occurrence count ≥ `minCount`, ties on
+    * (count DESC, piece ASC)), then run `emRounds` hard-EM rounds.
+    * Returns (piece, cnt, p_ppm) — config-scale output; `cnt` is the
+    * final E-step's weighted count (the seed occurrence count when
+    * `emRounds == 0`). Single-character pieces always stay in the
+    * vocabulary, so every word segments.
+    */
+  def unigramTrain(df: DataFrame, textCol: String, maxPieceLen: Int = 3,
+      seedSize: Int = 40, minCount: Long = 2, emRounds: Int = 2): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"unigramTrain: maxPieceLen must be in [1, 16], got $maxPieceLen")
+    require(seedSize >= 1 && seedSize <= 65536,
+      s"unigramTrain: seedSize must be in [1, 65536], got $seedSize")
+    require(emRounds >= 0 && emRounds <= 64,
+      s"unigramTrain: emRounds must be in [0, 64], got $emRounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = wordTable(df, textCol)
+    val sub = words
+      .select(explode(substrPieces(col("__w"), maxPieceLen)).as("__p"),
+        col("__f"))
+      .groupBy("__p").agg(sum("__f").as("__c"))
+    val chars = sub.where(length(col("__p")) === 1)
+    val multi = sub
+      .where(length(col("__p")) >= 2 && col("__c") >= minCount)
+      .orderBy(col("__c").desc, col("__p")).limit(seedSize)
+    val seeded = chars.unionByName(multi).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(seeded.length <= 65536 + seedSize,
+      s"unigramTrain: alphabet too large (${seeded.length} seed pieces); " +
+        "restrict the corpus or raise the bound deliberately")
+    var vocab: Seq[Piece] = normalize(seeded.toSeq)
+    (1 to emRounds).foreach { _ =>
+      val vm = vocab.map(p => p.piece -> p.pPpm).toMap
+      val bc = spark.sparkContext.broadcast(vm)
+      val maxLen = maxPieceLen
+      val counts = words.as[(String, Long)]
+        .mapPartitions { it =>
+          it.flatMap { case (w, f) =>
+            viterbi(w, bc.value, maxLen).map(p => (p, f))
+          }
+        }
+        .toDF("__p", "__f").groupBy("__p").agg(sum("__f").as("__c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      vocab = normalize(vocab.map(p =>
+        (p.piece, counts.getOrElse(p.piece, 0L))))
+    }
+    vocab.map(p => (p.piece, p.cnt, p.pPpm))
+      .toDF("piece", "cnt", "p_ppm")
+  }
+
+  /** Viterbi-encode the corpus against a trained vocabulary: per
+    * document, the segmentable-token count, the total piece count, and
+    * a replayable path checksum (the sum over token occurrences of
+    * `h32(word || ':' || space-joined pieces)`) — the checksum pins the
+    * exact segmentations, not just their lengths. `vocab` maps piece →
+    * p_ppm ([[unigramTrain]]'s output); single characters missing from
+    * it segment as probability-0 fallback pieces, so encoding is total.
+    * Returns (idCol, n_tokens, n_pieces, path_hash).
+    */
+  def unigramEncode(df: DataFrame, textCol: String, idCol: String,
+      vocab: Seq[(String, Long)], maxPieceLen: Int = 3): DataFrame = {
+    require(vocab.nonEmpty, "unigramEncode: empty vocabulary")
+    require(vocab.size <= (1 << 22),
+      s"unigramEncode: vocabulary too large (${vocab.size})")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vm = vocab.toMap
+    val bc = spark.sparkContext.broadcast(vm)
+    val maxLen = maxPieceLen
+    val toks = df.select(col(idCol),
+      explode_outer(filter(tokens(col(textCol)), t => t =!= ""))
+        .as("__word"))
+    val enc = toks.where(col("__word").isNotNull)
+      .select(col("__word")).distinct().as[String]
+      .mapPartitions { it =>
+        it.map { w =>
+          val pieces = viterbi(w, bc.value, maxLen)
+          (w, pieces.length.toLong, h32s(w + ":" + pieces.mkString(" ")))
+        }
+      }.toDF("__word", "__np", "__ph")
+    toks.join(enc, Seq("__word"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(when(col("__word").isNull, 0L).otherwise(1L))
+          .as("n_tokens"),
+        sum(coalesce(col("__np"), lit(0L))).as("n_pieces"),
+        sum(coalesce(col("__ph"), lit(0L))).as("path_hash"))
+  }
+
+  /** The pinned distinct (word, freq) table. */
+  private def wordTable(df: DataFrame, textCol: String): DataFrame =
+    CacheLifecycle.pin(df
+      .select(explode(filter(tokens(col(textCol)), t => t =!= ""))
+        .as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f")))
+
+  /** Fixed-point renormalization: `p_ppm = floor(cnt * 10^6 / total)`
+    * over the vocabulary's counts (exact integer division — BigInt
+    * product so corpus-scale counts cannot overflow).
+    */
+  private def normalize(pieces: Seq[(String, Long)]): Seq[Piece] = {
+    val total = pieces.iterator.map(p => BigInt(p._2)).sum
+    pieces.map { case (piece, c) =>
+      val p = if (total <= 0) 0L else (BigInt(c) * P / total).toLong
+      Piece(piece, c, p)
+    }
+  }
+
+  /** `Fns.h32` replayed driver/executor-side: the first 4 md5 bytes as
+    * an unsigned 32-bit value (identical to DuckDB's
+    * `('0x'||substr(md5(s),1,8))::BIGINT`).
+    */
+  private[graft] def h32s(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** The exact-argmax Viterbi segmentation of one word under the
+    * fixed-point vocabulary: maximize `prod(p_ppm) / 10^6^k`, ties to
+    * fewer pieces then the lexicographically smaller space-joined
+    * sequence (see the object scaladoc for why this order is DP-safe).
+    * Multi-character pieces must be IN the vocabulary; single
+    * characters fall back to probability 0 when absent, so every word
+    * has a segmentation.
+    */
+  private[graft] def viterbi(w: String, vocab: Map[String, Long],
+      maxPieceLen: Int): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    // best(j) = (score = prod p_ppm, pieces, space-joined path) over
+    // segmentations of w[0, j)
+    val best = new Array[(BigInt, Int, String)](n + 1)
+    best(0) = (BigInt(1), 0, "")
+    var j = 1
+    while (j <= n) {
+      var cur: (BigInt, Int, String) = null
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        val prev = best(i)
+        if (prev != null) {
+          val piece = w.substring(i, j)
+          val pp: Long =
+            if (piece.length == 1) vocab.getOrElse(piece, 0L)
+            else vocab.getOrElse(piece, -1L)
+          if (pp >= 0L) {
+            val cand = (prev._1 * pp, prev._2 + 1,
+              if (prev._3.isEmpty) piece else prev._3 + " " + piece)
+            if (cur == null || betterThan(cand, cur)) cur = cand
+          }
+        }
+        i += 1
+      }
+      best(j) = cur
+      j += 1
+    }
+    best(n)._3.split(" ", -1).toSeq
+  }
+
+  /** `a` strictly precedes `b` in the total segmentation order:
+    * `a.score / P^a.k > b.score / P^b.k` by exact cross-multiplication,
+    * then fewer pieces, then the smaller path string.
+    */
+  private def betterThan(a: (BigInt, Int, String),
+      b: (BigInt, Int, String)): Boolean = {
+    val l = a._1 * P.pow(b._2)
+    val r = b._1 * P.pow(a._2)
+    if (l != r) l > r
+    else if (a._2 != b._2) a._2 < b._2
+    else a._3 < b._3
+  }
+}

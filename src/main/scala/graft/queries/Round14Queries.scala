@@ -255,7 +255,176 @@ object Round14Queries {
       FROM trec t JOIN tpick p ON t.nprobe = p.nprobe"""
   }
 
+  // ---------------------------------------------------------------
+  // Unigram-LM (SentencePiece) tokenizer gates. The corpus restricts
+  // to short lowercase-alpha tokens so the DuckDB replay's HUGEINT
+  // normalized scores stay inside 128 bits (word length ≤ 6 → at most
+  // (10^6)^6 = 10^36 < 2^127); the Spark operator itself is
+  // uncapped (BigInt cross-multiplied comparisons).
+  private val UniMaxPieceLen = 3
+  private val UniSeedSize = 40
+  private val UniMinCount = 2L
+  private val UniEmRounds = 2
+
+  private[queries] def unigramCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_join(filter(split(lower(col("text")), " "),
+        t => t.rlike("^[a-z]{1,6}$")), " ").as("text"))
+
+  private val unigramCorpusCte =
+    """ucorp AS MATERIALIZED (
+         SELECT doc_id, array_to_string(list_filter(
+           string_split(lower(text), ' '),
+           t -> regexp_matches(t, '^[a-z]{1,6}$')), ' ') AS text
+         FROM documents)"""
+
+  /** Seed-vocabulary CTEs: distinct (word, freq), substring-occurrence
+    * counts up to length 3, all single chars ∪ top-40 multi-char
+    * pieces with count ≥ 2 (ties (count DESC, piece)), fixed-point
+    * ppm probabilities — `uw` and `uv0`.
+    */
+  private val unigramSeedCtes =
+    s"""uw AS MATERIALIZED (
+         SELECT word, count(*) AS f
+         FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                 t -> t <> '')) AS word
+               FROM ucorp)
+         GROUP BY 1),
+       usub AS MATERIALIZED (
+         SELECT piece, CAST(sum(f) AS BIGINT) AS c
+         FROM (SELECT f, unnest(flatten(list_transform(
+                 range(1, len(word) + 1),
+                 i -> list_transform(
+                   range(0, least(${UniMaxPieceLen - 1},
+                     len(word) - i) + 1),
+                   l -> substr(word, CAST(i AS INT),
+                     CAST(l + 1 AS INT)))))) AS piece
+               FROM uw)
+         GROUP BY 1),
+       useed AS MATERIALIZED (
+         SELECT piece, c FROM usub WHERE len(piece) = 1
+         UNION ALL
+         SELECT piece, c FROM (
+           SELECT piece, c FROM usub
+           WHERE len(piece) >= 2 AND c >= $UniMinCount
+           ORDER BY c DESC, piece LIMIT $UniSeedSize)),
+       uv0 AS MATERIALIZED (
+         SELECT piece, c,
+           CAST(c * 1000000 // (SELECT CAST(sum(c) AS HUGEINT)
+             FROM useed) AS BIGINT) AS p
+         FROM useed)"""
+
+  /** The common-power multipliers that normalize a k-piece product
+    * score to the fixed word-length-6 exponent: `P^(6-k)`.
+    */
+  private val uniPowMult =
+    """(CASE k WHEN 1 THEN '1000000000000000000000000000000'::HUGEINT
+              WHEN 2 THEN '1000000000000000000000000'::HUGEINT
+              WHEN 3 THEN '1000000000000000000'::HUGEINT
+              WHEN 4 THEN '1000000000000'::HUGEINT
+              WHEN 5 THEN '1000000'::HUGEINT
+              ELSE '1'::HUGEINT END)"""
+
+  /** One hard-EM round replayed: brute-force every vocab-valid
+    * segmentation of every distinct word (recursive CTE — bounded by
+    * word length 6 and piece length 3), pick the exact argmax
+    * (normalized HUGEINT score DESC, k ASC, path ASC), count pieces
+    * along the winning paths weighted by word frequency, renormalize
+    * to ppm. Emits `${r}seg`, `${r}best`, `${r}cnt`, and `uv$n`.
+    */
+  private def unigramEmRoundCtes(n: Int): String = {
+    val r = s"r$n"
+    val prev = s"uv${n - 1}"
+    s"""${r}seg(word, f, pos, k, sc, path) AS (
+         SELECT word, f, 0, 0, CAST(1 AS HUGEINT), '' FROM uw
+         UNION ALL
+         SELECT s.word, s.f, s.pos + len(v.piece), s.k + 1,
+           s.sc * v.p,
+           CASE WHEN s.path = '' THEN v.piece
+                ELSE s.path || ' ' || v.piece END
+         FROM ${r}seg s JOIN $prev v
+           ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
+         WHERE s.pos < len(s.word)
+           AND s.pos + len(v.piece) <= len(s.word)),
+       ${r}best AS MATERIALIZED (
+         SELECT word, f, k, path FROM (
+           SELECT word, f, k, path,
+             row_number() OVER (PARTITION BY word
+               ORDER BY sc * $uniPowMult DESC, k ASC, path ASC) AS rn
+           FROM ${r}seg WHERE pos = len(word))
+         WHERE rn = 1),
+       ${r}cnt AS MATERIALIZED (
+         SELECT piece, CAST(sum(f) AS BIGINT) AS c
+         FROM (SELECT f, unnest(string_split(path, ' ')) AS piece
+               FROM ${r}best)
+         GROUP BY 1),
+       uv$n AS MATERIALIZED (
+         SELECT v.piece, coalesce(c.c, CAST(0 AS BIGINT)) AS c,
+           CAST(coalesce(c.c, 0) * 1000000 //
+             greatest(CAST(1 AS HUGEINT),
+               (SELECT CAST(coalesce(sum(c), 0) AS HUGEINT)
+                FROM ${r}cnt)) AS BIGINT) AS p
+         FROM $prev v LEFT JOIN ${r}cnt c USING (piece))"""
+  }
+
+  private lazy val unigramTrainChain =
+    (unigramCorpusCte +: unigramSeedCtes +:
+      (1 to UniEmRounds).map(unigramEmRoundCtes)).mkString(",\n       ")
+
+  private lazy val unigramTrainOracle =
+    s"""WITH RECURSIVE
+       $unigramTrainChain
+      SELECT piece, c AS cnt, p AS p_ppm FROM uv$UniEmRounds"""
+
+  /** Encode replayed as one more Viterbi pass (round `emRounds+1`'s
+    * `best` CTE) under the FINAL vocabulary, rolled up per document
+    * with the path checksum that pins the exact segmentations.
+    */
+  private lazy val unigramEncodeOracle = {
+    val er = UniEmRounds + 1
+    s"""WITH RECURSIVE
+       $unigramTrainChain,
+       ${unigramEmRoundCtes(er)},
+       uenc AS (SELECT word, CAST(k AS BIGINT) AS np,
+                  ('0x'||substr(md5(word || ':' || path),1,8))::BIGINT
+                    AS ph
+                FROM r${er}best),
+       utok AS (SELECT doc_id,
+                  unnest(list_filter(string_split(lower(text), ' '),
+                    t -> t <> '')) AS word
+                FROM ucorp),
+       udoc AS (SELECT t.doc_id, count(*) AS n_tokens,
+                  CAST(sum(e.np) AS BIGINT) AS n_pieces,
+                  CAST(sum(e.ph) AS BIGINT) AS path_hash
+                FROM utok t JOIN uenc e USING (word) GROUP BY 1)
+      SELECT d.doc_id, coalesce(u.n_tokens, 0) AS n_tokens,
+        coalesce(u.n_pieces, 0) AS n_pieces,
+        coalesce(u.path_hash, 0) AS path_hash
+      FROM documents d LEFT JOIN udoc u USING (doc_id)"""
+  }
+
   val all: Seq[Q] = Seq(
+    // unigram-LM (SentencePiece) tokenizer training: seed substrings →
+    // hard-EM Viterbi rounds with fixed-point ppm probabilities — the
+    // whole training replayed bit-for-bit by brute-force segmentation
+    // enumeration in DuckDB
+    Q.fn("q_unigram_train", unigramTrainOracle) { (spark, sf) =>
+      graft.ml.Unigram.unigramTrain(
+        unigramCorpus(Tables.load(spark, sf, "documents")), "text",
+        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
+    },
+
+    // ... and Viterbi encoding under the trained vocabulary, with a
+    // per-document path checksum pinning the exact segmentations
+    Q.fn("q_unigram_encode", unigramEncodeOracle) { (spark, sf) =>
+      val corp = unigramCorpus(Tables.load(spark, sf, "documents"))
+      val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
+        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      graft.ml.Unigram.unigramEncode(corp, "text", "doc_id", vocab,
+        UniMaxPieceLen)
+    },
+
     // language-aware mixing: langId predictions keying per-language
     // quotas — the multilingual rebalance composed from the langid and
     // mix families over a deterministic multilingual text fixture

@@ -685,6 +685,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("unigram encode: distinct-word viterbi joins back by word key") {
+    // the corpus-sized legs are the token explode and the word
+    // equi-join back; the Viterbi pass runs once per DISTINCT word
+    // against the broadcast vocabulary — never a product, never a
+    // corpus window, never a sort of the token stream
+    val p = plan(q("q_unigram_encode"))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Unigram
+
+/** Unigram-LM tokenizer: the Viterbi DP must reproduce the brute-force
+  * argmax under the FULL tie-broken total order (exact rational score,
+  * then fewer pieces, then lexicographically smaller path) — that
+  * equivalence is what lets the DuckDB oracle replay encoding by
+  * enumerating every segmentation.
+  */
+class UnigramSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val P = BigInt(1000000)
+
+  /** All vocab-valid segmentations of `w`, best-first under the exact
+    * order: score `prod(p)/P^k` desc (cross-multiplied), k asc, path
+    * asc. Single chars missing from the vocab count as probability 0.
+    */
+  private def bruteBest(w: String, vocab: Map[String, Long],
+      maxLen: Int): Seq[String] = {
+    def segs(s: String): Seq[List[String]] =
+      if (s.isEmpty) Seq(Nil)
+      else (1 to math.min(maxLen, s.length)).flatMap { l =>
+        val piece = s.take(l)
+        val ok = if (l == 1) true else vocab.contains(piece)
+        if (ok) segs(s.drop(l)).map(piece :: _) else Seq.empty
+      }
+    def score(seg: List[String]): BigInt =
+      seg.map(p => BigInt(vocab.getOrElse(p, 0L))).product
+    segs(w).minBy(seg => seg)(Ordering.fromLessThan { (a, b) =>
+      val (sa, sb) = (score(a), score(b))
+      val (l, r) = (sa * P.pow(b.length), sb * P.pow(a.length))
+      if (l != r) l > r
+      else if (a.length != b.length) a.length < b.length
+      else a.mkString(" ") < b.mkString(" ")
+    })
+  }
+
+  test("viterbi == brute force over a piece-rich vocabulary") {
+    val vocab = Map[String, Long](
+      "a" -> 300000, "b" -> 200000, "c" -> 100000, "d" -> 50000,
+      "ab" -> 120000, "bc" -> 90000, "cd" -> 60000, "abc" -> 40000,
+      "bcd" -> 20000, "aa" -> 10000, "e" -> 0, "de" -> 15000)
+    val words = Seq("abcd", "aabcde", "abcabc", "dcba", "a", "e",
+      "abcde", "ddddd", "bcdbcd", "aaaa", "edcba", "cab")
+    words.foreach { w =>
+      val got = Unigram.viterbi(w, vocab, 3)
+      val want = bruteBest(w, vocab, 3)
+      assert(got == want, s"word=$w got=$got want=$want")
+    }
+  }
+
+  test("exact tie-breaks: equal products resolve to fewer pieces, then path") {
+    // p(ab)*p(c) == p(a)*p(bc) == 6e9: same k (2) -> path order decides
+    // ("a bc" < "ab c")
+    val tied = Map[String, Long](
+      "a" -> 100000, "b" -> 1, "c" -> 60000, "ab" -> 100000,
+      "bc" -> 60000)
+    assert(Unigram.viterbi("abc", tied, 3) == Seq("a", "bc"))
+    assert(bruteBest("abc", tied, 3) == Seq("a", "bc"))
+    // p(ab) == p(a)*p(b) impossible in integers here, so force the
+    // all-zero case: every path scores 0 -> fewest pieces wins
+    val zeros = Map[String, Long]("a" -> 0, "b" -> 0, "ab" -> 0)
+    assert(Unigram.viterbi("abab", zeros, 3) == Seq("ab", "ab"))
+  }
+
+  test("unknown single characters segment as probability-0 fallbacks") {
+    val vocab = Map[String, Long]("a" -> 500000, "ab" -> 400000)
+    // 'x' and 'q' are not in the vocabulary: encoding is still total
+    assert(Unigram.viterbi("axb", vocab, 3) == Seq("a", "x", "b"))
+    assert(Unigram.viterbi("qq", vocab, 3) == Seq("q", "q"))
+  }
+
+  test("unigramTrain: seed + hard-EM rounds on a tiny exact corpus") {
+    val docs = Seq(
+      (1L, "abab abab cd"), (2L, "abab cd cd"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val v = Unigram.unigramTrain(docs, "text", maxPieceLen = 2,
+      seedSize = 3, minCount = 2, emRounds = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // word freqs: abab=3, cd=3, ab=1. Seed substring-occurrence counts
+    // (freq-weighted): a=7, b=7, c=3, d=3, ab=7, ba=3, cd=3 -> top-3
+    // multi-char >= 2: ab(7), then the (3,'ba') < (3,'cd') tie ->
+    // vocab = {a,b,c,d} ∪ {ab,ba,cd}, seed total 33.
+    // EM round 1 viterbi: "abab" -> [ab,ab] (cross-multiplied exact
+    // compare beats [a,ba,b] and char paths), "cd" -> [cd], "ab" ->
+    // [ab]. Counts: ab = 2*3+1 = 7, cd = 3, rest 0; total 10.
+    assert(v("ab") == ((7L, 700000L)), v.toString)
+    assert(v("cd") == ((3L, 300000L)))
+    assert(v("a") == ((0L, 0L)))
+    assert(v("ba") == ((0L, 0L)))
+    assert(v.size == 7)
+  }
+
+  test("unigramEncode: per-doc counts and replayable path checksum") {
+    val docs = Seq(
+      (1L, "abab cd"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val vocab = Seq("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 0L,
+      "ab" -> 625000L, "cd" -> 375000L)
+    val out = Unigram.unigramEncode(docs, "text", "doc_id", vocab, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expHash = Unigram.h32s("abab:ab ab") + Unigram.h32s("cd:cd")
+    assert(out(1L) == ((2L, 3L, expHash)), out.toString)
+    assert(out(2L) == ((0L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("training is deterministic across invocations") {
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "the bat and the rat"), (3L, "that cat that mat"))
+      .toDF("doc_id", "text")
+    def run() = Unigram.unigramTrain(docs, "text", maxPieceLen = 3,
+      seedSize = 10, minCount = 2, emRounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+}

@@ -76,6 +76,84 @@ object Recipes {
     }.reduce(_ unionByName _)
   }
 
+  /** The incremental (rolling-crawl) form of [[curate]]: clean and
+    * filter a NEW batch with a FROZEN classifier operating point, then
+    * dedup it against the STANDING indexes built from prior batches —
+    * the canonical-URL index ([[Curation.buildUrlIndex]]) and the
+    * MinHash band index ([[Dedup.buildBandIndex]]) — instead of
+    * re-curating the union. This is the production shape: per batch the
+    * corpus-sized state is only PROBED (the indexes stream against the
+    * broadcast batch keys; no index shuffle, no corpus re-shingle), so
+    * batch cost is O(batch), not O(corpus ∪ batch).
+    *
+    * Stages and funnel order match [[curate]] exactly; the two dedup
+    * stages differ:
+    *   - `url_dedup` keeps a row iff its canonical url is unseen in the
+    *     index AND it is the batch-first among batch-internal twins
+    *     ([[Curation.dedupUrlsAgainstIndex]] semantics);
+    *   - `near_dedup` first drops batch rows with a verified
+    *     near-neighbor in the index ([[Dedup.dedupAgainstNearIndexed]]
+    *     against `refText`, the (idCol, text_clean) frame the band
+    *     index was built from), then resolves batch-INTERNAL
+    *     near-duplicates among the survivors with [[Dedup.dedupNear]].
+    *
+    * The frozen `model`/`cutBucket` come from the initial [[curate]]
+    * run's training (a rolling pipeline re-trains on its own cadence,
+    * not per batch). Call [[foldBatch]] with the kept frame to close
+    * the loop — this method never mutates the indexes, so a probe is
+    * repeatable.
+    */
+  def curateBatch(df: DataFrame, idCol: String, htmlCol: String,
+      urlCol: String, blocklist: DataFrame,
+      model: Classifier.QualityModel, cutBucket: Int,
+      urlIndexDir: String, bandIndexDir: String, refText: DataFrame,
+      minJaccard: Double = 0.8,
+      badWords: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val (funnel, stage) = stageRecorder()
+    val ruled = frontStages(stage, df, idCol, htmlCol, urlCol,
+      blocklist, badWords)
+    val scored = stage("classifier")(
+      ruled.join(
+        Classifier.score(ruled, "text_clean", idCol, model)
+          .where(floor(col("score") * 1000).cast("int") >=
+            lit(cutBucket))
+          .select(col(idCol)),
+        Seq(idCol)))
+    val urlKept = stage("url_dedup")(
+      scored.join(
+        Curation.dedupUrlsAgainstIndex(spark, urlIndexDir, scored,
+            urlCol, idCol)
+          .where(col("keep")).select(col(idCol)),
+        Seq(idCol)))
+    val vsIndex = Dedup.dedupAgainstNearIndexed(spark, bandIndexDir,
+      urlKept, refText, "text_clean", idCol, minJaccard)
+    val kept = stage("near_dedup")(
+      vsIndex.join(
+        Dedup.dedupNear(vsIndex, "text_clean", idCol, minJaccard)
+          .where(col("keep")).select(col(idCol)),
+        Seq(idCol)))
+    import spark.implicits._
+    val report = funnel.toSeq.zipWithIndex
+      .map { case ((name, frame), i) => (i, name, frame.count()) }
+      .toDF("step", "stage", "docs")
+    (kept, report)
+  }
+
+  /** Close the standing-ingestion loop: fold a [[curateBatch]] kept
+    * frame into both indexes (append-only, first-write-wins — the
+    * [[Curation.updateUrlIndex]]/[[Dedup.updateBandIndex]] contracts).
+    * The caller persists the kept rows' TEXT alongside (the next
+    * probe's `refText` must grow by the same rows; the band index
+    * alone carries only signatures).
+    */
+  def foldBatch(spark: org.apache.spark.sql.SparkSession,
+      kept: DataFrame, urlCol: String, idCol: String,
+      urlIndexDir: String, bandIndexDir: String): Unit = {
+    Curation.updateUrlIndex(spark, urlIndexDir, kept, urlCol, idCol)
+    Dedup.updateBandIndex(spark, bandIndexDir, kept, "text_clean", idCol)
+  }
+
   /** The staged recipe body shared by [[curate]] and
     * [[curateFunnelByDomain]]: runs every stage, eager-checkpointing
     * each boundary, and returns the named stage frames in funnel order
@@ -86,30 +164,11 @@ object Recipes {
       urlCol: String, blocklist: DataFrame, seed: DataFrame,
       seedLabelCol: String, minJaccard: Double,
       badWords: Seq[String]): Seq[(String, DataFrame)] = {
-    val funnel =
-      scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
-    def stage(name: String)(d: DataFrame): DataFrame = {
-      val cp = d.localCheckpoint(true)
-      CacheLifecycle.pinCheckpointed(cp)
-      funnel += name -> cp
-      cp
-    }
-    val in = stage("input")(df)
-    val texted = stage("html_to_text")(
-      in.withColumn("text_clean", Curation.htmlToText(col(htmlCol)))
-        .where(col("text_clean").isNotNull && col("text_clean") =!= ""))
-    val unblocked = stage("blocklist")(
-      Curation.applyDomainBlocklist(
-          texted.withColumn("__host", Curation.extractHost(col(urlCol))),
-          "__host", blocklist)
-        .where(!col("blocked"))
-        .drop("blocked", "blocked_by", "__host"))
-    val ruled = stage("quality_rules")(
-      unblocked.drop("text_clean").join(
-        Curation.qualityPipeline(unblocked, "text_clean", idCol, badWords)
-          .where(col("keep")).select(col(idCol), col("text_clean")),
-        Seq(idCol)))
+    val (funnel, stage) = stageRecorder()
+    val ruled = frontStages(stage, df, idCol, htmlCol, urlCol,
+      blocklist, badWords)
     // the classifier trains on the POST-MARKUP text of the seed ids
+    val texted = funnel(1)._2
     val labeled = texted.select(col(idCol), col("text_clean"))
       .join(seed.select(col(idCol), col(seedLabelCol)), Seq(idCol))
     val model = Classifier.train(labeled, "text_clean", seedLabelCol,
@@ -134,5 +193,43 @@ object Recipes {
           .where(col("keep")).select(col(idCol)),
         Seq(idCol)))
     funnel.toSeq
+  }
+
+  private def stageRecorder(): (
+      scala.collection.mutable.ArrayBuffer[(String, DataFrame)],
+      String => DataFrame => DataFrame) = {
+    val funnel =
+      scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    def stage(name: String)(d: DataFrame): DataFrame = {
+      val cp = d.localCheckpoint(true)
+      CacheLifecycle.pinCheckpointed(cp)
+      funnel += name -> cp
+      cp
+    }
+    (funnel, stage)
+  }
+
+  /** input → html_to_text → blocklist → quality_rules — the cleaning
+    * front shared by the one-shot and incremental recipes. Returns the
+    * ruled frame; the recorder accumulates the stage frames.
+    */
+  private def frontStages(stage: String => DataFrame => DataFrame,
+      df: DataFrame, idCol: String, htmlCol: String, urlCol: String,
+      blocklist: DataFrame, badWords: Seq[String]): DataFrame = {
+    val in = stage("input")(df)
+    val texted = stage("html_to_text")(
+      in.withColumn("text_clean", Curation.htmlToText(col(htmlCol)))
+        .where(col("text_clean").isNotNull && col("text_clean") =!= ""))
+    val unblocked = stage("blocklist")(
+      Curation.applyDomainBlocklist(
+          texted.withColumn("__host", Curation.extractHost(col(urlCol))),
+          "__host", blocklist)
+        .where(!col("blocked"))
+        .drop("blocked", "blocked_by", "__host"))
+    stage("quality_rules")(
+      unblocked.drop("text_clean").join(
+        Curation.qualityPipeline(unblocked, "text_clean", idCol, badWords)
+          .where(col("keep")).select(col(idCol), col("text_clean")),
+        Seq(idCol)))
   }
 }

@@ -1051,7 +1051,7 @@ object Round12Queries {
         SELECT doc_id, text FROM b2src
         WHERE doc_id NOT IN (SELECT nid FROM g2drop)"""
 
-  private def tempIndexDir(prefix: String): java.nio.file.Path = {
+  private[queries] def tempIndexDir(prefix: String): java.nio.file.Path = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
       import java.nio.file.{Files => F}

@@ -142,8 +142,19 @@ object Round13Queries {
     df.select(id, col("text"), page.as("page"))
   }
 
-  /** DuckDB replay of [[withFunnelPage]]. */
-  private[queries] lazy val funnelPageCte: String = {
+  /** DuckDB replay of [[withFunnelPage]] over the documents table. */
+  private[queries] lazy val funnelPageCte: String =
+    funnelPageCteOver("fpages", "documents")
+
+  /** DuckDB replay of [[withFunnelPage]] as a reusable builder: emits
+    * `$name(doc_id, page)` over `$src` (any table or parenthesized
+    * subquery exposing doc_id, text) — the md5 picks salt on the
+    * EXPOSED doc_id, so a shifted-id source yields fresh pages, in
+    * sync with the Spark side calling [[withFunnelPage]] on a
+    * shifted-id frame.
+    */
+  private[queries] def funnelPageCteOver(name: String,
+      src: String): String = {
     def pickSql(salt: String, n: Int) =
       s"(('0x'||substr(md5(doc_id::VARCHAR || '$salt'),1,4))" +
         s"::BIGINT % $n)"
@@ -165,7 +176,7 @@ object Round13Queries {
                 (['today.','again.','nicely.','indeed.','somehow.','alright.'])
                   [CAST(${pickISql("-en", 6)} + 1 AS INT)]
          END"""
-    s"""fpages AS (
+    s"""$name AS (
          SELECT doc_id,
            CASE WHEN ${pickSql("-lo", 25)} = 0
                 THEN marked || chr(10) || 'lorem ipsum dolor sit amet.'
@@ -181,7 +192,7 @@ object Round13Queries {
                  list_transform(range(0, 8 + ${pickSql("-L", 8)}),
                    i -> ($line)), chr(10)) AS body
              FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
-                   FROM documents))))"""
+                   FROM $src))))"""
   }
 
   /** `Recipes.curate` funnel replayed END TO END: the page fixture

@@ -403,6 +403,297 @@ object Round14Queries {
       FROM documents d LEFT JOIN udoc u USING (doc_id)"""
   }
 
+  // ---------------------------------------------------------------
+  // Incremental recipe: batch 2 probes batch 1's persisted indexes.
+
+  private final case class IncrState(dir: String,
+    model: graft.ml.Classifier.QualityModel, cut: Int)
+  private val incrStates =
+    new java.util.concurrent.ConcurrentHashMap[String, IncrState]()
+
+  private def wrapHtml(page: Column): Column = concat(
+    lit("<html><head><style>p { color: red; }</style></head>"),
+    lit("<body><!-- nav --><p>"), page, lit("</p></body></html>"))
+
+  /** Generalized band-candidate → shingle-verify drop set (the
+    * Round12 loop machinery with a parameterized Jaccard threshold):
+    * batch `n` against reference `r`, both exposing `${x}band` and
+    * `${x}sh0`.
+    */
+  private def nearDropCtes(pfx: String, n: String, r: String,
+      j: String): String =
+    s"""${pfx}cand AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS rid
+                       FROM ${n}band a JOIN ${r}band b USING (band)),
+       ${pfx}nsh AS (SELECT doc_id, unnest(sh) AS s FROM ${n}sh0
+                     WHERE doc_id IN (SELECT nid FROM ${pfx}cand)),
+       ${pfx}rsh AS (SELECT doc_id, unnest(sh) AS s FROM ${r}sh0
+                     WHERE doc_id IN (SELECT rid FROM ${pfx}cand)),
+       ${pfx}shared AS (SELECT a.doc_id AS nid, b.doc_id AS rid,
+                               count(*) AS sc
+                        FROM ${pfx}nsh a JOIN ${pfx}rsh b ON a.s = b.s
+                        JOIN ${pfx}cand c
+                          ON c.nid = a.doc_id AND c.rid = b.doc_id
+                        GROUP BY 1, 2),
+       ${pfx}drop AS (SELECT DISTINCT s.nid FROM ${pfx}shared s
+                      JOIN (SELECT doc_id, len(sh) AS sz
+                            FROM ${n}sh0) nz ON nz.doc_id = s.nid
+                      JOIN (SELECT doc_id, len(sh) AS sz
+                            FROM ${r}sh0) rz ON rz.doc_id = s.rid
+                      WHERE round(CAST(s.sc AS DOUBLE)
+                              / (nz.sz + rz.sz - s.sc), 6) >= $j)"""
+
+  /** `Recipes.curateBatch` replayed END TO END: the ENTIRE batch-1
+    * funnel chain (Round13's oracle prefix) derives the kept set, its
+    * canonical-url index keys and its band index rows; batch 2 — near
+    * twins of kept docs, url collisions with kept docs, batch-internal
+    * exact twins, fresh novels, blocked hosts, empty pages — then runs
+    * the same cleaning front under the FROZEN chain-1 classifier
+    * (w3/bias3/cutq referenced, never retrained) and probes the
+    * index state: canonical urls against `k1urls`, bands against
+    * `k1band` with exact-Jaccard verification, then the internal
+    * LSH → verify → closure pass over the survivors.
+    */
+  private lazy val recipeIncrementalOracle = {
+    import Round12Queries.{htmlChainSql, c4CtesOver, c4KeepParts,
+      gopherKeepChain, repChain, sigCtes, BlockEntries, ClfBuckets}
+    import Round11Queries.{hostSql, canonCte}
+    import Round13Queries.funnelPageCteOver
+    val c4keep = c4KeepParts.map(p => s"($p)").mkString(" AND ")
+    val c4B2 = c4CtesOver("b2qp")
+      .replaceAll("\\bk\\b", "b2k")
+      .replaceAll("\\bc\\b", "b2c")
+    val canonB2 = canonCte
+      .replaceAll("\\bc([1-5])\\b", "b2c$1")
+      .replaceAll("\\burls\\b", "b2u")
+      .replaceAll("\\bcanon\\b", "b2canon")
+    s"""${Round13Queries.funnelOraclePrefix},
+       k1 AS MATERIALIZED (
+         SELECT u.doc_id, u.text_clean FROM urlkept u
+         WHERE u.doc_id IN (SELECT doc_id FROM nearkept)),
+       k1urls AS MATERIALIZED (
+         SELECT DISTINCT canonical_url FROM canon
+         WHERE doc_id IN (SELECT doc_id FROM nearkept)
+           AND canonical_url IS NOT NULL),
+       k1band AS (SELECT doc_id, band FROM fnband
+                  WHERE doc_id IN (SELECT doc_id FROM nearkept)),
+       k1sh0 AS (SELECT doc_id, sh FROM fnsh0
+                 WHERE doc_id IN (SELECT doc_id FROM nearkept)),
+       ${funnelPageCteOver("bp3pages",
+         "(SELECT d.doc_id + 3000000 AS doc_id, d.text FROM documents d " +
+           "WHERE d.doc_id IN (SELECT doc_id FROM k1))")},
+       ${funnelPageCteOver("bp4pages",
+         "(SELECT doc_id + 4000000 AS doc_id, text FROM documents " +
+           "WHERE doc_id < 30)")},
+       ${funnelPageCteOver("bp5pages",
+         "(SELECT doc_id + 5000000 AS doc_id, text FROM documents " +
+           "WHERE doc_id >= 30 AND doc_id < 120)")},
+       ${funnelPageCteOver("bp6pages",
+         "(SELECT doc_id + 5000000 AS doc_id, text FROM documents " +
+           "WHERE doc_id >= 120 AND doc_id < 140)")},
+       b2src AS MATERIALIZED (
+         SELECT k1.doc_id + 2000000 AS doc_id,
+           'edited intro ' || k1.text_clean AS page,
+           'https://fresh' || (k1.doc_id + 2000000)::VARCHAR
+             || '.example.org/p/1' AS url
+         FROM k1
+         UNION ALL
+         SELECT p.doc_id, p.page, u.url
+         FROM bp3pages p JOIN urls u ON u.doc_id = p.doc_id - 3000000
+         UNION ALL
+         SELECT doc_id, page,
+           'https://int' || doc_id::VARCHAR || '.example.org/p/1'
+         FROM bp4pages
+         UNION ALL
+         SELECT doc_id + 500000, page,
+           'https://int' || (doc_id + 500000)::VARCHAR
+             || '.example.org/p/1'
+         FROM bp4pages
+         UNION ALL
+         SELECT doc_id, page,
+           'https://nov' || doc_id::VARCHAR || '.example.org/p/1'
+         FROM bp5pages
+         UNION ALL
+         SELECT doc_id, page, 'https://www.${BlockEntries.head}/x'
+         FROM bp6pages
+         UNION ALL
+         SELECT doc_id + 5000000, '',
+           'https://emp' || (doc_id + 5000000)::VARCHAR
+             || '.example.org/p/1'
+         FROM documents WHERE doc_id >= 140 AND doc_id < 150),
+       b2h AS (SELECT doc_id, url,
+                 '<html><head><style>p { color: red; }</style></head>'
+                 || '<body><!-- nav --><p>' || page || '</p></body></html>'
+                   AS html
+               FROM b2src),
+       b2texted AS MATERIALIZED (
+         SELECT doc_id, url, trim($htmlChainSql) AS text_clean
+         FROM b2h h),
+       b2texted2 AS MATERIALIZED (
+         SELECT * FROM b2texted
+         WHERE text_clean IS NOT NULL AND text_clean <> ''),
+       b2bh AS (SELECT doc_id, ${hostSql("url")} AS host FROM b2texted2),
+       b2bp AS (SELECT doc_id, string_split(host, '.') AS parts
+                FROM b2bh),
+       b2bc AS (SELECT b2bp.doc_id FROM b2bp JOIN ble b
+                  ON len(b2bp.parts) >= b.elen
+                 AND array_to_string(b2bp.parts[-b.elen:], '.')
+                       = b.entry),
+       b2unb AS MATERIALIZED (
+         SELECT t.doc_id, t.url, t.text_clean FROM b2texted2 t
+         WHERE t.doc_id NOT IN (SELECT doc_id FROM b2bc)),
+       b2qp AS (SELECT doc_id, text_clean AS page FROM b2unb),
+       $c4B2,
+       b2cq AS MATERIALIZED (SELECT doc_id, c4_text,
+              ($c4keep) AS c4_keep FROM b2c),
+       ${gopherKeepChain("b2cq", "c4_text", "bg_")},
+       ${repChain("b2cq", "c4_text", "br_")},
+       b2ruled AS MATERIALIZED (
+         SELECT q.doc_id, u.url, q.c4_text AS text_clean
+         FROM b2cq q JOIN bg_gk g USING (doc_id)
+              JOIN br_rep r USING (doc_id)
+              JOIN b2unb u USING (doc_id)
+         WHERE q.c4_keep AND g.gopher_keep AND r.rep_keep),
+       b2tok AS (SELECT doc_id,
+                   unnest(string_split(lower(text_clean), ' ')) AS tk
+                 FROM b2ruled),
+       b2feat AS MATERIALIZED (SELECT DISTINCT doc_id,
+                   ${MlQueries.h32("tk")} % $ClfBuckets AS b FROM b2tok),
+       b2mi AS (SELECT b2feat.doc_id, sum(w.w) AS mi
+                FROM b2feat JOIN w3 w USING (b) GROUP BY 1),
+       b2p AS MATERIALIZED (SELECT doc_id,
+                0.5 + 0.5 * (m / (1.0 + abs(m))) AS p
+              FROM (SELECT r.doc_id,
+                      CAST(COALESCE(mi.mi, 0) +
+                           (SELECT bv FROM bias3) AS DOUBLE)
+                        / 1000000000000.0 AS m
+                    FROM b2ruled r LEFT JOIN b2mi mi USING (doc_id))),
+       b2scored AS MATERIALIZED (
+         SELECT r.doc_id, r.url, r.text_clean
+         FROM b2ruled r JOIN b2p USING (doc_id)
+         WHERE CAST(floor(b2p.p * 1000) AS INT) >=
+               (SELECT cut FROM cutq)),
+       b2u AS (SELECT doc_id, url FROM b2scored),
+       $canonB2,
+       b2firsts AS (SELECT canonical_url, min(doc_id) AS f
+                    FROM b2canon WHERE canonical_url IS NOT NULL
+                    GROUP BY 1),
+       b2urlkept AS MATERIALIZED (
+         SELECT s.doc_id, s.text_clean
+         FROM b2scored s JOIN b2canon c USING (doc_id)
+         LEFT JOIN b2firsts f ON f.canonical_url = c.canonical_url
+         WHERE c.canonical_url IS NULL
+            OR (c.canonical_url NOT IN
+                  (SELECT canonical_url FROM k1urls)
+                AND s.doc_id = f.f)),
+       n2src AS (SELECT doc_id, text_clean AS text FROM b2urlkept),
+       ${sigCtes("n2", "n2src")},
+       ${nearDropCtes("a2", "n2", "k1", "0.8")},
+       b2v AS MATERIALIZED (
+         SELECT doc_id FROM b2urlkept
+         WHERE doc_id NOT IN (SELECT nid FROM a2drop)),
+       i2band AS (SELECT doc_id, band FROM n2band
+                  WHERE doc_id IN (SELECT doc_id FROM b2v)),
+       i2cand AS MATERIALIZED (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM i2band a JOIN i2band b USING (band)
+         WHERE a.doc_id < b.doc_id),
+       i2sh AS MATERIALIZED (
+         SELECT doc_id, unnest(sh) AS g FROM n2sh0
+         WHERE doc_id IN (SELECT id_a FROM i2cand
+                          UNION SELECT id_b FROM i2cand)),
+       i2sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz
+                             FROM i2sh GROUP BY 1),
+       i2shared AS (SELECT c.id_a, c.id_b, count(*) AS n
+                    FROM i2cand c JOIN i2sh a ON a.doc_id = c.id_a
+                    JOIN i2sh b ON b.doc_id = c.id_b AND b.g = a.g
+                    GROUP BY 1, 2),
+       i2pairs AS MATERIALIZED (
+         SELECT sh.id_a, sh.id_b FROM i2shared sh
+         JOIN i2sz za ON za.doc_id = sh.id_a
+         JOIN i2sz zb ON zb.doc_id = sh.id_b
+         WHERE round(sh.n / (za.sz + zb.sz - sh.n), 6) >= 0.8),
+       i2edges AS (SELECT id_a AS s, id_b AS d FROM i2pairs
+                   UNION SELECT id_b, id_a FROM i2pairs),
+       i2reach(id, r) AS (SELECT s, d FROM i2edges
+                          UNION SELECT i2reach.id, i2edges.d
+                          FROM i2reach JOIN i2edges
+                            ON i2reach.r = i2edges.s),
+       i2comp AS (SELECT id AS doc_id, least(id, min(r)) AS component
+                  FROM i2reach GROUP BY id),
+       b2near AS (SELECT v.doc_id FROM b2v v
+                  LEFT JOIN i2comp USING (doc_id)
+                  WHERE v.doc_id =
+                        coalesce(i2comp.component, v.doc_id))
+      SELECT * FROM (
+        SELECT CAST(0 AS INT) AS step, 'input' AS stage,
+               (SELECT count(*) FROM b2src) AS docs
+        UNION ALL SELECT 1, 'html_to_text',
+               (SELECT count(*) FROM b2texted2)
+        UNION ALL SELECT 2, 'blocklist',
+               (SELECT count(*) FROM b2unb)
+        UNION ALL SELECT 3, 'quality_rules',
+               (SELECT count(*) FROM b2ruled)
+        UNION ALL SELECT 4, 'classifier',
+               (SELECT count(*) FROM b2scored)
+        UNION ALL SELECT 5, 'url_dedup',
+               (SELECT count(*) FROM b2urlkept)
+        UNION ALL SELECT 6, 'near_dedup',
+               (SELECT count(*) FROM b2near))"""
+  }
+
+  /** Batch 2 for the incremental gate: near twins of every kept-1 doc
+    * (fresh urls — they must reach and drop at the band-index probe),
+    * url-collision probes (fresh pages carrying a kept-1 doc's RAW url
+    * — they drop at the url-index probe), batch-internal exact twins
+    * (the second id drops in the internal pass), fresh novels, blocked
+    * hosts, and empty pages — every stage discriminates.
+    */
+  private def incrBatch2(docs: DataFrame, kept1: DataFrame): DataFrame = {
+    import Round13Queries.withFunnelPage
+    val twins = kept1
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("edited intro "), col("text_clean")).as("page"))
+      .withColumn("url", concat(lit("https://fresh"),
+        col("doc_id").cast("string"), lit(".example.org/p/1")))
+    val rawUrls = Round11Queries.withUrl(docs)
+      .select(col("doc_id"), col("url"))
+    val probes = withFunnelPage(
+        docs.join(kept1.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), col("page"))
+      .join(rawUrls.select((col("doc_id") + 3000000L).as("doc_id"),
+        col("url")), Seq("doc_id"))
+    val itw = withFunnelPage(docs.where(col("doc_id") < 30)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), col("page"))
+    val itw1 = itw.withColumn("url", concat(lit("https://int"),
+      col("doc_id").cast("string"), lit(".example.org/p/1")))
+    val itw2 = itw.select((col("doc_id") + 500000L).as("doc_id"),
+        col("page"))
+      .withColumn("url", concat(lit("https://int"),
+        col("doc_id").cast("string"), lit(".example.org/p/1")))
+    val novels = withFunnelPage(
+        docs.where(col("doc_id") >= 30 && col("doc_id") < 120)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), col("page"))
+      .withColumn("url", concat(lit("https://nov"),
+        col("doc_id").cast("string"), lit(".example.org/p/1")))
+    val blocked = withFunnelPage(
+        docs.where(col("doc_id") >= 120 && col("doc_id") < 140)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), col("page"))
+      .withColumn("url",
+        lit(s"https://www.${Round12Queries.BlockEntries.head}/x"))
+    val empties = docs.where(col("doc_id") >= 140 && col("doc_id") < 150)
+      .select((col("doc_id") + 5000000L).as("doc_id"))
+      .select(col("doc_id"), lit("").as("page"),
+        concat(lit("https://emp"), col("doc_id").cast("string"),
+          lit(".example.org/p/1")).as("url"))
+    twins.unionByName(probes).unionByName(itw1).unionByName(itw2)
+      .unionByName(novels).unionByName(blocked).unionByName(empties)
+      .withColumn("html", wrapHtml(col("page")))
+  }
+
   val all: Seq[Q] = Seq(
     // unigram-LM (SentencePiece) tokenizer training: seed substrings →
     // hard-EM Viterbi rounds with fixed-point ppm probabilities — the
@@ -423,6 +714,54 @@ object Round14Queries {
         .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
       graft.ml.Unigram.unigramEncode(corp, "text", "doc_id", vocab,
         UniMaxPieceLen)
+    },
+
+    // the incremental recipe: batch 2 cleaned and filtered under the
+    // FROZEN batch-1 classifier, then deduped against batch 1's
+    // persisted url + band indexes (probe-only — the standing-pipeline
+    // production form; the whole two-batch derivation replays in one
+    // DuckDB query chaining the funnel and loop CTE families)
+    Q.fn("q_recipe_incremental", recipeIncrementalOracle) { (spark, sf) =>
+      import spark.implicits._
+      import graft.ml.{Classifier, Dedup, Recipes}
+      val docs = Tables.load(spark, sf, "documents")
+      val blocklist = Round12Queries.BlockEntries.toDF("entry")
+      val st = incrStates.computeIfAbsent(sf, { _ =>
+        val d = Round12Queries.tempIndexDir("graft-incr-recipe").toString
+        val pages = Round13Queries.withFunnelPage(docs)
+        val input = Round11Queries.withUrl(pages
+          .select(col("doc_id"), col("page").as("text"))
+          .withColumn("html", wrapHtml(col("text"))))
+        val seed = pages.where(col("doc_id") < 300)
+          .select(col("doc_id"),
+            col("page").contains("short line").cast("int").as("__y"))
+        val (kept1, _) = Recipes.curate(input, "doc_id", "html", "url",
+          blocklist, seed, "__y", minJaccard = 0.8,
+          badWords = Seq("offer"))
+        kept1.select("doc_id", "text_clean", "url")
+          .write.mode("overwrite").parquet(s"$d/admitted")
+        Curation.buildUrlIndex(kept1, "url", "doc_id", s"$d/url")
+        Dedup.buildBandIndex(spark.read.parquet(s"$d/admitted"),
+          "text_clean", "doc_id", s"$d/band")
+        // the frozen operating point: the same training pass curate ran
+        val texted = input
+          .withColumn("text_clean", Curation.htmlToText(col("html")))
+          .where(col("text_clean").isNotNull && col("text_clean") =!= "")
+        val labeled = texted.select(col("doc_id"), col("text_clean"))
+          .join(seed, Seq("doc_id"))
+        val model = Classifier.train(labeled, "text_clean", "__y",
+          "doc_id")
+        val cut = Classifier.tuneThreshold(labeled, "text_clean", "__y",
+          "doc_id", model)
+        IncrState(d, model, cut.cutBucket)
+      })
+      val kept1 = spark.read.parquet(s"${st.dir}/admitted")
+      val (_, funnel) = Recipes.curateBatch(
+        incrBatch2(docs, kept1), "doc_id", "html", "url", blocklist,
+        st.model, st.cut, s"${st.dir}/url", s"${st.dir}/band",
+        kept1.select("doc_id", "text_clean"), minJaccard = 0.8,
+        badWords = Seq("offer"))
+      funnel
     },
 
     // language-aware mixing: langId predictions keying per-language

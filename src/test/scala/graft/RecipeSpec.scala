@@ -99,6 +99,96 @@ class RecipeSpec extends AnyFunSuite {
     graft.ml.CacheLifecycle.releaseAll()
   }
 
+  private val page8 =
+    "Vineyards terrace the southern slope in narrow green ribbons. " +
+      "Workers prune the rows before the first warm week of spring. " +
+      "Old cellars beneath the farmhouse hold oak barrels and quiet dust. " +
+      "A cooper repairs staves while swallows nest under the eaves. " +
+      "Harvest wagons roll at dawn when the sugar finally peaks. " +
+      "Neighbours gather in October to press the late fruit together."
+  private val page9 =
+    "The printing works occupies a brick hall beside the canal. " +
+      "Compositors once set metal type under tall north windows. " +
+      "Now a restored press runs posters for the weekend market. " +
+      "Rollers spread ink with a smell of linseed and solvents. " +
+      "Apprentices learn to mind their fingers near the flywheel. " +
+      "Finished sheets dry on lines strung across the warm ceiling."
+
+  test("curateBatch probes the standing indexes; foldBatch closes the loop") {
+    import graft.ml.{Classifier, Curation, Dedup}
+    val bl = Seq("bad.com").toDF("entry")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-recipe-incr").toString
+    // batch 1 state: curate the base corpus, persist its indexes
+    val (kept1, _) = Recipes.curate(corpus, "id", "html", "url", bl,
+      seed, "y", minJaccard = 0.5)
+    kept1.select("id", "text_clean", "url")
+      .write.mode("overwrite").parquet(s"$dir/admitted")
+    Curation.buildUrlIndex(kept1, "url", "id", s"$dir/url")
+    Dedup.buildBandIndex(spark.read.parquet(s"$dir/admitted"),
+      "text_clean", "id", s"$dir/band")
+    // frozen operating point: an all-positive seed tunes the cut to 0
+    // (keep everything), isolating the index-probe semantics
+    val texted = corpus
+      .withColumn("text_clean", Curation.htmlToText(col("html")))
+      .where(col("text_clean").isNotNull && col("text_clean") =!= "")
+    val labeled = texted.select(col("id"), col("text_clean"))
+      .join(Seq((1L, 1), (2L, 1)).toDF("id", "y"), Seq("id"))
+    val model = Classifier.train(labeled, "text_clean", "y", "id")
+    val cut = Classifier
+      .tuneThreshold(labeled, "text_clean", "y", "id", model).cutBucket
+    assert(cut == 0, s"all-positive seed must tune the cut to 0, got $cut")
+    def refText = spark.read.parquet(s"$dir/admitted")
+      .select(col("id"), col("text_clean"))
+    def probe(batch: org.apache.spark.sql.DataFrame) = {
+      val (kept, funnel) = Recipes.curateBatch(batch, "id", "html",
+        "url", bl, model, cut, s"$dir/url", s"$dir/band", refText,
+        minJaccard = 0.5)
+      (kept, funnel.collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap)
+    }
+    // batch 2: a near twin of kept doc 1 (band-index drop), a url
+    // collision with kept doc 1 (url-index drop), an internal exact
+    // twin pair (one survivor), and a fresh novel doc
+    val batch2 = Seq(
+      (11L, s"<p>edited intro $page1</p>", "https://good.com/t11"),
+      (12L, s"<p>$page8</p>", "https://good.com/a?utm_source=y"),
+      (13L, s"<p>$page9</p>", "https://fine.org/t13"),
+      (14L, s"<p>$page9</p>", "https://fine.org/t14"),
+      (15L, s"<p>$page8</p>", "https://good.com/t15"))
+      .toDF("id", "html", "url")
+    val (kept2, f2) = probe(batch2)
+    assert(kept2.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(13L, 15L), "index probes must drop 11 (near) and 12 (url); " +
+        "the internal pass must drop 14")
+    assert(f2("url_dedup") == 4 && f2("near_dedup") == 2, f2.toString)
+    assert(f2("quality_rules") == 5,
+      "every batch-2 page must survive the cleaning front")
+    // batch 3 BEFORE the fold: twins of batch-2 SURVIVORS pass — the
+    // un-folded indexes cannot know them
+    val batch3 = Seq(
+      (21L, s"<p>edited intro $page9</p>", "https://good.com/t21"),
+      (22L, s"<p>$page8</p>", "https://fine.org/t13?utm_source=z"),
+      (23L, s"<p>$page6</p>", "https://good.com/t23"))
+      .toDF("id", "html", "url")
+    val (pre, _) = probe(batch3)
+    assert(pre.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(21L, 22L, 23L),
+      "before the fold nothing in batch 3 is a known duplicate")
+    // fold batch 2's survivors, grow the reference text, probe again
+    kept2.select("id", "text_clean", "url")
+      .write.mode("append").parquet(s"$dir/admitted")
+    Recipes.foldBatch(spark, kept2, "url", "id", s"$dir/url",
+      s"$dir/band")
+    val (post, f3) = probe(batch3)
+    assert(post.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(23L),
+      "after the fold 21 is a near-dup of folded 13 and 22 collides " +
+        "with folded 13's canonical url")
+    assert(f3("url_dedup") == 2 && f3("near_dedup") == 1, f3.toString)
+    graft.ml.CacheLifecycle.releaseAll()
+  }
+
   test("the recipe is partition-order deterministic") {
     val bl = Seq("bad.com").toDF("entry")
     def run(df: org.apache.spark.sql.DataFrame) = {

@@ -75,13 +75,23 @@ object Unigram {
     * vocabulary, so every word segments.
     */
   def unigramTrain(df: DataFrame, textCol: String, maxPieceLen: Int = 3,
-      seedSize: Int = 40, minCount: Long = 2, emRounds: Int = 2): DataFrame = {
+      seedSize: Int = 40, minCount: Long = 2, emRounds: Int = 2,
+      /** SentencePiece's SHRINK loop (hard-EM flavor): after each
+        * round's E-step, keep only the `pruneTo` highest-count
+        * multi-character pieces (ties (count DESC, piece ASC)) plus
+        * every single character, and renormalize over the survivors —
+        * the vocabulary converges toward the target size as rounds
+        * proceed instead of carrying dead seed pieces forever.
+        */
+      pruneTo: Option[Int] = None): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 16,
       s"unigramTrain: maxPieceLen must be in [1, 16], got $maxPieceLen")
     require(seedSize >= 1 && seedSize <= 65536,
       s"unigramTrain: seedSize must be in [1, 65536], got $seedSize")
     require(emRounds >= 0 && emRounds <= 64,
       s"unigramTrain: emRounds must be in [0, 64], got $emRounds")
+    pruneTo.foreach(v => require(v >= 1 && v <= 65536,
+      s"unigramTrain: pruneTo must be in [1, 65536], got $v"))
     val spark = df.sparkSession
     import spark.implicits._
     val words = wordTable(df, textCol)
@@ -111,8 +121,14 @@ object Unigram {
         }
         .toDF("__p", "__f").groupBy("__p").agg(sum("__f").as("__c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      vocab = normalize(vocab.map(p =>
-        (p.piece, counts.getOrElse(p.piece, 0L))))
+      val counted = vocab.map(p => (p.piece, counts.getOrElse(p.piece, 0L)))
+      vocab = normalize(pruneTo match {
+        case None => counted
+        case Some(v) =>
+          counted.filter(_._1.length == 1) ++
+            counted.filter(_._1.length >= 2)
+              .sortBy { case (piece, c) => (-c, piece) }.take(v)
+      })
     }
     vocab.map(p => (p.piece, p.cnt, p.pPpm))
       .toDF("piece", "cnt", "p_ppm")
@@ -154,6 +170,40 @@ object Unigram {
           .as("n_tokens"),
         sum(coalesce(col("__np"), lit(0L))).as("n_pieces"),
         sum(coalesce(col("__ph"), lit(0L))).as("path_hash"))
+  }
+
+  /** Tokenizer fertility report per registrable domain — the
+    * evaluation a tokenizer team ships with a trained vocabulary:
+    * WHERE does the tokenizer fragment badly? Per domain (heuristic
+    * keying by default, full publicsuffix.org semantics when a rules
+    * table is supplied — [[Curation.withRegistrableDomain]]), the
+    * document count, exact token and piece sums, and the fixed-point
+    * fertility `fert_ppm = floor(pieces * 10^6 / tokens)` (pieces per
+    * token in parts per million — integer division, so the report
+    * replays bit-for-bit; 0 when a domain has no tokens). Docs with no
+    * parseable host report under the null domain.
+    *
+    * Plan shape: [[unigramEncode]]'s distinct-word pass + one id
+    * equi-join to the narrow url→domain map + one hash aggregate on
+    * the domain key — config-scale output, no window, no product.
+    */
+  def fertilityByDomain(df: DataFrame, textCol: String, idCol: String,
+      urlCol: String, vocab: Seq[(String, Long)], maxPieceLen: Int = 3,
+      psl: Option[DataFrame] = None): DataFrame = {
+    val enc = unigramEncode(df, textCol, idCol, vocab, maxPieceLen)
+    val dom = Curation.withRegistrableDomain(
+        df.select(col(idCol), col(urlCol))
+          .withColumn("__host", Curation.extractHost(col(urlCol))),
+        "__host", psl)
+      .select(col(idCol), col("domain"))
+    enc.join(dom, Seq(idCol))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_pieces").as("n_pieces"))
+      .withColumn("fert_ppm", when(col("n_tokens") === 0, lit(0L))
+        .otherwise(expr(
+          "(n_pieces * CAST(1000000 AS BIGINT)) div n_tokens")))
   }
 
   /** The pinned distinct (word, freq) table. */

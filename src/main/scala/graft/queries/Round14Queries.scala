@@ -332,9 +332,37 @@ object Round14Queries {
     * along the winning paths weighted by word frequency, renormalize
     * to ppm. Emits `${r}seg`, `${r}best`, `${r}cnt`, and `uv$n`.
     */
-  private def unigramEmRoundCtes(n: Int): String = {
+  private def unigramEmRoundCtes(n: Int,
+      pruneTo: Option[Int] = None): String = {
     val r = s"r$n"
     val prev = s"uv${n - 1}"
+    val finish = pruneTo match {
+      case None =>
+        s"""uv$n AS MATERIALIZED (
+         SELECT v.piece, coalesce(c.c, CAST(0 AS BIGINT)) AS c,
+           CAST(coalesce(c.c, 0) * 1000000 //
+             greatest(CAST(1 AS HUGEINT),
+               (SELECT CAST(coalesce(sum(c), 0) AS HUGEINT)
+                FROM ${r}cnt)) AS BIGINT) AS p
+         FROM $prev v LEFT JOIN ${r}cnt c USING (piece))"""
+      case Some(v) =>
+        s"""${r}cv AS (SELECT v.piece,
+             coalesce(c.c, CAST(0 AS BIGINT)) AS c
+           FROM $prev v LEFT JOIN ${r}cnt c USING (piece)),
+       ${r}keep AS MATERIALIZED (
+         SELECT piece, c FROM ${r}cv WHERE len(piece) = 1
+         UNION ALL
+         SELECT piece, c FROM (
+           SELECT piece, c FROM ${r}cv WHERE len(piece) >= 2
+           ORDER BY c DESC, piece LIMIT $v)),
+       uv$n AS MATERIALIZED (
+         SELECT piece, c,
+           CAST(c * 1000000 //
+             greatest(CAST(1 AS HUGEINT),
+               (SELECT CAST(coalesce(sum(c), 0) AS HUGEINT)
+                FROM ${r}keep)) AS BIGINT) AS p
+         FROM ${r}keep)"""
+    }
     s"""${r}seg(word, f, pos, k, sc, path) AS (
          SELECT word, f, 0, 0, CAST(1 AS HUGEINT), '' FROM uw
          UNION ALL
@@ -358,18 +386,23 @@ object Round14Queries {
          FROM (SELECT f, unnest(string_split(path, ' ')) AS piece
                FROM ${r}best)
          GROUP BY 1),
-       uv$n AS MATERIALIZED (
-         SELECT v.piece, coalesce(c.c, CAST(0 AS BIGINT)) AS c,
-           CAST(coalesce(c.c, 0) * 1000000 //
-             greatest(CAST(1 AS HUGEINT),
-               (SELECT CAST(coalesce(sum(c), 0) AS HUGEINT)
-                FROM ${r}cnt)) AS BIGINT) AS p
-         FROM $prev v LEFT JOIN ${r}cnt c USING (piece))"""
+       $finish"""
   }
+
+  private val UniPruneTo = 12
 
   private lazy val unigramTrainChain =
     (unigramCorpusCte +: unigramSeedCtes +:
-      (1 to UniEmRounds).map(unigramEmRoundCtes)).mkString(",\n       ")
+      (1 to UniEmRounds).map(n => unigramEmRoundCtes(n)))
+      .mkString(",\n       ")
+
+  private lazy val unigramPruneOracle =
+    s"""WITH RECURSIVE
+       ${(unigramCorpusCte +: unigramSeedCtes +:
+         (1 to UniEmRounds).map(n =>
+           unigramEmRoundCtes(n, Some(UniPruneTo))))
+         .mkString(",\n       ")}
+      SELECT piece, c AS cnt, p AS p_ppm FROM uv$UniEmRounds"""
 
   private lazy val unigramTrainOracle =
     s"""WITH RECURSIVE
@@ -378,13 +411,12 @@ object Round14Queries {
 
   /** Encode replayed as one more Viterbi pass (round `emRounds+1`'s
     * `best` CTE) under the FINAL vocabulary, rolled up per document
-    * with the path checksum that pins the exact segmentations.
+    * with the path checksum that pins the exact segmentations —
+    * shared by the encode and fertility oracles.
     */
-  private lazy val unigramEncodeOracle = {
+  private lazy val unigramEncodeChain = {
     val er = UniEmRounds + 1
-    s"""WITH RECURSIVE
-       $unigramTrainChain,
-       ${unigramEmRoundCtes(er)},
+    s"""${unigramEmRoundCtes(er)},
        uenc AS (SELECT word, CAST(k AS BIGINT) AS np,
                   ('0x'||substr(md5(word || ':' || path),1,8))::BIGINT
                     AS ph
@@ -396,11 +428,41 @@ object Round14Queries {
        udoc AS (SELECT t.doc_id, count(*) AS n_tokens,
                   CAST(sum(e.np) AS BIGINT) AS n_pieces,
                   CAST(sum(e.ph) AS BIGINT) AS path_hash
-                FROM utok t JOIN uenc e USING (word) GROUP BY 1)
+                FROM utok t JOIN uenc e USING (word) GROUP BY 1)"""
+  }
+
+  private lazy val unigramEncodeOracle =
+    s"""WITH RECURSIVE
+       $unigramTrainChain,
+       $unigramEncodeChain
       SELECT d.doc_id, coalesce(u.n_tokens, 0) AS n_tokens,
         coalesce(u.n_pieces, 0) AS n_pieces,
         coalesce(u.path_hash, 0) AS path_hash
       FROM documents d LEFT JOIN udoc u USING (doc_id)"""
+
+  /** `fertilityByDomain` replayed: the train + encode chains, the
+    * md5-url fixture's host→heuristic-domain map, one rollup with the
+    * fixed-point pieces-per-token ratio.
+    */
+  private lazy val tokenizerFertilityOracle = {
+    import Round11Queries.{urlCte, hostSql, domainSql}
+    s"""WITH RECURSIVE
+       $unigramTrainChain,
+       $unigramEncodeChain,
+       $urlCte,
+       tfh AS (SELECT doc_id, ${hostSql("url")} AS host FROM urls),
+       tfd AS (SELECT doc_id, ${domainSql("host")} AS domain FROM tfh),
+       tfdoc AS (SELECT d.doc_id,
+                   coalesce(u.n_tokens, 0) AS nt,
+                   coalesce(u.n_pieces, 0) AS np
+                 FROM documents d LEFT JOIN udoc u USING (doc_id))
+      SELECT f.domain, count(*) AS n_docs,
+        CAST(sum(d.nt) AS BIGINT) AS n_tokens,
+        CAST(sum(d.np) AS BIGINT) AS n_pieces,
+        CASE WHEN sum(d.nt) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(sum(d.np) * 1000000 // sum(d.nt) AS BIGINT)
+        END AS fert_ppm
+      FROM tfdoc d JOIN tfd f USING (doc_id) GROUP BY 1"""
   }
 
   // ---------------------------------------------------------------
@@ -705,6 +767,16 @@ object Round14Queries {
         UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
     },
 
+    // ... the SHRINK loop: each round keeps only the top-N
+    // multi-character pieces (plus all chars) and renormalizes — the
+    // vocabulary converges to the target size like real SentencePiece
+    Q.fn("q_unigram_prune", unigramPruneOracle) { (spark, sf) =>
+      graft.ml.Unigram.unigramTrain(
+        unigramCorpus(Tables.load(spark, sf, "documents")), "text",
+        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds,
+        pruneTo = Some(UniPruneTo))
+    },
+
     // ... and Viterbi encoding under the trained vocabulary, with a
     // per-document path checksum pinning the exact segmentations
     Q.fn("q_unigram_encode", unigramEncodeOracle) { (spark, sf) =>
@@ -714,6 +786,21 @@ object Round14Queries {
         .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
       graft.ml.Unigram.unigramEncode(corp, "text", "doc_id", vocab,
         UniMaxPieceLen)
+    },
+
+    // ... and the fertility report: WHERE does the trained tokenizer
+    // fragment badly? pieces-per-token per registrable domain, exact
+    // integer sums + fixed-point ratio
+    Q.fn("q_tokenizer_fertility", tokenizerFertilityOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      val corp = unigramCorpus(docs)
+      val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
+        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      graft.ml.Unigram.fertilityByDomain(
+        corp.join(Round11Queries.withUrl(docs)
+          .select(col("doc_id"), col("url")), Seq("doc_id")),
+        "text", "doc_id", "url", vocab, UniMaxPieceLen)
     },
 
     // the incremental recipe: batch 2 cleaned and filtered under the

@@ -690,11 +690,14 @@ class PlanSpec extends AnyFunSuite {
     // equi-join back; the Viterbi pass runs once per DISTINCT word
     // against the broadcast vocabulary — never a product, never a
     // corpus window, never a sort of the token stream
-    val p = plan(q("q_unigram_encode"))
-    assert(p.contains("HashAggregate"), p.take(1500))
-    assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
-    assert(!p.contains("Window"), p.take(1500))
+    for (name <- Seq("q_unigram_encode", "q_tokenizer_fertility")) {
+      val p = plan(q(name))
+      assert(p.contains("HashAggregate"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n" + p.take(1500))
+      assert(!p.contains("Window"), s"$name:\n" + p.take(1500))
+    }
   }
 
   test("batch href resolution never collects state to the driver") {

@@ -111,6 +111,58 @@ class UnigramSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, 0L)))
   }
 
+  test("pruneTo: the shrink loop keeps top multi-char pieces and " +
+    "renormalizes over the survivors") {
+    val docs = Seq(
+      (1L, "abab abab cd"), (2L, "abab cd cd"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val v = Unigram.unigramTrain(docs, "text", maxPieceLen = 2,
+      seedSize = 3, minCount = 2, emRounds = 2, pruneTo = Some(1))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // round 1 counts: ab=7, cd=3 (see the unpruned test); prune to the
+    // single best multi-char piece -> {a,b,c,d, ab}, total 7, so
+    // p(ab)=1000000. Round 2: "abab"->[ab,ab], "cd"->[c,d] (the cd
+    // piece is GONE), "ab"->[ab]; counts ab=7, c=3, d=3, total 13.
+    assert(v.size == 5, v.toString)
+    assert(v("ab") == ((7L, 538461L)), v.toString)  // 7e6/13
+    assert(v("c") == ((3L, 230769L)))               // 3e6/13
+    assert(v("d") == ((3L, 230769L)))
+    assert(v("a") == ((0L, 0L)))
+    assert(!v.contains("cd"), "pruned piece must leave the vocabulary")
+  }
+
+  test("fertilityByDomain: exact per-domain sums, fixed-point ratio, " +
+    "null-domain and zero-token groups, PSL keying changes grouping") {
+    val docs = Seq(
+      (1L, "abab cd", "https://a.ex.com/1"),
+      (2L, "abab abab abab", "https://b.ex.com/2"),
+      (3L, "", "https://a.ex.com/3"),
+      (4L, "cd", null.asInstanceOf[String]),
+      (5L, "abab", "https://user.github.io/x"))
+      .toDF("doc_id", "text", "url")
+    val vocab = Seq("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 0L,
+      "ab" -> 625000L, "cd" -> 375000L)
+    val out = Unigram.fertilityByDomain(docs, "text", "doc_id", "url",
+      vocab, 2)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // ex.com: docs 1,2,3 -> tokens 1+1 + 3 + 0 = 5, pieces
+    // (2+1) + 3*2 + 0 = 9 -> fert 1800000; github.io doc 5: 1 tok,
+    // 2 pieces; null-url doc 4: 1 tok 1 piece under the null domain
+    assert(out(Some("ex.com")) == ((3L, 5L, 9L, 1800000L)), out.toString)
+    assert(out(Some("github.io")) == ((1L, 1L, 2L, 2000000L)))
+    assert(out(None) == ((1L, 1L, 1L, 1000000L)))
+    // full-PSL keying: user.github.io is its own registrable domain
+    val psl = Unigram.fertilityByDomain(docs, "text", "doc_id", "url",
+      vocab, 2, psl = Some(graft.ml.Curation.publicSuffixList(spark)))
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(psl.contains(Some("user.github.io")) &&
+      !psl.contains(Some("github.io")),
+      s"vendored PSL must re-key the github.io group, got $psl")
+  }
+
   test("training is deterministic across invocations") {
     val docs = Seq((1L, "the cat sat on the mat"),
       (2L, "the bat and the rat"), (3L, "that cat that mat"))

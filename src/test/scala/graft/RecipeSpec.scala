@@ -189,6 +189,68 @@ class RecipeSpec extends AnyFunSuite {
     graft.ml.CacheLifecycle.releaseAll()
   }
 
+  test("the incremental recipe runs as a streaming foreachBatch loop") {
+    import graft.ml.{Classifier, Curation, Dedup}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bl = Seq("bad.com").toDF("entry")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-recipe-stream").toString
+    val (kept1, _) = Recipes.curate(corpus, "id", "html", "url", bl,
+      seed, "y", minJaccard = 0.5)
+    kept1.select("id", "text_clean", "url")
+      .write.mode("overwrite").parquet(s"$dir/admitted")
+    Curation.buildUrlIndex(kept1, "url", "id", s"$dir/url")
+    Dedup.buildBandIndex(spark.read.parquet(s"$dir/admitted"),
+      "text_clean", "id", s"$dir/band")
+    val texted = corpus
+      .withColumn("text_clean", Curation.htmlToText(col("html")))
+      .where(col("text_clean").isNotNull && col("text_clean") =!= "")
+    val labeled = texted.select(col("id"), col("text_clean"))
+      .join(Seq((1L, 1), (2L, 1)).toDF("id", "y"), Seq("id"))
+    val model = Classifier.train(labeled, "text_clean", "y", "id")
+    val cut = Classifier
+      .tuneThreshold(labeled, "text_clean", "y", "id", model).cutBucket
+    val keptLog =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("id", "html", "url")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (kept, _) = Recipes.curateBatch(batch, "id", "html",
+            "url", bl, model, cut, s"$dir/url", s"$dir/band",
+            spark.read.parquet(s"$dir/admitted")
+              .select(col("id"), col("text_clean")),
+            minJaccard = 0.5)
+          kept.select("id", "text_clean", "url")
+            .write.mode("append").parquet(s"$dir/admitted")
+          Recipes.foldBatch(spark, kept, "url", "id", s"$dir/url",
+            s"$dir/band")
+          keptLog.synchronized {
+            keptLog += batchId ->
+              kept.select("id").collect().map(_.getLong(0)).toSet
+          }
+        }
+        ()
+      }
+      .start()
+    try {
+      in.addData((31L, s"<p>$page8</p>", "https://good.com/s31"))
+      q.processAllAvailable()
+      // batch B: a near twin of the JUST-FOLDED 31 and a fresh doc
+      in.addData(
+        (32L, s"<p>edited intro $page8</p>", "https://fine.org/s32"),
+        (33L, s"<p>$page6</p>", "https://good.com/s33"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(keptLog.map(_._2).toSeq == Seq(Set(31L), Set(33L)),
+      s"the fold inside the loop must drop 32 against 31: $keptLog")
+    graft.ml.CacheLifecycle.releaseAll()
+  }
+
   test("the recipe is partition-order deterministic") {
     val bl = Seq("bad.com").toDF("entry")
     def run(df: org.apache.spark.sql.DataFrame) = {

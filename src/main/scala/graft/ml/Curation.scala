@@ -1009,6 +1009,26 @@ object Curation {
     domainMix(keyed, idCol, "lang_pred", targets, salt)
   }
 
+  /** UniMax-style language-aware epoch planning (Chung et al. 2023's
+    * idea in [[epochPlan]]'s exact-integer water-filling form): langId
+    * predictions become the provenance key, the budget fills across
+    * languages ∝ sqrt(tokens) under the per-language epoch cap —
+    * small languages upweight but never repeat past `maxEpochs`.
+    * `unknown` predictions drop before planning (a quota needs a real
+    * language; count them separately via [[TextAnalysis.langId]]).
+    * Returns (lang_pred, n_tokens, take_tokens, epochs_ppm).
+    *
+    * Plan shape: langId's per-row stopword argmax is a narrow map; the
+    * rest is [[epochPlan]]'s one partial-aggregated pass + driver math
+    * over a require-bounded language list.
+    */
+  def languagePlan(df: DataFrame, textCol: String,
+      budgetTokens: Long, maxEpochs: Int = 4): DataFrame =
+    epochPlan(
+      TextAnalysis.langId(df, textCol)
+        .where(col("lang_pred") =!= "unknown"),
+      "lang_pred", textCol, budgetTokens, maxEpochs)
+
   /** Temperature-based domain resampling (the multilingual/multi-domain
     * rebalance standard in pretraining mixes): target proportions
     * p(s) ∝ count(s)^τ — τ = 1 keeps natural proportions, τ → 0 flattens

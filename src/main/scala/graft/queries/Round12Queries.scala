@@ -1673,18 +1673,24 @@ object Round12Queries {
     */
   private lazy val EpochBudget = 54000L
   private lazy val EpochCap = 2
-  private lazy val epochPlanOracle = {
-    val rounds = 21
+
+  /** The water-filling replay as a reusable builder (CTEs + final
+    * select, WITHOUT the leading `WITH`): `src` must expose
+    * (`sourceCol`, text). Callers compose it after their own fixture
+    * CTEs — the language plan chains it behind the langid chain.
+    */
+  private[queries] def epochPlanReplay(src: String, sourceCol: String,
+      budget: Long, cap: Int, rounds: Int = 21): String = {
     val sb = new StringBuilder
     sb ++=
-      s"""WITH w AS MATERIALIZED (
-            SELECT source, CAST(sum(len(${MlQueries.toksSql})) AS BIGINT) AS n,
+      s"""w AS MATERIALIZED (
+            SELECT $sourceCol, CAST(sum(len(${MlQueries.toksSql})) AS BIGINT) AS n,
                    CAST(round(sqrt(CAST(sum(len(${MlQueries.toksSql}))
                      AS BIGINT)) * 1000000.0) AS BIGINT) AS w6,
-                   CAST($EpochCap AS BIGINT) *
+                   CAST($cap AS BIGINT) *
                      CAST(sum(len(${MlQueries.toksSql})) AS BIGINT) AS cap
-            FROM documents GROUP BY 1),
-          c0 AS (SELECT source, CAST(0 AS BIGINT) AS take FROM w
+            FROM $src GROUP BY 1),
+          c0 AS (SELECT $sourceCol, CAST(0 AS BIGINT) AS take FROM w
                  WHERE 1 = 0)"""
     // a{j} = fresh integer shares for the still-uncapped sources given
     // the capped set after round j-1; c{j} adds the newly over-cap
@@ -1693,32 +1699,36 @@ object Round12Queries {
       val pc = s"c${j - 1}"
       sb ++=
         s""",
-          a$j AS MATERIALIZED (SELECT w.source, w.cap,
+          a$j AS MATERIALIZED (SELECT w.$sourceCol, w.cap,
                     -- budget×weight widens to HUGEINT before the floor
                     -- division, mirroring the engine's BigInt share
                     -- numerator (a 64-bit product wraps at ~1e19)
-                    CAST((CAST(($EpochBudget -
+                    CAST((CAST(($budget -
                            CAST((SELECT COALESCE(sum(take), 0) FROM $pc)
                                 AS BIGINT)) AS HUGEINT) * w.w6)
                       // CAST((SELECT sum(w2.w6) FROM w w2
-                               ANTI JOIN $pc USING (source)) AS BIGINT)
+                               ANTI JOIN $pc USING ($sourceCol)) AS BIGINT)
                       AS BIGINT) AS a
-                  FROM w ANTI JOIN $pc USING (source)),
+                  FROM w ANTI JOIN $pc USING ($sourceCol)),
           c$j AS MATERIALIZED (SELECT * FROM $pc UNION ALL
-                  SELECT source, cap AS take FROM a$j WHERE a > cap)"""
+                  SELECT $sourceCol, cap AS take FROM a$j WHERE a > cap)"""
     }
     sb ++=
       s"""
-        SELECT w.source, w.n AS n_tokens,
+        SELECT w.$sourceCol, w.n AS n_tokens,
                CAST(COALESCE(c.take, LEAST(f.a, w.cap)) AS BIGINT)
                  AS take_tokens,
                CAST(CAST(COALESCE(c.take, LEAST(f.a, w.cap)) AS HUGEINT)
                  * 1000000 // w.n AS BIGINT) AS epochs_ppm
         FROM w
-        LEFT JOIN c$rounds c USING (source)
-        LEFT JOIN a${rounds + 1} f USING (source)"""
+        LEFT JOIN c$rounds c USING ($sourceCol)
+        LEFT JOIN a${rounds + 1} f USING ($sourceCol)"""
     sb.toString
   }
+
+  private lazy val epochPlanOracle =
+    "WITH " + epochPlanReplay("documents", "source", EpochBudget,
+      EpochCap)
 
   /** `winnowing` (k=5, w=4) replayed: positional 5-gram hashes, each
     * position fanned into its ≤ w windows, per-window argmin with the

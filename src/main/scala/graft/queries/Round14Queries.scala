@@ -115,11 +115,11 @@ object Round14Queries {
     "en" -> "the of and it", "de" -> "der und ist zu",
     "fr" -> "le les et dans", "es" -> "el los y una")
 
-  /** `languageMix` replayed: the multilingual text fixture → the langId
-    * stopword-argmax → per-language counts → min-ratio scale → floored
-    * keeps → lowest-hash-first row ranks (salt mixL).
+  /** The multilingual fixture + langId stopword-argmax chain shared by
+    * the mix and plan oracles: `ml(doc_id, mltext)` … `mll(doc_id,
+    * lang_pred)` (known languages only).
     */
-  private lazy val languageMixOracle = {
+  private lazy val langFixtureCtes = {
     val phrase = LangPhrases.map { case (l, p) =>
       s"WHEN '$l' THEN '$p'"
     }.mkString(" ")
@@ -131,7 +131,7 @@ object Round14Queries {
     val de = scoreSql(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"))
     val fr = scoreSql(Seq("le", "la", "les", "et", "est", "un", "une", "dans"))
     val es = scoreSql(Seq("el", "la", "los", "y", "es", "un", "una", "en"))
-    s"""WITH ml AS (SELECT doc_id,
+    s"""ml AS (SELECT doc_id,
               (CASE lang $phrase ELSE 'zz qq' END)
                 || ' x' || (doc_id % 90)::VARCHAR AS mltext
             FROM documents),
@@ -149,7 +149,15 @@ object Round14Queries {
                       ELSE 'es' END AS lang_pred
                FROM ms),
        mll AS (SELECT doc_id, lang_pred FROM mlp
-               WHERE lang_pred IN ('en', 'de', 'fr', 'es')),
+               WHERE lang_pred IN ('en', 'de', 'fr', 'es'))"""
+  }
+
+  /** `languageMix` replayed: the multilingual text fixture → the langId
+    * stopword-argmax → per-language counts → min-ratio scale → floored
+    * keeps → lowest-hash-first row ranks (salt mixL).
+    */
+  private lazy val languageMixOracle = {
+    s"""WITH $langFixtureCtes,
        mlc AS (SELECT lang_pred, CAST(count(*) AS DOUBLE) AS c
                FROM mll GROUP BY 1),
        mlw(lang_pred, p) AS (VALUES ('en', 0.4), ('de', 0.3),
@@ -169,6 +177,21 @@ object Round14Queries {
       SELECT doc_id, lang_pred FROM mlr JOIN mlk USING (lang_pred)
       WHERE rn <= k"""
   }
+
+  private val LangPlanBudget = 4000L
+  private val LangPlanCap = 2
+
+  /** `languagePlan` replayed: the langid chain feeds the water-filling
+    * epoch-plan machinery keyed by lang_pred — at the gate scales the
+    * budget forces 2-3 redistribution rounds (de/fr/es cap at 2
+    * epochs, en absorbs the surplus uncapped).
+    */
+  private lazy val languagePlanOracle =
+    s"""WITH $langFixtureCtes,
+       lp AS (SELECT mll.lang_pred, ml.mltext AS text
+              FROM mll JOIN ml USING (doc_id)),
+       ${Round12Queries.epochPlanReplay("lp", "lang_pred",
+         LangPlanBudget, LangPlanCap)}"""
 
   /** `tuneIvf` replayed end to end, no unrolling: the doubling trial
     * sequence {min(2^i, nlist)} is generated from n, every trial's
@@ -472,6 +495,16 @@ object Round14Queries {
     model: graft.ml.Classifier.QualityModel, cut: Int)
   private val incrStates =
     new java.util.concurrent.ConcurrentHashMap[String, IncrState]()
+
+  /** The Spark side of [[langFixtureCtes]]'s `ml` stage. */
+  private def langFixture(docs: DataFrame): DataFrame = {
+    val phrase = LangPhrases.foldLeft(
+      when(lit(false), lit(""))) { case (acc, (l, p)) =>
+      acc.when(col("lang") === l, lit(p))
+    }.otherwise(lit("zz qq"))
+    docs.withColumn("__mltext",
+      concat(phrase, lit(" x"), (col("doc_id") % 90).cast("string")))
+  }
 
   private def wrapHtml(page: Column): Column = concat(
     lit("<html><head><style>p { color: red; }</style></head>"),
@@ -855,16 +888,22 @@ object Round14Queries {
     // quotas — the multilingual rebalance composed from the langid and
     // mix families over a deterministic multilingual text fixture
     Q.fn("q_language_mix", languageMixOracle) { (spark, sf) =>
-      val docs = Tables.load(spark, sf, "documents")
-      val phrase = LangPhrases.foldLeft(
-        when(lit(false), lit(""))) { case (acc, (l, p)) =>
-        acc.when(col("lang") === l, lit(p))
-      }.otherwise(lit("zz qq"))
-      val ml = docs.withColumn("__mltext",
-        concat(phrase, lit(" x"), (col("doc_id") % 90).cast("string")))
-      Curation.languageMix(ml, "__mltext", "doc_id",
+      Curation.languageMix(
+        langFixture(Tables.load(spark, sf, "documents")),
+        "__mltext", "doc_id",
         Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.2, "es" -> 0.1))
         .select(col("doc_id"), col("lang_pred"))
+    },
+
+    // UniMax-style language-aware epoch planning: langid predictions
+    // key the exact-integer water-filling budget allocation — small
+    // languages upweight under the per-language epoch cap
+    Q.fn("q_language_plan", languagePlanOracle) { (spark, sf) =>
+      Curation.languagePlan(
+        langFixture(Tables.load(spark, sf, "documents"))
+          .select(col("doc_id"), col("__mltext")),
+        "__mltext", budgetTokens = LangPlanBudget,
+        maxEpochs = LangPlanCap)
     },
 
     // full PSL semantics threaded through a COMPOSITION (round-13

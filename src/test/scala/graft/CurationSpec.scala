@@ -705,6 +705,26 @@ class CurationSpec extends AnyFunSuite {
       s"selection must lean toward the target style: $sel")
   }
 
+  test("languagePlan: langid labels key the water-filling, unknown drops") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog it is"),
+      (2L, "der hund ist und bleibt zu"),
+      (3L, "zzz qqq biz"),
+      (4L, "the fish and it of the sea"))
+      .toDF("id", "text")
+    val plan = Curation.languagePlan(docs, "text", budgetTokens = 20,
+      maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // en: 14 tokens (w6 3741657), de: 6 (w6 2449490); shares
+    // floor(20·w/Σw) = 12 and 7 — both under their 2-epoch caps
+    assert(plan.keySet == Set("en", "de"),
+      s"unknown must drop before planning: $plan")
+    assert(plan("en") == ((14L, 12L, 857142L)), plan.toString)
+    assert(plan("de") == ((6L, 7L, 1166666L)), plan.toString)
+  }
+
   test("epochPlan: caps bind, surplus redistributes, budget met") {
     import spark.implicits._
     // sqrt weighting over-asks the tiny sources; they cap at 2 epochs

@@ -779,10 +779,26 @@ object Curation {
     * recurse the same trick if that ever becomes the bottleneck.
     */
   def packChunks(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Long, bucketSize: Long = 1000L): DataFrame =
+    packChunksBySize(
+      df.select(col(idCol),
+        size(tokens(col(textCol))).cast(LongType).as("__psz")),
+      idCol, "__psz", chunkTokens, bucketSize)
+
+  /** [[packChunks]] with CALLER-SUPPLIED sizes — the production form
+    * packs by the TRAINED TOKENIZER's piece counts (what actually
+    * fills a context window), not whitespace tokens: feed
+    * [[Unigram.unigramEncode]]'s `n_pieces` (or the BPE encoder's)
+    * straight in. `sizes` must expose (idCol, sizeCol); zero/negative
+    * sizes drop (an empty doc occupies no window). Same two-level
+    * bucket scan — never a single-partition corpus window.
+    */
+  def packChunksBySize(sizes: DataFrame, idCol: String, sizeCol: String,
       chunkTokens: Long, bucketSize: Long = 1000L): DataFrame = {
+    require(chunkTokens > 0, "packChunksBySize: chunkTokens must be > 0")
     val id = col(idCol)
-    val toks = df
-      .select(id.as("__id"), size(tokens(col(textCol))).cast(LongType).as("__n"))
+    val toks = sizes
+      .select(id.as("__id"), col(sizeCol).cast(LongType).as("__n"))
       .where(col("__n") > 0)
       .withColumn("__bkt", floor(col("__id") / bucketSize))
     val inBucket = toks.withColumn("__cum",

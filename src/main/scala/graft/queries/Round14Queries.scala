@@ -178,6 +178,32 @@ object Round14Queries {
       WHERE rn <= k"""
   }
 
+  /** `packChunksBySize` fed by the trained tokenizer's piece counts —
+    * context-window packing by what actually fills the window. The
+    * pack replay is the q_pack_chunks machinery over `udoc.n_pieces`.
+    */
+  private lazy val packByPiecesOracle =
+    s"""WITH RECURSIVE
+       $unigramTrainChain,
+       $unigramEncodeChain,
+       ppd AS (SELECT d.doc_id,
+                 CAST(coalesce(u.n_pieces, 0) AS BIGINT) AS n
+               FROM documents d LEFT JOIN udoc u USING (doc_id)
+               WHERE d.doc_id < 300),
+       ppc AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS e
+               FROM ppd WHERE n > 0),
+       ppx AS (SELECT doc_id, n, e - n AS s, e,
+                 unnest(range((e - n) // 64, (e - 1) // 64 + 1))
+                   AS chunk_id
+               FROM ppc)
+      SELECT doc_id, chunk_id,
+             greatest(s, chunk_id * 64) - s AS tok_from,
+             least(e, (chunk_id + 1) * 64) - s AS tok_to
+      FROM ppx"""
+
   private val LangPlanBudget = 4000L
   private val LangPlanCap = 2
 
@@ -893,6 +919,21 @@ object Round14Queries {
         "__mltext", "doc_id",
         Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.2, "es" -> 0.1))
         .select(col("doc_id"), col("lang_pred"))
+    },
+
+    // context-window packing by TRAINED-TOKENIZER piece counts (what
+    // actually fills a window), not whitespace tokens — the unigram
+    // encoder's n_pieces feeds the two-level-scan packer directly
+    Q.fn("q_pack_by_pieces", packByPiecesOracle) { (spark, sf) =>
+      val corp = unigramCorpus(Tables.load(spark, sf, "documents"))
+      val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
+        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      val enc = graft.ml.Unigram.unigramEncode(corp, "text", "doc_id",
+        vocab, UniMaxPieceLen).where(col("doc_id") < 300)
+      Curation.packChunksBySize(
+        enc.select(col("doc_id"), col("n_pieces")),
+        "doc_id", "n_pieces", chunkTokens = 64, bucketSize = 50)
     },
 
     // UniMax-style language-aware epoch planning: langid predictions

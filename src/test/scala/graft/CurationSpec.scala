@@ -705,6 +705,31 @@ class CurationSpec extends AnyFunSuite {
       s"selection must lean toward the target style: $sel")
   }
 
+  test("packChunksBySize: caller-supplied sizes place documents exactly; " +
+    "zero-size docs occupy no window") {
+    import spark.implicits._
+    val sizes = Seq((1L, 10L), (2L, 0L), (3L, 7L), (4L, 5L))
+      .toDF("id", "sz")
+    val out = Curation.packChunksBySize(sizes, "id", "sz",
+      chunkTokens = 8, bucketSize = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // virtual stream: doc1 [0,10), doc3 [10,17), doc4 [17,22)
+    assert(out == Set(
+      (1L, 0L, 0L, 8L), (1L, 1L, 8L, 10L),
+      (3L, 1L, 0L, 6L), (3L, 2L, 6L, 7L),
+      (4L, 2L, 0L, 5L)), out.toString)
+    // packChunks is the whitespace-token instance of the same scan
+    val docs = Seq((1L, "a b c"), (2L, "x y")).toDF("id", "text")
+    val viaText = Curation.packChunks(docs, "text", "id", 4, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSize = Curation.packChunksBySize(
+      Seq((1L, 3L), (2L, 2L)).toDF("id", "sz"), "id", "sz", 4, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaText == viaSize)
+  }
+
   test("languagePlan: langid labels key the water-filling, unknown drops") {
     import spark.implicits._
     val docs = Seq(

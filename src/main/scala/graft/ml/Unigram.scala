@@ -172,6 +172,48 @@ object Unigram {
         sum(coalesce(col("__ph"), lit(0L))).as("path_hash"))
   }
 
+  /** Production id-sequence encoding: one row per token occurrence,
+    * `(idCol, tok_pos, piece_ids)` — the array a training pipeline
+    * actually ingests. Piece ids are the 0-based LEXICOGRAPHIC rank of
+    * the piece within `vocab` (deterministic across runs and engines;
+    * persist the (piece, id) table next to the vocabulary). Unknown
+    * single-character fallback pieces encode as id −1 (the caller's
+    * <unk>). Tokens sit at their position within the FILTERED token
+    * array; docs with no tokens emit no rows.
+    *
+    * Same scale shape as [[unigramEncode]]: Viterbi once per DISTINCT
+    * word against the broadcast vocabulary, ids equi-joined back to
+    * the (id, pos, word) occurrences.
+    */
+  def unigramEncodeIds(df: DataFrame, textCol: String, idCol: String,
+      vocab: Seq[(String, Long)], maxPieceLen: Int = 3): DataFrame = {
+    require(vocab.nonEmpty, "unigramEncodeIds: empty vocabulary")
+    require(vocab.size <= (1 << 22),
+      s"unigramEncodeIds: vocabulary too large (${vocab.size})")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vm = vocab.toMap
+    val ids = vocab.map(_._1).distinct.sorted.zipWithIndex
+      .map { case (p, i) => p -> i.toLong }.toMap
+    val bcV = spark.sparkContext.broadcast(vm)
+    val bcI = spark.sparkContext.broadcast(ids)
+    val maxLen = maxPieceLen
+    val toks = df.select(col(idCol),
+      posexplode(filter(tokens(col(textCol)), t => t =!= "")))
+      .toDF(idCol, "tok_pos", "__word")
+    val enc = toks.select(col("__word")).distinct().as[String]
+      .mapPartitions { it =>
+        val idOf = bcI.value
+        it.map { w =>
+          val pieces = viterbi(w, bcV.value, maxLen)
+          (w, pieces.map(p => idOf.getOrElse(p, -1L)))
+        }
+      }.toDF("__word", "piece_ids")
+    toks.join(enc, Seq("__word"))
+      .select(col(idCol), col("tok_pos").cast("long").as("tok_pos"),
+        col("piece_ids"))
+  }
+
   /** Tokenizer fertility report per registrable domain — the
     * evaluation a tokenizer team ships with a trained vocabulary:
     * WHERE does the tokenizer fragment badly? Per domain (heuristic

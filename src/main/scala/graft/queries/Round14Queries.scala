@@ -178,6 +178,38 @@ object Round14Queries {
       WHERE rn <= k"""
   }
 
+  /** `unigramEncodeIds` replayed: piece ids are the lexicographic rank
+    * within the trained vocabulary; each word's best path maps to its
+    * id array and joins back to the positional token occurrences.
+    */
+  private lazy val unigramEncodeIdsOracle = {
+    val er = UniEmRounds + 1
+    s"""WITH RECURSIVE
+       $unigramTrainChain,
+       $unigramEncodeChain,
+       vid AS (SELECT piece,
+                 CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT)
+                   AS pid
+               FROM uv$UniEmRounds),
+       wseq AS (SELECT word,
+                  unnest(range(1, len(string_split(path, ' ')) + 1))
+                    AS ord,
+                  unnest(string_split(path, ' ')) AS piece
+                FROM r${er}best),
+       wids AS (SELECT w.word, list(v.pid ORDER BY w.ord) AS piece_ids
+                FROM wseq w JOIN vid v USING (piece) GROUP BY 1),
+       uti AS (SELECT doc_id,
+                 unnest(range(1, len(tl) + 1)) - 1 AS tok_pos,
+                 unnest(tl) AS word
+               FROM (SELECT doc_id, list_filter(
+                       string_split(lower(text), ' '), t -> t <> '')
+                       AS tl
+                     FROM ucorp))
+      SELECT t.doc_id, CAST(t.tok_pos AS BIGINT) AS tok_pos,
+        w.piece_ids
+      FROM uti t JOIN wids w USING (word)"""
+  }
+
   /** `packChunksBySize` fed by the trained tokenizer's piece counts —
     * context-window packing by what actually fills the window. The
     * pack replay is the q_pack_chunks machinery over `udoc.n_pieces`.
@@ -844,6 +876,18 @@ object Round14Queries {
         UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
         .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
       graft.ml.Unigram.unigramEncode(corp, "text", "doc_id", vocab,
+        UniMaxPieceLen)
+    },
+
+    // ... and the production id-sequence output: per token occurrence,
+    // the piece-id array a training pipeline ingests (ids = the
+    // vocabulary's lexicographic ranks)
+    Q.fn("q_unigram_encode_ids", unigramEncodeIdsOracle) { (spark, sf) =>
+      val corp = unigramCorpus(Tables.load(spark, sf, "documents"))
+      val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
+        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      graft.ml.Unigram.unigramEncodeIds(corp, "text", "doc_id", vocab,
         UniMaxPieceLen)
     },
 

@@ -132,6 +132,24 @@ class UnigramSpec extends AnyFunSuite {
     assert(!v.contains("cd"), "pruned piece must leave the vocabulary")
   }
 
+  test("unigramEncodeIds: lexicographic piece ids in token order, " +
+    "unknown fallback is -1, empty docs emit no rows") {
+    val docs = Seq(
+      (1L, "abab cd"), (2L, "axb"), (3L, ""))
+      .toDF("doc_id", "text")
+    val vocab = Seq("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 0L,
+      "ab" -> 625000L, "cd" -> 375000L)
+    // lexicographic ids: a=0, ab=1, b=2, c=3, cd=4, d=5
+    val out = Unigram.unigramEncodeIds(docs, "text", "doc_id", vocab, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2).toList)
+      .toMap
+    assert(out((1L, 0L)) == List(1L, 1L), out.toString) // abab -> ab ab
+    assert(out((1L, 1L)) == List(4L))                   // cd
+    assert(out((2L, 0L)) == List(0L, -1L, 2L))          // a <unk:x> b
+    assert(out.size == 3, "the empty doc must emit no rows")
+  }
+
   test("fertilityByDomain: exact per-domain sums, fixed-point ratio, " +
     "null-domain and zero-token groups, PSL keying changes grouping") {
     val docs = Seq(

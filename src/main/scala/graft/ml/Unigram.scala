@@ -83,7 +83,13 @@ object Unigram {
         * the vocabulary converges toward the target size as rounds
         * proceed instead of carrying dead seed pieces forever.
         */
-      pruneTo: Option[Int] = None): DataFrame = {
+      pruneTo: Option[Int] = None): DataFrame =
+    trainLoop(df, textCol, maxPieceLen, seedSize, minCount, emRounds,
+      pruneTo, soft = false)
+
+  private def trainLoop(df: DataFrame, textCol: String,
+      maxPieceLen: Int, seedSize: Int, minCount: Long, emRounds: Int,
+      pruneTo: Option[Int], soft: Boolean): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 16,
       s"unigramTrain: maxPieceLen must be in [1, 16], got $maxPieceLen")
     require(seedSize >= 1 && seedSize <= 65536,
@@ -115,9 +121,15 @@ object Unigram {
       val maxLen = maxPieceLen
       val counts = words.as[(String, Long)]
         .mapPartitions { it =>
-          it.flatMap { case (w, f) =>
-            viterbi(w, bc.value, maxLen).map(p => (p, f))
-          }
+          if (soft)
+            it.flatMap { case (w, f) =>
+              expectedCounts(w, bc.value, maxLen)
+                .iterator.map { case (p, c) => (p, c * f) }
+            }
+          else
+            it.flatMap { case (w, f) =>
+              viterbi(w, bc.value, maxLen).map(p => (p, f))
+            }
         }
         .toDF("__p", "__f").groupBy("__p").agg(sum("__f").as("__c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -170,6 +182,92 @@ object Unigram {
           .as("n_tokens"),
         sum(coalesce(col("__np"), lit(0L))).as("n_pieces"),
         sum(coalesce(col("__ph"), lit(0L))).as("path_hash"))
+  }
+
+  /** SOFT-EM training — the real SentencePiece E-step (Kudo 2018 §3.2:
+    * expected piece counts over ALL segmentations, not just the Viterbi
+    * one) in the same bit-exact integer discipline as [[unigramTrain]]:
+    * per word, the forward-backward marginals are EXACT BigInt sums of
+    * common-power-normalized path scores (`prod(p_ppm) ·
+    * 10⁶^(len−k)` — every full path of a length-n word shares the
+    * denominator 10⁶ⁿ, so scores ADD as integers), and the expected
+    * count of a piece is the exact rational `num/den` floored to
+    * parts-per-million. Counts are therefore in 1e-6-occurrence QUANTA
+    * (the `cnt` column; renormalization is scale-invariant, so `p_ppm`
+    * is comparable with the hard-EM form). A word whose every
+    * segmentation scores 0 contributes nothing (den = 0 — no mass to
+    * distribute). Same seeding, same optional [[unigramTrain]]
+    * `pruneTo` shrink step, same scale shape: one `mapPartitions`
+    * forward-backward pass per round over the pinned distinct-word
+    * table against the broadcast vocabulary.
+    */
+  def unigramTrainSoft(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 3, seedSize: Int = 40, minCount: Long = 2,
+      emRounds: Int = 2, pruneTo: Option[Int] = None): DataFrame =
+    trainLoop(df, textCol, maxPieceLen, seedSize, minCount, emRounds,
+      pruneTo, soft = true)
+
+  /** Per-word expected piece counts in ppm quanta: forward scores
+    * `A(j) = Σ_{segs of w[0,j)} prod(p)·P^(j−k)`, backward scores
+    * `B(i)` symmetric, `den = A(n)`, and for every vocab span (i, j)
+    * the occupancy `A(i)·p·P^(L−1)·B(j)` adds to the span's piece.
+    * Returns (piece → floor(num·10⁶/den)); empty when den = 0.
+    */
+  private[graft] def expectedCounts(w: String, vocab: Map[String, Long],
+      maxPieceLen: Int): Map[String, Long] = {
+    val n = w.length
+    if (n == 0) return Map.empty
+    val P6 = BigInt(1000000)
+    def pOf(piece: String): Option[BigInt] =
+      if (piece.length == 1) Some(BigInt(vocab.getOrElse(piece, 0L)))
+      else vocab.get(piece).map(BigInt(_))
+    val a = new Array[BigInt](n + 1)
+    val b = new Array[BigInt](n + 1)
+    var i = 0
+    while (i <= n) { a(i) = BigInt(0); b(i) = BigInt(0); i += 1 }
+    a(0) = BigInt(1); b(n) = BigInt(1)
+    var j = 1
+    while (j <= n) {
+      var s = math.max(0, j - maxPieceLen)
+      while (s < j) {
+        pOf(w.substring(s, j)).foreach { p =>
+          a(j) += a(s) * p * P6.pow(j - s - 1)
+        }
+        s += 1
+      }
+      j += 1
+    }
+    i = n - 1
+    while (i >= 0) {
+      var e = math.min(n, i + maxPieceLen)
+      while (e > i) {
+        pOf(w.substring(i, e)).foreach { p =>
+          b(i) += p * P6.pow(e - i - 1) * b(e)
+        }
+        e -= 1
+      }
+      i -= 1
+    }
+    val den = a(n)
+    if (den.signum == 0) return Map.empty
+    val num = scala.collection.mutable.Map.empty[String, BigInt]
+    i = 0
+    while (i < n) {
+      var e = math.min(n, i + maxPieceLen)
+      while (e > i) {
+        val piece = w.substring(i, e)
+        pOf(piece).foreach { p =>
+          val occ = a(i) * p * P6.pow(e - i - 1) * b(e)
+          if (occ.signum != 0)
+            num(piece) = num.getOrElse(piece, BigInt(0)) + occ
+        }
+        e -= 1
+      }
+      i += 1
+    }
+    num.iterator
+      .map { case (p, nm) => p -> ((nm * P6) / den).toLong }
+      .filter(_._2 != 0L).toMap
   }
 
   /** Production id-sequence encoding: one row per token occurrence,

@@ -347,17 +347,21 @@ object Round14Queries {
   private val UniMinCount = 2L
   private val UniEmRounds = 2
 
-  private[queries] def unigramCorpus(docs: DataFrame): DataFrame =
+  private[queries] def unigramCorpus(docs: DataFrame,
+      maxWordLen: Int = 6): DataFrame =
     docs.select(col("doc_id"),
       array_join(filter(split(lower(col("text")), " "),
-        t => t.rlike("^[a-z]{1,6}$")), " ").as("text"))
+        t => t.rlike(s"^[a-z]{1,$maxWordLen}$$")), " ").as("text"))
 
-  private val unigramCorpusCte =
-    """ucorp AS MATERIALIZED (
+  private def unigramCorpusCteOver(maxWordLen: Int): String =
+    s"""ucorp AS MATERIALIZED (
          SELECT doc_id, array_to_string(list_filter(
            string_split(lower(text), ' '),
-           t -> regexp_matches(t, '^[a-z]{1,6}$')), ' ') AS text
+           t -> regexp_matches(t, '^[a-z]{1,$maxWordLen}$$')), ' ')
+           AS text
          FROM documents)"""
+
+  private val unigramCorpusCte = unigramCorpusCteOver(6)
 
   /** Seed-vocabulary CTEs: distinct (word, freq), substring-occurrence
     * counts up to length 3, all single chars ∪ top-40 multi-char
@@ -469,6 +473,68 @@ object Round14Queries {
          GROUP BY 1),
        $finish"""
   }
+
+  /** One SOFT-EM round replayed: every path's common-power-normalized
+    * score (`sc · P^(len−k)` — all paths of a word share the 10⁶^len
+    * denominator, so scores ADD), per-word denominators, per-(word,
+    * piece) occupancy numerators with multiplicity, ppm-floored
+    * expected counts × word frequency, renormalize. Word length ≤ 5
+    * keeps `num · 10⁶` under 2¹²⁷.
+    */
+  private def unigramSoftRoundCtes(n: Int): String = {
+    val r = s"s$n"
+    val prev = s"uv${n - 1}"
+    val lenPow =
+      """(CASE len(word) - k
+              WHEN 1 THEN '1000000'::HUGEINT
+              WHEN 2 THEN '1000000000000'::HUGEINT
+              WHEN 3 THEN '1000000000000000000'::HUGEINT
+              WHEN 4 THEN '1000000000000000000000000'::HUGEINT
+              ELSE '1'::HUGEINT END)"""
+    s"""${r}seg(word, f, pos, k, sc, path) AS (
+         SELECT word, f, 0, 0, CAST(1 AS HUGEINT), '' FROM uw
+         UNION ALL
+         SELECT s.word, s.f, s.pos + len(v.piece), s.k + 1,
+           s.sc * v.p,
+           CASE WHEN s.path = '' THEN v.piece
+                ELSE s.path || ' ' || v.piece END
+         FROM ${r}seg s JOIN $prev v
+           ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
+         WHERE s.pos < len(s.word)
+           AND s.pos + len(v.piece) <= len(s.word)),
+       ${r}paths AS MATERIALIZED (
+         SELECT word, f, path, sc * $lenPow AS snorm
+         FROM ${r}seg WHERE pos = len(word)),
+       ${r}den AS (SELECT word, sum(snorm) AS den
+                   FROM ${r}paths GROUP BY 1),
+       ${r}num AS (SELECT word, piece, sum(snorm) AS num
+                   FROM (SELECT word, snorm,
+                           unnest(string_split(path, ' ')) AS piece
+                         FROM ${r}paths)
+                   GROUP BY 1, 2),
+       ${r}ctr AS MATERIALIZED (
+         SELECT n.word, n.piece,
+           CAST(n.num * 1000000 // d.den AS BIGINT) AS cppm
+         FROM ${r}num n JOIN ${r}den d USING (word)
+         WHERE d.den > 0),
+       ${r}cnt AS MATERIALIZED (
+         SELECT piece, CAST(sum(c.cppm * uw.f) AS BIGINT) AS c
+         FROM ${r}ctr c JOIN uw USING (word) GROUP BY 1),
+       uv$n AS MATERIALIZED (
+         SELECT v.piece, coalesce(c.c, CAST(0 AS BIGINT)) AS c,
+           CAST(coalesce(c.c, 0) * 1000000 //
+             greatest(CAST(1 AS HUGEINT),
+               (SELECT CAST(coalesce(sum(c), 0) AS HUGEINT)
+                FROM ${r}cnt)) AS BIGINT) AS p
+         FROM $prev v LEFT JOIN ${r}cnt c USING (piece))"""
+  }
+
+  private lazy val unigramSoftOracle =
+    s"""WITH RECURSIVE
+       ${(unigramCorpusCteOver(5) +: unigramSeedCtes +:
+         (1 to UniEmRounds).map(unigramSoftRoundCtes))
+         .mkString(",\n       ")}
+      SELECT piece, c AS cnt, p AS p_ppm FROM uv$UniEmRounds"""
 
   private val UniPruneTo = 12
 
@@ -855,6 +921,16 @@ object Round14Queries {
     Q.fn("q_unigram_train", unigramTrainOracle) { (spark, sf) =>
       graft.ml.Unigram.unigramTrain(
         unigramCorpus(Tables.load(spark, sf, "documents")), "text",
+        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
+    },
+
+    // ... the SOFT E-step (the real Kudo 2018 EM): expected piece
+    // counts over ALL segmentations as exact integer forward-backward
+    // marginals, ppm-floored — replayed by brute-force path
+    // enumeration with additive common-power scores
+    Q.fn("q_unigram_soft", unigramSoftOracle) { (spark, sf) =>
+      graft.ml.Unigram.unigramTrainSoft(
+        unigramCorpus(Tables.load(spark, sf, "documents"), 5), "text",
         UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
     },
 

@@ -181,6 +181,46 @@ class UnigramSpec extends AnyFunSuite {
       s"vendored PSL must re-key the github.io group, got $psl")
   }
 
+  test("expectedCounts: forward-backward marginals equal brute-force " +
+    "path sums; zero-mass words contribute nothing") {
+    def bruteExpected(w: String, vocab: Map[String, Long],
+        maxLen: Int): Map[String, Long] = {
+      def segs(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(maxLen, s.length)).flatMap { l =>
+          val piece = s.take(l)
+          val ok = if (l == 1) true else vocab.contains(piece)
+          if (ok) segs(s.drop(l)).map(piece :: _) else Seq.empty
+        }
+      val paths = segs(w)
+      def snorm(seg: List[String]): BigInt =
+        seg.map(p => BigInt(vocab.getOrElse(p, 0L))).product *
+          P.pow(w.length - seg.length)
+      val den = paths.map(snorm).sum
+      if (den.signum == 0) Map.empty
+      else paths.flatMap(seg => seg.map(_ -> snorm(seg)))
+        .groupBy(_._1)
+        .map { case (p, xs) =>
+          p -> ((xs.map(_._2).sum * P) / den).toLong }
+        .filter(_._2 != 0L)
+    }
+    val vocab = Map[String, Long](
+      "a" -> 300000, "b" -> 200000, "c" -> 100000, "ab" -> 120000,
+      "bc" -> 90000, "abc" -> 40000, "d" -> 0, "cd" -> 60000)
+    for (w <- Seq("abc", "abcab", "aabc", "cdcd", "dd", "a", "bcbca")) {
+      assert(Unigram.expectedCounts(w, vocab, 3) ==
+        bruteExpected(w, vocab, 3), s"word=$w")
+    }
+    // hand case: p(a)=p(aa)=0.5 over "aa" — paths [aa] (norm 5e11)
+    // and [a,a] (2.5e11): E[aa] = 5/7.5, E[a] = 2·2.5/7.5
+    val uni = Map[String, Long]("a" -> 500000, "aa" -> 500000)
+    assert(Unigram.expectedCounts("aa", uni, 2) ==
+      Map("aa" -> 666666L, "a" -> 666666L))
+    // all-zero vocabulary: no mass to distribute
+    assert(Unigram.expectedCounts("ab",
+      Map[String, Long]("a" -> 0, "b" -> 0), 2) == Map.empty)
+  }
+
   test("training is deterministic across invocations") {
     val docs = Seq((1L, "the cat sat on the mat"),
       (2L, "the bat and the rat"), (3L, "that cat that mat"))

@@ -183,6 +183,54 @@ object Bpe {
         sum(coalesce(col("__pieces"), lit(0))).as("n_bpe_pieces"))
   }
 
+  /** Production id-sequence BPE encoding — [[bpeEncodeLarge]]'s
+    * pass-exact simulation emitting the PIECE-ID ARRAYS a training
+    * pipeline ingests, one row per token occurrence:
+    * (idCol, tok_pos, piece_ids). The id contract is the GPT-2-style
+    * layout made engine-replayable: a single-character piece's id is
+    * its Unicode code point; a multi-character piece's id is
+    * `0x110000 + (the smallest rank whose merge CONCATENATES to it)`
+    * (0x110000 sits past the last code point, so the ranges never
+    * collide; duplicate-output merges share the first producer's id).
+    * Every multi-character piece the encoder can emit is some merge's
+    * concatenation, and unknown characters fall back to their code
+    * point — encoding is total.
+    */
+  def bpeEncodeIdsLarge(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeIdsLarge: empty merge list")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mergeArr = merges.toArray
+    val rankIndex: Map[(String, String), Array[Int]] = merges.zipWithIndex
+      .groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._2 + 1).sorted.toArray }
+    val outIds: Map[String, Long] = merges.zipWithIndex
+      .groupBy { case ((l, r), _) => l + r }
+      .map { case (piece, xs) =>
+        piece -> (0x110000L + xs.map(_._2 + 1).min)
+      }
+    val bcMerges = spark.sparkContext.broadcast(mergeArr)
+    val bcRanks = spark.sparkContext.broadcast(rankIndex)
+    val bcIds = spark.sparkContext.broadcast(outIds)
+    val toks = df.select(col(idCol),
+      posexplode(filter(tokens(col(textCol)), t => t =!= "")))
+      .toDF(idCol, "tok_pos", "__word")
+    val enc = toks.select(col("__word")).distinct().as[String]
+      .mapPartitions { it =>
+        val idOf = bcIds.value
+        it.map { w =>
+          val pieces = encodePieceStrings(w, bcMerges.value, bcRanks.value)
+          (w, pieces.map(p =>
+            if (p.length == 1) p.codePointAt(0).toLong
+            else idOf(p)))
+        }
+      }.toDF("__word", "piece_ids")
+    toks.join(enc, Seq("__word"))
+      .select(col(idCol), col("tok_pos").cast("long").as("tok_pos"),
+        col("piece_ids"))
+  }
+
   /** Exact pass-by-rank encode of one word; returns the piece count.
     * A TreeSet of armed ranks stands in for scanning all N passes:
     * initially every adjacent pair arms all its ranks; popping the
@@ -194,9 +242,17 @@ object Bpe {
     */
   private[ml] def encodePieces(word: String,
       merges: Array[(String, String)],
-      ranks: Map[(String, String), Array[Int]]): Int = {
+      ranks: Map[(String, String), Array[Int]]): Int =
+    encodePieceStrings(word, merges, ranks).length
+
+  /** The pass-by-rank simulation returning the PIECE STRINGS (the
+    * count form above is its length).
+    */
+  private[graft] def encodePieceStrings(word: String,
+      merges: Array[(String, String)],
+      ranks: Map[(String, String), Array[Int]]): Array[String] = {
     var syms = word.toCharArray.map(_.toString)
-    if (syms.length < 2) return syms.length
+    if (syms.length < 2) return syms
     val armed = new java.util.TreeSet[Integer]()
     def arm(l: String, r: String, after: Int): Unit =
       ranks.get((l, r)).foreach { rs =>
@@ -229,6 +285,6 @@ object Bpe {
         }
       }
     }
-    syms.length
+    syms
   }
 }

@@ -236,6 +236,54 @@ object Round14Queries {
              least(e, (chunk_id + 1) * 64) - s AS tok_to
       FROM ppx"""
 
+  /** `bpeEncodeIdsLarge` replayed: the 277-merge chained-replace
+    * ground truth per TOKEN OCCURRENCE (position carried through the
+    * chain), pieces mapped to ids — code point for single chars,
+    * 0x110000 + first-producing rank for merge outputs.
+    */
+  private lazy val bpeEncodeIdsOracle = {
+    import Round13Queries.largeMerges
+    val groups = largeMerges.grouped(20).toSeq
+    val ctes = groups.zipWithIndex.map { case (g, gi) =>
+      val inner = g.foldLeft("s") { case (acc, (l, r)) =>
+        s"replace($acc, ' $l  $r ', ' $l$r ')"
+      }
+      s"be${gi + 1} AS (SELECT doc_id, tok_pos, $inner AS s FROM be$gi)"
+    }
+    val last = s"be${groups.size}"
+    val mergeVals = largeMerges.zipWithIndex.map { case ((l, r), i) =>
+      s"('${l + r}', ${i + 1})"
+    }.mkString(", ")
+    s"""WITH be0 AS (
+         SELECT doc_id, ord - 1 AS tok_pos,
+           array_to_string(list_transform(range(1, len(word) + 1),
+             i -> ' '||word[i]||' '), '') AS s
+         FROM (SELECT doc_id,
+                 unnest(range(1, len(tl) + 1)) AS ord,
+                 unnest(tl) AS word
+               FROM (SELECT doc_id, list_filter(
+                       string_split(lower(text), ' '), t -> t <> '')
+                       AS tl
+                     FROM documents))),
+       ${ctes.mkString(",\n       ")},
+       bm(piece, rnk) AS (VALUES $mergeVals),
+       bmid AS (SELECT piece, 1114112 + min(rnk) AS pid
+                FROM bm GROUP BY 1),
+       bpcs AS (SELECT doc_id, tok_pos,
+                  unnest(range(1, len(pl) + 1)) AS ord2,
+                  unnest(pl) AS piece
+                FROM (SELECT doc_id, tok_pos, list_filter(
+                        string_split(s, ' '), x -> x <> '') AS pl
+                      FROM $last)),
+       bids AS (SELECT p.doc_id, p.tok_pos, p.ord2,
+                  CASE WHEN len(p.piece) = 1 THEN unicode(p.piece)
+                       ELSE m.pid END AS pid
+                FROM bpcs p LEFT JOIN bmid m USING (piece))
+      SELECT doc_id, CAST(tok_pos AS BIGINT) AS tok_pos,
+        list(CAST(pid AS BIGINT) ORDER BY ord2) AS piece_ids
+      FROM bids GROUP BY 1, 2"""
+  }
+
   private val LangPlanBudget = 4000L
   private val LangPlanCap = 2
 
@@ -1039,6 +1087,15 @@ object Round14Queries {
         "__mltext", "doc_id",
         Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.2, "es" -> 0.1))
         .select(col("doc_id"), col("lang_pred"))
+    },
+
+    // BPE id sequences from the pass-exact production encoder — same
+    // per-token-occurrence contract as q_unigram_encode_ids, with the
+    // GPT-2-style id layout (code points, then merge ranks)
+    Q.fn("q_bpe_encode_ids", bpeEncodeIdsOracle) { (spark, sf) =>
+      graft.ml.Bpe.bpeEncodeIdsLarge(
+        Tables.load(spark, sf, "documents"), "text", "doc_id",
+        Round13Queries.largeMerges)
     },
 
     // context-window packing by TRAINED-TOKENIZER piece counts (what

@@ -46,6 +46,32 @@ class BpeSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L)), "null text keeps a zero row")
   }
 
+  test("bpeEncodeIdsLarge: code-point + first-producing-rank ids in " +
+    "token order; duplicate-output merges share one id") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "s"),
+      // a duplicate-output pair: both concatenate to "es"
+      ("e", "s"))
+    val docs = Seq((1L, "low lower zz"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = Bpe.bpeEncodeIdsLarge(docs, "text", "doc_id", merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2).toList)
+      .toMap
+    val base = 0x110000L
+    // lo -> rank 1, low -> rank 2, es -> min(3, 4) = 3
+    assert(out((1L, 0L)) == List(base + 2), out.toString)       // low
+    assert(out((1L, 1L)) ==
+      List(base + 2, 'e'.toLong, 'r'.toLong))                   // low e r
+    assert(out((1L, 2L)) == List('z'.toLong, 'z'.toLong),
+      "unknown chars fall back to code points")
+    assert(out.size == 3, "empty docs emit no rows")
+    // the duplicate-output table still encodes "es" pieces as base+3
+    val withEs = Bpe.bpeEncodeIdsLarge(
+      Seq((3L, "eses")).toDF("doc_id", "text"), "text", "doc_id", merges)
+      .collect().map(r => r.getSeq[Long](2).toList)
+    assert(withEs.head == List(base + 3, base + 3), withEs.toString)
+  }
+
   test("bpeEncodeLarge == bpeEncode on learned merges (equivalence)") {
     val richer = docs.union(Seq(
       (5L, "lowest newest lowest slowest"),

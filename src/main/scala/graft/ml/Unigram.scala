@@ -123,8 +123,12 @@ object Unigram {
         .mapPartitions { it =>
           if (soft)
             it.flatMap { case (w, f) =>
+              // c ≤ len(w)·10⁶ — multiplyExact fails LOUDLY instead
+              // of wrapping on a pathological megaword × megafrequency
               expectedCounts(w, bc.value, maxLen)
-                .iterator.map { case (p, c) => (p, c * f) }
+                .iterator.map { case (p, c) =>
+                  (p, Math.multiplyExact(c, f))
+                }
             }
           else
             it.flatMap { case (w, f) =>
@@ -341,9 +345,18 @@ object Unigram {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
         sum("n_pieces").as("n_pieces"))
+      // staged base-1000 floor split: floor(np·10⁶/nt) = q·10⁶ +
+      // a1·10³ + floor(r1·10³/nt) with r = np mod nt, a1 =
+      // floor(r·10³/nt), r1 = r·10³ mod nt — a naive np·10⁶ wraps
+      // 64 bits past ~9.2e12 pieces in one domain (well inside a
+      // 100 TB corpus); every staged intermediate stays ≤ nt·10³
+      // (the domainLinkQuality staged-floor family)
       .withColumn("fert_ppm", when(col("n_tokens") === 0, lit(0L))
         .otherwise(expr(
-          "(n_pieces * CAST(1000000 AS BIGINT)) div n_tokens")))
+          """(n_pieces div n_tokens) * CAST(1000000 AS BIGINT)
+             + ((n_pieces % n_tokens) * 1000 div n_tokens) * 1000
+             + ((n_pieces % n_tokens) * 1000 % n_tokens) * 1000
+               div n_tokens""")))
   }
 
   /** The pinned distinct (word, freq) table. */

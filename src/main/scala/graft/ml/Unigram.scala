@@ -359,6 +359,46 @@ object Unigram {
                div n_tokens""")))
   }
 
+  /** Persist a trained vocabulary ([[unigramTrain]]'s output frame) as
+    * the deployable tokenizer ARTIFACT: the piece table plus a meta
+    * file pinning `maxPieceLen` — encoding with a different span limit
+    * than training silently changes segmentations, so the artifact
+    * carries it (the [[Dedup.buildBandIndex]] meta discipline).
+    */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession,
+      vocab: DataFrame, maxPieceLen: Int, dir: String): Unit = {
+    vocab.select("piece", "cnt", "p_ppm")
+      .write.mode("overwrite").parquet(s"$dir/pieces")
+    spark.range(1)
+      .select(lit(maxPieceLen).as("max_piece_len"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[saveVocab]] artifact: the (piece → p_ppm) list in
+    * lexicographic order (so downstream id assignment is reproducible
+    * from the artifact alone) and the pinned `maxPieceLen`.
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(String, Long)], Int) = {
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+      .getAs[Int]("max_piece_len")
+    val rows = spark.read.parquet(s"$dir/pieces")
+      .select("piece", "p_ppm").limit((1 << 22) + 1).collect()
+    require(rows.length <= (1 << 22),
+      s"loadVocab: vocabulary too large (${rows.length})")
+    (rows.map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1), m)
+  }
+
+  /** [[unigramEncode]] against a persisted [[saveVocab]] artifact —
+    * the standing-pipeline form (train once, encode every batch).
+    */
+  def encodeWithVocabDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val (vocab, maxLen) = loadVocab(spark, dir)
+    unigramEncode(df, textCol, idCol, vocab, maxLen)
+  }
+
   /** The pinned distinct (word, freq) table. */
   private def wordTable(df: DataFrame, textCol: String): DataFrame =
     CacheLifecycle.pin(df

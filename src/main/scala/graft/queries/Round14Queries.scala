@@ -663,6 +663,9 @@ object Round14Queries {
   // ---------------------------------------------------------------
   // Incremental recipe: batch 2 probes batch 1's persisted indexes.
 
+  private val unigramVocabDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private final case class IncrState(dir: String,
     model: graft.ml.Classifier.QualityModel, cut: Int)
   private val incrStates =
@@ -990,6 +993,24 @@ object Round14Queries {
         unigramCorpus(Tables.load(spark, sf, "documents")), "text",
         UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds,
         pruneTo = Some(UniPruneTo))
+    },
+
+    // ... the persisted tokenizer ARTIFACT: train once, save, encode
+    // every batch from the loaded model — identical results, so the
+    // persisted path shares the live encode's oracle
+    Q.fn("q_unigram_persisted", unigramEncodeOracle) { (spark, sf) =>
+      val corp = unigramCorpus(Tables.load(spark, sf, "documents"))
+      val dir = unigramVocabDirs.computeIfAbsent(sf, { _ =>
+        val d = Round12Queries.tempIndexDir("graft-unigram-vocab")
+          .toString
+        graft.ml.Unigram.saveVocab(spark,
+          graft.ml.Unigram.unigramTrain(corp, "text", UniMaxPieceLen,
+            UniSeedSize, UniMinCount, UniEmRounds),
+          UniMaxPieceLen, d)
+        d
+      })
+      graft.ml.Unigram.encodeWithVocabDir(spark, dir, corp, "text",
+        "doc_id")
     },
 
     // ... and Viterbi encoding under the trained vocabulary, with a

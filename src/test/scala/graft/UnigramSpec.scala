@@ -221,6 +221,31 @@ class UnigramSpec extends AnyFunSuite {
       Map[String, Long]("a" -> 0, "b" -> 0), 2) == Map.empty)
   }
 
+  test("saveVocab/loadVocab round-trips the artifact; persisted encode " +
+    "equals live encode") {
+    val docs = Seq(
+      (1L, "abab abab cd"), (2L, "abab cd cd"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val trained = Unigram.unigramTrain(docs, "text", maxPieceLen = 2,
+      seedSize = 3, minCount = 2, emRounds = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-unigram-vocab").toString
+    Unigram.saveVocab(spark, trained, maxPieceLen = 2, dir)
+    val (vocab, maxLen) = Unigram.loadVocab(spark, dir)
+    assert(maxLen == 2)
+    assert(vocab == vocab.sortBy(_._1), "loadVocab order is pinned")
+    assert(vocab.toMap == trained.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(Unigram.encodeWithVocabDir(spark, dir, docs, "text",
+        "doc_id")) ==
+      rows(Unigram.unigramEncode(docs, "text", "doc_id",
+        trained.collect().map(r => r.getString(0) -> r.getLong(2)).toSeq,
+        2)))
+  }
+
   test("training is deterministic across invocations") {
     val docs = Seq((1L, "the cat sat on the mat"),
       (2L, "the bat and the rat"), (3L, "that cat that mat"))

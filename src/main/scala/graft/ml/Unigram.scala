@@ -30,13 +30,15 @@ import Fns._
   *     cross-multiplication `a * 10^6^kb <=> b * 10^6^ka` — no logs,
   *     no rounding, so ties are EXACT and broken deterministically by
   *     (fewer pieces, then the lexicographically smaller space-joined
-  *     piece sequence). The order is extension-invariant (appending a
-  *     common suffix multiplies both scores by the same factor, adds
-  *     the same k, and appends the same string — a path is never a
-  *     string-prefix of a different same-position path because both
-  *     concatenate to the same character prefix), so Viterbi's
-  *     optimal-substructure argument holds under the FULL tie-broken
-  *     order and the DP reproduces the brute-force argmax exactly.
+  *     piece sequence). The order is extension-invariant away from
+  *     zeros (appending a common suffix multiplies both scores by the
+  *     same factor, adds the same k, and appends the same string — a
+  *     path is never a string-prefix of a different same-position
+  *     path because both concatenate to the same character prefix);
+  *     a 0-probability extension collapses strict score orders into
+  *     ties, so [[viterbi]] runs TWO DP chains (positive-only full
+  *     order + all-paths (k, path)) and still reproduces the
+  *     brute-force argmax exactly — see its scaladoc.
   *
   * Scale shape (the [[Bpe.bpeTrain]] argument): tokenizer state is a
   * function of the word DISTRIBUTION, not the token stream — the corpus
@@ -432,42 +434,71 @@ object Unigram {
   /** The exact-argmax Viterbi segmentation of one word under the
     * fixed-point vocabulary: maximize `prod(p_ppm) / 10^6^k`, ties to
     * fewer pieces then the lexicographically smaller space-joined
-    * sequence (see the object scaladoc for why this order is DP-safe).
-    * Multi-character pieces must be IN the vocabulary; single
-    * characters fall back to probability 0 when absent, so every word
-    * has a segmentation.
+    * sequence. Multi-character pieces must be IN the vocabulary;
+    * single characters fall back to probability 0 when absent, so
+    * every word has a segmentation.
+    *
+    * TWO DP chains, because the full order is extension-invariant
+    * only away from zeros (multiplying two strictly-ordered positive
+    * scores by a 0-probability piece collapses them into a tie that
+    * the (k, path) tie-break may resolve the OTHER way — a single
+    * best-prefix DP diverges from the brute-force order there, which
+    * the UnigramSpec property sweep caught):
+    *   - the POSITIVE chain keeps the best all-positive prefix under
+    *     the full (score, k, path) order — positive paths only extend
+    *     positive prefixes, strict order and ties are both preserved
+    *     under a common positive extension, and any positive full
+    *     path beats every zero-score one;
+    *   - the ALL-PATHS chain keeps the best prefix under (k, path)
+    *     alone — exactly the order that decides among zero-score
+    *     paths, where the score is identically 0.
+    * The answer is the positive chain's terminal when one exists
+    * (some all-positive segmentation reached the end), else the
+    * all-paths terminal — precisely the brute-force argmax.
     */
   private[graft] def viterbi(w: String, vocab: Map[String, Long],
       maxPieceLen: Int): Seq[String] = {
     val n = w.length
     if (n == 0) return Seq.empty
-    // best(j) = (score = prod p_ppm, pieces, space-joined path) over
-    // segmentations of w[0, j)
-    val best = new Array[(BigInt, Int, String)](n + 1)
-    best(0) = (BigInt(1), 0, "")
+    // positive chain: (score = prod p_ppm > 0, k, path); null when no
+    // all-positive segmentation of w[0, j) exists
+    val bp = new Array[(BigInt, Int, String)](n + 1)
+    // all-paths chain: (k, path) — total for every j (single chars
+    // are always admissible)
+    val ba = new Array[(Int, String)](n + 1)
+    bp(0) = (BigInt(1), 0, "")
+    ba(0) = (0, "")
     var j = 1
     while (j <= n) {
-      var cur: (BigInt, Int, String) = null
+      var curP: (BigInt, Int, String) = null
+      var curA: (Int, String) = null
       var i = math.max(0, j - maxPieceLen)
       while (i < j) {
-        val prev = best(i)
-        if (prev != null) {
-          val piece = w.substring(i, j)
-          val pp: Long =
-            if (piece.length == 1) vocab.getOrElse(piece, 0L)
-            else vocab.getOrElse(piece, -1L)
-          if (pp >= 0L) {
-            val cand = (prev._1 * pp, prev._2 + 1,
+        val piece = w.substring(i, j)
+        val pp: Long =
+          if (piece.length == 1) vocab.getOrElse(piece, 0L)
+          else vocab.getOrElse(piece, -1L)
+        if (pp >= 0L) {
+          val pa = ba(i)
+          val candA = (pa._1 + 1,
+            if (pa._2.isEmpty) piece else pa._2 + " " + piece)
+          if (curA == null || candA._1 < curA._1 ||
+            (candA._1 == curA._1 && candA._2 < curA._2)) curA = candA
+          val prev = bp(i)
+          if (pp > 0L && prev != null) {
+            val candP = (prev._1 * pp, prev._2 + 1,
               if (prev._3.isEmpty) piece else prev._3 + " " + piece)
-            if (cur == null || betterThan(cand, cur)) cur = cand
+            if (curP == null || betterThan(candP, curP)) curP = candP
           }
         }
         i += 1
       }
-      best(j) = cur
+      bp(j) = curP
+      ba(j) = curA
       j += 1
     }
-    best(n)._3.split(" ", -1).toSeq
+    val path = if (bp(n) != null) bp(n)._3 else ba(n)._2
+    path.split(" ", -1).toSeq
   }
 
   /** `a` strictly precedes `b` in the total segmentation order:

@@ -246,6 +246,47 @@ class UnigramSpec extends AnyFunSuite {
         2)))
   }
 
+  test("property: viterbi == brute force over random words and " +
+    "vocabularies (ties, zeros, unknowns included)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alpha = Seq("a", "b", "c")
+    val wordGen = for {
+      n <- Gen.choose(0, 7)
+      cs <- Gen.listOfN(n, Gen.oneOf(alpha))
+    } yield cs.mkString
+    // probabilities from a tiny palette so exact ties are COMMON
+    val pGen = Gen.oneOf(0L, 1L, 250000L, 500000L)
+    val vocabGen = for {
+      // single chars: a/b always known, c sometimes missing (unknown
+      // fallback path); multi-char pieces over the alphabet
+      pa <- pGen; pb <- pGen
+      withC <- Gen.oneOf(true, false); pc <- pGen
+      nMulti <- Gen.choose(0, 6)
+      multi <- Gen.listOfN(nMulti, for {
+        l <- Gen.choose(2, 3)
+        cs <- Gen.listOfN(l, Gen.oneOf(alpha))
+        p <- pGen
+      } yield (cs.mkString, p))
+    } yield (Map("a" -> pa, "b" -> pb) ++
+      (if (withC) Map("c" -> pc) else Map.empty) ++ multi.toMap)
+    var seed = Seed(20260815L)
+    var checked = 0
+    (0 until 300).foreach { _ =>
+      val w = wordGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val v = vocabGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      if (w.nonEmpty) {
+        val got = Unigram.viterbi(w, v, 3)
+        val want = bruteBest(w, v, 3)
+        assert(got == want, s"word=$w vocab=$v got=$got want=$want")
+        checked += 1
+      }
+    }
+    assert(checked > 200, s"generator starved: $checked")
+  }
+
   test("training is deterministic across invocations") {
     val docs = Seq((1L, "the cat sat on the mat"),
       (2L, "the bat and the rat"), (3L, "that cat that mat"))

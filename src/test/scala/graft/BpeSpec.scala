@@ -72,6 +72,54 @@ class BpeSpec extends AnyFunSuite {
     assert(withEs.head == List(base + 3, base + 3), withEs.toString)
   }
 
+  test("property: the armed-rank pass simulation equals the literal " +
+    "pass-by-rank sweep on random words and merge tables") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // ground truth: one left-to-right non-overlapping sweep per rank,
+    // in rank order — the chained replace-all contract, literally
+    def reference(word: String,
+        merges: Seq[(String, String)]): Seq[String] = {
+      var syms: Array[String] = word.toCharArray.map(_.toString)
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += l + r; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+      }
+      syms.toSeq
+    }
+    val symGen = for {
+      n <- Gen.choose(1, 3)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b"))
+    } yield cs.mkString
+    val tableGen = for {
+      m <- Gen.choose(1, 12)
+      ps <- Gen.listOfN(m, Gen.zip(symGen, symGen))
+    } yield ps
+    val wordGen = for {
+      n <- Gen.choose(0, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b"))
+    } yield cs.mkString
+    var seed = Seed(42L)
+    (0 until 300).foreach { _ =>
+      val w = wordGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val merges = tableGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val ranks = merges.zipWithIndex.groupBy(_._1)
+        .map { case (p, xs) => p -> xs.map(_._2 + 1).sorted.toArray }
+      val got =
+        Bpe.encodePieceStrings(w, merges.toArray, ranks).toSeq
+      val want = reference(w, merges)
+      assert(got == want, s"word=$w merges=$merges got=$got want=$want")
+    }
+  }
+
   test("bpeEncodeLarge == bpeEncode on learned merges (equivalence)") {
     val richer = docs.union(Seq(
       (5L, "lowest newest lowest slowest"),

@@ -287,14 +287,23 @@ class UnigramSpec extends AnyFunSuite {
     assert(checked > 200, s"generator starved: $checked")
   }
 
-  test("training is deterministic across invocations") {
+  test("training is deterministic across invocations and partitionings") {
     val docs = Seq((1L, "the cat sat on the mat"),
       (2L, "the bat and the rat"), (3L, "that cat that mat"))
       .toDF("doc_id", "text")
-    def run() = Unigram.unigramTrain(docs, "text", maxPieceLen = 3,
-      seedSize = 10, minCount = 2, emRounds = 2)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1).toSeq
-    assert(run() == run())
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Unigram.unigramTrain(df, "text", maxPieceLen = 3,
+        seedSize = 10, minCount = 2, emRounds = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    assert(run(docs) == run(docs))
+    assert(run(docs.repartition(7)) == run(docs.coalesce(1)),
+      "vocabulary must not depend on the partition layout")
+    def runSoft(df: org.apache.spark.sql.DataFrame) =
+      Unigram.unigramTrainSoft(df, "text", maxPieceLen = 3,
+        seedSize = 10, minCount = 2, emRounds = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    assert(runSoft(docs.repartition(5)) == runSoft(docs.coalesce(1)))
   }
 }

@@ -700,6 +700,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("wordpiece encode: distinct-word MaxMatch joins back by word key") {
+    // same contract as the unigram/BPE encoders: greedy MaxMatch runs
+    // once per DISTINCT word against the broadcast vocabulary set and
+    // equi-joins back to token occurrences — never a product, never a
+    // corpus window, never a sort of the token stream
+    for (name <- Seq("q_wordpiece_encode", "q_wordpiece_encode_ids")) {
+      val p = plan(q(name))
+      assert(p.contains("HashAggregate"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n" + p.take(1500))
+      assert(!p.contains("Window"), s"$name:\n" + p.take(1500))
+    }
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

@@ -1,0 +1,247 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import Fns._
+
+/** Mergeable cardinality / frequency sketches — the approximate-counting
+  * layer a 100 TB pipeline runs where exact `count(distinct)` is a
+  * full-corpus shuffle of the DISTINCT KEYS themselves: daily unique
+  * users, per-shard distinct URLs, heavy-hitter tokens. Three classic
+  * structures, each as plain hash-aggregates (map-side combinable, no
+  * custom state), each with its register/counter table exposed so
+  * sketches PERSIST and MERGE across batches like the URL/band standing
+  * indexes:
+  *
+  *  - HyperLogLog (Flajolet et al. 2007): per-bucket max of the
+  *    leading-zero rank of a 32-bit hash; registers are `m = 2^p` rows
+  *    per group, merge = per-bucket MAX (associative, idempotent —
+  *    sketch(A ∪ B) ≡ merge(sketch(A), sketch(B)), spec-pinned).
+  *  - KMV / bottom-k (Bar-Yossef et al. 2002): the k smallest distinct
+  *    hash values per group via the bounded [[graft.expr.catalyst.TopKMin]]
+  *    partial aggregate — each map task ships ≤ k entries per group.
+  *    Exact below k (the estimator RETURNS the distinct count when the
+  *    group holds fewer than k hashes), (k−1)·2^32/h₍k₎ above.
+  *  - Count-Min (Cormode & Muthukrishnan 2005): d×w counter grid over
+  *    salted 32-bit hashes; point estimate = min over the d rows, an
+  *    upper bound on the true count (never under, spec-pinned).
+  *
+  * Bit-exactness contract (the tokenizer discipline): hashes are
+  * [[Fns.h32]] (first 8 hex chars of md5) and its second-half sibling,
+  * rank arithmetic is integer (`33 − length(bin(h))`), and the HLL
+  * estimate is an EXACT INTEGER division — α_m is carried as a rational
+  * (673/1000, 697/1000, 709/1000 for p = 4/5/6, else
+  * 7213·1000m / (10000·(1000m + 1079))), the indicator sum is the
+  * scaled integer `Σ 2^(33−M_j)` (≤ m·2^33, inside BIGINT), and the raw
+  * estimate is one DECIMAL(38,0) integral division — so DuckDB replays
+  * it with HUGEINT `//`. The small-range (linear counting,
+  * `m·ln(m/V)`) and large-range (`−2^32·ln(1 − E/2^32)`) corrections
+  * are doubles by nature; their BRANCH CONDITIONS are exact integer
+  * comparisons, and the oracle corpora sit in the raw band (the
+  * corrections are spec-tested against the same JVM `Math.log`).
+  *
+  * Scale shape: HLL is two hash-aggregates — (group, bucket) MAX then a
+  * group SUM — so the exchange after the map-side combine carries at
+  * most m rows per group whatever the corpus size; KMV ships ≤ k; the
+  * CMS grid is d·w rows TOTAL (config-scale, broadcast back for
+  * probes); and every input first collapses to the distinct-value
+  * table where the operator allows (CMS counts need frequencies, so
+  * the corpus pass is its one aggregate).
+  */
+object Sketches {
+
+  /** Second 32-bit hash (hex chars 9-16 of md5) — independent of
+    * [[Fns.h32]]'s first half; DuckDB:
+    * `('0x'||substr(md5(s),9,8))::BIGINT`.
+    */
+  private def h32b(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast(LongType)
+
+  private def checkP(p: Int): Unit =
+    require(p >= 4 && p <= 16, s"hll: p must be in [4, 16], got $p")
+
+  /** α_m as an exact rational (numerator, denominator), scaled so the
+    * raw-estimate division stays integral.
+    */
+  private def alpha(m: Int): (BigInt, BigInt) = m match {
+    case 16 => (BigInt(673), BigInt(1000))
+    case 32 => (BigInt(697), BigInt(1000))
+    case 64 => (BigInt(709), BigInt(1000))
+    case _ =>
+      (BigInt(7213) * 1000 * m, BigInt(10000) * (1000L * m + 1079))
+  }
+
+  /** The HLL register table of `df[valueCol]` per `groupCols`:
+    * (group..., bucket INT, register INT) — bucket = h32 mod 2^p,
+    * register = max over the bucket's values of the leading-zero rank
+    * of the second 32-bit hash (1..33; absent buckets are implicit
+    * zeros). ≤ 2^p rows per group; this is the PERSISTABLE, MERGEABLE
+    * sketch state.
+    */
+  def hllRegisters(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], p: Int): DataFrame = {
+    checkP(p)
+    val m = 1 << p
+    val h2 = h32b(col("__v"))
+    df.select(groupCols.map(col) :+ valueCol.cast("string").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        pmod(h32(col("__v")), lit(m.toLong)).cast("int").as("bucket"),
+        when(h2 === 0, 33)
+          .otherwise(lit(33) - length(bin(h2))).cast("int")
+          .as("__r")): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__r")).as("register"))
+  }
+
+  /** Merge two register tables (same p, same group columns): per-bucket
+    * MAX — associative and idempotent, so sketches fold across batches,
+    * shards and days in any order.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("register")).as("register"))
+
+  /** Cardinality estimate from a register table:
+    * (group..., hll_est BIGINT, zero_registers BIGINT). The raw
+    * estimate is the exact integer
+    * `⌊α_num·m²·2^33 / (α_den·Σ2^(33−M_j))⌋` (absent buckets contribute
+    * 2^33); Flajolet's small-range (linear counting) and large-range
+    * corrections apply on exact integer branch conditions.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+      p: Int): DataFrame = {
+    checkP(p)
+    val m = 1 << p
+    val (aNum, aDen) = alpha(m)
+    val eNum = aNum * BigInt(m) * BigInt(m) * (BigInt(1) << 33)
+    val agg = registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - register)"))
+          .as("__sp"),
+        count(lit(1)).as("__nb"))
+      .withColumn("zero_registers", lit(m.toLong) - col("__nb"))
+      .withColumn("__s",
+        col("__sp") + col("zero_registers") * lit(1L << 33))
+      .withColumn("__raw", expr(
+        s"CAST('$eNum' AS DECIMAL(38,0)) div " +
+          s"(CAST('$aDen' AS DECIMAL(38,0)) * CAST(__s AS DECIMAL(38,0)))"))
+    val twoP32 = 4294967296d
+    agg
+      .withColumn("hll_est",
+        when(col("zero_registers") > 0 && col("__raw") <= lit(5L * m / 2),
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / col("zero_registers").cast("double")))
+            .cast("long"))
+          .when(col("__raw") > lit((1L << 32) / 30) &&
+              col("__raw") < lit(1L << 32),
+            round(lit(-twoP32) *
+              log(lit(1d) - col("__raw").cast("double") / lit(twoP32)))
+              .cast("long"))
+          .otherwise(col("__raw")))
+      .select(groupCols.map(col) ++
+        Seq(col("hll_est"), col("zero_registers")): _*)
+  }
+
+  /** One-call distinct estimate: registers → estimate. */
+  def hllDistinct(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], p: Int): DataFrame =
+    hllEstimate(hllRegisters(df, valueCol, groupCols, p), groupCols, p)
+
+  /** KMV / bottom-k distinct estimate per group:
+    * (group..., kmv_est BIGINT, kmv_kept BIGINT). Keeps the k smallest
+    * DISTINCT h32 values via the bounded `top_k_min` partial aggregate;
+    * a group with fewer than k distinct hashes reports its EXACT count
+    * (kmv_kept < k flags the exact path), else ⌊(k−1)·2^32 / h₍k₎⌋.
+    */
+  def kmvDistinct(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"kmv: k must be in [2, 65536], got $k")
+    df.select(groupCols.map(col) :+ valueCol.cast("string").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .select(groupCols.map(col) :+ h32(col("__v")).as("__h"): _*)
+      .distinct()
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("top_k_min", struct(col("__h")), lit(k))
+        .as("__arr"))
+      .withColumn("kmv_kept", size(col("__arr")).cast("long"))
+      // the k-th smallest hash is read only on the estimate branch
+      // (CaseWhen evaluates lazily, so ANSI sessions never see an
+      // out-of-bounds element_at on the exact path)
+      .withColumn("kmv_est",
+        when(col("kmv_kept") < k, col("kmv_kept"))
+          .otherwise(expr(
+            s"CAST(${(k - 1).toLong} * 4294967296 AS BIGINT) " +
+              s"div greatest(element_at(__arr, $k).__h, " +
+              "CAST(1 AS BIGINT))")))
+      .select(groupCols.map(col) ++
+        Seq(col("kmv_est"), col("kmv_kept")): _*)
+  }
+
+  private def checkDw(d: Int, w: Int): Unit = {
+    require(d >= 1 && d <= 16, s"cms: d must be in [1, 16], got $d")
+    require(w >= 2 && w <= (1 << 20),
+      s"cms: w must be in [2, 2^20], got $w")
+  }
+
+  /** The Count-Min counter grid of `df[valueCol]`: (row INT, col INT,
+    * counter BIGINT), d·w cells total (absent cells are implicit
+    * zeros). counter(i, j) = Σ count(v) over values with
+    * h32(i||':'||v) mod w = j. Mergeable by cell-wise SUM. The corpus
+    * collapses to the distinct-value frequency table first, so the
+    * d-way expansion is distinct-value-scale, not corpus-scale.
+    */
+  def cmsCounters(df: DataFrame, valueCol: Column, d: Int,
+      w: Int): DataFrame = {
+    checkDw(d, w)
+    df.select(valueCol.cast("string").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .select(col("__v"), col("__c"),
+        explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .select(col("row").cast("int").as("row"),
+        pmod(h32(concat(col("row").cast("string"), lit(":"), col("__v"))),
+          lit(w.toLong)).cast("int").as("col"),
+        col("__c"))
+      .groupBy(col("row"), col("col"))
+      .agg(sum(col("__c")).as("counter"))
+  }
+
+  /** Point estimates from a counter grid for the probe values in
+    * `probes[probeCol]`: adds `cms_est` = min over the d rows of the
+    * value's cell — an UPPER BOUND on the true count (Count-Min never
+    * underestimates). The grid broadcasts (d·w rows, config-scale);
+    * the probe expansion is d rows per probe.
+    */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame,
+      probeCol: String, d: Int, w: Int): DataFrame = {
+    checkDw(d, w)
+    probes
+      .select(probes.columns.map(col) :+
+        explode(sequence(lit(0), lit(d - 1))).as("__i"): _*)
+      .withColumn("__j",
+        pmod(h32(concat(col("__i").cast("string"), lit(":"),
+          col(probeCol).cast("string"))), lit(w.toLong)).cast("int"))
+      .join(broadcast(counters),
+        col("__i") === col("row") && col("__j") === col("col"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("counter"), lit(0L))).as("cms_est"))
+  }
+
+  /** Heavy hitters with sketch-estimated counts: the values whose EXACT
+    * frequency reaches `minCount` (the gate's ground truth), each with
+    * its Count-Min estimate — (value STRING, exact_count BIGINT,
+    * cms_est BIGINT), est ≥ exact always.
+    */
+  def cmsHeavyHitters(df: DataFrame, valueCol: Column, d: Int, w: Int,
+      minCount: Long): DataFrame = {
+    val freq = df.select(valueCol.cast("string").as("value"))
+      .where(col("value").isNotNull)
+      .groupBy(col("value")).agg(count(lit(1)).as("exact_count"))
+      .where(col("exact_count") >= minCount)
+    cmsEstimate(cmsCounters(df, valueCol, d, w), freq, "value", d, w)
+  }
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ml.{Fns, Sketches}
+
+/** Sketch gates (round 14 continuation): HyperLogLog / KMV distinct
+  * estimation and Count-Min heavy hitters over the events/documents
+  * tables. Every estimate replays EXACTLY in DuckDB: hashes are the
+  * md5-halves formulas, leading-zero ranks ride `length(bin(h))`, the
+  * HLL α constant is a rational and the raw estimate one HUGEINT
+  * integral division; the gate corpora sit in HLL's raw band (the
+  * ln-based small/large-range corrections are spec-tested instead —
+  * their branch CONDITIONS are exact, so the raw band is provable).
+  */
+object SketchQueries {
+
+  private val P = 7
+  private val M = 1 << P // 128
+  private val K = 64
+  private val CmsD = 4
+  private val CmsW = 16
+  private val CmsMin = 200L
+
+  private val ANum = BigInt(7213) * 1000 * M
+  private val ADen = BigInt(10000) * (1000L * M + 1079)
+  private val ENum = ANum * M * M * (BigInt(1) << 33)
+
+  /** HLL register CTE over events.event_id (optionally parity-filtered —
+    * event_ids are non-negative row ids, so `%` matches Spark's pmod).
+    */
+  private def regCte(name: String, filter: String): String =
+    s"""$name AS MATERIALIZED (
+         SELECT h1 % $M AS bucket,
+           max(CASE WHEN h2 = 0 THEN 33
+                    ELSE 33 - length(bin(h2)) END) AS register
+         FROM (SELECT ('0x'||substr(md5(v),1,8))::BIGINT AS h1,
+                      ('0x'||substr(md5(v),9,8))::BIGINT AS h2
+               FROM (SELECT CAST(event_id AS VARCHAR) AS v FROM events
+                     WHERE event_id IS NOT NULL $filter))
+         GROUP BY 1)"""
+
+  /** The exact raw HLL estimate from a register CTE: absent buckets
+    * contribute 2^33 to the indicator sum; one HUGEINT floor division.
+    */
+  private def estSelect(reg: String, part: Option[String]): String = {
+    val label = part.map(l => s"'$l' AS part, ").getOrElse("")
+    s"""SELECT $label
+          CAST('$ENum'::HUGEINT //
+            ('$ADen'::HUGEINT *
+              (sp + ($M - nb)::HUGEINT * 8589934592)) AS BIGINT)
+            AS hll_est,
+          CAST($M - nb AS BIGINT) AS zero_registers
+        FROM (SELECT sum((1::BIGINT << (33 - register))::HUGEINT) AS sp,
+                count(*) AS nb
+              FROM $reg)"""
+  }
+
+  private val hllOracle =
+    s"""WITH ${regCte("regf", "")}
+        ${estSelect("regf", None)}"""
+
+  private val hllMergeOracle =
+    s"""WITH ${regCte("rege", "AND event_id % 2 = 0")},
+         ${regCte("rego", "AND event_id % 2 = 1")},
+         ${regCte("regf", "")},
+         regm AS MATERIALIZED (
+           SELECT coalesce(e.bucket, o.bucket) AS bucket,
+             greatest(coalesce(e.register, 0), coalesce(o.register, 0))
+               AS register
+           FROM rege e FULL OUTER JOIN rego o ON e.bucket = o.bucket)
+        ${estSelect("rege", Some("even"))}
+        UNION ALL ${estSelect("rego", Some("odd"))}
+        UNION ALL ${estSelect("regm", Some("merged"))}
+        UNION ALL ${estSelect("regf", Some("full"))}"""
+
+  private val kmvOracle =
+    s"""WITH dh AS (
+           SELECT DISTINCT user_id,
+             ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8))::BIGINT
+               AS h
+           FROM events WHERE event_id IS NOT NULL),
+         rr AS (SELECT user_id, h,
+                  row_number() OVER (PARTITION BY user_id ORDER BY h)
+                    AS rn
+                FROM dh),
+         gg AS (SELECT user_id, count(*) AS kept,
+                  max(CASE WHEN rn = $K THEN h END) AS kth
+                FROM rr WHERE rn <= $K GROUP BY 1)
+        SELECT user_id,
+          CAST(CASE WHEN kept < $K THEN kept
+               ELSE (${K - 1}::HUGEINT * 4294967296)
+                      // greatest(kth, 1) END AS BIGINT) AS kmv_est,
+          CAST(kept AS BIGINT) AS kmv_kept
+        FROM gg"""
+
+  private val cmsOracle =
+    s"""WITH tk AS (SELECT unnest(list_filter(
+             string_split(lower(text), ' '), t -> t <> '')) AS v
+           FROM documents),
+         freq AS MATERIALIZED (
+           SELECT v, CAST(count(*) AS BIGINT) AS exact_count
+           FROM tk GROUP BY 1),
+         rows_ AS (SELECT unnest(range(0, $CmsD)) AS i),
+         cells AS MATERIALIZED (
+           SELECT i, ('0x'||substr(md5(i::VARCHAR||':'||v),1,8))::BIGINT
+               % $CmsW AS j,
+             sum(exact_count) AS counter
+           FROM freq CROSS JOIN rows_ GROUP BY 1, 2)
+        SELECT f.v AS value, f.exact_count,
+          CAST(min(c.counter) AS BIGINT) AS cms_est
+        FROM freq f CROSS JOIN rows_ r
+        JOIN cells c ON c.i = r.i AND c.j =
+          ('0x'||substr(md5(r.i::VARCHAR||':'||f.v),1,8))::BIGINT % $CmsW
+        WHERE f.exact_count >= $CmsMin
+        GROUP BY 1, 2"""
+
+  val all: Seq[Q] = Seq(
+    // HyperLogLog distinct (Flajolet et al. 2007): per-bucket max
+    // leading-zero rank, exact-integer raw estimate — approximate
+    // count-distinct of event ids without shuffling the distinct keys
+    Q.fn("q_sketch_hll", hllOracle) { (spark, sf) =>
+      Sketches.hllDistinct(Tables.load(spark, sf, "events"),
+        col("event_id"), Nil, P)
+    },
+
+    // ... and the MERGE law that makes it a sketch: per-bucket max of
+    // the even/odd-batch registers estimates identically to the sketch
+    // of the full corpus (merged == full, provable from the output)
+    Q.fn("q_sketch_hll_merge", hllMergeOracle) { (spark, sf) =>
+      val ev = Tables.load(spark, sf, "events")
+      def regs(f: org.apache.spark.sql.DataFrame) =
+        Sketches.hllRegisters(f, col("event_id"), Nil, P)
+      val even = regs(ev.where(pmod(col("event_id"), lit(2L)) === 0))
+      val odd = regs(ev.where(pmod(col("event_id"), lit(2L)) === 1))
+      val parts = Seq(
+        "even" -> even, "odd" -> odd,
+        "merged" -> Sketches.hllMerge(even, odd, Nil),
+        "full" -> regs(ev))
+      parts.map { case (name, r) =>
+        Sketches.hllEstimate(r, Nil, P)
+          .select(lit(name).as("part"), col("hll_est"),
+            col("zero_registers"))
+      }.reduce(_.unionByName(_))
+    },
+
+    // KMV / bottom-k distinct per user: k smallest hashes via the
+    // bounded top_k_min partial aggregate — EXACT below k (groups with
+    // few distinct events report their true count), (k−1)·2^32/h_k
+    // above; both paths fire on the per-user event distribution
+    Q.fn("q_sketch_kmv", kmvOracle) { (spark, sf) =>
+      Sketches.kmvDistinct(Tables.load(spark, sf, "events"),
+        col("event_id"), Seq("user_id"), K)
+    },
+
+    // Count-Min heavy hitters (Cormode & Muthukrishnan 2005): d×w
+    // counter grid over the token frequency table, point estimate =
+    // min over rows — an upper bound (w=16 forces real collisions, so
+    // est > exact is visible in the output)
+    Q.fn("q_sketch_cms", cmsOracle) { (spark, sf) =>
+      val toks = Tables.load(spark, sf, "documents")
+        .select(explode(filter(Fns.tokens(col("text")), t => t =!= ""))
+          .as("tok"))
+      Sketches.cmsHeavyHitters(toks, col("tok"), CmsD, CmsW, CmsMin)
+    }
+  )
+}

@@ -715,6 +715,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sketches: pure hash-aggregates, bounded exchanges, no window") {
+    // HLL is two hash-aggregates (the post-combine exchange carries at
+    // most m rows per group whatever the corpus size); KMV rides the
+    // bounded top_k_min partial aggregate (<= k per group per map
+    // task) — never a window sort of the corpus, never a product
+    for (name <- Seq("q_sketch_hll", "q_sketch_hll_merge",
+        "q_sketch_kmv")) {
+      val p = plan(q(name))
+      assert(p.contains("HashAggregate"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n" + p.take(1500))
+      assert(!p.contains("Window"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("SortMergeJoin"), s"$name:\n" + p.take(1500))
+    }
+    // Count-Min probes join the config-scale d*w grid broadcast
+    val p = plan(q("q_sketch_cms"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

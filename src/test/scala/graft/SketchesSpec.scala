@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ml.Sketches
+
+/** Sketch laws: HLL merge must equal the sketch of the union (register
+  * for register), the ln-based small/large-range corrections must match
+  * the same JVM formula on hand-built register states, KMV must be
+  * EXACT below k, Count-Min must never underestimate, and everything
+  * must be partition-invariant — the properties that make the sketches
+  * safe to persist and fold across batches.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def values(n: Int, tag: String) =
+    spark.range(n).select(concat(lit(tag), col("id")).as("v"))
+
+  test("hll: merge(sketch(A), sketch(B)) == sketch(A union B), register-exact") {
+    val a = values(3000, "a")
+    val b = values(2000, "b").union(values(500, "a")) // overlap with A
+    val ra = Sketches.hllRegisters(a, $"v", Nil, 9)
+    val rb = Sketches.hllRegisters(b, $"v", Nil, 9)
+    val merged = Sketches.hllMerge(ra, rb, Nil)
+      .orderBy("bucket").as[(Int, Int)].collect()
+    val union = Sketches.hllRegisters(a.union(b), $"v", Nil, 9)
+      .orderBy("bucket").as[(Int, Int)].collect()
+    assert(merged.toSeq === union.toSeq)
+  }
+
+  test("hll: raw-band estimate within 3 sigma on 5000 distinct") {
+    // p=9 -> m=512, stderr ~ 1.04/sqrt(512) ~ 4.6%; n/m ~ 10 is the
+    // raw band (no corrections) and 3 sigma ~ 14%
+    val est = Sketches.hllDistinct(values(5000, "x"), $"v", Nil, 9)
+      .select("hll_est").as[Long].head()
+    assert(math.abs(est - 5000) < 700, s"est=$est")
+  }
+
+  test("hll: duplicates do not move the estimate") {
+    val once = Sketches.hllDistinct(values(2000, "d"), $"v", Nil, 8)
+      .select("hll_est").as[Long].head()
+    val thrice = Sketches.hllDistinct(
+      values(2000, "d").union(values(2000, "d")).union(values(2000, "d")),
+      $"v", Nil, 8).select("hll_est").as[Long].head()
+    assert(once === thrice)
+  }
+
+  test("hll: small-range correction is linear counting, formula-exact") {
+    val df = values(20, "s")
+    val est = Sketches.hllDistinct(df, $"v", Nil, 8)
+      .select("hll_est", "zero_registers").as[(Long, Long)].head()
+    val (got, v) = est
+    assert(v > 0, "20 values cannot fill 256 buckets")
+    // the implementation's branch: round(m * ln(m / V)) with m = 256 —
+    // same JVM Math.log here, so the match is exact, and linear
+    // counting at this density is essentially the true count
+    val expect = math.round(256d * math.log(256d / v))
+    assert(got === expect)
+    assert(math.abs(got - 20) <= 1, s"est=$got")
+  }
+
+  test("hll: large-range correction fires on a saturated register state") {
+    // hand-built register table (registers ARE the persistable state,
+    // so estimating from a crafted one is the supported path): m=16,
+    // all registers 24 -> S = 16 * 2^9 = 8192, raw = floor(alpha_16 *
+    // 16^2 * 2^33 / 8192) with alpha_16 = 673/1000 — inside
+    // (2^32/30, 2^32), so the correction applies
+    val regs = (0 until 16).map(b => (b, 24)).toDF("bucket", "register")
+    val raw = (BigInt(673) * 16 * 16 * (BigInt(1) << 33) /
+      (BigInt(1000) * 8192)).toLong
+    assert(raw > (1L << 32) / 30 && raw < (1L << 32))
+    val expect = math.round(
+      -4294967296d * math.log(1d - raw.toDouble / 4294967296d))
+    val got = Sketches.hllEstimate(regs, Nil, 4)
+      .select("hll_est").as[Long].head()
+    assert(got === expect)
+  }
+
+  test("hll: partition-adversarial determinism") {
+    val df = values(4000, "p")
+    def run(d: org.apache.spark.sql.DataFrame): Long =
+      Sketches.hllDistinct(d, $"v", Nil, 9).select("hll_est")
+        .as[Long].head()
+    val base = run(df.coalesce(1))
+    assert(run(df.repartition(13)) === base)
+    assert(run(df.repartition(32, $"v")) === base)
+  }
+
+  test("kmv: exact below k, estimate within 3 sigma above") {
+    // 7 distinct values, k=32 -> the EXACT path
+    val small = values(7, "k").union(values(7, "k"))
+    val ex = Sketches.kmvDistinct(small, $"v", Nil, 32)
+      .select("kmv_est", "kmv_kept").as[(Long, Long)].head()
+    assert(ex === ((7L, 7L)))
+    // 5000 distinct, k=256 -> estimate path; stderr ~ 1/sqrt(k-2) ~ 6.3%
+    val big = Sketches.kmvDistinct(values(5000, "k"), $"v", Nil, 256)
+      .select("kmv_est", "kmv_kept").as[(Long, Long)].head()
+    assert(big._2 === 256L)
+    assert(math.abs(big._1 - 5000) < 950, s"est=${big._1}")
+  }
+
+  test("kmv: per-group paths and partition invariance") {
+    val df = spark.range(3000).select(
+      (col("id") % 5).as("g"), concat(lit("v"), col("id")).as("v"))
+      .union(Seq((9L, "only")).toDF("g", "v"))
+    def run(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      Sketches.kmvDistinct(d, $"v", Seq("g"), 64)
+        .orderBy("g").as[(Long, Long, Long)].collect().toSeq
+    val base = run(df.coalesce(1))
+    assert(base.last === ((9L, 1L, 1L))) // singleton group: exact
+    assert(base.count(_._3 == 64L) === 5) // 600-distinct groups estimate
+    assert(run(df.repartition(11)) === base)
+  }
+
+  test("cms: never underestimates; exact when the grid is collision-free") {
+    val df = Seq.fill(40)("a").union(Seq.fill(25)("b"))
+      .union(Seq.fill(10)("c")).union(Seq("d")).toDF("v")
+    // w large enough that 4 values cannot collide across all 4 rows
+    val wide = Sketches.cmsHeavyHitters(df, $"v", 4, 1024, 1L)
+      .orderBy("value").as[(String, Long, Long)].collect().toSeq
+    assert(wide === Seq(("a", 40L, 40L), ("b", 25L, 25L),
+      ("c", 10L, 10L), ("d", 1L, 1L)))
+    // w=2 forces collisions: estimates stay upper bounds
+    val tight = Sketches.cmsHeavyHitters(df, $"v", 4, 2, 1L)
+      .as[(String, Long, Long)].collect()
+    assert(tight.forall(r => r._3 >= r._2), tight.mkString(","))
+  }
+
+  test("cms: counter grid merges by cell-wise sum across batches") {
+    val a = Seq.fill(30)("x").union(Seq.fill(5)("y")).toDF("v")
+    val b = Seq.fill(10)("x").union(Seq.fill(20)("z")).toDF("v")
+    val mergedGrid = Sketches.cmsCounters(a, $"v", 4, 32)
+      .unionByName(Sketches.cmsCounters(b, $"v", 4, 32))
+      .groupBy("row", "col").agg(sum("counter").as("counter"))
+    val unionGrid = Sketches.cmsCounters(a.union(b), $"v", 4, 32)
+    assert(mergedGrid.orderBy("row", "col").collect().toSeq ===
+      unionGrid.orderBy("row", "col").collect().toSeq)
+  }
+}

@@ -95,15 +95,45 @@ object Sketches {
       .agg(max(col("__r")).as("register"))
   }
 
-  /** Merge two register tables (same p, same group columns): per-bucket
-    * MAX — associative and idempotent, so sketches fold across batches,
-    * shards and days in any order.
+  /** Fold a (possibly multi-batch) register table to one register per
+    * (group, bucket): per-bucket MAX — associative and idempotent, so
+    * deltas fold across batches, shards and days in any order.
     */
-  def hllMerge(a: DataFrame, b: DataFrame,
-      groupCols: Seq[String]): DataFrame =
-    a.unionByName(b)
+  def hllFold(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("register")).as("register"))
+
+  /** Merge two register tables (same p, same group columns). */
+  def hllMerge(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    hllFold(a.unionByName(b), groupCols)
+
+  /** Append a batch's register DELTA to a standing sketch state
+    * directory — the sketch mirror of the URL/band standing indexes,
+    * but APPEND-ONLY BY CONSTRUCTION: because merge is a per-bucket
+    * max, a batch contributes its own ≤ m-rows-per-group register
+    * table and the fold happens at READ time ([[hllEstimateFromState]]),
+    * so no batch ever rewrites another's rows (no read-modify-write
+    * cycle, no overwrite-while-reading hazard). A rolling crawl calls
+    * this once per batch; the state stays config-scale per batch
+    * (m rows per group seen in that batch).
+    */
+  def appendHllState(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], p: Int, dir: String): Unit =
+    hllRegisters(df, valueCol, groupCols, p)
+      .write.mode("append").parquet(s"$dir/registers")
+
+  /** Estimate from a standing state directory: fold all appended
+    * deltas (one hash-aggregate over config-scale-per-batch rows),
+    * then estimate — identical to the sketch of every batch's union,
+    * by the merge law.
+    */
+  def hllEstimateFromState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      groupCols: Seq[String], p: Int): DataFrame =
+    hllEstimate(hllFold(spark.read.parquet(s"$dir/registers"),
+      groupCols), groupCols, p)
 
   /** Cardinality estimate from a register table:
     * (group..., hll_est BIGINT, zero_registers BIGINT). The raw

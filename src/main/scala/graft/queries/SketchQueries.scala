@@ -22,6 +22,9 @@ object SketchQueries {
   private val CmsW = 16
   private val CmsMin = 200L
 
+  private val hllLoopDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   private val ANum = BigInt(7213) * 1000 * M
   private val ADen = BigInt(10000) * (1000L * M + 1079)
   private val ENum = ANum * M * M * (BigInt(1) << 33)
@@ -73,6 +76,17 @@ object SketchQueries {
         UNION ALL ${estSelect("rego", Some("odd"))}
         UNION ALL ${estSelect("regm", Some("merged"))}
         UNION ALL ${estSelect("regf", Some("full"))}"""
+
+  private val hllLoopOracle =
+    s"""WITH ${regCte("rc0", "AND event_id % 3 = 0")},
+         ${regCte("rc1", "AND event_id % 3 = 1")},
+         ${regCte("rc2", "AND event_id % 3 = 2")},
+         fold AS MATERIALIZED (
+           SELECT bucket, max(register) AS register
+           FROM (SELECT * FROM rc0 UNION ALL SELECT * FROM rc1
+                 UNION ALL SELECT * FROM rc2)
+           GROUP BY 1)
+        ${estSelect("fold", None)}"""
 
   private val kmvOracle =
     s"""WITH dh AS (
@@ -142,6 +156,25 @@ object SketchQueries {
           .select(lit(name).as("part"), col("hll_est"),
             col("zero_registers"))
       }.reduce(_.unionByName(_))
+    },
+
+    // ... and the STANDING-STATE form (the URL/band-index pattern for
+    // sketches): three batches each append their own register delta,
+    // the read-time fold (per-bucket max) estimates — append-only by
+    // construction, no batch ever rewrites another's rows
+    Q.fn("q_sketch_hll_loop", hllLoopOracle) { (spark, sf) =>
+      val ev = Tables.load(spark, sf, "events")
+      val dir = hllLoopDirs.computeIfAbsent(sf, { _ =>
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-hll-state").toString
+        (0L to 2L).foreach { r =>
+          Sketches.appendHllState(
+            ev.where(pmod(col("event_id"), lit(3L)) === r),
+            col("event_id"), Nil, P, d)
+        }
+        d
+      })
+      Sketches.hllEstimateFromState(spark, dir, Nil, P)
     },
 
     // KMV / bottom-k distinct per user: k smallest hashes via the

@@ -88,6 +88,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(run(df.repartition(32, $"v")) === base)
   }
 
+  test("hll: standing state folds appended batch deltas to the union sketch") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hll-spec").toString
+    val all = values(3000, "st")
+    // three overlapping batches appended out of any "natural" order
+    Sketches.appendHllState(
+      all.where($"v".substr(3, 9).cast("long") >= 2000), $"v", Nil, 9, dir)
+    Sketches.appendHllState(
+      all.where($"v".substr(3, 9).cast("long") < 1500), $"v", Nil, 9, dir)
+    Sketches.appendHllState(
+      all.where($"v".substr(3, 9).cast("long").between(1000, 2500)),
+      $"v", Nil, 9, dir)
+    val fromState = Sketches.hllEstimateFromState(spark, dir, Nil, 9)
+      .as[(Long, Long)].head()
+    val direct = Sketches.hllDistinct(all, $"v", Nil, 9)
+      .as[(Long, Long)].head()
+    assert(fromState === direct)
+  }
+
   test("kmv: exact below k, estimate within 3 sigma above") {
     // 7 distinct values, k=32 -> the EXACT path
     val small = values(7, "k").union(values(7, "k"))

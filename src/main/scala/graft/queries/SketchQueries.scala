@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ml.{Fns, Sketches}
+import graft.ml.{Fns, Quantiles, Sketches}
 
 /** Sketch gates (round 14 continuation): HyperLogLog / KMV distinct
   * estimation and Count-Min heavy hitters over the events/documents
@@ -108,6 +108,25 @@ object SketchQueries {
           CAST(kept AS BIGINT) AS kmv_kept
         FROM gg"""
 
+  private val quantileOracle =
+    """WITH freq AS (
+           SELECT lang, CAST(n_chars AS BIGINT) AS value,
+             count(*) AS f
+           FROM documents WHERE n_chars IS NOT NULL
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT lang, value,
+             sum(f) OVER (PARTITION BY lang ORDER BY value) AS c,
+             sum(f) OVER (PARTITION BY lang) AS n
+           FROM freq),
+         pr AS (SELECT lang, value, c, n,
+                  unnest([500, 900, 990]) AS q
+                FROM cum)
+        SELECT lang, CAST(q AS INT) AS q_permille,
+          CAST(min(value) AS BIGINT) AS quantile
+        FROM pr WHERE c * 1000 >= q * n
+        GROUP BY 1, 2"""
+
   private val cmsOracle =
     s"""WITH tk AS (SELECT unnest(list_filter(
              string_split(lower(text), ' '), t -> t <> '')) AS v
@@ -184,6 +203,16 @@ object SketchQueries {
     Q.fn("q_sketch_kmv", kmvOracle) { (spark, sf) =>
       Sketches.kmvDistinct(Tables.load(spark, sf, "events"),
         col("event_id"), Seq("user_id"), K)
+    },
+
+    // EXACT distributed quantiles via frequency aggregation — the
+    // counting layer's exact counterpart: p50/p90/p99 document length
+    // per language from the (lang, length, freq) table; integer rank
+    // arithmetic (cum·1000 >= q‰·n), discrete lower order statistic
+    Q.fn("q_quantile_freq", quantileOracle) { (spark, sf) =>
+      Quantiles.frequencyQuantiles(
+        Tables.load(spark, sf, "documents"), col("n_chars"),
+        Seq("lang"), Seq(500, 900, 990))
     },
 
     // Count-Min heavy hitters (Cormode & Muthukrishnan 2005): d×w

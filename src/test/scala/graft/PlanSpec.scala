@@ -730,6 +730,13 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Window"), s"$name:\n" + p.take(1500))
       assert(!p.contains("SortMergeJoin"), s"$name:\n" + p.take(1500))
     }
+    // frequency quantiles: one corpus hash-aggregate; the Window is
+    // ALLOWED here because it runs over the (group, value, freq)
+    // table — partition size is the value domain, never the corpus
+    val pq = plan(q("q_quantile_freq"))
+    assert(pq.contains("HashAggregate"), pq.take(1500))
+    assert(!pq.contains("CartesianProduct"), pq.take(1500))
+    assert(!pq.contains("BroadcastNestedLoopJoin"), pq.take(1500))
     // Count-Min probes join the config-scale d*w grid broadcast
     val p = plan(q("q_sketch_cms"))
     assert(p.contains("BroadcastHashJoin"), p.take(1500))

@@ -170,6 +170,37 @@ object WordPiece {
     (alpha ++ minted).distinct.sorted.toSeq
   }
 
+  /** Persist a trained vocabulary ([[wordpieceVocabulary]]) — the
+    * [[Unigram.saveVocab]] contract for the WordPiece family: one
+    * parquet of pieces; order is NOT trusted on load (ids must be
+    * reproducible from the artifact alone, so [[loadVocab]] re-sorts).
+    */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[String], dir: String): Unit = {
+    import spark.implicits._
+    vocab.toDF("piece").write.mode("overwrite").parquet(s"$dir/pieces")
+  }
+
+  /** Load a [[saveVocab]] artifact: the pieces in lexicographic order
+    * (the id assignment [[wordpieceEncodeIds]] uses).
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val rows = spark.read.parquet(s"$dir/pieces")
+      .select("piece").limit((1 << 22) + 1).collect()
+    require(rows.length <= (1 << 22),
+      s"loadVocab: vocabulary too large (${rows.length})")
+    rows.map(_.getString(0)).toSeq.distinct.sorted
+  }
+
+  /** [[wordpieceEncode]] against a persisted [[saveVocab]] artifact —
+    * the standing-pipeline form (train once, encode every batch).
+    */
+  def encodeWithVocabDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    wordpieceEncode(df, textCol, idCol, loadVocab(spark, dir))
+
   private def coreLen(piece: String): Int =
     if (piece.startsWith("##")) piece.length - 2 else piece.length
 

@@ -212,7 +212,28 @@ object WordPieceQueries {
     docs.withColumn("text",
       concat(col("text"), lit(" w"), (col("doc_id") % 10).cast("string")))
 
+  private val vocabDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   val all: Seq[Q] = Seq(
+    // persisted tokenizer artifact for the WordPiece family (the
+    // q_unigram_persisted contract): train once, save, encode every
+    // batch from the artifact — identical results through persistence,
+    // so it shares the live encode's oracle
+    Q.fn("q_wordpiece_persisted", wordpieceEncodeOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      val dir = vocabDirs.computeIfAbsent(sf, { _ =>
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-wp-vocab").toString
+        val merges = WordPiece.wordpieceTrain(docs, "text", WpMerges)
+        WordPiece.saveVocab(spark,
+          WordPiece.wordpieceVocabulary(docs, "text", merges), d)
+        d
+      })
+      WordPiece.encodeWithVocabDir(spark, dir, unkBaitCorpus(docs),
+        "text", "doc_id")
+    },
+
     // WordPiece training (Schuster & Nakajima 2012 / the BERT
     // tokenizer): merge the pair maximizing count(lr)/(count(l)·
     // count(r)) under exact integer cross-multiplied comparison —

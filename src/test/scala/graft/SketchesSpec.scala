@@ -107,6 +107,37 @@ class SketchesSpec extends AnyFunSuite {
     assert(fromState === direct)
   }
 
+  test("hll: streaming foreachBatch loop maintains the standing state") {
+    // the daily-uniques production shape: each micro-batch appends its
+    // register delta; the read-time fold answers "distinct so far"
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hll-stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("v").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          _: Long) =>
+        if (!batch.isEmpty)
+          Sketches.appendHllState(batch, col("v"), Nil, 9,
+            s"$dir/state")
+        ()
+      }.start()
+    in.addData((0 until 1500).map(i => s"sv$i"): _*)
+    q.processAllAvailable()
+    in.addData((1000 until 2500).map(i => s"sv$i"): _*) // overlap
+    q.processAllAvailable()
+    q.stop()
+    val fromState = Sketches
+      .hllEstimateFromState(spark, s"$dir/state", Nil, 9)
+      .as[(Long, Long)].head()
+    val direct = Sketches.hllDistinct(
+      (0 until 2500).map(i => s"sv$i").toDF("v"), $"v", Nil, 9)
+      .as[(Long, Long)].head()
+    assert(fromState === direct)
+  }
+
   test("kmv: exact below k, estimate within 3 sigma above") {
     // 7 distinct values, k=32 -> the EXACT path
     val small = values(7, "k").union(values(7, "k"))

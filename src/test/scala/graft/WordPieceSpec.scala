@@ -108,6 +108,25 @@ class WordPieceSpec extends AnyFunSuite {
   // Encoding over a trained vocabulary
   // ---------------------------------------------------------------
 
+  test("persisted vocabulary artifact: live == loaded, order re-derived") {
+    val docs = Seq((1L, "aab aab aab ab ab bb")).toDF("doc_id", "text")
+    val merges = WordPiece.wordpieceTrain(docs, "text", 2)
+    val vocab = WordPiece.wordpieceVocabulary(docs, "text", merges)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-wp-spec").toString
+    // save SHUFFLED: load must re-sort (ids reproducible from the
+    // artifact alone, not from the writer's row order)
+    WordPiece.saveVocab(spark, vocab.reverse, dir)
+    assert(WordPiece.loadVocab(spark, dir) === vocab)
+    val enc = Seq((1L, "aab ab axb")).toDF("doc_id", "text")
+    val live = WordPiece.wordpieceEncode(enc, "text", "doc_id", vocab)
+      .collect().toSeq
+    val loaded = WordPiece
+      .encodeWithVocabDir(spark, dir, enc, "text", "doc_id")
+      .collect().toSeq
+    assert(live === loaded)
+  }
+
   test("wordpieceEncode + encodeIds: counts, [UNK], ids round-trip") {
     val docs = Seq((1L, "aab aab aab ab ab bb")).toDF("doc_id", "text")
     val merges = WordPiece.wordpieceTrain(docs, "text", 2)

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ml.{Fns, Quantiles, Sketches}
+import graft.ml.{Curation, Fns, Quantiles, Sketches}
+import Round11Queries.{withUrl, urlCte, canonCte, hostSql, domainSql}
 
 /** Sketch gates (round 14 continuation): HyperLogLog / KMV distinct
   * estimation and Count-Min heavy hitters over the events/documents
@@ -148,7 +149,122 @@ object SketchQueries {
         WHERE f.exact_count >= $CmsMin
         GROUP BY 1, 2"""
 
+  private val DomainK = 4
+
+  private val domainKmvOracle =
+    s"""WITH $urlCte, $canonCte,
+         keyed AS MATERIALIZED (
+           SELECT ${domainSql(hostSql("url"))} AS domain,
+             canonical_url AS cn
+           FROM canon WHERE url IS NOT NULL),
+         k2 AS (SELECT * FROM keyed WHERE domain IS NOT NULL),
+         counts AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_urls
+                    FROM k2 GROUP BY 1),
+         dh AS (SELECT DISTINCT domain,
+                  ('0x'||substr(md5(cn),1,8))::BIGINT AS h FROM k2),
+         rr AS (SELECT domain, h,
+                  row_number() OVER (PARTITION BY domain ORDER BY h)
+                    AS rn
+                FROM dh),
+         gg AS (SELECT domain, count(*) AS kept,
+                  max(CASE WHEN rn = $DomainK THEN h END) AS kth
+                FROM rr WHERE rn <= $DomainK GROUP BY 1)
+        SELECT c.domain, c.n_urls,
+          CAST(CASE WHEN kept < $DomainK THEN kept
+               ELSE (${DomainK - 1}::HUGEINT * 4294967296)
+                      // greatest(kth, 1) END AS BIGINT) AS kmv_est,
+          CAST(kept AS BIGINT) AS kmv_kept
+        FROM counts c JOIN gg USING (domain)"""
+
+  private val ReportK = 16
+
+  private val corpusReportOracle =
+    s"""WITH tk AS MATERIALIZED (
+           SELECT lang, unnest(list_filter(
+             string_split(lower(text), ' '), t -> t <> '')) AS tok
+           FROM documents),
+         base AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY 1),
+         ts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(count(DISTINCT tok) AS BIGINT)
+                    AS n_distinct_tokens
+                FROM tk GROUP BY 1),
+         dh AS (SELECT DISTINCT lang,
+                  ('0x'||substr(md5(tok),1,8))::BIGINT AS h FROM tk),
+         rr AS (SELECT lang, h,
+                  row_number() OVER (PARTITION BY lang ORDER BY h)
+                    AS rn
+                FROM dh),
+         kv AS (SELECT lang, count(*) AS kept,
+                  max(CASE WHEN rn = $ReportK THEN h END) AS kth
+                FROM rr WHERE rn <= $ReportK GROUP BY 1),
+         freq AS (SELECT lang, CAST(n_chars AS BIGINT) AS value,
+                    count(*) AS f
+                  FROM documents WHERE n_chars IS NOT NULL
+                  GROUP BY 1, 2),
+         cum AS (SELECT lang, value,
+                   sum(f) OVER (PARTITION BY lang ORDER BY value) AS c,
+                   sum(f) OVER (PARTITION BY lang) AS n
+                 FROM freq),
+         pr AS (SELECT lang, value, c, n, unnest([500, 900]) AS q
+                FROM cum),
+         qx AS (SELECT lang,
+                  CAST(min(CASE WHEN q = 500 AND c * 1000 >= q * n
+                    THEN value END) AS BIGINT) AS p50_chars,
+                  CAST(min(CASE WHEN q = 900 AND c * 1000 >= q * n
+                    THEN value END) AS BIGINT) AS p90_chars
+                FROM pr GROUP BY 1)
+        SELECT b.lang, b.n_docs, ts.n_tokens, ts.n_distinct_tokens,
+          CAST(CASE WHEN kv.kept < $ReportK THEN kv.kept
+               ELSE (${ReportK - 1}::HUGEINT * 4294967296)
+                      // greatest(kv.kth, 1) END AS BIGINT)
+            AS kmv_tokens,
+          qx.p50_chars, qx.p90_chars
+        FROM base b JOIN ts USING (lang) JOIN kv USING (lang)
+        JOIN qx USING (lang)"""
+
   val all: Seq[Q] = Seq(
+    // sketch × curation composition: per registrable domain, the exact
+    // URL row count plus the KMV-estimated distinct CANONICAL urls —
+    // the crawl-stats production form (k=4 so both the exact and the
+    // estimate path fire across the domain distribution)
+    Q.fn("q_domain_stats_kmv", domainKmvOracle) { (spark, sf) =>
+      val keyed = withUrl(Tables.load(spark, sf, "documents"))
+        .where(col("url").isNotNull)
+        .select(
+          Curation.registrableDomain(Curation.extractHost(col("url")))
+            .as("domain"),
+          Curation.canonicalizeUrl(col("url")).as("__canon"))
+        .where(col("domain").isNotNull)
+      keyed.groupBy("domain").agg(count(lit(1)).as("n_urls"))
+        .join(Sketches.kmvDistinct(keyed, col("__canon"),
+          Seq("domain"), DomainK), Seq("domain"))
+    },
+
+    // the per-language DATA CARD: docs, tokens, exact + KMV-sketched
+    // distinct tokens, and exact length percentiles in ONE config-scale
+    // artifact — the corpus report a curation run publishes
+    Q.fn("q_corpus_report", corpusReportOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      val toks = docs.select(col("lang"),
+        explode(filter(Fns.tokens(col("text")), t => t =!= ""))
+          .as("tok"))
+      val base = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val ts = toks.groupBy("lang").agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct_tokens"))
+      val kmv = Sketches.kmvDistinct(toks, col("tok"), Seq("lang"),
+        ReportK).select(col("lang"), col("kmv_est").as("kmv_tokens"))
+      val qx = Quantiles.frequencyQuantiles(docs, col("n_chars"),
+        Seq("lang"), Seq(500, 900))
+        .groupBy("lang").agg(
+          max(when(col("q_permille") === 500, col("quantile")))
+            .as("p50_chars"),
+          max(when(col("q_permille") === 900, col("quantile")))
+            .as("p90_chars"))
+      base.join(ts, Seq("lang")).join(kmv, Seq("lang"))
+        .join(qx, Seq("lang"))
+    },
+
     // HyperLogLog distinct (Flajolet et al. 2007): per-bucket max
     // leading-zero rank, exact-integer raw estimate — approximate
     // count-distinct of event ids without shuffling the distinct keys

@@ -588,6 +588,35 @@ object Similarity {
     * trailing struct field — (dist, nb_id) is already a total order, so
     * the extra field never affects ranking.
     */
+  /** Semantic decontamination — the embedding-space complement of
+    * [[Curation.decontaminate]]'s n-gram overlap: drop corpus documents
+    * whose embedding lands within cosine `threshold` of ANY benchmark
+    * vector (the paraphrased-eval-leak case n-grams miss). The
+    * benchmark is an EVAL SET — config-scale by nature — so it is
+    * `require`-bounded and BROADCAST; the corpus streams ONCE through
+    * |bench| codegen'd dot products per row and a map-side-combined
+    * per-id max — the only exchange carries one row per corpus id.
+    * Returns (idCol, max_bench_cos, keep) so the report shows HOW
+    * close each document came, not just the verdict.
+    */
+  def decontaminateSemantic(corpus: DataFrame, bench: DataFrame,
+      embCol: String, idCol: String, threshold: Double,
+      maxBenchRows: Long = 65536): DataFrame = {
+    val nb = atMost(bench, maxBenchRows)
+    require(nb >= 1, "decontaminateSemantic: empty benchmark")
+    require(nb <= maxBenchRows,
+      s"decontaminateSemantic: benchmark exceeds $maxBenchRows rows — " +
+        "it must be the config-scale eval set, not a second corpus " +
+        "(dedup two corpora with embeddingPairsCelled/dedupEmbeddings)")
+    val c = normalized(corpus, embCol, idCol, "__vc")
+    val b = broadcast(
+      normalized(bench, embCol, idCol, "__vb").select(col("__vb")))
+    c.join(b)
+      .groupBy(col(idCol))
+      .agg(max(ndot6(col("__vc"), col("__vb"))).as("max_bench_cos"))
+      .withColumn("keep", col("max_bench_cos") < threshold)
+  }
+
   private def searchTopKDesc(k: Int)(scored: DataFrame): DataFrame =
     scored
       .groupBy(col("query_id"))

@@ -111,6 +111,23 @@ object MlQueries {
   }
 
   val all: Seq[Q] = Seq(
+    // -- semantic decontamination: drop corpus rows within cosine 0.8
+    // of ANY benchmark embedding (vec_id < 5 standing in for the eval
+    // set) — the paraphrased-leak case n-gram overlap misses; the
+    // benchmark broadcasts, the corpus streams once
+    Q.fn("q_decontaminate_semantic",
+      s"""WITH v AS (SELECT vec_id, $normSql AS e FROM embeddings),
+               b AS (SELECT e AS vb FROM v WHERE vec_id < 5)
+          SELECT v.vec_id,
+            max(${cosSql("v.e", "vb")}) AS max_bench_cos,
+            max(${cosSql("v.e", "vb")}) < 0.8 AS keep
+          FROM v CROSS JOIN b GROUP BY 1""") { (spark, sf) =>
+      val emb = Tables.load(spark, sf, "embeddings")
+      Similarity.decontaminateSemantic(emb,
+        emb.where(col("vec_id") < 5), "embedding", "vec_id",
+        threshold = 0.8)
+    },
+
     // -- exact deduplication: hash-groupBy, deterministic winner
     Q.fn("q_dedup_exact",
       """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id,

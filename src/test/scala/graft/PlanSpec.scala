@@ -700,6 +700,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic decontamination: broadcast bench, one corpus aggregate") {
+    // the nested-loop is against the require-bounded BROADCAST eval
+    // set (the codebook precedent); the only exchange is the
+    // map-side-combined per-id max — never a corpus sort or window
+    val p = plan(q("q_decontaminate_semantic"))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(p.contains("Broadcast"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("wordpiece encode: distinct-word MaxMatch joins back by word key") {
     // same contract as the unigram/BPE encoders: greedy MaxMatch runs
     // once per DISTINCT word against the broadcast vocabulary set and

@@ -445,6 +445,37 @@ class SimilaritySpec extends AnyFunSuite {
     graft.ml.CacheLifecycle.releaseAll()
   }
 
+  test("decontaminateSemantic: cosine proximity to ANY bench vector drops") {
+    import spark.implicits._
+    // corpus: 1 = scaled copy of bench (cos 1.0 — the paraphrase case),
+    // 2 = orthogonal (cos 0), 3 = oblique (cos ~0.7071), 4 = negated
+    val corpus = Seq(
+      (1L, Seq(2.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 1.0)), (4L, Seq(-1.0, 0.0)))
+      .toDF("id", "embedding")
+    val bench = Seq((100L, Seq(1.0, 0.0))).toDF("id", "embedding")
+    val out = Similarity
+      .decontaminateSemantic(corpus, bench, "embedding", "id", 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) === ((1.0, false)), "exact-direction copy drops")
+    assert(out(2L) === ((0.0, true)))
+    assert(out(3L) === ((0.707107, true)), "below threshold keeps")
+    assert(out(4L) === ((-1.0, true)))
+    // a second benchmark vector catches doc 3 (max over ALL bench rows)
+    val bench2 = bench.union(
+      Seq((101L, Seq(1.0, 1.0))).toDF("id", "embedding"))
+    val out2 = Similarity
+      .decontaminateSemantic(corpus, bench2, "embedding", "id", 0.8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out2(3L) === false)
+    // the benchmark must be the config-scale side
+    intercept[IllegalArgumentException] {
+      Similarity.decontaminateSemantic(corpus, corpus, "embedding",
+        "id", 0.8, maxBenchRows = 2)
+    }
+  }
+
   test("q_knn_ivf_persisted builds its index once per source dir") {
     val q = SparkEntry.queries("q_knn_ivf_persisted")
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))

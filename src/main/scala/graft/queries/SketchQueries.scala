@@ -176,6 +176,20 @@ object SketchQueries {
           CAST(kept AS BIGINT) AS kmv_kept
         FROM counts c JOIN gg USING (domain)"""
 
+  private val splitsGroupedOracle = {
+    val frac =
+      "(('0x'||substr(md5('split' || domain),1,8))" +
+        "::BIGINT / 4294967296.0)"
+    s"""WITH $urlCte,
+         keyed AS (SELECT doc_id, ${domainSql(hostSql("url"))} AS domain
+                   FROM urls WHERE url IS NOT NULL)
+        SELECT doc_id, domain,
+          CASE WHEN $frac < 0.9 THEN 'train'
+               WHEN $frac < 0.95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM keyed WHERE domain IS NOT NULL"""
+  }
+
   private val ReportK = 16
 
   private val corpusReportOracle =
@@ -239,6 +253,21 @@ object SketchQueries {
       keyed.groupBy("domain").agg(count(lit(1)).as("n_urls"))
         .join(Sketches.kmvDistinct(keyed, col("__canon"),
           Seq("domain"), DomainK), Seq("domain"))
+    },
+
+    // LEAKAGE-SAFE split assignment: hash the registrable DOMAIN, not
+    // the row — near-duplicates and same-site pages can never straddle
+    // train/val/test (split is a pure function of the domain), the
+    // web-data splitting discipline row-hash assignment violates
+    Q.fn("q_assign_splits_grouped", splitsGroupedOracle) { (spark, sf) =>
+      val keyed = withUrl(Tables.load(spark, sf, "documents"))
+        .where(col("url").isNotNull)
+        .select(col("doc_id"),
+          Curation.registrableDomain(Curation.extractHost(col("url")))
+            .as("domain"))
+        .where(col("domain").isNotNull)
+      Curation.assignSplits(keyed, "domain",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     },
 
     // the per-language DATA CARD: docs, tokens, exact + KMV-sketched

@@ -190,10 +190,21 @@ object Sketches {
   def kmvDistinct(df: DataFrame, valueCol: Column,
       groupCols: Seq[String], k: Int): DataFrame = {
     require(k >= 2 && k <= 65536, s"kmv: k must be in [2, 65536], got $k")
-    df.select(groupCols.map(col) :+ valueCol.cast("string").as("__v"): _*)
-      .where(col("__v").isNotNull)
-      .select(groupCols.map(col) :+ h32(col("__v")).as("__h"): _*)
-      .distinct()
+    kmvEstimate(
+      df.select(groupCols.map(col) :+
+          valueCol.cast("string").as("__v"): _*)
+        .where(col("__v").isNotNull)
+        .select(groupCols.map(col) :+ h32(col("__v")).as("__h"): _*)
+        .distinct(),
+      groupCols, k)
+  }
+
+  /** The estimate tail shared by [[kmvDistinct]] and [[kmvFromState]]:
+    * per-group bottom-k over a distinct (group..., __h) hash table.
+    */
+  private def kmvEstimate(hashes: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    hashes
       .groupBy(groupCols.map(col): _*)
       .agg(call_function("top_k_min", struct(col("__h")), lit(k))
         .as("__arr"))
@@ -209,6 +220,42 @@ object Sketches {
               "CAST(1 AS BIGINT))")))
       .select(groupCols.map(col) ++
         Seq(col("kmv_est"), col("kmv_kept")): _*)
+
+  /** Append a batch's bottom-k DELTA to a standing KMV state directory:
+    * the batch's own k smallest distinct hashes per group (≤ k rows per
+    * group per batch). Append-only like [[appendHllState]] — the
+    * bottom-k of a union is the bottom-k of the per-batch bottom-ks,
+    * so the read-time fold ([[kmvFromState]]) re-takes k smallest over
+    * all appended deltas.
+    */
+  def appendKmvState(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], k: Int, dir: String): Unit = {
+    require(k >= 2 && k <= 65536, s"kmv: k must be in [2, 65536], got $k")
+    df.select(groupCols.map(col) :+ valueCol.cast("string").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .select(groupCols.map(col) :+ h32(col("__v")).as("__h"): _*)
+      .distinct()
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("top_k_min", struct(col("__h")), lit(k))
+        .as("__arr"))
+      .select(groupCols.map(col) :+
+        explode(col("__arr")).as("__s"): _*)
+      .select(groupCols.map(col) :+ col("__s.__h").as("__h"): _*)
+      .write.mode("append").parquet(s"$dir/hashes")
+  }
+
+  /** Distinct estimate from a standing KMV state directory: distinct
+    * the appended hash deltas (duplicates across batches collapse),
+    * re-take the per-group bottom-k, estimate — identical to
+    * [[kmvDistinct]] over every batch's union.
+    */
+  def kmvFromState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, groupCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"kmv: k must be in [2, 65536], got $k")
+    kmvEstimate(
+      spark.read.parquet(s"$dir/hashes")
+        .select(groupCols.map(col) :+ col("__h"): _*).distinct(),
+      groupCols, k)
   }
 
   private def checkDw(d: Int, w: Int): Unit = {
@@ -239,6 +286,28 @@ object Sketches {
       .groupBy(col("row"), col("col"))
       .agg(sum(col("__c")).as("counter"))
   }
+
+  /** Fold a (possibly multi-batch) counter table: cell-wise SUM —
+    * associative, so grids fold across batches and shards.
+    */
+  def cmsFold(counters: DataFrame): DataFrame =
+    counters.groupBy(col("row"), col("col"))
+      .agg(sum(col("counter")).as("counter"))
+
+  /** Append a batch's counter DELTA to a standing CMS state directory
+    * (d·w rows per batch); the read-time fold ([[cmsFromState]]) is
+    * the cell-wise sum — append-only like [[appendHllState]], counts
+    * accumulate across batches without any read-modify-write.
+    */
+  def appendCmsState(df: DataFrame, valueCol: Column, d: Int, w: Int,
+      dir: String): Unit =
+    cmsCounters(df, valueCol, d, w)
+      .write.mode("append").parquet(s"$dir/counters")
+
+  /** The folded counter grid of a standing state directory. */
+  def cmsFromState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    cmsFold(spark.read.parquet(s"$dir/counters"))
 
   /** Point estimates from a counter grid for the probe values in
     * `probes[probeCol]`: adds `cms_est` = min over the d rows of the

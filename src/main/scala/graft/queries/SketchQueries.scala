@@ -25,6 +25,10 @@ object SketchQueries {
 
   private val hllLoopDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val kmvLoopDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val cmsLoopDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
   private val ANum = BigInt(7213) * 1000 * M
   private val ADen = BigInt(10000) * (1000L * M + 1079)
@@ -126,6 +130,61 @@ object SketchQueries {
         SELECT lang, CAST(q AS INT) AS q_permille,
           CAST(min(value) AS BIGINT) AS quantile
         FROM pr WHERE c * 1000 >= q * n
+        GROUP BY 1, 2"""
+
+  private val kmvLoopOracle =
+    s"""WITH dh AS (
+           SELECT DISTINCT user_id, event_id % 3 AS b,
+             ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8))::BIGINT
+               AS h
+           FROM events WHERE event_id IS NOT NULL),
+         pb AS (SELECT user_id, h FROM (
+             SELECT user_id, h,
+               row_number() OVER (PARTITION BY user_id, b ORDER BY h)
+                 AS rn
+             FROM dh)
+           WHERE rn <= $K),
+         du AS (SELECT DISTINCT user_id, h FROM pb),
+         rr AS (SELECT user_id, h,
+                  row_number() OVER (PARTITION BY user_id ORDER BY h)
+                    AS rn
+                FROM du),
+         gg AS (SELECT user_id, count(*) AS kept,
+                  max(CASE WHEN rn = $K THEN h END) AS kth
+                FROM rr WHERE rn <= $K GROUP BY 1)
+        SELECT user_id,
+          CAST(CASE WHEN kept < $K THEN kept
+               ELSE (${K - 1}::HUGEINT * 4294967296)
+                      // greatest(kth, 1) END AS BIGINT) AS kmv_est,
+          CAST(kept AS BIGINT) AS kmv_kept
+        FROM gg"""
+
+  private val cmsLoopOracle =
+    s"""WITH tk AS (SELECT doc_id % 3 AS b, unnest(list_filter(
+             string_split(lower(text), ' '), t -> t <> '')) AS v
+           FROM documents),
+         freqb AS MATERIALIZED (
+           SELECT b, v, CAST(count(*) AS BIGINT) AS cnt
+           FROM tk GROUP BY 1, 2),
+         rows_ AS (SELECT unnest(range(0, $CmsD)) AS i),
+         cellsb AS (
+           SELECT b, i,
+             ('0x'||substr(md5(i::VARCHAR||':'||v),1,8))::BIGINT
+               % $CmsW AS j,
+             sum(cnt) AS counter
+           FROM freqb CROSS JOIN rows_ GROUP BY 1, 2, 3),
+         fold AS MATERIALIZED (
+           SELECT i, j, sum(counter) AS counter
+           FROM cellsb GROUP BY 1, 2),
+         freq AS MATERIALIZED (
+           SELECT v, CAST(sum(cnt) AS BIGINT) AS exact_count
+           FROM freqb GROUP BY 1)
+        SELECT f.v AS value, f.exact_count,
+          CAST(min(c.counter) AS BIGINT) AS cms_est
+        FROM freq f CROSS JOIN rows_ r
+        JOIN fold c ON c.i = r.i AND c.j =
+          ('0x'||substr(md5(r.i::VARCHAR||':'||f.v),1,8))::BIGINT % $CmsW
+        WHERE f.exact_count >= $CmsMin
         GROUP BY 1, 2"""
 
   private val cmsOracle =
@@ -358,6 +417,51 @@ object SketchQueries {
       Quantiles.frequencyQuantiles(
         Tables.load(spark, sf, "documents"), col("n_chars"),
         Seq("lang"), Seq(500, 900, 990))
+    },
+
+    // ... KMV standing state: per-batch bottom-k deltas appended, the
+    // read-time fold re-takes k smallest over the distinct union —
+    // identical to the one-shot sketch (bottom-k of a union is the
+    // bottom-k of the per-batch bottom-ks)
+    Q.fn("q_sketch_kmv_loop", kmvLoopOracle) { (spark, sf) =>
+      val ev = Tables.load(spark, sf, "events")
+      val dir = kmvLoopDirs.computeIfAbsent(sf, { _ =>
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-kmv-state").toString
+        (0L to 2L).foreach { r =>
+          Sketches.appendKmvState(
+            ev.where(pmod(col("event_id"), lit(3L)) === r),
+            col("event_id"), Seq("user_id"), K, d)
+        }
+        d
+      })
+      Sketches.kmvFromState(spark, dir, Seq("user_id"), K)
+    },
+
+    // ... Count-Min standing state: per-batch d×w grids appended,
+    // read-time fold = cell-wise sum; heavy hitters probe the folded
+    // grid (counts accumulate across batches, no read-modify-write)
+    Q.fn("q_sketch_cms_loop", cmsLoopOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      val toks = docs
+        .select(col("doc_id"),
+          explode(filter(Fns.tokens(col("text")), t => t =!= ""))
+            .as("tok"))
+      val dir = cmsLoopDirs.computeIfAbsent(sf, { _ =>
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-cms-state").toString
+        (0L to 2L).foreach { r =>
+          Sketches.appendCmsState(
+            toks.where(pmod(col("doc_id"), lit(3L)) === r),
+            col("tok"), CmsD, CmsW, d)
+        }
+        d
+      })
+      val probes = toks.select(col("tok").cast("string").as("value"))
+        .groupBy(col("value")).agg(count(lit(1)).as("exact_count"))
+        .where(col("exact_count") >= CmsMin)
+      Sketches.cmsEstimate(Sketches.cmsFromState(spark, dir), probes,
+        "value", CmsD, CmsW)
     },
 
     // Count-Min heavy hitters (Cormode & Muthukrishnan 2005): d×w

@@ -733,7 +733,7 @@ class PlanSpec extends AnyFunSuite {
     // bounded top_k_min partial aggregate (<= k per group per map
     // task) — never a window sort of the corpus, never a product
     for (name <- Seq("q_sketch_hll", "q_sketch_hll_merge",
-        "q_sketch_hll_loop", "q_sketch_kmv")) {
+        "q_sketch_hll_loop", "q_sketch_kmv", "q_sketch_kmv_loop")) {
       val p = plan(q(name))
       assert(p.contains("HashAggregate"), s"$name:\n" + p.take(1500))
       assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(1500))
@@ -750,10 +750,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!pq.contains("CartesianProduct"), pq.take(1500))
     assert(!pq.contains("BroadcastNestedLoopJoin"), pq.take(1500))
     // Count-Min probes join the config-scale d*w grid broadcast
-    val p = plan(q("q_sketch_cms"))
-    assert(p.contains("BroadcastHashJoin"), p.take(1500))
-    assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(!p.contains("Window"), p.take(1500))
+    for (name <- Seq("q_sketch_cms", "q_sketch_cms_loop")) {
+      val p = plan(q(name))
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("Window"), s"$name:\n" + p.take(1500))
+    }
   }
 
   test("batch href resolution never collects state to the driver") {

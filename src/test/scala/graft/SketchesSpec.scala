@@ -178,6 +178,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(tight.forall(r => r._3 >= r._2), tight.mkString(","))
   }
 
+  test("kmv: standing state folds per-batch bottom-k deltas exactly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kmv-spec").toString
+    val all = spark.range(900).select(
+      (col("id") % 3).as("g"), concat(lit("kv"), col("id")).as("v"))
+    // overlapping batches, appended out of order
+    Sketches.appendKmvState(all.where($"v".substr(3, 9).cast("long")
+      >= 500), $"v", Seq("g"), 64, dir)
+    Sketches.appendKmvState(all.where($"v".substr(3, 9).cast("long")
+      < 350), $"v", Seq("g"), 64, dir)
+    Sketches.appendKmvState(all.where($"v".substr(3, 9).cast("long")
+      .between(300, 600)), $"v", Seq("g"), 64, dir)
+    val fromState = Sketches.kmvFromState(spark, dir, Seq("g"), 64)
+      .orderBy("g").collect().toSeq
+    val direct = Sketches.kmvDistinct(all, $"v", Seq("g"), 64)
+      .orderBy("g").collect().toSeq
+    assert(fromState === direct)
+  }
+
+  test("cms: standing state folds per-batch grids by cell-wise sum") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cms-spec").toString
+    val all = (Seq.fill(40)("x") ++ Seq.fill(25)("y") ++
+      (1 to 30).map(i => s"t$i")).toDF("v")
+    Sketches.appendCmsState(all.limit(50), $"v", 4, 32, dir)
+    Sketches.appendCmsState(all.exceptAll(all.limit(50)), $"v", 4, 32,
+      dir)
+    val fromState = Sketches.cmsFromState(spark, dir)
+      .orderBy("row", "col").collect().toSeq
+    val direct = Sketches.cmsCounters(all, $"v", 4, 32)
+      .orderBy("row", "col").collect().toSeq
+    assert(fromState === direct)
+  }
+
   test("cms: counter grid merges by cell-wise sum across batches") {
     val a = Seq.fill(30)("x").union(Seq.fill(5)("y")).toDF("v")
     val b = Seq.fill(10)("x").union(Seq.fill(20)("z")).toDF("v")

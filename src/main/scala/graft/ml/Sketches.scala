@@ -58,6 +58,33 @@ object Sketches {
   private def h32b(c: Column): Column =
     conv(substring(md5(c), 9, 8), 16, 10).cast(LongType)
 
+  /** Pin the sketch parameters to a standing state directory — the
+    * [[Similarity.buildProjectedIvfIndex]] meta discipline: the first
+    * append writes `dir/meta`, every later append AND every read
+    * validates against it, because a parameter mismatch (different p,
+    * k, d or w) does not ERROR — it silently yields garbage estimates
+    * (wrong buckets, inflated h₍k₎, probes landing on absent cells).
+    */
+  private def metaCheckOrWrite(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      fields: Seq[(String, Int)]): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(metaPath)) {
+      val row = spark.read.parquet(s"$dir/meta").collect()(0)
+      fields.foreach { case (name, v) =>
+        val stored = row.getAs[Int](name)
+        require(stored == v,
+          s"sketch state at $dir was built with $name=$stored, " +
+            s"got $name=$v — estimates would be silently wrong")
+      }
+    } else {
+      spark.range(1)
+        .select(fields.map { case (n, v) => lit(v).as(n) }: _*)
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
   private def checkP(p: Int): Unit =
     require(p >= 4 && p <= 16, s"hll: p must be in [4, 16], got $p")
 
@@ -120,9 +147,11 @@ object Sketches {
     * (m rows per group seen in that batch).
     */
   def appendHllState(df: DataFrame, valueCol: Column,
-      groupCols: Seq[String], p: Int, dir: String): Unit =
+      groupCols: Seq[String], p: Int, dir: String): Unit = {
+    metaCheckOrWrite(df.sparkSession, dir, Seq("p" -> p))
     hllRegisters(df, valueCol, groupCols, p)
       .write.mode("append").parquet(s"$dir/registers")
+  }
 
   /** Estimate from a standing state directory: fold all appended
     * deltas (one hash-aggregate over config-scale-per-batch rows),
@@ -131,9 +160,11 @@ object Sketches {
     */
   def hllEstimateFromState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      groupCols: Seq[String], p: Int): DataFrame =
+      groupCols: Seq[String], p: Int): DataFrame = {
+    metaCheckOrWrite(spark, dir, Seq("p" -> p))
     hllEstimate(hllFold(spark.read.parquet(s"$dir/registers"),
       groupCols), groupCols, p)
+  }
 
   /** Cardinality estimate from a register table:
     * (group..., hll_est BIGINT, zero_registers BIGINT). The raw
@@ -148,10 +179,17 @@ object Sketches {
     val m = 1 << p
     val (aNum, aDen) = alpha(m)
     val eNum = aNum * BigInt(m) * BigInt(m) * (BigInt(1) << 33)
-    val agg = registers
+    // fold first: an UNFOLDED multi-batch register table (duplicate
+    // (group, bucket) rows) would otherwise inflate __nb past m and
+    // double-count indicator terms — silently wrong, not an error.
+    // Idempotent and config-scale on already-folded input.
+    // coalesce: a zero-row global aggregate must estimate 0 (via the
+    // V = m linear-counting branch), not propagate NULL.
+    val agg = hllFold(registers, groupCols)
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - register)"))
-          .as("__sp"),
+      .agg(coalesce(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - register)")),
+          lit(0L)).as("__sp"),
         count(lit(1)).as("__nb"))
       .withColumn("zero_registers", lit(m.toLong) - col("__nb"))
       .withColumn("__s",
@@ -189,25 +227,38 @@ object Sketches {
     */
   def kmvDistinct(df: DataFrame, valueCol: Column,
       groupCols: Seq[String], k: Int): DataFrame = {
-    require(k >= 2 && k <= 65536, s"kmv: k must be in [2, 65536], got $k")
-    kmvEstimate(
-      df.select(groupCols.map(col) :+
-          valueCol.cast("string").as("__v"): _*)
-        .where(col("__v").isNotNull)
-        .select(groupCols.map(col) :+ h32(col("__v")).as("__h"): _*)
-        .distinct(),
-      groupCols, k)
+    checkK(k)
+    kmvEstimate(kmvHashes(df, valueCol, groupCols), groupCols, k)
   }
+
+  private def checkK(k: Int): Unit =
+    require(k >= 2 && k <= 65536, s"kmv: k must be in [2, 65536], got $k")
+
+  /** The distinct (group..., __h) hash table every KMV path starts
+    * from — ONE definition so the standing-state estimates can never
+    * diverge from the one-shot [[kmvDistinct]].
+    */
+  private def kmvHashes(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String]): DataFrame =
+    df.select(groupCols.map(col) :+ valueCol.cast("string").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .select(groupCols.map(col) :+ h32(col("__v")).as("__h"): _*)
+      .distinct()
+
+  /** Per-group bottom-k of a hash table: (group..., __arr). */
+  private def kmvBottomK(hashes: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    hashes
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("top_k_min", struct(col("__h")), lit(k))
+        .as("__arr"))
 
   /** The estimate tail shared by [[kmvDistinct]] and [[kmvFromState]]:
     * per-group bottom-k over a distinct (group..., __h) hash table.
     */
   private def kmvEstimate(hashes: DataFrame, groupCols: Seq[String],
       k: Int): DataFrame =
-    hashes
-      .groupBy(groupCols.map(col): _*)
-      .agg(call_function("top_k_min", struct(col("__h")), lit(k))
-        .as("__arr"))
+    kmvBottomK(hashes, groupCols, k)
       .withColumn("kmv_kept", size(col("__arr")).cast("long"))
       // the k-th smallest hash is read only on the estimate branch
       // (CaseWhen evaluates lazily, so ANSI sessions never see an
@@ -230,14 +281,9 @@ object Sketches {
     */
   def appendKmvState(df: DataFrame, valueCol: Column,
       groupCols: Seq[String], k: Int, dir: String): Unit = {
-    require(k >= 2 && k <= 65536, s"kmv: k must be in [2, 65536], got $k")
-    df.select(groupCols.map(col) :+ valueCol.cast("string").as("__v"): _*)
-      .where(col("__v").isNotNull)
-      .select(groupCols.map(col) :+ h32(col("__v")).as("__h"): _*)
-      .distinct()
-      .groupBy(groupCols.map(col): _*)
-      .agg(call_function("top_k_min", struct(col("__h")), lit(k))
-        .as("__arr"))
+    checkK(k)
+    metaCheckOrWrite(df.sparkSession, dir, Seq("k" -> k))
+    kmvBottomK(kmvHashes(df, valueCol, groupCols), groupCols, k)
       .select(groupCols.map(col) :+
         explode(col("__arr")).as("__s"): _*)
       .select(groupCols.map(col) :+ col("__s.__h").as("__h"): _*)
@@ -251,7 +297,8 @@ object Sketches {
     */
   def kmvFromState(spark: org.apache.spark.sql.SparkSession,
       dir: String, groupCols: Seq[String], k: Int): DataFrame = {
-    require(k >= 2 && k <= 65536, s"kmv: k must be in [2, 65536], got $k")
+    checkK(k)
+    metaCheckOrWrite(spark, dir, Seq("k" -> k))
     kmvEstimate(
       spark.read.parquet(s"$dir/hashes")
         .select(groupCols.map(col) :+ col("__h"): _*).distinct(),
@@ -271,12 +318,18 @@ object Sketches {
     * collapses to the distinct-value frequency table first, so the
     * d-way expansion is distinct-value-scale, not corpus-scale.
     */
-  def cmsCounters(df: DataFrame, valueCol: Column, d: Int,
-      w: Int): DataFrame = {
-    checkDw(d, w)
+  /** The distinct-value frequency table a CMS build starts from — the
+    * ONE corpus pass. */
+  private def cmsFreq(df: DataFrame, valueCol: Column): DataFrame =
     df.select(valueCol.cast("string").as("__v"))
       .where(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+
+  /** Counter grid from an existing (__v, __c) frequency table —
+    * distinct-value-scale work, no corpus pass. */
+  private def cmsCountersFromFreq(freq: DataFrame, d: Int,
+      w: Int): DataFrame =
+    freq
       .select(col("__v"), col("__c"),
         explode(sequence(lit(0), lit(d - 1))).as("row"))
       .select(col("row").cast("int").as("row"),
@@ -285,6 +338,11 @@ object Sketches {
         col("__c"))
       .groupBy(col("row"), col("col"))
       .agg(sum(col("__c")).as("counter"))
+
+  def cmsCounters(df: DataFrame, valueCol: Column, d: Int,
+      w: Int): DataFrame = {
+    checkDw(d, w)
+    cmsCountersFromFreq(cmsFreq(df, valueCol), d, w)
   }
 
   /** Fold a (possibly multi-batch) counter table: cell-wise SUM —
@@ -300,14 +358,24 @@ object Sketches {
     * accumulate across batches without any read-modify-write.
     */
   def appendCmsState(df: DataFrame, valueCol: Column, d: Int, w: Int,
-      dir: String): Unit =
+      dir: String): Unit = {
+    checkDw(d, w)
+    metaCheckOrWrite(df.sparkSession, dir, Seq("d" -> d, "w" -> w))
     cmsCounters(df, valueCol, d, w)
       .write.mode("append").parquet(s"$dir/counters")
+  }
 
-  /** The folded counter grid of a standing state directory. */
+  /** The folded counter grid of a standing state directory; `d`/`w`
+    * are validated against the state's pinned parameters (a mismatch
+    * would probe absent cells and UNDERestimate — the one direction
+    * Count-Min promises never to err in).
+    */
   def cmsFromState(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
+      dir: String, d: Int, w: Int): DataFrame = {
+    checkDw(d, w)
+    metaCheckOrWrite(spark, dir, Seq("d" -> d, "w" -> w))
     cmsFold(spark.read.parquet(s"$dir/counters"))
+  }
 
   /** Point estimates from a counter grid for the probe values in
     * `probes[probeCol]`: adds `cms_est` = min over the d rows of the
@@ -337,10 +405,13 @@ object Sketches {
     */
   def cmsHeavyHitters(df: DataFrame, valueCol: Column, d: Int, w: Int,
       minCount: Long): DataFrame = {
-    val freq = df.select(valueCol.cast("string").as("value"))
-      .where(col("value").isNotNull)
-      .groupBy(col("value")).agg(count(lit(1)).as("exact_count"))
-      .where(col("exact_count") >= minCount)
-    cmsEstimate(cmsCounters(df, valueCol, d, w), freq, "value", d, w)
+    checkDw(d, w)
+    // ONE corpus aggregate feeds both the grid and the probe set (the
+    // pin keeps physical planning from re-running the corpus pass per
+    // consumer leg — the dedupUrlsAgainstIndex lesson)
+    val freq = CacheLifecycle.pin(cmsFreq(df, valueCol))
+    val probes = freq.where(col("__c") >= minCount)
+      .select(col("__v").as("value"), col("__c").as("exact_count"))
+    cmsEstimate(cmsCountersFromFreq(freq, d, w), probes, "value", d, w)
   }
 }

@@ -159,14 +159,18 @@ object WordPiece {
     */
   def wordpieceVocabulary(df: DataFrame, textCol: String,
       merges: DataFrame): Seq[String] = {
+    // limit(cap + 1) + require(<= cap): an exactly-cap-sized input is
+    // legal, and a larger one is provably truncated (the loadVocab
+    // idiom)
+    val cap = 1 << 20
     val alpha = wordpieceAlphabet(df, textCol)
-      .limit(1 << 20).collect().map(_.getString(0))
-    require(alpha.length < (1 << 20),
-      s"wordpieceVocabulary: alphabet too large (${alpha.length})")
-    val minted = merges.select("piece").limit(1 << 20).collect()
+      .limit(cap + 1).collect().map(_.getString(0))
+    require(alpha.length <= cap,
+      s"wordpieceVocabulary: alphabet too large (> $cap)")
+    val minted = merges.select("piece").limit(cap + 1).collect()
       .map(_.getString(0))
-    require(minted.length < (1 << 20),
-      s"wordpieceVocabulary: merge table too large (${minted.length})")
+    require(minted.length <= cap,
+      s"wordpieceVocabulary: merge table too large (> $cap)")
     (alpha ++ minted).distinct.sorted.toSeq
   }
 

@@ -460,8 +460,8 @@ object SketchQueries {
       val probes = toks.select(col("tok").cast("string").as("value"))
         .groupBy(col("value")).agg(count(lit(1)).as("exact_count"))
         .where(col("exact_count") >= CmsMin)
-      Sketches.cmsEstimate(Sketches.cmsFromState(spark, dir), probes,
-        "value", CmsD, CmsW)
+      Sketches.cmsEstimate(Sketches.cmsFromState(spark, dir, CmsD, CmsW),
+        probes, "value", CmsD, CmsW)
     },
 
     // Count-Min heavy hitters (Cormode & Muthukrishnan 2005): d×w

@@ -205,7 +205,7 @@ class SketchesSpec extends AnyFunSuite {
     Sketches.appendCmsState(all.limit(50), $"v", 4, 32, dir)
     Sketches.appendCmsState(all.exceptAll(all.limit(50)), $"v", 4, 32,
       dir)
-    val fromState = Sketches.cmsFromState(spark, dir)
+    val fromState = Sketches.cmsFromState(spark, dir, 4, 32)
       .orderBy("row", "col").collect().toSeq
     val direct = Sketches.cmsCounters(all, $"v", 4, 32)
       .orderBy("row", "col").collect().toSeq

@@ -166,12 +166,74 @@ object Sketches {
       groupCols), groupCols, p)
   }
 
+  /** Fixed-point natural log ln(x)·10⁹ for an integer column x ≥ 1 —
+    * the atanh series made EXACT-REPLAYABLE: range-reduce by the bit
+    * length (x = 2^(len−1)·y, y ∈ [1, 2)), z = (x − 2^(len−1))/(x +
+    * 2^(len−1)) in 10⁹ fixed point, ln y ≈ 2·(z + z³/3 + z⁵/5 + z⁷/7 +
+    * z⁹/9) with integral `div` at every step, plus (len−1)·⌊ln2·10⁹⌋.
+    * Every intermediate is a non-negative BIGINT (x ≤ 2^16 keeps
+    * z·10⁹ ≤ 3.4e8, squares ≤ 1.2e17), so DuckDB replays it with the
+    * same `//` divisions bit for bit. Truncated-series error ≤ ~1e-6
+    * relative (z ≤ 1/3) — far below linear counting's own noise, and
+    * irrelevant to determinism since both engines run the SAME steps.
+    */
+  /** ⌊ln2·10⁹⌋ — the fixed-point scale [[hllEstimate]]'s linear
+    * counting runs at. */
+  private[graft] val Ln2Ppb = 693147180L
+
+  /** The fixed-point linear-counting steps as (name, SQL) pairs over a
+    * column `v` (= zero registers ≥ 1): range-reduce by bit length
+    * (v = 2^(len−1)·y, y ∈ [1, 2)), z = (v − 2^(len−1))/(v + 2^(len−1))
+    * in 10⁹ fixed point, ln y ≈ 2·(z + z³/3 + z⁵/5 + z⁷/7 + z⁹/9) with
+    * integral division at every step. Every intermediate is a
+    * non-negative BIGINT (v ≤ 2^16 ⇒ z·10⁹ ≤ 3.4e8, squares ≤ 1.2e17),
+    * so truncating `div` and DuckDB's flooring `//` agree bit for bit
+    * and the whole branch replays in an oracle. Truncated-series error
+    * ≤ ~1e-6 relative (z ≤ 1/3) — far below linear counting's own
+    * noise, and irrelevant to determinism: both engines run the SAME
+    * steps. Shared verbatim (modulo div/`<<` spelling) with the
+    * DuckDB builder in SketchQueries.
+    */
+  private[graft] def lnSteps(v: String, div: String,
+      shl: (String, String) => String): Seq[(String, String)] = Seq(
+    "__lh" -> shl("CAST(1 AS BIGINT)", s"length(bin($v)) - 1"),
+    "__z1" -> s"(($v - __lh) * 1000000000) $div ($v + __lh)",
+    "__zq" -> s"(__z1 * __z1) $div 1000000000",
+    "__z3" -> s"(__z1 * __zq) $div 1000000000",
+    "__z5" -> s"(__z3 * __zq) $div 1000000000",
+    "__z7" -> s"(__z5 * __zq) $div 1000000000",
+    "__z9" -> s"(__z7 * __zq) $div 1000000000",
+    "__lnv" -> (s"2 * (__z1 + __z3 $div 3 + __z5 $div 5 + " +
+      s"__z7 $div 7 + __z9 $div 9) + " +
+      s"(CAST(length(bin($v)) AS BIGINT) - 1) * $Ln2Ppb"))
+
+  /** The Scala replay of [[lnSteps]] (spec cross-check): ln(v)·10⁹. */
+  private[graft] def lnPpbScala(v: Long): Long = {
+    require(v >= 1)
+    val len = java.lang.Long.toBinaryString(v).length
+    val h = 1L << (len - 1)
+    val z1 = (v - h) * 1000000000L / (v + h)
+    val zq = z1 * z1 / 1000000000L
+    val z3 = z1 * zq / 1000000000L
+    val z5 = z3 * zq / 1000000000L
+    val z7 = z5 * zq / 1000000000L
+    val z9 = z7 * zq / 1000000000L
+    2 * (z1 + z3 / 3 + z5 / 5 + z7 / 7 + z9 / 9) +
+      (len - 1).toLong * Ln2Ppb
+  }
+
   /** Cardinality estimate from a register table:
     * (group..., hll_est BIGINT, zero_registers BIGINT). The raw
     * estimate is the exact integer
     * `⌊α_num·m²·2^33 / (α_den·Σ2^(33−M_j))⌋` (absent buckets contribute
-    * 2^33); Flajolet's small-range (linear counting) and large-range
-    * corrections apply on exact integer branch conditions.
+    * 2^33); Flajolet's corrections apply on exact integer branch
+    * conditions, and the SMALL-RANGE branch (linear counting,
+    * `round(m·ln(m/V))`) is itself integer-exact via [[lnPpb]] —
+    * `(m·(p·⌊ln2·10⁹⌋ − lnPpb(V)) + 5·10⁸) div 10⁹` — so per-group
+    * estimates over small groups replay in DuckDB too. Only the
+    * large-range branch (unreachable by real counts below ~143M
+    * distinct; saturated-register states only) keeps the published
+    * double form.
     */
   def hllEstimate(registers: DataFrame, groupCols: Seq[String],
       p: Int): DataFrame = {
@@ -198,12 +260,25 @@ object Sketches {
         s"CAST('$eNum' AS DECIMAL(38,0)) div " +
           s"(CAST('$aDen' AS DECIMAL(38,0)) * CAST(__s AS DECIMAL(38,0)))"))
     val twoP32 = 4294967296d
-    agg
+    // linear counting, integer-exact: round(m·ln(m/V)) =
+    // (m·(p·ln2ppb − lnPpb(V)) + 5·10⁸) div 10⁹. The interim columns
+    // are computed unconditionally (all total for V ≥ 0 — bin(0) is
+    // "0", shifts and divisions stay in range) and consumed only on
+    // the branch, exactly like the oracle's CASE.
+    val withLn = lnSteps("zero_registers", "div",
+      (a, b) => s"shiftleft($a, $b)")
+      .foldLeft(agg) { case (d, (name, sql)) =>
+        d.withColumn(name, expr(sql))
+      }
+      .withColumn("__lc", expr(
+        // ln(m)·10⁹ precomputed in Scala: p·Ln2Ppb as INT literals
+        // would overflow-wrap (8·693147180 > 2^31) under non-ANSI
+        s"(CAST($m AS BIGINT) * (${p.toLong * Ln2Ppb} - __lnv) " +
+          "+ 500000000) div 1000000000"))
+    withLn
       .withColumn("hll_est",
         when(col("zero_registers") > 0 && col("__raw") <= lit(5L * m / 2),
-          round(lit(m.toDouble) *
-            log(lit(m.toDouble) / col("zero_registers").cast("double")))
-            .cast("long"))
+          col("__lc"))
           .when(col("__raw") > lit((1L << 32) / 30) &&
               col("__raw") < lit(1L << 32),
             round(lit(-twoP32) *

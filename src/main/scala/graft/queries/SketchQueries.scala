@@ -82,6 +82,59 @@ object SketchQueries {
         UNION ALL ${estSelect("regm", Some("merged"))}
         UNION ALL ${estSelect("regf", Some("full"))}"""
 
+  /** Per-user register CTE (the grouped mirror of [[regCte]]). */
+  private val regByUserCte =
+    s"""regu AS MATERIALIZED (
+         SELECT user_id, h1 % $M AS bucket,
+           max(CASE WHEN h2 = 0 THEN 33
+                    ELSE 33 - length(bin(h2)) END) AS register
+         FROM (SELECT user_id,
+                 ('0x'||substr(md5(v),1,8))::BIGINT AS h1,
+                 ('0x'||substr(md5(v),9,8))::BIGINT AS h2
+               FROM (SELECT user_id, CAST(event_id AS VARCHAR) AS v
+                     FROM events WHERE event_id IS NOT NULL))
+         GROUP BY 1, 2)"""
+
+  /** The full corrected estimate over per-group registers: raw HUGEINT
+    * division plus the INTEGER linear-counting branch — the ln steps
+    * come verbatim from [[graft.ml.Sketches.lnSteps]] (spelled with
+    * DuckDB's flooring `//`, identical to Spark's `div` on these
+    * non-negative operands), so small groups replay exactly. A
+    * large-range hit would mismatch loudly (it is unreachable below
+    * ~143M distinct).
+    */
+  private val hllSmallOracle = {
+    val lnCtes = graft.ml.Sketches
+      .lnSteps("v0", "//", (a, b) => s"($a << ($b))")
+      .zipWithIndex.map { case ((name, sql), i) =>
+        val prev = if (i == 0) "lc0" else s"lc${i}"
+        s"lc${i + 1} AS (SELECT *, $sql AS $name FROM $prev)"
+      }.mkString(",\n         ")
+    val nSteps = graft.ml.Sketches.lnSteps("v0", "//",
+      (a, b) => s"($a << ($b))").size
+    s"""WITH $regByUserCte,
+         agg0 AS (SELECT user_id,
+             sum((1::BIGINT << (33 - register))::HUGEINT) AS sp,
+             count(*) AS nb
+           FROM regu GROUP BY 1),
+         lc0 AS (SELECT user_id, CAST($M - nb AS BIGINT) AS v0,
+             CAST('$ENum'::HUGEINT // ('$ADen'::HUGEINT *
+               (sp + ($M - nb)::HUGEINT * 8589934592)) AS BIGINT)
+               AS raw
+           FROM agg0),
+         $lnCtes,
+         fin AS (SELECT user_id, v0, raw,
+             (CAST($M AS BIGINT) *
+                (${P.toLong * graft.ml.Sketches.Ln2Ppb} - __lnv)
+                + 500000000) // 1000000000 AS lc
+           FROM lc$nSteps)
+        SELECT user_id,
+          CAST(CASE WHEN v0 > 0 AND raw <= ${5L * M / 2} THEN lc
+               ELSE raw END AS BIGINT) AS hll_est,
+          v0 AS zero_registers
+        FROM fin"""
+  }
+
   private val hllLoopOracle =
     s"""WITH ${regCte("rc0", "AND event_id % 3 = 0")},
          ${regCte("rc1", "AND event_id % 3 = 1")},
@@ -379,6 +432,15 @@ object SketchQueries {
           .select(lit(name).as("part"), col("hll_est"),
             col("zero_registers"))
       }.reduce(_.unionByName(_))
+    },
+
+    // ... the PER-GROUP small-cardinality form: per-user distinct
+    // events hit Flajolet's small-range branch, which is INTEGER
+    // linear counting here (fixed-point atanh-series ln, Sketches
+    // .lnSteps) — so even the corrected branch replays exactly
+    Q.fn("q_sketch_hll_small", hllSmallOracle) { (spark, sf) =>
+      Sketches.hllDistinct(Tables.load(spark, sf, "events"),
+        col("event_id"), Seq("user_id"), P)
     },
 
     // ... and the STANDING-STATE form (the URL/band-index pattern for

@@ -47,18 +47,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(once === thrice)
   }
 
-  test("hll: small-range correction is linear counting, formula-exact") {
+  test("hll: small-range correction is INTEGER linear counting, replayed") {
     val df = values(20, "s")
     val est = Sketches.hllDistinct(df, $"v", Nil, 8)
       .select("hll_est", "zero_registers").as[(Long, Long)].head()
     val (got, v) = est
     assert(v > 0, "20 values cannot fill 256 buckets")
-    // the implementation's branch: round(m * ln(m / V)) with m = 256 —
-    // same JVM Math.log here, so the match is exact, and linear
-    // counting at this density is essentially the true count
-    val expect = math.round(256d * math.log(256d / v))
+    // the branch is round(m·ln(m/V)) in 10⁹ FIXED POINT — replayed
+    // here step for step (lnPpbScala mirrors the column expression),
+    // and within 1 of the double formula and of the true count
+    val expect =
+      (256L * (8L * Sketches.Ln2Ppb - Sketches.lnPpbScala(v)) +
+        500000000L) / 1000000000L
     assert(got === expect)
+    assert(math.abs(got - math.round(256d * math.log(256d / v))) <= 1)
     assert(math.abs(got - 20) <= 1, s"est=$got")
+  }
+
+  test("hll: lnPpbScala tracks Math.log within fixed-point tolerance") {
+    for (v <- Seq(1L, 2L, 3L, 5L, 17L, 100L, 255L, 256L, 4095L, 65536L)) {
+      val fixed = Sketches.lnPpbScala(v) / 1e9
+      assert(math.abs(fixed - math.log(v.toDouble)) < 2e-6,
+        s"v=$v fixed=$fixed true=${math.log(v.toDouble)}")
+    }
   }
 
   test("hll: large-range correction fires on a saturated register state") {

@@ -26,6 +26,42 @@ class MlPropertySpec extends AnyFunSuite {
     "zeta", "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "pi")
   private val words = Gen.listOfN(14, word).map(_.mkString(" "))
 
+  test("sketch laws hold on arbitrary value multisets") {
+    import graft.ml.Sketches
+    val multiset =
+      Gen.listOfN(60, Gen.zip(Gen.choose(0, 40), Gen.choose(1, 5)))
+        .map(_.flatMap { case (v, n) => List.fill(n)(s"val$v") })
+    forAll(Gen.zip(multiset, multiset), n = 6) { case (xs, ys) =>
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      // HLL merge law: merge of sketches == sketch of the union,
+      // register for register (so estimates are equal too)
+      val merged = Sketches.hllMerge(
+        Sketches.hllRegisters(a, $"v", Nil, 6),
+        Sketches.hllRegisters(b, $"v", Nil, 6), Nil)
+        .orderBy("bucket").collect().toSeq
+      val direct = Sketches.hllRegisters(a.union(b), $"v", Nil, 6)
+        .orderBy("bucket").collect().toSeq
+      assert(merged === direct)
+      // KMV below-k exactness: k above the value-domain size means the
+      // estimate IS the distinct count
+      val exact = xs.distinct.size.toLong
+      val kmv = Sketches.kmvDistinct(a, $"v", Nil, 64)
+        .as[(Long, Long)].head()
+      assert(kmv === ((exact, exact)))
+      // CMS upper bound: every estimate >= the true count, and exact
+      // when the grid is wide enough to avoid all-row collisions
+      val freq = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val hh = Sketches.cmsHeavyHitters(a, $"v", 4, 8, 1L)
+        .as[(String, Long, Long)].collect()
+      assert(hh.length === exact.toInt)
+      hh.foreach { case (v, ex, est) =>
+        assert(ex === freq(v))
+        assert(est >= ex, s"$v: est $est < exact $ex")
+      }
+    }
+  }
+
   test("winnowing guarantee: any shared w+k-1 run shares a fingerprint") {
     // k=5, w=4 → guarantee window 8 tokens; the run lands at a random
     // offset inside two otherwise-independent documents

@@ -335,15 +335,36 @@ object Unigram {
     */
   def fertilityByDomain(df: DataFrame, textCol: String, idCol: String,
       urlCol: String, vocab: Seq[(String, Long)], maxPieceLen: Int = 3,
-      psl: Option[DataFrame] = None): DataFrame = {
-    val enc = unigramEncode(df, textCol, idCol, vocab, maxPieceLen)
-    val dom = Curation.withRegistrableDomain(
+      psl: Option[DataFrame] = None): DataFrame =
+    fertilityOver(df, textCol, idCol,
+      Curation.withRegistrableDomain(
         df.select(col(idCol), col(urlCol))
           .withColumn("__host", Curation.extractHost(col(urlCol))),
         "__host", psl)
-      .select(col(idCol), col("domain"))
-    enc.join(dom, Seq(idCol))
-      .groupBy("domain")
+        .select(col(idCol), col("domain")),
+      "domain", vocab, maxPieceLen)
+
+  /** [[fertilityByDomain]] generalized to ANY provenance column
+    * already on the frame — the multilingual form groups by language
+    * (pieces-per-token by language is THE standard multilingual
+    * tokenizer-health metric: a vocabulary trained mostly on one
+    * language fragments the others, and this report shows where).
+    */
+  def fertilityByKey(df: DataFrame, textCol: String, idCol: String,
+      keyCol: String, vocab: Seq[(String, Long)],
+      maxPieceLen: Int = 3): DataFrame =
+    fertilityOver(df, textCol, idCol,
+      df.select(col(idCol), col(keyCol)), keyCol, vocab, maxPieceLen)
+
+  /** Shared fertility rollup: encode, join the (id → key) provenance
+    * frame, one hash-aggregate per key.
+    */
+  private def fertilityOver(df: DataFrame, textCol: String,
+      idCol: String, keys: DataFrame, keyName: String,
+      vocab: Seq[(String, Long)], maxPieceLen: Int): DataFrame = {
+    val enc = unigramEncode(df, textCol, idCol, vocab, maxPieceLen)
+    enc.join(keys, Seq(idCol))
+      .groupBy(keyName)
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
         sum("n_pieces").as("n_pieces"))

@@ -660,6 +660,22 @@ object Round14Queries {
       FROM tfdoc d JOIN tfd f USING (doc_id) GROUP BY 1"""
   }
 
+  private lazy val fertilityLanguageOracle =
+    s"""WITH RECURSIVE
+       $unigramTrainChain,
+       $unigramEncodeChain,
+       tldoc AS (SELECT d.doc_id, d.lang,
+                   coalesce(u.n_tokens, 0) AS nt,
+                   coalesce(u.n_pieces, 0) AS np
+                 FROM documents d LEFT JOIN udoc u USING (doc_id))
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(nt) AS BIGINT) AS n_tokens,
+        CAST(sum(np) AS BIGINT) AS n_pieces,
+        CASE WHEN sum(nt) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(sum(np) * 1000000 // sum(nt) AS BIGINT)
+        END AS fert_ppm
+      FROM tldoc GROUP BY 1"""
+
   // ---------------------------------------------------------------
   // Incremental recipe: batch 2 probes batch 1's persisted indexes.
 
@@ -1049,6 +1065,20 @@ object Round14Queries {
         corp.join(Round11Queries.withUrl(docs)
           .select(col("doc_id"), col("url")), Seq("doc_id")),
         "text", "doc_id", "url", vocab, UniMaxPieceLen)
+    },
+
+    // ... and by LANGUAGE — the multilingual tokenizer-health report
+    // (a vocabulary trained mostly on one language fragments the
+    // others; pieces-per-token by language shows where)
+    Q.fn("q_fertility_language", fertilityLanguageOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      val corp = unigramCorpus(docs)
+      val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
+        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      graft.ml.Unigram.fertilityByKey(
+        corp.join(docs.select("doc_id", "lang"), Seq("doc_id")),
+        "text", "doc_id", "lang", vocab, UniMaxPieceLen)
     },
 
     // the incremental recipe: batch 2 cleaned and filtered under the

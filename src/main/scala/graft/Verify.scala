@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, MapType, StructField, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Gate-shape guard: the driver's checker sorts result rows with
+    * pandas, which cannot sort a top-level array/map/struct column —
+    * such a gate reports `err` (rows/schema/hash all null) and the
+    * hard correctness signal goes blind to it (the r14 `*_encode_ids`
+    * lesson). Fail HERE, loudly and per-query, instead: a gate must
+    * project complex values to scalar rows (posexplode / array_join).
+    */
+  private[graft] def gateShapeErrors(schema: StructType): Seq[String] =
+    schema.fields.collect {
+      case StructField(name, _: ArrayType | _: MapType | _: StructType,
+          _, _) => name
+    }.toSeq
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,8 +40,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        val complex = gateShapeErrors(df.schema)
+        require(complex.isEmpty,
+          s"gate-shape: top-level complex column(s) " +
+            s"${complex.mkString(", ")} — the driver's checker cannot " +
+            "sort them; project to scalar rows (posexplode/array_join)")
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures += name -> s"${e.getClass.getSimpleName}: ${

@@ -18,6 +18,22 @@ object Fns {
   def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
+  /** UTF-8 byte (== Unicode code point) ordering for DRIVER-side string
+    * sorts and tie-breaks whose result a Spark `orderBy` or a DuckDB
+    * `ORDER BY` must reproduce: Java's natural String order compares
+    * UTF-16 code units, which diverges for supplementary-plane
+    * characters (a surrogate pair's lead unit 0xD800-0xDBFF sorts
+    * BELOW the 0xE000-0xFFFF BMP range, while its UTF-8 bytes 0xF0..
+    * sort ABOVE every BMP char's bytes). Spark's UTF8String and DuckDB
+    * both compare raw UTF-8 bytes, so driver-side vocabulary id
+    * assignment and merge tie-breaks must too, or non-BMP corpora get
+    * silently different ids/merges than the oracle.
+    */
+  val utf8Ordering: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), " ")
 

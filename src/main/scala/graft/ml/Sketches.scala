@@ -65,23 +65,55 @@ object Sketches {
     * k, d or w) does not ERROR — it silently yields garbage estimates
     * (wrong buckets, inflated h₍k₎, probes landing on absent cells).
     */
+  private def metaValidate(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      fields: Seq[(String, Int)]): Unit = {
+    val row = spark.read.parquet(s"$dir/meta").collect()(0)
+    fields.foreach { case (name, v) =>
+      val stored = row.getAs[Int](name)
+      require(stored == v,
+        s"sketch state at $dir was built with $name=$stored, " +
+          s"got $name=$v — estimates would be silently wrong")
+    }
+  }
+
+  /** READ-path pin check: the meta MUST already exist. A read must
+    * never write the pin — otherwise a mistyped or pre-meta state dir
+    * gets permanently pinned to whatever parameters the FIRST READER
+    * happened to pass, and every later (correct) appender fails
+    * against the reader's typo instead of the other way round.
+    */
+  private def metaCheck(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      fields: Seq[(String, Int)]): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(metaPath),
+      s"sketch state at $dir has no meta pin — not a sketch state " +
+        "directory (or no batch was ever appended); refusing to read")
+    metaValidate(spark, dir, fields)
+  }
+
+  /** APPEND-path pin: validate against an existing meta, or write it
+    * via temp-dir + atomic rename — two concurrent FIRST appenders
+    * race on the rename instead of double-writing (the loser deletes
+    * its temp and validates against the winner's pin).
+    */
   private def metaCheckOrWrite(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       fields: Seq[(String, Int)]): Unit = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(metaPath)) {
-      val row = spark.read.parquet(s"$dir/meta").collect()(0)
-      fields.foreach { case (name, v) =>
-        val stored = row.getAs[Int](name)
-        require(stored == v,
-          s"sketch state at $dir was built with $name=$stored, " +
-            s"got $name=$v — estimates would be silently wrong")
-      }
-    } else {
+    if (fs.exists(metaPath)) metaValidate(spark, dir, fields)
+    else {
+      val tmp = s"$dir/.meta-tmp-${java.util.UUID.randomUUID()}"
       spark.range(1)
         .select(fields.map { case (n, v) => lit(v).as(n) }: _*)
-        .write.mode("overwrite").parquet(s"$dir/meta")
+        .write.mode("overwrite").parquet(tmp)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), metaPath)) {
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        metaValidate(spark, dir, fields)
+      }
     }
   }
 
@@ -161,7 +193,7 @@ object Sketches {
   def hllEstimateFromState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       groupCols: Seq[String], p: Int): DataFrame = {
-    metaCheckOrWrite(spark, dir, Seq("p" -> p))
+    metaCheck(spark, dir, Seq("p" -> p))
     hllEstimate(hllFold(spark.read.parquet(s"$dir/registers"),
       groupCols), groupCols, p)
   }
@@ -182,30 +214,39 @@ object Sketches {
   private[graft] val Ln2Ppb = 693147180L
 
   /** The fixed-point linear-counting steps as (name, SQL) pairs over a
-    * column `v` (= zero registers ≥ 1): range-reduce by bit length
-    * (v = 2^(len−1)·y, y ∈ [1, 2)), z = (v − 2^(len−1))/(v + 2^(len−1))
-    * in 10⁹ fixed point, ln y ≈ 2·(z + z³/3 + z⁵/5 + z⁷/7 + z⁹/9) with
-    * integral division at every step. Every intermediate is a
-    * non-negative BIGINT (v ≤ 2^16 ⇒ z·10⁹ ≤ 3.4e8, squares ≤ 1.2e17),
-    * so truncating `div` and DuckDB's flooring `//` agree bit for bit
-    * and the whole branch replays in an oracle. Truncated-series error
-    * ≤ ~1e-6 relative (z ≤ 1/3) — far below linear counting's own
-    * noise, and irrelevant to determinism: both engines run the SAME
-    * steps. Shared verbatim (modulo div/`<<` spelling) with the
-    * DuckDB builder in SketchQueries.
+    * column `v`: range-reduce by bit length (v = 2^(len−1)·y,
+    * y ∈ [1, 2)), z = (v − 2^(len−1))/(v + 2^(len−1)) in 10⁹ fixed
+    * point, ln y ≈ 2·(z + z³/3 + z⁵/5 + z⁷/7 + z⁹/9) with integral
+    * division at every step. `v` is clamped to `greatest(v, 1)` in
+    * EVERY reference, so the columns are total and non-negative for
+    * v ≥ 0 (a bare v = 0 would make __z1 = −10⁹ and the later
+    * divisions inexact-negative, where Spark's truncating `div` and
+    * DuckDB's flooring `//` differ by 1 — a trap for any consumer even
+    * though the V = 0 rows never take the linear-counting branch).
+    * With the clamp every intermediate is a non-negative BIGINT
+    * (v ≤ 2^16 ⇒ z·10⁹ ≤ 3.4e8, squares ≤ 1.2e17), so truncating
+    * `div` and flooring `//` agree bit for bit and the whole branch
+    * replays in an oracle. Truncated-series error ≤ ~1e-6 relative
+    * (z ≤ 1/3) — far below linear counting's own noise, and
+    * irrelevant to determinism: both engines run the SAME steps.
+    * Shared verbatim (modulo div/`<<` spelling) with the DuckDB
+    * builder in SketchQueries.
     */
   private[graft] def lnSteps(v: String, div: String,
-      shl: (String, String) => String): Seq[(String, String)] = Seq(
-    "__lh" -> shl("CAST(1 AS BIGINT)", s"length(bin($v)) - 1"),
-    "__z1" -> s"(($v - __lh) * 1000000000) $div ($v + __lh)",
-    "__zq" -> s"(__z1 * __z1) $div 1000000000",
-    "__z3" -> s"(__z1 * __zq) $div 1000000000",
-    "__z5" -> s"(__z3 * __zq) $div 1000000000",
-    "__z7" -> s"(__z5 * __zq) $div 1000000000",
-    "__z9" -> s"(__z7 * __zq) $div 1000000000",
-    "__lnv" -> (s"2 * (__z1 + __z3 $div 3 + __z5 $div 5 + " +
-      s"__z7 $div 7 + __z9 $div 9) + " +
-      s"(CAST(length(bin($v)) AS BIGINT) - 1) * $Ln2Ppb"))
+      shl: (String, String) => String): Seq[(String, String)] = {
+    val g = s"greatest($v, CAST(1 AS BIGINT))"
+    Seq(
+      "__lh" -> shl("CAST(1 AS BIGINT)", s"length(bin($g)) - 1"),
+      "__z1" -> s"(($g - __lh) * 1000000000) $div ($g + __lh)",
+      "__zq" -> s"(__z1 * __z1) $div 1000000000",
+      "__z3" -> s"(__z1 * __zq) $div 1000000000",
+      "__z5" -> s"(__z3 * __zq) $div 1000000000",
+      "__z7" -> s"(__z5 * __zq) $div 1000000000",
+      "__z9" -> s"(__z7 * __zq) $div 1000000000",
+      "__lnv" -> (s"2 * (__z1 + __z3 $div 3 + __z5 $div 5 + " +
+        s"__z7 $div 7 + __z9 $div 9) + " +
+        s"(CAST(length(bin($g)) AS BIGINT) - 1) * $Ln2Ppb"))
+  }
 
   /** The Scala replay of [[lnSteps]] (spec cross-check): ln(v)·10⁹. */
   private[graft] def lnPpbScala(v: Long): Long = {
@@ -373,7 +414,7 @@ object Sketches {
   def kmvFromState(spark: org.apache.spark.sql.SparkSession,
       dir: String, groupCols: Seq[String], k: Int): DataFrame = {
     checkK(k)
-    metaCheckOrWrite(spark, dir, Seq("k" -> k))
+    metaCheck(spark, dir, Seq("k" -> k))
     kmvEstimate(
       spark.read.parquet(s"$dir/hashes")
         .select(groupCols.map(col) :+ col("__h"): _*).distinct(),
@@ -448,7 +489,7 @@ object Sketches {
   def cmsFromState(spark: org.apache.spark.sql.SparkSession,
       dir: String, d: Int, w: Int): DataFrame = {
     checkDw(d, w)
-    metaCheckOrWrite(spark, dir, Seq("d" -> d, "w" -> w))
+    metaCheck(spark, dir, Seq("d" -> d, "w" -> w))
     cmsFold(spark.read.parquet(s"$dir/counters"))
   }
 

@@ -145,7 +145,9 @@ object Unigram {
         case Some(v) =>
           counted.filter(_._1.length == 1) ++
             counted.filter(_._1.length >= 2)
-              .sortBy { case (piece, c) => (-c, piece) }.take(v)
+              .sortBy { case (piece, c) => (-c, piece) }(
+                Ordering.Tuple2(Ordering.Long, Fns.utf8Ordering))
+              .take(v)
       })
     }
     vocab.map(p => (p.piece, p.cnt, p.pPpm))
@@ -297,7 +299,8 @@ object Unigram {
     val spark = df.sparkSession
     import spark.implicits._
     val vm = vocab.toMap
-    val ids = vocab.map(_._1).distinct.sorted.zipWithIndex
+    val ids = vocab.map(_._1).distinct.sorted(Fns.utf8Ordering)
+      .zipWithIndex
       .map { case (p, i) => p -> i.toLong }.toMap
     val bcV = spark.sparkContext.broadcast(vm)
     val bcI = spark.sparkContext.broadcast(ids)
@@ -409,7 +412,8 @@ object Unigram {
       .select("piece", "p_ppm").limit((1 << 22) + 1).collect()
     require(rows.length <= (1 << 22),
       s"loadVocab: vocabulary too large (${rows.length})")
-    (rows.map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1), m)
+    (rows.map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy(_._1)(Fns.utf8Ordering), m)
   }
 
   /** [[unigramEncode]] against a persisted [[saveVocab]] artifact —
@@ -504,7 +508,8 @@ object Unigram {
           val candA = (pa._1 + 1,
             if (pa._2.isEmpty) piece else pa._2 + " " + piece)
           if (curA == null || candA._1 < curA._1 ||
-            (candA._1 == curA._1 && candA._2 < curA._2)) curA = candA
+            (candA._1 == curA._1 &&
+              Fns.utf8Ordering.lt(candA._2, curA._2))) curA = candA
           val prev = bp(i)
           if (pp > 0L && prev != null) {
             val candP = (prev._1 * pp, prev._2 + 1,
@@ -532,6 +537,6 @@ object Unigram {
     val r = b._1 * P.pow(a._2)
     if (l != r) l > r
     else if (a._2 != b._2) a._2 < b._2
-    else a._3 < b._3
+    else Fns.utf8Ordering.lt(a._3, b._3)
   }
 }

@@ -21,7 +21,10 @@ import Fns._
   * division, no floats, so the selected merge is deterministic across
   * runs, partitionings and engines; ties break on (lhs, rhs)
   * ascending. The DuckDB oracle replays the same argmax with HUGEINT
-  * cross-products and the same replace-all merge application.
+  * cross-products and the same replace-all merge application. Ties
+  * (and every other driver-side string sort here) compare UTF-8 BYTES
+  * ([[Fns.utf8Ordering]]), matching the oracle's binary collation on
+  * supplementary-plane characters where Java's UTF-16 order diverges.
   *
   * Symbol sequences ride [[Bpe]]'s canonical spaced STRING rendering
   * with WordPiece's position-marked alphabet: the word "abc" renders
@@ -68,8 +71,8 @@ object WordPiece {
     val x = BigInt(a._3) * BigInt(b._4) * BigInt(b._5)
     val y = BigInt(b._3) * BigInt(a._4) * BigInt(a._5)
     if (x != y) x > y
-    else if (a._1 != b._1) a._1 < b._1
-    else a._2 < b._2
+    else if (a._1 != b._1) Fns.utf8Ordering.lt(a._1, b._1)
+    else Fns.utf8Ordering.lt(a._2, b._2)
   }
 
   /** Learn `numMerges` WordPiece merges from the corpus; returns the
@@ -171,7 +174,7 @@ object WordPiece {
       .map(_.getString(0))
     require(minted.length <= cap,
       s"wordpieceVocabulary: merge table too large (> $cap)")
-    (alpha ++ minted).distinct.sorted.toSeq
+    (alpha ++ minted).distinct.sorted(Fns.utf8Ordering).toSeq
   }
 
   /** Persist a trained vocabulary ([[wordpieceVocabulary]]) — the
@@ -194,7 +197,7 @@ object WordPiece {
       .select("piece").limit((1 << 22) + 1).collect()
     require(rows.length <= (1 << 22),
       s"loadVocab: vocabulary too large (${rows.length})")
-    rows.map(_.getString(0)).toSeq.distinct.sorted
+    rows.map(_.getString(0)).toSeq.distinct.sorted(Fns.utf8Ordering)
   }
 
   /** [[wordpieceEncode]] against a persisted [[saveVocab]] artifact —
@@ -302,7 +305,7 @@ object WordPiece {
     import spark.implicits._
     val vs = vocab.toSet
     val maxCore = vocab.iterator.map(coreLen).max
-    val ids = vocab.distinct.sorted.zipWithIndex
+    val ids = vocab.distinct.sorted(Fns.utf8Ordering).zipWithIndex
       .map { case (p, i) => p -> i.toLong }.toMap
     val bcV = spark.sparkContext.broadcast(vs)
     val bcI = spark.sparkContext.broadcast(ids)

@@ -194,27 +194,33 @@ object OpsQueries {
     },
 
     // -- $s3Transfer: GET the url, PUT to the store, `as` = object url
+    // the GATE projects httpError (a struct in the pipeline) through
+    // to_json: a success run leaves it NULL either way, and a scalar
+    // column keeps the gate inside the driver checker's sortable shape
+    // (the Verify gate-shape guard)
     Q.fn("q_s3transfer",
       """SELECT n_nationkey, 's3://tb/' || n_name AS s3url,
-                CAST(NULL AS STRUCT(statusCode INT, body VARCHAR)) AS httpError
+                CAST(NULL AS VARCHAR) AS httpError
          FROM nation""") { (spark, sf) =>
       Pipeline.run(Tables.load(spark, sf, "nation"),
         """[{"$s3Transfer":{"url":{"$concat":["http://src/","$n_name"]},
              "bucket":"tb","key":"$n_name","as":"s3url"}},
             {"$project":{"n_nationkey":1,"s3url":1,"httpError":1}}]""",
         env(spark, sf))
+        .withColumn("httpError", to_json(col("httpError")))
     },
 
     // -- $s3Attachments: multipart POST from the store; 2xx → no error
     Q.fn("q_s3attachments",
       """SELECT r_regionkey,
-                CAST(NULL AS STRUCT(statusCode INT, body VARCHAR)) AS httpError
+                CAST(NULL AS VARCHAR) AS httpError
          FROM region""") { (spark, sf) =>
       Pipeline.run(Tables.load(spark, sf, "region")
         .withColumn("attachments", expr(
           """array(named_struct('bucket','b','key','k.csv'))""")),
         """[{"$s3Attachments":{"url":"http://dst","attachments":"$attachments"}},
             {"$project":{"r_regionkey":1,"httpError":1}}]""", env(spark, sf))
+        .withColumn("httpError", to_json(col("httpError")))
     },
 
     // -- $jq stage with a declared schema: typed whole-message transform

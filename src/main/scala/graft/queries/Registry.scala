@@ -46,4 +46,20 @@ object Q {
       f: (SparkSession, String) => DataFrame): Q =
     Q(name, (spark, sfDir) => { session(spark); f(spark, sfDir) },
       Option(oracle).filter(_.nonEmpty))
+
+  /** Scalar-ize an id-sequence frame for a driver gate: the driver's
+    * pandas-based checker cannot sort a top-level `array<bigint>`
+    * column (it threw `unhashable type` on the r14 `*_encode_ids`
+    * gates before comparing anything), so gates posexplode
+    * `(id, tok_pos, piece_ids)` to one row per piece —
+    * `(id, tok_pos, piece_pos, piece_id)`. The array-returning
+    * OPERATORS keep their production contract; only the gate
+    * projection flattens.
+    */
+  def explodePieceIds(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col(idCol), col("tok_pos"),
+        posexplode(col("piece_ids")).as(Seq("piece_pos", "piece_id")))
+      .withColumn("piece_pos", col("piece_pos").cast("long"))
+  }
 }

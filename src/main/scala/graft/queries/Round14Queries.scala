@@ -196,8 +196,6 @@ object Round14Queries {
                     AS ord,
                   unnest(string_split(path, ' ')) AS piece
                 FROM r${er}best),
-       wids AS (SELECT w.word, list(v.pid ORDER BY w.ord) AS piece_ids
-                FROM wseq w JOIN vid v USING (piece) GROUP BY 1),
        uti AS (SELECT doc_id,
                  unnest(range(1, len(tl) + 1)) - 1 AS tok_pos,
                  unnest(tl) AS word
@@ -206,8 +204,9 @@ object Round14Queries {
                        AS tl
                      FROM ucorp))
       SELECT t.doc_id, CAST(t.tok_pos AS BIGINT) AS tok_pos,
-        w.piece_ids
-      FROM uti t JOIN wids w USING (word)"""
+        CAST(s.ord - 1 AS BIGINT) AS piece_pos,
+        CAST(v.pid AS BIGINT) AS piece_id
+      FROM uti t JOIN wseq s USING (word) JOIN vid v USING (piece)"""
   }
 
   /** `packChunksBySize` fed by the trained tokenizer's piece counts —
@@ -280,8 +279,9 @@ object Round14Queries {
                        ELSE m.pid END AS pid
                 FROM bpcs p LEFT JOIN bmid m USING (piece))
       SELECT doc_id, CAST(tok_pos AS BIGINT) AS tok_pos,
-        list(CAST(pid AS BIGINT) ORDER BY ord2) AS piece_ids
-      FROM bids GROUP BY 1, 2"""
+        CAST(ord2 - 1 AS BIGINT) AS piece_pos,
+        CAST(pid AS BIGINT) AS piece_id
+      FROM bids"""
   }
 
   private val LangPlanBudget = 4000L
@@ -1042,14 +1042,17 @@ object Round14Queries {
 
     // ... and the production id-sequence output: per token occurrence,
     // the piece-id array a training pipeline ingests (ids = the
-    // vocabulary's lexicographic ranks)
+    // vocabulary's lexicographic ranks). The GATE posexplodes the
+    // array to one scalar row per piece (the driver's checker cannot
+    // sort array columns); the operator keeps the array contract.
     Q.fn("q_unigram_encode_ids", unigramEncodeIdsOracle) { (spark, sf) =>
       val corp = unigramCorpus(Tables.load(spark, sf, "documents"))
       val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
         UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
         .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
-      graft.ml.Unigram.unigramEncodeIds(corp, "text", "doc_id", vocab,
-        UniMaxPieceLen)
+      Q.explodePieceIds(
+        graft.ml.Unigram.unigramEncodeIds(corp, "text", "doc_id", vocab,
+          UniMaxPieceLen))
     },
 
     // ... and the fertility report: WHERE does the trained tokenizer
@@ -1144,9 +1147,9 @@ object Round14Queries {
     // per-token-occurrence contract as q_unigram_encode_ids, with the
     // GPT-2-style id layout (code points, then merge ranks)
     Q.fn("q_bpe_encode_ids", bpeEncodeIdsOracle) { (spark, sf) =>
-      graft.ml.Bpe.bpeEncodeIdsLarge(
+      Q.explodePieceIds(graft.ml.Bpe.bpeEncodeIdsLarge(
         Tables.load(spark, sf, "documents"), "text", "doc_id",
-        Round13Queries.largeMerges)
+        Round13Queries.largeMerges))
     },
 
     // context-window packing by TRAINED-TOKENIZER piece counts (what

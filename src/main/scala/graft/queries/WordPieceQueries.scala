@@ -192,6 +192,11 @@ object WordPieceQueries {
                     coalesce(i.piece_ids,
                       list_value(CAST(-1 AS BIGINT))) AS piece_ids
                   FROM ww w LEFT JOIN wids0 i USING (word)),
+         wflat AS (SELECT word,
+                     unnest(range(1, len(piece_ids) + 1)) - 1
+                       AS piece_pos,
+                     unnest(piece_ids) AS piece_id
+                   FROM wids),
          wti AS (SELECT doc_id,
                    unnest(range(1, len(tl) + 1)) - 1 AS tok_pos,
                    unnest(tl) AS word
@@ -200,8 +205,9 @@ object WordPieceQueries {
                          AS tl
                        FROM wdoc))
         SELECT t.doc_id, CAST(t.tok_pos AS BIGINT) AS tok_pos,
-          w.piece_ids
-        FROM wti t JOIN wids w USING (word)"""
+          CAST(f.piece_pos AS BIGINT) AS piece_pos,
+          CAST(f.piece_id AS BIGINT) AS piece_id
+        FROM wti t JOIN wflat f USING (word)"""
 
   /** The UNK-bait encode corpus: the documents text plus a per-doc
     * `w<digit>` token — `w` is in the training alphabet, digits are
@@ -255,14 +261,17 @@ object WordPieceQueries {
     },
 
     // ... and the production id-sequence output: per token occurrence,
-    // the piece-id array (lexicographic vocabulary ranks; [UNK] → −1)
+    // the piece-id array (lexicographic vocabulary ranks; [UNK] → −1).
+    // The GATE posexplodes to scalar rows (driver checker can't sort
+    // array columns); the operator keeps the array contract.
     Q.fn("q_wordpiece_encode_ids", wordpieceEncodeIdsOracle) {
       (spark, sf) =>
         val docs = Tables.load(spark, sf, "documents")
         val merges = WordPiece.wordpieceTrain(docs, "text", WpMerges)
         val vocab = WordPiece.wordpieceVocabulary(docs, "text", merges)
-        WordPiece.wordpieceEncodeIds(unkBaitCorpus(docs), "text",
-          "doc_id", vocab)
+        Q.explodePieceIds(
+          WordPiece.wordpieceEncodeIds(unkBaitCorpus(docs), "text",
+            "doc_id", vocab))
     }
   )
 }

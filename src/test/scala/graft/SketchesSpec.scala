@@ -233,4 +233,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(mergedGrid.orderBy("row", "col").collect().toSeq ===
       unionGrid.orderBy("row", "col").collect().toSeq)
   }
+
+  test("state reads REQUIRE an existing meta pin — a read never writes it") {
+    // A mistyped or pre-meta directory must fail loudly on read; if the
+    // read wrote the pin, the READER's parameters would become the
+    // permanent truth and every later correct appender would fail
+    // against them.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-meta-read").toString
+    val eH = intercept[IllegalArgumentException] {
+      Sketches.hllEstimateFromState(spark, s"$dir/h", Nil, 9)
+    }
+    assert(eH.getMessage.contains("no meta pin"))
+    val eK = intercept[IllegalArgumentException] {
+      Sketches.kmvFromState(spark, s"$dir/k", Nil, 16)
+    }
+    assert(eK.getMessage.contains("no meta pin"))
+    val eC = intercept[IllegalArgumentException] {
+      Sketches.cmsFromState(spark, s"$dir/c", 4, 32)
+    }
+    assert(eC.getMessage.contains("no meta pin"))
+    // none of the failed reads may have pinned anything: a correct
+    // append with DIFFERENT parameters must now succeed
+    Sketches.appendHllState(values(100, "s"), $"v", Nil, 7, s"$dir/h")
+    val est = Sketches.hllEstimateFromState(spark, s"$dir/h", Nil, 7)
+      .collect()
+    assert(est.length == 1)
+  }
 }

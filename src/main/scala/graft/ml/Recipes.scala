@@ -109,6 +109,56 @@ object Recipes {
       urlIndexDir: String, bandIndexDir: String, refText: DataFrame,
       minJaccard: Double = 0.8,
       badWords: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
+    val stages = curateBatchStaged(df, idCol, htmlCol, urlCol,
+      blocklist, model, cutBucket, urlIndexDir, bandIndexDir, refText,
+      minJaccard, badWords)
+    import df.sparkSession.implicits._
+    val report = stages.zipWithIndex
+      .map { case ((name, frame), i) => (i, name, frame.count()) }
+      .toDF("step", "stage", "docs")
+    (stages.last._2, report)
+  }
+
+  /** Per-domain funnel attribution for the INCREMENTAL path — the
+    * [[curateFunnelByDomain]] report from the [[curateBatch]] state
+    * machinery: per rolling-crawl batch, (step, stage, domain, docs)
+    * keyed by registrable domain (full PSL semantics when `psl` is
+    * supplied), one hash aggregate per already-checkpointed stage
+    * frame. The report that tells a standing ingestion WHICH domains a
+    * batch lost where — a domain collapsing at `url_dedup` is
+    * re-crawled inventory, one collapsing at `near_dedup` is a mirror
+    * of already-admitted content.
+    */
+  def curateBatchFunnelByDomain(df: DataFrame, idCol: String,
+      htmlCol: String, urlCol: String, blocklist: DataFrame,
+      model: Classifier.QualityModel, cutBucket: Int,
+      urlIndexDir: String, bandIndexDir: String, refText: DataFrame,
+      minJaccard: Double = 0.8, badWords: Seq[String] = Seq.empty,
+      psl: Option[DataFrame] = None): DataFrame = {
+    val stages = curateBatchStaged(df, idCol, htmlCol, urlCol,
+      blocklist, model, cutBucket, urlIndexDir, bandIndexDir, refText,
+      minJaccard, badWords)
+    stages.zipWithIndex.map { case ((name, frame), i) =>
+      Curation.withRegistrableDomain(
+          frame.withColumn("__host", Curation.extractHost(col(urlCol))),
+          "__host", psl)
+        .groupBy("domain").agg(count(lit(1)).as("docs"))
+        .select(lit(i).as("step"), lit(name).as("stage"),
+          col("domain"), col("docs"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The staged incremental-batch body shared by [[curateBatch]] and
+    * [[curateBatchFunnelByDomain]] — the frozen-operating-point clean
+    * + standing-index probes, stage frames in funnel order (last = the
+    * kept batch). Every frame retains the input's url column.
+    */
+  private def curateBatchStaged(df: DataFrame, idCol: String,
+      htmlCol: String, urlCol: String, blocklist: DataFrame,
+      model: Classifier.QualityModel, cutBucket: Int,
+      urlIndexDir: String, bandIndexDir: String, refText: DataFrame,
+      minJaccard: Double,
+      badWords: Seq[String]): Seq[(String, DataFrame)] = {
     val spark = df.sparkSession
     val (funnel, stage) = stageRecorder()
     val ruled = frontStages(stage, df, idCol, htmlCol, urlCol,
@@ -128,16 +178,12 @@ object Recipes {
         Seq(idCol)))
     val vsIndex = Dedup.dedupAgainstNearIndexed(spark, bandIndexDir,
       urlKept, refText, "text_clean", idCol, minJaccard)
-    val kept = stage("near_dedup")(
+    stage("near_dedup")(
       vsIndex.join(
         Dedup.dedupNear(vsIndex, "text_clean", idCol, minJaccard)
           .where(col("keep")).select(col(idCol)),
         Seq(idCol)))
-    import spark.implicits._
-    val report = funnel.toSeq.zipWithIndex
-      .map { case ((name, frame), i) => (i, name, frame.count()) }
-      .toDF("step", "stage", "docs")
-    (kept, report)
+    funnel.toSeq
   }
 
   /** Close the standing-ingestion loop: fold a [[curateBatch]] kept

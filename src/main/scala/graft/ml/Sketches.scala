@@ -530,4 +530,158 @@ object Sketches {
       .select(col("__v").as("value"), col("__c").as("exact_count"))
     cmsEstimate(cmsCountersFromFreq(freq, d, w), probes, "value", d, w)
   }
+
+  // --------------------------------------------------------------------
+  // Log-bucketed quantile histogram — the mergeable quantile sketch for
+  // UNBOUNDED value domains. [[Quantiles.frequencyQuantiles]] is exact
+  // and right when the value domain is bounded (lengths, token counts),
+  // but its frequency table IS the distinct-value table: for
+  // continuous-ish metrics a 100 TB pipeline needs (classifier scores,
+  // perplexities, embedding norms — fixed-point-scaled to integers, the
+  // repo-wide convention) that table approaches corpus scale. This
+  // sketch caps the state at ≤ 63·2^b + 1 buckets per group whatever
+  // the domain: HDR-histogram-style base-2 buckets with `b` sub-bucket
+  // bits (Gray et al.'s "HdrHistogram" layout; also DDSketch's
+  // log-bucket idea, Masson et al. 2019, with an exactly-replayable
+  // integer bucket function instead of a double log).
+  //
+  // Bucket function (v ≥ 1; v = 0 gets the reserved bucket 0):
+  //   len  = bit length of v            -- length(bin(v)), both engines
+  //   shift = max(len − 1 − b, 0)
+  //   sub  = (v − 2^(len−1)) >> shift   -- the b bits below the MSB
+  //   bucket = len·2^b + sub
+  // Every step is integer (bin/shift/greatest — identical in Spark and
+  // DuckDB), so sketches and quantile reads replay bit for bit in an
+  // oracle. Relative bucket width ≤ 2^−b (sub-buckets split [2^(len−1),
+  // 2^len) into 2^b equal integer ranges; below 2^b every value has its
+  // own bucket — EXACT). The reported quantile is the containing
+  // bucket's LOWER BOUND: a deterministic under-estimate within
+  // 2^−b·q_true, decodable from the bucket id alone.
+  //
+  // Merge = per-bucket SUM of counts (associative, commutative), so the
+  // state appends per batch and folds at read time like the other three
+  // sketches; `dir/meta` pins `b` (a mismatch re-buckets into the wrong
+  // grid and silently mis-reports — the same loud-failure discipline).
+  // --------------------------------------------------------------------
+
+  private def checkB(b: Int): Unit =
+    require(b >= 0 && b <= 12,
+      s"hist: b (sub-bucket bits) must be in [0, 12], got $b")
+
+  /** The bucket-id SQL over a non-negative BIGINT column `v` (see the
+    * layout note above) — an expr string so the variable-distance
+    * shifts stay column-typed (the Scala `shiftleft` helper only takes
+    * an Int literal) and so the DuckDB oracle can replay the SAME
+    * spelling modulo the shift operators.
+    */
+  private[graft] def histBucketSql(v: String, b: Int): String =
+    s"""CASE WHEN $v = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(length(bin($v)) AS BIGINT) * ${1L << b} +
+          shiftright($v - shiftleft(CAST(1 AS BIGINT),
+              length(bin($v)) - 1),
+            greatest(length(bin($v)) - 1 - $b, 0))
+        END"""
+
+  /** Decode a bucket id back to its lower bound (the reported
+    * quantile value).
+    */
+  private[graft] def histLowerBoundSql(bucket: String, b: Int): String =
+    s"""CASE WHEN $bucket = 0 THEN CAST(0 AS BIGINT)
+        ELSE shiftleft(CAST(1 AS BIGINT),
+            CAST($bucket div ${1L << b} AS INT) - 1) +
+          shiftleft($bucket % ${1L << b},
+            greatest(CAST($bucket div ${1L << b} AS INT) - 1 - $b, 0))
+        END"""
+
+  /** The histogram bucket table of `df[valueCol]` per `groupCols`:
+    * (group..., bucket BIGINT, cnt BIGINT) — ≤ 63·2^b + 1 rows per
+    * group whatever the value domain. Null and NEGATIVE values are
+    * excluded (the sketch is defined over non-negative integers —
+    * fixed-point-scale signed metrics before sketching). This is the
+    * PERSISTABLE, MERGEABLE sketch state.
+    */
+  def histBuckets(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], b: Int): DataFrame = {
+    checkB(b)
+    df.select(groupCols.map(col) :+ valueCol.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull && col("__v") >= 0)
+      .select(groupCols.map(col) :+
+        expr(histBucketSql("__v", b)).as("bucket"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold a (possibly multi-batch) bucket table: per-bucket SUM —
+    * associative, so histograms fold across batches, shards and days.
+    */
+  def histFold(buckets: DataFrame, groupCols: Seq[String]): DataFrame =
+    buckets
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Per-group quantiles from a bucket table:
+    * (group..., q_permille INT, quantile_lo BIGINT) — quantile_lo is
+    * the LOWER BOUND of the bucket holding the q-th value (the
+    * [[Quantiles.frequencyQuantiles]] rank rule, `cum·1000 ≥ q·n`,
+    * applied to buckets). Folds first, so multi-batch tables are
+    * safe; the window runs over the ≤ 63·2^b + 1 folded buckets per
+    * group — config-scale, NEVER corpus- or domain-scale.
+    */
+  def histQuantiles(buckets: DataFrame, groupCols: Seq[String], b: Int,
+      qPermille: Seq[Int]): DataFrame = {
+    checkB(b)
+    require(qPermille.nonEmpty, "histQuantiles: no quantiles")
+    require(qPermille.forall(q => q >= 0 && q <= 1000),
+      "histQuantiles: per-mille points must be in [0, 1000]")
+    val folded = histFold(buckets, groupCols)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy("bucket")
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    folded
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__n", sum(col("cnt")).over(wg))
+      .select(groupCols.map(col) ++ Seq(col("bucket"), col("__cum"),
+        col("__n"),
+        explode(array(qPermille.distinct.sorted.map(q => lit(q)): _*))
+          .as("q_permille")): _*)
+      .where(col("__cum") * 1000 >= col("q_permille") * col("__n"))
+      .groupBy(groupCols.map(col) :+ col("q_permille"): _*)
+      .agg(min(col("bucket")).as("__b"))
+      .select(groupCols.map(col) ++ Seq(col("q_permille"),
+        expr(histLowerBoundSql("__b", b)).as("quantile_lo")): _*)
+  }
+
+  /** One-call sketched quantiles: corpus → buckets → quantiles. */
+  def histQuantilesOf(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], b: Int, qPermille: Seq[Int]): DataFrame =
+    histQuantiles(histBuckets(df, valueCol, groupCols, b), groupCols,
+      b, qPermille)
+
+  /** Append a batch's bucket DELTA to a standing histogram state
+    * directory (≤ 63·2^b + 1 rows per group per batch); the read-time
+    * fold is the per-bucket sum — append-only like the other three
+    * sketch states, no read-modify-write.
+    */
+  def appendHistState(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], b: Int, dir: String): Unit = {
+    checkB(b)
+    metaCheckOrWrite(df.sparkSession, dir, Seq("b" -> b))
+    histBuckets(df, valueCol, groupCols, b)
+      .write.mode("append").parquet(s"$dir/buckets")
+  }
+
+  /** Quantiles from a standing histogram state directory: fold all
+    * appended deltas, then extract — identical to the sketch of every
+    * batch's union, by the merge law. Requires the meta pin (read
+    * paths never write it).
+    */
+  def histQuantilesFromState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, groupCols: Seq[String], b: Int,
+      qPermille: Seq[Int]): DataFrame = {
+    checkB(b)
+    metaCheck(spark, dir, Seq("b" -> b))
+    histQuantiles(spark.read.parquet(s"$dir/buckets"), groupCols, b,
+      qPermille)
+  }
 }

@@ -278,21 +278,39 @@ object Unigram {
       .filter(_._2 != 0L).toMap
   }
 
+  /** Render a run of unknown pieces as UTF-8 byte ids (0..255). Runs
+    * are concatenated BEFORE encoding so a supplementary-plane
+    * character whose surrogate halves the UTF-16-indexed DP split into
+    * two adjacent unknown "chars" re-unites into its real 4-byte UTF-8
+    * sequence instead of two replacement bytes.
+    */
+  private[ml] def utf8ByteIds(run: String): Seq[Long] =
+    run.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => (b & 0xff).toLong).toSeq
+
   /** Production id-sequence encoding: one row per token occurrence,
     * `(idCol, tok_pos, piece_ids)` — the array a training pipeline
-    * actually ingests. Piece ids are the 0-based LEXICOGRAPHIC rank of
-    * the piece within `vocab` (deterministic across runs and engines;
-    * persist the (piece, id) table next to the vocabulary). Unknown
-    * single-character fallback pieces encode as id −1 (the caller's
-    * <unk>). Tokens sit at their position within the FILTERED token
-    * array; docs with no tokens emit no rows.
+    * actually ingests. Piece ids are the 0-based LEXICOGRAPHIC
+    * (UTF-8-byte-order) rank of the piece within `vocab`
+    * (deterministic across runs and engines; persist the (piece, id)
+    * table next to the vocabulary). Unknown single-character fallback
+    * pieces encode as id −1 (the caller's <unk>). Tokens sit at their
+    * position within the FILTERED token array; docs with no tokens
+    * emit no rows.
+    *
+    * With `byteFallback = true` (the SentencePiece `--byte_fallback`
+    * contract: no token is ever <unk>), ids 0..255 are reserved for
+    * raw UTF-8 bytes and vocabulary ranks shift by 256; a maximal run
+    * of adjacent unknown pieces emits the UTF-8 bytes of the
+    * concatenated run (see [[utf8ByteIds]] for why runs, not pieces).
     *
     * Same scale shape as [[unigramEncode]]: Viterbi once per DISTINCT
     * word against the broadcast vocabulary, ids equi-joined back to
     * the (id, pos, word) occurrences.
     */
   def unigramEncodeIds(df: DataFrame, textCol: String, idCol: String,
-      vocab: Seq[(String, Long)], maxPieceLen: Int = 3): DataFrame = {
+      vocab: Seq[(String, Long)], maxPieceLen: Int = 3,
+      byteFallback: Boolean = false): DataFrame = {
     require(vocab.nonEmpty, "unigramEncodeIds: empty vocabulary")
     require(vocab.size <= (1 << 22),
       s"unigramEncodeIds: vocabulary too large (${vocab.size})")
@@ -305,6 +323,7 @@ object Unigram {
     val bcV = spark.sparkContext.broadcast(vm)
     val bcI = spark.sparkContext.broadcast(ids)
     val maxLen = maxPieceLen
+    val fallback = byteFallback
     val toks = df.select(col(idCol),
       posexplode(filter(tokens(col(textCol)), t => t =!= "")))
       .toDF(idCol, "tok_pos", "__word")
@@ -313,7 +332,24 @@ object Unigram {
         val idOf = bcI.value
         it.map { w =>
           val pieces = viterbi(w, bcV.value, maxLen)
-          (w, pieces.map(p => idOf.getOrElse(p, -1L)))
+          val out: Seq[Long] =
+            if (!fallback) pieces.map(p => idOf.getOrElse(p, -1L))
+            else {
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val run = new java.lang.StringBuilder
+              def flush(): Unit = if (run.length > 0) {
+                buf ++= utf8ByteIds(run.toString); run.setLength(0)
+              }
+              pieces.foreach { p =>
+                idOf.get(p) match {
+                  case Some(r) => flush(); buf += 256L + r
+                  case None => run.append(p)
+                }
+              }
+              flush()
+              buf.toSeq
+            }
+          (w, out)
         }
       }.toDF("__word", "piece_ids")
     toks.join(enc, Seq("__word"))
@@ -424,6 +460,18 @@ object Unigram {
       idCol: String): DataFrame = {
     val (vocab, maxLen) = loadVocab(spark, dir)
     unigramEncode(df, textCol, idCol, vocab, maxLen)
+  }
+
+  /** [[unigramEncodeIds]] against a persisted [[saveVocab]] artifact —
+    * the standing-pipeline id-sequence form (train once, encode every
+    * batch), byte-fallback capable. Ids are reproducible from the
+    * artifact alone (load re-sorts by UTF-8 bytes).
+    */
+  def encodeIdsWithVocabDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, textCol: String, idCol: String,
+      byteFallback: Boolean = false): DataFrame = {
+    val (vocab, maxLen) = loadVocab(spark, dir)
+    unigramEncodeIds(df, textCol, idCol, vocab, maxLen, byteFallback)
   }
 
   /** The pinned distinct (word, freq) table. */

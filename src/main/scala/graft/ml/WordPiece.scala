@@ -208,6 +208,17 @@ object WordPiece {
       idCol: String): DataFrame =
     wordpieceEncode(df, textCol, idCol, loadVocab(spark, dir))
 
+  /** [[wordpieceEncodeIds]] against a persisted [[saveVocab]] artifact
+    * — the standing-pipeline id-sequence form, byte-fallback capable.
+    * Ids are reproducible from the artifact alone (load re-sorts by
+    * UTF-8 bytes).
+    */
+  def encodeIdsWithVocabDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, textCol: String, idCol: String,
+      byteFallback: Boolean = false): DataFrame =
+    wordpieceEncodeIds(df, textCol, idCol, loadVocab(spark, dir),
+      byteFallback)
+
   private def coreLen(piece: String): Int =
     if (piece.startsWith("##")) piece.length - 2 else piece.length
 
@@ -291,13 +302,19 @@ object WordPiece {
 
   /** Production id-sequence encoding — [[Unigram.unigramEncodeIds]]'s
     * contract for the WordPiece family: one row per token occurrence,
-    * (idCol, tok_pos, piece_ids), ids the 0-based LEXICOGRAPHIC rank
-    * of the piece within `vocab`; an [UNK] word encodes as the single
-    * id −1 (the caller's [UNK] slot). Same distinct-word scale shape
-    * as [[wordpieceEncode]].
+    * (idCol, tok_pos, piece_ids), ids the 0-based LEXICOGRAPHIC
+    * (UTF-8-byte-order) rank of the piece within `vocab`; an [UNK]
+    * word encodes as the single id −1 (the caller's [UNK] slot).
+    *
+    * With `byteFallback = true`, ids 0..255 are reserved for raw
+    * UTF-8 bytes and vocabulary ranks shift by 256; a MaxMatch
+    * dead-end word emits the UTF-8 bytes of the WHOLE word instead of
+    * [UNK] — no token is ever unknown (the published no-backtracking
+    * contract makes the dead-end word-scoped, so the fallback is too).
+    * Same distinct-word scale shape as [[wordpieceEncode]].
     */
   def wordpieceEncodeIds(df: DataFrame, textCol: String, idCol: String,
-      vocab: Seq[String]): DataFrame = {
+      vocab: Seq[String], byteFallback: Boolean = false): DataFrame = {
     require(vocab.nonEmpty, "wordpieceEncodeIds: empty vocabulary")
     require(vocab.size <= (1 << 22),
       s"wordpieceEncodeIds: vocabulary too large (${vocab.size})")
@@ -309,6 +326,8 @@ object WordPiece {
       .map { case (p, i) => p -> i.toLong }.toMap
     val bcV = spark.sparkContext.broadcast(vs)
     val bcI = spark.sparkContext.broadcast(ids)
+    val offset = if (byteFallback) 256L else 0L
+    val fallback = byteFallback
     val toks = df.select(col(idCol),
       posexplode(filter(tokens(col(textCol)), t => t =!= "")))
       .toDF(idCol, "tok_pos", "__word")
@@ -317,8 +336,10 @@ object WordPiece {
         val idOf = bcI.value
         it.map { w =>
           maxMatch(w, bcV.value, maxCore) match {
-            case Some(ps) => (w, ps.map(p => idOf(p)))
-            case None => (w, Seq(-1L))
+            case Some(ps) => (w, ps.map(p => offset + idOf(p)))
+            case None =>
+              if (fallback) (w, Unigram.utf8ByteIds(w))
+              else (w, Seq(-1L))
           }
         }
       }.toDF("__word", "piece_ids")

@@ -209,6 +209,78 @@ object Round14Queries {
       FROM uti t JOIN wseq s USING (word) JOIN vid v USING (piece)"""
   }
 
+  /** Byte-fallback encode replayed end to end: the bait corpus appends
+    * a per-doc `w<digit>z` token (digits and `z` are provably outside
+    * the training alphabet — the corpus is [a-y]-minus-x lowercase);
+    * the Viterbi replay runs over a piece table EXTENDED with the
+    * unknown single chars at probability 0 (exactly the engine's
+    * `getOrElse(piece, 0)` admissibility for single chars), vocabulary
+    * ranks shift by 256, and an unknown piece's id is its UTF-8 byte —
+    * for this ASCII bait, `unicode(piece)`.
+    */
+  private lazy val unigramBytesOracle = {
+    val R = UniEmRounds
+    s"""WITH RECURSIVE
+       $unigramTrainChain,
+       ubait AS (SELECT doc_id,
+           text || ' w' || CAST(doc_id % 10 AS VARCHAR) || 'z' AS text
+         FROM ucorp),
+       ubw AS MATERIALIZED (
+         SELECT DISTINCT word FROM (
+           SELECT unnest(list_filter(string_split(lower(text), ' '),
+             t -> t <> '')) AS word
+           FROM ubait)),
+       uvx AS MATERIALIZED (
+         SELECT piece, p FROM uv$R
+         UNION ALL
+         SELECT c.piece, CAST(0 AS BIGINT) AS p
+         FROM (SELECT DISTINCT unnest(string_split(word, '')) AS piece
+               FROM ubw) c
+         WHERE NOT EXISTS (SELECT 1 FROM uv$R v
+                           WHERE v.piece = c.piece)),
+       bseg(word, pos, k, sc, path) AS (
+         SELECT word, 0, 0, CAST(1 AS HUGEINT), '' FROM ubw
+         UNION ALL
+         SELECT s.word, s.pos + len(v.piece), s.k + 1, s.sc * v.p,
+           CASE WHEN s.path = '' THEN v.piece
+                ELSE s.path || ' ' || v.piece END
+         FROM bseg s JOIN uvx v
+           ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
+         WHERE s.pos < len(s.word)
+           AND s.pos + len(v.piece) <= len(s.word)),
+       bbest AS MATERIALIZED (
+         SELECT word, k, path FROM (
+           SELECT word, k, path,
+             row_number() OVER (PARTITION BY word
+               ORDER BY sc * $uniPowMult DESC, k ASC, path ASC) AS rn
+           FROM bseg WHERE pos = len(word))
+         WHERE rn = 1),
+       bvid AS (SELECT piece,
+                  CAST(row_number() OVER (ORDER BY piece) + 255
+                    AS BIGINT) AS pid
+                FROM uv$R),
+       bseq AS (SELECT word,
+                  unnest(range(1, len(string_split(path, ' ')) + 1))
+                    AS ord,
+                  unnest(string_split(path, ' ')) AS piece
+                FROM bbest),
+       bids AS (SELECT s.word, s.ord,
+                  coalesce(v.pid, CAST(unicode(s.piece) AS BIGINT))
+                    AS pid
+                FROM bseq s LEFT JOIN bvid v USING (piece)),
+       bti AS (SELECT doc_id,
+                 unnest(range(1, len(tl) + 1)) - 1 AS tok_pos,
+                 unnest(tl) AS word
+               FROM (SELECT doc_id, list_filter(
+                       string_split(lower(text), ' '), t -> t <> '')
+                       AS tl
+                     FROM ubait))
+      SELECT t.doc_id, CAST(t.tok_pos AS BIGINT) AS tok_pos,
+        CAST(i.ord - 1 AS BIGINT) AS piece_pos,
+        CAST(i.pid AS BIGINT) AS piece_id
+      FROM bti t JOIN bids i USING (word)"""
+  }
+
   /** `packChunksBySize` fed by the trained tokenizer's piece counts —
     * context-window packing by what actually fills the window. The
     * pack replay is the q_pack_chunks machinery over `udoc.n_pieces`.
@@ -687,6 +759,43 @@ object Round14Queries {
   private val incrStates =
     new java.util.concurrent.ConcurrentHashMap[String, IncrState]()
 
+  /** Build (once per sf) the standing-ingestion state both incremental
+    * gates probe: the batch-1 curate run, its admitted corpus, the URL
+    * and band indexes, and the frozen classifier operating point.
+    */
+  private def incrStateFor(spark: SparkSession, sf: String,
+      docs: DataFrame, blocklist: DataFrame): IncrState =
+    incrStates.computeIfAbsent(sf, { _ =>
+      import graft.ml.{Classifier, Dedup, Recipes}
+      val d = Round12Queries.tempIndexDir("graft-incr-recipe").toString
+      val pages = Round13Queries.withFunnelPage(docs)
+      val input = Round11Queries.withUrl(pages
+        .select(col("doc_id"), col("page").as("text"))
+        .withColumn("html", wrapHtml(col("text"))))
+      val seed = pages.where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          col("page").contains("short line").cast("int").as("__y"))
+      val (kept1, _) = Recipes.curate(input, "doc_id", "html", "url",
+        blocklist, seed, "__y", minJaccard = 0.8,
+        badWords = Seq("offer"))
+      kept1.select("doc_id", "text_clean", "url")
+        .write.mode("overwrite").parquet(s"$d/admitted")
+      Curation.buildUrlIndex(kept1, "url", "doc_id", s"$d/url")
+      Dedup.buildBandIndex(spark.read.parquet(s"$d/admitted"),
+        "text_clean", "doc_id", s"$d/band")
+      // the frozen operating point: the same training pass curate ran
+      val texted = input
+        .withColumn("text_clean", Curation.htmlToText(col("html")))
+        .where(col("text_clean").isNotNull && col("text_clean") =!= "")
+      val labeled = texted.select(col("doc_id"), col("text_clean"))
+        .join(seed, Seq("doc_id"))
+      val model = Classifier.train(labeled, "text_clean", "__y",
+        "doc_id")
+      val cut = Classifier.tuneThreshold(labeled, "text_clean", "__y",
+        "doc_id", model)
+      IncrState(d, model, cut.cutBucket)
+    })
+
   /** The Spark side of [[langFixtureCtes]]'s `ml` stage. */
   private def langFixture(docs: DataFrame): DataFrame = {
     val phrase = LangPhrases.foldLeft(
@@ -739,7 +848,15 @@ object Round14Queries {
     * `k1band` with exact-Jaccard verification, then the internal
     * LSH → verify → closure pass over the survivors.
     */
-  private lazy val recipeIncrementalOracle = {
+  /** The batch-2 stage CTEs in funnel order — shared by the count and
+    * per-domain incremental funnel oracles. */
+  private val incrStageCtes = Seq(
+    (0, "input", "b2src"), (1, "html_to_text", "b2texted2"),
+    (2, "blocklist", "b2unb"), (3, "quality_rules", "b2ruled"),
+    (4, "classifier", "b2scored"), (5, "url_dedup", "b2urlkept"),
+    (6, "near_dedup", "b2near"))
+
+  private lazy val recipeIncrementalPrefix = {
     import Round12Queries.{htmlChainSql, c4CtesOver, c4KeepParts,
       gopherKeepChain, repChain, sigCtes, BlockEntries, ClfBuckets}
     import Round11Queries.{hostSql, canonCte}
@@ -909,22 +1026,37 @@ object Round14Queries {
        b2near AS (SELECT v.doc_id FROM b2v v
                   LEFT JOIN i2comp USING (doc_id)
                   WHERE v.doc_id =
-                        coalesce(i2comp.component, v.doc_id))
+                        coalesce(i2comp.component, v.doc_id))"""
+  }
+
+  private lazy val recipeIncrementalOracle = {
+    val counts = incrStageCtes.map { case (i, name, cte) =>
+      s"SELECT CAST($i AS INT) AS step, '$name' AS stage, " +
+        s"(SELECT count(*) FROM $cte) AS docs"
+    }.mkString("\n        UNION ALL ")
+    s"""$recipeIncrementalPrefix
       SELECT * FROM (
-        SELECT CAST(0 AS INT) AS step, 'input' AS stage,
-               (SELECT count(*) FROM b2src) AS docs
-        UNION ALL SELECT 1, 'html_to_text',
-               (SELECT count(*) FROM b2texted2)
-        UNION ALL SELECT 2, 'blocklist',
-               (SELECT count(*) FROM b2unb)
-        UNION ALL SELECT 3, 'quality_rules',
-               (SELECT count(*) FROM b2ruled)
-        UNION ALL SELECT 4, 'classifier',
-               (SELECT count(*) FROM b2scored)
-        UNION ALL SELECT 5, 'url_dedup',
-               (SELECT count(*) FROM b2urlkept)
-        UNION ALL SELECT 6, 'near_dedup',
-               (SELECT count(*) FROM b2near))"""
+        $counts)"""
+  }
+
+  /** The incremental funnel ATTRIBUTED per registrable domain
+    * (heuristic keying — the q_domain_stats pairing): every batch-2
+    * stage frame joins back to the batch's (doc_id, url) source and
+    * rolls up by domain.
+    */
+  private lazy val recipeIncrementalDomainsOracle = {
+    import Round11Queries.{hostSql, domainSql}
+    val rollups = incrStageCtes.map { case (i, name, cte) =>
+      s"""SELECT CAST($i AS INT) AS step, '$name' AS stage, d.domain,
+            count(*) AS docs
+          FROM $cte s JOIN ibdom d USING (doc_id)
+          GROUP BY 1, 2, 3"""
+    }.mkString("\n      UNION ALL ")
+    s"""$recipeIncrementalPrefix,
+       ibdom AS MATERIALIZED (
+         SELECT doc_id, ${domainSql(hostSql("url"))} AS domain
+         FROM b2src)
+      $rollups"""
   }
 
   /** Batch 2 for the incremental gate: near twins of every kept-1 doc
@@ -1055,6 +1187,25 @@ object Round14Queries {
           UniMaxPieceLen))
     },
 
+    // ... BYTE FALLBACK (SentencePiece --byte_fallback): no token is
+    // ever <unk> — ids 0..255 are raw UTF-8 bytes, vocabulary ranks
+    // shift by 256, and out-of-alphabet characters (a planted
+    // `w<digit>z` bait token per doc) encode as their bytes; the
+    // oracle replays Viterbi over the 0-probability-extended piece
+    // table and maps unknown pieces through unicode()
+    Q.fn("q_unigram_bytes", unigramBytesOracle) { (spark, sf) =>
+      val corp = unigramCorpus(Tables.load(spark, sf, "documents"))
+      val bait = corp.withColumn("text",
+        concat(col("text"), lit(" w"),
+          pmod(col("doc_id"), lit(10)).cast("string"), lit("z")))
+      val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
+        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      Q.explodePieceIds(
+        graft.ml.Unigram.unigramEncodeIds(bait, "text", "doc_id",
+          vocab, UniMaxPieceLen, byteFallback = true))
+    },
+
     // ... and the fertility report: WHERE does the trained tokenizer
     // fragment badly? pieces-per-token per registrable domain, exact
     // integer sums + fixed-point ratio
@@ -1091,38 +1242,10 @@ object Round14Queries {
     // DuckDB query chaining the funnel and loop CTE families)
     Q.fn("q_recipe_incremental", recipeIncrementalOracle) { (spark, sf) =>
       import spark.implicits._
-      import graft.ml.{Classifier, Dedup, Recipes}
+      import graft.ml.Recipes
       val docs = Tables.load(spark, sf, "documents")
       val blocklist = Round12Queries.BlockEntries.toDF("entry")
-      val st = incrStates.computeIfAbsent(sf, { _ =>
-        val d = Round12Queries.tempIndexDir("graft-incr-recipe").toString
-        val pages = Round13Queries.withFunnelPage(docs)
-        val input = Round11Queries.withUrl(pages
-          .select(col("doc_id"), col("page").as("text"))
-          .withColumn("html", wrapHtml(col("text"))))
-        val seed = pages.where(col("doc_id") < 300)
-          .select(col("doc_id"),
-            col("page").contains("short line").cast("int").as("__y"))
-        val (kept1, _) = Recipes.curate(input, "doc_id", "html", "url",
-          blocklist, seed, "__y", minJaccard = 0.8,
-          badWords = Seq("offer"))
-        kept1.select("doc_id", "text_clean", "url")
-          .write.mode("overwrite").parquet(s"$d/admitted")
-        Curation.buildUrlIndex(kept1, "url", "doc_id", s"$d/url")
-        Dedup.buildBandIndex(spark.read.parquet(s"$d/admitted"),
-          "text_clean", "doc_id", s"$d/band")
-        // the frozen operating point: the same training pass curate ran
-        val texted = input
-          .withColumn("text_clean", Curation.htmlToText(col("html")))
-          .where(col("text_clean").isNotNull && col("text_clean") =!= "")
-        val labeled = texted.select(col("doc_id"), col("text_clean"))
-          .join(seed, Seq("doc_id"))
-        val model = Classifier.train(labeled, "text_clean", "__y",
-          "doc_id")
-        val cut = Classifier.tuneThreshold(labeled, "text_clean", "__y",
-          "doc_id", model)
-        IncrState(d, model, cut.cutBucket)
-      })
+      val st = incrStateFor(spark, sf, docs, blocklist)
       val kept1 = spark.read.parquet(s"${st.dir}/admitted")
       val (_, funnel) = Recipes.curateBatch(
         incrBatch2(docs, kept1), "doc_id", "html", "url", blocklist,
@@ -1130,6 +1253,25 @@ object Round14Queries {
         kept1.select("doc_id", "text_clean"), minJaccard = 0.8,
         badWords = Seq("offer"))
       funnel
+    },
+
+    // ... and the rolling-crawl funnel ATTRIBUTED per registrable
+    // domain — the curateFunnelByDomain report from the curateBatch
+    // state machinery (same frozen operating point, same standing
+    // indexes; one extra hash aggregate per checkpointed stage frame)
+    Q.fn("q_recipe_incremental_domains",
+        recipeIncrementalDomainsOracle) { (spark, sf) =>
+      import spark.implicits._
+      import graft.ml.Recipes
+      val docs = Tables.load(spark, sf, "documents")
+      val blocklist = Round12Queries.BlockEntries.toDF("entry")
+      val st = incrStateFor(spark, sf, docs, blocklist)
+      val kept1 = spark.read.parquet(s"${st.dir}/admitted")
+      Recipes.curateBatchFunnelByDomain(
+        incrBatch2(docs, kept1), "doc_id", "html", "url", blocklist,
+        st.model, st.cut, s"${st.dir}/url", s"${st.dir}/band",
+        kept1.select("doc_id", "text_clean"), minJaccard = 0.8,
+        badWords = Seq("offer"))
     },
 
     // language-aware mixing: langId predictions keying per-language

@@ -29,6 +29,12 @@ object SketchQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private val cmsLoopDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val histLoopDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Sub-bucket bits of the quantile-histogram gates (2^6 = 64
+    * sub-buckets per octave → ≤ 1.6 % relative bucket width). */
+  private val HistB = 6
 
   private val ANum = BigInt(7213) * 1000 * M
   private val ADen = BigInt(10000) * (1000L * M + 1079)
@@ -207,6 +213,65 @@ object SketchQueries {
           CAST(min(value) AS BIGINT) AS quantile
         FROM pr WHERE c * 1000 >= q * n
         GROUP BY 1, 2"""
+
+  /** The log-bucketed-histogram bucket id over a BIGINT column `v` —
+    * DuckDB spelling of [[graft.ml.Sketches.histBucketSql]] (`<<`/`>>`
+    * for the variable-distance shifts; bin/length/greatest identical).
+    */
+  private def histBucketDuck(v: String): String =
+    s"""CASE WHEN $v = 0 THEN 0
+        ELSE length(bin($v)) * ${1 << HistB} +
+          (($v - (1::BIGINT << (length(bin($v)) - 1)))
+            >> greatest(length(bin($v)) - 1 - $HistB, 0)) END"""
+
+  /** Decode a bucket id to its lower bound — DuckDB spelling of
+    * [[graft.ml.Sketches.histLowerBoundSql]].
+    */
+  private def histLoDuck(b0: String): String =
+    s"""CASE WHEN $b0 = 0 THEN 0
+        ELSE (1::BIGINT << (CAST($b0 // ${1 << HistB} AS INT) - 1)) +
+          (($b0 % ${1 << HistB})
+            << greatest(CAST($b0 // ${1 << HistB} AS INT) - 1 - $HistB,
+                 0)) END"""
+
+  /** The quantile tail shared by the one-shot and loop histogram
+    * oracles: a folded (lang, bucket, cnt) CTE named `hfold` →
+    * (lang, q_permille, quantile_lo).
+    */
+  private val histQuantileTail =
+    s"""hcum AS (SELECT lang, bucket,
+           sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS c,
+           sum(cnt) OVER (PARTITION BY lang) AS n
+         FROM hfold),
+       hpr AS (SELECT lang, bucket, c, n, unnest([500, 900, 990]) AS q
+               FROM hcum),
+       hqb AS (SELECT lang, CAST(q AS INT) AS q_permille,
+                 min(bucket) AS b0
+               FROM hpr WHERE c * 1000 >= q * n GROUP BY 1, 2)
+      SELECT lang, q_permille,
+        CAST(${histLoDuck("b0")} AS BIGINT) AS quantile_lo
+      FROM hqb"""
+
+  private val histOracle =
+    s"""WITH vals AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars >= 0),
+         hfold AS (SELECT lang, ${histBucketDuck("v")} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM vals GROUP BY 1, 2),
+         $histQuantileTail"""
+
+  private val histLoopOracle =
+    s"""WITH vals AS (SELECT doc_id % 3 AS b, lang,
+             CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars >= 0),
+         hb AS (SELECT b, lang, ${histBucketDuck("v")} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM vals GROUP BY 1, 2, 3),
+         hfold AS (SELECT lang, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+                   FROM hb GROUP BY 1, 2),
+         $histQuantileTail"""
 
   private val kmvLoopOracle =
     s"""WITH dh AS (
@@ -516,6 +581,39 @@ object SketchQueries {
       Quantiles.frequencyQuantiles(
         Tables.load(spark, sf, "documents"), col("n_chars"),
         Seq("lang"), Seq(500, 900, 990))
+    },
+
+    // MERGEABLE quantile sketch for UNBOUNDED value domains: the
+    // log-bucketed fixed-point histogram (HdrHistogram layout, DDSketch
+    // idea with an exactly-replayable integer bucket function) — where
+    // frequencyQuantiles' value-domain table would approach corpus
+    // scale (scores, perplexities, norms), this caps state at
+    // ≤ 63·2^b + 1 buckets per group and reports the containing
+    // bucket's lower bound (≤ 2^-b relative error)
+    Q.fn("q_sketch_quantile", histOracle) { (spark, sf) =>
+      Sketches.histQuantilesOf(
+        Tables.load(spark, sf, "documents"), col("n_chars"),
+        Seq("lang"), HistB, Seq(500, 900, 990))
+    },
+
+    // ... and its standing state: three batches append their bucket
+    // deltas, the read-time fold (per-bucket SUM) extracts — identical
+    // to the one-shot sketch by the merge law, append-only like the
+    // other three sketch states
+    Q.fn("q_sketch_quantile_loop", histLoopOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      val dir = histLoopDirs.computeIfAbsent(sf, { _ =>
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-hist-state").toString
+        (0L to 2L).foreach { r =>
+          Sketches.appendHistState(
+            docs.where(pmod(col("doc_id"), lit(3L)) === r),
+            col("n_chars"), Seq("lang"), HistB, d)
+        }
+        d
+      })
+      Sketches.histQuantilesFromState(spark, dir, Seq("lang"), HistB,
+        Seq(500, 900, 990))
     },
 
     // ... KMV standing state: per-batch bottom-k deltas appended, the

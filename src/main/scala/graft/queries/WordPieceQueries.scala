@@ -209,6 +209,46 @@ object WordPieceQueries {
           CAST(f.piece_id AS BIGINT) AS piece_id
         FROM wti t JOIN wflat f USING (word)"""
 
+  /** Byte-fallback id sequences: the same MaxMatch walk, but a
+    * dead-end word emits the UTF-8 bytes of the WHOLE word (ids
+    * 0..255) instead of one [UNK], and vocabulary ranks shift by 256 —
+    * for the ASCII bait corpus each byte is `unicode()` of the char.
+    */
+  private val wordpieceBytesOracle =
+    s"""WITH RECURSIVE $wpBaseCte,
+         ${wpStepCtes(WpMerges)},
+         $wpEncodeCtes,
+         wvid AS (SELECT piece,
+                    CAST(row_number() OVER (ORDER BY piece) + 255
+                      AS BIGINT) AS pid
+                  FROM wvoc),
+         wseq AS (SELECT word,
+                    unnest(range(1, len(string_split(path, ' ')) + 1))
+                      AS ord,
+                    unnest(string_split(path, ' ')) AS piece
+                  FROM wterm),
+         wk AS (SELECT s.word, s.ord, v.pid
+                FROM wseq s JOIN wvid v USING (piece)),
+         wbf AS (SELECT word, i AS ord,
+                   CAST(unicode(substr(word, CAST(i AS INT), 1))
+                     AS BIGINT) AS pid
+                 FROM (SELECT word,
+                         unnest(range(1, len(word) + 1)) AS i
+                       FROM ww
+                       WHERE word NOT IN (SELECT word FROM wterm))),
+         wall AS (SELECT * FROM wk UNION ALL SELECT * FROM wbf),
+         wti AS (SELECT doc_id,
+                   unnest(range(1, len(tl) + 1)) - 1 AS tok_pos,
+                   unnest(tl) AS word
+                 FROM (SELECT doc_id, list_filter(
+                         string_split(lower(text), ' '), t -> t <> '')
+                         AS tl
+                       FROM wdoc))
+        SELECT t.doc_id, CAST(t.tok_pos AS BIGINT) AS tok_pos,
+          CAST(a.ord - 1 AS BIGINT) AS piece_pos,
+          CAST(a.pid AS BIGINT) AS piece_id
+        FROM wti t JOIN wall a USING (word)"""
+
   /** The UNK-bait encode corpus: the documents text plus a per-doc
     * `w<digit>` token — `w` is in the training alphabet, digits are
     * not, so greedy MaxMatch matches the initial `w` and then
@@ -272,6 +312,18 @@ object WordPieceQueries {
         Q.explodePieceIds(
           WordPiece.wordpieceEncodeIds(unkBaitCorpus(docs), "text",
             "doc_id", vocab))
+    },
+
+    // ... and BYTE FALLBACK: the dead-end bait words emit their UTF-8
+    // bytes (ids 0..255; vocabulary ranks +256) instead of [UNK] — no
+    // token is ever unknown
+    Q.fn("q_wordpiece_bytes", wordpieceBytesOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      val merges = WordPiece.wordpieceTrain(docs, "text", WpMerges)
+      val vocab = WordPiece.wordpieceVocabulary(docs, "text", merges)
+      Q.explodePieceIds(
+        WordPiece.wordpieceEncodeIds(unkBaitCorpus(docs), "text",
+          "doc_id", vocab, byteFallback = true))
     }
   )
 }

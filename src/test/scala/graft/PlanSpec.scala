@@ -759,6 +759,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile histogram: hash-aggregates + config-scale window only") {
+    // the corpus pass is ONE hash-aggregate to <= 63*2^b+1 buckets per
+    // group; the Window is allowed because it runs over that folded
+    // bucket table (config-scale partitions), never the corpus
+    for (name <- Seq("q_sketch_quantile", "q_sketch_quantile_loop")) {
+      val p = plan(q(name))
+      assert(p.contains("HashAggregate"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n" + p.take(1500))
+      assert(!p.contains("SortMergeJoin"), s"$name:\n" + p.take(1500))
+    }
+  }
+
+  test("byte-fallback encode keeps the distinct-word equi-join shape") {
+    // same scale shape as the plain encode-ids gates: encode once per
+    // DISTINCT word against broadcast state, equi-join back — the
+    // fallback must not introduce a window or product
+    for (name <- Seq("q_unigram_bytes", "q_wordpiece_bytes")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n" + p.take(1500))
+      assert(!p.contains("Window"), s"$name:\n" + p.take(1500))
+    }
+  }
+
+  test("domain-stats KMV composition scans the corpus ONCE (pinned)") {
+    // the r14 weak plan: an un-pinned keyed frame re-ran the documents
+    // scan AND the URL-derivation tree per consumer leg. The pin is
+    // the fix — both legs must read the InMemoryRelation, and the
+    // domain filter must sit above it (not substituted into the url
+    // expression tree)
+    val p = plan(q("q_domain_stats_kmv"))
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "keyed projection is no longer pinned:\n" + p.take(1500))
+    graft.ml.CacheLifecycle.releaseAll()
+    val p2 = plan(q("q_assign_splits_grouped"))
+    assert(p2.contains("InMemoryTableScan") || p2.contains("TableCacheQueryStage"),
+      "splits keyed projection is no longer pinned:\n" + p2.take(1500))
+    graft.ml.CacheLifecycle.releaseAll()
+  }
+
   test("batch href resolution never collects state to the driver") {
     // The pass-1 final states must reach reducers via an executor-side
     // store publish (foreachPartition → HrefStore) or an external

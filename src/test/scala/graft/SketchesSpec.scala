@@ -234,6 +234,95 @@ class SketchesSpec extends AnyFunSuite {
       unionGrid.orderBy("row", "col").collect().toSeq)
   }
 
+  test("hist: exact below 2^b — sketched quantiles equal the exact ones") {
+    // every value < 2^b has its own bucket, so the sketch degenerates
+    // to the exact frequency table and quantile_lo IS the exact
+    // lower order statistic
+    val df = spark.range(4000)
+      .select((pmod(col("id") * 37 + 11, lit(60))).as("v"),
+        (col("id") % 3).cast("string").as("g"))
+    val sk = Sketches.histQuantilesOf(df, $"v", Seq("g"), 6,
+      Seq(500, 900, 990))
+      .orderBy("g", "q_permille").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val ex = graft.ml.Quantiles.frequencyQuantiles(df, $"v", Seq("g"),
+      Seq(500, 900, 990))
+      .orderBy("g", "q_permille").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(sk === ex)
+  }
+
+  test("hist: lower bound within the 2^-b relative error envelope") {
+    val b = 6
+    val df = spark.range(5000)
+      .select((col("id") * col("id") % 999983 + 1).as("v"))
+    val sk = Sketches.histQuantilesOf(df, $"v", Nil, b, Seq(500, 900))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ex = graft.ml.Quantiles.frequencyQuantiles(df, $"v", Nil,
+      Seq(500, 900))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    for (q <- Seq(500, 900)) {
+      val lo = sk(q); val t = ex(q)
+      assert(lo <= t, s"q$q: lower bound $lo above true $t")
+      // bucket width = 2^shift <= lo·2^-b (and ≥ 1)
+      assert(t - lo <= math.max(1L, lo >> b),
+        s"q$q: true $t beyond bucket width above $lo")
+    }
+  }
+
+  test("hist: merge(buckets(A), buckets(B)) == buckets(A union B)") {
+    val a = spark.range(2000).select((col("id") * 7 % 5000).as("v"))
+    val b = spark.range(1500).select((col("id") * 13 % 9000).as("v"))
+    val merged = Sketches.histFold(
+      Sketches.histBuckets(a, $"v", Nil, 5)
+        .unionByName(Sketches.histBuckets(b, $"v", Nil, 5)), Nil)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val union = Sketches.histBuckets(a.union(b), $"v", Nil, 5)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(merged === union)
+  }
+
+  test("hist: negative and null values are excluded; partition-invariant") {
+    val df = spark.range(3000)
+      .select(when(col("id") % 7 === 0, lit(null))
+        .when(col("id") % 11 === 0, -col("id"))
+        .otherwise(col("id")).as("v"))
+    val q1 = Sketches.histQuantilesOf(df.repartition(1), $"v", Nil, 4,
+      Seq(500)).collect().toSeq
+    val q17 = Sketches.histQuantilesOf(df.repartition(17), $"v", Nil, 4,
+      Seq(500)).collect().toSeq
+    assert(q1 === q17)
+    // dropping negatives/nulls shifts the rank set: verify against the
+    // exact quantile of the FILTERED frame
+    val ex = graft.ml.Quantiles.frequencyQuantiles(
+      df.where($"v" >= 0), $"v", Nil, Seq(500)).collect()(0).getLong(1)
+    val lo = q1(0).getLong(1)
+    assert(lo <= ex && ex - lo <= math.max(1L, lo >> 4))
+  }
+
+  test("hist: standing state folds appended batch deltas to the union sketch") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hist-spec").toString
+    val all = spark.range(6000)
+      .select((col("id") * 31 % 20011).as("v"),
+        (col("id") % 2).cast("string").as("g"))
+    (0 to 2).foreach { i =>
+      Sketches.appendHistState(all.where(col("v") % 3 === i), $"v",
+        Seq("g"), 6, dir)
+    }
+    val fromState = Sketches.histQuantilesFromState(spark, dir,
+      Seq("g"), 6, Seq(500, 990)).orderBy("g", "q_permille")
+      .collect().toSeq
+    val oneShot = Sketches.histQuantilesOf(all, $"v", Seq("g"), 6,
+      Seq(500, 990)).orderBy("g", "q_permille").collect().toSeq
+    assert(fromState === oneShot)
+    // parameter mismatch fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sketches.histQuantilesFromState(spark, dir, Seq("g"), 4, Seq(500))
+    }
+    assert(e.getMessage.contains("b=6"))
+  }
+
   test("state reads REQUIRE an existing meta pin — a read never writes it") {
     // A mistyped or pre-meta directory must fail loudly on read; if the
     // read wrote the pin, the READER's parameters would become the
@@ -253,6 +342,10 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.cmsFromState(spark, s"$dir/c", 4, 32)
     }
     assert(eC.getMessage.contains("no meta pin"))
+    val eQ = intercept[IllegalArgumentException] {
+      Sketches.histQuantilesFromState(spark, s"$dir/q", Nil, 6, Seq(500))
+    }
+    assert(eQ.getMessage.contains("no meta pin"))
     // none of the failed reads may have pinned anything: a correct
     // append with DIFFERENT parameters must now succeed
     Sketches.appendHllState(values(100, "s"), $"v", Nil, 7, s"$dir/h")

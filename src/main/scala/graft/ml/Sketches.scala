@@ -421,6 +421,80 @@ object Sketches {
       groupCols, k)
   }
 
+  /** KMV set-operation estimates between two keyed corpora — the
+    * corpus-OVERLAP report (how much of crawl B is already in crawl A;
+    * eval-set contamination at the id level; shard dedup planning)
+    * without ever shuffling the distinct keys: per group,
+    * (group..., a_est, b_est, union_est, inter_est, jaccard_ppm,
+    * union_kept BIGINT).
+    *
+    * The classic KMV composition (Beyer et al. 2007, "On synopses for
+    * distinct value estimation"): K(A∪B), the k smallest hashes of the
+    * union, equals the k smallest of K(A) ∪ K(B) — and an x ∈ K(A∪B)
+    * that belongs to A is necessarily in K(A) (fewer than k union
+    * hashes sit below it, so fewer than k of A's do). So with
+    * ρ = |{x ∈ K(A∪B) : x ∈ K(A) ∧ x ∈ K(B)}| / k,
+    * |A∩B| ≈ ρ·|A∪B|̂ — here the integer `(matches·union_est) div k`.
+    * When the union holds fewer than k distinct hashes everything is
+    * EXACT: both sketches contain every element, so `matches` IS
+    * |A∩B| and the estimates are the true counts.
+    *
+    * Scale shape: two bounded `top_k_min` corpus aggregates (≤ k rows
+    * per group each side); everything after runs on the ≤ 2k-per-group
+    * sketch union — the window is config-scale, never corpus-scale.
+    * All arithmetic is integer, so the report replays in an oracle.
+    */
+  def kmvOverlap(a: DataFrame, aCol: Column, b: DataFrame, bCol: Column,
+      groupCols: Seq[String], k: Int): DataFrame = {
+    checkK(k)
+    def side(df: DataFrame, c: Column, ina: Int): DataFrame =
+      kmvBottomK(kmvHashes(df, c, groupCols), groupCols, k)
+        .select(groupCols.map(col) :+ explode(col("__arr")).as("__s"): _*)
+        .select(groupCols.map(col) ++ Seq(col("__s.__h").as("__h"),
+          lit(ina).as("__ina"), lit(1 - ina).as("__inb")): _*)
+    val merged = side(a, aCol, 1).unionByName(side(b, bCol, 0))
+      .groupBy(groupCols.map(col) :+ col("__h"): _*)
+      .agg(max(col("__ina")).as("__ina"), max(col("__inb")).as("__inb"))
+    // <= 2k rows per group from here on: every window and aggregate is
+    // config-scale. __rn ranks the union hashes; __rna/__rnb are each
+    // side's rank (running count of that side's hashes in hash order).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy("__h")
+    val ranked = merged
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rna", sum(col("__ina")).over(w))
+      .withColumn("__rnb", sum(col("__inb")).over(w))
+    val agg = ranked
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("__rn") <= k, 1L).otherwise(0L)).as("union_kept"),
+        max(when(col("__rn") === k, col("__h"))).as("__kthu"),
+        sum(when(col("__rn") <= k && col("__ina") === 1 &&
+          col("__inb") === 1, 1L).otherwise(0L)).as("__matches"),
+        sum(col("__ina").cast("long")).as("__akept"),
+        max(when(col("__ina") === 1 && col("__rna") === k, col("__h")))
+          .as("__ktha"),
+        sum(col("__inb").cast("long")).as("__bkept"),
+        max(when(col("__inb") === 1 && col("__rnb") === k, col("__h")))
+          .as("__kthb"))
+    def est(kept: String, kth: String): String =
+      s"CASE WHEN $kept < $k THEN $kept ELSE " +
+        s"CAST(${(k - 1).toLong} * 4294967296 AS BIGINT) div " +
+        s"greatest($kth, CAST(1 AS BIGINT)) END"
+    agg
+      .withColumn("a_est", expr(est("__akept", "__ktha")))
+      .withColumn("b_est", expr(est("__bkept", "__kthb")))
+      .withColumn("union_est", expr(est("union_kept", "__kthu")))
+      .withColumn("inter_est", expr(
+        s"CASE WHEN union_kept < $k THEN __matches " +
+          s"ELSE (__matches * union_est) div $k END"))
+      .withColumn("jaccard_ppm", expr(
+        "__matches * 1000000 div greatest(union_kept, CAST(1 AS BIGINT))"))
+      .select(groupCols.map(col) ++ Seq(col("a_est"), col("b_est"),
+        col("union_est"), col("inter_est"), col("jaccard_ppm"),
+        col("union_kept")): _*)
+  }
+
   private def checkDw(d: Int, w: Int): Unit = {
     require(d >= 1 && d <= 16, s"cms: d must be in [1, 16], got $d")
     require(w >= 2 && w <= (1 << 20),

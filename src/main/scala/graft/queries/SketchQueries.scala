@@ -234,21 +234,21 @@ object SketchQueries {
             << greatest(CAST($b0 // ${1 << HistB} AS INT) - 1 - $HistB,
                  0)) END"""
 
-  /** The quantile tail shared by the one-shot and loop histogram
-    * oracles: a folded (lang, bucket, cnt) CTE named `hfold` →
-    * (lang, q_permille, quantile_lo).
+  /** The quantile tail shared by the histogram oracles: a folded
+    * (`g`, bucket, cnt) CTE named `hfold` →
+    * (`g`, q_permille, quantile_lo).
     */
-  private val histQuantileTail =
-    s"""hcum AS (SELECT lang, bucket,
-           sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS c,
-           sum(cnt) OVER (PARTITION BY lang) AS n
+  private def histQuantileTail(g: String): String =
+    s"""hcum AS (SELECT $g, bucket,
+           sum(cnt) OVER (PARTITION BY $g ORDER BY bucket) AS c,
+           sum(cnt) OVER (PARTITION BY $g) AS n
          FROM hfold),
-       hpr AS (SELECT lang, bucket, c, n, unnest([500, 900, 990]) AS q
+       hpr AS (SELECT $g, bucket, c, n, unnest([500, 900, 990]) AS q
                FROM hcum),
-       hqb AS (SELECT lang, CAST(q AS INT) AS q_permille,
+       hqb AS (SELECT $g, CAST(q AS INT) AS q_permille,
                  min(bucket) AS b0
                FROM hpr WHERE c * 1000 >= q * n GROUP BY 1, 2)
-      SELECT lang, q_permille,
+      SELECT $g, q_permille,
         CAST(${histLoDuck("b0")} AS BIGINT) AS quantile_lo
       FROM hqb"""
 
@@ -259,7 +259,7 @@ object SketchQueries {
          hfold AS (SELECT lang, ${histBucketDuck("v")} AS bucket,
              CAST(count(*) AS BIGINT) AS cnt
            FROM vals GROUP BY 1, 2),
-         $histQuantileTail"""
+         ${histQuantileTail("lang")}"""
 
   private val histLoopOracle =
     s"""WITH vals AS (SELECT doc_id % 3 AS b, lang,
@@ -271,7 +271,23 @@ object SketchQueries {
            FROM vals GROUP BY 1, 2, 3),
          hfold AS (SELECT lang, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
                    FROM hb GROUP BY 1, 2),
-         $histQuantileTail"""
+         ${histQuantileTail("lang")}"""
+
+  /** The hist sketch on its TARGET shape — a continuous metric
+    * (events.value) fixed-point-scaled to integer micros: `trunc`
+    * (Spark's cast-to-long semantics; DuckDB's `trunc`) keeps both
+    * engines bit-identical, and the value domain is unbounded where
+    * frequencyQuantiles' table would approach corpus scale.
+    */
+  private val histScoresOracle =
+    s"""WITH vals AS (SELECT event_type,
+             CAST(trunc(value * 1000000) AS BIGINT) AS v
+           FROM events
+           WHERE value IS NOT NULL AND value >= 0),
+         hfold AS (SELECT event_type, ${histBucketDuck("v")} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM vals GROUP BY 1, 2),
+         ${histQuantileTail("event_type")}"""
 
   private val kmvLoopOracle =
     s"""WITH dh AS (
@@ -327,6 +343,69 @@ object SketchQueries {
           ('0x'||substr(md5(r.i::VARCHAR||':'||f.v),1,8))::BIGINT % $CmsW
         WHERE f.exact_count >= $CmsMin
         GROUP BY 1, 2"""
+
+  /** [[graft.ml.Sketches.kmvOverlap]] replayed: both sides' bottom-k
+    * sketches, the merged flagged union with union/per-side running
+    * ranks, and the integer estimate CASEs.
+    */
+  private val kmvOverlapOracle =
+    s"""WITH tk AS MATERIALIZED (
+           SELECT lang, doc_id % 2 AS side,
+             ('0x'||substr(md5(tok),1,8))::BIGINT AS h
+           FROM (SELECT lang, doc_id, unnest(list_filter(
+                   string_split(lower(text), ' '), t -> t <> '')) AS tok
+                 FROM documents)),
+         dh AS (SELECT DISTINCT lang, side, h FROM tk),
+         sk AS (SELECT lang, side, h FROM (
+                  SELECT lang, side, h,
+                    row_number() OVER (PARTITION BY lang, side
+                      ORDER BY h) AS rn
+                  FROM dh)
+                WHERE rn <= $K),
+         mg AS (SELECT lang, h,
+                  max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ina,
+                  max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS inb
+                FROM sk GROUP BY 1, 2),
+         rk AS (SELECT lang, h, ina, inb,
+                  row_number() OVER (PARTITION BY lang ORDER BY h)
+                    AS rn,
+                  sum(ina) OVER (PARTITION BY lang ORDER BY h) AS rna,
+                  sum(inb) OVER (PARTITION BY lang ORDER BY h) AS rnb
+                FROM mg),
+         ag AS (SELECT lang,
+                  CAST(sum(CASE WHEN rn <= $K THEN 1 ELSE 0 END)
+                    AS BIGINT) AS union_kept,
+                  max(CASE WHEN rn = $K THEN h END) AS kthu,
+                  CAST(sum(CASE WHEN rn <= $K AND ina = 1 AND inb = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+                  CAST(sum(ina) AS BIGINT) AS akept,
+                  max(CASE WHEN ina = 1 AND rna = $K THEN h END)
+                    AS ktha,
+                  CAST(sum(inb) AS BIGINT) AS bkept,
+                  max(CASE WHEN inb = 1 AND rnb = $K THEN h END)
+                    AS kthb
+                FROM rk GROUP BY 1),
+         ag2 AS (SELECT *,
+                  CAST(CASE WHEN union_kept < $K THEN union_kept
+                       ELSE (${K - 1}::HUGEINT * 4294967296)
+                              // greatest(kthu, 1) END AS BIGINT)
+                    AS union_est
+                 FROM ag)
+        SELECT lang,
+          CAST(CASE WHEN akept < $K THEN akept
+               ELSE (${K - 1}::HUGEINT * 4294967296)
+                      // greatest(ktha, 1) END AS BIGINT) AS a_est,
+          CAST(CASE WHEN bkept < $K THEN bkept
+               ELSE (${K - 1}::HUGEINT * 4294967296)
+                      // greatest(kthb, 1) END AS BIGINT) AS b_est,
+          union_est,
+          CAST(CASE WHEN union_kept < $K THEN matches
+               ELSE (matches * union_est) // $K END AS BIGINT)
+            AS inter_est,
+          CAST(matches * 1000000 // greatest(union_kept, 1) AS BIGINT)
+            AS jaccard_ppm,
+          union_kept
+        FROM ag2"""
 
   private val cmsOracle =
     s"""WITH tk AS (SELECT unnest(list_filter(
@@ -596,6 +675,20 @@ object SketchQueries {
         Seq("lang"), HistB, Seq(500, 900, 990))
     },
 
+    // ... on its TARGET shape — a CONTINUOUS metric (events.value)
+    // fixed-point-scaled to integer micros (trunc on both engines, so
+    // the scaling replays bit for bit): classifier scores,
+    // perplexities, norms are this shape at 100 TB, where the exact
+    // frequency table would approach corpus scale
+    Q.fn("q_sketch_quantile_scores", histScoresOracle) { (spark, sf) =>
+      Sketches.histQuantilesOf(
+        Tables.load(spark, sf, "events")
+          .where(col("value").isNotNull && col("value") >= 0)
+          .select(col("event_type"),
+            (col("value") * 1000000).cast("long").as("__micros")),
+        col("__micros"), Seq("event_type"), HistB, Seq(500, 900, 990))
+    },
+
     // ... and its standing state: three batches append their bucket
     // deltas, the read-time fold (per-bucket SUM) extracts — identical
     // to the one-shot sketch by the merge law, append-only like the
@@ -614,6 +707,23 @@ object SketchQueries {
       })
       Sketches.histQuantilesFromState(spark, dir, Seq("lang"), HistB,
         Seq(500, 900, 990))
+    },
+
+    // KMV SET OPERATIONS: the corpus-OVERLAP report (Beyer et al.
+    // 2007) — per language, how much of the odd-doc token set is
+    // already in the even-doc one: distinct estimates for each side,
+    // the union, the intersection and jaccard, all from two bounded
+    // bottom-k aggregates (the k smallest of the union live inside
+    // the two sketches, so the corpus never re-shuffles)
+    Q.fn("q_kmv_overlap", kmvOverlapOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      def toks(parity: Int) = docs
+        .where(pmod(col("doc_id"), lit(2L)) === parity)
+        .select(col("lang"),
+          explode(filter(Fns.tokens(col("text")), t => t =!= ""))
+            .as("tok"))
+      Sketches.kmvOverlap(toks(0), col("tok"), toks(1), col("tok"),
+        Seq("lang"), K)
     },
 
     // ... KMV standing state: per-batch bottom-k deltas appended, the

@@ -763,7 +763,8 @@ class PlanSpec extends AnyFunSuite {
     // the corpus pass is ONE hash-aggregate to <= 63*2^b+1 buckets per
     // group; the Window is allowed because it runs over that folded
     // bucket table (config-scale partitions), never the corpus
-    for (name <- Seq("q_sketch_quantile", "q_sketch_quantile_loop")) {
+    for (name <- Seq("q_sketch_quantile", "q_sketch_quantile_loop",
+        "q_sketch_quantile_scores")) {
       val p = plan(q(name))
       assert(p.contains("HashAggregate"), s"$name:\n" + p.take(1500))
       assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(1500))
@@ -771,6 +772,17 @@ class PlanSpec extends AnyFunSuite {
         s"$name:\n" + p.take(1500))
       assert(!p.contains("SortMergeJoin"), s"$name:\n" + p.take(1500))
     }
+  }
+
+  test("kmv overlap: two bounded bottom-k aggregates + sketch-scale window") {
+    // both corpus passes are top_k_min partial aggregates (<= k rows
+    // per group per side); the window runs over the <= 2k-per-group
+    // merged sketch — config-scale, never the corpus. No products.
+    val p = plan(q("q_kmv_overlap"))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
   test("byte-fallback encode keeps the distinct-word equi-join shape") {

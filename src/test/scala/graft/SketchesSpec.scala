@@ -323,6 +323,63 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("b=6"))
   }
 
+  test("kmv overlap: EXACT when the union fits in k") {
+    val a = spark.range(30).select(concat(lit("v"), col("id")).as("v"))
+    val b = spark.range(20, 45)
+      .select(concat(lit("v"), col("id")).as("v"))
+    val r = Sketches.kmvOverlap(a, $"v", b, $"v", Nil, 64).collect()(0)
+    assert(r.getAs[Long]("a_est") === 30L)
+    assert(r.getAs[Long]("b_est") === 25L)
+    assert(r.getAs[Long]("union_est") === 45L)
+    assert(r.getAs[Long]("inter_est") === 10L)
+    assert(r.getAs[Long]("jaccard_ppm") === 10L * 1000000 / 45)
+  }
+
+  test("kmv overlap: estimates within 3-sigma-ish bands above k") {
+    val k = 256
+    val a = values(6000, "s")
+    val b = values(9000, "s") // 6000 shared + 3000 b-only
+      .union(values(0, "x"))
+    val r = Sketches.kmvOverlap(a, $"v", b, $"v", Nil, k).collect()(0)
+    // KMV relative error ~ 1/sqrt(k) = 6.25%; allow 3x
+    def close(est: Long, truth: Long): Unit =
+      assert(math.abs(est - truth) <= truth * 0.19,
+        s"est $est vs $truth")
+    close(r.getAs[Long]("a_est"), 6000)
+    close(r.getAs[Long]("b_est"), 9000)
+    close(r.getAs[Long]("union_est"), 9000)
+    close(r.getAs[Long]("inter_est"), 6000)
+  }
+
+  test("kmv overlap: per-group, disjoint and identical corpora, " +
+    "partition invariance") {
+    val a = spark.range(500).select(
+      (col("id") % 2).cast("string").as("g"),
+      concat(lit("a"), col("id")).as("v"))
+    val b = spark.range(500).select(
+      (col("id") % 2).cast("string").as("g"),
+      when(col("id") < 250, concat(lit("a"), col("id")))
+        .otherwise(concat(lit("b"), col("id"))).as("v"))
+    val r1 = Sketches.kmvOverlap(a.repartition(1), $"v",
+      b.repartition(1), $"v", Seq("g"), 64)
+      .orderBy("g").collect().map(_.toString).toSeq
+    val r13 = Sketches.kmvOverlap(a.repartition(13), $"v",
+      b.repartition(13), $"v", Seq("g"), 64)
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(r1 === r13)
+    // disjoint corpora: zero intersection, zero jaccard
+    val disj = Sketches.kmvOverlap(values(100, "p"), $"v",
+      values(100, "q"), $"v", Nil, 64).collect()(0)
+    assert(disj.getAs[Long]("inter_est") === 0L)
+    assert(disj.getAs[Long]("jaccard_ppm") === 0L)
+    // identical corpora: intersection == union, jaccard == 1e6
+    val same = Sketches.kmvOverlap(values(5000, "s"), $"v",
+      values(5000, "s"), $"v", Nil, 64).collect()(0)
+    assert(same.getAs[Long]("inter_est") ===
+      same.getAs[Long]("union_est"))
+    assert(same.getAs[Long]("jaccard_ppm") === 1000000L)
+  }
+
   test("state reads REQUIRE an existing meta pin — a read never writes it") {
     // A mistyped or pre-meta directory must fail loudly on read; if the
     // read wrote the pin, the READER's parameters would become the

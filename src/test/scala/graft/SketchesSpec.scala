@@ -149,6 +149,37 @@ class SketchesSpec extends AnyFunSuite {
     assert(fromState === direct)
   }
 
+  test("hist: streaming foreachBatch loop maintains the standing state") {
+    // the rolling metric-distribution shape: each micro-batch appends
+    // its bucket delta; the read-time fold answers "p50/p99 so far"
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hist-stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("v").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          _: Long) =>
+        if (!batch.isEmpty)
+          Sketches.appendHistState(batch, col("v"), Nil, 6,
+            s"$dir/state")
+        ()
+      }.start()
+    in.addData((0L until 3000L).map(i => i * 17 % 50021): _*)
+    q.processAllAvailable()
+    in.addData((3000L until 5000L).map(i => i * 17 % 50021): _*)
+    q.processAllAvailable()
+    q.stop()
+    val fromState = Sketches.histQuantilesFromState(spark,
+      s"$dir/state", Nil, 6, Seq(500, 990))
+      .orderBy("q_permille").collect().toSeq
+    val direct = Sketches.histQuantilesOf(
+      (0L until 5000L).map(i => i * 17 % 50021).toDF("v"), $"v", Nil,
+      6, Seq(500, 990)).orderBy("q_permille").collect().toSeq
+    assert(fromState === direct)
+  }
+
   test("kmv: exact below k, estimate within 3 sigma above") {
     // 7 distinct values, k=32 -> the EXACT path
     val small = values(7, "k").union(values(7, "k"))

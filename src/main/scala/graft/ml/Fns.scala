@@ -34,6 +34,20 @@ object Fns {
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** The unsigned byte-array ordering backing [[utf8Ordering]].
+    * Vocabulary-sized driver sorts should precompute the key —
+    * `.sortBy(utf8Key)(utf8BytesOrdering)` — one encode per element
+    * instead of two per comparison (n vs ~2·n·log n encodes at the
+    * 2^22 vocabulary cap).
+    */
+  val utf8BytesOrdering: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) =>
+      java.util.Arrays.compareUnsigned(a, b)
+
+  /** The precomputed sort key for [[utf8BytesOrdering]]. */
+  def utf8Key(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), " ")
 

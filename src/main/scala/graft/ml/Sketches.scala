@@ -95,26 +95,36 @@ object Sketches {
   }
 
   /** APPEND-path pin: validate against an existing meta, or write it
-    * via temp-dir + atomic rename — two concurrent FIRST appenders
-    * race on the rename instead of double-writing (the loser deletes
-    * its temp and validates against the winner's pin).
+    * via temp-dir + rename. Hadoop `rename` is NOT fail-if-exists
+    * (renaming onto an existing directory can "succeed" by moving the
+    * source INSIDE it, and LocalFileSystem's copy fallback also
+    * returns true), so the rename result is deliberately ignored and
+    * EVERY appender — winner or loser of a first-append race —
+    * validates the surviving pin afterwards. A loser's temp that
+    * landed inside `meta` is dot-prefixed, so Hadoop input listing
+    * hides it from the parquet read; we best-effort delete it anyway.
     */
   private def metaCheckOrWrite(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       fields: Seq[(String, Int)]): Unit = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(metaPath)) metaValidate(spark, dir, fields)
-    else {
-      val tmp = s"$dir/.meta-tmp-${java.util.UUID.randomUUID()}"
+    if (!fs.exists(metaPath)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$dir/.meta-tmp-${java.util.UUID.randomUUID()}")
       spark.range(1)
         .select(fields.map { case (n, v) => lit(v).as(n) }: _*)
-        .write.mode("overwrite").parquet(tmp)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), metaPath)) {
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        metaValidate(spark, dir, fields)
-      }
+        .write.mode("overwrite").parquet(tmp.toString)
+      try fs.rename(tmp, metaPath)
+      catch { case _: java.io.IOException => () }
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      // a copy-fallback loser can leave its temp INSIDE meta
+      try fs.listStatus(metaPath)
+        .filter(_.getPath.getName.startsWith(".meta-tmp-"))
+        .foreach(s => fs.delete(s.getPath, true))
+      catch { case _: java.io.IOException => () }
     }
+    metaValidate(spark, dir, fields)
   }
 
   private def checkP(p: Int): Unit =

@@ -145,8 +145,8 @@ object Unigram {
         case Some(v) =>
           counted.filter(_._1.length == 1) ++
             counted.filter(_._1.length >= 2)
-              .sortBy { case (piece, c) => (-c, piece) }(
-                Ordering.Tuple2(Ordering.Long, Fns.utf8Ordering))
+              .sortBy { case (piece, c) => (-c, Fns.utf8Key(piece)) }(
+                Ordering.Tuple2(Ordering.Long, Fns.utf8BytesOrdering))
               .take(v)
       })
     }
@@ -317,8 +317,8 @@ object Unigram {
     val spark = df.sparkSession
     import spark.implicits._
     val vm = vocab.toMap
-    val ids = vocab.map(_._1).distinct.sorted(Fns.utf8Ordering)
-      .zipWithIndex
+    val ids = vocab.map(_._1).distinct
+      .sortBy(Fns.utf8Key)(Fns.utf8BytesOrdering).zipWithIndex
       .map { case (p, i) => p -> i.toLong }.toMap
     val bcV = spark.sparkContext.broadcast(vm)
     val bcI = spark.sparkContext.broadcast(ids)
@@ -449,7 +449,7 @@ object Unigram {
     require(rows.length <= (1 << 22),
       s"loadVocab: vocabulary too large (${rows.length})")
     (rows.map(r => r.getString(0) -> r.getLong(1)).toSeq
-      .sortBy(_._1)(Fns.utf8Ordering), m)
+      .sortBy(r => Fns.utf8Key(r._1))(Fns.utf8BytesOrdering), m)
   }
 
   /** [[unigramEncode]] against a persisted [[saveVocab]] artifact —

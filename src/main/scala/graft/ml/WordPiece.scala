@@ -174,7 +174,8 @@ object WordPiece {
       .map(_.getString(0))
     require(minted.length <= cap,
       s"wordpieceVocabulary: merge table too large (> $cap)")
-    (alpha ++ minted).distinct.sorted(Fns.utf8Ordering).toSeq
+    (alpha ++ minted).distinct
+      .sortBy(Fns.utf8Key)(Fns.utf8BytesOrdering).toSeq
   }
 
   /** Persist a trained vocabulary ([[wordpieceVocabulary]]) — the
@@ -197,7 +198,8 @@ object WordPiece {
       .select("piece").limit((1 << 22) + 1).collect()
     require(rows.length <= (1 << 22),
       s"loadVocab: vocabulary too large (${rows.length})")
-    rows.map(_.getString(0)).toSeq.distinct.sorted(Fns.utf8Ordering)
+    rows.map(_.getString(0)).toSeq.distinct
+      .sortBy(Fns.utf8Key)(Fns.utf8BytesOrdering)
   }
 
   /** [[wordpieceEncode]] against a persisted [[saveVocab]] artifact —
@@ -322,7 +324,8 @@ object WordPiece {
     import spark.implicits._
     val vs = vocab.toSet
     val maxCore = vocab.iterator.map(coreLen).max
-    val ids = vocab.distinct.sorted(Fns.utf8Ordering).zipWithIndex
+    val ids = vocab.distinct
+      .sortBy(Fns.utf8Key)(Fns.utf8BytesOrdering).zipWithIndex
       .map { case (p, i) => p -> i.toLong }.toMap
     val bcV = spark.sparkContext.broadcast(vs)
     val bcI = spark.sparkContext.broadcast(ids)

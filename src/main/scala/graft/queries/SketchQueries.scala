@@ -111,28 +111,16 @@ object SketchQueries {
         UNION ALL ${estSelect("regm", Some("merged"))}
         UNION ALL ${estSelect("regf", Some("full"))}"""
 
-  /** Per-user register CTE (the grouped mirror of [[regCte]]). */
-  private val regByUserCte =
-    s"""regu AS MATERIALIZED (
-         SELECT user_id, h1 % $M AS bucket,
-           max(CASE WHEN h2 = 0 THEN 33
-                    ELSE 33 - length(bin(h2)) END) AS register
-         FROM (SELECT user_id,
-                 ('0x'||substr(md5(v),1,8))::BIGINT AS h1,
-                 ('0x'||substr(md5(v),9,8))::BIGINT AS h2
-               FROM (SELECT user_id, CAST(event_id AS VARCHAR) AS v
-                     FROM events WHERE event_id IS NOT NULL))
-         GROUP BY 1, 2)"""
-
   /** The full corrected estimate over per-group registers: raw HUGEINT
     * division plus the INTEGER linear-counting branch — the ln steps
     * come verbatim from [[graft.ml.Sketches.lnSteps]] (spelled with
     * DuckDB's flooring `//`, identical to Spark's `div` on these
     * non-negative operands), so small groups replay exactly. A
     * large-range hit would mismatch loudly (it is unreachable below
-    * ~143M distinct).
+    * ~143M distinct). `srcSql` must yield (`$key`, v VARCHAR) rows.
     */
-  private val hllSmallOracle = {
+  private def hllCorrectedGroupedOracle(key: String,
+      srcSql: String): String = {
     val lnCtes = graft.ml.Sketches
       .lnSteps("v0", "//", (a, b) => s"($a << ($b))")
       .zipWithIndex.map { case ((name, sql), i) =>
@@ -141,28 +129,50 @@ object SketchQueries {
       }.mkString(",\n         ")
     val nSteps = graft.ml.Sketches.lnSteps("v0", "//",
       (a, b) => s"($a << ($b))").size
-    s"""WITH $regByUserCte,
-         agg0 AS (SELECT user_id,
+    s"""WITH regs AS MATERIALIZED (
+         SELECT $key, h1 % $M AS bucket,
+           max(CASE WHEN h2 = 0 THEN 33
+                    ELSE 33 - length(bin(h2)) END) AS register
+         FROM (SELECT $key,
+                 ('0x'||substr(md5(v),1,8))::BIGINT AS h1,
+                 ('0x'||substr(md5(v),9,8))::BIGINT AS h2
+               FROM ($srcSql))
+         GROUP BY 1, 2),
+         agg0 AS (SELECT $key,
              sum((1::BIGINT << (33 - register))::HUGEINT) AS sp,
              count(*) AS nb
-           FROM regu GROUP BY 1),
-         lc0 AS (SELECT user_id, CAST($M - nb AS BIGINT) AS v0,
+           FROM regs GROUP BY 1),
+         lc0 AS (SELECT $key, CAST($M - nb AS BIGINT) AS v0,
              CAST('$ENum'::HUGEINT // ('$ADen'::HUGEINT *
                (sp + ($M - nb)::HUGEINT * 8589934592)) AS BIGINT)
                AS raw
            FROM agg0),
          $lnCtes,
-         fin AS (SELECT user_id, v0, raw,
+         fin AS (SELECT $key, v0, raw,
              (CAST($M AS BIGINT) *
                 (${P.toLong * graft.ml.Sketches.Ln2Ppb} - __lnv)
                 + 500000000) // 1000000000 AS lc
            FROM lc$nSteps)
-        SELECT user_id,
+        SELECT $key,
           CAST(CASE WHEN v0 > 0 AND raw <= ${5L * M / 2} THEN lc
                ELSE raw END AS BIGINT) AS hll_est,
           v0 AS zero_registers
         FROM fin"""
   }
+
+  private val hllSmallOracle = hllCorrectedGroupedOracle("user_id",
+    s"""SELECT user_id, CAST(event_id AS VARCHAR) AS v
+        FROM events WHERE event_id IS NOT NULL""")
+
+  /** Daily unique users — THE production HLL shape: integer epoch-day
+    * keying (`epoch_ns // 86_400e9`, identical to Spark's `div` over
+    * the normalized nanos), per-day groups small enough to provably
+    * exercise the integer linear-counting branch.
+    */
+  private val hllDailyOracle = hllCorrectedGroupedOracle("day",
+    s"""SELECT epoch_ns(ts) // 86400000000000 AS day,
+          CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE user_id IS NOT NULL""")
 
   private val hllLoopOracle =
     s"""WITH ${regCte("rc0", "AND event_id % 3 = 0")},
@@ -622,6 +632,20 @@ object SketchQueries {
     Q.fn("q_sketch_hll_small", hllSmallOracle) { (spark, sf) =>
       Sketches.hllDistinct(Tables.load(spark, sf, "events"),
         col("event_id"), Seq("user_id"), P)
+    },
+
+    // DAILY UNIQUE USERS — the production HLL composite: integer
+    // epoch-day keying over the normalized event clock; the per-day
+    // groups sit in the small-cardinality band, so the integer
+    // linear-counting branch fires and replays
+    Q.fn("q_sketch_hll_daily", hllDailyOracle) { (spark, sf) =>
+      val ev = Tables.load(spark, sf, "events")
+      Sketches.hllDistinct(
+        ev.where(col("user_id").isNotNull)
+          .select(col("user_id"), Tables.tsNanos(ev).as("__ns"))
+          .select(col("user_id"),
+            expr("__ns div 86400000000000").as("day")),
+        col("user_id"), Seq("day"), P)
     },
 
     // ... and the STANDING-STATE form (the URL/band-index pattern for

@@ -733,8 +733,8 @@ class PlanSpec extends AnyFunSuite {
     // bounded top_k_min partial aggregate (<= k per group per map
     // task) — never a window sort of the corpus, never a product
     for (name <- Seq("q_sketch_hll", "q_sketch_hll_merge",
-        "q_sketch_hll_loop", "q_sketch_hll_small", "q_sketch_kmv",
-        "q_sketch_kmv_loop")) {
+        "q_sketch_hll_loop", "q_sketch_hll_small", "q_sketch_hll_daily",
+        "q_sketch_kmv", "q_sketch_kmv_loop")) {
       val p = plan(q(name))
       assert(p.contains("HashAggregate"), s"$name:\n" + p.take(1500))
       assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(1500))

@@ -411,6 +411,77 @@ class SketchesSpec extends AnyFunSuite {
     assert(same.getAs[Long]("jaccard_ppm") === 1000000L)
   }
 
+  test("hist: bucket function laws over adversarial values") {
+    // engine-evaluated (the formula lives in SQL so the gate replay is
+    // the same text): bucket ids are monotone non-decreasing in v, the
+    // decoded lower bound brackets v within the 2^-b width, and
+    // decode(bucket(v)) is a fixed point of the encode
+    for (b <- Seq(0, 4, 6, 12)) {
+      val edge = Seq(0L, 1L, 2L, 3L, (1L << b) - 1, 1L << b,
+        (1L << b) + 1, 126L, 127L, 128L, 129L, 65535L, 65536L,
+        1000000007L, (1L << 40) - 1, 1L << 40, Long.MaxValue / 2,
+        Long.MaxValue - 1, Long.MaxValue)
+      val rnd = new scala.util.Random(42 + b)
+      val vals = (edge ++ Seq.fill(300)(math.abs(rnd.nextLong()))
+        ++ Seq.fill(300)(rnd.nextInt(1 << 16).toLong)).distinct
+      val rows = vals.toDF("v")
+        .withColumn("bucket", expr(Sketches.histBucketSql("v", b)))
+        .withColumn("lo", expr(Sketches.histLowerBoundSql("bucket", b)))
+        .withColumn("lo2", expr(Sketches.histBucketSql("lo", b)))
+        .orderBy("v")
+        .as[(Long, Long, Long, Long)].collect()
+      rows.foreach { case (v, bucket, lo, lo2) =>
+        assert(lo <= v, s"b=$b v=$v: lower bound $lo above v")
+        assert(v - lo <= math.max(1L, lo >> b),
+          s"b=$b v=$v: outside width above $lo")
+        assert(lo2 === bucket,
+          s"b=$b v=$v: decode($bucket)=$lo re-encodes to $lo2")
+      }
+      rows.sliding(2).foreach {
+        case Array((v1, b1, _, _), (v2, b2, _, _)) =>
+          assert(b1 <= b2, s"b=$b: bucket($v1)=$b1 > bucket($v2)=$b2")
+        case _ => ()
+      }
+    }
+  }
+
+  test("kmv overlap: a group present on ONE side only reports zero overlap") {
+    val a = spark.range(200).select(
+      when(col("id") % 2 === 0, "both").otherwise("onlyA").as("g"),
+      concat(lit("a"), col("id")).as("v"))
+    val b = spark.range(200).select(lit("both").as("g"),
+      concat(lit("a"), col("id") * 2).as("v")) // evens → overlap
+    val r = Sketches.kmvOverlap(a, $"v", b, $"v", Seq("g"), 256)
+      .orderBy("g").collect()
+      .map(x => x.getString(0) -> x).toMap
+    val oa = r("onlyA")
+    assert(oa.getAs[Long]("b_est") === 0L)
+    assert(oa.getAs[Long]("inter_est") === 0L)
+    assert(oa.getAs[Long]("jaccard_ppm") === 0L)
+    assert(oa.getAs[Long]("a_est") === 100L)
+    val both = r("both")
+    assert(both.getAs[Long]("a_est") === 100L)
+    assert(both.getAs[Long]("b_est") === 200L)
+    // A's "both" values are a0,a2,..,a198; B's are a0,a2,..,a398 —
+    // A ⊂ B, so the exact intersection is all 100 of A's values
+    assert(both.getAs[Long]("inter_est") === 100L)
+    assert(both.getAs[Long]("union_est") === 200L)
+  }
+
+  test("hist: empty input and boundary permilles") {
+    val empty = spark.range(0).select(col("id").as("v"))
+    assert(Sketches.histQuantilesOf(empty, $"v", Nil, 6,
+      Seq(0, 500, 1000)).collect().isEmpty)
+    // q=0 → smallest bucket's lower bound; q=1000 → the bucket holding
+    // the max (its lower bound <= max)
+    val df = (1L to 1000L).toDF("v")
+    val q = Sketches.histQuantilesOf(df, $"v", Nil, 6,
+      Seq(0, 1000)).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(q(0) === 1L)
+    assert(q(1000) <= 1000L && q(1000) > 1000L - math.max(1L, 1000L >> 6) - 8)
+  }
+
   test("state reads REQUIRE an existing meta pin — a read never writes it") {
     // A mistyped or pre-meta directory must fail loudly on read; if the
     // read wrote the pin, the READER's parameters would become the

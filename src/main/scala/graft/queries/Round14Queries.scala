@@ -751,6 +751,26 @@ object Round14Queries {
   // ---------------------------------------------------------------
   // Incremental recipe: batch 2 probes batch 1's persisted indexes.
 
+  /** The trained default-config unigram vocabulary, collected once per
+    * sf and shared by the ENCODE-side gates (encode/encode-ids/bytes/
+    * fertility/pack) — they all train the identical (maxPieceLen,
+    * seedSize, minCount, emRounds) vocabulary, so retraining per gate
+    * only re-buys the same deterministic result. The TRAINING gates
+    * (q_unigram_train/_soft/_prune) still run their own full loops —
+    * they ARE the training checks. Driver-side config-scale data (the
+    * incrStates / vocabDirs caching pattern).
+    */
+  private val unigramVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]
+
+  private def unigramVocabFor(sf: String,
+      corp: => DataFrame): Seq[(String, Long)] =
+    unigramVocabCache.computeIfAbsent(sf, { _ =>
+      graft.ml.Unigram.unigramTrain(corp, "text", UniMaxPieceLen,
+        UniSeedSize, UniMinCount, UniEmRounds)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+    })
+
   private val unigramVocabDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1165,9 +1185,7 @@ object Round14Queries {
     // per-document path checksum pinning the exact segmentations
     Q.fn("q_unigram_encode", unigramEncodeOracle) { (spark, sf) =>
       val corp = unigramCorpus(Tables.load(spark, sf, "documents"))
-      val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
-        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
-        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      val vocab = unigramVocabFor(sf, corp)
       graft.ml.Unigram.unigramEncode(corp, "text", "doc_id", vocab,
         UniMaxPieceLen)
     },
@@ -1179,9 +1197,7 @@ object Round14Queries {
     // sort array columns); the operator keeps the array contract.
     Q.fn("q_unigram_encode_ids", unigramEncodeIdsOracle) { (spark, sf) =>
       val corp = unigramCorpus(Tables.load(spark, sf, "documents"))
-      val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
-        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
-        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      val vocab = unigramVocabFor(sf, corp)
       Q.explodePieceIds(
         graft.ml.Unigram.unigramEncodeIds(corp, "text", "doc_id", vocab,
           UniMaxPieceLen))
@@ -1198,9 +1214,7 @@ object Round14Queries {
       val bait = corp.withColumn("text",
         concat(col("text"), lit(" w"),
           pmod(col("doc_id"), lit(10)).cast("string"), lit("z")))
-      val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
-        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
-        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      val vocab = unigramVocabFor(sf, corp)
       Q.explodePieceIds(
         graft.ml.Unigram.unigramEncodeIds(bait, "text", "doc_id",
           vocab, UniMaxPieceLen, byteFallback = true))
@@ -1212,9 +1226,7 @@ object Round14Queries {
     Q.fn("q_tokenizer_fertility", tokenizerFertilityOracle) { (spark, sf) =>
       val docs = Tables.load(spark, sf, "documents")
       val corp = unigramCorpus(docs)
-      val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
-        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
-        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      val vocab = unigramVocabFor(sf, corp)
       graft.ml.Unigram.fertilityByDomain(
         corp.join(Round11Queries.withUrl(docs)
           .select(col("doc_id"), col("url")), Seq("doc_id")),
@@ -1227,9 +1239,7 @@ object Round14Queries {
     Q.fn("q_fertility_language", fertilityLanguageOracle) { (spark, sf) =>
       val docs = Tables.load(spark, sf, "documents")
       val corp = unigramCorpus(docs)
-      val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
-        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
-        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      val vocab = unigramVocabFor(sf, corp)
       graft.ml.Unigram.fertilityByKey(
         corp.join(docs.select("doc_id", "lang"), Seq("doc_id")),
         "text", "doc_id", "lang", vocab, UniMaxPieceLen)
@@ -1299,9 +1309,7 @@ object Round14Queries {
     // encoder's n_pieces feeds the two-level-scan packer directly
     Q.fn("q_pack_by_pieces", packByPiecesOracle) { (spark, sf) =>
       val corp = unigramCorpus(Tables.load(spark, sf, "documents"))
-      val vocab = graft.ml.Unigram.unigramTrain(corp, "text",
-        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds)
-        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      val vocab = unigramVocabFor(sf, corp)
       val enc = graft.ml.Unigram.unigramEncode(corp, "text", "doc_id",
         vocab, UniMaxPieceLen).where(col("doc_id") < 300)
       Curation.packChunksBySize(

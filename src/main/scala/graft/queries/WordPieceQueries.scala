@@ -261,6 +261,22 @@ object WordPieceQueries {
   private val vocabDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** The trained WordPiece vocabulary, collected once per sf and shared
+    * by the encode-side gates (the unigramVocabFor pattern): all three
+    * train the identical WpMerges-round vocabulary, so per-gate
+    * retraining only re-buys the same deterministic result.
+    * q_wordpiece_train still runs the full loop — it IS the check.
+    */
+  private val trainedVocabs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
+
+  private def vocabFor(sf: String,
+      docs: org.apache.spark.sql.DataFrame): Seq[String] =
+    trainedVocabs.computeIfAbsent(sf, { _ =>
+      val merges = WordPiece.wordpieceTrain(docs, "text", WpMerges)
+      WordPiece.wordpieceVocabulary(docs, "text", merges)
+    })
+
   val all: Seq[Q] = Seq(
     // persisted tokenizer artifact for the WordPiece family (the
     // q_unigram_persisted contract): train once, save, encode every
@@ -294,10 +310,8 @@ object WordPieceQueries {
     // out-of-alphabet token in every document
     Q.fn("q_wordpiece_encode", wordpieceEncodeOracle) { (spark, sf) =>
       val docs = Tables.load(spark, sf, "documents")
-      val merges = WordPiece.wordpieceTrain(docs, "text", WpMerges)
-      val vocab = WordPiece.wordpieceVocabulary(docs, "text", merges)
       WordPiece.wordpieceEncode(unkBaitCorpus(docs), "text", "doc_id",
-        vocab)
+        vocabFor(sf, docs))
     },
 
     // ... and the production id-sequence output: per token occurrence,
@@ -307,11 +321,9 @@ object WordPieceQueries {
     Q.fn("q_wordpiece_encode_ids", wordpieceEncodeIdsOracle) {
       (spark, sf) =>
         val docs = Tables.load(spark, sf, "documents")
-        val merges = WordPiece.wordpieceTrain(docs, "text", WpMerges)
-        val vocab = WordPiece.wordpieceVocabulary(docs, "text", merges)
         Q.explodePieceIds(
           WordPiece.wordpieceEncodeIds(unkBaitCorpus(docs), "text",
-            "doc_id", vocab))
+            "doc_id", vocabFor(sf, docs)))
     },
 
     // ... and BYTE FALLBACK: the dead-end bait words emit their UTF-8
@@ -319,11 +331,9 @@ object WordPieceQueries {
     // token is ever unknown
     Q.fn("q_wordpiece_bytes", wordpieceBytesOracle) { (spark, sf) =>
       val docs = Tables.load(spark, sf, "documents")
-      val merges = WordPiece.wordpieceTrain(docs, "text", WpMerges)
-      val vocab = WordPiece.wordpieceVocabulary(docs, "text", merges)
       Q.explodePieceIds(
         WordPiece.wordpieceEncodeIds(unkBaitCorpus(docs), "text",
-          "doc_id", vocab, byteFallback = true))
+          "doc_id", vocabFor(sf, docs), byteFallback = true))
     }
   )
 }

@@ -180,6 +180,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(fromState === direct)
   }
 
+  test("kmv and cms: streaming foreachBatch loops maintain standing state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kc-stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("v").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          _: Long) =>
+        if (!batch.isEmpty) {
+          Sketches.appendKmvState(batch, col("v"), Nil, 32,
+            s"$dir/kmv")
+          Sketches.appendCmsState(batch, col("v"), 4, 32, s"$dir/cms")
+        }
+        ()
+      }.start()
+    in.addData((0 until 800).map(i => s"kv${i % 300}"): _*)
+    q.processAllAvailable()
+    in.addData((0 until 700).map(i => s"kv${200 + i % 400}"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = ((0 until 800).map(i => s"kv${i % 300}") ++
+      (0 until 700).map(i => s"kv${200 + i % 400}")).toDF("v")
+    assert(Sketches.kmvFromState(spark, s"$dir/kmv", Nil, 32)
+      .collect().toSeq ===
+      Sketches.kmvDistinct(all, $"v", Nil, 32).collect().toSeq)
+    assert(Sketches.cmsFromState(spark, s"$dir/cms", 4, 32)
+      .orderBy("row", "col").collect().toSeq ===
+      Sketches.cmsCounters(all, $"v", 4, 32)
+        .orderBy("row", "col").collect().toSeq)
+  }
+
   test("kmv: exact below k, estimate within 3 sigma above") {
     // 7 distinct values, k=32 -> the EXACT path
     val small = values(7, "k").union(values(7, "k"))

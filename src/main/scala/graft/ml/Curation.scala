@@ -796,9 +796,31 @@ object Curation {
   def packChunksBySize(sizes: DataFrame, idCol: String, sizeCol: String,
       chunkTokens: Long, bucketSize: Long = 1000L): DataFrame = {
     require(chunkTokens > 0, "packChunksBySize: chunkTokens must be > 0")
-    val id = col(idCol)
+    placeDocs(sizes, idCol, sizeCol, bucketSize)
+      .select(col("__id"), col("__n"), col("__start"), col("__end"),
+        explode(sequence(
+          floor(col("__start") / chunkTokens),
+          floor((col("__end") - 1) / chunkTokens))).as("chunk_id"))
+      .select(
+        col("__id").as(idCol),
+        col("chunk_id").cast(LongType),
+        (greatest(col("__start"), col("chunk_id") * chunkTokens)
+          - col("__start")).as("tok_from"),
+        (least(col("__end"), (col("chunk_id") + 1) * chunkTokens)
+          - col("__start")).as("tok_to"))
+  }
+
+  /** The placement core shared by [[packChunksBySize]] and
+    * [[packTokenIds]]: each doc's half-open global token interval
+    * `[__start, __end)` in ascending-id concatenation order, via the
+    * two-level bucket scan (never a single-partition corpus window).
+    * Zero/negative sizes drop. Returns (__id, __n, __start, __end).
+    */
+  private def placeDocs(sizes: DataFrame, idCol: String,
+      sizeCol: String, bucketSize: Long): DataFrame = {
     val toks = sizes
-      .select(id.as("__id"), col(sizeCol).cast(LongType).as("__n"))
+      .select(col(idCol).as("__id"),
+        col(sizeCol).cast(LongType).as("__n"))
       .where(col("__n") > 0)
       .withColumn("__bkt", floor(col("__id") / bucketSize))
     val inBucket = toks.withColumn("__cum",
@@ -812,22 +834,47 @@ object Curation {
           Window.orderBy("__bkt")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__bkt"), col("__boff"))
-    val placed = inBucket
+    inBucket
       .join(broadcast(bucketOffsets), "__bkt")
       .withColumn("__end", col("__boff") + col("__cum"))
       .withColumn("__start", col("__end") - col("__n"))
-    placed
-      .select(col("__id"), col("__n"), col("__start"), col("__end"),
-        explode(sequence(
-          floor(col("__start") / chunkTokens),
-          floor((col("__end") - 1) / chunkTokens))).as("chunk_id"))
-      .select(
-        col("__id").as(idCol),
-        col("chunk_id").cast(LongType),
-        (greatest(col("__start"), col("chunk_id") * chunkTokens)
-          - col("__start")).as("tok_from"),
-        (least(col("__end"), (col("chunk_id") + 1) * chunkTokens)
-          - col("__start")).as("tok_to"))
+  }
+
+  /** The pre-training data LAYOUT — the chain-end after tokenize →
+    * pack: one row per PIECE, `(idCol, chunk_id, pos, piece_id)`,
+    * every document's id stream placed at its packed global offset
+    * (chunk = gpos div chunkTokens, pos = gpos mod chunkTokens —
+    * exactly the windows [[packChunksBySize]] assigns over the same
+    * sizes). `encoded` is any `(idCol, tok_pos, piece_ids)` frame
+    * ([[Unigram.unigramEncodeIds]] / [[WordPiece.wordpieceEncodeIds]] /
+    * [[Bpe.bpeEncodeIdsLarge]]).
+    *
+    * Scale shape: one per-doc aggregate flattens the token arrays in
+    * (tok_pos) order (per-doc arrays, the exactSubstringDedup
+    * pattern — no corpus window), the placement core is the two-level
+    * bucket scan, and the id stream joins its start offset by doc
+    * equi-key before one posexplode. Empty docs occupy no window.
+    */
+  def packTokenIds(encoded: DataFrame, idCol: String,
+      chunkTokens: Long, bucketSize: Long = 1000L): DataFrame = {
+    require(chunkTokens > 0, "packTokenIds: chunkTokens must be > 0")
+    val flat = encoded.groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("tok_pos"),
+          col("piece_ids")))),
+        s => s.getField("piece_ids"))).as("__ids"))
+    val sizes = flat.select(col(idCol),
+      size(col("__ids")).cast(LongType).as("__psz"))
+    val placed = placeDocs(sizes, idCol, "__psz", bucketSize)
+      .select(col("__id").as(idCol), col("__start"))
+    flat.join(placed, Seq(idCol))
+      .select(col(idCol), col("__start"),
+        posexplode(col("__ids")).as(Seq("__pidx", "piece_id")))
+      .withColumn("__g", col("__start") + col("__pidx"))
+      .select(col(idCol),
+        expr(s"__g div $chunkTokens").as("chunk_id"),
+        pmod(col("__g"), lit(chunkTokens)).as("pos"),
+        col("piece_id"))
   }
 
   /** Token-budget corpus selection (the data-mixing step after scoring):

@@ -307,6 +307,55 @@ object Round14Queries {
              least(e, (chunk_id + 1) * 64) - s AS tok_to
       FROM ppx"""
 
+  /** `packTokenIds` replayed end to end: the per-doc ordered piece-id
+    * stream (encode-ids machinery + a per-doc row_number), the global
+    * running-sum placement (the packByPieces replay), and the
+    * div/mod window arithmetic.
+    */
+  private lazy val packTokenIdsOracle = {
+    val er = UniEmRounds + 1
+    s"""WITH RECURSIVE
+       $unigramTrainChain,
+       $unigramEncodeChain,
+       vid AS (SELECT piece,
+                 CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT)
+                   AS pid
+               FROM uv$UniEmRounds),
+       wseq AS (SELECT word,
+                  unnest(range(1, len(string_split(path, ' ')) + 1))
+                    AS ord,
+                  unnest(string_split(path, ' ')) AS piece
+                FROM r${er}best),
+       uti AS (SELECT doc_id,
+                 unnest(range(1, len(tl) + 1)) - 1 AS tok_pos,
+                 unnest(tl) AS word
+               FROM (SELECT doc_id, list_filter(
+                       string_split(lower(text), ' '), t -> t <> '')
+                       AS tl
+                     FROM ucorp)
+               WHERE doc_id < 300),
+       pidx AS MATERIALIZED (
+         SELECT t.doc_id,
+           row_number() OVER (PARTITION BY t.doc_id
+             ORDER BY t.tok_pos, s.ord) - 1 AS pidx,
+           v.pid
+         FROM uti t JOIN wseq s USING (word) JOIN vid v USING (piece)),
+       ppd AS (SELECT d.doc_id,
+                 CAST(coalesce(u.n_pieces, 0) AS BIGINT) AS n
+               FROM documents d LEFT JOIN udoc u USING (doc_id)
+               WHERE d.doc_id < 300),
+       ppc AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS e
+               FROM ppd WHERE n > 0)
+      SELECT p.doc_id,
+        CAST((c.e - c.n + p.pidx) // 64 AS BIGINT) AS chunk_id,
+        CAST((c.e - c.n + p.pidx) % 64 AS BIGINT) AS pos,
+        CAST(p.pid AS BIGINT) AS piece_id
+      FROM pidx p JOIN ppc c USING (doc_id)"""
+  }
+
   /** `bpeEncodeIdsLarge` replayed: the 277-merge chained-replace
     * ground truth per TOKEN OCCURRENCE (position carried through the
     * chain), pieces mapped to ids — code point for single chars,
@@ -1302,6 +1351,21 @@ object Round14Queries {
       Q.explodePieceIds(graft.ml.Bpe.bpeEncodeIdsLarge(
         Tables.load(spark, sf, "documents"), "text", "doc_id",
         Round13Queries.largeMerges))
+    },
+
+    // the PRE-TRAINING DATA LAYOUT — the chain end after tokenize →
+    // pack: one row per piece, (doc_id, chunk_id, pos, piece_id) —
+    // every document's trained-tokenizer id stream placed at its
+    // packed global offset (the windows q_pack_by_pieces assigns,
+    // flattened to actual token ids)
+    Q.fn("q_pack_token_ids", packTokenIdsOracle) { (spark, sf) =>
+      val corp = unigramCorpus(Tables.load(spark, sf, "documents"))
+      val vocab = unigramVocabFor(sf, corp)
+      Curation.packTokenIds(
+        graft.ml.Unigram.unigramEncodeIds(
+          corp.where(col("doc_id") < 300), "text", "doc_id", vocab,
+          UniMaxPieceLen),
+        "doc_id", chunkTokens = 64, bucketSize = 50)
     },
 
     // context-window packing by TRAINED-TOKENIZER piece counts (what

@@ -730,6 +730,39 @@ class CurationSpec extends AnyFunSuite {
     assert(viaText == viaSize)
   }
 
+  test("packTokenIds: the flattened id stream agrees with the window " +
+    "assignment, positions are dense and in-range") {
+    import spark.implicits._
+    // doc 1: tokens at pos 0,1 with 3+2 pieces; doc 2: empty arrays
+    // only (occupies no window); doc 3: 4 pieces
+    val enc = Seq(
+      (1L, 0L, Seq(10L, 11L, 12L)), (1L, 1L, Seq(13L, 14L)),
+      (2L, 0L, Seq.empty[Long]),
+      (3L, 0L, Seq(20L, 21L)), (3L, 1L, Seq(22L, 23L)))
+      .toDF("doc_id", "tok_pos", "piece_ids")
+    val out = Curation.packTokenIds(enc, "doc_id", chunkTokens = 4,
+      bucketSize = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3))
+    // stream: doc1 ids 10..14 at gpos 0..4, doc3 ids 20..23 at 5..8
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 10L), (1L, 0L, 1L, 11L), (1L, 0L, 2L, 12L),
+      (1L, 0L, 3L, 13L),
+      (1L, 1L, 0L, 14L), (3L, 1L, 1L, 20L), (3L, 1L, 2L, 21L),
+      (3L, 1L, 3L, 22L),
+      (3L, 2L, 0L, 23L)), out.mkString(","))
+    // agreement with the window assignment over the same sizes
+    val sizes = Seq((1L, 5L), (3L, 4L)).toDF("id", "sz")
+    val ranges = Curation.packChunksBySize(sizes, "id", "sz", 4, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3) - r.getLong(2))).toMap
+    val counts = out.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.length.toLong).toMap
+    assert(counts === ranges)
+  }
+
   test("languagePlan: langid labels key the water-filling, unknown drops") {
     import spark.implicits._
     val docs = Seq(

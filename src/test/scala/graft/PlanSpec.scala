@@ -196,6 +196,40 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("packTokenIds: per-doc flatten + bucketed placement, no " +
+    "corpus-wide window, no product") {
+    // the id-stream flatten is a per-doc hash aggregate (collect_list
+    // keyed by doc), the placement is the two-level bucket scan, and
+    // the id stream joins its offset by doc equi-key — the only
+    // single-partition window is the N/bucketSize bucket-totals pass
+    graft.queries.Q.session(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+      import spark.implicits._
+      val enc = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " "))
+            .as(Seq("tok_pos", "__w")))
+        .select(col("doc_id"), col("tok_pos").cast("long").as("tok_pos"),
+          array(length(col("__w")).cast("long")).as("piece_ids"))
+      val df = graft.ml.Curation.packTokenIds(enc, "doc_id", 64, 50)
+      val p = df.queryExecution.executedPlan
+      assert(!p.toString.contains("CartesianProduct"),
+        p.toString.take(1500))
+      val windows = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      val rowLevel = windows.filter(
+        _.partitionSpec.exists(_.toString.contains("__bkt")))
+      assert(rowLevel.nonEmpty,
+        "per-row cumsum window lost its bucket key:\n" +
+          p.toString.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("packBins rides the same bucketed scan — no corpus-wide window") {
     graft.queries.Q.session(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")

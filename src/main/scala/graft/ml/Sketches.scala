@@ -458,11 +458,44 @@ object Sketches {
       groupCols: Seq[String], k: Int): DataFrame = {
     checkK(k)
     def side(df: DataFrame, c: Column, ina: Int): DataFrame =
-      kmvBottomK(kmvHashes(df, c, groupCols), groupCols, k)
-        .select(groupCols.map(col) :+ explode(col("__arr")).as("__s"): _*)
-        .select(groupCols.map(col) ++ Seq(col("__s.__h").as("__h"),
-          lit(ina).as("__ina"), lit(1 - ina).as("__inb")): _*)
-    val merged = side(a, aCol, 1).unionByName(side(b, bCol, 0))
+      sideFromBottomK(kmvBottomK(kmvHashes(df, c, groupCols),
+        groupCols, k), groupCols, ina)
+    overlapFromSides(side(a, aCol, 1), side(b, bCol, 0), groupCols, k)
+  }
+
+  /** [[kmvOverlap]] from two STANDING state directories
+    * ([[appendKmvState]]) — the production form: the overlap report of
+    * two rolling crawls from their sketches alone, no corpus access.
+    * Both states must have been built with this `k` (meta-pinned;
+    * reads never write the pin).
+    */
+  def kmvOverlapFromStates(spark: org.apache.spark.sql.SparkSession,
+      dirA: String, dirB: String, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    checkK(k)
+    metaCheck(spark, dirA, Seq("k" -> k))
+    metaCheck(spark, dirB, Seq("k" -> k))
+    def side(dir: String, ina: Int): DataFrame =
+      sideFromBottomK(kmvBottomK(
+        spark.read.parquet(s"$dir/hashes")
+          .select(groupCols.map(col) :+ col("__h"): _*).distinct(),
+        groupCols, k), groupCols, ina)
+    overlapFromSides(side(dirA, 1), side(dirB, 0), groupCols, k)
+  }
+
+  private def sideFromBottomK(bk: DataFrame, groupCols: Seq[String],
+      ina: Int): DataFrame =
+    bk.select(groupCols.map(col) :+ explode(col("__arr")).as("__s"): _*)
+      .select(groupCols.map(col) ++ Seq(col("__s.__h").as("__h"),
+        lit(ina).as("__ina"), lit(1 - ina).as("__inb")): _*)
+
+  /** The overlap estimator tail shared by the one-shot and
+    * standing-state forms: flagged per-side sketches → merged union →
+    * ranks → integer estimate CASEs.
+    */
+  private def overlapFromSides(sa: DataFrame, sb: DataFrame,
+      groupCols: Seq[String], k: Int): DataFrame = {
+    val merged = sa.unionByName(sb)
       .groupBy(groupCols.map(col) :+ col("__h"): _*)
       .agg(max(col("__ina")).as("__ina"), max(col("__inb")).as("__inb"))
     // <= 2k rows per group from here on: every window and aggregate is

@@ -515,6 +515,41 @@ class SketchesSpec extends AnyFunSuite {
     assert(q(1000) <= 1000L && q(1000) > 1000L - math.max(1L, 1000L >> 6) - 8)
   }
 
+  test("kmv overlap from standing states equals the one-shot report") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ovl-state").toString
+    val a = spark.range(4000)
+      .select((col("id") % 2).cast("string").as("g"),
+        concat(lit("o"), col("id") * 3 % 7001).as("v"))
+    val b = spark.range(3000)
+      .select((col("id") % 2).cast("string").as("g"),
+        concat(lit("o"), col("id") * 5 % 9001).as("v"))
+    // each corpus arrives in two batches (overlapping deltas fold)
+    Seq(0, 1).foreach { i =>
+      Sketches.appendKmvState(a.where(col("v").substr(2, 1) =!= i.toString),
+        $"v", Seq("g"), 64, s"$dir/a")
+      Sketches.appendKmvState(b.where(col("v").substr(2, 1) =!= i.toString),
+        $"v", Seq("g"), 64, s"$dir/b")
+    }
+    // the batches above cover every row (a value lacks digit '0' or
+    // '1' in at least one batch only if it contains both — append the
+    // full frames once more so states hold the complete corpora)
+    Sketches.appendKmvState(a, $"v", Seq("g"), 64, s"$dir/a")
+    Sketches.appendKmvState(b, $"v", Seq("g"), 64, s"$dir/b")
+    val fromStates = Sketches.kmvOverlapFromStates(spark, s"$dir/a",
+      s"$dir/b", Seq("g"), 64).orderBy("g")
+      .collect().map(_.toString).toSeq
+    val oneShot = Sketches.kmvOverlap(a, $"v", b, $"v", Seq("g"), 64)
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(fromStates === oneShot)
+    // k mismatch on either state fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvOverlapFromStates(spark, s"$dir/a", s"$dir/b",
+        Seq("g"), 32)
+    }
+    assert(e.getMessage.contains("k=64"))
+  }
+
   test("state reads REQUIRE an existing meta pin — a read never writes it") {
     // A mistyped or pre-meta directory must fail loudly on read; if the
     // read wrote the pin, the READER's parameters would become the

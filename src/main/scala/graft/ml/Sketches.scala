@@ -5,14 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import Fns._
 
-/** Mergeable cardinality / frequency sketches — the approximate-counting
-  * layer a 100 TB pipeline runs where exact `count(distinct)` is a
-  * full-corpus shuffle of the DISTINCT KEYS themselves: daily unique
-  * users, per-shard distinct URLs, heavy-hitter tokens. Three classic
+/** Mergeable cardinality / frequency / quantile sketches — the
+  * approximate-counting layer a 100 TB pipeline runs where exact
+  * `count(distinct)` is a full-corpus shuffle of the DISTINCT KEYS
+  * themselves: daily unique users, per-shard distinct URLs,
+  * heavy-hitter tokens, score-distribution percentiles. Four
   * structures, each as plain hash-aggregates (map-side combinable, no
-  * custom state), each with its register/counter table exposed so
-  * sketches PERSIST and MERGE across batches like the URL/band standing
-  * indexes:
+  * custom state), each with its register/counter/bucket table exposed
+  * so sketches PERSIST and MERGE across batches like the URL/band
+  * standing indexes:
   *
   *  - HyperLogLog (Flajolet et al. 2007): per-bucket max of the
   *    leading-zero rank of a 32-bit hash; registers are `m = 2^p` rows
@@ -22,10 +23,19 @@ import Fns._
   *    hash values per group via the bounded [[graft.expr.catalyst.TopKMin]]
   *    partial aggregate — each map task ships ≤ k entries per group.
   *    Exact below k (the estimator RETURNS the distinct count when the
-  *    group holds fewer than k hashes), (k−1)·2^32/h₍k₎ above.
+  *    group holds fewer than k hashes), (k−1)·2^32/h₍k₎ above. Set
+  *    OPERATIONS ride the same sketches ([[kmvOverlap]], Beyer et al.
+  *    2007): per-side/union/intersection estimates and jaccard from
+  *    two bottom-k aggregates, one-shot or from standing states.
   *  - Count-Min (Cormode & Muthukrishnan 2005): d×w counter grid over
   *    salted 32-bit hashes; point estimate = min over the d rows, an
   *    upper bound on the true count (never under, spec-pinned).
+  *  - Log-bucketed quantile histogram ([[histBuckets]]): base-2
+  *    octaves × 2^b sub-buckets from a pure-integer bucket function —
+  *    the quantile sketch for UNBOUNDED value domains where
+  *    [[Quantiles.frequencyQuantiles]]' exact table would approach
+  *    corpus scale; merge = per-bucket SUM, ≤ 2^-b relative error,
+  *    exact below 2^b.
   *
   * Bit-exactness contract (the tokenizer discipline): hashes are
   * [[Fns.h32]] (first 8 hex chars of md5) and its second-half sibling,

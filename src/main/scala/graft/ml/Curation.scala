@@ -858,13 +858,21 @@ object Curation {
   def packTokenIds(encoded: DataFrame, idCol: String,
       chunkTokens: Long, bucketSize: Long = 1000L): DataFrame = {
     require(chunkTokens > 0, "packTokenIds: chunkTokens must be > 0")
-    val flat = encoded.groupBy(col(idCol))
+    // null piece_ids rows are dropped up front (they contribute no
+    // pieces): a null nested array would otherwise null the whole
+    // doc's flatten and silently erase its real pieces. The filtered
+    // frame feeds BOTH the flatten and the size aggregate, so the
+    // placement sizes always equal the flattened stream lengths —
+    // and the sizes come from a cheap map-side-combinable sum, not a
+    // second materialization of the per-doc arrays.
+    val clean = encoded.where(col("piece_ids").isNotNull)
+    val flat = clean.groupBy(col(idCol))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("tok_pos"),
           col("piece_ids")))),
         s => s.getField("piece_ids"))).as("__ids"))
-    val sizes = flat.select(col(idCol),
-      size(col("__ids")).cast(LongType).as("__psz"))
+    val sizes = clean.groupBy(col(idCol))
+      .agg(sum(size(col("piece_ids")).cast(LongType)).as("__psz"))
     val placed = placeDocs(sizes, idCol, "__psz", bucketSize)
       .select(col("__id").as(idCol), col("__start"))
     flat.join(placed, Seq(idCol))

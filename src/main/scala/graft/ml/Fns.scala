@@ -29,17 +29,6 @@ object Fns {
     * assignment and merge tie-breaks must too, or non-BMP corpora get
     * silently different ids/merges than the oracle.
     */
-  val utf8Ordering: Ordering[String] = (a: String, b: String) =>
-    java.util.Arrays.compareUnsigned(
-      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-
-  /** The unsigned byte-array ordering backing [[utf8Ordering]].
-    * Vocabulary-sized driver sorts should precompute the key —
-    * `.sortBy(utf8Key)(utf8BytesOrdering)` — one encode per element
-    * instead of two per comparison (n vs ~2·n·log n encodes at the
-    * 2^22 vocabulary cap).
-    */
   val utf8BytesOrdering: Ordering[Array[Byte]] =
     (a: Array[Byte], b: Array[Byte]) =>
       java.util.Arrays.compareUnsigned(a, b)
@@ -47,6 +36,14 @@ object Fns {
   /** The precomputed sort key for [[utf8BytesOrdering]]. */
   def utf8Key(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** One-off comparison form of the same order. Vocabulary-sized
+    * driver sorts should precompute the key instead —
+    * `.sortBy(utf8Key)(utf8BytesOrdering)` — one encode per element
+    * rather than two per comparison (n vs ~2·n·log n encodes at the
+    * 2^22 vocabulary cap).
+    */
+  val utf8Ordering: Ordering[String] = Ordering.by(utf8Key)(utf8BytesOrdering)
 
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), " ")

@@ -172,7 +172,8 @@ object SketchQueries {
   private val hllDailyOracle = hllCorrectedGroupedOracle("day",
     s"""SELECT epoch_ns(ts) // 86400000000000 AS day,
           CAST(user_id AS VARCHAR) AS v
-        FROM events WHERE user_id IS NOT NULL""")
+        FROM events
+        WHERE user_id IS NOT NULL AND epoch_ns(ts) >= 0""")
 
   private val hllLoopOracle =
     s"""WITH ${regCte("rc0", "AND event_id % 3 = 0")},
@@ -640,9 +641,14 @@ object SketchQueries {
     // linear-counting branch fires and replays
     Q.fn("q_sketch_hll_daily", hllDailyOracle) { (spark, sf) =>
       val ev = Tables.load(spark, sf, "events")
+      // pre-epoch rows are excluded on BOTH sides: for negative nanos
+      // Spark's truncating `div` and DuckDB's flooring `//` disagree
+      // by one day (the non-negative-operands identity the repo's
+      // integer-division replays all rely on)
       Sketches.hllDistinct(
         ev.where(col("user_id").isNotNull)
           .select(col("user_id"), Tables.tsNanos(ev).as("__ns"))
+          .where(col("__ns") >= 0)
           .select(col("user_id"),
             expr("__ns div 86400000000000").as("day")),
         col("user_id"), Seq("day"), P)

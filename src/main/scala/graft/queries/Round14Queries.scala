@@ -650,9 +650,40 @@ object Round14Queries {
     * expected counts × word frequency, renormalize. Word length ≤ 5
     * keeps `num · 10⁶` under 2¹²⁷.
     */
-  private def unigramSoftRoundCtes(n: Int): String = {
+  private def unigramSoftRoundCtes(n: Int,
+      pruneTo: Option[Int] = None): String = {
     val r = s"s$n"
     val prev = s"uv${n - 1}"
+    // the same SHRINK finish as the hard-EM builder: keep chars plus
+    // the top-pruneTo multi-char pieces (ties (count DESC, piece ASC))
+    // and renormalize over the survivors
+    val finish = pruneTo match {
+      case None =>
+        s"""uv$n AS MATERIALIZED (
+         SELECT v.piece, coalesce(c.c, CAST(0 AS BIGINT)) AS c,
+           CAST(coalesce(c.c, 0) * 1000000 //
+             greatest(CAST(1 AS HUGEINT),
+               (SELECT CAST(coalesce(sum(c), 0) AS HUGEINT)
+                FROM ${r}cnt)) AS BIGINT) AS p
+         FROM $prev v LEFT JOIN ${r}cnt c USING (piece))"""
+      case Some(v) =>
+        s"""${r}cv AS (SELECT v.piece,
+             coalesce(c.c, CAST(0 AS BIGINT)) AS c
+           FROM $prev v LEFT JOIN ${r}cnt c USING (piece)),
+       ${r}keep AS MATERIALIZED (
+         SELECT piece, c FROM ${r}cv WHERE len(piece) = 1
+         UNION ALL
+         SELECT piece, c FROM (
+           SELECT piece, c FROM ${r}cv WHERE len(piece) >= 2
+           ORDER BY c DESC, piece LIMIT $v)),
+       uv$n AS MATERIALIZED (
+         SELECT piece, c,
+           CAST(c * 1000000 //
+             greatest(CAST(1 AS HUGEINT),
+               (SELECT CAST(coalesce(sum(c), 0) AS HUGEINT)
+                FROM ${r}keep)) AS BIGINT) AS p
+         FROM ${r}keep)"""
+    }
     val lenPow =
       """(CASE len(word) - k
               WHEN 1 THEN '1000000'::HUGEINT
@@ -689,19 +720,21 @@ object Round14Queries {
        ${r}cnt AS MATERIALIZED (
          SELECT piece, CAST(sum(c.cppm * uw.f) AS BIGINT) AS c
          FROM ${r}ctr c JOIN uw USING (word) GROUP BY 1),
-       uv$n AS MATERIALIZED (
-         SELECT v.piece, coalesce(c.c, CAST(0 AS BIGINT)) AS c,
-           CAST(coalesce(c.c, 0) * 1000000 //
-             greatest(CAST(1 AS HUGEINT),
-               (SELECT CAST(coalesce(sum(c), 0) AS HUGEINT)
-                FROM ${r}cnt)) AS BIGINT) AS p
-         FROM $prev v LEFT JOIN ${r}cnt c USING (piece))"""
+       $finish"""
   }
+
+  private lazy val unigramSoftPruneOracle =
+    s"""WITH RECURSIVE
+       ${(unigramCorpusCteOver(5) +: unigramSeedCtes +:
+         (1 to UniEmRounds).map(n =>
+           unigramSoftRoundCtes(n, Some(UniPruneTo))))
+         .mkString(",\n       ")}
+      SELECT piece, c AS cnt, p AS p_ppm FROM uv$UniEmRounds"""
 
   private lazy val unigramSoftOracle =
     s"""WITH RECURSIVE
        ${(unigramCorpusCteOver(5) +: unigramSeedCtes +:
-         (1 to UniEmRounds).map(unigramSoftRoundCtes))
+         (1 to UniEmRounds).map(n => unigramSoftRoundCtes(n)))
          .mkString(",\n       ")}
       SELECT piece, c AS cnt, p AS p_ppm FROM uv$UniEmRounds"""
 
@@ -1205,6 +1238,17 @@ object Round14Queries {
     // ... the SHRINK loop: each round keeps only the top-N
     // multi-character pieces (plus all chars) and renormalizes — the
     // vocabulary converges to the target size like real SentencePiece
+    // ... SOFT EM composed with the SHRINK loop — the actual
+    // SentencePiece training loop (expected counts over ALL
+    // segmentations, then keep the top-N multi-char pieces and
+    // renormalize), completing the hard/soft × plain/prune matrix
+    Q.fn("q_unigram_soft_prune", unigramSoftPruneOracle) { (spark, sf) =>
+      graft.ml.Unigram.unigramTrainSoft(
+        unigramCorpus(Tables.load(spark, sf, "documents"), 5), "text",
+        UniMaxPieceLen, UniSeedSize, UniMinCount, UniEmRounds,
+        pruneTo = Some(UniPruneTo))
+    },
+
     Q.fn("q_unigram_prune", unigramPruneOracle) { (spark, sf) =>
       graft.ml.Unigram.unigramTrain(
         unigramCorpus(Tables.load(spark, sf, "documents")), "text",

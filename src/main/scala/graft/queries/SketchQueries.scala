@@ -31,6 +31,8 @@ object SketchQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private val histLoopDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val overlapLoopDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
   /** Sub-bucket bits of the quantile-histogram gates (2^6 = 64
     * sub-buckets per octave → ≤ 1.6 % relative bucket width). */
@@ -753,6 +755,34 @@ object SketchQueries {
           explode(filter(Fns.tokens(col("text")), t => t =!= ""))
             .as("tok"))
       Sketches.kmvOverlap(toks(0), col("tok"), toks(1), col("tok"),
+        Seq("lang"), K)
+    },
+
+    // ... the overlap report from two STANDING STATES alone (the
+    // production form: two rolling crawls' sketches answer the
+    // per-side/union/intersection report with no corpus access); the
+    // per-batch bottom-k deltas fold to the full corpora by the merge
+    // law, so the oracle is the one-shot replay
+    Q.fn("q_kmv_overlap_loop", kmvOverlapOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      def toks(parity: Int) = docs
+        .where(pmod(col("doc_id"), lit(2L)) === parity)
+        .select(col("lang"), col("doc_id"),
+          explode(filter(Fns.tokens(col("text")), t => t =!= ""))
+            .as("tok"))
+      val dir = overlapLoopDirs.computeIfAbsent(sf, { _ =>
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-ovl-state").toString
+        (0L to 2L).foreach { r =>
+          Seq(0, 1).foreach { p =>
+            Sketches.appendKmvState(
+              toks(p).where(pmod(col("doc_id"), lit(3L)) === r),
+              col("tok"), Seq("lang"), K, s"$d/$p")
+          }
+        }
+        d
+      })
+      Sketches.kmvOverlapFromStates(spark, s"$dir/0", s"$dir/1",
         Seq("lang"), K)
     },
 

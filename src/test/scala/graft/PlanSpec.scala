@@ -813,6 +813,9 @@ class PlanSpec extends AnyFunSuite {
     // per group per side); the window runs over the <= 2k-per-group
     // merged sketch — config-scale, never the corpus. No products.
     val p = plan(q("q_kmv_overlap"))
+    val pl = plan(q("q_kmv_overlap_loop"))
+    assert(!pl.contains("CartesianProduct") &&
+      !pl.contains("SortMergeJoin"), pl.take(1500))
     assert(p.contains("HashAggregate"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))

@@ -133,6 +133,12 @@ object Sketches {
         .filter(_.getPath.getName.startsWith(".meta-tmp-"))
         .foreach(s => fs.delete(s.getPath, true))
       catch { case _: java.io.IOException => () }
+      // single-writer case with a genuinely failed rename (e.g. an
+      // IOException swallowed above with no surviving meta): fail HERE
+      // with the designed loud pin message instead of surfacing later
+      // as an opaque path-not-found from metaValidate's parquet read
+      require(fs.exists(metaPath),
+        s"failed to write sketch meta pin at $dir/meta")
     }
     metaValidate(spark, dir, fields)
   }

@@ -265,8 +265,14 @@ object Round14Queries {
                   unnest(string_split(path, ' ')) AS piece
                 FROM bbest),
        bids AS (SELECT s.word, s.ord,
-                  coalesce(v.pid, CAST(unicode(s.piece) AS BIGINT))
-                    AS pid
+                  coalesce(v.pid,
+                    CAST(CASE WHEN unicode(s.piece) < 128
+                      THEN unicode(s.piece)
+                      ELSE error('unigramBytesOracle: non-ASCII ' ||
+                        'fallback piece — unicode() equals the UTF-8 ' ||
+                        'byte only below 128; replay real byte ' ||
+                        'expansion before widening the corpus')
+                      END AS BIGINT)) AS pid
                 FROM bseq s LEFT JOIN bvid v USING (piece)),
        bti AS (SELECT doc_id,
                  unnest(range(1, len(tl) + 1)) - 1 AS tok_pos,

@@ -296,7 +296,8 @@ object SketchQueries {
     s"""WITH vals AS (SELECT event_type,
              CAST(trunc(value * 1000000) AS BIGINT) AS v
            FROM events
-           WHERE value IS NOT NULL AND value >= 0),
+           WHERE value IS NOT NULL AND value >= 0
+             AND NOT isnan(value)),
          hfold AS (SELECT event_type, ${histBucketDuck("v")} AS bucket,
              CAST(count(*) AS BIGINT) AS cnt
            FROM vals GROUP BY 1, 2),
@@ -713,9 +714,15 @@ object SketchQueries {
     // perplexities, norms are this shape at 100 TB, where the exact
     // frequency table would approach corpus scale
     Q.fn("q_sketch_quantile_scores", histScoresOracle) { (spark, sf) =>
+      // NaN is excluded EXPLICITLY on both sides: Spark evaluates
+      // NaN >= 0 as true and (NaN*1e6).cast(long) as 0 (silently
+      // bucketing NaN rows at value 0) while DuckDB's CAST(trunc(NaN)
+      // AS BIGINT) errors — a latent divergence the fixture's
+      // NaN-free values would otherwise mask
       Sketches.histQuantilesOf(
         Tables.load(spark, sf, "events")
-          .where(col("value").isNotNull && col("value") >= 0)
+          .where(col("value").isNotNull && !isnan(col("value")) &&
+            col("value") >= 0)
           .select(col("event_type"),
             (col("value") * 1000000).cast("long").as("__micros")),
         col("__micros"), Seq("event_type"), HistB, Seq(500, 900, 990))

@@ -230,8 +230,14 @@ object WordPieceQueries {
          wk AS (SELECT s.word, s.ord, v.pid
                 FROM wseq s JOIN wvid v USING (piece)),
          wbf AS (SELECT word, i AS ord,
-                   CAST(unicode(substr(word, CAST(i AS INT), 1))
-                     AS BIGINT) AS pid
+                   CAST(CASE WHEN unicode(substr(word, CAST(i AS INT),
+                            1)) < 128
+                     THEN unicode(substr(word, CAST(i AS INT), 1))
+                     ELSE error('wordpieceBytesOracle: non-ASCII ' ||
+                       'fallback char — unicode() equals the UTF-8 ' ||
+                       'byte only below 128; replay real byte ' ||
+                       'expansion before widening the corpus')
+                     END AS BIGINT) AS pid
                  FROM (SELECT word,
                          unnest(range(1, len(word) + 1)) AS i
                        FROM ww

@@ -231,6 +231,74 @@ object Bpe {
         col("piece_ids"))
   }
 
+  /** BYTE-LEVEL id-sequence BPE encoding — the GPT-2-family layout
+    * (see also SentencePiece `--byte_fallback`): the base alphabet is
+    * the 256 UTF-8 BYTE values, so encoding is TOTAL BY CONSTRUCTION —
+    * no `<unk>` exists and no sentinel can survive. Contract:
+    *   - a single-byte piece's id IS its byte value (0..255);
+    *   - a merged piece's id is `256 + (the smallest rank whose merge
+    *     concatenates to it)` (duplicate-output merges share the first
+    *     producer's id; the ranges never collide).
+    * Each word becomes its UTF-8 byte sequence before any merge fires
+    * (bytes carried as latin-1 chars so the pass-exact rank simulation
+    * of [[bpeEncodeIdsLarge]] runs unchanged); a character outside the
+    * merge alphabet — a digit, an emoji — simply stays split into its
+    * raw bytes. The merge table must be byte-representable (every char
+    * of every side < U+0100): for the ASCII tables real BPE tokenizers
+    * ship, the char-level table IS the byte-level table, and merges
+    * never fire across a non-ASCII byte (multi-byte UTF-8 lead/cont
+    * bytes are ≥ 0x80, outside any ASCII pair).
+    *
+    * Output contract and scale shape match [[bpeEncodeIdsLarge]]: one
+    * row per token occurrence, (idCol, tok_pos, piece_ids); the corpus
+    * collapses to the distinct word table, each distinct word encodes
+    * once against the broadcast rank table, ids equi-join back.
+    */
+  def bpeEncodeIdsBytes(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeIdsBytes: empty merge list")
+    require(merges.forall { case (l, r) =>
+        l.nonEmpty && r.nonEmpty && (l + r).forall(_ < 0x100) },
+      "bpeEncodeIdsBytes: merge table must be byte-representable " +
+        "(every char of every side < U+0100) and have non-empty sides")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mergeArr = merges.toArray
+    val rankIndex: Map[(String, String), Array[Int]] = merges.zipWithIndex
+      .groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._2 + 1).sorted.toArray }
+    val outIds: Map[String, Long] = merges.zipWithIndex
+      .groupBy { case ((l, r), _) => l + r }
+      .map { case (piece, xs) => piece -> (256L + xs.map(_._2 + 1).min) }
+    val bcMerges = spark.sparkContext.broadcast(mergeArr)
+    val bcRanks = spark.sparkContext.broadcast(rankIndex)
+    val bcIds = spark.sparkContext.broadcast(outIds)
+    val toks = df.select(col(idCol),
+      posexplode(filter(tokens(col(textCol)), t => t =!= "")))
+      .toDF(idCol, "tok_pos", "__word")
+    val enc = toks.select(col("__word")).distinct().as[String]
+      .mapPartitions { it =>
+        val idOf = bcIds.value
+        it.map { w =>
+          val pieces = encodePieceStringsFrom(utf8ByteSyms(w),
+            bcMerges.value, bcRanks.value)
+          (w, pieces.map(p =>
+            if (p.length == 1) p.charAt(0).toLong else idOf(p)))
+        }
+      }.toDF("__word", "piece_ids")
+    toks.join(enc, Seq("__word"))
+      .select(col(idCol), col("tok_pos").cast("long").as("tok_pos"),
+        col("piece_ids"))
+  }
+
+  /** A word's UTF-8 bytes as latin-1 single-char symbol strings — the
+    * byte-level base alphabet in the representation the pass-by-rank
+    * simulation already speaks.
+    */
+  private[ml] def utf8ByteSyms(word: String): Array[String] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => String.valueOf((b & 0xff).toChar))
+
   /** Exact pass-by-rank encode of one word; returns the piece count.
     * A TreeSet of armed ranks stands in for scanning all N passes:
     * initially every adjacent pair arms all its ranks; popping the
@@ -250,8 +318,17 @@ object Bpe {
     */
   private[graft] def encodePieceStrings(word: String,
       merges: Array[(String, String)],
+      ranks: Map[(String, String), Array[Int]]): Array[String] =
+    encodePieceStringsFrom(word.toCharArray.map(_.toString), merges,
+      ranks)
+
+  /** The simulation over CALLER-SUPPLIED initial symbols — chars for
+    * the char-level encoders, UTF-8 bytes for [[bpeEncodeIdsBytes]].
+    */
+  private[graft] def encodePieceStringsFrom(syms0: Array[String],
+      merges: Array[(String, String)],
       ranks: Map[(String, String), Array[Int]]): Array[String] = {
-    var syms = word.toCharArray.map(_.toString)
+    var syms = syms0
     if (syms.length < 2) return syms
     val armed = new java.util.TreeSet[Integer]()
     def arm(l: String, r: String, after: Int): Unit =

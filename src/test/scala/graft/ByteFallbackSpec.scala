@@ -76,6 +76,61 @@ class ByteFallbackSpec extends AnyFunSuite {
     assert(plain > 0)
   }
 
+  test("bpe byte-level: total by construction; emoji stays raw bytes") {
+    import graft.ml.Bpe
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val enc = Bpe.bpeEncodeIdsBytes(bait, "text", "doc_id", merges)
+      .select(col("doc_id"), col("tok_pos"),
+        col("piece_ids"))
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(enc.nonEmpty)
+    assert(enc.forall(_._3.forall(_ >= 0)), "byte-level BPE is total")
+    // "abc" (doc 1, token 0) merges fully: ab+c fires at rank 2 →
+    // id 256 + 2
+    assert(enc.find(e => e._1 == 1L && e._2 == 0L).get._3 ===
+      Seq(258L))
+    // "a3b": '3' (byte 0x33) blocks the merge → raw bytes
+    assert(enc.find(e => e._1 == 1L && e._2 == 1L).get._3 ===
+      Seq('a'.toLong, '3'.toLong, 'b'.toLong))
+    // the emoji-only token is exactly its UTF-8 bytes F0 9F 98 80
+    assert(enc.find(e => e._1 == 1L && e._2 == 2L).get._3 ===
+      Seq(0xF0L, 0x9FL, 0x98L, 0x80L))
+    // "ab<emoji>c": the merge fires on the ASCII prefix, the emoji
+    // bytes pass through, 'c' cannot join across them
+    assert(enc.find(e => e._1 == 2L && e._2 == 1L).get._3 ===
+      Seq(257L, 0xF0L, 0x9FL, 0x98L, 0x80L, 'c'.toLong))
+    // byte ids and merge ids occupy disjoint ranges
+    val ids = enc.flatMap(_._3)
+    assert(ids.filter(_ < 256).forall(i => i >= 0 && i <= 255))
+    assert(ids.filter(_ >= 256).forall(_ >= 257))
+    // a non-byte-representable merge table is refused loudly
+    val err = intercept[IllegalArgumentException] {
+      Bpe.bpeEncodeIdsBytes(bait, "text", "doc_id",
+        Seq(("Ā", "b")))
+    }
+    assert(err.getMessage.contains("byte-representable"))
+  }
+
+  test("bpe byte-level equals char-level ids modulo layout on ASCII") {
+    import graft.ml.Bpe
+    val merges = Seq(("a", "b"), ("ab", "c"), ("b", "c"))
+    val byteIds = Bpe.bpeEncodeIdsBytes(corpus, "text", "doc_id", merges)
+      .orderBy("doc_id", "tok_pos")
+      .as[(Long, Long, Seq[Long])].collect()
+    val charIds = Bpe.bpeEncodeIdsLarge(corpus, "text", "doc_id", merges)
+      .orderBy("doc_id", "tok_pos")
+      .as[(Long, Long, Seq[Long])].collect()
+    // on a pure-ASCII corpus the segmentations coincide; only the id
+    // layout differs (code point vs byte is identity below 128;
+    // 0x110000 + rank vs 256 + rank for merged pieces)
+    assert(byteIds.length === charIds.length)
+    byteIds.zip(charIds).foreach { case ((bd, bt, bi), (cd, ct, ci)) =>
+      assert(bd === cd); assert(bt === ct)
+      assert(bi === ci.map(i => if (i >= 0x110000L) i - 0x110000L + 256L
+                                else i))
+    }
+  }
+
   test("persisted artifacts reproduce the live byte-fallback ids") {
     val uVocab = Unigram.unigramTrain(corpus, "text", 3, 10, 1, 2)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq

@@ -29,6 +29,69 @@ import org.apache.spark.sql.functions._
   */
 object Recipes {
 
+  /** Everything a curation run publishes, from ONE staged pass: the
+    * kept corpus, the global per-stage funnel (step, stage, docs) and
+    * its per-registrable-domain attribution (step, stage, domain,
+    * docs). Production wants all three of every run — computing them
+    * via separate [[curate]] / [[curateFunnelByDomain]] calls re-runs
+    * the whole staged chain per report; this is the one-pass form
+    * (the stage frames are eager checkpoints, so each report is one
+    * bounded aggregate over already-materialized frames).
+    */
+  final case class CurationReports(kept: DataFrame, funnel: DataFrame,
+      funnelByDomain: DataFrame)
+
+  /** One staged pass, all reports — see [[CurationReports]]. Same
+    * parameters and stage semantics as [[curate]] +
+    * [[curateFunnelByDomain]].
+    */
+  def curateReports(df: DataFrame, idCol: String, htmlCol: String,
+      urlCol: String, blocklist: DataFrame, seed: DataFrame,
+      seedLabelCol: String, minJaccard: Double = 0.8,
+      badWords: Seq[String] = Seq.empty,
+      psl: Option[DataFrame] = None): CurationReports =
+    reportsOf(curateStaged(df, idCol, htmlCol, urlCol, blocklist,
+      seed, seedLabelCol, minJaccard, badWords), urlCol, psl,
+      df.sparkSession)
+
+  /** One staged pass, all reports, for the INCREMENTAL path — the
+    * [[curateBatch]] machinery with [[CurationReports]] output.
+    */
+  def curateBatchReports(df: DataFrame, idCol: String, htmlCol: String,
+      urlCol: String, blocklist: DataFrame,
+      model: Classifier.QualityModel, cutBucket: Int,
+      urlIndexDir: String, bandIndexDir: String, refText: DataFrame,
+      minJaccard: Double = 0.8, badWords: Seq[String] = Seq.empty,
+      psl: Option[DataFrame] = None): CurationReports =
+    reportsOf(curateBatchStaged(df, idCol, htmlCol, urlCol, blocklist,
+      model, cutBucket, urlIndexDir, bandIndexDir, refText, minJaccard,
+      badWords), urlCol, psl, df.sparkSession)
+
+  private def reportsOf(stages: Seq[(String, DataFrame)],
+      urlCol: String, psl: Option[DataFrame],
+      spark: org.apache.spark.sql.SparkSession): CurationReports = {
+    import spark.implicits._
+    val funnel = stages.zipWithIndex
+      .map { case ((name, frame), i) => (i, name, frame.count()) }
+      .toDF("step", "stage", "docs")
+    CurationReports(stages.last._2, funnel,
+      domainRollup(stages, urlCol, psl))
+  }
+
+  /** The per-domain attribution over already-checkpointed stage
+    * frames: one hash aggregate per stage, config-scale output.
+    */
+  private def domainRollup(stages: Seq[(String, DataFrame)],
+      urlCol: String, psl: Option[DataFrame]): DataFrame =
+    stages.zipWithIndex.map { case ((name, frame), i) =>
+      Curation.withRegistrableDomain(
+          frame.withColumn("__host", Curation.extractHost(col(urlCol))),
+          "__host", psl)
+        .groupBy("domain").agg(count(lit(1)).as("docs"))
+        .select(lit(i).as("step"), lit(name).as("stage"),
+          col("domain"), col("docs"))
+    }.reduce(_ unionByName _)
+
   /** Run the full recipe. `seed` is the labeled seed set
     * (`idCol`, `seedLabelCol` ∈ {0,1}) for the quality classifier —
     * labels join against the post-markup text, so seed docs need not
@@ -63,18 +126,9 @@ object Recipes {
       urlCol: String, blocklist: DataFrame, seed: DataFrame,
       seedLabelCol: String, minJaccard: Double = 0.8,
       badWords: Seq[String] = Seq.empty,
-      psl: Option[DataFrame] = None): DataFrame = {
-    val stages = curateStaged(df, idCol, htmlCol, urlCol, blocklist,
-      seed, seedLabelCol, minJaccard, badWords)
-    stages.zipWithIndex.map { case ((name, frame), i) =>
-      Curation.withRegistrableDomain(
-          frame.withColumn("__host", Curation.extractHost(col(urlCol))),
-          "__host", psl)
-        .groupBy("domain").agg(count(lit(1)).as("docs"))
-        .select(lit(i).as("step"), lit(name).as("stage"),
-          col("domain"), col("docs"))
-    }.reduce(_ unionByName _)
-  }
+      psl: Option[DataFrame] = None): DataFrame =
+    domainRollup(curateStaged(df, idCol, htmlCol, urlCol, blocklist,
+      seed, seedLabelCol, minJaccard, badWords), urlCol, psl)
 
   /** The incremental (rolling-crawl) form of [[curate]]: clean and
     * filter a NEW batch with a FROZEN classifier operating point, then
@@ -134,19 +188,10 @@ object Recipes {
       model: Classifier.QualityModel, cutBucket: Int,
       urlIndexDir: String, bandIndexDir: String, refText: DataFrame,
       minJaccard: Double = 0.8, badWords: Seq[String] = Seq.empty,
-      psl: Option[DataFrame] = None): DataFrame = {
-    val stages = curateBatchStaged(df, idCol, htmlCol, urlCol,
+      psl: Option[DataFrame] = None): DataFrame =
+    domainRollup(curateBatchStaged(df, idCol, htmlCol, urlCol,
       blocklist, model, cutBucket, urlIndexDir, bandIndexDir, refText,
-      minJaccard, badWords)
-    stages.zipWithIndex.map { case ((name, frame), i) =>
-      Curation.withRegistrableDomain(
-          frame.withColumn("__host", Curation.extractHost(col(urlCol))),
-          "__host", psl)
-        .groupBy("domain").agg(count(lit(1)).as("docs"))
-        .select(lit(i).as("step"), lit(name).as("stage"),
-          col("domain"), col("docs"))
-    }.reduce(_ unionByName _)
-  }
+      minJaccard, badWords), urlCol, psl)
 
   /** The staged incremental-batch body shared by [[curateBatch]] and
     * [[curateBatchFunnelByDomain]] — the frozen-operating-point clean

@@ -555,29 +555,16 @@ object Round13Queries {
     // the flagship end-to-end composition, now gate-checked: raw
     // html+url pages in, the per-stage funnel out, every stage's count
     // replayed in DuckDB from the same fixtures
+    // (the fixture keeps the LIGHT html wrap — style + comment + tags,
+    // no trailing entity junk — so C4's terminal-punctuation line rule
+    // stays discriminating; see Round16Queries.oneShotInput.) Served
+    // from the shared one-pass engine run: Recipes.curateReports runs
+    // the staged chain ONCE per scale factor and this gate re-serves
+    // its collected funnel rows (the q_recipe_funnel_domains gate
+    // consumes the same pass; q_recipe_reports drives the combined
+    // entry point live)
     Q.fn("q_recipe_funnel", funnelOracle) { (spark, sf) =>
-      import spark.implicits._
-      val docs = Tables.load(spark, sf, "documents")
-      val pages = withFunnelPage(docs)
-      // a LIGHT html wrap (style + comment + tags, no trailing entity
-      // junk): after the strip chain's whitespace collapse the cleaned
-      // text ends with the page's own last character, so C4's
-      // terminal-punctuation line rule stays discriminating instead of
-      // rejecting every page on fixture boilerplate
-      val input = Round11Queries.withUrl(pages
-        .select(col("doc_id"), col("page").as("text"))
-        .withColumn("html", concat(
-          lit("<html><head><style>p { color: red; }</style></head>"),
-          lit("<body><!-- nav --><p>"), col("text"),
-          lit("</p></body></html>"))))
-      val blocklist = Round12Queries.BlockEntries.toDF("entry")
-      val seed = pages.where(col("doc_id") < 300)
-        .select(col("doc_id"),
-          col("page").contains("short line").cast("int").as("__y"))
-      val (_, funnel) = graft.ml.Recipes.curate(input, "doc_id",
-        "html", "url", blocklist, seed, "__y", minJaccard = 0.8,
-        badWords = Seq("offer"))
-      funnel
+      Round16Queries.oneShotFunnelDf(spark, sf)
     },
 
     // anchor diversity x authority: the two link-graph signals

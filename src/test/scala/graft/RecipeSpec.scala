@@ -251,6 +251,27 @@ class RecipeSpec extends AnyFunSuite {
     graft.ml.CacheLifecycle.releaseAll()
   }
 
+  test("curateReports: one staged pass equals the separate entry points") {
+    val bl = Seq("bad.com").toDF("entry")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val r = Recipes.curateReports(corpus, "id", "html", "url", bl,
+      seed, "y", minJaccard = 0.5)
+    val oneKept = rows(r.kept.select("id"))
+    val oneFunnel = rows(r.funnel)
+    val oneDomains = rows(r.funnelByDomain)
+    graft.ml.CacheLifecycle.releaseAll()
+    val (kept, funnel) = Recipes.curate(corpus, "id", "html", "url",
+      bl, seed, "y", minJaccard = 0.5)
+    assert(oneKept === rows(kept.select("id")))
+    assert(oneFunnel === rows(funnel))
+    graft.ml.CacheLifecycle.releaseAll()
+    val byDomain = Recipes.curateFunnelByDomain(corpus, "id", "html",
+      "url", bl, seed, "y", minJaccard = 0.5)
+    assert(oneDomains === rows(byDomain))
+    graft.ml.CacheLifecycle.releaseAll()
+  }
+
   test("the recipe is partition-order deterministic") {
     val bl = Seq("bad.com").toDF("entry")
     def run(df: org.apache.spark.sql.DataFrame) = {

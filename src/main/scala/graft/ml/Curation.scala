@@ -750,14 +750,12 @@ object Curation {
       sum(col("__n")).over(
         Window.partitionBy("__bkt").orderBy("__id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val bucketOffsets = toks.groupBy("__bkt")
-      .agg(sum(col("__n")).as("__btot"))
-      .withColumn("__boff",
-        coalesce(sum(col("__btot")).over(
-          Window.orderBy("__bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bkt"), col("__boff"))
-    inBucket.join(broadcast(bucketOffsets), "__bkt")
+    // same offsets discipline as placeDocs: bucketed exclusive scan,
+    // unhinted join (the offset table is corpus-derived, not bounded)
+    val bucketOffsets = exclusiveOffsets(
+      toks.groupBy("__bkt").agg(sum(col("__n")).as("__btot")),
+      "__bkt", "__btot", "__boff")
+    inBucket.join(bucketOffsets, "__bkt")
       .withColumn("__start", col("__boff") + col("__cum") - col("__n"))
       .select(col("__id").as(idCol),
         floor(col("__start") / binTokens).cast(LongType).as("bin"),
@@ -810,11 +808,57 @@ object Curation {
           - col("__start")).as("tok_to"))
   }
 
+  /** Default super-bucket fan-in of [[exclusiveOffsets]]: the one
+    * remaining unpartitioned window runs over `n_keys / 2^16` rows —
+    * at 10^11 docs with `bucketSize` 1000 that is ~1.5k rows, and even
+    * a 10^13-doc corpus stays under 160k (one small task at ANY
+    * conceivable corpus size).
+    */
+  private[graft] val OffsetsSuperFan = 1L << 16
+
+  /** Exclusive prefix sums of `totCol` over `keyCol` groups — the
+    * offsets level of the distributed-scan family (placeDocs /
+    * packBins / selectByBudget / shuffleOrder), itself bucketed so NO
+    * window ever runs single-partition over the full key table: keys
+    * cumsum inside their super-bucket (`key div superFan`, a normal
+    * hash-partitioned window) and only the super-bucket totals —
+    * `n_keys / superFan` rows — pass through an unpartitioned window.
+    * Before round 16 the key table itself (`n_docs / bucketSize` rows
+    * through one task, then a forced broadcast) was the scale escape
+    * hatch at 10^11+ docs. Input: one row per key; output
+    * (keyCol, offCol).
+    */
+  private[graft] def exclusiveOffsets(totals: DataFrame, keyCol: String,
+      totCol: String, offCol: String,
+      superFan: Long = OffsetsSuperFan): DataFrame = {
+    require(superFan > 0, s"exclusiveOffsets: superFan $superFan")
+    val withSuper = totals.withColumn("__sbkt",
+      floor(col(keyCol) / superFan))
+    val inSuper = withSuper.withColumn("__scum",
+      sum(col(totCol)).over(
+        Window.partitionBy("__sbkt").orderBy(keyCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val superOffsets = withSuper.groupBy("__sbkt")
+      .agg(sum(col(totCol)).as("__stot"))
+      .withColumn("__soff",
+        coalesce(sum(col("__stot")).over(
+          Window.orderBy("__sbkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__sbkt"), col("__soff"))
+    inSuper.join(broadcast(superOffsets), Seq("__sbkt"))
+      .select(col(keyCol),
+        (col("__soff") + col("__scum") - col(totCol)).as(offCol))
+  }
+
   /** The placement core shared by [[packChunksBySize]] and
     * [[packTokenIds]]: each doc's half-open global token interval
     * `[__start, __end)` in ascending-id concatenation order, via the
-    * two-level bucket scan (never a single-partition corpus window).
-    * Zero/negative sizes drop. Returns (__id, __n, __start, __end).
+    * bucketed distributed scan (never a single-partition corpus OR
+    * bucket-table window — [[exclusiveOffsets]]). The offsets join is
+    * deliberately UNHINTED: at 10^11+ docs the `n/bucketSize`-row
+    * offset table exceeds any broadcast budget and must shuffle; below
+    * that, AQE broadcasts it on its own. Zero/negative sizes drop.
+    * Returns (__id, __n, __start, __end).
     */
   private def placeDocs(sizes: DataFrame, idCol: String,
       sizeCol: String, bucketSize: Long): DataFrame = {
@@ -827,15 +871,11 @@ object Curation {
       sum(col("__n")).over(
         Window.partitionBy("__bkt").orderBy("__id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val bucketOffsets = toks.groupBy("__bkt")
-      .agg(sum(col("__n")).as("__btot"))
-      .withColumn("__boff",
-        coalesce(sum(col("__btot")).over(
-          Window.orderBy("__bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bkt"), col("__boff"))
+    val bucketOffsets = exclusiveOffsets(
+      toks.groupBy("__bkt").agg(sum(col("__n")).as("__btot")),
+      "__bkt", "__btot", "__boff")
     inBucket
-      .join(broadcast(bucketOffsets), "__bkt")
+      .join(bucketOffsets, "__bkt")
       .withColumn("__end", col("__boff") + col("__cum"))
       .withColumn("__start", col("__end") - col("__n"))
   }
@@ -907,13 +947,12 @@ object Curation {
         Window.partitionBy("__bkt")
           .orderBy(col("quality").desc, col(idCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = bkt.groupBy("__bkt")
-      .agg(sum(col("n_tokens")).as("__btot"))
-      .withColumn("__boff",
-        coalesce(sum(col("__btot")).over(
-          Window.orderBy("__bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bkt"), col("__boff"))
+    // the key table is BOUNDED by construction (≤ qualityBuckets + 1
+    // rows), so the broadcast hint is sound at any corpus size; the
+    // offsets still ride the bucketed scan for uniformity
+    val offsets = exclusiveOffsets(
+      bkt.groupBy("__bkt").agg(sum(col("n_tokens")).as("__btot")),
+      "__bkt", "__btot", "__boff")
     inBucket.join(broadcast(offsets), "__bkt")
       .withColumn("cum_tokens", col("__boff") + col("__cum"))
       .where(col("cum_tokens") <= tokenBudget)
@@ -951,12 +990,11 @@ object Curation {
     val within = hashed.withColumn("__r",
       row_number().over(Window.partitionBy("__bkt")
         .orderBy(col("__h"), col(idCol))))
-    val offsets = hashed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
-      .withColumn("__off",
-        coalesce(sum(col("__n")).over(
-          Window.orderBy("__bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bkt"), col("__off"))
+    // bounded key table (≤ 2^20 rows by the require above): broadcast
+    // is sound; offsets ride the bucketed scan for uniformity
+    val offsets = exclusiveOffsets(
+      hashed.groupBy("__bkt").agg(count(lit(1)).as("__n")),
+      "__bkt", "__n", "__off")
     within.join(broadcast(offsets), "__bkt")
       .select(col(idCol), (col("__off") + col("__r") - 1).as("pos"))
   }

@@ -761,7 +761,16 @@ object Sketches {
     * group — config-scale, NEVER corpus- or domain-scale.
     */
   def histQuantiles(buckets: DataFrame, groupCols: Seq[String], b: Int,
-      qPermille: Seq[Int]): DataFrame = {
+      qPermille: Seq[Int]): DataFrame =
+    histQuantilesWith(buckets, groupCols, qPermille,
+      histLowerBoundSql(_, b), b)
+
+  /** The extraction shared by the non-negative and signed forms —
+    * identical cumulative rank rule, parameterized decode.
+    */
+  private def histQuantilesWith(buckets: DataFrame,
+      groupCols: Seq[String], qPermille: Seq[Int],
+      decode: String => String, b: Int): DataFrame = {
     checkB(b)
     require(qPermille.nonEmpty, "histQuantiles: no quantiles")
     require(qPermille.forall(q => q >= 0 && q <= 1000),
@@ -782,7 +791,7 @@ object Sketches {
       .groupBy(groupCols.map(col) :+ col("q_permille"): _*)
       .agg(min(col("bucket")).as("__b"))
       .select(groupCols.map(col) ++ Seq(col("q_permille"),
-        expr(histLowerBoundSql("__b", b)).as("quantile_lo")): _*)
+        expr(decode("__b")).as("quantile_lo")): _*)
   }
 
   /** One-call sketched quantiles: corpus → buckets → quantiles. */
@@ -816,5 +825,91 @@ object Sketches {
     metaCheck(spark, dir, Seq("b" -> b))
     histQuantiles(spark.read.parquet(s"$dir/buckets"), groupCols, b,
       qPermille)
+  }
+
+  // --------------------------------------------------------------------
+  // SIGNED-metric quantile sketch — the two-sided store (the DDSketch
+  // negative-store idea): bucket(v) = histBucket(v) for v ≥ 0 and
+  // −histBucket(−v) for v < 0. The map is ORDER-PRESERVING (more
+  // negative → smaller bucket id), so quantile extraction is the same
+  // cumulative rank rule, and each SIDE keeps the ≤ 2^-b RELATIVE
+  // error — which is why this beats the obvious "offset everything to
+  // non-negative" transform: an offset of 2^62 would log-bucket the
+  // SHIFTED magnitudes, quantizing every realistic centered metric
+  // (logits, centered scores) into a single bucket. Fold/merge is the
+  // same per-bucket sum, so multi-batch tables stay safe. Domain:
+  // |v| < 2^62 (values beyond are excluded like nulls — fixed-point-
+  // scale down before sketching; the bound keeps the negative-side
+  // upper-bound decode `−lo(|bucket|+1)+1` inside BIGINT).
+  // --------------------------------------------------------------------
+
+  private[graft] def histBucketSignedSql(v: String, b: Int): String =
+    s"""CASE WHEN $v >= 0 THEN (${histBucketSql(v, b)})
+        ELSE -(${histBucketSql(s"(-($v))", b)}) END"""
+
+  /** Decode a signed bucket id to the bucket's lower bound: for a
+    * negative bucket −k covering v ∈ [−hi(k)+1, −lo(k)] the lower
+    * bound is −hi(k)+1, where hi(k) = lo(k+1) (bucket ids are dense).
+    */
+  private[graft] def histLowerBoundSignedSql(bucket: String,
+      b: Int): String =
+    s"""CASE WHEN $bucket >= 0 THEN (${histLowerBoundSql(bucket, b)})
+        ELSE -(${histLowerBoundSql(s"((-($bucket)) + 1)", b)}) + 1
+        END"""
+
+  /** The signed histogram bucket table: (group..., bucket BIGINT —
+    * possibly negative, cnt BIGINT), ≤ 2·(63·2^b) + 1 rows per group.
+    * Null values and |v| ≥ 2^62 are excluded (see the domain note
+    * above). Mergeable with [[histFold]] like the non-negative form.
+    */
+  def histBucketsSigned(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], b: Int): DataFrame = {
+    checkB(b)
+    df.select(groupCols.map(col) :+ valueCol.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull &&
+        col("__v") > lit(-(1L << 62)) && col("__v") < lit(1L << 62))
+      .select(groupCols.map(col) :+
+        expr(histBucketSignedSql("__v", b)).as("bucket"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group quantiles from a SIGNED bucket table — same rank rule
+    * and output shape as [[histQuantiles]]; quantile_lo can be
+    * negative.
+    */
+  def histQuantilesSigned(buckets: DataFrame, groupCols: Seq[String],
+      b: Int, qPermille: Seq[Int]): DataFrame =
+    histQuantilesWith(buckets, groupCols, qPermille,
+      histLowerBoundSignedSql(_, b), b)
+
+  /** One-call signed sketched quantiles. */
+  def histQuantilesSignedOf(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], b: Int, qPermille: Seq[Int]): DataFrame =
+    histQuantilesSigned(histBucketsSigned(df, valueCol, groupCols, b),
+      groupCols, b, qPermille)
+
+  /** [[hllRegisters]] WITH per-(group, bucket) row counts — the
+    * one-aggregate form of "exact row total + HLL registers from the
+    * same scan" the sketched corpus report uses: every non-null input
+    * row lands in exactly one (group, bucket) cell, so per group
+    * `sum(rows)` is the EXACT row count while `max` builds the
+    * registers — one scan, one map-side-combinable shuffle, ≤ m rows
+    * per group.
+    */
+  def hllRegistersCounted(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], p: Int): DataFrame = {
+    checkP(p)
+    val m = 1 << p
+    val h2 = h32b(col("__v"))
+    df.select(groupCols.map(col) :+ valueCol.cast("string").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        pmod(h32(col("__v")), lit(m.toLong)).cast("int").as("bucket"),
+        when(h2 === 0, 33)
+          .otherwise(lit(33) - length(bin(h2))).cast("int")
+          .as("__r")): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__r")).as("register"), count(lit(1)).as("rows"))
   }
 }

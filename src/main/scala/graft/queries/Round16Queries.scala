@@ -205,7 +205,159 @@ object Round16Queries {
       FROM bbids"""
   }
 
+  /** Sub-bucket bits / HLL precision of the round-16 sketch gates —
+    * must match SketchQueries' (the shared DuckDB helpers bake them
+    * in). */
+  private val HistB = 6
+  private val ReportP = 7
+
+  /** The SIGNED quantile sketch replayed: the two-sided bucket CASE,
+    * the same cumulative rank rule, and the sign-aware decode
+    * (negative bucket −k → −lo(k+1)+1). The fixture centers
+    * events.value at 0 (micros of value − 0.5), so both sides carry
+    * real mass; the |v| < 2^62 domain filter replays in lockstep even
+    * though these micros can never reach it.
+    */
+  private lazy val histSignedOracle = {
+    import SketchQueries.{histBucketDuck, histLoDuck}
+    val bkt = s"""CASE WHEN v >= 0 THEN (${histBucketDuck("v")})
+                  ELSE -(${histBucketDuck("(-(v))")}) END"""
+    val lo = s"""CASE WHEN b0 >= 0 THEN (${histLoDuck("b0")})
+                 ELSE -(${histLoDuck("((-(b0)) + 1)")}) + 1 END"""
+    s"""WITH vals AS (SELECT event_type,
+             CAST(trunc((value - 0.5) * 1000000) AS BIGINT) AS v
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)
+             AND CAST(trunc((value - 0.5) * 1000000) AS BIGINT)
+                 > ${-(1L << 62)}
+             AND CAST(trunc((value - 0.5) * 1000000) AS BIGINT)
+                 < ${1L << 62}),
+         hfold AS (SELECT event_type, $bkt AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM vals GROUP BY 1, 2),
+         hcum AS (SELECT event_type, bucket,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+               AS c,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+           FROM hfold),
+         hpr AS (SELECT event_type, bucket, c, n,
+                   unnest([100, 500, 900]) AS q
+                 FROM hcum),
+         hqb AS (SELECT event_type, CAST(q AS INT) AS q_permille,
+                   min(bucket) AS b0
+                 FROM hpr WHERE c * 1000 >= q * n GROUP BY 1, 2)
+        SELECT event_type, q_permille,
+          CAST($lo AS BIGINT) AS quantile_lo
+        FROM hqb"""
+  }
+
+  /** The ALL-SKETCH corpus report replayed: exact doc/token counts
+    * (aggregates, not sketches — they cost nothing extra from the same
+    * scans), the full corrected HLL chain for distinct tokens, and the
+    * histogram-sketch quantiles for length percentiles.
+    */
+  private lazy val corpusReportSketchedOracle = {
+    import SketchQueries.{histBucketDuck, histLoDuck,
+      hllCorrectedGroupedOracle}
+    val hllInner = hllCorrectedGroupedOracle("lang",
+      """SELECT lang, unnest(list_filter(
+           string_split(lower(text), ' '), t -> t <> '')) AS v
+         FROM documents""")
+    s"""WITH base AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         ts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens
+                FROM (SELECT lang, unnest(list_filter(
+                        string_split(lower(text), ' '), t -> t <> ''))
+                        AS tok
+                      FROM documents)
+                GROUP BY 1),
+         hll AS ($hllInner),
+         vals AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars >= 0),
+         hfold AS (SELECT lang, ${histBucketDuck("v")} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM vals GROUP BY 1, 2),
+         hcum AS (SELECT lang, bucket,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS c,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+           FROM hfold),
+         hpr AS (SELECT lang, bucket, c, n, unnest([500, 900]) AS q
+                 FROM hcum),
+         hqb AS (SELECT lang, CAST(q AS INT) AS q_permille,
+                   min(bucket) AS b0
+                 FROM hpr WHERE c * 1000 >= q * n GROUP BY 1, 2),
+         qp AS (SELECT lang,
+                  max(CASE WHEN q_permille = 500
+                    THEN CAST(${histLoDuck("b0")} AS BIGINT) END)
+                    AS p50_chars_lo,
+                  max(CASE WHEN q_permille = 900
+                    THEN CAST(${histLoDuck("b0")} AS BIGINT) END)
+                    AS p90_chars_lo
+                FROM hqb GROUP BY 1)
+        SELECT base.lang, base.n_docs, ts.n_tokens,
+          hll.hll_est AS hll_tokens, qp.p50_chars_lo, qp.p90_chars_lo
+        FROM base JOIN ts USING (lang) JOIN hll USING (lang)
+        JOIN qp USING (lang)"""
+  }
+
   val all: Seq[Q] = Seq(
+    // SIGNED quantile sketch: the two-sided log-bucketed store
+    // (DDSketch negative-store idea) over a CENTERED metric — micros
+    // of events.value − 0.5 — so classifier logits and centered scores
+    // sketch without per-caller shifts; each side keeps ≤ 2^-b
+    // relative error where an offset transform would collapse every
+    // centered value into one bucket
+    Q.fn("q_sketch_quantile_signed", histSignedOracle) { (spark, sf) =>
+      graft.ml.Sketches.histQuantilesSignedOf(
+        Tables.load(spark, sf, "events")
+          .where(col("value").isNotNull && !isnan(col("value")))
+          .select(col("event_type"),
+            ((col("value") - 0.5) * 1000000).cast("long")
+              .as("__cmicros")),
+        col("__cmicros"), Seq("event_type"), HistB, Seq(100, 500, 900))
+    },
+
+    // the 100 TB DATA CARD: per-language docs, tokens, HLL-sketched
+    // distinct tokens and histogram-sketched length percentiles — ONE
+    // pinned scan of documents feeds n_docs + the length histogram,
+    // ONE pinned counted-register aggregate of the token explode feeds
+    // n_tokens + the HLL estimate (every output is config-scale; the
+    // exact-countDistinct/exact-quantile q_corpus_report is the
+    // small-corpus sibling)
+    Q.fn("q_corpus_report_sketched",
+        corpusReportSketchedOracle) { (spark, sf) =>
+      import graft.ml.{CacheLifecycle, Fns, Sketches}
+      val docs = Tables.load(spark, sf, "documents")
+      val db = CacheLifecycle.pin(
+        docs.select(col("lang"), col("n_chars").cast("long").as("__v"))
+          .groupBy(col("lang"),
+            when(col("__v").isNotNull && col("__v") >= 0,
+              expr(Sketches.histBucketSql("__v", HistB))).as("bucket"))
+          .agg(count(lit(1)).as("cnt")))
+      val base = db.groupBy("lang").agg(sum("cnt").as("n_docs"))
+      val qx = Sketches.histQuantiles(db.where(col("bucket").isNotNull),
+          Seq("lang"), HistB, Seq(500, 900))
+        .groupBy("lang").agg(
+          max(when(col("q_permille") === 500, col("quantile_lo")))
+            .as("p50_chars_lo"),
+          max(when(col("q_permille") === 900, col("quantile_lo")))
+            .as("p90_chars_lo"))
+      val regs = CacheLifecycle.pin(
+        Sketches.hllRegistersCounted(
+          docs.select(col("lang"),
+            explode(filter(Fns.tokens(col("text")), t => t =!= ""))
+              .as("tok")),
+          col("tok"), Seq("lang"), ReportP))
+      val nTok = regs.groupBy("lang").agg(sum("rows").as("n_tokens"))
+      val hll = Sketches.hllEstimate(
+          regs.select("lang", "bucket", "register"), Seq("lang"),
+          ReportP)
+        .select(col("lang"), col("hll_est").as("hll_tokens"))
+      base.join(nTok, Seq("lang")).join(hll, Seq("lang"))
+        .join(qx, Seq("lang"))
+    },
+
     // the ONE-PASS recipe reports: kept + funnel + funnel-by-domain
     // from a single staged chain (Recipes.curateBatchReports on the
     // standing-ingestion fixtures) — the oracle is the union of the

@@ -121,7 +121,7 @@ object SketchQueries {
     * large-range hit would mismatch loudly (it is unreachable below
     * ~143M distinct). `srcSql` must yield (`$key`, v VARCHAR) rows.
     */
-  private def hllCorrectedGroupedOracle(key: String,
+  private[queries] def hllCorrectedGroupedOracle(key: String,
       srcSql: String): String = {
     val lnCtes = graft.ml.Sketches
       .lnSteps("v0", "//", (a, b) => s"($a << ($b))")
@@ -231,7 +231,7 @@ object SketchQueries {
     * DuckDB spelling of [[graft.ml.Sketches.histBucketSql]] (`<<`/`>>`
     * for the variable-distance shifts; bin/length/greatest identical).
     */
-  private def histBucketDuck(v: String): String =
+  private[queries] def histBucketDuck(v: String): String =
     s"""CASE WHEN $v = 0 THEN 0
         ELSE length(bin($v)) * ${1 << HistB} +
           (($v - (1::BIGINT << (length(bin($v)) - 1)))
@@ -240,7 +240,7 @@ object SketchQueries {
   /** Decode a bucket id to its lower bound — DuckDB spelling of
     * [[graft.ml.Sketches.histLowerBoundSql]].
     */
-  private def histLoDuck(b0: String): String =
+  private[queries] def histLoDuck(b0: String): String =
     s"""CASE WHEN $b0 = 0 THEN 0
         ELSE (1::BIGINT << (CAST($b0 // ${1 << HistB} AS INT) - 1)) +
           (($b0 % ${1 << HistB})

@@ -230,6 +230,111 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("placeDocs offsets: no unpartitioned window over the bucket " +
+    "table (10^11-doc hardening)") {
+    // the bucket-offset level is itself bucketed (exclusiveOffsets):
+    // buckets cumsum inside their super-bucket (__sbkt-partitioned
+    // window) and ONLY the super totals — n_buckets / 2^16 rows —
+    // pass through an unpartitioned window. Before round 16 the whole
+    // n_docs/bucketSize bucket table ran through one task + a forced
+    // broadcast: the verdict's scale escape hatch at 10^11+ docs.
+    graft.queries.Q.session(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ml.Curation.packChunks(
+        Tables.load(spark, sf, "documents"), "text", "doc_id",
+        chunkTokens = 64, bucketSize = 50)
+      val p = df.queryExecution.executedPlan
+      val windows = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.exists(
+        _.partitionSpec.exists(_.toString.contains("__sbkt"))),
+        "bucket-level cumsum window lost its super-bucket key:\n" +
+          p.toString.take(1500))
+      val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+      assert(unpartitioned.size == 1,
+        s"exactly ONE unpartitioned window (the super-totals level, " +
+          s"n_buckets/2^16 rows) may exist, found ${
+            unpartitioned.size}:\n" + p.toString.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("exclusiveOffsets: exact exclusive prefix sums across super " +
+    "buckets; placement invariant to bucketSize") {
+    graft.queries.Q.session(spark)
+    import spark.implicits._
+    // 100 keys, superFan 8 → 13 super buckets: the three-level path
+    // engages and must still produce the plain exclusive scan
+    val totals = (0L until 100L).map(k => (k, k % 7 + 1)).toDF("k", "t")
+    val got = graft.ml.Curation
+      .exclusiveOffsets(totals, "k", "t", "off", superFan = 8)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (0L until 100L).map(k =>
+      (k, (0L until k).map(_ % 7 + 1).sum))
+    assert(got.toSeq === expect)
+    // placement is a pure function of the id order — bucketSize (and
+    // with it the bucket/super-bucket structure) must not change it
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), (col("n_chars") % 50 + 1).as("sz"))
+    def place(b: Long) = graft.ml.Curation
+      .packChunksBySize(docs, "doc_id", "sz", chunkTokens = 64,
+        bucketSize = b)
+      .orderBy("doc_id", "chunk_id").collect().map(_.toString).toSeq
+    assert(place(7L) === place(1000L))
+  }
+
+  test("q_corpus_report_sketched: every leg reads a pinned scan — no " +
+    "direct corpus re-scan") {
+    // one pinned documents aggregate feeds n_docs + the length
+    // histogram; one pinned counted-register aggregate of the token
+    // explode feeds n_tokens + the HLL estimate. The joined plan must
+    // read ONLY InMemoryTableScans of those two pins — a FileScan of
+    // documents in the visible plan means a leg escaped its pin and
+    // re-buys a corpus pass per report column at 100 TB.
+    // structural check: InMemoryTableScan is a LEAF, so a FileSource
+    // scan collected from the tree is one OUTSIDE the pins (the scan
+    // feeding a pin sits inside the InMemoryRelation's cached plan and
+    // is paid once) — disable AQE so the tree is concrete
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = q("q_corpus_report_sketched")
+      val exec = df.queryExecution.executedPlan
+      val pins = exec.collect {
+        case s: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => s
+      }
+      assert(pins.size >= 4,
+        "expected all four legs on the two pins:\n" +
+          exec.toString.take(1500))
+      val escaped = exec.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(escaped.isEmpty,
+        "a leg escaped its pin and re-scans the corpus:\n" +
+          exec.toString.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.ml.CacheLifecycle.releaseAll()
+    }
+  }
+
+  test("q_sketch_quantile_signed: hash-aggregate sketch, config-scale " +
+    "window only") {
+    // the signed sketch keeps the histogram discipline: bucket table
+    // via hash aggregate, extraction windows over ≤ 2·63·2^b+1 rows
+    // per group — never a corpus-scale window, never a product
+    val p = plan(q("q_sketch_quantile_signed"))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    val df = q("q_sketch_quantile_signed")
+    val windows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(
+      _.partitionSpec.exists(_.toString.contains("event_type"))),
+      "a window lost its group key:\n" + p.take(1500))
+  }
+
   test("packBins rides the same bucketed scan — no corpus-wide window") {
     graft.queries.Q.session(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -334,6 +334,89 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hist signed: bucket map is order-preserving and decode is a " +
+    "true lower bound") {
+    val rnd = new scala.util.Random(4216)
+    val vs = (Seq(0L, 1L, -1L, 63L, 64L, -64L, -65L,
+      (1L << 61), -(1L << 61), (1L << 62) - 1, -(1L << 62) + 1) ++
+      Seq.fill(500)(rnd.nextLong() % (1L << 62))).distinct
+    val b = 6
+    def bucketOf(v: Long): Long = {
+      val df = Seq(v).toDF("v")
+      df.select(expr(Sketches.histBucketSignedSql("v", b)).as("bk"))
+        .head().getLong(0)
+    }
+    // batch-evaluate via one frame (per-value frames would be slow)
+    val rows = vs.toDF("v")
+      .select(col("v"), expr(Sketches.histBucketSignedSql("v", b))
+        .as("bk"))
+      .withColumn("lo", expr(Sketches.histLowerBoundSignedSql("bk", b)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // order-preserving: sorting by bucket never inverts value order
+    // beyond bucket granularity
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((v1, b1, _), (v2, b2, _)) =>
+        assert(b1 <= b2, s"bucket order inverted: $v1->$b1, $v2->$b2")
+      case _ => ()
+    }
+    // decode is a true lower bound and within one bucket width
+    rows.foreach { case (v, bk, lo) =>
+      assert(lo <= v, s"lo $lo above value $v (bucket $bk)")
+      val width = math.max(1L, math.abs(lo) >> b)
+      assert(v - lo <= width,
+        s"value $v beyond bucket width above lo $lo (bucket $bk)")
+    }
+    assert(bucketOf(0L) == 0L && bucketOf(-1L) < 0L && bucketOf(1L) > 0L)
+  }
+
+  test("hist signed: merge law and rank-rule agreement with the exact " +
+    "quantile's bucket") {
+    val df = spark.range(4000)
+      .select(((col("id") * 37 % 2001) - 1000).as("v"),
+        (col("id") % 2).cast("string").as("g"))
+    // merge law: per-batch signed buckets fold to the union's buckets
+    val a = df.where(col("id") % 3 === 0)
+    val c = df.where(col("id") % 3 =!= 0)
+    val merged = Sketches.histFold(
+      Sketches.histBucketsSigned(a, $"v", Seq("g"), 5)
+        .unionByName(Sketches.histBucketsSigned(c, $"v", Seq("g"), 5)),
+      Seq("g")).orderBy("g", "bucket")
+      .as[(String, Long, Long)].collect().toSeq
+    val union = Sketches.histBucketsSigned(df, $"v", Seq("g"), 5)
+      .orderBy("g", "bucket").as[(String, Long, Long)].collect().toSeq
+    assert(merged === union)
+    // the reported quantile_lo is the lower bound of the TRUE
+    // quantile's bucket (the same rank rule applied exactly)
+    val got = Sketches.histQuantilesSignedOf(df, $"v", Seq("g"), 5,
+      Seq(100, 500, 900))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val byG = df.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, vals) <- byG; q <- Seq(100, 500, 900)) {
+      val n = vals.length
+      val trueQ = vals.find { v =>
+        (vals.count(_ <= v).toLong * 1000) >= q.toLong * n
+      }.get
+      val expLo = Seq(trueQ).toDF("v")
+        .select(expr(Sketches.histBucketSignedSql("v", 5)).as("bk"))
+        .select(expr(Sketches.histLowerBoundSignedSql("bk", 5)))
+        .head().getLong(0)
+      assert(got((g, q)) == expLo,
+        s"g=$g q=$q: got ${got((g, q))}, true quantile $trueQ " +
+          s"decodes to $expLo")
+    }
+  }
+
+  test("hist signed: values beyond ±(2^62−1) and nulls are excluded") {
+    val df = Seq(Some(5L), Some(-5L), None, Some(Long.MaxValue),
+      Some(Long.MinValue), Some((1L << 62)), Some(-(1L << 62)))
+      .toDF("v")
+    val buckets = Sketches.histBucketsSigned(df, $"v", Nil, 4)
+    assert(buckets.agg(sum("cnt")).head().getLong(0) == 2L)
+  }
+
   test("hist: merge(buckets(A), buckets(B)) == buckets(A union B)") {
     val a = spark.range(2000).select((col("id") * 7 % 5000).as("v"))
     val b = spark.range(1500).select((col("id") * 13 % 9000).as("v"))

@@ -299,6 +299,43 @@ object Bpe {
     word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       .map(b => String.valueOf((b & 0xff).toChar))
 
+  /** Persist a learned merge table ([[bpeTrain]]'s output frame, or
+    * any (rank, lhs, rhs) frame) as the deployable tokenizer
+    * ARTIFACT — the [[Unigram.saveVocab]] discipline for the BPE
+    * family (rank order IS the tokenizer; the parquet carries it
+    * explicitly, so ids reproduce from the artifact alone).
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: DataFrame, dir: String): Unit =
+    merges.select("rank", "lhs", "rhs")
+      .write.mode("overwrite").parquet(s"$dir/merges")
+
+  /** Load a [[saveMerges]] artifact in rank order. Bounded driver
+    * collect (real tables are ~30k-100k merges; the cap is far above
+    * any shipped tokenizer).
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(s"$dir/merges")
+      .orderBy("rank").limit((1 << 22) + 1).collect()
+    require(rows.length <= (1 << 22),
+      s"loadMerges: merge table too large (${rows.length})")
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** [[bpeEncodeIdsLarge]] / [[bpeEncodeIdsBytes]] against a persisted
+    * [[saveMerges]] artifact — the standing-pipeline id-sequence form
+    * (train once, encode every batch); `byteLevel = true` selects the
+    * byte-level id layout.
+    */
+  def encodeIdsWithMergesDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, textCol: String, idCol: String,
+      byteLevel: Boolean = false): DataFrame = {
+    val merges = loadMerges(spark, dir)
+    if (byteLevel) bpeEncodeIdsBytes(df, textCol, idCol, merges)
+    else bpeEncodeIdsLarge(df, textCol, idCol, merges)
+  }
+
   /** Exact pass-by-rank encode of one word; returns the piece count.
     * A TreeSet of armed ranks stands in for scanning all N passes:
     * initially every adjacent pair arms all its ranks; popping the

@@ -808,7 +808,9 @@ object Sketches {
   def appendHistState(df: DataFrame, valueCol: Column,
       groupCols: Seq[String], b: Int, dir: String): Unit = {
     checkB(b)
-    metaCheckOrWrite(df.sparkSession, dir, Seq("b" -> b))
+    // signedness is part of the pin: folding signed deltas into an
+    // unsigned state (or vice versa) would silently mis-decode
+    metaCheckOrWrite(df.sparkSession, dir, Seq("b" -> b, "signed" -> 0))
     histBuckets(df, valueCol, groupCols, b)
       .write.mode("append").parquet(s"$dir/buckets")
   }
@@ -822,7 +824,7 @@ object Sketches {
       dir: String, groupCols: Seq[String], b: Int,
       qPermille: Seq[Int]): DataFrame = {
     checkB(b)
-    metaCheck(spark, dir, Seq("b" -> b))
+    metaCheck(spark, dir, Seq("b" -> b, "signed" -> 0))
     histQuantiles(spark.read.parquet(s"$dir/buckets"), groupCols, b,
       qPermille)
   }
@@ -888,6 +890,32 @@ object Sketches {
       groupCols: Seq[String], b: Int, qPermille: Seq[Int]): DataFrame =
     histQuantilesSigned(histBucketsSigned(df, valueCol, groupCols, b),
       groupCols, b, qPermille)
+
+  /** Append a batch's SIGNED bucket delta to a standing state
+    * directory — [[appendHistState]]'s two-sided form; the meta pins
+    * `b` AND signedness, so a signed/unsigned mix-up fails loudly
+    * instead of silently mis-decoding.
+    */
+  def appendHistStateSigned(df: DataFrame, valueCol: Column,
+      groupCols: Seq[String], b: Int, dir: String): Unit = {
+    checkB(b)
+    metaCheckOrWrite(df.sparkSession, dir, Seq("b" -> b, "signed" -> 1))
+    histBucketsSigned(df, valueCol, groupCols, b)
+      .write.mode("append").parquet(s"$dir/buckets")
+  }
+
+  /** Signed quantiles from a standing state directory — fold all
+    * appended deltas, then extract with the sign-aware decode.
+    * Requires the signed meta pin (read paths never write it).
+    */
+  def histQuantilesSignedFromState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      groupCols: Seq[String], b: Int, qPermille: Seq[Int]): DataFrame = {
+    checkB(b)
+    metaCheck(spark, dir, Seq("b" -> b, "signed" -> 1))
+    histQuantilesSigned(spark.read.parquet(s"$dir/buckets"), groupCols,
+      b, qPermille)
+  }
 
   /** [[hllRegisters]] WITH per-(group, bucket) row counts — the
     * one-aggregate form of "exact row total + HLL registers from the

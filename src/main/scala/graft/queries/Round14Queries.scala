@@ -367,7 +367,7 @@ object Round14Queries {
     * chain), pieces mapped to ids — code point for single chars,
     * 0x110000 + first-producing rank for merge outputs.
     */
-  private lazy val bpeEncodeIdsOracle = {
+  private[queries] lazy val bpeEncodeIdsOracle = {
     import Round13Queries.largeMerges
     val groups = largeMerges.grouped(20).toSeq
     val ctes = groups.zipWithIndex.map { case (g, gi) =>

@@ -301,6 +301,21 @@ object Round16Queries {
         JOIN qp USING (lang)"""
   }
 
+  private val histSignedLoopDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val bpeMergeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The signed centered-micros projection shared by the one-shot and
+    * standing-state signed quantile gates.
+    */
+  private def centeredMicros(spark: SparkSession,
+      sf: String): DataFrame =
+    Tables.load(spark, sf, "events")
+      .where(col("value").isNotNull && !isnan(col("value")))
+      .select(col("event_id"), col("event_type"),
+        ((col("value") - 0.5) * 1000000).cast("long").as("__cmicros"))
+
   val all: Seq[Q] = Seq(
     // SIGNED quantile sketch: the two-sided log-bucketed store
     // (DDSketch negative-store idea) over a CENTERED metric — micros
@@ -310,12 +325,49 @@ object Round16Queries {
     // centered value into one bucket
     Q.fn("q_sketch_quantile_signed", histSignedOracle) { (spark, sf) =>
       graft.ml.Sketches.histQuantilesSignedOf(
-        Tables.load(spark, sf, "events")
-          .where(col("value").isNotNull && !isnan(col("value")))
-          .select(col("event_type"),
-            ((col("value") - 0.5) * 1000000).cast("long")
-              .as("__cmicros")),
+        centeredMicros(spark, sf),
         col("__cmicros"), Seq("event_type"), HistB, Seq(100, 500, 900))
+    },
+
+    // ... and its STANDING STATE: three batches append signed bucket
+    // deltas (meta pins b AND signedness — a signed/unsigned mix-up
+    // fails loudly), the read-time per-bucket-sum fold extracts; the
+    // merge law makes the one-shot replay the oracle
+    Q.fn("q_sketch_quantile_signed_loop", histSignedOracle) { (spark, sf) =>
+      import graft.ml.Sketches
+      val src = centeredMicros(spark, sf)
+      val dir = histSignedLoopDirs.computeIfAbsent(sf, { _ =>
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-hist-signed-state").toString
+        (0L to 2L).foreach { r =>
+          Sketches.appendHistStateSigned(
+            src.where(pmod(col("event_id"), lit(3L)) === r),
+            col("__cmicros"), Seq("event_type"), HistB, d)
+        }
+        d
+      })
+      Sketches.histQuantilesSignedFromState(spark, dir,
+        Seq("event_type"), HistB, Seq(100, 500, 900))
+    },
+
+    // BPE persisted artifact: the merge table saved in rank order and
+    // re-loaded for encoding (train once, encode every batch — the
+    // saveVocab discipline for the BPE family); ids reproduce from the
+    // artifact alone, so the oracle is the live encoder's replay
+    Q.fn("q_bpe_persisted", Round14Queries.bpeEncodeIdsOracle) {
+        (spark, sf) =>
+      import spark.implicits._
+      val dir = bpeMergeDirs.computeIfAbsent(sf, { _ =>
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-bpe-merges").toString
+        graft.ml.Bpe.saveMerges(spark,
+          Round13Queries.largeMerges.zipWithIndex
+            .map { case ((l, r), i) => (i + 1, l, r) }
+            .toDF("rank", "lhs", "rhs"), d)
+        d
+      })
+      Q.explodePieceIds(graft.ml.Bpe.encodeIdsWithMergesDir(spark, dir,
+        Tables.load(spark, sf, "documents"), "text", "doc_id"))
     },
 
     // the 100 TB DATA CARD: per-language docs, tokens, HLL-sketched

@@ -131,6 +131,25 @@ class ByteFallbackSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe persisted merges reproduce the live ids in both layouts") {
+    import graft.ml.Bpe
+    val merges = Seq(("a", "b"), ("ab", "c"), ("b", "c"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bf-bpe").toString
+    Bpe.saveMerges(spark, merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("rank", "lhs", "rhs"), dir)
+    assert(Bpe.loadMerges(spark, dir) === merges)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "tok_pos").collect().map(_.toString).toSeq
+    assert(rows(Bpe.encodeIdsWithMergesDir(spark, dir, bait, "text",
+        "doc_id")) ===
+      rows(Bpe.bpeEncodeIdsLarge(bait, "text", "doc_id", merges)))
+    assert(rows(Bpe.encodeIdsWithMergesDir(spark, dir, bait, "text",
+        "doc_id", byteLevel = true)) ===
+      rows(Bpe.bpeEncodeIdsBytes(bait, "text", "doc_id", merges)))
+  }
+
   test("persisted artifacts reproduce the live byte-fallback ids") {
     val uVocab = Unigram.unigramTrain(corpus, "text", 3, 10, 1, 2)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq

@@ -409,6 +409,39 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hist signed: standing state folds to the one-shot sketch; " +
+    "signedness is pinned") {
+    val df = spark.range(3000)
+      .select(col("id"), ((col("id") * 31 % 801) - 400).as("v"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hist-signed").toString
+    (0L to 2L).foreach { r =>
+      Sketches.appendHistStateSigned(df.where(col("id") % 3 === r),
+        $"v", Nil, 5, dir)
+    }
+    val fromState = Sketches
+      .histQuantilesSignedFromState(spark, dir, Nil, 5, Seq(500, 900))
+      .orderBy("q_permille").collect().map(_.toString).toSeq
+    val oneShot = Sketches
+      .histQuantilesSignedOf(df, $"v", Nil, 5, Seq(500, 900))
+      .orderBy("q_permille").collect().map(_.toString).toSeq
+    assert(fromState === oneShot)
+    // a signed state refuses unsigned reads and appends (and the
+    // b pin still holds)
+    val e1 = intercept[Exception] {
+      Sketches.histQuantilesFromState(spark, dir, Nil, 5, Seq(500))
+    }
+    assert(e1.getMessage.contains("signed"))
+    val e2 = intercept[Exception] {
+      Sketches.appendHistState(df, $"v", Nil, 5, dir)
+    }
+    assert(e2.getMessage.contains("signed"))
+    val e3 = intercept[IllegalArgumentException] {
+      Sketches.histQuantilesSignedFromState(spark, dir, Nil, 6, Seq(500))
+    }
+    assert(e3.getMessage.contains("b="))
+  }
+
   test("hist signed: values beyond ±(2^62−1) and nulls are excluded") {
     val df = Seq(Some(5L), Some(-5L), None, Some(Long.MaxValue),
       Some(Long.MinValue), Some((1L << 62)), Some(-(1L << 62)))

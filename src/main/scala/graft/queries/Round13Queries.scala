@@ -572,19 +572,10 @@ object Round13Queries {
     // consumes — chained from the SAME fixtures the pagerank and
     // anchor gates use
     Q.fn("q_domain_link_quality", linkQualityOracle) { (spark, sf) =>
-      import Round11Queries.{withUrl, pick}
       val docs = Tables.load(spark, sf, "documents")
       val anchors = Graphs.extractAnchors(
         Round12Queries.withLinkHtml(docs), "html_links", "doc_id")
-      val u = withUrl(docs)
-        .withColumn("src", Curation.extractHost(col("url")))
-      val e1 = u.select(col("src"),
-        concat(lit("www.site"), pick("-l1", 40).cast("string"),
-          lit(".com")).as("dst"))
-      val e2 = u.select(col("src"),
-        concat(lit("site"), pick("-l2", 40).cast("string"),
-          lit(".org")).as("dst"))
-      val auth = Graphs.pageRank(e1.union(e2), "src", "dst", iters = 3)
+      val auth = Round16Queries.fixtureRanks(spark, sf)
         .groupBy(Curation.registrableDomain(col("node")).as("domain"))
         .agg(sum(col("pr_rank")).as("authority"))
       Graphs.domainLinkQuality(anchors, "href", "anchor", auth)
@@ -594,19 +585,11 @@ object Round13Queries {
     // documents in proportion to their link quality — the composition
     // the quality table exists for
     Q.fn("q_mix_link_quality", mixLinkQualityOracle) { (spark, sf) =>
-      import Round11Queries.{withUrl, pick}
+      import Round11Queries.withUrl
       val docs = Tables.load(spark, sf, "documents")
       val anchors = Graphs.extractAnchors(
         Round12Queries.withLinkHtml(docs), "html_links", "doc_id")
-      val u = withUrl(docs)
-        .withColumn("src", Curation.extractHost(col("url")))
-      val e1 = u.select(col("src"),
-        concat(lit("www.site"), pick("-l1", 40).cast("string"),
-          lit(".com")).as("dst"))
-      val e2 = u.select(col("src"),
-        concat(lit("site"), pick("-l2", 40).cast("string"),
-          lit(".org")).as("dst"))
-      val auth = Graphs.pageRank(e1.union(e2), "src", "dst", iters = 3)
+      val auth = Round16Queries.fixtureRanks(spark, sf)
         .groupBy(Curation.registrableDomain(col("node")).as("domain"))
         .agg(sum(col("pr_rank")).as("authority"))
       val quality =

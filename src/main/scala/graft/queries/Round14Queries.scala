@@ -1462,17 +1462,8 @@ object Round14Queries {
     // compositions consume
     Q.fn("q_authority_psl", authorityPslOracle) { (spark, sf) =>
       import spark.implicits._
-      import Round11Queries.{withUrl, pick}
-      val u = withUrl(Tables.load(spark, sf, "documents"))
-        .withColumn("src", Curation.extractHost(col("url")))
-      val e1 = u.select(col("src"),
-        concat(lit("www.site"), pick("-l1", 40).cast("string"),
-          lit(".com")).as("dst"))
-      val e2 = u.select(col("src"),
-        concat(lit("site"), pick("-l2", 40).cast("string"),
-          lit(".org")).as("dst"))
       Graphs.domainAuthority(
-        Graphs.pageRank(e1.union(e2), "src", "dst", iters = 3),
+        Round16Queries.fixtureRanks(spark, sf),
         "node", Some(PslFullRules.toDF("suffix", "kind")))
     }
   )

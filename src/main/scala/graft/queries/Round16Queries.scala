@@ -33,13 +33,24 @@ object Round16Queries {
     new java.util.concurrent.ConcurrentHashMap[String, RecipeReports]
 
   private def collectReports(
-      r: graft.ml.Recipes.CurationReports): RecipeReports =
+      r: graft.ml.Recipes.CurationReports): RecipeReports = {
+    // require-bounded driver state (the vocabulary-cache discipline):
+    // both reports are config-scale by construction (stages and
+    // stages × fixture domains); a fixture change that breaks that
+    // fails loudly instead of ballooning the driver
+    val funnel = r.funnel.limit(1 << 10).collect()
+    require(funnel.length < (1 << 10),
+      s"recipe report cache: funnel unexpectedly large")
+    val domains = r.funnelByDomain.limit(1 << 20).collect()
+    require(domains.length < (1 << 20),
+      s"recipe report cache: by-domain report unexpectedly large")
     RecipeReports(
-      r.funnel.collect()
+      funnel
         .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq,
-      r.funnelByDomain.collect()
+      domains
         .map(x => (x.getInt(0), x.getString(1),
           Option(x.getString(2)), x.getLong(3))).toSeq)
+  }
 
   /** The q_recipe_funnel fixture chain (Round13's gate input): funnel
     * pages wrapped in light html, synthetic urls, the `short line`
@@ -338,9 +349,12 @@ object Round16Queries {
       sf: String): DataFrame = {
     import spark.implicits._
     pageRankCache.computeIfAbsent(sf, { _ =>
-      graft.ml.Graphs.pageRank(fixtureEdges(spark, sf), "src", "dst",
-          iters = 3)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val rows = graft.ml.Graphs.pageRank(fixtureEdges(spark, sf),
+          "src", "dst", iters = 3)
+        .limit(1 << 20).collect()
+      require(rows.length < (1 << 20),
+        "pagerank cache: fixture node set unexpectedly large")
+      rows.map(r => (r.getString(0), r.getLong(1))).toSeq
     }).toDF("node", "pr_rank")
   }
 

@@ -305,8 +305,7 @@ object Bpe {
     * family (rank order IS the tokenizer; the parquet carries it
     * explicitly, so ids reproduce from the artifact alone).
     */
-  def saveMerges(spark: org.apache.spark.sql.SparkSession,
-      merges: DataFrame, dir: String): Unit =
+  def saveMerges(merges: DataFrame, dir: String): Unit =
     merges.select("rank", "lhs", "rhs")
       .write.mode("overwrite").parquet(s"$dir/merges")
 
@@ -320,7 +319,10 @@ object Bpe {
       .orderBy("rank").limit((1 << 22) + 1).collect()
     require(rows.length <= (1 << 22),
       s"loadMerges: merge table too large (${rows.length})")
-    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    // by NAME, not position: a hand-authored merges parquet with a
+    // different column order must not silently swap the merge sides
+    rows.map(r =>
+      (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
   }
 
   /** [[bpeEncodeIdsLarge]] / [[bpeEncodeIdsBytes]] against a persisted

@@ -69,13 +69,21 @@ object Recipes {
 
   private def reportsOf(stages: Seq[(String, DataFrame)],
       urlCol: String, psl: Option[DataFrame],
-      spark: org.apache.spark.sql.SparkSession): CurationReports = {
+      spark: org.apache.spark.sql.SparkSession): CurationReports =
+    CurationReports(stages.last._2, funnelOf(stages, spark),
+      domainRollup(stages, urlCol, psl))
+
+  /** The global per-stage funnel over already-checkpointed stage
+    * frames — the ONE definition behind [[curate]], [[curateBatch]]
+    * and [[curateReports]] (the q_recipe_reports gate asserts their
+    * equality, so they must not be three copies that can diverge).
+    */
+  private def funnelOf(stages: Seq[(String, DataFrame)],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    val funnel = stages.zipWithIndex
+    stages.zipWithIndex
       .map { case ((name, frame), i) => (i, name, frame.count()) }
       .toDF("step", "stage", "docs")
-    CurationReports(stages.last._2, funnel,
-      domainRollup(stages, urlCol, psl))
   }
 
   /** The per-domain attribution over already-checkpointed stage
@@ -104,11 +112,7 @@ object Recipes {
       badWords: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
     val stages = curateStaged(df, idCol, htmlCol, urlCol, blocklist,
       seed, seedLabelCol, minJaccard, badWords)
-    import df.sparkSession.implicits._
-    val report = stages.zipWithIndex
-      .map { case ((name, frame), i) => (i, name, frame.count()) }
-      .toDF("step", "stage", "docs")
-    (stages.last._2, report)
+    (stages.last._2, funnelOf(stages, df.sparkSession))
   }
 
   /** Per-domain funnel ATTRIBUTION — the production question the global
@@ -166,11 +170,7 @@ object Recipes {
     val stages = curateBatchStaged(df, idCol, htmlCol, urlCol,
       blocklist, model, cutBucket, urlIndexDir, bandIndexDir, refText,
       minJaccard, badWords)
-    import df.sparkSession.implicits._
-    val report = stages.zipWithIndex
-      .map { case ((name, frame), i) => (i, name, frame.count()) }
-      .toDF("step", "stage", "docs")
-    (stages.last._2, report)
+    (stages.last._2, funnelOf(stages, df.sparkSession))
   }
 
   /** Per-domain funnel attribution for the INCREMENTAL path — the

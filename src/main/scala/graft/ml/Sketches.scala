@@ -80,7 +80,16 @@ object Sketches {
       fields: Seq[(String, Int)]): Unit = {
     val row = spark.read.parquet(s"$dir/meta").collect()(0)
     fields.foreach { case (name, v) =>
-      val stored = row.getAs[Int](name)
+      // a pin field ABSENT from an existing meta is a state written
+      // before that field existed: it reads as the legacy value 0 —
+      // the compatibility contract for ADDING pin fields is that 0
+      // must mean "what every pre-existing state was" (e.g.
+      // signed=0 ⇔ the unsigned sketch, the only kind that existed
+      // before the field). A mismatch still fails with the designed
+      // loud message, never an opaque schema error.
+      val stored =
+        if (row.schema.fieldNames.contains(name)) row.getAs[Int](name)
+        else 0
       require(stored == v,
         s"sketch state at $dir was built with $name=$stored, " +
           s"got $name=$v — estimates would be silently wrong")
@@ -165,20 +174,10 @@ object Sketches {
     * sketch state.
     */
   def hllRegisters(df: DataFrame, valueCol: Column,
-      groupCols: Seq[String], p: Int): DataFrame = {
-    checkP(p)
-    val m = 1 << p
-    val h2 = h32b(col("__v"))
-    df.select(groupCols.map(col) :+ valueCol.cast("string").as("__v"): _*)
-      .where(col("__v").isNotNull)
-      .select(groupCols.map(col) ++ Seq(
-        pmod(h32(col("__v")), lit(m.toLong)).cast("int").as("bucket"),
-        when(h2 === 0, 33)
-          .otherwise(lit(33) - length(bin(h2))).cast("int")
-          .as("__r")): _*)
-      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
-      .agg(max(col("__r")).as("register"))
-  }
+      groupCols: Seq[String], p: Int): DataFrame =
+    // one register law, one implementation: the counted variant's
+    // extra per-cell count is map-side-combined (effectively free)
+    hllRegistersCounted(df, valueCol, groupCols, p).drop("rows")
 
   /** Fold a (possibly multi-batch) register table to one register per
     * (group, bucket): per-bucket MAX — associative and idempotent, so

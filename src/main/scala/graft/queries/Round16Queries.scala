@@ -217,10 +217,12 @@ object Round16Queries {
   }
 
   /** Sub-bucket bits / HLL precision of the round-16 sketch gates —
-    * must match SketchQueries' (the shared DuckDB helpers bake them
-    * in). */
-  private val HistB = 6
-  private val ReportP = 7
+    * the SAME constants SketchQueries' shared DuckDB helpers bake in
+    * (referenced, not copied, so a retuning cannot desync the engine
+    * side from its oracle).
+    */
+  private val HistB = SketchQueries.HistB
+  private val ReportP = SketchQueries.P
 
   /** The SIGNED quantile sketch replayed: the two-sided bucket CASE,
     * the same cumulative rank rule, and the sign-aware decode
@@ -417,7 +419,7 @@ object Round16Queries {
       val dir = bpeMergeDirs.computeIfAbsent(sf, { _ =>
         val d = java.nio.file.Files
           .createTempDirectory("graft-bpe-merges").toString
-        graft.ml.Bpe.saveMerges(spark,
+        graft.ml.Bpe.saveMerges(
           Round13Queries.largeMerges.zipWithIndex
             .map { case ((l, r), i) => (i + 1, l, r) }
             .toDF("rank", "lhs", "rhs"), d)

@@ -16,7 +16,7 @@ import Round11Queries.{withUrl, urlCte, canonCte, hostSql, domainSql}
   */
 object SketchQueries {
 
-  private val P = 7
+  private[queries] val P = 7
   private val M = 1 << P // 128
   private val K = 64
   private val CmsD = 4
@@ -36,7 +36,7 @@ object SketchQueries {
 
   /** Sub-bucket bits of the quantile-histogram gates (2^6 = 64
     * sub-buckets per octave → ≤ 1.6 % relative bucket width). */
-  private val HistB = 6
+  private[queries] val HistB = 6
 
   private val ANum = BigInt(7213) * 1000 * M
   private val ADen = BigInt(10000) * (1000L * M + 1079)

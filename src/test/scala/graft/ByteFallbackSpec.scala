@@ -136,7 +136,7 @@ class ByteFallbackSpec extends AnyFunSuite {
     val merges = Seq(("a", "b"), ("ab", "c"), ("b", "c"))
     val dir = java.nio.file.Files
       .createTempDirectory("graft-bf-bpe").toString
-    Bpe.saveMerges(spark, merges.zipWithIndex
+    Bpe.saveMerges(merges.zipWithIndex
       .map { case ((l, r), i) => (i + 1, l, r) }
       .toDF("rank", "lhs", "rhs"), dir)
     assert(Bpe.loadMerges(spark, dir) === merges)

@@ -442,6 +442,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("b="))
   }
 
+  test("hist: a pre-signedness LEGACY meta (no 'signed' column) reads " +
+    "as unsigned and refuses signed reads loudly") {
+    val df = spark.range(500).select((col("id") % 97).as("v"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hist-legacy").toString
+    // hand-write the legacy state: meta pins only b (the pre-round-16
+    // layout), buckets as the unsigned sketch wrote them
+    spark.range(1).select(lit(6).as("b"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    Sketches.histBuckets(df, $"v", Nil, 6)
+      .write.mode("append").parquet(s"$dir/buckets")
+    // unsigned read and append still work (missing field ⇔ legacy 0)
+    val q = Sketches.histQuantilesFromState(spark, dir, Nil, 6, Seq(500))
+      .collect()
+    assert(q.length == 1)
+    Sketches.appendHistState(df, $"v", Nil, 6, dir)
+    // a signed read fails with the DESIGNED pin message, not an
+    // opaque schema error
+    val e = intercept[IllegalArgumentException] {
+      Sketches.histQuantilesSignedFromState(spark, dir, Nil, 6, Seq(500))
+    }
+    assert(e.getMessage.contains("signed=0"), e.getMessage)
+  }
+
   test("hist signed: values beyond ±(2^62−1) and nulls are excluded") {
     val df = Seq(Some(5L), Some(-5L), None, Some(Long.MaxValue),
       Some(Long.MinValue), Some((1L << 62)), Some(-(1L << 62)))

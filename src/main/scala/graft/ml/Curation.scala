@@ -1493,7 +1493,12 @@ object Curation {
           .as("__headMax"),
         min(when(col("__cum") * 3 >= col("__tot") * 2, col("__qb")))
           .as("__midMax"))
-    scored.join(broadcast(bounds), Seq(groupCol), "left")
+    // UNHINTED join: `bounds` is one row per group — config-scale for
+    // the CCNet language keying, but the API admits ANY group column
+    // (per-domain bounds at 100 TB are ~10^8 rows, past any broadcast
+    // budget). AQE broadcasts the small case on its own; forcing it
+    // here would be the placeDocs escape hatch all over again.
+    scored.join(bounds, Seq(groupCol), "left")
       .withColumn("ppl_bucket",
         when(col("lm_score").isNull, lit("tail"))
           .when(col("__qb") <= col("__headMax"), lit("head"))

@@ -896,7 +896,8 @@ object Curation {
     * equi-key before one posexplode. Empty docs occupy no window.
     */
   def packTokenIds(encoded: DataFrame, idCol: String,
-      chunkTokens: Long, bucketSize: Long = 1000L): DataFrame = {
+      chunkTokens: Long, bucketSize: Long = 1000L,
+      sepId: Option[Long] = None): DataFrame = {
     require(chunkTokens > 0, "packTokenIds: chunkTokens must be > 0")
     // null piece_ids rows are dropped up front (they contribute no
     // pieces): a null nested array would otherwise null the whole
@@ -905,14 +906,36 @@ object Curation {
     // placement sizes always equal the flattened stream lengths —
     // and the sizes come from a cheap map-side-combinable sum, not a
     // second materialization of the per-doc arrays.
+    //
+    // `sepId` is the GPT-2-style document separator (<|endoftext|>):
+    // when set, every document's stream gains ONE trailing separator
+    // piece — a reader of the packed layout sees doc boundaries
+    // in-band, and a window never starts mid-ambiguity. The separator
+    // counts toward the placement size (the packChunksBySize windows
+    // over the same sizes stay aligned with the flattened stream).
+    // Docs that emit no pieces still emit no rows — a separator-only
+    // stream would mark a boundary for a document that has no content
+    // in the layout.
     val clean = encoded.where(col("piece_ids").isNotNull)
+    val emptyArr = array().cast("array<bigint>")
+    val sepArr = sepId.map(s => array(lit(s))).getOrElse(emptyArr)
+    val sepN = lit(sepId.map(_ => 1L).getOrElse(0L))
+    // the separator attaches only to docs with ≥ 1 REAL piece: a doc
+    // whose rows all carry empty arrays contributes no content, so it
+    // must not mark a boundary either (the sizes grow by the same
+    // conditional, keeping placement aligned with the streams)
+    val flatCol = flatten(transform(
+      array_sort(collect_list(struct(col("tok_pos"),
+        col("piece_ids")))),
+      s => s.getField("piece_ids")))
     val flat = clean.groupBy(col(idCol))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("tok_pos"),
-          col("piece_ids")))),
-        s => s.getField("piece_ids"))).as("__ids"))
+      .agg(concat(flatCol,
+        when(size(flatCol) > 0, sepArr).otherwise(emptyArr))
+        .as("__ids"))
+    val rawSize = sum(size(col("piece_ids")).cast(LongType))
     val sizes = clean.groupBy(col(idCol))
-      .agg(sum(size(col("piece_ids")).cast(LongType)).as("__psz"))
+      .agg((rawSize + when(rawSize > 0, sepN).otherwise(lit(0L)))
+        .as("__psz"))
     val placed = placeDocs(sizes, idCol, "__psz", bucketSize)
       .select(col("__id").as(idCol), col("__start"))
     flat.join(placed, Seq(idCol))

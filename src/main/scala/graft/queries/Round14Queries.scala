@@ -517,10 +517,10 @@ object Round14Queries {
   // normalized scores stay inside 128 bits (word length ≤ 6 → at most
   // (10^6)^6 = 10^36 < 2^127); the Spark operator itself is
   // uncapped (BigInt cross-multiplied comparisons).
-  private val UniMaxPieceLen = 3
+  private[queries] val UniMaxPieceLen = 3
   private val UniSeedSize = 40
   private val UniMinCount = 2L
-  private val UniEmRounds = 2
+  private[queries] val UniEmRounds = 2
 
   private[queries] def unigramCorpus(docs: DataFrame,
       maxWordLen: Int = 6): DataFrame =
@@ -746,7 +746,7 @@ object Round14Queries {
 
   private val UniPruneTo = 12
 
-  private lazy val unigramTrainChain =
+  private[queries] lazy val unigramTrainChain =
     (unigramCorpusCte +: unigramSeedCtes +:
       (1 to UniEmRounds).map(n => unigramEmRoundCtes(n)))
       .mkString(",\n       ")
@@ -769,7 +769,7 @@ object Round14Queries {
     * with the path checksum that pins the exact segmentations —
     * shared by the encode and fertility oracles.
     */
-  private lazy val unigramEncodeChain = {
+  private[queries] lazy val unigramEncodeChain = {
     val er = UniEmRounds + 1
     s"""${unigramEmRoundCtes(er)},
        uenc AS (SELECT word, CAST(k AS BIGINT) AS np,
@@ -851,7 +851,7 @@ object Round14Queries {
   private val unigramVocabCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]
 
-  private def unigramVocabFor(sf: String,
+  private[queries] def unigramVocabFor(sf: String,
       corp: => DataFrame): Seq[(String, Long)] =
     unigramVocabCache.computeIfAbsent(sf, { _ =>
       graft.ml.Unigram.unigramTrain(corp, "text", UniMaxPieceLen,

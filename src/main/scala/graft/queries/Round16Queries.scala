@@ -360,6 +360,66 @@ object Round16Queries {
     }).toDF("node", "pr_rank")
   }
 
+  /** The in-band document-separator id of the q_pack_token_ids_sep
+    * gate — deliberately outside the gate vocabulary's rank space.
+    */
+  private val SepId = 999999L
+
+  /** `packTokenIds(sepId = …)` replayed: the q_pack_token_ids chain
+    * with every document's stream one piece longer (the trailing
+    * separator at per-doc index n_pieces) and the placement sizes
+    * grown in lockstep.
+    */
+  private lazy val packTokenIdsSepOracle = {
+    import Round14Queries.{unigramTrainChain, unigramEncodeChain,
+      UniEmRounds}
+    val er = UniEmRounds + 1
+    s"""WITH RECURSIVE
+       $unigramTrainChain,
+       $unigramEncodeChain,
+       vid AS (SELECT piece,
+                 CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT)
+                   AS pid
+               FROM uv$UniEmRounds),
+       wseq AS (SELECT word,
+                  unnest(range(1, len(string_split(path, ' ')) + 1))
+                    AS ord,
+                  unnest(string_split(path, ' ')) AS piece
+                FROM r${er}best),
+       uti AS (SELECT doc_id,
+                 unnest(range(1, len(tl) + 1)) - 1 AS tok_pos,
+                 unnest(tl) AS word
+               FROM (SELECT doc_id, list_filter(
+                       string_split(lower(text), ' '), t -> t <> '')
+                       AS tl
+                     FROM ucorp)
+               WHERE doc_id < 300),
+       pidx AS MATERIALIZED (
+         SELECT t.doc_id,
+           row_number() OVER (PARTITION BY t.doc_id
+             ORDER BY t.tok_pos, s.ord) - 1 AS pidx,
+           v.pid
+         FROM uti t JOIN wseq s USING (word) JOIN vid v USING (piece)),
+       ppd AS (SELECT d.doc_id,
+                 CAST(CASE WHEN coalesce(u.n_pieces, 0) > 0
+                      THEN u.n_pieces + 1 ELSE 0 END AS BIGINT) AS n
+               FROM documents d LEFT JOIN udoc u USING (doc_id)
+               WHERE d.doc_id < 300),
+       ppc AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS e
+               FROM ppd WHERE n > 0),
+       pall AS (SELECT doc_id, pidx, pid FROM pidx
+                UNION ALL
+                SELECT doc_id, n - 1 AS pidx, $SepId AS pid FROM ppc)
+      SELECT p.doc_id,
+        CAST((c.e - c.n + p.pidx) // 64 AS BIGINT) AS chunk_id,
+        CAST((c.e - c.n + p.pidx) % 64 AS BIGINT) AS pos,
+        CAST(p.pid AS BIGINT) AS piece_id
+      FROM pall p JOIN ppc c USING (doc_id)"""
+  }
+
   private val histSignedLoopDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private val bpeMergeDirs =
@@ -488,6 +548,23 @@ object Round16Queries {
       r.funnel.withColumn("domain", lit("(all)"))
         .select("step", "stage", "domain", "docs")
         .unionByName(r.funnelByDomain)
+    },
+
+    // the packed layout WITH in-band document boundaries — the
+    // GPT-2-style <|endoftext|> separator: every doc's id stream gains
+    // one trailing separator piece, placement sizes grow in lockstep,
+    // and a reader of (chunk_id, pos, piece_id) sees where documents
+    // end without a side table
+    Q.fn("q_pack_token_ids_sep", packTokenIdsSepOracle) { (spark, sf) =>
+      val corp = Round14Queries.unigramCorpus(
+        Tables.load(spark, sf, "documents"))
+      val vocab = Round14Queries.unigramVocabFor(sf, corp)
+      graft.ml.Curation.packTokenIds(
+        graft.ml.Unigram.unigramEncodeIds(
+          corp.where(col("doc_id") < 300), "text", "doc_id", vocab,
+          Round14Queries.UniMaxPieceLen),
+        "doc_id", chunkTokens = 64, bucketSize = 50,
+        sepId = Some(SepId))
     },
 
     // BYTE-LEVEL BPE (the GPT-2 layout): bytes are the base alphabet,

@@ -763,6 +763,37 @@ class CurationSpec extends AnyFunSuite {
     assert(counts === ranges)
   }
 
+  test("packTokenIds with sepId: one trailing separator per non-empty " +
+    "doc, sizes grow in lockstep, empty docs emit none") {
+    import spark.implicits._
+    val enc = Seq(
+      (1L, 0L, Seq(10L, 11L, 12L)), (1L, 1L, Seq(13L, 14L)),
+      (2L, 0L, Seq.empty[Long]),
+      (3L, 0L, Seq(20L, 21L)), (3L, 1L, Seq(22L, 23L)))
+      .toDF("doc_id", "tok_pos", "piece_ids")
+    val out = Curation.packTokenIds(enc, "doc_id", chunkTokens = 4,
+      bucketSize = 2, sepId = Some(99L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3))
+    // stream: doc1 ids 10..14 + SEP at gpos 0..5, doc3 20..23 + SEP
+    // at 6..10 — the separator shifts every later doc's placement
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 10L), (1L, 0L, 1L, 11L), (1L, 0L, 2L, 12L),
+      (1L, 0L, 3L, 13L),
+      (1L, 1L, 0L, 14L), (1L, 1L, 1L, 99L), (3L, 1L, 2L, 20L),
+      (3L, 1L, 3L, 21L),
+      (3L, 2L, 0L, 22L), (3L, 2L, 1L, 23L), (3L, 2L, 2L, 99L)),
+      out.mkString(","))
+    // exactly one separator per non-empty doc; doc 2 (empty) none
+    val seps = out.filter(_._4 == 99L)
+    assert(seps.map(_._1).toSeq.sorted === Seq(1L, 3L))
+    // each doc's separator is its LAST placed piece
+    val lastByDoc = out.groupBy(_._1).view
+      .mapValues(_.maxBy(t => (t._2, t._3))).toMap
+    assert(lastByDoc(1L)._4 == 99L && lastByDoc(3L)._4 == 99L)
+  }
+
   test("languagePlan: langid labels key the water-filling, unknown drops") {
     import spark.implicits._
     val docs = Seq(

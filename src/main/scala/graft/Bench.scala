@@ -121,6 +121,20 @@ object Bench {
     val total2 =
       if (errors.nonEmpty) "null"
       else "%.3f".formatLocal(java.util.Locale.ROOT, results2.values.sum)
+    // value_min = sum over queries of min(pass1, pass2) — best-of-4+
+    // per query. Three consecutive rounds violated the <10% two-pass
+    // rule on identical-or-exonerated code because ambient host
+    // contention lands on ONE pass's scattered queries; the cross-pass
+    // per-query minimum is resistant to that (contention would have to
+    // hit the SAME query in BOTH passes to survive into the sum). This
+    // is the round-over-round comparator from r17 on; value/value2 stay
+    // raw as the run-level determinism diagnostic.
+    val totalMin =
+      if (errors.nonEmpty) "null"
+      else "%.3f".formatLocal(java.util.Locale.ROOT,
+        results.map { case (k, v) =>
+          math.min(v, results2.getOrElse(k, v))
+        }.sum)
     val flakyJson = flaky.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val flakyCompact = {
@@ -138,9 +152,9 @@ object Bench {
     val qs2 = results2.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"value2":$total2,"unit":"sec",$filteredField"queries":$qs,"queries2":$qs2,"errors":$errs,"flaky":$flakyJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value2":$total2,"value_min":$totalMin,"unit":"sec",$filteredField"queries":$qs,"queries2":$qs2,"errors":$errs,"flaky":$flakyJson,"sf":"$sfDir"}"""
     val compact =
-      s"""{"metric":"total","value":$total,"value2":$total2,"unit":"sec",$filteredField"n":${results.size},"errors":$errsCompact,"flaky":$flakyCompact,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value2":$total2,"value_min":$totalMin,"unit":"sec",$filteredField"n":${results.size},"errors":$errsCompact,"flaky":$flakyCompact,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY subset must NEVER overwrite the durable
     // full-run artifact: a round-over-round comparator reading
     // target/bench.json would mistake a one-query triage run for a

@@ -13,7 +13,8 @@ object SparkEntry {
       Round6Queries.all ++ CurationQueries.all ++ Round8Queries.all ++
       Round9Queries.all ++ Round10Queries.all ++ Round11Queries.all ++
       Round12Queries.all ++ Round13Queries.all ++ Round14Queries.all ++
-      WordPieceQueries.all ++ SketchQueries.all ++ Round16Queries.all
+      WordPieceQueries.all ++ SketchQueries.all ++ Round16Queries.all ++
+      Round17Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * revenue by order priority for high-discount lineitems —

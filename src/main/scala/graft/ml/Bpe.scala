@@ -319,6 +319,17 @@ object Bpe {
       .orderBy("rank").limit((1 << 22) + 1).collect()
     require(rows.length <= (1 << 22),
       s"loadMerges: merge table too large (${rows.length})")
+    // ranks must be EXACTLY 1..N: the encoders re-derive ranks
+    // positionally from this sequence, and a hand-authored artifact
+    // with gapped or duplicated ranks (1,3,5) would silently produce
+    // merged-piece ids that contradict the ranks recorded in the
+    // artifact — fail loudly instead of re-ranking
+    rows.iterator.zipWithIndex.foreach { case (r, i) =>
+      val stored = r.getAs[Number]("rank").intValue()
+      require(stored == i + 1,
+        s"loadMerges: ranks must be contiguous 1..N — position ${
+          i + 1} carries rank $stored in $dir/merges")
+    }
     // by NAME, not position: a hand-authored merges parquet with a
     // different column order must not silently swap the merge sides
     rows.map(r =>

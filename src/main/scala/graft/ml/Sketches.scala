@@ -75,6 +75,12 @@ object Sketches {
     * k, d or w) does not ERROR — it silently yields garbage estimates
     * (wrong buckets, inflated h₍k₎, probes landing on absent cells).
     */
+  /** Pin fields added AFTER the state format shipped — the only ones
+    * allowed to read as legacy 0 when absent from an existing meta.
+    * Every field in the original format stays a hard error if missing.
+    */
+  private val metaLegacyZeroFields = Set("signed")
+
   private def metaValidate(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       fields: Seq[(String, Int)]): Unit = {
@@ -85,11 +91,21 @@ object Sketches {
       // the compatibility contract for ADDING pin fields is that 0
       // must mean "what every pre-existing state was" (e.g.
       // signed=0 ⇔ the unsigned sketch, the only kind that existed
-      // before the field). A mismatch still fails with the designed
-      // loud message, never an opaque schema error.
+      // before the field). The fallback is restricted to the explicit
+      // allowlist of LATER-ADDED fields: an original field missing
+      // from the meta is not legacy state, it is a foreign or
+      // truncated parquet — that must stay a hard error, or a
+      // malformed meta could validate against a requested 0.
+      // A mismatch still fails with the designed loud message, never
+      // an opaque schema error.
       val stored =
         if (row.schema.fieldNames.contains(name)) row.getAs[Int](name)
-        else 0
+        else {
+          require(metaLegacyZeroFields.contains(name),
+            s"sketch state at $dir has a meta pin missing required " +
+              s"field '$name' — not a valid sketch state directory")
+          0
+        }
       require(stored == v,
         s"sketch state at $dir was built with $name=$stored, " +
           s"got $name=$v — estimates would be silently wrong")
@@ -102,7 +118,7 @@ object Sketches {
     * happened to pass, and every later (correct) appender fails
     * against the reader's typo instead of the other way round.
     */
-  private def metaCheck(
+  private[ml] def metaCheck(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       fields: Seq[(String, Int)]): Unit = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
@@ -123,7 +139,7 @@ object Sketches {
     * landed inside `meta` is dot-prefixed, so Hadoop input listing
     * hides it from the parquet read; we best-effort delete it anyway.
     */
-  private def metaCheckOrWrite(
+  private[ml] def metaCheckOrWrite(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       fields: Seq[(String, Int)]): Unit = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")

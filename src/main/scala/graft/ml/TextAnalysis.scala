@@ -705,4 +705,167 @@ object TextAnalysis {
       .agg(trunc6(sum(col("__contrib"))).as("score"))
   }
 
+  // --------------------------------------------------------------------
+  // Order-n stupid-backoff LM scoring (Brants et al. 2007, "Large
+  // Language Models in Machine Translation") — the higher-order form of
+  // [[lmScore]]'s CCNet-style curation signal: the production
+  // perplexity filter this feeds uses a 5-gram model, not a bigram.
+  // S(w | ctx of len k−1) = cnt(g_k)/cnt(c_k) at the LONGEST observed
+  // order k, discounted by α per backoff step; the base case is the
+  // Laplace-smoothed unigram (cnt(w)+1)/(N+V) — [[lmScore]]'s OOV
+  // discipline, so out-of-vocabulary tokens degrade smoothly instead
+  // of scoring −log 0. Scores are UNNORMALIZED relative frequencies
+  // (stupid backoff's defining trade: no back-off weights to estimate,
+  // so the count tables are pure partial aggregates — the property
+  // that makes the model trainable in one distributed pass where
+  // Kneser-Ney needs continuation counts).
+  // --------------------------------------------------------------------
+
+  /** The all-orders n-gram count table of `refDf`: one row per
+    * distinct gram of each order 1..n, counted over every position
+    * (for order k, positions k..L per document). ONE groupBy — counts
+    * for every order come from one explode + one partial aggregate.
+    * Grams are space-joined token runs; grams of different orders can
+    * never collide (tokens contain no spaces, so an order-k gram has
+    * exactly k−1 spaces), which is what lets the scoring side join ONE
+    * unified table instead of n per-order ones. Never broadcast — at
+    * 100 TB an n-gram table does not fit; the scoring join shuffles on
+    * gram text and AQE absorbs stopword-gram skew.
+    */
+  def ngramCounts(refDf: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 2 && n <= 8, s"ngramCounts: n must be in [2, 8], got $n")
+    refDf.select(tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= 1)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("__t"))), p =>
+          transform(sequence(lit(1), least(p, lit(n))), k =>
+            struct(k.as("order"),
+              concat_ws(" ", slice(col("__t"), p - k + 1, k))
+                .as("gram")))))).as("__g"))
+      .groupBy(col("__g.order").as("order"), col("__g.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Score `docs` against a prepared [[ngramCounts]] table. Shape: one
+    * melt explode (per scored position p = 2..L, the 2·min(p,n)−1 gram
+    * strings the backoff chain can touch — suffix grams g_1..g_k ending
+    * at p and context grams c_2..c_k ending at p−1), ONE left join
+    * against the unified count table, one groupBy(id, p) pivot back to
+    * a per-position row, the backoff CASE, one per-document aggregate.
+    * The single melt join replaces the 2n−1 per-order shuffle joins the
+    * column-per-gram layout would need — the scale-defining choice.
+    */
+  private def scoreBackoff(docs: DataFrame, counts: DataFrame,
+      textCol: String, idCol: String, n: Int,
+      alpha: Double): DataFrame = {
+    require(n >= 2 && n <= 8, s"lmBackoff: n must be in [2, 8], got $n")
+    require(alpha > 0 && alpha <= 1,
+      s"lmBackoff: alpha must be in (0, 1], got $alpha")
+    // α^j for j = 0..n−1 as driver-computed literals: both engines
+    // (and the DuckDB oracle, which interpolates the same doubles)
+    // must see bit-identical penalty factors, not their own pow()
+    val pows = (0 until n).map(j => math.pow(alpha, j))
+    // N and V from the order-1 rows of the count table itself, so the
+    // standing-state path (read-time fold) and the one-shot path share
+    // one definition; a 1-row frame, broadcast
+    val nv = counts.where(col("order") === 1)
+      .agg(sum(col("cnt")).cast(DoubleType).as("__n"),
+        count(lit(1)).cast(DoubleType).as("__v"))
+    val melt = docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(col(idCol), explode(flatten(transform(
+        sequence(lit(2), size(col("__t"))), p =>
+          concat(
+            transform(sequence(lit(1), least(p, lit(n))), k =>
+              struct(p.as("p"), k.as("k"), lit("g").as("r"),
+                concat_ws(" ", slice(col("__t"), p - k + 1, k))
+                  .as("gram"))),
+            transform(sequence(lit(2), least(p, lit(n))), k =>
+              struct(p.as("p"), k.as("k"), lit("c").as("r"),
+                concat_ws(" ", slice(col("__t"), p - k + 1, k - 1))
+                  .as("gram"))))))).as("__m"))
+      .select(col(idCol), col("__m.p").as("__p"), col("__m.k").as("__k"),
+        col("__m.r").as("__r"), col("__m.gram").as("gram"))
+    val pivotAggs =
+      (1 to n).map(k => max(when(col("__r") === "g" &&
+        col("__k") === k, col("cnt"))).as(s"__g$k")) ++
+      (2 to n).map(k => max(when(col("__r") === "c" &&
+        col("__k") === k, col("cnt"))).as(s"__c$k"))
+    val pivoted = melt
+      .join(counts.select(col("gram"), col("cnt")), Seq("gram"), "left")
+      .groupBy(col(idCol), col("__p"))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+    // top = the highest order this position CAN use (min(p, n) — no α
+    // penalty for being near the document start); pen(k) = α^(top−k)
+    val top = least(col("__p"), lit(n))
+    def pen(k: Int): Column =
+      element_at(typedLit(pows), (top - lit(k) + 1).cast(IntegerType))
+    // longest-match-first backoff: cnt(g_k) > 0 implies cnt(c_k) > 0
+    // (c_k is a prefix of g_k, and every prefix of an observed k-gram
+    // is an observed (k−1)-gram), so the ratio is never null/0 inside
+    // its branch; a position whose k-th role row was never generated
+    // (p < k) pivots to null and `null > 0` correctly skips the branch
+    val s = (n to 2 by -1).foldRight(
+      pen(1) * ((coalesce(col("__g1").cast(DoubleType), lit(0.0)) +
+        1.0) / (col("__n") + col("__v")))) { (k, lower) =>
+      when(col(s"__g$k") > 0,
+        pen(k) * (col(s"__g$k").cast(DoubleType) /
+          col(s"__c$k").cast(DoubleType))).otherwise(lower)
+    }
+    val perDoc = pivoted.crossJoin(broadcast(nv))
+      .select(col(idCol), (-log(s)).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        trunc6(avg(col("__nll"))).as("lm_backoff"))
+    // left join back to the corpus so < 2-token documents keep a row
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        col("lm_backoff"))
+  }
+
+  /** One-shot cross-corpus stupid-backoff score: train the count table
+    * on `refDf`, score `docs`. In-distribution text scores LOW;
+    * gibberish and off-domain text HIGH (the [[lmScore]] convention).
+    * Returns (idCol, n_scored, lm_backoff trunc6); documents with
+    * fewer than 2 tokens score null over a zero count.
+    */
+  def lmBackoffScore(docs: DataFrame, refDf: DataFrame, textCol: String,
+      idCol: String, n: Int, alpha: Double = 0.4): DataFrame =
+    scoreBackoff(docs, ngramCounts(refDf, textCol, n), textCol, idCol,
+      n, alpha)
+
+  /** Append a reference batch's n-gram count DELTA to a standing count
+    * state directory — the sketch-state discipline (append-only, no
+    * read-modify-write; the meta pin carries n, because folding
+    * order-3 deltas into an order-5 state would silently skew every
+    * higher-order numerator). Counts are additive, so the read-time
+    * per-gram sum equals [[ngramCounts]] of the batches' union — the
+    * merge law that makes the standing path exactly equal the one-shot.
+    */
+  def appendNgramState(batch: DataFrame, textCol: String, n: Int,
+      dir: String): Unit = {
+    require(n >= 2 && n <= 8, s"appendNgramState: n in [2, 8], got $n")
+    Sketches.metaCheckOrWrite(batch.sparkSession, dir, Seq("n" -> n))
+    ngramCounts(batch, textCol, n)
+      .write.mode("append").parquet(s"$dir/counts")
+  }
+
+  /** Stupid-backoff scoring from a standing count state: fold the
+    * appended deltas (per-gram sum), then score — the train-once
+    * encode-every-batch form. Requires the meta pin (read paths never
+    * write it) and validates the caller's n against it.
+    */
+  def lmBackoffScoreFromState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      docs: DataFrame, textCol: String, idCol: String, n: Int,
+      alpha: Double = 0.4): DataFrame = {
+    Sketches.metaCheck(spark, dir, Seq("n" -> n))
+    val counts = spark.read.parquet(s"$dir/counts")
+      .groupBy(col("order"), col("gram"))
+      .agg(sum(col("cnt")).as("cnt"))
+    scoreBackoff(docs, counts, textCol, idCol, n, alpha)
+  }
+
 }

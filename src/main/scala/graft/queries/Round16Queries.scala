@@ -240,7 +240,7 @@ object Round16Queries {
     s"""WITH vals AS (SELECT event_type,
              CAST(trunc((value - 0.5) * 1000000) AS BIGINT) AS v
            FROM events
-           WHERE value IS NOT NULL AND NOT isnan(value)
+           WHERE value IS NOT NULL AND isfinite(value)
              AND CAST(trunc((value - 0.5) * 1000000) AS BIGINT)
                  > ${-(1L << 62)}
              AND CAST(trunc((value - 0.5) * 1000000) AS BIGINT)
@@ -431,7 +431,14 @@ object Round16Queries {
   private def centeredMicros(spark: SparkSession,
       sf: String): DataFrame =
     Tables.load(spark, sf, "events")
-      .where(col("value").isNotNull && !isnan(col("value")))
+      // non-finite values excluded on BOTH sides (oracle: isfinite):
+      // Spark casts ±Inf micros to ±Long.Max/MinValue, which the 2^62
+      // domain filter then drops — but DuckDB's CAST in the same
+      // filter ERRORS on ±Inf instead of filtering, so both engines
+      // must drop non-finite rows before any cast is reached
+      .where(col("value").isNotNull && !isnan(col("value")) &&
+        col("value") < Double.PositiveInfinity &&
+        col("value") > Double.NegativeInfinity)
       .select(col("event_id"), col("event_type"),
         ((col("value") - 0.5) * 1000000).cast("long").as("__cmicros"))
 

@@ -297,7 +297,7 @@ object SketchQueries {
              CAST(trunc(value * 1000000) AS BIGINT) AS v
            FROM events
            WHERE value IS NOT NULL AND value >= 0
-             AND NOT isnan(value)),
+             AND isfinite(value)),
          hfold AS (SELECT event_type, ${histBucketDuck("v")} AS bucket,
              CAST(count(*) AS BIGINT) AS cnt
            FROM vals GROUP BY 1, 2),
@@ -714,14 +714,17 @@ object SketchQueries {
     // perplexities, norms are this shape at 100 TB, where the exact
     // frequency table would approach corpus scale
     Q.fn("q_sketch_quantile_scores", histScoresOracle) { (spark, sf) =>
-      // NaN is excluded EXPLICITLY on both sides: Spark evaluates
-      // NaN >= 0 as true and (NaN*1e6).cast(long) as 0 (silently
-      // bucketing NaN rows at value 0) while DuckDB's CAST(trunc(NaN)
-      // AS BIGINT) errors — a latent divergence the fixture's
-      // NaN-free values would otherwise mask
+      // non-FINITE values are excluded EXPLICITLY on both sides: Spark
+      // evaluates NaN >= 0 as true and (NaN*1e6).cast(long) as 0
+      // (silently bucketing NaN rows at value 0), and casts +Inf to
+      // Long.MaxValue (bucketing it as a huge score) — while DuckDB's
+      // CAST(trunc(…) AS BIGINT) errors on either; a latent divergence
+      // the fixture's finite values would otherwise mask. The oracle's
+      // WHERE uses isfinite(value) for the same reason.
       Sketches.histQuantilesOf(
         Tables.load(spark, sf, "events")
           .where(col("value").isNotNull && !isnan(col("value")) &&
+            col("value") < Double.PositiveInfinity &&
             col("value") >= 0)
           .select(col("event_type"),
             (col("value") * 1000000).cast("long").as("__micros")),

@@ -948,6 +948,64 @@ object Curation {
         col("piece_id"))
   }
 
+  /** Per-shard manifest over a [[packTokenIds]] layout — the
+    * deliverable artifact of the packing step: chunks group into
+    * sized shards by the DETERMINISTIC assignment
+    * `shard_id = chunk_id div chunksPerShard` (pure arithmetic — a
+    * re-run, a resume, or a different cluster produces the identical
+    * shard map), and each shard's manifest row carries what a trainer
+    * or an integrity checker needs without reading the data:
+    * `(shard_id, n_chunks, n_pieces, doc_lo, doc_hi, content_hash)`.
+    * The content hash is the bit-XOR of a per-piece 60-bit md5 over
+    * `chunk_id:pos:piece_id` — order-INDEPENDENT, so it folds in one
+    * hash aggregate with no sort, and any flipped/lost/duplicated
+    * piece changes it. One shuffle keyed on shard_id; output is
+    * `n_chunks/chunksPerShard` rows — config-scale at any corpus size.
+    */
+  def shardManifest(packed: DataFrame, idCol: String,
+      chunksPerShard: Long): DataFrame = {
+    require(chunksPerShard > 0,
+      s"shardManifest: chunksPerShard must be > 0, got $chunksPerShard")
+    packed
+      .withColumn("__shard", expr(s"chunk_id div $chunksPerShard"))
+      .withColumn("__h",
+        conv(substring(md5(concat_ws(":", col("chunk_id"), col("pos"),
+          col("piece_id"))), 1, 15), 16, 10).cast(LongType))
+      .groupBy(col("__shard").as("shard_id"))
+      .agg(
+        count_distinct(col("chunk_id")).as("n_chunks"),
+        count(lit(1)).as("n_pieces"),
+        min(col(idCol)).as("doc_lo"),
+        max(col(idCol)).as("doc_hi"),
+        bit_xor(col("__h")).as("content_hash"))
+  }
+
+  /** Write a packed layout as training shards + manifest: the piece
+    * rows under `dir/shards` partitioned by shard_id (one directory
+    * per shard — the unit a trainer's data loader fetches), then the
+    * [[shardManifest]] under `dir/manifest`, LAST — the collection-sink
+    * ordering discipline: a reader requires the manifest, so a write
+    * that died mid-data leaves no manifest and is never mistaken for a
+    * complete layout. Returns the manifest frame as written.
+    */
+  def writeShards(packed: DataFrame, idCol: String,
+      chunksPerShard: Long, dir: String): DataFrame = {
+    val withShard = packed.withColumn("shard_id",
+      expr(s"chunk_id div $chunksPerShard"))
+    withShard.write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$dir/shards")
+    // the manifest is computed from the rows JUST WRITTEN (read back),
+    // not from the input frame: it certifies the artifact on disk, so
+    // a lost task, a non-deterministic upstream, or a concurrent
+    // truncation surfaces as a manifest/recount mismatch instead of a
+    // manifest that vouches for data it never saw
+    val manifest = shardManifest(
+      packed.sparkSession.read.parquet(s"$dir/shards"), idCol,
+      chunksPerShard)
+    manifest.write.mode("overwrite").parquet(s"$dir/manifest")
+    packed.sparkSession.read.parquet(s"$dir/manifest")
+  }
+
   /** Token-budget corpus selection (the data-mixing step after scoring):
     * keep the highest-quality documents, in (quality desc, id) order,
     * whose running token total stays within `tokenBudget` — a strict

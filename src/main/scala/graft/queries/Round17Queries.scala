@@ -89,6 +89,74 @@ object Round17Queries {
   private val lmStateDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  // --------------------------------------------------------------------
+  // Training-shard manifests over the packed layout: chunks group into
+  // shards by chunk_id div chunksPerShard; each shard's manifest row
+  // carries counts, the doc-id range, and an order-independent content
+  // hash. The fixture encodes docs < 300 with a deterministic
+  // one-piece-per-token id stream (h32 of the token mod 2^16) plus the
+  // in-band separator, so the oracle replays the whole chain — encode,
+  // placement cumsum, div/mod windows, shard aggregation, hash —
+  // without the unigram training CTEs.
+  // --------------------------------------------------------------------
+
+  private val ShardChunkTokens = 64L
+  private val ShardChunksPer = 4L
+  private val ShardSepId = 65536L
+
+  private[queries] def shardEncoded(spark: SparkSession,
+      sf: String): DataFrame = {
+    Tables.load(spark, sf, "documents")
+      .where(col("doc_id") < 300)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " "))
+          .as(Seq("tok_pos", "__w")))
+      .select(col("doc_id"), col("tok_pos").cast("long").as("tok_pos"),
+        array(pmod(graft.ml.Fns.h32(col("__w")), lit(65536L)))
+          .as("piece_ids"))
+  }
+
+  private val packShardsOracle = {
+    val pid = "('0x'||substr(md5(w),1,8))::BIGINT % 65536"
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                   FROM documents WHERE doc_id < 300),
+            sz AS (SELECT doc_id, CAST(len(t) + 1 AS BIGINT) AS n
+                   FROM d),
+            cum AS (SELECT doc_id, n,
+                      CAST(sum(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS e
+                    FROM sz),
+            pid AS (SELECT doc_id, i - 1 AS pidx,
+                      $pid AS piece_id
+                    FROM (SELECT doc_id,
+                            unnest(range(1, len(t)+1)) AS i,
+                            unnest(t) AS w
+                          FROM d)
+                    UNION ALL
+                    SELECT doc_id, CAST(len(t) AS BIGINT) AS pidx,
+                      $ShardSepId AS piece_id
+                    FROM d),
+            gp AS (SELECT p.doc_id,
+                     (c.e - c.n + p.pidx) // $ShardChunkTokens
+                       AS chunk_id,
+                     (c.e - c.n + p.pidx) % $ShardChunkTokens AS pos,
+                     p.piece_id
+                   FROM pid p JOIN cum c USING (doc_id)),
+            hh AS (SELECT doc_id,
+                     chunk_id // $ShardChunksPer AS shard_id, chunk_id,
+                     ('0x'||substr(md5(chunk_id::VARCHAR || ':' ||
+                       pos::VARCHAR || ':' || piece_id::VARCHAR),
+                       1, 15))::BIGINT AS h
+                   FROM gp)
+       SELECT shard_id, CAST(count(DISTINCT chunk_id) AS BIGINT)
+                AS n_chunks,
+              CAST(count(*) AS BIGINT) AS n_pieces,
+              min(doc_id) AS doc_lo, max(doc_id) AS doc_hi,
+              bit_xor(h) AS content_hash
+       FROM hh GROUP BY 1"""
+  }
+
   val all: Seq[Q] = Seq(
     // order-n stupid backoff: the higher-order form of q_lm_score's
     // CCNet-style signal (the production perplexity filter uses a
@@ -123,6 +191,20 @@ object Round17Queries {
       graft.ml.TextAnalysis.lmBackoffScoreFromState(spark, dir,
         d.where(col("doc_id") >= 250).select("doc_id", "text"),
         "text", "doc_id", n = LmN, alpha = LmAlpha)
+    },
+
+    // training-shard manifests over packTokenIds: the oracle replays
+    // the full placement (cumsum, div/mod windows) and re-derives
+    // every manifest column — counts, doc-id range, content hash —
+    // from first principles, so a manifest total that drifted from
+    // the placement totals fails the gate
+    Q.fn("q_pack_shards", packShardsOracle) { (spark, sf) =>
+      graft.ml.Curation.shardManifest(
+        graft.ml.Curation.packTokenIds(
+          shardEncoded(spark, sf), "doc_id",
+          chunkTokens = ShardChunkTokens, bucketSize = 50,
+          sepId = Some(ShardSepId)),
+        "doc_id", chunksPerShard = ShardChunksPer)
     }
   )
 }

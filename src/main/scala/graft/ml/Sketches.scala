@@ -955,4 +955,81 @@ object Sketches {
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("__r")).as("register"), count(lit(1)).as("rows"))
   }
+
+  // --------------------------------------------------------------------
+  // Incremental corpus data card — the standing-state form of the
+  // all-sketch report (q_corpus_report_sketched): a rolling crawl
+  // appends each batch's two config-scale deltas, and the card is
+  // produced at READ time by folding the states only — NO corpus scan.
+  // Both deltas are mergeable by the established laws (doc-bucket
+  // counts and register row-counts are additive; registers fold by
+  // per-bucket max), so the incremental card EQUALS the one-shot card
+  // over the batches' union — which is what lets the one-shot report's
+  // oracle gate this path.
+  // --------------------------------------------------------------------
+
+  /** Append one corpus batch's data-card deltas to a standing state
+    * directory: `docbuckets` — the per-(group, length-bucket) doc
+    * counts INCLUDING a null bucket for out-of-domain lengths (so
+    * n_docs stays the full batch count, unlike [[histBuckets]] which
+    * defines the sketch domain only), and `tokregs` — the
+    * counted-register token HLL delta. The meta pins p AND b: folding
+    * deltas built on a different register count or bucket grid would
+    * silently mis-estimate, never error.
+    */
+  def appendCorpusCardState(batch: DataFrame, textCol: String,
+      langCol: String, lenCol: Column, p: Int, b: Int,
+      dir: String): Unit = {
+    checkP(p); checkB(b)
+    metaCheckOrWrite(batch.sparkSession, dir, Seq("p" -> p, "b" -> b))
+    batch.select(col(langCol), lenCol.cast(LongType).as("__v"))
+      .groupBy(col(langCol),
+        when(col("__v").isNotNull && col("__v") >= 0,
+          expr(histBucketSql("__v", b))).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("append").parquet(s"$dir/docbuckets")
+    hllRegistersCounted(
+      batch.select(col(langCol),
+        explode(filter(tokens(col(textCol)), t => t =!= ""))
+          .as("__tok")),
+      col("__tok"), Seq(langCol), p)
+      .write.mode("append").parquet(s"$dir/tokregs")
+  }
+
+  /** The data card folded purely from a standing card state — per
+    * group: n_docs, n_tokens (exact, from the counted registers),
+    * hll_est distinct tokens, and histogram length quantiles
+    * (p50_lo / p90_lo lower bounds). Read-time cost is two folds over
+    * config-scale delta tables; the corpus is never touched (the
+    * PlanSpec pin asserts no documents FileScan).
+    */
+  def corpusReportFromStates(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      langCol: String, p: Int, b: Int): DataFrame = {
+    checkP(p); checkB(b)
+    metaCheck(spark, dir, Seq("p" -> p, "b" -> b))
+    val db = spark.read.parquet(s"$dir/docbuckets")
+      .groupBy(col(langCol), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val base = db.groupBy(col(langCol)).agg(sum("cnt").as("n_docs"))
+    val qx = histQuantiles(db.where(col("bucket").isNotNull),
+        Seq(langCol), b, Seq(500, 900))
+      .groupBy(col(langCol)).agg(
+        max(when(col("q_permille") === 500, col("quantile_lo")))
+          .as("p50_lo"),
+        max(when(col("q_permille") === 900, col("quantile_lo")))
+          .as("p90_lo"))
+    val regs = spark.read.parquet(s"$dir/tokregs")
+      .groupBy(col(langCol), col("bucket"))
+      .agg(max(col("register")).as("register"),
+        sum(col("rows")).as("rows"))
+    val nTok = regs.groupBy(col(langCol))
+      .agg(sum("rows").as("n_tokens"))
+    val hll = hllEstimate(
+        regs.select(col(langCol), col("bucket"), col("register")),
+        Seq(langCol), p)
+      .select(col(langCol), col("hll_est").as("hll_tokens"))
+    base.join(nTok, Seq(langCol)).join(hll, Seq(langCol))
+      .join(qx, Seq(langCol))
+  }
 }

@@ -269,7 +269,7 @@ object Round16Queries {
     * scans), the full corrected HLL chain for distinct tokens, and the
     * histogram-sketch quantiles for length percentiles.
     */
-  private lazy val corpusReportSketchedOracle = {
+  private[queries] lazy val corpusReportSketchedOracle = {
     import SketchQueries.{histBucketDuck, histLoDuck,
       hllCorrectedGroupedOracle}
     val hllInner = hllCorrectedGroupedOracle("lang",

@@ -100,6 +100,27 @@ object Round17Queries {
   // without the unigram training CTEs.
   // --------------------------------------------------------------------
 
+  /** Standing data-card state dirs per scale factor (the histLoopDirs
+    * pattern): three batches by doc_id mod 3, appended once.
+    */
+  private val cardStateDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def cardStateFor(spark: SparkSession,
+      sf: String): String =
+    cardStateDirs.computeIfAbsent(sf, { _ =>
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-card-state").toString
+      val docs = Tables.load(spark, sf, "documents")
+      (0L to 2L).foreach { r =>
+        graft.ml.Sketches.appendCorpusCardState(
+          docs.where(pmod(col("doc_id"), lit(3L)) === r),
+          "text", "lang", col("n_chars"),
+          p = SketchQueries.P, b = SketchQueries.HistB, dir = d)
+      }
+      d
+    })
+
   private val ShardChunkTokens = 64L
   private val ShardChunksPer = 4L
   private val ShardSepId = 65536L
@@ -191,6 +212,23 @@ object Round17Queries {
       graft.ml.TextAnalysis.lmBackoffScoreFromState(spark, dir,
         d.where(col("doc_id") >= 250).select("doc_id", "text"),
         "text", "doc_id", n = LmN, alpha = LmAlpha)
+    },
+
+    // the INCREMENTAL data card: three corpus batches append their
+    // card deltas (doc-bucket counts with the out-of-domain null
+    // bucket, counted token registers; meta pins p AND b), and the
+    // card folds from the states ALONE — no corpus scan (PlanSpec pins
+    // no documents FileScan). The one-shot sketched report is the
+    // oracle: the merge laws (additive counts, max-mergeable
+    // registers) make the two EQUAL, so a green row is the proof
+    Q.fn("q_corpus_report_incremental",
+        Round16Queries.corpusReportSketchedOracle) { (spark, sf) =>
+      graft.ml.Sketches.corpusReportFromStates(spark,
+        cardStateFor(spark, sf), "lang",
+        p = SketchQueries.P, b = SketchQueries.HistB)
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("hll_tokens"), col("p50_lo").as("p50_chars_lo"),
+          col("p90_lo").as("p90_chars_lo"))
     },
 
     // training-shard manifests over packTokenIds: the oracle replays

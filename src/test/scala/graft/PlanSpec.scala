@@ -319,6 +319,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_corpus_report_incremental: card folds from the standing " +
+    "states alone — no documents FileScan") {
+    // the read-time card is two folds over the config-scale delta
+    // tables (docbuckets, tokregs); the corpus was paid once, at
+    // append time, per batch. A FileScan whose path is NOT under the
+    // state directory means a leg reached back to the corpus and the
+    // "incremental" card re-buys the 100 TB scan it exists to avoid.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = q("q_corpus_report_incremental")
+      val stateDir = graft.queries.Round17Queries.cardStateFor(spark, sf)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected the two state-dir scans:\n" +
+        df.queryExecution.executedPlan.toString.take(1500))
+      val outside = scans.flatMap(_.relation.location.rootPaths)
+        .filterNot(_.toString.contains(
+          new java.io.File(stateDir).getName))
+      assert(outside.isEmpty,
+        s"a leg escaped the standing state and re-scans the corpus: " +
+          s"$outside")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q_sketch_quantile_signed: hash-aggregate sketch, config-scale " +
     "window only") {
     // the signed sketch keeps the histogram discipline: bucket table

@@ -720,4 +720,59 @@ class SketchesSpec extends AnyFunSuite {
       .collect()
     assert(est.length == 1)
   }
+
+  test("corpus card state: disjoint-batch fold equals the single-batch " +
+    "card; null/negative lengths land in the out-of-domain bucket") {
+    // the card's two deltas are additive (doc-bucket counts, register
+    // row counts) and max-mergeable (registers), so HOW the corpus was
+    // split into appended batches must be invisible at read time —
+    // that law is what lets the one-shot sketched report oracle the
+    // incremental gate. Unlike histBuckets, the doc side keeps a null
+    // bucket so n_docs counts out-of-domain lengths too.
+    val docs = spark.range(300).select(
+      concat(lit("l"), pmod(col("id"), lit(3))).as("lang"),
+      concat(lit("tok"), col("id"), lit(" shared word "),
+        lit("tok"), pmod(col("id"), lit(40))).as("text"),
+      when(pmod(col("id"), lit(29)) === 0, lit(null))
+        .when(pmod(col("id"), lit(31)) === 0, -col("id"))
+        .otherwise(col("id") * 7 % 997).as("n_chars"))
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-card-a").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-card-b").toString
+    (0 to 2).foreach { r =>
+      Sketches.appendCorpusCardState(
+        docs.where(pmod(col("id"), lit(3)) === r),
+        "text", "lang", col("n_chars"), p = 7, b = 6, dir = dirA)
+    }
+    Sketches.appendCorpusCardState(
+      docs, "text", "lang", col("n_chars"), p = 7, b = 6, dir = dirB)
+    def card(d: String) =
+      Sketches.corpusReportFromStates(spark, d, "lang", p = 7, b = 6)
+        .orderBy("lang").collect().map(_.toString).toSeq
+    assert(card(dirA) === card(dirB))
+    // every doc counted, including the 10 null-length + out-of-domain
+    val nDocs = Sketches.corpusReportFromStates(
+        spark, dirA, "lang", p = 7, b = 6)
+      .agg(sum("n_docs")).as[Long].head()
+    assert(nDocs === 300L)
+    // the pin refuses a mismatched register count or bucket grid: a
+    // fold across differently-parameterized deltas would silently
+    // mis-estimate, never error
+    val eP = intercept[IllegalArgumentException] {
+      Sketches.corpusReportFromStates(spark, dirA, "lang", p = 8, b = 6)
+    }
+    assert(eP.getMessage.contains("silently wrong"))
+    val eB = intercept[IllegalArgumentException] {
+      Sketches.appendCorpusCardState(
+        docs, "text", "lang", col("n_chars"), p = 7, b = 5, dir = dirA)
+    }
+    assert(eB.getMessage.contains("silently wrong"))
+    val eNone = intercept[IllegalArgumentException] {
+      Sketches.corpusReportFromStates(spark,
+        java.nio.file.Files.createTempDirectory("graft-card-x").toString,
+        "lang", p = 7, b = 6)
+    }
+    assert(eNone.getMessage.contains("no meta pin"))
+  }
 }

@@ -649,4 +649,36 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(imageSchema))
   }
+
+  /** Cross-modal consistency filter over a provided pair table — the
+    * CLIP-score curation step for caption↔image training pairs (drop
+    * pairs whose text and image embeddings disagree; Schuhmann et al.,
+    * LAION, used cosine < 0.28 as the discard rule). Each side is
+    * L2-normalized ONCE (linear pass), then the pair table drives two
+    * narrow equi-joins — shuffle on the id keys, never a product — and
+    * the score is one codegen'd dot product per pair. Output is
+    * pair-scale: (textKey, imageKey, clip_score, keep), keep =
+    * score ≥ threshold, score kept for audit/threshold sweeps. Pairs
+    * whose text or image id has no embedding row cannot be scored and
+    * are dropped by the inner joins — at curation time an unembedded
+    * pair is unusable either way.
+    *
+    * At 100 TB both embedding sides are corpus-scale and the pair table
+    * is corpus-scale too, so nothing here may broadcast or window: the
+    * plan is exactly two shuffled hash joins keyed by id plus a map.
+    */
+  def consistencyFilter(pairs: DataFrame, textEmb: DataFrame,
+      imageEmb: DataFrame, embCol: String, idCol: String,
+      textKey: String, imageKey: String,
+      threshold: Double): DataFrame = {
+    val t = Fns.normalized(textEmb, embCol, idCol, "__vt")
+      .withColumnRenamed(idCol, "__tid")
+    val i = Fns.normalized(imageEmb, embCol, idCol, "__vi")
+      .withColumnRenamed(idCol, "__iid")
+    pairs.join(t, col(textKey) === col("__tid"))
+      .join(i, col(imageKey) === col("__iid"))
+      .withColumn("clip_score", Fns.ndot6(col("__vt"), col("__vi")))
+      .withColumn("keep", col("clip_score") >= threshold)
+      .drop("__vt", "__vi", "__tid", "__iid")
+  }
 }

@@ -243,6 +243,35 @@ object Round17Queries {
           chunkTokens = ShardChunkTokens, bucketSize = 50,
           sepId = Some(ShardSepId)),
         "doc_id", chunksPerShard = ShardChunksPer)
+    },
+
+    // cross-modal consistency: CLIP-score-style curation of caption↔
+    // image pairs — the fixture splits the embeddings table into a
+    // "text" half (vec_id < 250) and an "image" half (vec_id ≥ 250)
+    // paired one-to-one, and drops pairs whose sides' cosine falls
+    // below 0.05 (the sf0.001 pair median is ~0, so both branches of
+    // keep are exercised). The oracle replays normalize + the two
+    // id joins + the rounded dot product
+    Q.fn("q_multimodal_consistency",
+      s"""WITH v AS (SELECT vec_id, ${MlQueries.normSql} AS e
+                     FROM embeddings),
+              p AS (SELECT vec_id AS text_id, vec_id + 250 AS image_id
+                    FROM embeddings WHERE vec_id < 250)
+          SELECT text_id, image_id,
+                 ${MlQueries.cosSql("t.e", "i.e")} AS clip_score,
+                 ${MlQueries.cosSql("t.e", "i.e")} >= 0.05 AS keep
+          FROM p
+          JOIN v t ON p.text_id = t.vec_id
+          JOIN v i ON p.image_id = i.vec_id""") { (spark, sf) =>
+      val emb = Tables.load(spark, sf, "embeddings")
+      val pairs = emb.where(col("vec_id") < 250)
+        .select(col("vec_id").as("text_id"),
+          (col("vec_id") + 250).as("image_id"))
+      graft.ml.Multimodal.consistencyFilter(pairs,
+        emb.where(col("vec_id") < 250),
+        emb.where(col("vec_id") >= 250),
+        "embedding", "vec_id", "text_id", "image_id",
+        threshold = 0.05)
     }
   )
 }

@@ -336,4 +336,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept2.isEmpty,
       "the appended signature must catch the next batch's near-dup")
   }
+
+  test("consistencyFilter: keep splits on cosine, unembedded pairs " +
+    "drop, plan is equi-joins only") {
+    // hand-built geometry: pair 1 parallel (cos 1), pair 2 orthogonal
+    // (cos 0), pair 3 antiparallel (cos −1), pair 4 has no image
+    // embedding and must vanish — an unembedded pair is unusable at
+    // curation time either way
+    def emb(id: Long, v: Seq[Float]) = (id, v)
+    val texts = Seq(emb(1, Seq(2f, 0f)), emb(2, Seq(0f, 3f)),
+      emb(3, Seq(1f, 1f)), emb(4, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val images = Seq(emb(11, Seq(5f, 0f)), emb(12, Seq(4f, 0f)),
+      emb(13, Seq(-2f, -2f))).toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 11L), (2L, 12L), (3L, 13L), (4L, 14L))
+      .toDF("text_id", "image_id")
+    val out = Multimodal.consistencyFilter(pairs, texts, images,
+      "embedding", "vec_id", "text_id", "image_id", threshold = 0.5)
+    val rows = out.select("text_id", "clip_score", "keep")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_._2).toSeq === Seq(1.0, 0.0, -1.0))
+    assert(rows.map(_._3).toSeq === Seq(true, false, false))
+    // both joins are id equi-joins: a product here would be
+    // pairs × corpus at scale
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
 }

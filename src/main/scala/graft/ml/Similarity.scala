@@ -627,6 +627,105 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.nb_id").as("nb_id"), col("col.cos").as("cos"))
 
+  /** Top-k cosine neighbors of each `queries` row within `corpus` when
+    * the two sides are DIFFERENT tables (cross-lingual / cross-modal
+    * retrieval): the same bounded partial-aggregate top-k as
+    * [[bruteForceTopK]] but WITHOUT the self-id exclusion — the sides
+    * own separate id spaces, and dropping cos(x₅, y₅) because both rows
+    * happen to carry id 5 would silently lose a valid candidate.
+    */
+  def crossTopK(queries: DataFrame, corpus: DataFrame, embCol: String,
+      idCol: String, k: Int,
+      maxExactWork: Long = 1000000000L): DataFrame = {
+    val (nq, nc) = (Fns.atMost(queries, maxExactWork),
+      Fns.atMost(corpus, maxExactWork))
+    require(nq * nc <= maxExactWork,
+      s"crossTopK is the EXACT baseline: ~$nq queries x ~$nc corpus " +
+        "rows of dot products exceed maxExactWork. Feed marginMineFrom " +
+        "from ivfTopKWith at this size, or raise maxExactWork for a " +
+        "bounded evaluation set.")
+    val c = normalized(corpus, embCol, idCol, "vc")
+      .withColumnRenamed(idCol, "nb_id")
+    val q = normalized(queries, embCol, idCol, "vq")
+      .withColumnRenamed(idCol, "query_id")
+    searchTopKDesc(k)(q.join(c)
+      .withColumn("cos", ndot6(col("vq"), col("vc"))))
+  }
+
+  /** Margin-criterion parallel-pair mining (Artetxe & Schwenk 2019,
+    * "Margin-based parallel corpus mining with multilingual sentence
+    * embeddings" — the CCMatrix / LASER bitext miner, equally the
+    * standard image↔caption pair miner): a raw cosine threshold
+    * over-selects in dense neighborhoods and under-selects in sparse
+    * ones, so each candidate cosine is RATIO-scaled by the mean cosine
+    * of both endpoints' k-neighborhoods,
+    * `margin(x,y) = cos(x,y) / ((avgₖ(x) + avgₖ(y)) / 2)`, and a pair
+    * is mined only when it is the mutual margin-argmax of both
+    * endpoints (the paper's "intersection" strategy) and clears
+    * `threshold`.
+    *
+    * `ab`/`ba` are the two directions' candidate lists in the
+    * (query_id, nb_id, cos) shape that [[crossTopK]], [[ivfTopK]] and
+    * [[ivfTopKWith]] all emit — brute-force for bounded sides, IVF at
+    * corpus scale; the miner itself never touches the vectors again.
+    * Neighborhood means use the 1e-6 fixed-point integer-sum form
+    * (partition-order-independent, bit-replayable by the oracle — the
+    * `kmeansCentroids` discipline); the per-side argmaxes are
+    * struct-min PARTIAL aggregates (highest margin, ties to the lowest
+    * partner id), never windows, so the only exchanges are the
+    * config-per-id aggregates and the final equi-join of the two
+    * argmax sets — nothing here re-expands the candidate product.
+    */
+  def marginMineFrom(ab: DataFrame, ba: DataFrame,
+      threshold: Double): DataFrame = {
+    def microAvg = (sum(round(col("cos") * 1e6).cast("long"))
+      .cast("double") / (count(lit(1)) * lit(1e6)))
+    val avgA = ab.groupBy(col("query_id").as("__aid"))
+      .agg(microAvg.as("avg_a"))
+    val avgB = ba.groupBy(col("query_id").as("__bid"))
+      .agg(microAvg.as("avg_b"))
+    // orient both candidate lists as (src ∈ A, dst ∈ B)
+    val fwd = ab.select(col("query_id").as("src_id"),
+      col("nb_id").as("dst_id"), col("cos"))
+    val bwd = ba.select(col("nb_id").as("src_id"),
+      col("query_id").as("dst_id"), col("cos"))
+    // a non-positive neighborhood mean means the endpoint has NO
+    // coherent neighborhood — the ratio is meaningless there, and both
+    // engines drop the candidate identically
+    def scored(cand: DataFrame) = cand
+      .join(avgA, col("src_id") === col("__aid"))
+      .join(avgB, col("dst_id") === col("__bid"))
+      .where((col("avg_a") + col("avg_b")) / 2 > 0)
+      .withColumn("margin",
+        round(col("cos") / ((col("avg_a") + col("avg_b")) / 2), 6))
+      .select(col("src_id"), col("dst_id"), col("cos"), col("margin"))
+    val fwdBest = scored(fwd)
+      .groupBy(col("src_id"))
+      .agg(min(struct((lit(0.0) - col("margin")).as("nm"),
+        col("dst_id"), col("cos"), col("margin"))).as("b"))
+      .select(col("src_id"), col("b.dst_id").as("dst_id"),
+        col("b.cos").as("cos"), col("b.margin").as("margin"))
+    val bwdBest = scored(bwd)
+      .groupBy(col("dst_id"))
+      .agg(min(struct((lit(0.0) - col("margin")).as("nm"),
+        col("src_id"))).as("b"))
+      .select(col("b.src_id").as("__bs"), col("dst_id").as("__bd"))
+    fwdBest.join(bwdBest,
+      col("src_id") === col("__bs") && col("dst_id") === col("__bd"))
+      .where(col("margin") >= threshold)
+      .select("src_id", "dst_id", "cos", "margin")
+  }
+
+  /** [[marginMineFrom]] over exact [[crossTopK]] candidates in both
+    * directions — the bounded-sides form the gate exercises.
+    */
+  def marginMine(a: DataFrame, b: DataFrame, embCol: String,
+      idCol: String, k: Int, threshold: Double,
+      maxExactWork: Long = 1000000000L): DataFrame =
+    marginMineFrom(
+      crossTopK(a, b, embCol, idCol, k, maxExactWork),
+      crossTopK(b, a, embCol, idCol, k, maxExactWork), threshold)
+
   /** The outcome of `tuneIvf`: parameters a caller can feed straight into
     * `ivfTopK`/`ivfTopKWith`, plus the sampled recall that justified them.
     */

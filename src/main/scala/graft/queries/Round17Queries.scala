@@ -19,6 +19,61 @@ object Round17Queries {
   // backoff CASE in full.
   // --------------------------------------------------------------------
 
+  // --------------------------------------------------------------------
+  // Margin-criterion pair mining. k-NN neighborhood size and the mined
+  // margin threshold — chosen so both the mined and rejected branches
+  // are populated on the fixture at every scale factor.
+  // --------------------------------------------------------------------
+
+  private val MarginK = 4
+  private val MarginThreshold = 1.2
+
+  private val marginMineOracle =
+    s"""WITH v AS (SELECT vec_id, ${MlQueries.normSql} AS e
+                   FROM embeddings),
+            sa AS (SELECT vec_id AS id, e FROM v WHERE vec_id < 250),
+            sb AS (SELECT vec_id AS id, e FROM v WHERE vec_id >= 250),
+            ab AS MATERIALIZED (
+              SELECT sa.id AS src, sb.id AS dst,
+                     ${MlQueries.cosSql("sa.e", "sb.e")} AS c
+              FROM sa CROSS JOIN sb),
+            fk AS MATERIALIZED (SELECT src, dst, c FROM (
+              SELECT src, dst, c, row_number() OVER (
+                PARTITION BY src ORDER BY c DESC, dst) AS rk FROM ab)
+              WHERE rk <= $MarginK),
+            bk AS MATERIALIZED (SELECT src, dst, c FROM (
+              SELECT src, dst, c, row_number() OVER (
+                PARTITION BY dst ORDER BY c DESC, src) AS rk FROM ab)
+              WHERE rk <= $MarginK),
+            ava AS MATERIALIZED (SELECT src,
+                CAST(sum(CAST(round(c * 1e6) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1e6) AS avg_a
+              FROM fk GROUP BY 1),
+            avb AS MATERIALIZED (SELECT dst,
+                CAST(sum(CAST(round(c * 1e6) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1e6) AS avg_b
+              FROM bk GROUP BY 1),
+            fm AS (SELECT f.src, f.dst, f.c,
+                     round(f.c / ((avg_a + avg_b) / 2), 6) AS margin
+                   FROM fk f JOIN ava USING (src) JOIN avb USING (dst)
+                   WHERE (avg_a + avg_b) / 2 > 0),
+            bm AS (SELECT k.src, k.dst, k.c,
+                     round(k.c / ((avg_a + avg_b) / 2), 6) AS margin
+                   FROM bk k JOIN ava USING (src) JOIN avb USING (dst)
+                   WHERE (avg_a + avg_b) / 2 > 0),
+            fb AS (SELECT src, dst, c, margin FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY src ORDER BY margin DESC, dst) AS r
+              FROM fm) WHERE r = 1),
+            bb AS (SELECT src, dst FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY dst ORDER BY margin DESC, src) AS r
+              FROM bm) WHERE r = 1)
+        SELECT fb.src AS src_id, fb.dst AS dst_id, fb.c AS cos,
+               fb.margin
+        FROM fb JOIN bb ON fb.src = bb.src AND fb.dst = bb.dst
+        WHERE fb.margin >= $MarginThreshold"""
+
   private val LmN = 3
   private val LmAlpha = 0.4
   /** α^j for j = 0..n−1, computed ONCE on the driver and interpolated
@@ -272,6 +327,22 @@ object Round17Queries {
         emb.where(col("vec_id") >= 250),
         "embedding", "vec_id", "text_id", "image_id",
         threshold = 0.05)
+    },
+
+    // margin-criterion pair mining (Artetxe & Schwenk 2019 — the
+    // CCMatrix bitext miner): candidate cosines ratio-scaled by both
+    // endpoints' k-NN mean cosine, mutual-argmax ("intersection")
+    // pairs above the margin threshold survive. Same two-sided
+    // embeddings fixture as the consistency gate; the oracle replays
+    // the full cross product, both directions' top-k, the fixed-point
+    // neighborhood means, and both argmaxes
+    Q.fn("q_margin_mine", marginMineOracle) { (spark, sf) =>
+      val emb = Tables.load(spark, sf, "embeddings")
+      graft.ml.Similarity.marginMine(
+        emb.where(col("vec_id") < 250),
+        emb.where(col("vec_id") >= 250),
+        "embedding", "vec_id", k = MarginK,
+        threshold = MarginThreshold)
     }
   )
 }

@@ -489,4 +489,49 @@ class SimilaritySpec extends AnyFunSuite {
         "JVM-cached index directory, not rebuild a fresh one")
     assert(r1 == r2)
   }
+
+  test("marginMine: mutual argmax, neighborhood-scaled margins, " +
+    "ties to the lowest partner, threshold splits") {
+    import spark.implicits._
+    val r2 = math.sqrt(2).toFloat / 2
+    // hand geometry, k=2: a1∥b1 and a2∥b2 are mutual argmaxes with
+    // margin 1/((0.8535535+0.5)/2); b3 sits diagonally between — both
+    // a's rank it second (tie → bwdBest(b3)=a1), but a1's argmax is
+    // b1, so (a1,b3) is never mutual
+    val a = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((11L, Seq(2f, 0f)), (12L, Seq(0f, 3f)),
+      (13L, Seq(r2, r2))).toDF("vec_id", "embedding")
+    val mined = Similarity.marginMine(a, b, "embedding", "vec_id",
+      k = 2, threshold = 1.2)
+      .select("src_id", "dst_id", "cos", "margin")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(mined.map(t => (t._1, t._2)).toSeq === Seq((1L, 11L), (2L, 12L)))
+    assert(mined.forall(_._3 === 1.0))
+    val expected = 1.0 / ((0.8535535 + 0.5) / 2)
+    mined.foreach(t => assert((t._4 - expected).abs < 1e-6,
+      s"margin ${t._4} != $expected"))
+    // the same mutual pairs fall below a higher threshold
+    assert(Similarity.marginMine(a, b, "embedding", "vec_id",
+      k = 2, threshold = 1.5).count() === 0)
+  }
+
+  test("marginMineFrom plans aggregates + equi-joins only — no " +
+    "window, no product beyond the candidate stage it was handed") {
+    import spark.implicits._
+    val ab = Seq((1L, 1, 11L, 0.9), (1L, 2, 12L, 0.5),
+      (2L, 1, 12L, 0.8), (2L, 2, 11L, 0.1))
+      .toDF("query_id", "rank", "nb_id", "cos")
+    val ba = Seq((11L, 1, 1L, 0.9), (11L, 2, 2L, 0.1),
+      (12L, 1, 2L, 0.8), (12L, 2, 1L, 0.5))
+      .toDF("query_id", "rank", "nb_id", "cos")
+    val out = Similarity.marginMineFrom(ab, ba, threshold = 1.0)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    val rows = out.select("src_id", "dst_id")
+      .as[(Long, Long)].collect().toSet
+    assert(rows === Set((1L, 11L), (2L, 12L)))
+  }
 }

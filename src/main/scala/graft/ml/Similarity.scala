@@ -726,6 +726,51 @@ object Similarity {
       crossTopK(a, b, embCol, idCol, k, maxExactWork),
       crossTopK(b, a, embCol, idCol, k, maxExactWork), threshold)
 
+  /** Hard-negative mining for retrieval/embedding training (Karpukhin
+    * et al. 2020, DPR; the score ceiling is the ANCE / RocketQA
+    * false-negative denoising rule): from each query's candidate list
+    * drop its LABELED positives (anti equi-join on (query, passage))
+    * and any candidate scoring ≥ `maxCos` — a near-perfect cosine on
+    * an UNLABELED candidate is far more likely a missing positive
+    * label than a useful negative — then keep the top `n` remaining
+    * by cosine (ties to the lowest id). Output is the familiar
+    * (query_id, rank, nb_id, cos) shape, triplet-ready once the
+    * caller joins its positives back on query_id.
+    *
+    * `cand` is a (query_id, nb_id, cos) candidate list from
+    * [[crossTopK]] / [[ivfTopK]] / [[ivfTopKWith]] — mine from IVF
+    * candidates at corpus scale. The anti-join is equi-keyed, the
+    * ceiling is a narrow filter, and the final top-n is the same
+    * bounded partial aggregate as the searchers — at most n rows per
+    * query cross the exchange, never a window.
+    */
+  def hardNegatives(cand: DataFrame, positives: DataFrame,
+      queryCol: String, posCol: String, n: Int,
+      maxCos: Double = 1.0): DataFrame = {
+    val pos = positives.select(col(queryCol).as("__pq"),
+      col(posCol).as("__pp"))
+    val filtered = cand
+      .join(pos, col("query_id") === col("__pq") &&
+        col("nb_id") === col("__pp"), "left_anti")
+      .where(col("cos") < maxCos)
+      .select("query_id", "nb_id", "cos")
+    searchTopKDesc(n)(filtered)
+  }
+
+  /** [[hardNegatives]] over exact [[crossTopK]] candidates — the
+    * bounded-sides form the gate exercises. `kCand` is the candidate
+    * depth mined from (wider than `n` so positives and
+    * ceiling-dropped rows don't starve the negative list).
+    */
+  def hardNegativesBrute(queries: DataFrame, corpus: DataFrame,
+      positives: DataFrame, embCol: String, idCol: String,
+      queryCol: String, posCol: String, kCand: Int, n: Int,
+      maxCos: Double = 1.0,
+      maxExactWork: Long = 1000000000L): DataFrame =
+    hardNegatives(
+      crossTopK(queries, corpus, embCol, idCol, kCand, maxExactWork),
+      positives, queryCol, posCol, n, maxCos)
+
   /** The outcome of `tuneIvf`: parameters a caller can feed straight into
     * `ivfTopK`/`ivfTopKWith`, plus the sampled recall that justified them.
     */

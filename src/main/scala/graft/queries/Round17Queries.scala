@@ -74,6 +74,43 @@ object Round17Queries {
         FROM fb JOIN bb ON fb.src = bb.src AND fb.dst = bb.dst
         WHERE fb.margin >= $MarginThreshold"""
 
+  // --------------------------------------------------------------------
+  // Hard-negative mining. Candidate depth, negatives kept per query,
+  // and the false-negative cosine ceiling (candidates at or above it
+  // are presumed unlabeled positives and dropped).
+  // --------------------------------------------------------------------
+
+  private val HnKCand = 8
+  private val HnN = 3
+  // 0.4 keeps BOTH branches populated at every scale factor: it clips
+  // 24/800 candidates at sf0.001 and 84/800 at sf0.1 (a 0.3 ceiling
+  // degenerates at sf0.1, where the denser corpus pushes nearly every
+  // top-8 candidate above it and the mined set collapses to 1 row)
+  private val HnMaxCos = 0.4
+
+  private val hardNegOracle =
+    s"""WITH v AS (SELECT vec_id, ${MlQueries.normSql} AS e
+                   FROM embeddings),
+            q AS (SELECT vec_id AS id, e FROM v WHERE vec_id < 100),
+            c AS (SELECT vec_id AS id, e FROM v WHERE vec_id >= 100),
+            p AS (SELECT vec_id AS qid, vec_id + 100 AS pid
+                  FROM embeddings WHERE vec_id < 100),
+            sc AS (SELECT q.id AS query_id, c.id AS nb_id,
+                     ${MlQueries.cosSql("q.e", "c.e")} AS cos
+                   FROM q CROSS JOIN c),
+            ck AS MATERIALIZED (SELECT query_id, nb_id, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, nb_id) AS rk FROM sc)
+              WHERE rk <= $HnKCand),
+            fl AS (SELECT * FROM ck
+                   WHERE cos < $HnMaxCos AND NOT EXISTS (
+                     SELECT 1 FROM p
+                     WHERE p.qid = ck.query_id AND p.pid = ck.nb_id))
+        SELECT query_id, rank, nb_id, cos FROM (
+          SELECT query_id, nb_id, cos, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, nb_id) AS rank
+          FROM fl) WHERE rank <= $HnN"""
+
   private val LmN = 3
   private val LmAlpha = 0.4
   /** α^j for j = 0..n−1, computed ONCE on the driver and interpolated
@@ -343,6 +380,24 @@ object Round17Queries {
         emb.where(col("vec_id") >= 250),
         "embedding", "vec_id", k = MarginK,
         threshold = MarginThreshold)
+    },
+
+    // hard-negative mining for retrieval training: per query the top
+    // negatives from its candidate list, with the labeled positive
+    // (qid → qid+100) anti-joined out and the ANCE/RocketQA
+    // false-negative ceiling applied. The oracle replays the cross
+    // product, candidate top-k, NOT EXISTS anti-join, ceiling, and
+    // the re-rank
+    Q.fn("q_hard_negatives", hardNegOracle) { (spark, sf) =>
+      val emb = Tables.load(spark, sf, "embeddings")
+      graft.ml.Similarity.hardNegativesBrute(
+        emb.where(col("vec_id") < 100),
+        emb.where(col("vec_id") >= 100),
+        emb.where(col("vec_id") < 100)
+          .select(col("vec_id").as("qid"),
+            (col("vec_id") + 100).as("pid")),
+        "embedding", "vec_id", "qid", "pid",
+        kCand = HnKCand, n = HnN, maxCos = HnMaxCos)
     }
   )
 }

@@ -534,4 +534,29 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(rows === Set((1L, 11L), (2L, 12L)))
   }
+
+  test("hardNegatives: labeled positive anti-joined out, " +
+    "false-negative ceiling applied, re-ranked top-n") {
+    import spark.implicits._
+    // candidates for one query: its labeled positive (cos .95), an
+    // unlabeled near-perfect match (.92 — presumed missing label,
+    // ceiling-dropped), then four genuine negatives
+    val cand = Seq(
+      (1L, 1, 101L, 0.95), (1L, 2, 102L, 0.92), (1L, 3, 103L, 0.60),
+      (1L, 4, 104L, 0.40), (1L, 5, 105L, 0.40), (1L, 6, 106L, 0.10))
+      .toDF("query_id", "rank", "nb_id", "cos")
+    val pos = Seq((1L, 101L)).toDF("qid", "pid")
+    val out = Similarity.hardNegatives(cand, pos, "qid", "pid",
+      n = 3, maxCos = 0.9)
+      .select("rank", "nb_id", "cos")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    // 101 (positive) and 102 (ceiling) gone; the .40 tie re-ranks to
+    // the lowest id; only n=3 survive so 106 is cut
+    assert(out.toSeq === Seq((1, 103L, 0.60), (2, 104L, 0.40),
+      (3, 105L, 0.40)))
+    val p = Similarity.hardNegatives(cand, pos, "qid", "pid", 3, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
 }

@@ -1668,4 +1668,39 @@ object Curation {
       .limit(k)
       .select(col(idCol), col("dsir_key"))
   }
+
+  /** Corpus snapshot diff — the release-engineering primitive over two
+    * crawls/ingests of the same id space: per id, `added` (only in
+    * `next`), `removed` (only in `prev`), `changed` (both, content
+    * fingerprint differs), `unchanged`. Content identity is the md5 of
+    * the UTF-8 text (the [[Dedup.exact]] fingerprint family), computed
+    * MAP-SIDE on each snapshot, so the only exchange is the one
+    * full-outer equi-join on id — at 100 TB that is a single co-shuffle
+    * of two (id, 32-byte fp) projections, never of the documents
+    * themselves, and snapshots bucketed by id on ingest co-locate it
+    * away entirely. Returns (idCol, prev_fp, next_fp, status).
+    */
+  def corpusDiff(prev: DataFrame, next: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val p = prev.select(col(idCol),
+      md5(col(textCol).cast(BinaryType)).as("prev_fp"))
+    val n = next.select(col(idCol).as("__nid"),
+      md5(col(textCol).cast(BinaryType)).as("next_fp"))
+    p.join(n, col(idCol) === col("__nid"), "full_outer")
+      .select(coalesce(col(idCol), col("__nid")).as(idCol),
+        col("prev_fp"), col("next_fp"),
+        when(col("prev_fp").isNull, "added")
+          .when(col("next_fp").isNull, "removed")
+          .when(col("prev_fp") === col("next_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** The four-row rollup of [[corpusDiff]] — what an ingest job logs
+    * and alerts on (a `changed` spike means the source re-rendered;
+    * a `removed` spike means the crawler lost coverage).
+    */
+  def corpusDiffSummary(prev: DataFrame, next: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpusDiff(prev, next, idCol, textCol)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
 }

@@ -12,14 +12,6 @@ import graft.Tables
 object Round17Queries {
 
   // --------------------------------------------------------------------
-  // Stupid-backoff LM scoring (Brants et al. 2007): trigram model on
-  // docs < 250, scored on docs >= 250 — the same real train/score
-  // split as q_lm_score, so OOV smoothing and every backoff branch
-  // are exercised. The oracle replays the count joins and the
-  // backoff CASE in full.
-  // --------------------------------------------------------------------
-
-  // --------------------------------------------------------------------
   // Margin-criterion pair mining. k-NN neighborhood size and the mined
   // margin threshold — chosen so both the mined and rejected branches
   // are populated on the fixture at every scale factor.
@@ -110,6 +102,39 @@ object Round17Queries {
           SELECT query_id, nb_id, cos, row_number() OVER (
             PARTITION BY query_id ORDER BY cos DESC, nb_id) AS rank
           FROM fl) WHERE rank <= $HnN"""
+
+
+  /** The `next` snapshot fixture: window shifted by 30 ids, every 7th
+    * doc's text re-rendered.
+    */
+  private def diffNext(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") >= 30 && col("doc_id") < 430)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+
+  private val corpusDiffOracle =
+    """WITH prev AS (SELECT doc_id, md5(text) AS fp FROM documents
+                     WHERE doc_id < 400),
+            nxt AS (SELECT doc_id,
+                      md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                          ELSE text END) AS fp
+                    FROM documents WHERE doc_id >= 30 AND doc_id < 430)
+       SELECT coalesce(prev.doc_id, nxt.doc_id) AS doc_id,
+              prev.fp AS prev_fp, nxt.fp AS next_fp,
+              CASE WHEN prev.fp IS NULL THEN 'added'
+                   WHEN nxt.fp IS NULL THEN 'removed'
+                   WHEN prev.fp = nxt.fp THEN 'unchanged'
+                   ELSE 'changed' END AS status
+       FROM prev FULL OUTER JOIN nxt ON prev.doc_id = nxt.doc_id"""
+
+  // --------------------------------------------------------------------
+  // Stupid-backoff LM scoring (Brants et al. 2007): trigram model on
+  // docs < 250, scored on docs >= 250 — the same real train/score
+  // split as q_lm_score, so OOV smoothing and every backoff branch
+  // are exercised. The oracle replays the count joins and the
+  // backoff CASE in full.
+  // --------------------------------------------------------------------
 
   private val LmN = 3
   private val LmAlpha = 0.4
@@ -398,6 +423,28 @@ object Round17Queries {
             (col("vec_id") + 100).as("pid")),
         "embedding", "vec_id", "qid", "pid",
         kCand = HnKCand, n = HnN, maxCos = HnMaxCos)
+    },
+
+    // corpus snapshot diff: prev = docs < 400, next = docs 30..429
+    // with every 7th doc's text re-rendered — all four statuses
+    // (added / removed / changed / unchanged) are populated at every
+    // scale factor. The oracle replays fingerprints + the full-outer
+    // join + the status CASE
+    Q.fn("q_corpus_diff", corpusDiffOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      graft.ml.Curation.corpusDiff(
+        docs.where(col("doc_id") < 400),
+        diffNext(docs), "doc_id", "text")
+    },
+
+    Q.fn("q_corpus_diff_summary",
+      s"""WITH d AS ($corpusDiffOracle)
+          SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+          FROM d GROUP BY 1""") { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      graft.ml.Curation.corpusDiffSummary(
+        docs.where(col("doc_id") < 400),
+        diffNext(docs), "doc_id", "text")
     }
   )
 }

@@ -1071,4 +1071,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out2.count() == cases.size + 1,
       "broadcast classes must never duplicate corpus rows")
   }
+
+  test("corpusDiff: all four statuses, fingerprints are content-" +
+    "sensitive, the only exchange is the id equi-join") {
+    import spark.implicits._
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val next = Seq((2L, "beta"), (3L, "gamma RERENDERED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val d = Curation.corpusDiff(prev, next, "doc_id", "text")
+    val st = d.select("doc_id", "status").as[(Long, String)]
+      .collect().toMap
+    assert(st === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // removed rows carry only prev_fp, added only next_fp
+    val r = d.where(col("doc_id") === 1).select("prev_fp", "next_fp")
+      .as[(Option[String], Option[String])].head()
+    assert(r._1.nonEmpty && r._2.isEmpty)
+    val p = d.queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // summary folds to exactly the four statuses
+    val sm = Curation.corpusDiffSummary(prev, next, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(sm === Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 1L))
+  }
 }

@@ -1097,4 +1097,42 @@ class CurationSpec extends AnyFunSuite {
     assert(sm === Map("added" -> 1L, "removed" -> 1L,
       "changed" -> 1L, "unchanged" -> 1L))
   }
+
+  test("fp index: latest-batch-wins fold, churn-only deltas, " +
+    "index side only ever semi-probed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fp-spec").toString
+    val snap = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    Curation.buildFpIndex(snap, "doc_id", "text", dir)
+    // batch 1: doc 2 re-rendered, doc 4 added, doc 1 unchanged
+    Curation.updateFpIndex(spark,
+      dir, Seq((1L, "one"), (2L, "two B"), (4L, "four"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    // only the churn appended: 3 build rows + 2 delta rows
+    assert(spark.read.parquet(s"$dir/fps").count() === 5)
+    // probe: doc 2's CURRENT state is 'two B' (the fold must pick the
+    // delta over the build row), doc 3 untouched, doc 5 new
+    val d = Curation.diffAgainstFpIndex(spark, dir,
+      Seq((2L, "two B"), (2L, "two"), (3L, "three"), (5L, "five"))
+        .toDF("doc_id", "text").where(col("doc_id") =!= 2 ||
+          col("text") === "two B"),
+      "doc_id", "text")
+    val st = d.select("doc_id", "status").as[(Long, String)]
+      .collect().toMap
+    assert(st === Map(2L -> "unchanged", 3L -> "unchanged",
+      5L -> "added"))
+    // a probe against the stale content reads 'changed'
+    val stale = Curation.diffAgainstFpIndex(spark, dir,
+      Seq((2L, "two")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("status").as[String].head()
+    assert(stale === "changed")
+    val p = d.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      "the index scan must semi-probe the broadcast batch keys:\n" +
+        p.take(1200))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
 }

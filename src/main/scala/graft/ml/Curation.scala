@@ -948,6 +948,37 @@ object Curation {
         col("piece_id"))
   }
 
+  /** Interleaved multimodal packing (the Flamingo / MM1 / Chameleon
+    * pre-training layout): each document is a sequence of text tokens
+    * with image slots spliced between them, every slot rendered
+    * in-band as `boiId, imgId × n_media_tokens, eoiId` (begin/end
+    * markers plus a fixed placeholder run the vision tower fills at
+    * train time). `encoded` is the [[packTokenIds]] text input
+    * ((idCol, tok_pos, piece_ids)); `media` anchors each slot AFTER
+    * the text token at its `media_pos` ((idCol, media_pos,
+    * n_media_tokens), one slot per (id, media_pos) — slot positions
+    * must be unique within a document). Everything downstream of the
+    * interleave IS `packTokenIds`: the two streams union under the
+    * doubled sort key `2·tok_pos` / `2·media_pos + 1` (text first on
+    * the same anchor), so placement, separators, chunking, and
+    * [[shardManifest]] compose unchanged — the interleave itself is a
+    * narrow map + union, no new exchange.
+    */
+  def packMultimodalIds(encoded: DataFrame, media: DataFrame,
+      idCol: String, chunkTokens: Long, imgId: Long, boiId: Long,
+      eoiId: Long, bucketSize: Long = 1000L,
+      sepId: Option[Long] = None): DataFrame = {
+    val t = encoded.select(col(idCol),
+      (col("tok_pos") * 2).as("tok_pos"), col("piece_ids"))
+    val m = media.select(col(idCol),
+      (col("media_pos") * 2 + 1).cast(LongType).as("tok_pos"),
+      concat(array(lit(boiId)),
+        array_repeat(lit(imgId), col("n_media_tokens").cast("int")),
+        array(lit(eoiId))).as("piece_ids"))
+    packTokenIds(t.unionByName(m), idCol, chunkTokens, bucketSize,
+      sepId)
+  }
+
   /** Per-shard manifest over a [[packTokenIds]] layout — the
     * deliverable artifact of the packing step: chunks group into
     * sized shards by the DETERMINISTIC assignment
@@ -1703,4 +1734,68 @@ object Curation {
       textCol: String): DataFrame =
     corpusDiff(prev, next, idCol, textCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+
+  // -- standing snapshot fingerprint index --------------------------------
+  // The incremental-ingestion form of corpusDiff: a standing pipeline
+  // never re-reads prior snapshots to classify a new batch — it keeps an
+  // id → content-fingerprint state on disk. Because `changed` must
+  // REPLACE an id's fingerprint and parquet appends never rewrite, the
+  // state follows the sketch-state/LSM discipline: append-only deltas
+  // stamped with a batch number, latest-batch-wins fold at READ time
+  // (compaction = rebuild). A batch is a partial view, so the
+  // incremental diff reports added/changed/unchanged only — `removed`
+  // is undecidable from a batch and stays with full-snapshot
+  // [[corpusDiff]].
+
+  /** Persist snapshot content fingerprints as delta 0 of a standing
+    * index directory. Ids must be unique document keys (the
+    * [[corpusDiff]] contract).
+    */
+  def buildFpIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit =
+    df.select(col(idCol).as("fp_id"),
+        md5(col(textCol).cast(BinaryType)).as("fp"),
+        lit(0L).as("fp_batch"))
+      .write.mode("overwrite").parquet(s"$dir/fps")
+
+  /** Classify a new batch against the standing state. The index
+    * STREAMS (never shuffles): its scan semi-joins the BROADCAST batch
+    * key set, and the latest-batch-wins fold runs AFTER that probe, so
+    * the group-by is batch-sized even over a billion-id index; the
+    * batch side is one narrow fingerprint map plus one equi-join.
+    * Returns (idCol, prev_fp, next_fp, status ∈ added/changed/
+    * unchanged).
+    */
+  def diffAgainstFpIndex(spark: SparkSession, dir: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val batch = CacheLifecycle.pin(df.select(col(idCol),
+      md5(col(textCol).cast(BinaryType)).as("next_fp")))
+    val keys = batch.select(col(idCol).as("fp_id")).distinct()
+    val hits = spark.read.parquet(s"$dir/fps")
+      .join(broadcast(keys), Seq("fp_id"), "left_semi")
+      .groupBy(col("fp_id"))
+      .agg(max(struct(col("fp_batch"), col("fp"))).as("__s"))
+      .select(col("fp_id"), col("__s.fp").as("prev_fp"))
+    batch.join(hits, col(idCol) === col("fp_id"), "left")
+      .select(col(idCol), col("prev_fp"), col("next_fp"),
+        when(col("prev_fp").isNull, "added")
+          .when(col("prev_fp") === col("next_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Fold a batch into the standing state: only its `added`/`changed`
+    * rows append, stamped max(fp_batch)+1 — `unchanged` rows write
+    * nothing, so delta size tracks churn, not batch size.
+    */
+  def updateFpIndex(spark: SparkSession, dir: String, df: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val cur = spark.read.parquet(s"$dir/fps")
+      .agg(max(col("fp_batch"))).head()
+    val next = (if (cur.isNullAt(0)) 0L else cur.getLong(0)) + 1L
+    diffAgainstFpIndex(spark, dir, df, idCol, textCol)
+      .where(col("status") =!= "unchanged")
+      .select(col(idCol).as("fp_id"), col("next_fp").as("fp"),
+        lit(next).as("fp_batch"))
+      .write.mode("append").parquet(s"$dir/fps")
+  }
 }

@@ -113,6 +113,129 @@ object Round17Queries {
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")))
 
+  // --------------------------------------------------------------------
+  // Interleaved multimodal packing. Marker/placeholder/separator ids
+  // sit far outside any trained vocabulary range.
+  // --------------------------------------------------------------------
+
+  private val MmBoi = 100000L
+  private val MmImg = 100001L
+  private val MmEoi = 100002L
+  private val MmSep = 100003L
+
+  /** Synthetic image slots over the pack fixture docs: every 3rd doc
+    * carries one slot after token 2 (3 + doc_id % 4 placeholder
+    * tokens), every 9th doc an additional slot before token 0.
+    */
+  private def mmMedia(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") < 300 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit(2L).as("media_pos"),
+        (lit(3L) + col("doc_id") % 4).as("n_media_tokens"))
+      .unionByName(
+        docs.where(col("doc_id") < 300 && col("doc_id") % 9 === 0)
+          .select(col("doc_id"), lit(0L).as("media_pos"),
+            lit(2L).as("n_media_tokens")))
+
+  private lazy val packMultimodalOracle = {
+    import Round14Queries.{unigramTrainChain, unigramEncodeChain,
+      UniEmRounds}
+    val er = UniEmRounds + 1
+    s"""WITH RECURSIVE
+       $unigramTrainChain,
+       $unigramEncodeChain,
+       vid AS (SELECT piece,
+                 CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT)
+                   AS pid
+               FROM uv$UniEmRounds),
+       wseq AS (SELECT word,
+                  unnest(range(1, len(string_split(path, ' ')) + 1))
+                    AS ord,
+                  unnest(string_split(path, ' ')) AS piece
+                FROM r${er}best),
+       uti AS (SELECT doc_id,
+                 unnest(range(1, len(tl) + 1)) - 1 AS tok_pos,
+                 unnest(tl) AS word
+               FROM (SELECT doc_id, list_filter(
+                       string_split(lower(text), ' '), t -> t <> '')
+                       AS tl
+                     FROM ucorp)
+               WHERE doc_id < 300),
+       utm AS (SELECT t.doc_id, t.tok_pos * 2 AS k, s.ord AS o, v.pid
+               FROM uti t JOIN wseq s USING (word)
+                          JOIN vid v USING (piece)),
+       mfx AS (SELECT doc_id, 5 AS k, 3 + doc_id % 4 AS n
+               FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0
+               UNION ALL
+               SELECT doc_id, 1 AS k, 2 AS n
+               FROM documents WHERE doc_id < 300 AND doc_id % 9 = 0),
+       med AS (SELECT doc_id, k, j AS o,
+                 CASE WHEN j = 0 THEN $MmBoi
+                      WHEN j = n + 1 THEN $MmEoi
+                      ELSE $MmImg END AS pid
+               FROM (SELECT doc_id, k, n,
+                       unnest(range(0, n + 2)) AS j
+                     FROM mfx)),
+       allp AS MATERIALIZED (
+         SELECT doc_id, k, o, pid FROM utm
+         UNION ALL SELECT doc_id, k, o, pid FROM med),
+       pidx AS MATERIALIZED (
+         SELECT doc_id, row_number() OVER (PARTITION BY doc_id
+             ORDER BY k, o) - 1 AS pidx, pid
+         FROM allp),
+       cnt AS (SELECT doc_id, count(*) AS cnt FROM allp GROUP BY 1),
+       ppd AS (SELECT d.doc_id,
+                 CAST(CASE WHEN coalesce(c.cnt, 0) > 0
+                      THEN c.cnt + 1 ELSE 0 END AS BIGINT) AS n
+               FROM documents d LEFT JOIN cnt c USING (doc_id)
+               WHERE d.doc_id < 300),
+       ppc AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS e
+               FROM ppd WHERE n > 0),
+       pall AS (SELECT doc_id, pidx, pid FROM pidx
+                UNION ALL
+                SELECT doc_id, n - 1 AS pidx, $MmSep AS pid FROM ppc)
+      SELECT p.doc_id,
+        CAST((c.e - c.n + p.pidx) // 64 AS BIGINT) AS chunk_id,
+        CAST((c.e - c.n + p.pidx) % 64 AS BIGINT) AS pos,
+        CAST(p.pid AS BIGINT) AS piece_id
+      FROM pall p JOIN ppc c USING (doc_id)"""
+  }
+
+  /** The second-generation render the incremental probe batch
+    * carries: every 5th doc re-rendered again.
+    */
+  private def diffProbe(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") >= 350 && col("doc_id") < 470)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v3")))
+          .otherwise(col("text")))
+
+  private val fpLoopDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replays the standing state after build(docs<400) +
+    * update(diffNext): per id the LATEST fingerprint is the ' v2'
+    * render exactly for the 7-multiples the update touched; the probe
+    * batch then classifies against that fold.
+    */
+  private val corpusDiffLoopOracle =
+    """WITH st AS (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 AND doc_id >= 30
+                       THEN md5(text || ' v2') ELSE md5(text) END AS pfp
+                   FROM documents WHERE doc_id < 430),
+            pb AS (SELECT doc_id,
+                     md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v3'
+                         ELSE text END) AS nfp
+                   FROM documents
+                   WHERE doc_id >= 350 AND doc_id < 470)
+       SELECT pb.doc_id, st.pfp AS prev_fp, pb.nfp AS next_fp,
+              CASE WHEN st.pfp IS NULL THEN 'added'
+                   WHEN st.pfp = pb.nfp THEN 'unchanged'
+                   ELSE 'changed' END AS status
+       FROM pb LEFT JOIN st ON pb.doc_id = st.doc_id"""
+
   private val corpusDiffOracle =
     """WITH prev AS (SELECT doc_id, md5(text) AS fp FROM documents
                      WHERE doc_id < 400),
@@ -445,6 +568,44 @@ object Round17Queries {
       graft.ml.Curation.corpusDiffSummary(
         docs.where(col("doc_id") < 400),
         diffNext(docs), "doc_id", "text")
+    },
+
+    // ... and the standing-state loop: fingerprint state built from
+    // the prev snapshot, the ' v2' batch folded in as an append-only
+    // delta (changed rows REPLACE by latest-batch-wins fold at read),
+    // then a ' v3' probe batch classified against the folded state —
+    // added / changed / unchanged only (removal is undecidable from a
+    // partial batch)
+    Q.fn("q_corpus_diff_loop", corpusDiffLoopOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      val dir = fpLoopDirs.computeIfAbsent(sf, { _ =>
+        val d = Round12Queries.tempIndexDir("graft-fp-loop").toString
+        graft.ml.Curation.buildFpIndex(
+          docs.where(col("doc_id") < 400), "doc_id", "text", d)
+        graft.ml.Curation.updateFpIndex(spark, d, diffNext(docs),
+          "doc_id", "text")
+        d
+      })
+      graft.ml.Curation.diffAgainstFpIndex(spark, dir,
+        diffProbe(docs), "doc_id", "text")
+    },
+
+    // interleaved multimodal packing: image slots spliced into the
+    // packed token stream as boi/img×n/eoi runs, document separators
+    // and placement unchanged — the oracle replays the Viterbi
+    // encode, the interleave under the doubled sort key, and the
+    // placement cumsum
+    Q.fn("q_pack_multimodal", packMultimodalOracle) { (spark, sf) =>
+      val docs = Tables.load(spark, sf, "documents")
+      val corp = Round14Queries.unigramCorpus(docs)
+      val vocab = Round14Queries.unigramVocabFor(sf, corp)
+      graft.ml.Curation.packMultimodalIds(
+        graft.ml.Unigram.unigramEncodeIds(
+          corp.where(col("doc_id") < 300), "text", "doc_id", vocab,
+          Round14Queries.UniMaxPieceLen),
+        mmMedia(docs), "doc_id", chunkTokens = 64, imgId = MmImg,
+        boiId = MmBoi, eoiId = MmEoi, bucketSize = 50,
+        sepId = Some(MmSep))
     }
   )
 }

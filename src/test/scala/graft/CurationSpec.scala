@@ -794,6 +794,33 @@ class CurationSpec extends AnyFunSuite {
     assert(lastByDoc(1L)._4 == 99L && lastByDoc(3L)._4 == 99L)
   }
 
+  test("packMultimodalIds: slots splice after their anchor token as " +
+    "boi/img×n/eoi runs; media-only docs pack; separators trail") {
+    import spark.implicits._
+    val enc = Seq(
+      (1L, 0L, Seq(10L, 11L)), (1L, 1L, Seq(12L)))
+      .toDF("doc_id", "tok_pos", "piece_ids")
+    // doc 1: one slot anchored after token 0 (2 placeholders);
+    // doc 2: no text at all, one slot — a pure-image document
+    val media = Seq((1L, 0L, 2L), (2L, 0L, 1L))
+      .toDF("doc_id", "media_pos", "n_media_tokens")
+    val out = Curation.packMultimodalIds(enc, media, "doc_id",
+      chunkTokens = 4, imgId = 91L, boiId = 90L, eoiId = 92L,
+      bucketSize = 2, sepId = Some(99L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3))
+    // doc1 stream: 10,11 | 90,91,91,92 | 12 | 99 — the run sits
+    // BETWEEN token 0's and token 1's pieces; doc2: 90,91,92,99
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 10L), (1L, 0L, 1L, 11L), (1L, 0L, 2L, 90L),
+      (1L, 0L, 3L, 91L),
+      (1L, 1L, 0L, 91L), (1L, 1L, 1L, 92L), (1L, 1L, 2L, 12L),
+      (1L, 1L, 3L, 99L),
+      (2L, 2L, 0L, 90L), (2L, 2L, 1L, 91L), (2L, 2L, 2L, 92L),
+      (2L, 2L, 3L, 99L)), out.mkString(","))
+  }
+
   test("languagePlan: langid labels key the water-filling, unknown drops") {
     import spark.implicits._
     val docs = Seq(

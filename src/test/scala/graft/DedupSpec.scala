@@ -330,6 +330,46 @@ class DedupSpec extends AnyFunSuite {
       "documents without bigrams keep a row with a null score")
   }
 
+  test("lmBackoffScore: hand-computed backoff chain, OOV floor, " +
+    "standing count state equals one-shot") {
+    import graft.ml.TextAnalysis
+    val ref = Seq((1L, "a b c"), (2L, "a b d")).toDF("id", "text")
+    // counts: N=6, V=4; 'a b'=2, 'b c'=1; 'a b c'=1; unigram a=2, b=2
+    val docs = Seq(
+      (10L, "a b c"), // p2: g2 'a b' fires s=2/2; p3: g3 fires s=1/2
+      (11L, "b z"),   // OOV floor: α^1 · (0+1)/(N+V) = 0.4/10
+      (12L, "x"))     // single token: null over 0
+      .toDF("id", "text")
+    def scoresOf(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.toString.toDouble))))
+      .toMap
+    val out = scoresOf(TextAnalysis.lmBackoffScore(docs, ref, "text",
+      "id", n = 3, alpha = 0.4))
+    def t6(d: Double) = math.floor(d * 1e6) / 1e6
+    assert(out(10L)._1 == 2L)
+    assert(out(10L)._2.get ==
+      t6((-math.log(1.0) - math.log(0.5)) / 2), s"got ${out(10L)}")
+    assert(out(11L) == ((1L,
+      Some(t6(-math.log(0.4 * 1.0 / 10.0))))), s"got ${out(11L)}")
+    assert(out(12L) == ((0L, None)))
+    // the standing state folds to the identical scores
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-spec").toString
+    TextAnalysis.appendNgramState(
+      ref.where(col("id") === 1), "text", 3, dir)
+    TextAnalysis.appendNgramState(
+      ref.where(col("id") === 2), "text", 3, dir)
+    val folded = scoresOf(TextAnalysis.lmBackoffScoreFromState(spark,
+      dir, docs, "text", "id", n = 3, alpha = 0.4))
+    assert(folded == out, "state fold must equal the one-shot score")
+    // a mismatched order refuses loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lmBackoffScoreFromState(spark, dir, docs, "text",
+        "id", n = 4, alpha = 0.4).collect()
+    }
+  }
+
   test("gopherRules: each published rule fires on its own violation") {
     import graft.ml.TextAnalysis
     val good = Seq.fill(5)(

@@ -1111,6 +1111,55 @@ object Curation {
       .select(col(idCol), (col("__off") + col("__r") - 1).as("pos"))
   }
 
+  /** Curriculum ordering (Bengio et al. 2009: present training data in
+    * phases — quality tiers, perplexity buckets, length classes —
+    * easiest first, shuffled uniformly WITHIN each phase so no phase
+    * carries incidental source order). Position = phase-major, then
+    * the [[shuffleOrder]] hash order: the composite range key puts the
+    * phase in front of the hash bucket, so every row of phase p
+    * precedes every row of phase p+1 and the within-phase order equals
+    * `ORDER BY (md5(salt‖id), id)` — one window per (phase, bucket)
+    * partition, offsets from the same [[exclusiveOffsets]] scan,
+    * nothing corpus-wide. Phases must be SMALL non-negative integers:
+    * one config-scale aggregate probes the phase table and refuses
+    * when distinct phases × buckets would break the bounded-key-table
+    * broadcast (a curriculum with unbounded phases is a sort, not a
+    * curriculum). Returns (idCol, phase, pos).
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, phaseCol: String,
+      salt: String = "curriculum", buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"curriculumOrder: buckets must be in [1, 2^20], got $buckets")
+    val probe = df.agg(
+      countDistinct(col(phaseCol)).as("n"),
+      min(col(phaseCol).cast(LongType)).as("mn"),
+      max(col(phaseCol).cast(LongType)).as("mx")).head()
+    val (nPh, mn, mx) =
+      (probe.getLong(0), probe.getLong(1), probe.getLong(2))
+    require(mn >= 0 && mx < (1L << 40),
+      s"curriculumOrder: phases must be small non-negative integers " +
+        s"(saw [$mn, $mx])")
+    require(nPh * buckets <= (1 << 20),
+      s"curriculumOrder: $nPh phases x $buckets buckets exceeds the " +
+        "2^20 bounded-key-table broadcast — coarsen the phases or " +
+        "shrink buckets")
+    val hashed = df.select(col(idCol),
+      col(phaseCol).cast(LongType).as("__ph"),
+      md5(concat(lit(salt), col(idCol).cast(StringType))).as("__h"))
+      .withColumn("__bkt", col("__ph") * buckets +
+        floor(conv(substring(col("__h"), 1, 8), 16, 10).cast(LongType)
+          * buckets / lit(4294967296L)).cast(LongType))
+    val within = hashed.withColumn("__r",
+      row_number().over(Window.partitionBy("__bkt")
+        .orderBy(col("__h"), col(idCol))))
+    val offsets = exclusiveOffsets(
+      hashed.groupBy("__bkt").agg(count(lit(1)).as("__n")),
+      "__bkt", "__n", "__off")
+    within.join(broadcast(offsets), "__bkt")
+      .select(col(idCol), col("__ph").as("phase"),
+        (col("__off") + col("__r") - 1).as("pos"))
+  }
+
   /** Deterministic train/validation/test split assignment: each row
     * lands in the named split whose cumulative weight interval contains
     * its hash fraction `h32(salt || id) / 2^32` — stable under corpus

@@ -66,6 +66,93 @@ object Round17Queries {
         FROM fb JOIN bb ON fb.src = bb.src AND fb.dst = bb.dst
         WHERE fb.margin >= $MarginThreshold"""
 
+  /** The IVF-fed miner replayed end-to-end: per side, id-prefix
+    * centroids → cell assignment → nprobe=2 probing → within-cell
+    * top-k candidates; then the identical margin suffix (fixed-point
+    * neighborhood means over the CANDIDATE lists, both argmaxes,
+    * mutual + threshold).
+    */
+  private val marginIvfOracle =
+    s"""WITH v AS (SELECT vec_id, ${MlQueries.normSql} AS e
+                   FROM embeddings),
+            sa AS (SELECT vec_id AS id, e FROM v WHERE vec_id < 250),
+            sb AS (SELECT vec_id AS id, e FROM v WHERE vec_id >= 250),
+            cb AS (SELECT id AS cell, e AS vcent FROM sb
+                   WHERE id < 258),
+            ab_asg AS (SELECT id, cell, e, row_number() OVER (
+                PARTITION BY id
+                ORDER BY ${MlQueries.cosSql("e", "vcent")} DESC, cell)
+                AS r
+              FROM sb CROSS JOIN cb),
+            ab_cells AS (SELECT id AS nb, cell, e FROM ab_asg
+                         WHERE r = 1),
+            ab_pr AS (SELECT a.id AS qid, a.e AS vq, c.cell,
+                row_number() OVER (PARTITION BY a.id
+                  ORDER BY ${MlQueries.cosSql("a.e", "c.vcent")} DESC,
+                    c.cell) AS pr
+              FROM sa a CROSS JOIN cb c),
+            fk AS MATERIALIZED (SELECT src, dst, c FROM (
+              SELECT p.qid AS src, l.nb AS dst,
+                ${MlQueries.cosSql("p.vq", "l.e")} AS c,
+                row_number() OVER (PARTITION BY p.qid
+                  ORDER BY ${MlQueries.cosSql("p.vq", "l.e")} DESC,
+                    l.nb) AS rk
+              FROM (SELECT * FROM ab_pr WHERE pr <= 2) p
+              JOIN ab_cells l USING (cell) WHERE p.qid <> l.nb)
+              WHERE rk <= $MarginK),
+            ca AS (SELECT id AS cell, e AS vcent FROM sa WHERE id < 8),
+            ba_asg AS (SELECT id, cell, e, row_number() OVER (
+                PARTITION BY id
+                ORDER BY ${MlQueries.cosSql("e", "vcent")} DESC, cell)
+                AS r
+              FROM sa CROSS JOIN ca),
+            ba_cells AS (SELECT id AS nb, cell, e FROM ba_asg
+                         WHERE r = 1),
+            ba_pr AS (SELECT b.id AS qid, b.e AS vq, c.cell,
+                row_number() OVER (PARTITION BY b.id
+                  ORDER BY ${MlQueries.cosSql("b.e", "c.vcent")} DESC,
+                    c.cell) AS pr
+              FROM sb b CROSS JOIN ca c),
+            bk AS MATERIALIZED (SELECT bq, ba_nb, c FROM (
+              SELECT p.qid AS bq, l.nb AS ba_nb,
+                ${MlQueries.cosSql("p.vq", "l.e")} AS c,
+                row_number() OVER (PARTITION BY p.qid
+                  ORDER BY ${MlQueries.cosSql("p.vq", "l.e")} DESC,
+                    l.nb) AS rk
+              FROM (SELECT * FROM ba_pr WHERE pr <= 2) p
+              JOIN ba_cells l USING (cell) WHERE p.qid <> l.nb)
+              WHERE rk <= $MarginK),
+            ava AS MATERIALIZED (SELECT src,
+                CAST(sum(CAST(round(c * 1e6) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1e6) AS avg_a
+              FROM fk GROUP BY 1),
+            avb AS MATERIALIZED (SELECT bq,
+                CAST(sum(CAST(round(c * 1e6) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1e6) AS avg_b
+              FROM bk GROUP BY 1),
+            fm AS (SELECT f.src, f.dst, f.c,
+                     round(f.c / ((avg_a + avg_b) / 2), 6) AS margin
+                   FROM fk f JOIN ava USING (src)
+                             JOIN avb ON f.dst = avb.bq
+                   WHERE (avg_a + avg_b) / 2 > 0),
+            bm AS (SELECT k.ba_nb AS src, k.bq AS dst, k.c,
+                     round(k.c / ((avg_a + avg_b) / 2), 6) AS margin
+                   FROM bk k JOIN ava ON k.ba_nb = ava.src
+                             JOIN avb ON k.bq = avb.bq
+                   WHERE (avg_a + avg_b) / 2 > 0),
+            fb AS (SELECT src, dst, c, margin FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY src ORDER BY margin DESC, dst) AS r
+              FROM fm) WHERE r = 1),
+            bb AS (SELECT src, dst FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY dst ORDER BY margin DESC, src) AS r
+              FROM bm) WHERE r = 1)
+        SELECT fb.src AS src_id, fb.dst AS dst_id, fb.c AS cos,
+               fb.margin
+        FROM fb JOIN bb ON fb.src = bb.src AND fb.dst = bb.dst
+        WHERE fb.margin >= $MarginThreshold"""
+
   // --------------------------------------------------------------------
   // Hard-negative mining. Candidate depth, negatives kept per query,
   // and the false-negative cosine ceiling (candidates at or above it
@@ -530,6 +617,23 @@ object Round17Queries {
         threshold = MarginThreshold)
     },
 
+    // ... and the CORPUS-SCALE candidate path: the same miner fed from
+    // IVF searches in both directions (marginMineFrom is
+    // candidate-agnostic — this gate proves the composition, not a new
+    // miner). Disjoint side id ranges make ivfTopK's self-id exclusion
+    // a no-op here
+    Q.fn("q_margin_mine_ivf", marginIvfOracle) { (spark, sf) =>
+      val emb = Tables.load(spark, sf, "embeddings")
+      val a = emb.where(col("vec_id") < 250)
+      val b = emb.where(col("vec_id") >= 250)
+      graft.ml.Similarity.marginMineFrom(
+        graft.ml.Similarity.ivfTopK(b, a, "embedding", "vec_id",
+          k = MarginK, nlist = 8, nprobe = 2),
+        graft.ml.Similarity.ivfTopK(a, b, "embedding", "vec_id",
+          k = MarginK, nlist = 8, nprobe = 2),
+        threshold = MarginThreshold)
+    },
+
     // hard-negative mining for retrieval training: per query the top
     // negatives from its candidate list, with the labeled positive
     // (qid → qid+100) anti-joined out and the ANCE/RocketQA
@@ -588,6 +692,25 @@ object Round17Queries {
       })
       graft.ml.Curation.diffAgainstFpIndex(spark, dir,
         diffProbe(docs), "doc_id", "text")
+    },
+
+    // curriculum ordering: length-class phases (shortest docs first),
+    // uniform hash shuffle within each phase. The oracle is the
+    // closed form of the bucketed machinery — one global sort by
+    // (phase, md5, id)
+    Q.fn("q_curriculum_order",
+      """SELECT doc_id,
+                CAST(least(3, length(text) // 100) AS BIGINT) AS phase,
+                CAST(row_number() OVER (
+                  ORDER BY least(3, length(text) // 100),
+                           md5('curriculum' || CAST(doc_id AS VARCHAR)),
+                           doc_id) - 1 AS BIGINT) AS pos
+         FROM documents""") { (spark, sf) =>
+      graft.ml.Curation.curriculumOrder(
+        Tables.load(spark, sf, "documents")
+          .withColumn("phase",
+            least(lit(3), floor(length(col("text")) / 100))),
+        "doc_id", "phase")
     },
 
     // interleaved multimodal packing: image slots spliced into the

@@ -821,6 +821,38 @@ class CurationSpec extends AnyFunSuite {
       (2L, 2L, 3L, 99L)), out.mkString(","))
   }
 
+  test("curriculumOrder: phase-major dense positions, within-phase " +
+    "hash order, unbounded phases refused") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, i % 3)).toDF("id", "ph")
+    val out = Curation.curriculumOrder(docs, "id", "ph", buckets = 4)
+      .select("id", "phase", "pos").as[(Long, Long, Long)]
+      .collect().sortBy(_._3)
+    // dense 0..n-1 and phase-monotone: every phase-p row precedes
+    // every phase-(p+1) row
+    assert(out.map(_._3).toSeq === (0L until 40L))
+    assert(out.map(_._2).toSeq === out.map(_._2).toSeq.sorted)
+    // within a phase the order is exactly (md5(salt||id), id)
+    def h(i: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"curriculum$i".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val phase0 = out.filter(_._2 == 0L).map(_._1)
+    assert(phase0.toSeq === phase0.sortBy(i => (h(i), i)).toSeq)
+    // a negative phase refuses loudly
+    intercept[IllegalArgumentException] {
+      Curation.curriculumOrder(
+        Seq((1L, -1L)).toDF("id", "ph"), "id", "ph")
+    }
+    // a phase table too wide for the bounded broadcast refuses
+    intercept[IllegalArgumentException] {
+      Curation.curriculumOrder(
+        (0L until 3L).map(i => (i, i)).toDF("id", "ph"), "id", "ph",
+        buckets = 1 << 20)
+    }
+  }
+
   test("languagePlan: langid labels key the water-filling, unknown drops") {
     import spark.implicits._
     val docs = Seq(

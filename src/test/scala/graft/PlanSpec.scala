@@ -260,6 +260,34 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("curriculumOrder keeps the bucketed-window discipline: every " +
+    "window but the super-totals level is partitioned") {
+    graft.queries.Q.session(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = q("q_curriculum_order")
+      val p = df.queryExecution.executedPlan
+      val windows = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty)
+      val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+      assert(unpartitioned.size <= 1,
+        "only the exclusiveOffsets super-totals window may be " +
+          s"unpartitioned, found ${unpartitioned.size}:\n" +
+          p.toString.take(1500))
+      assert(!p.toString.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("corpusDiff plans one full-outer id equi-join of fingerprint " +
+    "projections — no window, no product") {
+    val p = plan(q("q_corpus_diff"))
+    assert(p.contains("FullOuter"), p.take(1200))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("exclusiveOffsets: exact exclusive prefix sums across super " +
     "buckets; placement invariant to bucketSize") {
     graft.queries.Q.session(spark)

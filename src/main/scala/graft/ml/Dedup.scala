@@ -474,31 +474,48 @@ object Dedup {
         pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .distinct()
       .persist()
-    // eager localCheckpoint per round TRUNCATES the logical plan — the
-    // naive loop doubles the plan each round (2^rounds analysis/heap)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Round 1 folded into the init: with identity labels the hop
+    // proposal is just the reversed edge and the jump is a no-op, so
+    // min(id, min incoming src) IS round 1's result — one aggregate
+    // replaces the identity checkpoint plus a full first round (every
+    // node appears as src because the edge list is symmetrized).
+    // Eager localCheckpoint per round TRUNCATES the logical plan — the
+    // naive loop doubles the plan each round (2^rounds analysis/heap).
+    var labels = edges.select(col("dst").as("id"), col("src").as("label"))
+      .unionByName(edges.select(col("src").as("id"),
+        col("src").as("label")))
+      .groupBy("id").agg(min(col("label")).as("label"))
       .localCheckpoint(true)
+    val labelType = labels.schema("label").dataType
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIter) {
       // neighbor labels flow one hop...
       val proposals = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast(labelType).as("old"))
       // ...and POINTER JUMPING compresses chains: follow my label's
       // label (labels self-joined on label=id), so the hop distance
       // doubles per round — O(log diameter) rounds, not O(diameter).
       // A 1000-long near-dup chain converges in ~10 rounds.
       val jumped = labels.as("l")
         .join(labels.as("m"), col("l.label") === col("m.id"))
-        .select(col("l.id").as("id"), col("m.label").as("label"))
-      val next = labels.select(col("id"), col("label"))
+        .select(col("l.id").as("id"), col("m.label").as("label"),
+          lit(null).cast(labelType).as("old"))
+      // the previous label rides the identity leg as `old`, so the
+      // convergence check below is a narrow filter over the fresh
+      // CHECKPOINTED frame — no per-round join of two label tables
+      // (each id has exactly one identity row, so max(old) is its
+      // previous label)
+      val next = labels.select(col("id"), col("label"),
+          col("label").as("old"))
         .unionByName(proposals)
         .unionByName(jumped)
-        .groupBy("id").agg(min(col("label")).as("label"))
+        .groupBy("id").agg(min(col("label")).as("label"),
+          max(col("old")).as("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") < col("old")).limit(1).count()
+      val changed = next.where(col("label") < col("old"))
+        .limit(1).count()
       // drop the previous round's checkpointed blocks
       CacheLifecycle.releaseCheckpoint(labels)
       labels = next

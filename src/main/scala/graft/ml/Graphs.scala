@@ -35,10 +35,16 @@ object Graphs {
     * list (shuffle on src) and one partial-aggregated sum (shuffle on
     * dst) — the standard distributed PageRank; the dangling mass rides
     * as a broadcast 1-row frame inside the same job (no per-iteration
-    * driver action), and `localCheckpoint` truncates the
-    * otherwise-growing plan per iteration exactly like
-    * `Dedup.components`. Returns (node, pr_rank) — named to stay clear
-    * of the `rank` window keyword in replay engines.
+    * driver action). The whole fixpoint is LAZY: each iteration's rank
+    * frame is a registered `persist` (two consumers in the next
+    * iteration share one computation), so the ONLY driver actions are
+    * the node count and whatever the caller does with the result — no
+    * per-iteration eager checkpoint (per-action fixed overhead is pure
+    * scheduling loss; at the default 3 iterations the analyzed plan
+    * stays small, unlike the unbounded `Dedup.components` loop where
+    * eager truncation is load-bearing). Returns (node, pr_rank) —
+    * named to stay clear of the `rank` window keyword in replay
+    * engines.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3): DataFrame = {
@@ -56,12 +62,10 @@ object Graphs {
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     val base = RankScale * 15L / 100L / n
     var ranks = nodes.withColumn("pr_rank", lit(RankScale / n))
-      .localCheckpoint(true)
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val withDeg = ranks.join(outdeg, Seq("node"), "left")
       // the dangling mass rides as a broadcast 1-row frame instead of a
-      // separate driver action — one job per iteration (the eager
-      // checkpoint), not two
+      // separate driver action
       val dangling = withDeg.where(col("deg").isNull)
         .agg(expr(s"coalesce(sum(pr_rank), 0L) div ${n}L").as("ds"))
       val sums = withDeg.where(col("deg").isNotNull)
@@ -75,11 +79,15 @@ object Graphs {
           (lit(base) +
             expr("(85 * (coalesce(s, 0L) + ds)) div 100"))
             .as("pr_rank"))
-        .localCheckpoint(true)
-      CacheLifecycle.releaseCheckpoint(ranks)
-      ranks = next
+      // the lazy plan references `ranks` twice per iteration, so the
+      // tree doubles per round: truncate every 4th iteration (one eager
+      // checkpoint per 16x growth) so a large-`iters` caller cannot
+      // blow up analysis, while the default 3 stays fully lazy
+      ranks =
+        if (i % 4 == 0 && i < iters)
+          CacheLifecycle.pinCheckpointed(next.localCheckpoint(true))
+        else CacheLifecycle.pin(next)
     }
-    CacheLifecycle.pinCheckpointed(ranks)
     ranks
   }
 

@@ -79,12 +79,18 @@ object Recipes {
     * equality, so they must not be three copies that can diverge).
     */
   private def funnelOf(stages: Seq[(String, DataFrame)],
-      spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import spark.implicits._
-    stages.zipWithIndex
-      .map { case ((name, frame), i) => (i, name, frame.count()) }
-      .toDF("step", "stage", "docs")
-  }
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    // LAZY: one single-row aggregate per stage, unioned — the consumer's
+    // one action computes every stage count in ONE Spark job instead of
+    // one blocking driver action per stage (per-action fixed overhead
+    // is ~0.4-0.9s in local mode and pure scheduling at cluster scale).
+    // The stage frames are eager checkpoints, so each leg is a scan of
+    // already-materialized blocks; an empty stage still yields its row
+    // (a global aggregate over an empty frame returns count=0).
+    stages.zipWithIndex.map { case ((name, frame), i) =>
+      frame.agg(count(lit(1)).as("docs"))
+        .select(lit(i).as("step"), lit(name).as("stage"), col("docs"))
+    }.reduce(_ unionByName _)
 
   /** The per-domain attribution over already-checkpointed stage
     * frames: one hash aggregate per stage, config-scale output.

@@ -98,7 +98,10 @@ object Bench {
     errors = (errors1 ++ errors2).distinct
     // a query that failed ALL attempts of a pass is an error, not flaky
     flaky = flaky.diff(errors.toSet)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // per-query values at 1 ms resolution: full doubles would triple the
+    // line length for digits that are pure scheduler noise
+    def fmtQ(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // the compact stdout line must stay bounded even in a mass-failure
@@ -149,12 +152,39 @@ object Bench {
     // line gets its head truncated and fails to parse
     val filtered = only.isDefined
     val filteredField = if (filtered) "\"filtered\":true," else ""
-    val qs2 = results2.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs2 = results2.map { case (k, v) => s"\"" + k + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"value2":$total2,"value_min":$totalMin,"unit":"sec",$filteredField"queries":$qs,"queries2":$qs2,"errors":$errs,"flaky":$flakyJson,"sf":"$sfDir"}"""
+    // Round-17 verdict #2: the driver's per-query comparison parses the
+    // tail-captured stdout line, not target/bench.json, and was blind
+    // for two rounds. But the capture window is EXACTLY 2000 chars
+    // (every BENCH_r*.json tail is len 2000, and rounds 1-8 — when this
+    // line carried the full 3.5 kB map — all have parsed=None because
+    // the line's HEAD was cut off). 266 named timings cannot fit in
+    // 2000 chars, so the line carries the head of the map: per-query
+    // best-of-both-passes (same basis as value_min), sorted descending,
+    // as many entries as keep the line under ~1900 chars (~60-70
+    // entries — every query over the ~0.3 s fixed-action floor, i.e.
+    // everything with signal; the flat tail is pure per-action overhead
+    // and indistinguishable query-to-query anyway). "queries_partial"
+    // flags the truncation; the FULL pass-1/pass-2 maps are in
+    // target/bench.json, unchanged.
+    val qMin: Map[String, Double] = results.map { case (k, v) =>
+      k -> math.min(v, results2.getOrElse(k, v))
+    }
+    val headBudget = 1900
+    val headline =
+      s"""{"metric":"total","value":$total,"value2":$total2,"value_min":$totalMin,"unit":"sec",$filteredField"n":${results.size},"queries_partial":true,"queries":{},"errors":$errsCompact,"flaky":$flakyCompact,"sf":"$sfDir"}"""
+    var room = headBudget - headline.length
+    val topEntries = qMin.toSeq.sortBy { case (k, v) => (-v, k) }
+      .iterator.map { case (k, v) => s"\"$k\":${fmtQ(v)}" }
+      .takeWhile { e => val ok = room - (e.length + 1) >= 0
+        if (ok) room -= e.length + 1; ok }
+      .toSeq
+    val qsTop = topEntries.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"value2":$total2,"value_min":$totalMin,"unit":"sec",$filteredField"n":${results.size},"errors":$errsCompact,"flaky":$flakyCompact,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value2":$total2,"value_min":$totalMin,"unit":"sec",$filteredField"n":${results.size},"queries_partial":true,"queries":$qsTop,"errors":$errsCompact,"flaky":$flakyCompact,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY subset must NEVER overwrite the durable
     // full-run artifact: a round-over-round comparator reading
     // target/bench.json would mistake a one-query triage run for a

@@ -70,12 +70,19 @@ object Profile {
       println(f"==== pass $p: $name total ${total}%.3f s, " +
         s"${jobs.size} jobs ====")
       jobs.synchronized {
-        val js = jobs.values.toSeq
+        // the listener bus is async and waitUntilEmpty is private[spark]:
+        // a job whose end event has not landed yet would print a huge
+        // negative duration — drop it instead (dev tool; the job count
+        // line above still reports the true total)
+        val js = jobs.values.toSeq.filter(_.end != 0L)
         val sumJ = js.map(j => (j.end - j.start) / 1e3).sum
         println(f"  sum of job wall times: $sumJ%.3f s " +
           "(gaps to total = driver-side work)")
-        // group by the dominant stage's callsite: where do the jobs go?
-        js.groupBy(j => j.stages.sortBy(-_._3).headOption
+        // group by the job DESCRIPTION when one is set (operators label
+        // their jobs per guide §1.5), falling back to the dominant
+        // stage's callsite: where do the jobs go?
+        js.groupBy(j => if (j.desc.nonEmpty) j.desc
+          else j.stages.sortBy(-_._3).headOption
             .map(_._2.replaceFirst("run=\\d+ms ", "")).getOrElse("?"))
           .map { case (site, g) =>
             (site, g.size, g.map(j => (j.end - j.start) / 1e3).sum) }

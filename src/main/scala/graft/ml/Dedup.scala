@@ -469,6 +469,14 @@ object Dedup {
     */
   def components(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // round 1 is folded into the init aggregate below, so the loop's
+    // first pass is already round 2: maxIter=1 would skip the loop and
+    // unconditionally fail the convergence require even on a trivially
+    // converged graph. No caller asks for a 1-round budget; reject it
+    // loudly instead of mis-reporting it as non-convergence.
+    require(maxIter >= 2,
+      s"components: maxIter must be >= 2 (round 1 is folded into the " +
+        s"init aggregate), got $maxIter")
     val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .unionByName(
         pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
@@ -507,15 +515,19 @@ object Dedup {
       // CHECKPOINTED frame — no per-round join of two label tables
       // (each id has exactly one identity row, so max(old) is its
       // previous label)
-      val next = labels.select(col("id"), col("label"),
-          col("label").as("old"))
-        .unionByName(proposals)
-        .unionByName(jumped)
-        .groupBy("id").agg(min(col("label")).as("label"),
-          max(col("old")).as("old"))
-        .localCheckpoint(true)
-      val changed = next.where(col("label") < col("old"))
-        .limit(1).count()
+      val sc = labels.sparkSession.sparkContext
+      sc.setJobDescription(s"components round $iter")
+      val (next, changed) =
+        try {
+          val cp = labels.select(col("id"), col("label"),
+              col("label").as("old"))
+            .unionByName(proposals)
+            .unionByName(jumped)
+            .groupBy("id").agg(min(col("label")).as("label"),
+              max(col("old")).as("old"))
+            .localCheckpoint(true)
+          (cp, cp.where(col("label") < col("old")).limit(1).count())
+        } finally sc.setJobDescription(null)
       // drop the previous round's checkpointed blocks
       CacheLifecycle.releaseCheckpoint(labels)
       labels = next

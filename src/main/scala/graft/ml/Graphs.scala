@@ -35,24 +35,41 @@ object Graphs {
     * list (shuffle on src) and one partial-aggregated sum (shuffle on
     * dst) — the standard distributed PageRank; the dangling mass rides
     * as a broadcast 1-row frame inside the same job (no per-iteration
-    * driver action). The whole fixpoint is LAZY: each iteration's rank
-    * frame is a registered `persist` (two consumers in the next
-    * iteration share one computation), so the ONLY driver actions are
-    * the node count and whatever the caller does with the result — no
-    * per-iteration eager checkpoint (per-action fixed overhead is pure
-    * scheduling loss; at the default 3 iterations the analyzed plan
-    * stays small, unlike the unbounded `Dedup.components` loop where
-    * eager truncation is load-bearing). Returns (node, pr_rank) —
+    * driver action). Each iteration ends in an EAGER localCheckpoint.
+    * The round-17 stall snapshot shipped a fully-LAZY fixpoint
+    * (persist-pinned iterates, checkpoint every 4th) on the theory that
+    * fewer actions win; MEASURED in round 18 it was ~40% SLOWER
+    * (q_pagerank 12.4 s lazy vs 7.4 s checkpointed at sf0.1, 39 jobs vs
+    * ~10): every iteration's `broadcast(dangling)` leg materializes
+    * BEFORE the consuming job, so with no truncated base it re-derives
+    * the whole un-truncated lineage — the href-extraction scan re-ran
+    * once per iteration (15 s of executor time in one stage). The
+    * eager checkpoint is load-bearing here exactly as in
+    * `Dedup.components`: it gives each iteration's broadcast sub-job a
+    * materialized base. Reverted per the round-17 verdict's
+    * "measure, and revert if not better". Returns (node, pr_rank) —
     * named to stay clear of the `rank` window keyword in replay
     * engines.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
-    val e = CacheLifecycle.pin(
+    // the edge table is CHECKPOINTED, not merely persisted: every
+    // iteration's AQE/broadcast sub-jobs re-resolve their base plans,
+    // and a lazily-cached edge frame was measured re-running its
+    // upstream extraction once per iteration (cache-fill races between
+    // concurrently-materializing query stages — q_pagerank 7.0 s
+    // pinned vs 4.7 s checkpointed, exclusive pairs); the checkpoint
+    // makes the one full computation structural. An additional
+    // repartition("src") before the checkpoint (so the per-round
+    // contribution join reads a pre-clustered edge side, guide §2.4)
+    // was measured and REJECTED: 4.74 -> 5.27 s — the build-time
+    // exchange costs more than the per-iteration exchange it was meant
+    // to remove, and the plan could not be shown to actually drop it.
+    val e = CacheLifecycle.pinCheckpointed(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct())
+        .distinct().localCheckpoint(true))
     val nodes = CacheLifecycle.pin(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
@@ -61,11 +78,17 @@ object Graphs {
     val outdeg = CacheLifecycle.pin(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     val base = RankScale * 15L / 100L / n
+    // NO init checkpoint: `nodes` is persisted and already materialized
+    // by the count above, so round 1's base is a narrow map over cached
+    // blocks — checkpointing identity ranks would only buy one more
+    // eager action (releaseCheckpoint below is a no-op on this frame)
     var ranks = nodes.withColumn("pr_rank", lit(RankScale / n))
-    (1 to iters).foreach { i =>
+    (1 to iters).foreach { _ =>
       val withDeg = ranks.join(outdeg, Seq("node"), "left")
       // the dangling mass rides as a broadcast 1-row frame instead of a
-      // separate driver action
+      // separate driver action — one job per iteration (the eager
+      // checkpoint), not two; its materialization reads the previous
+      // round's CHECKPOINTED ranks, never deeper lineage
       val dangling = withDeg.where(col("deg").isNull)
         .agg(expr(s"coalesce(sum(pr_rank), 0L) div ${n}L").as("ds"))
       val sums = withDeg.where(col("deg").isNotNull)
@@ -79,15 +102,12 @@ object Graphs {
           (lit(base) +
             expr("(85 * (coalesce(s, 0L) + ds)) div 100"))
             .as("pr_rank"))
-      // the lazy plan references `ranks` twice per iteration, so the
-      // tree doubles per round: truncate every 4th iteration (one eager
-      // checkpoint per 16x growth) so a large-`iters` caller cannot
-      // blow up analysis, while the default 3 stays fully lazy
-      ranks =
-        if (i % 4 == 0 && i < iters)
-          CacheLifecycle.pinCheckpointed(next.localCheckpoint(true))
-        else CacheLifecycle.pin(next)
+        .localCheckpoint(true)
+      // drop the previous round's checkpointed blocks immediately
+      CacheLifecycle.releaseCheckpoint(ranks)
+      ranks = next
     }
+    CacheLifecycle.pinCheckpointed(ranks)
     ranks
   }
 

@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   * pass is the underlying operator's documented distributed shape, and
   * the composition itself adds only id-equi-joins. Call
   * `CacheLifecycle.releaseAll()` when done with the returned frames
-  * (checkpointed lineage cannot recompute after release).
+  * (checkpointed lineage cannot recompute after release). NOTE: the
+  * funnel / funnelByDomain report frames returned by [[curate]],
+  * [[curateBatch]] and the `curate*Reports` entry points are LAZY plans
+  * over the checkpointed stage frames — materialize them
+  * (collect/write) BEFORE `releaseAll()`, same rule as the kept frame.
   */
 object Recipes {
 
@@ -79,7 +83,7 @@ object Recipes {
     * equality, so they must not be three copies that can diverge).
     */
   private def funnelOf(stages: Seq[(String, DataFrame)],
-      spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     // LAZY: one single-row aggregate per stage, unioned — the consumer's
     // one action computes every stage count in ONE Spark job instead of
     // one blocking driver action per stage (per-action fixed overhead
@@ -87,10 +91,15 @@ object Recipes {
     // The stage frames are eager checkpoints, so each leg is a scan of
     // already-materialized blocks; an empty stage still yields its row
     // (a global aggregate over an empty frame returns count=0).
+    // LIFECYCLE: because the funnel is now a lazy plan over CHECKPOINTED
+    // stage frames, it must be materialized (collected/written) BEFORE
+    // CacheLifecycle.releaseAll() — truncated lineage cannot recompute.
+    require(stages.nonEmpty, "funnelOf: no stages recorded")
     stages.zipWithIndex.map { case ((name, frame), i) =>
       frame.agg(count(lit(1)).as("docs"))
         .select(lit(i).as("step"), lit(name).as("stage"), col("docs"))
     }.reduce(_ unionByName _)
+  }
 
   /** The per-domain attribution over already-checkpointed stage
     * frames: one hash aggregate per stage, config-scale output.
@@ -298,7 +307,12 @@ object Recipes {
     val funnel =
       scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     def stage(name: String)(d: DataFrame): DataFrame = {
-      val cp = d.localCheckpoint(true)
+      // label the checkpoint job (guide §1.5) so profiles attribute the
+      // staged chain's cost stage by stage instead of one opaque callsite
+      val sc = d.sparkSession.sparkContext
+      sc.setJobDescription(s"recipe stage: $name")
+      val cp =
+        try d.localCheckpoint(true) finally sc.setJobDescription(null)
       CacheLifecycle.pinCheckpointed(cp)
       funnel += name -> cp
       cp

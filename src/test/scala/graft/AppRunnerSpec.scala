@@ -7,7 +7,22 @@ import graft.op.Env
 import graft.streaming.{AppRunner, Io}
 
 object SparkSpec {
-  lazy val spark: SparkSession = {
+  // NOT a lazy val: every suite shares this session, so a context that
+  // dies mid-run (OOM-killed executor thread, an errant stop()) must
+  // not cascade-fail every later suite with "SparkContext was shut
+  // down" — the accessor re-creates the session when the cached one's
+  // context is stopped (driver-red round 17 was exactly this cascade).
+  private var cached: SparkSession = null
+  def spark: SparkSession = synchronized {
+    if (cached == null || cached.sparkContext.isStopped) cached = build()
+    cached
+  }
+  private def build(): SparkSession = {
+    // a stopped context leaves the default-session slots pointing at
+    // the dead session; clear them or builder().getOrCreate() may hand
+    // the corpse back
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -181,6 +181,7 @@ class StreamJoinSpec extends AnyFunSuite {
       """{"_id":"d1","v":5}""")
     val s = DataType.fromDDL("_id string, v int").asInstanceOf[StructType]
     val io = new FileStreamIo(dir, Map("din" -> s, "retryt" -> s))
+    val t0 = System.currentTimeMillis()
     new AppRunner(spark, io, Env(spark)).run(
       """{"application":"dl","version":"1.0","parts":[
            {"type":"stream","name":"delayer","fromTopic":"din",
@@ -189,11 +190,17 @@ class StreamJoinSpec extends AnyFunSuite {
            {"type":"stream","name":"receiver","fromTopic":"retryt",
             "toTopic":"out_retry"}]}""")
     io.processAll()
-    // nothing goes to the part's own sink; the delayed copy is pending
-    // (the 5 s duration comfortably outlasts processAll's quiescent wait
-    // on the timer-driven delay query, so this asserts BEFORE expiry)
+    // nothing EVER goes to the part's own sink (the delayed copy routes
+    // to the retry topic)
     assert(spark.table("out_dl").collect().isEmpty)
-    assert(spark.table("out_retry").collect().isEmpty)
+    // the delayed copy is still pending — but ONLY assert that when this
+    // point was reached before the 5 s duration expired: under a loaded
+    // full-suite run processAll's quiescent wait alone can exceed the
+    // duration, and the copy legitimately redelivers before we look
+    // (exactly the wall-clock flake that broke the round-17 full-suite
+    // run once); the margin keeps the assert meaningful on normal runs
+    if (System.currentTimeMillis() - t0 < 4000)
+      assert(spark.table("out_retry").collect().isEmpty)
     // after the duration the message surfaces on the retry topic
     // (poll: timer fire + file pickup are asynchronous under load)
     val deadline = System.currentTimeMillis() + 20000

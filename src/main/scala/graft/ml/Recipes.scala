@@ -220,8 +220,8 @@ object Recipes {
       minJaccard: Double,
       badWords: Seq[String]): Seq[(String, DataFrame)] = {
     val spark = df.sparkSession
-    val (funnel, stage) = stageRecorder()
-    val ruled = frontStages(stage, df, idCol, htmlCol, urlCol,
+    val (funnel, stage, record) = stageRecorder()
+    val ruled = frontStages(stage, record, df, idCol, htmlCol, urlCol,
       blocklist, badWords)
     val scored = stage("classifier")(
       ruled.join(
@@ -270,8 +270,8 @@ object Recipes {
       urlCol: String, blocklist: DataFrame, seed: DataFrame,
       seedLabelCol: String, minJaccard: Double,
       badWords: Seq[String]): Seq[(String, DataFrame)] = {
-    val (funnel, stage) = stageRecorder()
-    val ruled = frontStages(stage, df, idCol, htmlCol, urlCol,
+    val (funnel, stage, record) = stageRecorder()
+    val ruled = frontStages(stage, record, df, idCol, htmlCol, urlCol,
       blocklist, badWords)
     // the classifier trains on the POST-MARKUP text of the seed ids
     val texted = funnel(1)._2
@@ -303,7 +303,8 @@ object Recipes {
 
   private def stageRecorder(): (
       scala.collection.mutable.ArrayBuffer[(String, DataFrame)],
-      String => DataFrame => DataFrame) = {
+      String => DataFrame => DataFrame,
+      (String, DataFrame) => DataFrame) = {
     val funnel =
       scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     def stage(name: String)(d: DataFrame): DataFrame = {
@@ -317,26 +318,57 @@ object Recipes {
       funnel += name -> cp
       cp
     }
-    (funnel, stage)
+    // record WITHOUT a checkpoint: for stage frames that are already
+    // narrow views over checkpointed blocks (the fused front), where an
+    // extra eager materialization would buy nothing but an action
+    def record(name: String, d: DataFrame): DataFrame = {
+      funnel += name -> d
+      d
+    }
+    (funnel, stage, record)
   }
 
   /** input → html_to_text → blocklist → quality_rules — the cleaning
     * front shared by the one-shot and incremental recipes. Returns the
     * ruled frame; the recorder accumulates the stage frames.
+    *
+    * The three LINEAR stages (input, html_to_text, blocklist) share ONE
+    * eager checkpoint: none of them joins two reads of its input (the
+    * reason the join stages checkpoint per stage), so the front is one
+    * flagged pass — html_to_text's survival and the blocklist verdict
+    * ride as columns on every input row — and the three recorded stage
+    * frames are narrow FILTERS over the same checkpointed blocks.
+    * Counts and columns are bit-identical to the three-checkpoint form
+    * (the blocklist join is per-row and text-independent, so flagging
+    * empty-text rows it never used to see changes nothing the filtered
+    * views expose); what changes is the action count — one
+    * materialization barrier instead of three (guide §1: each eager
+    * checkpoint is a full scheduler round-trip at any scale).
     */
   private def frontStages(stage: String => DataFrame => DataFrame,
+      record: (String, DataFrame) => DataFrame,
       df: DataFrame, idCol: String, htmlCol: String, urlCol: String,
       blocklist: DataFrame, badWords: Seq[String]): DataFrame = {
-    val in = stage("input")(df)
-    val texted = stage("html_to_text")(
-      in.withColumn("text_clean", Curation.htmlToText(col(htmlCol)))
-        .where(col("text_clean").isNotNull && col("text_clean") =!= ""))
-    val unblocked = stage("blocklist")(
-      Curation.applyDomainBlocklist(
-          texted.withColumn("__host", Curation.extractHost(col(urlCol))),
+    val inCols = df.columns.map(col).toSeq
+    val sc = df.sparkSession.sparkContext
+    sc.setJobDescription("recipe front: input+html_to_text+blocklist")
+    val front =
+      try Curation.applyDomainBlocklist(
+          df.withColumn("text_clean", Curation.htmlToText(col(htmlCol)))
+            .withColumn("__kept_text",
+              col("text_clean").isNotNull && col("text_clean") =!= "")
+            .withColumn("__host", Curation.extractHost(col(urlCol))),
           "__host", blocklist)
-        .where(!col("blocked"))
-        .drop("blocked", "blocked_by", "__host"))
+        .localCheckpoint(true)
+      finally sc.setJobDescription(null)
+    CacheLifecycle.pinCheckpointed(front)
+    record("input", front.select(inCols: _*))
+    record("html_to_text",
+      front.where(col("__kept_text"))
+        .select(inCols :+ col("text_clean"): _*))
+    val unblocked = record("blocklist",
+      front.where(col("__kept_text") && !col("blocked"))
+        .select(inCols :+ col("text_clean"): _*))
     stage("quality_rules")(
       unblocked.drop("text_clean").join(
         Curation.qualityPipeline(unblocked, "text_clean", idCol, badWords)
